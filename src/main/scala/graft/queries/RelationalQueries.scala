@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational surface (SURVEY.md §2.6): scans, filters,
+  * projections, joins of every flavor, aggregates, windows, sorts,
+  * set ops. Each query is declarative DataFrame code — Catalyst gets
+  * full visibility for pushdown/pruning/join planning; small
+  * dimensions are broadcast explicitly.
+  *
+  * Determinism: total ORDER BY everywhere, doubles rounded (2 for
+  * money, 4 for ratios), aggregates aliased identically to the oracle.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-style pricing summary (flagship; SURVEY §7.2 slice 0). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)(pricingSummary),
+
+    // Projection + predicate — both must reach the parquet scan
+    // (PushedFilters in .explain), reading 4 of 11 columns.
+    QueryDef(
+      "q02_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_extendedprice > 95000.0 AND l_discount < 0.03
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .filter(col("l_extendedprice") > 95000.0 && col("l_discount") < 0.03)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Fact-fact-dim join + agg + top-k. orders⋈lineitem shuffles on
+    // the join key; customer joins on the aggregated (small) side.
+    QueryDef(
+      "q03_top_revenue_customers",
+      """SELECT c_custkey, c_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 10""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    },
+
+    // Semi join (EXISTS): orders with any heavy lineitem.
+    QueryDef(
+      "q04_semi_join",
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .join(t.lineitem.filter(col("l_quantity") > 45.0),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Anti join (NOT EXISTS): customers with no 1995 orders.
+    QueryDef(
+      "q05_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey
+        |     AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer
+        .join(
+          t.orders.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // 5-way star join; nation/region are broadcast (tiny dims) so the
+    // only shuffles are the two fact joins + final agg.
+    QueryDef(
+      "q06_region_revenue",
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // Single-agg selective filter (TPC-H Q6 shape) — pure scan+reduce,
+    // no shuffle beyond the final partial-agg merge.
+    QueryDef(
+      "q07_forecast_revenue",
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        | count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24.0""".stripMargin) {
+      (spark, dir) =>
+        Tables(spark, dir).lineitem
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+            && col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24.0)
+          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+            count(lit(1)).as("n"))
+    },
+
+    // Left outer join preserving customers with no orders.
+    QueryDef(
+      "q08_outer_join",
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+
+    // Ranking window: top-3 orders per customer.
+    QueryDef(
+      "q09_window_topk",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   CAST(row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(spark, dir).orders
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+
+    // Analytic frame: running per-customer spend in date order.
+    QueryDef(
+      "q10_window_running_sum",
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spent
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(spark, dir).orders
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(w), 2).as("running_spent"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Exact distinct aggregation (the approx variant is q-approx,
+    // rows-only, since HLL estimates differ engine to engine).
+    QueryDef(
+      "q11_distinct_agg",
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS nd_parts,
+        | count(DISTINCT l_suppkey) AS nd_supps,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (spark, dir) =>
+        Tables(spark, dir).lineitem
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+            countDistinct(col("l_suppkey")).as("nd_supps"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+    },
+
+    // approx_count_distinct: estimates are implementation-specific, so
+    // no DuckDB oracle — the spec asserts bounded relative error.
+    QueryDef.rowsOnly("q12_approx_distinct") { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    // Set ops over aligned schemas.
+    QueryDef(
+      "q13_union",
+      """SELECT nationkey FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | UNION
+        | SELECT s_nationkey AS nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer.select(col("c_nationkey").as("nationkey"))
+        .union(t.supplier.select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    },
+
+    QueryDef(
+      "q14_intersect",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer.select(col("c_nationkey").as("nationkey"))
+        .intersect(t.supplier.select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    },
+
+    // EXCEPT: orders that shipped no lineitems.
+    QueryDef(
+      "q15_except",
+      """SELECT o_orderkey FROM orders
+        |EXCEPT
+        |SELECT l_orderkey AS o_orderkey FROM lineitem
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders.select("o_orderkey")
+        .except(t.lineitem.select(col("l_orderkey").as("o_orderkey")))
+        .orderBy("o_orderkey")
+    },
+  )
+}
