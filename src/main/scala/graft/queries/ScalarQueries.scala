@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar-function and advanced-aggregate surface (SURVEY.md §2.6):
+  * string/date/math scalars, CASE, HAVING, ROLLUP, scalar subquery,
+  * JSON extraction, event-time tumbling windows, keep-latest dedup,
+  * gap-based sessionization. All stay inside whole-stage codegen (no
+  * UDFs), so the plans are a single scan + exchange per aggregate.
+  */
+object ScalarQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // String scalar set. DuckDB regexp_replace needs the 'g' flag to
+    // match Spark's replace-all semantics.
+    QueryDef(
+      "q16_string_funcs",
+      """SELECT p_partkey,
+        | upper(p_brand) AS brand_u,
+        | lower(p_type) AS type_l,
+        | substr(p_name, 1, 8) AS name_prefix,
+        | CAST(length(p_name) AS INTEGER) AS name_len,
+        | concat_ws('|', p_brand, p_type) AS brand_type,
+        | regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+        | CAST(strpos(p_name, 'a') AS INTEGER) AS first_a
+        |FROM part ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).part.select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowels"),
+        instr(col("p_name"), "a").as("first_a"))
+        .orderBy("p_partkey")
+    },
+
+    // Date/time scalar set. Spark dayofweek is 1=Sunday, DuckDB 0=Sunday.
+    QueryDef(
+      "q17_date_funcs",
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        | CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+        | CAST(dayofweek(o_orderdate) AS INTEGER) AS o_dow,
+        | strftime(o_orderdate, '%Y-%m') AS o_ym,
+        | strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        | CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).orders.select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        quarter(col("o_orderdate")).as("o_quarter"),
+        (dayofweek(col("o_orderdate")) - 1).as("o_dow"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"))
+        .orderBy("o_orderkey")
+    },
+
+    // Math scalars + CASE banding feeding an aggregate.
+    QueryDef(
+      "q18_math_case",
+      """SELECT disc_band, count(*) AS n,
+        | round(avg(sqrt(l_extendedprice)), 4) AS avg_sqrt_price,
+        | round(sum(ln(l_quantity)), 4) AS sum_ln_qty,
+        | CAST(sum(CAST(floor(l_tax * 100.0) AS BIGINT)) AS BIGINT) AS sum_tax_pct
+        |FROM (SELECT *,
+        |  CASE WHEN l_discount < 0.03 THEN 'low'
+        |       WHEN l_discount < 0.07 THEN 'mid'
+        |       ELSE 'high' END AS disc_band
+        |  FROM lineitem)
+        |GROUP BY disc_band ORDER BY disc_band""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .withColumn("disc_band",
+          when(col("l_discount") < 0.03, "low")
+            .when(col("l_discount") < 0.07, "mid")
+            .otherwise("high"))
+        .groupBy("disc_band")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(sqrt(col("l_extendedprice"))), 4).as("avg_sqrt_price"),
+          round(sum(log(col("l_quantity"))), 4).as("sum_ln_qty"),
+          sum(floor(col("l_tax") * 100.0)).as("sum_tax_pct"))
+        .orderBy("disc_band")
+    },
+
+    // HAVING over a group-by.
+    QueryDef(
+      "q19_having",
+      """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
+        |FROM part GROUP BY p_brand
+        |HAVING count(*) >= 5
+        |ORDER BY p_brand""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).part
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(avg("p_retailprice"), 2).as("avg_price"))
+        .filter(col("n") >= 5)
+        .orderBy("p_brand")
+    },
+
+    // ROLLUP with subtotal rows surfaced via coalesce.
+    QueryDef(
+      "q20_rollup",
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")
+    },
+
+    // Scalar subquery: parts above the average retail price. The
+    // single-row aggregate is broadcast, not collected.
+    QueryDef(
+      "q21_scalar_subquery",
+      """SELECT p_partkey, p_retailprice FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+      val part = Tables(spark, dir).part
+      val avgPrice = part.agg(avg("p_retailprice").as("avg_price"))
+      part.crossJoin(broadcast(avgPrice))
+        .filter(col("p_retailprice") > col("avg_price"))
+        .select("p_partkey", "p_retailprice")
+        .orderBy("p_partkey")
+    },
+
+    // JSON extraction from the events payload column (T1-T4 analog:
+    // schemaless payload → typed column, SURVEY §2.2).
+    QueryDef(
+      "q22_json_extract",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY k ORDER BY k""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("k")
+    },
+
+    // Event-time tumbling window (1 h) — the batch shape of the
+    // streaming `window()` aggregation (SURVEY §2.6 streaming).
+    QueryDef(
+      "q23_time_window",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) {
+      (spark, dir) =>
+        Tables(spark, dir).events
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("window_start", "event_type")
+    },
+
+    // Keep-latest exact dedup (extension op: exact dedup with a
+    // deterministic keep rule, unlike dropDuplicates).
+    QueryDef(
+      "q24_dedup_latest",
+      """SELECT user_id, event_type, event_id AS last_event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables(spark, dir).events
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("last_event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
+        .orderBy("user_id", "event_type")
+    },
+
+    // Gap-based sessionization (30-min inactivity) via lag().
+    QueryDef(
+      "q25_sessionize",
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(is_new) AS BIGINT) AS n_sessions
+        |FROM (
+        |  SELECT user_id,
+        |   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+        |          - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+        |            (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+        |        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           IS NULL
+        |        THEN 1 ELSE 0 END AS is_new
+        |  FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(spark, dir).events
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("is_new").as("n_sessions"))
+        .orderBy("user_id")
+    },
+  )
+}
