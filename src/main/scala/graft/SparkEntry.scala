@@ -11,7 +11,7 @@ import graft.queries._
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    RelationalQueries.defs ++ ScalarQueries.defs
+    RelationalQueries.defs ++ ScalarQueries.defs ++ CdcQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
