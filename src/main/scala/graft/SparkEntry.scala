@@ -11,7 +11,8 @@ import graft.queries._
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    RelationalQueries.defs ++ ScalarQueries.defs ++ CdcQueries.defs
+    RelationalQueries.defs ++ ScalarQueries.defs ++ CdcQueries.defs ++
+      TextQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and document-dedup operators over the documents
+  * table — the LLM-data-pipeline surface (BASELINE.json north star):
+  * token stats, quality scoring, fingerprinting, exact dedup,
+  * MinHash+LSH, SimHash, n-gram Jaccard near-dup.
+  *
+  * Scale notes (100 TB): every per-doc op here is a pure projection
+  * (no shuffle); MinHash signatures are computed with array_min over
+  * a transform — no explode, no aggregation. Pair generation only
+  * ever joins on shingle/band equality, so the shuffle key is the
+  * shingle hash and skew is bounded by shingle frequency; the exact
+  * Jaccard join is reserved for LSH-candidate pairs at scale (here it
+  * runs on the full table because the fixture is 500 docs).
+  */
+object TextQueries {
+
+  /** Normalized whitespace-token array. */
+  private def toks(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Distinct word n-gram shingles (n=3). Guard: <n tokens ⇒ empty
+    * (Spark's sequence(1,0) would count DOWN, not produce empty).
+    */
+  private def shingles(text: Column): Column = {
+    val t = toks(text)
+    array_distinct(
+      when(size(t) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ",
+            element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+  }
+
+  /** DuckDB rendering of the same shingle set. */
+  private val DuckShingles =
+    """list_distinct(list_transform(
+      | generate_series(1, greatest(len(t) - 2, 0)),
+      | i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))""".stripMargin
+
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  /** k independent MinHash functions: seeded md5 over each shingle,
+    * lexicographic min (hex strings order identically in both
+    * engines). Pure per-row computation — scales as a map.
+    */
+  private val K = 8
+  private def minhashCols(sh: Column): Seq[Column] =
+    (0 until K).map { k =>
+      array_min(transform(sh, s => md5(concat(lit(s"$k:"), s)))).as(s"mh$k")
+    }
+  private def duckSig: String =
+    s"""toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |         FROM documents),
+       |sh AS (SELECT doc_id, $DuckShingles AS s FROM toks),
+       |sig AS (SELECT doc_id,
+       |${(0 until K).map(k =>
+          s"  list_aggregate(list_transform(s, x -> md5('$k:' || x)), 'min') AS mh$k")
+          .mkString(",\n")}
+       | FROM sh)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Token counting (whitespace tokenizer) + type-token ratio.
+    QueryDef(
+      "q33_token_stats",
+      """SELECT doc_id,
+        | CAST(len(t) AS INTEGER) AS n_tokens,
+        | CAST(len(list_distinct(t)) AS INTEGER) AS n_uniq,
+        | round(len(list_distinct(t)) * 1.0 / len(t), 4) AS ttr,
+        | round(length(regexp_replace(lower(trim(text)), '\s+', '', 'g'))
+        |       * 1.0 / len(t), 4) AS avg_tok_len
+        |FROM (SELECT doc_id, text,
+        |        string_split_regex(lower(trim(text)), '\s+') AS t
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val t = toks(col("text"))
+      Tables(spark, dir).documents.select(
+        col("doc_id"),
+        size(t).as("n_tokens"),
+        size(array_distinct(t)).as("n_uniq"),
+        round(size(array_distinct(t)) * lit(1.0) / size(t), 4).as("ttr"),
+        round(length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
+          * lit(1.0) / size(t), 4).as("avg_tok_len"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length/stopword/punctuation signals + banding.
+    QueryDef(
+      "q34_quality_score",
+      s"""SELECT doc_id, n_chars,
+         | CAST(len(t) AS INTEGER) AS n_tokens,
+         | round(len(list_filter(t, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(",")})))
+         |       * 1.0 / len(t), 4) AS stopword_ratio,
+         | round(len(regexp_extract_all(text, '[[:punct:]]')) * 1.0
+         |       / greatest(length(text), 1), 4) AS punct_ratio,
+         | CASE WHEN len(t) >= 60 THEN 'long'
+         |      WHEN len(t) >= 30 THEN 'medium' ELSE 'short' END AS len_band
+         |FROM (SELECT *, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val t = toks(col("text"))
+      val stops = array(Stopwords.map(lit): _*)
+      Tables(spark, dir).documents.select(
+        col("doc_id"), col("n_chars"),
+        size(t).as("n_tokens"),
+        round(size(filter(t, x => array_contains(stops, x)))
+          * lit(1.0) / size(t), 4).as("stopword_ratio"),
+        round(regexp_count(col("text"), lit("\\p{Punct}")) * lit(1.0)
+          / greatest(length(col("text")), lit(1)), 4).as("punct_ratio"),
+        when(size(t) >= 60, "long").when(size(t) >= 30, "medium")
+          .otherwise("short").as("len_band"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprint: md5 over whitespace-normalized lowercase
+    // text — the exact-dedup key.
+    QueryDef(
+      "q35_fingerprint",
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents.select(
+        col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup summary over the fingerprint (hash-groupBy dedup).
+    QueryDef(
+      "q36_exact_dedup",
+      """SELECT count(*) AS n_docs,
+        | count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |   AS n_distinct,
+        | CAST(count(*) - count(DISTINCT
+        |   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT)
+        |   AS n_dup_rows
+        |FROM documents""".stripMargin) { (spark, dir) =>
+      val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      Tables(spark, dir).documents
+        .select(fp.as("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_rows"))
+    },
+
+    // MinHash signatures (k=8, seeded md5, no explode — map-only).
+    QueryDef(
+      "q37_minhash_sig",
+      s"""WITH $duckSig
+         |SELECT doc_id, ${(0 until K).map("mh" + _).mkString(", ")}
+         |FROM sig ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val sh = shingles(col("text"))
+      Tables(spark, dir).documents
+        .select(col("doc_id") +: minhashCols(sh): _*)
+        .orderBy("doc_id")
+    },
+
+    // LSH candidate pairs: 2 bands x 4 rows; docs sharing a band
+    // bucket are near-dup candidates. The join key is the band hash,
+    // so at scale this is a single shuffle on bucket.
+    QueryDef(
+      "q38_lsh_candidates",
+      s"""WITH $duckSig,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, md5(mh4 || mh5 || mh6 || mh7) AS bucket FROM sig)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |ORDER BY d1, d2""".stripMargin) { (spark, dir) =>
+      val sh = shingles(col("text"))
+      val sig = Tables(spark, dir).documents
+        .select(col("doc_id") +: minhashCols(sh): _*)
+      val bands = sig.select(col("doc_id"), explode(array(
+        struct(lit(0).as("band"),
+          md5(concat(col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("bucket")),
+        struct(lit(1).as("band"),
+          md5(concat(col("mh4"), col("mh5"), col("mh6"), col("mh7"))).as("bucket"))))
+        .as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+        .orderBy("d1", "d2")
+    },
+
+    // Exact n-gram Jaccard near-dup (threshold 0.8). At 100 TB this
+    // runs on LSH candidates only; sizes are broadcast.
+    QueryDef(
+      "q39_jaccard_neardup",
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |              FROM documents),
+         |sh AS (SELECT doc_id, unnest($DuckShingles) AS s FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT d1, d2,
+         | round(i * 1.0 / (s1.sz + s2.sz - i), 3) AS jaccard
+         |FROM inter
+         |JOIN sizes s1 ON d1 = s1.doc_id
+         |JOIN sizes s2 ON d2 = s2.doc_id
+         |WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8
+         |ORDER BY d1, d2""".stripMargin) { (spark, dir) =>
+      val sh = Tables(spark, dir).documents
+        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
+        .join(broadcast(sizes.as("s2")), col("d2") === col("s2.doc_id"))
+        .withColumn("jaccard_raw",
+          col("i") * lit(1.0) / (col("s1.sz") + col("s2.sz") - col("i")))
+        .filter(col("jaccard_raw") >= 0.8)
+        .select(col("d1"), col("d2"), round(col("jaccard_raw"), 3).as("jaccard"))
+        .orderBy("d1", "d2")
+    },
+
+    // 32-bit SimHash over token hashes; the per-bit majority vote is
+    // generated as 32 conditional sums in both engines.
+    QueryDef(
+      "q40_simhash",
+      s"""WITH toks AS (SELECT doc_id,
+         |   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         | FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+         |s AS (SELECT doc_id,
+         |${(0 until 32).map(b =>
+            s"  sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n")}
+         | FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST(${(0 until 32).map(b =>
+            s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")}
+         |  AS BIGINT) AS simhash
+         |FROM s ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val h = Tables(spark, dir).documents
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      val sums = (0 until 32).map(b =>
+        sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"s$b"))
+      val sim = (0 until 32)
+        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      h.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), sim.cast("long").as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // Char-n-gram language ID: profile overlap heuristic. Rows-only —
+    // the scoring profiles are engine-internal, not SQL.
+    QueryDef.rowsOnly("q41_langid_ngram") { (spark, dir) =>
+      // Tiny built-in trigram profiles for the harness languages; a
+      // real deployment would load trained profiles. Deterministic.
+      val profiles = Map(
+        "en" -> Seq("the", "ing", "and", " th", "er ", "ow ", "row"),
+        "es" -> Seq("el ", "la ", "de ", "ión", "os ", "ent", "ue "),
+        "de" -> Seq("der", "die", "und", "sch", "ein", "ich", "en "),
+        "fr" -> Seq("le ", "les", "de ", "ent", "que", "ux ", "ion"),
+        "zh" -> Seq("zh ", "sh ", "ng ", "ian", "ao ", "uan", "ei "))
+      val scores = profiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
+        grams.map(g => when(col("lt").contains(g), 1).otherwise(0))
+          .reduce(_ + _).as(s"score_$lang")
+      }
+      val scored = Tables(spark, dir).documents
+        .withColumn("lt", lower(col("text")))
+        .select(col("doc_id") +: col("lang").as("labeled_lang") +: scores: _*)
+      val langCols = profiles.keys.toSeq.sorted
+      scored
+        .withColumn("predicted", greatest(langCols.map(l => col(s"score_$l")): _*))
+        .withColumn("predicted_lang",
+          langCols.map(l => when(col(s"score_$l") === col("predicted"), l))
+            .reduce((a, b) => coalesce(a, b)))
+        .select(col("doc_id"), col("labeled_lang"), col("predicted_lang"))
+        .orderBy("doc_id")
+    },
+  )
+}
