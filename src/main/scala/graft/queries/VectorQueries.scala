@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (64-dim float
+  * vectors): brute-force cosine top-k as the baseline, random-
+  * hyperplane LSH bucketing and IVF (centroid-partitioned) search as
+  * the scale paths.
+  *
+  * Scale notes (100 TB): the brute-force path broadcasts the QUERY
+  * set (small) against the full corpus — one pass, no shuffle of the
+  * corpus. The LSH/IVF paths precompute a bucket/cluster id per
+  * vector — at scale that column becomes the partition key so a probe
+  * touches only matching partitions. All arithmetic is codegen'd
+  * array ops in double precision; float→double is exact, and
+  * sequential fold order matches DuckDB's list_dot_product, so the
+  * oracle comparison is bit-stable before the final round(6).
+  */
+object VectorQueries {
+
+  /** embeddings with double-precision vector + precomputed L2 norm. */
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nm",
+        sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private val DuckNorm =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm FROM e)""".stripMargin
+
+  /** Deterministic ±1 hyperplane coefficients from md5 parity — a
+    * discrete stand-in for gaussian hyperplanes that both engines can
+    * reproduce exactly (no libm sin/cos divergence risk).
+    */
+  private val Planes = 8
+  private val Dim = 64
+  private def sign(p: Int, k: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$k".getBytes("UTF-8"))
+    if ((d(0) & 1) == 0) 1 else -1
+  }
+  private val Signs: IndexedSeq[IndexedSeq[Int]] =
+    (0 until Planes).map(p => (0 until Dim).map(k => sign(p, k)))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-k: 5 query vectors against the corpus.
+    QueryDef(
+      "q42_knn_bruteforce",
+      s"""WITH $DuckNorm,
+         |q AS (SELECT vec_id AS qid, e AS qe, nm AS qnm FROM n WHERE vec_id < 5),
+         |p AS (SELECT q.qid, a.vec_id,
+         |        list_dot_product(a.e, q.qe) / (a.nm * q.qnm) AS cos
+         |      FROM n a, q WHERE a.vec_id <> q.qid)
+         |SELECT qid, vec_id AS neighbor, round(cos, 6) AS cosine, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id) AS INTEGER) AS rn FROM p)
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (spark, dir) =>
+      val n = withNorm(spark, dir)
+      val q = n.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nm").as("qnm"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      n.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", dot(col("e"), col("qe")) / (col("nm") * col("qnm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id").as("neighbor"),
+          round(col("cos"), 6).as("cosine"), col("rn"))
+        .orderBy("qid", "rn")
+    },
+
+    // Embedding-cosine near-dup pairs (threshold 0.45 on this corpus).
+    // At scale the self-join runs per LSH bucket, not all-pairs.
+    QueryDef(
+      "q43_cosine_neardup",
+      s"""WITH $DuckNorm
+         |SELECT a.vec_id AS v1, b.vec_id AS v2,
+         | round(list_dot_product(a.e, b.e) / (a.nm * b.nm), 6) AS cosine
+         |FROM n a, n b
+         |WHERE a.vec_id < b.vec_id
+         |  AND list_dot_product(a.e, b.e) / (a.nm * b.nm) >= 0.45
+         |ORDER BY v1, v2""".stripMargin) { (spark, dir) =>
+      val n = withNorm(spark, dir)
+      val a = n.select(col("vec_id").as("v1"), col("e").as("e1"), col("nm").as("nm1"))
+      val b = n.select(col("vec_id").as("v2"), col("e").as("e2"), col("nm").as("nm2"))
+      a.crossJoin(b)
+        .filter(col("v1") < col("v2"))
+        .withColumn("cos", dot(col("e1"), col("e2")) / (col("nm1") * col("nm2")))
+        .filter(col("cos") >= 0.45)
+        .select(col("v1"), col("v2"), round(col("cos"), 6).as("cosine"))
+        .orderBy("v1", "v2")
+    },
+
+    // Random-hyperplane LSH: 8-bit bucket signature per vector. The
+    // ±1 coefficient matrix is generated into both engines' plans.
+    QueryDef(
+      "q44_lsh_hyperplane", {
+        val dots = Signs.map(row =>
+          row.zipWithIndex.map { case (s, k) =>
+            if (s > 0) s"e[${k + 1}]" else s"(0.0 - e[${k + 1}])"
+          }.mkString(" + "))
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+           |SELECT vec_id, CAST(${dots.zipWithIndex.map { case (d, p) =>
+             s"(CASE WHEN ($d) > 0.0 THEN ${1 << p} ELSE 0 END)"
+           }.mkString(" + ")} AS INTEGER) AS bucket
+           |FROM e ORDER BY vec_id""".stripMargin
+      }) { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val bucket = Signs.zipWithIndex.map { case (row, p) =>
+        val d = row.zipWithIndex.map { case (s, k) =>
+          if (s > 0) element_at(col("e"), k + 1)
+          else lit(0.0) - element_at(col("e"), k + 1)
+        }.reduce(_ + _)
+        when(d > 0.0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      e.select(col("vec_id"), bucket.cast("int").as("bucket"))
+        .orderBy("vec_id")
+    },
+
+    // IVF build: assign every vector to its nearest of 8 centroids.
+    QueryDef(
+      "q45_ivf_assign",
+      s"""WITH $DuckNorm,
+         |c AS (SELECT vec_id AS cid, e AS ce, nm AS cnm FROM n WHERE vec_id < 8)
+         |SELECT vec_id, cid AS centroid, round(cos, 6) AS cosine FROM (
+         |  SELECT a.vec_id, c.cid,
+         |    list_dot_product(a.e, c.ce) / (a.nm * c.cnm) AS cos,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_dot_product(a.e, c.ce) / (a.nm * c.cnm) DESC, c.cid)
+         |      AS rn
+         |  FROM n a, c)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      val n = withNorm(spark, dir)
+      val c = n.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("e").as("ce"), col("nm").as("cnm"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+      n.crossJoin(broadcast(c))
+        .withColumn("cos", dot(col("e"), col("ce")) / (col("nm") * col("cnm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("centroid"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("vec_id")
+    },
+
+    // IVF search: probe the top-2 centroids per query, exact top-3
+    // within the probed clusters only — the sublinear scale path.
+    QueryDef(
+      "q46_ivf_search",
+      s"""WITH $DuckNorm,
+         |c AS (SELECT vec_id AS cid, e AS ce, nm AS cnm FROM n WHERE vec_id < 8),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_dot_product(a.e, c.ce) / (a.nm * c.cnm) DESC, c.cid)
+         |      AS rn FROM n a, c)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, e AS qe, nm AS qnm FROM n WHERE vec_id < 5),
+         |probes AS (SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_dot_product(q.qe, c.ce) / (q.qnm * c.cnm) DESC, c.cid)
+         |      AS rn FROM q, c)
+         |  WHERE rn <= 2),
+         |cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN assign a ON p.cid = a.cid),
+         |scored AS (SELECT cand.qid, cand.vec_id,
+         |    list_dot_product(q.qe, n.e) / (q.qnm * n.nm) AS cos
+         |  FROM cand JOIN q ON cand.qid = q.qid JOIN n ON cand.vec_id = n.vec_id
+         |  WHERE cand.vec_id <> cand.qid)
+         |SELECT qid, vec_id AS neighbor, round(cos, 6) AS cosine, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id) AS INTEGER) AS rn FROM scored)
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (spark, dir) =>
+      val n = withNorm(spark, dir)
+      val c = n.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("e").as("ce"), col("nm").as("cnm"))
+      val assignW = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+      val assign = n.crossJoin(broadcast(c))
+        .withColumn("cos", dot(col("e"), col("ce")) / (col("nm") * col("cnm")))
+        .withColumn("rn", row_number().over(assignW))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+      val q = n.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nm").as("qnm"))
+      val probeW = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      val probes = q.crossJoin(broadcast(c))
+        .withColumn("cos", dot(col("qe"), col("ce")) / (col("qnm") * col("cnm")))
+        .withColumn("rn", row_number().over(probeW))
+        .filter(col("rn") <= 2)
+        .select(col("qid"), col("cid"))
+      val cand = broadcast(probes).join(assign, "cid").select("qid", "vec_id")
+      val knnW = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      cand
+        .join(broadcast(q), "qid")
+        .join(n, "vec_id")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", dot(col("qe"), col("e")) / (col("qnm") * col("nm")))
+        .withColumn("rn", row_number().over(knnW))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id").as("neighbor"),
+          round(col("cos"), 6).as("cosine"), col("rn"))
+        .orderBy("qid", "rn")
+    },
+  )
+}
