@@ -1,0 +1,65 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+import graft.schema.Sanitizer
+
+/** Per-table sink spec — replaces the reference's
+  * `Map<String, Tuple2<OutputTag, avro-schema-json>>` registry
+  * (`MySQLStreamer.java:313-457`): StructType instead of an Avro JSON
+  * string, path template instead of an OutputTag.
+  *
+  * @param db      sanitized database/schema name ("" for bare keys)
+  * @param table   sanitized table/collection name
+  * @param schema  payload columns only (metadata added by the sink)
+  */
+final case class TableSpec(db: String, table: String, schema: StructType) {
+  /** Routing key: `db.table` (MySQL/Oracle) or bare `table`
+    * (Postgres/Mongo) — `MySQLStreamer.java:444`,
+    * `PostgresStreamer.java:264`.
+    */
+  def key: String = if (db.isEmpty) table else s"$db.$table"
+
+  /** Sink directory: `{sink}/{source_id}_{db}__{table}`
+    * (`FlinkCDCMulti.java:372-389`).
+    */
+  def sinkDir(sinkRoot: String, sourceId: String): String =
+    if (db.isEmpty) s"$sinkRoot/${sourceId}_$table"
+    else s"$sinkRoot/${sourceId}_${db}__$table"
+}
+
+/** The table registry built at job start. Name maps are applied here,
+  * once, on sanitized names (`SideInputProcessFunction.java:68-118`;
+  * we deliberately skip the reference's lossy `_`→`-` reverse lookup,
+  * SURVEY §1.4).
+  */
+final case class TableRegistry(
+    tables: Seq[TableSpec],
+    dbNameMap: Map[String, String] = Map.empty,
+    tableNameMap: Map[String, String] = Map.empty) {
+
+  /** Registry after sanitization + renames, keyed for routing. */
+  lazy val routed: Map[String, TableSpec] = tables.map { t =>
+    val db = dbNameMap.getOrElse(t.db, t.db)
+    val tbl = tableNameMap.getOrElse(t.key, t.table)
+    val spec = t.copy(db = Sanitizer(db), table = Sanitizer(tbl))
+    t.key -> spec
+  }.toMap
+
+  def keys: Set[String] = routed.keySet
+
+  /** The `_{db}_ddl` side table registered per database
+    * (`MySQLStreamer.java:459-481`).
+    */
+  def ddlSpec(db: String): TableSpec =
+    TableSpec(db, s"_${Sanitizer(db)}_ddl", TableRegistry.DdlSchema)
+}
+
+object TableRegistry {
+  /** DDL event table schema (`MySQLStreamer.java:472-481`). */
+  val DdlSchema: StructType = StructType(Seq(
+    StructField("_ddl", StringType),
+    StructField("_ddl_tbl", StringType),
+    StructField("_ts", LongType),
+    StructField("_binlog_file", StringType),
+    StructField("_binlog_pos_end", StringType)))
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.TableSpec
+import graft.schema.TypeMapping
+
+/** Decodes the reference's flat CDC JSON envelope (FIXTURES.md §A.1)
+  * with Column expressions only — every step is optimizer-visible, no
+  * UDFs. The raw line is kept as `_raw` until the per-table payload
+  * projection, mirroring the reference's stringly pipeline but typed
+  * at the edges (SURVEY §1.5).
+  */
+object EnvelopeDecoder {
+
+  /** Metadata fields extracted for routing/gating. `_ts` is numeric;
+    * everything else stays string until the payload decode.
+    */
+  val MetaFields: Seq[String] = Seq(
+    "_op", "_db", "_database", "_tbl", "_coll", "_schema",
+    "_ddl", "_ddl_tbl",
+    "_binlog_file", "_binlog_pos_end",
+    "_binlog_file_internal", "_binlog_pos_internal",
+    "_lsn", "_scn", "_txn_op_index")
+
+  /** Raw JSON lines → envelope frame with routing columns.
+    *
+    * Routing key resolution matches the per-source demux lookups:
+    * MySQL/Oracle `db.table` from `_db`+`_tbl`; Postgres bare `_tbl`
+    * (with `_schema` present); Mongo bare `_coll`
+    * (`mysql/SideInputProcessFunction.java:51-52`,
+    * `mongodb/SideInputProcessFunction.java:36-50`).
+    */
+  def decode(lines: DataFrame): DataFrame = {
+    val raw = col("value")
+    val meta = MetaFields.map(f => get_json_object(raw, s"$$.$f").as(f))
+    lines
+      .select((raw.as("_raw") +:
+        get_json_object(raw, "$._ts").cast("long").as("_ts") +: meta): _*)
+      .withColumn("_tbl_name", coalesce(col("_tbl"), col("_coll")))
+      .withColumn("_tbl_key",
+        when(col("_ddl").isNotNull, // DDL routes to _{db}_ddl
+          concat(lit("_"), col("_db"), lit("_ddl")))
+          .when(col("_db").isNotNull && col("_schema").isNull,
+            concat(col("_db"), lit("."), col("_tbl_name")))
+          .otherwise(col("_tbl_name")))
+  }
+
+  /** Per-table payload projection: union-tagged JSON fields → typed
+    * columns (`{"int": 5}` → 5), the T5 `from-json-to-record` step.
+    * Kept metadata matches the reference sink schema: `_op`, `_ts`,
+    * Debezium-internal binlog position (`MySQLStreamer.java:434-441`);
+    * routing + write-back offsets are stripped (T6,
+    * `mysql/SideInputProcessFunction.java:54-63`).
+    */
+  def payload(frame: DataFrame, spec: TableSpec): DataFrame = {
+    val cols = spec.schema.fields.toSeq.map { f =>
+      val tag = TypeMapping.unionTag(f.dataType)
+      get_json_object(col("_raw"), s"$$.${f.name}.$tag")
+        .cast(f.dataType).as(f.name)
+    }
+    val kept = Seq(col("_op"), col("_ts"),
+      col("_binlog_file_internal"), col("_binlog_pos_internal"))
+    frame.select(cols ++ kept: _*)
+  }
+
+  /** DDL event projection for the `_{db}_ddl` table
+    * (`MySQLStreamer.java:472-481`).
+    */
+  def ddlPayload(frame: DataFrame): DataFrame =
+    frame.select(col("_ddl"), col("_ddl_tbl"), col("_ts"),
+      col("_binlog_file"), col("_binlog_pos_end"))
+
+  /** The `dt=yyyy-MM-dd` bucket column from `_ts` millis
+    * (`DateBucketAssigner.java:32-41`).
+    */
+  def dtColumn: Column =
+    date_format(timestamp_millis(col("_ts")), "yyyy-MM-dd").as("dt")
+}

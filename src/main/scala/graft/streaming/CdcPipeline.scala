@@ -1,0 +1,256 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.{TableRegistry, TableSpec}
+import graft.ops.{DdlClassifier, EnvelopeDecoder}
+
+/** Job configuration — the engine's equivalent of the reference's
+  * `--config` JSON (`FlinkCDCMulti.java:474-522`): `source.id`,
+  * `sink.path`, offset/status store paths, snapshot-only mode,
+  * `fail.on.unknown.tables` (`README.md:160`).
+  */
+final case class CdcConfig(
+    sourceId: String,
+    registry: TableRegistry,
+    sinkPath: String,
+    sourceType: String = "mysql", // mysql | postgres | oracle | mongodb
+    offsetStorePath: Option[String] = None,
+    statusStorePath: Option[String] = None,
+    snapshotOnly: Boolean = false,
+    failOnUnknownTables: Boolean = true,
+    jobName: Option[String] = None) {
+  def name: String = jobName.getOrElse(s"JOB-$sourceId")
+}
+
+/** Stop-signal gate state machine (P1, SURVEY §2.3) at micro-batch
+  * granularity. The reference drains 10 s after the trigger then
+  * swallows records; micro-batch atomicity gives us a cleaner
+  * contract: the triggering batch commits fully, every later batch is
+  * swallowed, and the driver stops the query
+  * (`mysql/DelayedStopSignalProcessFunction.java:20-219`).
+  */
+final class StopGate(
+    targetTables: Set[String],
+    snapshotOnly: Boolean,
+    oracleDdl: Boolean = false) {
+
+  private val completed = scala.collection.mutable.Set[String]()
+  @volatile var stopped: Boolean = false
+  @volatile var reason: Option[String] = None
+
+  /** Feed one batch's observations; returns true if this batch
+    * triggered the stop.
+    */
+  def observe(ddlStatements: Seq[(String, String)],
+      nonReadTables: Seq[String]): Boolean = {
+    if (stopped) return false
+    // Snapshot-only: first non-READ op per table = snapshot complete
+    // for that table; all targets complete ⇒ stop (`:62-135`).
+    if (snapshotOnly) {
+      completed ++= nonReadTables.filter(targetTables.contains)
+      if (targetTables.nonEmpty && targetTables.subsetOf(completed)) {
+        stopped = true
+        reason = Some("SNAPSHOT-COMPLETE")
+        return true
+      }
+    }
+    // Structural DDL for a target table ⇒ stop (`:137-201`).
+    ddlStatements.foreach { case (tbl, ddl) =>
+      if (!stopped && (targetTables.isEmpty || targetTables.exists(
+          k => k == tbl || k.endsWith(s".$tbl")))) {
+        DdlClassifier.classify(ddl, oracle = oracleDdl) match {
+          case DdlClassifier.Ignore => ()
+          case _ =>
+            stopped = true
+            reason = Some(s"STRUCTURAL-DDL: $ddl")
+        }
+      }
+    }
+    stopped
+  }
+
+  def snapshotCompleted: Set[String] = completed.toSet
+}
+
+/** The CDC ingestion pipeline: JSON-lines CDC feed → envelope decode
+  * → stop gate → per-table demux → dt-partitioned Parquet, with
+  * offset/status write-back after each committed batch (P3-P7 via the
+  * micro-batch boundary instead of Flink checkpoint callbacks —
+  * SURVEY §2.3 mapping).
+  *
+  * Scale notes: the demux loop filters one persisted batch N times
+  * (N = tables present in the batch, not registry size); each write
+  * is partition-parallel. Per-table event order is preserved by
+  * sorting on the source offset inside each write (the reference pins
+  * parallelism 1 for the same guarantee — J3).
+  */
+final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
+
+  val gate = new StopGate(
+    config.registry.keys,
+    config.snapshotOnly,
+    oracleDdl = config.sourceType == "oracle")
+
+  @volatile var recordCount: Long = 0L
+  @volatile var lastEventTs: Long = 0L
+  @volatile var lastOffset: Option[String] = None
+
+  private val routed: Map[String, TableSpec] = config.registry.routed
+  private val ddlKeys: Set[String] =
+    routed.values.map(s => s"_${s.db}_ddl").toSet
+
+  /** One micro-batch = one checkpoint interval. */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (gate.stopped) return // swallow after stop signal (P1 `:138-142`)
+    val frame = EnvelopeDecoder.decode(batch).persist()
+    try {
+      val present = frame.select("_tbl_key").distinct()
+        .collect().map(_.getString(0)).toSet
+
+      val unknown = present.diff(routed.keySet).diff(ddlKeys)
+        .filterNot(_ == null)
+      if (unknown.nonEmpty) {
+        val msg = s"UNKNOWN TABLES: ${unknown.mkString(", ")} " +
+          s"(known: ${routed.keySet.mkString(", ")})"
+        // P2 `mysql/SideInputProcessFunction.java:117-131`
+        if (config.failOnUnknownTables) throw new IllegalStateException(msg)
+        else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+      }
+
+      // Per-table demux + write (K1). Order inside a table's write is
+      // the source offset order.
+      for ((key, spec) <- routed if present.contains(key)) {
+        val rows = frame.filter(col("_tbl_key") === key && col("_ddl").isNull)
+        val out = EnvelopeDecoder.payload(rows, spec)
+          .withColumn("dt", EnvelopeDecoder.dtColumn)
+          .sortWithinPartitions(col("_ts"))
+        out.write.mode("append").partitionBy("dt")
+          .parquet(spec.sinkDir(config.sinkPath, config.sourceId))
+      }
+
+      // DDL events → _{db}_ddl side table.
+      val ddlRows = frame.filter(col("_ddl").isNotNull).persist()
+      val ddls = ddlRows
+        .select(col("_ddl_tbl"), col("_ddl"), col("_db")).collect()
+        .map(r => (Option(r.getString(0)).getOrElse(""), r.getString(1),
+          Option(r.getString(2)).getOrElse("")))
+      for (db <- ddls.map(_._3).distinct if db.nonEmpty) {
+        val spec = config.registry.ddlSpec(db)
+        EnvelopeDecoder.ddlPayload(ddlRows.filter(col("_db") === db))
+          .withColumn("dt", EnvelopeDecoder.dtColumn)
+          .write.mode("append").partitionBy("dt")
+          .parquet(spec.sinkDir(config.sinkPath, config.sourceId))
+      }
+      ddlRows.unpersist()
+
+      // Offset/status bookkeeping (P3-P7): computed on the committed
+      // batch, published after writes — never ahead of data.
+      val nonRead = frame.filter(col("_op").isNotNull && col("_op") =!= "READ"
+        && col("_op") =!= "r" && col("_ddl").isNull)
+      val offsetExpr = config.sourceType match {
+        case "mysql" =>
+          max(struct(col("_binlog_file"),
+            col("_binlog_pos_end").cast("long").as("pos")))
+        case "postgres" => max(struct(col("_lsn").cast("long").as("l")))
+        case "oracle" => max(struct(col("_scn").cast("long").as("s")))
+        case _ => max(struct(col("_ts")))
+      }
+      val stats = frame.agg(
+        count(lit(1)).as("n"), max(col("_ts")).as("maxTs")).collect()(0)
+      recordCount += stats.getLong(0)
+      lastEventTs = math.max(lastEventTs, Option(stats.get(1))
+        .map(_.asInstanceOf[Long]).getOrElse(0L))
+
+      val off = nonRead.agg(offsetExpr.as("o")).collect()(0)
+      if (!off.isNullAt(0)) {
+        val row = off.getStruct(0)
+        val offsetStr = config.sourceType match {
+          case "mysql" =>
+            if (row.isNullAt(0)) null
+            else s"${row.getString(0)},${row.getLong(1)}"
+          case _ => Option(row.get(0)).map(_.toString).orNull
+        }
+        if (offsetStr != null) {
+          lastOffset = Some(offsetStr)
+          config.offsetStorePath.foreach(writeOffsetFile(_, offsetStr))
+        }
+      }
+      config.statusStorePath.foreach(writeStatusFile)
+
+      // Gate decision AFTER the batch is durable (drain-then-stop).
+      val nonReadTables = nonRead.select("_tbl_key").distinct()
+        .collect().map(_.getString(0)).toSeq
+      gate.observe(ddls.map(d => (d._1, d._2)).toSeq, nonReadTables)
+    } finally frame.unpersist()
+  }
+
+  /** K2 single-file overwrite sink
+    * (`SingleFileSinkFunction.java:31-39`): last write wins.
+    */
+  private def writeOffsetFile(dir: String, offset: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, s"${config.sourceId}_offset.txt"),
+      offset.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Status JSON: `{status}/dt={today}/{uuid}.json`
+    * (`FlinkCDCMulti.java:329-333`, `StatusStoreProcessFunction.java:18-91`).
+    */
+  private def writeStatusFile(root: String): Unit = {
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    val dir = Paths.get(root, s"dt=$today")
+    Files.createDirectories(dir)
+    val json = s"""{"job_id":"${config.sourceId}","job_name":"${config.name}",""" +
+      s""""record_count":$recordCount,"last_event_timestamp":$lastEventTs,""" +
+      s""""last_checkpoint_timestamp":${System.currentTimeMillis()}}"""
+    Files.write(dir.resolve(s"${java.util.UUID.randomUUID()}.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** S6 offset bootstrap: read the stored offset before building the
+    * source (`FlinkCDCMulti.java:187-257`).
+    */
+  def readStoredOffset(dir: String): Option[String] = {
+    val p = Paths.get(dir, s"${config.sourceId}_offset.txt")
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  /** Start the streaming query over a JSON-lines CDC feed directory
+    * (S1(c) file-based feed). `maxFilesPerTrigger=1` keeps one fixture
+    * file per micro-batch so multi-batch semantics are exercised.
+    */
+  def start(inputDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    var reader = spark.readStream
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n))
+    val lines = reader.text(inputDir)
+    lines.writeStream
+      .queryName(config.name)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
+      .start()
+  }
+
+  /** Drain-all convenience: processes every available file then
+    * returns (tests + snapshot-only jobs). J2: exceptions surface —
+    * no restart wrapper.
+    */
+  def runAvailableNow(inputDir: String, checkpointDir: String,
+      oneFilePerBatch: Boolean = true): Unit = {
+    val q = start(inputDir, checkpointDir, Trigger.AvailableNow(),
+      if (oneFilePerBatch) Some(1) else None)
+    q.awaitTermination()
+  }
+}

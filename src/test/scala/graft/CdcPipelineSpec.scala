@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{TableRegistry, TableSpec}
+import graft.streaming.{CdcConfig, CdcPipeline}
+
+/** End-to-end CDC replay scenarios (FIXTURES.md §A.2): JSON-lines
+  * envelope feed → gate → demux → dt-partitioned Parquet, offset and
+  * status write-back, stop semantics. One fixture file per micro-batch
+  * (maxFilesPerTrigger=1) so multi-batch behavior is exercised.
+  */
+class CdcPipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+
+  val usersSchema = StructType(Seq(
+    StructField("id", IntegerType), StructField("name", StringType),
+    StructField("balance", StringType))) // decimal-as-string policy
+  val itemsSchema = StructType(Seq(
+    StructField("id", IntegerType), StructField("qty", LongType)))
+
+  def registry = TableRegistry(Seq(
+    TableSpec("testdb", "users", usersSchema),
+    TableSpec("testdb", "items", itemsSchema)))
+
+  def row(op: String, tbl: String, ts: Long, file: String, pos: Long,
+      fields: String): String =
+    s"""{"_op":"$op","_ts":$ts,"_db":"testdb","_database":"testdb",""" +
+      s""""_tbl":"$tbl",$fields,"_binlog_file":"$file","_binlog_pos_end":"$pos",""" +
+      s""""_binlog_file_internal":"$file","_binlog_pos_internal":"${pos + 6}"}"""
+
+  def ddl(stmt: String, tbl: String, ts: Long): String =
+    s"""{"_ddl":"$stmt","_ddl_tbl":"$tbl","_ts":$ts,"_db":"testdb",""" +
+      s""""_binlog_file":"mysql-bin.000002","_binlog_pos_end":"999"}"""
+
+  def tmp(): Path = Files.createTempDirectory("graft-cdc-")
+
+  def writeFixture(dir: Path, name: String, lines: Seq[String]): Unit =
+    Files.write(dir.resolve(name), String.join("\n", lines: _*).getBytes)
+
+  def run(cfg: CdcConfig, in: Path): CdcPipeline = {
+    val p = new CdcPipeline(spark, cfg)
+    p.runAvailableNow(in.toString, tmp().resolve("ckpt").toString)
+    p
+  }
+
+  test("snapshot-insert-update-delete scenario writes change rows") {
+    val in = tmp(); val out = tmp(); val off = tmp()
+    writeFixture(in, "00-snapshot.jsonl", Seq(
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":1},"name":{"string":"alice"},"balance":{"string":"10.50"}"""),
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":2},"name":{"string":"bob"},"balance":null"""),
+      row("READ", "items", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":7},"qty":{"long":3}""")))
+    writeFixture(in, "01-changes.jsonl", Seq(
+      row("CREATE", "users", 1700000100000L, "mysql-bin.000001", 100,
+        """"id":{"int":3},"name":{"string":"carol"},"balance":{"string":"7.25"}"""),
+      row("UPDATE", "users", 1700000200000L, "mysql-bin.000001", 200,
+        """"id":{"int":1},"name":{"string":"alice2"},"balance":{"string":"11.00"}"""),
+      // DELETE carries the before image (T1)
+      row("DELETE", "users", 1700086600000L, "mysql-bin.000001", 300,
+        """"id":{"int":2},"name":{"string":"bob"},"balance":null""")))
+
+    val p = run(CdcConfig("src1", registry, out.toString,
+      offsetStorePath = Some(off.toString),
+      statusStorePath = Some(off.resolve("status").toString)), in)
+
+    val users = spark.read.parquet(s"$out/src1_testdb__users")
+    assert(users.count() == 5)
+    // append-only lake keeps every change row incl. delete before-image
+    val ops = users.groupBy("_op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops == Map("READ" -> 2L, "CREATE" -> 1L, "UPDATE" -> 1L,
+      "DELETE" -> 1L))
+    // typed payload, routing metadata stripped
+    assert(users.schema.fieldNames.toSet ==
+      Set("id", "name", "balance", "_op", "_ts",
+        "_binlog_file_internal", "_binlog_pos_internal", "dt"))
+    assert(users.schema("id").dataType == IntegerType)
+    // dt bucketing from _ts: delete happened next day
+    // partition-column inference reads dt back as DATE — compare as string
+    val dts = users.select(org.apache.spark.sql.functions.col("dt")
+      .cast("string")).distinct().collect().map(_.getString(0)).toSet
+    assert(dts == Set("2023-11-14", "2023-11-15"))
+    val items = spark.read.parquet(s"$out/src1_testdb__items")
+    assert(items.count() == 1 && items.schema("qty").dataType == LongType)
+    // offset write-back: last non-READ offset, "{file},{pos}" format
+    assert(p.readStoredOffset(off.toString).contains("mysql-bin.000001,300"))
+    // status file exists with cumulative count
+    val statusFiles = Files.list(off.resolve("status")).toArray
+    assert(statusFiles.nonEmpty)
+    assert(p.recordCount == 6 && p.lastEventTs == 1700086600000L)
+    assert(!p.gate.stopped)
+  }
+
+  test("structural DDL stops; later batches are swallowed") {
+    val in = tmp(); val out = tmp()
+    writeFixture(in, "00-data.jsonl", Seq(
+      row("CREATE", "users", 1700000000000L, "mysql-bin.000001", 10,
+        """"id":{"int":1},"name":{"string":"a"},"balance":null""")))
+    writeFixture(in, "01-ddl.jsonl", Seq(
+      ddl("ALTER TABLE users ADD COLUMN age INT", "users", 1700000001000L)))
+    writeFixture(in, "02-after.jsonl", Seq(
+      row("CREATE", "users", 1700000002000L, "mysql-bin.000001", 20,
+        """"id":{"int":9},"name":{"string":"late"},"balance":null""")))
+
+    val p = run(CdcConfig("src2", registry, out.toString), in)
+    assert(p.gate.stopped)
+    assert(p.gate.reason.exists(_.startsWith("STRUCTURAL-DDL")))
+    // the triggering batch committed (drain), the later batch did not
+    val users = spark.read.parquet(s"$out/src2_testdb__users")
+    assert(users.count() == 1)
+    // DDL event landed in the _{db}_ddl side table
+    val ddlT = spark.read.parquet(s"$out/src2_testdb___testdb_ddl")
+    assert(ddlT.count() == 1)
+    assert(ddlT.select("_ddl").head.getString(0)
+      .startsWith("ALTER TABLE users ADD COLUMN"))
+  }
+
+  test("non-structural DDL does not stop") {
+    val in = tmp(); val out = tmp()
+    writeFixture(in, "00.jsonl", Seq(
+      ddl("CREATE INDEX idx1 ON users (name)", "users", 1700000001000L),
+      row("CREATE", "users", 1700000002000L, "mysql-bin.000001", 20,
+        """"id":{"int":5},"name":{"string":"x"},"balance":null""")))
+    val p = run(CdcConfig("src3", registry, out.toString), in)
+    assert(!p.gate.stopped)
+    assert(spark.read.parquet(s"$out/src3_testdb__users").count() == 1)
+  }
+
+  test("snapshot-only stops once all target tables complete") {
+    val in = tmp(); val out = tmp()
+    writeFixture(in, "00-reads.jsonl", Seq(
+      row("READ", "users", 1L, "f", 0, """"id":{"int":1},"name":null,"balance":null"""),
+      row("READ", "items", 1L, "f", 0, """"id":{"int":1},"qty":{"long":1}""")))
+    writeFixture(in, "01-users-done.jsonl", Seq(
+      row("CREATE", "users", 2L, "f", 1, """"id":{"int":2},"name":null,"balance":null""")))
+    writeFixture(in, "02-items-done.jsonl", Seq(
+      row("CREATE", "items", 3L, "f", 2, """"id":{"int":2},"qty":{"long":2}""")))
+    writeFixture(in, "03-late.jsonl", Seq(
+      row("CREATE", "users", 4L, "f", 3, """"id":{"int":9},"name":null,"balance":null""")))
+
+    val p = run(CdcConfig("src4", registry, out.toString,
+      snapshotOnly = true), in)
+    assert(p.gate.stopped && p.gate.reason.contains("SNAPSHOT-COMPLETE"))
+    assert(p.gate.snapshotCompleted ==
+      Set("testdb.users", "testdb.items"))
+    // batch 03 swallowed: users has READ + first CREATE only
+    assert(spark.read.parquet(s"$out/src4_testdb__users").count() == 2)
+  }
+
+  test("unknown table fails the job (fail.on.unknown.tables)") {
+    val in = tmp(); val out = tmp()
+    writeFixture(in, "00.jsonl", Seq(
+      row("CREATE", "ghosts", 1L, "f", 0, """"id":{"int":1}""")))
+    val p = new CdcPipeline(spark,
+      CdcConfig("src5", registry, out.toString))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      p.runAvailableNow(in.toString, tmp().resolve("ck").toString)
+    }
+    assert(e.getCause.getMessage.contains("UNKNOWN TABLES"))
+  }
+
+  test("unknown table warns when fail.on.unknown.tables=false") {
+    val in = tmp(); val out = tmp()
+    writeFixture(in, "00.jsonl", Seq(
+      row("CREATE", "ghosts", 1L, "f", 0, """"id":{"int":1}"""),
+      row("CREATE", "users", 2L, "f", 1,
+        """"id":{"int":1},"name":null,"balance":null""")))
+    val p = run(CdcConfig("src6", registry, out.toString,
+      failOnUnknownTables = false), in)
+    assert(!p.gate.stopped)
+    assert(spark.read.parquet(s"$out/src6_testdb__users").count() == 1)
+  }
+
+  test("offset bootstrap reads back what the job stored") {
+    val off = tmp()
+    val p = new CdcPipeline(spark, CdcConfig("src7", registry, "/tmp/x",
+      offsetStorePath = Some(off.toString)))
+    assert(p.readStoredOffset(off.toString).isEmpty)
+    Files.write(off.resolve("src7_offset.txt"), "mysql-bin.000009,42".getBytes)
+    assert(p.readStoredOffset(off.toString).contains("mysql-bin.000009,42"))
+  }
+}
