@@ -7,6 +7,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // the test tables are single parquet files well under the 128 MB
+      // default split, which would make every scan one partition —
+      // split small so compute-heavy per-row ops actually parallelize
+      .config("spark.sql.files.maxPartitionBytes", (512 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native dot product over two array<double> columns.
+  *
+  * The built-in route — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` —
+  * is a higher-order function: evaluated interpreted, one boxed
+  * lambda call per element, plus an intermediate array per row.
+  * On the all-pairs cosine query that was ~80 µs per pair; this
+  * expression is a code-generated primitive loop (no allocation, no
+  * boxing), an order of magnitude faster.
+  *
+  * Accumulation is sequential in element order — the same result as
+  * the interpreted fold and DuckDB's list_dot_product, so oracle
+  * comparisons are unaffected.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  val FnName = "graft_dot"
+
+  /** Register once per session (idempotent), then build Columns via
+    * call_function — the public Column API has no Expression
+    * constructor in Spark 4.
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+
+  def dotProduct(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function(FnName, a, b)
+  }
+}

