@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators. The reference pipeline is
+  * processing-time only (SURVEY §2.6: `WatermarkStrategy.noWatermarks`,
+  * no windows, no late-data handling); these are the engine's
+  * extension surface for real event-time workloads, built on
+  * Structured Streaming watermarks and keyed state.
+  *
+  * Scale notes: all three are single-shuffle operators keyed by the
+  * aggregation/dedup/session key; watermarks bound state size, so at
+  * 1000 executors state stays proportional to active keys within the
+  * lateness horizon, not to history.
+  */
+object EventTimeOps {
+
+  /** Tumbling event-time window aggregate with late-data tolerance —
+    * the streaming twin of the batch q23_time_window.
+    */
+  def windowedStats(events: DataFrame, eventTimeCol: String,
+      watermark: String, window_ : String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming exact dedup: drops duplicate event_ids arriving within
+    * the watermark horizon (state-bounded, unlike plain
+    * dropDuplicates whose state grows forever).
+    */
+  def streamingDedup(events: DataFrame, eventTimeCol: String,
+      watermark: String, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionSummary(user_id: Long, n_events: Long,
+      n_sessions: Long)
+  final case class SessionState(nEvents: Long, nSessions: Long,
+      lastSec: Long)
+
+  /** Gap-based sessionization with custom keyed state
+    * (flatMapGroupsWithState) — the stateful-operator pattern the
+    * reference uses for its gate/offset stores (P1-P7), applied to an
+    * event-time problem. Emits one running summary per user per batch.
+    */
+  def sessionCounts(events: Dataset[SessionEvent],
+      gapSeconds: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          var s = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+          // order within the batch: state transitions are order-
+          // sensitive, exactly like the reference's keyed operators
+          for (e <- rows.toSeq.sortBy(e => (e.ts.getTime, e.value))) {
+            val sec = e.ts.getTime / 1000
+            val newSession = s.lastSec == Long.MinValue ||
+              sec - s.lastSec > gapSeconds
+            s = SessionState(s.nEvents + 1,
+              s.nSessions + (if (newSession) 1 else 0), sec)
+          }
+          state.update(s)
+          Iterator(SessionSummary(user, s.nEvents, s.nSessions))
+      }
+  }
+}

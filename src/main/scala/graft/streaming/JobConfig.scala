@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+/** S5 startup-mode resolution (`MySQLStreamer.java:164-198,216-255`):
+  * `initial` / `earliest` / `latest` / `offset` / `timestamp`, with
+  * the reference's override rules — a stored offset or a configured
+  * timestamp silently overrides the configured mode, and
+  * snapshot-only forces `initial`.
+  */
+sealed trait StartupMode
+object StartupMode {
+  case object Initial extends StartupMode
+  case object Earliest extends StartupMode
+  case object Latest extends StartupMode
+  final case class Offset(value: String) extends StartupMode
+  final case class Timestamp(epochMillis: Long) extends StartupMode
+
+  def resolve(
+      configured: Option[String],
+      storedOffset: Option[String],
+      timestampMillis: Option[Long],
+      snapshotOnly: Boolean): StartupMode = {
+    if (snapshotOnly) Initial // `MongoDBStreamer.java:133-137`
+    else storedOffset match {
+      case Some(off) => Offset(off) // stored offset wins (S6 restore)
+      case None => timestampMillis match {
+        case Some(ts) => Timestamp(ts)
+        case None => configured.map(_.trim.toLowerCase) match {
+          case Some("earliest") => Earliest
+          case Some("latest") => Latest
+          case Some("initial") | None => Initial
+          case Some(other) =>
+            throw new IllegalArgumentException(s"UNKNOWN STARTUP MODE: $other")
+        }
+      }
+    }
+  }
+}
+
+/** S7 config loading (`FlinkCDCMulti.java:474-522`): a flat JSON
+  * object of string keys; `source.id`, `source.type` and `sink.path`
+  * are required. Parsing is deliberately dependency-free (the config
+  * grammar is flat key/value).
+  */
+object JobConfig {
+
+  def parse(json: String): Map[String, String] = {
+    // flat {"key": value} object; values are strings/numbers/booleans
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*("(?:[^"\\]|\\.)*"|[-0-9.eE+]+|true|false|null)""".r
+    entry.findAllMatchIn(json).map { m =>
+      val k = unescape(m.group(1))
+      val v = m.group(2) match {
+        case s if s.startsWith("\"") =>
+          unescape(s.substring(1, s.length - 1))
+        case other => other
+      }
+      k -> v
+    }.toMap
+  }
+
+  private def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+      .replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r")
+
+  def load(path: String): Map[String, String] = {
+    val cfg = parse(new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))
+    val missing = Seq("source.id", "source.type", "sink.path")
+      .filterNot(cfg.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"MISSING REQUIRED CONFIG: ${missing.mkString(", ")}")
+    cfg
+  }
+
+  /** Name maps are JSON objects embedded as config values
+    * (`table.name.map` / `database.name.map`,
+    * `MySQLStreamer.java:385-404`).
+    */
+  def nameMap(cfg: Map[String, String], key: String): Map[String, String] =
+    cfg.get(key).map(parse).getOrElse(Map.empty)
+}

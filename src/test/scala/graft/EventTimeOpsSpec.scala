@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventTimeOps
+import graft.streaming.EventTimeOps.SessionEvent
+
+/** Event-time streaming operators driven through real streaming
+  * queries (file source → memory sink, AvailableNow).
+  */
+class EventTimeOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+
+  val schema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  def jsonl(lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory("graft-et-")
+    Files.write(dir.resolve("part0.jsonl"),
+      String.join("\n", lines: _*).getBytes)
+    dir.toString
+  }
+
+  def ev(id: Long, t: String, user: Long, typ: String, v: Double): String =
+    s"""{"event_id":$id,"ts":"$t","user_id":$user,"event_type":"$typ","value":$v}"""
+
+  def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck-").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("watermarked tumbling window aggregate") {
+    val in = jsonl(Seq(
+      ev(1, "2024-01-01 10:01:00", 1, "view", 1.0),
+      ev(2, "2024-01-01 10:20:00", 1, "view", 2.0),
+      ev(3, "2024-01-01 11:05:00", 2, "click", 5.0),
+      ev(4, "2024-01-01 12:30:00", 2, "view", 3.0))) // advances watermark
+    val stream = spark.readStream.schema(schema).json(in)
+    runToMemory(EventTimeOps.windowedStats(stream, "ts", "10 minutes",
+      "1 hour"), "win_out", "append")
+    // append mode emits only windows sealed by the watermark (12:30-10m)
+    val rows = spark.table("win_out")
+      .select(date_format(col("window_start"), "HH:mm").as("w"),
+        col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rows == Set(("10:00", "view", 2L, 3.0), ("11:00", "click", 1L, 5.0)))
+  }
+
+  test("streaming dedup within watermark") {
+    val in = jsonl(Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      ev(1, "2024-01-01 10:00:30", 1, "view", 1.0), // dup event_id
+      ev(2, "2024-01-01 10:01:00", 1, "view", 2.0)))
+    val stream = spark.readStream.schema(schema).json(in)
+    runToMemory(EventTimeOps.streamingDedup(stream, "ts", "1 hour",
+      Seq("event_id")), "dedup_out", "append")
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("stateful session counts across batches") {
+    import spark.implicits._
+    val in = jsonl(Seq(
+      ev(1, "2024-01-01 10:00:00", 7, "view", 1.0),
+      ev(2, "2024-01-01 10:10:00", 7, "view", 1.0), // same session (10m gap)
+      ev(3, "2024-01-01 12:00:00", 7, "view", 1.0), // new session
+      ev(4, "2024-01-01 10:00:00", 8, "view", 1.0)))
+    val stream = spark.readStream.schema(schema).json(in)
+      .select(col("user_id"), col("ts"), col("value")).as[SessionEvent]
+    runToMemory(EventTimeOps.sessionCounts(stream, gapSeconds = 1800).toDF(),
+      "sess_out", "append")
+    val byUser = spark.table("sess_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byUser(7L) == ((3L, 2L)))
+    assert(byUser(8L) == ((1L, 1L)))
+  }
+}
