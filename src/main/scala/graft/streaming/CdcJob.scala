@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.{TableRegistry, TableSpec}
+import graft.schema.TypeMapping
+
+/** Job assembly (§3.1): config JSON → registry → pipeline → query.
+  * Mirrors `FlinkCDCMulti.main`'s sequence — load config, resolve
+  * startup, build the table registry, bootstrap the stored offset,
+  * start the stream — as a library function plus a thin CLI main.
+  *
+  * Schema discovery: the reference walks JDBC metadata at job start
+  * (`MySQLStreamer.java:313-457`). The file-feed harness declares the
+  * same information in config (`table.schemas`: "db.tbl" →
+  * "col:TYPE,col:TYPE", run through the §1.3 type collapse); a live
+  * JDBC walk plugs in behind the same TableRegistry.
+  */
+object CdcJob {
+
+  def registryFromConfig(cfg: Map[String, String]): TableRegistry = {
+    val oracle = cfg.get("source.type").contains("oracle")
+    val schemas = JobConfig.nameMap(cfg, "table.schemas")
+    require(schemas.nonEmpty, "MISSING REQUIRED CONFIG: table.schemas")
+    val tables = schemas.toSeq.sortBy(_._1).map { case (key, colSpec) =>
+      val (db, tbl) = key.split("\\.", 2) match {
+        case Array(d, t) => (d, t)
+        case Array(t) => ("", t)
+      }
+      val cols = colSpec.split(",").toSeq.map { c =>
+        val Array(n, t) = c.trim.split(":", 2)
+        (n.trim, t.trim)
+      }
+      TableSpec(db, tbl, TypeMapping.schemaFromJdbc(cols, oracle))
+    }
+    TableRegistry(tables,
+      dbNameMap = JobConfig.nameMap(cfg, "database.name.map"),
+      tableNameMap = JobConfig.nameMap(cfg, "table.name.map"))
+  }
+
+  def configFromMap(cfg: Map[String, String],
+      jobName: Option[String] = None): CdcConfig =
+    CdcConfig(
+      sourceId = cfg("source.id"),
+      registry = registryFromConfig(cfg),
+      sinkPath = cfg("sink.path"),
+      sourceType = cfg("source.type"),
+      offsetStorePath = cfg.get("offset.store.path"),
+      statusStorePath = cfg.get("status.store.path"),
+      snapshotOnly = cfg.get("snapshot.only").contains("true"),
+      failOnUnknownTables = !cfg.get("fail.on.unknown.tables").contains("false"),
+      // CLI > config `job.name` > JOB-{source_id} (J4)
+      jobName = jobName.orElse(cfg.get("job.name")))
+
+  /** Assemble and run. Snapshot-only uses AvailableNow (drain and
+    * exit — cleaner than the reference's first-non-READ + 10 s timer
+    * heuristic, SURVEY §3.3); tailing mode uses a ProcessingTime
+    * trigger at the configured checkpoint interval with a monitor
+    * loop that stops the query once the gate fires.
+    */
+  def run(spark: SparkSession, cfg: Map[String, String],
+      inputDir: String, checkpointDir: String,
+      jobName: Option[String] = None): CdcPipeline = {
+    val config = configFromMap(cfg, jobName)
+    val pipeline = new CdcPipeline(spark, config)
+
+    // S6: startup resolution (logged decision; the file feed replays
+    // from the beginning, a live source would seek).
+    val stored = config.offsetStorePath.flatMap(pipeline.readStoredOffset)
+    val mode = StartupMode.resolve(cfg.get("startup.mode"), stored,
+      cfg.get("startup.timestamp").map(_.toLong), config.snapshotOnly)
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"[${config.name}] startup mode resolved: $mode")
+
+    if (config.snapshotOnly) {
+      pipeline.runAvailableNow(inputDir, checkpointDir)
+    } else {
+      val interval = cfg.getOrElse("checkpoint.interval", "30").toInt
+      val q = pipeline.start(inputDir, checkpointDir,
+        Trigger.ProcessingTime(s"$interval seconds"))
+      while (q.isActive && !pipeline.gate.stopped)
+        q.awaitTermination(200)
+      if (q.isActive) q.stop() // drain-then-stop (P1 mapping)
+      q.awaitTermination()
+    }
+    pipeline
+  }
+}
+
+/** CLI: `--config <path> [--name <job>] [--input <dir>]
+  * [--checkpoint <dir>]` — the `processCLIArgs` analog
+  * (`FlinkCDCMulti.java:393-415`).
+  */
+object CdcMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val cfg = JobConfig.load(opts("config"))
+    val spark = SparkSession.builder()
+      .appName(opts.getOrElse("name", s"JOB-${cfg("source.id")}"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    CdcJob.run(spark, cfg,
+      inputDir = opts.getOrElse("input", cfg("source.feed.path")),
+      checkpointDir = opts.getOrElse("checkpoint",
+        cfg.getOrElse("checkpoint.dir", s"${cfg("sink.path")}/_checkpoints")),
+      jobName = opts.get("name"))
+    spark.stop()
+  }
+}

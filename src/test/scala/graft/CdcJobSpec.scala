@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{CdcJob, JobConfig}
+
+/** Config-file-to-running-job assembly (§3.1): the CLI contract,
+  * schema declaration through the §1.3 type collapse, name maps, and
+  * a full snapshot-only run from a config file.
+  */
+class CdcJobSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+
+  val cfgJson =
+    """{"source.id": "cfgsrc", "source.type": "mysql",
+      | "sink.path": "SINK",
+      | "offset.store.path": "OFF",
+      | "snapshot.only": true,
+      | "table.schemas": "{\"testdb.users\": \"id:INT, name:VARCHAR, balance:DECIMAL\", \"testdb.counts\": \"n:BIGINT UNSIGNED\"}",
+      | "table.name.map": "{\"testdb.users\": \"users_v2\"}"}""".stripMargin
+
+  test("registry built from config applies type collapse and name maps") {
+    val cfg = JobConfig.parse(cfgJson)
+    val reg = CdcJob.registryFromConfig(cfg)
+    val users = reg.routed("testdb.users")
+    assert(users.table == "users_v2") // name-mapped
+    assert(users.schema("id").dataType == IntegerType)
+    assert(users.schema("name").dataType == StringType)
+    assert(users.schema("balance").dataType == StringType) // decimal policy
+    assert(reg.routed("testdb.counts").schema("n").dataType == LongType)
+  }
+
+  test("config file runs a snapshot-only job end to end") {
+    val in = Files.createTempDirectory("graft-job-in-")
+    val sink = Files.createTempDirectory("graft-job-sink-")
+    val off = Files.createTempDirectory("graft-job-off-")
+    val cfgFile = Files.createTempDirectory("graft-job-cfg-")
+      .resolve("config.json")
+    Files.write(cfgFile, cfgJson
+      .replace("SINK", sink.toString).replace("OFF", off.toString)
+      .getBytes)
+    Files.write(in.resolve("00.jsonl"), Seq(
+      """{"_op":"READ","_ts":1700000000000,"_db":"testdb","_tbl":"users","id":{"int":1},"name":{"string":"a"},"balance":{"string":"9.99"},"_binlog_file":"f1","_binlog_pos_end":"1"}""",
+      """{"_op":"READ","_ts":1700000000000,"_db":"testdb","_tbl":"counts","n":{"long":5},"_binlog_file":"f1","_binlog_pos_end":"1"}""",
+      """{"_op":"CREATE","_ts":1700000001000,"_db":"testdb","_tbl":"users","id":{"int":2},"name":{"string":"b"},"balance":null,"_binlog_file":"f1","_binlog_pos_end":"77"}""",
+      """{"_op":"CREATE","_ts":1700000002000,"_db":"testdb","_tbl":"counts","n":{"long":6},"_binlog_file":"f1","_binlog_pos_end":"88"}""")
+      .mkString("\n").getBytes)
+
+    val cfg = JobConfig.load(cfgFile.toString)
+    val p = CdcJob.run(spark, cfg, in.toString,
+      Files.createTempDirectory("graft-job-ck-").toString)
+
+    // name-mapped sink dir, typed payload, snapshot completion
+    val users = spark.read.parquet(s"$sink/cfgsrc_testdb__users_v2")
+    assert(users.count() == 2)
+    assert(users.schema("balance").dataType == StringType)
+    assert(p.gate.stopped && p.gate.reason.contains("SNAPSHOT-COMPLETE"))
+    assert(p.readStoredOffset(off.toString).contains("f1,88"))
+  }
+}
