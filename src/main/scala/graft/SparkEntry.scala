@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ ScalarQueries.defs ++ CdcQueries.defs ++
-      TextQueries.defs ++ VectorQueries.defs ++ MultimodalQueries.defs
+      TextQueries.defs ++ VectorQueries.defs ++ MultimodalQueries.defs ++
+      WindowQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second window/aggregate wave: navigation functions, ranking
+  * variants, pivot, ordered string aggregation, exact percentiles,
+  * correlated-subquery shapes, conditional aggregation, grouping
+  * sets (via the SQL surface).
+  */
+object WindowQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Navigation window functions over each customer's order history.
+    QueryDef(
+      "q50_window_navigation",
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_orderkey) OVER w AS prev_order,
+        | lead(o_orderkey) OVER w AS next_order,
+        | first_value(o_orderkey) OVER w AS first_order,
+        | round(o_totalprice - lag(o_totalprice) OVER w, 2) AS price_delta
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(spark, dir).orders.select(
+        col("o_custkey"), col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev_order"),
+        lead("o_orderkey", 1).over(w).as("next_order"),
+        first("o_orderkey").over(w).as("first_order"),
+        round(col("o_totalprice") - lag("o_totalprice", 1).over(w), 2)
+          .as("price_delta"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Ranking variants per brand over part prices.
+    QueryDef(
+      "q51_rank_variants",
+      """SELECT p_brand, p_partkey,
+        | CAST(rank() OVER w AS INTEGER) AS rnk,
+        | CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        | round(percent_rank() OVER w, 6) AS prnk,
+        | round(cume_dist() OVER w, 6) AS cdist,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+        |ORDER BY p_brand, p_partkey""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice"), col("p_partkey"))
+      Tables(spark, dir).part.select(
+        col("p_brand"), col("p_partkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+        .orderBy("p_brand", "p_partkey")
+    },
+
+    // Pivot: order status columns per priority (Spark .pivot; the
+    // oracle spells the same contract as conditional counts).
+    QueryDef(
+      "q52_pivot",
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Ordered string aggregation (collect_list → deterministic via
+    // sort_array; DuckDB string_agg with ORDER BY).
+    QueryDef(
+      "q53_string_agg",
+      """SELECT n_name,
+        | string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+        | count(*) AS n
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          concat_ws(",", sort_array(collect_list(col("s_name")))).as("suppliers"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name")
+    },
+
+    // Exact interpolated percentiles (Spark `percentile` ==
+    // DuckDB `quantile_cont` on doubles).
+    QueryDef(
+      "q54_percentiles",
+      """SELECT o_orderstatus,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+        | round(min(o_totalprice), 2) AS min_price,
+        | round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (spark, dir) =>
+        Tables(spark, dir).orders
+          .groupBy("o_orderstatus")
+          .agg(
+            round(percentile(col("o_totalprice"), lit(0.5)), 4).as("median_price"),
+            round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90_price"),
+            round(min("o_totalprice"), 2).as("min_price"),
+            round(max("o_totalprice"), 2).as("max_price"))
+          .orderBy("o_orderstatus")
+    },
+
+    // Correlated-subquery shape (TPC-H Q17): small-quantity lineitems
+    // vs their part's average. Spark: per-part aggregate joined back.
+    QueryDef(
+      "q55_correlated_subquery",
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n
+        |FROM lineitem l1
+        |WHERE l_quantity < 0.3 * (
+        |  SELECT avg(l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      li.join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.3) * col("avg_qty"))
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    },
+
+    // IN-subquery: orders of the 100 biggest spenders.
+    QueryDef(
+      "q56_in_subquery",
+      """SELECT o_custkey, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c FROM (
+        |    SELECT o_custkey AS c, sum(o_totalprice) AS s FROM orders
+        |    GROUP BY o_custkey ORDER BY s DESC, c LIMIT 100))
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+      val top = o.groupBy(col("o_custkey").as("c"))
+        .agg(sum("o_totalprice").as("s"))
+        .orderBy(col("s").desc, col("c")).limit(100)
+        .select("c")
+      o.join(broadcast(top), col("o_custkey") === col("c"), "left_semi")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_custkey")
+    },
+
+    // Conditional aggregation: FILTER-style sums per order year.
+    QueryDef(
+      "q57_conditional_agg",
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        | round(coalesce(sum(o_totalprice)
+        |   FILTER (WHERE o_orderpriority = '1-URGENT'), 0.0), 2) AS urgent_total,
+        | round(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4)
+        |   AS avg_open
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          round(coalesce(sum(when(col("o_orderpriority") === "1-URGENT",
+            col("o_totalprice"))), lit(0.0)), 2).as("urgent_total"),
+          round(avg(when(col("o_orderstatus") === "O", col("o_totalprice"))), 4)
+            .as("avg_open"))
+        .orderBy("o_year")
+    },
+
+    // GROUPING SETS through the engine's SQL surface.
+    QueryDef(
+      "q58_grouping_sets",
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).lineitem.createOrReplaceTempView("graft_lineitem")
+      spark.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+          | coalesce(l_linestatus, 'ALL') AS status,
+          | count(*) AS n
+          |FROM graft_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY flag, status""".stripMargin)
+    },
+  )
+}
