@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-duplicate pairs: groups LSH/Jaccard
+  * pair output into duplicate clusters labeled by their minimum
+  * member id (the canonical document a dedup pass keeps).
+  *
+  * Distributed min-label propagation: each iteration joins labels
+  * across edges and keeps the per-node minimum; converges in
+  * O(component diameter) iterations — near-dup clusters are shallow
+  * (diameter ≤ 3 in practice), so this is a handful of shuffles, each
+  * keyed by node id. No driver-side graph state: scales to pair sets
+  * that don't fit one machine.
+  */
+object DupClusters {
+
+  /** @param pairs two columns (d1, d2), one row per duplicate pair
+    * @return (doc_id, cluster) for every doc appearing in a pair
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val d1 = pairs.columns(0)
+    val d2 = pairs.columns(1)
+    // localCheckpoint (not persist): iterative plans nest the prior
+    // iteration's plan — lineage grows exponentially and the driver
+    // OOMs building plan strings by ~iteration 10. Checkpointing
+    // truncates the logical plan each round.
+    val edges = pairs.select(col(d1).as("a"), col(d2).as("b"))
+      .union(pairs.select(col(d2).as("a"), col(d1).as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // neighbor labels ∪ own label → per-node min
+      val next = edges
+        .join(labels.withColumnRenamed("id", "b_id"),
+          col("b") === col("b_id"))
+        .select(col("a").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.label") =!= col("p.label"))
+        .limit(1).count() // any change at all?
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+  }
+}

@@ -1,7 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.ops.DupClusters
 
 /** Text-analysis and document-dedup operators over the documents
   * table — the LLM-data-pipeline surface (BASELINE.json north star):
@@ -73,6 +75,43 @@ object TextQueries {
           s"  list_aggregate(list_transform(s, x -> md5('$k:' || x)), 'min') AS mh$k")
           .mkString(",\n")}
        | FROM sh)""".stripMargin
+
+  /** Shared LSH pipeline: staged shingles → signatures → banded
+    * candidate pairs. Both frames persisted (each feeds multiple
+    * branches / join sides downstream).
+    */
+  private def lshPipeline(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val shl = withShingles(Tables(spark, dir).documents, col("doc_id"))
+      .persist()
+    val sig = shl.select(col("doc_id") +: minhashCols(col("sh")): _*)
+      .persist()
+    val bands = sig.select(col("doc_id"), explode(array(
+      struct(lit(0).as("band"),
+        md5(concat(col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("bucket")),
+      struct(lit(1).as("band"),
+        md5(concat(col("mh4"), col("mh5"), col("mh6"), col("mh7"))).as("bucket"))))
+      .as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    (cand, shl)
+  }
+
+  /** DuckDB CTEs for the banded candidate pairs (shared by q38/q39/q59). */
+  private def duckCand: String =
+    s"""$duckSig,
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, md5(mh4 || mh5 || mh6 || mh7) AS bucket FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bucket = b.bucket
+       |          AND a.doc_id < b.doc_id)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -178,33 +217,10 @@ object TextQueries {
     // so at scale this is a single shuffle on bucket.
     QueryDef(
       "q38_lsh_candidates",
-      s"""WITH $duckSig,
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band, md5(mh4 || mh5 || mh6 || mh7) AS bucket FROM sig)
-         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |ORDER BY d1, d2""".stripMargin) { (spark, dir) =>
-      // persist: the self-join would otherwise recompute the whole
-      // shingle+minhash pipeline on both sides (measured 2× cost).
-      val sig = withShingles(Tables(spark, dir).documents, col("doc_id"))
-        .select(col("doc_id") +: minhashCols(col("sh")): _*)
-        .persist()
-      val bands = sig.select(col("doc_id"), explode(array(
-        struct(lit(0).as("band"),
-          md5(concat(col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("bucket")),
-        struct(lit(1).as("band"),
-          md5(concat(col("mh4"), col("mh5"), col("mh6"), col("mh7"))).as("bucket"))))
-        .as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-        .orderBy("d1", "d2")
+      s"""WITH $duckCand
+         |SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin) {
+      (spark, dir) =>
+        lshPipeline(spark, dir)._1.orderBy("d1", "d2")
     },
 
     // Exact n-gram Jaccard verification of the LSH candidates — the
@@ -214,15 +230,7 @@ object TextQueries {
     // verifying candidates is the shape that survives 100 TB.
     QueryDef(
       "q39_jaccard_neardup",
-      s"""WITH $duckSig,
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band, md5(mh4 || mh5 || mh6 || mh7) AS bucket FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.bucket = b.bucket
-         |          AND a.doc_id < b.doc_id),
+      s"""WITH $duckCand,
          |shx AS (SELECT doc_id, unnest(s) AS tok FROM sh),
          |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
          |inter AS (SELECT c.d1, c.d2, count(*) AS i
@@ -237,24 +245,7 @@ object TextQueries {
          |JOIN sizes s2 ON d2 = s2.doc_id
          |WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8
          |ORDER BY d1, d2""".stripMargin) { (spark, dir) =>
-      // shl feeds four branches (sig, candidate join sides, shingle
-      // rows, sizes) — persist once or every branch re-tokenizes.
-      val shl = withShingles(Tables(spark, dir).documents, col("doc_id"))
-        .persist()
-      val sig = shl.select(col("doc_id") +: minhashCols(col("sh")): _*)
-        .persist()
-      val bands = sig.select(col("doc_id"), explode(array(
-        struct(lit(0).as("band"),
-          md5(concat(col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("bucket")),
-        struct(lit(1).as("band"),
-          md5(concat(col("mh4"), col("mh5"), col("mh6"), col("mh7"))).as("bucket"))))
-        .as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
+      val (cand, shl) = lshPipeline(spark, dir)
       val shx = shl.select(col("doc_id"), explode(col("sh")).as("tok"))
       val sizes = shl.select(col("doc_id"), size(col("sh")).as("sz"))
       val inter = broadcast(cand)
@@ -299,6 +290,26 @@ object TextQueries {
       h.groupBy("doc_id").agg(sums.head, sums.tail: _*)
         .select(col("doc_id"), sim.cast("long").as("simhash"))
         .orderBy("doc_id")
+    },
+
+    // Duplicate-cluster formation: connected components over the LSH
+    // candidate pairs, labeled by minimum member (the canonical doc).
+    // Spark: distributed min-label propagation; oracle: recursive CTE
+    // reachability + min — independent algorithms, same fixpoint.
+    QueryDef(
+      "q59_dup_clusters",
+      s"""WITH RECURSIVE $duckCand,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM cand
+         |          UNION SELECT d2, d1 FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+         |SELECT src AS doc_id, min(dst) AS cluster
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) {
+      (spark, dir) =>
+        DupClusters.clusters(lshPipeline(spark, dir)._1)
+          .orderBy("doc_id")
     },
 
     // Char-n-gram language ID: profile overlap heuristic. Rows-only —
