@@ -40,8 +40,9 @@ object EnvelopeDecoder {
         get_json_object(raw, "$._ts").cast("long").as("_ts") +: meta): _*)
       .withColumn("_tbl_name", coalesce(col("_tbl"), col("_coll")))
       .withColumn("_tbl_key",
-        when(col("_ddl").isNotNull, // DDL routes to _{db}_ddl
-          concat(lit("_"), col("_db"), lit("_ddl")))
+        when(col("_ddl").isNotNull, // DDL routes to _{db}_ddl; PG has
+          // no _db (SURVEY §2.7 routing bug) — use _schema there
+          concat(lit("_"), coalesce(col("_db"), col("_schema")), lit("_ddl")))
           .when(col("_db").isNotNull && col("_schema").isNull,
             concat(col("_db"), lit("."), col("_tbl_name")))
           .otherwise(col("_tbl_name")))

@@ -102,8 +102,12 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
   @volatile var lastOffset: Option[String] = None
 
   private val routed: Map[String, TableSpec] = config.registry.routed
-  private val ddlKeys: Set[String] =
-    routed.values.map(s => s"_${s.db}_ddl").toSet
+  /** DDL side-table route: `_{db}_ddl`. PG derives db from the event's
+    * `_schema`, which the registry doesn't know up front — recognize
+    * the shape rather than a precomputed set.
+    */
+  private def isDdlKey(k: String): Boolean =
+    k != null && k.startsWith("_") && k.endsWith("_ddl")
 
   /** One micro-batch = one checkpoint interval. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
@@ -113,8 +117,8 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       val present = frame.select("_tbl_key").distinct()
         .collect().map(_.getString(0)).toSet
 
-      val unknown = present.diff(routed.keySet).diff(ddlKeys)
-        .filterNot(_ == null)
+      val unknown = present.diff(routed.keySet)
+        .filterNot(k => k == null || isDdlKey(k))
       if (unknown.nonEmpty) {
         val msg = s"UNKNOWN TABLES: ${unknown.mkString(", ")} " +
           s"(known: ${routed.keySet.mkString(", ")})"
@@ -134,15 +138,16 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
           .parquet(spec.sinkDir(config.sinkPath, config.sourceId))
       }
 
-      // DDL events → _{db}_ddl side table.
+      // DDL events → _{db}_ddl side table (PG flavor keys on _schema).
+      val ddlDb = coalesce(col("_db"), col("_schema"))
       val ddlRows = frame.filter(col("_ddl").isNotNull).persist()
       val ddls = ddlRows
-        .select(col("_ddl_tbl"), col("_ddl"), col("_db")).collect()
+        .select(col("_ddl_tbl"), col("_ddl"), ddlDb.as("_ddl_db")).collect()
         .map(r => (Option(r.getString(0)).getOrElse(""), r.getString(1),
           Option(r.getString(2)).getOrElse("")))
       for (db <- ddls.map(_._3).distinct if db.nonEmpty) {
         val spec = config.registry.ddlSpec(db)
-        EnvelopeDecoder.ddlPayload(ddlRows.filter(col("_db") === db))
+        EnvelopeDecoder.ddlPayload(ddlRows.filter(ddlDb === db))
           .withColumn("dt", EnvelopeDecoder.dtColumn)
           .write.mode("append").partitionBy("dt")
           .parquet(spec.sinkDir(config.sinkPath, config.sourceId))
