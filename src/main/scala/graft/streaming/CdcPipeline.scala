@@ -229,18 +229,21 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     else None
   }
 
-  /** Start the streaming query over a JSON-lines CDC feed directory
-    * (S1(c) file-based feed). `maxFilesPerTrigger=1` keeps one fixture
-    * file per micro-batch so multi-batch semantics are exercised.
+  /** Start the streaming query over a CDC feed. The default feed is
+    * the JSON-lines directory (S1(c)); any [[graft.source.CdcFeed]]
+    * (Kafka, a DSv2 Debezium source) slots in unchanged.
+    * `maxFilesPerTrigger=1` keeps one fixture file per micro-batch so
+    * multi-batch semantics are exercised.
     */
   def start(inputDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    var reader = spark.readStream
-    maxFilesPerTrigger.foreach(n =>
-      reader = reader.option("maxFilesPerTrigger", n))
-    val lines = reader.text(inputDir)
-    lines.writeStream
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    startFeed(graft.source.JsonLinesFeed(inputDir, maxFilesPerTrigger),
+      checkpointDir, trigger)
+
+  def startFeed(feed: graft.source.CdcFeed, checkpointDir: String,
+      trigger: Trigger): StreamingQuery = {
+    feed.lines(spark).writeStream
       .queryName(config.name)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
