@@ -82,7 +82,11 @@ object TextQueries {
     */
   private def lshPipeline(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    val shl = withShingles(Tables(spark, dir).documents, col("doc_id"))
+    // documents is one small parquet file (1-2 scan partitions); the
+    // md5-heavy signature compute needs all cores
+    val docs = Tables(spark, dir).documents
+      .repartition(spark.sparkContext.defaultParallelism)
+    val shl = withShingles(docs, col("doc_id"))
       .persist()
     val sig = shl.select(col("doc_id") +: minhashCols(col("sh")): _*)
       .persist()
@@ -207,7 +211,9 @@ object TextQueries {
       s"""WITH $duckSig
          |SELECT doc_id, ${(0 until K).map("mh" + _).mkString(", ")}
          |FROM sig ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      withShingles(Tables(spark, dir).documents, col("doc_id"))
+      val docs = Tables(spark, dir).documents
+        .repartition(spark.sparkContext.defaultParallelism)
+      withShingles(docs, col("doc_id"))
         .select(col("doc_id") +: minhashCols(col("sh")): _*)
         .orderBy("doc_id")
     },
@@ -280,6 +286,7 @@ object TextQueries {
          |  AS BIGINT) AS simhash
          |FROM s ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       val h = Tables(spark, dir).documents
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
         .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
       val sums = (0 until 32).map(b =>
