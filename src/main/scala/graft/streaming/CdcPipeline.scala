@@ -109,13 +109,38 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
   private def isDdlKey(k: String): Boolean =
     k != null && k.startsWith("_") && k.endsWith("_ddl")
 
-  /** One micro-batch = one checkpoint interval. */
+  /** One micro-batch = one checkpoint interval.
+    *
+    * Driver actions per batch are kept to: 1 summary aggregate (row
+    * count, max ts, present/non-READ table keys, offset maximum, DDL
+    * count), N per-table writes launched CONCURRENTLY (Spark schedules
+    * jobs from multiple threads; per-table batches are small relative
+    * to executor count), and a DDL pass only when DDL rows exist.
+    */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (gate.stopped) return // swallow after stop signal (P1 `:138-142`)
     val frame = EnvelopeDecoder.decode(batch).persist()
     try {
-      val present = frame.select("_tbl_key").distinct()
-        .collect().map(_.getString(0)).toSet
+      val isNonRead = col("_op").isNotNull && col("_op") =!= "READ" &&
+        col("_op") =!= "r" && col("_ddl").isNull
+      val offsetStruct = config.sourceType match {
+        case "mysql" => struct(col("_binlog_file"),
+          col("_binlog_pos_end").cast("long").as("pos"))
+        case "postgres" => struct(col("_lsn").cast("long").as("l"))
+        case "oracle" => struct(col("_scn").cast("long").as("s"))
+        case _ => struct(col("_ts"))
+      }
+      val s = frame.agg(
+        count(lit(1)).as("n"),
+        max(col("_ts")).as("maxTs"),
+        collect_set(col("_tbl_key")).as("present"),
+        collect_set(when(isNonRead, col("_tbl_key"))).as("nonReadKeys"),
+        max(when(isNonRead, offsetStruct)).as("off"),
+        sum(when(col("_ddl").isNotNull, 1).otherwise(0)).as("nDdl"))
+        .collect()(0)
+      val present = s.getSeq[String](2).toSet
+      val nonReadTables = s.getSeq[String](3)
+      val nDdl = Option(s.get(5)).map(_.asInstanceOf[Long]).getOrElse(0L)
 
       val unknown = present.diff(routed.keySet)
         .filterNot(k => k == null || isDdlKey(k))
@@ -127,54 +152,47 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
       }
 
-      // Per-table demux + write (K1). Order inside a table's write is
-      // the source offset order.
-      for ((key, spec) <- routed if present.contains(key)) {
-        val rows = frame.filter(col("_tbl_key") === key && col("_ddl").isNull)
-        val out = EnvelopeDecoder.payload(rows, spec)
-          .withColumn("dt", EnvelopeDecoder.dtColumn)
-          .sortWithinPartitions(col("_ts"))
-        out.write.mode("append").partitionBy("dt")
-          .parquet(spec.sinkDir(config.sinkPath, config.sourceId))
-      }
+      // Per-table demux + write (K1), one concurrent job per table.
+      // Order inside a table's write is the source offset order.
+      val writes = for ((key, spec) <- routed.toSeq if present.contains(key))
+        yield scala.concurrent.Future {
+          val rows = frame.filter(col("_tbl_key") === key && col("_ddl").isNull)
+          EnvelopeDecoder.payload(rows, spec)
+            .withColumn("dt", EnvelopeDecoder.dtColumn)
+            .sortWithinPartitions(col("_ts"))
+            .write.mode("append").partitionBy("dt")
+            .parquet(spec.sinkDir(config.sinkPath, config.sourceId))
+        }(scala.concurrent.ExecutionContext.global)
+      import scala.concurrent.duration._
+      writes.foreach(scala.concurrent.Await.result(_, 1.hour))
 
       // DDL events → _{db}_ddl side table (PG flavor keys on _schema).
       val ddlDb = coalesce(col("_db"), col("_schema"))
-      val ddlRows = frame.filter(col("_ddl").isNotNull).persist()
-      val ddls = ddlRows
-        .select(col("_ddl_tbl"), col("_ddl"), ddlDb.as("_ddl_db")).collect()
-        .map(r => (Option(r.getString(0)).getOrElse(""), r.getString(1),
-          Option(r.getString(2)).getOrElse("")))
-      for (db <- ddls.map(_._3).distinct if db.nonEmpty) {
-        val spec = config.registry.ddlSpec(db)
-        EnvelopeDecoder.ddlPayload(ddlRows.filter(ddlDb === db))
-          .withColumn("dt", EnvelopeDecoder.dtColumn)
-          .write.mode("append").partitionBy("dt")
-          .parquet(spec.sinkDir(config.sinkPath, config.sourceId))
+      val ddls: Array[(String, String, String)] = if (nDdl == 0) Array.empty
+      else {
+        val ddlRows = frame.filter(col("_ddl").isNotNull).persist()
+        val collected = ddlRows
+          .select(col("_ddl_tbl"), col("_ddl"), ddlDb.as("_ddl_db")).collect()
+          .map(r => (Option(r.getString(0)).getOrElse(""), r.getString(1),
+            Option(r.getString(2)).getOrElse("")))
+        for (db <- collected.map(_._3).distinct if db.nonEmpty) {
+          val spec = config.registry.ddlSpec(db)
+          EnvelopeDecoder.ddlPayload(ddlRows.filter(ddlDb === db))
+            .withColumn("dt", EnvelopeDecoder.dtColumn)
+            .write.mode("append").partitionBy("dt")
+            .parquet(spec.sinkDir(config.sinkPath, config.sourceId))
+        }
+        ddlRows.unpersist()
+        collected
       }
-      ddlRows.unpersist()
 
       // Offset/status bookkeeping (P3-P7): computed on the committed
       // batch, published after writes — never ahead of data.
-      val nonRead = frame.filter(col("_op").isNotNull && col("_op") =!= "READ"
-        && col("_op") =!= "r" && col("_ddl").isNull)
-      val offsetExpr = config.sourceType match {
-        case "mysql" =>
-          max(struct(col("_binlog_file"),
-            col("_binlog_pos_end").cast("long").as("pos")))
-        case "postgres" => max(struct(col("_lsn").cast("long").as("l")))
-        case "oracle" => max(struct(col("_scn").cast("long").as("s")))
-        case _ => max(struct(col("_ts")))
-      }
-      val stats = frame.agg(
-        count(lit(1)).as("n"), max(col("_ts")).as("maxTs")).collect()(0)
-      recordCount += stats.getLong(0)
-      lastEventTs = math.max(lastEventTs, Option(stats.get(1))
+      recordCount += s.getLong(0)
+      lastEventTs = math.max(lastEventTs, Option(s.get(1))
         .map(_.asInstanceOf[Long]).getOrElse(0L))
-
-      val off = nonRead.agg(offsetExpr.as("o")).collect()(0)
-      if (!off.isNullAt(0)) {
-        val row = off.getStruct(0)
+      if (!s.isNullAt(4)) {
+        val row = s.getStruct(4)
         val offsetStr = config.sourceType match {
           case "mysql" =>
             if (row.isNullAt(0)) null
@@ -189,8 +207,6 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       config.statusStorePath.foreach(writeStatusFile)
 
       // Gate decision AFTER the batch is durable (drain-then-stop).
-      val nonReadTables = nonRead.select("_tbl_key").distinct()
-        .collect().map(_.getString(0)).toSeq
       gate.observe(ddls.map(d => (d._1, d._2)).toSeq, nonReadTables)
     } finally frame.unpersist()
   }
