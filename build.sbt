@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~60 codegen-heavy queries in one JVM: the default 240m code cache
+  // fills mid-run and the JIT silently stops compiling, tripling the
+  // tail queries' runtimes. Give it headroom + flushing.
+  "-XX:ReservedCodeCacheSize=768m",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -44,15 +44,25 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] cdc_ingest failed: ${e.getMessage}"); None
     }
-    val qs = (results ++ ingest.map("cdc_ingest_sec" -> _._1)).map {
-      case (k, v) => s"\"" + k + "\":" + v
+    // The driver captures only the LAST ~2000 chars of output and
+    // json-parses lines from it; sbt appends a "[success] ..." line
+    // after ours. Keep this line well under that window: short keys
+    // (the qNN prefix of each query name) and 3-decimal seconds.
+    def short(name: String): String = {
+      val m = "^(q\\d+)_".r.findFirstMatchIn(name)
+      m.map(_.group(1)).getOrElse(name)
+    }
+    def sec(v: Double): String = f"$v%.3f"
+    val qs = (results.map { case (k, v) => short(k) -> v } ++
+      ingest.map("cdc" -> _._1)).map {
+      case (k, v) => "\"" + k + "\":" + sec(v)
     }.mkString("{", ",", "}")
     val total = results.values.sum + ingest.map(_._1).getOrElse(0.0)
     val extra = ingest.map { case (_, rate) =>
       s""","cdc_ingest_rows_per_sec":${rate.toLong}"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}""")
   }
 
   /** Events → JSON-lines envelope feed → CdcPipeline (AvailableNow);

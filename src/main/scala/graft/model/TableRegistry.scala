@@ -47,19 +47,25 @@ final case class TableRegistry(
 
   def keys: Set[String] = routed.keySet
 
-  /** The `_{db}_ddl` side table registered per database
-    * (`MySQLStreamer.java:459-481`).
+  /** The `{db}_ddl` side table registered per database
+    * (`MySQLStreamer.java:459-481`). The reference's DDL outputTagID is
+    * `{db}_ddl` (`MySQLStreamer.java` createDDLTableForDatabase), so
+    * with an empty db the sink dir comes out
+    * `{sink}/{sourceId}_{db}_ddl` — matching the upstream layout
+    * (a non-empty db here would add a stray `{db}__` infix).
     */
   def ddlSpec(db: String): TableSpec =
-    TableSpec(db, s"_${Sanitizer(db)}_ddl", TableRegistry.DdlSchema)
+    TableSpec("", s"${Sanitizer(db)}_ddl", TableRegistry.DdlSchema)
 }
 
 object TableRegistry {
-  /** DDL event table schema (`MySQLStreamer.java:472-481`). */
+  /** DDL event table schema (`MySQLStreamer.java:472-481`);
+    * `_binlog_pos_end` is BIGINT in the reference's Avro schema.
+    */
   val DdlSchema: StructType = StructType(Seq(
     StructField("_ddl", StringType),
     StructField("_ddl_tbl", StringType),
     StructField("_ts", LongType),
     StructField("_binlog_file", StringType),
-    StructField("_binlog_pos_end", StringType)))
+    StructField("_binlog_pos_end", LongType)))
 }

@@ -84,7 +84,8 @@ object EnvelopeDecoder {
     */
   def ddlPayload(frame: DataFrame): DataFrame =
     frame.select(col("_ddl"), col("_ddl_tbl"), col("_ts"),
-      col("_binlog_file"), col("_binlog_pos_end"))
+      col("_binlog_file"),
+      col("_binlog_pos_end").cast(LongType).as("_binlog_pos_end"))
 
   /** The `dt=yyyy-MM-dd` bucket column from `_ts` millis
     * (`DateBucketAssigner.java:32-41`).

@@ -61,14 +61,15 @@ object MongoModes {
     */
   def driftCheck(frame: DataFrame, spec: TableSpec): Set[String] = {
     val known = spec.schema.fieldNames.toSet ++ Set("_id")
-    val fieldsUdf = udf { (doc: String) =>
-      if (doc == null) Array.empty[String]
-      else """"([^"\\]+)"\s*:""".r.findAllMatchIn(doc)
-        .map(_.group(1)).filterNot(_.startsWith("$")).toArray
-    }
+    // Top-level keys ONLY, like the reference's doc.keySet() walk
+    // (MongoDBDebeziumToJSONDeserializer.java:233-254): a nested
+    // sub-document's fields (stringified by the type mapping) must not
+    // count as drift. json_object_keys parses the JSON properly, so
+    // key-like text inside string values can't false-positive either.
     frame
-      .select(explode(fieldsUdf(get_json_object(col("_raw"), "$._doc")))
+      .select(explode(json_object_keys(get_json_object(col("_raw"), "$._doc")))
         .as("f"))
+      .filter(!col("f").startsWith("$"))
       .distinct().collect().map(_.getString(0)).toSet
       .diff(known)
   }

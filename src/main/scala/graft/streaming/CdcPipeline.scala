@@ -24,7 +24,15 @@ final case class CdcConfig(
     statusStorePath: Option[String] = None,
     snapshotOnly: Boolean = false,
     failOnUnknownTables: Boolean = true,
-    jobName: Option[String] = None) {
+    jobName: Option[String] = None,
+    /** Strict per-table file order (the reference's parallelism-1
+      * guarantee, J3): coalesce each table's batch to one partition
+      * and sort it globally by source offset. Off by default — the
+      * partition-parallel path still sorts within partitions, which
+      * is what downstream keep-latest consumers need, without the
+      * single-partition write bottleneck at scale.
+      */
+    strictOrder: Boolean = false) {
   def name: String = jobName.getOrElse(s"JOB-$sourceId")
 }
 
@@ -109,6 +117,20 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
   private def isDdlKey(k: String): Boolean =
     k != null && k.startsWith("_") && k.endsWith("_ddl")
 
+  /** Per-source event-order columns (P3-P6's offset fields). Snapshot
+    * READ rows carry no binlog position — fall back to the write-back
+    * offset, then _ts.
+    */
+  private val offsetOrder: Seq[org.apache.spark.sql.Column] =
+    config.sourceType match {
+      case "mysql" => Seq(
+        coalesce(col("_binlog_pos_internal"), col("_binlog_pos_end"))
+          .cast("long"), col("_ts"))
+      case "postgres" => Seq(col("_lsn").cast("long"), col("_ts"))
+      case "oracle" => Seq(col("_scn").cast("long"), col("_ts"))
+      case _ => Seq(col("_ts"), col("_txn_op_index").cast("long"))
+    }
+
   /** One micro-batch = one checkpoint interval.
     *
     * Driver actions per batch are kept to: 1 summary aggregate (row
@@ -153,13 +175,19 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       }
 
       // Per-table demux + write (K1), one concurrent job per table.
-      // Order inside a table's write is the source offset order.
+      // Order inside a table's write is the actual SOURCE OFFSET order
+      // (binlog pos / lsn / scn), with _ts only as a tiebreaker —
+      // multiple events in one transaction share a millisecond, so a
+      // _ts sort alone can interleave them (unlike the reference's
+      // parallelism-1 pipeline). Sorted before the payload projection
+      // because that projection strips the offset columns.
       val writes = for ((key, spec) <- routed.toSeq if present.contains(key))
         yield scala.concurrent.Future {
-          val rows = frame.filter(col("_tbl_key") === key && col("_ddl").isNull)
+          val rows0 = frame.filter(col("_tbl_key") === key && col("_ddl").isNull)
+          val rows = (if (config.strictOrder) rows0.coalesce(1) else rows0)
+            .sortWithinPartitions(offsetOrder: _*)
           EnvelopeDecoder.payload(rows, spec)
             .withColumn("dt", EnvelopeDecoder.dtColumn)
-            .sortWithinPartitions(col("_ts"))
             .write.mode("append").partitionBy("dt")
             .parquet(spec.sinkDir(config.sinkPath, config.sourceId))
         }(scala.concurrent.ExecutionContext.global)

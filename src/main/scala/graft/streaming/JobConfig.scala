@@ -59,9 +59,31 @@ object JobConfig {
     }.toMap
   }
 
-  private def unescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
-      .replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r")
+  /** Single left-to-right pass so each escape is handled exactly once
+    * — sequential replace()s would turn `\\n` (literal backslash + n,
+    * e.g. a Windows path "C:\\network") into a newline.
+    */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => sb.append(other); i += 2 // \" \\ \/ and friends
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   def load(path: String): Map[String, String] = {
     val cfg = parse(new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))

@@ -115,8 +115,8 @@ class CdcPipelineSpec extends AnyFunSuite {
     // the triggering batch committed (drain), the later batch did not
     val users = spark.read.parquet(s"$out/src2_testdb__users")
     assert(users.count() == 1)
-    // DDL event landed in the _{db}_ddl side table
-    val ddlT = spark.read.parquet(s"$out/src2_testdb___testdb_ddl")
+    // DDL event landed in the {db}_ddl side table
+    val ddlT = spark.read.parquet(s"$out/src2_testdb_ddl")
     assert(ddlT.count() == 1)
     assert(ddlT.select("_ddl").head.getString(0)
       .startsWith("ALTER TABLE users ADD COLUMN"))

@@ -52,7 +52,7 @@ class CdcResumeSpec extends AnyFunSuite {
     assert(p2.recordCount == 1)
   }
 
-  test("postgres DDL routes to _{schema}_ddl side table") {
+  test("postgres DDL routes to {schema}_ddl side table") {
     val in = Files.createTempDirectory("graft-pgd-in-")
     val out = Files.createTempDirectory("graft-pgd-out-")
     Files.write(in.resolve("00.jsonl"), Seq(
@@ -65,7 +65,7 @@ class CdcResumeSpec extends AnyFunSuite {
     p.runAvailableNow(in.toString,
       Files.createTempDirectory("graft-pgd-ck-").toString)
     assert(!p.gate.stopped) // non-structural
-    val ddl = spark.read.parquet(s"$out/pgs_public___public_ddl")
+    val ddl = spark.read.parquet(s"$out/pgs_public_ddl")
     assert(ddl.count() == 1)
     assert(ddl.select("_ddl").head.getString(0).startsWith("CREATE INDEX"))
   }
