@@ -1,0 +1,117 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** KMV (k-minimum-values) distinct-count sketch over a 60-bit hash
+  * column: keep the k smallest DISTINCT hash values; estimate
+  * `(k-1) / fraction(k-th smallest)`. Unlike HLL
+  * (`approx_count_distinct`), the estimator is a pure function of the
+  * input set — deterministic and reproducible in plain SQL — so the
+  * result hash-matches an independent engine, while still being a
+  * bounded-memory one-pass sketch.
+  *
+  * Scale design: a `TypedImperativeAggregate`, so Spark runs it with
+  * map-side partial aggregation — each task reduces its rows to a
+  * ≤k-element buffer (k·8 bytes), and only buffers cross the shuffle.
+  * The naive formulation (DISTINCT + row_number window per group, as
+  * the DuckDB oracle does) shuffles every distinct hash to one task
+  * per group; this one ships k longs per task per group.
+  *
+  * Buffer: a sorted long set capped at k (TreeSet — k is small, the
+  * log-k insert is noise next to the hash itself).
+  */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.TreeSet[Long]] {
+
+  /** Hash domain: 15 hex chars = 60 bits (fits a signed long; exactly
+    * representable as a double power of two for the estimator).
+    */
+  private val domain = 1.152921504606846976e18 // 16^15
+
+  override def createAggregationBuffer(): scala.collection.mutable.TreeSet[Long] =
+    scala.collection.mutable.TreeSet.empty[Long]
+
+  override def update(buf: scala.collection.mutable.TreeSet[Long],
+      input: InternalRow): scala.collection.mutable.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: scala.collection.mutable.TreeSet[Long],
+      other: scala.collection.mutable.TreeSet[Long]): scala.collection.mutable.TreeSet[Long] = {
+    other.foreach(add(buf, _))
+    buf
+  }
+
+  private def add(buf: scala.collection.mutable.TreeSet[Long], v: Long): Unit =
+    if (buf.size < k) buf += v
+    else if (v < buf.last && !buf.contains(v)) { buf += v; buf -= buf.last }
+
+  override def eval(buf: scala.collection.mutable.TreeSet[Long]): Any =
+    if (buf.size < k) buf.size.toDouble
+    else (k - 1) * domain / buf.last
+
+  override def serialize(buf: scala.collection.mutable.TreeSet[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.TreeSet[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = scala.collection.mutable.TreeSet.empty[Long]
+    var i = 0
+    while (i < n) { buf += bb.getLong; i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): KmvSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): KmvSketch = copy(child = c.head)
+}
+
+object KmvSketch {
+  val FnName = "graft_kmv"
+
+  /** Register once per session (idempotent); Columns built via
+    * call_function — the public Column API has no Expression
+    * constructor in Spark 4.
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName,
+      exprs => KmvSketch(exprs.head,
+        exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int])
+        .toAggregateExpression(),
+      "scala_udf")
+
+  /** `kmv_distinct(hashCol, k)` as an agg Column. `hashCol` must be a
+    * long uniformly hashed into [0, 16^15) — see
+    * [[graft.queries.RelationalQueries]] q60 for the md5-prefix recipe
+    * shared with the DuckDB oracle.
+    */
+  def kmvDistinct(spark: SparkSession, hash: Column, k: Int): Column = {
+    ensureRegistered(spark)
+    call_function(FnName, hash, lit(k))
+  }
+}

@@ -251,6 +251,36 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // Deterministic approximate distinct: KMV sketch (custom
+    // TypedImperativeAggregate with map-side partials — ships ≤k longs
+    // per task per group across the shuffle, vs every distinct hash
+    // for the window formulation the oracle uses). Same estimator,
+    // independent algorithms: Spark keeps a bounded k-min set; DuckDB
+    // ranks all distinct hashes and picks the k-th.
+    QueryDef(
+      "q60_kmv_distinct",
+      """WITH h AS (
+        | SELECT DISTINCT l_returnflag,
+        |  ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15))::BIGINT AS hv
+        | FROM lineitem),
+        |r AS (
+        | SELECT l_returnflag, hv,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        | FROM h)
+        |SELECT l_returnflag,
+        | CASE WHEN cnt < 256 THEN CAST(cnt AS DOUBLE)
+        |      ELSE 255 * 1152921504606846976.0 / hv END AS kmv_parts
+        |FROM r WHERE rn = least(256, cnt)
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(graft.functions.KmvSketch.kmvDistinct(spark,
+          conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+            .cast("long"), 256).as("kmv_parts"))
+        .orderBy("l_returnflag")
+    },
+
     // Set ops over aligned schemas.
     QueryDef(
       "q13_union",

@@ -57,6 +57,18 @@ object TextQueries {
 
   private val Stopwords = Seq("the", "a", "and", "of", "to", "in")
 
+  /** Language-ID trigram profiles, sorted by language code (the sort
+    * order IS the tie-break order). A real deployment would load
+    * trained profiles; these are deterministic harness fixtures.
+    * Declared before `defs` — referenced during its initialization.
+    */
+  private val LangIdProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "sch", "ein", "ich", "en "),
+    "en" -> Seq("the", "ing", "and", " th", "er ", "ow ", "row"),
+    "es" -> Seq("el ", "la ", "de ", "ión", "os ", "ent", "ue "),
+    "fr" -> Seq("le ", "les", "de ", "ent", "que", "ux ", "ion"),
+    "zh" -> Seq("zh ", "sh ", "ng ", "ian", "ao ", "uan", "ei "))
+
   /** k independent MinHash functions: seeded md5 over each shingle,
     * lexicographic min (hex strings order identically in both
     * engines). Pure per-row computation — scales as a map.
@@ -319,25 +331,39 @@ object TextQueries {
           .orderBy("doc_id")
     },
 
-    // Char-n-gram language ID: profile overlap heuristic. Rows-only —
-    // the scoring profiles are engine-internal, not SQL.
-    QueryDef.rowsOnly("q41_langid_ngram") { (spark, dir) =>
-      // Tiny built-in trigram profiles for the harness languages; a
-      // real deployment would load trained profiles. Deterministic.
-      val profiles = Map(
-        "en" -> Seq("the", "ing", "and", " th", "er ", "ow ", "row"),
-        "es" -> Seq("el ", "la ", "de ", "ión", "os ", "ent", "ue "),
-        "de" -> Seq("der", "die", "und", "sch", "ein", "ich", "en "),
-        "fr" -> Seq("le ", "les", "de ", "ent", "que", "ux ", "ion"),
-        "zh" -> Seq("zh ", "sh ", "ng ", "ian", "ao ", "uan", "ei "))
-      val scores = profiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
+    // Char-n-gram language ID: profile overlap heuristic. The tiny
+    // built-in trigram profiles below are literal data, so the whole
+    // classifier is SQL-expressible — the oracle is GENERATED from the
+    // same constants (no drift possible). Ties break alphabetically
+    // (coalesce over sorted langs == CASE over sorted langs).
+    QueryDef(
+      "q41_langid_ngram", {
+        val score = LangIdProfiles.map { case (lang, grams) =>
+          grams.map(g => s"(CASE WHEN contains(lt, '$g') THEN 1 ELSE 0 END)")
+            .mkString(" + ") + s" AS score_$lang"
+        }.mkString(",\n  ")
+        val g = LangIdProfiles.map { case (l, _) => s"score_$l" }
+          .mkString("greatest(", ", ", ")")
+        val pick = LangIdProfiles.map { case (l, _) =>
+          s"WHEN score_$l = g THEN '$l'"
+        }.mkString(" ")
+        s"""WITH s AS (
+           | SELECT doc_id, lang AS labeled_lang,
+           |  $score
+           | FROM (SELECT *, lower(text) AS lt FROM documents))
+           |SELECT doc_id, labeled_lang,
+           | CASE $pick END AS predicted_lang
+           |FROM (SELECT *, $g AS g FROM s)
+           |ORDER BY doc_id""".stripMargin
+      }) { (spark, dir) =>
+      val scores = LangIdProfiles.map { case (lang, grams) =>
         grams.map(g => when(col("lt").contains(g), 1).otherwise(0))
           .reduce(_ + _).as(s"score_$lang")
       }
       val scored = Tables(spark, dir).documents
         .withColumn("lt", lower(col("text")))
         .select(col("doc_id") +: col("lang").as("labeled_lang") +: scores: _*)
-      val langCols = profiles.keys.toSeq.sorted
+      val langCols = LangIdProfiles.map(_._1)
       scored
         .withColumn("predicted", greatest(langCols.map(l => col(s"score_$l")): _*))
         .withColumn("predicted_lang",
