@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.KmvSketch
+
+/** KMV distinct sketch: exact below k, estimator accuracy above k,
+  * determinism across partitionings (the merge/serialize path), and
+  * duplicate insensitivity.
+  */
+class KmvSketchSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+
+  private def hashed(n: Int, parts: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (i % 7, i)).toDF("g", "v")
+      .repartition(parts)
+      .select(col("g"),
+        conv(substring(md5(col("v").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+  }
+
+  test("exact count when distinct values < k") {
+    val out = hashed(100, 4)
+      .groupBy("g").agg(KmvSketch.kmvDistinct(spark, col("hv"), 256).as("d"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // 100 values over 7 groups: 15 in groups 1-2, 14 in 0,3-6 — exact.
+    assert(out(1) == 15.0 && out(0) == 14.0)
+  }
+
+  test("estimates within 2/sqrt(k) above k; duplicates ignored") {
+    import spark.implicits._
+    val base = hashed(20000, 8)
+    val withDups = base.union(base) // sketch is set-based
+    for (df <- Seq(base, withDups)) {
+      val out = df.groupBy("g")
+        .agg(KmvSketch.kmvDistinct(spark, col("hv"), 256).as("d"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      for ((g, est) <- out) {
+        val exact = 20000 / 7 + (if (g >= 1 && g <= 6) 1 else 0)
+        assert(math.abs(est - exact) / exact < 2.0 / math.sqrt(256),
+          s"group $g: est $est vs exact $exact")
+      }
+    }
+  }
+
+  test("identical result for 1 vs 32 partitions (merge path)") {
+    def run(parts: Int) = hashed(5000, parts)
+      .groupBy("g").agg(KmvSketch.kmvDistinct(spark, col("hv"), 64).as("d"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(run(1) == run(32))
+  }
+}
