@@ -153,7 +153,57 @@ final class CdcBinlogStream(dir: String, properties: Map[String, String])
     case _ => ReadLimit.allAvailable()
   }
 
-  override def initialOffset(): Offset = CdcOffset("", 0L)
+  /** S5 startup modes (reference `mysql.startup.mode` et al). Only
+    * consulted on first start — a checkpoint's stored offset wins on
+    * restart (S6), which Spark enforces by never calling this again.
+    *
+    *  - initial/earliest: beginning of the log (for a log-directory
+    *    feed the snapshot IS the head of the log)
+    *  - latest: skip the existing backlog
+    *  - `startup.offset` "file,pos": the reference's offset-store
+    *    format (P3), resuming mid-segment
+    *  - `startup.timestamp.ms`: first event with `_ts` at/after the
+    *    timestamp — one sequential driver-side scan of the backlog,
+    *    paid once at first start (the binlog-connector equivalent
+    *    seeks server-side)
+    */
+  override def initialOffset(): Offset = {
+    import graft.streaming.StartupMode
+    StartupMode.resolve(
+      properties.get("startup.mode"),
+      properties.get("startup.offset"),
+      properties.get("startup.timestamp.ms").map(_.toLong),
+      snapshotOnly = false) match {
+      case StartupMode.Initial | StartupMode.Earliest => CdcOffset("", 0L)
+      case StartupMode.Latest => fullLatest()
+      case StartupMode.Offset(v) => v.split(",", 2) match {
+        case Array(f, p) => CdcOffset(f, p.trim.toLong)
+        case _ => throw new IllegalArgumentException(
+          s"startup.offset must be 'file,pos': $v")
+      }
+      case StartupMode.Timestamp(t) => seekTimestamp(t)
+    }
+  }
+
+  private val TsRe = """"_ts"\s*:\s*(\d+)""".r
+
+  private def seekTimestamp(t: Long): CdcOffset = {
+    for (s <- segments()) {
+      val in = new BufferedReader(new InputStreamReader(
+        fs.open(new Path(dir, s)), StandardCharsets.UTF_8))
+      try {
+        var pos = 0L
+        var line = in.readLine()
+        while (line != null) {
+          val ts = TsRe.findFirstMatchIn(line).map(_.group(1).toLong)
+          if (ts.exists(_ >= t)) return CdcOffset(s, pos)
+          pos += 1
+          line = in.readLine()
+        }
+      } finally in.close()
+    }
+    fullLatest()
+  }
   override def deserializeOffset(json: String): Offset = CdcOffset.parse(json)
   override def commit(end: Offset): Unit = () // segments are retained
   override def stop(): Unit = ()

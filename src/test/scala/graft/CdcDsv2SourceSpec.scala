@@ -96,6 +96,35 @@ class CdcDsv2SourceSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 6)
   }
 
+  test("startup modes: latest skips backlog, offset and timestamp seek") {
+    val in = Files.createTempDirectory("dsv2-su-in-")
+    writeSeg(in, "b.0", Seq(
+      """{"n":0,"_ts":1000}""", """{"n":1,"_ts":2000}"""))
+    writeSeg(in, "b.1", Seq(
+      """{"n":2,"_ts":3000}""", """{"n":3,"_ts":4000}"""))
+    def run(opts: (String, String)*): Seq[String] = {
+      val out = Files.createTempDirectory("dsv2-su-out-").toString
+      val r = spark.readStream.format("graft-cdc").option("path", in.toString)
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load().writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation",
+          Files.createTempDirectory("dsv2-su-ck-").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      spark.read.parquet(out).orderBy("_feed_file", "_feed_pos")
+        .select("value").collect().map(_.getString(0)).toSeq
+    }
+    // latest: nothing until new segments arrive
+    assert(run("startup.mode" -> "latest").isEmpty)
+    // offset "file,pos": resume mid-segment, reference P3 format
+    assert(run("startup.mode" -> "offset", "startup.offset" -> "b.0,1")
+      .map(s => "\"n\":(\\d)".r.findFirstMatchIn(s).get.group(1)) ==
+      Seq("1", "2", "3"))
+    // timestamp: first event at/after _ts
+    assert(run("startup.timestamp.ms" -> "3000")
+      .map(s => "\"n\":(\\d)".r.findFirstMatchIn(s).get.group(1)) ==
+      Seq("2", "3"))
+  }
+
   test("Dsv2Feed drives CdcPipeline end-to-end") {
     val in = Files.createTempDirectory("dsv2-pipe-in-")
     val sink = Files.createTempDirectory("dsv2-pipe-out-").toString
