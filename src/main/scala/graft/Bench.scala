@@ -68,6 +68,10 @@ object Bench {
   /** Events → JSON-lines envelope feed → CdcPipeline (AvailableNow);
     * returns (seconds, rows/sec). Feed-write time is excluded.
     */
+  /** Exposed for graft.ProfileIngest. */
+  private[graft] def profileIngest(spark: SparkSession, sfDir: String): (Double, Double) =
+    benchIngest(spark, sfDir)
+
   private def benchIngest(spark: SparkSession, sfDir: String): (Double, Double) = {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cdc-")

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: break the CDC ingest benchmark into per-Spark-job wall
+  * times (setup vs decode/summary vs per-table write), to see where a
+  * micro-batch actually spends its time.
+  *
+  * {{{ sbt "runMain graft.ProfileIngest" }}}
+  */
+object ProfileIngest {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val starts = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        starts(j.jobId) = (System.nanoTime(),
+          Option(j.properties.getProperty("spark.job.description"))
+            .orElse(Option(j.properties.getProperty("callSite.short")))
+            .getOrElse("?"))
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        starts.remove(j.jobId).foreach { case (t0, desc) =>
+          println(f"[job] ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3fs  $desc")
+        }
+    })
+    val t0 = System.nanoTime()
+    val (sec, rate) = Bench.profileIngest(spark, sfDir)
+    println(f"[ingest] total=${(System.nanoTime() - t0) / 1e9}%.2fs timed=$sec%.2fs rate=${rate.toLong} rows/s")
+    spark.stop()
+  }
+}
