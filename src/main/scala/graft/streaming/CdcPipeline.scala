@@ -139,6 +139,35 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     * jobs from multiple threads; per-table batches are small relative
     * to executor count), and a DDL pass only when DDL rows exist.
     */
+  /** Commit marker for idempotent batch replay. foreachBatch re-runs
+    * the last uncommitted batch after a crash; parquet append would
+    * duplicate its rows. A marker written AFTER all table writes, and
+    * holding the batch's content fingerprint (row count + ts range +
+    * max offset), turns the replay into a no-op — exactly-once for
+    * every batch whose marker landed. The fingerprint guards the
+    * corner where a FRESH checkpoint reuses batch ids over the same
+    * sink: different content → mismatch → the batch processes. (A
+    * crash strictly between a table write and the marker still
+    * replays that batch's appends: residual at-least-once there, same
+    * as the reference between Flink checkpoints; the keep-latest-by-
+    * offset read pattern absorbs it.)
+    */
+  private def commitMarker(batchId: Long): java.nio.file.Path =
+    Paths.get(config.sinkPath, "_graft_commits", s"$batchId")
+
+  private def committedFingerprint(batchId: Long): Option[String] = {
+    val p = commitMarker(batchId)
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    else None
+  }
+
+  private def markCommitted(batchId: Long, fingerprint: String): Unit = {
+    val p = commitMarker(batchId)
+    Files.createDirectories(p.getParent)
+    Files.write(p, fingerprint.getBytes(StandardCharsets.UTF_8))
+  }
+
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (gate.stopped) return // swallow after stop signal (P1 `:138-142`)
     val frame = EnvelopeDecoder.decode(batch).persist()
@@ -164,6 +193,14 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       val present = s.getSeq[String](2).toSet
       val nonReadTables = s.getSeq[String](3)
       val nDdl = Option(s.get(5)).map(_.asInstanceOf[Long]).getOrElse(0L)
+
+      val fingerprint = s"${s.getLong(0)}|${Option(s.get(1)).orNull}|" +
+        s"${Option(s.get(6)).orNull}|${Option(s.get(4)).orNull}|$nDdl"
+      // Durable replay: data + offsets already published. Skip the
+      // writes but STILL run the gate below — the committed batch may
+      // carry the stop signal, and missing it on replay would run the
+      // job past a structural DDL.
+      val replayed = committedFingerprint(batchId).contains(fingerprint)
       // dt days the batch spans: picks the write path below — a
       // steady-state batch (1-2 days) writes directly; a wide span
       // (snapshot/backfill) takes a range shuffle first.
@@ -190,7 +227,8 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       // _ts sort alone can interleave them (unlike the reference's
       // parallelism-1 pipeline). Sorted before the payload projection
       // because that projection strips the offset columns.
-      val writes = for ((key, spec) <- routed.toSeq if present.contains(key))
+      val writes = for ((key, spec) <- routed.toSeq
+          if !replayed && present.contains(key))
         yield scala.concurrent.Future {
           val rows0 = frame.filter(col("_tbl_key") === key && col("_ddl").isNull)
           // Wide-span batches (snapshot/backfill) range-partition by
@@ -226,7 +264,7 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
           .select(col("_ddl_tbl"), col("_ddl"), ddlDb.as("_ddl_db")).collect()
           .map(r => (Option(r.getString(0)).getOrElse(""), r.getString(1),
             Option(r.getString(2)).getOrElse("")))
-        for (db <- collected.map(_._3).distinct if db.nonEmpty) {
+        for (db <- collected.map(_._3).distinct if db.nonEmpty && !replayed) {
           val spec = config.registry.ddlSpec(db)
           EnvelopeDecoder.ddlPayload(ddlRows.filter(ddlDb === db))
             .withColumn("dt", EnvelopeDecoder.dtColumn)
@@ -238,24 +276,28 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       }
 
       // Offset/status bookkeeping (P3-P7): computed on the committed
-      // batch, published after writes — never ahead of data.
-      recordCount += s.getLong(0)
-      lastEventTs = math.max(lastEventTs, Option(s.get(1))
-        .map(_.asInstanceOf[Long]).getOrElse(0L))
-      if (!s.isNullAt(4)) {
-        val row = s.getStruct(4)
-        val offsetStr = config.sourceType match {
-          case "mysql" =>
-            if (row.isNullAt(0)) null
-            else s"${row.getString(0)},${row.getLong(1)}"
-          case _ => Option(row.get(0)).map(_.toString).orNull
+      // batch, published after writes — never ahead of data. A
+      // replayed batch published these in its original run.
+      if (!replayed) {
+        recordCount += s.getLong(0)
+        lastEventTs = math.max(lastEventTs, Option(s.get(1))
+          .map(_.asInstanceOf[Long]).getOrElse(0L))
+        if (!s.isNullAt(4)) {
+          val row = s.getStruct(4)
+          val offsetStr = config.sourceType match {
+            case "mysql" =>
+              if (row.isNullAt(0)) null
+              else s"${row.getString(0)},${row.getLong(1)}"
+            case _ => Option(row.get(0)).map(_.toString).orNull
+          }
+          if (offsetStr != null) {
+            lastOffset = Some(offsetStr)
+            config.offsetStorePath.foreach(writeOffsetFile(_, offsetStr))
+          }
         }
-        if (offsetStr != null) {
-          lastOffset = Some(offsetStr)
-          config.offsetStorePath.foreach(writeOffsetFile(_, offsetStr))
-        }
+        config.statusStorePath.foreach(writeStatusFile)
+        markCommitted(batchId, fingerprint)
       }
-      config.statusStorePath.foreach(writeStatusFile)
 
       // Gate decision AFTER the batch is durable (drain-then-stop).
       gate.observe(ddls.map(d => (d._1, d._2)).toSeq, nonReadTables)

@@ -122,6 +122,37 @@ class CdcPipelineSpec extends AnyFunSuite {
       .startsWith("ALTER TABLE users ADD COLUMN"))
   }
 
+  test("batch replay is idempotent; replayed DDL still trips the gate") {
+    import spark.implicits._
+    val out = tmp()
+    val data = Seq(
+      row("CREATE", "users", 1700000000000L, "mysql-bin.000001", 10,
+        """"id":{"int":1},"name":{"string":"a"},"balance":null"""),
+      ddl("ALTER TABLE users DROP COLUMN balance", "users", 1700000001000L))
+    def batchDf = data.toDF("value")
+    val cfg = CdcConfig("srcRp", registry, out.toString,
+      offsetStorePath = Some(tmp().toString))
+    val p1 = new CdcPipeline(spark, cfg)
+    p1.processBatch(batchDf, 0L)
+    assert(p1.gate.stopped) // structural DDL observed
+    assert(spark.read.parquet(s"$out/srcRp_testdb__users").count() == 1)
+    // crash-restart simulation: fresh pipeline replays the same batch
+    val p2 = new CdcPipeline(spark, cfg)
+    p2.processBatch(batchDf, 0L)
+    // no duplicate appends, but the stop signal is re-observed
+    assert(spark.read.parquet(s"$out/srcRp_testdb__users").count() == 1)
+    assert(spark.read.parquet(s"$out/srcRp_testdb_ddl").count() == 1)
+    assert(p2.gate.stopped)
+    // same id with DIFFERENT content (fresh checkpoint reusing batch
+    // ids over this sink) must process, not skip
+    val p3 = new CdcPipeline(spark, cfg)
+    p3.processBatch(Seq(
+      row("CREATE", "users", 1700000002000L, "mysql-bin.000001", 30,
+        """"id":{"int":2},"name":{"string":"b"},"balance":null"""))
+      .toDF("value"), 0L)
+    assert(spark.read.parquet(s"$out/srcRp_testdb__users").count() == 2)
+  }
+
   test("non-structural DDL does not stop") {
     val in = tmp(); val out = tmp()
     writeFixture(in, "00.jsonl", Seq(
