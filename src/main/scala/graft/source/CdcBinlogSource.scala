@@ -93,7 +93,7 @@ final class CdcBinlogTable(properties: Map[String, String])
   override def name(): String = s"graft-cdc($path)"
   override def schema(): StructType = CdcBinlogSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan {
@@ -101,6 +101,18 @@ final class CdcBinlogTable(properties: Map[String, String])
       override def readSchema(): StructType = CdcBinlogSource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new CdcBinlogStream(path, properties)
+      // batch form: the whole log in one scan (backfill / inspection —
+      // `spark.read.format("graft-cdc")`), same partitions + reader as
+      // one maximal micro-batch
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        new org.apache.spark.sql.connector.read.Batch {
+          private val stream = new CdcBinlogStream(path, properties)
+          override def planInputPartitions(): Array[InputPartition] =
+            stream.planInputPartitions(
+              CdcBinlogSource.CdcOffset("", 0L), stream.reportLatestOffset())
+          override def createReaderFactory(): PartitionReaderFactory =
+            stream.createReaderFactory()
+        }
     }
 }
 

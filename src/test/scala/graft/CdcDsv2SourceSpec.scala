@@ -96,6 +96,16 @@ class CdcDsv2SourceSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 6)
   }
 
+  test("batch read scans the whole log") {
+    val in = Files.createTempDirectory("dsv2-batch-in-")
+    writeSeg(in, "a.0", lines(0 until 4, "p"))
+    writeSeg(in, "a.1", lines(0 until 3, "q"))
+    val got = spark.read.format("graft-cdc").option("path", in.toString)
+      .load()
+    assert(got.count() == 7)
+    assert(got.filter(col("_feed_file") === "a.1").count() == 3)
+  }
+
   test("startup modes: latest skips backlog, offset and timestamp seek") {
     val in = Files.createTempDirectory("dsv2-su-in-")
     writeSeg(in, "b.0", Seq(
