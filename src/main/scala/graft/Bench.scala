@@ -103,8 +103,17 @@ object Bench {
     val pipeline = new graft.streaming.CdcPipeline(spark,
       graft.streaming.CdcConfig("bench", registry, s"$tmp/sink",
         offsetStorePath = Some(s"$tmp/offsets")))
+    // the DSv2 binlog source (graft-cdc) by default: the headline
+    // ingest number exercises graft's own connector seam.
+    // SPARK_GRAFT_FEED=file switches to FileStreamSource for A/B.
+    val feed: graft.source.CdcFeed =
+      if (sys.env.get("SPARK_GRAFT_FEED").contains("file"))
+        graft.source.JsonLinesFeed(feedDir)
+      else graft.source.Dsv2Feed(feedDir)
     val t0 = System.nanoTime()
-    pipeline.runAvailableNow(feedDir, s"$tmp/ck", oneFilePerBatch = false)
+    pipeline.startFeed(feed, s"$tmp/ck",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
     val dt = (System.nanoTime() - t0) / 1e9
     require(pipeline.recordCount == n,
       s"ingest row mismatch: ${pipeline.recordCount} != $n")

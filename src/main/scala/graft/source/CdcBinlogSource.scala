@@ -262,11 +262,14 @@ final class CdcBinlogStream(dir: String, properties: Map[String, String])
     val from = start.asInstanceOf[CdcOffset]
     val to = end.asInstanceOf[CdcOffset]
     if (CdcOffset.ordering.lteq(to, from)) return Array.empty
+    // Only the BOUNDARY segments need driver-side line counts; middle
+    // segments read to EOF (endLine = MaxValue, the reader stops at
+    // null) — planning cost is O(1) files, not O(batch) files.
     segments()
       .filter(s => (s > from.file || (s == from.file && from.pos < countLines(s))) && s <= to.file)
       .flatMap { s =>
         val startPos = if (s == from.file) from.pos else 0L
-        val endPos = if (s == to.file) to.pos else countLines(s)
+        val endPos = if (s == to.file) to.pos else Long.MaxValue
         if (endPos > startPos)
           Some(CdcSegmentPartition(new Path(dir, s).toString, s, startPos, endPos))
         else None
