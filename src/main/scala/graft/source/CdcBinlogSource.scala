@@ -322,12 +322,14 @@ final class CdcSegmentReaderFactory(conf: SerializableConfiguration)
   */
 final case class Dsv2Feed(dir: String,
     maxRecordsPerTrigger: Option[Long] = None,
-    maxFilesPerTrigger: Option[Int] = None) extends CdcFeed {
+    maxFilesPerTrigger: Option[Int] = None,
+    options: Map[String, String] = Map.empty) extends CdcFeed {
   override def lines(spark: SparkSession): DataFrame = {
     val r = spark.readStream.format(classOf[CdcBinlogSource].getName)
       .option("path", dir)
     maxRecordsPerTrigger.foreach(n => r.option("maxRecordsPerTrigger", n))
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    options.foreach { case (k, v) => r.option(k, v) }
     r.load().select("value")
   }
 }

@@ -65,19 +65,36 @@ object CdcJob {
     val config = configFromMap(cfg, jobName)
     val pipeline = new CdcPipeline(spark, config)
 
-    // S6: startup resolution (logged decision; the file feed replays
-    // from the beginning, a live source would seek).
+    // S6: startup resolution (logged decision). The DSv2 feed
+    // actually SEEKS — startup.mode / startup.offset /
+    // startup.timestamp flow into its initialOffset; the plain file
+    // feed replays from the beginning. Stored offsets are not
+    // forwarded as feed positions: they are source-domain offsets
+    // (binlog file,pos), and checkpoint recovery already owns resume.
     val stored = config.offsetStorePath.flatMap(pipeline.readStoredOffset)
     val mode = StartupMode.resolve(cfg.get("startup.mode"), stored,
       cfg.get("startup.timestamp").map(_.toLong), config.snapshotOnly)
     org.slf4j.LoggerFactory.getLogger(getClass)
       .info(s"[${config.name}] startup mode resolved: $mode")
 
+    val feed: graft.source.CdcFeed =
+      if (cfg.get("source.feed").contains("dsv2"))
+        graft.source.Dsv2Feed(inputDir,
+          maxRecordsPerTrigger = cfg.get("max.records.per.trigger").map(_.toLong),
+          options = Seq(
+            cfg.get("startup.mode").map("startup.mode" -> _),
+            cfg.get("startup.offset").map("startup.offset" -> _),
+            cfg.get("startup.timestamp").map("startup.timestamp.ms" -> _))
+            .flatten.toMap)
+      else graft.source.JsonLinesFeed(inputDir,
+        maxFilesPerTrigger = if (config.snapshotOnly) Some(1) else None)
+
     if (config.snapshotOnly) {
-      pipeline.runAvailableNow(inputDir, checkpointDir)
+      pipeline.startFeed(feed, checkpointDir, Trigger.AvailableNow())
+        .awaitTermination()
     } else {
       val interval = cfg.getOrElse("checkpoint.interval", "30").toInt
-      val q = pipeline.start(inputDir, checkpointDir,
+      val q = pipeline.startFeed(feed, checkpointDir,
         Trigger.ProcessingTime(s"$interval seconds"))
       while (q.isActive && !pipeline.gate.stopped)
         q.awaitTermination(200)

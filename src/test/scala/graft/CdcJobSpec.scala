@@ -61,4 +61,25 @@ class CdcJobSpec extends AnyFunSuite {
     assert(p.gate.stopped && p.gate.reason.contains("SNAPSHOT-COMPLETE"))
     assert(p.readStoredOffset(off.toString).contains("f1,88"))
   }
+
+  test("source.feed=dsv2 runs through the graft-cdc source with startup seek") {
+    val in = Files.createTempDirectory("graft-jobd-in-")
+    val sink = Files.createTempDirectory("graft-jobd-sink-")
+    val cfgJson2 = cfgJson
+      .replace("SINK", sink.toString)
+      .replace("OFF", Files.createTempDirectory("graft-jobd-off-").toString)
+      .replace(""""snapshot.only": true,""",
+        """"snapshot.only": true, "source.feed": "dsv2",
+          | "startup.timestamp": "1700000001000",""".stripMargin)
+    Files.write(in.resolve("00.jsonl"), Seq(
+      """{"_op":"READ","_ts":1700000000000,"_db":"testdb","_tbl":"users","id":{"int":1},"name":{"string":"a"},"balance":null,"_binlog_file":"f1","_binlog_pos_end":"1"}""",
+      """{"_op":"CREATE","_ts":1700000001000,"_db":"testdb","_tbl":"users","id":{"int":2},"name":{"string":"b"},"balance":null,"_binlog_file":"f1","_binlog_pos_end":"77"}""")
+      .mkString("\n").getBytes)
+    val p = CdcJob.run(spark, JobConfig.parse(cfgJson2), in.toString,
+      Files.createTempDirectory("graft-jobd-ck-").toString)
+    // timestamp seek skipped the first (older) event
+    val users = spark.read.parquet(s"$sink/cfgsrc_testdb__users_v2")
+    assert(users.count() == 1)
+    assert(users.select("id").head.getInt(0) == 2)
+  }
 }
