@@ -62,6 +62,13 @@ object TextQueries {
     * trained profiles; these are deterministic harness fixtures.
     * Declared before `defs` — referenced during its initialization.
     */
+  /** GPT-2-style pretokenizer (simplified: no trailing-space
+    * lookahead — RE2 has no lookahead). Shared verbatim between the
+    * Spark plan and the DuckDB oracle.
+    */
+  private val BpePattern =
+    """'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
+
   private val LangIdProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "sch", "ein", "ich", "en "),
     "en" -> Seq("the", "ing", "and", " th", "er ", "ow ", "row"),
@@ -329,6 +336,36 @@ object TextQueries {
       (spark, dir) =>
         DupClusters.clusters(lshPipeline(spark, dir)._1)
           .orderBy("doc_id")
+    },
+
+    // BPE-style subword pretokenization (the GPT-2 pretokenizer split,
+    // minus its trailing-space lookahead, which RE2 lacks): contraction
+    // suffixes, space-prefixed letter runs, digit runs, punctuation
+    // runs. n_bpe/n_words ("fertility") is the token-budget metric an
+    // LLM-data pipeline tracks per document. Same regex string feeds
+    // Java (Spark) and RE2 (DuckDB) — both match leftmost-first.
+    QueryDef(
+      "q61_bpe_tokens", {
+        val sqlPat = BpePattern.replace("'", "''")
+        s"""SELECT doc_id,
+           | CAST(len(regexp_extract_all(text, '$sqlPat')) AS INTEGER)
+           |   AS n_bpe,
+           | CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+           |   AS n_words,
+           | round(len(regexp_extract_all(text, '$sqlPat')) * 1.0 /
+           |   greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4)
+           |   AS fertility
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+            .as("n_bpe"),
+          size(split(trim(col("text")), "\\s+")).as("n_words"))
+        .select(col("doc_id"), col("n_bpe"), col("n_words"),
+          round(col("n_bpe") * lit(1.0) /
+            greatest(col("n_words"), lit(1)), 4).as("fertility"))
+        .orderBy("doc_id")
     },
 
     // Char-n-gram language ID: profile overlap heuristic. The tiny
