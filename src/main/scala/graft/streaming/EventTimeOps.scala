@@ -41,6 +41,31 @@ object EventTimeOps {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-static enrichment — the standard CDC analytics pattern
+    * (change stream × dimension). The static side broadcasts: each
+    * micro-batch hash-joins locally, no streaming state, no shuffle
+    * of the stream side. The dimension is re-resolved per batch, so a
+    * CDC-maintained dim parquet is picked up as it compacts.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream interval join: both sides watermarked, the join
+    * range-bounds event-time skew, so each side's buffered state is
+    * dropped once the watermark passes the horizon — state ∝ in-flight
+    * window, not history (the pattern for click↔impression style
+    * correlation over two CDC feeds).
+    */
+  def intervalJoin(left: DataFrame, leftTime: String,
+      right: DataFrame, rightTime: String,
+      key: String, horizonSeconds: Long): DataFrame =
+    left.withWatermark(leftTime, s"$horizonSeconds seconds").as("l")
+      .join(
+        right.withWatermark(rightTime, s"$horizonSeconds seconds").as("r"),
+        expr(s"""l.$key = r.$key AND
+                 r.$rightTime BETWEEN l.$leftTime AND
+                 l.$leftTime + INTERVAL $horizonSeconds SECONDS"""))
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long,
       n_sessions: Long)

@@ -72,6 +72,42 @@ class EventTimeOpsSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("stream-static broadcast enrichment") {
+    import spark.implicits._
+    val in = jsonl(Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      ev(2, "2024-01-01 10:01:00", 2, "click", 2.0),
+      ev(3, "2024-01-01 10:02:00", 9, "view", 3.0))) // no dim match
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "user_name")
+    val stream = spark.readStream.schema(schema).json(in)
+    runToMemory(EventTimeOps.enrich(stream, dim, "user_id"),
+      "enrich_out", "append")
+    val out = spark.table("enrich_out")
+      .select("event_id", "user_name").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> Some("alice"), 2L -> Some("bob"), 3L -> None))
+  }
+
+  test("stream-stream interval join drops out-of-horizon matches") {
+    val imps = jsonl(Seq(
+      ev(10, "2024-01-01 10:00:00", 1, "imp", 0.0),
+      ev(20, "2024-01-01 10:00:00", 2, "imp", 0.0)))
+    val clicks = jsonl(Seq(
+      ev(11, "2024-01-01 10:00:30", 1, "click", 1.0), // within 60s
+      ev(21, "2024-01-01 10:30:00", 2, "click", 1.0))) // beyond horizon
+    val l = spark.readStream.schema(schema).json(imps)
+      .select(col("user_id"), col("ts").as("imp_ts"))
+    val r = spark.readStream.schema(schema).json(clicks)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val joined = EventTimeOps.intervalJoin(
+      l.withColumnRenamed("user_id", "k"),
+      "imp_ts",
+      r.withColumnRenamed("c_user", "k"),
+      "click_ts", "k", 60L)
+    runToMemory(joined.select(col("l.k").as("k")), "ivj_out", "append")
+    assert(spark.table("ivj_out").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("stateful session counts across batches") {
     import spark.implicits._
     val in = jsonl(Seq(
