@@ -52,7 +52,10 @@ object Bench {
       val m = "^(q\\d+)_".r.findFirstMatchIn(name)
       m.map(_.group(1)).getOrElse(name)
     }
-    def sec(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the default locale, and a
+    // comma-decimal locale would corrupt the JSON line
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = (results.map { case (k, v) => short(k) -> v } ++
       ingest.map("cdc" -> _._1)).map {
       case (k, v) => "\"" + k + "\":" + sec(v)

@@ -40,9 +40,9 @@ object DupClusters {
     // version dominated first-run cost via extra codegen + stages).
     // decimal(38,0): an id-sum over billions of 64-bit ids must not
     // wrap, or a wrap collision could mask a real change.
-    def labelSum(df: DataFrame): java.math.BigDecimal = df
+    def labelSum(df: DataFrame): java.math.BigDecimal = Option(df
       .agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
-      .getDecimal(0)
+      .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO) // empty → 0
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

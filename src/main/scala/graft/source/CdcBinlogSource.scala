@@ -15,7 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -57,14 +57,28 @@ object CdcBinlogSource {
     * first segment), `pos` = number of lines already consumed from it.
     */
   final case class CdcOffset(file: String, pos: Long) extends Offset {
-    override def json(): String =
-      s"""{"file":"$file","pos":$pos}"""
+    override def json(): String = {
+      // segment names are filesystem-arbitrary: escape for JSON, or a
+      // quote/backslash in a name wedges the checkpoint offset log
+      val esc = file.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"file":"$esc","pos":$pos}"""
+    }
   }
 
   object CdcOffset {
     private val Re = """\{"file":"(.*)","pos":(\d+)\}""".r
     def parse(json: String): CdcOffset = json match {
-      case Re(f, p) => CdcOffset(f, p.toLong)
+      case Re(f, p) =>
+        // single left-to-right pass (sequential replace()s double-
+        // decode a backslash followed by a quote)
+        val sb = new StringBuilder(f.length)
+        var i = 0
+        while (i < f.length) {
+          if (f.charAt(i) == '\\' && i + 1 < f.length) {
+            sb.append(f.charAt(i + 1)); i += 2
+          } else { sb.append(f.charAt(i)); i += 1 }
+        }
+        CdcOffset(sb.toString, p.toLong)
       case other => throw new IllegalArgumentException(
         s"malformed CDC offset: $other")
     }
@@ -160,8 +174,10 @@ final class CdcBinlogStream(dir: String, properties: Map[String, String])
     availableNowTarget = Some(fullLatest())
 
   override def getDefaultReadLimit: ReadLimit = (maxRecords, maxFiles) match {
-    case (Some(n), _) => ReadLimit.maxRows(n)
-    case (None, Some(n)) => ReadLimit.maxFiles(n)
+    case (Some(n), Some(m)) => ReadLimit.compositeLimit(
+      Array(ReadLimit.maxRows(n), ReadLimit.maxFiles(m)))
+    case (Some(n), None) => ReadLimit.maxRows(n)
+    case (None, Some(m)) => ReadLimit.maxFiles(m)
     case _ => ReadLimit.allAvailable()
   }
 
@@ -232,30 +248,36 @@ final class CdcBinlogStream(dir: String, properties: Map[String, String])
       s > from.file || (s == from.file && from.pos < countLines(s)))
       .filter(s => s <= cap.file)
     if (segs.isEmpty) return from
+    applyLimit(from, cap, segs, limit)
+  }
 
-    limit match {
-      case r: ReadMaxRows =>
-        var remaining = r.maxRows()
-        var end = from
-        for (s <- segs if remaining > 0) {
-          val startPos = if (s == from.file) from.pos else 0L
-          val avail0 = countLines(s) - startPos
-          val avail = if (s == cap.file) math.min(avail0, cap.pos - startPos)
-            else avail0
-          if (avail > 0) {
-            val take = math.min(avail, remaining)
-            end = CdcOffset(s, startPos + take)
-            remaining -= take
-          }
+  private def applyLimit(from: CdcOffset, cap: CdcOffset,
+      segs: Seq[String], limit: ReadLimit): CdcOffset = limit match {
+    case r: ReadMaxRows =>
+      var remaining = r.maxRows()
+      var end = from
+      for (s <- segs if remaining > 0) {
+        val startPos = if (s == from.file) from.pos else 0L
+        val avail0 = countLines(s) - startPos
+        val avail = if (s == cap.file) math.min(avail0, cap.pos - startPos)
+          else avail0
+        if (avail > 0) {
+          val take = math.min(avail, remaining)
+          end = CdcOffset(s, startPos + take)
+          remaining -= take
         }
-        end
-      case f: ReadMaxFiles =>
-        val taken = segs.take(f.maxFiles())
-        val last = taken.last
-        val lastPos = if (last == cap.file) cap.pos else countLines(last)
-        CdcOffset(last, lastPos)
-      case _ => cap
-    }
+      }
+      end
+    case f: ReadMaxFiles =>
+      val taken = segs.take(f.maxFiles())
+      val last = taken.last
+      val lastPos = if (last == cap.file) cap.pos else countLines(last)
+      CdcOffset(last, lastPos)
+    case c: CompositeReadLimit =>
+      // most restrictive wins: the minimum end offset of the parts
+      c.getReadLimits.map(applyLimit(from, cap, segs, _))
+        .min(CdcOffset.ordering)
+    case _ => cap
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

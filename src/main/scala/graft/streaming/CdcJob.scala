@@ -81,7 +81,11 @@ object CdcJob {
       if (cfg.get("source.feed").contains("dsv2"))
         graft.source.Dsv2Feed(inputDir,
           maxRecordsPerTrigger = cfg.get("max.records.per.trigger").map(_.toLong),
-          options = Seq(
+          // snapshot-only forces initial (S5) — forwarding a
+          // configured "latest" would skip the backlog and produce an
+          // empty snapshot, contradicting the resolve() above
+          options = if (config.snapshotOnly) Map.empty
+          else Seq(
             cfg.get("startup.mode").map("startup.mode" -> _),
             cfg.get("startup.offset").map("startup.offset" -> _),
             cfg.get("startup.timestamp").map("startup.timestamp.ms" -> _))

@@ -124,6 +124,9 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
   private val offsetOrder: Seq[org.apache.spark.sql.Column] =
     config.sourceType match {
       case "mysql" => Seq(
+        // file FIRST: positions reset on binlog rotation, so a batch
+        // spanning mysql-bin.000001→000002 must not order by pos alone
+        coalesce(col("_binlog_file_internal"), col("_binlog_file")),
         coalesce(col("_binlog_pos_internal"), col("_binlog_pos_end"))
           .cast("long"), col("_ts"))
       case "postgres" => Seq(col("_lsn").cast("long"), col("_ts"))
@@ -153,7 +156,10 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     * offset read pattern absorbs it.)
     */
   private def commitMarker(batchId: Long): java.nio.file.Path =
-    Paths.get(config.sinkPath, "_graft_commits", s"$batchId")
+    // sourceId in the key: multiple jobs legitimately share a sink
+    // root (sinkDir embeds sourceId), and their batch ids collide
+    Paths.get(config.sinkPath, "_graft_commits",
+      s"${config.sourceId}_$batchId")
 
   private def committedFingerprint(batchId: Long): Option[String] = {
     val p = commitMarker(batchId)

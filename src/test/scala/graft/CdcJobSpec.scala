@@ -62,7 +62,7 @@ class CdcJobSpec extends AnyFunSuite {
     assert(p.readStoredOffset(off.toString).contains("f1,88"))
   }
 
-  test("source.feed=dsv2 runs through the graft-cdc source with startup seek") {
+  test("source.feed=dsv2 snapshot-only forces initial over configured seek") {
     val in = Files.createTempDirectory("graft-jobd-in-")
     val sink = Files.createTempDirectory("graft-jobd-sink-")
     val cfgJson2 = cfgJson
@@ -77,9 +77,12 @@ class CdcJobSpec extends AnyFunSuite {
       .mkString("\n").getBytes)
     val p = CdcJob.run(spark, JobConfig.parse(cfgJson2), in.toString,
       Files.createTempDirectory("graft-jobd-ck-").toString)
-    // timestamp seek skipped the first (older) event
+    // S5: snapshot-only forces initial — the configured timestamp
+    // seek must NOT skip the backlog (a "latest"/timestamp seek under
+    // snapshot-only would emit an empty snapshot). Seek behavior
+    // itself is covered in CdcDsv2SourceSpec.
     val users = spark.read.parquet(s"$sink/cfgsrc_testdb__users_v2")
-    assert(users.count() == 1)
-    assert(users.select("id").head.getInt(0) == 2)
+    assert(users.count() == 2)
+    assert(users.select("id").collect().map(_.getInt(0)).toSet == Set(1, 2))
   }
 }
