@@ -338,6 +338,51 @@ object TextQueries {
           .orderBy("doc_id")
     },
 
+    // Gopher-style repetition signals: the share of the most frequent
+    // word and the duplicate-bigram fraction — the classic "remove
+    // degenerate repetitive documents" filters of an LLM data
+    // pipeline. Word counts go through an explode + two-level
+    // aggregate (distributed, no per-doc state); bigrams pair
+    // adjacent staged tokens with zip_with over slices (sequence()
+    // would run DESCENDING for 1-token docs). Raw doubles: single
+    // exact-int divisions are bit-identical across engines.
+    QueryDef(
+      "q62_repetition",
+      """WITH d AS (SELECT doc_id,
+        |   string_split_regex(lower(trim(text)), '\s+') AS t
+        | FROM documents),
+        |w AS (SELECT doc_id, unnest(t) AS w FROM d),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |top AS (SELECT doc_id, CAST(max(c) AS DOUBLE) AS maxc,
+        |   CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY 1),
+        |b AS (SELECT doc_id, list_transform(generate_series(1, len(t)-1),
+        |   i -> t[i] || ' ' || t[i+1]) AS bg FROM d)
+        |SELECT top.doc_id, CAST(n AS INTEGER) AS n_tokens,
+        | maxc / n AS top_word_frac,
+        | 1.0 - len(list_distinct(bg)) * 1.0 / greatest(len(bg), 1)
+        |   AS dup_bigram_frac
+        |FROM top JOIN b ON top.doc_id = b.doc_id
+        |ORDER BY top.doc_id""".stripMargin) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val t = withToks(docs, col("doc_id"))
+      val top = t.select(col("doc_id"), explode(col("t")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max("c").cast("double").as("maxc"), sum("c").as("n"))
+      val big = t.select(col("doc_id"), zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b)).as("bg"))
+        .select(col("doc_id"), size(col("bg")).as("nbg"),
+          size(array_distinct(col("bg"))).as("ubg"))
+      top.join(big, "doc_id")
+        .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+          (col("maxc") / col("n")).as("top_word_frac"),
+          (lit(1.0) - col("ubg") * lit(1.0) / greatest(col("nbg"), lit(1)))
+            .as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
     // BPE-style subword pretokenization (the GPT-2 pretokenizer split,
     // minus its trailing-space lookahead, which RE2 lacks): contraction
     // suffixes, space-prefixed letter runs, digit runs, punctuation
