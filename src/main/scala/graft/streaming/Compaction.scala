@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink maintenance: rewrite a CDC table directory into row-count-
+  * targeted files per dt partition. Micro-batch appends necessarily
+  * accumulate files (one-plus per batch per partition even with the
+  * wide-span range shuffle); periodic compaction is how a 100 TB lake
+  * keeps scan-side file counts sane. The reference has no equivalent
+  * (its parallelism-1 sink just rolls files per checkpoint and lives
+  * with the count).
+  *
+  * Order contract: rows are range-partitioned and sorted by (dt,
+  * order columns) — the same (file-contiguous, offset-sorted) layout
+  * the pipeline's wide-span write path produces, so keep-latest
+  * consumers see an equivalent directory.
+  *
+  * Safety: the rewrite lands in a sibling `<dir>._compact_tmp`
+  * directory first, then the old directory is swapped out via two
+  * renames (old → `._compact_trash`, tmp → dir) and the trash deleted.
+  * A crash mid-swap leaves either the original or the compacted
+  * directory plus leftovers — never a partially-overwritten table.
+  * Run it while no writer is active (between micro-batches / from a
+  * maintenance job), like any file-level compactor.
+  */
+object Compaction {
+
+  /** @param rowsPerFile target rows per output file (proxy for the
+    *   128 MB size target — callers know their row width)
+    * @param order within-partition sort columns after dt (source
+    *   offset order for CDC tables)
+    * @return (filesBefore, filesAfter)
+    */
+  def compact(spark: SparkSession, tableDir: String, rowsPerFile: Long,
+      order: Seq[String]): (Long, Long) = {
+    val df = spark.read.parquet(tableDir)
+    val n = df.count()
+    val parts = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+    val sortCols = col("dt") +: order.map(col(_))
+
+    val fs = new Path(tableDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def countFiles(p: String): Long = {
+      val it = fs.listFiles(new Path(p), true)
+      var c = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) c += 1 }
+      c
+    }
+    val before = countFiles(tableDir)
+
+    val tmp = new Path(tableDir + "._compact_tmp")
+    val trash = new Path(tableDir + "._compact_trash")
+    fs.delete(tmp, true); fs.delete(trash, true)
+    df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("dt")
+      .parquet(tmp.toString)
+
+    // swap: old → trash, tmp → live, drop trash
+    val live = new Path(tableDir)
+    if (!fs.rename(live, trash))
+      throw new IllegalStateException(s"compact swap failed: $tableDir")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(trash, live) // roll back
+      throw new IllegalStateException(s"compact swap failed: $tableDir")
+    }
+    fs.delete(trash, true)
+    (before, countFiles(tableDir))
+  }
+}
