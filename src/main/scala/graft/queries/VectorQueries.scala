@@ -223,5 +223,46 @@ object VectorQueries {
           round(col("cos"), 6).as("cosine"), col("rn"))
         .orderBy("qid", "rn")
     },
+
+    // IVF training: one distributed Lloyd (k-means) refinement of the
+    // seed centroids — assign every vector to its nearest centroid,
+    // then recompute each centroid as the element-wise mean of its
+    // members. posexplode → two-level aggregate: the shuffle carries
+    // (centroid, dim) partial sums, never whole vectors to one task,
+    // so a billion-vector corpus trains the same way. Output in long
+    // form (centroid, dim, value) for exact row hashing.
+    QueryDef(
+      "q63_kmeans_iter",
+      s"""WITH $DuckNorm,
+         |c AS (SELECT vec_id AS cid, e AS ce, nm AS cnm FROM n WHERE vec_id < 8),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_dot_product(a.e, c.ce) / (a.nm * c.cnm) DESC, c.cid)
+         |      AS rn FROM n a, c)
+         |  WHERE rn = 1),
+         |m AS (SELECT asgn.cid AS centroid, n.e FROM assign asgn
+         |      JOIN n ON asgn.vec_id = n.vec_id),
+         |long AS (SELECT centroid, unnest(generate_series(1, len(e))) AS i, e
+         |         FROM m)
+         |SELECT centroid, CAST(i - 1 AS INT) AS dim,
+         |  avg(e[CAST(i AS INT)]) AS value,
+         |  CAST(count(*) AS BIGINT) AS n_members
+         |FROM long GROUP BY centroid, i
+         |ORDER BY centroid, dim""".stripMargin) { (spark, dir) =>
+      val n = withNorm(spark, dir)
+      val c = n.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("e").as("ce"), col("nm").as("cnm"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+      val assign = n.crossJoin(broadcast(c))
+        .withColumn("cos", dot(col("e"), col("ce")) / (col("nm") * col("cnm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("centroid"))
+      assign.join(n, "vec_id")
+        .select(col("centroid"), posexplode(col("e")).as(Seq("dim", "v")))
+        .groupBy("centroid", "dim")
+        .agg(avg("v").as("value"), count(lit(1)).as("n_members"))
+        .orderBy("centroid", "dim")
+    },
   )
 }
