@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guards on physical plan SHAPE — the scale properties
+  * COVERAGE.md/SCALE.md claim (broadcast stars, pushdown + pruning,
+  * map-side sketch partials) asserted against the executed plan, so a
+  * refactor that silently degrades a plan fails the build, not the
+  * next benchmark.
+  */
+class PlanAssertionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) physical plan string. */
+  private def planOf(df: DataFrame): String = {
+    df.collect() // force execution so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q06 star join broadcasts every dimension, no sort-merge join") {
+    val plan = planOf(SparkEntry.queries("q06_region_revenue")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
+  test("q02 filter reaches the parquet scan and columns are pruned") {
+    val df = SparkEntry.queries("q02_filter_project")(spark, sf)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val lineitemScan = scans.find(_.contains("lineitem")).get
+    assert(lineitemScan.contains("PushedFilters: ["), lineitemScan.take(400))
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(lineitemScan).isDefined,
+      s"no filter pushed: ${lineitemScan.take(400)}")
+    // projection pruning: the scan must not read the full 16-col schema
+    assert(!lineitemScan.contains("l_comment"), lineitemScan.take(400))
+  }
+
+  test("q60 KMV aggregate runs with map-side partials") {
+    val plan = planOf(SparkEntry.queries("q60_kmv_distinct")(spark, sf))
+    // partial + final object-hash aggregate pair around the shuffle
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
+  }
+
+  test("q37 minhash signatures are map-only (no hash-partition shuffle)") {
+    val plan = planOf(SparkEntry.queries("q37_minhash_sig")(spark, sf))
+    // the trailing total ORDER BY adds a range exchange; anything
+    // hashpartitioned would mean an accidental aggregation/join
+    assert(!plan.contains("hashpartitioning"), plan.take(800))
+  }
+}
