@@ -69,6 +69,16 @@ object TextQueries {
   private val BpePattern =
     """'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
 
+  /** Per-language keep thresholds over the 16^15 hash domain, as
+    * EXACT long literals shared with the oracle SQL (a rate×domain
+    * product would round differently in Scala doubles vs DuckDB
+    * decimals). 2^58 = 25%, 3·2^58 = 75%: downsample dominant English,
+    * keep most of the rest — the corpus-rebalancing shape.
+    */
+  private val SampleThresholds: Seq[(String, Long)] = Seq(
+    "de" -> (3L << 58), "en" -> (1L << 58), "es" -> (3L << 58),
+    "fr" -> (3L << 58), "zh" -> (3L << 58))
+
   private val LangIdProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "sch", "ein", "ich", "en "),
     "en" -> Seq("the", "ing", "and", " th", "er ", "ow ", "row"),
@@ -336,6 +346,38 @@ object TextQueries {
       (spark, dir) =>
         DupClusters.clusters(lshPipeline(spark, dir)._1)
           .orderBy("doc_id")
+    },
+
+    // Deterministic stratified sampling — corpus rebalancing by
+    // language, the subset-selection op of a training-data pipeline.
+    // Keep decisions hash on doc_id (15-hex md5 prefix → [0, 16^15)),
+    // so the sample is reproducible run-to-run, engine-to-engine, and
+    // under repartitioning — unlike rand()-based TABLESAMPLE. Map-only:
+    // a filter, no shuffle beyond the output ORDER BY.
+    QueryDef(
+      "q64_stratified_sample", {
+        val rates = SampleThresholds.map { case (l, t) =>
+          s"WHEN lang = '$l' THEN $t"
+        }.mkString(" ")
+        s"""SELECT doc_id, lang
+           |FROM (SELECT doc_id, lang,
+           |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS hv,
+           |  CASE $rates ELSE 0 END AS threshold
+           | FROM documents)
+           |WHERE hv < threshold
+           |ORDER BY doc_id""".stripMargin
+      }) { (spark, dir) =>
+      val threshold = SampleThresholds.map { case (l, t) =>
+        when(col("lang") === l, lit(t))
+      }.reduce(coalesce(_, _))
+      Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("hv"),
+          coalesce(threshold, lit(0L)).as("threshold"))
+        .filter(col("hv") < col("threshold"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
     },
 
     // Gopher-style repetition signals: the share of the most frequent
