@@ -194,7 +194,10 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         collect_set(when(isNonRead, col("_tbl_key"))).as("nonReadKeys"),
         max(when(isNonRead, offsetStruct)).as("off"),
         sum(when(col("_ddl").isNotNull, 1).otherwise(0)).as("nDdl"),
-        min(col("_ts")).as("minTs"))
+        min(col("_ts")).as("minTs"),
+        // undecodable envelope (bad JSON / no routing key): counted
+        // here, fatal below — silently dropping data is not an option
+        sum(when(col("_tbl_key").isNull, 1).otherwise(0)).as("nBad"))
         .collect()(0)
       val present = s.getSeq[String](2).toSet
       val nonReadTables = s.getSeq[String](3)
@@ -214,6 +217,15 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         case (Some(hi: java.lang.Long), Some(lo: java.lang.Long)) =>
           (hi - lo) / 86400000L + 1
         case _ => 1L
+      }
+
+      // Undecodable rows: fail like the reference's deserializer (J2
+      // no-restart) unless the job opted into warn-and-continue.
+      val nBad = Option(s.get(7)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (nBad > 0) {
+        val msg = s"MALFORMED ENVELOPE: $nBad row(s) with no routing key"
+        if (config.failOnUnknownTables) throw new IllegalStateException(msg)
+        else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
       }
 
       val unknown = present.diff(routed.keySet)

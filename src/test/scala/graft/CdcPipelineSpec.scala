@@ -153,6 +153,42 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/srcRp_testdb__users").count() == 2)
   }
 
+  test("malformed envelope fails the job unless opted into warn mode") {
+    import spark.implicits._
+    val out = tmp()
+    val lines = Seq(
+      row("CREATE", "users", 1700000000000L, "mysql-bin.000001", 10,
+        """"id":{"int":1},"name":{"string":"a"},"balance":null"""),
+      "this is not json at all")
+    val strict = new CdcPipeline(spark,
+      CdcConfig("srcBadS", registry, tmp().toString))
+    val e = intercept[IllegalStateException] {
+      strict.processBatch(lines.toDF("value"), 0L)
+    }
+    assert(e.getMessage.startsWith("MALFORMED ENVELOPE"))
+    // warn mode: good rows land, bad row is logged and skipped
+    val lax = new CdcPipeline(spark,
+      CdcConfig("srcBadW", registry, out.toString,
+        failOnUnknownTables = false))
+    lax.processBatch(lines.toDF("value"), 0L)
+    assert(spark.read.parquet(s"$out/srcBadW_testdb__users").count() == 1)
+  }
+
+  test("wide registry: 50-table batch demuxes every table correctly") {
+    import spark.implicits._
+    val out = tmp()
+    val wide = TableRegistry((0 until 50).map(i =>
+      TableSpec("db", s"t$i", itemsSchema)))
+    val lines = (0 until 200).map { i =>
+      s"""{"_op":"CREATE","_ts":${1700000000000L + i},"_db":"db","_tbl":"t${i % 50}","id":{"int":$i},"qty":{"long":${i * 2}},"_binlog_file":"f1","_binlog_pos_end":"$i"}"""
+    }
+    val p = new CdcPipeline(spark, CdcConfig("srcWide", wide, out.toString))
+    p.processBatch(lines.toDF("value"), 0L)
+    assert(p.recordCount == 200)
+    for (t <- Seq(0, 17, 49))
+      assert(spark.read.parquet(s"$out/srcWide_db__t$t").count() == 4)
+  }
+
   test("non-structural DDL does not stop") {
     val in = tmp(); val out = tmp()
     writeFixture(in, "00.jsonl", Seq(
