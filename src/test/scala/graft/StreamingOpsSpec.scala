@@ -45,6 +45,30 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(JobConfig.nameMap(cfg, "database.name.map").isEmpty)
   }
 
+  test("config value unescape round-trips arbitrary strings") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // JSON-escape exactly as a writer would; parse must invert it
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case '\r' => "\\r"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val strGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf('\\', '"', '\n', '\t', '\r', '/', 'n', 'u'),
+      1 -> Gen.oneOf("C:\\network", "a\\\\n", "\\u0041")
+        .flatMap(s => Gen.oneOf(s.toList)))).map(_.mkString)
+    val prop = Prop.forAll(strGen) { v =>
+      JobConfig.parse(s"""{"k": "${esc(v)}"}""")("k") == v
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop).passed)
+  }
+
   test("postgres-flavor envelope routes on bare table with _schema") {
     import spark.implicits._
     val lines = Seq(
