@@ -28,21 +28,30 @@ final case class TableSpec(db: String, table: String, schema: StructType) {
 }
 
 /** The table registry built at job start. Name maps are applied here,
-  * once, on sanitized names (`SideInputProcessFunction.java:68-118`;
-  * we deliberately skip the reference's lossy `_`→`-` reverse lookup,
-  * SURVEY §1.4).
+  * once, keyed by the ORIGINAL (config-declared) names — the
+  * reference's `_database`-keyed lookup done ahead of time
+  * (`SideInputProcessFunction.java:68-118`; we deliberately skip its
+  * lossy `_`→`-` reverse lookup, SURVEY §1.4).
   */
 final case class TableRegistry(
     tables: Seq[TableSpec],
     dbNameMap: Map[String, String] = Map.empty,
     tableNameMap: Map[String, String] = Map.empty) {
 
-  /** Registry after sanitization + renames, keyed for routing. */
+  /** Registry after sanitization + renames. ROUTING keys are the
+    * SANITIZED original names — envelopes carry sanitized `_db`/`_tbl`
+    * (FIXTURES §A.1), so a raw config key like `my-db.users` would
+    * never match its own events. The spec's db/table carry the
+    * (renamed, sanitized) SINK identity.
+    */
   lazy val routed: Map[String, TableSpec] = tables.map { t =>
     val db = dbNameMap.getOrElse(t.db, t.db)
     val tbl = tableNameMap.getOrElse(t.key, t.table)
     val spec = t.copy(db = Sanitizer(db), table = Sanitizer(tbl))
-    t.key -> spec
+    val routeKey =
+      if (t.db.isEmpty) Sanitizer(t.table)
+      else s"${Sanitizer(t.db)}.${Sanitizer(t.table)}"
+    routeKey -> spec
   }.toMap
 
   def keys: Set[String] = routed.keySet

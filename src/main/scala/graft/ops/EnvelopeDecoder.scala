@@ -64,7 +64,8 @@ object EnvelopeDecoder {
     * routing + write-back offsets are stripped (T6,
     * `mysql/SideInputProcessFunction.java:54-63`).
     */
-  def payload(frame: DataFrame, spec: TableSpec): DataFrame = {
+  def payload(frame: DataFrame, spec: TableSpec,
+      sourceType: String = "mysql"): DataFrame = {
     val unionSchema = StructType(spec.schema.fields.toSeq.map { f =>
       StructField(f.name, StructType(Seq(
         StructField(TypeMapping.unionTag(f.dataType), f.dataType))))
@@ -72,8 +73,20 @@ object EnvelopeDecoder {
     val cols = spec.schema.fields.toSeq.map { f =>
       col(s"_p.${f.name}.${TypeMapping.unionTag(f.dataType)}").as(f.name)
     }
-    val kept = Seq(col("_op"), col("_ts"),
-      col("_binlog_file_internal"), col("_binlog_pos_internal"))
+    // Kept metadata is per-source, matching the reference sink schemas:
+    // MySQL keeps the Debezium-internal binlog position
+    // (`MySQLStreamer.java:436-439`, pos is BIGINT there), Mongo keeps
+    // `_txn_op_index` (`MongoDBStreamer.java:308-310`) — the intra-
+    // transaction tiebreaker keep-latest consumers need when two ops
+    // share a millisecond — and Postgres/Oracle keep only op + ts
+    // (`PostgresStreamer.java:257-258`, `OracleStreamer.java:254-255`).
+    val kept = col("_op") +: col("_ts") +: (sourceType match {
+      case "mysql" => Seq(col("_binlog_file_internal"),
+        col("_binlog_pos_internal").cast(LongType)
+          .as("_binlog_pos_internal"))
+      case "mongodb" => Seq(col("_txn_op_index"))
+      case _ => Seq.empty
+    })
     frame
       .withColumn("_p", from_json(col("_raw"), unionSchema))
       .select(cols ++ kept: _*)

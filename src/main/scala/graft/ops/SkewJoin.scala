@@ -19,9 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Valid joinTypes: inner / left / left_semi / left_anti. Right and
+    * full outer are rejected — an unmatched right row fails the
+    * (key, salt) join once per salt and would be emitted n times.
+    */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    val jt = joinType.toLowerCase.replace("outer", "").replace("_", "")
+      .trim
+    require(Set("inner", "left", "leftsemi", "leftanti", "semi", "anti")
+      .contains(jt),
+      s"saltedJoin does not support '$joinType': replicated right-side " +
+        "rows would duplicate unmatched outer results")
     val salted = left.withColumn("_salt",
       (rand(seed = 42) * saltBuckets).cast("int"))
     val replicated = right.withColumn("_salt",

@@ -245,7 +245,7 @@ object VectorQueries {
          |long AS (SELECT centroid, unnest(generate_series(1, len(e))) AS i, e
          |         FROM m)
          |SELECT centroid, CAST(i - 1 AS INT) AS dim,
-         |  avg(e[CAST(i AS INT)]) AS value,
+         |  round(avg(e[CAST(i AS INT)]), 6) AS value,
          |  CAST(count(*) AS BIGINT) AS n_members
          |FROM long GROUP BY centroid, i
          |ORDER BY centroid, dim""".stripMargin) { (spark, dir) =>
@@ -261,7 +261,10 @@ object VectorQueries {
       assign.join(n, "vec_id")
         .select(col("centroid"), posexplode(col("e")).as(Seq("dim", "v")))
         .groupBy("centroid", "dim")
-        .agg(avg("v").as("value"), count(lit(1)).as("n_members"))
+        // round(6) per the module determinism contract: avg sums
+        // doubles in partial-merge order, which differs from DuckDB's
+        // sequential fold at the ~1e-13 level
+        .agg(round(avg("v"), 6).as("value"), count(lit(1)).as("n_members"))
         .orderBy("centroid", "dim")
     },
   )

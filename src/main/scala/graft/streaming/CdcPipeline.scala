@@ -74,6 +74,13 @@ final class StopGate(
           k => k == tbl || k.endsWith(s".$tbl")))) {
         DdlClassifier.classify(ddl, oracle = oracleDdl) match {
           case DdlClassifier.Ignore => ()
+          case DdlClassifier.StopTruncateWarn =>
+            // the reference's distinct TRUNCATE advice
+            // (`mysql/SideInputProcessFunction.java` truncate branch)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"TRUNCATE detected — use snapshot-only mode to re-sync: $ddl")
+            stopped = true
+            reason = Some(s"STRUCTURAL-DDL-TRUNCATE: $ddl")
           case _ =>
             stopped = true
             reason = Some(s"STRUCTURAL-DDL: $ddl")
@@ -265,7 +272,7 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
               (EnvelopeDecoder.dtColumn +: offsetOrder): _*)
             else rows0)
             .sortWithinPartitions((EnvelopeDecoder.dtColumn +: offsetOrder): _*)
-          EnvelopeDecoder.payload(rows, spec)
+          EnvelopeDecoder.payload(rows, spec, config.sourceType)
             .withColumn("dt", EnvelopeDecoder.dtColumn)
             .write.mode("append").partitionBy("dt")
             .parquet(spec.sinkDir(config.sinkPath, config.sourceId))

@@ -29,16 +29,18 @@ object Compaction {
 
   /** @param rowsPerFile target rows per output file (proxy for the
     *   128 MB size target — callers know their row width)
-    * @param order within-partition sort columns after dt (source
-    *   offset order for CDC tables)
+    * @param order within-partition sort COLUMNS after dt — pass typed
+    *   expressions, e.g. `col("_binlog_pos_internal").cast("long")`:
+    *   CDC sinks store some offsets as strings, and a bare string sort
+    *   would order "100" before "99"
     * @return (filesBefore, filesAfter)
     */
   def compact(spark: SparkSession, tableDir: String, rowsPerFile: Long,
-      order: Seq[String]): (Long, Long) = {
+      order: Seq[org.apache.spark.sql.Column]): (Long, Long) = {
     val df = spark.read.parquet(tableDir)
     val n = df.count()
     val parts = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
-    val sortCols = col("dt") +: order.map(col(_))
+    val sortCols = col("dt") +: order
 
     val fs = new Path(tableDir).getFileSystem(
       spark.sessionState.newHadoopConf())

@@ -46,14 +46,19 @@ object StartupMode {
 object JobConfig {
 
   def parse(json: String): Map[String, String] = {
-    // flat {"key": value} object; values are strings/numbers/booleans
-    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*("(?:[^"\\]|\\.)*"|[-0-9.eE+]+|true|false|null)""".r
+    // flat {"key": value} object; values are strings/numbers/booleans,
+    // or one level of nested object (name maps written as natural JSON
+    // rather than an escaped string) — matched WHOLE, so its inner
+    // pairs are consumed and cannot pollute the top-level config
+    val entry = (""""((?:[^"\\]|\\.)*)"\s*:\s*""" +
+      """("(?:[^"\\]|\\.)*"|\{(?:[^{}"]|"(?:[^"\\]|\\.)*")*\}|""" +
+      """[-0-9.eE+]+|true|false|null)""").r
     entry.findAllMatchIn(json).map { m =>
       val k = unescape(m.group(1))
       val v = m.group(2) match {
         case s if s.startsWith("\"") =>
           unescape(s.substring(1, s.length - 1))
-        case other => other
+        case o => o // number/bool/null, or raw object (nameMap parses)
       }
       k -> v
     }.toMap

@@ -27,7 +27,7 @@ class CompactionSpec extends AnyFunSuite {
     val beforeRows = spark.read.parquet(dir).orderBy("dt", "pos", "id")
       .collect().toSeq
     val (before, after) = Compaction.compact(spark, dir,
-      rowsPerFile = 250, order = Seq("pos"))
+      rowsPerFile = 250, order = Seq(col("pos")))
     assert(before > 20, s"fixture not fragmented: $before files")
     assert(after <= 4, s"still fragmented after compact: $after files")
     val afterDf = spark.read.parquet(dir)

@@ -45,6 +45,18 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(JobConfig.nameMap(cfg, "database.name.map").isEmpty)
   }
 
+  test("name map written as natural nested JSON parses whole") {
+    val cfg = JobConfig.parse(
+      """{"source.id": "s1",
+        | "table.name.map": {"db.t1": "t1_v2", "db.t2": "t2_v2"},
+        | "sink.path": "/lake"}""".stripMargin)
+    assert(JobConfig.nameMap(cfg, "table.name.map") ==
+      Map("db.t1" -> "t1_v2", "db.t2" -> "t2_v2"))
+    // inner pairs must NOT leak into the top-level config
+    assert(!cfg.contains("db.t1"))
+    assert(cfg("sink.path") == "/lake")
+  }
+
   test("config value unescape round-trips arbitrary strings") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // JSON-escape exactly as a writer would; parse must invert it

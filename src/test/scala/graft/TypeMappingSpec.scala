@@ -62,6 +62,22 @@ class TypeMappingSpec extends AnyFunSuite {
     assert(Sanitizer("clean") == "clean")
   }
 
+  test("registry routes hyphenated names by their SANITIZED form") {
+    import org.apache.spark.sql.types._
+    import graft.model.{TableRegistry, TableSpec}
+    // envelopes carry sanitized _db/_tbl (FIXTURES §A.1): a config key
+    // "my-db.user-events" must be reachable as "my_db.user_events"
+    val reg = TableRegistry(
+      Seq(TableSpec("my-db", "user-events",
+        StructType(Seq(StructField("id", IntegerType))))),
+      tableNameMap = Map("my-db.user-events" -> "events_v2"))
+    assert(reg.routed.keySet == Set("my_db.user_events"))
+    val spec = reg.routed("my_db.user_events")
+    assert(spec.table == "events_v2") // renamed via ORIGINAL-name key
+    assert(spec.db == "my_db")
+    assert(spec.sinkDir("/s", "src") == "/s/src_my_db__events_v2")
+  }
+
   test("Mongo sampling: first class wins, conflict is a hard error") {
     val s = TypeMapping.inferFromSamples(Seq(
       Map("_id" -> "ObjectId", "n" -> "Integer"),
