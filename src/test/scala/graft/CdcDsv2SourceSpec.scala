@@ -135,6 +135,29 @@ class CdcDsv2SourceSpec extends AnyFunSuite {
       Seq("2", "3"))
   }
 
+  test("live tailing: segments appended mid-stream arrive in later batches") {
+    val in = Files.createTempDirectory("dsv2-live-in-")
+    val out = Files.createTempDirectory("dsv2-live-out-").toString
+    writeSeg(in, "s.000", lines(0 until 3, "a"))
+    val q = spark.readStream.format("graft-cdc").option("path", in.toString)
+      .load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("dsv2-live-ck-").toString)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      def rows(): Long =
+        try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (rows() < 3 && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(rows() == 3, "initial backlog not consumed")
+      // append while the query is live — the next trigger must see it
+      writeSeg(in, "s.001", lines(0 until 2, "b"))
+      while (rows() < 5 && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(rows() == 5, "mid-stream append not consumed")
+    } finally q.stop()
+  }
+
   test("Dsv2Feed drives CdcPipeline end-to-end") {
     val in = Files.createTempDirectory("dsv2-pipe-in-")
     val sink = Files.createTempDirectory("dsv2-pipe-out-").toString
