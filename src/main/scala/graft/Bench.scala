@@ -21,7 +21,9 @@ object Bench {
     // timed query doesn't absorb ~4s of one-time init
     spark.range(1000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted: Map iteration order varies with hashing, and run order
+    // matters for first-run codegen/JIT costs — keep rounds comparable
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full execution incl. final sort and all output
       // columns (count() would let Catalyst prune both)
@@ -60,7 +62,7 @@ object Bench {
       ingest.map("cdc" -> _._1)).map {
       case (k, v) => "\"" + k + "\":" + sec(v)
     }.mkString("{", ",", "}")
-    val total = results.values.sum + ingest.map(_._1).getOrElse(0.0)
+    val total = results.map(_._2).sum + ingest.map(_._1).getOrElse(0.0)
     val extra = ingest.map { case (_, rate) =>
       s""","cdc_ingest_rows_per_sec":${rate.toLong}"""
     }.getOrElse("")

@@ -51,7 +51,12 @@ class OffsetFlavorsSpec extends AnyFunSuite {
       schema)
     // READ skipped even though its _ts is larger
     assert(p.readStoredOffset(off.toString).contains("1700000001000"))
-    assert(spark.read.parquet(s"$out/src_mongodb_t1").count() == 2)
+    val sink = spark.read.parquet(s"$out/src_mongodb_t1")
+    assert(sink.count() == 2)
+    // reference mongo sink schema keeps the intra-transaction
+    // tiebreaker (`MongoDBStreamer.java:308-310`), not binlog fields
+    assert(sink.columns.contains("_txn_op_index"))
+    assert(!sink.columns.contains("_binlog_pos_internal"))
   }
 
   test("oracle flavor: raw r/c ops, SCN offset") {
