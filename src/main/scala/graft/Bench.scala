@@ -17,10 +17,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (codegen/JIT infra, FS metadata) so the first
-    // timed query doesn't absorb ~4s of one-time init
+    // warm the session so the first timed query doesn't absorb one-
+    // time init: codegen/JIT infra, AND the parquet reader + shuffle +
+    // sort machinery (region = 5 rows; warms code paths, not data)
     spark.range(1000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_regionkey").count().orderBy("r_regionkey")
+      .write.format("noop").mode("overwrite").save()
     // sorted: Map iteration order varies with hashing, and run order
     // matters for first-run codegen/JIT costs — keep rounds comparable
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
