@@ -135,6 +135,27 @@ class CdcDsv2SourceSpec extends AnyFunSuite {
       Seq("2", "3"))
   }
 
+  test("composite admission: rows and files caps both bind") {
+    val in = Files.createTempDirectory("dsv2-comp-in-")
+    for (i <- 0 until 3) writeSeg(in, s"c.$i", lines(0 until 4, s"s$i"))
+    val out = Files.createTempDirectory("dsv2-comp-out-").toString
+    spark.readStream.format("graft-cdc").option("path", in.toString)
+      .option("maxRecordsPerTrigger", 10) // would span 3 files
+      .option("maxFilesPerTrigger", 1) // ...but files cap is tighter
+      .load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("dsv2-comp-ck-").toString)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 12)
+    // one file per batch => each parquet output holds a single segment
+    val perFile = got.withColumn("pf", input_file_name())
+      .groupBy("pf").agg(countDistinct("_feed_file").as("n"))
+      .select("n").collect().map(_.getLong(0))
+    assert(perFile.nonEmpty && perFile.forall(_ == 1L))
+  }
+
   test("live tailing: segments appended mid-stream arrive in later batches") {
     val in = Files.createTempDirectory("dsv2-live-in-")
     val out = Files.createTempDirectory("dsv2-live-out-").toString
