@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Materialize
+
+/** transformWithState keep-latest materializer: upserts, tombstones,
+  * offset-guarded merges across multiple micro-batches, and stale
+  * replays that must not win.
+  */
+class MaterializeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def ev(pk: Long, op: String, off: Long, p: String): String =
+    s"""{"pk":$pk,"op":"$op","offset":$off,"payload":"$p"}"""
+
+  test("materializes latest row per key across batches; stale offsets lose") {
+    val in = Files.createTempDirectory("mat-in-")
+    // batch files replay one per trigger (maxFilesPerTrigger=1)
+    Files.write(in.resolve("00.jsonl"), Seq(
+      ev(1, "c", 10, "v1"), ev(2, "c", 11, "v1")).asJava)
+    Files.write(in.resolve("01.jsonl"), Seq(
+      ev(1, "u", 20, "v2"), // newer: wins
+      ev(2, "u", 5, "stale"), // OLDER than state: must not win
+      ev(3, "c", 30, "v1")).asJava)
+    Files.write(in.resolve("02.jsonl"), Seq(
+      ev(3, "d", 40, "gone")).asJava) // tombstone
+
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+    try {
+      import org.apache.spark.sql.functions.{col, from_json}
+      import spark.implicits._
+      // graft-cdc source: name-ordered segments (FileStreamSource
+      // orders by mtime, which ties for files written back-to-back)
+      val changes = spark.readStream.format("graft-cdc")
+        .option("path", in.toString).option("maxFilesPerTrigger", 1)
+        .load()
+        .select(from_json(col("value"), org.apache.spark.sql.types.StructType
+          .fromDDL("pk LONG, op STRING, offset LONG, payload STRING"))
+          .as("c"))
+        .select("c.*")
+        .as[Materialize.ChangeRow]
+      Materialize.keepLatest(changes)
+        .writeStream.format("memory").queryName("mat_out")
+        .outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory("mat-ck-").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      // memory sink in update mode appends each emission; the LAST
+      // emission per key is the current state
+      val rows = spark.table("mat_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getBoolean(3)))
+      val current = rows.groupBy(_._1).map { case (k, vs) =>
+        k -> vs.maxBy(_._2)
+      }
+      assert(current(1L) == (1L, 20L, "v2", false))
+      assert(current(2L) == (2L, 11L, "v1", false)) // stale update lost
+      assert(current(3L) == (3L, 40L, "gone", true)) // tombstoned
+      // the stale offset-5 update must never have been emitted
+      assert(!rows.exists(r => r._1 == 2L && r._2 == 5L))
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
