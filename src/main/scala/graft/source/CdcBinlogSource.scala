@@ -58,9 +58,16 @@ object CdcBinlogSource {
     */
   final case class CdcOffset(file: String, pos: Long) extends Offset {
     override def json(): String = {
-      // segment names are filesystem-arbitrary: escape for JSON, or a
-      // quote/backslash in a name wedges the checkpoint offset log
-      val esc = file.replace("\\", "\\\\").replace("\"", "\\\"")
+      // segment names are filesystem-arbitrary: escape for JSON —
+      // quotes, backslashes AND control chars (a raw newline would
+      // also defeat parse()'s regex) — or a hostile name wedges the
+      // checkpoint offset log
+      val esc = file.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
       s"""{"file":"$esc","pos":$pos}"""
     }
   }
@@ -69,16 +76,8 @@ object CdcBinlogSource {
     private val Re = """\{"file":"(.*)","pos":(\d+)\}""".r
     def parse(json: String): CdcOffset = json match {
       case Re(f, p) =>
-        // single left-to-right pass (sequential replace()s double-
-        // decode a backslash followed by a quote)
-        val sb = new StringBuilder(f.length)
-        var i = 0
-        while (i < f.length) {
-          if (f.charAt(i) == '\\' && i + 1 < f.length) {
-            sb.append(f.charAt(i + 1)); i += 2
-          } else { sb.append(f.charAt(i)); i += 1 }
-        }
-        CdcOffset(sb.toString, p.toLong)
+        // the shared single-pass JSON unescape (handles \uXXXX too)
+        CdcOffset(graft.streaming.JobConfig.unescape(f), p.toLong)
       case other => throw new IllegalArgumentException(
         s"malformed CDC offset: $other")
     }

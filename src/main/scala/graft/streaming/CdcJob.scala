@@ -81,6 +81,7 @@ object CdcJob {
       if (cfg.get("source.feed").contains("dsv2"))
         graft.source.Dsv2Feed(inputDir,
           maxRecordsPerTrigger = cfg.get("max.records.per.trigger").map(_.toLong),
+          maxFilesPerTrigger = cfg.get("max.files.per.trigger").map(_.toInt),
           // snapshot-only forces initial (S5) — forwarding a
           // configured "latest" would skip the backlog and produce an
           // empty snapshot, contradicting the resolve() above

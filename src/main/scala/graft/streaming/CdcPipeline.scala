@@ -52,10 +52,10 @@ final class StopGate(
   @volatile var stopped: Boolean = false
   @volatile var reason: Option[String] = None
 
-  /** Feed one batch's observations; returns true if this batch
-    * triggered the stop.
+  /** Feed one batch's observations — `(db, table, statement)` per DDL
+    * event; returns true if this batch triggered the stop.
     */
-  def observe(ddlStatements: Seq[(String, String)],
+  def observe(ddlStatements: Seq[(String, String, String)],
       nonReadTables: Seq[String]): Boolean = {
     if (stopped) return false
     // Snapshot-only: first non-READ op per table = snapshot complete
@@ -68,10 +68,16 @@ final class StopGate(
         return true
       }
     }
-    // Structural DDL for a target table ⇒ stop (`:137-201`).
-    ddlStatements.foreach { case (tbl, ddl) =>
-      if (!stopped && (targetTables.isEmpty || targetTables.exists(
-          k => k == tbl || k.endsWith(s".$tbl")))) {
+    // Structural DDL for a TARGET table ⇒ stop (`:137-201`). The db
+    // qualifier is honored when both sides have one — a same-named
+    // table in an untracked database must not halt ingestion; the
+    // bare-name fallbacks cover schema-keyed (PG) registries.
+    ddlStatements.foreach { case (db, tbl, ddl) =>
+      val hit = targetTables.isEmpty ||
+        (if (db.nonEmpty)
+          targetTables.contains(s"$db.$tbl") || targetTables.contains(tbl)
+        else targetTables.exists(k => k == tbl || k.endsWith(s".$tbl")))
+      if (!stopped && hit) {
         DdlClassifier.classify(ddl, oracle = oracleDdl) match {
           case DdlClassifier.Ignore => ()
           case DdlClassifier.StopTruncateWarn =>
@@ -162,24 +168,48 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     * as the reference between Flink checkpoints; the keep-latest-by-
     * offset read pattern absorbs it.)
     */
-  private def commitMarker(batchId: Long): java.nio.file.Path =
+  // Hadoop FS for all small-file bookkeeping (markers, offsets,
+  // status): java.nio would resolve an hdfs:// or s3a:// sink path as
+  // a RELATIVE LOCAL path and "succeed" silently — on a non-local
+  // sink the replay guard and offset store would be void.
+  private def hfs(path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def hWrite(path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = hfs(path)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def hRead(path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = hfs(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  private def commitMarker(batchId: Long): String =
     // sourceId in the key: multiple jobs legitimately share a sink
     // root (sinkDir embeds sourceId), and their batch ids collide
-    Paths.get(config.sinkPath, "_graft_commits",
-      s"${config.sourceId}_$batchId")
+    s"${config.sinkPath}/_graft_commits/${config.sourceId}_$batchId"
 
-  private def committedFingerprint(batchId: Long): Option[String] = {
-    val p = commitMarker(batchId)
-    if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-    else None
-  }
+  private def committedFingerprint(batchId: Long): Option[String] =
+    hRead(commitMarker(batchId))
 
-  private def markCommitted(batchId: Long, fingerprint: String): Unit = {
-    val p = commitMarker(batchId)
-    Files.createDirectories(p.getParent)
-    Files.write(p, fingerprint.getBytes(StandardCharsets.UTF_8))
-  }
+  private def markCommitted(batchId: Long, fingerprint: String): Unit =
+    hWrite(commitMarker(batchId), fingerprint)
 
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (gate.stopped) return // swallow after stop signal (P1 `:138-142`)
@@ -325,43 +355,32 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       }
 
       // Gate decision AFTER the batch is durable (drain-then-stop).
-      gate.observe(ddls.map(d => (d._1, d._2)).toSeq, nonReadTables)
+      gate.observe(ddls.map(d => (d._3, d._1, d._2)).toSeq, nonReadTables)
     } finally frame.unpersist()
   }
 
   /** K2 single-file overwrite sink
     * (`SingleFileSinkFunction.java:31-39`): last write wins.
     */
-  private def writeOffsetFile(dir: String, offset: String): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    Files.write(Paths.get(dir, s"${config.sourceId}_offset.txt"),
-      offset.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-  }
+  private def writeOffsetFile(dir: String, offset: String): Unit =
+    hWrite(s"$dir/${config.sourceId}_offset.txt", offset)
 
   /** Status JSON: `{status}/dt={today}/{uuid}.json`
     * (`FlinkCDCMulti.java:329-333`, `StatusStoreProcessFunction.java:18-91`).
     */
   private def writeStatusFile(root: String): Unit = {
     val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
-    val dir = Paths.get(root, s"dt=$today")
-    Files.createDirectories(dir)
     val json = s"""{"job_id":"${config.sourceId}","job_name":"${config.name}",""" +
       s""""record_count":$recordCount,"last_event_timestamp":$lastEventTs,""" +
       s""""last_checkpoint_timestamp":${System.currentTimeMillis()}}"""
-    Files.write(dir.resolve(s"${java.util.UUID.randomUUID()}.json"),
-      json.getBytes(StandardCharsets.UTF_8))
+    hWrite(s"$root/dt=$today/${java.util.UUID.randomUUID()}.json", json)
   }
 
   /** S6 offset bootstrap: read the stored offset before building the
     * source (`FlinkCDCMulti.java:187-257`).
     */
-  def readStoredOffset(dir: String): Option[String] = {
-    val p = Paths.get(dir, s"${config.sourceId}_offset.txt")
-    if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
-    else None
-  }
+  def readStoredOffset(dir: String): Option[String] =
+    hRead(s"$dir/${config.sourceId}_offset.txt").map(_.trim)
 
   /** Start the streaming query over a CDC feed. The default feed is
     * the JSON-lines directory (S1(c)); any [[graft.source.CdcFeed]]

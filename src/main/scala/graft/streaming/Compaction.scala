@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   * Safety: the rewrite lands in a sibling `<dir>._compact_tmp`
   * directory first, then the old directory is swapped out via two
   * renames (old → `._compact_trash`, tmp → dir) and the trash deleted.
-  * A crash mid-swap leaves either the original or the compacted
-  * directory plus leftovers — never a partially-overwritten table.
-  * Run it while no writer is active (between micro-batches / from a
-  * maintenance job), like any file-level compactor.
+  * The table is never partially overwritten; a crash strictly between
+  * the two renames leaves no live directory, and the NEXT compact()
+  * run restores the original from trash before proceeding (readers in
+  * that window see a missing table — run the compactor, not a manual
+  * cleanup). Run it while no writer is active (between micro-batches
+  * / from a maintenance job), like any file-level compactor.
   */
 object Compaction {
 
@@ -54,6 +56,12 @@ object Compaction {
 
     val tmp = new Path(tableDir + "._compact_tmp")
     val trash = new Path(tableDir + "._compact_trash")
+    // finish an interrupted swap from a previous run: if the live dir
+    // is gone but trash survives, the original table is intact there —
+    // restore it before doing anything else (a crash strictly between
+    // the two renames otherwise leaves NO live directory)
+    if (!fs.exists(new Path(tableDir)) && fs.exists(trash))
+      fs.rename(trash, new Path(tableDir))
     fs.delete(tmp, true); fs.delete(trash, true)
     df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)

@@ -68,7 +68,7 @@ object JobConfig {
     * — sequential replace()s would turn `\\n` (literal backslash + n,
     * e.g. a Windows path "C:\\network") into a newline.
     */
-  private def unescape(s: String): String = {
+  private[graft] def unescape(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

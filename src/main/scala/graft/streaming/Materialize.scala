@@ -10,10 +10,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   *
   * Built on Spark 4's `transformWithState` (the arbitrary-state API
   * that supersedes flatMapGroupsWithState): per-key `ValueState`
-  * backed by the RocksDB state store, so state size scales with
-  * LIVE keys — disk-backed, incrementally checkpointed — not with
-  * history, and a billion-key table materializes without executor
-  * memory pressure.
+  * backed by the RocksDB state store — disk-backed, incrementally
+  * checkpointed — so a billion-key table materializes without
+  * executor memory pressure. State holds one row per key EVER seen
+  * (tombstones included, so a stale replay of a deleted key cannot
+  * resurrect it); pass a TTL to bound churn-heavy workloads instead,
+  * trading that guarantee for state ∝ recently-active keys.
   *
   * Ordering: offsets guard the merge (a late replay with a smaller
   * offset cannot overwrite a newer row), so the operator is correct
@@ -22,9 +24,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
 object Materialize {
 
   /** One change event: primary key, op, monotone source offset
-    * (binlog pos / lsn / scn / ts), payload JSON.
+    * (binlog pos / lsn / scn / ts), intra-offset tiebreaker (mongo's
+    * `_txn_op_index` — several ops of one transaction share a
+    * millisecond offset), payload JSON.
     */
-  case class ChangeRow(pk: Long, op: String, offset: Long, payload: String)
+  case class ChangeRow(pk: Long, op: String, offset: Long, txn: Long,
+      payload: String)
 
   /** Current state of one key. `deleted` marks a tombstone (the key's
     * latest event was a delete).
@@ -34,20 +39,22 @@ object Materialize {
 
   private val DeleteOps = Set("DELETE", "d")
 
-  final class KeepLatestProcessor
+  final class KeepLatestProcessor(ttl: TTLConfig)
       extends StatefulProcessor[Long, ChangeRow, CurrentRow] {
     @transient private var latest: ValueState[CurrentRow] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       latest = getHandle.getValueState[CurrentRow]("latest",
-        Encoders.product[CurrentRow], TTLConfig.NONE)
+        Encoders.product[CurrentRow], ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[ChangeRow],
         timers: TimerValues): Iterator[CurrentRow] = {
       var cur = if (latest.exists()) Option(latest.get()) else None
       var changed = false
-      // batch order is not event order: sort this key's slice by offset
-      for (r <- rows.toArray.sortBy(r => (r.offset, r.op))) {
+      // batch order is not event order: sort this key's slice by
+      // (offset, txn) — tying on the op STRING would apply a delete
+      // before its same-offset update and resurrect the row
+      for (r <- rows.toArray.sortBy(r => (r.offset, r.txn))) {
         if (cur.forall(_.offset <= r.offset)) {
           cur = Some(CurrentRow(r.pk, r.offset, r.payload,
             DeleteOps.contains(r.op)))
@@ -63,10 +70,13 @@ object Materialize {
     * Requires the RocksDB state store provider
     * (`spark.sql.streaming.stateStore.providerClass`).
     */
-  def keepLatest(changes: Dataset[ChangeRow]): Dataset[CurrentRow] = {
+  def keepLatest(changes: Dataset[ChangeRow],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[CurrentRow] = {
     import changes.sparkSession.implicits._
     changes.groupByKey(_.pk)
-      .transformWithState(new KeepLatestProcessor,
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new KeepLatestProcessor(ttl),
+        if (ttl == TTLConfig.NONE) TimeMode.None()
+        else TimeMode.ProcessingTime(),
+        OutputMode.Update())
   }
 }

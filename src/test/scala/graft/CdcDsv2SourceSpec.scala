@@ -29,6 +29,11 @@ class CdcDsv2SourceSpec extends AnyFunSuite {
     import CdcBinlogSource.CdcOffset
     val o = CdcOffset("binlog.000042", 1337L)
     assert(CdcOffset.parse(o.json()) == o)
+    // hostile segment names: quotes, backslashes, control chars must
+    // survive the checkpoint offset log
+    for (name <- Seq("a\"b", "a\\b", "a\nb", "a\\\"b", "a\tb"))
+      assert(CdcOffset.parse(CdcOffset(name, 7L).json()) ==
+        CdcOffset(name, 7L), name)
     assert(CdcOffset.ordering.lt(CdcOffset("a", 9), CdcOffset("b", 0)))
     assert(CdcOffset.ordering.lt(CdcOffset("a", 1), CdcOffset("a", 2)))
   }

@@ -20,8 +20,9 @@ class MaterializeSpec extends AnyFunSuite {
   private val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  private def ev(pk: Long, op: String, off: Long, p: String): String =
-    s"""{"pk":$pk,"op":"$op","offset":$off,"payload":"$p"}"""
+  private def ev(pk: Long, op: String, off: Long, p: String,
+      txn: Long = 0): String =
+    s"""{"pk":$pk,"op":"$op","offset":$off,"txn":$txn,"payload":"$p"}"""
 
   test("materializes latest row per key across batches; stale offsets lose") {
     val in = Files.createTempDirectory("mat-in-")
@@ -33,7 +34,12 @@ class MaterializeSpec extends AnyFunSuite {
       ev(2, "u", 5, "stale"), // OLDER than state: must not win
       ev(3, "c", 30, "v1")).asJava)
     Files.write(in.resolve("02.jsonl"), Seq(
-      ev(3, "d", 40, "gone")).asJava) // tombstone
+      ev(3, "d", 40, "gone"), // tombstone
+      // same-offset tx: update (txn 1) then delete (txn 2) — the
+      // delete must win regardless of op-string ordering
+      ev(4, "c", 50, "v1"),
+      ev(4, "u", 60, "v2", txn = 1),
+      ev(4, "d", 60, "bye", txn = 2)).asJava)
 
     val prev = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
@@ -47,7 +53,7 @@ class MaterializeSpec extends AnyFunSuite {
         .option("path", in.toString).option("maxFilesPerTrigger", 1)
         .load()
         .select(from_json(col("value"), org.apache.spark.sql.types.StructType
-          .fromDDL("pk LONG, op STRING, offset LONG, payload STRING"))
+          .fromDDL("pk LONG, op STRING, offset LONG, txn LONG, payload STRING"))
           .as("c"))
         .select("c.*")
         .as[Materialize.ChangeRow]
@@ -68,6 +74,7 @@ class MaterializeSpec extends AnyFunSuite {
       assert(current(1L) == (1L, 20L, "v2", false))
       assert(current(2L) == (2L, 11L, "v1", false)) // stale update lost
       assert(current(3L) == (3L, 40L, "gone", true)) // tombstoned
+      assert(current(4L) == (4L, 60L, "bye", true)) // same-offset tie
       // the stale offset-5 update must never have been emitted
       assert(!rows.exists(r => r._1 == 2L && r._2 == 5L))
     } finally {
