@@ -19,6 +19,20 @@ import graft.schema.TypeMapping
   */
 object CdcJob {
 
+  private def splitColumns(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val sb = new StringBuilder
+    for (c <- s) c match {
+      case '(' => depth += 1; sb.append(c)
+      case ')' => depth -= 1; sb.append(c)
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case other => sb.append(other)
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.toSeq
+  }
+
   def registryFromConfig(cfg: Map[String, String]): TableRegistry = {
     val oracle = cfg.get("source.type").contains("oracle")
     val schemas = JobConfig.nameMap(cfg, "table.schemas")
@@ -28,9 +42,14 @@ object CdcJob {
         case Array(d, t) => (d, t)
         case Array(t) => ("", t)
       }
-      val cols = colSpec.split(",").toSeq.map { c =>
-        val Array(n, t) = c.trim.split(":", 2)
-        (n.trim, t.trim)
+      // split on commas OUTSIDE parentheses: parenthesized JDBC types
+      // (DECIMAL(10,2), TIMESTAMP(6)) are the norm, not the exception
+      val cols = splitColumns(colSpec).map { c =>
+        c.trim.split(":", 2) match {
+          case Array(n, t) => (n.trim, t.trim)
+          case _ => throw new IllegalArgumentException(
+            s"MALFORMED COLUMN SPEC (want name:TYPE): '$c' in '$colSpec'")
+        }
       }
       TableSpec(db, tbl, TypeMapping.schemaFromJdbc(cols, oracle))
     }

@@ -62,6 +62,23 @@ class CdcJobSpec extends AnyFunSuite {
     assert(p.readStoredOffset(off.toString).contains("f1,88"))
   }
 
+  test("shipped example configs parse and build valid registries") {
+    for (name <- Seq("mysql-config", "mongodb-config", "postgres-config")) {
+      val path = s"src/main/resources/example-configs/$name.json"
+      val cfg = JobConfig.load(path)
+      assert(cfg.contains("source.id") && cfg.contains("sink.path"), name)
+      val reg = CdcJob.registryFromConfig(cfg)
+      assert(reg.routed.nonEmpty, name)
+      // configFromMap must assemble without throwing
+      assert(CdcJob.configFromMap(cfg).sourceId == cfg("source.id"), name)
+    }
+    // the mysql example's nested name maps apply
+    val my = JobConfig.load("src/main/resources/example-configs/mysql-config.json")
+    val reg = CdcJob.registryFromConfig(my)
+    assert(reg.routed("test.orders").table == "orders_v20240713")
+    assert(reg.routed("test.orders").db == "test_prod")
+  }
+
   test("source.feed=dsv2 snapshot-only forces initial over configured seek") {
     val in = Files.createTempDirectory("graft-jobd-in-")
     val sink = Files.createTempDirectory("graft-jobd-sink-")
