@@ -247,6 +247,12 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       // carry the stop signal, and missing it on replay would run the
       // job past a structural DDL.
       val replayed = committedFingerprint(batchId).contains(fingerprint)
+
+      // per-batch progress (the reference's ">>> [JOB] ..." log lines)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"[${config.name}] batch=$batchId rows=${s.getLong(0)} " +
+          s"tables=${present.size} ddl=$nDdl" +
+          (if (replayed) " (replay: skipped writes)" else ""))
       // dt days the batch spans: picks the write path below — a
       // steady-state batch (1-2 days) writes directly; a wide span
       // (snapshot/backfill) takes a range shuffle first.
