@@ -69,6 +69,16 @@ object TextQueries {
   private val BpePattern =
     """'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
 
+  /** Winnowing parameters: k-gram length, winnow window, and the
+    * polynomial base powers base^(k-1-j) as exact longs (base 31,
+    * k 8 → max term 31^7·255 ≈ 7e12 — no overflow, no modulus needed,
+    * bit-identical across engines).
+    */
+  private val FpK = 8
+  private val FpW = 4
+  private val FpPow: Array[Long] =
+    Array.iterate(1L, FpK)(_ * 31L).reverse
+
   /** Per-language keep thresholds over the 16^15 hash domain, as
     * EXACT long literals shared with the oracle SQL (a rate×domain
     * product would round differently in Scala doubles vs DuckDB
@@ -346,6 +356,64 @@ object TextQueries {
       (spark, dir) =>
         DupClusters.clusters(lshPipeline(spark, dir)._1)
           .orderBy("doc_id")
+    },
+
+    // Rolling-hash fingerprinting (MOSS winnowing): polynomial k-gram
+    // hashes over the normalized char stream, then the min of each w
+    // consecutive hashes — the near-dup fingerprint scheme that
+    // detects shared substrings, where q35's whole-document md5 only
+    // catches exact copies. Hash constants are Scala-side and
+    // interpolated into the oracle (base^j powers as exact long
+    // literals; max value ~6e13, far from overflow). Map-only per doc.
+    QueryDef(
+      "q65_winnow_fingerprint", {
+        val terms = (0 until FpK).map(j =>
+          s"CAST(cs[CAST(i+$j AS INT)] AS BIGINT)*${FpPow(j)}")
+          .mkString(" + ")
+        val mins = (0 until FpW).map(j => s"hs[CAST(i+$j AS INT)]")
+          .mkString("least(", ", ", ")")
+        s"""WITH d AS (SELECT doc_id,
+           |   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+           | FROM documents),
+           |c AS (SELECT doc_id, list_transform(
+           |   generate_series(1, length(t)),
+           |   i -> ascii(substr(t, CAST(i AS INT), 1))) AS cs FROM d),
+           |h AS (SELECT doc_id, list_transform(
+           |   generate_series(1, greatest(len(cs)-${FpK - 1}, 0)),
+           |   i -> $terms) AS hs FROM c),
+           |w AS (SELECT doc_id, hs, list_distinct(list_transform(
+           |   generate_series(1, greatest(len(hs)-${FpW - 1}, 0)),
+           |   i -> $mins)) AS fp FROM h)
+           |SELECT doc_id, CAST(len(hs) AS INTEGER) AS n_windows,
+           | CAST(len(fp) AS INTEGER) AS n_fp,
+           | coalesce(CAST(list_sum(fp) AS BIGINT), 0) AS fp_sum
+           |FROM w ORDER BY doc_id""".stripMargin
+      }) { (spark, dir) =>
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val chars = Tables(spark, dir).documents
+        // filter the empty-string artifacts split-on-"" can emit, so
+        // the char list matches DuckDB's length(t) enumeration
+        .select(col("doc_id"), transform(
+          filter(split(norm, ""), c => c =!= ""),
+          c => ascii(c).cast("long")).as("cs"))
+      val hashTerm = (i: Column) => (0 until FpK).map(j =>
+        element_at(col("cs"), (i + lit(j)).cast("int")) * lit(FpPow(j)))
+        .reduce(_ + _)
+      val hashed = chars.select(col("doc_id"), transform(
+          sequence(lit(1), greatest(size(col("cs")) - (FpK - 1), lit(0))),
+          i => hashTerm(i)).as("hs"))
+      val minTerm = (i: Column) => (0 until FpW).map(j =>
+        element_at(col("hs"), (i + lit(j)).cast("int")))
+        .reduce((a, b) => least(a, b))
+      hashed.select(col("doc_id"), col("hs"), array_distinct(transform(
+          sequence(lit(1), greatest(size(col("hs")) - (FpW - 1), lit(0))),
+          i => minTerm(i))).as("fp"))
+        .select(col("doc_id"),
+          size(col("hs")).as("n_windows"),
+          size(col("fp")).as("n_fp"),
+          coalesce(aggregate(col("fp"), lit(0L), (acc, x) => acc + x),
+            lit(0L)).as("fp_sum"))
+        .orderBy("doc_id")
     },
 
     // Deterministic stratified sampling — corpus rebalancing by
