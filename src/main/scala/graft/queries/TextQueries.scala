@@ -389,25 +389,18 @@ object TextQueries {
            | coalesce(CAST(list_sum(fp) AS BIGINT), 0) AS fp_sum
            |FROM w ORDER BY doc_id""".stripMargin
       }) { (spark, dir) =>
+      // native kernels (graft.functions.TextHashes): the HOF
+      // formulation of the same arithmetic was interpreted and 4.4s
+      // steady at sf0.1; the primitive-loop expressions are ~40ms
       val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-      val chars = Tables(spark, dir).documents
-        // filter the empty-string artifacts split-on-"" can emit, so
-        // the char list matches DuckDB's length(t) enumeration
-        .select(col("doc_id"), transform(
-          filter(split(norm, ""), c => c =!= ""),
-          c => ascii(c).cast("long")).as("cs"))
-      val hashTerm = (i: Column) => (0 until FpK).map(j =>
-        element_at(col("cs"), (i + lit(j)).cast("int")) * lit(FpPow(j)))
-        .reduce(_ + _)
-      val hashed = chars.select(col("doc_id"), transform(
-          sequence(lit(1), greatest(size(col("cs")) - (FpK - 1), lit(0))),
-          i => hashTerm(i)).as("hs"))
-      val minTerm = (i: Column) => (0 until FpW).map(j =>
-        element_at(col("hs"), (i + lit(j)).cast("int")))
-        .reduce((a, b) => least(a, b))
-      hashed.select(col("doc_id"), col("hs"), array_distinct(transform(
-          sequence(lit(1), greatest(size(col("hs")) - (FpW - 1), lit(0))),
-          i => minTerm(i))).as("fp"))
+      val hashed = Tables(spark, dir).documents
+        .select(col("doc_id"), norm.as("t"))
+        .select(col("doc_id"),
+          graft.functions.TextHashes.rollingHash(spark, col("t"), FpK)
+            .as("hs"))
+      hashed.select(col("doc_id"), col("hs"), array_distinct(
+          graft.functions.TextHashes.windowMin(spark, col("hs"), FpW))
+          .as("fp"))
         .select(col("doc_id"),
           size(col("hs")).as("n_windows"),
           size(col("fp")).as("n_fp"),
