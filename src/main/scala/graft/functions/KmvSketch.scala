@@ -100,15 +100,29 @@ object KmvSketch {
   def ensureRegistered(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FnName,
-      exprs => KmvSketch(exprs.head,
-        exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int])
-        .toAggregateExpression(),
+      exprs => {
+        val k = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"$FnName: k must be an INTEGER literal, got $other")
+        }
+        KmvSketch(exprs.head, k).toAggregateExpression()
+      },
       "scala_udf")
 
+  /** The shared 60-bit hash recipe: 15-hex md5 prefix → long in
+    * [0, 16^15). Used by the KMV sketch (q60) and stratified sampling
+    * (q64); the DuckDB mirror is
+    * `('0x'||substr(md5(CAST(x AS VARCHAR)),1,15))::BIGINT`.
+    */
+  def md5Hash60(c: Column): Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+  }
+
   /** `kmv_distinct(hashCol, k)` as an agg Column. `hashCol` must be a
-    * long uniformly hashed into [0, 16^15) — see
-    * [[graft.queries.RelationalQueries]] q60 for the md5-prefix recipe
-    * shared with the DuckDB oracle.
+    * long uniformly hashed into [0, 16^15) — [[md5Hash60]] is the
+    * recipe shared with the DuckDB oracle.
     */
   def kmvDistinct(spark: SparkSession, hash: Column, k: Int): Column = {
     ensureRegistered(spark)

@@ -2,10 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text-hash kernels for rolling-hash fingerprinting (q65).
@@ -46,7 +48,7 @@ object TextHashes {
         i += 1
       }
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Minimum of each w-length window of hs (the winnowing pass). */
@@ -66,11 +68,19 @@ object TextHashes {
       out(i) = m
       i += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   case class RollingHash(left: Expression, right: Expression)
       extends BinaryExpression {
+    // analysis-time rejection (AbstractDataType is private[sql], so
+    // checkInputDataTypes instead of ExpectsInputTypes)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == IntegerType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_rollhash expects (STRING, INT), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
     override def dataType: DataType = ArrayType(LongType, false)
     override def nullSafeEval(s: Any, k: Any): Any =
       rollingWindows(s.asInstanceOf[UTF8String], k.asInstanceOf[Int])
@@ -84,6 +94,14 @@ object TextHashes {
 
   case class WindowMin(left: Expression, right: Expression)
       extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType.isInstanceOf[ArrayType] &&
+          left.dataType.asInstanceOf[ArrayType].elementType == LongType &&
+          right.dataType == IntegerType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_winmin expects (ARRAY<BIGINT>, INT), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
     override def dataType: DataType = ArrayType(LongType, false)
     override def nullSafeEval(hs: Any, w: Any): Any =
       windowMins(hs.asInstanceOf[ArrayData], w.asInstanceOf[Int])

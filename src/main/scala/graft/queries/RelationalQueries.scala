@@ -276,8 +276,8 @@ object RelationalQueries {
       Tables(spark, dir).lineitem
         .groupBy("l_returnflag")
         .agg(graft.functions.KmvSketch.kmvDistinct(spark,
-          conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
-            .cast("long"), 256).as("kmv_parts"))
+          graft.functions.KmvSketch.md5Hash60(col("l_partkey")), 256)
+          .as("kmv_parts"))
         .orderBy("l_returnflag")
     },
 

@@ -57,11 +57,6 @@ object TextQueries {
 
   private val Stopwords = Seq("the", "a", "and", "of", "to", "in")
 
-  /** Language-ID trigram profiles, sorted by language code (the sort
-    * order IS the tie-break order). A real deployment would load
-    * trained profiles; these are deterministic harness fixtures.
-    * Declared before `defs` — referenced during its initialization.
-    */
   /** GPT-2-style pretokenizer (simplified: no trailing-space
     * lookahead — RE2 has no lookahead). Shared verbatim between the
     * Spark plan and the DuckDB oracle.
@@ -89,6 +84,10 @@ object TextQueries {
     "de" -> (3L << 58), "en" -> (1L << 58), "es" -> (3L << 58),
     "fr" -> (3L << 58), "zh" -> (3L << 58))
 
+  /** Language-ID trigram profiles, sorted by language code (the sort
+    * order IS the tie-break order). A real deployment would load
+    * trained profiles; these are deterministic harness fixtures.
+    */
   private val LangIdProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "sch", "ein", "ich", "en "),
     "en" -> Seq("the", "ing", "and", " th", "er ", "ow ", "row"),
@@ -119,14 +118,16 @@ object TextQueries {
     * candidate pairs. Both frames persisted (each feeds multiple
     * branches / join sides downstream).
     */
-  private def lshPipeline(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
+  private def lshPipeline(spark: SparkSession, dir: String,
+      keepShingles: Boolean = false): (DataFrame, DataFrame) = {
     // documents is one small parquet file (1-2 scan partitions); the
     // md5-heavy signature compute needs all cores
     val docs = Tables(spark, dir).documents
       .repartition(spark.sparkContext.defaultParallelism)
-    val shl = withShingles(docs, col("doc_id"))
-      .persist()
+    // the shingle frame is the heaviest intermediate: cache it only
+    // for the caller that actually reuses it (q39's candidate verify)
+    val shl0 = withShingles(docs, col("doc_id"))
+    val shl = if (keepShingles) shl0.persist() else shl0
     val sig = shl.select(col("doc_id") +: minhashCols(col("sh")): _*)
       .persist()
     val bands = sig.select(col("doc_id"), explode(array(
@@ -290,7 +291,7 @@ object TextQueries {
          |JOIN sizes s2 ON d2 = s2.doc_id
          |WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8
          |ORDER BY d1, d2""".stripMargin) { (spark, dir) =>
-      val (cand, shl) = lshPipeline(spark, dir)
+      val (cand, shl) = lshPipeline(spark, dir, keepShingles = true)
       val shx = shl.select(col("doc_id"), explode(col("sh")).as("tok"))
       val sizes = shl.select(col("doc_id"), size(col("sh")).as("sz"))
       val inter = broadcast(cand)
@@ -433,8 +434,7 @@ object TextQueries {
       }.reduce(coalesce(_, _))
       Tables(spark, dir).documents
         .select(col("doc_id"), col("lang"),
-          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-            .cast("long").as("hv"),
+          graft.functions.KmvSketch.md5Hash60(col("doc_id")).as("hv"),
           coalesce(threshold, lit(0L)).as("threshold"))
         .filter(col("hv") < col("threshold"))
         .select(col("doc_id"), col("lang"))
@@ -462,8 +462,9 @@ object TextQueries {
         |   i -> t[i] || ' ' || t[i+1]) AS bg FROM d)
         |SELECT top.doc_id, CAST(n AS INTEGER) AS n_tokens,
         | maxc / n AS top_word_frac,
-        | 1.0 - len(list_distinct(bg)) * 1.0 / greatest(len(bg), 1)
-        |   AS dup_bigram_frac
+        | CASE WHEN len(bg) = 0 THEN 0.0
+        |      ELSE 1.0 - len(list_distinct(bg)) * 1.0 / len(bg)
+        | END AS dup_bigram_frac
         |FROM top JOIN b ON top.doc_id = b.doc_id
         |ORDER BY top.doc_id""".stripMargin) { (spark, dir) =>
       val docs = Tables(spark, dir).documents
@@ -481,7 +482,11 @@ object TextQueries {
       top.join(big, "doc_id")
         .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
           (col("maxc") / col("n")).as("top_word_frac"),
-          (lit(1.0) - col("ubg") * lit(1.0) / greatest(col("nbg"), lit(1)))
+          // a <2-token doc has NO bigrams — that is zero repetition,
+          // not maximal (1 - 0/1 would score it 1.0 and a Gopher-style
+          // filter would drop every short document)
+          when(col("nbg") === 0, lit(0.0))
+            .otherwise(lit(1.0) - col("ubg") * lit(1.0) / col("nbg"))
             .as("dup_bigram_frac"))
         .orderBy("doc_id")
     },

@@ -42,6 +42,14 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(df.select("d").head.isNullAt(0))
   }
 
+  test("length mismatch yields null, not a truncated prefix product") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)))
+      .toDF("a", "b")
+      .withColumn("d", VectorExpressions.dotProduct(spark, col("a"), col("b")))
+    assert(df.select("d").head.isNullAt(0))
+  }
+
   test("interpreted path (codegen off) agrees") {
     VectorExpressions.ensureRegistered(spark)
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
