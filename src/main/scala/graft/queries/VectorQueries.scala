@@ -42,6 +42,25 @@ object VectorQueries {
   private def dot(a: Column, b: Column): Column =
     call_function(VectorExpressions.FnName, a, b)
 
+  /** The 8 seed centroids (broadcast side of every IVF stage). */
+  private def centroids(n: DataFrame): DataFrame =
+    n.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nm").as("cnm"))
+
+  /** Nearest-centroid assignment — ONE implementation for q45/q46/q63
+    * (a tie-break or cosine change must not drift between them):
+    * cosine vs every centroid, rank per vector, keep rank 1. Emits
+    * (vec_id, centroid, cos).
+    */
+  private def assignToCentroids(n: DataFrame, c: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+    n.crossJoin(broadcast(c))
+      .withColumn("cos", dot(col("e"), col("ce")) / (col("nm") * col("cnm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("centroid"), col("cos"))
+  }
+
   private val DuckNorm =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm FROM e)""".stripMargin
@@ -155,14 +174,8 @@ object VectorQueries {
          |  FROM n a, c)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (spark, dir) =>
       val n = withNorm(spark, dir)
-      val c = n.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("e").as("ce"), col("nm").as("cnm"))
-      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
-      n.crossJoin(broadcast(c))
-        .withColumn("cos", dot(col("e"), col("ce")) / (col("nm") * col("cnm")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("centroid"),
+      assignToCentroids(n, centroids(n))
+        .select(col("vec_id"), col("centroid"),
           round(col("cos"), 6).as("cosine"))
         .orderBy("vec_id")
     },
@@ -194,14 +207,9 @@ object VectorQueries {
          |    ORDER BY cos DESC, vec_id) AS INTEGER) AS rn FROM scored)
          |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (spark, dir) =>
       val n = withNorm(spark, dir)
-      val c = n.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("e").as("ce"), col("nm").as("cnm"))
-      val assignW = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
-      val assign = n.crossJoin(broadcast(c))
-        .withColumn("cos", dot(col("e"), col("ce")) / (col("nm") * col("cnm")))
-        .withColumn("rn", row_number().over(assignW))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"))
+      val c = centroids(n)
+      val assign = assignToCentroids(n, c)
+        .select(col("vec_id"), col("centroid").as("cid"))
       val q = n.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("e").as("qe"), col("nm").as("qnm"))
       val probeW = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
@@ -250,14 +258,8 @@ object VectorQueries {
          |FROM long GROUP BY centroid, i
          |ORDER BY centroid, dim""".stripMargin) { (spark, dir) =>
       val n = withNorm(spark, dir)
-      val c = n.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("e").as("ce"), col("nm").as("cnm"))
-      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
-      val assign = n.crossJoin(broadcast(c))
-        .withColumn("cos", dot(col("e"), col("ce")) / (col("nm") * col("cnm")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("centroid"))
+      val assign = assignToCentroids(n, centroids(n))
+        .select(col("vec_id"), col("centroid"))
       assign.join(n, "vec_id")
         .select(col("centroid"), posexplode(col("e")).as(Seq("dim", "v")))
         .groupBy("centroid", "dim")
