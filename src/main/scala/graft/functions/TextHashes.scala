@@ -71,6 +71,81 @@ object TextHashes {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** MinHash signature constants: k linear-congruential mixes of ONE
+    * 32-bit hash per shingle (the first 8 md5 hex chars), replacing k
+    * independent seeded md5 digests (8 digests/shingle made q37 the
+    * slowest bench query). `h < 2^32`, `A_k` odd `< 2^30` so
+    * `A_k·h + B_k < 2^63` — exact in BIGINT in both engines; `P` is
+    * prime `> 2^32` so mixes permute the full hash domain. Constants
+    * are derived from md5 seeds here and interpolated as literals into
+    * the DuckDB oracle (shared-constants pattern — no drift possible).
+    */
+  val MinHashK = 8
+  val MixP = 4294967311L
+  private def seedLong(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v & Long.MaxValue
+  }
+  val MixA: Array[Long] = Array.tabulate(MinHashK)(k =>
+    (seedLong(s"graft-minhash-a:$k") % (1L << 29)) * 2 + 1)
+  val MixB: Array[Long] = Array.tabulate(MinHashK)(k =>
+    seedLong(s"graft-minhash-b:$k") % MixP)
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** All k MinHash minima in one pass over the shingle array; null for
+    * an empty array (mirrors DuckDB `list_aggregate([], 'min')`).
+    */
+  def minhashSigEval(sh: ArrayData): ArrayData = {
+    val n = sh.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(MinHashK)(Long.MaxValue)
+    val md = mdLocal.get()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val dig = md.digest(sh.getUTF8String(i).getBytes)
+      val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      var k = 0
+      while (k < MinHashK) {
+        val v = (MixA(k) * h + MixB(k)) % MixP
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  case class MinHashSig(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"graft_minhash expects ARRAY<STRING>, got ${other.simpleString}")
+      }
+    override def nullable: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, false)
+    override def nullSafeEval(sh: Any): Any =
+      minhashSigEval(sh.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, sh => s"""
+        ${ev.value} = graft.functions.TextHashes.minhashSigEval($sh);
+        ${ev.isNull} = ${ev.value} == null;""")
+    override protected def withNewChildInternal(c: Expression): MinHashSig =
+      copy(c)
+  }
+
   case class RollingHash(left: Expression, right: Expression)
       extends BinaryExpression {
     // analysis-time rejection (AbstractDataType is private[sql], so
@@ -118,6 +193,13 @@ object TextHashes {
       "graft_rollhash", es => RollingHash(es.head, es(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winmin", es => WindowMin(es.head, es(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", es => MinHashSig(es.head), "scala_udf")
+  }
+
+  def minhashSig(spark: SparkSession, sh: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_minhash", sh)
   }
 
   def rollingHash(spark: SparkSession, s: Column, k: Int): Column = {

@@ -11,8 +11,8 @@ import graft.ops.DupClusters
   * MinHash+LSH, SimHash, n-gram Jaccard near-dup.
   *
   * Scale notes (100 TB): every per-doc op here is a pure projection
-  * (no shuffle); MinHash signatures are computed with array_min over
-  * a transform — no explode, no aggregation. Pair generation only
+  * (no shuffle); MinHash signatures are computed by a native one-pass
+  * kernel — no explode, no aggregation. Pair generation only
   * ever joins on shingle/band equality, so the shuffle key is the
   * shingle hash and skew is bounded by shingle frequency; the exact
   * Jaccard join is reserved for LSH-candidate pairs at scale (here it
@@ -95,24 +95,36 @@ object TextQueries {
     "fr" -> Seq("le ", "les", "de ", "ent", "que", "ux ", "ion"),
     "zh" -> Seq("zh ", "sh ", "ng ", "ian", "ao ", "uan", "ei "))
 
-  /** k independent MinHash functions: seeded md5 over each shingle,
-    * lexicographic min (hex strings order identically in both
-    * engines). Pure per-row computation — scales as a map.
+  /** k MinHash functions: ONE 32-bit md5-prefix hash per shingle, k
+    * linear mixes, min per mix — a native one-pass kernel
+    * (graft.functions.TextHashes.MinHashSig). The previous formulation
+    * (k seeded md5 digests per shingle, interpreted transform per k)
+    * was the slowest bench query at 8.7 s/sf0.1; one digest + k
+    * integer mixes computes the same family class ~6× cheaper. Pure
+    * per-row computation — scales as a map. Constants shared with the
+    * oracle via interpolation.
     */
-  private val K = 8
-  private def minhashCols(sh: Column): Seq[Column] =
-    (0 until K).map { k =>
-      array_min(transform(sh, s => md5(concat(lit(s"$k:"), s)))).as(s"mh$k")
-    }
-  private def duckSig: String =
+  private val K = graft.functions.TextHashes.MinHashK
+  private def mhCols: Seq[Column] =
+    (0 until K).map(k => element_at(col("sig"), k + 1).as(s"mh$k"))
+  private def withSig(spark: SparkSession, shl: DataFrame): DataFrame =
+    shl.select(col("doc_id"),
+        graft.functions.TextHashes.minhashSig(spark, col("sh")).as("sig"))
+      .select(col("doc_id") +: mhCols: _*)
+  private def duckSig: String = {
+    import graft.functions.TextHashes.{MixA, MixB, MixP}
     s"""toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
        |         FROM documents),
        |sh AS (SELECT doc_id, $DuckShingles AS s FROM toks),
+       |hs AS (SELECT doc_id,
+       |   list_transform(s, x -> ('0x'||substr(md5(x),1,8))::BIGINT) AS h
+       | FROM sh),
        |sig AS (SELECT doc_id,
        |${(0 until K).map(k =>
-          s"  list_aggregate(list_transform(s, x -> md5('$k:' || x)), 'min') AS mh$k")
+          s"  list_aggregate(list_transform(h, x -> (${MixA(k)}*x + ${MixB(k)}) % $MixP), 'min') AS mh$k")
           .mkString(",\n")}
-       | FROM sh)""".stripMargin
+       | FROM hs)""".stripMargin
+  }
 
   /** Shared LSH pipeline: staged shingles → signatures → banded
     * candidate pairs. Both frames persisted (each feeds multiple
@@ -128,13 +140,17 @@ object TextQueries {
     // for the caller that actually reuses it (q39's candidate verify)
     val shl0 = withShingles(docs, col("doc_id"))
     val shl = if (keepShingles) shl0.persist() else shl0
-    val sig = shl.select(col("doc_id") +: minhashCols(col("sh")): _*)
-      .persist()
+    val sig = withSig(spark, shl).persist()
+    // '|'-separated long minima (the hex minima had fixed width; longs
+    // need a separator so 12|3 and 1|23 can't collide). concat (not
+    // concat_ws) so a no-shingle doc's null minima yield a null bucket
+    // — never a candidate, matching the oracle's null-propagating ||.
+    def bucket(ks: Range): Column = md5(concat(
+      ks.flatMap(k => Seq(col(s"mh$k").cast("string"), lit("|")))
+        .dropRight(1): _*))
     val bands = sig.select(col("doc_id"), explode(array(
-      struct(lit(0).as("band"),
-        md5(concat(col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("bucket")),
-      struct(lit(1).as("band"),
-        md5(concat(col("mh4"), col("mh5"), col("mh6"), col("mh7"))).as("bucket"))))
+      struct(lit(0).as("band"), bucket(0 until 4).as("bucket")),
+      struct(lit(1).as("band"), bucket(4 until 8).as("bucket"))))
       .as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
     val cand = bands.as("a").join(bands.as("b"),
@@ -149,9 +165,11 @@ object TextQueries {
   private def duckCand: String =
     s"""$duckSig,
        |bands AS (
-       |  SELECT doc_id, 0 AS band, md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM sig
+       |  SELECT doc_id, 0 AS band,
+       |    md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bucket FROM sig
        |  UNION ALL
-       |  SELECT doc_id, 1 AS band, md5(mh4 || mh5 || mh6 || mh7) AS bucket FROM sig),
+       |  SELECT doc_id, 1 AS band,
+       |    md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS bucket FROM sig),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.bucket = b.bucket
@@ -245,7 +263,8 @@ object TextQueries {
           (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_rows"))
     },
 
-    // MinHash signatures (k=8, seeded md5, no explode — map-only).
+    // MinHash signatures (k=8, one digest + k mixes, no explode —
+    // map-only; native one-pass kernel).
     QueryDef(
       "q37_minhash_sig",
       s"""WITH $duckSig
@@ -253,8 +272,7 @@ object TextQueries {
          |FROM sig ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       val docs = Tables(spark, dir).documents
         .repartition(spark.sparkContext.defaultParallelism)
-      withShingles(docs, col("doc_id"))
-        .select(col("doc_id") +: minhashCols(col("sh")): _*)
+      withSig(spark, withShingles(docs, col("doc_id")))
         .orderBy("doc_id")
     },
 

@@ -79,6 +79,40 @@ object VectorQueries {
   private val Signs: IndexedSeq[IndexedSeq[Int]] =
     (0 until Planes).map(p => (0 until Dim).map(k => sign(p, k)))
 
+  /** The 8-bit hyperplane signature as a Spark column over the double
+    * array `e` — shared by q44 (signature dump) and q43 (bucketed
+    * near-dup).
+    */
+  private def bucketCol(e: Column): Column =
+    Signs.zipWithIndex.map { case (row, p) =>
+      val d = row.zipWithIndex.map { case (s, k) =>
+        if (s > 0) element_at(e, k + 1)
+        else lit(0.0) - element_at(e, k + 1)
+      }.reduce(_ + _)
+      when(d > 0.0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** The same signature as a DuckDB SQL expression over column `e`. */
+  private def duckBucketExpr: String = {
+    val dots = Signs.map(row =>
+      row.zipWithIndex.map { case (s, k) =>
+        if (s > 0) s"e[${k + 1}]" else s"(0.0 - e[${k + 1}])"
+      }.mkString(" + "))
+    dots.zipWithIndex.map { case (d, p) =>
+      s"(CASE WHEN ($d) > 0.0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  /** Multi-probe radius for q43: candidate pairs are those whose 8-bit
+    * signatures differ in ≤ MaxHamming bits (1 + 8 + 28 = 37 probe
+    * buckets per vector).
+    */
+  private val MaxHamming = 2
+  private val ProbeMasks: Seq[Int] =
+    0 +: ((0 until Planes).map(1 << _) ++
+      (for { i <- 0 until Planes; j <- i + 1 until Planes }
+        yield (1 << i) | (1 << j)))
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-k: 5 query vectors against the corpus.
@@ -107,26 +141,46 @@ object VectorQueries {
         .orderBy("qid", "rn")
     },
 
-    // Embedding-cosine near-dup pairs (threshold 0.45 on this corpus).
-    // At scale the self-join runs per LSH bucket, not all-pairs.
+    // Embedding-cosine near-dup pairs, LSH-bucketed (the 100 TB path,
+    // q38→q39 shape): candidates = pairs whose 8-bit hyperplane
+    // signatures differ in ≤2 bits (multi-probe: each vector probes
+    // its own bucket plus all hamming-≤2 variants), then exact cosine
+    // ≥ 0.45 on candidates only. The join key is the bucket — a plain
+    // shuffle/broadcast hash join, never a cartesian; pair cost is
+    // Σ bucket² instead of n². The probe radius and plane count trade
+    // recall vs cost: at 100 TB the signature widens with the corpus
+    // (more planes ⇒ smaller buckets) and the radius stays small. The
+    // oracle mirrors the candidate rule (bit_count(xor) ≤ 2), so the
+    // declared semantics — "near-dups among signature-adjacent pairs"
+    // — are checked exactly.
     QueryDef(
       "q43_cosine_neardup",
-      s"""WITH $DuckNorm
-         |SELECT a.vec_id AS v1, b.vec_id AS v2,
-         | round(list_dot_product(a.e, b.e) / (a.nm * b.nm), 6) AS cosine
-         |FROM n a, n b
-         |WHERE a.vec_id < b.vec_id
-         |  AND list_dot_product(a.e, b.e) / (a.nm * b.nm) >= 0.45
-         |ORDER BY v1, v2""".stripMargin) { (spark, dir) =>
+      s"""WITH $DuckNorm,
+         |s AS (SELECT vec_id, e, nm, CAST($duckBucketExpr AS INTEGER) AS bucket
+         |      FROM n)
+         |SELECT v1, v2, round(cos, 6) AS cosine FROM (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    list_dot_product(a.e, b.e) / (a.nm * b.nm) AS cos
+         |  FROM s a JOIN s b ON a.vec_id < b.vec_id
+         |    AND bit_count(xor(CAST(a.bucket AS BIGINT), CAST(b.bucket AS BIGINT)))
+         |        <= $MaxHamming)
+         |WHERE cos >= 0.45 ORDER BY v1, v2""".stripMargin) { (spark, dir) =>
       val n = withNorm(spark, dir)
-      // spread the stream side across all cores: the corpus parquet is
-      // a single small file, so the scan alone yields 1-2 partitions
-      // while the pairwise compute is O(n²·dim)
-      val a = n.select(col("vec_id").as("v1"), col("e").as("e1"), col("nm").as("nm1"))
+      // signature frame feeds both join sides — persist so the scan +
+      // signature arithmetic runs once (self-join diamonds recompute)
+      val sig = n.withColumn("bucket", bucketCol(col("e")).cast("int"))
         .repartition(spark.sparkContext.defaultParallelism)
-      val b = n.select(col("vec_id").as("v2"), col("e").as("e2"), col("nm").as("nm2"))
-      a.crossJoin(b)
-        .filter(col("v1") < col("v2"))
+        .persist()
+      val probes = sig.select(col("vec_id").as("v1"), col("e").as("e1"),
+          col("nm").as("nm1"),
+          explode(array(ProbeMasks.map(m =>
+            col("bucket").bitwiseXOR(lit(m))): _*)).as("pb"))
+      val right = sig.select(col("vec_id").as("v2"), col("e").as("e2"),
+        col("nm").as("nm2"), col("bucket").as("b2"))
+      // each qualifying pair matches exactly once: b's bucket appears
+      // exactly once in a's probe set when hamming ≤ 2, and v1 < v2
+      // kills the mirrored match — no distinct needed
+      probes.join(right, col("pb") === col("b2") && col("v1") < col("v2"))
         .withColumn("cos", dot(col("e1"), col("e2")) / (col("nm1") * col("nm2")))
         .filter(col("cos") >= 0.45)
         .select(col("v1"), col("v2"), round(col("cos"), 6).as("cosine"))
@@ -136,27 +190,13 @@ object VectorQueries {
     // Random-hyperplane LSH: 8-bit bucket signature per vector. The
     // ±1 coefficient matrix is generated into both engines' plans.
     QueryDef(
-      "q44_lsh_hyperplane", {
-        val dots = Signs.map(row =>
-          row.zipWithIndex.map { case (s, k) =>
-            if (s > 0) s"e[${k + 1}]" else s"(0.0 - e[${k + 1}])"
-          }.mkString(" + "))
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-           |SELECT vec_id, CAST(${dots.zipWithIndex.map { case (d, p) =>
-             s"(CASE WHEN ($d) > 0.0 THEN ${1 << p} ELSE 0 END)"
-           }.mkString(" + ")} AS INTEGER) AS bucket
-           |FROM e ORDER BY vec_id""".stripMargin
-      }) { (spark, dir) =>
+      "q44_lsh_hyperplane",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+         |SELECT vec_id, CAST($duckBucketExpr AS INTEGER) AS bucket
+         |FROM e ORDER BY vec_id""".stripMargin) { (spark, dir) =>
       val e = Tables(spark, dir).embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val bucket = Signs.zipWithIndex.map { case (row, p) =>
-        val d = row.zipWithIndex.map { case (s, k) =>
-          if (s > 0) element_at(col("e"), k + 1)
-          else lit(0.0) - element_at(col("e"), k + 1)
-        }.reduce(_ + _)
-        when(d > 0.0, lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
-      e.select(col("vec_id"), bucket.cast("int").as("bucket"))
+      e.select(col("vec_id"), bucketCol(col("e")).cast("int").as("bucket"))
         .orderBy("vec_id")
     },
 

@@ -43,6 +43,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
   }
 
+  test("q43 cosine near-dup joins on LSH buckets — no cartesian product") {
+    val plan = planOf(SparkEntry.queries("q43_cosine_neardup")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("q37 minhash signatures are map-only (no hash-partition shuffle)") {
     val plan = planOf(SparkEntry.queries("q37_minhash_sig")(spark, sf))
     // the trailing total ORDER BY adds a range exchange; anything
