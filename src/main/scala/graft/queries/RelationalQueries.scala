@@ -242,13 +242,27 @@ object RelationalQueries {
           .orderBy("l_returnflag")
     },
 
-    // approx_count_distinct: estimates are implementation-specific, so
-    // no DuckDB oracle — the spec asserts bounded relative error.
-    QueryDef.rowsOnly("q12_approx_distinct") { (spark, dir) =>
-      Tables(spark, dir).lineitem
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
-        .orderBy("l_returnflag")
+    // approx_count_distinct: the HLL estimate itself is
+    // implementation-specific (no cross-engine value to hash), so the
+    // checkable contract is the ERROR BOUND — emit the exact count and
+    // a within-5% flag (rsd 0.02 ⇒ generous), both deterministic: the
+    // oracle re-derives the exact count and expects the flag true, so
+    // an estimator drifting out of bound fails the hash compare.
+    QueryDef(
+      "q12_approx_distinct",
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | true AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (spark, dir) =>
+        Tables(spark, dir).lineitem
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("approx_parts") - col("exact_parts")) * lit(1.0)
+              / col("exact_parts") <= 0.05).as("within_bound"))
+          .orderBy("l_returnflag")
     },
 
     // Deterministic approximate distinct: KMV sketch (custom

@@ -218,5 +218,48 @@ object ScalarQueries {
         .agg(count(lit(1)).as("n_events"), sum("is_new").as("n_sessions"))
         .orderBy("user_id")
     },
+
+    // Salted skew join (graft.ops.SkewJoin), oracle-checked: events is
+    // deliberately skewed on event_type (5 hot keys for the whole
+    // table — at 100 TB each key would be one straggler task), the
+    // per-type stats dim is tiny. The salt spreads every hot key over
+    // 8 (key, salt) tasks; salt values never affect the RESULT (they
+    // only partition work), so the oracle is the plain unsalted join.
+    QueryDef(
+      "q66_skew_salted_topk",
+      """WITH t AS (SELECT event_type, avg(value) AS type_avg
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT e.event_type, e.user_id,
+        |        count(*) AS n_events, sum(e.value) AS tv,
+        |        min(t.type_avg) AS type_avg
+        |      FROM events e JOIN t USING (event_type)
+        |      GROUP BY 1, 2)
+        |SELECT event_type, user_id,
+        | CAST(n_events AS BIGINT) AS n_events,
+        | round(tv, 2) AS total_value,
+        | round(tv / (n_events * type_avg), 4) AS lift,
+        | CAST(rn AS INTEGER) AS rn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY tv DESC, user_id) AS rn FROM a)
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+        .select(col("event_type"), col("user_id"), col("value"))
+      val typeStats = ev.groupBy("event_type")
+        .agg(avg("value").as("type_avg"))
+      val joined = graft.ops.SkewJoin.saltedJoin(ev, typeStats,
+        "event_type", saltBuckets = 8)
+      val agg = joined.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n_events"), sum("value").as("tv"),
+          min("type_avg").as("type_avg"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("tv").desc, col("user_id"))
+      agg.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("event_type"), col("user_id"), col("n_events"),
+          round(col("tv"), 2).as("total_value"),
+          round(col("tv") / (col("n_events") * col("type_avg")), 4).as("lift"),
+          col("rn"))
+        .orderBy("event_type", "rn")
+    },
   )
 }

@@ -486,7 +486,10 @@ object TextQueries {
         |FROM top JOIN b ON top.doc_id = b.doc_id
         |ORDER BY top.doc_id""".stripMargin) { (spark, dir) =>
       val docs = Tables(spark, dir).documents
-      val t = withToks(docs, col("doc_id"))
+      // the staged token frame feeds BOTH aggregate branches of the
+      // join below — persist so documents is scanned and tokenized
+      // once, not once per branch
+      val t = withToks(docs, col("doc_id")).persist()
       val top = t.select(col("doc_id"), explode(col("t")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")

@@ -49,6 +49,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("q66 salted join fans hot keys out over (key, salt)") {
+    val plan = planOf(SparkEntry.queries("q66_skew_salted_topk")(spark, sf))
+    // right side replicated via explode, join key includes the salt
+    assert(plan.contains("_salt"), plan.take(800))
+    assert(plan.contains("explode"), plan.take(800))
+  }
+
   test("q37 minhash signatures are map-only (no hash-partition shuffle)") {
     val plan = planOf(SparkEntry.queries("q37_minhash_sig")(spark, sf))
     // the trailing total ORDER BY adds a range exchange; anything
