@@ -15,7 +15,9 @@ import graft.schema.TypeMapping
   * (`MySQLStreamer.java:313-457`). The file-feed harness declares the
   * same information in config (`table.schemas`: "db.tbl" →
   * "col:TYPE,col:TYPE", run through the §1.3 type collapse); a live
-  * JDBC walk plugs in behind the same TableRegistry.
+  * JDBC walk plugs in behind the same TableRegistry via
+  * graft.schema.JdbcRegistry (DatabaseMetaData → registry — only the
+  * connection itself is environment-dependent).
   */
 object CdcJob {
 
@@ -93,14 +95,27 @@ object CdcJob {
     val stored = config.offsetStorePath.flatMap(pipeline.readStoredOffset)
     val mode = StartupMode.resolve(cfg.get("startup.mode"), stored,
       cfg.get("startup.timestamp").map(_.toLong), config.snapshotOnly)
+    // the stored offset influences resolve() for LOGGING parity with
+    // the reference, but is deliberately not a feed seek position —
+    // say so, so the log cannot claim an offset resume the feed
+    // doesn't perform (checkpoint recovery owns resume)
     org.slf4j.LoggerFactory.getLogger(getClass)
-      .info(s"[${config.name}] startup mode resolved: $mode")
+      .info(s"[${config.name}] startup mode resolved: $mode" +
+        (if (stored.isDefined)
+          " (stored offset applies via checkpoint recovery, not feed seek)"
+        else ""))
 
     val feed: graft.source.CdcFeed =
       if (cfg.get("source.feed").contains("dsv2"))
         graft.source.Dsv2Feed(inputDir,
           maxRecordsPerTrigger = cfg.get("max.records.per.trigger").map(_.toLong),
-          maxFilesPerTrigger = cfg.get("max.files.per.trigger").map(_.toInt),
+          // snapshot-only with no user cap: default to one file per
+          // trigger (mirroring the JsonLinesFeed branch) so the stop
+          // gate can observe snapshot-complete at fine granularity
+          // instead of committing the whole backlog as one batch
+          maxFilesPerTrigger = cfg.get("max.files.per.trigger").map(_.toInt)
+            .orElse(if (config.snapshotOnly &&
+              cfg.get("max.records.per.trigger").isEmpty) Some(1) else None),
           // snapshot-only forces initial (S5) — forwarding a
           // configured "latest" would skip the backlog and produce an
           // empty snapshot, contradicting the resolve() above

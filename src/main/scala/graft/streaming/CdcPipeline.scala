@@ -32,7 +32,15 @@ final case class CdcConfig(
       * is what downstream keep-latest consumers need, without the
       * single-partition write bottleneck at scale.
       */
-    strictOrder: Boolean = false) {
+    strictOrder: Boolean = false,
+    /** Mongo deserializer output mode (T4). When set (mongodb
+      * sources), the per-table projection goes through
+      * MongoModes.project — `_doc` extended JSON → doc-string /
+      * top-level-string / top-level-type — instead of the union-tag
+      * payload decode; top-level-string also runs the reference's
+      * schema-drift abort.
+      */
+    mongoMode: Option[graft.ops.MongoModes.Mode] = None) {
   def name: String = jobName.getOrElse(s"JOB-$sourceId")
 }
 
@@ -208,8 +216,24 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
   private def committedFingerprint(batchId: Long): Option[String] =
     hRead(commitMarker(batchId))
 
-  private def markCommitted(batchId: Long, fingerprint: String): Unit =
+  /** Markers a replay can still consult. Only the most recent
+    * uncommitted batch legitimately replays, but keep a window for
+    * slack; everything older is dead weight (a long-running job would
+    * otherwise grow one small file per batch forever — slow lists on
+    * object stores).
+    */
+  private val MarkerKeep = 16L
+
+  private def markCommitted(batchId: Long, fingerprint: String): Unit = {
     hWrite(commitMarker(batchId), fingerprint)
+    // micro-batch ids are consecutive, so deleting exactly one
+    // trailing marker per commit keeps a sliding window without a
+    // per-batch directory LIST (delete of a missing path is a no-op)
+    if (batchId >= MarkerKeep) {
+      val old = new org.apache.hadoop.fs.Path(commitMarker(batchId - MarkerKeep))
+      hfs(old.toString).delete(old, false)
+    }
+  }
 
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (gate.stopped) return // swallow after stop signal (P1 `:138-142`)
@@ -308,7 +332,18 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
               (EnvelopeDecoder.dtColumn +: offsetOrder): _*)
             else rows0)
             .sortWithinPartitions((EnvelopeDecoder.dtColumn +: offsetOrder): _*)
-          EnvelopeDecoder.payload(rows, spec, config.sourceType)
+          val projected = config.mongoMode match {
+            case Some(mode) =>
+              if (mode == graft.ops.MongoModes.TopLevelString) {
+                val drift = graft.ops.MongoModes.driftCheck(rows, spec)
+                if (drift.nonEmpty) throw new IllegalStateException(
+                  s"SCHEMA DRIFT in ${spec.key}: ${drift.mkString(", ")} " +
+                    "— map collection to new name")
+              }
+              graft.ops.MongoModes.project(rows, spec, mode)
+            case None => EnvelopeDecoder.payload(rows, spec, config.sourceType)
+          }
+          projected
             .withColumn("dt", EnvelopeDecoder.dtColumn)
             .write.mode("append").partitionBy("dt")
             .parquet(spec.sinkDir(config.sinkPath, config.sourceId))

@@ -26,6 +26,15 @@ import org.apache.spark.sql.functions._
   * that window see a missing table — run the compactor, not a manual
   * cleanup). Run it while no writer is active (between micro-batches
   * / from a maintenance job), like any file-level compactor.
+  *
+  * Filesystem assumption: the swap relies on `rename()` being a fast
+  * O(1) metadata operation, which holds on HDFS and local filesystems
+  * but NOT on S3A-style object stores, where each "rename" is an
+  * O(data) copy — the crash window between the two renames stretches
+  * from milliseconds to minutes and readers can observe a missing or
+  * partial table for that whole span. compact() logs a warning on
+  * such filesystems; for object stores prefer a manifest-committing
+  * table format's own compaction.
   */
 object Compaction {
 
@@ -46,6 +55,15 @@ object Compaction {
 
     val fs = new Path(tableDir).getFileSystem(
       spark.sessionState.newHadoopConf())
+    // see the class doc: rename is a copy on these stores, so the
+    // "atomic" swap window becomes O(data) long
+    val scheme = Option(fs.getScheme).getOrElse("")
+    if (Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+        "oss", "cos").contains(scheme.toLowerCase))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"compact: '$scheme' renames are O(data) copies, the directory " +
+          "swap is NOT atomic here — readers may see a missing/partial " +
+          "table while the swap copies")
     def countFiles(p: String): Long = {
       val it = fs.listFiles(new Path(p), true)
       var c = 0L

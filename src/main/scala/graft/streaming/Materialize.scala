@@ -32,10 +32,13 @@ object Materialize {
       payload: String)
 
   /** Current state of one key. `deleted` marks a tombstone (the key's
-    * latest event was a delete).
+    * latest event was a delete). `txn` (last field: appended to the
+    * state schema) persists the intra-offset tiebreaker — without it a
+    * cross-batch replay of a same-offset LOWER-txn event would pass an
+    * offset-only guard and resurrect a tombstoned row.
     */
   case class CurrentRow(pk: Long, offset: Long, payload: String,
-      deleted: Boolean)
+      deleted: Boolean, txn: Long)
 
   private val DeleteOps = Set("DELETE", "d")
 
@@ -53,11 +56,14 @@ object Materialize {
       var changed = false
       // batch order is not event order: sort this key's slice by
       // (offset, txn) — tying on the op STRING would apply a delete
-      // before its same-offset update and resurrect the row
+      // before its same-offset update and resurrect the row. The merge
+      // guard compares the same (offset, txn) pair against STATE, so
+      // the protection also holds across batches.
       for (r <- rows.toArray.sortBy(r => (r.offset, r.txn))) {
-        if (cur.forall(_.offset <= r.offset)) {
+        if (cur.forall(c => c.offset < r.offset ||
+            (c.offset == r.offset && c.txn <= r.txn))) {
           cur = Some(CurrentRow(r.pk, r.offset, r.payload,
-            DeleteOps.contains(r.op)))
+            DeleteOps.contains(r.op), r.txn))
           changed = true
         }
       }

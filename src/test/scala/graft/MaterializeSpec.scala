@@ -40,6 +40,11 @@ class MaterializeSpec extends AnyFunSuite {
       ev(4, "c", 50, "v1"),
       ev(4, "u", 60, "v2", txn = 1),
       ev(4, "d", 60, "bye", txn = 2)).asJava)
+    Files.write(in.resolve("03.jsonl"), Seq(
+      // CROSS-BATCH stale replay of the same-offset lower-txn update:
+      // state already holds (60, txn 2) delete — an offset-only guard
+      // would let this through and resurrect the row
+      ev(4, "u", 60, "zombie", txn = 1)).asJava)
 
     val prev = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
@@ -77,6 +82,9 @@ class MaterializeSpec extends AnyFunSuite {
       assert(current(4L) == (4L, 60L, "bye", true)) // same-offset tie
       // the stale offset-5 update must never have been emitted
       assert(!rows.exists(r => r._1 == 2L && r._2 == 5L))
+      // the cross-batch same-offset lower-txn replay must not have
+      // resurrected the tombstone
+      assert(!rows.exists(_._3 == "zombie"))
     } finally {
       prev match {
         case Some(p) =>

@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{TableRegistry, TableSpec}
+import graft.ops.{MongoModes, ResumeToken}
+import graft.streaming.{CdcConfig, CdcPipeline}
+
+/** Mongo flavor END-TO-END through the full pipeline (envelope →
+  * MongoModes → dt-partitioned sink), not just the unit-tested
+  * deserializer pieces: doc-string and top-level-type output modes,
+  * offsets and `_txn_op_index` derived from REAL (hand-encoded v1)
+  * resume tokens, and the (ts, txn_op_index) write order surviving to
+  * parquet — the contract of
+  * `MongoDBDebeziumToJSONDeserializer.java:44-258` +
+  * `MongoDBStreamer.java:308-310`.
+  */
+class MongoPipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+
+  def tmp(): Path = Files.createTempDirectory("graft-mongo-")
+
+  /** v1 KeyString resume token (layout per ResumeTokenSpec): ts,
+    * increment, version 1, tokenType 2, txnOpIndex, fromInvalidate,
+    * uuid, empty documentKey.
+    */
+  def token(tsSec: Long, inc: Long, txn: Int): String =
+    f"82$tsSec%08x$inc%08x" + "2b02" + "2b04" + f"2b${2 * txn}%02x" + "6e" +
+      "5a1004" + "000102030405060708090a0b0c0d0e0f" + "4604"
+
+  /** Envelope as the reference's Mongo deserializer emits it: op, ms
+    * timestamp and txn-op-index both DERIVED from the resume token,
+    * collection routing key, extended-JSON document.
+    */
+  def env(op: String, coll: String, tok: String, doc: String): String = {
+    val d = ResumeToken.decode(tok)
+    s"""{"_op":"$op","_ts":${d.timestampSeconds * 1000},"_coll":"$coll",""" +
+      s""""_txn_op_index":"${d.txnOpIndex}","_doc":$doc}"""
+  }
+
+  val ordersSchema = StructType(Seq(
+    StructField("_id", StringType), StructField("sku", StringType),
+    StructField("qty", LongType)))
+
+  def registry = TableRegistry(Seq(TableSpec("", "orders", ordersSchema)))
+
+  // one transaction at ts 1700000000: three ops sharing the second,
+  // fed OUT of txn order inside the batch file
+  val t1 = token(1700000000L, 1, 1)
+  val t2 = token(1700000000L, 1, 2)
+  val t3 = token(1700000000L, 1, 3)
+  val tSnap = token(1699990000L, 0, 0)
+
+  def lines: Seq[Seq[String]] = Seq(
+    Seq(env("READ", "orders", tSnap,
+      """{"_id":{"$oid":"0102030405060708090a0b0c"},"sku":"ab","qty":{"$numberLong":"1"}}""")),
+    Seq( // deliberately shuffled: txn 3, 1, 2
+      env("UPDATE", "orders", t3, """{"_id":"k1","sku":"c3","qty":3}"""),
+      env("CREATE", "orders", t1, """{"_id":"k1","sku":"c1","qty":1}"""),
+      env("UPDATE", "orders", t2, """{"_id":"k1","sku":"c2","qty":2}""")))
+
+  def run(mode: MongoModes.Mode): (CdcPipeline, Path, Path) = {
+    val in = tmp(); val out = tmp(); val off = tmp()
+    lines.zipWithIndex.foreach { case (ls, i) =>
+      Files.write(in.resolve(f"$i%02d.jsonl"),
+        String.join("\n", ls: _*).getBytes)
+    }
+    val p = new CdcPipeline(spark, CdcConfig("msrc", registry, out.toString,
+      sourceType = "mongodb", offsetStorePath = Some(off.toString),
+      mongoMode = Some(mode)))
+    p.runAvailableNow(in.toString, tmp().resolve("ck").toString)
+    (p, out, off)
+  }
+
+  test("top-level-type mode e2e: typed columns, txn order to parquet") {
+    val (p, out, off) = run(MongoModes.TopLevelType)
+    val sink = spark.read.parquet(s"$out/msrc_orders")
+    assert(sink.count() == 4)
+    assert(sink.schema("qty").dataType == LongType)
+    assert(sink.schema("sku").dataType == StringType)
+    // rows of the change batch in FILE order (no re-sort on read):
+    // the pipeline's (ts, _txn_op_index) sort must have fixed the
+    // shuffled input — c1, c2, c3
+    val changed = sink.filter(col("_op") =!= "READ")
+      .select("sku", "_txn_op_index").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(changed == Seq(("c1", "1"), ("c2", "2"), ("c3", "3")))
+    // ext-JSON unwrap: $oid normalized away in typed mode
+    val snap = sink.filter(col("_op") === "READ").collect()(0)
+    assert(snap.getAs[Long]("qty") == 1L)
+    // offset store: resume-token-derived ms of the last non-READ op
+    assert(p.readStoredOffset(off.toString).contains("1700000000000"))
+  }
+
+  test("doc-string mode e2e: _id + whole-document column") {
+    val (_, out, _) = run(MongoModes.DocString)
+    val sink = spark.read.parquet(s"$out/msrc_orders")
+    assert(sink.columns.toSet ==
+      Set("_id", "doc", "_op", "_ts", "_txn_op_index", "dt"))
+    // $oid unwraps to the plain id; the doc column keeps the raw json
+    val snap = sink.filter(col("_op") === "READ").collect()(0)
+    assert(snap.getAs[String]("_id") == "0102030405060708090a0b0c")
+    assert(snap.getAs[String]("doc").contains("\"sku\":\"ab\""))
+    // string _id passes through
+    val ids = sink.filter(col("_op") =!= "READ")
+      .select("_id").distinct().collect().map(_.getString(0)).toSet
+    assert(ids == Set("k1"))
+  }
+
+  test("top-level-string mode drift aborts the job") {
+    val in = tmp(); val out = tmp()
+    Files.write(in.resolve("00.jsonl"),
+      env("CREATE", "orders", t1,
+        """{"_id":"k9","sku":"x","qty":1,"surprise":"f"}""").getBytes)
+    val p = new CdcPipeline(spark, CdcConfig("msrc2", registry,
+      out.toString, sourceType = "mongodb",
+      mongoMode = Some(MongoModes.TopLevelString)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      p.runAvailableNow(in.toString, tmp().resolve("ck").toString)
+    }
+    assert(e.getMessage.contains("SCHEMA DRIFT") ||
+      Option(e.getCause).exists(_.getMessage.contains("SCHEMA DRIFT")))
+  }
+}
