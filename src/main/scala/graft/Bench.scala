@@ -25,6 +25,17 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_regionkey").count().orderBy("r_regionkey")
       .write.format("noop").mode("overwrite").save()
+    // warm EVERY table's read path (footer decode, page-cache, column
+    // readers) once before timing: cold first reads otherwise land on
+    // the alphabetically-first query touching each table (r2 showed
+    // q10/q11/q16 absorbing the orders/lineitem/part cold costs),
+    // hiding plan regressions behind IO noise. Data volume at sf0.1 is
+    // tens of MB — one untimed pass is cheap.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.format("noop").mode("overwrite").save()
     // sorted: Map iteration order varies with hashing, and run order
     // matters for first-run codegen/JIT costs — keep rounds comparable
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
