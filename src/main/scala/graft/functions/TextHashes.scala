@@ -100,29 +100,35 @@ object TextHashes {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** All k MinHash minima in one pass over the shingle array; null for
-    * an empty array (mirrors DuckDB `list_aggregate([], 'min')`).
+  /** All k MinHash minima in one pass over the shingle array; null
+    * elements are skipped and an empty/all-null array yields null —
+    * both mirroring the oracle (`min` aggregates ignore NULL;
+    * `list_aggregate([], 'min')` is NULL).
     */
   def minhashSigEval(sh: ArrayData): ArrayData = {
     val n = sh.numElements()
-    if (n == 0) return null
     val mins = Array.fill(MinHashK)(Long.MaxValue)
+    var seen = false
     val md = mdLocal.get()
     var i = 0
     while (i < n) {
-      md.reset()
-      val dig = md.digest(sh.getUTF8String(i).getBytes)
-      val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
-        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
-      var k = 0
-      while (k < MinHashK) {
-        val v = (MixA(k) * h + MixB(k)) % MixP
-        if (v < mins(k)) mins(k) = v
-        k += 1
+      val s = sh.getUTF8String(i)
+      if (s != null) {
+        seen = true
+        md.reset()
+        val dig = md.digest(s.getBytes)
+        val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        var k = 0
+        while (k < MinHashK) {
+          val v = (MixA(k) * h + MixB(k)) % MixP
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
       }
       i += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(mins)
+    if (!seen) null else UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
   case class MinHashSig(child: Expression)

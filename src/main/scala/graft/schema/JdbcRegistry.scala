@@ -31,23 +31,31 @@ object JdbcRegistry {
 
   /** Adapter over a live connection's metadata
     * (`connection.getMetaData`): catalog-scoped getTables/getColumns,
-    * mirroring the reference's calls.
+    * mirroring the reference's calls. The table name is escaped before
+    * use as a `tableNamePattern` — JDBC treats it as a LIKE pattern,
+    * so an unescaped `user_events` would also match `userXevents` and
+    * merge a sibling table's columns into the schema.
     */
   def fromDatabaseMetaData(md: java.sql.DatabaseMetaData): MetadataProvider =
     new MetadataProvider {
-      def tables(db: String): Seq[String] = {
-        val rs = md.getTables(db, null, "%", Array("TABLE"))
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (rs.next()) out += rs.getString(3) // TABLE_NAME ordinal
-        out.toSeq
+      private def drain[A](rs: java.sql.ResultSet)(
+          read: java.sql.ResultSet => A): Seq[A] =
+        try {
+          val out = scala.collection.mutable.ArrayBuffer.empty[A]
+          while (rs.next()) out += read(rs)
+          out.toSeq
+        } finally rs.close()
+      private def escapeLike(name: String): String = {
+        val esc = md.getSearchStringEscape
+        name.replace(esc, esc + esc)
+          .replace("_", esc + "_").replace("%", esc + "%")
       }
-      def columns(db: String, table: String): Seq[(String, String)] = {
-        val rs = md.getColumns(db, null, table, "%")
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-        while (rs.next())
-          out += (rs.getString("COLUMN_NAME") -> rs.getString("TYPE_NAME"))
-        out.toSeq
-      }
+      def tables(db: String): Seq[String] =
+        drain(md.getTables(db, null, "%", Array("TABLE")))(
+          _.getString(3)) // TABLE_NAME ordinal
+      def columns(db: String, table: String): Seq[(String, String)] =
+        drain(md.getColumns(db, null, escapeLike(table), "%"))(rs =>
+          rs.getString("COLUMN_NAME") -> rs.getString("TYPE_NAME"))
     }
 
   /** Walk `databases` through `meta` and build the registry.
@@ -65,7 +73,18 @@ object JdbcRegistry {
       db <- databases
       entries = tableFilter.filter(_.startsWith(db + "."))
       name <- if (entries.contains(s"$db.*") || entries.isEmpty) meta.tables(db)
-              else entries.map(_.substring(db.length + 1))
+              else {
+                // fail fast on a typo'd specific entry — getColumns on
+                // a non-existent table would otherwise fabricate an
+                // empty-schema spec that silently sinks no columns
+                val named = entries.map(_.substring(db.length + 1))
+                val known = meta.tables(db).toSet
+                val missing = named.filterNot(known)
+                if (missing.nonEmpty) throw new IllegalArgumentException(
+                  s"UNKNOWN TABLE(S) IN $db: ${missing.mkString(", ")} " +
+                    s"(discovered: ${known.toSeq.sorted.mkString(", ")})")
+                named
+              }
     } yield TableSpec(db, name,
       TypeMapping.schemaFromJdbc(meta.columns(db, name), oracle))
     TableRegistry(specs, dbNameMap = dbNameMap, tableNameMap = tableNameMap)

@@ -56,8 +56,11 @@ object Compaction {
     val fs = new Path(tableDir).getFileSystem(
       spark.sessionState.newHadoopConf())
     // see the class doc: rename is a copy on these stores, so the
-    // "atomic" swap window becomes O(data) long
-    val scheme = Option(fs.getScheme).getOrElse("")
+    // "atomic" swap window becomes O(data) long. getScheme THROWS on
+    // FileSystem impls that keep the base-class default — this check
+    // only gates a log line, never the compaction
+    val scheme = try Option(fs.getScheme).getOrElse("")
+    catch { case _: UnsupportedOperationException => "" }
     if (Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
         "oss", "cos").contains(scheme.toLowerCase))
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

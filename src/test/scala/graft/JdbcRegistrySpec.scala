@@ -87,6 +87,15 @@ class JdbcRegistrySpec extends AnyFunSuite {
       StructField("ua", StringType))))
   }
 
+  test("a typo'd specific table entry fails fast, not an empty schema") {
+    val e = intercept[IllegalArgumentException] {
+      JdbcRegistry.build(meta, databases = Seq("analytics"),
+        tableFilter = Seq("analytics.clickz"))
+    }
+    assert(e.getMessage.contains("clickz") &&
+      e.getMessage.contains("clicks"))
+  }
+
   test("adapter shape matches java.sql.DatabaseMetaData contract") {
     // compile-time check that the adapter accepts the real interface
     val f: java.sql.DatabaseMetaData => JdbcRegistry.MetadataProvider =

@@ -54,6 +54,19 @@ class TextHashesSpec extends AnyFunSuite {
     assert(out.isNullAt(0))
   }
 
+  test("null elements are skipped (oracle min-ignores-NULL parity)") {
+    val out = spark.sql(
+      "SELECT array('a b c', CAST(NULL AS STRING), 'b c d') AS sh")
+      .select(TextHashes.minhashSig(spark, col("sh")).as("sig"))
+      .collect()(0).getSeq[Long](0)
+    assert(out == expectedSig(Seq("a b c", "b c d")))
+    // all-null array behaves like empty
+    val allNull = spark.sql("SELECT array(CAST(NULL AS STRING)) AS sh")
+      .select(TextHashes.minhashSig(spark, col("sh")).as("sig"))
+      .collect()(0)
+    assert(allNull.isNullAt(0))
+  }
+
   test("null input propagates") {
     val out = spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS sh")
       .select(TextHashes.minhashSig(spark, col("sh")).as("sig"))
