@@ -542,6 +542,133 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Canonical-document selection — the step AFTER near-dup
+    // clustering in a dedup pipeline: per duplicate cluster keep the
+    // "best" member (here: longest text, doc_id tiebreak) and record
+    // cluster size. Composes q38's candidates and q59's components
+    // with a quality-ranked pick; at scale this is one extra window
+    // over the (doc, cluster) frame — cluster count ∝ dups, not corpus.
+    QueryDef(
+      "q67_canonical_docs",
+      s"""WITH RECURSIVE $duckCand,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM cand
+         |          UNION SELECT d2, d1 FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         |cl AS (SELECT src AS doc_id, min(dst) AS cluster
+         |       FROM reach GROUP BY src),
+         |m AS (SELECT cl.cluster, cl.doc_id, d.n_chars,
+         |        row_number() OVER (PARTITION BY cl.cluster
+         |          ORDER BY d.n_chars DESC, cl.doc_id) AS rn
+         |      FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+         |SELECT cluster, doc_id AS canonical_doc, n_chars AS canon_chars,
+         |  CAST((SELECT count(*) FROM cl c2 WHERE c2.cluster = m.cluster)
+         |    AS BIGINT) AS n_members
+         |FROM m WHERE rn = 1 ORDER BY cluster""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val clusters = DupClusters.clusters(lshPipeline(spark, dir)._1)
+      val sizes = clusters.groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"))
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      clusters
+        .join(Tables(spark, dir).documents.select("doc_id", "n_chars"),
+          "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(broadcast(sizes), "cluster")
+        .select(col("cluster"), col("doc_id").as("canonical_doc"),
+          col("n_chars").as("canon_chars"), col("n_members"))
+        .orderBy("cluster")
+    },
+
+    // PII detection + redaction — the scrub pass of a training-data
+    // pipeline. The corpus is synthetic word-salad with no real PII,
+    // so deterministic contact strings are planted from driver data
+    // IN THE QUERY (identically in both engines): the patterns must
+    // find exactly those spans and the redacted-text fingerprint
+    // proves the replacement is byte-identical. Map-only; the shared
+    // regexes are RE2-safe (no lookarounds).
+    QueryDef(
+      "q68_pii_scrub", {
+        val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+        val phone = """\+[0-9][0-9-]{7,}[0-9]"""
+        s"""WITH e AS (SELECT doc_id,
+           |  text || ' contact ' || source || doc_id ||
+           |    '@corp.example or +1-202-555-0' ||
+           |    lpad((doc_id % 1000)::VARCHAR, 3, '0') AS t
+           | FROM documents)
+           |SELECT doc_id,
+           | CAST(len(regexp_extract_all(t, '$email')) AS INTEGER) AS n_emails,
+           | CAST(len(regexp_extract_all(t, '$phone')) AS INTEGER) AS n_phones,
+           | md5(regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+           |     '$phone', '<PHONE>', 'g')) AS redacted_fp
+           |FROM e ORDER BY doc_id""".stripMargin
+      }) { (spark, dir) =>
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val phone = """\+[0-9][0-9-]{7,}[0-9]"""
+      Tables(spark, dir).documents
+        .select(col("doc_id"), concat(col("text"), lit(" contact "),
+          col("source"), col("doc_id").cast("string"),
+          lit("@corp.example or +1-202-555-0"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0")).as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(email), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(phone), lit(0)))
+            .as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+            phone, "<PHONE>")).as("redacted_fp"))
+        .orderBy("doc_id")
+    },
+
+    // TF-IDF keyword extraction: top-3 terms per document. IDF is the
+    // LOG-FREE variant N/df — ln() is not bit-identical across libm
+    // implementations, while IEEE divide/multiply are, so the score
+    // (and therefore the ranking) is exactly reproducible engine-to-
+    // engine. Shape at scale: one explode + two aggregates; df is a
+    // corpus-wide term aggregate (shuffle ∝ vocabulary, not corpus²).
+    QueryDef(
+      "q69_tfidf_topk",
+      """WITH d AS (SELECT doc_id,
+        |   string_split_regex(lower(trim(text)), '\s+') AS t
+        | FROM documents),
+        |w AS (SELECT doc_id, unnest(t) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+        |        tf.tf * (n.n * 1.0 / df.df) AS score
+        |      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, round(score, 4) AS tf_idf,
+        |  CAST(rn AS INTEGER) AS rn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rn FROM s)
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(spark, dir).documents
+      val words = withToks(docs, col("doc_id"))
+        .select(col("doc_id"), explode(col("t")).as("term"))
+        .persist() // feeds both the tf and df aggregates
+      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = words.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * (col("n") * lit(1.0) / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("score"), 4).as("tf_idf"), col("rn"))
+        .orderBy("doc_id", "rn")
+    },
+
     // Char-n-gram language ID: profile overlap heuristic. The tiny
     // built-in trigram profiles below are literal data, so the whole
     // classifier is SQL-expressible — the oracle is GENERATED from the

@@ -88,7 +88,13 @@ object EventTimeOps {
          state: GroupState[SessionState]) =>
           var s = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
           // order within the batch: state transitions are order-
-          // sensitive, exactly like the reference's keyed operators
+          // sensitive, exactly like the reference's keyed operators.
+          // MEMORY BOUND: this materializes ONE key's slice of ONE
+          // micro-batch on the task heap — steady state that is the
+          // key's events per trigger interval. A single hot key in a
+          // large backfill batch is the exception: cap backfill batch
+          // size via source admission control (maxRecordsPerTrigger)
+          // rather than here, so the sort stays exact.
           for (e <- rows.toSeq.sortBy(e => (e.ts.getTime, e.value))) {
             val sec = e.ts.getTime / 1000
             val newSession = s.lastSec == Long.MinValue ||
