@@ -113,6 +113,72 @@ object VectorQueries {
       (for { i <- 0 until Planes; j <- i + 1 until Planes }
         yield (1 << i) | (1 << j)))
 
+  /** The 5 fixed query vectors. */
+  private def queriesOf(n: DataFrame): DataFrame =
+    n.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nm").as("qnm"))
+
+  /** Exact brute-force top-3 per query vector: (qid, vec_id, cos, rn).
+    * Corpus never shuffles — the query set broadcasts.
+    */
+  private def bruteTop3(n: DataFrame): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    n.crossJoin(broadcast(queriesOf(n)))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("e"), col("qe")) / (col("nm") * col("qnm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  /** IVF probe-2 top-3 per query vector: (qid, vec_id, cos, rn) —
+    * exact scoring restricted to the 2 nearest centroids' clusters.
+    */
+  private def ivfTop3(n: DataFrame): DataFrame = {
+    val c = centroids(n)
+    val assign = assignToCentroids(n, c)
+      .select(col("vec_id"), col("centroid").as("cid"))
+    val q = queriesOf(n)
+    val probeW = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(c))
+      .withColumn("cos", dot(col("qe"), col("ce")) / (col("qnm") * col("cnm")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("cid"))
+    val cand = broadcast(probes).join(assign, "cid").select("qid", "vec_id")
+    val knnW = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(broadcast(q), "qid")
+      .join(n, "vec_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qnm") * col("nm")))
+      .withColumn("rn", row_number().over(knnW))
+      .filter(col("rn") <= 3)
+  }
+
+  /** DuckDB CTE block for the IVF probe-2 top-3 (shared q46/q70):
+    * yields `ivf(qid, vec_id, cos)`. Expects `$DuckNorm`, `c`, `q`.
+    */
+  private val DuckIvf =
+    """assign AS (SELECT vec_id, cid FROM (
+      |    SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_dot_product(a.e, c.ce) / (a.nm * c.cnm) DESC, c.cid)
+      |      AS rn FROM n a, c)
+      |  WHERE rn = 1),
+      |probes AS (SELECT qid, cid FROM (
+      |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+      |      ORDER BY list_dot_product(q.qe, c.ce) / (q.qnm * c.cnm) DESC, c.cid)
+      |      AS rn FROM q, c)
+      |  WHERE rn <= 2),
+      |cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN assign a ON p.cid = a.cid),
+      |scored AS (SELECT cand.qid, cand.vec_id,
+      |    list_dot_product(q.qe, n.e) / (q.qnm * n.nm) AS cos
+      |  FROM cand JOIN q ON cand.qid = q.qid JOIN n ON cand.vec_id = n.vec_id
+      |  WHERE cand.vec_id <> cand.qid),
+      |ivf AS (SELECT qid, vec_id, cos, rn FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos DESC, vec_id) AS INTEGER) AS rn FROM scored)
+      |  WHERE rn <= 3)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-k: 5 query vectors against the corpus.
@@ -127,15 +193,7 @@ object VectorQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
          |    ORDER BY cos DESC, vec_id) AS INTEGER) AS rn FROM p)
          |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (spark, dir) =>
-      val n = withNorm(spark, dir)
-      val q = n.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nm").as("qnm"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-      n.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos", dot(col("e"), col("qe")) / (col("nm") * col("qnm")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
+      bruteTop3(withNorm(spark, dir))
         .select(col("qid"), col("vec_id").as("neighbor"),
           round(col("cos"), 6).as("cosine"), col("rn"))
         .orderBy("qid", "rn")
@@ -226,50 +284,51 @@ object VectorQueries {
       "q46_ivf_search",
       s"""WITH $DuckNorm,
          |c AS (SELECT vec_id AS cid, e AS ce, nm AS cnm FROM n WHERE vec_id < 8),
-         |assign AS (SELECT vec_id, cid FROM (
-         |    SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY list_dot_product(a.e, c.ce) / (a.nm * c.cnm) DESC, c.cid)
-         |      AS rn FROM n a, c)
-         |  WHERE rn = 1),
          |q AS (SELECT vec_id AS qid, e AS qe, nm AS qnm FROM n WHERE vec_id < 5),
-         |probes AS (SELECT qid, cid FROM (
-         |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
-         |      ORDER BY list_dot_product(q.qe, c.ce) / (q.qnm * c.cnm) DESC, c.cid)
-         |      AS rn FROM q, c)
-         |  WHERE rn <= 2),
-         |cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN assign a ON p.cid = a.cid),
-         |scored AS (SELECT cand.qid, cand.vec_id,
-         |    list_dot_product(q.qe, n.e) / (q.qnm * n.nm) AS cos
-         |  FROM cand JOIN q ON cand.qid = q.qid JOIN n ON cand.vec_id = n.vec_id
-         |  WHERE cand.vec_id <> cand.qid)
-         |SELECT qid, vec_id AS neighbor, round(cos, 6) AS cosine, rn FROM (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
-         |    ORDER BY cos DESC, vec_id) AS INTEGER) AS rn FROM scored)
-         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (spark, dir) =>
-      val n = withNorm(spark, dir)
-      val c = centroids(n)
-      val assign = assignToCentroids(n, c)
-        .select(col("vec_id"), col("centroid").as("cid"))
-      val q = n.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nm").as("qnm"))
-      val probeW = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-      val probes = q.crossJoin(broadcast(c))
-        .withColumn("cos", dot(col("qe"), col("ce")) / (col("qnm") * col("cnm")))
-        .withColumn("rn", row_number().over(probeW))
-        .filter(col("rn") <= 2)
-        .select(col("qid"), col("cid"))
-      val cand = broadcast(probes).join(assign, "cid").select("qid", "vec_id")
-      val knnW = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-      cand
-        .join(broadcast(q), "qid")
-        .join(n, "vec_id")
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos", dot(col("qe"), col("e")) / (col("qnm") * col("nm")))
-        .withColumn("rn", row_number().over(knnW))
-        .filter(col("rn") <= 3)
+         |$DuckIvf
+         |SELECT qid, vec_id AS neighbor, round(cos, 6) AS cosine, rn
+         |FROM ivf ORDER BY qid, rn""".stripMargin) { (spark, dir) =>
+      ivfTop3(withNorm(spark, dir))
         .select(col("qid"), col("vec_id").as("neighbor"),
           round(col("cos"), 6).as("cosine"), col("rn"))
         .orderBy("qid", "rn")
+    },
+
+    // IVF recall vs exact — the approximation-quality metric an ANN
+    // deployment tracks per index build: overlap of the probe-2 IVF
+    // top-3 with the exact top-3, per query vector. Both rankings are
+    // deterministic (shared tie-breaks), so recall is exactly
+    // reproducible cross-engine.
+    QueryDef(
+      "q70_ivf_recall",
+      s"""WITH $DuckNorm,
+         |c AS (SELECT vec_id AS cid, e AS ce, nm AS cnm FROM n WHERE vec_id < 8),
+         |q AS (SELECT vec_id AS qid, e AS qe, nm AS qnm FROM n WHERE vec_id < 5),
+         |$DuckIvf,
+         |p AS (SELECT q.qid, a.vec_id,
+         |        list_dot_product(a.e, q.qe) / (a.nm * q.qnm) AS cos
+         |      FROM n a, q WHERE a.vec_id <> q.qid),
+         |exact AS (SELECT qid, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id) AS rn FROM p)
+         |  WHERE rn <= 3)
+         |SELECT exact.qid,
+         | CAST(count(*) AS BIGINT) AS n_exact,
+         | CAST(count(ivf.vec_id) AS BIGINT) AS n_overlap,
+         | round(count(ivf.vec_id) * 1.0 / count(*), 4) AS recall
+         |FROM exact LEFT JOIN ivf
+         |  ON exact.qid = ivf.qid AND exact.vec_id = ivf.vec_id
+         |GROUP BY 1 ORDER BY exact.qid""".stripMargin) { (spark, dir) =>
+      val n = withNorm(spark, dir)
+      val exact = bruteTop3(n).select(col("qid"), col("vec_id"))
+      val ivf = ivfTop3(n).select(col("qid"), col("vec_id"))
+        .withColumn("hit", lit(1))
+      exact.join(ivf, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_overlap"))
+        .select(col("qid"), col("n_exact"), col("n_overlap"),
+          round(col("n_overlap") * lit(1.0) / col("n_exact"), 4).as("recall"))
+        .orderBy("qid")
     },
 
     // IVF training: one distributed Lloyd (k-means) refinement of the
