@@ -261,5 +261,52 @@ object ScalarQueries {
           col("rn"))
         .orderBy("event_type", "rn")
     },
+
+    // As-of (point-in-time) join — the brief's canonical "operator
+    // Spark lacks": every event enriched with the user's most recent
+    // purchase value at-or-before its timestamp. Implemented the way
+    // that scales: tag both sides, UNION, one window carry-forward
+    // (`last(ignoreNulls)`) per user — a single shuffle on user_id,
+    // no per-row range probe and no row explosion, vs a naive
+    // range-join that is O(events × purchases) per user. The oracle is
+    // DuckDB's NATIVE `ASOF LEFT JOIN` — a fully independent
+    // implementation of the same semantics. Same-timestamp purchases
+    // are visible to same-timestamp events (right side sorts first),
+    // matching ASOF's `>=`.
+    QueryDef(
+      "q71_asof_join",
+      """WITH p AS (SELECT user_id, ts, max(value) AS pval
+        |           FROM events WHERE event_type = 'purchase'
+        |           GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.event_type,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |  p.pval AS asof_purchase
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value"))
+      // right side unique per (user, ts) so the as-of pick is
+      // well-defined in both implementations
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("pval"))
+      val left = ev.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), lit(null).cast("double").as("pval"),
+        lit(1).as("side"))
+      val right = purch.select(col("user_id"), col("ts"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("string").as("event_type"), col("pval"),
+        lit(0).as("side"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      left.unionByName(right)
+        .withColumn("asof_purchase", last(col("pval"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+          col("asof_purchase"))
+        .orderBy("event_id")
+    },
   )
 }
