@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.DupClusters
@@ -125,6 +126,22 @@ object TextQueries {
           .mkString(",\n")}
        | FROM hs)""".stripMargin
   }
+
+  /** Connected components over the candidate pairs as DuckDB CTEs
+    * (shared by q59/q67 — a tie-break or labeling change must move
+    * both oracles together): yields `cl(doc_id, cluster)` with
+    * cluster = minimum member. Expects a `cand(d1, d2)` CTE; the
+    * WITH must be RECURSIVE.
+    */
+  private val DuckComponents =
+    """edges AS (SELECT d1 AS a, d2 AS b FROM cand
+      |          UNION SELECT d2, d1 FROM cand),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+      |cl AS (SELECT src AS doc_id, min(dst) AS cluster
+      |       FROM reach GROUP BY src)""".stripMargin
 
   /** Shared LSH pipeline: staged shingles → signatures → banded
     * candidate pairs. Both frames persisted (each feeds multiple
@@ -364,14 +381,8 @@ object TextQueries {
     QueryDef(
       "q59_dup_clusters",
       s"""WITH RECURSIVE $duckCand,
-         |edges AS (SELECT d1 AS a, d2 AS b FROM cand
-         |          UNION SELECT d2, d1 FROM cand),
-         |reach(src, dst) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
-         |SELECT src AS doc_id, min(dst) AS cluster
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) {
+         |$DuckComponents
+         |SELECT doc_id, cluster FROM cl ORDER BY doc_id""".stripMargin) {
       (spark, dir) =>
         DupClusters.clusters(lshPipeline(spark, dir)._1)
           .orderBy("doc_id")
@@ -551,14 +562,7 @@ object TextQueries {
     QueryDef(
       "q67_canonical_docs",
       s"""WITH RECURSIVE $duckCand,
-         |edges AS (SELECT d1 AS a, d2 AS b FROM cand
-         |          UNION SELECT d2, d1 FROM cand),
-         |reach(src, dst) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
-         |cl AS (SELECT src AS doc_id, min(dst) AS cluster
-         |       FROM reach GROUP BY src),
+         |$DuckComponents,
          |m AS (SELECT cl.cluster, cl.doc_id, d.n_chars,
          |        row_number() OVER (PARTITION BY cl.cluster
          |          ORDER BY d.n_chars DESC, cl.doc_id) AS rn
@@ -567,7 +571,6 @@ object TextQueries {
          |  CAST((SELECT count(*) FROM cl c2 WHERE c2.cluster = m.cluster)
          |    AS BIGINT) AS n_members
          |FROM m WHERE rn = 1 ORDER BY cluster""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val clusters = DupClusters.clusters(lshPipeline(spark, dir)._1)
       val sizes = clusters.groupBy("cluster")
         .agg(count(lit(1)).as("n_members"))
@@ -648,7 +651,6 @@ object TextQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, term) AS rn FROM s)
         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables(spark, dir).documents
       val words = withToks(docs, col("doc_id"))
         .select(col("doc_id"), explode(col("t")).as("term"))

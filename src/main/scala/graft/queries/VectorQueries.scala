@@ -319,7 +319,9 @@ object VectorQueries {
          |FROM exact LEFT JOIN ivf
          |  ON exact.qid = ivf.qid AND exact.vec_id = ivf.vec_id
          |GROUP BY 1 ORDER BY exact.qid""".stripMargin) { (spark, dir) =>
-      val n = withNorm(spark, dir)
+      // the norm frame feeds ~6 subplan copies across the two
+      // rankings (self-join diamonds recompute) — persist it
+      val n = withNorm(spark, dir).persist()
       val exact = bruteTop3(n).select(col("qid"), col("vec_id"))
       val ivf = ivfTop3(n).select(col("qid"), col("vec_id"))
         .withColumn("hit", lit(1))
