@@ -56,6 +56,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan.contains("explode"), plan.take(800))
   }
 
+  test("q71 as-of join compiles to zero join operators") {
+    // the union + window carry-forward IS the join: any Join node
+    // would mean a per-row range probe sneaked back in
+    val plan = planOf(SparkEntry.queries("q71_asof_join")(spark, sf))
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(plan.contains("Window"), plan.take(800))
+  }
+
   test("q37 minhash signatures are map-only (no hash-partition shuffle)") {
     val plan = planOf(SparkEntry.queries("q37_minhash_sig")(spark, sf))
     // the trailing total ORDER BY adds a range exchange; anything
