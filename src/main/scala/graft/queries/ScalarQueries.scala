@@ -308,5 +308,49 @@ object ScalarQueries {
           col("asof_purchase"))
         .orderBy("event_id")
     },
+
+    // Range (interval-containment) join — the other operator the brief
+    // names: how many of the user's ±1 h purchase windows contain each
+    // event. Naive range joins are O(events × intervals) per user
+    // (a BroadcastNestedLoopJoin in Spark); the scale shape is
+    // BUCKET-THEN-REFINE: intervals explode into the 1 h epoch buckets
+    // they cover (≤ 3 each), events key by their bucket, the join is a
+    // plain equi-join on (user, bucket), and the exact containment
+    // check runs only on bucket-mates. All interval arithmetic in
+    // integer microseconds — no FP at the boundaries. The oracle is
+    // DuckDB's native inequality join over the same intervals.
+    QueryDef(
+      "q72_range_join",
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS eus
+        |           FROM events),
+        |p AS (SELECT user_id, epoch_us(ts) AS pus FROM events
+        |      WHERE event_type = 'purchase'),
+        |m AS (SELECT e.event_id, count(*) AS n
+        |      FROM e JOIN p ON e.user_id = p.user_id
+        |        AND e.eus BETWEEN p.pus - 3600000000 AND p.pus + 3600000000
+        |      GROUP BY 1)
+        |SELECT e.event_id, e.user_id,
+        |  CAST(coalesce(m.n, 0) AS BIGINT) AS n_covering
+        |FROM e LEFT JOIN m ON e.event_id = m.event_id
+        |ORDER BY e.event_id""".stripMargin) { (spark, dir) =>
+      val HourUs = 3600000000L
+      val ev = Tables(spark, dir).events
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("eus"))
+      val intervals = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), (col("eus") - HourUs).as("lo"),
+          (col("eus") + HourUs).as("hi"))
+      // each 2 h interval covers 2-3 one-hour buckets
+      val rightB = intervals.withColumn("bucket",
+        explode(sequence(expr(s"lo div $HourUs"), expr(s"hi div $HourUs"))))
+      val leftB = ev.withColumn("bucket", expr(s"eus div $HourUs"))
+      val counts = leftB.join(rightB, Seq("user_id", "bucket"))
+        .filter(col("eus") >= col("lo") && col("eus") <= col("hi"))
+        .groupBy("event_id").agg(count(lit(1)).as("n"))
+      ev.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n"), lit(0L)).as("n_covering"))
+        .orderBy("event_id")
+    },
   )
 }

@@ -64,6 +64,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan.take(800))
   }
 
+  test("q72 range join is a bucketed equi-join, not a nested loop") {
+    val plan = planOf(SparkEntry.queries("q72_range_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("q37 minhash signatures are map-only (no hash-partition shuffle)") {
     val plan = planOf(SparkEntry.queries("q37_minhash_sig")(spark, sf))
     // the trailing total ORDER BY adds a range exchange; anything
