@@ -261,10 +261,12 @@ object RelationalQueries {
         // and the shuffle carries distinct pairs instead of an Expand
         // ×2 of the full fact table
         Tables(spark, dir).lineitem
-          .groupBy("l_returnflag", "l_partkey").agg(count(lit(1)))
+          .select("l_returnflag", "l_partkey").distinct()
           .groupBy("l_returnflag")
+          // count(col), not count(1): a NULL partkey would form a
+          // distinct group but count(DISTINCT) — the oracle — skips it
           .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-            count(lit(1)).as("exact_parts"))
+            count(col("l_partkey")).as("exact_parts"))
           .select(col("l_returnflag"), col("exact_parts"),
             (abs(col("approx_parts") - col("exact_parts")) * lit(1.0)
               / col("exact_parts") <= 0.05).as("within_bound"))

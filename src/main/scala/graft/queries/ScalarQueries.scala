@@ -334,9 +334,12 @@ object ScalarQueries {
         |FROM e LEFT JOIN m ON e.event_id = m.event_id
         |ORDER BY e.event_id""".stripMargin) { (spark, dir) =>
       val HourUs = 3600000000L
+      // feeds three join sides (events, intervals, final probe) —
+      // persist so the scan + projection runs once
       val ev = Tables(spark, dir).events
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("unix_micros(ts)").as("eus"))
+        .persist()
       val intervals = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), (col("eus") - HourUs).as("lo"),
           (col("eus") + HourUs).as("hi"))

@@ -68,6 +68,10 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val plan = planOf(SparkEntry.queries("q72_range_join")(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
     assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // the interval→bucket fan-out must stay in the plan: without it an
+    // equi-join on user_id alone would pass the negative checks while
+    // degrading to O(events × intervals) per user
+    assert(plan.contains("explode"), plan.take(800))
   }
 
   test("q37 minhash signatures are map-only (no hash-partition shuffle)") {
