@@ -66,6 +66,25 @@ object EventTimeOps {
                  r.$rightTime BETWEEN l.$leftTime AND
                  l.$leftTime + INTERVAL $horizonSeconds SECONDS"""))
 
+  /** Declarative gap sessions via the built-in `session_window` —
+    * the engine-managed twin of [[sessionCounts]]: Spark merges
+    * overlapping per-event windows in the state store and emits a
+    * finalized row per (key, session) once the watermark passes its
+    * close. Use this form when per-session aggregates suffice; the
+    * flatMapGroupsWithState form below when custom state transitions
+    * are needed. State ∝ OPEN sessions within the lateness horizon.
+    */
+  def gapSessions(events: DataFrame, eventTimeCol: String,
+      watermark: String, gap: String, key: String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(session_window(col(eventTimeCol), gap), col(key))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col(key),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long,
       n_sessions: Long)

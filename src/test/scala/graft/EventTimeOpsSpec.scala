@@ -108,6 +108,26 @@ class EventTimeOpsSpec extends AnyFunSuite {
     assert(spark.table("ivj_out").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("declarative session_window sessions seal at the watermark") {
+    val in = jsonl(Seq(
+      ev(1, "2024-01-01 10:00:00", 7, "view", 1.0),
+      ev(2, "2024-01-01 10:10:00", 7, "view", 2.0), // merges (gap 30m)
+      ev(3, "2024-01-01 11:30:00", 7, "view", 4.0), // new session
+      ev(4, "2024-01-01 15:00:00", 8, "view", 8.0))) // advances watermark
+    val stream = spark.readStream.schema(schema).json(in)
+    runToMemory(EventTimeOps.gapSessions(stream, "ts", "10 minutes",
+      "30 minutes", "user_id"), "gsess_out", "append")
+    // user 7's two sessions are sealed by the 15:00-10m watermark;
+    // user 8's own session is still open and not emitted
+    val rows = spark.table("gsess_out")
+      .select(col("user_id"),
+        date_format(col("session_start"), "HH:mm").as("s"),
+        col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rows == Set((7L, "10:00", 2L, 3.0), (7L, "11:30", 1L, 4.0)))
+  }
+
   test("stateful session counts across batches") {
     import spark.implicits._
     val in = jsonl(Seq(
