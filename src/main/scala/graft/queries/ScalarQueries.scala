@@ -355,5 +355,33 @@ object ScalarQueries {
           coalesce(col("n"), lit(0L)).as("n_covering"))
         .orderBy("event_id")
     },
+
+    // SCD Type-2 history materialization — the history-table twin of
+    // streaming.Materialize's type-1 current-state view: every change
+    // becomes a version row with a [valid_from, valid_to) interval,
+    // closed by the NEXT version's timestamp (lead), open (null) for
+    // the current version. One window per key — single shuffle on the
+    // primary key, the standard way a CDC lake derives point-in-time
+    // queryable history from the append-only change log this engine's
+    // sink writes.
+    QueryDef(
+      "q73_scd2_history",
+      """SELECT event_id, user_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        | strftime(lead(ts) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        | (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   IS NULL) AS is_current
+        |FROM events ORDER BY event_id""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      Tables(spark, dir).events
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), fmt).as("valid_from"),
+          date_format(col("next_ts"), fmt).as("valid_to"),
+          col("next_ts").isNull.as("is_current"))
+        .orderBy("event_id")
+    },
   )
 }
