@@ -712,5 +712,184 @@ object TextQueries {
         .select(col("doc_id"), col("labeled_lang"), col("predicted_lang"))
         .orderBy("doc_id")
     },
+
+    // Benchmark decontamination — the GPT-3/Llama training-hygiene op:
+    // flag training documents sharing any 8-token n-gram with a held-
+    // out benchmark set (here: doc_id % 11 — a deterministic harness
+    // stand-in for the real test-set corpus). Shape at scale: the
+    // benchmark n-gram set is tiny (a few MB for every public eval
+    // suite combined) and is BROADCAST; the corpus side is one
+    // projection + explode + partial-aggregated count — no corpus
+    // shuffle on anything wider than (doc_id, hit-count). Left join
+    // keeps clean docs in the report (the common case).
+    QueryDef(
+      "q74_decontaminate",
+      s"""WITH toks AS (SELECT doc_id,
+         |   string_split_regex(lower(trim(text)), '\\s+') AS t
+         | FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(
+         |   generate_series(1, greatest(len(t) - 7, 0)),
+         |   i -> ${(0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")})) AS g
+         | FROM toks),
+         |bench AS (SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % 11 = 0),
+         |tg AS (SELECT doc_id, unnest(g) AS gram FROM g WHERE doc_id % 11 <> 0),
+         |hits AS (SELECT tg.doc_id, count(*) AS n
+         |         FROM tg JOIN bench USING (gram) GROUP BY 1)
+         |SELECT g.doc_id, CAST(len(g.g) AS INTEGER) AS n_grams,
+         | CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated,
+         | coalesce(hits.n, 0) > 0 AS contaminated,
+         | round(coalesce(hits.n, 0) * 1.0 / greatest(len(g.g), 1), 4)
+         |   AS contamination
+         |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+         |WHERE g.doc_id % 11 <> 0
+         |ORDER BY g.doc_id""".stripMargin) { (spark, dir) =>
+      val t = col("t")
+      // distinct 8-gram shingles, staged tokens first (lambda re-eval)
+      val grams = withToks(Tables(spark, dir).documents, col("doc_id"))
+        .select(col("doc_id"), array_distinct(
+          when(size(t) < 8, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(t) - 7),
+              i => concat_ws(" ", (0 until 8).map(j => element_at(t, i + j)): _*))))
+          .as("g"))
+        .persist() // feeds the bench side, the train side, and the report
+      val bench = grams.filter(col("doc_id") % 11 === 0)
+        .select(explode(col("g")).as("gram")).distinct()
+      val train = grams.filter(col("doc_id") % 11 =!= 0)
+      val hits = train.select(col("doc_id"), explode(col("g")).as("gram"))
+        .join(broadcast(bench), "gram") // grams are distinct per doc
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      train.select(col("doc_id"), size(col("g")).as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n"), lit(0L)).as("n_contaminated"),
+          (coalesce(col("n"), lit(0L)) > 0).as("contaminated"),
+          round(coalesce(col("n"), lit(0L)) * lit(1.0)
+            / greatest(col("n_grams"), lit(1)), 4).as("contamination"))
+        .orderBy("doc_id")
+    },
+
+    // Cross-document duplicated-span fraction (RefinedWeb/CCNet
+    // shape): cut each document into non-overlapping 8-token chunks
+    // and measure what fraction of a doc's chunks also occur in some
+    // OTHER document. Shape at scale: chunk-frequency is a partial-
+    // aggregated count keyed by the chunk hash (shuffle ∝ distinct
+    // chunks, never corpus²); the per-doc rollup is a second narrow
+    // aggregate. This is the span-level complement of doc-level
+    // near-dup (q39/q43) — it catches boilerplate shared across
+    // otherwise-distinct pages.
+    QueryDef(
+      "q75_dup_spans",
+      s"""WITH toks AS (SELECT doc_id,
+         |   string_split_regex(lower(trim(text)), '\\s+') AS t
+         | FROM documents),
+         |c AS (SELECT doc_id, list_distinct(list_transform(
+         |   generate_series(1, greatest(len(t) // 8, 0)),
+         |   i -> ${(0 until 8).map(j => s"t[(i-1)*8+${j + 1}]").mkString(" || ' ' || ")})) AS c
+         | FROM toks),
+         |e AS (SELECT doc_id, unnest(c) AS chunk FROM c),
+         |dup AS (SELECT chunk FROM e GROUP BY chunk
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT e.doc_id, count(*) AS n FROM e
+         |         JOIN dup USING (chunk) GROUP BY 1)
+         |SELECT c.doc_id, CAST(len(c.c) AS INTEGER) AS n_chunks,
+         | CAST(coalesce(hits.n, 0) AS BIGINT) AS n_dup_chunks,
+         | round(coalesce(hits.n, 0) * 1.0 / greatest(len(c.c), 1), 4)
+         |   AS dup_frac
+         |FROM c LEFT JOIN hits ON c.doc_id = hits.doc_id
+         |ORDER BY c.doc_id""".stripMargin) { (spark, dir) =>
+      val t = col("t")
+      val chunks = withToks(Tables(spark, dir).documents, col("doc_id"))
+        .select(col("doc_id"), array_distinct(
+          when(size(t) < 8, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(t).divide(8).cast("int")),
+              i => concat_ws(" ",
+                (1 to 8).map(j => element_at(t, (i - 1) * 8 + j)): _*))))
+          .as("c"))
+        .persist() // feeds the frequency count and the per-doc report
+      val ex = chunks.select(col("doc_id"), explode(col("c")).as("chunk"))
+      val dup = ex.groupBy("chunk")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("chunk")
+      val hits = ex.join(dup, "chunk")
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      chunks.select(col("doc_id"), size(col("c")).as("n_chunks"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n"), lit(0L)).as("n_dup_chunks"),
+          round(coalesce(col("n"), lit(0L)) * lit(1.0)
+            / greatest(col("n_chunks"), lit(1)), 4).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus vocabulary heavy hitters — the tokenizer-training /
+    // vocab-audit op: global top-25 terms by frequency with document
+    // frequency alongside. Shape at scale: classic two-level
+    // aggregate — map-side partial counts, one shuffle keyed by term
+    // (∝ vocabulary, not corpus), then a single top-k sort over the
+    // vocabulary-sized aggregate. The global top-k never materializes
+    // the full corpus anywhere.
+    QueryDef(
+      "q77_vocab_topk",
+      """WITH w AS (SELECT doc_id,
+        |   unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        | FROM documents),
+        |a AS (SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |      FROM w GROUP BY 1)
+        |SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        | CAST(rn AS INTEGER) AS rn
+        |FROM (SELECT *, row_number() OVER (ORDER BY tf DESC, term) AS rn
+        |      FROM a)
+        |WHERE rn <= 25 ORDER BY rn""".stripMargin) { (spark, dir) =>
+      val words = withToks(Tables(spark, dir).documents, col("doc_id"))
+        .select(col("doc_id"), explode(col("t")).as("term"))
+      val agg = words.groupBy("term")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      val w = Window.orderBy(col("tf").desc, col("term"))
+      agg.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 25)
+        .select(col("term"), col("tf"), col("df"), col("rn"))
+        .orderBy("rn")
+    },
+
+    // Domain-mixing weights — the data-mix op (DoReMi/Pile shape):
+    // per (source, lang) token shares and the resampling weight that
+    // would equalize the mix. weight = target_share / actual_share,
+    // written with IDENTICAL operation order in both engines (integer-
+    // derived doubles; IEEE divide is correctly rounded so the values
+    // are bit-equal before round()). Shape at scale: one narrow
+    // aggregate keyed by (source, lang) — the group count is tiny, so
+    // the totals join is a broadcast of one row.
+    QueryDef(
+      "q78_domain_mix",
+      """WITH d AS (SELECT source, lang,
+        |   len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+        | FROM documents),
+        |a AS (SELECT source, lang, count(*) AS n_docs,
+        |        CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |      FROM d GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+        |        count(*) AS n_groups FROM a)
+        |SELECT a.source, a.lang, CAST(a.n_docs AS BIGINT) AS n_docs,
+        | a.n_tokens,
+        | round(a.n_tokens * 1.0 / t.total, 6) AS token_share,
+        | round((1.0 / t.n_groups) / (a.n_tokens * 1.0 / t.total), 4)
+        |   AS mix_weight
+        |FROM a CROSS JOIN t
+        |ORDER BY source, lang""".stripMargin) { (spark, dir) =>
+      val agg = withToks(Tables(spark, dir).documents,
+          col("source"), col("lang"))
+        .select(col("source"), col("lang"), size(col("t")).as("n_tok"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("n_tokens"))
+      val totals = agg.agg(sum(col("n_tokens")).as("total"),
+        count(lit(1)).as("n_groups"))
+      agg.crossJoin(broadcast(totals))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens") * lit(1.0) / col("total"), 6).as("token_share"),
+          round((lit(1.0) / col("n_groups"))
+            / (col("n_tokens") * lit(1.0) / col("total")), 4).as("mix_weight"))
+        .orderBy("source", "lang")
+    },
   )
 }

@@ -370,5 +370,71 @@ object VectorQueries {
         .agg(round(avg("v"), 6).as("value"), count(lit(1)).as("n_members"))
         .orderBy("centroid", "dim")
     },
+
+    // Int8 scalar quantization — the ANN storage/bandwidth op: learn
+    // per-dimension [min, max] over the corpus, quantize every vector
+    // to 8-bit codes (4× smaller than float32, the standard first step
+    // before IVF/PQ at scale), and report the reconstruction error.
+    // Shape at 100 TB: dimension stats are a posexplode + (dim) →
+    // min/max aggregate whose shuffle carries 64 rows of partials per
+    // task — never vectors; the 64-entry stats array is then BROADCAST
+    // and quantization is a pure projection. min/max are order-
+    // independent (unlike sum), so the learned ranges are bit-equal
+    // cross-engine; quantize/dequantize arithmetic is written with
+    // identical IEEE operation order in both engines, so the codes
+    // match exactly — only the final error is rounded.
+    QueryDef(
+      "q76_quantize_embed",
+      """WITH pe AS (SELECT embedding AS emb,
+        |   unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+        |ds AS (SELECT i, min(emb[CAST(i AS INT)]::DOUBLE) AS mn,
+        |         max(emb[CAST(i AS INT)]::DOUBLE) AS mx
+        |       FROM pe GROUP BY i),
+        |da AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        |       FROM ds),
+        |q AS (SELECT vec_id, embedding::DOUBLE[] AS e, mns, mxs,
+        |   list_transform(generate_series(1, len(embedding)), i ->
+        |     CASE WHEN mxs[i] = mns[i] THEN 0
+        |          ELSE CAST(floor((embedding[i]::DOUBLE - mns[i]) * 255.0
+        |                          / (mxs[i] - mns[i])) AS INTEGER) END) AS q
+        | FROM embeddings CROSS JOIN da)
+        |SELECT vec_id,
+        | CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+        | q[1] AS q0,
+        | round(list_aggregate(list_transform(generate_series(1, len(e)),
+        |   i -> abs(mns[i] + (q[i] + 0.5) * (mxs[i] - mns[i]) / 255.0 - e[i])),
+        |   'max'), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val dims = e.select(posexplode(col("e")).as(Seq("p", "x")))
+        .groupBy("p").agg(min("x").as("mn"), max("x").as("mx"))
+      val stats = dims
+        .agg(sort_array(collect_list(struct(col("p"), col("mn"), col("mx"))))
+          .as("s"))
+        .select(transform(col("s"), s => s.getField("mn")).as("mns"),
+          transform(col("s"), s => s.getField("mx")).as("mxs"))
+      // stage the code array as an attribute so the three consumers
+      // below don't re-quantize per reference (lambda re-eval trap)
+      val codes = e.crossJoin(broadcast(stats))
+        .select(col("vec_id"), col("e"), col("mns"), col("mxs"),
+          transform(sequence(lit(1), size(col("e"))), i => {
+            val x = element_at(col("e"), i)
+            val mn = element_at(col("mns"), i)
+            val mx = element_at(col("mxs"), i)
+            when(mx === mn, lit(0))
+              .otherwise(floor((x - mn) * lit(255.0) / (mx - mn)).cast("int"))
+          }).as("q"))
+      codes.select(col("vec_id"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        element_at(col("q"), 1).as("q0"),
+        round(array_max(transform(sequence(lit(1), size(col("e"))), i => {
+          val mn = element_at(col("mns"), i)
+          val mx = element_at(col("mxs"), i)
+          abs(mn + (element_at(col("q"), i) + lit(0.5)) * (mx - mn) / lit(255.0)
+            - element_at(col("e"), i))
+        })), 6).as("max_err"))
+        .orderBy("vec_id")
+    },
   )
 }
