@@ -383,5 +383,55 @@ object ScalarQueries {
           col("next_ts").isNull.as("is_current"))
         .orderBy("event_id")
     },
+
+    // Sequential funnel (view → click → purchase): per user, the
+    // earliest timestamp of each step where every step must strictly
+    // follow the previous one — the MATCH_RECOGNIZE-lite shape of
+    // product analytics. Three chained conditional-min aggregates;
+    // each join keys on user_id, so all three shuffles share one
+    // partitioning (co-located, no re-shuffle at scale). NULL
+    // propagation does the sequencing: a user with no view can't
+    // match a click-after-view (comparison vs NULL filters out), so
+    // later steps stay NULL without explicit branching.
+    QueryDef(
+      "q80_funnel",
+      """WITH s1 AS (SELECT user_id,
+        |   min(ts) FILTER (WHERE event_type = 'view') AS t1
+        | FROM events GROUP BY 1),
+        |s2 AS (SELECT e.user_id,
+        |   min(e.ts) FILTER (WHERE e.event_type = 'click' AND e.ts > s1.t1)
+        |     AS t2
+        | FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY 1),
+        |s3 AS (SELECT e.user_id,
+        |   min(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts > s2.t2)
+        |     AS t3
+        | FROM events e JOIN s2 ON e.user_id = s2.user_id GROUP BY 1)
+        |SELECT s1.user_id,
+        | strftime(s1.t1, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+        | strftime(s2.t2, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        | strftime(s3.t3, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        | s3.t3 IS NOT NULL AS completed
+        |FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+        |JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin) { (spark, dir) =>
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val ev = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"))
+      val s2 = ev.join(s1, "user_id").groupBy("user_id")
+        .agg(min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).as("t2"))
+      val s3 = ev.join(s2, "user_id").groupBy("user_id")
+        .agg(min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).as("t3"))
+      s1.join(s2, "user_id").join(s3, "user_id")
+        .select(col("user_id"),
+          date_format(col("t1"), fmt).as("view_ts"),
+          date_format(col("t2"), fmt).as("click_ts"),
+          date_format(col("t3"), fmt).as("purchase_ts"),
+          col("t3").isNotNull.as("completed"))
+        .orderBy("user_id")
+    },
   )
 }

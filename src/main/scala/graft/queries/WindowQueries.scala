@@ -80,6 +80,28 @@ object WindowQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Unpivot (wide → long reshape, the inverse of q52): part's two
+    // numeric measures melt into (measure, value) rows. Spark's
+    // native unpivot operator; the oracle spells the same contract as
+    // a UNION ALL (engine-neutral SQL for the identical row set).
+    // Map-only — the reshape is a projection + generate, no shuffle
+    // except the final ORDER BY.
+    QueryDef(
+      "q79_unpivot",
+      """SELECT p_partkey, measure, value FROM (
+        |  SELECT p_partkey, 'p_retailprice' AS measure,
+        |    p_retailprice::DOUBLE AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_size', p_size::DOUBLE FROM part)
+        |ORDER BY p_partkey, measure""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).part
+        .select(col("p_partkey"),
+          col("p_retailprice").cast("double"),
+          col("p_size").cast("double"))
+        .unpivot(Array(col("p_partkey")), "measure", "value")
+        .orderBy("p_partkey", "measure")
+    },
+
     // Ordered string aggregation (collect_list → deterministic via
     // sort_array; DuckDB string_agg with ORDER BY).
     QueryDef(

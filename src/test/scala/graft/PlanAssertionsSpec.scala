@@ -74,6 +74,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan.contains("explode"), plan.take(800))
   }
 
+  test("q74 decontamination broadcasts the benchmark n-gram set") {
+    // the corpus side must never shuffle on the gram: the benchmark
+    // set is the small side by construction (test suites are MBs)
+    val plan = planOf(SparkEntry.queries("q74_decontaminate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("q76 quantization broadcasts the 64-entry dim stats") {
+    // quantization must be a projection over a broadcast of the tiny
+    // per-dimension stats array — a shuffle here would move the corpus
+    val plan = planOf(SparkEntry.queries("q76_quantize_embed")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("q37 minhash signatures are map-only (no hash-partition shuffle)") {
     val plan = planOf(SparkEntry.queries("q37_minhash_sig")(spark, sf))
     // the trailing total ORDER BY adds a range exchange; anything
