@@ -85,4 +85,75 @@ object Materialize {
         else TimeMode.ProcessingTime(),
         OutputMode.Update())
   }
+
+  /** One SCD Type-2 version row. Upsert key downstream is
+    * (pk, validFrom, fromTxn): a version is emitted OPEN
+    * (validTo = None, current = true) when its change arrives and
+    * re-emitted CLOSED (validTo = Some(nextOffset), current = false)
+    * when the next change supersedes it — the incremental twin of the
+    * batch q73 `lead()` window. `deleted` marks the version created
+    * by a DELETE (the key is absent from validFrom on).
+    */
+  case class Scd2Row(pk: Long, payload: String, validFrom: Long,
+      fromTxn: Long, validTo: Option[Long], deleted: Boolean,
+      current: Boolean)
+
+  /** Streaming SCD Type-2: every change opens a new version and
+    * closes the previous one. State = the open version per key (same
+    * CurrentRow as keepLatest — offset + txn guard the merge), so
+    * state is O(keys), never O(versions): history lives in the sink,
+    * only the open edge lives in the store.
+    *
+    * Replay semantics: the guard here is STRICT (offset, txn) — an
+    * exact duplicate of the event already in state must be a no-op
+    * (re-applying it would close a version with its own offset); a
+    * genuinely newer event always supersedes. Out-of-order arrivals
+    * older than the open version are dropped, not spliced — under
+    * the pipeline's per-key ordered delivery (J3) that only happens
+    * on at-least-once replay, where dropping is the correct dedup.
+    */
+  final class Scd2Processor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, ChangeRow, Scd2Row] {
+    @transient private var open: ValueState[CurrentRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[CurrentRow]("open",
+        Encoders.product[CurrentRow], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[ChangeRow],
+        timers: TimerValues): Iterator[Scd2Row] = {
+      var cur = if (open.exists()) Option(open.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+      for (r <- rows.toArray.sortBy(r => (r.offset, r.txn))) {
+        if (cur.forall(c => c.offset < r.offset ||
+            (c.offset == r.offset && c.txn < r.txn))) {
+          // close the version this change supersedes
+          cur.foreach { c =>
+            out += Scd2Row(c.pk, c.payload, c.offset, c.txn,
+              Some(r.offset), c.deleted, current = false)
+          }
+          cur = Some(CurrentRow(r.pk, r.offset, r.payload,
+            DeleteOps.contains(r.op), r.txn))
+          out += Scd2Row(r.pk, r.payload, r.offset, r.txn, None,
+            DeleteOps.contains(r.op), current = true)
+        }
+      }
+      if (out.nonEmpty) cur.foreach(open.update)
+      out.iterator
+    }
+  }
+
+  /** changes → version-history rows (Update mode; sink upserts by
+    * (pk, validFrom, fromTxn)). Same RocksDB requirement as
+    * keepLatest.
+    */
+  def scd2(changes: Dataset[ChangeRow],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[Scd2Row] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.pk)
+      .transformWithState(new Scd2Processor(ttl),
+        if (ttl == TTLConfig.NONE) TimeMode.None()
+        else TimeMode.ProcessingTime(),
+        OutputMode.Update())
+  }
 }

@@ -94,4 +94,71 @@ class MaterializeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("scd2 builds version history incrementally across batches") {
+    val in = Files.createTempDirectory("scd2-in-")
+    Files.write(in.resolve("00.jsonl"), Seq(
+      ev(1, "c", 10, "v1"), ev(2, "c", 11, "v1")).asJava)
+    Files.write(in.resolve("01.jsonl"), Seq(
+      ev(1, "u", 20, "v2"),
+      ev(2, "u", 5, "stale"), // older than open version: dropped
+      ev(1, "u", 20, "v2")).asJava) // exact duplicate: no-op
+    Files.write(in.resolve("02.jsonl"), Seq(
+      ev(1, "d", 30, "gone"), // delete opens a tombstone version
+      // same-offset transaction: two versions at offset 40
+      ev(2, "u", 40, "v2", txn = 1),
+      ev(2, "u", 40, "v3", txn = 2)).asJava)
+
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+    try {
+      import org.apache.spark.sql.functions.{col, from_json}
+      import spark.implicits._
+      val changes = spark.readStream.format("graft-cdc")
+        .option("path", in.toString).option("maxFilesPerTrigger", 1)
+        .load()
+        .select(from_json(col("value"), org.apache.spark.sql.types.StructType
+          .fromDDL("pk LONG, op STRING, offset LONG, txn LONG, payload STRING"))
+          .as("c"))
+        .select("c.*")
+        .as[Materialize.ChangeRow]
+      Materialize.scd2(changes)
+        .writeStream.format("memory").queryName("scd2_out")
+        .outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory("scd2-ck-").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      // update-mode memory sink appends every emission; the sink
+      // contract is upsert by (pk, validFrom, fromTxn) — for equal
+      // keys the CLOSED re-emission supersedes the OPEN one
+      val all = spark.table("scd2_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getBoolean(5), r.getBoolean(6)))
+      val hist = all.groupBy(v => (v._1, v._3, v._4)).map { case (_, vs) =>
+        vs.find(!_._7).getOrElse(vs.head) // closed wins over open
+      }.toSeq.sortBy(v => (v._1, v._3, v._4))
+      // key 1: v1 [10,20) → v2 [20,30) → tombstone [30,∞)
+      assert(hist.filter(_._1 == 1L) == Seq(
+        (1L, "v1", 10L, 0L, Some(20L), false, false),
+        (1L, "v2", 20L, 0L, Some(30L), false, false),
+        (1L, "gone", 30L, 0L, None, true, true)))
+      // key 2: stale offset-5 never spliced; same-offset txns chain
+      assert(hist.filter(_._1 == 2L) == Seq(
+        (2L, "v1", 11L, 0L, Some(40L), false, false),
+        (2L, "v2", 40L, 1L, Some(40L), false, false),
+        (2L, "v3", 40L, 2L, None, false, true)))
+      assert(!all.exists(_._2 == "stale"))
+      // exactly one OPEN version per live key
+      assert(hist.count(_._7) == 2)
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
