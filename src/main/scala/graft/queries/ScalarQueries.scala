@@ -433,5 +433,96 @@ object ScalarQueries {
           col("t3").isNotNull.as("completed"))
         .orderBy("user_id")
     },
+
+    // Z-order (Morton) clustering — the lakehouse multi-dimensional
+    // layout op: interleave the bits of two query dimensions
+    // (user, hour) into one code; files written in code order are
+    // tight in BOTH dimensions, so min/max zone maps prune scans on
+    // either predicate. At scale the write path is
+    // repartitionByRange(zcode) + sortWithinPartitions; this query
+    // reports the per-bucket zone-map tightness that makes the
+    // pruning argument measurable. Bit arithmetic only — exact in
+    // both engines, interleave expression generated from one set of
+    // constants.
+    QueryDef(
+      "q81_zorder_cluster", {
+        val inter = (0 until 8).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ")
+        s"""WITH b AS (SELECT user_id % 256 AS x,
+           |   (epoch_us(ts) // 3600000000) % 256 AS y FROM events),
+           |z AS (SELECT x, y, $inter AS z FROM b)
+           |SELECT z // 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+           | min(x) AS x_min, max(x) AS x_max,
+           | min(y) AS y_min, max(y) AS y_max
+           |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+      }) { (spark, dir) =>
+      val staged = Tables(spark, dir).events
+        .select((col("user_id") % 256).as("x"),
+          (expr("unix_micros(ts) div 3600000000") % 256).as("y"))
+      val z = (0 until 8).map(i =>
+        shiftleft(shiftright(col("x"), i).bitwiseAND(1), 2 * i)
+          + shiftleft(shiftright(col("y"), i).bitwiseAND(1), 2 * i + 1))
+        .reduce(_ + _)
+      staged.withColumn("z", z)
+        .groupBy(expr("z div 16").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .orderBy("bucket")
+    },
+
+    // Count-min sketch frequency estimation (graft.functions
+    // .CmsSketch, a custom TypedImperativeAggregate): depth-2 ×
+    // width-64 counter grid; a key's estimate is the min over its
+    // cells — ≥ exact always, overshooting only on collisions. The
+    // grid is a cellwise sum (order-independent), so the oracle
+    // rebuilds the identical sketch from the same md5 cell recipe and
+    // the comparison is exact — the deterministic counterpart of
+    // count_min_sketch(). Scale: map-side partials reduce each task
+    // to one 2×64 long grid; only grids cross the shuffle, and the
+    // probe side broadcasts the single-row sketch.
+    QueryDef(
+      "q82_cms_freq", {
+        val w = graft.functions.CmsSketch.Width
+        s"""WITH h AS (SELECT user_id,
+           |   ('0x'||substr(md5('0:'||CAST(user_id AS VARCHAR)),1,8))::BIGINT
+           |     % $w AS c0,
+           |   ('0x'||substr(md5('1:'||CAST(user_id AS VARCHAR)),1,8))::BIGINT
+           |     % $w AS c1
+           | FROM events),
+           |cell0 AS (SELECT c0, count(*) AS n0 FROM h GROUP BY 1),
+           |cell1 AS (SELECT c1, count(*) AS n1 FROM h GROUP BY 1),
+           |u AS (SELECT user_id, min(c0) AS c0, min(c1) AS c1,
+           |        count(*) AS exact FROM h GROUP BY 1)
+           |SELECT u.user_id, CAST(u.exact AS BIGINT) AS exact,
+           | CAST(least(cell0.n0, cell1.n1) AS BIGINT) AS cms_est,
+           | CAST(least(cell0.n0, cell1.n1) - u.exact AS BIGINT) AS overcount,
+           | least(cell0.n0, cell1.n1) >= u.exact AS never_undercounts
+           |FROM u JOIN cell0 ON u.c0 = cell0.c0
+           |JOIN cell1 ON u.c1 = cell1.c1
+           |ORDER BY u.user_id""".stripMargin
+      }) { (spark, dir) =>
+      import graft.functions.CmsSketch
+      val w = CmsSketch.Width
+      // cell indices computed ONCE in codegen'd column expressions,
+      // shared by the sketch build and the probe side
+      val h = Tables(spark, dir).events.select(col("user_id"),
+        CmsSketch.cellIndex(0, col("user_id")).as("c0"),
+        CmsSketch.cellIndex(1, col("user_id")).as("c1"))
+      val sk = h.agg(
+        CmsSketch.sketch(spark, Seq(col("c0"), col("c1"))).as("sk"))
+      val est = least(
+        element_at(col("sk"), (col("c0") + 1).cast("int")),
+        element_at(col("sk"), (col("c1") + lit(w) + 1).cast("int")))
+      h.groupBy("user_id")
+        .agg(min("c0").as("c0"), min("c1").as("c1"),
+          count(lit(1)).as("exact"))
+        .crossJoin(broadcast(sk))
+        .select(col("user_id"), col("exact"), est.as("cms_est"),
+          (est - col("exact")).as("overcount"),
+          (est >= col("exact")).as("never_undercounts"))
+        .orderBy("user_id")
+    },
   )
 }
