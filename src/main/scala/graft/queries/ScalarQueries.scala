@@ -524,5 +524,68 @@ object ScalarQueries {
           (est >= col("exact")).as("never_undercounts"))
         .orderBy("user_id")
     },
+
+    // Sliding (HOP) window aggregate — 2 h windows every 1 h, the
+    // overlapping-window batch shape of the streaming
+    // `window(ts, '2 hours', '1 hour')`. Each event lands in exactly
+    // duration/slide = 2 windows; the oracle spells that fan-out
+    // explicitly (each event unnested into its 2 covering window
+    // starts). Map-side explode ×2 then one narrow aggregate —
+    // overlap factor is a constant, never a shuffle blowup.
+    QueryDef(
+      "q83_hop_window",
+      """WITH f AS (SELECT event_type, value, ts,
+        |   unnest(generate_series(0, 1)) AS i FROM events)
+        |SELECT strftime(date_trunc('hour', ts) - i * INTERVAL 1 HOUR,
+        |   '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM f
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) {
+      (spark, dir) =>
+        Tables(spark, dir).events
+          .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+              .as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("window_start", "event_type")
+    },
+
+    // Native session_window (30-min gap) in batch — the declarative
+    // twin of q25's lag()-based sessionization, verifying Spark's
+    // built-in session semantics (end = last event + gap) against an
+    // island-detection oracle (running is-new sum → session id →
+    // per-session bounds). One shuffle on user_id.
+    QueryDef(
+      "q84_session_window",
+      """WITH m AS (SELECT user_id, ts, event_id,
+        |   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+        |        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           IS NULL
+        |        THEN 1 ELSE 0 END AS is_new
+        | FROM events),
+        |s AS (SELECT user_id, ts,
+        |   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM m)
+        |SELECT user_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f')
+        |   AS session_end,
+        | count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      Tables(spark, dir).events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), fmt).as("session_start"),
+          date_format(col("session_window.end"), fmt).as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
   )
 }
