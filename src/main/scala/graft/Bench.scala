@@ -43,11 +43,15 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: full execution incl. final sort and all output
       // columns (count() would let Catalyst prune both)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      // a failed pass must never win the min as a fast "measurement" —
+      // time-to-exception is not a runtime
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9
+        else Double.PositiveInfinity
       // free frames persisted inside queries (LSH pipeline etc.) so
       // later queries aren't taxed by another query's cached state
       spark.catalog.clearCache()
@@ -62,7 +66,13 @@ object Bench {
     // reported so the methodology is explicit.
     val pass1 = timedPass()
     val pass2 = timedPass().toMap
-    val results = pass1.map { case (n, d) => n -> math.min(d, pass2(n)) }
+    // both passes failed → -1 marker (keeps the JSON line valid and
+    // the failure visible; the driver's correctness gate catches the
+    // broken query itself)
+    val results = pass1.map { case (n, d) =>
+      val m = math.min(d, pass2(n))
+      n -> (if (m.isFinite) m else -1.0)
+    }
     // CDC ingestion throughput: replay the events table as a
     // Debezium-shaped envelope feed through the full pipeline
     // (decode → gate → demux → dt-partitioned parquet). The reference
@@ -88,7 +98,8 @@ object Bench {
       ingest.map("cdc" -> _._1)).map {
       case (k, v) => "\"" + k + "\":" + sec(v)
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + ingest.map(_._1).getOrElse(0.0)
+    val total = results.map(_._2).filter(_ >= 0).sum +
+      ingest.map(_._1).getOrElse(0.0)
     val extra = ingest.map { case (_, rate) =>
       s""","cdc_ingest_rows_per_sec":${rate.toLong}"""
     }.getOrElse("")

@@ -506,10 +506,12 @@ object ScalarQueries {
       import graft.functions.CmsSketch
       val w = CmsSketch.Width
       // cell indices computed ONCE in codegen'd column expressions,
-      // shared by the sketch build and the probe side
+      // shared by the sketch build and the probe side — persist the
+      // diamond so events is scanned (and md5'd) once, not per branch
       val h = Tables(spark, dir).events.select(col("user_id"),
         CmsSketch.cellIndex(0, col("user_id")).as("c0"),
         CmsSketch.cellIndex(1, col("user_id")).as("c1"))
+        .persist()
       val sk = h.agg(
         CmsSketch.sketch(spark, Seq(col("c0"), col("c1"))).as("sk"))
       val est = least(
@@ -561,7 +563,7 @@ object ScalarQueries {
       "q84_session_window",
       """WITH m AS (SELECT user_id, ts, event_id,
         |   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
-        |          (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+        |          (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
         |        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |           IS NULL
         |        THEN 1 ELSE 0 END AS is_new

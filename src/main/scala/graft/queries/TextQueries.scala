@@ -40,21 +40,33 @@ object TextQueries {
     * Guard: <n tokens ⇒ empty (Spark's sequence(1,0) would count
     * DOWN, not produce empty).
     */
-  private def withShingles(df: DataFrame, keep: Column*): DataFrame = {
+  private def withShingles(df: DataFrame, keep: Column*): DataFrame =
+    withNgrams(df, 3, "sh", keep: _*)
+
+  /** The shingle kernel, parameterized by n — ONE implementation for
+    * the 3-gram near-dup family (q37-q39) and the 8-gram
+    * decontamination grams (q74): distinct word n-grams over the
+    * staged token column, empty below n tokens.
+    */
+  private def withNgrams(df: DataFrame, n: Int, out: String,
+      keep: Column*): DataFrame = {
     val t = col("t")
     withToks(df, keep: _*).select(keep :+ array_distinct(
-      when(size(t) < 3, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(t) - 2),
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
           i => concat_ws(" ",
-            element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
-      .as("sh"): _*)
+            (0 until n).map(j => element_at(t, i + j)): _*))))
+      .as(out): _*)
   }
 
-  /** DuckDB rendering of the same shingle set. */
-  private val DuckShingles =
-    """list_distinct(list_transform(
-      | generate_series(1, greatest(len(t) - 2, 0)),
-      | i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))""".stripMargin
+  /** DuckDB rendering of the same n-gram set. */
+  private def duckNgrams(n: Int): String =
+    s"""list_distinct(list_transform(
+       | generate_series(1, greatest(len(t) - ${n - 1}, 0)),
+       | i -> ${(0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")}))""".stripMargin
+
+  /** DuckDB rendering of the 3-gram shingle set. */
+  private val DuckShingles = duckNgrams(3)
 
   private val Stopwords = Seq("the", "a", "and", "of", "to", "in")
 
@@ -727,9 +739,7 @@ object TextQueries {
       s"""WITH toks AS (SELECT doc_id,
          |   string_split_regex(lower(trim(text)), '\\s+') AS t
          | FROM documents),
-         |g AS (SELECT doc_id, list_distinct(list_transform(
-         |   generate_series(1, greatest(len(t) - 7, 0)),
-         |   i -> ${(0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")})) AS g
+         |g AS (SELECT doc_id, ${duckNgrams(8)} AS g
          | FROM toks),
          |bench AS (SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % 11 = 0),
          |tg AS (SELECT doc_id, unnest(g) AS gram FROM g WHERE doc_id % 11 <> 0),
@@ -743,14 +753,8 @@ object TextQueries {
          |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
          |WHERE g.doc_id % 11 <> 0
          |ORDER BY g.doc_id""".stripMargin) { (spark, dir) =>
-      val t = col("t")
-      // distinct 8-gram shingles, staged tokens first (lambda re-eval)
-      val grams = withToks(Tables(spark, dir).documents, col("doc_id"))
-        .select(col("doc_id"), array_distinct(
-          when(size(t) < 8, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), size(t) - 7),
-              i => concat_ws(" ", (0 until 8).map(j => element_at(t, i + j)): _*))))
-          .as("g"))
+      val grams = withNgrams(Tables(spark, dir).documents, 8, "g",
+          col("doc_id"))
         .persist() // feeds the bench side, the train side, and the report
       val bench = grams.filter(col("doc_id") % 11 === 0)
         .select(explode(col("g")).as("gram")).distinct()
