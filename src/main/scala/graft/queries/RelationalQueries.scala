@@ -342,5 +342,72 @@ object RelationalQueries {
         .except(t.lineitem.select(col("l_orderkey").as("o_orderkey")))
         .orderBy("o_orderkey")
     },
+
+    // Statistical aggregates: stddev/variance/correlation/covariance
+    // per group. All are sum-of-products partials (count, Σx, Σx²,
+    // Σxy) — map-side combinable, one narrow shuffle. Partial-merge
+    // float order differs from DuckDB's sequential fold at ~1e-15
+    // relative; values are O(1e4) so round(4) absorbs it (same
+    // contract as q63's avg).
+    QueryDef(
+      "q85_stats_agg",
+      """SELECT l_returnflag,
+        | CAST(count(*) AS BIGINT) AS n,
+        | round(stddev_samp(l_quantity), 4) AS sd_qty,
+        | round(var_samp(l_quantity), 4) AS var_qty,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+        | round(stddev_samp(l_extendedprice), 4) AS sd_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("cov_qty_price"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // Ratio-to-report: each nation's share of its region's revenue —
+    // a windowed aggregate over an aggregate (no self-join; the
+    // share denominator is a partition-sum window over the already
+    // grouped frame, so the second pass shuffles nation-sized data,
+    // not lineitem).
+    QueryDef(
+      "q86_share_of_total",
+      """WITH nr AS (
+        |  SELECT r.r_name AS region, n.n_name AS nation,
+        |    sum(l.l_extendedprice * (1.0 - l.l_discount)) AS revenue
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT region, nation, round(revenue, 2) AS revenue,
+        | round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+        |   AS region_share
+        |FROM nr ORDER BY region, nation""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val nr = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      nr.select(col("region"), col("nation"),
+          round(col("revenue"), 2).as("revenue"),
+          round(col("revenue")
+            / sum(col("revenue")).over(Window.partitionBy("region")), 6)
+            .as("region_share"))
+        .orderBy("region", "nation")
+    },
   )
 }
