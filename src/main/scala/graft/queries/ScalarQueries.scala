@@ -589,5 +589,73 @@ object ScalarQueries {
           col("n_events"))
         .orderBy("user_id", "session_start")
     },
+
+    // Time-series gap filling (sparse → dense): hourly event counts
+    // with missing hours zero-filled from a generated dense hour
+    // grid. The grid is bounds × types — generated from a one-row
+    // aggregate, thousands of rows regardless of corpus size, so the
+    // dense spine BROADCASTS and the fill is one left join keyed by
+    // (type, hour). The standard pre-step before window/forecast ops
+    // that can't tolerate missing buckets.
+    QueryDef(
+      "q87_gapfill",
+      """WITH e AS (SELECT event_type,
+        |   epoch_us(ts) // 3600000000 AS h FROM events),
+        |c AS (SELECT event_type, h, count(*) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS mn, max(h) AS mx FROM e),
+        |hours AS (SELECT unnest(generate_series(b.mn, b.mx)) AS h FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM e)
+        |SELECT ty.event_type,
+        | strftime(to_timestamp(hours.h * 3600), '%Y-%m-%d %H:%M:%S') AS hour,
+        | CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM ty CROSS JOIN hours
+        |LEFT JOIN c ON c.event_type = ty.event_type AND c.h = hours.h
+        |ORDER BY ty.event_type, hour""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("h"))
+      val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+      val hours = ev.agg(min("h").as("mn"), max("h").as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"))).as("h"))
+      val types = ev.select("event_type").distinct()
+      types.crossJoin(hours)
+        .join(counts, Seq("event_type", "h"), "left")
+        .select(col("event_type"),
+          date_format(timestamp_seconds(col("h") * 3600),
+            "yyyy-MM-dd HH:mm:ss").as("hour"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("event_type", "hour")
+    },
+
+    // RANGE-frame moving window: 3-day moving revenue per event type
+    // where the frame is defined on the DAY VALUE, not row offsets —
+    // a day with no events contributes nothing AND days outside the
+    // value range drop out even when adjacent as rows (the rows-frame
+    // q10 cannot express this). One shuffle on event_type over the
+    // already day-aggregated frame.
+    QueryDef(
+      "q88_range_frame",
+      """WITH d AS (SELECT event_type,
+        |   epoch_us(ts) // 86400000000 AS day, sum(value) AS rev
+        | FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        | strftime(to_timestamp(day * 86400), '%Y-%m-%d') AS day,
+        | round(rev, 2) AS revenue,
+        | round(sum(rev) OVER (PARTITION BY event_type ORDER BY day
+        |   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rev_3d
+        |FROM d ORDER BY event_type, day""".stripMargin) { (spark, dir) =>
+      val d = Tables(spark, dir).events
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"), col("value"))
+        .groupBy("event_type", "day").agg(sum("value").as("rev"))
+      val w = Window.partitionBy("event_type").orderBy(col("day"))
+        .rangeBetween(-2, 0)
+      d.select(col("event_type"),
+          date_format(timestamp_seconds(col("day") * 86400), "yyyy-MM-dd")
+            .as("day"),
+          round(col("rev"), 2).as("revenue"),
+          round(sum(col("rev")).over(w), 2).as("rev_3d"))
+        .orderBy("event_type", "day")
+    },
   )
 }
