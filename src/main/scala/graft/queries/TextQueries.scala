@@ -811,8 +811,11 @@ object TextQueries {
           .as("c"))
         .persist() // feeds the frequency count and the per-doc report
       val ex = chunks.select(col("doc_id"), explode(col("c")).as("chunk"))
+      // (doc_id, chunk) pairs are distinct by construction (per-doc
+      // array_distinct), so plain count == count(DISTINCT doc_id) —
+      // skips the Expand a distinct-agg would add
       val dup = ex.groupBy("chunk")
-        .agg(countDistinct(col("doc_id")).as("nd"))
+        .agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2).select("chunk")
       val hits = ex.join(dup, "chunk")
         .groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -848,9 +851,13 @@ object TextQueries {
         .select(col("doc_id"), explode(col("t")).as("term"))
       val agg = words.groupBy("term")
         .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      // distributed top-k (TakeOrderedAndProject), NOT a global
+      // row_number window — a single-partition window would drag the
+      // whole vocabulary through one task at scale; rank is assigned
+      // after the limit, over 25 rows
+      val top = agg.orderBy(col("tf").desc, col("term")).limit(25)
       val w = Window.orderBy(col("tf").desc, col("term"))
-      agg.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 25)
+      top.withColumn("rn", row_number().over(w))
         .select(col("term"), col("tf"), col("df"), col("rn"))
         .orderBy("rn")
     },
