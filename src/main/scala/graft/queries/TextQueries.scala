@@ -139,21 +139,22 @@ object TextQueries {
        | FROM hs)""".stripMargin
   }
 
-  /** Connected components over the candidate pairs as DuckDB CTEs
-    * (shared by q59/q67 — a tie-break or labeling change must move
-    * both oracles together): yields `cl(doc_id, cluster)` with
-    * cluster = minimum member. Expects a `cand(d1, d2)` CTE; the
-    * WITH must be RECURSIVE.
+  /** Connected components over a pair CTE as DuckDB CTEs (ONE
+    * implementation shared by q59/q67/q89 — a tie-break or labeling
+    * change must move all three oracles together): yields
+    * `cl(doc_id, cluster)` with cluster = minimum member. The named
+    * CTE must have columns (d1, d2); the WITH must be RECURSIVE.
     */
-  private val DuckComponents =
-    """edges AS (SELECT d1 AS a, d2 AS b FROM cand
-      |          UNION SELECT d2, d1 FROM cand),
-      |reach(src, dst) AS (
-      |  SELECT a, a FROM edges
-      |  UNION
-      |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
-      |cl AS (SELECT src AS doc_id, min(dst) AS cluster
-      |       FROM reach GROUP BY src)""".stripMargin
+  private def duckComponents(pairCte: String = "cand") =
+    s"""edges AS (SELECT d1 AS a, d2 AS b FROM $pairCte
+       |          UNION SELECT d2, d1 FROM $pairCte),
+       |reach(src, dst) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+       |cl AS (SELECT src AS doc_id, min(dst) AS cluster
+       |       FROM reach GROUP BY src)""".stripMargin
+  private val DuckComponents = duckComponents()
 
   /** Shared LSH pipeline: staged shingles → signatures → banded
     * candidate pairs. Both frames persisted (each feeds multiple
@@ -901,6 +902,99 @@ object TextQueries {
           round((lit(1.0) / col("n_groups"))
             / (col("n_tokens") * lit(1.0) / col("total")), 4).as("mix_weight"))
         .orderBy("source", "lang")
+    },
+
+    // CAPSTONE: the end-to-end clean-corpus pipeline — quality filter
+    // → exact dedup → near-dup cluster dedup → holdout +
+    // decontamination — with per-stage drop accounting, i.e. the
+    // actual job a user of this engine runs over a raw crawl. Every
+    // stage reuses the engine's own kernels (token staging, q35's
+    // fingerprint recipe, the q38 LSH candidate pairs restricted to
+    // survivors, DupClusters min-label components, the q74 benchmark
+    // gram set). Shape at scale: stages are sequential narrow
+    // aggregates/joins over shrinking survivor sets; at 100 TB each
+    // stage's survivor frame would checkpoint to the lake (here:
+    // persist) — nothing in any stage is quadratic in the corpus.
+    QueryDef(
+      "q89_clean_corpus",
+      s"""WITH RECURSIVE $duckCand,
+         |s1 AS (SELECT doc_id FROM toks WHERE len(t) >= 30),
+         |fp AS (SELECT d.doc_id,
+         |    md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS f
+         |  FROM documents d JOIN s1 ON d.doc_id = s1.doc_id),
+         |s2 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |candf AS (SELECT d1, d2 FROM cand
+         |  WHERE d1 IN (SELECT doc_id FROM s2)
+         |    AND d2 IN (SELECT doc_id FROM s2)),
+         |${duckComponents("candf")},
+         |s3 AS (SELECT s2.doc_id FROM s2 LEFT JOIN cl
+         |    ON s2.doc_id = cl.doc_id
+         |  WHERE cl.cluster IS NULL OR cl.cluster = s2.doc_id),
+         |g8 AS (SELECT doc_id, ${duckNgrams(8)} AS g FROM toks),
+         |bench AS (SELECT DISTINCT unnest(g) AS gram FROM g8
+         |          WHERE doc_id % 11 = 0),
+         |tg AS (SELECT g8.doc_id, unnest(g8.g) AS gram
+         |       FROM g8 JOIN s3 ON g8.doc_id = s3.doc_id
+         |       WHERE g8.doc_id % 11 <> 0),
+         |cont AS (SELECT DISTINCT tg.doc_id FROM tg
+         |         JOIN bench USING (gram)),
+         |s4 AS (SELECT doc_id FROM s3 WHERE doc_id % 11 <> 0
+         |       AND doc_id NOT IN (SELECT doc_id FROM cont))
+         |SELECT stage, CAST(n_in AS BIGINT) AS n_in,
+         |  CAST(n_in - n_out AS BIGINT) AS n_dropped,
+         |  CAST(n_out AS BIGINT) AS n_out
+         |FROM (
+         |  SELECT '1_quality' AS stage,
+         |    (SELECT count(*) FROM documents) AS n_in,
+         |    (SELECT count(*) FROM s1) AS n_out
+         |  UNION ALL SELECT '2_exact_dedup',
+         |    (SELECT count(*) FROM s1), (SELECT count(*) FROM s2)
+         |  UNION ALL SELECT '3_near_dup',
+         |    (SELECT count(*) FROM s2), (SELECT count(*) FROM s3)
+         |  UNION ALL SELECT '4_decontaminate',
+         |    (SELECT count(*) FROM s3), (SELECT count(*) FROM s4))
+         |ORDER BY stage""".stripMargin) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      // stage 1: quality floor (the q34 medium+ band)
+      val s1 = withToks(docs, col("doc_id"))
+        .filter(size(col("t")) >= 30).select("doc_id").persist()
+      // stage 2: exact dedup by the q35 fingerprint, keep min doc_id
+      val s2 = docs
+        .select(col("doc_id"), md5(regexp_replace(lower(trim(col("text"))),
+          "\\s+", " ")).as("f"))
+        .join(s1, "doc_id")
+        .groupBy("f").agg(min("doc_id").as("doc_id"))
+        .select("doc_id").persist()
+      // stage 3: LSH candidate pairs restricted to survivors, min-
+      // label components, keep each cluster's minimum member
+      val cand2 = lshPipeline(spark, dir)._1
+        .join(s2.withColumnRenamed("doc_id", "d1"), "d1")
+        .join(s2.withColumnRenamed("doc_id", "d2"), "d2")
+      val dropped3 = DupClusters.clusters(cand2)
+        .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+      val s3 = s2.join(dropped3, Seq("doc_id"), "left_anti").persist()
+      // stage 4: drop the held-out benchmark split + anything sharing
+      // an 8-gram with it (the q74 rule)
+      val g8 = withNgrams(docs, 8, "g", col("doc_id")).persist()
+      val bench = g8.filter(col("doc_id") % 11 === 0)
+        .select(explode(col("g")).as("gram")).distinct()
+      val cont = g8.join(s3, "doc_id").filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), explode(col("g")).as("gram"))
+        .join(broadcast(bench), "gram")
+        .select("doc_id").distinct()
+      val s4 = s3.filter(col("doc_id") % 11 =!= 0)
+        .join(cont, Seq("doc_id"), "left_anti")
+      def cnt(df: DataFrame, as: String): DataFrame =
+        df.agg(count(lit(1)).as(as))
+      def stageRow(stage: String, in: DataFrame, out: DataFrame): DataFrame =
+        cnt(in, "n_in").crossJoin(cnt(out, "n_out"))
+          .select(lit(stage).as("stage"), col("n_in"),
+            (col("n_in") - col("n_out")).as("n_dropped"), col("n_out"))
+      stageRow("1_quality", docs.select("doc_id"), s1)
+        .unionByName(stageRow("2_exact_dedup", s1, s2))
+        .unionByName(stageRow("3_near_dup", s2, s3))
+        .unionByName(stageRow("4_decontaminate", s3, s4))
+        .orderBy("stage")
     },
   )
 }
