@@ -161,4 +161,69 @@ class MaterializeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming scd2 equals the batch lead() derivation (q73 shape)") {
+    // 20 keys × 1-4 in-order versions with deterministic offsets —
+    // the change log both derivations consume
+    val log = for {
+      pk <- 1L to 20L
+      v <- 0L until (pk % 4 + 1)
+    } yield (pk, if (v == pk % 4 && pk % 5 == 0) "d" else "u",
+      100 * pk + 10 * v, s"p$pk-$v")
+    val in = Files.createTempDirectory("scd2p-in-")
+    // split into 3 arrival batches to exercise cross-batch closes
+    log.grouped((log.size + 2) / 3).zipWithIndex.foreach { case (g, i) =>
+      Files.write(in.resolve(f"$i%02d.jsonl"),
+        g.map { case (pk, op, off, p) => ev(pk, op, off, p) }.asJava)
+    }
+
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+    try {
+      import org.apache.spark.sql.functions.{col, from_json, lead}
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val changes = spark.readStream.format("graft-cdc")
+        .option("path", in.toString).option("maxFilesPerTrigger", 1)
+        .load()
+        .select(from_json(col("value"), org.apache.spark.sql.types.StructType
+          .fromDDL("pk LONG, op STRING, offset LONG, txn LONG, payload STRING"))
+          .as("c"))
+        .select("c.*")
+        .as[Materialize.ChangeRow]
+      Materialize.scd2(changes)
+        .writeStream.format("memory").queryName("scd2_parity")
+        .outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory("scd2p-ck-").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      val streaming = spark.table("scd2_parity").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5),
+          r.getBoolean(6)))
+        .groupBy(v => (v._1, v._3)).map { case (_, vs) =>
+          vs.find(!_._6).getOrElse(vs.head) // closed supersedes open
+        }.toSet
+
+      // batch: ONE lead() window over the same log — the q73 shape
+      val w = Window.partitionBy("pk").orderBy("offset")
+      val batch = log.toDF("pk", "op", "offset", "payload")
+        .withColumn("valid_to", lead(col("offset"), 1).over(w))
+        .collect().map { r =>
+          val vt = if (r.isNullAt(4)) None else Some(r.getLong(4))
+          (r.getLong(0), r.getString(3), r.getLong(2), vt,
+            r.getString(1) == "d", vt.isEmpty)
+        }.toSet
+      assert(streaming == batch,
+        s"streaming-only: ${streaming -- batch}\nbatch-only: ${batch -- streaming}")
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
