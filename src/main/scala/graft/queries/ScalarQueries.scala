@@ -606,7 +606,8 @@ object ScalarQueries {
         |hours AS (SELECT unnest(generate_series(b.mn, b.mx)) AS h FROM b),
         |ty AS (SELECT DISTINCT event_type FROM e)
         |SELECT ty.event_type,
-        | strftime(to_timestamp(hours.h * 3600), '%Y-%m-%d %H:%M:%S') AS hour,
+        | strftime(make_timestamp(hours.h * 3600000000),
+        |   '%Y-%m-%d %H:%M:%S') AS hour,
         | CAST(coalesce(c.n, 0) AS BIGINT) AS n
         |FROM ty CROSS JOIN hours
         |LEFT JOIN c ON c.event_type = ty.event_type AND c.h = hours.h
@@ -639,7 +640,7 @@ object ScalarQueries {
         |   epoch_us(ts) // 86400000000 AS day, sum(value) AS rev
         | FROM events GROUP BY 1, 2)
         |SELECT event_type,
-        | strftime(to_timestamp(day * 86400), '%Y-%m-%d') AS day,
+        | strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS day,
         | round(rev, 2) AS revenue,
         | round(sum(rev) OVER (PARTITION BY event_type ORDER BY day
         |   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rev_3d

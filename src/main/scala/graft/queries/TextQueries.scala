@@ -974,8 +974,15 @@ object TextQueries {
         .filter(col("doc_id") =!= col("cluster")).select("doc_id")
       val s3 = s2.join(dropped3, Seq("doc_id"), "left_anti").persist()
       // stage 4: drop the held-out benchmark split + anything sharing
-      // an 8-gram with it (the q74 rule)
-      val g8 = withNgrams(docs, 8, "g", col("doc_id")).persist()
+      // an 8-gram with it (the q74 rule). Grams are computed only for
+      // benchmark ∪ stage-3 survivors — at scale the gram explosion
+      // must track the SURVIVOR set, not the raw corpus (already-
+      // dropped docs contribute nothing to either join side)
+      val g8src = docs.join(
+        s3.unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      val g8 = withNgrams(g8src, 8, "g", col("doc_id")).persist()
       val bench = g8.filter(col("doc_id") % 11 === 0)
         .select(explode(col("g")).as("gram")).distinct()
       val cont = g8.join(s3, "doc_id").filter(col("doc_id") % 11 =!= 0)
