@@ -904,6 +904,69 @@ object TextQueries {
         .orderBy("source", "lang")
     },
 
+    // MinHash estimator quality: signature-agreement Jaccard estimate
+    // (matching mins / k) vs exact Jaccard for every LSH candidate
+    // pair — the number that tells an operator whether k=8 signatures
+    // are trustworthy enough to SKIP exact verification at scale
+    // (exact verify needs the shingle sets, the estimate only the
+    // 64-byte signature). Both sides computed from the shared
+    // signature constants; pure arithmetic, exact cross-engine before
+    // round(4).
+    QueryDef(
+      "q90_minhash_estimate", {
+        val agree = (0 until K).map(k =>
+          s"(CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH $duckCand,
+           |shx AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+           |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+           |inter AS (SELECT c.d1, c.d2, count(*) AS i
+           |          FROM cand c
+           |          JOIN shx a ON a.doc_id = c.d1
+           |          JOIN shx b ON b.doc_id = c.d2 AND b.tok = a.tok
+           |          GROUP BY 1, 2),
+           |est AS (SELECT c.d1, c.d2, ($agree) / ${K}.0 AS e
+           |        FROM cand c
+           |        JOIN sig a ON a.doc_id = c.d1
+           |        JOIN sig b ON b.doc_id = c.d2)
+           |SELECT i.d1, i.d2,
+           | round(est.e, 4) AS mh_est,
+           | round(i.i * 1.0 / (s1.sz + s2.sz - i.i), 4) AS jaccard,
+           | round(abs(est.e - i.i * 1.0 / (s1.sz + s2.sz - i.i)), 4)
+           |   AS est_err
+           |FROM inter i
+           |JOIN sizes s1 ON i.d1 = s1.doc_id
+           |JOIN sizes s2 ON i.d2 = s2.doc_id
+           |JOIN est ON i.d1 = est.d1 AND i.d2 = est.d2
+           |ORDER BY i.d1, i.d2""".stripMargin
+      }) { (spark, dir) =>
+      val (cand, shl) = lshPipeline(spark, dir, keepShingles = true)
+      val sig = withSig(spark, shl).persist() // both sides of the pair join
+      val agree = (0 until K).map(k =>
+        when(col(s"a.mh$k") === col(s"b.mh$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = broadcast(cand)
+        .join(sig.as("a"), col("d1") === col("a.doc_id"))
+        .join(sig.as("b"), col("d2") === col("b.doc_id"))
+        .select(col("d1"), col("d2"), (agree / lit(K.toDouble)).as("e"))
+      val shx = shl.select(col("doc_id"), explode(col("sh")).as("tok"))
+      val sizes = shl.select(col("doc_id"), size(col("sh")).as("sz"))
+      val inter = broadcast(cand)
+        .join(shx.as("a"), col("d1") === col("a.doc_id"))
+        .join(shx.as("b"),
+          col("d2") === col("b.doc_id") && col("b.tok") === col("a.tok"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+      inter
+        .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
+        .join(broadcast(sizes.as("s2")), col("d2") === col("s2.doc_id"))
+        .withColumn("jac",
+          col("i") * lit(1.0) / (col("s1.sz") + col("s2.sz") - col("i")))
+        .join(est, Seq("d1", "d2"))
+        .select(col("d1"), col("d2"), round(col("e"), 4).as("mh_est"),
+          round(col("jac"), 4).as("jaccard"),
+          round(abs(col("e") - col("jac")), 4).as("est_err"))
+        .orderBy("d1", "d2")
+    },
+
     // CAPSTONE: the end-to-end clean-corpus pipeline — quality filter
     // → exact dedup → near-dup cluster dedup → holdout +
     // decontamination — with per-stage drop accounting, i.e. the
