@@ -65,6 +65,50 @@ object VectorQueries {
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm FROM e)""".stripMargin
 
+  /** Int8 scalar-quantization codes — ONE implementation shared by
+    * q76 (codes + error) and q91 (quantized-search recall): per-dim
+    * [min, max] learned from the corpus (order-independent partials,
+    * bit-equal cross-engine), codes = floor((x-mn)·255/(mx-mn)).
+    * Returns (vec_id, e, mns, mxs, q); the code array is staged as an
+    * attribute (lambda re-eval trap).
+    */
+  private def quantCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val dims = e.select(posexplode(col("e")).as(Seq("p", "x")))
+      .groupBy("p").agg(min("x").as("mn"), max("x").as("mx"))
+    val stats = dims
+      .agg(sort_array(collect_list(struct(col("p"), col("mn"), col("mx"))))
+        .as("s"))
+      .select(transform(col("s"), s => s.getField("mn")).as("mns"),
+        transform(col("s"), s => s.getField("mx")).as("mxs"))
+    e.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("e"), col("mns"), col("mxs"),
+        transform(sequence(lit(1), size(col("e"))), i => {
+          val x = element_at(col("e"), i)
+          val mn = element_at(col("mns"), i)
+          val mx = element_at(col("mxs"), i)
+          when(mx === mn, lit(0))
+            .otherwise(floor((x - mn) * lit(255.0) / (mx - mn)).cast("int"))
+        }).as("q"))
+  }
+
+  /** The same codes as DuckDB CTEs: yields `qc(vec_id, e, mns, mxs, q)`. */
+  private val DuckQuant =
+    """pe AS (SELECT embedding AS emb,
+      |   unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      |ds AS (SELECT i, min(emb[CAST(i AS INT)]::DOUBLE) AS mn,
+      |         max(emb[CAST(i AS INT)]::DOUBLE) AS mx
+      |       FROM pe GROUP BY i),
+      |da AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+      |       FROM ds),
+      |qc AS (SELECT vec_id, embedding::DOUBLE[] AS e, mns, mxs,
+      |   list_transform(generate_series(1, len(embedding)), i ->
+      |     CASE WHEN mxs[i] = mns[i] THEN 0
+      |          ELSE CAST(floor((embedding[i]::DOUBLE - mns[i]) * 255.0
+      |                          / (mxs[i] - mns[i])) AS INTEGER) END) AS q
+      | FROM embeddings CROSS JOIN da)""".stripMargin
+
   /** Deterministic ±1 hyperplane coefficients from md5 parity — a
     * discrete stand-in for gaussian hyperplanes that both engines can
     * reproduce exactly (no libm sin/cos divergence risk).
@@ -385,47 +429,15 @@ object VectorQueries {
     // match exactly — only the final error is rounded.
     QueryDef(
       "q76_quantize_embed",
-      """WITH pe AS (SELECT embedding AS emb,
-        |   unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
-        |ds AS (SELECT i, min(emb[CAST(i AS INT)]::DOUBLE) AS mn,
-        |         max(emb[CAST(i AS INT)]::DOUBLE) AS mx
-        |       FROM pe GROUP BY i),
-        |da AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
-        |       FROM ds),
-        |q AS (SELECT vec_id, embedding::DOUBLE[] AS e, mns, mxs,
-        |   list_transform(generate_series(1, len(embedding)), i ->
-        |     CASE WHEN mxs[i] = mns[i] THEN 0
-        |          ELSE CAST(floor((embedding[i]::DOUBLE - mns[i]) * 255.0
-        |                          / (mxs[i] - mns[i])) AS INTEGER) END) AS q
-        | FROM embeddings CROSS JOIN da)
-        |SELECT vec_id,
-        | CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
-        | q[1] AS q0,
-        | round(list_aggregate(list_transform(generate_series(1, len(e)),
-        |   i -> abs(mns[i] + (q[i] + 0.5) * (mxs[i] - mns[i]) / 255.0 - e[i])),
-        |   'max'), 6) AS max_err
-        |FROM q ORDER BY vec_id""".stripMargin) { (spark, dir) =>
-      val e = Tables(spark, dir).embeddings
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val dims = e.select(posexplode(col("e")).as(Seq("p", "x")))
-        .groupBy("p").agg(min("x").as("mn"), max("x").as("mx"))
-      val stats = dims
-        .agg(sort_array(collect_list(struct(col("p"), col("mn"), col("mx"))))
-          .as("s"))
-        .select(transform(col("s"), s => s.getField("mn")).as("mns"),
-          transform(col("s"), s => s.getField("mx")).as("mxs"))
-      // stage the code array as an attribute so the three consumers
-      // below don't re-quantize per reference (lambda re-eval trap)
-      val codes = e.crossJoin(broadcast(stats))
-        .select(col("vec_id"), col("e"), col("mns"), col("mxs"),
-          transform(sequence(lit(1), size(col("e"))), i => {
-            val x = element_at(col("e"), i)
-            val mn = element_at(col("mns"), i)
-            val mx = element_at(col("mxs"), i)
-            when(mx === mn, lit(0))
-              .otherwise(floor((x - mn) * lit(255.0) / (mx - mn)).cast("int"))
-          }).as("q"))
-      codes.select(col("vec_id"),
+      s"""WITH $DuckQuant
+         |SELECT vec_id,
+         | CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+         | q[1] AS q0,
+         | round(list_aggregate(list_transform(generate_series(1, len(e)),
+         |   i -> abs(mns[i] + (q[i] + 0.5) * (mxs[i] - mns[i]) / 255.0 - e[i])),
+         |   'max'), 6) AS max_err
+         |FROM qc ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      quantCodes(spark, dir).select(col("vec_id"),
         aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
         element_at(col("q"), 1).as("q0"),
         round(array_max(transform(sequence(lit(1), size(col("e"))), i => {
@@ -435,6 +447,73 @@ object VectorQueries {
             - element_at(col("e"), i))
         })), 6).as("max_err"))
         .orderBy("vec_id")
+    },
+
+    // Quantized-search recall: exact cosine top-3 re-run over the
+    // int8-DEQUANTIZED vectors (the q76 codes a scale deployment
+    // actually scans — 4× less IO) vs the float top-3, per query —
+    // the number that decides whether int8 storage is safe for the
+    // retrieval stage. Same shape as q70's IVF recall; everything
+    // deterministic cross-engine (codes exact, dequantize/cosine in
+    // fixed IEEE order, shared tie-breaks).
+    QueryDef(
+      "q91_quantized_recall",
+      s"""WITH $DuckQuant,
+         |dn AS (SELECT vec_id,
+         |    list_transform(generate_series(1, len(e)), i ->
+         |      mns[i] + (q[i] + 0.5) * (mxs[i] - mns[i]) / 255.0) AS de
+         |  FROM qc),
+         |dnn AS (SELECT vec_id, de, sqrt(list_dot_product(de, de)) AS dnm
+         |        FROM dn),
+         |dq AS (SELECT vec_id AS qid, de AS qe, dnm AS qnm FROM dnn
+         |       WHERE vec_id < 5),
+         |dscored AS (SELECT dq.qid, a.vec_id,
+         |    list_dot_product(a.de, dq.qe) / (a.dnm * dq.qnm) AS cos
+         |  FROM dnn a, dq WHERE a.vec_id <> dq.qid),
+         |qtop AS (SELECT qid, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id) AS rn FROM dscored)
+         |  WHERE rn <= 3),
+         |$DuckNorm,
+         |fq AS (SELECT vec_id AS qid, e AS qe, nm AS qnm FROM n
+         |       WHERE vec_id < 5),
+         |fscored AS (SELECT fq.qid, a.vec_id,
+         |    list_dot_product(a.e, fq.qe) / (a.nm * fq.qnm) AS cos
+         |  FROM n a, fq WHERE a.vec_id <> fq.qid),
+         |exact AS (SELECT qid, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id) AS rn FROM fscored)
+         |  WHERE rn <= 3)
+         |SELECT exact.qid,
+         | CAST(count(*) AS BIGINT) AS n_exact,
+         | CAST(count(qtop.vec_id) AS BIGINT) AS n_overlap,
+         | round(count(qtop.vec_id) * 1.0 / count(*), 4) AS recall
+         |FROM exact LEFT JOIN qtop
+         |  ON exact.qid = qtop.qid AND exact.vec_id = qtop.vec_id
+         |GROUP BY 1 ORDER BY exact.qid""".stripMargin) { (spark, dir) =>
+      // withNorm first: it registers the native dot expression the
+      // dequantized frame's norm needs
+      val n = withNorm(spark, dir).persist()
+      // dequantized corpus, renamed to the (e, nm) contract so the
+      // shared bruteTop3 kernel runs unchanged over the codes
+      val dn = quantCodes(spark, dir)
+        .select(col("vec_id"),
+          transform(sequence(lit(1), size(col("e"))), i => {
+            val mn = element_at(col("mns"), i)
+            val mx = element_at(col("mxs"), i)
+            mn + (element_at(col("q"), i) + lit(0.5)) * (mx - mn) / lit(255.0)
+          }).as("e"))
+        .withColumn("nm", sqrt(dot(col("e"), col("e"))))
+        .persist() // corpus side + query side of the quantized ranking
+      val qtop = bruteTop3(dn).select(col("qid"), col("vec_id"))
+        .withColumn("hit", lit(1))
+      val exact = bruteTop3(n).select(col("qid"), col("vec_id"))
+      exact.join(qtop, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_overlap"))
+        .select(col("qid"), col("n_exact"), col("n_overlap"),
+          round(col("n_overlap") * lit(1.0) / col("n_exact"), 4).as("recall"))
+        .orderBy("qid")
     },
   )
 }
