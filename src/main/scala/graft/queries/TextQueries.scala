@@ -157,11 +157,13 @@ object TextQueries {
   private val DuckComponents = duckComponents()
 
   /** Shared LSH pipeline: staged shingles → signatures → banded
-    * candidate pairs. Both frames persisted (each feeds multiple
-    * branches / join sides downstream).
+    * candidate pairs. Returns (candidates, shingles, signatures);
+    * the signature frame is the one lshPipeline already persisted
+    * internally — callers needing signatures (q90) must reuse it,
+    * not recompute the kernel.
     */
   private def lshPipeline(spark: SparkSession, dir: String,
-      keepShingles: Boolean = false): (DataFrame, DataFrame) = {
+      keepShingles: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     // documents is one small parquet file (1-2 scan partitions); the
     // md5-heavy signature compute needs all cores
     val docs = Tables(spark, dir).documents
@@ -188,7 +190,7 @@ object TextQueries {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    (cand, shl)
+    (cand, shl, sig)
   }
 
   /** DuckDB CTEs for the banded candidate pairs (shared by q38/q39/q59). */
@@ -339,7 +341,7 @@ object TextQueries {
          |JOIN sizes s2 ON d2 = s2.doc_id
          |WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8
          |ORDER BY d1, d2""".stripMargin) { (spark, dir) =>
-      val (cand, shl) = lshPipeline(spark, dir, keepShingles = true)
+      val (cand, shl, _) = lshPipeline(spark, dir, keepShingles = true)
       val shx = shl.select(col("doc_id"), explode(col("sh")).as("tok"))
       val sizes = shl.select(col("doc_id"), size(col("sh")).as("sz"))
       val inter = broadcast(cand)
@@ -928,19 +930,24 @@ object TextQueries {
            |        FROM cand c
            |        JOIN sig a ON a.doc_id = c.d1
            |        JOIN sig b ON b.doc_id = c.d2)
-           |SELECT i.d1, i.d2,
+           |SELECT est.d1, est.d2,
            | round(est.e, 4) AS mh_est,
-           | round(i.i * 1.0 / (s1.sz + s2.sz - i.i), 4) AS jaccard,
-           | round(abs(est.e - i.i * 1.0 / (s1.sz + s2.sz - i.i)), 4)
-           |   AS est_err
-           |FROM inter i
-           |JOIN sizes s1 ON i.d1 = s1.doc_id
-           |JOIN sizes s2 ON i.d2 = s2.doc_id
-           |JOIN est ON i.d1 = est.d1 AND i.d2 = est.d2
-           |ORDER BY i.d1, i.d2""".stripMargin
+           | round(coalesce(i.i, 0) * 1.0 / (s1.sz + s2.sz - coalesce(i.i, 0)),
+           |   4) AS jaccard,
+           | round(abs(est.e - coalesce(i.i, 0) * 1.0
+           |   / (s1.sz + s2.sz - coalesce(i.i, 0))), 4) AS est_err
+           |FROM est
+           |LEFT JOIN inter i ON est.d1 = i.d1 AND est.d2 = i.d2
+           |JOIN sizes s1 ON est.d1 = s1.doc_id
+           |JOIN sizes s2 ON est.d2 = s2.doc_id
+           |ORDER BY est.d1, est.d2""".stripMargin
       }) { (spark, dir) =>
-      val (cand, shl) = lshPipeline(spark, dir, keepShingles = true)
-      val sig = withSig(spark, shl).persist() // both sides of the pair join
+      // est starts from cand (LEFT join to the intersection): a
+      // colliding pair with ZERO shared shingles is exactly the
+      // estimator's worst case and must appear as jaccard 0, not
+      // vanish from the audit
+      val (cand0, shl, sig) = lshPipeline(spark, dir, keepShingles = true)
+      val cand = cand0.persist() // fans out to the est and inter joins
       val agree = (0 until K).map(k =>
         when(col(s"a.mh$k") === col(s"b.mh$k"), 1).otherwise(0))
         .reduce(_ + _)
@@ -955,12 +962,12 @@ object TextQueries {
         .join(shx.as("b"),
           col("d2") === col("b.doc_id") && col("b.tok") === col("a.tok"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
-      inter
+      est
+        .join(inter, Seq("d1", "d2"), "left")
         .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
         .join(broadcast(sizes.as("s2")), col("d2") === col("s2.doc_id"))
-        .withColumn("jac",
-          col("i") * lit(1.0) / (col("s1.sz") + col("s2.sz") - col("i")))
-        .join(est, Seq("d1", "d2"))
+        .withColumn("jac", coalesce(col("i"), lit(0L)) * lit(1.0)
+          / (col("s1.sz") + col("s2.sz") - coalesce(col("i"), lit(0L))))
         .select(col("d1"), col("d2"), round(col("e"), 4).as("mh_est"),
           round(col("jac"), 4).as("jaccard"),
           round(abs(col("e") - col("jac")), 4).as("est_err"))

@@ -91,6 +91,15 @@ object VectorQueries {
           when(mx === mn, lit(0))
             .otherwise(floor((x - mn) * lit(255.0) / (mx - mn)).cast("int"))
         }).as("q"))
+      // the reconstruction half of the codec lives HERE too (staged
+      // from the q attribute) — q76's error and q91's recall must
+      // measure the same codec, never two drifting copies
+      .select(col("vec_id"), col("e"), col("mns"), col("mxs"), col("q"),
+        transform(sequence(lit(1), size(col("e"))), i => {
+          val mn = element_at(col("mns"), i)
+          val mx = element_at(col("mxs"), i)
+          mn + (element_at(col("q"), i) + lit(0.5)) * (mx - mn) / lit(255.0)
+        }).as("de"))
   }
 
   /** The same codes as DuckDB CTEs: yields `qc(vec_id, e, mns, mxs, q)`. */
@@ -102,12 +111,15 @@ object VectorQueries {
       |       FROM pe GROUP BY i),
       |da AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
       |       FROM ds),
-      |qc AS (SELECT vec_id, embedding::DOUBLE[] AS e, mns, mxs,
+      |qc0 AS (SELECT vec_id, embedding::DOUBLE[] AS e, mns, mxs,
       |   list_transform(generate_series(1, len(embedding)), i ->
       |     CASE WHEN mxs[i] = mns[i] THEN 0
       |          ELSE CAST(floor((embedding[i]::DOUBLE - mns[i]) * 255.0
       |                          / (mxs[i] - mns[i])) AS INTEGER) END) AS q
-      | FROM embeddings CROSS JOIN da)""".stripMargin
+      | FROM embeddings CROSS JOIN da),
+      |qc AS (SELECT *, list_transform(generate_series(1, len(e)), i ->
+      |   mns[i] + (q[i] + 0.5) * (mxs[i] - mns[i]) / 255.0) AS de
+      | FROM qc0)""".stripMargin
 
   /** Deterministic ±1 hyperplane coefficients from md5 parity — a
     * discrete stand-in for gaussian hyperplanes that both engines can
@@ -434,18 +446,13 @@ object VectorQueries {
          | CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
          | q[1] AS q0,
          | round(list_aggregate(list_transform(generate_series(1, len(e)),
-         |   i -> abs(mns[i] + (q[i] + 0.5) * (mxs[i] - mns[i]) / 255.0 - e[i])),
-         |   'max'), 6) AS max_err
+         |   i -> abs(de[i] - e[i])), 'max'), 6) AS max_err
          |FROM qc ORDER BY vec_id""".stripMargin) { (spark, dir) =>
       quantCodes(spark, dir).select(col("vec_id"),
         aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
         element_at(col("q"), 1).as("q0"),
-        round(array_max(transform(sequence(lit(1), size(col("e"))), i => {
-          val mn = element_at(col("mns"), i)
-          val mx = element_at(col("mxs"), i)
-          abs(mn + (element_at(col("q"), i) + lit(0.5)) * (mx - mn) / lit(255.0)
-            - element_at(col("e"), i))
-        })), 6).as("max_err"))
+        round(array_max(zip_with(col("de"), col("e"),
+          (d, x) => abs(d - x))), 6).as("max_err"))
         .orderBy("vec_id")
     },
 
@@ -459,12 +466,8 @@ object VectorQueries {
     QueryDef(
       "q91_quantized_recall",
       s"""WITH $DuckQuant,
-         |dn AS (SELECT vec_id,
-         |    list_transform(generate_series(1, len(e)), i ->
-         |      mns[i] + (q[i] + 0.5) * (mxs[i] - mns[i]) / 255.0) AS de
-         |  FROM qc),
          |dnn AS (SELECT vec_id, de, sqrt(list_dot_product(de, de)) AS dnm
-         |        FROM dn),
+         |        FROM qc),
          |dq AS (SELECT vec_id AS qid, de AS qe, dnm AS qnm FROM dnn
          |       WHERE vec_id < 5),
          |dscored AS (SELECT dq.qid, a.vec_id,
@@ -497,12 +500,7 @@ object VectorQueries {
       // dequantized corpus, renamed to the (e, nm) contract so the
       // shared bruteTop3 kernel runs unchanged over the codes
       val dn = quantCodes(spark, dir)
-        .select(col("vec_id"),
-          transform(sequence(lit(1), size(col("e"))), i => {
-            val mn = element_at(col("mns"), i)
-            val mx = element_at(col("mxs"), i)
-            mn + (element_at(col("q"), i) + lit(0.5)) * (mx - mn) / lit(255.0)
-          }).as("e"))
+        .select(col("vec_id"), col("de").as("e"))
         .withColumn("nm", sqrt(dot(col("e"), col("e"))))
         .persist() // corpus side + query side of the quantized ranking
       val qtop = bruteTop3(dn).select(col("qid"), col("vec_id"))
