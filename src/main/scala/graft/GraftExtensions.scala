@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CmsSketch, DotProduct, KmvSketch, TextHashes, VectorExpressions}
+
+/** Library integration point:
+  * `--conf spark.sql.extensions=graft.GraftExtensions` injects every
+  * graft native function (codegen'd dot product, text-hash kernels,
+  * KMV and count-min sketch aggregates) into the session catalog at
+  * session build — plain-SQL users (spark-sql shell, Thrift/JDBC)
+  * get them with zero code. The query modules' in-code
+  * `ensureRegistered` helpers install the SAME builder list as
+  * session temp functions, so both surfaces can never drift.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.All.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftExtensions", name), builder))
+    }
+}
+
+object GraftExtensions {
+  /** name → expression builder: the single function registry. */
+  val All: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    VectorExpressions.FnName ->
+      ((es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    "graft_rollhash" ->
+      ((es: Seq[Expression]) => TextHashes.RollingHash(es.head, es(1))),
+    "graft_winmin" ->
+      ((es: Seq[Expression]) => TextHashes.WindowMin(es.head, es(1))),
+    "graft_minhash" ->
+      ((es: Seq[Expression]) => TextHashes.MinHashSig(es.head)),
+    KmvSketch.FnName -> (KmvSketch.fromExprs _),
+    CmsSketch.FnName -> (CmsSketch.fromExprs _))
+
+  /** The same list installed as temp functions on a live session
+    * (what the per-module ensureRegistered helpers do piecemeal).
+    */
+  def install(spark: SparkSession): Unit =
+    All.foreach { case (n, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(n, b, "scala_udf")
+    }
+}

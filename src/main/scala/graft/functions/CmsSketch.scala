@@ -96,18 +96,21 @@ object CmsSketch {
   val Depth = 2
   val Width = 64
 
+  /** `(cell..., width-literal)` → aggregate expression; shared by the
+    * temp-function path and GraftExtensions' catalog injection.
+    */
+  def fromExprs(exprs: Seq[Expression]): Expression = {
+    val w = exprs.last match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$FnName: width must be an INTEGER literal, got $other")
+    }
+    CmsSketch(exprs.dropRight(1), w).toAggregateExpression()
+  }
+
   def ensureRegistered(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName,
-      exprs => {
-        val w = exprs.last match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"$FnName: width must be an INTEGER literal, got $other")
-        }
-        CmsSketch(exprs.dropRight(1), w).toAggregateExpression()
-      },
-      "scala_udf")
+      FnName, fromExprs, "scala_udf")
 
   /** Cell index for depth row j: first 8 md5 hex chars of "j:key" as
     * a long, mod width. DuckDB mirror:

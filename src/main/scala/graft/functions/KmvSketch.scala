@@ -97,18 +97,21 @@ object KmvSketch {
     * call_function — the public Column API has no Expression
     * constructor in Spark 4.
     */
+  /** `(hash, k-literal)` → aggregate expression; shared by the
+    * temp-function path and GraftExtensions' catalog injection.
+    */
+  def fromExprs(exprs: Seq[Expression]): Expression = {
+    val k = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$FnName: k must be an INTEGER literal, got $other")
+    }
+    KmvSketch(exprs.head, k).toAggregateExpression()
+  }
+
   def ensureRegistered(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName,
-      exprs => {
-        val k = exprs(1) match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"$FnName: k must be an INTEGER literal, got $other")
-        }
-        KmvSketch(exprs.head, k).toAggregateExpression()
-      },
-      "scala_udf")
+      FnName, fromExprs, "scala_udf")
 
   /** The shared 60-bit hash recipe: 15-hex md5 prefix → long in
     * [0, 16^15). Used by the KMV sketch (q60) and stratified sampling
