@@ -409,5 +409,71 @@ object RelationalQueries {
             .as("region_share"))
         .orderBy("region", "nation")
     },
+
+    // Join-cardinality estimation from KMV sketches — optimizer-style
+    // statistics at sketch cost: per-side distinct-key estimates, a
+    // union estimate from the merged sketch, and the common-key count
+    // by inclusion-exclusion, next to the exact values. At scale the
+    // three sketches cost one pass each with ≤k-long partials (the
+    // q60 shuffle argument), vs full distinct sets for the exact
+    // numbers — this is how a planner sizes a join WITHOUT running
+    // it. KMV is a pure function of the key set, so the oracle's
+    // rank-the-hashes formulation reproduces every estimate exactly.
+    QueryDef(
+      "q92_join_cardinality",
+      """WITH lh AS (SELECT DISTINCT
+        |   ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,15))::BIGINT AS hv
+        | FROM lineitem),
+        |oh AS (SELECT DISTINCT
+        |   ('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT AS hv
+        | FROM orders),
+        |uh AS (SELECT hv FROM lh UNION SELECT hv FROM oh),
+        |lk AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+        |         count(*) OVER () AS cnt FROM lh),
+        |ok AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+        |         count(*) OVER () AS cnt FROM oh),
+        |uk AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+        |         count(*) OVER () AS cnt FROM uh),
+        |le AS (SELECT CASE WHEN cnt < 256 THEN CAST(cnt AS DOUBLE)
+        |         ELSE 255 * 1152921504606846976.0 / hv END AS e
+        |       FROM lk WHERE rn = least(256, cnt)),
+        |oe AS (SELECT CASE WHEN cnt < 256 THEN CAST(cnt AS DOUBLE)
+        |         ELSE 255 * 1152921504606846976.0 / hv END AS e
+        |       FROM ok WHERE rn = least(256, cnt)),
+        |ue AS (SELECT CASE WHEN cnt < 256 THEN CAST(cnt AS DOUBLE)
+        |         ELSE 255 * 1152921504606846976.0 / hv END AS e
+        |       FROM uk WHERE rn = least(256, cnt))
+        |SELECT round(le.e, 2) AS est_left_keys,
+        | round(oe.e, 2) AS est_right_keys,
+        | round(ue.e, 2) AS est_union_keys,
+        | round(le.e + oe.e - ue.e, 2) AS est_common_keys,
+        | CAST((SELECT count(*) FROM lh) AS BIGINT) AS exact_left,
+        | CAST((SELECT count(*) FROM oh) AS BIGINT) AS exact_right,
+        | CAST((SELECT count(*) FROM lh) + (SELECT count(*) FROM oh)
+        |   - (SELECT count(*) FROM uh) AS BIGINT) AS exact_common
+        |FROM le, oe, ue
+        |ORDER BY est_left_keys""".stripMargin) { (spark, dir) =>
+      import graft.functions.KmvSketch
+      val t = Tables(spark, dir)
+      val lh = t.lineitem
+        .select(KmvSketch.md5Hash60(col("l_orderkey")).as("hv"))
+      val oh = t.orders
+        .select(KmvSketch.md5Hash60(col("o_orderkey")).as("hv"))
+      val uh = lh.unionByName(oh)
+      def est(df: DataFrame, as: String): DataFrame =
+        df.agg(KmvSketch.kmvDistinct(spark, col("hv"), 256).as(as))
+      def exact(df: DataFrame, as: String): DataFrame =
+        df.agg(countDistinct(col("hv")).as(as))
+      est(lh, "el").crossJoin(est(oh, "er")).crossJoin(est(uh, "eu"))
+        .crossJoin(exact(lh, "xl")).crossJoin(exact(oh, "xr"))
+        .crossJoin(exact(uh, "xu"))
+        .select(round(col("el"), 2).as("est_left_keys"),
+          round(col("er"), 2).as("est_right_keys"),
+          round(col("eu"), 2).as("est_union_keys"),
+          round(col("el") + col("er") - col("eu"), 2).as("est_common_keys"),
+          col("xl").as("exact_left"), col("xr").as("exact_right"),
+          (col("xl") + col("xr") - col("xu")).as("exact_common"))
+        .orderBy("est_left_keys")
+    },
   )
 }
