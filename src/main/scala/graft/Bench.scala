@@ -82,10 +82,21 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] cdc_ingest failed: ${e.getMessage}"); None
     }
-    // The driver captures only the LAST ~2000 chars of output and
-    // json-parses lines from it; sbt appends a "[success] ..." line
-    // after ours. Keep this line well under that window: short keys
-    // (the qNN prefix of each query name) and 3-decimal seconds.
+    spark.stop()
+    println(renderJson(results, ingest, sfDir))
+  }
+
+  /** The one line the driver parses — factored pure so its contract
+    * (valid JSON, Locale-proof decimals, short keys, failure
+    * markers) is spec-testable without running the suite
+    * (BenchJsonSpec). The driver captures only the LAST ~2000 chars
+    * of output and json-parses lines from it; sbt appends a
+    * "[success] ..." line after ours. Keep this line well under
+    * that window: short keys (the qNN prefix of each query name)
+    * and 3-decimal seconds — 92 queries ≈ 1.3 KB.
+    */
+  private[graft] def renderJson(results: Seq[(String, Double)],
+      ingest: Option[(Double, Double)], sfDir: String): String = {
     def short(name: String): String = {
       val m = "^(q\\d+)_".r.findFirstMatchIn(name)
       m.map(_.group(1)).getOrElse(name)
@@ -103,8 +114,7 @@ object Bench {
     val extra = ingest.map { case (_, rate) =>
       s""","cdc_ingest_rows_per_sec":${rate.toLong}"""
     }.getOrElse("")
-    spark.stop()
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","passes":2,"agg":"min","queries":$qs$extra,"sf":"$sfDir"}""")
+    s"""{"metric":"total","value":${sec(total)},"unit":"sec","passes":2,"agg":"min","queries":$qs$extra,"sf":"$sfDir"}"""
   }
 
   /** Events → JSON-lines envelope feed → CdcPipeline (AvailableNow);

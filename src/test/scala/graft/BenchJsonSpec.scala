@@ -1,0 +1,55 @@
+package graft
+
+import java.util.Locale
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench output line IS the driver's bench record for the round —
+  * a malformed line silently zeroes it. Assert the contract: valid
+  * JSON under a comma-decimal locale, qNN key shortening, the -1
+  * both-passes-failed marker excluded from the total, and the cdc
+  * extras.
+  */
+class BenchJsonSpec extends AnyFunSuite {
+
+  private def render(results: Seq[(String, Double)],
+      ingest: Option[(Double, Double)]): String =
+    Bench.renderJson(results, ingest, "/tmp/sf")
+
+  /** Minimal JSON sanity without a parser dep: balanced braces, no
+    * locale commas in numbers, expected keys present.
+    */
+  test("line is one valid JSON object with shortened keys") {
+    val line = render(Seq("q01_pricing_summary" -> 1.5,
+      "q92_join_cardinality" -> 0.25), Some((2.0, 18000.9)))
+    assert(line.startsWith("{") && line.endsWith("}"))
+    assert(line.contains("\"q01\":1.500"))
+    assert(line.contains("\"q92\":0.250"))
+    assert(line.contains("\"cdc\":2.000"))
+    assert(line.contains("\"cdc_ingest_rows_per_sec\":18000"))
+    assert(line.contains("\"value\":3.750")) // 1.5 + 0.25 + 2.0
+    assert(line.contains("\"passes\":2") && line.contains("\"agg\":\"min\""))
+  }
+
+  test("decimal rendering survives a comma-decimal default locale") {
+    val prev = Locale.getDefault
+    Locale.setDefault(Locale.GERMANY)
+    try {
+      val line = render(Seq("q01_x" -> 1.5), None)
+      assert(line.contains("\"q01\":1.500"), line)
+      assert(!line.matches(""".*\d,\d.*"""), line)
+    } finally Locale.setDefault(prev)
+  }
+
+  test("failed queries (-1 marker) stay visible but never inflate the total") {
+    val line = render(Seq("q01_ok" -> 2.0, "q02_broken" -> -1.0), None)
+    assert(line.contains("\"q02\":-1.000"))
+    assert(line.contains("\"value\":2.000"))
+  }
+
+  test("no ingest → no cdc keys, total is query sum") {
+    val line = render(Seq("q01_x" -> 1.0), None)
+    assert(!line.contains("cdc"))
+    assert(line.contains("\"value\":1.000"))
+  }
+}
