@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CmsSketch, DotProduct, KmvSketch, TextHashes, VectorExpressions}
+import graft.functions.{CmsSketch, KmvSketch, TextHashes, VectorExpressions}
 
 /** Library integration point:
   * `--conf spark.sql.extensions=graft.GraftExtensions` injects every
@@ -24,18 +24,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  /** name → expression builder: the single function registry. */
-  val All: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    VectorExpressions.FnName ->
-      ((es: Seq[Expression]) => DotProduct(es(0), es(1))),
-    "graft_rollhash" ->
-      ((es: Seq[Expression]) => TextHashes.RollingHash(es.head, es(1))),
-    "graft_winmin" ->
-      ((es: Seq[Expression]) => TextHashes.WindowMin(es.head, es(1))),
-    "graft_minhash" ->
-      ((es: Seq[Expression]) => TextHashes.MinHashSig(es.head)),
-    KmvSketch.FnName -> (KmvSketch.fromExprs _),
-    CmsSketch.FnName -> (CmsSketch.fromExprs _))
+  /** name → expression builder: the single function registry,
+    * assembled from the builders each module itself installs — not a
+    * parallel copy that could drift.
+    */
+  val All: Seq[(String, Seq[Expression] => Expression)] =
+    Seq(VectorExpressions.FnName -> VectorExpressions.Builder) ++
+      TextHashes.Builders ++
+      Seq(KmvSketch.FnName -> (KmvSketch.fromExprs _),
+        CmsSketch.FnName -> (CmsSketch.fromExprs _))
 
   /** The same list installed as temp functions on a live session
     * (what the per-module ensureRegistered helpers do piecemeal).

@@ -93,10 +93,6 @@ case class KmvSketch(
 object KmvSketch {
   val FnName = "graft_kmv"
 
-  /** Register once per session (idempotent); Columns built via
-    * call_function — the public Column API has no Expression
-    * constructor in Spark 4.
-    */
   /** `(hash, k-literal)` → aggregate expression; shared by the
     * temp-function path and GraftExtensions' catalog injection.
     */

@@ -194,14 +194,19 @@ object TextHashes {
         l: Expression, r: Expression): WindowMin = copy(l, r)
   }
 
-  def ensureRegistered(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_rollhash", es => RollingHash(es.head, es(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_winmin", es => WindowMin(es.head, es(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash", es => MinHashSig(es.head), "scala_udf")
-  }
+  /** name → builder, shared between the temp-function path below and
+    * GraftExtensions' catalog injection — the two surfaces can't drift.
+    */
+  val Builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_rollhash" -> (es => RollingHash(es.head, es(1))),
+    "graft_winmin" -> (es => WindowMin(es.head, es(1))),
+    "graft_minhash" -> (es => MinHashSig(es.head)))
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    Builders.foreach { case (n, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(n, b, "scala_udf")
+    }
 
   def minhashSig(spark: SparkSession, sh: Column): Column = {
     ensureRegistered(spark)

@@ -70,13 +70,19 @@ case class DotProduct(left: Expression, right: Expression)
 object VectorExpressions {
   val FnName = "graft_dot"
 
+  /** The one builder, shared between the temp-function path below and
+    * GraftExtensions' catalog injection — the two surfaces can't drift.
+    */
+  val Builder: Seq[Expression] => Expression =
+    exprs => DotProduct(exprs(0), exprs(1))
+
   /** Register once per session (idempotent), then build Columns via
     * call_function — the public Column API has no Expression
     * constructor in Spark 4.
     */
   def ensureRegistered(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+      FnName, Builder, "scala_udf")
 
   def dotProduct(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)

@@ -460,13 +460,13 @@ object RelationalQueries {
       val oh = t.orders
         .select(KmvSketch.md5Hash60(col("o_orderkey")).as("hv"))
       val uh = lh.unionByName(oh)
-      def est(df: DataFrame, as: String): DataFrame =
-        df.agg(KmvSketch.kmvDistinct(spark, col("hv"), 256).as(as))
-      def exact(df: DataFrame, as: String): DataFrame =
-        df.agg(countDistinct(col("hv")).as(as))
-      est(lh, "el").crossJoin(est(oh, "er")).crossJoin(est(uh, "eu"))
-        .crossJoin(exact(lh, "xl")).crossJoin(exact(oh, "xr"))
-        .crossJoin(exact(uh, "xu"))
+      // one aggregation per side: the sketch estimate and the exact
+      // distinct share the scan instead of re-reading the fact table
+      def both(df: DataFrame, e: String, x: String): DataFrame =
+        df.agg(KmvSketch.kmvDistinct(spark, col("hv"), 256).as(e),
+          countDistinct(col("hv")).as(x))
+      both(lh, "el", "xl").crossJoin(both(oh, "er", "xr"))
+        .crossJoin(both(uh, "eu", "xu"))
         .select(round(col("el"), 2).as("est_left_keys"),
           round(col("er"), 2).as("est_right_keys"),
           round(col("eu"), 2).as("est_union_keys"),

@@ -1,21 +1,31 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The SQL-surface function catalog: every graft native function is
-  * callable from plain SQL after install(), and the
-  * SparkSessionExtensions injection path consumes the same builder
-  * list without error (a second JVM-wide SparkSession can't be built
-  * in-suite, so the injection is exercised against a fresh
-  * extensions container — the builders are shared objects either
-  * way).
+  * callable from plain SQL after install(), every shared builder
+  * constructs a live expression, and the SparkSessionExtensions
+  * injection path consumes the same builder list without error (a
+  * second JVM-wide SparkSession can't be built in-suite, so the
+  * injection is exercised against a fresh extensions container — the
+  * builders are shared objects either way).
   */
 class GraftExtensionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
 
   test("install exposes every native function to plain SQL") {
     GraftExtensions.install(spark)
+    // "every": each entry of the shared list resolves in the registry,
+    // and the SQL calls below cover the whole list
+    GraftExtensions.All.foreach { case (n, _) =>
+      assert(spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier(n)), s"$n not in registry")
+    }
+    assert(GraftExtensions.All.size == 6) // one SQL call each below
     val dot = spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .collect()(0).getDouble(0)
@@ -44,10 +54,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(grid.length == 64 && grid.sum == 50L)
   }
 
+  test("every shared builder constructs an expression from literal args") {
+    val sampleArgs = Map(
+      "graft_dot" -> Seq(
+        Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType)),
+        Literal.create(Seq(3.0, 4.0), ArrayType(DoubleType))),
+      "graft_rollhash" -> Seq(Literal("abcdef"), Literal(3)),
+      "graft_winmin" -> Seq(
+        Literal.create(Seq(1L, 2L, 3L), ArrayType(LongType)), Literal(2)),
+      "graft_minhash" -> Seq(
+        Literal.create(Seq("a b"), ArrayType(StringType))),
+      "graft_kmv" -> Seq(Literal(1L), Literal(256)),
+      "graft_cms" -> Seq(Literal(1L), Literal(64)))
+    GraftExtensions.All.foreach { case (n, b) =>
+      val args = sampleArgs.getOrElse(n,
+        fail(s"no sample args for $n — add them when adding a function"))
+      assert(b(args) != null, s"$n builder returned null")
+    }
+    // the sketch aggregates demand a literal k at build time
+    intercept[IllegalArgumentException] {
+      GraftExtensions.All.toMap.apply("graft_kmv")(
+        Seq(Literal(1L), Literal(1L) /* not an INT literal */ ))
+    }
+  }
+
   test("the extensions injection path accepts the full builder list") {
-    // builds the injection container the way SparkSession.builder
-    // does before session construction; a throwing builder or a bad
-    // identifier fails here
+    // exercises identifier + ExpressionInfo construction and list
+    // assembly the way SparkSession.builder does before session
+    // construction (injectFunction only records the tuples; the
+    // builders themselves are proven live by the spec above)
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
 }
