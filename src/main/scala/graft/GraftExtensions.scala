@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CmsSketch, KmvSketch, TextHashes, VectorExpressions}
+import graft.functions.{BloomSketch, CmsSketch, KmvSketch, TextHashes, VectorExpressions}
 
 /** Library integration point:
   * `--conf spark.sql.extensions=graft.GraftExtensions` injects every
@@ -30,7 +30,7 @@ object GraftExtensions {
     */
   val All: Seq[(String, Seq[Expression] => Expression)] =
     Seq(VectorExpressions.FnName -> VectorExpressions.Builder) ++
-      TextHashes.Builders ++
+      TextHashes.Builders ++ BloomSketch.Builders ++
       Seq(KmvSketch.FnName -> (KmvSketch.fromExprs _),
         CmsSketch.FnName -> (CmsSketch.fromExprs _))
 

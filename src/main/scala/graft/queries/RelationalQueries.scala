@@ -475,5 +475,79 @@ object RelationalQueries {
           (col("xl") + col("xr") - col("xu")).as("exact_common"))
         .orderBy("est_left_keys")
     },
+
+    // Bloom-filter semi-join pruning (the runtime-filter /
+    // decontamination shape): build a 32 Ki-bit bitset over the
+    // benchmark keys (urgent orders), broadcast it (4 KB — an order
+    // of magnitude under the key set itself), and probe every fact
+    // row scan-side BEFORE any join. No false negatives by
+    // construction, so the exact verify on survivors is lossless;
+    // the query keeps all rows to audit the false-positive rate the
+    // pruning would trade for that 4 KB. At 100 TB the bloom_pass
+    // filter drops non-candidate rows at the scan and only survivors
+    // reach the (broadcast) exact join — shuffle-free end to end.
+    // The oracle reproduces the bitset exactly as its set of set
+    // positions: k=4 double-hashed probes
+    // (v % m + i*(1 + (v//m) % (m-1))) % m over the shared 60-bit
+    // md5 hash.
+    QueryDef(
+      "q93_bloom_prune",
+      """WITH b AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |           WHERE o_orderpriority = '1-URGENT'),
+        |pos AS (SELECT DISTINCT
+        |    (v % 32768 + i * (1 + (v // 32768) % 32767)) % 32768 AS p
+        |  FROM (SELECT ('0x'||substr(md5(CAST(k AS VARCHAR)),1,15))::BIGINT
+        |          AS v FROM b),
+        |       generate_series(0, 3) AS t(i)),
+        |kv AS (SELECT l_orderkey,
+        |   ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,15))::BIGINT AS v
+        | FROM (SELECT DISTINCT l_orderkey FROM lineitem)),
+        |hits AS (SELECT l_orderkey, count(*) AS nhit
+        |  FROM (SELECT l_orderkey, i,
+        |          (v % 32768 + i * (1 + (v // 32768) % (32767))) % 32768 AS p
+        |        FROM kv, generate_series(0, 3) AS t(i)) q
+        |  JOIN pos USING (p) GROUP BY 1),
+        |kf AS (SELECT kv.l_orderkey,
+        |    coalesce(h.nhit, 0) = 4 AS bloom_pass,
+        |    kv.l_orderkey IN (SELECT k FROM b) AS is_match
+        |  FROM kv LEFT JOIN hits h ON kv.l_orderkey = h.l_orderkey)
+        |SELECT l_returnflag,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(*) FILTER (WHERE bloom_pass) AS BIGINT) AS n_bloom_pass,
+        | CAST(count(*) FILTER (WHERE is_match) AS BIGINT) AS n_match,
+        | CAST(count(*) FILTER (WHERE bloom_pass AND NOT is_match) AS BIGINT)
+        |   AS n_false_pos,
+        | round(count(*) FILTER (WHERE bloom_pass AND NOT is_match) * 1.0
+        |   / greatest(count(*) FILTER (WHERE NOT is_match), 1), 4) AS fp_rate
+        |FROM lineitem JOIN kf USING (l_orderkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+      import graft.functions.{BloomSketch, KmvSketch}
+      val m = 32768
+      val t = Tables(spark, dir)
+      val bench = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("k")).distinct()
+      val grid = bench.select(KmvSketch.md5Hash60(col("k")).as("v"))
+        .agg(BloomSketch.bloom(spark, col("v"), m).as("g"))
+      t.lineitem
+        .select(col("l_orderkey"), col("l_returnflag"),
+          KmvSketch.md5Hash60(col("l_orderkey")).as("v"))
+        .crossJoin(broadcast(grid)) // one 4 KB row
+        .withColumn("bloom_pass",
+          BloomSketch.contains(spark, col("g"), col("v")))
+        .join(broadcast(bench), col("l_orderkey") === col("k"), "left")
+        .withColumn("is_match", col("k").isNotNull)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("bloom_pass"), 1)).as("n_bloom_pass"),
+          count(when(col("is_match"), 1)).as("n_match"),
+          count(when(col("bloom_pass") && !col("is_match"), 1))
+            .as("n_false_pos"))
+        .select(col("l_returnflag"), col("n_rows"), col("n_bloom_pass"),
+          col("n_match"), col("n_false_pos"),
+          round(col("n_false_pos") * lit(1.0)
+            / greatest(col("n_rows") - col("n_match"), lit(1)), 4)
+            .as("fp_rate"))
+        .orderBy("l_returnflag")
+    },
   )
 }

@@ -658,5 +658,41 @@ object ScalarQueries {
           round(sum(col("rev")).over(w), 2).as("rev_3d"))
         .orderBy("event_type", "day")
     },
+
+    // Sketch-pruned heavy hitters (the two-pass MapReduce shape):
+    // pass 1 reduces every task to one 2×1024 count-min grid (16 KB
+    // partials cross the shuffle, never keys); pass 2 re-scans and
+    // drops rows whose key's grid estimate is under the threshold
+    // BEFORE the exact groupBy, so only candidate keys' rows shuffle.
+    // The prune is provably lossless — CMS never undercounts — so
+    // the result equals the oracle's plain GROUP BY ... HAVING, and
+    // the exact HAVING removes the sketch's false candidates. This
+    // complements q82 (per-key estimate audit, narrow grid forcing
+    // collisions): here the grid is wide because it is doing real
+    // pruning work, not demonstrating overcounts.
+    QueryDef(
+      "q95_cms_heavy_hitters",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id HAVING count(*) >= 80
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      import graft.functions.CmsSketch
+      val w = 1024
+      val thresh = 80
+      // cell indices computed once, shared by build and probe passes
+      val h = Tables(spark, dir).events.select(col("user_id"),
+        CmsSketch.cellIndex(0, col("user_id"), w).as("c0"),
+        CmsSketch.cellIndex(1, col("user_id"), w).as("c1"))
+        .persist()
+      val sk = h.agg(
+        CmsSketch.sketch(spark, Seq(col("c0"), col("c1")), w).as("sk"))
+      val est = least(
+        element_at(col("sk"), (col("c0") + 1).cast("int")),
+        element_at(col("sk"), (col("c1") + lit(w) + 1).cast("int")))
+      h.crossJoin(broadcast(sk))
+        .filter(est >= thresh) // CMS ≥ exact: lossless candidate prune
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= thresh)
+        .orderBy("user_id")
+    },
   )
 }

@@ -222,5 +222,41 @@ object WindowQueries {
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
           |ORDER BY flag, status""".stripMargin)
     },
+
+    // Approximate-percentile error contract (the q12 pattern for
+    // quantiles): percentile_approx is a single-pass mergeable
+    // rank sketch — partials cross the shuffle, never the raw
+    // values, vs exact percentile materializing every group's
+    // values. Its guarantee (rank error ≤ N/accuracy = 1% here) is
+    // checkable even though the sketch itself is engine-specific:
+    // the approx p50 must land between the exact p45 and p55 (a 5×
+    // margin over the guaranteed bound), so the oracle asserts the
+    // bound as a constant-TRUE column and the engine computes the
+    // real comparison — any contract violation hash-mismatches.
+    QueryDef(
+      "q94_percentile_contract",
+      """SELECT o_orderstatus,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+        | round(quantile_cont(o_totalprice, 0.45), 4) AS lo_p45,
+        | round(quantile_cont(o_totalprice, 0.55), 4) AS hi_p55,
+        | TRUE AS approx_in_bound
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .groupBy("o_orderstatus")
+        .agg(
+          percentile(col("o_totalprice"), lit(0.5)).as("x50"),
+          percentile(col("o_totalprice"), lit(0.45)).as("x45"),
+          percentile(col("o_totalprice"), lit(0.55)).as("x55"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(100))
+            .as("a50"))
+        .select(col("o_orderstatus"),
+          round(col("x50"), 4).as("exact_p50"),
+          round(col("x45"), 4).as("lo_p45"),
+          round(col("x55"), 4).as("hi_p55"),
+          (col("a50") >= col("x45") && col("a50") <= col("x55"))
+            .as("approx_in_bound"))
+        .orderBy("o_orderstatus")
+    },
   )
 }

@@ -25,7 +25,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(spark.sessionState.functionRegistry
         .functionExists(FunctionIdentifier(n)), s"$n not in registry")
     }
-    assert(GraftExtensions.All.size == 6) // one SQL call each below
+    assert(GraftExtensions.All.size == 8) // one SQL call each below
     val dot = spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .collect()(0).getDouble(0)
@@ -52,6 +52,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |FROM range(50)""".stripMargin)
       .collect()(0).getSeq[Long](0)
     assert(grid.length == 64 && grid.sum == 50L)
+    // bloom: every inserted key passes (no false negatives)
+    val misses = spark.sql(
+      """SELECT count(*) AS n
+        |FROM (SELECT graft_bloom(id, 1024) AS g FROM range(100)) b,
+        |     range(100) r
+        |WHERE NOT graft_bloom_contains(b.g, r.id)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(misses == 0L)
   }
 
   test("every shared builder constructs an expression from literal args") {
@@ -65,7 +73,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "graft_minhash" -> Seq(
         Literal.create(Seq("a b"), ArrayType(StringType))),
       "graft_kmv" -> Seq(Literal(1L), Literal(256)),
-      "graft_cms" -> Seq(Literal(1L), Literal(64)))
+      "graft_cms" -> Seq(Literal(1L), Literal(64)),
+      "graft_bloom" -> Seq(Literal(1L), Literal(1024)),
+      "graft_bloom_contains" -> Seq(
+        Literal.create(Seq(0L, 3L), ArrayType(LongType)), Literal(1L)))
     GraftExtensions.All.foreach { case (n, b) =>
       val args = sampleArgs.getOrElse(n,
         fail(s"no sample args for $n — add them when adding a function"))

@@ -97,4 +97,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // hashpartitioned would mean an accidental aggregation/join
     assert(!plan.contains("hashpartitioning"), plan.take(800))
   }
+
+  test("q93 bloom prune: fact side never sort-merge joins; bitset has map-side partials") {
+    val plan = planOf(SparkEntry.queries("q93_bloom_prune")(spark, sf))
+    // the 4 KB bitset and the key set both broadcast — shuffling
+    // lineitem for either would defeat the runtime-filter shape
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
+  }
+
+  test("q95 heavy hitters: the estimate filter precedes the exact aggregation") {
+    val df = SparkEntry.queries("q95_cms_heavy_hitters")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the grid probe (least over element_at) must appear in a Filter,
+    // pruning rows before the groupBy's exchange
+    assert(plan.contains("least("), plan.take(800))
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
+  }
 }
