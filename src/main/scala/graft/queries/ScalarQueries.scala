@@ -694,5 +694,38 @@ object ScalarQueries {
         .filter(col("n") >= thresh)
         .orderBy("user_id")
     },
+
+    // Key-skew profiler — the diagnostic that DECIDES the q66 salt
+    // fan-out: per-key frequencies (one narrow aggregate, shuffle ∝
+    // distinct keys, never rows), then one-row distribution stats —
+    // max/mean ratio, interpolated p50/p99 of the key-count
+    // distribution, and the salt bucket count ceil(max/mean) a salted
+    // join would provision. At 100 TB this is the cheap pre-pass over
+    // a join key that picks broadcast vs salt vs plain shuffle before
+    // committing to a plan. Exact arithmetic: counts are longs, the
+    // mean is one IEEE division of exact longs, identical both
+    // engines.
+    QueryDef(
+      "q98_key_skew",
+      """WITH k AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        | CAST(max(cnt) AS BIGINT) AS max_cnt,
+        | round(avg(cnt), 4) AS mean_cnt,
+        | round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+        | round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+        | round(max(cnt) / avg(cnt), 4) AS skew_ratio,
+        | CAST(ceil(max(cnt) / avg(cnt)) AS INTEGER) AS salt_buckets
+        |FROM k""".stripMargin) { (spark, dir) =>
+      val k = Tables(spark, dir).events
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      k.agg(
+        count(lit(1)).as("n_keys"),
+        max("cnt").as("max_cnt"),
+        round(avg("cnt"), 4).as("mean_cnt"),
+        round(percentile(col("cnt"), lit(0.5)), 4).as("p50_cnt"),
+        round(percentile(col("cnt"), lit(0.99)), 4).as("p99_cnt"),
+        round(max(col("cnt")) / avg(col("cnt")), 4).as("skew_ratio"),
+        ceil(max(col("cnt")) / avg(col("cnt"))).cast("int").as("salt_buckets"))
+    },
   )
 }

@@ -1073,5 +1073,104 @@ object TextQueries {
         .unionByName(stageRow("4_decontaminate", s3, s4))
         .orderBy("stage")
     },
+
+    // Per-domain cap sampling — the "no domain dominates" crawl rule
+    // (C4/RefinedWeb cap-per-host shape): keep at most 50 docs per
+    // language by a deterministic hash priority. Shape at scale: a
+    // plain per-key window sorts every hot key's rows in ONE task
+    // (the dominant domain of a 100 TB crawl is a straggler); the
+    // two-level form below caps each (key, salt-bucket) locally
+    // first, so no task ever ranks more than its bucket, then ranks
+    // the ≤ 8·cap survivors per key — the distributed per-key top-k
+    // (same shape as q77's global top-k, here per key). Salt values
+    // never affect the result, only the work partitioning.
+    QueryDef(
+      "q96_domain_cap",
+      """WITH r AS (SELECT lang, doc_id,
+        |   row_number() OVER (PARTITION BY lang
+        |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents)
+        |SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 50 ORDER BY lang, rk""".stripMargin) { (spark, dir) =>
+      val cap = 50
+      val d = Tables(spark, dir).documents
+        .select(col("lang"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("pr"))
+      val localW = Window
+        .partitionBy(col("lang"), pmod(hash(col("doc_id")), lit(8)))
+        .orderBy(col("pr"), col("doc_id"))
+      // bucket-local top-cap is a superset of the global per-key
+      // top-cap: every global survivor is in its own bucket's top-cap
+      val cand = d.withColumn("lr", row_number().over(localW))
+        .filter(col("lr") <= cap).drop("lr")
+      val w = Window.partitionBy("lang").orderBy(col("pr"), col("doc_id"))
+      cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= cap)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy("lang", "rk")
+    },
+
+    // Global span scrub — the REWRITE counterpart of q75's span
+    // metric (the "remove duplicated passages, keep the rest of the
+    // doc" step): cut every doc into non-overlapping 8-token chunks,
+    // keep only each chunk's FIRST occurrence corpus-wide (by
+    // (doc_id, position)), and reassemble what survives per doc —
+    // reported as kept-chunk counts plus an md5 fingerprint of the
+    // scrubbed text so the oracle checks the reconstruction
+    // byte-for-byte. Shape at scale: first-occurrence selection is a
+    // min-struct AGGREGATE keyed by chunk hash (shuffle ∝ distinct
+    // chunks) — not a corpus-wide window sort; the reassembly is a
+    // second narrow per-doc aggregate.
+    QueryDef(
+      "q99_span_scrub",
+      s"""WITH toks AS (SELECT doc_id,
+         |   string_split_regex(lower(trim(text)), '\\s+') AS t
+         | FROM documents),
+         |c AS (SELECT doc_id, list_transform(
+         |   generate_series(1, greatest(len(t) // 8, 0)),
+         |   i -> ${(0 until 8).map(j => s"t[(i-1)*8+${j + 1}]").mkString(" || ' ' || ")}) AS c
+         | FROM toks),
+         |e AS (SELECT doc_id, unnest(generate_series(1, len(c))) AS idx,
+         |      unnest(c) AS chunk FROM c),
+         |k AS (SELECT doc_id, idx, chunk, row_number() OVER (
+         |   PARTITION BY chunk ORDER BY doc_id, idx) AS rn FROM e),
+         |kept AS (SELECT doc_id, idx, chunk FROM k WHERE rn = 1),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |   md5(string_agg(chunk, ' ' ORDER BY idx)) AS scrub_fp
+         | FROM kept GROUP BY 1)
+         |SELECT c.doc_id, CAST(len(c.c) AS INTEGER) AS n_chunks,
+         | CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+         | coalesce(agg.scrub_fp, md5('')) AS scrub_fp
+         |FROM c LEFT JOIN agg ON c.doc_id = agg.doc_id
+         |ORDER BY c.doc_id""".stripMargin) { (spark, dir) =>
+      val t = col("t")
+      val base = withToks(Tables(spark, dir).documents, col("doc_id"))
+        .select(col("doc_id"),
+          when(size(t) < 8, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(t).divide(8).cast("int")),
+              i => concat_ws(" ",
+                (1 to 8).map(j => element_at(t, (i - 1) * 8 + j)): _*)))
+            .as("c"))
+        .persist() // feeds the chunk explode and the per-doc report
+      val ex = base.select(col("doc_id"),
+        posexplode(col("c")).as(Seq("idx", "chunk")))
+      val first = ex.groupBy("chunk")
+        .agg(min(struct(col("doc_id"), col("idx"))).as("k"))
+      val kept = ex.join(first, "chunk")
+        .filter(col("doc_id") === col("k.doc_id") &&
+          col("idx") === col("k.idx"))
+      // reassemble in position order; array_sort on (idx, chunk)
+      // structs sorts by idx (first field) — deterministic
+      val agg = kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          s => s.getField("chunk")), " ")).as("scrub_fp"))
+      base.select(col("doc_id"), size(col("c")).as("n_chunks"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("scrub_fp"), md5(lit(""))).as("scrub_fp"))
+        .orderBy("doc_id")
+    },
   )
 }

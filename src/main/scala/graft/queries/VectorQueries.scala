@@ -513,5 +513,73 @@ object VectorQueries {
           round(col("n_overlap") * lit(1.0) / col("n_exact"), 4).as("recall"))
         .orderBy("qid")
     },
+
+    // Product quantization (PQ) — the memory-bound ANN storage path
+    // beyond int8 (q76): split each 64-dim vector into 4 16-dim
+    // subspaces, code each subspace as its nearest of 8 sub-centroids
+    // (the seed vectors' slices), emit the 4-entry code plus the exact
+    // reconstruction error. At scale the codebook is a broadcast
+    // (m·k·d/m doubles) and coding is one map pass — each 256-byte
+    // float vector becomes 4 code bytes for the ADC scan, a 64×
+    // compression; the shuffle here exists only to rank 8 candidate
+    // centroids per (vector, subspace). Distances use the same
+    // IEEE fold order both engines; the per-subspace errors are summed
+    // in fixed column order (an agg-sum over floats would be
+    // order-nondeterministic across engines).
+    QueryDef(
+      "q97_pq_codes",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |sub AS (SELECT vec_id, m, list_slice(e, m*16+1, m*16+16) AS s
+        |        FROM e, generate_series(0, 3) g(m)),
+        |c AS (SELECT vec_id AS cid, m, s AS cs FROM sub WHERE vec_id < 8),
+        |d AS (SELECT sub.vec_id, sub.m, c.cid,
+        |    list_dot_product(sub.s, sub.s)
+        |      - 2 * list_dot_product(sub.s, c.cs)
+        |      + list_dot_product(c.cs, c.cs) AS d2
+        |  FROM sub JOIN c USING (m)),
+        |best AS (SELECT vec_id, m, cid, d2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |    ORDER BY d2, cid) AS rn FROM d) WHERE rn = 1),
+        |agg AS (SELECT vec_id,
+        |    min(CASE WHEN m = 0 THEN cid END) AS c0,
+        |    min(CASE WHEN m = 1 THEN cid END) AS c1,
+        |    min(CASE WHEN m = 2 THEN cid END) AS c2,
+        |    min(CASE WHEN m = 3 THEN cid END) AS c3,
+        |    min(CASE WHEN m = 0 THEN d2 END) AS e0,
+        |    min(CASE WHEN m = 1 THEN d2 END) AS e1,
+        |    min(CASE WHEN m = 2 THEN d2 END) AS e2,
+        |    min(CASE WHEN m = 3 THEN d2 END) AS e3
+        |  FROM best GROUP BY 1)
+        |SELECT vec_id,
+        | CAST(c0 AS INTEGER) AS c0, CAST(c1 AS INTEGER) AS c1,
+        | CAST(c2 AS INTEGER) AS c2, CAST(c3 AS INTEGER) AS c3,
+        | round(e0 + e1 + e2 + e3, 6) AS err
+        |FROM agg ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      VectorExpressions.ensureRegistered(spark)
+      val e = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val sub = e.select(col("vec_id"), posexplode(array(
+          (0 until 4).map(m => slice(col("e"), m * 16 + 1, 16)): _*))
+        .as(Seq("m", "s")))
+      val cb = sub.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("m").as("cm"), col("s").as("cs"))
+      val d = sub.join(broadcast(cb), col("m") === col("cm"))
+        .withColumn("d2", dot(col("s"), col("s"))
+          - lit(2) * dot(col("s"), col("cs")) + dot(col("cs"), col("cs")))
+      val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
+      val best = d.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      def pick(m: Int, c: String) = min(when(col("m") === m, col(c)))
+      best.groupBy("vec_id").agg(
+          pick(0, "cid").cast("int").as("c0"),
+          pick(1, "cid").cast("int").as("c1"),
+          pick(2, "cid").cast("int").as("c2"),
+          pick(3, "cid").cast("int").as("c3"),
+          pick(0, "d2").as("e0"), pick(1, "d2").as("e1"),
+          pick(2, "d2").as("e2"), pick(3, "d2").as("e3"))
+        .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+          round(col("e0") + col("e1") + col("e2") + col("e3"), 6).as("err"))
+        .orderBy("vec_id")
+    },
   )
 }

@@ -106,6 +106,29 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
   }
 
+  test("q96 domain cap: the local rank partitions by (lang, salt-bucket)") {
+    val plan = planOf(SparkEntry.queries("q96_domain_cap")(spark, sf))
+    // the first Window's partition spec must include the pmod salt —
+    // without it the per-key rank sorts every hot domain in one task
+    assert(plan.contains("pmod"), plan.take(800))
+    assert("Window".r.findAllIn(plan).size >= 2, plan.take(800))
+  }
+
+  test("q97 PQ coding broadcasts the codebook — corpus never shuffles to rank centroids") {
+    val plan = planOf(SparkEntry.queries("q97_pq_codes")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("q99 span scrub: first-occurrence is an aggregate, not a corpus-wide window") {
+    val plan = planOf(SparkEntry.queries("q99_span_scrub")(spark, sf))
+    // a Window over PARTITION BY chunk would sort the whole exploded
+    // corpus; the min-struct aggregate shuffles only distinct chunks
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("q95 heavy hitters: the estimate filter precedes the exact aggregation") {
     val df = SparkEntry.queries("q95_cms_heavy_hitters")(spark, sf)
     df.collect()
