@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomSketch, CmsSketch, KmvSketch, TextHashes, VectorExpressions}
+import graft.functions.{BloomSketch, CmsSketch, KmvSketch, TextHashes, TopKAgg, VectorExpressions}
 
 /** Library integration point:
   * `--conf spark.sql.extensions=graft.GraftExtensions` injects every
@@ -32,7 +32,8 @@ object GraftExtensions {
     Seq(VectorExpressions.FnName -> VectorExpressions.Builder) ++
       TextHashes.Builders ++ BloomSketch.Builders ++
       Seq(KmvSketch.FnName -> (KmvSketch.fromExprs _),
-        CmsSketch.FnName -> (CmsSketch.fromExprs _))
+        CmsSketch.FnName -> (CmsSketch.fromExprs _),
+        TopKAgg.FnName -> (TopKAgg.fromExprs _))
 
   /** The same list installed as temp functions on a live session
     * (what the per-module ensureRegistered helpers do piecemeal).

@@ -1077,13 +1077,13 @@ object TextQueries {
     // Per-domain cap sampling — the "no domain dominates" crawl rule
     // (C4/RefinedWeb cap-per-host shape): keep at most 50 docs per
     // language by a deterministic hash priority. Shape at scale: a
-    // plain per-key window sorts every hot key's rows in ONE task
-    // (the dominant domain of a 100 TB crawl is a straggler); the
-    // two-level form below caps each (key, salt-bucket) locally
-    // first, so no task ever ranks more than its bucket, then ranks
-    // the ≤ 8·cap survivors per key — the distributed per-key top-k
-    // (same shape as q77's global top-k, here per key). Salt values
-    // never affect the result, only the work partitioning.
+    // plain per-key `row_number()` window sorts every row of a hot
+    // key in ONE task (the dominant domain of a 100 TB crawl is a
+    // straggler); graft.functions.TopKAgg is the native bounded-heap
+    // aggregate instead — each map task reduces to a ≤cap heap per
+    // key, only heaps cross the shuffle (≤ cap rows per key per
+    // task), and nothing is ever fully sorted. The oracle is the
+    // window formulation the aggregate provably equals.
     QueryDef(
       "q96_domain_cap",
       """WITH r AS (SELECT lang, doc_id,
@@ -1093,19 +1093,16 @@ object TextQueries {
         |SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk
         |FROM r WHERE rk <= 50 ORDER BY lang, rk""".stripMargin) { (spark, dir) =>
       val cap = 50
-      val d = Tables(spark, dir).documents
+      Tables(spark, dir).documents
         .select(col("lang"), col("doc_id"),
           md5(col("doc_id").cast("string")).as("pr"))
-      val localW = Window
-        .partitionBy(col("lang"), pmod(hash(col("doc_id")), lit(8)))
-        .orderBy(col("pr"), col("doc_id"))
-      // bucket-local top-cap is a superset of the global per-key
-      // top-cap: every global survivor is in its own bucket's top-cap
-      val cand = d.withColumn("lr", row_number().over(localW))
-        .filter(col("lr") <= cap).drop("lr")
-      val w = Window.partitionBy("lang").orderBy(col("pr"), col("doc_id"))
-      cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= cap)
-        .select(col("lang"), col("doc_id"), col("rk"))
+        .groupBy("lang")
+        .agg(graft.functions.TopKAgg.topk(spark,
+          col("pr"), col("doc_id"), cap).as("top"))
+        // the heap is already (pr, id)-ascending: position = rank
+        .select(col("lang"), posexplode(col("top")).as(Seq("i", "s")))
+        .select(col("lang"), col("s.id").as("doc_id"),
+          (col("i") + 1).cast("int").as("rk"))
         .orderBy("lang", "rk")
     },
 

@@ -25,7 +25,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(spark.sessionState.functionRegistry
         .functionExists(FunctionIdentifier(n)), s"$n not in registry")
     }
-    assert(GraftExtensions.All.size == 8) // one SQL call each below
+    assert(GraftExtensions.All.size == 9) // one SQL call each below
     val dot = spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .collect()(0).getDouble(0)
@@ -60,6 +60,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |WHERE NOT graft_bloom_contains(b.g, r.id)""".stripMargin)
       .collect()(0).getLong(0)
     assert(misses == 0L)
+    // top-k heap: k survivors, ascending by (priority, id)
+    val top = spark.sql(
+      """SELECT graft_topk(md5(CAST(id AS STRING)), id, 5) AS t
+        |FROM range(100)""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(top.length == 5)
+    assert(top.map(_.getString(0)) == top.map(_.getString(0)).sorted)
   }
 
   test("every shared builder constructs an expression from literal args") {
@@ -76,7 +83,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "graft_cms" -> Seq(Literal(1L), Literal(64)),
       "graft_bloom" -> Seq(Literal(1L), Literal(1024)),
       "graft_bloom_contains" -> Seq(
-        Literal.create(Seq(0L, 3L), ArrayType(LongType)), Literal(1L)))
+        Literal.create(Seq(0L, 3L), ArrayType(LongType)), Literal(1L)),
+      "graft_topk" -> Seq(Literal("a"), Literal(1L), Literal(5)))
     GraftExtensions.All.foreach { case (n, b) =>
       val args = sampleArgs.getOrElse(n,
         fail(s"no sample args for $n — add them when adding a function"))

@@ -106,12 +106,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
   }
 
-  test("q96 domain cap: the local rank partitions by (lang, salt-bucket)") {
+  test("q96 domain cap: bounded-heap aggregate with map-side partials, no window") {
     val plan = planOf(SparkEntry.queries("q96_domain_cap")(spark, sf))
-    // the first Window's partition spec must include the pmod salt —
-    // without it the per-key rank sorts every hot domain in one task
-    assert(plan.contains("pmod"), plan.take(800))
-    assert("Window".r.findAllIn(plan).size >= 2, plan.take(800))
+    // a Window here would sort every hot domain's rows in one task;
+    // the TopKAgg partial/final pair ships ≤cap rows per key per task
+    assert(!plan.contains("Window"), plan.take(800))
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
   }
 
   test("q97 PQ coding broadcasts the codebook — corpus never shuffles to rank centroids") {

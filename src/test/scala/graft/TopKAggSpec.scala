@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TopKAgg
+
+/** TopKAgg — the bounded-heap per-key top-k aggregate — must emit
+  * exactly what the window formulation (`row_number() <= k` over
+  * ORDER BY (priority, id)) emits, for every group, in order. The
+  * window IS the oracle here (and q96's DuckDB oracle); the aggregate
+  * is the scale path.
+  */
+class TopKAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def windowTop(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy("g").orderBy(col("pr"), col("id"))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("g", "pr", "id").orderBy("g", "pr", "id")
+      .collect().toSeq
+  }
+
+  private def heapTop(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.groupBy("g")
+      .agg(TopKAgg.topk(spark, col("pr"), col("id"), k).as("top"))
+      .select(col("g"), explode(col("top")).as("s"))
+      .select(col("g"), col("s.pr").as("pr"), col("s.id").as("id"))
+      .orderBy("g", "pr", "id")
+      .collect().toSeq
+
+  test("matches the window formulation across partitions (merge path)") {
+    // 8 partitions forces real partial-heap merges across tasks
+    val df = spark.range(0, 1000, 1, 8)
+      .select((col("id") % 7).as("g"),
+        md5(col("id").cast("string")).as("pr"), col("id"))
+    assert(heapTop(df, 13) == windowTop(df, 13))
+  }
+
+  test("groups smaller than k keep every row") {
+    val df = Seq((1L, "b", 10L), (1L, "a", 11L), (2L, "z", 12L))
+      .toDF("g", "pr", "id")
+    assert(heapTop(df, 50) == windowTop(df, 50))
+    assert(heapTop(df, 50).size == 3)
+  }
+
+  test("duplicate priorities break ties by id, exactly once each") {
+    val df = Seq((1L, "same", 5L), (1L, "same", 3L), (1L, "same", 4L),
+      (1L, "same", 9L)).toDF("g", "pr", "id")
+    val got = heapTop(df, 2)
+    assert(got.map(r => (r.getString(1), r.getLong(2))) ==
+      Seq(("same", 3L), ("same", 4L)))
+  }
+
+  test("null priority and null id rows are skipped, not ranked") {
+    val df = Seq((1L, Some("a"), Some(1L)), (1L, None, Some(2L)),
+      (1L, Some("b"), None)).toDF("g", "pr", "id")
+    val got = heapTop(df, 10)
+    assert(got.map(_.getLong(2)) == Seq(1L))
+  }
+
+  test("serialization roundtrip preserves the heap") {
+    val agg = TopKAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"),
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), 3)
+    val buf = agg.createAggregationBuffer()
+    Seq(("c", 3L), ("a", 1L), ("b", 2L), ("d", 4L)).foreach { case (p, i) =>
+      val other = agg.createAggregationBuffer()
+      other += ((p, i))
+      agg.merge(buf, other)
+    }
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.toSeq == Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+  }
+}
