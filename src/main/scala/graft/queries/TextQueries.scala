@@ -1169,5 +1169,80 @@ object TextQueries {
           coalesce(col("scrub_fp"), md5(lit(""))).as("scrub_fp"))
         .orderBy("doc_id")
     },
+
+    // Training-chunk windows — the tokenize-and-chunk step that turns
+    // documents into model inputs: sliding 128-token windows with
+    // stride 96 (32-token overlap so no boundary context is lost),
+    // each chunk fingerprinted so the downstream pipeline can dedup /
+    // shuffle chunks by content. Map-only: tokens staged once, chunks
+    // are a per-row explode — no shuffle until the final ORDER BY.
+    // At 100 TB this is the op whose OUTPUT is the training set, so
+    // the only thing that matters is that it stays embarrassingly
+    // parallel — and it does.
+    QueryDef(
+      "q100_chunk_windows",
+      """WITH toks AS (SELECT doc_id,
+        |   string_split_regex(lower(trim(text)), '\s+') AS t
+        | FROM documents),
+        |ch AS (SELECT doc_id, t,
+        |   unnest(generate_series(0, (len(t) - 1) // 96)) AS i
+        | FROM toks),
+        |c AS (SELECT doc_id, i, t[(i*96+1):(i*96+128)] AS ck FROM ch)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        | CAST(len(ck) AS INTEGER) AS n_tok,
+        | md5(array_to_string(ck, ' ')) AS fp
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+      val (win, stride) = (128, 96)
+      withToks(Tables(spark, dir).documents, col("doc_id"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0),
+            ((size(col("t")) - 1) / stride).cast("int"))).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          slice(col("t"), col("chunk_idx") * stride + 1, lit(win)).as("ck"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("ck")).as("n_tok"),
+          md5(concat_ws(" ", col("ck"))).as("fp"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Sequence packing plan — concatenate-then-cut (GPT-style) bin
+    // assignment: per source, docs are laid out in doc_id order and
+    // cut into 2048-token context windows; a doc belongs to the bin
+    // its first token lands in. Reports per-bin doc/token counts and
+    // fill ratio — the packing-efficiency audit that decides whether
+    // padding waste justifies a smarter packer. Shape at scale: one
+    // running-sum window per source (sequential by construction —
+    // packing IS an ordered scan); a hot source is handled by packing
+    // per (source, shard) instead, which changes nothing
+    // statistically. The aggregate after it is narrow (bins, not
+    // docs).
+    QueryDef(
+      "q101_pack_bins",
+      """WITH d AS (SELECT doc_id, source,
+        |   len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+        | FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |   coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        | FROM d)
+        |SELECT source, CAST(start_tok // 2048 AS INTEGER) AS bin,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        | round(sum(n_tok) / 2048.0, 4) AS fill
+        |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin) { (spark, dir) =>
+      val ctx = 2048
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      withToks(Tables(spark, dir).documents, col("doc_id"), col("source"))
+        .select(col("source"), col("doc_id"), size(col("t")).as("n_tok"))
+        .withColumn("start_tok",
+          coalesce(sum("n_tok").over(w), lit(0L)))
+        .withColumn("bin", (col("start_tok") / ctx).cast("int"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .select(col("source"), col("bin"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens") / lit(2048.0), 4).as("fill"))
+        .orderBy("source", "bin")
+    },
   )
 }

@@ -129,6 +129,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("q100 chunk windows are map-only (no hash-partition shuffle)") {
+    // the training-set producer must stay embarrassingly parallel:
+    // the only exchange allowed is the trailing ORDER BY's range part
+    val plan = planOf(SparkEntry.queries("q100_chunk_windows")(spark, sf))
+    assert(!plan.contains("hashpartitioning"), plan.take(800))
+  }
+
   test("q95 heavy hitters: the estimate filter precedes the exact aggregation") {
     val df = SparkEntry.queries("q95_cms_heavy_hitters")(spark, sf)
     df.collect()
