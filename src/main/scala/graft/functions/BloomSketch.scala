@@ -46,6 +46,12 @@ case class BloomSketch(
   require(numBits > 0 && numBits % 64 == 0,
     s"numBits must be a positive multiple of 64, got $numBits")
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (hashChild.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${BloomSketch.FnName} expects a BIGINT hash, got " +
+        hashChild.dataType.simpleString)
+
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](numBits / 64)
 
@@ -92,11 +98,15 @@ object BloomSketch {
   /** Number of bit positions per key (double hashing h1 + i·h2). */
   val K = 4
 
-  /** The i-th bit position of hash v in an m-bit filter. v is the
-    * nonneg 60-bit md5 prefix (KmvSketch.md5Hash60), so plain % stays
-    * nonneg; h2 ∈ [1, m-1] keeps the probe sequence non-degenerate.
+  /** The i-th bit position of hash v in an m-bit filter. The
+    * contract input is the nonneg 60-bit md5 prefix
+    * (KmvSketch.md5Hash60); the sign-bit mask makes an
+    * out-of-contract negative hash (possible from raw SQL) land on a
+    * valid — if less uniform — position instead of a negative array
+    * index. h2 ∈ [1, m-1] keeps the probe sequence non-degenerate.
     */
-  private def position(v: Long, i: Int, m: Int): Int = {
+  private def position(v0: Long, i: Int, m: Int): Int = {
+    val v = v0 & Long.MaxValue
     val h1 = v % m
     val h2 = 1L + (v / m) % (m - 1)
     ((h1 + i * h2) % m).toInt

@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -35,7 +36,16 @@ case class CmsSketch(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
+  require(width > 0, s"${CmsSketch.FnName}: width must be positive, got $width")
+
   private def depth = indexChildren.size
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (indexChildren.forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${CmsSketch.FnName} expects BIGINT cell indices, got " +
+        indexChildren.map(_.dataType.simpleString).mkString(", "))
 
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)
@@ -126,5 +136,18 @@ object CmsSketch {
   def sketch(spark: SparkSession, cells: Seq[Column], w: Int = Width): Column = {
     ensureRegistered(spark)
     call_function(FnName, cells :+ lit(w): _*)
+  }
+
+  /** MIN-over-cells frequency estimate for a key's precomputed cell
+    * indices — the row-major (depth, width) probe lives HERE next to
+    * cellIndex, so build and probe can never disagree on the layout.
+    * element_at is 1-based; depth row j starts at j·w.
+    */
+  def estimate(grid: Column, cells: Seq[Column], w: Int = Width): Column = {
+    import org.apache.spark.sql.functions.{element_at, least}
+    val probes = cells.zipWithIndex.map { case (c, j) =>
+      element_at(grid, (c + j * w + 1).cast("int"))
+    }
+    probes.reduce(least(_, _))
   }
 }

@@ -455,10 +455,12 @@ object RelationalQueries {
         |ORDER BY est_left_keys""".stripMargin) { (spark, dir) =>
       import graft.functions.KmvSketch
       val t = Tables(spark, dir)
+      // persisted: each side feeds its own aggregation AND the union
+      // pass — without the persist lineitem is scanned and md5'd twice
       val lh = t.lineitem
-        .select(KmvSketch.md5Hash60(col("l_orderkey")).as("hv"))
+        .select(KmvSketch.md5Hash60(col("l_orderkey")).as("hv")).persist()
       val oh = t.orders
-        .select(KmvSketch.md5Hash60(col("o_orderkey")).as("hv"))
+        .select(KmvSketch.md5Hash60(col("o_orderkey")).as("hv")).persist()
       val uh = lh.unionByName(oh)
       // one aggregation per side: the sketch estimate and the exact
       // distinct share the scan instead of re-reading the fact table

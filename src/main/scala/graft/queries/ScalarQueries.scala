@@ -514,9 +514,7 @@ object ScalarQueries {
         .persist()
       val sk = h.agg(
         CmsSketch.sketch(spark, Seq(col("c0"), col("c1"))).as("sk"))
-      val est = least(
-        element_at(col("sk"), (col("c0") + 1).cast("int")),
-        element_at(col("sk"), (col("c1") + lit(w) + 1).cast("int")))
+      val est = CmsSketch.estimate(col("sk"), Seq(col("c0"), col("c1")), w)
       h.groupBy("user_id")
         .agg(min("c0").as("c0"), min("c1").as("c1"),
           count(lit(1)).as("exact"))
@@ -685,9 +683,7 @@ object ScalarQueries {
         .persist()
       val sk = h.agg(
         CmsSketch.sketch(spark, Seq(col("c0"), col("c1")), w).as("sk"))
-      val est = least(
-        element_at(col("sk"), (col("c0") + 1).cast("int")),
-        element_at(col("sk"), (col("c1") + lit(w) + 1).cast("int")))
+      val est = CmsSketch.estimate(col("sk"), Seq(col("c0"), col("c1")), w)
       h.crossJoin(broadcast(sk))
         .filter(est >= thresh) // CMS ≥ exact: lossless candidate prune
         .groupBy("user_id").agg(count(lit(1)).as("n"))

@@ -59,6 +59,25 @@ object TextQueries {
       .as(out): _*)
   }
 
+  /** Non-overlapping 8-token chunk kernel over the staged tokens —
+    * ONE implementation for the span family (q75's metric and q99's
+    * rewrite must cut identical spans or the rewrite diverges from
+    * the measurement). Guard: <8 tokens ⇒ empty.
+    */
+  private def chunksExpr: Column = {
+    val t = col("t")
+    when(size(t) < 8, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t).divide(8).cast("int")),
+        i => concat_ws(" ",
+          (1 to 8).map(j => element_at(t, (i - 1) * 8 + j)): _*)))
+  }
+
+  /** DuckDB rendering of the same chunk list. */
+  private val DuckChunks: String =
+    s"""list_transform(
+       |   generate_series(1, greatest(len(t) // 8, 0)),
+       |   i -> ${(0 until 8).map(j => s"t[(i-1)*8+${j + 1}]").mkString(" || ' ' || ")})""".stripMargin
+
   /** DuckDB rendering of the same n-gram set. */
   private def duckNgrams(n: Int): String =
     s"""list_distinct(list_transform(
@@ -789,9 +808,7 @@ object TextQueries {
       s"""WITH toks AS (SELECT doc_id,
          |   string_split_regex(lower(trim(text)), '\\s+') AS t
          | FROM documents),
-         |c AS (SELECT doc_id, list_distinct(list_transform(
-         |   generate_series(1, greatest(len(t) // 8, 0)),
-         |   i -> ${(0 until 8).map(j => s"t[(i-1)*8+${j + 1}]").mkString(" || ' ' || ")})) AS c
+         |c AS (SELECT doc_id, list_distinct($DuckChunks) AS c
          | FROM toks),
          |e AS (SELECT doc_id, unnest(c) AS chunk FROM c),
          |dup AS (SELECT chunk FROM e GROUP BY chunk
@@ -804,14 +821,8 @@ object TextQueries {
          |   AS dup_frac
          |FROM c LEFT JOIN hits ON c.doc_id = hits.doc_id
          |ORDER BY c.doc_id""".stripMargin) { (spark, dir) =>
-      val t = col("t")
       val chunks = withToks(Tables(spark, dir).documents, col("doc_id"))
-        .select(col("doc_id"), array_distinct(
-          when(size(t) < 8, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), size(t).divide(8).cast("int")),
-              i => concat_ws(" ",
-                (1 to 8).map(j => element_at(t, (i - 1) * 8 + j)): _*))))
-          .as("c"))
+        .select(col("doc_id"), array_distinct(chunksExpr).as("c"))
         .persist() // feeds the frequency count and the per-doc report
       val ex = chunks.select(col("doc_id"), explode(col("c")).as("chunk"))
       // (doc_id, chunk) pairs are distinct by construction (per-doc
@@ -1122,9 +1133,7 @@ object TextQueries {
       s"""WITH toks AS (SELECT doc_id,
          |   string_split_regex(lower(trim(text)), '\\s+') AS t
          | FROM documents),
-         |c AS (SELECT doc_id, list_transform(
-         |   generate_series(1, greatest(len(t) // 8, 0)),
-         |   i -> ${(0 until 8).map(j => s"t[(i-1)*8+${j + 1}]").mkString(" || ' ' || ")}) AS c
+         |c AS (SELECT doc_id, $DuckChunks AS c
          | FROM toks),
          |e AS (SELECT doc_id, unnest(generate_series(1, len(c))) AS idx,
          |      unnest(c) AS chunk FROM c),
@@ -1139,14 +1148,8 @@ object TextQueries {
          | coalesce(agg.scrub_fp, md5('')) AS scrub_fp
          |FROM c LEFT JOIN agg ON c.doc_id = agg.doc_id
          |ORDER BY c.doc_id""".stripMargin) { (spark, dir) =>
-      val t = col("t")
       val base = withToks(Tables(spark, dir).documents, col("doc_id"))
-        .select(col("doc_id"),
-          when(size(t) < 8, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), size(t).divide(8).cast("int")),
-              i => concat_ws(" ",
-                (1 to 8).map(j => element_at(t, (i - 1) * 8 + j)): _*)))
-            .as("c"))
+        .select(col("doc_id"), chunksExpr.as("c"))
         .persist() // feeds the chunk explode and the per-doc report
       val ex = base.select(col("doc_id"),
         posexplode(col("c")).as(Seq("idx", "chunk")))

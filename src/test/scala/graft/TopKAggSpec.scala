@@ -54,6 +54,17 @@ class TopKAggSpec extends AnyFunSuite {
       Seq(("same", 3L), ("same", 4L)))
   }
 
+  test("fully duplicate (priority, id) rows keep their multiplicity") {
+    // row_number() ranks duplicate rows separately; the heap must
+    // count them, not set-collapse them
+    val df = Seq((1L, "a", 1L), (1L, "a", 1L), (1L, "a", 1L),
+      (1L, "b", 2L), (1L, "c", 3L)).toDF("g", "pr", "id")
+    assert(heapTop(df, 2) == windowTop(df, 2))
+    assert(heapTop(df, 2).map(r => (r.getString(1), r.getLong(2))) ==
+      Seq(("a", 1L), ("a", 1L)))
+    assert(heapTop(df, 4) == windowTop(df, 4))
+  }
+
   test("null priority and null id rows are skipped, not ranked") {
     val df = Seq((1L, Some("a"), Some(1L)), (1L, None, Some(2L)),
       (1L, Some("b"), None)).toDF("g", "pr", "id")
@@ -61,17 +72,27 @@ class TopKAggSpec extends AnyFunSuite {
     assert(got.map(_.getLong(2)) == Seq(1L))
   }
 
-  test("serialization roundtrip preserves the heap") {
+  test("serialization roundtrip preserves the heap and multiplicities") {
     val agg = TopKAgg(
       org.apache.spark.sql.catalyst.expressions.Literal("x"),
       org.apache.spark.sql.catalyst.expressions.Literal(1L), 3)
     val buf = agg.createAggregationBuffer()
-    Seq(("c", 3L), ("a", 1L), ("b", 2L), ("d", 4L)).foreach { case (p, i) =>
-      val other = agg.createAggregationBuffer()
-      other += ((p, i))
-      agg.merge(buf, other)
+    Seq(("c", 3L), ("a", 1L), ("a", 1L), ("b", 2L), ("d", 4L)).foreach {
+      case (p, i) => buf.add((p.getBytes("UTF-8"), i), 1, 3)
     }
     val back = agg.deserialize(agg.serialize(buf))
-    assert(back.toSeq == Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    assert(back.m.toSeq.map { case ((b, i), n) =>
+      (new String(b, "UTF-8"), i, n)
+    } == Seq(("a", 1L, 2), ("b", 2L, 1)))
+  }
+
+  test("binary UTF-8 priority order, not Java String order") {
+    // U+1F600 (surrogate pair in UTF-16) sorts AFTER U+E000 in UTF-8
+    // binary / code-point order, but BEFORE it in Java String order —
+    // the heap must agree with ORDER BY, i.e. with the window
+    val df = Seq((1L, "😀", 1L), (1L, "", 2L))
+      .toDF("g", "pr", "id")
+    assert(heapTop(df, 1) == windowTop(df, 1))
+    assert(heapTop(df, 1).map(_.getLong(2)) == Seq(2L))
   }
 }
