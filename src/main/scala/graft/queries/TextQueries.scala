@@ -175,6 +175,26 @@ object TextQueries {
        |       FROM reach GROUP BY src)""".stripMargin
   private val DuckComponents = duckComponents()
 
+  /** (doc_id, band, bucket) rows from a signature frame — ONE
+    * banding scheme for the symmetric pair-gen (lshPipeline) and the
+    * asymmetric new-vs-index probe (q102). '|'-separated long minima
+    * (the hex minima had fixed width; longs need a separator so 12|3
+    * and 1|23 can't collide). concat (not concat_ws) so a no-shingle
+    * doc's null minima yield a null bucket — never a candidate,
+    * matching the oracle's null-propagating ||.
+    */
+  private def withBands(sig: DataFrame): DataFrame = {
+    def bucket(ks: Range): Column = md5(concat(
+      ks.flatMap(k => Seq(col(s"mh$k").cast("string"), lit("|")))
+        .dropRight(1): _*))
+    sig.select(col("doc_id"), explode(array(
+      struct(lit(0).as("band"), bucket(0 until 4).as("bucket")),
+      struct(lit(1).as("band"), bucket(4 until 8).as("bucket"))))
+      .as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.bucket").as("bucket"))
+  }
+
   /** Shared LSH pipeline: staged shingles → signatures → banded
     * candidate pairs. Returns (candidates, shingles, signatures);
     * the signature frame is the one lshPipeline already persisted
@@ -192,18 +212,7 @@ object TextQueries {
     val shl0 = withShingles(docs, col("doc_id"))
     val shl = if (keepShingles) shl0.persist() else shl0
     val sig = withSig(spark, shl).persist()
-    // '|'-separated long minima (the hex minima had fixed width; longs
-    // need a separator so 12|3 and 1|23 can't collide). concat (not
-    // concat_ws) so a no-shingle doc's null minima yield a null bucket
-    // — never a candidate, matching the oracle's null-propagating ||.
-    def bucket(ks: Range): Column = md5(concat(
-      ks.flatMap(k => Seq(col(s"mh$k").cast("string"), lit("|")))
-        .dropRight(1): _*))
-    val bands = sig.select(col("doc_id"), explode(array(
-      struct(lit(0).as("band"), bucket(0 until 4).as("bucket")),
-      struct(lit(1).as("band"), bucket(4 until 8).as("bucket"))))
-      .as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    val bands = withBands(sig)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.doc_id") < col("b.doc_id"))
@@ -212,15 +221,19 @@ object TextQueries {
     (cand, shl, sig)
   }
 
+  /** DuckDB rendering of the same banding scheme. */
+  private val DuckBands: String =
+    """bands AS (
+      |  SELECT doc_id, 0 AS band,
+      |    md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bucket FROM sig
+      |  UNION ALL
+      |  SELECT doc_id, 1 AS band,
+      |    md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS bucket FROM sig)""".stripMargin
+
   /** DuckDB CTEs for the banded candidate pairs (shared by q38/q39/q59). */
   private def duckCand: String =
     s"""$duckSig,
-       |bands AS (
-       |  SELECT doc_id, 0 AS band,
-       |    md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bucket FROM sig
-       |  UNION ALL
-       |  SELECT doc_id, 1 AS band,
-       |    md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS bucket FROM sig),
+       |$DuckBands,
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.bucket = b.bucket
@@ -1246,6 +1259,92 @@ object TextQueries {
         .select(col("source"), col("bin"), col("n_docs"), col("n_tokens"),
           round(col("n_tokens") / lit(2048.0), 4).as("fill"))
         .orderBy("source", "bin")
+    },
+
+    // Incremental near-dup — the PRODUCTION dedup shape: a new batch
+    // of documents (doc_id % 10 = 0 here; the day's crawl in a real
+    // lake) probed against the already-indexed corpus, never
+    // re-pairing the corpus with itself. Candidates come from the
+    // same band-bucket scheme as q38 but joined new×index only; exact
+    // Jaccard verifies candidates; each new doc reports its candidate
+    // count, ≥0.8 duplicate count, and best match. Shape at scale:
+    // the index side's (band, bucket) rows are precomputed once and
+    // stored WITH the index; the new batch is small, so its bands
+    // broadcast and the probe touches only matching buckets — cost ∝
+    // batch, not corpus.
+    QueryDef(
+      "q102_incremental_neardup",
+      s"""WITH $duckSig,
+         |$DuckBands,
+         |cand AS (SELECT DISTINCT a.doc_id AS nd, b.doc_id AS xd
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bucket = b.bucket
+         |         WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+         |shx AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+         |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+         |inter AS (SELECT c.nd, c.xd, count(*) AS i FROM cand c
+         |          JOIN shx a ON a.doc_id = c.nd
+         |          JOIN shx b ON b.doc_id = c.xd AND b.tok = a.tok
+         |          GROUP BY 1, 2),
+         |j AS (SELECT inter.nd, inter.xd,
+         |        i * 1.0 / (s1.sz + s2.sz - i) AS jac
+         |      FROM inter JOIN sizes s1 ON nd = s1.doc_id
+         |      JOIN sizes s2 ON xd = s2.doc_id),
+         |best AS (SELECT nd, xd, jac, row_number() OVER (
+         |    PARTITION BY nd ORDER BY jac DESC, xd) AS rn FROM j),
+         |aggj AS (SELECT nd, count(*) AS n_cand,
+         |    sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM j GROUP BY 1),
+         |nd AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+         |SELECT nd.doc_id,
+         | CAST(coalesce(aggj.n_cand, 0) AS BIGINT) AS n_cand,
+         | CAST(coalesce(aggj.n_dup, 0) AS BIGINT) AS n_dup,
+         | CAST(coalesce(b.xd, -1) AS BIGINT) AS best_match,
+         | round(coalesce(b.jac, 0.0), 3) AS best_jac
+         |FROM nd LEFT JOIN aggj ON nd.doc_id = aggj.nd
+         |LEFT JOIN (SELECT nd, xd, jac FROM best WHERE rn = 1) b
+         |  ON nd.doc_id = b.nd
+         |ORDER BY nd.doc_id""".stripMargin) { (spark, dir) =>
+      val (_, shl, sig) = lshPipeline(spark, dir, keepShingles = true)
+      val bands = withBands(sig)
+      // new side is the small side by construction — broadcast it so
+      // the index side never shuffles on the bucket
+      val cand = broadcast(bands.filter(col("doc_id") % 10 === 0)).as("a")
+        .join(bands.filter(col("doc_id") % 10 =!= 0).as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket"))
+        .select(col("a.doc_id").as("nd"), col("b.doc_id").as("xd"))
+        .distinct()
+      val shx = shl.select(col("doc_id"), explode(col("sh")).as("tok"))
+      val sizes = shl.select(col("doc_id"), size(col("sh")).as("sz"))
+      val inter = broadcast(cand)
+        .join(shx.as("a"), col("nd") === col("a.doc_id"))
+        .join(shx.as("b"),
+          col("xd") === col("b.doc_id") && col("b.tok") === col("a.tok"))
+        .groupBy("nd", "xd").agg(count(lit(1)).as("i"))
+      val j = inter
+        .join(broadcast(sizes.as("s1")), col("nd") === col("s1.doc_id"))
+        .join(broadcast(sizes.as("s2")), col("xd") === col("s2.doc_id"))
+        .select(col("nd"), col("xd"),
+          (col("i") * lit(1.0) / (col("s1.sz") + col("s2.sz") - col("i")))
+            .as("jac"))
+        .persist() // feeds the per-doc rollup and the best-match rank
+      val w = Window.partitionBy("nd").orderBy(col("jac").desc, col("xd"))
+      val best = j.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("nd"), col("xd"), col("jac"))
+      val aggj = j.groupBy("nd").agg(count(lit(1)).as("n_cand"),
+        sum(when(col("jac") >= 0.8, 1).otherwise(0)).as("n_dup"))
+      Tables(spark, dir).documents
+        .filter(col("doc_id") % 10 === 0).select("doc_id")
+        .join(aggj, col("doc_id") === aggj("nd"), "left")
+        .drop("nd")
+        .join(best, col("doc_id") === best("nd"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          coalesce(col("xd"), lit(-1L)).as("best_match"),
+          round(coalesce(col("jac"), lit(0.0)), 3).as("best_jac"))
+        .orderBy("doc_id")
     },
   )
 }

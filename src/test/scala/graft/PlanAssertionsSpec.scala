@@ -136,6 +136,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning"), plan.take(800))
   }
 
+  test("q102 incremental near-dup probes buckets — no cartesian, new side broadcast") {
+    val plan = planOf(SparkEntry.queries("q102_incremental_neardup")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("q95 heavy hitters: the estimate filter precedes the exact aggregation") {
     val df = SparkEntry.queries("q95_cms_heavy_hitters")(spark, sf)
     df.collect()
