@@ -195,6 +195,16 @@ object TextQueries {
         col("b.bucket").as("bucket"))
   }
 
+  /** (doc_id, band, bucket) for any (doc_id, text) frame — every
+    * stage is a projection/explode, so this runs unchanged on a
+    * STREAMING frame. The single banding entry point the streaming
+    * near-dup gate (EventTimeOps.nearDupGate) shares with the batch
+    * index build: an index written by the batch path and a probe
+    * banded by the stream can never disagree on the scheme.
+    */
+  private[graft] def docBands(spark: SparkSession, docs: DataFrame): DataFrame =
+    withBands(withSig(spark, withShingles(docs, col("doc_id"))))
+
   /** Shared LSH pipeline: staged shingles → signatures → banded
     * candidate pairs. Returns (candidates, shingles, signatures);
     * the signature frame is the one lshPipeline already persisted

@@ -50,6 +50,23 @@ object EventTimeOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming near-dup candidate gate — the q102 probe as a stream
+    * op: each micro-batch of (doc_id, text) documents is banded with
+    * the SAME MinHash band scheme as the batch index build
+    * (TextQueries.docBands — one implementation, so stream and index
+    * can never drift), then semi-joined against the static
+    * (band, bucket) index. Emits the hits (doc_id, band, bucket) for
+    * the downstream verification stage. Stateless by design: the
+    * index IS the state, maintained by the batch pipeline and
+    * re-resolved per micro-batch like `enrich` — the stream
+    * accumulates nothing, so a day of throughput costs the same as
+    * the first minute.
+    */
+  def nearDupGate(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, index: DataFrame): DataFrame =
+    graft.queries.TextQueries.docBands(spark, docs)
+      .join(broadcast(index), Seq("band", "bucket"), "left_semi")
+
   /** Stream-stream interval join: both sides watermarked, the join
     * range-bounds event-time skew, so each side's buffered state is
     * dropped once the watermark passes the horizon — state ∝ in-flight

@@ -144,4 +144,35 @@ class EventTimeOpsSpec extends AnyFunSuite {
     assert(byUser(7L) == ((3L, 2L)))
     assert(byUser(8L) == ((1L, 1L)))
   }
+
+  test("streaming near-dup gate agrees with the batch probe") {
+    // index = the %10!=0 corpus's band buckets (what the batch
+    // pipeline would store); stream = the %10==0 "new batch". The
+    // gate's candidate doc set must equal the batch-side asymmetric
+    // bucket join — same banding kernel, so any drift is a bug.
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val index = graft.queries.TextQueries
+      .docBands(spark, docs.filter(col("doc_id") % 10 =!= 0))
+      .select("band", "bucket").distinct()
+    val expected = graft.queries.TextQueries
+      .docBands(spark, docs.filter(col("doc_id") % 10 === 0))
+      .join(index, Seq("band", "bucket"), "left_semi")
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+
+    val feedDir = Files.createTempDirectory("graft-ndg-")
+    docs.filter(col("doc_id") % 10 === 0)
+      .write.mode("overwrite").json(feedDir.toString)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(docSchema).json(feedDir.toString)
+    runToMemory(EventTimeOps.nearDupGate(spark, stream, index),
+      "ndg_out", "append")
+    val got = spark.table("ndg_out")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture produced no candidates — weak test")
+  }
 }
