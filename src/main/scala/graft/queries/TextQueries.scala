@@ -1356,5 +1356,37 @@ object TextQueries {
           round(coalesce(col("jac"), lit(0.0)), 3).as("best_jac"))
         .orderBy("doc_id")
     },
+
+    // LSH index health — the audit that SIZES the near-dup pipeline:
+    // per band, the bucket-count distribution and the exact candidate
+    // -pair workload Σ c·(c-1)/2 it implies. A skewed bucket (shared
+    // boilerplate hashing everything together) shows up here as
+    // max_bucket and a quadratic cand_pairs BEFORE the pair-gen runs
+    // — this is the q98-style pre-pass for the q38 join. Null buckets
+    // (docs below shingle length) never pair and are excluded. Shape
+    // at scale: two narrow aggregates, shuffle ∝ buckets.
+    QueryDef(
+      "q103_lsh_index_stats",
+      s"""WITH $duckSig,
+         |$DuckBands,
+         |bs AS (SELECT band, bucket, count(*) AS c FROM bands
+         |       WHERE bucket IS NOT NULL GROUP BY 1, 2)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+         | CAST(sum(c) AS BIGINT) AS n_docs,
+         | CAST(max(c) AS BIGINT) AS max_bucket,
+         | round(avg(c), 4) AS mean_bucket,
+         | CAST(sum((c*(c-1))//2) AS BIGINT) AS cand_pairs
+         |FROM bs GROUP BY 1 ORDER BY band""".stripMargin) { (spark, dir) =>
+      val (_, _, sig) = lshPipeline(spark, dir)
+      val bs = withBands(sig).filter(col("bucket").isNotNull)
+        .groupBy("band", "bucket").agg(count(lit(1)).as("c"))
+      bs.groupBy("band").agg(
+          count(lit(1)).as("n_buckets"),
+          sum("c").as("n_docs"),
+          max("c").as("max_bucket"),
+          round(avg("c"), 4).as("mean_bucket"),
+          sum((col("c") * (col("c") - 1) / 2).cast("long")).as("cand_pairs"))
+        .orderBy("band")
+    },
   )
 }

@@ -86,6 +86,41 @@ class TopKAggSpec extends AnyFunSuite {
     } == Seq(("a", 1L, 2), ("b", 2L, 1)))
   }
 
+  test("property: heap equals window for random data, k, and duplicates") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // pure-buffer property (no Spark jobs per case): feeding rows
+    // through two buffers merged in a random split order must equal
+    // the sorted-take of the full multiset — the window semantics
+    val rowGen = for {
+      p <- Gen.oneOf("a", "b", "aa", "ab", "é", "z", "")
+      i <- Gen.choose(0L, 5L)
+    } yield (p, i)
+    val caseGen = for {
+      rows <- Gen.listOf(rowGen)
+      k <- Gen.choose(1, 8)
+      split <- Gen.choose(0, math.max(rows.size, 1))
+    } yield (rows, k, split)
+    val prop = Prop.forAll(caseGen) { case (rows, k, split) =>
+      val agg = TopKAgg(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"),
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), k)
+      val (l, r) = rows.splitAt(split)
+      def load(part: Seq[(String, Long)]) = {
+        val b = agg.createAggregationBuffer()
+        part.foreach { case (p, i) => b.add((p.getBytes("UTF-8"), i), 1, k) }
+        b
+      }
+      val merged = agg.merge(load(l), agg.deserialize(agg.serialize(load(r))))
+      val got = merged.m.toSeq.flatMap { case ((b, i), n) =>
+        Seq.fill(n)((new String(b, "UTF-8"), i))
+      }
+      val want = rows.sortBy(identity).take(k)
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("binary UTF-8 priority order, not Java String order") {
     // U+1F600 (surrogate pair in UTF-16) sorts AFTER U+E000 in UTF-8
     // binary / code-point order, but BEFORE it in Java String order —
