@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * an iterator, so heavy decoder state is initialized once per
   * partition, not per row).
   *
-  * The actual byte→pixels/samples decode is STUBBED (`decodeStub`):
-  * the container has no image/audio libraries, so the stub derives a
-  * deterministic fake "decoded frame" from the bytes. Everything
-  * around it — schema, partitioning, batch shape, feature extraction
-  * — is real and tested, and a production decoder drops into
-  * [[MediaDecoder.decode]] without touching the pipeline.
+  * Decode is REAL for the formats the JDK ships codecs for —
+  * PNG/BMP/JPEG via `javax.imageio` (→ 8-bit luma pixels) and WAV
+  * PCM via `javax.sound.sampled` (→ 8-bit unsigned samples) — with
+  * zero external dependencies. Unknown media types pass bytes
+  * through, which is both the extension seam for exotic codecs and
+  * what keeps the deterministic text-fixture path (q47-q49, oracle-
+  * checked byte-for-byte in DuckDB) decodable by BOTH engines. Video
+  * frame extraction remains a byte-window stub (no JDK video codec);
+  * its partitioning and output shape are the real contract.
   */
 object Multimodal {
 
@@ -33,12 +36,69 @@ object Multimodal {
 
   val HistBins = 16
 
-  /** The decode seam. STUB: identity over bytes. A real build links an
-    * image/audio codec here and returns decoded samples.
+  /** The decode seam: JDK codecs for image (PNG/BMP/JPEG → row-major
+    * 8-bit luma) and WAV PCM (→ 8-bit unsigned mono-ish samples);
+    * passthrough otherwise (text fixtures, unknown codecs).
     */
   object MediaDecoder {
     def decode(mediaType: String, content: Array[Byte]): Array[Byte] =
-      content // ??? real codec goes here — deterministic passthrough stub
+      mediaType match {
+        case "image/png" | "image/bmp" | "image/jpeg" =>
+          decodeImageLuma(content)
+        case "audio/wav" => decodeWavPcm8(content)
+        case _ => content
+      }
+
+    /** Decoded pixels as ITU-R 601 integer luma, row-major. */
+    private[multimodal] def decodeImageLuma(content: Array[Byte]): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      require(img != null, "undecodable image bytes")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          out(y * w + x) = lum.toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** WAV container → 8-bit unsigned samples (16-bit PCM is taken
+      * down to its high byte; 8-bit PCM is already unsigned).
+      */
+    private[multimodal] def decodeWavPcm8(content: Array[Byte]): Array[Byte] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        val raw = in.readAllBytes()
+        fmt.getSampleSizeInBits match {
+          case 8 => raw
+          case 16 =>
+            val loOff = if (fmt.isBigEndian) 1 else 0
+            val hiOff = 1 - loOff
+            val n = raw.length / 2
+            val out = new Array[Byte](n)
+            var i = 0
+            while (i < n) {
+              val s = (raw(2 * i + hiOff) << 8) | (raw(2 * i + loOff) & 0xff)
+              out(i) = ((s >> 8) + 128).toByte
+              i += 1
+            }
+            out
+          case b => throw new IllegalArgumentException(
+            s"unsupported wav sample depth: $b bits")
+        }
+      } finally in.close()
+    }
   }
 
   /** Partition-wise feature extraction. Decoder "model" is constructed

@@ -6,8 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.multimodal.Multimodal
 import graft.multimodal.Multimodal.MediaRow
 
-/** Multimodal plumbing: schema, partition-wise batch shape, and the
-  * deterministic stub decoder's feature contract.
+/** Multimodal plumbing: schema, partition-wise batch shape, the
+  * passthrough path's feature contract, and the REAL JDK codecs
+  * (PNG/BMP/JPEG luma, WAV PCM) against hand-computed pixels/samples.
   */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.session
@@ -50,5 +51,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(schema("content").dataType ==
       org.apache.spark.sql.types.BinaryType)
     assert(media.count() == 500)
+  }
+
+  private def encodeImage(fmt: String): Array[Byte] = {
+    // 4×2 image with known colors: luma(255,255,255)=255, (0,0,0)=0,
+    // red=76, green=149, blue=29, gray128=128
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Seq(0xffffff, 0x000000, 0xff0000, 0x00ff00,
+      0x0000ff, 0x808080, 0xffffff, 0x000000)
+    for ((p, i) <- px.zipWithIndex) img.setRGB(i % 4, i / 4, p)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("PNG and BMP decode to exact ITU-601 luma pixels") {
+    val wantLuma = Seq(255, 0, 76, 149, 29, 128, 255, 0)
+    for (f <- Seq("png", "bmp")) {
+      val decoded = Multimodal.MediaDecoder.decode(s"image/$f", encodeImage(f))
+      assert(decoded.map(_ & 0xff).toSeq == wantLuma, s"format $f")
+    }
+  }
+
+  test("JPEG decodes to the pixel grid (values lossy, shape exact)") {
+    val decoded = Multimodal.MediaDecoder.decode("image/jpeg", encodeImage("jpg"))
+    assert(decoded.length == 8)
+  }
+
+  test("WAV PCM16 decodes to 8-bit unsigned samples") {
+    import javax.sound.sampled._
+    val samples = Seq[Short](0, Short.MinValue, Short.MaxValue, 256, -256)
+    val pcm = new Array[Byte](samples.size * 2)
+    for ((s, i) <- samples.zipWithIndex) {
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = (s >> 8).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.size),
+      AudioFileFormat.Type.WAVE, bos)
+    val decoded = Multimodal.MediaDecoder.decode("audio/wav", bos.toByteArray)
+    // high byte + 128: 0→128, -32768→0, 32767→255, 256→129, -256→127
+    assert(decoded.map(_ & 0xff).toSeq == Seq(128, 0, 255, 129, 127))
+  }
+
+  test("real decode flows through the partition-wise feature extraction") {
+    import spark.implicits._
+    val media = Seq(MediaRow(1L, "image/png", encodeImage("png"))).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.n_bytes == 8) // 8 pixels, not the (larger) PNG byte count
+    assert(f.brightness == (255 + 0 + 76 + 149 + 29 + 128 + 255 + 0) / 8.0)
   }
 }
