@@ -581,5 +581,64 @@ object VectorQueries {
           round(col("e0") + col("e1") + col("e2") + col("e3"), 6).as("err"))
         .orderBy("vec_id")
     },
+
+    // Semantic decontamination (SemDeDup shape) — q74's n-gram
+    // decontamination for EMBEDDINGS: drop training vectors whose
+    // cosine to ANY held-out (validation) vector clears the
+    // threshold, so the eval set isn't semantically inside the
+    // training set. Candidates come from the SAME hyperplane buckets
+    // as q43 (multi-probe hamming ≤ 2), verified by exact cosine;
+    // reported per label as flag counts/rates. Shape at scale: the
+    // held-out split is tiny by construction, so its (bucket, vector)
+    // rows BROADCAST and the training side never shuffles — cost is
+    // one map+probe pass over train, exactly the q74 story with
+    // buckets instead of grams.
+    QueryDef(
+      "q104_semantic_decontaminate",
+      s"""WITH $DuckNorm,
+         |s AS (SELECT vec_id, e, nm, CAST($duckBucketExpr AS INTEGER) AS bucket
+         |      FROM n),
+         |tr AS (SELECT * FROM s WHERE vec_id % 20 <> 0),
+         |va AS (SELECT * FROM s WHERE vec_id % 20 = 0),
+         |fl AS (SELECT DISTINCT a.vec_id FROM tr a JOIN va b
+         |       ON bit_count(xor(CAST(a.bucket AS BIGINT),
+         |            CAST(b.bucket AS BIGINT))) <= $MaxHamming
+         |       AND list_dot_product(a.e, b.e) / (a.nm * b.nm) >= 0.45),
+         |lb AS (SELECT vec_id, label FROM embeddings WHERE vec_id % 20 <> 0),
+         |fc AS (SELECT lb.label, count(*) AS n_flagged
+         |       FROM lb JOIN fl USING (vec_id) GROUP BY 1)
+         |SELECT lb.label, CAST(count(*) AS BIGINT) AS n_train,
+         | CAST(coalesce(fc.n_flagged, 0) AS BIGINT) AS n_flagged,
+         | round(coalesce(fc.n_flagged, 0) * 1.0 / count(*), 4) AS flag_rate
+         |FROM lb LEFT JOIN fc ON lb.label = fc.label
+         |GROUP BY lb.label, fc.n_flagged
+         |ORDER BY lb.label""".stripMargin) { (spark, dir) =>
+      val n = withNorm(spark, dir)
+      val sig = n.withColumn("bucket", bucketCol(col("e")).cast("int"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist() // feeds the train probe side and the val broadcast
+      val va = sig.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("v2"), col("e").as("e2"),
+          col("nm").as("nm2"), col("bucket").as("b2"))
+      val probes = sig.filter(col("vec_id") % 20 =!= 0)
+        .select(col("vec_id"), col("e").as("e1"), col("nm").as("nm1"),
+          explode(array(ProbeMasks.map(m =>
+            col("bucket").bitwiseXOR(lit(m))): _*)).as("pb"))
+      val flagged = probes.join(broadcast(va), col("pb") === col("b2"))
+        .filter(dot(col("e1"), col("e2")) / (col("nm1") * col("nm2")) >= 0.45)
+        .select(col("vec_id")).distinct()
+      val lb = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("label"))
+        .filter(col("vec_id") % 20 =!= 0)
+      val fc = lb.join(flagged, "vec_id")
+        .groupBy("label").agg(count(lit(1)).as("n_flagged"))
+      lb.groupBy("label").agg(count(lit(1)).as("n_train"))
+        .join(fc, Seq("label"), "left")
+        .select(col("label"), col("n_train"),
+          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+          round(coalesce(col("n_flagged"), lit(0L)) * lit(1.0)
+            / col("n_train"), 4).as("flag_rate"))
+        .orderBy("label")
+    },
   )
 }

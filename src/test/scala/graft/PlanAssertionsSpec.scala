@@ -143,6 +143,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("q104 semantic decontamination broadcasts the held-out split") {
+    val plan = planOf(SparkEntry.queries("q104_semantic_decontaminate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("q95 heavy hitters: the estimate filter precedes the exact aggregation") {
     val df = SparkEntry.queries("q95_cms_heavy_hitters")(spark, sf)
     df.collect()
