@@ -75,14 +75,21 @@ object Multimodal {
       * down to its high byte; 8-bit PCM is already unsigned).
       */
     private[multimodal] def decodeWavPcm8(content: Array[Byte]): Array[Byte] = {
+      import javax.sound.sampled.AudioFormat.Encoding
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(content))
       try {
         val fmt = in.getFormat
         val raw = in.readAllBytes()
-        fmt.getSampleSizeInBits match {
-          case 8 => raw
-          case 16 =>
+        // dispatch on (encoding, depth), not depth alone: a μ-law/
+        // a-law WAV is also 8-bit but its companded codewords are NOT
+        // linear samples — returning them raw would silently corrupt
+        // every downstream feature; reject anything not linear PCM
+        (fmt.getEncoding, fmt.getSampleSizeInBits) match {
+          case (Encoding.PCM_UNSIGNED, 8) => raw
+          case (Encoding.PCM_SIGNED, 8) =>
+            raw.map(b => (b + 128).toByte)
+          case (Encoding.PCM_SIGNED, 16) =>
             val loOff = if (fmt.isBigEndian) 1 else 0
             val hiOff = 1 - loOff
             val n = raw.length / 2
@@ -94,8 +101,8 @@ object Multimodal {
               i += 1
             }
             out
-          case b => throw new IllegalArgumentException(
-            s"unsupported wav sample depth: $b bits")
+          case (e, b) => throw new IllegalArgumentException(
+            s"unsupported wav format: $e at $b bits (linear PCM only)")
         }
       } finally in.close()
     }

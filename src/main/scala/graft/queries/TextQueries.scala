@@ -240,6 +240,36 @@ object TextQueries {
       |  SELECT doc_id, 1 AS band,
       |    md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS bucket FROM sig)""".stripMargin
 
+  /** Exact shingle-overlap scaffold for candidate PAIRS — ONE
+    * implementation for every exact-Jaccard verify (q39, q90, q102):
+    * explode the staged shingles, count per-pair shared shingles
+    * (inner join — whether zero-overlap pairs survive is the
+    * caller's left-join decision), and the per-doc set sizes.
+    * Returns (inter: (a, b, i), sizes: (doc_id, sz)) keyed by the
+    * caller's pair column names.
+    */
+  private def pairOverlap(pairs: DataFrame, shl: DataFrame,
+      a: String, b: String): (DataFrame, DataFrame) = {
+    val shx = shl.select(col("doc_id"), explode(col("sh")).as("tok"))
+    val sizes = shl.select(col("doc_id"), size(col("sh")).as("sz"))
+    val inter = broadcast(pairs)
+      .join(shx.as("pa"), col(a) === col("pa.doc_id"))
+      .join(shx.as("pb"),
+        col(b) === col("pb.doc_id") && col("pb.tok") === col("pa.tok"))
+      .groupBy(a, b).agg(count(lit(1)).as("i"))
+    (inter, sizes)
+  }
+
+  /** DuckDB rendering of the same scaffold (CTEs shx, sizes, inter). */
+  private def duckPairOverlap(pairCte: String, a: String, b: String): String =
+    s"""shx AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+       |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+       |inter AS (SELECT c.$a, c.$b, count(*) AS i
+       |          FROM $pairCte c
+       |          JOIN shx a ON a.doc_id = c.$a
+       |          JOIN shx b ON b.doc_id = c.$b AND b.tok = a.tok
+       |          GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB CTEs for the banded candidate pairs (shared by q38/q39/q59). */
   private def duckCand: String =
     s"""$duckSig,
@@ -369,13 +399,7 @@ object TextQueries {
     QueryDef(
       "q39_jaccard_neardup",
       s"""WITH $duckCand,
-         |shx AS (SELECT doc_id, unnest(s) AS tok FROM sh),
-         |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
-         |inter AS (SELECT c.d1, c.d2, count(*) AS i
-         |          FROM cand c
-         |          JOIN shx a ON a.doc_id = c.d1
-         |          JOIN shx b ON b.doc_id = c.d2 AND b.tok = a.tok
-         |          GROUP BY 1, 2)
+         |${duckPairOverlap("cand", "d1", "d2")}
          |SELECT d1, d2,
          | round(i * 1.0 / (s1.sz + s2.sz - i), 3) AS jaccard
          |FROM inter
@@ -384,13 +408,7 @@ object TextQueries {
          |WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8
          |ORDER BY d1, d2""".stripMargin) { (spark, dir) =>
       val (cand, shl, _) = lshPipeline(spark, dir, keepShingles = true)
-      val shx = shl.select(col("doc_id"), explode(col("sh")).as("tok"))
-      val sizes = shl.select(col("doc_id"), size(col("sh")).as("sz"))
-      val inter = broadcast(cand)
-        .join(shx.as("a"), col("d1") === col("a.doc_id"))
-        .join(shx.as("b"),
-          col("d2") === col("b.doc_id") && col("b.tok") === col("a.tok"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+      val (inter, sizes) = pairOverlap(cand, shl, "d1", "d2")
       inter
         .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
         .join(broadcast(sizes.as("s2")), col("d2") === col("s2.doc_id"))
@@ -953,13 +971,7 @@ object TextQueries {
         val agree = (0 until K).map(k =>
           s"(CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END)").mkString(" + ")
         s"""WITH $duckCand,
-           |shx AS (SELECT doc_id, unnest(s) AS tok FROM sh),
-           |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
-           |inter AS (SELECT c.d1, c.d2, count(*) AS i
-           |          FROM cand c
-           |          JOIN shx a ON a.doc_id = c.d1
-           |          JOIN shx b ON b.doc_id = c.d2 AND b.tok = a.tok
-           |          GROUP BY 1, 2),
+           |${duckPairOverlap("cand", "d1", "d2")},
            |est AS (SELECT c.d1, c.d2, ($agree) / ${K}.0 AS e
            |        FROM cand c
            |        JOIN sig a ON a.doc_id = c.d1
@@ -989,13 +1001,7 @@ object TextQueries {
         .join(sig.as("a"), col("d1") === col("a.doc_id"))
         .join(sig.as("b"), col("d2") === col("b.doc_id"))
         .select(col("d1"), col("d2"), (agree / lit(K.toDouble)).as("e"))
-      val shx = shl.select(col("doc_id"), explode(col("sh")).as("tok"))
-      val sizes = shl.select(col("doc_id"), size(col("sh")).as("sz"))
-      val inter = broadcast(cand)
-        .join(shx.as("a"), col("d1") === col("a.doc_id"))
-        .join(shx.as("b"),
-          col("d2") === col("b.doc_id") && col("b.tok") === col("a.tok"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+      val (inter, sizes) = pairOverlap(cand, shl, "d1", "d2")
       est
         .join(inter, Seq("d1", "d2"), "left")
         .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
@@ -1290,12 +1296,7 @@ object TextQueries {
          |         FROM bands a JOIN bands b
          |           ON a.band = b.band AND a.bucket = b.bucket
          |         WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
-         |shx AS (SELECT doc_id, unnest(s) AS tok FROM sh),
-         |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
-         |inter AS (SELECT c.nd, c.xd, count(*) AS i FROM cand c
-         |          JOIN shx a ON a.doc_id = c.nd
-         |          JOIN shx b ON b.doc_id = c.xd AND b.tok = a.tok
-         |          GROUP BY 1, 2),
+         |${duckPairOverlap("cand", "nd", "xd")},
          |j AS (SELECT inter.nd, inter.xd,
          |        i * 1.0 / (s1.sz + s2.sz - i) AS jac
          |      FROM inter JOIN sizes s1 ON nd = s1.doc_id
@@ -1325,13 +1326,7 @@ object TextQueries {
             col("a.bucket") === col("b.bucket"))
         .select(col("a.doc_id").as("nd"), col("b.doc_id").as("xd"))
         .distinct()
-      val shx = shl.select(col("doc_id"), explode(col("sh")).as("tok"))
-      val sizes = shl.select(col("doc_id"), size(col("sh")).as("sz"))
-      val inter = broadcast(cand)
-        .join(shx.as("a"), col("nd") === col("a.doc_id"))
-        .join(shx.as("b"),
-          col("xd") === col("b.doc_id") && col("b.tok") === col("a.tok"))
-        .groupBy("nd", "xd").agg(count(lit(1)).as("i"))
+      val (inter, sizes) = pairOverlap(cand, shl, "nd", "xd")
       val j = inter
         .join(broadcast(sizes.as("s1")), col("nd") === col("s1.doc_id"))
         .join(broadcast(sizes.as("s2")), col("xd") === col("s2.doc_id"))
@@ -1385,7 +1380,12 @@ object TextQueries {
           sum("c").as("n_docs"),
           max("c").as("max_bucket"),
           round(avg("c"), 4).as("mean_bucket"),
-          sum((col("c") * (col("c") - 1) / 2).cast("long")).as("cand_pairs"))
+          // `div` (integral divide), not `/`: Column `/` is double
+          // division, and past c ≈ 9.5e7 (exactly the boilerplate-
+          // bucket regime this audit exists to catch) c·(c-1) exceeds
+          // 2^53 and the double round-trip drifts from the oracle's
+          // exact integer //
+          sum(expr("c * (c - 1) div 2")).as("cand_pairs"))
         .orderBy("band")
     },
   )

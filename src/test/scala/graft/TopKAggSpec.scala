@@ -114,7 +114,13 @@ class TopKAggSpec extends AnyFunSuite {
       val got = merged.m.toSeq.flatMap { case ((b, i), n) =>
         Seq.fill(n)((new String(b, "UTF-8"), i))
       }
-      val want = rows.sortBy(identity).take(k)
+      // oracle must sort in the aggregate's declared order — UTF-8
+      // binary bytes — not Java String order (they diverge on
+      // supplementary chars, see the dedicated test below)
+      val want = rows.sortWith { (a, b) =>
+        TopKAgg.KeyOrd.compare(
+          (a._1.getBytes("UTF-8"), a._2), (b._1.getBytes("UTF-8"), b._2)) < 0
+      }.take(k)
       got == want
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
