@@ -1,0 +1,98 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The library surface for users bringing their OWN DataFrames.
+  *
+  * Every entry point is a thin delegation to (or tiny composition
+  * of) the engine's parameterized kernels — the `qNN` queries in
+  * `SparkEntry` are the oracle-checked demonstrations of the SAME
+  * kernels over the driver's test tables, so nothing here can drift
+  * from what the correctness gate checks. Components that are
+  * already public APIs are linked rather than wrapped:
+  *
+  *  - CDC ingestion: [[graft.streaming.CdcPipeline]] /
+  *    [[graft.streaming.CdcMain]] (config-file entry)
+  *  - streaming event-time ops: [[graft.streaming.EventTimeOps]]
+  *  - change-feed materialization + SCD2:
+  *    [[graft.streaming.Materialize]]
+  *  - skew tooling: [[graft.ops.SkewJoin]]
+  *  - media decode/features: [[graft.multimodal.Multimodal]]
+  *  - native SQL functions for plain-SQL sessions:
+  *    [[graft.GraftExtensions]]
+  */
+object Graft {
+
+  /** MinHash LSH band buckets `(doc_id, band, bucket)` for any
+    * `(doc_id: BIGINT, text: STRING)` frame — batch or streaming
+    * (every stage is a projection). This IS the banding scheme the
+    * oracle-checked q37/q38 pipeline and the streaming gate use.
+    */
+  def minhashBands(spark: SparkSession, docs: DataFrame): DataFrame =
+    graft.queries.TextQueries.docBands(spark, docs)
+
+  /** Symmetric near-dup candidate pairs `(d1, d2)` (d1 < d2) for any
+    * `(doc_id, text)` frame: band-bucket equality join over
+    * [[minhashBands]] — shuffle keyed by bucket, never all-pairs.
+    * Verify candidates with exact Jaccard (q39 shape) before acting.
+    */
+  def nearDupCandidates(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val bands = minhashBands(spark, docs)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Asymmetric probe of a NEW batch against a stored band index
+    * (the q102 / steady-state shape): `index` is the distinct
+    * `(band, bucket)` frame persisted with the corpus; cost ∝ batch.
+    */
+  def nearDupProbe(spark: SparkSession, newDocs: DataFrame,
+      index: DataFrame): DataFrame =
+    graft.streaming.EventTimeOps.nearDupGate(spark, newDocs, index)
+
+  /** Duplicate clusters `(doc_id, cluster)` from candidate pairs —
+    * distributed min-label propagation ([[graft.ops.DupClusters]]).
+    */
+  def dupClusters(pairs: DataFrame): DataFrame =
+    graft.ops.DupClusters.clusters(pairs)
+
+  /** Bounded per-key top-k as an aggregate Column — the k smallest
+    * (priority, id) rows per group, ascending; ≤ k rows per key per
+    * task cross the shuffle ([[graft.functions.TopKAgg]]).
+    */
+  def topK(spark: SparkSession, priority: Column, id: Column,
+      k: Int): Column =
+    graft.functions.TopKAgg.topk(spark, priority, id, k)
+
+  /** KMV distinct-count sketch over [[hash60]]-hashed keys —
+    * deterministic, mergeable, exact below k
+    * ([[graft.functions.KmvSketch]]).
+    */
+  def approxDistinct(spark: SparkSession, hash: Column,
+      k: Int = 256): Column =
+    graft.functions.KmvSketch.kmvDistinct(spark, hash, k)
+
+  /** The shared 60-bit md5 hash recipe the sketches expect. */
+  def hash60(c: Column): Column = graft.functions.KmvSketch.md5Hash60(c)
+
+  /** Bloom bitset aggregate over [[hash60]] hashes + its membership
+    * probe — the runtime-filter pair ([[graft.functions.BloomSketch]]).
+    */
+  def bloom(spark: SparkSession, hash: Column, numBits: Int): Column =
+    graft.functions.BloomSketch.bloom(spark, hash, numBits)
+  def bloomContains(spark: SparkSession, grid: Column,
+      hash: Column): Column =
+    graft.functions.BloomSketch.contains(spark, grid, hash)
+
+  /** Salted join for skewed keys — result-identical to a plain join,
+    * hot keys spread over (key, salt) tasks ([[graft.ops.SkewJoin]]).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltBuckets: Int = 8): DataFrame =
+    graft.ops.SkewJoin.saltedJoin(big, small, key, saltBuckets)
+}

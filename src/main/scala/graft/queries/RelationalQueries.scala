@@ -551,5 +551,57 @@ object RelationalQueries {
             .as("fp_rate"))
         .orderBy("l_returnflag")
     },
+
+    // Snapshot diff — the lake-maintenance op behind incremental
+    // processing audits and CDC reconciliation: two snapshots of a
+    // keyed table (here deterministically derived from events:
+    // snapshot B drops the %5==0 keys, gains the %5==4 keys A lacks,
+    // and modifies value on %3==0), classified per key into added /
+    // removed / changed / unchanged by one full-outer join. Shape at
+    // scale: both snapshots shuffle ONCE on the key — inherent to a
+    // diff — and with bucketed snapshot tables (the ScaleOpsSpec
+    // layout) even that shuffle disappears; the classification is a
+    // projection and the rollup is ∝ 4 rows. The `changed` compare
+    // here is one column; a production diff compares a row hash
+    // computed scan-side, never the row itself across the shuffle.
+    QueryDef(
+      "q105_snapshot_diff",
+      """WITH a AS (SELECT event_id, value FROM events WHERE event_id % 5 <> 4),
+        |b AS (SELECT event_id,
+        |        CASE WHEN event_id % 3 = 0 THEN value + 1.0 ELSE value END
+        |          AS value
+        |      FROM events WHERE event_id % 5 <> 0),
+        |j AS (SELECT coalesce(a.event_id, b.event_id) AS event_id,
+        |        a.value AS va, b.value AS vb,
+        |        a.event_id IS NULL AS no_a, b.event_id IS NULL AS no_b
+        |      FROM a FULL OUTER JOIN b ON a.event_id = b.event_id),
+        |t AS (SELECT event_id,
+        |        CASE WHEN no_a THEN 'added'
+        |             WHEN no_b THEN 'removed'
+        |             WHEN va <> vb THEN 'changed'
+        |             ELSE 'unchanged' END AS change_type
+        |      FROM j)
+        |SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(min(event_id) AS BIGINT) AS min_id,
+        | CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM t GROUP BY 1 ORDER BY change_type""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events.select(col("event_id"), col("value"))
+      val a = ev.filter(col("event_id") % 5 =!= 4)
+        .select(col("event_id"), col("value").as("va"))
+      val b = ev.filter(col("event_id") % 5 =!= 0)
+        .select(col("event_id"),
+          when(col("event_id") % 3 === 0, col("value") + 1.0)
+            .otherwise(col("value")).as("vb"))
+      a.join(b, Seq("event_id"), "full_outer")
+        .withColumn("change_type",
+          when(col("va").isNull, "added")
+            .when(col("vb").isNull, "removed")
+            .when(col("va") =!= col("vb"), "changed")
+            .otherwise("unchanged"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("change_type")
+    },
   )
 }

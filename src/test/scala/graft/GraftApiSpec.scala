@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Graft
+
+/** The public facade: every entry point works on a caller-supplied
+  * frame (not the fixture tables) and delegates to the same kernels
+  * the oracle-checked queries run.
+  */
+class GraftApiSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog today"), // dup of 1
+    (3L, "an entirely different document about spark internals and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy cat today")  // near-dup of 1
+  ).toDF("doc_id", "text")
+
+  test("near-dup candidates on a user frame find the planted dup pair") {
+    val cand = Graft.nearDupCandidates(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)), s"exact dup pair missing from $cand")
+    // doc 3 shares no shingles — must never be a candidate
+    assert(!cand.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("dup clusters collapse the candidate pairs to min labels") {
+    val cl = Graft.dupClusters(Graft.nearDupCandidates(spark, docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(2L) == 1L) // doc 2 clusters under doc 1
+  }
+
+  test("index probe flags only new docs that hit the stored buckets") {
+    val index = Graft.minhashBands(spark, docs.filter(col("doc_id") <= 2))
+      .select("band", "bucket").distinct()
+    val hits = Graft.nearDupProbe(spark, docs.filter(col("doc_id") >= 3), index)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!hits.contains(3L)) // unrelated doc never probes in
+  }
+
+  test("topK aggregate and sketches run on arbitrary frames") {
+    val df = spark.range(100).select(col("id"),
+      (col("id") % 5).as("g"), md5(col("id").cast("string")).as("pr"))
+    val top = df.groupBy("g")
+      .agg(Graft.topK(spark, col("pr"), col("id"), 3).as("t"))
+      .select(explode(col("t"))).count()
+    assert(top == 15) // 5 groups × 3
+
+    val d = spark.range(1000)
+      .agg(Graft.approxDistinct(spark, Graft.hash60(col("id")), 2048))
+      .collect()(0).getDouble(0)
+    assert(d == 1000.0) // below k the sketch is exact
+
+    val misses = spark.range(50).agg(
+        Graft.bloom(spark, Graft.hash60(col("id")), 1024).as("g"))
+      .crossJoin(spark.range(50))
+      .filter(!Graft.bloomContains(spark, col("g"), Graft.hash60(col("id"))))
+      .count()
+    assert(misses == 0) // no false negatives
+  }
+
+  test("salted join equals the plain join on a user frame") {
+    val big = spark.range(200).select((col("id") % 3).as("k"), col("id"))
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val salted = Graft.saltedJoin(big, dim, "k").orderBy("id")
+      .select("k", "id", "v").collect().toSeq
+    val plain = big.join(dim, "k").orderBy("id")
+      .select("k", "id", "v").collect().toSeq
+    assert(salted == plain)
+  }
+}
