@@ -1352,6 +1352,70 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Mix resampling — APPLIES q78's equalizing weights: each
+    // (source, lang) group is down-sampled at rate min(weight, 1)
+    // by the deterministic q64 hash threshold, so the surviving
+    // corpus approaches the uniform token mix q78 prescribes.
+    // Thresholds are floor(weight · 2^60) computed with IDENTICAL
+    // IEEE operation order both engines (an unfloored double→int
+    // cast would round differently in Spark vs DuckDB). Map-only
+    // per doc after a broadcast of the tiny per-group weight table —
+    // the reweigh-then-resample close of the domain-mixing loop.
+    QueryDef(
+      "q106_resample_mix",
+      """WITH d AS (SELECT doc_id, source, lang,
+        |   len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+        | FROM documents),
+        |a AS (SELECT source, lang, count(*) AS n_docs,
+        |        CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |      FROM d GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+        |        count(*) AS n_groups FROM a),
+        |w AS (SELECT source, lang, n_docs,
+        |        (1.0 / n_groups) / (n_tokens * 1.0 / total) AS w
+        |      FROM a, t),
+        |k AS (SELECT d.source, d.lang, count(*) AS n_kept
+        |      FROM d JOIN w ON d.source = w.source AND d.lang = w.lang
+        |      WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT
+        |            < CAST(floor(least(w.w, 1.0) * 1152921504606846976.0)
+        |                   AS BIGINT)
+        |      GROUP BY 1, 2)
+        |SELECT w.source, w.lang, CAST(w.n_docs AS BIGINT) AS n_docs,
+        | CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        | round(w.w, 4) AS mix_weight,
+        | round(coalesce(k.n_kept, 0) * 1.0 / w.n_docs, 4) AS actual_rate
+        |FROM w LEFT JOIN k ON w.source = k.source AND w.lang = k.lang
+        |ORDER BY w.source, w.lang""".stripMargin) { (spark, dir) =>
+      val d = withToks(Tables(spark, dir).documents,
+          col("doc_id"), col("source"), col("lang"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(col("t")).as("n_tok"))
+        .persist() // feeds the weight aggregate and the per-doc filter
+      val a = d.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      val t = a.agg(sum("n_tokens").as("total"), count(lit(1)).as("n_groups"))
+      val w = a.crossJoin(broadcast(t))
+        .select(col("source"), col("lang"), col("n_docs"),
+          ((lit(1.0) / col("n_groups"))
+            / (col("n_tokens") * lit(1.0) / col("total"))).as("w"))
+      val kept = d
+        .select(col("source"), col("lang"),
+          graft.functions.KmvSketch.md5Hash60(col("doc_id")).as("hv"))
+        .join(broadcast(w.select(col("source"), col("lang"), col("w"))),
+          Seq("source", "lang"))
+        .filter(col("hv") <
+          floor(least(col("w"), lit(1.0)) * lit(1.152921504606846976e18))
+            .cast("long"))
+        .groupBy("source", "lang").agg(count(lit(1)).as("n_kept"))
+      w.join(kept, Seq("source", "lang"), "left")
+        .select(col("source"), col("lang"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          round(col("w"), 4).as("mix_weight"),
+          round(coalesce(col("n_kept"), lit(0L)) * lit(1.0)
+            / col("n_docs"), 4).as("actual_rate"))
+        .orderBy("source", "lang")
+    },
+
     // LSH index health — the audit that SIZES the near-dup pipeline:
     // per band, the bucket-count distribution and the exact candidate
     // -pair workload Σ c·(c-1)/2 it implies. A skewed bucket (shared
