@@ -10,7 +10,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def allDefs: Seq[QueryDef] =
+  private[graft] def allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ ScalarQueries.defs ++ CdcQueries.defs ++
       TextQueries.defs ++ VectorQueries.defs ++ MultimodalQueries.defs ++
       WindowQueries.defs

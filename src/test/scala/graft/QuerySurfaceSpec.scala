@@ -21,6 +21,22 @@ class QuerySurfaceSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("query names are unique — a duplicate would vanish in the toMap") {
+    val names = SparkEntry.allDefs.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+    assert(names.size == SparkEntry.queries.size)
+  }
+
+  test("every query is oracle-checked (no silent rows-only downgrades)") {
+    // the weaker rows-only path exists for genuinely non-SQL ops; today
+    // every declared op has an independent DuckDB formulation — a new
+    // query silently missing its oracle should be a deliberate choice,
+    // not an oversight
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"queries without oracle SQL: $noOracle")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and is deterministic") {
       val a = fn(spark, dir).collect()
