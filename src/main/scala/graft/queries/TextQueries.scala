@@ -1416,6 +1416,82 @@ object TextQueries {
         .orderBy("source", "lang")
     },
 
+    // BPE TRAINING — the distributed tokenizer-trainer counterpart
+    // of q61 (which APPLIES a pretokenizer): classic byte-pair-
+    // encoding over the corpus vocabulary — count adjacent-symbol
+    // pairs weighted by word frequency, merge the most frequent pair
+    // (lexicographic tie-break), repeat. Three unrolled merge steps
+    // here; the merge table is the model. Shape at scale: each step
+    // is one shuffle ∝ DISTINCT pairs over the VOCABULARY (never the
+    // corpus — word frequencies are aggregated once up front), and
+    // the per-step driver pull is exactly ONE row (the argmax pair),
+    // the same bounded pattern as DupClusters' convergence check.
+    // Greedy left-to-right replace is identical in Spark and DuckDB
+    // (non-overlapping leftmost), and symbols are space-delimited
+    // with padding so a merge can never match inside another symbol.
+    QueryDef(
+      "q107_bpe_train", {
+        def pairsCte(w: String, p: String): String =
+          s"""$p AS (SELECT l.pair, sum(l.freq) AS c FROM (
+             |  SELECT freq, unnest(list_transform(
+             |      generate_series(1, len(a) - 1),
+             |      i -> a[i] || ' ' || a[i+1])) AS pair
+             |  FROM (SELECT string_split(trim(s), ' ') AS a, freq FROM $w)) l
+             |  GROUP BY 1)""".stripMargin
+        def stepCtes(i: Int): String = {
+          val (w0, p, t, w1) = (s"w${i - 1}", s"p$i", s"t$i", s"w$i")
+          s"""${pairsCte(w0, p)},
+             |$t AS (SELECT pair, c FROM $p ORDER BY c DESC, pair LIMIT 1),
+             |$w1 AS (SELECT replace(s, ' ' || $t.pair || ' ',
+             |    ' ' || replace($t.pair, ' ', '') || ' ') AS s, freq
+             |  FROM $w0, $t)""".stripMargin
+        }
+        s"""WITH words AS (SELECT lower(w) AS word, count(*) AS freq
+           |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+           |        FROM documents)
+           |  WHERE regexp_matches(w, '^[a-z]{2,12}$$') GROUP BY 1),
+           |w0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s,
+           |         freq FROM words),
+           |${stepCtes(1)},
+           |${stepCtes(2)},
+           |${stepCtes(3)}
+           |SELECT step, pair, replace(pair, ' ', '') AS merged,
+           |  CAST(c AS BIGINT) AS c
+           |FROM (SELECT 1 AS step, pair, c FROM t1
+           |      UNION ALL SELECT 2, pair, c FROM t2
+           |      UNION ALL SELECT 3, pair, c FROM t3)
+           |ORDER BY step""".stripMargin
+      }) { (spark, dir) =>
+      // vocabulary with frequencies — the ONLY corpus-sized pass
+      val words = withToks(Tables(spark, dir).documents)
+        .select(explode(col("t")).as("w"))
+        .filter(col("w").rlike("^[a-z]{2,12}$"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(concat(lit(" "),
+          regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("freq"))
+        .persist()
+      def pairsOf(s: Column): Column = {
+        val a = split(trim(s), " ")
+        transform(sequence(lit(1), size(a) - 1),
+          i => concat(element_at(a, i), lit(" "), element_at(a, i + 1)))
+      }
+      var cur = words
+      val merges = (1 to 3).map { step =>
+        val top = cur.select(col("freq"), explode(pairsOf(col("s"))).as("pair"))
+          .groupBy("pair").agg(sum("freq").as("c"))
+          .orderBy(col("c").desc, col("pair")).limit(1)
+          .collect()(0) // ONE row: the argmax pair (bounded driver pull)
+        val (pair, c) = (top.getString(0), top.getLong(1))
+        cur = cur.withColumn("s", regexp_replace(col("s"),
+          java.util.regex.Pattern.quote(s" $pair "),
+          java.util.regex.Matcher.quoteReplacement(
+            s" ${pair.replace(" ", "")} ")))
+        (step, pair, pair.replace(" ", ""), c)
+      }
+      import spark.implicits._
+      merges.toDF("step", "pair", "merged", "c").orderBy("step")
+    },
+
     // LSH index health — the audit that SIZES the near-dup pipeline:
     // per band, the bucket-count distribution and the exact candidate
     // -pair workload Σ c·(c-1)/2 it implies. A skewed bucket (shared
