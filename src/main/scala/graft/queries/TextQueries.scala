@@ -270,6 +270,81 @@ object TextQueries {
        |          JOIN shx b ON b.doc_id = c.$b AND b.tok = a.tok
        |          GROUP BY 1, 2)""".stripMargin
 
+  /** The clean-corpus survivor stages — ONE implementation for the
+    * q89 funnel and the q108 training-shard capstone (a drop rule
+    * changed in one and not the other would silently fork the
+    * pipeline's meaning): s1 quality floor, s2 exact-fingerprint
+    * dedup (keep min doc_id), s3 near-dup cluster dedup (keep each
+    * cluster's minimum), s4 holdout + 8-gram decontamination. All
+    * four persisted — each feeds the next stage AND the accounting.
+    */
+  private def cleanStages(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables(spark, dir).documents
+    val s1 = withToks(docs, col("doc_id"))
+      .filter(size(col("t")) >= 30).select("doc_id").persist()
+    val s2 = docs
+      .select(col("doc_id"), md5(regexp_replace(lower(trim(col("text"))),
+        "\\s+", " ")).as("f"))
+      .join(s1, "doc_id")
+      .groupBy("f").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").persist()
+    // LSH candidate pairs restricted to survivors, min-label
+    // components, keep each cluster's minimum member
+    val cand2 = lshPipeline(spark, dir)._1
+      .join(s2.withColumnRenamed("doc_id", "d1"), "d1")
+      .join(s2.withColumnRenamed("doc_id", "d2"), "d2")
+    val dropped3 = DupClusters.clusters(cand2)
+      .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+    val s3 = s2.join(dropped3, Seq("doc_id"), "left_anti").persist()
+    // drop the held-out benchmark split + anything sharing an 8-gram
+    // with it (the q74 rule). Grams are computed only for benchmark ∪
+    // stage-3 survivors — at scale the gram explosion must track the
+    // SURVIVOR set, not the raw corpus
+    val g8src = docs.join(
+      s3.unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val g8 = withNgrams(g8src, 8, "g", col("doc_id")).persist()
+    val bench = g8.filter(col("doc_id") % 11 === 0)
+      .select(explode(col("g")).as("gram")).distinct()
+    val cont = g8.join(s3, "doc_id").filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), explode(col("g")).as("gram"))
+      .join(broadcast(bench), "gram")
+      .select("doc_id").distinct()
+    val s4 = s3.filter(col("doc_id") % 11 =!= 0)
+      .join(cont, Seq("doc_id"), "left_anti").persist()
+    (s1, s2, s3, s4)
+  }
+
+  /** DuckDB rendering of the same four stages (CTEs s1..s4 on top of
+    * the duckCand block; callers prepend WITH RECURSIVE).
+    */
+  private def duckCleanStages: String =
+    s"""$duckCand,
+       |s1 AS (SELECT doc_id FROM toks WHERE len(t) >= 30),
+       |fp AS (SELECT d.doc_id,
+       |    md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS f
+       |  FROM documents d JOIN s1 ON d.doc_id = s1.doc_id),
+       |s2 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+       |candf AS (SELECT d1, d2 FROM cand
+       |  WHERE d1 IN (SELECT doc_id FROM s2)
+       |    AND d2 IN (SELECT doc_id FROM s2)),
+       |${duckComponents("candf")},
+       |s3 AS (SELECT s2.doc_id FROM s2 LEFT JOIN cl
+       |    ON s2.doc_id = cl.doc_id
+       |  WHERE cl.cluster IS NULL OR cl.cluster = s2.doc_id),
+       |g8 AS (SELECT doc_id, ${duckNgrams(8)} AS g FROM toks),
+       |bench AS (SELECT DISTINCT unnest(g) AS gram FROM g8
+       |          WHERE doc_id % 11 = 0),
+       |tg AS (SELECT g8.doc_id, unnest(g8.g) AS gram
+       |       FROM g8 JOIN s3 ON g8.doc_id = s3.doc_id
+       |       WHERE g8.doc_id % 11 <> 0),
+       |cont AS (SELECT DISTINCT tg.doc_id FROM tg
+       |         JOIN bench USING (gram)),
+       |s4 AS (SELECT doc_id FROM s3 WHERE doc_id % 11 <> 0
+       |       AND doc_id NOT IN (SELECT doc_id FROM cont))""".stripMargin
+
   /** DuckDB CTEs for the banded candidate pairs (shared by q38/q39/q59). */
   private def duckCand: String =
     s"""$duckSig,
@@ -1027,29 +1102,7 @@ object TextQueries {
     // persist) — nothing in any stage is quadratic in the corpus.
     QueryDef(
       "q89_clean_corpus",
-      s"""WITH RECURSIVE $duckCand,
-         |s1 AS (SELECT doc_id FROM toks WHERE len(t) >= 30),
-         |fp AS (SELECT d.doc_id,
-         |    md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS f
-         |  FROM documents d JOIN s1 ON d.doc_id = s1.doc_id),
-         |s2 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
-         |candf AS (SELECT d1, d2 FROM cand
-         |  WHERE d1 IN (SELECT doc_id FROM s2)
-         |    AND d2 IN (SELECT doc_id FROM s2)),
-         |${duckComponents("candf")},
-         |s3 AS (SELECT s2.doc_id FROM s2 LEFT JOIN cl
-         |    ON s2.doc_id = cl.doc_id
-         |  WHERE cl.cluster IS NULL OR cl.cluster = s2.doc_id),
-         |g8 AS (SELECT doc_id, ${duckNgrams(8)} AS g FROM toks),
-         |bench AS (SELECT DISTINCT unnest(g) AS gram FROM g8
-         |          WHERE doc_id % 11 = 0),
-         |tg AS (SELECT g8.doc_id, unnest(g8.g) AS gram
-         |       FROM g8 JOIN s3 ON g8.doc_id = s3.doc_id
-         |       WHERE g8.doc_id % 11 <> 0),
-         |cont AS (SELECT DISTINCT tg.doc_id FROM tg
-         |         JOIN bench USING (gram)),
-         |s4 AS (SELECT doc_id FROM s3 WHERE doc_id % 11 <> 0
-         |       AND doc_id NOT IN (SELECT doc_id FROM cont))
+      s"""WITH RECURSIVE $duckCleanStages
          |SELECT stage, CAST(n_in AS BIGINT) AS n_in,
          |  CAST(n_in - n_out AS BIGINT) AS n_dropped,
          |  CAST(n_out AS BIGINT) AS n_out
@@ -1065,42 +1118,7 @@ object TextQueries {
          |    (SELECT count(*) FROM s3), (SELECT count(*) FROM s4))
          |ORDER BY stage""".stripMargin) { (spark, dir) =>
       val docs = Tables(spark, dir).documents
-      // stage 1: quality floor (the q34 medium+ band)
-      val s1 = withToks(docs, col("doc_id"))
-        .filter(size(col("t")) >= 30).select("doc_id").persist()
-      // stage 2: exact dedup by the q35 fingerprint, keep min doc_id
-      val s2 = docs
-        .select(col("doc_id"), md5(regexp_replace(lower(trim(col("text"))),
-          "\\s+", " ")).as("f"))
-        .join(s1, "doc_id")
-        .groupBy("f").agg(min("doc_id").as("doc_id"))
-        .select("doc_id").persist()
-      // stage 3: LSH candidate pairs restricted to survivors, min-
-      // label components, keep each cluster's minimum member
-      val cand2 = lshPipeline(spark, dir)._1
-        .join(s2.withColumnRenamed("doc_id", "d1"), "d1")
-        .join(s2.withColumnRenamed("doc_id", "d2"), "d2")
-      val dropped3 = DupClusters.clusters(cand2)
-        .filter(col("doc_id") =!= col("cluster")).select("doc_id")
-      val s3 = s2.join(dropped3, Seq("doc_id"), "left_anti").persist()
-      // stage 4: drop the held-out benchmark split + anything sharing
-      // an 8-gram with it (the q74 rule). Grams are computed only for
-      // benchmark ∪ stage-3 survivors — at scale the gram explosion
-      // must track the SURVIVOR set, not the raw corpus (already-
-      // dropped docs contribute nothing to either join side)
-      val g8src = docs.join(
-        s3.unionByName(docs.filter(col("doc_id") % 11 === 0)
-          .select("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi")
-      val g8 = withNgrams(g8src, 8, "g", col("doc_id")).persist()
-      val bench = g8.filter(col("doc_id") % 11 === 0)
-        .select(explode(col("g")).as("gram")).distinct()
-      val cont = g8.join(s3, "doc_id").filter(col("doc_id") % 11 =!= 0)
-        .select(col("doc_id"), explode(col("g")).as("gram"))
-        .join(broadcast(bench), "gram")
-        .select("doc_id").distinct()
-      val s4 = s3.filter(col("doc_id") % 11 =!= 0)
-        .join(cont, Seq("doc_id"), "left_anti")
+      val (s1, s2, s3, s4) = cleanStages(spark, dir)
       def cnt(df: DataFrame, as: String): DataFrame =
         df.agg(count(lit(1)).as(as))
       def stageRow(stage: String, in: DataFrame, out: DataFrame): DataFrame =
@@ -1414,6 +1432,117 @@ object TextQueries {
           round(coalesce(col("n_kept"), lit(0L)) * lit(1.0)
             / col("n_docs"), 4).as("actual_rate"))
         .orderBy("source", "lang")
+    },
+
+    // THE TRAINING-SHARD FUNNEL — the full pipeline a 100 TB lake
+    // runs to turn a raw crawl into model inputs, as one per-stage
+    // (units, tokens) accounting table: the q89 clean stages
+    // (quality → exact dedup → near-dup → decontaminate, ONE shared
+    // implementation), then q106's mix resampling over the
+    // survivors, q100's 128/96 chunking, and q101's 2048-token
+    // packing. Units are docs through stage 5, chunks at stage 6,
+    // context bins at stage 7 — the token column is the conserved
+    // quantity a capacity plan reads. Every stage is the same kernel
+    // its standalone query oracle-checks; this query checks their
+    // COMPOSITION end to end against one independent SQL derivation.
+    QueryDef(
+      "q108_training_shard",
+      s"""WITH RECURSIVE $duckCleanStages,
+         |tn AS (SELECT t.doc_id, d.source, d.lang, len(t.t) AS n
+         |       FROM toks t JOIN documents d ON t.doc_id = d.doc_id),
+         |d5 AS (SELECT tn.* FROM tn JOIN s4 USING (doc_id)),
+         |a5 AS (SELECT source, lang, CAST(sum(n) AS BIGINT) AS n_tokens
+         |       FROM d5 GROUP BY 1, 2),
+         |t5 AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+         |         count(*) AS n_groups FROM a5),
+         |w5 AS (SELECT source, lang,
+         |         (1.0 / n_groups) / (n_tokens * 1.0 / total) AS w
+         |       FROM a5, t5),
+         |s5 AS (SELECT d5.doc_id FROM d5
+         |       JOIN w5 ON d5.source = w5.source AND d5.lang = w5.lang
+         |       WHERE ('0x'||substr(md5(CAST(d5.doc_id AS VARCHAR)),1,15))::BIGINT
+         |             < CAST(floor(least(w5.w, 1.0) * 1152921504606846976.0)
+         |                    AS BIGINT)),
+         |c6 AS (SELECT doc_id, unnest(generate_series(0, (n-1)//96)) AS i, n
+         |       FROM tn JOIN s5 USING (doc_id)),
+         |c6t AS (SELECT least(i*96+128, n) - i*96 AS ck FROM c6),
+         |p7 AS (SELECT tn.source, tn.doc_id, tn.n,
+         |         coalesce(sum(tn.n) OVER (PARTITION BY tn.source
+         |           ORDER BY tn.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |           AND 1 PRECEDING), 0) AS start_tok
+         |       FROM tn JOIN s5 USING (doc_id)),
+         |b7 AS (SELECT source, start_tok // 2048 AS bin,
+         |         CAST(sum(n) AS BIGINT) AS bt FROM p7 GROUP BY 1, 2)
+         |SELECT stage, CAST(n_units AS BIGINT) AS n_units,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM (
+         |  SELECT '0_raw' AS stage, count(*) AS n_units,
+         |    sum(n) AS n_tokens FROM tn
+         |  UNION ALL SELECT '1_quality', count(*), sum(n)
+         |    FROM tn JOIN s1 USING (doc_id)
+         |  UNION ALL SELECT '2_exact_dedup', count(*), sum(n)
+         |    FROM tn JOIN s2 USING (doc_id)
+         |  UNION ALL SELECT '3_near_dup', count(*), sum(n)
+         |    FROM tn JOIN s3 USING (doc_id)
+         |  UNION ALL SELECT '4_decontaminate', count(*), sum(n)
+         |    FROM tn JOIN s4 USING (doc_id)
+         |  UNION ALL SELECT '5_resample', count(*), sum(n)
+         |    FROM tn JOIN s5 USING (doc_id)
+         |  UNION ALL SELECT '6_chunk', count(*), sum(ck) FROM c6t
+         |  UNION ALL SELECT '7_pack', count(*), sum(bt) FROM b7)
+         |ORDER BY stage""".stripMargin) { (spark, dir) =>
+      val (s1, s2, s3, s4) = cleanStages(spark, dir)
+      val tn = withToks(Tables(spark, dir).documents,
+          col("doc_id"), col("source"), col("lang"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(col("t")).as("n"))
+        .persist() // every stage's accounting reads this frame
+      def stage(name: String, ids: DataFrame): DataFrame =
+        tn.join(ids, Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("n_units"), sum("n").as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_units"), col("n_tokens"))
+      // stage 5: q106's equalizing resample, weights learned on the
+      // stage-4 survivors (the set actually being shipped)
+      val d5 = tn.join(s4, Seq("doc_id"), "left_semi").persist()
+      val a5 = d5.groupBy("source", "lang").agg(sum("n").as("n_tokens"))
+      val t5 = a5.agg(sum("n_tokens").as("total"),
+        count(lit(1)).as("n_groups"))
+      val w5 = a5.crossJoin(broadcast(t5))
+        .select(col("source"), col("lang"),
+          ((lit(1.0) / col("n_groups"))
+            / (col("n_tokens") * lit(1.0) / col("total"))).as("w"))
+      val s5 = d5.join(broadcast(w5), Seq("source", "lang"))
+        .filter(graft.functions.KmvSketch.md5Hash60(col("doc_id")) <
+          floor(least(col("w"), lit(1.0)) * lit(1.152921504606846976e18))
+            .cast("long"))
+        .select("doc_id").persist()
+      // stage 6: q100's sliding windows over the shipped set
+      val c6 = tn.join(s5, Seq("doc_id"), "left_semi")
+        .select(col("n"), explode(sequence(lit(0),
+          ((col("n") - 1) / 96).cast("int"))).as("i"))
+        .select((least(col("i") * 96 + 128, col("n"))
+          - col("i") * 96).as("ck"))
+      val st6 = c6.agg(count(lit(1)).as("n_units"), sum("ck").as("n_tokens"))
+        .select(lit("6_chunk").as("stage"), col("n_units"), col("n_tokens"))
+      // stage 7: q101's concatenate-then-cut bins per source
+      val w7 = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val st7 = tn.join(s5, Seq("doc_id"), "left_semi")
+        .withColumn("start_tok", coalesce(sum("n").over(w7), lit(0L)))
+        .select(col("source"),
+          (col("start_tok") / 2048).cast("int").as("bin"), col("n"))
+        .groupBy("source", "bin").agg(sum("n").as("bt"))
+        .agg(count(lit(1)).as("n_units"), sum("bt").as("n_tokens"))
+        .select(lit("7_pack").as("stage"), col("n_units"), col("n_tokens"))
+      stage("0_raw", tn.select("doc_id"))
+        .unionByName(stage("1_quality", s1))
+        .unionByName(stage("2_exact_dedup", s2))
+        .unionByName(stage("3_near_dup", s3))
+        .unionByName(stage("4_decontaminate", s4))
+        .unionByName(stage("5_resample", s5))
+        .unionByName(st6)
+        .unionByName(st7)
+        .orderBy("stage")
     },
 
     // BPE TRAINING — the distributed tokenizer-trainer counterpart
