@@ -37,15 +37,8 @@ object Graft {
     * [[minhashBands]] — shuffle keyed by bucket, never all-pairs.
     * Verify candidates with exact Jaccard (q39 shape) before acting.
     */
-  def nearDupCandidates(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val bands = minhashBands(spark, docs)
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-  }
+  def nearDupCandidates(spark: SparkSession, docs: DataFrame): DataFrame =
+    graft.queries.TextQueries.candidatesFromBands(minhashBands(spark, docs))
 
   /** Asymmetric probe of a NEW batch against a stored band index
     * (the q102 / steady-state shape): `index` is the distinct

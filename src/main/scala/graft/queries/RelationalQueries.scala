@@ -586,16 +586,22 @@ object RelationalQueries {
         | CAST(max(event_id) AS BIGINT) AS max_id
         |FROM t GROUP BY 1 ORDER BY change_type""".stripMargin) { (spark, dir) =>
       val ev = Tables(spark, dir).events.select(col("event_id"), col("value"))
+      // explicit presence flags, NOT value nullity: a key present on
+      // both sides with a NULL value is 'unchanged'/'changed', never
+      // 'added'/'removed' — the oracle classifies by key nullity and
+      // a real lake diff must too (NULL values are routine in CDC)
       val a = ev.filter(col("event_id") % 5 =!= 4)
-        .select(col("event_id"), col("value").as("va"))
+        .select(col("event_id"), col("value").as("va"),
+          lit(true).as("in_a"))
       val b = ev.filter(col("event_id") % 5 =!= 0)
         .select(col("event_id"),
           when(col("event_id") % 3 === 0, col("value") + 1.0)
-            .otherwise(col("value")).as("vb"))
+            .otherwise(col("value")).as("vb"),
+          lit(true).as("in_b"))
       a.join(b, Seq("event_id"), "full_outer")
         .withColumn("change_type",
-          when(col("va").isNull, "added")
-            .when(col("vb").isNull, "removed")
+          when(col("in_a").isNull, "added")
+            .when(col("in_b").isNull, "removed")
             .when(col("va") =!= col("vb"), "changed")
             .otherwise("unchanged"))
         .groupBy("change_type")

@@ -205,6 +205,19 @@ object TextQueries {
   private[graft] def docBands(spark: SparkSession, docs: DataFrame): DataFrame =
     withBands(withSig(spark, withShingles(docs, col("doc_id"))))
 
+  /** Symmetric candidate pairs (d1 < d2) from a bands frame — ONE
+    * join implementation for the oracle-checked q38 pipeline and the
+    * public facade (graft.api.Graft.nearDupCandidates), so the
+    * library's pair semantics can't fork from the hash-checked path.
+    */
+  private[graft] def candidatesFromBands(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+
   /** Shared LSH pipeline: staged shingles → signatures → banded
     * candidate pairs. Returns (candidates, shingles, signatures);
     * the signature frame is the one lshPipeline already persisted
@@ -222,13 +235,7 @@ object TextQueries {
     val shl0 = withShingles(docs, col("doc_id"))
     val shl = if (keepShingles) shl0.persist() else shl0
     val sig = withSig(spark, shl).persist()
-    val bands = withBands(sig)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    (cand, shl, sig)
+    (candidatesFromBands(withBands(sig)), shl, sig)
   }
 
   /** DuckDB rendering of the same banding scheme. */
@@ -1534,7 +1541,9 @@ object TextQueries {
         .groupBy("source", "bin").agg(sum("n").as("bt"))
         .agg(count(lit(1)).as("n_units"), sum("bt").as("n_tokens"))
         .select(lit("7_pack").as("stage"), col("n_units"), col("n_tokens"))
-      stage("0_raw", tn.select("doc_id"))
+      // 0_raw is a plain aggregate over tn — no self-semi-join
+      tn.agg(count(lit(1)).as("n_units"), sum("n").as("n_tokens"))
+        .select(lit("0_raw").as("stage"), col("n_units"), col("n_tokens"))
         .unionByName(stage("1_quality", s1))
         .unionByName(stage("2_exact_dedup", s2))
         .unionByName(stage("3_near_dup", s3))
@@ -1556,8 +1565,11 @@ object TextQueries {
     // the per-step driver pull is exactly ONE row (the argmax pair),
     // the same bounded pattern as DupClusters' convergence check.
     // Greedy left-to-right replace is identical in Spark and DuckDB
-    // (non-overlapping leftmost), and symbols are space-delimited
-    // with padding so a merge can never match inside another symbol.
+    // (non-overlapping leftmost), symbols are space-delimited with
+    // padding so a merge can never match inside another symbol, and
+    // each merge applies TWO replace passes so adjacency chains
+    // ('x y x y …', where one pass loses every second occurrence to
+    // the shared delimiter) merge exactly like symbol-level BPE.
     QueryDef(
       "q107_bpe_train", {
         def pairsCte(w: String, p: String): String =
@@ -1573,7 +1585,9 @@ object TextQueries {
              |$t AS (SELECT pair, c FROM $p ORDER BY c DESC, pair LIMIT 1),
              |$w1 AS (SELECT replace(s, ' ' || $t.pair || ' ',
              |    ' ' || replace($t.pair, ' ', '') || ' ') AS s, freq
-             |  FROM $w0, $t)""".stripMargin
+             |  FROM (SELECT replace(s, ' ' || $t.pair || ' ',
+             |      ' ' || replace($t.pair, ' ', '') || ' ') AS s, freq
+             |    FROM $w0, $t), $t)""".stripMargin
         }
         s"""WITH words AS (SELECT lower(w) AS word, count(*) AS freq
            |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
@@ -1599,22 +1613,39 @@ object TextQueries {
         .select(concat(lit(" "),
           regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("freq"))
         .persist()
-      def pairsOf(s: Column): Column = {
-        val a = split(trim(s), " ")
-        transform(sequence(lit(1), size(a) - 1),
-          i => concat(element_at(a, i), lit(" "), element_at(a, i + 1)))
-      }
+      // guard like withNgrams: a word fully merged to ONE symbol has
+      // no pairs — Spark's sequence(1, 0) counts DOWN and would index
+      // element_at(a, 0); DuckDB's generate_series(1, 0) is empty
+      def pairsExpr(a: Column): Column =
+        when(size(a) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(a) - 1),
+            i => concat(element_at(a, i), lit(" "), element_at(a, i + 1))))
       var cur = words
       val merges = (1 to 3).map { step =>
-        val top = cur.select(col("freq"), explode(pairsOf(col("s"))).as("pair"))
+        val top = cur
+          // stage the symbol array as an attribute first — element_at
+          // inside the lambda would re-split per pair (the withToks
+          // 13× trap)
+          .select(col("freq"), split(trim(col("s")), " ").as("a"))
+          .select(col("freq"), explode(pairsExpr(col("a"))).as("pair"))
           .groupBy("pair").agg(sum("freq").as("c"))
           .orderBy(col("c").desc, col("pair")).limit(1)
           .collect()(0) // ONE row: the argmax pair (bounded driver pull)
         val (pair, c) = (top.getString(0), top.getLong(1))
-        cur = cur.withColumn("s", regexp_replace(col("s"),
+        // TWO replace passes = exact symbol-level greedy merge: a
+        // single pass misses every second occurrence in an adjacency
+        // chain ('x y x y' — the shared delimiter space is consumed
+        // by the previous match), and after pass one the skipped
+        // occurrences are pairwise non-adjacent, so pass two catches
+        // them all. Same two passes in the oracle.
+        def sub(c: Column): Column = regexp_replace(c,
           java.util.regex.Pattern.quote(s" $pair "),
           java.util.regex.Matcher.quoteReplacement(
-            s" ${pair.replace(" ", "")} ")))
+            s" ${pair.replace(" ", "")} "))
+        // persist per step: the DupClusters pattern — without it step
+        // k re-executes every prior merge chain from the base frame
+        // (and a production-depth merge loop would die on lineage)
+        cur = cur.withColumn("s", sub(sub(col("s")))).persist()
         (step, pair, pair.replace(" ", ""), c)
       }
       import spark.implicits._

@@ -35,10 +35,17 @@ class GraftApiSpec extends AnyFunSuite {
   }
 
   test("index probe flags only new docs that hit the stored buckets") {
+    import spark.implicits._
     val index = Graft.minhashBands(spark, docs.filter(col("doc_id") <= 2))
       .select("band", "bucket").distinct()
-    val hits = Graft.nearDupProbe(spark, docs.filter(col("doc_id") >= 3), index)
+    // the "new batch": an exact copy of indexed doc 1 (must hit every
+    // bucket) plus the unrelated doc 3 (must never hit)
+    val newDocs = docs.filter(col("doc_id") === 3)
+      .unionByName(docs.filter(col("doc_id") === 1)
+        .select(lit(5L).as("doc_id"), col("text")))
+    val hits = Graft.nearDupProbe(spark, newDocs, index)
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(hits.contains(5L), s"planted duplicate missed: $hits")
     assert(!hits.contains(3L)) // unrelated doc never probes in
   }
 
