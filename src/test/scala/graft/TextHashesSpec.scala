@@ -73,4 +73,61 @@ class TextHashesSpec extends AnyFunSuite {
       .collect()(0)
     assert(out.isNullAt(0))
   }
+
+  test("property: rolling windows equal direct per-window polynomial hashes") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // codepoints incl. beyond-BMP: the kernel rolls over CODEPOINTS,
+    // not UTF-16 chars — an emoji must be one symbol, not two
+    val cpGen = Gen.frequency(
+      8 -> Gen.choose('a'.toInt, 'z'.toInt),
+      2 -> Gen.oneOf(0xE9, 0x4E2D, 0x1F600))
+    val caseGen = for {
+      cps <- Gen.listOf(cpGen)
+      k <- Gen.choose(1, 6)
+    } yield (cps, k)
+    def naive(cps: Seq[Int], k: Int): Seq[Long] =
+      (0 to cps.length - k).map { i =>
+        cps.slice(i, i + k).foldLeft(0L)(_ * TextHashes.Base + _)
+      }
+    val prop = Prop.forAll(caseGen) { case (cps, k) =>
+      val s = org.apache.spark.unsafe.types.UTF8String.fromString(
+        new String(cps.flatMap(Character.toChars(_).toSeq).toArray))
+      val got = TextHashes.rollingWindows(s, k)
+      (0 until got.numElements()).map(got.getLong) == naive(cps, k)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: window minima equal naive sliding minimum") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val caseGen = for {
+      hs <- Gen.listOf(Gen.choose(Long.MinValue / 2, Long.MaxValue / 2))
+      w <- Gen.choose(1, 5)
+    } yield (hs, w)
+    val prop = Prop.forAll(caseGen) { case (hs, w) =>
+      val got = TextHashes.windowMins(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(hs.toArray), w)
+      val want = hs.sliding(w).filter(_.size == w).map(_.min).toSeq
+      (0 until got.numElements()).map(got.getLong) == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: one-pass signature equals the reference for random shingles") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val shingleGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+    val prop = Prop.forAll(shingleGen) { shingles =>
+      val sig = Seq(shingles).toDF("sh")
+        .select(TextHashes.minhashSig(spark, col("sh")).as("sig"))
+        .collect()(0).getSeq[Long](0)
+      sig == expectedSig(shingles)
+    }
+    // Spark job per case — keep the count modest
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
