@@ -98,6 +98,21 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning"), plan.take(800))
   }
 
+  test("the dot-product kernel runs inside a codegen stage (starred node)") {
+    // every graft expression ships doGenCode; a regression to
+    // CodegenFallback would silently interpret the hot path. AQE
+    // plan strings mark whole-stage-codegen nodes with `*(n)` — the
+    // line evaluating dotproduct must be starred. (q37's minhash
+    // projection is deliberately NOT asserted codegen'd: its INPUT is
+    // a higher-order transform(), which Spark never codegens — the
+    // kernel there wins by being one eval over a staged attribute.)
+    val plan = planOf(SparkEntry.queries("q42_knn_bruteforce")(spark, sf))
+    val dotLines = plan.split("\n").filter(_.contains("dotproduct"))
+    assert(dotLines.nonEmpty, plan.take(600))
+    assert(dotLines.exists(_.contains("*(")),
+      s"dotproduct evaluated outside codegen:\n${dotLines.mkString("\n")}")
+  }
+
   test("q93 bloom prune: fact side never sort-merge joins; bitset has map-side partials") {
     val plan = planOf(SparkEntry.queries("q93_bloom_prune")(spark, sf))
     // the 4 KB bitset and the key set both broadcast — shuffling
