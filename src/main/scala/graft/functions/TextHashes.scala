@@ -152,6 +152,58 @@ object TextHashes {
       copy(c)
   }
 
+  /** Distinct word n-grams of a token array in first-occurrence
+    * order — the native one-pass form of
+    * `array_distinct(transform(sequence(...), i -> concat_ws(...)))`,
+    * whose lambda is interpreted per element (HOFs never codegen) and
+    * re-evaluates element_at chains per gram. Fewer than n tokens ⇒
+    * empty, null tokens skipped within a gram — both exactly matching
+    * the expression formulation (cross-checked by property test).
+    */
+  def ngramsEval(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    if (n > 0) {
+      val sep = UTF8String.fromString(" ")
+      var i = 0
+      while (i <= len - n) {
+        val parts = new java.util.ArrayList[UTF8String](n)
+        var j = 0
+        while (j < n) {
+          val t = toks.getUTF8String(i + j)
+          if (t != null) parts.add(t)
+          j += 1
+        }
+        seen.add(UTF8String.concatWs(sep,
+          parts.toArray(new Array[UTF8String](parts.size())): _*))
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  case class NGrams(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType.isInstanceOf[ArrayType] &&
+          left.dataType.asInstanceOf[ArrayType].elementType == StringType &&
+          right.dataType == IntegerType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_ngrams expects (ARRAY<STRING>, INT), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    override def dataType: DataType = ArrayType(StringType, false)
+    override def nullSafeEval(t: Any, n: Any): Any =
+      ngramsEval(t.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (t, n) =>
+        s"${ev.value} = graft.functions.TextHashes.ngramsEval($t, $n);")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): NGrams = copy(l, r)
+  }
+
   case class RollingHash(left: Expression, right: Expression)
       extends BinaryExpression {
     // analysis-time rejection (AbstractDataType is private[sql], so
@@ -200,7 +252,8 @@ object TextHashes {
   val Builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_rollhash" -> (es => RollingHash(es.head, es(1))),
     "graft_winmin" -> (es => WindowMin(es.head, es(1))),
-    "graft_minhash" -> (es => MinHashSig(es.head)))
+    "graft_minhash" -> (es => MinHashSig(es.head)),
+    "graft_ngrams" -> (es => NGrams(es.head, es(1))))
 
   def ensureRegistered(spark: SparkSession): Unit =
     Builders.foreach { case (n, b) =>

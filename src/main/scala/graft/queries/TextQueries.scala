@@ -46,17 +46,18 @@ object TextQueries {
   /** The shingle kernel, parameterized by n — ONE implementation for
     * the 3-gram near-dup family (q37-q39) and the 8-gram
     * decontamination grams (q74): distinct word n-grams over the
-    * staged token column, empty below n tokens.
+    * staged token column, empty below n tokens. Native expression
+    * (TextHashes.NGrams): the HOF formulation
+    * (array_distinct(transform(...))) is interpreted per element and
+    * re-evaluates its element_at chain per gram — the kernel is one
+    * call per row and stays inside codegen; TextHashesSpec
+    * property-checks the two produce identical arrays.
     */
   private def withNgrams(df: DataFrame, n: Int, out: String,
       keep: Column*): DataFrame = {
-    val t = col("t")
-    withToks(df, keep: _*).select(keep :+ array_distinct(
-      when(size(t) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws(" ",
-            (0 until n).map(j => element_at(t, i + j)): _*))))
-      .as(out): _*)
+    graft.functions.TextHashes.ensureRegistered(df.sparkSession)
+    withToks(df, keep: _*).select(keep :+
+      call_function("graft_ngrams", col("t"), lit(n)).as(out): _*)
   }
 
   /** Non-overlapping 8-token chunk kernel over the staged tokens —

@@ -25,7 +25,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(spark.sessionState.functionRegistry
         .functionExists(FunctionIdentifier(n)), s"$n not in registry")
     }
-    assert(GraftExtensions.All.size == 9) // one SQL call each below
+    assert(GraftExtensions.All.size == 10) // one SQL call each below
+    val grams = spark.sql(
+      "SELECT graft_ngrams(array('a', 'b', 'c', 'b', 'c'), 2) AS g")
+      .collect()(0).getSeq[String](0)
+    assert(grams == Seq("a b", "b c", "c b")) // distinct, first-occurrence order
     val dot = spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .collect()(0).getDouble(0)
@@ -84,7 +88,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "graft_bloom" -> Seq(Literal(1L), Literal(1024)),
       "graft_bloom_contains" -> Seq(
         Literal.create(Seq(0L, 3L), ArrayType(LongType)), Literal(1L)),
-      "graft_topk" -> Seq(Literal("a"), Literal(1L), Literal(5)))
+      "graft_topk" -> Seq(Literal("a"), Literal(1L), Literal(5)),
+      "graft_ngrams" -> Seq(
+        Literal.create(Seq("a", "b"), ArrayType(StringType)), Literal(2)))
     GraftExtensions.All.foreach { case (n, b) =>
       val args = sampleArgs.getOrElse(n,
         fail(s"no sample args for $n — add them when adding a function"))

@@ -74,6 +74,32 @@ class TextHashesSpec extends AnyFunSuite {
     assert(out.isNullAt(0))
   }
 
+  test("property: native n-grams equal the HOF expression formulation") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    TextHashes.ensureRegistered(spark)
+    // includes repeated tokens (distinct-order coverage) and arrays
+    // shorter than n (the empty guard)
+    val caseGen = for {
+      toks <- Gen.listOf(Gen.oneOf("a", "b", "cc", "d", "a"))
+      n <- Gen.choose(2, 4)
+    } yield (toks, n)
+    val prop = Prop.forAll(caseGen) { case (toks, n) =>
+      val df = Seq(toks).toDF("t")
+      val native = df.select(call_function("graft_ngrams", col("t"), lit(n)))
+        .collect()(0).getSeq[String](0)
+      val hof = df.select(array_distinct(
+        when(size(col("t")) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("t")) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(j => element_at(col("t"), i + j)): _*)))))
+        .collect()(0).getSeq[String](0)
+      native == hof
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: rolling windows equal direct per-window polynomial hashes") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // codepoints incl. beyond-BMP: the kernel rolls over CODEPOINTS,
