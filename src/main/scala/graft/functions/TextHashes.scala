@@ -160,22 +160,18 @@ object TextHashes {
     * empty, null tokens skipped within a gram — both exactly matching
     * the expression formulation (cross-checked by property test).
     */
+  private val GramSep = UTF8String.fromString(" ")
+
   def ngramsEval(toks: ArrayData, n: Int): ArrayData = {
     val len = toks.numElements()
     val seen = new java.util.LinkedHashSet[UTF8String]()
-    if (n > 0) {
-      val sep = UTF8String.fromString(" ")
-      var i = 0
+    if (n > 0 && len >= n) {
+      val buf = new Array[UTF8String](n) // reused per gram; concatWs
+      var i = 0                          // skips the null entries
       while (i <= len - n) {
-        val parts = new java.util.ArrayList[UTF8String](n)
         var j = 0
-        while (j < n) {
-          val t = toks.getUTF8String(i + j)
-          if (t != null) parts.add(t)
-          j += 1
-        }
-        seen.add(UTF8String.concatWs(sep,
-          parts.toArray(new Array[UTF8String](parts.size())): _*))
+        while (j < n) { buf(j) = toks.getUTF8String(i + j); j += 1 }
+        seen.add(UTF8String.concatWs(GramSep, buf: _*))
         i += 1
       }
     }
@@ -274,5 +270,10 @@ object TextHashes {
   def windowMin(spark: SparkSession, hs: Column, w: Int): Column = {
     ensureRegistered(spark)
     call_function("graft_winmin", hs, org.apache.spark.sql.functions.lit(w))
+  }
+
+  def ngrams(spark: SparkSession, toks: Column, n: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_ngrams", toks, org.apache.spark.sql.functions.lit(n))
   }
 }

@@ -36,9 +36,8 @@ object TextQueries {
   private def withToks(df: DataFrame, keep: Column*): DataFrame =
     df.select(keep :+ toks(col("text")).as("t"): _*)
 
-  /** Distinct word n-gram shingles (n=3) over the staged tokens.
-    * Guard: <n tokens ⇒ empty (Spark's sequence(1,0) would count
-    * DOWN, not produce empty).
+  /** Distinct word n-gram shingles (n=3) over the staged tokens;
+    * <n tokens ⇒ empty (the kernel's loop bound).
     */
   private def withShingles(df: DataFrame, keep: Column*): DataFrame =
     withNgrams(df, 3, "sh", keep: _*)
@@ -54,11 +53,10 @@ object TextQueries {
     * property-checks the two produce identical arrays.
     */
   private def withNgrams(df: DataFrame, n: Int, out: String,
-      keep: Column*): DataFrame = {
-    graft.functions.TextHashes.ensureRegistered(df.sparkSession)
+      keep: Column*): DataFrame =
     withToks(df, keep: _*).select(keep :+
-      call_function("graft_ngrams", col("t"), lit(n)).as(out): _*)
-  }
+      graft.functions.TextHashes.ngrams(df.sparkSession, col("t"), n)
+        .as(out): _*)
 
   /** Non-overlapping 8-token chunk kernel over the staged tokens —
     * ONE implementation for the span family (q75's metric and q99's

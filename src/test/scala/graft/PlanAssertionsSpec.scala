@@ -98,19 +98,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning"), plan.take(800))
   }
 
-  test("the dot-product kernel runs inside a codegen stage (starred node)") {
+  test("native kernels run inside codegen stages (starred plan nodes)") {
     // every graft expression ships doGenCode; a regression to
     // CodegenFallback would silently interpret the hot path. AQE
-    // plan strings mark whole-stage-codegen nodes with `*(n)` — the
-    // line evaluating dotproduct must be starred. (q37's minhash
-    // projection is deliberately NOT asserted codegen'd: its INPUT is
-    // a higher-order transform(), which Spark never codegens — the
-    // kernel there wins by being one eval over a staged attribute.)
-    val plan = planOf(SparkEntry.queries("q42_knn_bruteforce")(spark, sf))
-    val dotLines = plan.split("\n").filter(_.contains("dotproduct"))
-    assert(dotLines.nonEmpty, plan.take(600))
-    assert(dotLines.exists(_.contains("*(")),
-      s"dotproduct evaluated outside codegen:\n${dotLines.mkString("\n")}")
+    // plan strings mark whole-stage-codegen nodes with `*(n)`. The
+    // minhash projection only became codegen-eligible when the
+    // shingle HOF was replaced by the native n-gram kernel — this
+    // assertion pins that win.
+    def starred(q: String, kernel: String): Unit = {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      val lines = plan.split("\n").filter(_.contains(kernel))
+      assert(lines.nonEmpty, s"$q: no $kernel in plan\n${plan.take(600)}")
+      assert(lines.exists(_.contains("*(")),
+        s"$q: $kernel evaluated outside codegen:\n${lines.mkString("\n")}")
+    }
+    starred("q42_knn_bruteforce", "dotproduct")
+    starred("q37_minhash_sig", "minhashsig")
+    starred("q37_minhash_sig", "ngrams")
   }
 
   test("q93 bloom prune: fact side never sort-merge joins; bitset has map-side partials") {

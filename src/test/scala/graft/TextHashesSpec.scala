@@ -78,10 +78,13 @@ class TextHashesSpec extends AnyFunSuite {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
     TextHashes.ensureRegistered(spark)
-    // includes repeated tokens (distinct-order coverage) and arrays
-    // shorter than n (the empty guard)
+    // includes repeated tokens (distinct-order coverage), arrays
+    // shorter than n (the empty guard), and NULL tokens (concat_ws
+    // skip parity between the kernel and the HOF)
     val caseGen = for {
-      toks <- Gen.listOf(Gen.oneOf("a", "b", "cc", "d", "a"))
+      toks <- Gen.listOf(Gen.frequency(
+        8 -> Gen.oneOf("a", "b", "cc", "d", "a").map(Option(_)),
+        1 -> Gen.const(Option.empty[String])))
       n <- Gen.choose(2, 4)
     } yield (toks, n)
     val prop = Prop.forAll(caseGen) { case (toks, n) =>
