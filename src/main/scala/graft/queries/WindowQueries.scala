@@ -184,23 +184,39 @@ object WindowQueries {
     },
 
     // Conditional aggregation: FILTER-style sums per order year.
+    // Money aggregates go through EXACT integer cents (prices are
+    // 2dp; round(x·100) is exact): a double sum is order-dependent
+    // across engines, and at sf0.001 the open-order average landed
+    // on a TRUE decimal half (…73175) that binary can't hold — the
+    // engines' round() disagreed by the 4th decimal. So the average
+    // is rounded in INTEGER space: half-up of sc·100/n is
+    // (200·sc + n) div (2·n), exact in both engines, then one
+    // identical /10000.0. The urgent sum needs no such care — cents
+    // / 100 has exactly 2 decimals, never a rounding boundary.
     QueryDef(
       "q57_conditional_agg",
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
-        | round(coalesce(sum(o_totalprice)
-        |   FILTER (WHERE o_orderpriority = '1-URGENT'), 0.0), 2) AS urgent_total,
-        | round(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4)
-        |   AS avg_open
+        | round(coalesce(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |     FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT),
+        |   0) / 100.0, 2) AS urgent_total,
+        | (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |     FILTER (WHERE o_orderstatus = 'O') AS BIGINT) * 200
+        |   + count(*) FILTER (WHERE o_orderstatus = 'O'))
+        |  // (2 * count(*) FILTER (WHERE o_orderstatus = 'O')) / 10000.0
+        |  AS avg_open
         |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin) { (spark, dir) =>
+      val cents = round(col("o_totalprice") * 100).cast("long")
       Tables(spark, dir).orders
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg(
           count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
           round(coalesce(sum(when(col("o_orderpriority") === "1-URGENT",
-            col("o_totalprice"))), lit(0.0)), 2).as("urgent_total"),
-          round(avg(when(col("o_orderstatus") === "O", col("o_totalprice"))), 4)
-            .as("avg_open"))
+            cents)), lit(0L)) / 100.0, 2).as("urgent_total"),
+          sum(when(col("o_orderstatus") === "O", cents)).as("sc"),
+          count(when(col("o_orderstatus") === "O", 1)).as("no"))
+        .select(col("o_year"), col("n_f"), col("urgent_total"),
+          (expr("(sc * 200 + no) div (no * 2)") / 10000.0).as("avg_open"))
         .orderBy("o_year")
     },
 
