@@ -29,7 +29,7 @@ object GraftExtensions {
     * parallel copy that could drift.
     */
   val All: Seq[(String, Seq[Expression] => Expression)] =
-    Seq(VectorExpressions.FnName -> VectorExpressions.Builder) ++
+    VectorExpressions.Builders ++
       TextHashes.Builders ++ BloomSketch.Builders ++
       Seq(KmvSketch.FnName -> (KmvSketch.fromExprs _),
         CmsSketch.FnName -> (CmsSketch.fromExprs _),

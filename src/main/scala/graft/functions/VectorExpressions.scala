@@ -70,22 +70,143 @@ case class DotProduct(left: Expression, right: Expression)
 object VectorExpressions {
   val FnName = "graft_dot"
 
-  /** The one builder, shared between the temp-function path below and
+  /** Exact per-element int8 quantization codes: floor((x-mn)·255 /
+    * (mx-mn)) per dimension (degenerate mx==mn dim → 0), IEEE
+    * operation order identical to the HOF formulation it replaces and
+    * to the DuckDB oracle (property-checked). One primitive loop per
+    * row instead of an interpreted lambda + three element_at chains
+    * per dimension.
+    */
+  def quantizeEval(e: ArrayData, mns: ArrayData, mxs: ArrayData): ArrayData = {
+    val n = e.numElements()
+    if (n != mns.numElements() || n != mxs.numElements()) return null
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val mn = mns.getDouble(i)
+      val mx = mxs.getDouble(i)
+      out(i) = if (mx == mn) 0
+      else math.floor((e.getDouble(i) - mn) * 255.0 / (mx - mn)).toInt
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** The reconstruction half of the same codec:
+    * mn + (q+0.5)·(mx-mn)/255 per dimension.
+    */
+  def dequantizeEval(q: ArrayData, mns: ArrayData, mxs: ArrayData): ArrayData = {
+    val n = q.numElements()
+    if (n != mns.numElements() || n != mxs.numElements()) return null
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val mn = mns.getDouble(i)
+      val mx = mxs.getDouble(i)
+      out(i) = mn + (q.getInt(i) + 0.5) * (mx - mn) / 255.0
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  abstract class CodecExpression
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    def name: String
+    def firstElem: org.apache.spark.sql.types.DataType
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.types.ArrayType
+      val ok = Seq(first, second, third).map(_.dataType).zip(
+        Seq(firstElem, DoubleType, DoubleType)).forall {
+        case (ArrayType(et, _), want) => et == want
+        case _ => false
+      }
+      if (ok) org.apache.spark.sql.catalyst.analysis
+        .TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"$name expects (ARRAY<${firstElem.simpleString}>, " +
+          "ARRAY<DOUBLE>, ARRAY<DOUBLE>), got " +
+          Seq(first, second, third).map(_.dataType.simpleString).mkString(", "))
+    }
+    override def nullable: Boolean = true
+  }
+
+  case class QuantizeInt8(first: Expression, second: Expression,
+      third: Expression) extends CodecExpression {
+    override def name: String = QuantFnName
+    override def firstElem: org.apache.spark.sql.types.DataType = DoubleType
+    override def dataType: DataType = org.apache.spark.sql.types
+      .ArrayType(org.apache.spark.sql.types.IntegerType, false)
+    override def nullSafeEval(e: Any, mns: Any, mxs: Any): Any =
+      quantizeEval(e.asInstanceOf[ArrayData], mns.asInstanceOf[ArrayData],
+        mxs.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (e, mns, mxs) => s"""
+        ${ev.value} = graft.functions.VectorExpressions.quantizeEval($e, $mns, $mxs);
+        ${ev.isNull} = ${ev.value} == null;""")
+    override protected def withNewChildrenInternal(a: Expression,
+        b: Expression, c: Expression): QuantizeInt8 = copy(a, b, c)
+  }
+
+  case class DequantizeInt8(first: Expression, second: Expression,
+      third: Expression) extends CodecExpression {
+    override def name: String = DequantFnName
+    override def firstElem: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.IntegerType
+    override def dataType: DataType = org.apache.spark.sql.types
+      .ArrayType(DoubleType, false)
+    override def nullSafeEval(q: Any, mns: Any, mxs: Any): Any =
+      dequantizeEval(q.asInstanceOf[ArrayData], mns.asInstanceOf[ArrayData],
+        mxs.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (q, mns, mxs) => s"""
+        ${ev.value} = graft.functions.VectorExpressions.dequantizeEval($q, $mns, $mxs);
+        ${ev.isNull} = ${ev.value} == null;""")
+    override protected def withNewChildrenInternal(a: Expression,
+        b: Expression, c: Expression): DequantizeInt8 = copy(a, b, c)
+  }
+
+  val QuantFnName = "graft_quant"
+  val DequantFnName = "graft_dequant"
+
+  /** The builders, shared between the temp-function path below and
     * GraftExtensions' catalog injection — the two surfaces can't drift.
     */
   val Builder: Seq[Expression] => Expression =
     exprs => DotProduct(exprs(0), exprs(1))
+  val Builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    FnName -> Builder,
+    QuantFnName -> (es => QuantizeInt8(es(0), es(1), es(2))),
+    DequantFnName -> (es => DequantizeInt8(es(0), es(1), es(2))))
 
   /** Register once per session (idempotent), then build Columns via
     * call_function — the public Column API has no Expression
     * constructor in Spark 4.
     */
   def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, Builder, "scala_udf")
+    Builders.foreach { case (n, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(n, b, "scala_udf")
+    }
 
   def dotProduct(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function(FnName, a, b)
+  }
+
+  def quantize(spark: SparkSession, e: Column, mns: Column,
+      mxs: Column): Column = {
+    ensureRegistered(spark)
+    call_function(QuantFnName, e, mns, mxs)
+  }
+
+  def dequantize(spark: SparkSession, q: Column, mns: Column,
+      mxs: Column): Column = {
+    ensureRegistered(spark)
+    call_function(DequantFnName, q, mns, mxs)
   }
 }

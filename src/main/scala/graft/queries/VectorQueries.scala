@@ -82,24 +82,18 @@ object VectorQueries {
         .as("s"))
       .select(transform(col("s"), s => s.getField("mn")).as("mns"),
         transform(col("s"), s => s.getField("mx")).as("mxs"))
+    // native codec kernels (one primitive loop per row; the HOF
+    // lambdas they replace are interpreted with three element_at
+    // chains per dimension) — same IEEE order, property-checked.
+    // The reconstruction half lives HERE too: q76's error and q91's
+    // recall must measure the same codec, never two drifting copies.
     e.crossJoin(broadcast(stats))
       .select(col("vec_id"), col("e"), col("mns"), col("mxs"),
-        transform(sequence(lit(1), size(col("e"))), i => {
-          val x = element_at(col("e"), i)
-          val mn = element_at(col("mns"), i)
-          val mx = element_at(col("mxs"), i)
-          when(mx === mn, lit(0))
-            .otherwise(floor((x - mn) * lit(255.0) / (mx - mn)).cast("int"))
-        }).as("q"))
-      // the reconstruction half of the codec lives HERE too (staged
-      // from the q attribute) — q76's error and q91's recall must
-      // measure the same codec, never two drifting copies
+        VectorExpressions.quantize(spark, col("e"), col("mns"), col("mxs"))
+          .as("q"))
       .select(col("vec_id"), col("e"), col("mns"), col("mxs"), col("q"),
-        transform(sequence(lit(1), size(col("e"))), i => {
-          val mn = element_at(col("mns"), i)
-          val mx = element_at(col("mxs"), i)
-          mn + (element_at(col("q"), i) + lit(0.5)) * (mx - mn) / lit(255.0)
-        }).as("de"))
+        VectorExpressions.dequantize(spark, col("q"), col("mns"), col("mxs"))
+          .as("de"))
   }
 
   /** The same codes as DuckDB CTEs: yields `qc(vec_id, e, mns, mxs, q)`. */

@@ -25,7 +25,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(spark.sessionState.functionRegistry
         .functionExists(FunctionIdentifier(n)), s"$n not in registry")
     }
-    assert(GraftExtensions.All.size == 10) // one SQL call each below
+    assert(GraftExtensions.All.size == 12) // one SQL call each below
+    // int8 codec pair: code 0 for the min, roundtrip lands mid-cell
+    val codec = spark.sql(
+      """SELECT graft_quant(array(0.0D, 1.0D), array(0.0D, 0.0D),
+        |                   array(2.0D, 2.0D)) AS q""".stripMargin)
+      .collect()(0).getSeq[Int](0)
+    assert(codec == Seq(0, 127))
+    val deq = spark.sql(
+      """SELECT graft_dequant(array(0, 255), array(0.0D, 0.0D),
+        |                     array(2.0D, 2.0D)) AS d""".stripMargin)
+      .collect()(0).getSeq[Double](0)
+    assert(deq == Seq(0.5 * 2.0 / 255.0, 255.5 * 2.0 / 255.0))
     val grams = spark.sql(
       "SELECT graft_ngrams(array('a', 'b', 'c', 'b', 'c'), 2) AS g")
       .collect()(0).getSeq[String](0)
@@ -90,7 +101,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         Literal.create(Seq(0L, 3L), ArrayType(LongType)), Literal(1L)),
       "graft_topk" -> Seq(Literal("a"), Literal(1L), Literal(5)),
       "graft_ngrams" -> Seq(
-        Literal.create(Seq("a", "b"), ArrayType(StringType)), Literal(2)))
+        Literal.create(Seq("a", "b"), ArrayType(StringType)), Literal(2)),
+      "graft_quant" -> Seq(
+        Literal.create(Seq(1.0), ArrayType(DoubleType)),
+        Literal.create(Seq(0.0), ArrayType(DoubleType)),
+        Literal.create(Seq(2.0), ArrayType(DoubleType))),
+      "graft_dequant" -> Seq(
+        Literal.create(Seq(1), ArrayType(IntegerType)),
+        Literal.create(Seq(0.0), ArrayType(DoubleType)),
+        Literal.create(Seq(2.0), ArrayType(DoubleType))))
     GraftExtensions.All.foreach { case (n, b) =>
       val args = sampleArgs.getOrElse(n,
         fail(s"no sample args for $n — add them when adding a function"))

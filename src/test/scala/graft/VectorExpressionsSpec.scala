@@ -64,4 +64,39 @@ class VectorExpressionsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("property: int8 codec kernels equal the HOF formulation bit-for-bit") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // includes degenerate dims (mn == mx → code 0) via small value set
+    val vecGen = Gen.nonEmptyListOf(Gen.oneOf(-1.5, 0.0, 0.25, 1.0, 7.125))
+    val caseGen = for {
+      e <- vecGen
+      lo <- Gen.oneOf(-2.0, 0.0)
+      hi <- Gen.oneOf(0.0, 2.0, 8.0)
+    } yield (e, List.fill(e.size)(lo), List.fill(e.size)(math.max(lo, hi)))
+    val prop = Prop.forAll(caseGen) { case (e, mns, mxs) =>
+      val df = Seq((e, mns, mxs)).toDF("e", "mns", "mxs")
+      val native = df.select(
+        VectorExpressions.quantize(spark, col("e"), col("mns"), col("mxs"))
+          .as("q"))
+        .select(col("q"), VectorExpressions.dequantize(spark, col("q"),
+          typedLit(mns), typedLit(mxs)).as("de"))
+        .collect()(0)
+      val hofQ = df.select(
+        transform(sequence(lit(1), size(col("e"))), i => {
+          val x = element_at(col("e"), i)
+          val mn = element_at(col("mns"), i)
+          val mx = element_at(col("mxs"), i)
+          when(mx === mn, lit(0))
+            .otherwise(floor((x - mn) * lit(255.0) / (mx - mn)).cast("int"))
+        }).as("q")).collect()(0).getSeq[Int](0)
+      val hofDe = hofQ.zip(mns.zip(mxs)).map { case (q, (mn, mx)) =>
+        mn + (q + 0.5) * (mx - mn) / 255.0
+      }
+      native.getSeq[Int](0) == hofQ && native.getSeq[Double](1) == hofDe
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
