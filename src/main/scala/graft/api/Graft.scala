@@ -88,4 +88,15 @@ object Graft {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltBuckets: Int = 8): DataFrame =
     graft.ops.SkewJoin.saltedJoin(big, small, key, saltBuckets)
+
+  /** Int8 scalar quantization over any `(vec_id, e: ARRAY<DOUBLE>)`
+    * frame: per-dimension [min, max] learned from the corpus
+    * (order-free partials), codes + dequantized reconstructions via
+    * the native codec kernels. Returns
+    * (vec_id, e, mns, mxs, q, de) — store `q` (4× smaller) and the
+    * broadcastable stats; scan `de` for retrieval (q91 audits the
+    * recall cost of doing so).
+    */
+  def int8Codec(spark: SparkSession, embeddings: DataFrame): DataFrame =
+    graft.queries.VectorQueries.quantCodesOf(spark, embeddings)
 }

@@ -72,9 +72,15 @@ object VectorQueries {
     * Returns (vec_id, e, mns, mxs, q); the code array is staged as an
     * attribute (lambda re-eval trap).
     */
-  private def quantCodes(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+  private def quantCodes(spark: SparkSession, dir: String): DataFrame =
+    quantCodesOf(spark, Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+
+  /** The codec over any (vec_id, e: array<double>) frame — shared by
+    * the oracle-checked q76/q91/q97 path and the public facade
+    * (graft.api.Graft.int8Codec).
+    */
+  private[graft] def quantCodesOf(spark: SparkSession, e: DataFrame): DataFrame = {
     val dims = e.select(posexplode(col("e")).as(Seq("p", "x")))
       .groupBy("p").agg(min("x").as("mn"), max("x").as("mx"))
     val stats = dims

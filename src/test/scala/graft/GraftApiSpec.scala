@@ -70,6 +70,23 @@ class GraftApiSpec extends AnyFunSuite {
     assert(misses == 0) // no false negatives
   }
 
+  test("int8 codec on a user frame: codes in range, reconstruction in cell") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(0.0, 1.0, -3.0)), (2L, Seq(2.0, 1.0, 5.0)))
+      .toDF("vec_id", "e")
+    val out = Graft.int8Codec(spark, emb).orderBy("vec_id").collect()
+    assert(out.length == 2)
+    for (r <- out) {
+      val (e, q, de) = (r.getSeq[Double](1), r.getSeq[Int](4), r.getSeq[Double](5))
+      assert(q.forall(c => c >= 0 && c <= 255))
+      // reconstruction error bounded by one quantization cell
+      val (mns, mxs) = (r.getSeq[Double](2), r.getSeq[Double](3))
+      e.indices.foreach { i =>
+        assert(math.abs(de(i) - e(i)) <= (mxs(i) - mns(i)) / 255.0 + 1e-12)
+      }
+    }
+  }
+
   test("salted join equals the plain join on a user frame") {
     val big = spark.range(200).select((col("id") % 3).as("k"), col("id"))
     val dim = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
