@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native dot product over two array<double> columns.
   *
@@ -70,63 +71,69 @@ case class DotProduct(left: Expression, right: Expression)
 object VectorExpressions {
   val FnName = "graft_dot"
 
-  /** Exact per-element int8 quantization codes: floor((x-mn)·255 /
-    * (mx-mn)) per dimension (degenerate mx==mn dim → 0), IEEE
-    * operation order identical to the HOF formulation it replaces and
-    * to the DuckDB oracle (property-checked). One primitive loop per
-    * row instead of an interpreted lambda + three element_at chains
-    * per dimension.
+  /** Per-element int8 quantization codes: floor((x-mn)·255/(mx-mn))
+    * per dimension, saturating-clamped to [0, 255] (standard codec
+    * behavior for out-of-range values; in-contract inputs — stats
+    * learned from the same corpus — never clamp, so oracle parity is
+    * exact). Degenerate mx==mn dim → 0. Element-level nulls and
+    * stats arrays SHORTER than the vector produce null ELEMENTS —
+    * the same visible nulls the element_at/HOF formulation yields —
+    * never fabricated codes; stats may be longer than the vector
+    * (mixed-dimension frames), the row's own length governs. One
+    * loop per row instead of an interpreted lambda + three
+    * element_at chains per dimension.
     */
   def quantizeEval(e: ArrayData, mns: ArrayData, mxs: ArrayData): ArrayData = {
     val n = e.numElements()
-    if (n != mns.numElements() || n != mxs.numElements()) return null
-    val out = new Array[Int](n)
+    val sn = math.min(mns.numElements(), mxs.numElements())
+    val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      val mn = mns.getDouble(i)
-      val mx = mxs.getDouble(i)
-      out(i) = if (mx == mn) 0
-      else math.floor((e.getDouble(i) - mn) * 255.0 / (mx - mn)).toInt
+      if (i < sn && !e.isNullAt(i) && !mns.isNullAt(i) && !mxs.isNullAt(i)) {
+        val mn = mns.getDouble(i)
+        val mx = mxs.getDouble(i)
+        out(i) = if (mx == mn) 0
+        else {
+          val c = math.floor((e.getDouble(i) - mn) * 255.0 / (mx - mn))
+          if (c < 0.0) 0 else if (c > 255.0) 255 else c.toInt
+        }
+      } // else: stays null
       i += 1
     }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-      .fromPrimitiveArray(out)
+    new GenericArrayData(out)
   }
 
   /** The reconstruction half of the same codec:
-    * mn + (q+0.5)·(mx-mn)/255 per dimension.
+    * mn + (q+0.5)·(mx-mn)/255 per dimension; same null-element and
+    * ragged-length semantics as [[quantizeEval]].
     */
   def dequantizeEval(q: ArrayData, mns: ArrayData, mxs: ArrayData): ArrayData = {
     val n = q.numElements()
-    if (n != mns.numElements() || n != mxs.numElements()) return null
-    val out = new Array[Double](n)
+    val sn = math.min(mns.numElements(), mxs.numElements())
+    val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      val mn = mns.getDouble(i)
-      val mx = mxs.getDouble(i)
-      out(i) = mn + (q.getInt(i) + 0.5) * (mx - mn) / 255.0
+      if (i < sn && !q.isNullAt(i) && !mns.isNullAt(i) && !mxs.isNullAt(i)) {
+        val mn = mns.getDouble(i)
+        val mx = mxs.getDouble(i)
+        out(i) = mn + (q.getInt(i) + 0.5) * (mx - mn) / 255.0
+      } // else: stays null
       i += 1
     }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-      .fromPrimitiveArray(out)
+    new GenericArrayData(out)
   }
 
-  abstract class CodecExpression
-      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
-    def name: String
-    def firstElem: org.apache.spark.sql.types.DataType
-    override def checkInputDataTypes()
-        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-      import org.apache.spark.sql.types.ArrayType
+  abstract class CodecExpression extends TernaryExpression {
+    def firstElem: DataType
+    override def checkInputDataTypes(): TypeCheckResult = {
       val ok = Seq(first, second, third).map(_.dataType).zip(
         Seq(firstElem, DoubleType, DoubleType)).forall {
         case (ArrayType(et, _), want) => et == want
         case _ => false
       }
-      if (ok) org.apache.spark.sql.catalyst.analysis
-        .TypeCheckResult.TypeCheckSuccess
-      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-        .TypeCheckFailure(s"$name expects (ARRAY<${firstElem.simpleString}>, " +
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (ARRAY<${firstElem.simpleString}>, " +
           "ARRAY<DOUBLE>, ARRAY<DOUBLE>), got " +
           Seq(first, second, third).map(_.dataType.simpleString).mkString(", "))
     }
@@ -135,37 +142,32 @@ object VectorExpressions {
 
   case class QuantizeInt8(first: Expression, second: Expression,
       third: Expression) extends CodecExpression {
-    override def name: String = QuantFnName
-    override def firstElem: org.apache.spark.sql.types.DataType = DoubleType
-    override def dataType: DataType = org.apache.spark.sql.types
-      .ArrayType(org.apache.spark.sql.types.IntegerType, false)
+    override def prettyName: String = QuantFnName
+    override def firstElem: DataType = DoubleType
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
     override def nullSafeEval(e: Any, mns: Any, mxs: Any): Any =
       quantizeEval(e.asInstanceOf[ArrayData], mns.asInstanceOf[ArrayData],
         mxs.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext,
         ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (e, mns, mxs) => s"""
-        ${ev.value} = graft.functions.VectorExpressions.quantizeEval($e, $mns, $mxs);
-        ${ev.isNull} = ${ev.value} == null;""")
+      nullSafeCodeGen(ctx, ev, (e, mns, mxs) =>
+        s"${ev.value} = graft.functions.VectorExpressions.quantizeEval($e, $mns, $mxs);")
     override protected def withNewChildrenInternal(a: Expression,
         b: Expression, c: Expression): QuantizeInt8 = copy(a, b, c)
   }
 
   case class DequantizeInt8(first: Expression, second: Expression,
       third: Expression) extends CodecExpression {
-    override def name: String = DequantFnName
-    override def firstElem: org.apache.spark.sql.types.DataType =
-      org.apache.spark.sql.types.IntegerType
-    override def dataType: DataType = org.apache.spark.sql.types
-      .ArrayType(DoubleType, false)
+    override def prettyName: String = DequantFnName
+    override def firstElem: DataType = IntegerType
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
     override def nullSafeEval(q: Any, mns: Any, mxs: Any): Any =
       dequantizeEval(q.asInstanceOf[ArrayData], mns.asInstanceOf[ArrayData],
         mxs.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext,
         ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (q, mns, mxs) => s"""
-        ${ev.value} = graft.functions.VectorExpressions.dequantizeEval($q, $mns, $mxs);
-        ${ev.isNull} = ${ev.value} == null;""")
+      nullSafeCodeGen(ctx, ev, (q, mns, mxs) =>
+        s"${ev.value} = graft.functions.VectorExpressions.dequantizeEval($q, $mns, $mxs);")
     override protected def withNewChildrenInternal(a: Expression,
         b: Expression, c: Expression): DequantizeInt8 = copy(a, b, c)
   }

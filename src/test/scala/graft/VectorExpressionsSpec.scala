@@ -65,10 +65,13 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
-  test("property: int8 codec kernels equal the HOF formulation bit-for-bit") {
+  test("property: int8 codec equals the HOF formulation, saturating out of range") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
-    // includes degenerate dims (mn == mx → code 0) via small value set
+    // includes degenerate dims (mn == mx → code 0) and out-of-range
+    // values (the kernel CLAMPS to [0,255] — standard saturating
+    // quantization; in-contract corpus-learned stats never clamp, so
+    // the oracle-checked queries are unaffected)
     val vecGen = Gen.nonEmptyListOf(Gen.oneOf(-1.5, 0.0, 0.25, 1.0, 7.125))
     val caseGen = for {
       e <- vecGen
@@ -83,14 +86,11 @@ class VectorExpressionsSpec extends AnyFunSuite {
         .select(col("q"), VectorExpressions.dequantize(spark, col("q"),
           typedLit(mns), typedLit(mxs)).as("de"))
         .collect()(0)
-      val hofQ = df.select(
-        transform(sequence(lit(1), size(col("e"))), i => {
-          val x = element_at(col("e"), i)
-          val mn = element_at(col("mns"), i)
-          val mx = element_at(col("mxs"), i)
-          when(mx === mn, lit(0))
-            .otherwise(floor((x - mn) * lit(255.0) / (mx - mn)).cast("int"))
-        }).as("q")).collect()(0).getSeq[Int](0)
+      val hofQ = e.zip(mns.zip(mxs)).map { case (x, (mn, mx)) =>
+        if (mx == mn) 0
+        else math.max(0, math.min(255,
+          math.floor((x - mn) * 255.0 / (mx - mn)).toInt))
+      }
       val hofDe = hofQ.zip(mns.zip(mxs)).map { case (q, (mn, mx)) =>
         mn + (q + 0.5) * (mx - mn) / 255.0
       }
@@ -98,5 +98,27 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("codec null elements and ragged stats yield null elements, not values") {
+    VectorExpressions.ensureRegistered(spark)
+    // null vector component → null code (never a fabricated -255)
+    val q = spark.sql(
+      """SELECT graft_quant(array(CAST(NULL AS DOUBLE), 4.0D),
+        |  array(2.0D, 2.0D), array(4.0D, 4.0D)) AS q""".stripMargin)
+      .collect()(0).getSeq[Any](0)
+    assert(q == Seq(null, 255))
+    // vector longer than the stats → trailing null elements, like the
+    // out-of-bounds element_at the HOF formulation produced
+    val r = spark.sql(
+      """SELECT graft_quant(array(2.0D, 3.0D), array(2.0D), array(4.0D)) AS q""")
+      .collect()(0).getSeq[Any](0)
+    assert(r == Seq(0, null))
+    // vector SHORTER than the stats (mixed-dimension frame) still codes
+    val s = spark.sql(
+      """SELECT graft_quant(array(3.0D), array(2.0D, 0.0D),
+        |  array(4.0D, 1.0D)) AS q""".stripMargin)
+      .collect()(0).getSeq[Any](0)
+    assert(s == Seq(127))
   }
 }
