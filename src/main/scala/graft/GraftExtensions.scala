@@ -38,9 +38,23 @@ object GraftExtensions {
   /** The same list installed as temp functions on a live session
     * (what the per-module ensureRegistered helpers do piecemeal).
     */
-  def install(spark: SparkSession): Unit =
-    All.foreach { case (n, b) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(n, b, "scala_udf")
+  def install(spark: SparkSession): Unit = ensure(spark, All)
+
+  /** Idempotent temp-function install: register each builder only if
+    * the name is not already bound. The per-call
+    * `createOrReplaceTempFunction` the modules used before logged a
+    * `WARN ... replaced a previously registered function` on every
+    * re-install — dozens per Verify/Bench session, pure noise. The
+    * builders are stable objects, so once a name is bound (here or by
+    * the `spark.sql.extensions` catalog injection) re-binding is a
+    * no-op with a warning attached; skip it instead.
+    */
+  def ensure(spark: SparkSession,
+      builders: Seq[(String, Seq[Expression] => Expression)]): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (n, b) =>
+      if (!reg.functionExists(FunctionIdentifier(n)))
+        reg.createOrReplaceTempFunction(n, b, "scala_udf")
     }
+  }
 }

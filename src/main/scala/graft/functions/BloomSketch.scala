@@ -178,10 +178,7 @@ object BloomSketch {
     ContainsFnName -> (es => BloomContains(es.head, es(1))))
 
   def ensureRegistered(spark: SparkSession): Unit =
-    Builders.foreach { case (n, b) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(n, b, "scala_udf")
-    }
+    graft.GraftExtensions.ensure(spark, Builders)
 
   /** The bitset as an agg Column over a pre-computed 60-bit hash. */
   def bloom(spark: SparkSession, hash: Column, numBits: Int): Column = {

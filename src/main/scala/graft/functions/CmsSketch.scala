@@ -119,8 +119,7 @@ object CmsSketch {
   }
 
   def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, fromExprs, "scala_udf")
+    graft.GraftExtensions.ensure(spark, Seq(FnName -> (fromExprs _)))
 
   /** Cell index for depth row j: first 8 md5 hex chars of "j:key" as
     * a long, mod width. DuckDB mirror:

@@ -106,8 +106,7 @@ object KmvSketch {
   }
 
   def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, fromExprs, "scala_udf")
+    graft.GraftExtensions.ensure(spark, Seq(FnName -> (fromExprs _)))
 
   /** The shared 60-bit hash recipe: 15-hex md5 prefix → long in
     * [0, 16^15). Used by the KMV sketch (q60) and stratified sampling

@@ -252,10 +252,7 @@ object TextHashes {
     "graft_ngrams" -> (es => NGrams(es.head, es(1))))
 
   def ensureRegistered(spark: SparkSession): Unit =
-    Builders.foreach { case (n, b) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(n, b, "scala_udf")
-    }
+    graft.GraftExtensions.ensure(spark, Builders)
 
   def minhashSig(spark: SparkSession, sh: Column): Column = {
     ensureRegistered(spark)

@@ -49,8 +49,9 @@ case class TopKAgg(
     if (pr.dataType == StringType && id.dataType == LongType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"${TopKAgg.FnName} expects (STRING, BIGINT, INT), got " +
-        s"(${pr.dataType.simpleString}, ${id.dataType.simpleString})")
+      s"${TopKAgg.FnName} expects (STRING, BIGINT) inputs, got " +
+        s"(${pr.dataType.simpleString}, ${id.dataType.simpleString})" +
+        " (k is a constructor-time INTEGER literal)")
 
   override def createAggregationBuffer(): TopKAgg.Buf = new TopKAgg.Buf
 
@@ -167,8 +168,7 @@ object TopKAgg {
   }
 
   def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, fromExprs, "scala_udf")
+    graft.GraftExtensions.ensure(spark, Seq(FnName -> (fromExprs _)))
 
   /** `topk(priority, id, k)` as an agg Column: the k smallest
     * (priority, id) rows of the group, ascending.

@@ -190,10 +190,7 @@ object VectorExpressions {
     * constructor in Spark 4.
     */
   def ensureRegistered(spark: SparkSession): Unit =
-    Builders.foreach { case (n, b) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(n, b, "scala_udf")
-    }
+    graft.GraftExtensions.ensure(spark, Builders)
 
   def dotProduct(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)

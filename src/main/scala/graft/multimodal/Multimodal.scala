@@ -25,29 +25,44 @@ object Multimodal {
   case class MediaRow(media_id: Long, media_type: String, content: Array[Byte])
 
   /** Extracted features: byte-level stats + a 16-bin histogram
-    * embedding of the "decoded" content.
+    * embedding of the "decoded" content. `decode_ok = false` marks a
+    * quarantined row whose bytes failed to decode (zeros elsewhere) —
+    * at 100 TB malformed files are routine, so corrupt rows must
+    * survive as flagged rows, not kill the task.
     */
   case class MediaFeatures(
       media_id: Long,
       media_type: String,
       n_bytes: Long,
       histogram: Array[Double],
-      brightness: Double)
+      brightness: Double,
+      decode_ok: Boolean)
 
   val HistBins = 16
 
   /** The decode seam: JDK codecs for image (PNG/BMP/JPEG → row-major
     * 8-bit luma) and WAV PCM (→ 8-bit unsigned mono-ish samples);
     * passthrough otherwise (text fixtures, unknown codecs).
+    *
+    * Lenient by default: undecodable bytes return `null` so the
+    * caller can quarantine the row — a single corrupt file inside a
+    * mapPartitions batch must not fail the job. `strict = true`
+    * restores the throw for pipelines that want corruption to be
+    * loud (e.g. validating a supposedly-clean ingest).
     */
   object MediaDecoder {
-    def decode(mediaType: String, content: Array[Byte]): Array[Byte] =
+    def decode(mediaType: String, content: Array[Byte],
+        strict: Boolean = false): Array[Byte] = {
+      def guard(d: => Array[Byte]): Array[Byte] =
+        if (strict) d
+        else try d catch { case scala.util.control.NonFatal(_) => null }
       mediaType match {
         case "image/png" | "image/bmp" | "image/jpeg" =>
-          decodeImageLuma(content)
-        case "audio/wav" => decodeWavPcm8(content)
+          guard(decodeImageLuma(content))
+        case "audio/wav" => guard(decodeWavPcm8(content))
         case _ => content
       }
+    }
 
     /** Decoded pixels as ITU-R 601 integer luma, row-major. */
     private[multimodal] def decodeImageLuma(content: Array[Byte]): Array[Byte] = {
@@ -112,24 +127,32 @@ object Multimodal {
     * once per partition (the expensive-init pattern that matters when
     * the decoder is a native codec or an ONNX session).
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow],
+      strict: Boolean = false): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val decoder = MediaDecoder // per-partition init point
       rows.map { r =>
-        val decoded = decoder.decode(r.media_type, r.content)
-        val hist = new Array[Double](HistBins)
-        var sum = 0L
-        var i = 0
-        while (i < decoded.length) {
-          val b = decoded(i) & 0xff
-          hist(b * HistBins / 256) += 1.0
-          sum += b
-          i += 1
+        val decoded = decoder.decode(r.media_type, r.content, strict)
+        if (decoded == null)
+          // quarantined: corrupt bytes yield a flagged zero-feature
+          // row instead of a dead task
+          MediaFeatures(r.media_id, r.media_type, 0L,
+            new Array[Double](HistBins), 0.0, decode_ok = false)
+        else {
+          val hist = new Array[Double](HistBins)
+          var sum = 0L
+          var i = 0
+          while (i < decoded.length) {
+            val b = decoded(i) & 0xff
+            hist(b * HistBins / 256) += 1.0
+            sum += b
+            i += 1
+          }
+          val n = math.max(decoded.length, 1)
+          MediaFeatures(r.media_id, r.media_type, decoded.length.toLong,
+            hist.map(_ / n), sum.toDouble / n, decode_ok = true)
         }
-        val n = math.max(decoded.length, 1)
-        MediaFeatures(r.media_id, r.media_type, decoded.length.toLong,
-          hist.map(_ / n), sum.toDouble / n)
       }
     }
   }

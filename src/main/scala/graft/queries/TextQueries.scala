@@ -284,7 +284,23 @@ object TextQueries {
     * cluster's minimum), s4 holdout + 8-gram decontamination. All
     * four persisted — each feeds the next stage AND the accounting.
     */
+  /** Memoized per (session, dir): q89 and q108 both invoke the
+    * stages, and Bench runs each query twice — without memoization
+    * every invocation persisted a fresh copy of all four survivor
+    * frames (plus the internal gram frame) and nothing ever
+    * unpersisted, so cached copies accumulated per run. One shared
+    * set per session is the lake-checkpoint shape the persists stand
+    * in for anyway.
+    */
+  private val cleanStagesCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]
+
   private def cleanStages(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    cleanStagesCache.getOrElseUpdate((spark, dir),
+      buildCleanStages(spark, dir))
+
+  private def buildCleanStages(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables(spark, dir).documents
     val s1 = withToks(docs, col("doc_id"))
@@ -321,6 +337,77 @@ object TextQueries {
     val s4 = s3.filter(col("doc_id") % 11 =!= 0)
       .join(cont, Seq("doc_id"), "left_anti").persist()
     (s1, s2, s3, s4)
+  }
+
+  /** The distributed BPE merge loop over a `(s, freq)` vocabulary
+    * frame (`s` = space-delimited symbols with leading/trailing pad):
+    * per step, count adjacent-symbol pairs weighted by word
+    * frequency, pull exactly ONE row (the argmax pair, tie-break
+    * lexicographic), fuse it with two greedy-leftmost replace passes.
+    * Stops early when no pairs remain (vocabulary fully fused).
+    *
+    * Storage is bounded at TWO cached vocabulary frames regardless of
+    * merge depth: step k's argmax pull materializes frame k-1's
+    * cache, at which point frame k-2 (whose only consumer was the
+    * construction of k-1) is unpersisted; both trailing frames are
+    * released on return. A 50k-merge production run therefore holds
+    * two vocabulary copies, not 50k — BpeDeepMergeSpec drives ≥50
+    * merges and asserts the persisted-RDD delta returns to zero.
+    */
+  private[graft] def bpeMerges(words: DataFrame,
+      steps: Int): Seq[(Int, String, String, Long)] = {
+    // guard like withNgrams: a word fully merged to ONE symbol has
+    // no pairs — Spark's sequence(1, 0) counts DOWN and would index
+    // element_at(a, 0); DuckDB's generate_series(1, 0) is empty
+    def pairsExpr(a: Column): Column =
+      when(size(a) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(a) - 1),
+          i => concat(element_at(a, i), lit(" "), element_at(a, i + 1))))
+    var cur = words.persist()
+    var prev: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val top = cur
+        // stage the symbol array as an attribute first — element_at
+        // inside the lambda would re-split per pair (the withToks
+        // 13× trap)
+        .select(col("freq"), split(trim(col("s")), " ").as("a"))
+        .select(col("freq"), explode(pairsExpr(col("a"))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .collect() // ONE row: the argmax pair (bounded driver pull)
+      // that pull materialized `cur` — the frame `cur` was built from
+      // has no remaining consumer and can be released now
+      if (prev != null) { prev.unpersist(); prev = null }
+      if (top.isEmpty) exhausted = true
+      else {
+        val (pair, c) = (top(0).getString(0), top(0).getLong(1))
+        // TWO replace passes = exact symbol-level greedy merge: a
+        // single pass misses every second occurrence in an adjacency
+        // chain ('x y x y' — the shared delimiter space is consumed
+        // by the previous match), and after pass one the skipped
+        // occurrences are pairwise non-adjacent, so pass two catches
+        // them all. Same two passes in the oracle.
+        def sub(c: Column): Column = regexp_replace(c,
+          java.util.regex.Pattern.quote(s" $pair "),
+          java.util.regex.Matcher.quoteReplacement(
+            s" ${pair.replace(" ", "")} "))
+        // persist per step: the DupClusters pattern — without it step
+        // k re-executes every prior merge chain from the base frame
+        // (and a production-depth merge loop would die on lineage)
+        prev = cur
+        cur = cur.withColumn("s", sub(sub(col("s")))).persist()
+        merges += ((step, pair, pair.replace(" ", ""), c))
+        step += 1
+      }
+    }
+    // the result is driver-local; every frame this loop cached goes
+    cur.unpersist()
+    if (prev != null) prev.unpersist()
+    merges.toSeq
   }
 
   /** DuckDB rendering of the same four stages (CTEs s1..s4 on top of
@@ -1611,44 +1698,9 @@ object TextQueries {
         .groupBy("w").agg(count(lit(1)).as("freq"))
         .select(concat(lit(" "),
           regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("freq"))
-        .persist()
-      // guard like withNgrams: a word fully merged to ONE symbol has
-      // no pairs — Spark's sequence(1, 0) counts DOWN and would index
-      // element_at(a, 0); DuckDB's generate_series(1, 0) is empty
-      def pairsExpr(a: Column): Column =
-        when(size(a) < 2, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), size(a) - 1),
-            i => concat(element_at(a, i), lit(" "), element_at(a, i + 1))))
-      var cur = words
-      val merges = (1 to 3).map { step =>
-        val top = cur
-          // stage the symbol array as an attribute first — element_at
-          // inside the lambda would re-split per pair (the withToks
-          // 13× trap)
-          .select(col("freq"), split(trim(col("s")), " ").as("a"))
-          .select(col("freq"), explode(pairsExpr(col("a"))).as("pair"))
-          .groupBy("pair").agg(sum("freq").as("c"))
-          .orderBy(col("c").desc, col("pair")).limit(1)
-          .collect()(0) // ONE row: the argmax pair (bounded driver pull)
-        val (pair, c) = (top.getString(0), top.getLong(1))
-        // TWO replace passes = exact symbol-level greedy merge: a
-        // single pass misses every second occurrence in an adjacency
-        // chain ('x y x y' — the shared delimiter space is consumed
-        // by the previous match), and after pass one the skipped
-        // occurrences are pairwise non-adjacent, so pass two catches
-        // them all. Same two passes in the oracle.
-        def sub(c: Column): Column = regexp_replace(c,
-          java.util.regex.Pattern.quote(s" $pair "),
-          java.util.regex.Matcher.quoteReplacement(
-            s" ${pair.replace(" ", "")} "))
-        // persist per step: the DupClusters pattern — without it step
-        // k re-executes every prior merge chain from the base frame
-        // (and a production-depth merge loop would die on lineage)
-        cur = cur.withColumn("s", sub(sub(col("s")))).persist()
-        (step, pair, pair.replace(" ", ""), c)
-      }
       import spark.implicits._
-      merges.toDF("step", "pair", "merged", "c").orderBy("step")
+      bpeMerges(words, 3).toDF("step", "pair", "merged", "c")
+        .orderBy("step")
     },
 
     // LSH index health — the audit that SIZES the near-dup pipeline:

@@ -216,7 +216,13 @@ object WindowQueries {
           sum(when(col("o_orderstatus") === "O", cents)).as("sc"),
           count(when(col("o_orderstatus") === "O", 1)).as("no"))
         .select(col("o_year"), col("n_f"), col("urgent_total"),
-          (expr("(sc * 200 + no) div (no * 2)") / 10000.0).as("avg_open"))
+          // explicit zero-group guard: the bare `div` only avoided an
+          // ANSI divide-by-zero because sc is NULL exactly when no = 0
+          // (the two FILTER predicates share o_orderstatus = 'O');
+          // guard the invariant instead of relying on that coupling
+          (when(col("no") === 0, lit(null))
+            .otherwise(expr("(sc * 200 + no) div (no * 2)"))
+            / 10000.0).as("avg_open"))
         .orderBy("o_year")
     },
 

@@ -97,6 +97,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.map(_ & 0xff).toSeq == Seq(128, 0, 255, 129, 127))
   }
 
+  test("corrupt media is quarantined leniently, throws only in strict mode") {
+    import spark.implicits._
+    val junk = Array[Byte](1, 2, 3, 4) // not a PNG, not a WAV
+    // lenient decode seam: null, never a throw
+    assert(Multimodal.MediaDecoder.decode("image/png", junk) == null)
+    assert(Multimodal.MediaDecoder.decode("audio/wav", junk) == null)
+    intercept[Exception] {
+      Multimodal.MediaDecoder.decode("image/png", junk, strict = true)
+    }
+    // pipeline: the corrupt row survives as a flagged zero-feature row
+    // next to a good one — one bad file must not kill the partition
+    val media = Seq(
+      MediaRow(1L, "image/png", encodeImage("png")),
+      MediaRow(2L, "image/png", junk)).toDS()
+    val f = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f.map(_.decode_ok).toSeq == Seq(true, false))
+    assert(f(1).n_bytes == 0 && f(1).brightness == 0.0)
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(media, strict = true).collect()
+    }
+  }
+
   test("real decode flows through the partition-wise feature extraction") {
     import spark.implicits._
     val media = Seq(MediaRow(1L, "image/png", encodeImage("png"))).toDS()
