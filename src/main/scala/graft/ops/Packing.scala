@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Concatenate-then-cut sequence packing (GPT-style): documents are
+  * laid out in `doc_id` order and cut into fixed `ctx`-token context
+  * windows; a document belongs to the bin its first token lands in.
+  *
+  * Packing is an ordered scan by construction, so the running sum is
+  * a window — and a window partition is ONE task's sort. Per-source
+  * packing therefore straggles when one source dominates the corpus
+  * (a crawl-scale reality: one domain can be half the lake). The
+  * scale path packs per `(source, shard)` instead: shard count is
+  * derived from each source's token total against a `shardTokens`
+  * budget, so no window partition ever holds more than ~`shardTokens`
+  * worth of rows regardless of source skew, and every shard packs
+  * independently in parallel. Statistically nothing changes — each
+  * shard is an arbitrary deterministic subset packed by the same
+  * rule, token totals are conserved exactly, and the only artifact is
+  * at most one partially-filled tail bin per shard instead of one per
+  * source (PackingSpec pins both properties).
+  *
+  * Cost shape: one narrow per-source aggregate (token totals,
+  * broadcast back) + one window keyed `(source, shard)` + whatever
+  * narrow per-bin aggregate the caller runs. With the default
+  * `shardTokens = Long.MaxValue` the plan is the single-shard
+  * original: no totals aggregate, no join, shard pinned to 0.
+  */
+object Packing {
+
+  /** Assign pack bins to a `(source, doc_id, n_tok)` frame.
+    *
+    * Returns the input columns plus:
+    *  - `shard`     — the packing shard within the source (0 when
+    *    `shardTokens = Long.MaxValue`);
+    *  - `start_tok` — the document's first-token offset within its
+    *    `(source, shard)` stream;
+    *  - `bin`       — `start_tok div ctx`, integral division (`div`,
+    *    not `/`: Column `/` is double division, exact only below
+    *    2^53 — a 100 TB source crosses that in tokens).
+    *
+    * Bins are LOCAL to a `(source, shard)`: a downstream group-by
+    * must key on `(source, shard, bin)` when sharding is active.
+    */
+  def packBins(docs: DataFrame, ctx: Int,
+      shardTokens: Long = Long.MaxValue): DataFrame = {
+    require(ctx > 0, s"ctx must be positive, got $ctx")
+    require(shardTokens > 0, s"shardTokens must be positive, got $shardTokens")
+    val sharded =
+      if (shardTokens == Long.MaxValue) docs.withColumn("shard", lit(0))
+      else {
+        // nShards = ceil(total / shardTokens) in exact integer
+        // arithmetic ((t-1) div s + 1 — the t+s-1 form can overflow)
+        val totals = docs.groupBy("source")
+          .agg(sum("n_tok").as("_tot"))
+          .select(col("source"),
+            (expr(s"(_tot - 1) div ${shardTokens}L") + 1).as("_nsh"))
+        docs.join(broadcast(totals), "source")
+          .withColumn("shard", pmod(col("doc_id"), col("_nsh")).cast("int"))
+          .drop("_nsh")
+      }
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("start_tok",
+        coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("bin", expr(s"start_tok div $ctx").cast("int"))
+  }
+}

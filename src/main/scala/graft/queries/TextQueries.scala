@@ -1349,16 +1349,17 @@ object TextQueries {
     },
 
     // Sequence packing plan — concatenate-then-cut (GPT-style) bin
-    // assignment: per source, docs are laid out in doc_id order and
-    // cut into 2048-token context windows; a doc belongs to the bin
-    // its first token lands in. Reports per-bin doc/token counts and
-    // fill ratio — the packing-efficiency audit that decides whether
-    // padding waste justifies a smarter packer. Shape at scale: one
-    // running-sum window per source (sequential by construction —
-    // packing IS an ordered scan); a hot source is handled by packing
-    // per (source, shard) instead, which changes nothing
-    // statistically. The aggregate after it is narrow (bins, not
-    // docs).
+    // assignment via the shared ops.Packing kernel: per source, docs
+    // are laid out in doc_id order and cut into 2048-token context
+    // windows; a doc belongs to the bin its first token lands in.
+    // Reports per-bin doc/token counts and fill ratio — the
+    // packing-efficiency audit that decides whether padding waste
+    // justifies a smarter packer. Shape at scale: the kernel packs
+    // per (source, shard) with a shardTokens budget so a dominant
+    // source cannot straggle one window task (PackingSpec proves the
+    // fill statistics match); the fixture runs single-shard, which is
+    // the identical plan/result. The aggregate after it is narrow
+    // (bins, not docs).
     QueryDef(
       "q101_pack_bins",
       """WITH d AS (SELECT doc_id, source,
@@ -1373,14 +1374,10 @@ object TextQueries {
         | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         | round(sum(n_tok) / 2048.0, 4) AS fill
         |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin) { (spark, dir) =>
-      val ctx = 2048
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      withToks(Tables(spark, dir).documents, col("doc_id"), col("source"))
+      val d = withToks(Tables(spark, dir).documents,
+          col("doc_id"), col("source"))
         .select(col("source"), col("doc_id"), size(col("t")).as("n_tok"))
-        .withColumn("start_tok",
-          coalesce(sum("n_tok").over(w), lit(0L)))
-        .withColumn("bin", (col("start_tok") / ctx).cast("int"))
+      graft.ops.Packing.packBins(d, 2048)
         .groupBy("source", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
         .select(col("source"), col("bin"), col("n_docs"), col("n_tokens"),
@@ -1617,14 +1614,13 @@ object TextQueries {
           - col("i") * 96).as("ck"))
       val st6 = c6.agg(count(lit(1)).as("n_units"), sum("ck").as("n_tokens"))
         .select(lit("6_chunk").as("stage"), col("n_units"), col("n_tokens"))
-      // stage 7: q101's concatenate-then-cut bins per source
-      val w7 = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val st7 = tn.join(s5, Seq("doc_id"), "left_semi")
-        .withColumn("start_tok", coalesce(sum("n").over(w7), lit(0L)))
-        .select(col("source"),
-          (col("start_tok") / 2048).cast("int").as("bin"), col("n"))
-        .groupBy("source", "bin").agg(sum("n").as("bt"))
+      // stage 7: q101's concatenate-then-cut bins per source, through
+      // the same ops.Packing kernel the standalone query runs
+      val st7 = graft.ops.Packing.packBins(
+          tn.join(s5, Seq("doc_id"), "left_semi")
+            .select(col("source"), col("doc_id"), col("n").as("n_tok")),
+          2048)
+        .groupBy("source", "bin").agg(sum("n_tok").as("bt"))
         .agg(count(lit(1)).as("n_units"), sum("bt").as("n_tokens"))
         .select(lit("7_pack").as("stage"), col("n_units"), col("n_tokens"))
       // 0_raw is a plain aggregate over tn — no self-semi-join

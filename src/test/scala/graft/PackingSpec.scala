@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Packing
+
+/** The shard-aware packing kernel (q101 / q108 stage 7): single-shard
+  * output must equal a local reference pack exactly, and sharded
+  * packing must change NOTHING statistically — tokens conserved
+  * exactly, bin count within the provable [unsharded, unsharded +
+  * shards - 1] per-source envelope (each shard adds at most one
+  * partially-filled tail bin), per-shard window size bounded by the
+  * token budget. This is the spec backing SCALE.md's claim that a
+  * dominant source packs per (source, shard) "which changes nothing
+  * statistically".
+  */
+class PackingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+
+  private val Ctx = 128
+
+  /** Skewed fixture: one source dominates (the straggler scenario
+    * the sharding exists for), two small ones.
+    */
+  private def fixture: Seq[(String, Long, Int)] = {
+    val big = (0 until 200).map(i => ("big", i.toLong, 50 + (i * 37) % 100))
+    val s2 = (0 until 20).map(i => ("s2", 1000L + i, 30 + (i * 13) % 40))
+    val s3 = (0 until 5).map(i => ("s3", 2000L + i, 10 + i))
+    big ++ s2 ++ s3
+  }
+
+  private def df = {
+    import spark.implicits._
+    fixture.toDF("source", "doc_id", "n_tok")
+  }
+
+  /** Local reference: prefix-sum in doc_id order within each key. */
+  private def refPack(rows: Seq[(String, Long, Int)],
+      key: ((String, Long, Int)) => (String, Int))
+      : Map[(String, Long), (Long, Int)] =
+    rows.groupBy(key).flatMap { case (_, g) =>
+      g.sortBy(_._2).foldLeft((0L, List.empty[((String, Long), (Long, Int))])) {
+        case ((off, acc), (src, id, n)) =>
+          (off + n, ((src, id), (off, (off / Ctx).toInt)) :: acc)
+      }._2
+    }
+
+  test("single-shard packing equals the local reference pack") {
+    val got = Packing.packBins(df, Ctx).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(4), r.getInt(5)))).toMap
+    val want = refPack(fixture, t => (t._1, 0))
+    assert(got == want)
+  }
+
+  test("sharded packing conserves tokens and keeps fill statistics") {
+    val budget = 2000L
+    val packed = Packing.packBins(df, Ctx, budget).collect()
+    val byDoc = packed.map(r => ((r.getString(0), r.getLong(1)),
+      (r.getInt(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(byDoc.size == fixture.size, "every doc packs exactly once")
+
+    val totals = fixture.groupBy(_._1).view.mapValues(_.map(_._3.toLong).sum)
+    for ((src, tot) <- totals) {
+      val rows = packed.filter(_.getString(0) == src)
+      // exact token conservation through the bin accounting
+      assert(rows.map(_.getInt(2).toLong).sum == tot, src)
+      // shard count = ceil(total / budget)
+      val expShards = ((tot - 1) / budget + 1).toInt
+      val shards = rows.map(_.getInt(3)).distinct.sorted
+      assert(shards.length == expShards && shards.last == expShards - 1,
+        s"$src: shards $shards, expected $expShards")
+      // fill statistics: each shard's cut stream has ceil(tok/ctx)
+      // bins (count from token totals — a doc longer than ctx spans
+      // bins no doc STARTS in, so occupied-bin rows undercount), and
+      // Σ ceil(tok_sh/ctx) ∈ [ceil(tot/ctx), ceil(tot/ctx) + shards
+      // - 1]: at most one extra partially-filled tail bin per shard,
+      // nothing else about the fill distribution changes
+      val perShard = rows.groupBy(_.getInt(3)).values
+        .map(_.map(_.getInt(2).toLong).sum).toSeq
+      val binsSharded = perShard.map(t => (t - 1) / Ctx + 1).sum
+      val binsUnsharded = (tot - 1) / Ctx + 1
+      assert(binsSharded >= binsUnsharded &&
+        binsSharded <= binsUnsharded + expShards - 1,
+        s"$src: $binsSharded bins vs unsharded $binsUnsharded" +
+          s" + ${expShards - 1} tail slack")
+      // the window-size bound the sharding exists for: no shard's
+      // token total strays past 2× the budget on this fixture
+      assert(perShard.forall(_ <= 2 * budget),
+        s"$src: shard token totals $perShard exceed bound")
+    }
+
+    // within every (source, shard): start_tok is the exact prefix sum
+    // in doc_id order — same reference rule, shard-local
+    val shardOf = packed.map(r =>
+      ((r.getString(0), r.getLong(1)), r.getInt(3))).toMap
+    val want = refPack(fixture, t => (t._1, shardOf((t._1, t._2))))
+    val gotOffsets = packed.map(r => ((r.getString(0), r.getLong(1)),
+      (r.getLong(4), r.getInt(5)))).toMap
+    assert(gotOffsets == want)
+  }
+
+  test("sharded window partitions on (source, shard), never a single partition") {
+    val packed = Packing.packBins(df, Ctx, 2000L)
+    packed.collect()
+    val plan = packed.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\([^)]*source[^)]*shard".r
+      .findFirstIn(plan).isDefined, plan.take(800))
+    assert(!plan.contains("SinglePartition"), plan.take(800))
+  }
+
+  test("deterministic: two invocations produce identical assignments") {
+    val a = Packing.packBins(df, Ctx, 2000L).collect().toSeq
+      .map(_.toSeq).sortBy(_.toString)
+    val b = Packing.packBins(df, Ctx, 2000L).collect().toSeq
+      .map(_.toSeq).sortBy(_.toString)
+    assert(a == b)
+  }
+}

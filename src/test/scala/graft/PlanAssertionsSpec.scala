@@ -155,6 +155,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning"), plan.take(800))
   }
 
+  test("q101 packing window is keyed, never a single-partition sort") {
+    // the packing kernel's window must partition on its keys — a
+    // SinglePartition exchange here would serialize the whole corpus
+    // through one task (PackingSpec separately asserts the sharded
+    // path keys on (source, shard))
+    val plan = planOf(SparkEntry.queries("q101_pack_bins")(spark, sf))
+    assert(plan.contains("hashpartitioning(source"), plan.take(800))
+    assert(!plan.contains("SinglePartition"), plan.take(800))
+  }
+
   test("q102 incremental near-dup probes buckets — no cartesian, new side broadcast") {
     val plan = planOf(SparkEntry.queries("q102_incremental_neardup")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan.take(800))
