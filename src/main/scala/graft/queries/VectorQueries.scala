@@ -169,6 +169,135 @@ object VectorQueries {
       (for { i <- 0 until Planes; j <- i + 1 until Planes }
         yield (1 << i) | (1 << j)))
 
+  /** Product-quantization geometry — ONE implementation for q97
+    * (coding) and q109 (ADC search): 4 subspaces of 16 dims,
+    * sub-centroids = the 8 seed vectors' slices, squared L2 written
+    * `dot(a,a) - 2·dot(a,b) + dot(b,b)` in fixed IEEE order so codes
+    * and distances are bit-equal cross-engine.
+    */
+  private val PqM = 4
+  private val PqDim = 16
+  private def pqD2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
+
+  /** (vec_id, m, s): each vector split into its PqM subvectors. */
+  private def pqSubspaces(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(array(
+        (0 until PqM).map(m => slice(col("e"), m * PqDim + 1, PqDim)): _*))
+      .as(Seq("m", "s")))
+
+  /** (cid, cm, cs): the broadcastable sub-centroid codebook. */
+  private def pqCodebook(sub: DataFrame): DataFrame =
+    sub.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("m").as("cm"), col("s").as("cs"))
+
+  /** Wide PQ codes (vec_id, c0..c3, e0..e3): nearest sub-centroid per
+    * (vector, subspace) — the codebook broadcasts, the only shuffle
+    * ranks 8 candidates per (vector, subspace).
+    */
+  private def pqCodesOf(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val d = sub.join(broadcast(cb), col("m") === col("cm"))
+      .withColumn("d2", pqD2(col("s"), col("cs")))
+    val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
+    val best = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    def pick(m: Int, c: String) = min(when(col("m") === m, col(c)))
+    best.groupBy("vec_id").agg(
+      pick(0, "cid").cast("int").as("c0"),
+      pick(1, "cid").cast("int").as("c1"),
+      pick(2, "cid").cast("int").as("c2"),
+      pick(3, "cid").cast("int").as("c3"),
+      pick(0, "d2").as("e0"), pick(1, "d2").as("e1"),
+      pick(2, "d2").as("e2"), pick(3, "d2").as("e3"))
+  }
+
+  /** The same coding pipeline as DuckDB CTEs: yields `agg(vec_id,
+    * c0..c3, e0..e3)` plus the intermediate `e/sub/c` CTEs q109's
+    * LUT derivation reuses.
+    */
+  private val DuckPq =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |sub AS (SELECT vec_id, m, list_slice(e, m*16+1, m*16+16) AS s
+      |        FROM e, generate_series(0, 3) g(m)),
+      |c AS (SELECT vec_id AS cid, m, s AS cs FROM sub WHERE vec_id < 8),
+      |d AS (SELECT sub.vec_id, sub.m, c.cid,
+      |    list_dot_product(sub.s, sub.s)
+      |      - 2 * list_dot_product(sub.s, c.cs)
+      |      + list_dot_product(c.cs, c.cs) AS d2
+      |  FROM sub JOIN c USING (m)),
+      |best AS (SELECT vec_id, m, cid, d2 FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+      |    ORDER BY d2, cid) AS rn FROM d) WHERE rn = 1),
+      |agg AS (SELECT vec_id,
+      |    min(CASE WHEN m = 0 THEN cid END) AS c0,
+      |    min(CASE WHEN m = 1 THEN cid END) AS c1,
+      |    min(CASE WHEN m = 2 THEN cid END) AS c2,
+      |    min(CASE WHEN m = 3 THEN cid END) AS c3,
+      |    min(CASE WHEN m = 0 THEN d2 END) AS e0,
+      |    min(CASE WHEN m = 1 THEN d2 END) AS e1,
+      |    min(CASE WHEN m = 2 THEN d2 END) AS e2,
+      |    min(CASE WHEN m = 3 THEN d2 END) AS e3
+      |  FROM best GROUP BY 1)""".stripMargin
+
+  /** The ADC ranking half of q109, exposed for the plan-shape spec:
+    * given persisted codes and the broadcast per-query lookup tables,
+    * the scan side touches CODES ONLY (4 small ints per vector — the
+    * 64× compression actually cashed in at query time).
+    */
+  private[graft] def pqAdcRanked(codes: DataFrame,
+      lutWide: DataFrame): DataFrame = {
+    val scored = codes.crossJoin(broadcast(lutWide))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc",
+        element_at(col("a0"), col("c0") + 1)
+          + element_at(col("a1"), col("c1") + 1)
+          + element_at(col("a2"), col("c2") + 1)
+          + element_at(col("a3"), col("c3") + 1))
+    val w = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"), col("adc"), col("rn"))
+  }
+
+  /** Per-query ADC lookup tables, one 8-entry distance array per
+    * subspace: (qid, a0..a3). 5 rows — always broadcastable.
+    * collect_list order is pinned by sort_array over (cid,·)/(m,·)
+    * structs (ints, distinct), not float comparisons.
+    */
+  private[graft] def pqLut(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val qsub = sub.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("m").as("qm"), col("s").as("qs"))
+    qsub.join(broadcast(cb), col("qm") === col("cm"))
+      .withColumn("ld", pqD2(col("qs"), col("cs")))
+      .groupBy("qid", "qm")
+      .agg(sort_array(collect_list(struct(col("cid"), col("ld")))).as("cl"))
+      .select(col("qid"), col("qm"),
+        transform(col("cl"), x => x.getField("ld")).as("arr"))
+      .groupBy("qid")
+      .agg(sort_array(collect_list(struct(col("qm"), col("arr")))).as("ms"))
+      .select(col("qid") +: (0 until PqM).map(m =>
+        element_at(col("ms"), m + 1).getField("arr").as(s"a$m")): _*)
+  }
+
+  /** q109's ADC ranking with the index and LUT pre-materialized — the
+    * plan-spec hook proving the query-time scan does ZERO vector/file
+    * IO: both inputs are cached, so the executed plan must contain no
+    * parquet scan and read only the 4 code columns on the probe side.
+    */
+  private[graft] def pqAdcPlanProbe(spark: SparkSession,
+      dir: String): DataFrame = {
+    VectorExpressions.ensureRegistered(spark)
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val sub = pqSubspaces(e)
+    val cb = pqCodebook(sub)
+    val codes = pqCodesOf(sub, cb)
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"))
+      .persist()
+    val lut = pqLut(sub, cb).persist()
+    codes.count(); lut.count() // build the index/LUT ahead of query time
+    pqAdcRanked(codes, lut)
+  }
+
   /** The 5 fixed query vectors. */
   private def queriesOf(n: DataFrame): DataFrame =
     n.filter(col("vec_id") < 5)
@@ -528,58 +657,95 @@ object VectorQueries {
     // order-nondeterministic across engines).
     QueryDef(
       "q97_pq_codes",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |sub AS (SELECT vec_id, m, list_slice(e, m*16+1, m*16+16) AS s
-        |        FROM e, generate_series(0, 3) g(m)),
-        |c AS (SELECT vec_id AS cid, m, s AS cs FROM sub WHERE vec_id < 8),
-        |d AS (SELECT sub.vec_id, sub.m, c.cid,
-        |    list_dot_product(sub.s, sub.s)
-        |      - 2 * list_dot_product(sub.s, c.cs)
-        |      + list_dot_product(c.cs, c.cs) AS d2
-        |  FROM sub JOIN c USING (m)),
-        |best AS (SELECT vec_id, m, cid, d2 FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
-        |    ORDER BY d2, cid) AS rn FROM d) WHERE rn = 1),
-        |agg AS (SELECT vec_id,
-        |    min(CASE WHEN m = 0 THEN cid END) AS c0,
-        |    min(CASE WHEN m = 1 THEN cid END) AS c1,
-        |    min(CASE WHEN m = 2 THEN cid END) AS c2,
-        |    min(CASE WHEN m = 3 THEN cid END) AS c3,
-        |    min(CASE WHEN m = 0 THEN d2 END) AS e0,
-        |    min(CASE WHEN m = 1 THEN d2 END) AS e1,
-        |    min(CASE WHEN m = 2 THEN d2 END) AS e2,
-        |    min(CASE WHEN m = 3 THEN d2 END) AS e3
-        |  FROM best GROUP BY 1)
-        |SELECT vec_id,
-        | CAST(c0 AS INTEGER) AS c0, CAST(c1 AS INTEGER) AS c1,
-        | CAST(c2 AS INTEGER) AS c2, CAST(c3 AS INTEGER) AS c3,
-        | round(e0 + e1 + e2 + e3, 6) AS err
-        |FROM agg ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      s"""WITH $DuckPq
+         |SELECT vec_id,
+         | CAST(c0 AS INTEGER) AS c0, CAST(c1 AS INTEGER) AS c1,
+         | CAST(c2 AS INTEGER) AS c2, CAST(c3 AS INTEGER) AS c3,
+         | round(e0 + e1 + e2 + e3, 6) AS err
+         |FROM agg ORDER BY vec_id""".stripMargin) { (spark, dir) =>
       VectorExpressions.ensureRegistered(spark)
       val e = Tables(spark, dir).embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val sub = e.select(col("vec_id"), posexplode(array(
-          (0 until 4).map(m => slice(col("e"), m * 16 + 1, 16)): _*))
-        .as(Seq("m", "s")))
-      val cb = sub.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("m").as("cm"), col("s").as("cs"))
-      val d = sub.join(broadcast(cb), col("m") === col("cm"))
-        .withColumn("d2", dot(col("s"), col("s"))
-          - lit(2) * dot(col("s"), col("cs")) + dot(col("cs"), col("cs")))
-      val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
-      val best = d.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-      def pick(m: Int, c: String) = min(when(col("m") === m, col(c)))
-      best.groupBy("vec_id").agg(
-          pick(0, "cid").cast("int").as("c0"),
-          pick(1, "cid").cast("int").as("c1"),
-          pick(2, "cid").cast("int").as("c2"),
-          pick(3, "cid").cast("int").as("c3"),
-          pick(0, "d2").as("e0"), pick(1, "d2").as("e1"),
-          pick(2, "d2").as("e2"), pick(3, "d2").as("e3"))
+      val sub = pqSubspaces(e)
+      pqCodesOf(sub, pqCodebook(sub))
         .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
           round(col("e0") + col("e1") + col("e2") + col("e3"), 6).as("err"))
         .orderBy("vec_id")
+    },
+
+    // PQ-ADC search — the query-time half that cashes in q97's 64×
+    // compression: per query, build a 4×8 asymmetric-distance lookup
+    // table (exact subspace d2 from the query to every sub-centroid),
+    // then rank the corpus by Σ_m LUT[m][code_m] touching ONLY the
+    // 4-byte codes — the scan never reads a float vector. Recall vs
+    // the exact L2 top-3 is the q70/q91-style audit that decides if
+    // PQ storage is safe for retrieval. Shape at 100 TB: the LUT is
+    // 5×4×8 doubles (broadcast, built from the broadcast codebook);
+    // the code scan is one projection + top-k — no shuffle of codes,
+    // no vector IO; the exact side exists only to score the audit.
+    // Everything is integer-code joins + fixed-IEEE-order doubles, so
+    // DuckDB re-derives the identical ranking.
+    QueryDef(
+      "q109_pq_adc_search",
+      s"""WITH $DuckPq,
+         |qsub AS (SELECT vec_id AS qid, m, s AS qs FROM sub WHERE vec_id < 5),
+         |lut AS (SELECT qsub.qid, qsub.m, c.cid,
+         |    list_dot_product(qs, qs) - 2 * list_dot_product(qs, cs)
+         |      + list_dot_product(cs, cs) AS ld
+         |  FROM qsub JOIN c USING (m)),
+         |adc AS (SELECT a.vec_id, l0.qid,
+         |    l0.ld + l1.ld + l2.ld + l3.ld AS adc
+         |  FROM agg a
+         |  JOIN lut l0 ON l0.m = 0 AND l0.cid = a.c0
+         |  JOIN lut l1 ON l1.m = 1 AND l1.cid = a.c1 AND l1.qid = l0.qid
+         |  JOIN lut l2 ON l2.m = 2 AND l2.cid = a.c2 AND l2.qid = l0.qid
+         |  JOIN lut l3 ON l3.m = 3 AND l3.cid = a.c3 AND l3.qid = l0.qid
+         |  WHERE a.vec_id <> l0.qid),
+         |ptop AS (SELECT qid, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc, vec_id) AS rn FROM adc) WHERE rn <= 3),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < 5),
+         |ex AS (SELECT a.vec_id, q.qid,
+         |    list_dot_product(a.e, a.e) - 2 * list_dot_product(a.e, q.qe)
+         |      + list_dot_product(q.qe, q.qe) AS d2
+         |  FROM e a, q WHERE a.vec_id <> q.qid),
+         |exact AS (SELECT qid, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY d2, vec_id) AS rn FROM ex) WHERE rn <= 3)
+         |SELECT exact.qid, CAST(count(*) AS BIGINT) AS n_exact,
+         | CAST(count(ptop.vec_id) AS BIGINT) AS n_overlap,
+         | round(count(ptop.vec_id) * 1.0 / count(*), 4) AS recall
+         |FROM exact LEFT JOIN ptop
+         |  ON exact.qid = ptop.qid AND exact.vec_id = ptop.vec_id
+         |GROUP BY 1 ORDER BY exact.qid""".stripMargin) { (spark, dir) =>
+      VectorExpressions.ensureRegistered(spark)
+      val e = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .persist() // feeds coding, the LUT build, and the exact audit
+      val sub = pqSubspaces(e)
+      val cb = pqCodebook(sub)
+      // the stored PQ index stand-in: 4 small ints per vector,
+      // persisted so the ADC scan below provably reads codes only
+      val codes = pqCodesOf(sub, cb)
+        .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"))
+        .persist()
+      val pqTop = pqAdcRanked(codes, pqLut(sub, cb))
+        .select(col("qid"), col("vec_id")).withColumn("hit", lit(1))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      val exW = Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))
+      val exact = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("d2", pqD2(col("e"), col("qe")))
+        .withColumn("rn", row_number().over(exW))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"))
+      exact.join(pqTop, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_overlap"))
+        .select(col("qid"), col("n_exact"), col("n_overlap"),
+          round(col("n_overlap") * lit(1.0) / col("n_exact"), 4).as("recall"))
+        .orderBy("qid")
     },
 
     // Semantic decontamination (SemDeDup shape) — q74's n-gram

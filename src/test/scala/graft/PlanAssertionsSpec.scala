@@ -179,6 +179,25 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("q109 ADC scan reads PQ codes only — no vector or file IO at query time") {
+    // with the code index and LUT pre-built (as a deployment stores
+    // them), the ranking plan must be cache-scan + broadcast + top-k:
+    // any parquet scan or embedding column here means the 64×
+    // compression wasn't actually cashed in
+    val df = graft.queries.VectorQueries.pqAdcPlanProbe(spark, sf)
+    // the plan string embeds each cached input's BUILD plan under its
+    // InMemoryRelation node (where a parquet scan is legitimate —
+    // that's index-build time); the query-time operators are
+    // everything above the first cache boundary
+    val queryTime = planOf(df).split("\n")
+      .takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
+    assert(queryTime.contains("InMemoryTableScan"), queryTime)
+    assert(queryTime.contains("c0"), queryTime) // the code columns
+    assert(!queryTime.toLowerCase.contains("parquet"), queryTime)
+    assert(!queryTime.contains("embedding"), queryTime)
+    assert(!queryTime.contains("SortMergeJoin"), queryTime)
+  }
+
   test("q95 heavy hitters: the estimate filter precedes the exact aggregation") {
     val df = SparkEntry.queries("q95_cms_heavy_hitters")(spark, sf)
     df.collect()
