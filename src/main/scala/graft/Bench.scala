@@ -82,9 +82,21 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] cdc_ingest failed: ${e.getMessage}"); None
     }
+    // the reference's REAL workload shape: one stream multiplexing N
+    // tables through the demux (`FlinkCDCMulti.java:345-391`) — same
+    // row volume as above, fanned across a 10-table registry, so the
+    // delta vs `cdc` prices the per-batch O(N tables) filter+write
+    // loop the SURVEY flags (§7.4)
+    val multi = try Some(benchIngest(spark, sfDir, tables = MultiTables))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] cdc_multi failed: ${e.getMessage}"); None
+    }
     spark.stop()
-    println(renderJson(results, ingest, sfDir))
+    println(renderJson(results, ingest, multi, sfDir))
   }
+
+  /** Table count for the multiplexed ingest bench. */
+  private[graft] val MultiTables = 10
 
   /** The one line the driver parses — factored pure so its contract
     * (valid JSON, Locale-proof decimals, short keys, failure
@@ -96,7 +108,8 @@ object Bench {
     * and 3-decimal seconds — 92 queries ≈ 1.3 KB.
     */
   private[graft] def renderJson(results: Seq[(String, Double)],
-      ingest: Option[(Double, Double)], sfDir: String): String = {
+      ingest: Option[(Double, Double)],
+      multi: Option[(Double, Double)], sfDir: String): String = {
     def short(name: String): String = {
       val m = "^(q\\d+)_".r.findFirstMatchIn(name)
       m.map(_.group(1)).getOrElse(name)
@@ -106,13 +119,15 @@ object Bench {
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = (results.map { case (k, v) => short(k) -> v } ++
-      ingest.map("cdc" -> _._1)).map {
+      ingest.map("cdc" -> _._1) ++ multi.map("cdcm" -> _._1)).map {
       case (k, v) => "\"" + k + "\":" + sec(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum +
-      ingest.map(_._1).getOrElse(0.0)
+      ingest.map(_._1).getOrElse(0.0) + multi.map(_._1).getOrElse(0.0)
     val extra = ingest.map { case (_, rate) =>
       s""","cdc_ingest_rows_per_sec":${rate.toLong}"""
+    }.getOrElse("") + multi.map { case (_, rate) =>
+      s""","cdc_multi_rows_per_sec":${rate.toLong},"cdc_multi_tables":$MultiTables"""
     }.getOrElse("")
     s"""{"metric":"total","value":${sec(total)},"unit":"sec","passes":2,"agg":"min","queries":$qs$extra,"sf":"$sfDir"}"""
   }
@@ -121,18 +136,27 @@ object Bench {
     * returns (seconds, rows/sec). Feed-write time is excluded.
     */
   /** Exposed for graft.ProfileIngest. */
-  private[graft] def profileIngest(spark: SparkSession, sfDir: String): (Double, Double) =
-    benchIngest(spark, sfDir)
+  private[graft] def profileIngest(spark: SparkSession, sfDir: String,
+      tables: Int = 1): (Double, Double) =
+    benchIngest(spark, sfDir, tables)
 
-  private def benchIngest(spark: SparkSession, sfDir: String): (Double, Double) = {
+  private def benchIngest(spark: SparkSession, sfDir: String,
+      tables: Int = 1): (Double, Double) = {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cdc-")
     val feedDir = s"$tmp/feed"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // tables > 1: the SAME row volume multiplexed over an N-table
+    // registry (rows routed by event_id % N), so cdc vs cdcm isolates
+    // the demux fan-out cost at constant data
+    val tblExpr =
+      if (tables == 1) lit("events")
+      else concat(lit("events_"), expr(s"event_id % $tables"))
     val lines = events.select(concat(
       lit("""{"_op":"CREATE","_ts":"""), expr("ts div 1000000"),
-      lit(""","_db":"bench","_tbl":"events","event_id":{"long":"""),
+      lit(""","_db":"bench","_tbl":""""), tblExpr,
+      lit("""","event_id":{"long":"""),
       col("event_id"),
       lit("""},"user_id":{"long":"""), col("user_id"),
       lit("""},"event_type":{"string":""""), col("event_type"),
@@ -142,16 +166,20 @@ object Bench {
     lines.write.mode("overwrite").text(feedDir)
     val n = events.count()
 
-    val registry = graft.model.TableRegistry(Seq(graft.model.TableSpec(
-      "bench", "events", org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.DoubleType))))))
+    val eventsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val tableNames =
+      if (tables == 1) Seq("events")
+      else (0 until tables).map(i => s"events_$i")
+    val registry = graft.model.TableRegistry(tableNames.map(t =>
+      graft.model.TableSpec("bench", t, eventsSchema)))
     val pipeline = new graft.streaming.CdcPipeline(spark,
       graft.streaming.CdcConfig("bench", registry, s"$tmp/sink",
         offsetStorePath = Some(s"$tmp/offsets")))

@@ -33,9 +33,10 @@ object ProfileIngest {
           println(f"[job] ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3fs  $desc")
         }
     })
+    val tables = sys.env.getOrElse("SPARK_GRAFT_TABLES", "1").toInt
     val t0 = System.nanoTime()
-    val (sec, rate) = Bench.profileIngest(spark, sfDir)
-    println(f"[ingest] total=${(System.nanoTime() - t0) / 1e9}%.2fs timed=$sec%.2fs rate=${rate.toLong} rows/s")
+    val (sec, rate) = Bench.profileIngest(spark, sfDir, tables)
+    println(f"[ingest] tables=$tables total=${(System.nanoTime() - t0) / 1e9}%.2fs timed=$sec%.2fs rate=${rate.toLong} rows/s")
     spark.stop()
   }
 }

@@ -13,8 +13,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchJsonSpec extends AnyFunSuite {
 
   private def render(results: Seq[(String, Double)],
-      ingest: Option[(Double, Double)]): String =
-    Bench.renderJson(results, ingest, "/tmp/sf")
+      ingest: Option[(Double, Double)],
+      multi: Option[(Double, Double)] = None): String =
+    Bench.renderJson(results, ingest, multi, "/tmp/sf")
 
   /** Minimal JSON sanity without a parser dep: balanced braces, no
     * locale commas in numbers, expected keys present.
@@ -29,6 +30,15 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.contains("\"cdc_ingest_rows_per_sec\":18000"))
     assert(line.contains("\"value\":3.750")) // 1.5 + 0.25 + 2.0
     assert(line.contains("\"passes\":2") && line.contains("\"agg\":\"min\""))
+  }
+
+  test("multi-table ingest adds cdcm timing and its rate/table-count keys") {
+    val line = render(Seq("q01_x" -> 1.0), Some((2.0, 18000.0)),
+      Some((3.5, 9000.7)))
+    assert(line.contains("\"cdcm\":3.500"))
+    assert(line.contains("\"cdc_multi_rows_per_sec\":9000"))
+    assert(line.contains(s""""cdc_multi_tables":${Bench.MultiTables}"""))
+    assert(line.contains("\"value\":6.500")) // 1.0 + 2.0 + 3.5
   }
 
   test("decimal rendering survives a comma-decimal default locale") {
