@@ -48,6 +48,18 @@ object Graft {
       index: DataFrame): DataFrame =
     graft.streaming.EventTimeOps.nearDupGate(spark, newDocs, index)
 
+  /** Benchmark decontamination (the q74 kernel) over caller-supplied
+    * `(doc_id, text)` frames: flags every train doc sharing an
+    * n-token gram with the benchmark set. The benchmark gram set is
+    * broadcast only while provably small
+    * ([[graft.ops.Probes.broadcastIfSmall]]); an oversized benchmark
+    * falls back to a shuffled gram join — same result, no driver OOM.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, n: Int = 8,
+      maxBroadcastRows: Long = graft.ops.Probes.DefaultMaxRows): DataFrame =
+    graft.queries.TextQueries.decontaminateDocs(train, benchmark, n,
+      maxBroadcastRows)
+
   /** Duplicate clusters `(doc_id, cluster)` from candidate pairs —
     * distributed min-label propagation ([[graft.ops.DupClusters]]).
     */

@@ -339,6 +339,49 @@ object TextQueries {
     (s1, s2, s3, s4)
   }
 
+  /** Benchmark-decontamination kernel — ONE implementation for the
+    * oracle-checked q74 and the `Graft.decontaminate` facade: from a
+    * `(doc_id, g: ARRAY<STRING>)` gram frame split by `isBench`,
+    * flag every train doc sharing any gram with the benchmark side
+    * and report per-doc contamination. The benchmark gram set goes
+    * through [[graft.ops.Probes.broadcastIfSmall]]: tiny (every real
+    * eval suite) ⇒ the broadcast plan q74 plan-asserts; oversized (a
+    * caller feeding something corpus-shaped) ⇒ an unhinted shuffled
+    * join on `gram` — same rows, working plan, no driver OOM.
+    */
+  private[graft] def gramDecontaminate(grams: DataFrame, isBench: Column,
+      maxBroadcastRows: Long = graft.ops.Probes.DefaultMaxRows): DataFrame = {
+    val bench = grams.filter(isBench)
+      .select(explode(col("g")).as("gram")).distinct()
+    val train = grams.filter(!isBench)
+    val hits = train.select(col("doc_id"), explode(col("g")).as("gram"))
+      .join(graft.ops.Probes.broadcastIfSmall(bench, maxBroadcastRows),
+        "gram") // grams are distinct per doc
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    train.select(col("doc_id"), size(col("g")).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n"), lit(0L)) > 0).as("contaminated"),
+        round(coalesce(col("n"), lit(0L)) * lit(1.0)
+          / greatest(col("n_grams"), lit(1)), 4).as("contamination"))
+  }
+
+  /** Facade entry: decontaminate caller-supplied `(doc_id, text)`
+    * frames (train vs benchmark) with the q74 kernel — n-gram width
+    * and the broadcast row cap are the caller's knobs.
+    */
+  private[graft] def decontaminateDocs(train: DataFrame, bench: DataFrame,
+      n: Int, maxBroadcastRows: Long): DataFrame = {
+    val tagged = train
+      .select(col("doc_id"), col("text"), lit(false).as("_bench"))
+      .unionByName(bench
+        .select(col("doc_id"), col("text"), lit(true).as("_bench")))
+    val grams = withNgrams(tagged, n, "g", col("doc_id"), col("_bench"))
+      .persist() // both split sides + the report read this frame
+    gramDecontaminate(grams, col("_bench"), maxBroadcastRows)
+  }
+
   /** The distributed BPE merge loop over a `(s, freq)` vocabulary
     * frame (`s` = space-delimited symbols with leading/trailing pad):
     * per step, count adjacent-symbol pairs weighted by word
@@ -987,19 +1030,7 @@ object TextQueries {
       val grams = withNgrams(Tables(spark, dir).documents, 8, "g",
           col("doc_id"))
         .persist() // feeds the bench side, the train side, and the report
-      val bench = grams.filter(col("doc_id") % 11 === 0)
-        .select(explode(col("g")).as("gram")).distinct()
-      val train = grams.filter(col("doc_id") % 11 =!= 0)
-      val hits = train.select(col("doc_id"), explode(col("g")).as("gram"))
-        .join(broadcast(bench), "gram") // grams are distinct per doc
-        .groupBy("doc_id").agg(count(lit(1)).as("n"))
-      train.select(col("doc_id"), size(col("g")).as("n_grams"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
-          coalesce(col("n"), lit(0L)).as("n_contaminated"),
-          (coalesce(col("n"), lit(0L)) > 0).as("contaminated"),
-          round(coalesce(col("n"), lit(0L)) * lit(1.0)
-            / greatest(col("n_grams"), lit(1)), 4).as("contamination"))
+      gramDecontaminate(grams, col("doc_id") % 11 === 0)
         .orderBy("doc_id")
     },
 

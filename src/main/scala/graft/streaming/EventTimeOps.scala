@@ -64,8 +64,12 @@ object EventTimeOps {
     */
   def nearDupGate(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, index: DataFrame): DataFrame =
+    // guarded broadcast: a small index ships to every task (the
+    // steady-state plan); a corpus-scale index falls back to a
+    // shuffled bucket join instead of a driver OOM
     graft.queries.TextQueries.docBands(spark, docs)
-      .join(broadcast(index), Seq("band", "bucket"), "left_semi")
+      .join(graft.ops.Probes.broadcastIfSmall(index),
+        Seq("band", "bucket"), "left_semi")
 
   /** Stream-stream interval join: both sides watermarked, the join
     * range-bounds event-time skew, so each side's buffered state is

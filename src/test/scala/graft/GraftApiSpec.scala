@@ -49,6 +49,60 @@ class GraftApiSpec extends AnyFunSuite {
     assert(!hits.contains(3L)) // unrelated doc never probes in
   }
 
+  test("decontaminate guards the benchmark broadcast: both paths, same rows") {
+    // train docs 1/3/4, benchmark = doc 2 (dup of 1): doc 1 must flag,
+    // doc 3 must not
+    val train = docs.filter(col("doc_id") =!= 2L)
+    val bench = docs.filter(col("doc_id") === 2L)
+    def run(cap: Long) = Graft.decontaminate(train, bench, n = 8,
+      maxBroadcastRows = cap)
+
+    // the assertions target the GRAM join specifically — AQE may
+    // legitimately broadcast the small per-doc rollup elsewhere
+    val bcastGram = "BroadcastHashJoin \\[gram".r
+    val shuffledGram = "(SortMergeJoin|ShuffledHashJoin) \\[gram".r
+
+    // the guard controls the HINT; on this tiny fixture the planner's
+    // auto-broadcast would mask its absence, so turn thresholds off —
+    // hinted joins still broadcast, unhinted ones shuffle (exactly
+    // what a genuinely oversized benchmark would see)
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf
+      .getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val (smallDf, bigDf) = try {
+      // small-benchmark path: the broadcast plan q74 plan-asserts
+      val s = run(graft.ops.Probes.DefaultMaxRows)
+      s.collect()
+      val smallPlan = s.queryExecution.executedPlan.toString
+      assert(bcastGram.findFirstIn(smallPlan).isDefined, smallPlan.take(600))
+
+      // forced-oversize path (cap 0): unhinted shuffled join on the
+      // gram — a working plan, not a broadcast
+      val b = run(0L)
+      b.collect()
+      val bigPlan = b.queryExecution.executedPlan.toString
+      assert(bcastGram.findFirstIn(bigPlan).isEmpty, bigPlan.take(600))
+      assert(shuffledGram.findFirstIn(bigPlan).isDefined, bigPlan.take(600))
+      (s, b)
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prevA.fold(spark.conf
+        .unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+    }
+
+    // identical results either way — the guard changes the PLAN only
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(smallDf) == rows(bigDf))
+    val flagged = smallDf.filter(col("contaminated")).collect()
+      .map(_.getLong(0)).toSet
+    assert(flagged.contains(1L) && !flagged.contains(3L), flagged)
+  }
+
   test("topK aggregate and sketches run on arbitrary frames") {
     val df = spark.range(100).select(col("id"),
       (col("id") % 5).as("g"), md5(col("id").cast("string")).as("pr"))
