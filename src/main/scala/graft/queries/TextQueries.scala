@@ -296,9 +296,20 @@ object TextQueries {
     .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]
 
   private def cleanStages(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
-    cleanStagesCache.getOrElseUpdate((spark, dir),
-      buildCleanStages(spark, dir))
+      dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = synchronized {
+    // a memo entry is only valid while its frames are still cached:
+    // Verify/Bench clearCache() between queries, and handing back
+    // unpersisted frames would recompute the stage chain once per
+    // accounting consumer — rebuild (fresh persists) instead
+    val hit = cleanStagesCache.get((spark, dir)).filter(t =>
+      Seq(t._1, t._2, t._3, t._4).forall(
+        _.storageLevel != org.apache.spark.storage.StorageLevel.NONE))
+    hit.getOrElse {
+      val t = buildCleanStages(spark, dir)
+      cleanStagesCache((spark, dir)) = t
+      t
+    }
+  }
 
   private def buildCleanStages(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
