@@ -1118,12 +1118,19 @@ object TextQueries {
         .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       // distributed top-k (TakeOrderedAndProject), NOT a global
       // row_number window — a single-partition window would drag the
-      // whole vocabulary through one task at scale; rank is assigned
-      // after the limit, over 25 rows
+      // whole vocabulary through one task at scale. Rank is assigned
+      // after the limit over the 25 survivors, window-free: one
+      // sorted-array aggregate + posexplode (position = rank), so no
+      // partition-less WindowExec exists anywhere in the suite (a
+      // global window over 25 rows is harmless but logs a
+      // degradation WARN per AQE replan — 7 lines per run)
       val top = agg.orderBy(col("tf").desc, col("term")).limit(25)
-      val w = Window.orderBy(col("tf").desc, col("term"))
-      top.withColumn("rn", row_number().over(w))
-        .select(col("term"), col("tf"), col("df"), col("rn"))
+      top
+        .agg(sort_array(collect_list(struct((-col("tf")).as("ntf"),
+          col("term"), col("tf"), col("df")))).as("a"))
+        .select(posexplode(col("a")).as(Seq("i", "s")))
+        .select(col("s.term").as("term"), col("s.tf").as("tf"),
+          col("s.df").as("df"), (col("i") + 1).cast("int").as("rn"))
         .orderBy("rn")
     },
 
@@ -1425,6 +1432,47 @@ object TextQueries {
         .select(col("source"), col("bin"), col("n_docs"), col("n_tokens"),
           round(col("n_tokens") / lit(2048.0), 4).as("fill"))
         .orderBy("source", "bin")
+    },
+
+    // Sharded packing — the SCALE path of q101 under the oracle: the
+    // same ops.Packing kernel with a 512-token shard budget, so every
+    // source splits into ceil(tokens/512) shards (doc_id mod round-
+    // robin) and each shard packs independently into 256-token bins.
+    // This is the plan that cannot straggle on a dominant source —
+    // no window partition exceeds ~budget tokens — and this query
+    // hash-checks the shard assignment, per-shard offsets, and bin
+    // accounting against an independent SQL derivation (PackingSpec
+    // proves the fill-statistics envelope; this proves the exact
+    // arithmetic cross-engine).
+    QueryDef(
+      "q110_pack_sharded",
+      """WITH d AS (SELECT doc_id, source,
+        |   len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+        | FROM documents),
+        |t AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tot
+        |      FROM d GROUP BY 1),
+        |s AS (SELECT d.doc_id, d.source, d.n_tok,
+        |        ((t.tot - 1) // 512 + 1) AS nsh
+        |      FROM d JOIN t USING (source)),
+        |c AS (SELECT source, CAST(doc_id % nsh AS INTEGER) AS shard,
+        |        doc_id, n_tok,
+        |        coalesce(sum(n_tok) OVER (PARTITION BY source, doc_id % nsh
+        |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND 1 PRECEDING), 0) AS start_tok
+        |      FROM s)
+        |SELECT source, shard, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        | CAST(count(DISTINCT start_tok // 256) AS BIGINT) AS n_bins
+        |FROM c GROUP BY 1, 2 ORDER BY source, shard""".stripMargin) {
+      (spark, dir) =>
+      val d = withToks(Tables(spark, dir).documents,
+          col("doc_id"), col("source"))
+        .select(col("source"), col("doc_id"), size(col("t")).as("n_tok"))
+      graft.ops.Packing.packBins(d, 256, 512L)
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          countDistinct(col("bin")).as("n_bins"))
+        .orderBy("source", "shard")
     },
 
     // Incremental near-dup — the PRODUCTION dedup shape: a new batch
