@@ -393,6 +393,53 @@ object TextQueries {
     gramDecontaminate(grams, col("_bench"), maxBroadcastRows)
   }
 
+  /** DuckDB rendering of the q107 BPE training block — CTEs `words`,
+    * `w0..w3`, `p1..p3`, `t1..t3` (t_i = step i's merged pair) —
+    * shared by the training oracle (q107) and the apply oracle
+    * (q112), so the merge table both queries reason about is derived
+    * exactly once.
+    */
+  private def duckBpePairsCte(w: String, p: String): String =
+    s"""$p AS (SELECT l.pair, sum(l.freq) AS c FROM (
+       |  SELECT freq, unnest(list_transform(
+       |      generate_series(1, len(a) - 1),
+       |      i -> a[i] || ' ' || a[i+1])) AS pair
+       |  FROM (SELECT string_split(trim(s), ' ') AS a, freq FROM $w)) l
+       |  GROUP BY 1)""".stripMargin
+
+  private def duckBpeStepCtes(i: Int): String = {
+    val (w0, p, t, w1) = (s"w${i - 1}", s"p$i", s"t$i", s"w$i")
+    s"""${duckBpePairsCte(w0, p)},
+       |$t AS (SELECT pair, c FROM $p ORDER BY c DESC, pair LIMIT 1),
+       |$w1 AS (SELECT replace(s, ' ' || $t.pair || ' ',
+       |    ' ' || replace($t.pair, ' ', '') || ' ') AS s, freq
+       |  FROM (SELECT replace(s, ' ' || $t.pair || ' ',
+       |      ' ' || replace($t.pair, ' ', '') || ' ') AS s, freq
+       |    FROM $w0, $t), $t)""".stripMargin
+  }
+
+  private def DuckBpeTrain: String =
+    s"""words AS (SELECT lower(w) AS word, count(*) AS freq
+       |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]{2,12}$$') GROUP BY 1),
+       |w0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s,
+       |         freq FROM words),
+       |${duckBpeStepCtes(1)},
+       |${duckBpeStepCtes(2)},
+       |${duckBpeStepCtes(3)}""".stripMargin
+
+  /** The corpus-derived `(s, freq)` vocabulary frame q107 trains on
+    * and q112 applies to — one tokenization rule for both.
+    */
+  private def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    withToks(Tables(spark, dir).documents)
+      .select(explode(col("t")).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,12}$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w").as("word"), concat(lit(" "),
+        regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("freq"))
+
   /** The distributed BPE merge loop over a `(s, freq)` vocabulary
     * frame (`s` = space-delimited symbols with leading/trailing pad):
     * per step, count adjacent-symbol pairs weighted by word
@@ -1093,6 +1140,63 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // BM25 retrieval scoring — the lexical-search primitive next to
+    // q69's TF-IDF: score every document against a fixed 4-term query
+    // with the Okapi shape tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) per
+    // term, weighted by the Robertson IDF kept in RATIONAL form
+    // ((N−df+0.5)/(df+0.5), no ln — transcendental libm calls are not
+    // bit-stable across engines, and the rational form is monotone in
+    // the same quantity, so ranking semantics are preserved while
+    // every double is bit-equal cross-engine). Per-term products are
+    // summed in fixed column order (the q97 discipline). Shape at
+    // scale: per-term tf is a per-row array probe (map-only); the
+    // corpus stats (N, Σdl, four df counts) are ONE aggregate row
+    // broadcast back; top-10 is TakeOrderedAndProject — the corpus
+    // never shuffles.
+    QueryDef(
+      "q111_bm25_retrieval", {
+        val terms = Seq("spark", "shuffle", "window", "stream")
+        val fs = terms.indices.map(i =>
+          s"len(list_filter(t, x -> x = '${terms(i)}')) AS f$i")
+          .mkString(", ")
+        val dfs = terms.indices.map(i =>
+          s"sum(CASE WHEN f$i > 0 THEN 1 ELSE 0 END) AS df$i")
+          .mkString(", ")
+        val score = terms.indices.map(i =>
+          s"((s.n - s.df$i + 0.5) / (s.df$i + 0.5))" +
+            s" * ((f$i * 2.2) / (f$i + 1.2 * (0.25 + 0.75 * dl / (s.sdl * 1.0 / s.n))))")
+          .mkString("\n        | + ")
+        s"""WITH d AS (SELECT doc_id,
+           |   string_split_regex(lower(trim(text)), '\\s+') AS t
+           | FROM documents),
+           |f AS (SELECT doc_id, len(t) AS dl, $fs FROM d),
+           |s AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl,
+           |        $dfs FROM f)
+           |SELECT doc_id, round($score, 6) AS bm25
+           |FROM f, s WHERE f0 + f1 + f2 + f3 > 0
+           |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+      }) { (spark, dir) =>
+      val terms = Seq("spark", "shuffle", "window", "stream")
+      val d = withToks(Tables(spark, dir).documents, col("doc_id"))
+      val f = d.select(col("doc_id") +: size(col("t")).as("dl") +:
+        terms.indices.map(i => size(filter(col("t"),
+          x => x === terms(i))).as(s"f$i")): _*)
+        .persist() // feeds the one-row stats aggregate and the scoring
+      val s = f.agg(count(lit(1)).as("n"),
+        (sum("dl").as("sdl") +: terms.indices.map(i =>
+          sum(when(col(s"f$i") > 0, 1).otherwise(0)).as(s"df$i"))): _*)
+      val score = terms.indices.map { i =>
+        ((col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))) *
+          ((col(s"f$i") * lit(2.2)) / (col(s"f$i") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl")
+              / (col("sdl") * lit(1.0) / col("n")))))
+      }.reduce(_ + _)
+      f.crossJoin(broadcast(s))
+        .filter(col("f0") + col("f1") + col("f2") + col("f3") > 0)
+        .select(col("doc_id"), round(score, 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+    },
+
     // Corpus vocabulary heavy hitters — the tokenizer-training /
     // vocab-audit op: global top-25 terms by frequency with document
     // frequency alongside. Shape at scale: classic two-level
@@ -1744,32 +1848,7 @@ object TextQueries {
     // the shared delimiter) merge exactly like symbol-level BPE.
     QueryDef(
       "q107_bpe_train", {
-        def pairsCte(w: String, p: String): String =
-          s"""$p AS (SELECT l.pair, sum(l.freq) AS c FROM (
-             |  SELECT freq, unnest(list_transform(
-             |      generate_series(1, len(a) - 1),
-             |      i -> a[i] || ' ' || a[i+1])) AS pair
-             |  FROM (SELECT string_split(trim(s), ' ') AS a, freq FROM $w)) l
-             |  GROUP BY 1)""".stripMargin
-        def stepCtes(i: Int): String = {
-          val (w0, p, t, w1) = (s"w${i - 1}", s"p$i", s"t$i", s"w$i")
-          s"""${pairsCte(w0, p)},
-             |$t AS (SELECT pair, c FROM $p ORDER BY c DESC, pair LIMIT 1),
-             |$w1 AS (SELECT replace(s, ' ' || $t.pair || ' ',
-             |    ' ' || replace($t.pair, ' ', '') || ' ') AS s, freq
-             |  FROM (SELECT replace(s, ' ' || $t.pair || ' ',
-             |      ' ' || replace($t.pair, ' ', '') || ' ') AS s, freq
-             |    FROM $w0, $t), $t)""".stripMargin
-        }
-        s"""WITH words AS (SELECT lower(w) AS word, count(*) AS freq
-           |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-           |        FROM documents)
-           |  WHERE regexp_matches(w, '^[a-z]{2,12}$$') GROUP BY 1),
-           |w0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s,
-           |         freq FROM words),
-           |${stepCtes(1)},
-           |${stepCtes(2)},
-           |${stepCtes(3)}
+        s"""WITH $DuckBpeTrain
            |SELECT step, pair, replace(pair, ' ', '') AS merged,
            |  CAST(c AS BIGINT) AS c
            |FROM (SELECT 1 AS step, pair, c FROM t1
@@ -1777,16 +1856,72 @@ object TextQueries {
            |      UNION ALL SELECT 3, pair, c FROM t3)
            |ORDER BY step""".stripMargin
       }) { (spark, dir) =>
-      // vocabulary with frequencies — the ONLY corpus-sized pass
-      val words = withToks(Tables(spark, dir).documents)
-        .select(explode(col("t")).as("w"))
-        .filter(col("w").rlike("^[a-z]{2,12}$"))
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-        .select(concat(lit(" "),
-          regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("freq"))
       import spark.implicits._
-      bpeMerges(words, 3).toDF("step", "pair", "merged", "c")
+      // vocabulary with frequencies — the ONLY corpus-sized pass
+      bpeMerges(bpeVocab(spark, dir).select("s", "freq"), 3)
+        .toDF("step", "pair", "merged", "c")
         .orderBy("step")
+    },
+
+    // BPE APPLY — the missing third leg of the tokenizer story (q61
+    // pretokenizes, q107 trains, this tokenizes): apply the trained
+    // merge table to the corpus and report per-doc symbol counts.
+    // Shape at scale: the merges apply to the DISTINCT-WORD
+    // vocabulary (the q107 cost argument — never the corpus), the
+    // per-word symbol counts then broadcast back onto one corpus
+    // pass. The oracle re-derives the merge table through the SAME
+    // training CTEs as q107 and applies it with the same two-pass
+    // greedy replace, so training and application are checked as one
+    // composition.
+    QueryDef(
+      "q112_bpe_apply", {
+        def apply(src: String, t: String, out: String): String =
+          s"""$out AS (SELECT word, replace(replace(s,
+             |    ' ' || $t.pair || ' ', ' ' || replace($t.pair, ' ', '') || ' '),
+             |    ' ' || $t.pair || ' ', ' ' || replace($t.pair, ' ', '') || ' ')
+             |    AS s
+             |  FROM $src, $t)""".stripMargin
+        s"""WITH $DuckBpeTrain,
+           |v0 AS (SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+           |         AS s FROM words),
+           |${apply("v0", "t1", "a1")},
+           |${apply("a1", "t2", "a2")},
+           |${apply("a2", "t3", "a3")},
+           |nsym AS (SELECT word, len(string_split(trim(s), ' ')) AS ns
+           |         FROM a3),
+           |tw AS (SELECT doc_id, w FROM (
+           |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+           |      '\\s+')) AS w FROM documents)
+           |  WHERE regexp_matches(w, '^[a-z]{2,12}$$'))
+           |SELECT tw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           | CAST(sum(ns) AS BIGINT) AS n_syms,
+           | round(sum(ns) * 1.0 / count(*), 4) AS syms_per_word
+           |FROM tw JOIN nsym ON tw.w = nsym.word
+           |GROUP BY 1 ORDER BY tw.doc_id""".stripMargin
+      }) { (spark, dir) =>
+      val vocab = bpeVocab(spark, dir).persist() // trains AND applies
+      val merges = bpeMerges(vocab.select(col("s"), col("freq")), 3)
+      // apply each merge to the distinct-word vocabulary with the
+      // SAME two-pass greedy replace the trainer used
+      var cur = vocab.select(col("word"), col("s"))
+      merges.foreach { case (_, pair, merged, _) =>
+        def sub(c: Column): Column = regexp_replace(c,
+          java.util.regex.Pattern.quote(s" $pair "),
+          java.util.regex.Matcher.quoteReplacement(s" $merged "))
+        cur = cur.withColumn("s", sub(sub(col("s"))))
+      }
+      val nsym = cur.select(col("word"),
+        size(split(trim(col("s")), " ")).as("ns"))
+      withToks(Tables(spark, dir).documents, col("doc_id"))
+        .select(col("doc_id"), explode(col("t")).as("w"))
+        .filter(col("w").rlike("^[a-z]{2,12}$"))
+        .join(broadcast(nsym), col("w") === col("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("ns").as("n_syms"))
+        .select(col("doc_id"), col("n_words"), col("n_syms"),
+          round(col("n_syms") * lit(1.0) / col("n_words"), 4)
+            .as("syms_per_word"))
+        .orderBy("doc_id")
     },
 
     // LSH index health — the audit that SIZES the near-dup pipeline:
