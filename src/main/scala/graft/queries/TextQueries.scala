@@ -1915,7 +1915,10 @@ object TextQueries {
       withToks(Tables(spark, dir).documents, col("doc_id"))
         .select(col("doc_id"), explode(col("t")).as("w"))
         .filter(col("w").rlike("^[a-z]{2,12}$"))
-        .join(broadcast(nsym), col("w") === col("word"))
+        // guarded: a production vocabulary can outgrow a broadcast —
+        // past the cap this becomes a shuffled join on the word
+        .join(graft.ops.Probes.broadcastIfSmall(nsym),
+          col("w") === col("word"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"), sum("ns").as("n_syms"))
         .select(col("doc_id"), col("n_words"), col("n_syms"),
