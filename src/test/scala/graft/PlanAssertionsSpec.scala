@@ -198,6 +198,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!queryTime.contains("SortMergeJoin"), queryTime)
   }
 
+  test("q111 BM25: distributed top-k, stats broadcast, corpus never shuffles wide") {
+    val plan = planOf(SparkEntry.queries("q111_bm25_retrieval")(spark, sf))
+    // the final ranking must be TakeOrderedAndProject (map-side
+    // partial top-k), never a global sort of the scored corpus
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    // the one-row stats frame joins by broadcast, not a shuffle
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("q112 BPE apply: the per-word symbol table broadcasts onto the corpus pass") {
+    val plan = planOf(SparkEntry.queries("q112_bpe_apply")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("q95 heavy hitters: the estimate filter precedes the exact aggregation") {
     val df = SparkEntry.queries("q95_cms_heavy_hitters")(spark, sf)
     df.collect()
