@@ -101,6 +101,20 @@ object Graft {
       saltBuckets: Int = 8): DataFrame =
     graft.ops.SkewJoin.saltedJoin(big, small, key, saltBuckets)
 
+  /** Write a frame as a bucketed, bucket-sorted parquet table at
+    * `path` — the co-located join layout SCALE.md's join analysis
+    * prescribes: two tables bucketed on the same key with the same
+    * bucket count join with ZERO exchange (each bucket pair joins in
+    * place; GraftApiSpec asserts the exchange-free plan), so a
+    * repeatedly-joined 100 TB fact pays its shuffle once at write
+    * time instead of per query.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      key: String, buckets: Int): Unit =
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .format("parquet").mode("overwrite").saveAsTable(table)
+
   /** Int8 scalar quantization over any `(vec_id, e: ARRAY<DOUBLE>)`
     * frame: per-dimension [min, max] learned from the corpus
     * (order-free partials), codes + dequantized reconstructions via

@@ -103,6 +103,34 @@ class GraftApiSpec extends AnyFunSuite {
     assert(flagged.contains(1L) && !flagged.contains(3L), flagged)
   }
 
+  test("bucketed tables join with zero exchange — the co-located layout") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucket-")
+    val a = spark.range(1000).select(col("id"), (col("id") * 2).as("x"))
+    val b = spark.range(1000).select(col("id"), (col("id") * 3).as("y"))
+    Graft.writeBucketed(a, "graft_bucket_a", s"$tmp/a", "id", 4)
+    Graft.writeBucketed(b, "graft_bucket_b", s"$tmp/b", "id", 4)
+    // force the shuffle-join path a non-bucketed layout would take
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "id")
+      assert(j.count() == 1000)
+      val plan = j.queryExecution.executedPlan.toString
+      // co-location is the whole point: bucket pairs join in place,
+      // no hash-partition exchange on either side
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed"),
+        plan.take(800))
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
   test("topK aggregate and sketches run on arbitrary frames") {
     val df = spark.range(100).select(col("id"),
       (col("id") % 5).as("g"), md5(col("id").cast("string")).as("pr"))
