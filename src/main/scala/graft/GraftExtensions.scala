@@ -40,20 +40,39 @@ object GraftExtensions {
     */
   def install(spark: SparkSession): Unit = ensure(spark, All)
 
-  /** Idempotent temp-function install: register each builder only if
-    * the name is not already bound. The per-call
+  /** Names THIS library has installed, per session (weak keys: a
+    * stopped session releases its entry). Tracking our own installs —
+    * rather than asking the registry `functionExists` — preserves the
+    * original guarantee that ensureRegistered binds OUR builder: a
+    * same-name function registered by someone else still gets
+    * replaced (with Spark's one-time WARN, which in that case is
+    * exactly the signal the user should see), while our own
+    * re-installs are skipped silently.
+    */
+  private val installed = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
+
+  /** Idempotent temp-function install: each builder is registered at
+    * most once per session by this library. The per-call
     * `createOrReplaceTempFunction` the modules used before logged a
     * `WARN ... replaced a previously registered function` on every
-    * re-install — dozens per Verify/Bench session, pure noise. The
-    * builders are stable objects, so once a name is bound (here or by
-    * the `spark.sql.extensions` catalog injection) re-binding is a
-    * no-op with a warning attached; skip it instead.
+    * re-install — dozens per Verify/Bench session, pure noise.
     */
   def ensure(spark: SparkSession,
       builders: Seq[(String, Seq[Expression] => Expression)]): Unit = {
+    val mine = installed.synchronized {
+      installed.computeIfAbsent(spark, _ =>
+        java.util.Collections.synchronizedSet(new java.util.HashSet[String]()))
+    }
     val reg = spark.sessionState.functionRegistry
+    // a session built with `spark.sql.extensions=graft.GraftExtensions`
+    // already carries OUR builders under these names — replacing them
+    // would only re-bind the same functions with a WARN each
+    val injected = spark.conf.getOption("spark.sql.extensions")
+      .exists(_.contains("graft.GraftExtensions"))
     builders.foreach { case (n, b) =>
-      if (!reg.functionExists(FunctionIdentifier(n)))
+      if (mine.add(n) &&
+          !(injected && reg.functionExists(FunctionIdentifier(n))))
         reg.createOrReplaceTempFunction(n, b, "scala_udf")
     }
   }

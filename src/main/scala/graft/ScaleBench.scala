@@ -31,19 +31,44 @@ object ScaleBench {
 
   private val Langs = Array("en", "en", "en", "de", "es", "fr", "zh")
 
-  /** Pure text from a content seed — copying the seed copies the
-    * text, so exact duplicates exist by construction without any
-    * cross-row access; a mutation pass creates near-duplicates.
+  /** Per-id deterministic draws, re-derivable for ANY id — the dup
+    * machinery below needs a base document's own draws to resolve
+    * what text it actually carries.
     */
-  private def textOf(contentSeed: Long, mutate: Int): String = {
-    val rnd = new scala.util.Random(contentSeed * 0x9E3779B97F4A7C15L + 7L)
+  private def draws(id: Long): (String, String, Double, Long, Int) = {
+    val rnd = new scala.util.Random(id * 0x9E3779B97F4A7C15L + 42L)
+    val source = "src" + rnd.nextInt(16)
+    val lang = Langs(rnd.nextInt(Langs.length))
+    val roll = rnd.nextDouble()
+    val base = id - 1 - rnd.nextInt(200)
+    val mutSeed = rnd.nextInt(1 << 20)
+    (source, lang, roll, base, mutSeed)
+  }
+
+  private def baseWords(id: Long): Array[String] = {
+    val rnd = new scala.util.Random(id * 0x9E3779B97F4A7C15L + 7L)
     val n = 15 + rnd.nextInt(46)
-    val words = Array.fill(n)(Vocab(rnd.nextInt(Vocab.length)))
-    if (mutate >= 0 && words.length > 0) {
-      val mRnd = new scala.util.Random(mutate)
-      words(mRnd.nextInt(words.length)) = Vocab(mRnd.nextInt(Vocab.length))
-    }
-    words.mkString(" ")
+    Array.fill(n)(Vocab(rnd.nextInt(Vocab.length)))
+  }
+
+  /** The words document `id` actually carries: exact dups (roll <
+    * .05) copy their base's RESOLVED text (recursing through chains —
+    * copying the base's seed instead would miss bases that are
+    * themselves dups, silently deflating the planted-dup rate the
+    * scaling measurement depends on); near-dups (roll < .08) mutate
+    * exactly one word to a GUARANTEED-different word.
+    */
+  private def textWords(id: Long): Array[String] = {
+    val (_, _, roll, base, mutSeed) = draws(id)
+    if (id >= 200 && roll < 0.05) textWords(base)
+    else if (id >= 200 && roll < 0.08) {
+      val w = textWords(base).clone()
+      val m = new scala.util.Random(mutSeed)
+      val i = m.nextInt(w.length)
+      val shift = 1 + m.nextInt(Vocab.length - 1)
+      w(i) = Vocab((Vocab.indexOf(w(i)) + shift) % Vocab.length)
+      w
+    } else baseWords(id)
   }
 
   /** Write documents.parquet + embeddings.parquet at `mult`× the
@@ -55,18 +80,9 @@ object ScaleBench {
     import spark.implicits._
     val nDocs = 5000L * mult
     val docs = spark.range(nDocs).as[Long].mapPartitions(_.map { id =>
-      val rnd = new scala.util.Random(id * 0x9E3779B97F4A7C15L + 42L)
-      val source = "src" + rnd.nextInt(16)
-      val lang = Langs(rnd.nextInt(Langs.length))
       // ~5% exact dups of a recent doc, ~3% near-dups (one word off)
-      val roll = rnd.nextDouble()
-      val contentSeed =
-        if (roll < 0.05 && id >= 200) id - 1 - rnd.nextInt(200) else id
-      val mutate =
-        if (roll >= 0.05 && roll < 0.08 && id >= 200) rnd.nextInt(1 << 20)
-        else -1
-      val seed2 = if (mutate >= 0) id - 1 - rnd.nextInt(200) else contentSeed
-      val text = textOf(seed2, mutate)
+      val (source, lang, _, _, _) = draws(id)
+      val text = textWords(id).mkString(" ")
       (id, text, lang, source, text.length.toLong)
     }).toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")

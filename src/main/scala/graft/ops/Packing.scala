@@ -41,6 +41,12 @@ object Packing {
     *    not `/`: Column `/` is double division, exact only below
     *    2^53 — a 100 TB source crosses that in tokens).
     *
+    * `shard` and `bin` stay LONG: a source past 2^31·ctx tokens has
+    * more than Int.MaxValue bins (4.4e12 tokens at ctx 2048 — well
+    * inside the documented regime), and an int cast there would wrap
+    * silently. Callers wanting ints must cast at their own edge,
+    * where their scale bound is known.
+    *
     * Bins are LOCAL to a `(source, shard)`: a downstream group-by
     * must key on `(source, shard, bin)` when sharding is active.
     */
@@ -49,7 +55,7 @@ object Packing {
     require(ctx > 0, s"ctx must be positive, got $ctx")
     require(shardTokens > 0, s"shardTokens must be positive, got $shardTokens")
     val sharded =
-      if (shardTokens == Long.MaxValue) docs.withColumn("shard", lit(0))
+      if (shardTokens == Long.MaxValue) docs.withColumn("shard", lit(0L))
       else {
         // nShards = ceil(total / shardTokens) in exact integer
         // arithmetic ((t-1) div s + 1 — the t+s-1 form can overflow)
@@ -58,7 +64,7 @@ object Packing {
           .select(col("source"),
             (expr(s"(_tot - 1) div ${shardTokens}L") + 1).as("_nsh"))
         docs.join(broadcast(totals), "source")
-          .withColumn("shard", pmod(col("doc_id"), col("_nsh")).cast("int"))
+          .withColumn("shard", pmod(col("doc_id"), col("_nsh")))
           .drop("_nsh")
       }
     val w = Window.partitionBy("source", "shard").orderBy("doc_id")
@@ -66,6 +72,6 @@ object Packing {
     sharded
       .withColumn("start_tok",
         coalesce(sum("n_tok").over(w), lit(0L)))
-      .withColumn("bin", expr(s"start_tok div $ctx").cast("int"))
+      .withColumn("bin", expr(s"start_tok div $ctx"))
   }
 }

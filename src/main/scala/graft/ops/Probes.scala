@@ -25,9 +25,15 @@ object Probes {
     */
   val DefaultMaxRows: Long = 1000000L
 
+  /** `maxRows <= 0` disables the broadcast outright (Spark's
+    * `autoBroadcastJoinThreshold = -1` convention) — no count job,
+    * the frame joins unhinted.
+    */
   def broadcastIfSmall(df: DataFrame,
-      maxRows: Long = DefaultMaxRows): DataFrame = {
-    val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
-    if (df.limit(probe).count() <= maxRows) broadcast(df) else df
-  }
+      maxRows: Long = DefaultMaxRows): DataFrame =
+    if (maxRows <= 0) df
+    else {
+      val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+      if (df.limit(probe).count() <= maxRows) broadcast(df) else df
+    }
 }

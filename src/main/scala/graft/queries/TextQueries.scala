@@ -292,21 +292,30 @@ object TextQueries {
     * set per session is the lake-checkpoint shape the persists stand
     * in for anyway.
     */
-  private val cleanStagesCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]
+  // weak session keys: a stopped session must not stay pinned (with
+  // all four stage frames and their lineage) for the JVM lifetime
+  private val cleanStagesCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String,
+        (DataFrame, DataFrame, DataFrame, DataFrame)]]())
 
   private def cleanStages(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = synchronized {
+    val perDir = cleanStagesCache.synchronized {
+      cleanStagesCache.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Map.empty)
+    }
     // a memo entry is only valid while its frames are still cached:
     // Verify/Bench clearCache() between queries, and handing back
     // unpersisted frames would recompute the stage chain once per
-    // accounting consumer — rebuild (fresh persists) instead
-    val hit = cleanStagesCache.get((spark, dir)).filter(t =>
+    // accounting consumer — rebuild (fresh persists, replacing the
+    // stale entry) instead
+    val hit = perDir.get(dir).filter(t =>
       Seq(t._1, t._2, t._3, t._4).forall(
         _.storageLevel != org.apache.spark.storage.StorageLevel.NONE))
     hit.getOrElse {
       val t = buildCleanStages(spark, dir)
-      cleanStagesCache((spark, dir)) = t
+      perDir(dir) = t
       t
     }
   }
@@ -388,8 +397,14 @@ object TextQueries {
       .select(col("doc_id"), col("text"), lit(false).as("_bench"))
       .unionByName(bench
         .select(col("doc_id"), col("text"), lit(true).as("_bench")))
+    // NO persist here: the facade returns a lazy frame, so a cached
+    // intermediate would outlive the call with no one to release it —
+    // a per-call storage leak for loop callers (per-batch
+    // decontamination). The gram stages are map-only native kernels,
+    // so the extra recompute across the kernel's subplans is linear
+    // CPU, not a shuffle; callers who care persist their INPUT frames
+    // (which they own and can unpersist).
     val grams = withNgrams(tagged, n, "g", col("doc_id"), col("_bench"))
-      .persist() // both split sides + the report read this frame
     gramDecontaminate(grams, col("_bench"), maxBroadcastRows)
   }
 
@@ -409,13 +424,19 @@ object TextQueries {
 
   private def duckBpeStepCtes(i: Int): String = {
     val (w0, p, t, w1) = (s"w${i - 1}", s"p$i", s"t$i", s"w$i")
+    // the merged pair comes in via a SCALAR subquery, not a cross
+    // join: a fully-fused vocabulary makes t_i EMPTY, and `FROM w, t`
+    // would then empty every later CTE (diverging from the engine's
+    // early-stopping loop). NULL pair coalesces to chr(1), which can
+    // never occur in the space-padded [a-z] symbol streams, so the
+    // replace is a no-op — exactly the engine's "no more merges".
     s"""${duckBpePairsCte(w0, p)},
        |$t AS (SELECT pair, c FROM $p ORDER BY c DESC, pair LIMIT 1),
-       |$w1 AS (SELECT replace(s, ' ' || $t.pair || ' ',
-       |    ' ' || replace($t.pair, ' ', '') || ' ') AS s, freq
-       |  FROM (SELECT replace(s, ' ' || $t.pair || ' ',
-       |      ' ' || replace($t.pair, ' ', '') || ' ') AS s, freq
-       |    FROM $w0, $t), $t)""".stripMargin
+       |$w1 AS (SELECT replace(replace(s, ' ' || tp || ' ',
+       |    ' ' || replace(tp, ' ', '') || ' '), ' ' || tp || ' ',
+       |    ' ' || replace(tp, ' ', '') || ' ') AS s, freq
+       |  FROM (SELECT s, freq,
+       |          coalesce((SELECT pair FROM $t), chr(1)) AS tp FROM $w0))""".stripMargin
   }
 
   private def DuckBpeTrain: String =
@@ -1533,7 +1554,10 @@ object TextQueries {
       graft.ops.Packing.packBins(d, 2048)
         .groupBy("source", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
-        .select(col("source"), col("bin"), col("n_docs"), col("n_tokens"),
+        // int at the QUERY edge (fixture-bounded); the kernel keeps
+        // bin long so >2^31-bin sources can't wrap
+        .select(col("source"), col("bin").cast("int").as("bin"),
+          col("n_docs"), col("n_tokens"),
           round(col("n_tokens") / lit(2048.0), 4).as("fill"))
         .orderBy("source", "bin")
     },
@@ -1576,6 +1600,9 @@ object TextQueries {
         .groupBy("source", "shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
           countDistinct(col("bin")).as("n_bins"))
+        // int at the QUERY edge; the kernel keeps shard/bin long
+        .select(col("source"), col("shard").cast("int").as("shard"),
+          col("n_docs"), col("n_tokens"), col("n_bins"))
         .orderBy("source", "shard")
     },
 
@@ -1875,12 +1902,15 @@ object TextQueries {
     // composition.
     QueryDef(
       "q112_bpe_apply", {
+        // scalar-subquery + chr(1) sentinel like the training CTEs:
+        // an exhausted merge table must no-op, not empty the chain
         def apply(src: String, t: String, out: String): String =
           s"""$out AS (SELECT word, replace(replace(s,
-             |    ' ' || $t.pair || ' ', ' ' || replace($t.pair, ' ', '') || ' '),
-             |    ' ' || $t.pair || ' ', ' ' || replace($t.pair, ' ', '') || ' ')
-             |    AS s
-             |  FROM $src, $t)""".stripMargin
+             |    ' ' || tp || ' ', ' ' || replace(tp, ' ', '') || ' '),
+             |    ' ' || tp || ' ', ' ' || replace(tp, ' ', '') || ' ') AS s
+             |  FROM (SELECT word, s,
+             |          coalesce((SELECT pair FROM $t), chr(1)) AS tp
+             |        FROM $src))""".stripMargin
         s"""WITH $DuckBpeTrain,
            |v0 AS (SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
            |         AS s FROM words),

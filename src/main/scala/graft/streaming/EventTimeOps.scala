@@ -66,7 +66,10 @@ object EventTimeOps {
       docs: DataFrame, index: DataFrame): DataFrame =
     // guarded broadcast: a small index ships to every task (the
     // steady-state plan); a corpus-scale index falls back to a
-    // shuffled bucket join instead of a driver OOM
+    // shuffled bucket join instead of a driver OOM. The guard runs a
+    // bounded count per invocation — callers driving this per
+    // micro-batch (foreachBatch) should persist the static index so
+    // that count reads the cache, not storage.
     graft.queries.TextQueries.docBands(spark, docs)
       .join(graft.ops.Probes.broadcastIfSmall(index),
         Seq("band", "bucket"), "left_semi")

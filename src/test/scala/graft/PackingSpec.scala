@@ -49,7 +49,7 @@ class PackingSpec extends AnyFunSuite {
   test("single-shard packing equals the local reference pack") {
     val got = Packing.packBins(df, Ctx).collect()
       .map(r => ((r.getString(0), r.getLong(1)),
-        (r.getLong(4), r.getInt(5)))).toMap
+        (r.getLong(4), r.getLong(5).toInt))).toMap
     val want = refPack(fixture, t => (t._1, 0))
     assert(got == want)
   }
@@ -58,7 +58,7 @@ class PackingSpec extends AnyFunSuite {
     val budget = 2000L
     val packed = Packing.packBins(df, Ctx, budget).collect()
     val byDoc = packed.map(r => ((r.getString(0), r.getLong(1)),
-      (r.getInt(3), r.getLong(4), r.getInt(5)))).toMap
+      (r.getLong(3).toInt, r.getLong(4), r.getLong(5).toInt))).toMap
     assert(byDoc.size == fixture.size, "every doc packs exactly once")
 
     val totals = fixture.groupBy(_._1).view.mapValues(_.map(_._3.toLong).sum)
@@ -68,7 +68,7 @@ class PackingSpec extends AnyFunSuite {
       assert(rows.map(_.getInt(2).toLong).sum == tot, src)
       // shard count = ceil(total / budget)
       val expShards = ((tot - 1) / budget + 1).toInt
-      val shards = rows.map(_.getInt(3)).distinct.sorted
+      val shards = rows.map(_.getLong(3).toInt).distinct.sorted
       assert(shards.length == expShards && shards.last == expShards - 1,
         s"$src: shards $shards, expected $expShards")
       // fill statistics: each shard's cut stream has ceil(tok/ctx)
@@ -77,7 +77,7 @@ class PackingSpec extends AnyFunSuite {
       // Σ ceil(tok_sh/ctx) ∈ [ceil(tot/ctx), ceil(tot/ctx) + shards
       // - 1]: at most one extra partially-filled tail bin per shard,
       // nothing else about the fill distribution changes
-      val perShard = rows.groupBy(_.getInt(3)).values
+      val perShard = rows.groupBy(_.getLong(3)).values
         .map(_.map(_.getInt(2).toLong).sum).toSeq
       val binsSharded = perShard.map(t => (t - 1) / Ctx + 1).sum
       val binsUnsharded = (tot - 1) / Ctx + 1
@@ -94,10 +94,10 @@ class PackingSpec extends AnyFunSuite {
     // within every (source, shard): start_tok is the exact prefix sum
     // in doc_id order — same reference rule, shard-local
     val shardOf = packed.map(r =>
-      ((r.getString(0), r.getLong(1)), r.getInt(3))).toMap
+      ((r.getString(0), r.getLong(1)), r.getLong(3).toInt)).toMap
     val want = refPack(fixture, t => (t._1, shardOf((t._1, t._2))))
     val gotOffsets = packed.map(r => ((r.getString(0), r.getLong(1)),
-      (r.getLong(4), r.getInt(5)))).toMap
+      (r.getLong(4), r.getLong(5).toInt))).toMap
     assert(gotOffsets == want)
   }
 
