@@ -116,7 +116,63 @@ object ScaleBench {
     }.toMap
   }
 
+  /** `runMain graft.ScaleBench skew` — the packing-straggler
+    * experiment: a corpus where ONE source carries 80% of all tokens
+    * (the crawl reality the shard budget exists for), packed
+    * per-source (single window task for the hot source) vs per
+    * (source, shard). Prints both wall times; the delta IS the
+    * straggler.
+    */
+  private def skewExperiment(spark: SparkSession, work: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = s"$work/skew"
+    if (!new java.io.File(s"$dir/docs.parquet").exists()) {
+      println(s"[scale] generating skewed packing corpus at $dir")
+      // 10M docs, 80% in one source — tokens only (packing input)
+      spark.range(10000000L).as[Long].map { id =>
+        val rnd = new scala.util.Random(id * 0x9E3779B97F4A7C15L + 5L)
+        val source =
+          if (rnd.nextDouble() < 0.8) "hot" else "src" + rnd.nextInt(15)
+        (source, id, 50 + rnd.nextInt(100))
+      }.toDF("source", "doc_id", "n_tok")
+        .write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    }
+    val docs = spark.read.parquet(s"$dir/docs.parquet")
+    docs.write.format("noop").mode("overwrite").save() // warm
+    def time(label: String, budget: Long): Double = {
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        graft.ops.Packing.packBins(docs, 2048, budget)
+          .groupBy("source", "shard", "bin")
+          .agg(count(lit(1)), sum("n_tok"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = times.min
+      println(f"[scale] pack $label%-22s ${t}%6.2fs")
+      t
+    }
+    val unsharded = time("per-source", Long.MaxValue)
+    val sharded = time("per-(source,shard)", 1000000L)
+    println(f"[scale] straggler speedup ${unsharded / sharded}%4.1f×")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("skew")) {
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      skewExperiment(spark, args.lift(1).getOrElse("/tmp/graft-scale"))
+      spark.stop()
+      return
+    }
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val work = args.lift(1).getOrElse("/tmp/graft-scale")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
