@@ -20,7 +20,8 @@ object ScaleBench {
     */
   private val Flagship = Seq("q37_minhash_sig", "q38_lsh_candidates",
     "q89_clean_corpus", "q102_incremental_neardup",
-    "q104_semantic_decontaminate", "q108_training_shard")
+    "q104_semantic_decontaminate", "q108_training_shard",
+    "q109_pq_adc_search", "q110_pack_sharded", "q112_bpe_apply")
 
   private val Vocab: Array[String] = Array(
     "batch", "part", "spark", "line", "column", "order", "small", "sort",
