@@ -110,6 +110,35 @@ class PackingSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), plan.take(800))
   }
 
+  test("property: conservation, shard formula, and tail-bin envelope on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 4) {
+      val rows = (0 until 300).map { i =>
+        ("s" + rnd.nextInt(3), i.toLong * 7 + rnd.nextInt(7),
+          1 + rnd.nextInt(300))
+      }.distinctBy(r => (r._1, r._2))
+      val budget = 200L + rnd.nextInt(5000)
+      val packed = Packing
+        .packBins(rows.toDF("source", "doc_id", "n_tok"), Ctx, budget)
+        .collect()
+      for ((src, g) <- rows.groupBy(_._1)) {
+        val tot = g.map(_._3.toLong).sum
+        val mine = packed.filter(_.getString(0) == src)
+        assert(mine.map(_.getInt(2).toLong).sum == tot)
+        val expShards = ((tot - 1) / budget + 1).toInt
+        assert(mine.map(_.getLong(3)).distinct.length == expShards,
+          s"$src budget=$budget")
+        val perShard = mine.groupBy(_.getLong(3)).values
+          .map(_.map(_.getInt(2).toLong).sum).toSeq
+        val bins = perShard.map(t => (t - 1) / Ctx + 1).sum
+        val lo = (tot - 1) / Ctx + 1
+        assert(bins >= lo && bins <= lo + expShards - 1,
+          s"$src budget=$budget bins=$bins lo=$lo shards=$expShards")
+      }
+    }
+  }
+
   test("deterministic: two invocations produce identical assignments") {
     val a = Packing.packBins(df, Ctx, 2000L).collect().toSeq
       .map(_.toSeq).sortBy(_.toString)
