@@ -39,6 +39,40 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.find(_.getLong(0) == 99L).get.isNullAt(2)) // rv is null
   }
 
+  test("AQE splits the skewed partition of a sort-merge join (skew=true)") {
+    // SCALE.md's "salting or AQE skew-join" claim, demonstrated: one
+    // key carrying ~99% of a forced sort-merge join triggers the
+    // runtime skew split once the thresholds see it. Thresholds are
+    // test-sized; the mechanism is identical at TB scale.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000).select(
+        when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        concat(lit("pad-pad-pad-pad-pad-"), col("id")).as("lv"))
+      val right = spark.range(1000).select(col("id").as("k"),
+        col("id").as("rv"))
+      val j = left.join(right, "k")
+      // execute THIS plan so its AQE finalizes (a write or .rdd action
+      // plans a separate query execution and leaves this one
+      // unfinalized)
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin(skew=true)"), plan.take(1200))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange") {
     // warehouse.dir is a static conf — tables land in the default
     // ./spark-warehouse and are dropped afterwards
