@@ -115,6 +115,15 @@ object Graft {
       .option("path", path)
       .format("parquet").mode("overwrite").saveAsTable(table)
 
+  /** Z-order the frame for writing: range-partitioned and sorted by
+    * the Morton interleave of two pre-bucketed dimensions, so every
+    * output file is bounded in BOTH — zone maps prune on either
+    * predicate ([[graft.ops.ZOrder]]; q81 audits the tightness).
+    */
+  def zorderLayout(df: DataFrame, x: Column, y: Column, bits: Int = 8,
+      partitions: Int = 200): DataFrame =
+    graft.ops.ZOrder.layout(df, x, y, bits, partitions)
+
   /** Int8 scalar quantization over any `(vec_id, e: ARRAY<DOUBLE>)`
     * frame: per-dimension [min, max] learned from the corpus
     * (order-free partials), codes + dequantized reconstructions via

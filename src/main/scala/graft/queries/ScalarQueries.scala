@@ -460,11 +460,10 @@ object ScalarQueries {
       val staged = Tables(spark, dir).events
         .select((col("user_id") % 256).as("x"),
           (expr("unix_micros(ts) div 3600000000") % 256).as("y"))
-      val z = (0 until 8).map(i =>
-        shiftleft(shiftright(col("x"), i).bitwiseAND(1), 2 * i)
-          + shiftleft(shiftright(col("y"), i).bitwiseAND(1), 2 * i + 1))
-        .reduce(_ + _)
-      staged.withColumn("z", z)
+      // the shared write-path kernel (ops.ZOrder) — the audit must
+      // measure the same interleave the layout writes
+      staged.withColumn("z",
+          graft.ops.ZOrder.zcode(col("x"), col("y"), 8))
         .groupBy(expr("z div 16").as("bucket"))
         .agg(count(lit(1)).as("n"),
           min("x").as("x_min"), max("x").as("x_max"),

@@ -73,6 +73,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order layout bounds per-file extents on BOTH dimensions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val data = (0 until 40000)
+      .map(_ => (rnd.nextInt(256), rnd.nextInt(256))).toDF("x", "y")
+    val tmp = Files.createTempDirectory("graft-zorder-")
+    // baseline: single-dimension sort — tight in x, spans ALL of y
+    data.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$tmp/base")
+    graft.ops.ZOrder.layout(data, col("x"), col("y"), 8, 16)
+      .write.mode("overwrite").parquet(s"$tmp/z")
+    def extents(path: String): (Double, Double) = {
+      val r = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("x") - min("x")).as("ex"), (max("y") - min("y")).as("ey"))
+        .agg(avg("ex"), avg("ey")).collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (bx, by) = extents(s"$tmp/base")
+    val (zx, zy) = extents(s"$tmp/z")
+    // zone maps prune on a predicate only while that dimension's
+    // per-file extent is small: the z-order layout's WORST dimension
+    // must be far tighter than the single-sort's worst (which spans
+    // the full 255-wide y domain in every file)
+    assert(by > 200, s"baseline should span y: ($bx, $by)")
+    assert(math.max(zx, zy) < 0.6 * math.max(bx, by),
+      s"z extents ($zx, $zy) vs baseline ($bx, $by)")
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange") {
     // warehouse.dir is a static conf — tables land in the default
     // ./spark-warehouse and are dropped afterwards
