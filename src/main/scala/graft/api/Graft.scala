@@ -115,6 +115,24 @@ object Graft {
       .option("path", path)
       .format("parquet").mode("overwrite").saveAsTable(table)
 
+  /** BM25 lexical retrieval scores for caller-supplied `(doc_id,
+    * text)` docs against query `terms` — the q111 kernel: map-only
+    * per-doc term frequencies, one broadcast stats row, rational
+    * Robertson IDF (deterministic, no transcendentals). Returns
+    * `(doc_id, bm25)` for docs matching ≥1 term; rank/limit yourself.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    graft.queries.TextQueries.bm25Docs(docs, terms, k1, b)
+
+  /** Sequence packing with a per-(source, shard) token budget — the
+    * q101/q110 kernel ([[graft.ops.Packing.packBins]]): no window
+    * partition outgrows ~`shardTokens` regardless of source skew.
+    */
+  def packBins(docs: DataFrame, ctx: Int,
+      shardTokens: Long = Long.MaxValue): DataFrame =
+    graft.ops.Packing.packBins(docs, ctx, shardTokens)
+
   /** Z-order the frame for writing: range-partitioned and sorted by
     * the Morton interleave of two pre-bucketed dimensions, so every
     * output file is bounded in BOTH — zone maps prune on either

@@ -359,6 +359,49 @@ object TextQueries {
     (s1, s2, s3, s4)
   }
 
+  /** BM25 scoring kernel — ONE implementation for the oracle-checked
+    * q111 and the `Graft.bm25` facade: Okapi tf saturation
+    * `tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))` per query term, weighted
+    * by the Robertson IDF in RATIONAL form ((N−df+0.5)/(df+0.5) — no
+    * ln, transcendentals are not bit-stable cross-engine), per-term
+    * products summed in fixed term order. Input is a staged
+    * `(doc_id, t)` token frame; output `(doc_id, bm25)` for every
+    * doc matching ≥1 term, unranked — the caller picks its top-k.
+    * The corpus stats (N, Σdl, per-term df) are ONE aggregate row
+    * broadcast back; the corpus never shuffles.
+    *
+    * (k1 + 1) and (1 − b) are computed driver-side: for the default
+    * 1.2/0.75 both round to the exact doubles the oracle's literals
+    * denote (1.2+1 == 2.2 bitwise; 0.75/0.25 are exact binary).
+    */
+  private[graft] def bm25Scores(d: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val f = d.select(col("doc_id") +: size(col("t")).as("dl") +:
+      terms.indices.map(i => size(filter(col("t"),
+        x => x === terms(i))).as(s"f$i")): _*)
+      .persist() // feeds the one-row stats aggregate and the scoring
+    val s = f.agg(count(lit(1)).as("n"),
+      (sum("dl").as("sdl") +: terms.indices.map(i =>
+        sum(when(col(s"f$i") > 0, 1).otherwise(0)).as(s"df$i"))): _*)
+    val score = terms.indices.map { i =>
+      ((col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))) *
+        ((col(s"f$i") * lit(k1 + 1)) / (col(s"f$i") + lit(k1) *
+          (lit(1 - b) + lit(b) * col("dl")
+            / (col("sdl") * lit(1.0) / col("n")))))
+    }.reduce(_ + _)
+    f.crossJoin(broadcast(s))
+      .filter(terms.indices.map(i => col(s"f$i")).reduce(_ + _) > 0)
+      .select(col("doc_id"), round(score, 6).as("bm25"))
+  }
+
+  /** Facade entry: BM25 over a caller-supplied `(doc_id, text)`
+    * frame — tokenizes with the module's shared rule, then scores.
+    */
+  private[graft] def bm25Docs(docs: DataFrame, terms: Seq[String],
+      k1: Double, b: Double): DataFrame =
+    bm25Scores(withToks(docs, col("doc_id")), terms, k1, b)
+
   /** Benchmark-decontamination kernel — ONE implementation for the
     * oracle-checked q74 and the `Graft.decontaminate` facade: from a
     * `(doc_id, g: ARRAY<STRING>)` gram frame split by `isBench`,
@@ -1197,24 +1240,8 @@ object TextQueries {
            |FROM f, s WHERE f0 + f1 + f2 + f3 > 0
            |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
       }) { (spark, dir) =>
-      val terms = Seq("spark", "shuffle", "window", "stream")
-      val d = withToks(Tables(spark, dir).documents, col("doc_id"))
-      val f = d.select(col("doc_id") +: size(col("t")).as("dl") +:
-        terms.indices.map(i => size(filter(col("t"),
-          x => x === terms(i))).as(s"f$i")): _*)
-        .persist() // feeds the one-row stats aggregate and the scoring
-      val s = f.agg(count(lit(1)).as("n"),
-        (sum("dl").as("sdl") +: terms.indices.map(i =>
-          sum(when(col(s"f$i") > 0, 1).otherwise(0)).as(s"df$i"))): _*)
-      val score = terms.indices.map { i =>
-        ((col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))) *
-          ((col(s"f$i") * lit(2.2)) / (col(s"f$i") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * col("dl")
-              / (col("sdl") * lit(1.0) / col("n")))))
-      }.reduce(_ + _)
-      f.crossJoin(broadcast(s))
-        .filter(col("f0") + col("f1") + col("f2") + col("f3") > 0)
-        .select(col("doc_id"), round(score, 6).as("bm25"))
+      bm25Scores(withToks(Tables(spark, dir).documents, col("doc_id")),
+          Seq("spark", "shuffle", "window", "stream"))
         .orderBy(col("bm25").desc, col("doc_id")).limit(10)
     },
 

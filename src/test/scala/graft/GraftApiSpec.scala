@@ -131,6 +131,26 @@ class GraftApiSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 on a user frame matches the hand-computed Okapi score") {
+    import spark.implicits._
+    // 2 docs, term "fox": doc 1 has tf=2/dl=4, doc 2 has tf=0/dl=2
+    val frame = Seq((1L, "fox fox dog cat"), (2L, "dog cat"))
+      .toDF("doc_id", "text")
+    val got = Graft.bm25(frame, Seq("fox")).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 1L)
+    // N=2, df=1 → idf = (2-1+0.5)/(1+0.5) = 1.0; avgdl = 3;
+    // tfn = 2*2.2 / (2 + 1.2*(0.25 + 0.75*4/3)) = 4.4/3.5
+    val want = BigDecimal(1.0 * (2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 4 / 3.0))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getDouble(1) == want, s"${got(0).getDouble(1)} vs $want")
+    // packing facade: starts 0,2,4,7 at ctx 4 → bins 0,0,1,1
+    val packed = Graft.packBins(
+      Seq(("s", 1L, 2), ("s", 2L, 2), ("s", 3L, 3), ("s", 4L, 1))
+        .toDF("source", "doc_id", "n_tok"), 4).collect()
+      .map(r => r.getLong(1) -> r.getLong(5)).toMap
+    assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("topK aggregate and sketches run on arbitrary frames") {
     val df = spark.range(100).select(col("id"),
       (col("id") % 5).as("g"), md5(col("id").cast("string")).as("pr"))
