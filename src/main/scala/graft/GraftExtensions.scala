@@ -71,9 +71,15 @@ object GraftExtensions {
     val injected = spark.conf.getOption("spark.sql.extensions")
       .exists(_.contains("graft.GraftExtensions"))
     builders.foreach { case (n, b) =>
-      if (mine.add(n) &&
-          !(injected && reg.functionExists(FunctionIdentifier(n))))
+      // (re)register when the name is unbound (self-heals a user's
+      // DROP TEMPORARY FUNCTION) or bound by something that is
+      // neither us nor the injection (foreign same-name: replace,
+      // and Spark's one-time WARN is the right signal). The set is
+      // updated only after a successful registration.
+      val exists = reg.functionExists(FunctionIdentifier(n))
+      if (!exists || !(mine.contains(n) || injected))
         reg.createOrReplaceTempFunction(n, b, "scala_udf")
+      mine.add(n)
     }
   }
 }

@@ -32,6 +32,14 @@ object Packing {
 
   /** Assign pack bins to a `(source, doc_id, n_tok)` frame.
     *
+    * Shard assignment hashes the doc id (shared md5-prefix recipe,
+    * [[graft.functions.KmvSketch.md5Hash60]]) before the modulo: raw
+    * `doc_id % n` residues break the per-shard token bound whenever
+    * ids share a stride (snowflake ids, pre-sampled subsets) — at
+    * gcd(stride, n) = n every row lands in shard 0 and the straggler
+    * returns silently. The hash destroys stride structure while
+    * staying deterministic and oracle-reproducible.
+    *
     * Returns the input columns plus:
     *  - `shard`     — the packing shard within the source (0 when
     *    `shardTokens = Long.MaxValue`);
@@ -64,7 +72,9 @@ object Packing {
           .select(col("source"),
             (expr(s"(_tot - 1) div ${shardTokens}L") + 1).as("_nsh"))
         docs.join(broadcast(totals), "source")
-          .withColumn("shard", pmod(col("doc_id"), col("_nsh")))
+          .withColumn("shard",
+            pmod(graft.functions.KmvSketch.md5Hash60(col("doc_id")),
+              col("_nsh")))
           .drop("_nsh")
       }
     val w = Window.partitionBy("source", "shard").orderBy("doc_id")

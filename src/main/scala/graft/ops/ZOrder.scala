@@ -18,13 +18,21 @@ object ZOrder {
 
   /** Morton interleave of the low `bits` bits of x and y (callers
     * pre-bucket both into [0, 2^bits)). Pure bit arithmetic — stays
-    * in codegen, exact in any engine.
+    * in codegen, exact in any engine. Inputs are cast to LONG first:
+    * Spark's shift functions keep the input type and Java int shifts
+    * wrap the count mod 32, so an IntegerType column at bits ≥ 16
+    * would silently produce negative or colliding codes.
     */
-  def zcode(x: Column, y: Column, bits: Int): Column =
+  def zcode(x: Column, y: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val (xl, yl) = (x.cast("long"), y.cast("long"))
     (0 until bits).map(i =>
-      shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i)
-        + shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1))
+      shiftleft(shiftright(xl, i).bitwiseAND(1), 2 * i)
+        + shiftleft(shiftright(yl, i).bitwiseAND(1), 2 * i + 1))
       .reduce(_ + _)
+  }
+
+  private val CodeCol = "_graft_zcode"
 
   /** The write layout: range-partition by the code (sampled
     * boundaries absorb skew), sort within each partition — every
@@ -33,10 +41,11 @@ object ZOrder {
     */
   def layout(df: DataFrame, x: Column, y: Column, bits: Int,
       partitions: Int): DataFrame = {
-    require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    df.withColumn("_zcode", zcode(x, y, bits))
-      .repartitionByRange(partitions, col("_zcode"))
-      .sortWithinPartitions("_zcode")
-      .drop("_zcode")
+    require(!df.columns.contains(CodeCol),
+      s"column $CodeCol is reserved by ZOrder.layout")
+    df.withColumn(CodeCol, zcode(x, y, bits))
+      .repartitionByRange(partitions, col(CodeCol))
+      .sortWithinPartitions(CodeCol)
+      .drop(CodeCol)
   }
 }

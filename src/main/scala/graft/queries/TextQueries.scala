@@ -292,30 +292,31 @@ object TextQueries {
     * set per session is the lake-checkpoint shape the persists stand
     * in for anyway.
     */
-  // weak session keys: a stopped session must not stay pinned (with
-  // all four stage frames and their lineage) for the JVM lifetime
-  private val cleanStagesCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String,
-        (DataFrame, DataFrame, DataFrame, DataFrame)]]())
+  // SINGLE-slot memo, not a map: q89 and q108 share one cached stage
+  // set within a (session, dir), which is all the sharing that
+  // exists; a growing map would pin every session/dir ever seen for
+  // the JVM lifetime (a WeakHashMap keyed by session cannot help —
+  // the cached DataFrames strongly reference their session, the
+  // value-refers-to-key pitfall that defeats key reclamation). A new
+  // session or dir simply replaces the slot, releasing the old one.
+  private final case class StagesSlot(spark: SparkSession, dir: String,
+    frames: (DataFrame, DataFrame, DataFrame, DataFrame))
+  @volatile private var stagesSlot: StagesSlot = null
 
   private def cleanStages(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = synchronized {
-    val perDir = cleanStagesCache.synchronized {
-      cleanStagesCache.computeIfAbsent(spark,
-        _ => scala.collection.mutable.Map.empty)
-    }
     // a memo entry is only valid while its frames are still cached:
     // Verify/Bench clearCache() between queries, and handing back
     // unpersisted frames would recompute the stage chain once per
-    // accounting consumer — rebuild (fresh persists, replacing the
-    // stale entry) instead
-    val hit = perDir.get(dir).filter(t =>
-      Seq(t._1, t._2, t._3, t._4).forall(
-        _.storageLevel != org.apache.spark.storage.StorageLevel.NONE))
-    hit.getOrElse {
+    // accounting consumer — rebuild (fresh persists) instead
+    val cur = stagesSlot
+    val valid = cur != null && (cur.spark eq spark) && cur.dir == dir &&
+      Seq(cur.frames._1, cur.frames._2, cur.frames._3, cur.frames._4)
+        .forall(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    if (valid) cur.frames
+    else {
       val t = buildCleanStages(spark, dir)
-      perDir(dir) = t
+      stagesSlot = StagesSlot(spark, dir, t)
       t
     }
   }
@@ -377,10 +378,13 @@ object TextQueries {
   private[graft] def bm25Scores(d: DataFrame, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
+    // NO persist (the decontaminateDocs rule): the facade returns a
+    // lazy frame, so a cached intermediate would leak per call. The
+    // frequency projection feeds the stats row and the scoring —
+    // recomputing it is one extra map-only pass, no shuffle.
     val f = d.select(col("doc_id") +: size(col("t")).as("dl") +:
       terms.indices.map(i => size(filter(col("t"),
         x => x === terms(i))).as(s"f$i")): _*)
-      .persist() // feeds the one-row stats aggregate and the scoring
     val s = f.agg(count(lit(1)).as("n"),
       (sum("dl").as("sdl") +: terms.indices.map(i =>
         sum(when(col(s"f$i") > 0, 1).otherwise(0)).as(s"df$i"))): _*)
@@ -1591,8 +1595,9 @@ object TextQueries {
 
     // Sharded packing — the SCALE path of q101 under the oracle: the
     // same ops.Packing kernel with a 512-token shard budget, so every
-    // source splits into ceil(tokens/512) shards (doc_id mod round-
-    // robin) and each shard packs independently into 256-token bins.
+    // source splits into ceil(tokens/512) shards (hashed doc ids —
+    // stride-proof) and each shard packs independently into
+    // 256-token bins.
     // This is the plan that cannot straggle on a dominant source —
     // no window partition exceeds ~budget tokens — and this query
     // hash-checks the shard assignment, per-shard offsets, and bin
@@ -1607,11 +1612,12 @@ object TextQueries {
         |t AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tot
         |      FROM d GROUP BY 1),
         |s AS (SELECT d.doc_id, d.source, d.n_tok,
-        |        ((t.tot - 1) // 512 + 1) AS nsh
+        |        (('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT
+        |          % ((t.tot - 1) // 512 + 1)) AS shard
         |      FROM d JOIN t USING (source)),
-        |c AS (SELECT source, CAST(doc_id % nsh AS INTEGER) AS shard,
+        |c AS (SELECT source, CAST(shard AS INTEGER) AS shard,
         |        doc_id, n_tok,
-        |        coalesce(sum(n_tok) OVER (PARTITION BY source, doc_id % nsh
+        |        coalesce(sum(n_tok) OVER (PARTITION BY source, shard
         |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
         |          AND 1 PRECEDING), 0) AS start_tok
         |      FROM s)

@@ -66,11 +66,13 @@ class PackingSpec extends AnyFunSuite {
       val rows = packed.filter(_.getString(0) == src)
       // exact token conservation through the bin accounting
       assert(rows.map(_.getInt(2).toLong).sum == tot, src)
-      // shard count = ceil(total / budget)
+      // shard domain = ceil(total / budget); hashed assignment may
+      // leave a residue empty on tiny fixtures, never exceed it
       val expShards = ((tot - 1) / budget + 1).toInt
       val shards = rows.map(_.getLong(3).toInt).distinct.sorted
-      assert(shards.length == expShards && shards.last == expShards - 1,
-        s"$src: shards $shards, expected $expShards")
+      assert(shards.nonEmpty && shards.length <= expShards &&
+        shards.forall(sh => sh >= 0 && sh < expShards),
+        s"$src: shards $shards, domain $expShards")
       // fill statistics: each shard's cut stream has ceil(tok/ctx)
       // bins (count from token totals — a doc longer than ctx spans
       // bins no doc STARTS in, so occupied-bin rows undercount), and
@@ -82,9 +84,9 @@ class PackingSpec extends AnyFunSuite {
       val binsSharded = perShard.map(t => (t - 1) / Ctx + 1).sum
       val binsUnsharded = (tot - 1) / Ctx + 1
       assert(binsSharded >= binsUnsharded &&
-        binsSharded <= binsUnsharded + expShards - 1,
+        binsSharded <= binsUnsharded + perShard.size - 1,
         s"$src: $binsSharded bins vs unsharded $binsUnsharded" +
-          s" + ${expShards - 1} tail slack")
+          s" + ${perShard.size - 1} tail slack")
       // the window-size bound the sharding exists for: no shard's
       // token total strays past 2× the budget on this fixture
       assert(perShard.forall(_ <= 2 * budget),
@@ -127,14 +129,16 @@ class PackingSpec extends AnyFunSuite {
         val mine = packed.filter(_.getString(0) == src)
         assert(mine.map(_.getInt(2).toLong).sum == tot)
         val expShards = ((tot - 1) / budget + 1).toInt
-        assert(mine.map(_.getLong(3)).distinct.length == expShards,
-          s"$src budget=$budget")
+        val occupied = mine.map(_.getLong(3)).distinct
+        assert(occupied.nonEmpty && occupied.length <= expShards &&
+          occupied.forall(sh => sh >= 0 && sh < expShards),
+          s"$src budget=$budget occupied=${occupied.sorted.toSeq}")
         val perShard = mine.groupBy(_.getLong(3)).values
           .map(_.map(_.getInt(2).toLong).sum).toSeq
         val bins = perShard.map(t => (t - 1) / Ctx + 1).sum
         val lo = (tot - 1) / Ctx + 1
-        assert(bins >= lo && bins <= lo + expShards - 1,
-          s"$src budget=$budget bins=$bins lo=$lo shards=$expShards")
+        assert(bins >= lo && bins <= lo + perShard.size - 1,
+          s"$src budget=$budget bins=$bins lo=$lo shards=${perShard.size}")
       }
     }
   }
