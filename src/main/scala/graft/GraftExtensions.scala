@@ -73,9 +73,12 @@ object GraftExtensions {
     builders.foreach { case (n, b) =>
       // (re)register when the name is unbound (self-heals a user's
       // DROP TEMPORARY FUNCTION) or bound by something that is
-      // neither us nor the injection (foreign same-name: replace,
-      // and Spark's one-time WARN is the right signal). The set is
-      // updated only after a successful registration.
+      // neither us nor the injection (foreign same-name bound BEFORE
+      // our first install: replace, and Spark's one-time WARN is the
+      // right signal — a foreign rebinding AFTER ours is
+      // indistinguishable from our own and is not re-replaced). The
+      // set records names known bound by us, via this call or the
+      // injection; a registration failure leaves the name unrecorded.
       val exists = reg.functionExists(FunctionIdentifier(n))
       if (!exists || !(mine.contains(n) || injected))
         reg.createOrReplaceTempFunction(n, b, "scala_udf")

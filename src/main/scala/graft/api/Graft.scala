@@ -120,14 +120,19 @@ object Graft {
     * per-doc term frequencies, one broadcast stats row, rational
     * Robertson IDF (deterministic, no transcendentals). Returns
     * `(doc_id, bm25)` for docs matching ≥1 term; rank/limit yourself.
+    * `docs` must be deterministic across evaluations (the stats row
+    * and the scoring each read it once) — persist a nondeterministic
+    * frame (unseeded sample, rand() filter) before passing it.
     */
   def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75): DataFrame =
     graft.queries.TextQueries.bm25Docs(docs, terms, k1, b)
 
   /** Sequence packing with a per-(source, shard) token budget — the
-    * q101/q110 kernel ([[graft.ops.Packing.packBins]]): no window
-    * partition outgrows ~`shardTokens` regardless of source skew.
+    * q101/q110 kernel ([[graft.ops.Packing.packBins]]): window
+    * partitions hold ~`shardTokens` in expectation regardless of
+    * source skew (hashed shard assignment; the bound is statistical,
+    * so size the budget with headroom).
     */
   def packBins(docs: DataFrame, ctx: Int,
       shardTokens: Long = Long.MaxValue): DataFrame =

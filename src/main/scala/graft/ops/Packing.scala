@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * (a crawl-scale reality: one domain can be half the lake). The
   * scale path packs per `(source, shard)` instead: shard count is
   * derived from each source's token total against a `shardTokens`
-  * budget, so no window partition ever holds more than ~`shardTokens`
-  * worth of rows regardless of source skew, and every shard packs
-  * independently in parallel. Statistically nothing changes — each
+  * budget, so a window partition holds ~`shardTokens` worth of rows
+  * IN EXPECTATION regardless of source skew (hashed assignment makes
+  * the bound statistical, not structural — a multinomial tail can
+  * load one shard a small factor past the budget; size the budget
+  * with that headroom), and every shard packs independently in
+  * parallel. Statistically nothing changes — each
   * shard is an arbitrary deterministic subset packed by the same
   * rule, token totals are conserved exactly, and the only artifact is
   * at most one partially-filled tail bin per shard instead of one per

@@ -41,7 +41,10 @@ object ZOrder {
     */
   def layout(df: DataFrame, x: Column, y: Column, bits: Int,
       partitions: Int): DataFrame = {
-    require(!df.columns.contains(CodeCol),
+    // case-insensitive: Spark's withColumn/drop resolve names
+    // case-insensitively by default, so "_GRAFT_ZCODE" would be
+    // silently replaced and dropped without this check
+    require(!df.columns.exists(_.equalsIgnoreCase(CodeCol)),
       s"column $CodeCol is reserved by ZOrder.layout")
     df.withColumn(CodeCol, zcode(x, y, bits))
       .repartitionByRange(partitions, col(CodeCol))

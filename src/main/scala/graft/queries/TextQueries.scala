@@ -298,9 +298,13 @@ object TextQueries {
   // the JVM lifetime (a WeakHashMap keyed by session cannot help —
   // the cached DataFrames strongly reference their session, the
   // value-refers-to-key pitfall that defeats key reclamation). A new
-  // session or dir simply replaces the slot, releasing the old one.
+  // session or dir replaces the slot, UNPERSISTING the replaced
+  // entry's frames (dropping the JVM reference alone would leave
+  // their blocks registered in Spark's CacheManager). The one stale
+  // pin that remains is the most recent session until the next call.
   private final case class StagesSlot(spark: SparkSession, dir: String,
-    frames: (DataFrame, DataFrame, DataFrame, DataFrame))
+    frames: (DataFrame, DataFrame, DataFrame, DataFrame),
+    internal: Seq[DataFrame])
   @volatile private var stagesSlot: StagesSlot = null
 
   private def cleanStages(spark: SparkSession,
@@ -315,14 +319,22 @@ object TextQueries {
         .forall(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
     if (valid) cur.frames
     else {
-      val t = buildCleanStages(spark, dir)
-      stagesSlot = StagesSlot(spark, dir, t)
+      if (cur != null && !cur.spark.sparkContext.isStopped)
+        (Seq(cur.frames._1, cur.frames._2, cur.frames._3, cur.frames._4)
+          ++ cur.internal).foreach(_.unpersist(blocking = false))
+      stagesSlot = null // a failed rebuild must not resurrect the old slot
+      val (t, internal) = buildCleanStages(spark, dir)
+      stagesSlot = StagesSlot(spark, dir, t, internal)
       t
     }
   }
 
-  private def buildCleanStages(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+  /** Returns the four survivor stages plus every INTERNAL frame the
+    * build persisted (the gram frame and lshPipeline's signature
+    * frame), so the memo slot can release them all on replacement.
+    */
+  private def buildCleanStages(spark: SparkSession, dir: String)
+      : ((DataFrame, DataFrame, DataFrame, DataFrame), Seq[DataFrame]) = {
     val docs = Tables(spark, dir).documents
     val s1 = withToks(docs, col("doc_id"))
       .filter(size(col("t")) >= 30).select("doc_id").persist()
@@ -334,7 +346,8 @@ object TextQueries {
       .select("doc_id").persist()
     // LSH candidate pairs restricted to survivors, min-label
     // components, keep each cluster's minimum member
-    val cand2 = lshPipeline(spark, dir)._1
+    val (cand, _, sig) = lshPipeline(spark, dir)
+    val cand2 = cand
       .join(s2.withColumnRenamed("doc_id", "d1"), "d1")
       .join(s2.withColumnRenamed("doc_id", "d2"), "d2")
     val dropped3 = DupClusters.clusters(cand2)
@@ -357,7 +370,7 @@ object TextQueries {
       .select("doc_id").distinct()
     val s4 = s3.filter(col("doc_id") % 11 =!= 0)
       .join(cont, Seq("doc_id"), "left_anti").persist()
-    (s1, s2, s3, s4)
+    ((s1, s2, s3, s4), Seq(g8, sig))
   }
 
   /** BM25 scoring kernel — ONE implementation for the oracle-checked
