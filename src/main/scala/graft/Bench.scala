@@ -78,19 +78,27 @@ object Bench {
     // (decode → gate → demux → dt-partitioned parquet). The reference
     // pins this path to parallelism 1; this is the number that shows
     // the Spark pipeline beating that by construction.
-    val ingest = try Some(benchIngest(spark, sfDir))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] cdc_ingest failed: ${e.getMessage}"); None
-    }
+    //
+    // Min-of-2, same methodology as the query loop: BENCH_r05's
+    // official cdc number (46.6 s) was a single exposed pass that
+    // absorbed ~41 s of ambient box load the same commit measures at
+    // 5.1 s on an idle box — the ingest metrics get the identical
+    // noise protection the queries already had.
+    def ingestMin(tables: Int, label: String): Option[(Double, Double)] =
+      try {
+        val passes = Seq(benchIngest(spark, sfDir, tables),
+          benchIngest(spark, sfDir, tables))
+        Some(passes.minBy(_._1))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $label failed: ${e.getMessage}"); None
+      }
+    val ingest = ingestMin(1, "cdc_ingest")
     // the reference's REAL workload shape: one stream multiplexing N
     // tables through the demux (`FlinkCDCMulti.java:345-391`) — same
     // row volume as above, fanned across a 10-table registry, so the
     // delta vs `cdc` prices the per-batch O(N tables) filter+write
     // loop the SURVEY flags (§7.4)
-    val multi = try Some(benchIngest(spark, sfDir, tables = MultiTables))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] cdc_multi failed: ${e.getMessage}"); None
-    }
+    val multi = ingestMin(MultiTables, "cdc_multi")
     spark.stop()
     println(renderJson(results, ingest, multi, sfDir))
   }
@@ -122,14 +130,19 @@ object Bench {
       ingest.map("cdc" -> _._1) ++ multi.map("cdcm" -> _._1)).map {
       case (k, v) => "\"" + k + "\":" + sec(v)
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum +
+    // queries_total excludes the cdc/cdcm ingest metrics so the
+    // round-over-round trend line sums the same workload each round
+    // even as ingest metrics are added (r5 added cdcm to the sum,
+    // making r5's "value" incomparable to r4's)
+    val queriesTotal = results.map(_._2).filter(_ >= 0).sum
+    val total = queriesTotal +
       ingest.map(_._1).getOrElse(0.0) + multi.map(_._1).getOrElse(0.0)
     val extra = ingest.map { case (_, rate) =>
       s""","cdc_ingest_rows_per_sec":${rate.toLong}"""
     }.getOrElse("") + multi.map { case (_, rate) =>
       s""","cdc_multi_rows_per_sec":${rate.toLong},"cdc_multi_tables":$MultiTables"""
     }.getOrElse("")
-    s"""{"metric":"total","value":${sec(total)},"unit":"sec","passes":2,"agg":"min","queries":$qs$extra,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${sec(total)},"unit":"sec","passes":2,"agg":"min","queries_total":${sec(queriesTotal)},"queries":$qs$extra,"sf":"$sfDir"}"""
   }
 
   /** Events → JSON-lines envelope feed → CdcPipeline (AvailableNow);
@@ -140,20 +153,21 @@ object Bench {
       tables: Int = 1): (Double, Double) =
     benchIngest(spark, sfDir, tables)
 
-  private def benchIngest(spark: SparkSession, sfDir: String,
-      tables: Int = 1): (Double, Double) = {
+  /** Debezium-shaped envelope JSON lines from an events frame,
+    * multiplexed over `tables` routing keys (`event_id % N`) — shared
+    * with graft.ScaleBench's ingest-scaling experiments.
+    */
+  private[graft] def envelopeLines(
+      events: org.apache.spark.sql.DataFrame,
+      tables: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cdc-")
-    val feedDir = s"$tmp/feed"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
     // tables > 1: the SAME row volume multiplexed over an N-table
     // registry (rows routed by event_id % N), so cdc vs cdcm isolates
     // the demux fan-out cost at constant data
     val tblExpr =
       if (tables == 1) lit("events")
       else concat(lit("events_"), expr(s"event_id % $tables"))
-    val lines = events.select(concat(
+    events.select(concat(
       lit("""{"_op":"CREATE","_ts":"""), expr("ts div 1000000"),
       lit(""","_db":"bench","_tbl":""""), tblExpr,
       lit("""","event_id":{"long":"""),
@@ -163,9 +177,10 @@ object Bench {
       lit(""""},"value":{"double":"""), col("value"),
       lit("""},"_binlog_file":"bench-bin.000001","_binlog_pos_end":""""),
       col("event_id"), lit("\"}")).as("value"))
-    lines.write.mode("overwrite").text(feedDir)
-    val n = events.count()
+  }
 
+  /** The N-table registry the envelope feed routes into. */
+  private[graft] def eventsRegistry(tables: Int): graft.model.TableRegistry = {
     val eventsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id",
         org.apache.spark.sql.types.LongType),
@@ -178,11 +193,22 @@ object Bench {
     val tableNames =
       if (tables == 1) Seq("events")
       else (0 until tables).map(i => s"events_$i")
-    val registry = graft.model.TableRegistry(tableNames.map(t =>
+    graft.model.TableRegistry(tableNames.map(t =>
       graft.model.TableSpec("bench", t, eventsSchema)))
+  }
+
+  private def benchIngest(spark: SparkSession, sfDir: String,
+      tables: Int = 1): (Double, Double) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cdc-")
+    val feedDir = s"$tmp/feed"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    envelopeLines(events, tables).write.mode("overwrite").text(feedDir)
+    val n = events.count()
+
     val pipeline = new graft.streaming.CdcPipeline(spark,
-      graft.streaming.CdcConfig("bench", registry, s"$tmp/sink",
-        offsetStorePath = Some(s"$tmp/offsets")))
+      graft.streaming.CdcConfig("bench", Bench.eventsRegistry(tables),
+        s"$tmp/sink", offsetStorePath = Some(s"$tmp/offsets")))
     // the DSv2 binlog source (graft-cdc) by default: the headline
     // ingest number exercises graft's own connector seam.
     // SPARK_GRAFT_FEED=file switches to FileStreamSource for A/B.

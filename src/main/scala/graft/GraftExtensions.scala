@@ -85,4 +85,25 @@ object GraftExtensions {
       mine.add(n)
     }
   }
+
+  /** Force-reinstall: unconditionally re-bind OUR builders, accepting
+    * Spark's replace WARN. This is the escape hatch for the one case
+    * `ensure` cannot see — a foreign `createOrReplaceTempFunction`
+    * issued AFTER our install is indistinguishable from our own
+    * binding, so `ensure` would silently leave graft queries running
+    * against the foreign function for the session lifetime. Call this
+    * before oracle-checked work in sessions shared with unknown code.
+    */
+  def reinstall(spark: SparkSession,
+      builders: Seq[(String, Seq[Expression] => Expression)] = All): Unit = {
+    val mine = installed.synchronized {
+      installed.computeIfAbsent(spark, _ =>
+        java.util.Collections.synchronizedSet(new java.util.HashSet[String]()))
+    }
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (n, b) =>
+      reg.createOrReplaceTempFunction(n, b, "scala_udf")
+      mine.add(n)
+    }
+  }
 }

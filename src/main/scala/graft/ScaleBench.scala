@@ -160,7 +160,101 @@ object ScaleBench {
     println(f"[scale] straggler speedup ${unsharded / sharded}%4.1f×")
   }
 
+  /** `runMain graft.ScaleBench cdc` — the CDC ingest scaling
+    * experiment SCALE.md's claims were missing datapoints for:
+    * (a) a 1×→10× volume interval (single-table and 10-table demux),
+    * publishing the time-scaling exponent like the query table, and
+    * (b) a segment-count sweep at CONSTANT volume (1/8/32 feed
+    * files) — the source's parallelism unit is the segment, so
+    * rows/s should rise with segment count until cores saturate,
+    * and the 1-segment number is the reference's parallelism-1 shape.
+    * Feeds are derived deterministically from the sf events table
+    * (replicas get distinct event_ids); every measurement is
+    * min-of-2 with a fresh checkpoint/sink per pass.
+    */
+  private def cdcExperiment(spark: SparkSession, work: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$base/events.parquet")
+    val n1 = events.count()
+
+    def makeFeed(dir: String, mult: Int, tables: Int, segments: Int): Long = {
+      if (!new java.io.File(dir).exists()) {
+        // replicate with disjoint event_ids (routing/offset fields
+        // stay unique); repartition pins the SEGMENT count — the
+        // source's unit of parallelism — independent of volume
+        val rep = events.crossJoin(
+            spark.range(mult).toDF("rep"))
+          .select((col("event_id") + col("rep") * 1000000000L).as("event_id"),
+            col("user_id"), col("event_type"), col("value"), col("ts"))
+        Bench.envelopeLines(rep, tables)
+          .repartition(segments).write.mode("overwrite").text(dir)
+      }
+      n1 * mult
+    }
+
+    def run(feedDir: String, rows: Long, tables: Int): Double = {
+      val times = (1 to 2).map { _ =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft-scale-cdc-")
+        val pipeline = new graft.streaming.CdcPipeline(spark,
+          graft.streaming.CdcConfig("scale", Bench.eventsRegistry(tables),
+            s"$tmp/sink", offsetStorePath = Some(s"$tmp/offsets")))
+        val t0 = System.nanoTime()
+        pipeline.startFeed(graft.source.Dsv2Feed(feedDir), s"$tmp/ck",
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .awaitTermination()
+        val dt = (System.nanoTime() - t0) / 1e9
+        require(pipeline.recordCount == rows,
+          s"ingest row mismatch: ${pipeline.recordCount} != $rows")
+        dt
+      }
+      times.min
+    }
+
+    println(f"[scale] ${"cdc experiment"}%-26s ${"rows"}%9s ${"sec"}%7s ${"rows/s"}%9s")
+    def report(label: String, rows: Long, t: Double): Unit =
+      println(f"[scale] $label%-26s $rows%9d ${t}%6.2fs ${rows / t}%,9.0f")
+
+    // volume interval at a fixed 8-segment feed: exponent vs data
+    val vol = for ((mult, tables) <- Seq((1, 1), (10, 1), (1, 10), (10, 10)))
+      yield {
+        val dir = s"$work/cdcfeed_m${mult}_t${tables}_s8"
+        val rows = makeFeed(dir, mult, tables, 8)
+        val t = run(dir, rows, tables)
+        report(s"volume m=${mult}x tables=$tables", rows, t)
+        (mult, tables) -> t
+      }
+    val m = vol.toMap
+    for (tables <- Seq(1, 10)) {
+      val exp = math.log(m((10, tables)) / m((1, tables))) / math.log(10.0)
+      println(f"[scale] cdc 1x->10x exponent (tables=$tables): ${exp}%5.2f")
+    }
+
+    // segment sweep at constant 10x volume: parallelism is the knob
+    for (seg <- Seq(1, 8, 32)) {
+      val dir = s"$work/cdcfeed_m10_t1_s$seg"
+      val rows = makeFeed(dir, 10, 1, seg)
+      val t = run(dir, rows, 1)
+      report(s"segments=$seg (10x, 1 tbl)", rows, t)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("cdc")) {
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      cdcExperiment(spark, args.lift(1).getOrElse("/tmp/graft-scale"))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("skew")) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

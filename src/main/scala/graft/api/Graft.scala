@@ -1,7 +1,8 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** The library surface for users bringing their OWN DataFrames.
   *
@@ -108,12 +109,18 @@ object Graft {
     * place; GraftApiSpec asserts the exchange-free plan), so a
     * repeatedly-joined 100 TB fact pays its shuffle once at write
     * time instead of per query.
+    *
+    * `mode` defaults to Overwrite, which REPLACES any existing
+    * catalog table of the same name — including one registered at a
+    * different path. Pass `SaveMode.ErrorIfExists` to refuse instead
+    * when the table name may already be taken.
     */
   def writeBucketed(df: DataFrame, table: String, path: String,
-      key: String, buckets: Int): Unit =
+      key: String, buckets: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.bucketBy(buckets, key).sortBy(key)
       .option("path", path)
-      .format("parquet").mode("overwrite").saveAsTable(table)
+      .format("parquet").mode(mode).saveAsTable(table)
 
   /** BM25 lexical retrieval scores for caller-supplied `(doc_id,
     * text)` docs against query `terms` — the q111 kernel: map-only
@@ -127,6 +134,33 @@ object Graft {
   def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75): DataFrame =
     graft.queries.TextQueries.bm25Docs(docs, terms, k1, b)
+
+  /** The documented top-k path over [[bm25]]: `(rank, doc_id, bm25)`
+    * for the k highest-scoring docs, ranked descending with
+    * ascending-doc_id ties — routed through the bounded-heap
+    * [[topK]] aggregate, NOT a window: each map task reduces to a
+    * ≤k-row heap and only heaps cross the shuffle, where a
+    * `row_number()` window would sort every scored doc in one task
+    * (GraftApiSpec asserts the window-free plan). The score is
+    * encoded for the heap as a fixed-width decimal complement —
+    * exact at bm25's 6-decimal rounding for any score below 10^18,
+    * far above what the formula can produce on real corpora.
+    */
+  def bm25TopK(spark: SparkSession, docs: DataFrame, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val cap = new java.math.BigDecimal("999999999999999999.999999")
+    // descending numeric order as ASCENDING fixed-width string order:
+    // complement against the cap, zero-pad to the cap's width —
+    // byte-lexicographic on the result == numeric descending
+    val pr = lpad((lit(cap) - col("bm25").cast(DecimalType(24, 6)))
+      .cast("string"), 25, "0")
+    bm25(docs, terms, k1, b)
+      .agg(topK(spark, pr, col("doc_id"), k).as("t"))
+      .select(posexplode(col("t")).as(Seq("pos", "r")))
+      .select((col("pos") + 1).as("rank"), col("r.id").as("doc_id"),
+        (lit(cap) - col("r.pr").cast(DecimalType(25, 6)))
+          .cast(DoubleType).as("bm25"))
+  }
 
   /** Sequence packing with a per-(source, shard) token budget — the
     * q101/q110 kernel ([[graft.ops.Packing.packBins]]): window
@@ -157,4 +191,13 @@ object Graft {
     */
   def int8Codec(spark: SparkSession, embeddings: DataFrame): DataFrame =
     graft.queries.VectorQueries.quantCodesOf(spark, embeddings)
+
+  /** Release the clean-corpus stage cache the q89/q108 pipelines
+    * memoize (one survivor-stage set per (session, dir), pinned in
+    * executor storage until replaced): long-lived sessions that ran
+    * the capstone pipelines call this when done with them. No-op if
+    * nothing is cached.
+    */
+  def releaseStageCache(): Unit =
+    graft.queries.TextQueries.releaseStages()
 }

@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions.broadcast
   * Cost: one bounded count job (`limit(cap+1)` — never a full scan of
   * an oversized probe). Callers reusing the probe side should persist
   * it first so the count and the join share one materialization.
+  *
+  * The guard evaluates the probe frame TWICE (the bounded count, then
+  * the join): the frame must be deterministic across evaluations, or
+  * persisted by the caller, for the guard decision to be consistent
+  * with the rows actually joined. Same contract as `Graft.bm25`'s
+  * corpus argument. In per-micro-batch use (EventTimeOps.nearDupGate)
+  * the count job recurs each batch — persist the index frame there.
   */
 object Probes {
 
@@ -32,8 +39,13 @@ object Probes {
   def broadcastIfSmall(df: DataFrame,
       maxRows: Long = DefaultMaxRows): DataFrame =
     if (maxRows <= 0) df
+    // `limit(n)` takes an Int, so a cap at or past Int.MaxValue cannot
+    // be enforced by a bounded probe anyway — treat it as the explicit
+    // "always broadcast" escape hatch rather than reaching the same
+    // outcome through maxRows+1 overflow (limit(0).count()==0)
+    else if (maxRows >= Int.MaxValue.toLong) broadcast(df)
     else {
-      val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+      val probe = (maxRows + 1).toInt
       if (df.limit(probe).count() <= maxRows) broadcast(df) else df
     }
 }

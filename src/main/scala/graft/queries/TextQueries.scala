@@ -329,6 +329,24 @@ object TextQueries {
     }
   }
 
+  /** Explicit release of the memoized stage set: the slot otherwise
+    * pins the most recent (session, dir)'s survivor + internal frames
+    * in executor storage until the NEXT cleanStages call with a
+    * different key or an external clearCache — fine for Verify/Bench
+    * (which clearCache between queries), a leak for a long-lived user
+    * session that ran q89/q108 once. Exposed as
+    * [[graft.api.Graft.releaseStageCache]].
+    */
+  private[graft] def releaseStages(): Unit = synchronized {
+    val cur = stagesSlot
+    if (cur != null) {
+      if (!cur.spark.sparkContext.isStopped)
+        (Seq(cur.frames._1, cur.frames._2, cur.frames._3, cur.frames._4)
+          ++ cur.internal).foreach(_.unpersist(blocking = false))
+      stagesSlot = null
+    }
+  }
+
   /** Returns the four survivor stages plus every INTERNAL frame the
     * build persisted (the gram frame and lshPipeline's signature
     * frame), so the memo slot can release them all on replacement.

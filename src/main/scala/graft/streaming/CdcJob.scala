@@ -72,7 +72,11 @@ object CdcJob {
       snapshotOnly = cfg.get("snapshot.only").contains("true"),
       failOnUnknownTables = !cfg.get("fail.on.unknown.tables").contains("false"),
       // CLI > config `job.name` > JOB-{source_id} (J4)
-      jobName = jobName.orElse(cfg.get("job.name")))
+      jobName = jobName.orElse(cfg.get("job.name")),
+      // snapshot conditions (`MySQLStreamer.java:130-152`): parse +
+      // validate at assembly time so a missing/unparseable statement
+      // fails the job before any data moves, like the reference
+      snapshotOverrides = SnapshotOverrides.fromConfig(cfg))
 
   /** Assemble and run. Snapshot-only uses AvailableNow (drain and
     * exit — cleaner than the reference's first-non-READ + 10 s timer

@@ -40,7 +40,14 @@ final case class CdcConfig(
       * payload decode; top-level-string also runs the reference's
       * schema-drift abort.
       */
-    mongoMode: Option[graft.ops.MongoModes.Mode] = None) {
+    mongoMode: Option[graft.ops.MongoModes.Mode] = None,
+    /** Per-table snapshot SELECT overrides keyed by the registry's
+      * `db.table` key ([[SnapshotOverrides]] — the reference's
+      * "snapshot conditions", `MySQLStreamer.java:130-152,269-291`):
+      * applied to each overridden table's snapshot (READ) rows before
+      * the first sink write; the binlog tail is untouched.
+      */
+    snapshotOverrides: Map[String, SnapshotOverride] = Map.empty) {
   def name: String = jobName.getOrElse(s"JOB-$sourceId")
 }
 
@@ -343,7 +350,12 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
               graft.ops.MongoModes.project(rows, spec, mode)
             case None => EnvelopeDecoder.payload(rows, spec, config.sourceType)
           }
-          projected
+          // snapshot conditions: restrict this table's READ rows to
+          // what its custom snapshot SELECT would have returned
+          val gated = config.snapshotOverrides.get(key)
+            .map(SnapshotOverrides.applyTo(projected, _))
+            .getOrElse(projected)
+          gated
             .withColumn("dt", EnvelopeDecoder.dtColumn)
             .write.mode("append").partitionBy("dt")
             .parquet(spec.sinkDir(config.sinkPath, config.sourceId))

@@ -29,6 +29,7 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.contains("\"cdc\":2.000"))
     assert(line.contains("\"cdc_ingest_rows_per_sec\":18000"))
     assert(line.contains("\"value\":3.750")) // 1.5 + 0.25 + 2.0
+    assert(line.contains("\"queries_total\":1.750")) // 1.5 + 0.25, no cdc
     assert(line.contains("\"passes\":2") && line.contains("\"agg\":\"min\""))
   }
 
@@ -39,6 +40,7 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.contains("\"cdc_multi_rows_per_sec\":9000"))
     assert(line.contains(s""""cdc_multi_tables":${Bench.MultiTables}"""))
     assert(line.contains("\"value\":6.500")) // 1.0 + 2.0 + 3.5
+    assert(line.contains("\"queries_total\":1.000")) // ingest excluded
   }
 
   test("decimal rendering survives a comma-decimal default locale") {

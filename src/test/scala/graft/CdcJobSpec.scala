@@ -34,6 +34,39 @@ class CdcJobSpec extends AnyFunSuite {
     assert(reg.routed("testdb.counts").schema("n").dataType == LongType)
   }
 
+  test("snapshot override config: parse, validation, statement grammar") {
+    import graft.streaming.SnapshotOverrides
+    val base = Map("source.id" -> "s", "source.type" -> "mysql",
+      "sink.path" -> "SINK")
+    // absent key → no overrides
+    assert(SnapshotOverrides.fromConfig(base).isEmpty)
+    // happy path: list + per-table statements, WHERE optional
+    val ov = SnapshotOverrides.fromConfig(base ++ Map(
+      "snapshot.select.statement.overrides" -> "db.users, db.items",
+      "snapshot.select.statement.overrides.db.users" ->
+        "SELECT * FROM db.users WHERE id > 100 AND name IS NOT NULL",
+      "snapshot.select.statement.overrides.db.items" ->
+        "SELECT id, qty FROM db.items;"))
+    assert(ov("db.users").selectCols.isEmpty) // SELECT *
+    assert(ov("db.users").where
+      .contains("id > 100 AND name IS NOT NULL"))
+    assert(ov("db.items").selectCols.contains(Set("id", "qty")))
+    assert(ov("db.items").where.isEmpty)
+    // a listed table with no statement fails at parse time, like the
+    // reference's Validator.ensureNotEmpty (MySQLStreamer.java:141-146)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotOverrides.fromConfig(base +
+        ("snapshot.select.statement.overrides" -> "db.missing"))
+    }
+    assert(e.getMessage.contains("MISSING OVERRIDE STATEMENT"))
+    // non-SELECT statements are a config error, not a silent no-op
+    intercept[IllegalArgumentException] {
+      SnapshotOverrides.fromConfig(base ++ Map(
+        "snapshot.select.statement.overrides" -> "db.t",
+        "snapshot.select.statement.overrides.db.t" -> "DELETE FROM db.t"))
+    }
+  }
+
   test("config file runs a snapshot-only job end to end") {
     val in = Files.createTempDirectory("graft-job-in-")
     val sink = Files.createTempDirectory("graft-job-sink-")

@@ -98,6 +98,53 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(!p.gate.stopped)
   }
 
+  test("snapshot override restricts the snapshot; binlog tail unaffected") {
+    val in = tmp(); val out = tmp()
+    // snapshot: 3 users rows; the override keeps id <= 2 and selects
+    // only (id, name) — balance must come back NULL on snapshot rows
+    writeFixture(in, "00-snapshot.jsonl", Seq(
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":1},"name":{"string":"alice"},"balance":{"string":"10.50"}"""),
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":2},"name":{"string":"bob"},"balance":{"string":"5.00"}"""),
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":3},"name":{"string":"carol"},"balance":{"string":"1.00"}"""),
+      row("READ", "items", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":7},"qty":{"long":3}""")))
+    // binlog tail: an id the snapshot WHERE would exclude, with a
+    // balance the select list would drop — both must survive intact
+    writeFixture(in, "01-changes.jsonl", Seq(
+      row("CREATE", "users", 1700000100000L, "mysql-bin.000001", 100,
+        """"id":{"int":9},"name":{"string":"dan"},"balance":{"string":"7.25"}""")))
+
+    val cfg = graft.streaming.CdcJob.configFromMap(Map(
+      "source.id" -> "srcOv", "source.type" -> "mysql",
+      "sink.path" -> out.toString,
+      "table.schemas" -> ("""{"testdb.users":"id:INT,name:VARCHAR(10),""" +
+        """balance:DECIMAL(10,2)","testdb.items":"id:INT,qty:BIGINT"}"""),
+      "snapshot.select.statement.overrides" -> "testdb.users",
+      "snapshot.select.statement.overrides.testdb.users" ->
+        "SELECT id, name FROM testdb.users WHERE id <= 2"))
+    assert(cfg.snapshotOverrides.keySet == Set("testdb.users"))
+    val p = new CdcPipeline(spark, cfg)
+    p.runAvailableNow(in.toString, tmp().resolve("ckpt").toString)
+
+    val users = spark.read.parquet(s"$out/srcOv_testdb__users")
+      .orderBy("id").collect()
+    // carol (id 3) filtered out of the snapshot; dan's CREATE kept
+    assert(users.map(_.getInt(0)).toSeq == Seq(1, 2, 9))
+    val byId = users.map(r => r.getInt(0) ->
+      (r.getAs[String]("balance"), r.getAs[String]("_op"))).toMap
+    // unselected column nulled on snapshot rows ONLY
+    assert(byId(1) == (null, "READ") && byId(2) == (null, "READ"))
+    assert(byId(9) == ("7.25", "CREATE"))
+    // sink schema did not fork
+    assert(spark.read.parquet(s"$out/srcOv_testdb__users")
+      .schema.fieldNames.contains("balance"))
+    // non-overridden table untouched
+    assert(spark.read.parquet(s"$out/srcOv_testdb__items").count() == 1)
+  }
+
   test("structural DDL stops; later batches are swallowed") {
     val in = tmp(); val out = tmp()
     writeFixture(in, "00-data.jsonl", Seq(

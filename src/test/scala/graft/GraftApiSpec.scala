@@ -151,6 +151,42 @@ class GraftApiSpec extends AnyFunSuite {
     assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("bm25TopK ranks through the bounded heap — window-free plan, window-equal rows") {
+    import spark.implicits._
+    val frame = Seq((1L, "fox fox dog cat"), (2L, "dog cat"),
+      (3L, "fox dog"), (4L, "fox"), (5L, "cat fox fox fox dog dog"))
+      .toDF("doc_id", "text")
+    val top = Graft.bm25TopK(spark, frame, Seq("fox"), 3)
+    val plan = top.queryExecution.executedPlan.toString
+    // the whole point: a bounded-heap aggregate, not a row_number()
+    // window that would sort every scored doc in one task
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"), plan.take(800))
+    val got = top.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = Graft.bm25(frame, Seq("fox"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == Seq(1, 2, 3)) // dense ranks, descending
+    assert(got.map(t => (t._2, t._3)) == want,
+      s"heap top-k ${got.toList} != sorted top-k ${want.toList}")
+  }
+
+  test("broadcastIfSmall: cap at/above Int.MaxValue is explicit always-broadcast") {
+    // regression: maxRows+1 used to overflow at Long.MaxValue, making
+    // limit(0).count()==0 "pass" the guard — same outcome, via wrap
+    val df = spark.range(10).toDF("id")
+    for (cap <- Seq(Int.MaxValue.toLong, Long.MaxValue)) {
+      val hinted = graft.ops.Probes.broadcastIfSmall(df, cap)
+      assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        s"cap=$cap should broadcast without a probe")
+    }
+    // the bounded-probe path still works right at the boundary
+    val under = graft.ops.Probes.broadcastIfSmall(df, Int.MaxValue.toLong - 1)
+    assert(under.queryExecution.analyzed.toString.contains("ResolvedHint"))
+  }
+
   test("topK aggregate and sketches run on arbitrary frames") {
     val df = spark.range(100).select(col("id"),
       (col("id") % 5).as("g"), md5(col("id").cast("string")).as("pr"))

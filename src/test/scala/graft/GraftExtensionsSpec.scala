@@ -122,6 +122,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("reinstall re-asserts ownership over a post-install foreign rebinding") {
+    GraftExtensions.install(spark)
+    val reg = spark.sessionState.functionRegistry
+    val name = graft.functions.VectorExpressions.Builders.head._1
+    // a foreign same-name rebinding AFTER our install: ensure() cannot
+    // distinguish it from our own binding and must NOT touch it...
+    reg.createOrReplaceTempFunction(name,
+      _ => Literal(42), "scala_udf")
+    GraftExtensions.install(spark)
+    assert(spark.sql(s"SELECT $name(array(1.0D), array(3.0D)) AS d")
+      .collect()(0).get(0) == 42)
+    // ...reinstall() is the explicit escape hatch that re-binds ours
+    GraftExtensions.reinstall(spark)
+    assert(spark.sql(s"SELECT $name(array(1.0D), array(3.0D)) AS d")
+      .collect()(0).getDouble(0) == 3.0)
+  }
+
   test("the extensions injection path accepts the full builder list") {
     // exercises identifier + ExpressionInfo construction and list
     // assembly the way SparkSession.builder does before session
