@@ -148,6 +148,12 @@ object Graft {
     */
   def bm25TopK(spark: SparkSession, docs: DataFrame, terms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // the Okapi domain: outside it (b > 1 on short docs) the tf
+    // denominator — and so the score — can go NEGATIVE, which would
+    // overflow the fixed-width complement encoding below (lpad would
+    // TRUNCATE the extra digit and corrupt the ordering silently)
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"bm25TopK needs k1 >= 0 and b in [0, 1], got k1=$k1 b=$b")
     val cap = new java.math.BigDecimal("999999999999999999.999999")
     // descending numeric order as ASCENDING fixed-width string order:
     // complement against the cap, zero-pad to the cap's width —
