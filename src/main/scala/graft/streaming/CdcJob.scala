@@ -76,7 +76,11 @@ object CdcJob {
       // snapshot conditions (`MySQLStreamer.java:130-152`): parse +
       // validate at assembly time so a missing/unparseable statement
       // fails the job before any data moves, like the reference
-      snapshotOverrides = SnapshotOverrides.fromConfig(cfg))
+      snapshotOverrides = SnapshotOverrides.fromConfig(cfg),
+      // K3 `--debug` (CLI flag folded into cfg by CdcMain) and K4
+      // constant sink bucket
+      debugPrint = cfg.get("debug").contains("true"),
+      fixedBucket = cfg.get("sink.fixed.bucket"))
 
   /** Assemble and run. Snapshot-only uses AvailableNow (drain and
     * exit — cleaner than the reference's first-non-READ + 10 s timer
@@ -149,15 +153,18 @@ object CdcJob {
 }
 
 /** CLI: `--config <path> [--name <job>] [--input <dir>]
-  * [--checkpoint <dir>]` — the `processCLIArgs` analog
-  * (`FlinkCDCMulti.java:393-415`).
+  * [--checkpoint <dir>] [--debug true]` — the `processCLIArgs`
+  * analog (`FlinkCDCMulti.java:393-415`; `--debug` is the K3 print
+  * sink, folded into the config map so `configFromMap` sees one
+  * source of truth).
   */
 object CdcMain {
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
-    val cfg = JobConfig.load(opts("config"))
+    val cfg = JobConfig.load(opts("config")) ++
+      opts.get("debug").map("debug" -> _)
     val spark = SparkSession.builder()
       .appName(opts.getOrElse("name", s"JOB-${cfg("source.id")}"))
       .config("spark.sql.session.timeZone", "UTC")

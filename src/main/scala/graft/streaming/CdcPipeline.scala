@@ -47,7 +47,22 @@ final case class CdcConfig(
       * applied to each overridden table's snapshot (READ) rows before
       * the first sink write; the binlog tail is untouched.
       */
-    snapshotOverrides: Map[String, SnapshotOverride] = Map.empty) {
+    snapshotOverrides: Map[String, SnapshotOverride] = Map.empty,
+    /** K3 debug print sink (`FlinkCDCMulti.java:148-154`, the
+      * `--debug` flag): echo the RAW source stream to the console
+      * alongside the pipeline — a second streaming query on the same
+      * feed, started/stopped with the main one (AvailableNow drains
+      * and exits; a ProcessingTime debug echo lives until the main
+      * query's stop).
+      */
+    debugPrint: Boolean = false,
+    /** K4 fixed-name bucket assigner
+      * (`FixedNameBucketAssigner.java:14-16`): when set, every sink
+      * write lands in `dt=<fixedBucket>` instead of the event-time
+      * date bucket — the reference's constant-directory alternative
+      * to date bucketing.
+      */
+    fixedBucket: Option[String] = None) {
   def name: String = jobName.getOrElse(s"JOB-$sourceId")
 }
 
@@ -138,6 +153,10 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
   @volatile var lastOffset: Option[String] = None
 
   private val routed: Map[String, TableSpec] = config.registry.routed
+
+  /** The sink bucket column: event-date (K1), or the K4 constant. */
+  private val dtColumn: org.apache.spark.sql.Column =
+    config.fixedBucket.map(lit).getOrElse(EnvelopeDecoder.dtColumn)
   /** DDL side-table route: `_{db}_ddl`. PG derives db from the event's
     * `_schema`, which the registry doesn't know up front — recognize
     * the shape rather than a precomputed set.
@@ -356,7 +375,7 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
             .map(SnapshotOverrides.applyTo(projected, _))
             .getOrElse(projected)
           gated
-            .withColumn("dt", EnvelopeDecoder.dtColumn)
+            .withColumn("dt", dtColumn)
             .write.mode("append").partitionBy("dt")
             .parquet(spec.sinkDir(config.sinkPath, config.sourceId))
         }(scala.concurrent.ExecutionContext.global)
@@ -375,7 +394,7 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         for (db <- collected.map(_._3).distinct if db.nonEmpty && !replayed) {
           val spec = config.registry.ddlSpec(db)
           EnvelopeDecoder.ddlPayload(ddlRows.filter(ddlDb === db))
-            .withColumn("dt", EnvelopeDecoder.dtColumn)
+            .withColumn("dt", dtColumn)
             .write.mode("append").partitionBy("dt")
             .parquet(spec.sinkDir(config.sinkPath, config.sourceId))
         }
@@ -449,7 +468,19 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
 
   def startFeed(feed: graft.source.CdcFeed, checkpointDir: String,
       trigger: Trigger): StreamingQuery = {
-    feed.lines(spark).writeStream
+    val lines = feed.lines(spark)
+    // K3 (`FlinkCDCMulti.java:148-154`): raw source echo to the
+    // console as a SECOND query on the same feed — parallelism is the
+    // sink's, the pipeline query is untouched
+    if (config.debugPrint)
+      lines.writeStream
+        .queryName(s"${config.name}-debug")
+        .option("checkpointLocation", s"$checkpointDir/_debug")
+        .option("truncate", "false")
+        .trigger(trigger)
+        .format("console")
+        .start()
+    lines.writeStream
       .queryName(config.name)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -77,6 +77,18 @@ object SnapshotOverrides {
         s"'SELECT <cols|*> FROM <table> [WHERE <cond>]'): $other")
   }
 
+  /** The live-JDBC form of the same feature: the validated override
+    * statement rendered as a `dbtable` subquery, so a JDBC snapshot
+    * (`spark.read.format("jdbc").option("dbtable", ...)`) runs the
+    * custom SELECT server-side VERBATIM — predicate and projection
+    * both pushed to the database, which is exactly what the
+    * reference achieves by handing the statement to Debezium.
+    */
+  def asJdbcSubquery(table: String, statement: String): String = {
+    parseStatement(table, statement) // same grammar gate as the feed path
+    s"(${statement.trim.stripSuffix(";")}) graft_snapshot_override"
+  }
+
   /** Apply one override to a table's PROJECTED batch frame (payload
     * columns + `_op`/`_ts`/... metadata): snapshot rows (`READ`/`r`)
     * failing the WHERE are dropped, unselected payload columns are

@@ -65,6 +65,14 @@ class CdcJobSpec extends AnyFunSuite {
         "snapshot.select.statement.overrides" -> "db.t",
         "snapshot.select.statement.overrides.db.t" -> "DELETE FROM db.t"))
     }
+    // the live-JDBC rendering: statement goes server-side verbatim as
+    // a dbtable subquery, same grammar gate
+    assert(SnapshotOverrides.asJdbcSubquery("db.users",
+      "SELECT id, name FROM db.users WHERE id > 5;")
+      == "(SELECT id, name FROM db.users WHERE id > 5) graft_snapshot_override")
+    intercept[IllegalArgumentException] {
+      SnapshotOverrides.asJdbcSubquery("db.users", "DROP TABLE db.users")
+    }
   }
 
   test("config file runs a snapshot-only job end to end") {

@@ -145,6 +145,29 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/srcOv_testdb__items").count() == 1)
   }
 
+  test("K3 debug print sink runs alongside; K4 fixed bucket replaces dt") {
+    val in = tmp(); val out = tmp()
+    writeFixture(in, "00-data.jsonl", Seq(
+      row("CREATE", "users", 1700000000000L, "mysql-bin.000001", 10,
+        """"id":{"int":1},"name":{"string":"a"},"balance":null""")))
+    val p = new CdcPipeline(spark, CdcConfig("srcDbg", registry, out.toString,
+      debugPrint = true, fixedBucket = Some("static")))
+    p.runAvailableNow(in.toString, tmp().resolve("ckpt").toString)
+    // K4 (`FixedNameBucketAssigner.java:14-16`): the constant bucket,
+    // not the event date
+    val users = spark.read.parquet(s"$out/srcDbg_testdb__users")
+    assert(users.count() == 1)
+    assert(users.select(org.apache.spark.sql.functions.col("dt")
+      .cast("string")).distinct().collect().map(_.getString(0)).toSeq
+      == Seq("static"))
+    // K3 (`FlinkCDCMulti.java:148-154`): the console echo is a second
+    // AvailableNow query on the same feed — it drains and terminates
+    val deadline = System.currentTimeMillis() + 30000
+    while (spark.streams.active.exists(_.name == "JOB-srcDbg-debug") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(!spark.streams.active.exists(_.name == "JOB-srcDbg-debug"))
+  }
+
   test("structural DDL stops; later batches are swallowed") {
     val in = tmp(); val out = tmp()
     writeFixture(in, "00-data.jsonl", Seq(
