@@ -180,7 +180,10 @@ object ScaleBench {
     val n1 = events.count()
 
     def makeFeed(dir: String, mult: Int, tables: Int, segments: Int): Long = {
-      if (!new java.io.File(dir).exists()) {
+      // reuse only a COMPLETE feed: a bare exists() would silently
+      // measure the partial output of a killed prior run (text writes
+      // drop _SUCCESS last; mode=overwrite below replaces partials)
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
         // replicate with disjoint event_ids (routing/offset fields
         // stay unique); repartition pins the SEGMENT count — the
         // source's unit of parallelism — independent of volume
@@ -231,39 +234,49 @@ object ScaleBench {
       println(f"[scale] cdc 1x->10x exponent (tables=$tables): ${exp}%5.2f")
     }
 
-    // segment sweep at constant 10x volume: parallelism is the knob
+    // segment sweep at constant 10x volume: parallelism is the knob.
+    // s=8 is the SAME configuration the volume loop already measured —
+    // reuse that number rather than re-measuring it into a second,
+    // inconsistent row for the identical setup
     for (seg <- Seq(1, 8, 32)) {
-      val dir = s"$work/cdcfeed_m10_t1_s$seg"
-      val rows = makeFeed(dir, 10, 1, seg)
-      val t = run(dir, rows, 1)
+      val (rows, t) =
+        if (seg == 8) (n1 * 10, m((10, 1)))
+        else {
+          val dir = s"$work/cdcfeed_m10_t1_s$seg"
+          val rows = makeFeed(dir, 10, 1, seg)
+          (rows, run(dir, rows, 1))
+        }
       report(s"segments=$seg (10x, 1 tbl)", rows, t)
     }
   }
 
+  /** ONE session builder for all three experiment branches — a
+    * config tweak applied to one branch and not the others would
+    * silently change that experiment's measurement conditions.
+    */
+  private def buildSession(extra: Map[String, String] = Map.empty): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    extra.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("cdc")) {
-      val spark = SparkSession.builder()
-        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-        .config("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
+      val spark = buildSession()
       cdcExperiment(spark, args.lift(1).getOrElse("/tmp/graft-scale"))
       spark.stop()
       return
     }
     if (args.headOption.contains("skew")) {
-      val spark = SparkSession.builder()
-        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-        .config("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
+      val spark = buildSession()
       skewExperiment(spark, args.lift(1).getOrElse("/tmp/graft-scale"))
       spark.stop()
       return
@@ -271,16 +284,9 @@ object ScaleBench {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val work = args.lift(1).getOrElse("/tmp/graft-scale")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // small split size: the fixture tables are single parquet files
+    val spark = buildSession(Map(
+      "spark.sql.files.maxPartitionBytes" -> (4 * 1024 * 1024).toString))
 
     val scaled = s"$work/x$mult"
     if (!new java.io.File(s"$scaled/documents.parquet").exists()) {

@@ -46,9 +46,12 @@ object CorpusPipeline {
     val contaminated = Graft.decontaminate(deduped, benchmark, gramN)
       .filter(col("contaminated")).select("doc_id")
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-    // 4. token counts (whitespace rule) → budget-sharded packing
+    // 4. token counts (the library's shared tokenization rule — NOT a
+    //    local re-spelling, which would drift on padding/case) →
+    //    budget-sharded packing
     val counted = clean.select(col("source"), col("doc_id"),
-      size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
+      size(graft.queries.TextQueries.toks(col("text")))
+        .cast("long").as("n_tok"))
     Graft.packBins(counted, ctx, shardTokens)
   }
 }

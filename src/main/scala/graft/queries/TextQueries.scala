@@ -21,8 +21,12 @@ import graft.ops.DupClusters
   */
 object TextQueries {
 
-  /** Normalized whitespace-token array. */
-  private def toks(text: Column): Column =
+  /** Normalized whitespace-token array — THE library tokenization
+    * rule (shared with `examples.CorpusPipeline` so the shipped
+    * walkthrough counts tokens exactly like the oracle-checked
+    * queries).
+    */
+  private[graft] def toks(text: Column): Column =
     split(lower(trim(text)), "\\s+")
 
   /** Stage the token array as a real column FIRST. Expressions that

@@ -61,10 +61,28 @@ object CdcJob {
   }
 
   def configFromMap(cfg: Map[String, String],
-      jobName: Option[String] = None): CdcConfig =
+      jobName: Option[String] = None): CdcConfig = {
+    val registry = registryFromConfig(cfg)
+    // Snapshot overrides are declared with the RAW config spelling
+    // (like table.schemas keys) but the pipeline routes by SANITIZED
+    // keys — re-key through the same collapse, and fail on keys that
+    // match no registry entry: a typo'd override would otherwise
+    // silently snapshot the FULL table it meant to restrict.
+    val overrides = SnapshotOverrides.fromConfig(cfg).map { case (k, v) =>
+      val routeKey = k.split("\\.", 2) match {
+        case Array(d, t) =>
+          s"${graft.schema.Sanitizer(d)}.${graft.schema.Sanitizer(t)}"
+        case Array(t) => graft.schema.Sanitizer(t)
+      }
+      if (!registry.routed.contains(routeKey))
+        throw new IllegalArgumentException(
+          s"SNAPSHOT OVERRIDE FOR UNKNOWN TABLE: $k (known: " +
+            registry.routed.keySet.toSeq.sorted.mkString(", ") + ")")
+      routeKey -> v
+    }
     CdcConfig(
       sourceId = cfg("source.id"),
-      registry = registryFromConfig(cfg),
+      registry = registry,
       sinkPath = cfg("sink.path"),
       sourceType = cfg("source.type"),
       offsetStorePath = cfg.get("offset.store.path"),
@@ -73,14 +91,15 @@ object CdcJob {
       failOnUnknownTables = !cfg.get("fail.on.unknown.tables").contains("false"),
       // CLI > config `job.name` > JOB-{source_id} (J4)
       jobName = jobName.orElse(cfg.get("job.name")),
-      // snapshot conditions (`MySQLStreamer.java:130-152`): parse +
-      // validate at assembly time so a missing/unparseable statement
-      // fails the job before any data moves, like the reference
-      snapshotOverrides = SnapshotOverrides.fromConfig(cfg),
+      // snapshot conditions (`MySQLStreamer.java:130-152`): parsed,
+      // grammar-checked, re-keyed and registry-validated above so a
+      // bad statement or key fails BEFORE any data moves
+      snapshotOverrides = overrides,
       // K3 `--debug` (CLI flag folded into cfg by CdcMain) and K4
       // constant sink bucket
       debugPrint = cfg.get("debug").contains("true"),
       fixedBucket = cfg.get("sink.fixed.bucket"))
+  }
 
   /** Assemble and run. Snapshot-only uses AvailableNow (drain and
     * exit — cleaner than the reference's first-non-READ + 10 s timer
@@ -139,6 +158,7 @@ object CdcJob {
     if (config.snapshotOnly) {
       pipeline.startFeed(feed, checkpointDir, Trigger.AvailableNow())
         .awaitTermination()
+      pipeline.awaitDebugEcho() // K3: AvailableNow echo drains itself
     } else {
       val interval = cfg.getOrElse("checkpoint.interval", "30").toInt
       val q = pipeline.startFeed(feed, checkpointDir,
@@ -147,6 +167,9 @@ object CdcJob {
         q.awaitTermination(200)
       if (q.isActive) q.stop() // drain-then-stop (P1 mapping)
       q.awaitTermination()
+      // K3: a ProcessingTime echo never self-stops — without this it
+      // outlives the job, reading and printing forever
+      pipeline.stopDebugEcho()
     }
     pipeline
   }

@@ -466,6 +466,22 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     startFeed(graft.source.JsonLinesFeed(inputDir, maxFilesPerTrigger),
       checkpointDir, trigger)
 
+  /** The K3 console-echo query, when running — tracked so its
+    * lifecycle follows the main query's instead of leaking: CdcJob
+    * stops it when the gate stops the main query (tailing mode), and
+    * drain paths await it so `spark.stop()` can't kill it mid-batch.
+    */
+  @volatile private var debugQuery: Option[StreamingQuery] = None
+
+  /** Await the echo's own termination (AvailableNow drains itself). */
+  def awaitDebugEcho(): Unit = debugQuery.foreach(_.awaitTermination())
+
+  /** Stop the echo (tailing mode, where it would never self-stop). */
+  def stopDebugEcho(): Unit = debugQuery.foreach { dq =>
+    if (dq.isActive) dq.stop()
+    dq.awaitTermination()
+  }
+
   def startFeed(feed: graft.source.CdcFeed, checkpointDir: String,
       trigger: Trigger): StreamingQuery = {
     val lines = feed.lines(spark)
@@ -473,13 +489,13 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     // console as a SECOND query on the same feed — parallelism is the
     // sink's, the pipeline query is untouched
     if (config.debugPrint)
-      lines.writeStream
+      debugQuery = Some(lines.writeStream
         .queryName(s"${config.name}-debug")
         .option("checkpointLocation", s"$checkpointDir/_debug")
         .option("truncate", "false")
         .trigger(trigger)
         .format("console")
-        .start()
+        .start())
     lines.writeStream
       .queryName(config.name)
       .option("checkpointLocation", checkpointDir)
@@ -497,5 +513,6 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     val q = start(inputDir, checkpointDir, Trigger.AvailableNow(),
       if (oneFilePerBatch) Some(1) else None)
     q.awaitTermination()
+    awaitDebugEcho() // K3 echo drains on its own; don't return mid-print
   }
 }

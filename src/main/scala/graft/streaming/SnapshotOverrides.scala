@@ -65,7 +65,17 @@ object SnapshotOverrides {
 
   private[streaming] def parseStatement(table: String,
       sql: String): SnapshotOverride = sql match {
-    case Stmt(selectList, _, where) =>
+    case Stmt(selectList, fromTable, where) =>
+      // the statement must read ITS OWN table — a copy-pasted
+      // statement keyed under the wrong table would otherwise apply
+      // another table's predicate/columns silently (or blow up at
+      // first batch instead of the assembly-time gate)
+      val ft = fromTable.trim.stripSuffix(";").toLowerCase
+      val key = table.trim.toLowerCase
+      if (ft != key && ft != key.split("\\.", 2).last)
+        throw new IllegalArgumentException(
+          s"SNAPSHOT OVERRIDE FOR $table SELECTS FROM '$ft' — " +
+            "the statement must read the table it overrides")
       val cols = selectList.trim match {
         case "*" => None
         case list => Some(list.split(",").map(_.trim.toLowerCase)

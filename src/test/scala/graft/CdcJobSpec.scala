@@ -65,6 +65,15 @@ class CdcJobSpec extends AnyFunSuite {
         "snapshot.select.statement.overrides" -> "db.t",
         "snapshot.select.statement.overrides.db.t" -> "DELETE FROM db.t"))
     }
+    // a statement reading a DIFFERENT table than its key (copy-paste
+    // error) fails at parse time, not at first batch
+    val wrongFrom = intercept[IllegalArgumentException] {
+      SnapshotOverrides.fromConfig(base ++ Map(
+        "snapshot.select.statement.overrides" -> "db.users",
+        "snapshot.select.statement.overrides.db.users" ->
+          "SELECT * FROM db.items WHERE qty > 0"))
+    }
+    assert(wrongFrom.getMessage.contains("must read the table it overrides"))
     // the live-JDBC rendering: statement goes server-side verbatim as
     // a dbtable subquery, same grammar gate
     assert(SnapshotOverrides.asJdbcSubquery("db.users",
@@ -73,6 +82,28 @@ class CdcJobSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SnapshotOverrides.asJdbcSubquery("db.users", "DROP TABLE db.users")
     }
+  }
+
+  test("snapshot override keys are sanitized to route keys and registry-validated") {
+    val cfg = Map("source.id" -> "s", "source.type" -> "mysql",
+      "sink.path" -> "SINK",
+      "table.schemas" -> """{"my-db.users":"id:INT"}""",
+      "snapshot.select.statement.overrides" -> "my-db.users",
+      "snapshot.select.statement.overrides.my-db.users" ->
+        "SELECT * FROM my-db.users WHERE id > 1")
+    // raw config spelling re-keys to the sanitized ROUTE key the
+    // demux actually looks up — without this the override would
+    // never match its own events and the full table would snapshot
+    assert(CdcJob.configFromMap(cfg).snapshotOverrides.keySet
+      == Set("my_db.users"))
+    // a typo'd key fails assembly instead of silently not applying
+    val e = intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(cfg ++ Map(
+        "snapshot.select.statement.overrides" -> "my-db.userz",
+        "snapshot.select.statement.overrides.my-db.userz" ->
+          "SELECT * FROM my-db.userz"))
+    }
+    assert(e.getMessage.contains("UNKNOWN TABLE"))
   }
 
   test("config file runs a snapshot-only job end to end") {

@@ -15,8 +15,8 @@ from pathlib import Path
 
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+sys.path.insert(0, str(Path(__file__).parent))
+from check import TABLES  # ONE fixture-table list, not a drifting copy
 
 
 def main():
