@@ -86,6 +86,33 @@ object Multimodal {
       out
     }
 
+    /** Decode + nearest-neighbor resample to (w × h) ITU-601 luma;
+      * the dimension-aware sibling of [[decodeImageLuma]] (which
+      * flattens the grid away). Integer-only index math.
+      */
+    private[multimodal] def resizeImageLuma(content: Array[Byte],
+        w: Int, h: Int): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      require(img != null, "undecodable image bytes")
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        val sy = y * sh / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x * sw / w, sy)
+          val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          out(y * w + x) = lum.toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     /** WAV container → 8-bit unsigned samples (16-bit PCM is taken
       * down to its high byte; 8-bit PCM is already unsigned).
       */
@@ -155,6 +182,35 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Nearest-neighbor resize of an encoded image to a (w × h) luma
+    * grid — the thumbnail / input-normalization step of an image
+    * training pipeline. Source index arithmetic is pure integer
+    * (`sx = x·srcW div w`), so outputs are bit-identical across
+    * platforms (no float filtering kernels); luma is the same
+    * ITU-601 integer recipe as [[MediaDecoder.decode]]. Lenient like
+    * extractFeatures: undecodable bytes yield a quarantined
+    * `decode_ok=false` row with empty pixels (strict=true throws).
+    * mapPartitions so a real codec's init cost is per-partition.
+    */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int,
+      strict: Boolean = false): DataFrame = {
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = MediaDecoder // per-partition init point
+      rows.map { r =>
+        val px = try decoder.resizeImageLuma(r.content, w, h)
+        catch {
+          case e: Throwable if !strict => null
+          case e: Throwable => throw new IllegalArgumentException(
+            s"media ${r.media_id}: ${e.getMessage}", e)
+        }
+        (r.media_id, w, h, if (px == null) Array.empty[Byte] else px,
+          px != null)
+      }
+    }.toDF("media_id", "w", "h", "pixels", "decode_ok")
   }
 
   /** Frame sampling stub: every k-th fixed-size byte window stands in

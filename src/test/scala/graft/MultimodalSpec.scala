@@ -97,6 +97,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.map(_ & 0xff).toSeq == Seq(128, 0, 255, 129, 127))
   }
 
+  test("resize: nearest-neighbor luma grid, integer index math, quarantine") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, "image/png", encodeImage("png")),
+      MediaRow(2L, "image/png", Array[Byte](9, 9))).toDS()
+    val out = Multimodal.resizeImages(media, 2, 2).collect()
+      .sortBy(_.getLong(0))
+    // 4×2 source → 2×2: sx = x·4/2 picks columns {0, 2}, sy rows
+    // {0, 1} → luma (255, 76) / (29, 255) from the known fixture
+    assert(out(0).getInt(1) == 2 && out(0).getInt(2) == 2)
+    assert(out(0).getAs[Array[Byte]]("pixels").map(_ & 0xff).toSeq
+      == Seq(255, 76, 29, 255))
+    assert(out(0).getBoolean(4))
+    // corrupt bytes quarantine (flagged empty row), strict throws
+    assert(!out(1).getBoolean(4) &&
+      out(1).getAs[Array[Byte]]("pixels").isEmpty)
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.resizeImages(media, 2, 2, strict = true).collect()
+    }
+    // upscale is the same integer rule (no interpolation invented)
+    val up = Multimodal.resizeImages(media.filter(_.media_id == 1L), 8, 2)
+      .collect()(0).getAs[Array[Byte]]("pixels")
+    assert(up.length == 16)
+    assert(up.map(_ & 0xff).take(8).toSeq
+      == Seq(255, 255, 0, 0, 76, 76, 149, 149))
+  }
+
   test("corrupt media is quarantined leniently, throws only in strict mode") {
     import spark.implicits._
     val junk = Array[Byte](1, 2, 3, 4) // not a PNG, not a WAV
