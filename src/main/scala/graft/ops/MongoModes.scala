@@ -32,25 +32,39 @@ object MongoModes {
 
   /** Project one collection's frame per the configured mode. Keeps
     * `_op`/`_ts`/`_txn_op_index` like the reference sink schema.
+    *
+    * Parse discipline: the top-level modes stage `_doc` ONCE (one
+    * parse of the envelope) and pull every schema field from it with
+    * a single `json_tuple` (one parse of the document) — the naive
+    * per-field `get_json_object($._doc.f)` re-parses the WHOLE
+    * envelope once per column, O(fields) full parses per row, which
+    * at a 100 TB mongo lake with wide collections is the demux's
+    * dominant cost. 2 parses per row regardless of width instead.
     */
   def project(frame: DataFrame, spec: TableSpec, mode: Mode): DataFrame = {
-    val meta = Seq(col("_op"), col("_ts"), col("_txn_op_index"))
+    val metaNames = Seq("_op", "_ts", "_txn_op_index")
+    val meta = metaNames.map(col)
+    def withDoc = frame.select(
+      get_json_object(col("_raw"), "$._doc").as("_docstr") +: meta: _*)
+    // one json_tuple = ONE parse for every field; its outputs come
+    // back as c0..cN, renamed to the schema field names positionally
+    def tupled(fields: Seq[String]): DataFrame = withDoc
+      .select((meta :+ json_tuple(col("_docstr"), fields: _*)): _*)
+      .toDF(metaNames ++ fields: _*)
     mode match {
       case DocString =>
-        frame.select(
-          idUdf(get_json_object(col("_raw"), "$._doc._id")).as("_id") +:
-            get_json_object(col("_raw"), "$._doc").as("doc") +: meta: _*)
+        withDoc.select(
+          idUdf(get_json_object(col("_docstr"), "$._id")).as("_id") +:
+            col("_docstr").as("doc") +: meta: _*)
       case TopLevelString =>
-        frame.select(
-          spec.schema.fieldNames.toSeq.map(f =>
-            unwrapUdf(get_json_object(col("_raw"), s"$$._doc.$f")).as(f))
-            ++ meta: _*)
+        val fields = spec.schema.fieldNames.toSeq
+        tupled(fields).select(
+          fields.map(f => unwrapUdf(col(f)).as(f)) ++ meta: _*)
       case TopLevelType =>
-        frame.select(
-          spec.schema.fields.toSeq.map { f =>
-            val raw = unwrapUdf(get_json_object(col("_raw"), s"$$._doc.${f.name}"))
-            raw.cast(f.dataType).as(f.name) // missing field ⇒ null fill
-          } ++ meta: _*)
+        val fields = spec.schema.fields.toSeq
+        tupled(fields.map(_.name)).select(
+          fields.map(f =>
+            unwrapUdf(col(f.name)).cast(f.dataType).as(f.name)) ++ meta: _*)
     }
   }
 
