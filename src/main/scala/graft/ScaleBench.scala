@@ -172,7 +172,8 @@ object ScaleBench {
     * (replicas get distinct event_ids); every measurement is
     * min-of-2 with a fresh checkpoint/sink per pass.
     */
-  private def cdcExperiment(spark: SparkSession, work: String): Unit = {
+  private def cdcExperiment(spark: SparkSession, work: String,
+      mult: Int = 10): Unit = {
     import org.apache.spark.sql.functions._
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -220,33 +221,34 @@ object ScaleBench {
       println(f"[scale] $label%-26s $rows%9d ${t}%6.2fs ${rows / t}%,9.0f")
 
     // volume interval at a fixed 8-segment feed: exponent vs data
-    val vol = for ((mult, tables) <- Seq((1, 1), (10, 1), (1, 10), (10, 10)))
+    val vol = for ((m, tables) <- Seq((1, 1), (mult, 1), (1, 10), (mult, 10)))
       yield {
-        val dir = s"$work/cdcfeed_m${mult}_t${tables}_s8"
-        val rows = makeFeed(dir, mult, tables, 8)
+        val dir = s"$work/cdcfeed_m${m}_t${tables}_s8"
+        val rows = makeFeed(dir, m, tables, 8)
         val t = run(dir, rows, tables)
-        report(s"volume m=${mult}x tables=$tables", rows, t)
-        (mult, tables) -> t
+        report(s"volume m=${m}x tables=$tables", rows, t)
+        (m, tables) -> t
       }
     val m = vol.toMap
     for (tables <- Seq(1, 10)) {
-      val exp = math.log(m((10, tables)) / m((1, tables))) / math.log(10.0)
-      println(f"[scale] cdc 1x->10x exponent (tables=$tables): ${exp}%5.2f")
+      val exp = math.log(m((mult, tables)) / m((1, tables))) /
+        math.log(mult.toDouble)
+      println(f"[scale] cdc 1x->${mult}x exponent (tables=$tables): ${exp}%5.2f")
     }
 
-    // segment sweep at constant 10x volume: parallelism is the knob.
+    // segment sweep at constant mult× volume: parallelism is the knob.
     // s=8 is the SAME configuration the volume loop already measured —
     // reuse that number rather than re-measuring it into a second,
     // inconsistent row for the identical setup
     for (seg <- Seq(1, 8, 32)) {
       val (rows, t) =
-        if (seg == 8) (n1 * 10, m((10, 1)))
+        if (seg == 8) (n1 * mult, m((mult, 1)))
         else {
-          val dir = s"$work/cdcfeed_m10_t1_s$seg"
-          val rows = makeFeed(dir, 10, 1, seg)
+          val dir = s"$work/cdcfeed_m${mult}_t1_s$seg"
+          val rows = makeFeed(dir, mult, 1, seg)
           (rows, run(dir, rows, 1))
         }
-      report(s"segments=$seg (10x, 1 tbl)", rows, t)
+      report(s"segments=$seg (${mult}x, 1 tbl)", rows, t)
     }
   }
 
@@ -271,7 +273,8 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("cdc")) {
       val spark = buildSession()
-      cdcExperiment(spark, args.lift(1).getOrElse("/tmp/graft-scale"))
+      cdcExperiment(spark, args.lift(1).getOrElse("/tmp/graft-scale"),
+        args.lift(2).map(_.toInt).getOrElse(10))
       spark.stop()
       return
     }
