@@ -174,6 +174,9 @@ object ScaleBench {
     */
   private def cdcExperiment(spark: SparkSession, work: String,
       mult: Int = 10): Unit = {
+    // mult=1 would duplicate the 1× rows and divide the exponent by
+    // ln(1) = 0 (NaN) — an interval needs two distinct points
+    require(mult >= 2, s"cdc experiment multiplier must be >= 2, got $mult")
     import org.apache.spark.sql.functions._
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -64,18 +64,21 @@ object Multimodal {
       }
     }
 
-    /** Decoded pixels as ITU-R 601 integer luma, row-major. */
-    private[multimodal] def decodeImageLuma(content: Array[Byte]): Array[Byte] = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(content))
-      require(img != null, "undecodable image bytes")
-      val (w, h) = (img.getWidth, img.getHeight)
+    /** ONE ITU-601 luma sampler for decode AND resize — two copies of
+      * the 299/587/114 recipe would have to stay bit-identical by
+      * hand. Nearest-neighbor source index in LONG arithmetic
+      * (`x·srcW` overflows Int on panorama-width sources).
+      */
+    private def lumaGrid(img: java.awt.image.BufferedImage,
+        w: Int, h: Int): Array[Byte] = {
+      val (sw, sh) = (img.getWidth, img.getHeight)
       val out = new Array[Byte](w * h)
       var y = 0
       while (y < h) {
+        val sy = (y.toLong * sh / h).toInt
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = img.getRGB((x.toLong * sw / w).toInt, sy)
           val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
             + 114 * (rgb & 0xff)) / 1000
           out(y * w + x) = lum.toByte
@@ -86,32 +89,27 @@ object Multimodal {
       out
     }
 
-    /** Decode + nearest-neighbor resample to (w × h) ITU-601 luma;
-      * the dimension-aware sibling of [[decodeImageLuma]] (which
-      * flattens the grid away). Integer-only index math.
-      */
-    private[multimodal] def resizeImageLuma(content: Array[Byte],
-        w: Int, h: Int): Array[Byte] = {
+    private def readImage(content: Array[Byte]): java.awt.image.BufferedImage = {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(content))
       require(img != null, "undecodable image bytes")
-      val (sw, sh) = (img.getWidth, img.getHeight)
-      val out = new Array[Byte](w * h)
-      var y = 0
-      while (y < h) {
-        val sy = y * sh / h
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x * sw / w, sy)
-          val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
-            + 114 * (rgb & 0xff)) / 1000
-          out(y * w + x) = lum.toByte
-          x += 1
-        }
-        y += 1
-      }
-      out
+      img
     }
+
+    /** Decoded pixels as ITU-R 601 integer luma, row-major — the
+      * (w, h) = source-dimensions case of [[lumaGrid]].
+      */
+    private[multimodal] def decodeImageLuma(content: Array[Byte]): Array[Byte] = {
+      val img = readImage(content)
+      lumaGrid(img, img.getWidth, img.getHeight)
+    }
+
+    /** Decode + nearest-neighbor resample to (w × h) ITU-601 luma;
+      * the dimension-aware sibling of [[decodeImageLuma]].
+      */
+    private[multimodal] def resizeImageLuma(content: Array[Byte],
+        w: Int, h: Int): Array[Byte] =
+      lumaGrid(readImage(content), w, h)
 
     /** WAV container → 8-bit unsigned samples (16-bit PCM is taken
       * down to its high byte; 8-bit PCM is already unsigned).
@@ -197,16 +195,24 @@ object Multimodal {
   def resizeImages(media: Dataset[MediaRow], w: Int, h: Int,
       strict: Boolean = false): DataFrame = {
     require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    // w·h is the Int output allocation — 65536×65536 would wrap to 0
+    // and "succeed" with empty grids
+    require(w.toLong * h <= Int.MaxValue,
+      s"target grid ${w}x$h exceeds a single array")
     import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
+    // image rows only: a mixed-modality lake must neither abort on a
+    // valid WAV row (strict) nor quarantine it as if corrupt
+    // (lenient) — decode_ok=false below means CORRUPT IMAGE, nothing
+    // else. Output cardinality = image-typed rows.
+    media.filter(_.media_type.startsWith("image/")).mapPartitions { rows =>
       val decoder = MediaDecoder // per-partition init point
       rows.map { r =>
-        val px = try decoder.resizeImageLuma(r.content, w, h)
-        catch {
-          case e: Throwable if !strict => null
-          case e: Throwable => throw new IllegalArgumentException(
-            s"media ${r.media_id}: ${e.getMessage}", e)
-        }
+        // NonFatal only (the MediaDecoder.guard rule): an OOM from a
+        // decompression-bomb image must stay fatal, not become a
+        // quarantined row
+        val px = if (strict) decoder.resizeImageLuma(r.content, w, h)
+        else try decoder.resizeImageLuma(r.content, w, h)
+        catch { case scala.util.control.NonFatal(_) => null }
         (r.media_id, w, h, if (px == null) Array.empty[Byte] else px,
           px != null)
       }

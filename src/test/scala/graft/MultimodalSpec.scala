@@ -122,6 +122,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(up.length == 16)
     assert(up.map(_ & 0xff).take(8).toSeq
       == Seq(255, 255, 0, 0, 76, 76, 149, 149))
+    // mixed-modality contract: non-image rows are EXCLUDED, not
+    // quarantined — decode_ok=false must mean "corrupt image" only,
+    // and strict mode must not abort on a perfectly valid WAV row
+    val mixed = media.union(Seq(
+      MediaRow(3L, "audio/wav", Array[Byte](1, 2, 3))).toDS())
+    val ids = Multimodal.resizeImages(mixed, 2, 2, strict = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L))
   }
 
   test("corrupt media is quarantined leniently, throws only in strict mode") {
