@@ -112,6 +112,26 @@ class MongoPipelineSpec extends AnyFunSuite {
     assert(ids == Set("k1"))
   }
 
+  test("top-level projection parses JSON twice per row, not per field") {
+    import spark.implicits._
+    val frame = Seq((
+      """{"_doc":{"_id":{"$oid":"a"},"sku":"x","qty":{"$numberLong":"5"}}}""",
+      "CREATE", 1L, "0")).toDF("_raw", "_op", "_ts", "_txn_op_index")
+    val out = MongoModes.project(frame,
+      TableSpec("", "orders", ordersSchema), MongoModes.TopLevelType)
+    // the parse-discipline contract COVERAGE claims: ONE envelope
+    // parse (get_json_object staging _doc) + ONE document parse
+    // (json_tuple for every field) — a per-field get_json_object
+    // regression would show N>1 parses here. The ANALYZED plan (the
+    // optimizer constant-folds this literal fixture into the
+    // LocalRelation, hiding the expressions entirely)
+    val plan = out.queryExecution.analyzed.toString
+    assert("get_json_object".r.findAllMatchIn(plan).size == 1, plan)
+    assert(plan.contains("json_tuple"), plan)
+    val row = out.collect()(0)
+    assert(row.getAs[String]("sku") == "x" && row.getAs[Long]("qty") == 5L)
+  }
+
   test("top-level-string mode drift aborts the job") {
     val in = tmp(); val out = tmp()
     Files.write(in.resolve("00.jsonl"),
