@@ -73,6 +73,20 @@ object Bench {
       val m = math.min(d, pass2(n))
       n -> (if (m.isFinite) m else -1.0)
     }
+    // per-query max/min ratio across the two passes: min-of-2 hides
+    // WHICH entries were contaminated by ambient box load (BENCH_r06
+    // carried q17 at 8.7× its idle-box time with nothing in the
+    // artifact revealing both passes were hit). A big ratio = the
+    // passes disagreed = the min is trustworthy; a ratio near 1 on an
+    // inflated number = both passes were hit, re-measure before
+    // calling it a regression.
+    val spread = pass1.flatMap { case (n, d1) =>
+      val d2 = pass2(n)
+      val (lo, hi) = (math.min(d1, d2), math.max(d1, d2))
+      if (lo > 0 && hi.isFinite && hi / lo >= SpreadFloor)
+        Some(n -> hi / lo)
+      else None
+    }
     // CDC ingestion throughput: replay the events table as a
     // Debezium-shaped envelope feed through the full pipeline
     // (decode → gate → demux → dt-partitioned parquet). The reference
@@ -84,14 +98,18 @@ object Bench {
     // absorbed ~41 s of ambient box load the same commit measures at
     // 5.1 s on an idle box — the ingest metrics get the identical
     // noise protection the queries already had.
-    def ingestMin(tables: Int, label: String): Option[(Double, Double)] =
-      try {
-        val passes = Seq(benchIngest(spark, sfDir, tables),
-          benchIngest(spark, sfDir, tables))
-        Some(passes.minBy(_._1))
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $label failed: ${e.getMessage}"); None
-      }
+    // each pass in its own try: a transient failure on pass 2 must
+    // not discard a successful pass-1 measurement — min over whatever
+    // succeeded, None only when both passes fail
+    def ingestMin(tables: Int, label: String): Option[(Double, Double)] = {
+      def onePass(): Option[(Double, Double)] =
+        try Some(benchIngest(spark, sfDir, tables))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $label failed: ${e.getMessage}"); None
+        }
+      val passes = Seq(onePass(), onePass()).flatten
+      if (passes.isEmpty) None else Some(passes.minBy(_._1))
+    }
     val ingest = ingestMin(1, "cdc_ingest")
     // the reference's REAL workload shape: one stream multiplexing N
     // tables through the demux (`FlinkCDCMulti.java:345-391`) — same
@@ -100,11 +118,17 @@ object Bench {
     // loop the SURVEY flags (§7.4)
     val multi = ingestMin(MultiTables, "cdc_multi")
     spark.stop()
-    println(renderJson(results, ingest, multi, sfDir))
+    println(renderJson(results, spread, ingest, multi, sfDir))
   }
 
   /** Table count for the multiplexed ingest bench. */
   private[graft] val MultiTables = 10
+
+  /** Minimum max/min pass ratio a query must show to be listed in the
+    * JSON `spread` map — below this, run-to-run variance is noise not
+    * worth line budget (the driver parses only the last ~2000 chars).
+    */
+  private[graft] val SpreadFloor = 1.5
 
   /** The one line the driver parses — factored pure so its contract
     * (valid JSON, Locale-proof decimals, short keys, failure
@@ -116,6 +140,7 @@ object Bench {
     * and 3-decimal seconds — 92 queries ≈ 1.3 KB.
     */
   private[graft] def renderJson(results: Seq[(String, Double)],
+      spread: Seq[(String, Double)],
       ingest: Option[(Double, Double)],
       multi: Option[(Double, Double)], sfDir: String): String = {
     def short(name: String): String = {
@@ -126,6 +151,8 @@ object Bench {
     // comma-decimal locale would corrupt the JSON line
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def ratio(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = (results.map { case (k, v) => short(k) -> v } ++
       ingest.map("cdc" -> _._1) ++ multi.map("cdcm" -> _._1)).map {
       case (k, v) => "\"" + k + "\":" + sec(v)
@@ -142,7 +169,16 @@ object Bench {
     }.getOrElse("") + multi.map { case (_, rate) =>
       s""","cdc_multi_rows_per_sec":${rate.toLong},"cdc_multi_tables":$MultiTables"""
     }.getOrElse("")
-    s"""{"metric":"total","value":${sec(total)},"unit":"sec","passes":2,"agg":"min","queries_total":${sec(queriesTotal)},"queries":$qs$extra,"sf":"$sfDir"}"""
+    // spread: only queries whose two passes disagreed ≥ SpreadFloor —
+    // lets a reader bound run-to-run variance per entry (a min that
+    // looks regressed but has spread ≈ 1 means BOTH passes were hit
+    // by ambient load; re-measure before believing it)
+    val spreadJson =
+      if (spread.isEmpty) ""
+      else spread.map { case (k, r) =>
+        "\"" + short(k) + "\":" + ratio(r)
+      }.mkString(""","spread":{""", ",", "}")
+    s"""{"metric":"total","value":${sec(total)},"unit":"sec","passes":2,"agg":"min","queries_total":${sec(queriesTotal)},"queries":$qs$spreadJson$extra,"sf":"$sfDir"}"""
   }
 
   /** Events → JSON-lines envelope feed → CdcPipeline (AvailableNow);

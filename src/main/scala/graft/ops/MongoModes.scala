@@ -47,10 +47,22 @@ object MongoModes {
     def withDoc = frame.select(
       get_json_object(col("_raw"), "$._doc").as("_docstr") +: meta: _*)
     // one json_tuple = ONE parse for every field; its outputs come
-    // back as c0..cN, renamed to the schema field names positionally
-    def tupled(fields: Seq[String]): DataFrame = withDoc
-      .select((meta :+ json_tuple(col("_docstr"), fields: _*)): _*)
-      .toDF(metaNames ++ fields: _*)
+    // back as c0..cN, renamed to the schema field names positionally.
+    // A collection field named like a metadata column would make that
+    // rename produce duplicate names and fail downstream with an
+    // ambiguous-reference error — fail HERE with the real cause
+    // instead (the operator's fix is a field/name map, same as any
+    // other collision).
+    def tupled(fields: Seq[String]): DataFrame = {
+      val shadowed = fields.filter(metaNames.contains)
+      require(shadowed.isEmpty,
+        s"collection ${spec.key}: field(s) ${shadowed.mkString(", ")} " +
+          "shadow pipeline metadata columns (_op/_ts/_txn_op_index) — " +
+          "rename them via the field name map before ingesting")
+      withDoc
+        .select((meta :+ json_tuple(col("_docstr"), fields: _*)): _*)
+        .toDF(metaNames ++ fields: _*)
+    }
     mode match {
       case DocString =>
         withDoc.select(

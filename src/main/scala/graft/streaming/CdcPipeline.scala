@@ -157,6 +157,42 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
   /** The sink bucket column: event-date (K1), or the K4 constant. */
   private val dtColumn: org.apache.spark.sql.Column =
     config.fixedBucket.map(lit).getOrElse(EnvelopeDecoder.dtColumn)
+
+  /** K4 read-back hazard scan: existing `dt=` partition dirs under any
+    * table sink whose value differs from the fixed bucket. Both paths
+    * WRITE dt as a string, but Spark's partition-value type inference
+    * on read-back types `dt=2026-01-01` as Date and `dt=static` as
+    * String — mixing them under one dataset breaks consumers. The
+    * flag is meant for fresh sinks; flipping it on an existing
+    * date-bucketed sink gets a loud startup warning, not silent
+    * corruption. (Fail-fast is deliberately NOT done: an operator
+    * mid-migration may own the mix.)
+    */
+  private[graft] def mixedBucketDirs: Seq[String] =
+    config.fixedBucket.toSeq.flatMap { b =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      for {
+        spec <- routed.values.toSeq
+        dir = new org.apache.hadoop.fs.Path(
+          spec.sinkDir(config.sinkPath, config.sourceId))
+        fs = dir.getFileSystem(conf)
+        if fs.exists(dir)
+        st <- fs.listStatus(dir).toSeq
+        name = st.getPath.getName
+        if name.startsWith("dt=") && name != s"dt=$b"
+      } yield s"${spec.key}/$name"
+    }
+
+  locally {
+    val mixed = mixedBucketDirs
+    if (mixed.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"[${config.name}] sink.fixed.bucket=" +
+          s"${config.fixedBucket.get} over a sink holding other dt " +
+          s"buckets (${mixed.take(5).mkString(", ")}) — partition " +
+          "type inference may mix Date/String on read-back; use a " +
+          "fresh sink path or keep the original bucketing mode")
+  }
   /** DDL side-table route: `_{db}_ddl`. PG derives db from the event's
     * `_schema`, which the registry doesn't know up front — recognize
     * the shape rather than a precomputed set.
@@ -473,13 +509,30 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     */
   @volatile private var debugQuery: Option[StreamingQuery] = None
 
-  /** Await the echo's own termination (AvailableNow drains itself). */
-  def awaitDebugEcho(): Unit = debugQuery.foreach(_.awaitTermination())
+  /** Await the echo's own termination (AvailableNow drains itself).
+    * An echo failure is logged, not rethrown: the debug sink is
+    * observability, and a console hiccup must not fail a job whose
+    * main query drained cleanly.
+    */
+  def awaitDebugEcho(): Unit = debugQuery.foreach { dq =>
+    try dq.awaitTermination()
+    catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"[${config.name}] debug echo failed: ${e.getMessage}")
+    }
+  }
 
-  /** Stop the echo (tailing mode, where it would never self-stop). */
+  /** Stop the echo (tailing mode, where it would never self-stop).
+    * Same contract as [[awaitDebugEcho]]: echo failures log, never
+    * propagate past an otherwise-clean run.
+    */
   def stopDebugEcho(): Unit = debugQuery.foreach { dq =>
     if (dq.isActive) dq.stop()
-    dq.awaitTermination()
+    try dq.awaitTermination()
+    catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"[${config.name}] debug echo failed: ${e.getMessage}")
+    }
   }
 
   def startFeed(feed: graft.source.CdcFeed, checkpointDir: String,
@@ -487,8 +540,11 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     val lines = feed.lines(spark)
     // K3 (`FlinkCDCMulti.java:148-154`): raw source echo to the
     // console as a SECOND query on the same feed — parallelism is the
-    // sink's, the pipeline query is untouched
-    if (config.debugPrint)
+    // sink's, the pipeline query is untouched. A prior echo from an
+    // earlier startFeed on this pipeline is stopped first so a
+    // restart can't leak a still-running console query.
+    if (config.debugPrint) {
+      stopDebugEcho()
       debugQuery = Some(lines.writeStream
         .queryName(s"${config.name}-debug")
         .option("checkpointLocation", s"$checkpointDir/_debug")
@@ -496,6 +552,7 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         .trigger(trigger)
         .format("console")
         .start())
+    }
     lines.writeStream
       .queryName(config.name)
       .option("checkpointLocation", checkpointDir)

@@ -14,8 +14,9 @@ class BenchJsonSpec extends AnyFunSuite {
 
   private def render(results: Seq[(String, Double)],
       ingest: Option[(Double, Double)],
-      multi: Option[(Double, Double)] = None): String =
-    Bench.renderJson(results, ingest, multi, "/tmp/sf")
+      multi: Option[(Double, Double)] = None,
+      spread: Seq[(String, Double)] = Nil): String =
+    Bench.renderJson(results, spread, ingest, multi, "/tmp/sf")
 
   /** Minimal JSON sanity without a parser dep: balanced braces, no
     * locale commas in numbers, expected keys present.
@@ -63,5 +64,15 @@ class BenchJsonSpec extends AnyFunSuite {
     val line = render(Seq("q01_x" -> 1.0), None)
     assert(!line.contains("cdc"))
     assert(line.contains("\"value\":1.000"))
+  }
+
+  test("spread entries render as a shortened-key ratio map") {
+    val line = render(Seq("q17_x" -> 1.0), None,
+      spread = Seq("q17_x" -> 8.696, "q11_y" -> 2.0))
+    assert(line.contains(""","spread":{"q17":8.70,"q11":2.00}"""), line)
+  }
+
+  test("empty spread emits no spread key") {
+    assert(!render(Seq("q01_x" -> 1.0), None).contains("spread"))
   }
 }

@@ -168,6 +168,28 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(!spark.streams.active.exists(_.name == "JOB-srcDbg-debug"))
   }
 
+  test("K4 mixed-bucket guard flags dt dirs differing from the fixed bucket") {
+    val in = tmp(); val out = tmp()
+    writeFixture(in, "00-data.jsonl", Seq(
+      row("CREATE", "users", 1700000000000L, "mysql-bin.000001", 10,
+        """"id":{"int":1},"name":{"string":"a"},"balance":null""")))
+    // date-bucketed sink first (default mode): _ts → dt=2023-11-14
+    run(CdcConfig("srcMix", registry, out.toString), in)
+    // reopening the SAME sink with a fixed bucket is the hazard the
+    // guard exists for — read-back partition inference would see Date
+    // and String dt values under one dataset
+    val p2 = new CdcPipeline(spark, CdcConfig("srcMix", registry,
+      out.toString, fixedBucket = Some("static")))
+    assert(p2.mixedBucketDirs.exists(_.endsWith("dt=2023-11-14")), p2.mixedBucketDirs)
+    // a fixed bucket over its own sink (or a fresh one) is clean
+    val out2 = tmp()
+    val p3 = new CdcPipeline(spark, CdcConfig("srcMix2", registry,
+      out2.toString, fixedBucket = Some("static")))
+    p3.runAvailableNow(in.toString, tmp().resolve("ckpt").toString)
+    assert(new CdcPipeline(spark, CdcConfig("srcMix2", registry,
+      out2.toString, fixedBucket = Some("static"))).mixedBucketDirs.isEmpty)
+  }
+
   test("structural DDL stops; later batches are swallowed") {
     val in = tmp(); val out = tmp()
     writeFixture(in, "00-data.jsonl", Seq(

@@ -146,4 +146,21 @@ class MongoPipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("SCHEMA DRIFT") ||
       Option(e.getCause).exists(_.getMessage.contains("SCHEMA DRIFT")))
   }
+
+  test("document field shadowing a metadata column fails with the real cause") {
+    // json_tuple outputs are renamed positionally to the schema field
+    // names; a collection field named _op would collide with the
+    // pipeline metadata column and fail later as an opaque
+    // ambiguous-reference error — project fails up front instead
+    val shadowSchema = StructType(Seq(
+      StructField("_id", StringType), StructField("_op", StringType)))
+    import spark.implicits._
+    val frame = Seq(("{}", "CREATE", 1L, "0"))
+      .toDF("_raw", "_op", "_ts", "_txn_op_index")
+    val e = intercept[IllegalArgumentException] {
+      MongoModes.project(frame, TableSpec("", "orders", shadowSchema),
+        MongoModes.TopLevelString)
+    }
+    assert(e.getMessage.contains("shadow"), e.getMessage)
+  }
 }
