@@ -30,13 +30,22 @@ object JdbcRegistry {
   }
 
   /** Adapter over a live connection's metadata
-    * (`connection.getMetaData`): catalog-scoped getTables/getColumns,
-    * mirroring the reference's calls. The table name is escaped before
-    * use as a `tableNamePattern` — JDBC treats it as a LIKE pattern,
-    * so an unescaped `user_events` would also match `userXevents` and
-    * merge a sibling table's columns into the schema.
+    * (`connection.getMetaData`): catalog- or schema-scoped
+    * getTables/getColumns, mirroring the reference's calls. The table
+    * name is escaped before use as a `tableNamePattern` — JDBC treats
+    * it as a LIKE pattern, so an unescaped `user_events` would also
+    * match `userXevents` and merge a sibling table's columns into the
+    * schema.
+    *
+    * @param dbIsSchema how the engine namespaces "databases": MySQL
+    *   exposes them as JDBC CATALOGs (the reference's walk,
+    *   `MySQLStreamer.java:334-457`); Postgres/Oracle/Derby expose
+    *   them as SCHEMAs, where the catalog slot must stay null and the
+    *   db name goes in `schemaPattern` (escaped — it's a LIKE pattern
+    *   too).
     */
-  def fromDatabaseMetaData(md: java.sql.DatabaseMetaData): MetadataProvider =
+  def fromDatabaseMetaData(md: java.sql.DatabaseMetaData,
+      dbIsSchema: Boolean = false): MetadataProvider =
     new MetadataProvider {
       private def drain[A](rs: java.sql.ResultSet)(
           read: java.sql.ResultSet => A): Seq[A] =
@@ -45,17 +54,34 @@ object JdbcRegistry {
           while (rs.next()) out += read(rs)
           out.toSeq
         } finally rs.close()
+      // Escaping narrows what the engine sends back, but it is NOT
+      // the correctness guarantee: Derby's getSearchStringEscape
+      // returns "" (no escape support at all — an escaped pattern
+      // matches nothing, an unescaped one matches siblings), so every
+      // result row below is ALSO post-filtered by exact name equality
+      // on the result set's own TABLE_NAME/namespace columns.
       private def escapeLike(name: String): String = {
         val esc = md.getSearchStringEscape
-        name.replace(esc, esc + esc)
+        if (esc == null || esc.isEmpty) name
+        else name.replace(esc, esc + esc)
           .replace("_", esc + "_").replace("%", esc + "%")
       }
+      private def catalogOf(db: String): String =
+        if (dbIsSchema) null else db
+      private def schemaOf(db: String): String =
+        if (dbIsSchema) escapeLike(db) else null
+      private def namespace(rs: java.sql.ResultSet): String =
+        if (dbIsSchema) rs.getString("TABLE_SCHEM")
+        else rs.getString("TABLE_CAT")
       def tables(db: String): Seq[String] =
-        drain(md.getTables(db, null, "%", Array("TABLE")))(
-          _.getString(3)) // TABLE_NAME ordinal
+        drain(md.getTables(catalogOf(db), schemaOf(db), "%",
+          Array("TABLE")))(rs => namespace(rs) -> rs.getString("TABLE_NAME"))
+          .collect { case (ns, t) if ns == db => t }
       def columns(db: String, table: String): Seq[(String, String)] =
-        drain(md.getColumns(db, null, escapeLike(table), "%"))(rs =>
-          rs.getString("COLUMN_NAME") -> rs.getString("TYPE_NAME"))
+        drain(md.getColumns(catalogOf(db), schemaOf(db), escapeLike(table),
+          "%"))(rs => (namespace(rs), rs.getString("TABLE_NAME"),
+            rs.getString("COLUMN_NAME") -> rs.getString("TYPE_NAME")))
+          .collect { case (ns, t, col) if ns == db && t == table => col }
     }
 
   /** Walk `databases` through `meta` and build the registry.

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.TableSpec
+import graft.ops.EnvelopeDecoder
+
+/** Live JDBC initial snapshot (SURVEY §4): the snapshot half of the
+  * reference's snapshot-then-stream startup (`MySQLStreamer.java:
+  * 269-291` hands snapshot SELECTs to Debezium; `:313-457` walks
+  * metadata first). Each registry table is read server-side through
+  * `spark.read.format("jdbc")` — with any snapshot override statement
+  * pushed down VERBATIM as a `dbtable` subquery, so predicate and
+  * projection never leave the database — then shaped to the exact
+  * per-table sink schema the binlog tail writes
+  * ([[graft.ops.EnvelopeDecoder.payload]]), so snapshot and tail
+  * compose into one coherent `dt=`-partitioned dataset.
+  *
+  * Scale: one JDBC scan per table; `partitionOptions`
+  * (partitionColumn/lowerBound/upperBound/numPartitions) shard a big
+  * table's snapshot across executors — Spark's JDBC source turns them
+  * into per-partition range WHEREs server-side. The Spark-side shape
+  * work is a map-only projection; the only shuffle is the sink's
+  * own dt-range write path, same as the feed.
+  */
+object JdbcSnapshot {
+
+  /** One table's snapshot frame, shaped like the feed path's payload
+    * projection for `sourceType`: payload columns in registry order
+    * and registry types (§1.3 policy — see [[alignColumn]]),
+    * `_op="READ"`, `_ts=snapshotTsMs`, and null source-position
+    * metadata (snapshot rows carry no binlog position on the feed
+    * path either).
+    *
+    * Column matching against the database is case-insensitive and
+    * sanitizer-aware: Derby/Oracle report `USER_EVENTS`/`ID` where a
+    * MySQL-shaped registry says `user_events`/`id`; the OUTPUT always
+    * uses the registry's names (the registry is the sink contract).
+    * A select-list override naturally returns fewer columns — the
+    * missing payload columns are null-filled, never dropped, so the
+    * sink schema cannot fork (same rule as the feed-path override).
+    */
+  def snapshotFrame(spark: SparkSession, url: String,
+      connProps: Map[String, String], spec: TableSpec,
+      overrideStmt: Option[String], snapshotTsMs: Long,
+      sourceType: String = "mysql",
+      partitionOptions: Map[String, String] = Map.empty): DataFrame = {
+    val dbtable = overrideStmt match {
+      case Some(stmt) => SnapshotOverrides.asJdbcSubquery(spec.key, stmt)
+      case None => spec.key
+    }
+    val raw = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", dbtable)
+      .options(connProps)
+      .options(partitionOptions)
+      .load()
+    val byName: Map[String, StructField] = raw.schema.fields.map(f =>
+      graft.schema.Sanitizer(f.name).toLowerCase -> f).toMap
+    val cols = spec.schema.fields.toSeq.map { f =>
+      byName.get(f.name.toLowerCase) match {
+        case Some(src) =>
+          alignColumn(raw(src.name), src.dataType, f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    val kept: Seq[org.apache.spark.sql.Column] =
+      lit("READ").as("_op") +: lit(snapshotTsMs).as("_ts") +:
+        (sourceType match {
+          case "mysql" => Seq(
+            lit(null).cast(StringType).as("_binlog_file_internal"),
+            lit(null).cast(LongType).as("_binlog_pos_internal"))
+          case "mongodb" => Seq(lit(null).cast(StringType).as("_txn_op_index"))
+          case _ => Seq.empty
+        })
+    raw.select(cols ++ kept: _*)
+  }
+
+  /** JDBC-read type → registry (§1.3 policy) type, with Debezium's
+    * envelope semantics where a plain cast would differ
+    * (`AVROUtils.java:54-103` collapses DATE→int epoch-days and
+    * DATETIME/TIME→long, which is what the feed path's union payloads
+    * carry — the snapshot must encode identically or the composed
+    * dataset is bimodal):
+    *  - Date → Int: epoch days
+    *  - Timestamp → Long: epoch millis (covers DATETIME and TIME,
+    *    which JDBC surfaces as 1970-01-01-anchored timestamps →
+    *    millis-of-day)
+    *  - anything → String: plain cast (decimal/timestamp-as-string
+    *    policy)
+    *  - otherwise: plain cast
+    */
+  private[graft] def alignColumn(c: org.apache.spark.sql.Column,
+      src: DataType, target: DataType): org.apache.spark.sql.Column =
+    (src, target) match {
+      case (DateType, IntegerType) => datediff(c, to_date(lit("1970-01-01")))
+      case (TimestampType, LongType) => unix_millis(c)
+      case (_, t) => c.cast(t)
+    }
+
+  /** Snapshot every registry table of `config` into its sink dir —
+    * the same layout, dt bucketing (incl. K4 fixed bucket), and
+    * per-table schema the binlog tail appends to. Override statements
+    * come from `config.snapshotOverrides` (their validated verbatim
+    * form) and are pushed server-side. Returns per-table row counts.
+    */
+  def writeSnapshot(spark: SparkSession, config: CdcConfig, url: String,
+      connProps: Map[String, String], snapshotTsMs: Long,
+      partitionOptions: Map[String, String] = Map.empty): Map[String, Long] = {
+    val dtCol = config.fixedBucket.map(lit(_).as("dt"))
+      .getOrElse(EnvelopeDecoder.dtColumn)
+    (for ((key, spec) <- config.registry.routed.toSeq) yield {
+      val frame = snapshotFrame(spark, url, connProps, spec,
+        config.snapshotOverrides.get(key).map(_.statement), snapshotTsMs,
+        config.sourceType, partitionOptions)
+      val dir = spec.sinkDir(config.sinkPath, config.sourceId)
+      frame.withColumn("dt", dtCol)
+        .write.mode("append").partitionBy("dt").parquet(dir)
+      key -> spark.read.parquet(dir).count()
+    }).toMap
+  }
+}

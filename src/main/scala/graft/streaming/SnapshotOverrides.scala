@@ -29,7 +29,12 @@ final case class SnapshotOverride(
     /** Lower-cased select-list columns; None = `SELECT *`. */
     selectCols: Option[Set[String]],
     /** The WHERE clause body, verbatim; None = no predicate. */
-    where: Option[String])
+    where: Option[String],
+    /** The validated statement verbatim (trailing `;` stripped) — the
+      * form a live JDBC snapshot pushes server-side via
+      * [[SnapshotOverrides.asJdbcSubquery]].
+      */
+    statement: String)
 
 object SnapshotOverrides {
 
@@ -81,7 +86,8 @@ object SnapshotOverrides {
         case list => Some(list.split(",").map(_.trim.toLowerCase)
           .filter(_.nonEmpty).toSet)
       }
-      SnapshotOverride(table, cols, Option(where).map(_.trim))
+      SnapshotOverride(table, cols, Option(where).map(_.trim),
+        sql.trim.stripSuffix(";"))
     case other => throw new IllegalArgumentException(
       s"UNPARSEABLE SNAPSHOT OVERRIDE FOR $table (want " +
         s"'SELECT <cols|*> FROM <table> [WHERE <cond>]'): $other")

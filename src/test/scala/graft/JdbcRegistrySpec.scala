@@ -99,7 +99,7 @@ class JdbcRegistrySpec extends AnyFunSuite {
   test("adapter shape matches java.sql.DatabaseMetaData contract") {
     // compile-time check that the adapter accepts the real interface
     val f: java.sql.DatabaseMetaData => JdbcRegistry.MetadataProvider =
-      JdbcRegistry.fromDatabaseMetaData
+      JdbcRegistry.fromDatabaseMetaData(_)
     assert(f != null)
   }
 }
