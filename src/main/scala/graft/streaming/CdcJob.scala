@@ -98,8 +98,18 @@ object CdcJob {
       // K3 `--debug` (CLI flag folded into cfg by CdcMain) and K4
       // constant sink bucket
       debugPrint = cfg.get("debug").contains("true"),
-      fixedBucket = cfg.get("sink.fixed.bucket"))
+      fixedBucket = cfg.get("sink.fixed.bucket"),
+      // the reference's planned dry-run mode (`README.md:66`): routed
+      // per-table counts to the console, nothing written or published
+      dryRun = cfg.get("sink.dry.run").contains("true"))
   }
+
+  /** Target `CREATE TABLE` SQL for every sink table of a config (the
+    * reference's planned auto-generation, `README.md:67`) — see
+    * [[SinkDdl.createTableSql]].
+    */
+  def sinkDdl(cfg: Map[String, String]): Map[String, Seq[String]] =
+    SinkDdl.createTableSql(configFromMap(cfg))
 
   /** Assemble and run. Snapshot-only uses AvailableNow (drain and
     * exit — cleaner than the reference's first-non-READ + 10 s timer

@@ -62,7 +62,16 @@ final case class CdcConfig(
       * date bucket — the reference's constant-directory alternative
       * to date bucketing.
       */
-    fixedBucket: Option[String] = None) {
+    fixedBucket: Option[String] = None,
+    /** Dry-run mode (the reference's planned `README.md:66` feature):
+      * the demux runs fully — decode, gate, routing, snapshot-override
+      * gating — but prints per-table routed row counts to the console
+      * instead of writing parquet, and publishes NO offsets, status,
+      * or commit markers (a dry run that advanced the offset store
+      * would silently skip data on the next real run). K3 prints the
+      * raw feed; this prints the routed result.
+      */
+    dryRun: Boolean = false) {
   def name: String = jobName.getOrElse(s"JOB-$sourceId")
 }
 
@@ -151,6 +160,12 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
   @volatile var recordCount: Long = 0L
   @volatile var lastEventTs: Long = 0L
   @volatile var lastOffset: Option[String] = None
+
+  /** Dry-run visibility for callers (the console print is for the
+    * operator): route key → total rows that WOULD have been written.
+    */
+  val dryRunCounts: scala.collection.concurrent.Map[String, Long] =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
 
   private val routed: Map[String, TableSpec] = config.registry.routed
 
@@ -410,7 +425,15 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
           val gated = config.snapshotOverrides.get(key)
             .map(SnapshotOverrides.applyTo(projected, _))
             .getOrElse(projected)
-          gated
+          if (config.dryRun) {
+            // the routed, override-gated result — what a real run
+            // would write, counted instead of written
+            val n = gated.count()
+            dryRunCounts.updateWith(key)(p => Some(p.getOrElse(0L) + n))
+            println(s">>> [DRY-RUN][${config.name}] batch=$batchId " +
+              s"$key -> ${spec.sinkDir(config.sinkPath, config.sourceId)}: " +
+              s"$n row(s)")
+          } else gated
             .withColumn("dt", dtColumn)
             .write.mode("append").partitionBy("dt")
             .parquet(spec.sinkDir(config.sinkPath, config.sourceId))
@@ -429,7 +452,13 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
             Option(r.getString(2)).getOrElse("")))
         for (db <- collected.map(_._3).distinct if db.nonEmpty && !replayed) {
           val spec = config.registry.ddlSpec(db)
-          EnvelopeDecoder.ddlPayload(ddlRows.filter(ddlDb === db))
+          val events = EnvelopeDecoder.ddlPayload(ddlRows.filter(ddlDb === db))
+          if (config.dryRun)
+            println(s">>> [DRY-RUN][${config.name}] batch=$batchId " +
+              s"${spec.table} -> " +
+              s"${spec.sinkDir(config.sinkPath, config.sourceId)}: " +
+              s"${events.count()} DDL event(s)")
+          else events
             .withColumn("dt", dtColumn)
             .write.mode("append").partitionBy("dt")
             .parquet(spec.sinkDir(config.sinkPath, config.sourceId))
@@ -440,8 +469,11 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
 
       // Offset/status bookkeeping (P3-P7): computed on the committed
       // batch, published after writes — never ahead of data. A
-      // replayed batch published these in its original run.
-      if (!replayed) {
+      // replayed batch published these in its original run. A DRY run
+      // publishes nothing durable (no offsets, status, or commit
+      // markers): advancing the offset store without writing data
+      // would make the next real run skip those events.
+      if (!replayed && !config.dryRun) {
         recordCount += s.getLong(0)
         lastEventTs = math.max(lastEventTs, Option(s.get(1))
           .map(_.asInstanceOf[Long]).getOrElse(0L))

@@ -190,6 +190,28 @@ class CdcPipelineSpec extends AnyFunSuite {
       out2.toString, fixedBucket = Some("static"))).mixedBucketDirs.isEmpty)
   }
 
+  test("dry-run mode counts routed rows; writes and publishes nothing") {
+    val in = tmp(); val out = tmp(); val off = tmp()
+    writeFixture(in, "00-data.jsonl", Seq(
+      row("CREATE", "users", 1700000000000L, "mysql-bin.000001", 10,
+        """"id":{"int":1},"name":{"string":"a"},"balance":null"""),
+      row("CREATE", "users", 1700000001000L, "mysql-bin.000001", 20,
+        """"id":{"int":2},"name":{"string":"b"},"balance":null"""),
+      row("CREATE", "items", 1700000002000L, "mysql-bin.000001", 30,
+        """"id":{"int":7},"qty":{"long":3}""")))
+    val p = run(CdcConfig("srcDry", registry, out.toString,
+      offsetStorePath = Some(off.toString), dryRun = true), in)
+    // the full demux ran — routed counts are visible to the caller
+    assert(p.dryRunCounts.get("testdb.users").contains(2L), p.dryRunCounts)
+    assert(p.dryRunCounts.get("testdb.items").contains(1L))
+    // ...but nothing durable happened: no sink dirs, no offset file
+    // (an advanced offset store would make the next REAL run skip
+    // these events)
+    assert(!Files.exists(Paths.get(s"$out/srcDry_testdb__users")))
+    assert(!Files.exists(Paths.get(s"$out/srcDry_testdb__items")))
+    assert(!Files.exists(off.resolve("srcDry_offset.txt")))
+  }
+
   test("structural DDL stops; later batches are swallowed") {
     val in = tmp(); val out = tmp()
     writeFixture(in, "00-data.jsonl", Seq(
