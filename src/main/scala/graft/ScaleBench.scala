@@ -255,6 +255,78 @@ object ScaleBench {
     }
   }
 
+  /** Deterministic 32×32 RGB PNG for media-corpus generation — real
+    * JDK-encoded bytes so the measured decode path is the production
+    * one, re-derivable per id (same discipline as `draws`).
+    */
+  private[graft] def pngBytes(id: Long, w: Int = 32, h: Int = 32): Array[Byte] = {
+    val rnd = new scala.util.Random(id * 0x9E3779B97F4A7C15L + 7L)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rnd.nextInt(0x1000000)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** `runMain graft.ScaleBench multimodal [workDir] [mult]` — the
+    * binary-path scaling datapoint: a deterministic PNG corpus at 1×
+    * and N×, timed through `Multimodal.resizeImages` (full decode →
+    * integer resample → re-encode) and `extractFeatures`. Both are
+    * mapPartitions over a binary column — no shuffle, so the exponent
+    * should track data volume (~1.0 at constant parallelism) and the
+    * rows/s should hold flat; anything super-linear means the binary
+    * path shuffled or collected somewhere.
+    */
+  private def multimodalExperiment(spark: SparkSession, work: String,
+      mult: Int): Unit = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val base = 20000L
+    def gen(dir: String, n: Long): Unit =
+      if (!new java.io.File(dir).exists()) {
+        println(s"[scale] generating $n-image corpus at $dir")
+        spark.range(n).repartition(64)
+          .map(id => Multimodal.MediaRow(id, "image/png", pngBytes(id)))
+          .write.mode("overwrite").parquet(dir)
+      }
+    def time(dir: String, n: Long,
+        op: org.apache.spark.sql.Dataset[Multimodal.MediaRow] =>
+          org.apache.spark.sql.Dataset[_]): Double = {
+      val media = spark.read.parquet(dir).as[Multimodal.MediaRow]
+      (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        op(media).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val dirs = Seq(1 -> s"$work/media_x1", mult -> s"$work/media_x$mult")
+    dirs.foreach { case (m, d) => gen(d, base * m) }
+    // untimed warm pass (Bench methodology: JIT + page cache)
+    dirs.foreach { case (_, d) =>
+      spark.read.parquet(d).write.format("noop").mode("overwrite").save() }
+    for ((label, op) <- Seq[(String,
+        org.apache.spark.sql.Dataset[Multimodal.MediaRow] =>
+          org.apache.spark.sql.Dataset[_])](
+      "resizeImages 32->16" -> (m => Multimodal.resizeImages(m, 16, 16)),
+      "extractFeatures" -> (m => Multimodal.extractFeatures(m)))) {
+      val ts = dirs.map { case (m, d) =>
+        val n = base * m
+        val t = time(d, n, op)
+        println(f"[scale] multimodal $label%-20s ${m}x $n%8d imgs ${t}%6.2fs ${n / t}%,9.0f rows/s")
+        m -> t
+      }.toMap
+      val exp = math.log(ts(mult) / ts(1)) / math.log(mult.toDouble)
+      println(f"[scale] multimodal $label 1x->${mult}x exponent: ${exp}%5.2f")
+    }
+  }
+
   /** ONE session builder for all three experiment branches — a
     * config tweak applied to one branch and not the others would
     * silently change that experiment's measurement conditions.
@@ -284,6 +356,16 @@ object ScaleBench {
     if (args.headOption.contains("skew")) {
       val spark = buildSession()
       skewExperiment(spark, args.lift(1).getOrElse("/tmp/graft-scale"))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("multimodal")) {
+      val spark = buildSession(Map(
+        // media parquet rows are ~1 KB binaries in generated multi-MB
+        // files; split small so the decode work parallelizes
+        "spark.sql.files.maxPartitionBytes" -> (4 * 1024 * 1024).toString))
+      multimodalExperiment(spark, args.lift(1).getOrElse("/tmp/graft-scale"),
+        args.lift(2).map(_.toInt).getOrElse(10))
       spark.stop()
       return
     }

@@ -142,6 +142,33 @@ object CdcJob {
           " (stored offset applies via checkpoint recovery, not feed seek)"
         else ""))
 
+    // Snapshot-then-stream (the reference's default startup,
+    // `MySQLStreamer.java:269-291`): with a configured live JDBC
+    // source, on FIRST start only (initial mode, no stored offset —
+    // a restart resuming from an offset must not re-snapshot), every
+    // registry table is snapshotted server-side into its sink dir
+    // before the tail starts. Override statements push down via
+    // dbtable subqueries; `snapshot.jdbc.partition.column` /
+    // `.lower.bound` / `.upper.bound` / `.num.partitions` shard big
+    // tables across executors.
+    for (url <- cfg.get("snapshot.jdbc.url")
+         if stored.isEmpty && mode == StartupMode.Initial) {
+      val connProps = Seq("driver", "user", "password")
+        .flatMap(k => cfg.get(s"snapshot.jdbc.$k").map(k -> _)).toMap
+      val partOpts = Seq(
+        "partitionColumn" -> "partition.column",
+        "lowerBound" -> "lower.bound",
+        "upperBound" -> "upper.bound",
+        "numPartitions" -> "num.partitions")
+        .flatMap { case (sparkKey, cfgKey) =>
+          cfg.get(s"snapshot.jdbc.$cfgKey").map(sparkKey -> _) }.toMap
+      val counts = JdbcSnapshot.writeSnapshot(spark, config, url, connProps,
+        System.currentTimeMillis(), partOpts)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .info(s"[${config.name}] JDBC snapshot complete: " +
+          counts.map { case (k, n) => s"$k=$n" }.mkString(", "))
+    }
+
     val feed: graft.source.CdcFeed =
       if (cfg.get("source.feed").contains("dsv2"))
         graft.source.Dsv2Feed(inputDir,

@@ -171,6 +171,45 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cust(0).getAs[Boolean]("ACTIVE"))
   }
 
+  test("partition options shard the snapshot read server-side") {
+    val spec = declared.routed("SALES.CUSTOMER")
+    val frame = JdbcSnapshot.snapshotFrame(spark, url, connProps, spec,
+      None, 1700000000000L, partitionOptions = Map(
+        "partitionColumn" -> "ID", "lowerBound" -> "1",
+        "upperBound" -> "6", "numPartitions" -> "2"))
+    // Spark's JDBC source turned the options into 2 range-predicate
+    // scans — the parallel path a 100 TB table's snapshot needs
+    assert(frame.rdd.getNumPartitions == 2)
+    // sharding must not change the result
+    assert(frame.select("ID").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("config-driven snapshot-then-stream through CdcJob.run") {
+    val out = tmp(); val off = tmp(); val in = tmp()
+    // one tail row; snapshot-only stops at the first non-READ op per
+    // table, so the run drains and returns
+    Files.write(in.resolve("00-tail.jsonl"), String.join("\n",
+      """{"_op":"CREATE","_ts":1700000100000,"_db":"HR","_tbl":"EMPLOYEE","ID":{"int":11},"SALARY":{"string":"50.00"},"HIRED":null,"GRADE":{"int":1},"_binlog_file":"bin.000001","_binlog_pos_end":"10","_binlog_file_internal":"bin.000001","_binlog_pos_internal":"16"}""").getBytes)
+    val p = graft.streaming.CdcJob.run(spark, Map(
+      "source.id" -> "livejob",
+      "source.type" -> "mysql",
+      "sink.path" -> out.toString,
+      "offset.store.path" -> off.toString,
+      "snapshot.only" -> "true",
+      "table.schemas" ->
+        """{"HR.EMPLOYEE":"ID:INTEGER,SALARY:DECIMAL(8,2),HIRED:TIMESTAMP,GRADE:SMALLINT"}""",
+      "snapshot.jdbc.url" -> url,
+      "snapshot.jdbc.driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
+      in.toString, tmp().resolve("ck").toString)
+    assert(p.gate.stopped) // snapshot-only completion
+    val emp = spark.read.parquet(s"$out/livejob_HR__EMPLOYEE")
+    // 2 server-side snapshot rows + the 1 tail row, one schema
+    assert(emp.count() == 3)
+    assert(emp.filter(org.apache.spark.sql.functions.col("_op") === "READ")
+      .count() == 2)
+  }
+
   test("live snapshot composes with the binlog tail into one sink") {
     val out = tmp(); val off = tmp(); val in = tmp()
     val registry = walkRegistry() // the REAL walk feeds the pipeline
