@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.types.StructType
+
+import graft.model.TableRegistry
+import graft.schema.{Sanitizer, TypeMapping}
+
+/** The reference's in-dev "Auto table name mapping when a DDL is met,
+  * for MySQL" (`README.md:54`), completing its manual evolution story
+  * (`README.md:15`: new table version `mytable_v20240401` dated by
+  * the change): when a structural DDL stops the job, propose the
+  * exact configuration the operator's runbook would hand-write — the
+  * `table.name.map` entry pointing at the dated version name, and
+  * (for the ALTER subset whose effect on the schema is mechanical)
+  * the evolved payload schema itself.
+  *
+  * The proposal is advisory by design: graft logs it and exposes it
+  * on the pipeline ([[graft.streaming.CdcPipeline.evolutionProposals]])
+  * rather than hot-swapping the registry mid-job — the reference
+  * stops the job for a reason (in-flight sinks, downstream contracts),
+  * and an unparseable ALTER (engine-specific clauses, multi-action
+  * statements mixing structural and not) must degrade to "name map
+  * only, schema by operator", never to a silently wrong schema.
+  */
+final case class EvolutionProposal(
+    /** Routing key of the table the DDL hit (`db.table`). */
+    routeKey: String,
+    /** The dated version name, e.g. `users_v20240401`. */
+    newTableName: String,
+    /** Ready-to-paste `table.name.map` entry. */
+    tableNameMapEntry: (String, String),
+    /** Evolved payload schema, when the ALTER subset allows deriving
+      * it mechanically; None = operator declares it (the proposal
+      * says why in `note`).
+      */
+    schema: Option[StructType],
+    note: String) {
+  /** The flat-config rendering the runbook pastes. */
+  def configJson: String = {
+    val (k, v) = tableNameMapEntry
+    s"""{"table.name.map": {"$k": "$v"}}"""
+  }
+}
+
+object DdlEvolution {
+
+  /** `mytable` + change time → `mytable_v20240401` (UTC date, the
+    * reference's versioning convention).
+    */
+  def versionedName(table: String, tsMillis: Long): String = {
+    val d = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(tsMillis))
+    s"${table}_v$d"
+  }
+
+  private def stripQuotes(s: String): String =
+    s.trim.stripPrefix("`").stripSuffix("`")
+
+  /** DDL type token → TYPE_NAME for the §1.3 collapse: display width
+    * / precision parens dropped (`INT(11)` → `INT`), an UNSIGNED
+    * attribute kept (it widens ints to long).
+    */
+  private def typeNameOf(tokens: Seq[String]): String = {
+    val base = tokens.headOption.getOrElse("")
+      .replaceAll("\\(.*\\)$", "").replaceAll("\\(.*", "")
+    val unsigned = tokens.map(_.toUpperCase).contains("UNSIGNED")
+    if (unsigned) s"$base UNSIGNED" else base
+  }
+
+  /** Split an ALTER body on top-level commas (type parens like
+    * `DECIMAL(10,2)` protected).
+    */
+  private def clauses(body: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    for (c <- body) c match {
+      case '(' => depth += 1; sb.append(c)
+      case ')' => depth -= 1; sb.append(c)
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case other => sb.append(other)
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val AlterRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+(.*?)\s*;?\s*""".r
+  private val AddRe =
+    """(?is)ADD\s+(?:COLUMN\s+)?(\S+)\s+(\S+.*)""".r
+  private val DropRe = """(?is)DROP\s+(?:COLUMN\s+)?(\S+)\s*""".r
+  private val ModifyRe =
+    """(?is)MODIFY\s+(?:COLUMN\s+)?(\S+)\s+(\S+.*)""".r
+  private val ChangeRe =
+    """(?is)CHANGE\s+(?:COLUMN\s+)?(\S+)\s+(\S+)\s+(\S+.*)""".r
+  private val RenameColRe =
+    """(?is)RENAME\s+COLUMN\s+(\S+)\s+TO\s+(\S+)\s*""".r
+
+  /** Apply the mechanical ALTER subset (ADD/DROP/MODIFY/CHANGE/RENAME
+    * COLUMN, comma-chained) to a payload schema. None when any clause
+    * falls outside the subset or references a column the schema
+    * doesn't have — a partial evolution would be worse than none.
+    */
+  def evolveSchema(schema: StructType, ddl: String): Option[StructType] =
+    ddl match {
+      case AlterRe(_, body) =>
+        clauses(body).foldLeft(Option(schema)) { (acc, clause) =>
+          acc.flatMap { s =>
+            def has(n: String) = s.fieldNames.contains(Sanitizer(n))
+            clause match {
+              case AddRe(name, rest) =>
+                val n = Sanitizer(stripQuotes(name))
+                if (s.fieldNames.contains(n)) None
+                else Some(StructType(s.fields :+
+                  org.apache.spark.sql.types.StructField(n,
+                    TypeMapping.jdbcToSpark(
+                      typeNameOf(rest.trim.split("\\s+").toSeq)),
+                    nullable = true)))
+              case DropRe(name) if has(stripQuotes(name)) =>
+                val n = Sanitizer(stripQuotes(name))
+                Some(StructType(s.fields.filterNot(_.name == n)))
+              case ModifyRe(name, rest) if has(stripQuotes(name)) =>
+                val n = Sanitizer(stripQuotes(name))
+                val t = TypeMapping.jdbcToSpark(
+                  typeNameOf(rest.trim.split("\\s+").toSeq))
+                Some(StructType(s.fields.map(f =>
+                  if (f.name == n) f.copy(dataType = t) else f)))
+              case ChangeRe(old, nw, rest) if has(stripQuotes(old)) =>
+                val o = Sanitizer(stripQuotes(old))
+                val n = Sanitizer(stripQuotes(nw))
+                val t = TypeMapping.jdbcToSpark(
+                  typeNameOf(rest.trim.split("\\s+").toSeq))
+                Some(StructType(s.fields.map(f =>
+                  if (f.name == o) f.copy(name = n, dataType = t) else f)))
+              case RenameColRe(old, nw) if has(stripQuotes(old)) =>
+                val o = Sanitizer(stripQuotes(old))
+                val n = Sanitizer(stripQuotes(nw))
+                Some(StructType(s.fields.map(f =>
+                  if (f.name == o) f.copy(name = n) else f)))
+              case _ => None
+            }
+          }
+        }
+      case _ => None
+    }
+
+  /** Proposal for one structural-DDL stop. None when the DDL's table
+    * isn't in the registry (an untracked table can't need a version
+    * bump) or the statement isn't structural.
+    */
+  def propose(registry: TableRegistry, db: String, table: String,
+      ddl: String, tsMillis: Long,
+      oracle: Boolean = false): Option[EvolutionProposal] = {
+    if (DdlClassifier.classify(ddl, oracle) == DdlClassifier.Ignore) return None
+    val sdb = Sanitizer(db); val stbl = Sanitizer(table)
+    val routeKey = if (sdb.isEmpty) stbl else s"$sdb.$stbl"
+    registry.routed.get(routeKey).map { spec =>
+      val evolved = evolveSchema(spec.schema, ddl)
+      EvolutionProposal(
+        routeKey = routeKey,
+        newTableName = versionedName(spec.table, tsMillis),
+        tableNameMapEntry = routeKey -> versionedName(spec.table, tsMillis),
+        schema = evolved,
+        note = if (evolved.isDefined)
+          "schema evolved mechanically from the ALTER clause list"
+        else "statement outside the mechanical ALTER subset — declare " +
+          "the new schema manually (name map still applies)")
+    }
+  }
+}

@@ -167,6 +167,12 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
   val dryRunCounts: scala.collection.concurrent.Map[String, Long] =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
+  /** After a structural-DDL stop: the auto-evolution proposals (dated
+    * version name map + evolved schema where mechanical) for the
+    * statements that triggered it — see [[graft.ops.DdlEvolution]].
+    */
+  @volatile var evolutionProposals: Seq[graft.ops.EvolutionProposal] = Nil
+
   private val routed: Map[String, TableSpec] = config.registry.routed
 
   /** The sink bucket column: event-date (K1), or the K4 constant. */
@@ -443,13 +449,16 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
 
       // DDL events → _{db}_ddl side table (PG flavor keys on _schema).
       val ddlDb = coalesce(col("_db"), col("_schema"))
-      val ddls: Array[(String, String, String)] = if (nDdl == 0) Array.empty
+      val ddls: Array[(String, String, String, Long)] =
+        if (nDdl == 0) Array.empty
       else {
         val ddlRows = frame.filter(col("_ddl").isNotNull).persist()
         val collected = ddlRows
-          .select(col("_ddl_tbl"), col("_ddl"), ddlDb.as("_ddl_db")).collect()
+          .select(col("_ddl_tbl"), col("_ddl"), ddlDb.as("_ddl_db"),
+            col("_ts")).collect()
           .map(r => (Option(r.getString(0)).getOrElse(""), r.getString(1),
-            Option(r.getString(2)).getOrElse("")))
+            Option(r.getString(2)).getOrElse(""),
+            if (r.isNullAt(3)) 0L else r.getLong(3)))
         for (db <- collected.map(_._3).distinct if db.nonEmpty && !replayed) {
           val spec = config.registry.ddlSpec(db)
           val events = EnvelopeDecoder.ddlPayload(ddlRows.filter(ddlDb === db))
@@ -495,7 +504,21 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       }
 
       // Gate decision AFTER the batch is durable (drain-then-stop).
-      gate.observe(ddls.map(d => (d._3, d._1, d._2)).toSeq, nonReadTables)
+      val triggered =
+        gate.observe(ddls.map(d => (d._3, d._1, d._2)).toSeq, nonReadTables)
+      // the reference's in-dev auto table-name mapping (`README.md:54`):
+      // a structural-DDL stop surfaces the ready-made v2 config —
+      // dated version name map + (when mechanical) the evolved schema
+      if (triggered && gate.reason.exists(_.startsWith("STRUCTURAL-DDL"))) {
+        evolutionProposals = ddls.toSeq.flatMap { case (tbl, stmt, db, ts) =>
+          graft.ops.DdlEvolution.propose(config.registry, db, tbl, stmt, ts,
+            oracle = config.sourceType == "oracle")
+        }
+        val log = org.slf4j.LoggerFactory.getLogger(getClass)
+        evolutionProposals.foreach(p => log.info(
+          s"[${config.name}] EVOLUTION PROPOSAL: ${p.routeKey} -> " +
+            s"${p.newTableName} (${p.note}) ${p.configJson}"))
+      }
     } finally frame.unpersist()
   }
 

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{TableRegistry, TableSpec}
+import graft.ops.DdlEvolution
+
+/** The auto-evolution proposer (the reference's in-dev auto table
+  * name mapping): dated version names, the mechanical ALTER subset,
+  * and the bail-to-manual contract for everything else.
+  */
+class DdlEvolutionSpec extends AnyFunSuite {
+
+  private val base = StructType(Seq(
+    StructField("id", IntegerType), StructField("name", StringType),
+    StructField("balance", StringType)))
+
+  private val registry = TableRegistry(Seq(
+    TableSpec("testdb", "users", base)))
+
+  // 1700000002000 ms = 2023-11-14 UTC
+  private val ts = 1700000002000L
+
+  test("versioned name follows the reference's dated convention") {
+    assert(DdlEvolution.versionedName("users", ts) == "users_v20231114")
+  }
+
+  test("ADD COLUMN evolves the schema with the §1.3 type collapse") {
+    val s = DdlEvolution.evolveSchema(base,
+      "ALTER TABLE users ADD COLUMN age INT").get
+    assert(s.fieldNames.toSeq == Seq("id", "name", "balance", "age"))
+    assert(s("age").dataType == IntegerType)
+    // display width + UNSIGNED + constraints don't confuse the mapping
+    val u = DdlEvolution.evolveSchema(base,
+      "ALTER TABLE users ADD `hits` INT(11) UNSIGNED NOT NULL DEFAULT 0").get
+    assert(u("hits").dataType == LongType) // unsigned int widens
+    val d = DdlEvolution.evolveSchema(base,
+      "ALTER TABLE users ADD COLUMN rate DECIMAL(10,2)").get
+    assert(d("rate").dataType == StringType) // decimal-as-string policy
+  }
+
+  test("DROP / MODIFY / CHANGE / RENAME COLUMN, comma-chained") {
+    val s = DdlEvolution.evolveSchema(base,
+      "ALTER TABLE users DROP COLUMN balance, MODIFY COLUMN id BIGINT").get
+    assert(s.fieldNames.toSeq == Seq("id", "name"))
+    assert(s("id").dataType == LongType)
+    val c = DdlEvolution.evolveSchema(base,
+      "ALTER TABLE users CHANGE name full_name VARCHAR(100)").get
+    assert(c.fieldNames.toSeq == Seq("id", "full_name", "balance"))
+    val r = DdlEvolution.evolveSchema(base,
+      "ALTER TABLE users RENAME COLUMN name TO nm").get
+    assert(r.fieldNames.toSeq == Seq("id", "nm", "balance"))
+  }
+
+  test("outside the mechanical subset → None, never a wrong schema") {
+    // engine-specific clause
+    assert(DdlEvolution.evolveSchema(base,
+      "ALTER TABLE users PARTITION BY HASH(id)").isEmpty)
+    // one good clause + one unknown: the whole evolution bails
+    assert(DdlEvolution.evolveSchema(base,
+      "ALTER TABLE users ADD COLUMN age INT, ALGORITHM=INPLACE").isEmpty)
+    // dropping a column the schema doesn't have
+    assert(DdlEvolution.evolveSchema(base,
+      "ALTER TABLE users DROP COLUMN ghost").isEmpty)
+    // adding a column that already exists
+    assert(DdlEvolution.evolveSchema(base,
+      "ALTER TABLE users ADD COLUMN name TEXT").isEmpty)
+    // not an ALTER at all
+    assert(DdlEvolution.evolveSchema(base, "TRUNCATE TABLE users").isEmpty)
+  }
+
+  test("propose: tracked structural DDL only; name map always present") {
+    val p = DdlEvolution.propose(registry, "testdb", "users",
+      "ALTER TABLE users ADD COLUMN age INT", ts).get
+    assert(p.routeKey == "testdb.users")
+    assert(p.newTableName == "users_v20231114")
+    assert(p.tableNameMapEntry == ("testdb.users" -> "users_v20231114"))
+    assert(p.schema.exists(_.fieldNames.contains("age")))
+    assert(p.configJson ==
+      """{"table.name.map": {"testdb.users": "users_v20231114"}}""")
+    // unparseable ALTER: proposal survives, schema falls to manual
+    val manual = DdlEvolution.propose(registry, "testdb", "users",
+      "ALTER TABLE users CONVERT TO CHARACTER SET utf8mb4", ts).get
+    assert(manual.schema.isEmpty && manual.note.contains("manually"))
+    // untracked table → no proposal
+    assert(DdlEvolution.propose(registry, "testdb", "ghosts",
+      "ALTER TABLE ghosts ADD COLUMN x INT", ts).isEmpty)
+    // non-structural DDL → no proposal
+    assert(DdlEvolution.propose(registry, "testdb", "users",
+      "CREATE INDEX i1 ON users (id)", ts).isEmpty)
+  }
+}

@@ -33,9 +33,6 @@ class SchemaEvolutionSpec extends AnyFunSuite {
 
   private val v1Schema = StructType(Seq(
     StructField("id", IntegerType), StructField("name", StringType)))
-  private val v2Schema = StructType(Seq(
-    StructField("id", IntegerType), StructField("name", StringType),
-    StructField("age", IntegerType)))
 
   private def row(op: String, ts: Long, file: String, pos: Long,
       fields: String): String =
@@ -78,19 +75,31 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/evo_testdb__users").count() == 2)
     assert(p1.readStoredOffset(off.toString).contains("mysql-bin.000001,20"))
 
-    // ---- the operator's runbook inputs: the recorded DDL
+    // ---- the operator's runbook inputs: the recorded DDL, plus the
+    // pipeline's AUTO-EVOLUTION proposal (the reference's in-dev auto
+    // table-name mapping) — the v2 config is machine-derived, not
+    // hand-written: dated version name + mechanically evolved schema
     val ddlRec = spark.read.parquet(s"$out/evo_testdb_ddl").collect()
     assert(ddlRec.length == 1)
     assert(ddlRec(0).getAs[String]("_ddl").startsWith("ALTER TABLE users"))
     val ddlSegment = ddlRec(0).getAs[String]("_binlog_file")
     assert(ddlSegment == "mysql-bin.000002")
+    val proposal = p1.evolutionProposals match {
+      case Seq(one) => one
+      case other => fail(s"expected one proposal, got $other")
+    }
+    // DDL _ts 1700000002000 = 2023-11-14 → dated version name
+    assert(proposal.newTableName == "users_v20231114")
+    val v2Schema = proposal.schema.getOrElse(
+      fail("ADD COLUMN is in the mechanical subset"))
+    assert(v2Schema.fieldNames.toSeq == Seq("id", "name", "age"))
 
-    // ---- phase 2: v2 schema + name map, restart just past the DDL
+    // ---- phase 2: the proposed v2 config, restart just past the DDL
     // (the DDL was line 0 of its segment → resume at line 1; a live
     // binlog connector restarts at the DDL record's end position the
     // same way)
     val v2 = TableRegistry(Seq(TableSpec("testdb", "users", v2Schema)),
-      tableNameMap = Map("testdb.users" -> "users_v2"))
+      tableNameMap = Map(proposal.tableNameMapEntry))
     val p2 = new CdcPipeline(spark, CdcConfig("evo", v2, out.toString,
       offsetStorePath = Some(off.toString)))
     p2.startFeed(
@@ -110,7 +119,7 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(!oldDir.schema.fieldNames.contains("age"))
 
     // v2 dir: exactly the post-DDL rows, evolved schema
-    val v2Dir = spark.read.parquet(s"$out/evo_testdb__users_v2")
+    val v2Dir = spark.read.parquet(s"$out/evo_testdb__users_v20231114")
     assert(v2Dir.count() == 1)
     val r = v2Dir.collect()(0)
     assert(r.getAs[Int]("id") == 9 && r.getAs[Int]("age") == 30)
