@@ -130,6 +130,11 @@ object Bench {
     */
   private[graft] val SpreadFloor = 1.5
 
+  /** Max spread entries in the JSON line (worst first): 24 × ~13
+    * chars stays inside the parse window alongside 112 query keys.
+    */
+  private[graft] val SpreadCap = 24
+
   /** The one line the driver parses — factored pure so its contract
     * (valid JSON, Locale-proof decimals, short keys, failure
     * markers) is spec-testable without running the suite
@@ -172,10 +177,12 @@ object Bench {
     // spread: only queries whose two passes disagreed ≥ SpreadFloor —
     // lets a reader bound run-to-run variance per entry (a min that
     // looks regressed but has spread ≈ 1 means BOTH passes were hit
-    // by ambient load; re-measure before believing it)
+    // by ambient load; re-measure before believing it). Capped to the
+    // worst entries so a fully contaminated run can't push the line
+    // past the driver's ~2000-char parse window.
     val spreadJson =
       if (spread.isEmpty) ""
-      else spread.map { case (k, r) =>
+      else spread.sortBy(-_._2).take(SpreadCap).map { case (k, r) =>
         "\"" + short(k) + "\":" + ratio(r)
       }.mkString(""","spread":{""", ",", "}")
     s"""{"metric":"total","value":${sec(total)},"unit":"sec","passes":2,"agg":"min","queries_total":${sec(queriesTotal)},"queries":$qs$spreadJson$extra,"sf":"$sfDir"}"""

@@ -57,6 +57,28 @@ object DdlEvolution {
   private def stripQuotes(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")
 
+  /** Tokens that mean an ADD/DROP clause is NOT a column operation
+    * (`ADD PRIMARY KEY (id)`, `ADD UNIQUE idx (col)`, `DROP PARTITION
+    * p0`...). Without this guard `ADD PRIMARY KEY` would parse as
+    * adding a column named `PRIMARY` — the silently-wrong-schema
+    * outcome this module promises never to produce. A backtick-quoted
+    * name (`` `primary` ``) is a real column and stays allowed.
+    */
+  private val NonColumnTokens = Set("PRIMARY", "UNIQUE", "FOREIGN",
+    "INDEX", "KEY", "CONSTRAINT", "FULLTEXT", "SPATIAL", "PARTITION",
+    "CHECK")
+
+  /** A plain or backquoted identifier — anything else (the
+    * multi-column paren form `ADD COLUMN (a INT, b INT)`, expressions,
+    * reserved words) bails the clause to manual, the safe direction.
+    */
+  private def isColumnName(raw: String): Boolean = {
+    val t = raw.trim
+    t.matches("`[^`]+`") ||
+      (t.matches("[A-Za-z_][A-Za-z0-9_$]*") &&
+        !NonColumnTokens.contains(t.toUpperCase))
+  }
+
   /** DDL type token → TYPE_NAME for the §1.3 collapse: display width
     * / precision parens dropped (`INT(11)` → `INT`), an UNSIGNED
     * attribute kept (it widens ints to long).
@@ -109,7 +131,7 @@ object DdlEvolution {
           acc.flatMap { s =>
             def has(n: String) = s.fieldNames.contains(Sanitizer(n))
             clause match {
-              case AddRe(name, rest) =>
+              case AddRe(name, rest) if isColumnName(name) =>
                 val n = Sanitizer(stripQuotes(name))
                 if (s.fieldNames.contains(n)) None
                 else Some(StructType(s.fields :+
@@ -126,14 +148,16 @@ object DdlEvolution {
                   typeNameOf(rest.trim.split("\\s+").toSeq))
                 Some(StructType(s.fields.map(f =>
                   if (f.name == n) f.copy(dataType = t) else f)))
-              case ChangeRe(old, nw, rest) if has(stripQuotes(old)) =>
+              case ChangeRe(old, nw, rest)
+                  if has(stripQuotes(old)) && isColumnName(nw) =>
                 val o = Sanitizer(stripQuotes(old))
                 val n = Sanitizer(stripQuotes(nw))
                 val t = TypeMapping.jdbcToSpark(
                   typeNameOf(rest.trim.split("\\s+").toSeq))
                 Some(StructType(s.fields.map(f =>
                   if (f.name == o) f.copy(name = n, dataType = t) else f)))
-              case RenameColRe(old, nw) if has(stripQuotes(old)) =>
+              case RenameColRe(old, nw)
+                  if has(stripQuotes(old)) && isColumnName(nw) =>
                 val o = Sanitizer(stripQuotes(old))
                 val n = Sanitizer(stripQuotes(nw))
                 Some(StructType(s.fields.map(f =>

@@ -104,7 +104,9 @@ object JdbcSnapshot {
     * the same layout, dt bucketing (incl. K4 fixed bucket), and
     * per-table schema the binlog tail appends to. Override statements
     * come from `config.snapshotOverrides` (their validated verbatim
-    * form) and are pushed server-side. Returns per-table row counts.
+    * form) and are pushed server-side. Returns each table's SINK row
+    * count after the write (= snapshot rows on a fresh sink; includes
+    * pre-existing rows when appending to one that already has data).
     */
   def writeSnapshot(spark: SparkSession, config: CdcConfig, url: String,
       connProps: Map[String, String], snapshotTsMs: Long,

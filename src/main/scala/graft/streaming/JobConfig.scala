@@ -97,7 +97,9 @@ object JobConfig {
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
         s"MISSING REQUIRED CONFIG: ${missing.mkString(", ")}")
-    cfg
+    // `${secret:NAME}` references → resolved values (the reference's
+    // credentials-manager roadmap, `README.md:64` — see Secrets)
+    Secrets.resolveDefault(cfg)
   }
 
   /** Name maps are JSON objects embedded as config values

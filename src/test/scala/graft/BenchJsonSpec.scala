@@ -75,4 +75,13 @@ class BenchJsonSpec extends AnyFunSuite {
   test("empty spread emits no spread key") {
     assert(!render(Seq("q01_x" -> 1.0), None).contains("spread"))
   }
+
+  test("spread caps at the worst entries to protect the parse window") {
+    val many = (1 to 40).map(i => f"q$i%02d_x" -> (1.5 + i * 0.1))
+    val line = render(Seq("q01_x" -> 1.0), None, spread = many)
+    assert(line.count(_ == ':') <=
+      Bench.SpreadCap + 12) // spread keys + fixed keys, no blowup
+    assert(line.contains("\"q40\":5.50")) // worst entry always kept
+    assert(!line.contains("\"q01\":1.60")) // mildest dropped
+  }
 }

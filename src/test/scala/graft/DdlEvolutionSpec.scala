@@ -68,6 +68,19 @@ class DdlEvolutionSpec extends AnyFunSuite {
       "ALTER TABLE users ADD COLUMN name TEXT").isEmpty)
     // not an ALTER at all
     assert(DdlEvolution.evolveSchema(base, "TRUNCATE TABLE users").isEmpty)
+    // ADD of a non-column object that still classifies as Stop: must
+    // NOT become a column named PRIMARY/UNIQUE
+    assert(DdlEvolution.evolveSchema(base,
+      "ALTER TABLE users ADD PRIMARY KEY (id)").isEmpty)
+    assert(DdlEvolution.evolveSchema(base,
+      "ALTER TABLE users ADD UNIQUE idx_name (name)").isEmpty)
+    // the multi-column paren form is outside the subset
+    assert(DdlEvolution.evolveSchema(base,
+      "ALTER TABLE users ADD COLUMN (a INT, b INT)").isEmpty)
+    // ...but a backquoted reserved word IS a real column
+    val q = DdlEvolution.evolveSchema(base,
+      "ALTER TABLE users ADD COLUMN `key` VARCHAR(10)").get
+    assert(q.fieldNames.contains("key"))
   }
 
   test("propose: tracked structural DDL only; name map always present") {
