@@ -130,10 +130,12 @@ object Bench {
     */
   private[graft] val SpreadFloor = 1.5
 
-  /** Max spread entries in the JSON line (worst first): 24 × ~13
-    * chars stays inside the parse window alongside 112 query keys.
+  /** Max spread entries in the JSON line (worst first). Sized from a
+    * live measurement, not hope: the r7 line is ~1640 chars before
+    * spread, the driver parses the LAST ~2000 and sbt appends its own
+    * [success] line — 12 × ~13 chars keeps worst-case ~1830.
     */
-  private[graft] val SpreadCap = 24
+  private[graft] val SpreadCap = 12
 
   /** The one line the driver parses — factored pure so its contract
     * (valid JSON, Locale-proof decimals, short keys, failure

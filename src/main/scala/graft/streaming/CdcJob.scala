@@ -151,22 +151,44 @@ object CdcJob {
     // dbtable subqueries; `snapshot.jdbc.partition.column` /
     // `.lower.bound` / `.upper.bound` / `.num.partitions` shard big
     // tables across executors.
+    //
+    // Idempotence: snapshot writes append, and snapshot READ rows
+    // never advance the offset store — so a crash BETWEEN snapshot
+    // completion and the first tail batch would look like a first
+    // start again and duplicate every READ row. A durable
+    // snapshot-complete marker (offset store, falling back to the
+    // sink root) closes that window; written only after every table
+    // landed, so a crash mid-snapshot re-runs the whole snapshot
+    // (append-into-empty — the partial dirs are the operator's cue,
+    // logged below).
     for (url <- cfg.get("snapshot.jdbc.url")
          if stored.isEmpty && mode == StartupMode.Initial) {
-      val connProps = Seq("driver", "user", "password")
-        .flatMap(k => cfg.get(s"snapshot.jdbc.$k").map(k -> _)).toMap
-      val partOpts = Seq(
-        "partitionColumn" -> "partition.column",
-        "lowerBound" -> "lower.bound",
-        "upperBound" -> "upper.bound",
-        "numPartitions" -> "num.partitions")
-        .flatMap { case (sparkKey, cfgKey) =>
-          cfg.get(s"snapshot.jdbc.$cfgKey").map(sparkKey -> _) }.toMap
-      val counts = JdbcSnapshot.writeSnapshot(spark, config, url, connProps,
-        System.currentTimeMillis(), partOpts)
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .info(s"[${config.name}] JDBC snapshot complete: " +
+      val markerDir = config.offsetStorePath.getOrElse(config.sinkPath)
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$markerDir/${config.sourceId}_snapshot.done")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      if (fs.exists(marker))
+        log.info(s"[${config.name}] JDBC snapshot already complete " +
+          s"($marker) — starting the tail only")
+      else {
+        val connProps = Seq("driver", "user", "password")
+          .flatMap(k => cfg.get(s"snapshot.jdbc.$k").map(k -> _)).toMap
+        val partOpts = Seq(
+          "partitionColumn" -> "partition.column",
+          "lowerBound" -> "lower.bound",
+          "upperBound" -> "upper.bound",
+          "numPartitions" -> "num.partitions")
+          .flatMap { case (sparkKey, cfgKey) =>
+            cfg.get(s"snapshot.jdbc.$cfgKey").map(sparkKey -> _) }.toMap
+        val counts = JdbcSnapshot.writeSnapshot(spark, config, url, connProps,
+          System.currentTimeMillis(), partOpts)
+        val out = fs.create(marker, true)
+        try out.write(java.time.Instant.now().toString.getBytes("UTF-8"))
+        finally out.close()
+        log.info(s"[${config.name}] JDBC snapshot complete: " +
           counts.map { case (k, n) => s"$k=$n" }.mkString(", "))
+      }
     }
 
     val feed: graft.source.CdcFeed =

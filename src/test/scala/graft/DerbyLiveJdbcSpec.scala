@@ -185,13 +185,9 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq(1, 2, 3, 4, 5))
   }
 
-  test("config-driven snapshot-then-stream through CdcJob.run") {
+  test("config-driven snapshot-then-stream through CdcJob.run; restart never re-snapshots") {
     val out = tmp(); val off = tmp(); val in = tmp()
-    // one tail row; snapshot-only stops at the first non-READ op per
-    // table, so the run drains and returns
-    Files.write(in.resolve("00-tail.jsonl"), String.join("\n",
-      """{"_op":"CREATE","_ts":1700000100000,"_db":"HR","_tbl":"EMPLOYEE","ID":{"int":11},"SALARY":{"string":"50.00"},"HIRED":null,"GRADE":{"int":1},"_binlog_file":"bin.000001","_binlog_pos_end":"10","_binlog_file_internal":"bin.000001","_binlog_pos_internal":"16"}""").getBytes)
-    val p = graft.streaming.CdcJob.run(spark, Map(
+    val cfg = Map(
       "source.id" -> "livejob",
       "source.type" -> "mysql",
       "sink.path" -> out.toString,
@@ -200,11 +196,26 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
       "table.schemas" ->
         """{"HR.EMPLOYEE":"ID:INTEGER,SALARY:DECIMAL(8,2),HIRED:TIMESTAMP,GRADE:SMALLINT"}""",
       "snapshot.jdbc.url" -> url,
-      "snapshot.jdbc.driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
-      in.toString, tmp().resolve("ck").toString)
+      "snapshot.jdbc.driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    // run 1: empty feed — the snapshot lands, NO tail batch runs, so
+    // the offset store stays empty: exactly the crash-between-
+    // snapshot-and-first-batch window the completion marker closes
+    graft.streaming.CdcJob.run(spark, cfg, in.toString,
+      tmp().resolve("ck1").toString)
+    val emp1 = spark.read.parquet(s"$out/livejob_HR__EMPLOYEE")
+    assert(emp1.count() == 2) // server-side snapshot rows
+    assert(Files.exists(off.resolve("livejob_snapshot.done")))
+
+    // run 2 (the restart): one tail row now present; snapshot-only
+    // stops at the first non-READ op per table, so the run drains
+    Files.write(in.resolve("00-tail.jsonl"), String.join("\n",
+      """{"_op":"CREATE","_ts":1700000100000,"_db":"HR","_tbl":"EMPLOYEE","ID":{"int":11},"SALARY":{"string":"50.00"},"HIRED":null,"GRADE":{"int":1},"_binlog_file":"bin.000001","_binlog_pos_end":"10","_binlog_file_internal":"bin.000001","_binlog_pos_internal":"16"}""").getBytes)
+    val p = graft.streaming.CdcJob.run(spark, cfg, in.toString,
+      tmp().resolve("ck2").toString)
     assert(p.gate.stopped) // snapshot-only completion
     val emp = spark.read.parquet(s"$out/livejob_HR__EMPLOYEE")
-    // 2 server-side snapshot rows + the 1 tail row, one schema
+    // 2 snapshot rows (NOT 4 — the marker blocked a re-snapshot) +
+    // the 1 tail row, one schema
     assert(emp.count() == 3)
     assert(emp.filter(org.apache.spark.sql.functions.col("_op") === "READ")
       .count() == 2)
