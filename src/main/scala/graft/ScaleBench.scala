@@ -285,6 +285,9 @@ object ScaleBench {
     */
   private def multimodalExperiment(spark: SparkSession, work: String,
       mult: Int): Unit = {
+    // mult=1 would collapse dirs to one key and print 0/0 = NaN
+    // exponents — fail fast instead of emitting garbage measurements
+    require(mult > 1, s"multiplier must be > 1 (got $mult)")
     import spark.implicits._
     import graft.multimodal.Multimodal
     val base = 20000L

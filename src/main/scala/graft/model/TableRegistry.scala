@@ -56,6 +56,19 @@ final case class TableRegistry(
 
   def keys: Set[String] = routed.keySet
 
+  /** Route key → the ORIGINAL (config-declared) source identity —
+    * what a live JDBC connection must query. `routed` carries the
+    * renamed/sanitized SINK identity, which may not exist at the
+    * source at all (a `table.name.map` points the sink at
+    * `users_v20231114` while the source table is still `users`).
+    */
+  lazy val sourceTables: Map[String, TableSpec] = tables.map { t =>
+    val routeKey =
+      if (t.db.isEmpty) Sanitizer(t.table)
+      else s"${Sanitizer(t.db)}.${Sanitizer(t.table)}"
+    routeKey -> t
+  }.toMap
+
   /** The `{db}_ddl` side table registered per database
     * (`MySQLStreamer.java:459-481`). The reference's DDL outputTagID is
     * `{db}_ddl` (`MySQLStreamer.java` createDDLTableForDatabase), so

@@ -91,21 +91,10 @@ object DdlEvolution {
   }
 
   /** Split an ALTER body on top-level commas (type parens like
-    * `DECIMAL(10,2)` protected).
+    * `DECIMAL(10,2)` protected) — the shared tokenizer.
     */
-  private def clauses(body: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val sb = new StringBuilder
-    var depth = 0
-    for (c <- body) c match {
-      case '(' => depth += 1; sb.append(c)
-      case ')' => depth -= 1; sb.append(c)
-      case ',' if depth == 0 => out += sb.toString; sb.clear()
-      case other => sb.append(other)
-    }
-    if (sb.nonEmpty) out += sb.toString
-    out.toSeq.map(_.trim).filter(_.nonEmpty)
-  }
+  private def clauses(body: String): Seq[String] =
+    TypeMapping.splitTopLevel(body).map(_.trim).filter(_.nonEmpty)
 
   private val AlterRe =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+(.*?)\s*;?\s*""".r

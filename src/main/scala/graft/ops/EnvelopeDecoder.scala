@@ -64,6 +64,29 @@ object EnvelopeDecoder {
     * routing + write-back offsets are stripped (T6,
     * `mysql/SideInputProcessFunction.java:54-63`).
     */
+  /** The metadata columns the sink keeps after the payload, per
+    * source type — THE single source of truth, matching the reference
+    * sink schemas: MySQL keeps the Debezium-internal binlog position
+    * (`MySQLStreamer.java:436-439`, pos is BIGINT there), Mongo keeps
+    * `_txn_op_index` (`MongoDBStreamer.java:308-310`) — the intra-
+    * transaction tiebreaker keep-latest consumers need when two ops
+    * share a millisecond — and Postgres/Oracle keep only op + ts
+    * (`PostgresStreamer.java:257-258`, `OracleStreamer.java:254-255`).
+    * [[payload]] (the tail), `streaming.JdbcSnapshot` (the live
+    * snapshot) and `streaming.SinkDdl` (generated CREATE TABLE) all
+    * derive from this list, so the sink schema cannot fork between
+    * them.
+    */
+  def keptMetadata(sourceType: String): Seq[StructField] =
+    StructField("_op", StringType) +: StructField("_ts", LongType) +:
+      (sourceType match {
+        case "mysql" => Seq(
+          StructField("_binlog_file_internal", StringType),
+          StructField("_binlog_pos_internal", LongType))
+        case "mongodb" => Seq(StructField("_txn_op_index", StringType))
+        case _ => Seq.empty
+      })
+
   def payload(frame: DataFrame, spec: TableSpec,
       sourceType: String = "mysql"): DataFrame = {
     val unionSchema = StructType(spec.schema.fields.toSeq.map { f =>
@@ -73,20 +96,10 @@ object EnvelopeDecoder {
     val cols = spec.schema.fields.toSeq.map { f =>
       col(s"_p.${f.name}.${TypeMapping.unionTag(f.dataType)}").as(f.name)
     }
-    // Kept metadata is per-source, matching the reference sink schemas:
-    // MySQL keeps the Debezium-internal binlog position
-    // (`MySQLStreamer.java:436-439`, pos is BIGINT there), Mongo keeps
-    // `_txn_op_index` (`MongoDBStreamer.java:308-310`) — the intra-
-    // transaction tiebreaker keep-latest consumers need when two ops
-    // share a millisecond — and Postgres/Oracle keep only op + ts
-    // (`PostgresStreamer.java:257-258`, `OracleStreamer.java:254-255`).
-    val kept = col("_op") +: col("_ts") +: (sourceType match {
-      case "mysql" => Seq(col("_binlog_file_internal"),
-        col("_binlog_pos_internal").cast(LongType)
-          .as("_binlog_pos_internal"))
-      case "mongodb" => Seq(col("_txn_op_index"))
-      case _ => Seq.empty
-    })
+    // envelope metadata arrives as strings (except _ts) — the cast to
+    // each kept field's declared type is what typed `_binlog_pos...`
+    val kept = keptMetadata(sourceType).map(f =>
+      col(f.name).cast(f.dataType).as(f.name))
     frame
       .withColumn("_p", from_json(col("_raw"), unionSchema))
       .select(cols ++ kept: _*)

@@ -73,15 +73,25 @@ object JdbcRegistry {
       private def namespace(rs: java.sql.ResultSet): String =
         if (dbIsSchema) rs.getString("TABLE_SCHEM")
         else rs.getString("TABLE_CAT")
+      // Case-insensitive equality, null-tolerant: case-insensitive
+      // engines (MySQL lower_case_table_names, Derby's upcasing) may
+      // report a different case than the config declares, and some
+      // drivers return a null namespace column — a null can't
+      // CONTRADICT the request (the engine already scoped the query),
+      // so it passes; only a conflicting non-null name is a sibling
+      // to drop.
+      private def sameName(reported: String, requested: String): Boolean =
+        reported == null || reported.equalsIgnoreCase(requested)
       def tables(db: String): Seq[String] =
         drain(md.getTables(catalogOf(db), schemaOf(db), "%",
           Array("TABLE")))(rs => namespace(rs) -> rs.getString("TABLE_NAME"))
-          .collect { case (ns, t) if ns == db => t }
+          .collect { case (ns, t) if sameName(ns, db) => t }
       def columns(db: String, table: String): Seq[(String, String)] =
         drain(md.getColumns(catalogOf(db), schemaOf(db), escapeLike(table),
           "%"))(rs => (namespace(rs), rs.getString("TABLE_NAME"),
             rs.getString("COLUMN_NAME") -> rs.getString("TYPE_NAME")))
-          .collect { case (ns, t, col) if ns == db && t == table => col }
+          .collect { case (ns, t, col)
+            if sameName(ns, db) && sameName(t, table) => col }
     }
 
   /** Walk `databases` through `meta` and build the registry.

@@ -70,6 +70,25 @@ object TypeMapping {
     case _ => "string"
   }
 
+  /** Split on commas OUTSIDE parentheses — the shared tokenizer for
+    * comma-separated lists whose items may carry parenthesized JDBC
+    * types (`DECIMAL(10,2)`, `TIMESTAMP(6)`): config column specs
+    * (CdcJob) and ALTER clause lists (DdlEvolution).
+    */
+  def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    for (c <- s) c match {
+      case '(' => depth += 1; sb.append(c)
+      case ')' => depth -= 1; sb.append(c)
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case other => sb.append(other)
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.toSeq
+  }
+
   /** Build a nullable payload schema from (name, jdbc type) pairs,
     * sanitizing column names.
     */

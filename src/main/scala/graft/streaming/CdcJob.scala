@@ -21,20 +21,6 @@ import graft.schema.TypeMapping
   */
 object CdcJob {
 
-  private def splitColumns(s: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0
-    val sb = new StringBuilder
-    for (c <- s) c match {
-      case '(' => depth += 1; sb.append(c)
-      case ')' => depth -= 1; sb.append(c)
-      case ',' if depth == 0 => out += sb.toString; sb.clear()
-      case other => sb.append(other)
-    }
-    if (sb.nonEmpty) out += sb.toString
-    out.toSeq
-  }
-
   def registryFromConfig(cfg: Map[String, String]): TableRegistry = {
     val oracle = cfg.get("source.type").contains("oracle")
     val schemas = JobConfig.nameMap(cfg, "table.schemas")
@@ -46,7 +32,7 @@ object CdcJob {
       }
       // split on commas OUTSIDE parentheses: parenthesized JDBC types
       // (DECIMAL(10,2), TIMESTAMP(6)) are the norm, not the exception
-      val cols = splitColumns(colSpec).map { c =>
+      val cols = TypeMapping.splitTopLevel(colSpec).map { c =>
         c.trim.split(":", 2) match {
           case Array(n, t) => (n.trim, t.trim)
           case _ => throw new IllegalArgumentException(
@@ -157,37 +143,57 @@ object CdcJob {
     // completion and the first tail batch would look like a first
     // start again and duplicate every READ row. A durable
     // snapshot-complete marker (offset store, falling back to the
-    // sink root) closes that window; written only after every table
-    // landed, so a crash mid-snapshot re-runs the whole snapshot
-    // (append-into-empty — the partial dirs are the operator's cue,
-    // logged below).
+    // sink root) closes that window. The marker records the route
+    // keys snapshotted, one per line — a table added to the registry
+    // later still gets ITS snapshot on the next initial start instead
+    // of being silently tail-only; written only after every pending
+    // table landed, so a crash mid-snapshot re-runs those tables.
+    //
+    // Dry run: nothing written, nothing marked — a dry run that
+    // persisted the marker would make the next REAL run skip the
+    // snapshot entirely (permanent READ-row loss).
     for (url <- cfg.get("snapshot.jdbc.url")
          if stored.isEmpty && mode == StartupMode.Initial) {
-      val markerDir = config.offsetStorePath.getOrElse(config.sinkPath)
-      val marker = new org.apache.hadoop.fs.Path(
-        s"$markerDir/${config.sourceId}_snapshot.done")
-      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val log = org.slf4j.LoggerFactory.getLogger(getClass)
-      if (fs.exists(marker))
-        log.info(s"[${config.name}] JDBC snapshot already complete " +
-          s"($marker) — starting the tail only")
+      if (config.dryRun)
+        log.info(s"[${config.name}] DRY-RUN: would snapshot " +
+          s"${config.registry.keys.toSeq.sorted.mkString(", ")} from $url")
       else {
-        val connProps = Seq("driver", "user", "password")
-          .flatMap(k => cfg.get(s"snapshot.jdbc.$k").map(k -> _)).toMap
-        val partOpts = Seq(
-          "partitionColumn" -> "partition.column",
-          "lowerBound" -> "lower.bound",
-          "upperBound" -> "upper.bound",
-          "numPartitions" -> "num.partitions")
-          .flatMap { case (sparkKey, cfgKey) =>
-            cfg.get(s"snapshot.jdbc.$cfgKey").map(sparkKey -> _) }.toMap
-        val counts = JdbcSnapshot.writeSnapshot(spark, config, url, connProps,
-          System.currentTimeMillis(), partOpts)
-        val out = fs.create(marker, true)
-        try out.write(java.time.Instant.now().toString.getBytes("UTF-8"))
-        finally out.close()
-        log.info(s"[${config.name}] JDBC snapshot complete: " +
-          counts.map { case (k, n) => s"$k=$n" }.mkString(", "))
+        val markerDir = config.offsetStorePath.getOrElse(config.sinkPath)
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$markerDir/${config.sourceId}_snapshot.done")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val done: Set[String] =
+          if (!fs.exists(marker)) Set.empty
+          else {
+            val in = fs.open(marker)
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().map(_.trim).filter(_.nonEmpty).toSet
+            finally in.close()
+          }
+        val pending = config.registry.keys.diff(done)
+        if (pending.isEmpty)
+          log.info(s"[${config.name}] JDBC snapshot already complete " +
+            s"($marker) — starting the tail only")
+        else {
+          val connProps = Seq("driver", "user", "password")
+            .flatMap(k => cfg.get(s"snapshot.jdbc.$k").map(k -> _)).toMap
+          val partOpts = Seq(
+            "partitionColumn" -> "partition.column",
+            "lowerBound" -> "lower.bound",
+            "upperBound" -> "upper.bound",
+            "numPartitions" -> "num.partitions")
+            .flatMap { case (sparkKey, cfgKey) =>
+              cfg.get(s"snapshot.jdbc.$cfgKey").map(sparkKey -> _) }.toMap
+          val counts = JdbcSnapshot.writeSnapshot(spark, config, url,
+            connProps, System.currentTimeMillis(), partOpts, Some(pending))
+          val out = fs.create(marker, true)
+          try out.write((done ++ pending).toSeq.sorted
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+          finally out.close()
+          log.info(s"[${config.name}] JDBC snapshot complete: " +
+            counts.map { case (k, n) => s"$k=$n" }.mkString(", "))
+        }
       }
     }
 

@@ -32,7 +32,15 @@ object JdbcSnapshot {
     * and registry types (§1.3 policy — see [[alignColumn]]),
     * `_op="READ"`, `_ts=snapshotTsMs`, and null source-position
     * metadata (snapshot rows carry no binlog position on the feed
-    * path either).
+    * path either — the kept set is
+    * [[graft.ops.EnvelopeDecoder.keptMetadata]], the single source of
+    * truth the tail writes from).
+    *
+    * `sourceTable` is the ORIGINAL source identity (`db.table` as the
+    * database knows it) — NOT `spec.key`: the spec carries the
+    * renamed/sanitized SINK identity, which with a `table.name.map`
+    * (`users` → `users_v20231114`) or a dash-named db does not exist
+    * at the source at all.
     *
     * Column matching against the database is case-insensitive and
     * sanitizer-aware: Derby/Oracle report `USER_EVENTS`/`ID` where a
@@ -43,13 +51,13 @@ object JdbcSnapshot {
     * sink schema cannot fork (same rule as the feed-path override).
     */
   def snapshotFrame(spark: SparkSession, url: String,
-      connProps: Map[String, String], spec: TableSpec,
+      connProps: Map[String, String], sourceTable: String, spec: TableSpec,
       overrideStmt: Option[String], snapshotTsMs: Long,
       sourceType: String = "mysql",
       partitionOptions: Map[String, String] = Map.empty): DataFrame = {
     val dbtable = overrideStmt match {
-      case Some(stmt) => SnapshotOverrides.asJdbcSubquery(spec.key, stmt)
-      case None => spec.key
+      case Some(stmt) => SnapshotOverrides.asJdbcSubquery(sourceTable, stmt)
+      case None => sourceTable
     }
     val raw = spark.read.format("jdbc")
       .option("url", url)
@@ -67,14 +75,13 @@ object JdbcSnapshot {
       }
     }
     val kept: Seq[org.apache.spark.sql.Column] =
-      lit("READ").as("_op") +: lit(snapshotTsMs).as("_ts") +:
-        (sourceType match {
-          case "mysql" => Seq(
-            lit(null).cast(StringType).as("_binlog_file_internal"),
-            lit(null).cast(LongType).as("_binlog_pos_internal"))
-          case "mongodb" => Seq(lit(null).cast(StringType).as("_txn_op_index"))
-          case _ => Seq.empty
-        })
+      EnvelopeDecoder.keptMetadata(sourceType).map { f =>
+        f.name match {
+          case "_op" => lit("READ").as("_op")
+          case "_ts" => lit(snapshotTsMs).as("_ts")
+          case n => lit(null).cast(f.dataType).as(n)
+        }
+      }
     raw.select(cols ++ kept: _*)
   }
 
@@ -100,27 +107,41 @@ object JdbcSnapshot {
       case (_, t) => c.cast(t)
     }
 
-  /** Snapshot every registry table of `config` into its sink dir —
-    * the same layout, dt bucketing (incl. K4 fixed bucket), and
-    * per-table schema the binlog tail appends to. Override statements
-    * come from `config.snapshotOverrides` (their validated verbatim
-    * form) and are pushed server-side. Returns each table's SINK row
-    * count after the write (= snapshot rows on a fresh sink; includes
-    * pre-existing rows when appending to one that already has data).
+  /** Snapshot registry tables of `config` into their sink dirs — the
+    * same layout, dt bucketing (incl. K4 fixed bucket), and per-table
+    * schema the binlog tail appends to. Reads the ORIGINAL source
+    * identity (`registry.sourceTables`), writes the routed SINK
+    * identity. Override statements come from `config.snapshotOverrides`
+    * (their validated verbatim form) and are pushed server-side.
+    * `only` restricts to a route-key subset (the restart path
+    * snapshotting just the tables a prior run didn't finish).
+    *
+    * Returns the rows WRITTEN per table this run: parquet counts
+    * before/after the append — footer-metadata reads, so the
+    * accounting never re-scans data (a `frame.count()` would run the
+    * whole server-side query a second time).
     */
   def writeSnapshot(spark: SparkSession, config: CdcConfig, url: String,
       connProps: Map[String, String], snapshotTsMs: Long,
-      partitionOptions: Map[String, String] = Map.empty): Map[String, Long] = {
+      partitionOptions: Map[String, String] = Map.empty,
+      only: Option[Set[String]] = None): Map[String, Long] = {
     val dtCol = config.fixedBucket.map(lit(_).as("dt"))
       .getOrElse(EnvelopeDecoder.dtColumn)
-    (for ((key, spec) <- config.registry.routed.toSeq) yield {
-      val frame = snapshotFrame(spark, url, connProps, spec,
+    def sinkCount(dir: String): Long =
+      try spark.read.parquet(dir).count() catch {
+        case _: org.apache.spark.sql.AnalysisException => 0L // no dir yet
+      }
+    (for ((key, spec) <- config.registry.routed.toSeq
+          if only.forall(_.contains(key))) yield {
+      val source = config.registry.sourceTables.getOrElse(key, spec)
+      val frame = snapshotFrame(spark, url, connProps, source.key, spec,
         config.snapshotOverrides.get(key).map(_.statement), snapshotTsMs,
         config.sourceType, partitionOptions)
       val dir = spec.sinkDir(config.sinkPath, config.sourceId)
+      val before = sinkCount(dir)
       frame.withColumn("dt", dtCol)
         .write.mode("append").partitionBy("dt").parquet(dir)
-      key -> spark.read.parquet(dir).count()
+      key -> (sinkCount(dir) - before)
     }).toMap
   }
 }

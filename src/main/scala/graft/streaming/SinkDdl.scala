@@ -21,19 +21,6 @@ import graft.model.TableRegistry
   */
 object SinkDdl {
 
-  /** Metadata columns the sink writes after the payload, per source
-    * type — must mirror `EnvelopeDecoder.payload`'s kept set.
-    */
-  private[graft] def metadataFields(sourceType: String): Seq[StructField] =
-    StructField("_op", StringType) +: StructField("_ts", LongType) +:
-      (sourceType match {
-        case "mysql" => Seq(
-          StructField("_binlog_file_internal", StringType),
-          StructField("_binlog_pos_internal", LongType))
-        case "mongodb" => Seq(StructField("_txn_op_index", StringType))
-        case _ => Seq.empty
-      })
-
   private def columnList(fields: Seq[StructField]): String =
     (fields :+ StructField("dt", StringType))
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
@@ -48,7 +35,7 @@ object SinkDdl {
       val dir = spec.sinkDir(config.sinkPath, config.sourceId)
       val name = dir.substring(dir.lastIndexOf('/') + 1)
       name -> (spec.schema.fields.toSeq ++
-        metadataFields(config.sourceType), dir)
+        graft.ops.EnvelopeDecoder.keptMetadata(config.sourceType), dir)
     }
     val ddlTables = config.registry.routed.values.map(_.db)
       .filter(_.nonEmpty).toSeq.distinct.map { db =>

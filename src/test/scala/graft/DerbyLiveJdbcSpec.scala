@@ -132,7 +132,8 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("snapshot override executes server-side through the dbtable subquery") {
     val spec = declared.routed("SALES.CUSTOMER")
-    val frame = JdbcSnapshot.snapshotFrame(spark, url, connProps, spec,
+    val frame = JdbcSnapshot.snapshotFrame(spark, url, connProps,
+      "SALES.CUSTOMER", spec,
       Some("SELECT id, name FROM SALES.CUSTOMER WHERE id <= 3"),
       snapshotTsMs = 1700000000000L)
     // the subquery IS the scanned relation — predicate and projection
@@ -153,7 +154,8 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("§1.3 policy casts: decimal/timestamp→string, date→epoch days") {
     val events = JdbcSnapshot.snapshotFrame(spark, url, connProps,
-      declared.routed("SALES.USER_EVENTS"), None, 1700000000000L)
+      "SALES.USER_EVENTS", declared.routed("SALES.USER_EVENTS"), None,
+      1700000000000L)
       .orderBy("ID").collect()
     // DATE → int epoch days (Debezium envelope semantics — the same
     // encoding the feed path's {"int": N} payloads carry)
@@ -163,7 +165,8 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(events(0).getAs[String]("KIND").trim == "clik")
 
     val cust = JdbcSnapshot.snapshotFrame(spark, url, connProps,
-      declared.routed("SALES.CUSTOMER"), None, 1700000000000L)
+      "SALES.CUSTOMER", declared.routed("SALES.CUSTOMER"), None,
+      1700000000000L)
       .orderBy("ID").collect()
     assert(cust(0).getAs[String]("BALANCE") == "10.50")
     assert(cust(0).getAs[String]("CREATED_AT").startsWith("2024-03-01 10:30"))
@@ -173,7 +176,8 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("partition options shard the snapshot read server-side") {
     val spec = declared.routed("SALES.CUSTOMER")
-    val frame = JdbcSnapshot.snapshotFrame(spark, url, connProps, spec,
+    val frame = JdbcSnapshot.snapshotFrame(spark, url, connProps,
+      "SALES.CUSTOMER", spec,
       None, 1700000000000L, partitionOptions = Map(
         "partitionColumn" -> "ID", "lowerBound" -> "1",
         "upperBound" -> "6", "numPartitions" -> "2"))
@@ -185,36 +189,63 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq(1, 2, 3, 4, 5))
   }
 
+  test("name-mapped registry snapshots the SOURCE table into the renamed sink") {
+    val out = tmp()
+    // the evolution-runbook shape: sink renamed to a version name that
+    // does NOT exist at the source — the snapshot must read the
+    // original identity and write the renamed one
+    val registry = TableRegistry(Seq(
+      TableSpec("SALES", "CUSTOMER", declared.routed("SALES.CUSTOMER").schema)),
+      tableNameMap = Map("SALES.CUSTOMER" -> "CUSTOMER_V2"))
+    val counts = JdbcSnapshot.writeSnapshot(spark,
+      CdcConfig("nmsrc", registry, out.toString), url, connProps,
+      1700000000000L)
+    assert(counts("SALES.CUSTOMER") == 5)
+    assert(spark.read.parquet(s"$out/nmsrc_SALES__CUSTOMER_V2").count() == 5)
+  }
+
   test("config-driven snapshot-then-stream through CdcJob.run; restart never re-snapshots") {
     val out = tmp(); val off = tmp(); val in = tmp()
-    val cfg = Map(
+    def cfg(schemas: String) = Map(
       "source.id" -> "livejob",
       "source.type" -> "mysql",
       "sink.path" -> out.toString,
       "offset.store.path" -> off.toString,
       "snapshot.only" -> "true",
-      "table.schemas" ->
-        """{"HR.EMPLOYEE":"ID:INTEGER,SALARY:DECIMAL(8,2),HIRED:TIMESTAMP,GRADE:SMALLINT"}""",
+      "table.schemas" -> schemas,
       "snapshot.jdbc.url" -> url,
       "snapshot.jdbc.driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val empOnly =
+      """{"HR.EMPLOYEE":"ID:INTEGER,SALARY:DECIMAL(8,2),HIRED:TIMESTAMP,GRADE:SMALLINT"}"""
+    val withEvents =
+      """{"HR.EMPLOYEE":"ID:INTEGER,SALARY:DECIMAL(8,2),HIRED:TIMESTAMP,GRADE:SMALLINT",""" +
+        """"SALES.USER_EVENTS":"ID:BIGINT,KIND:CHAR(4),SCORE:DOUBLE,EVENT_DATE:DATE"}"""
     // run 1: empty feed — the snapshot lands, NO tail batch runs, so
     // the offset store stays empty: exactly the crash-between-
     // snapshot-and-first-batch window the completion marker closes
-    graft.streaming.CdcJob.run(spark, cfg, in.toString,
+    graft.streaming.CdcJob.run(spark, cfg(empOnly), in.toString,
       tmp().resolve("ck1").toString)
     val emp1 = spark.read.parquet(s"$out/livejob_HR__EMPLOYEE")
     assert(emp1.count() == 2) // server-side snapshot rows
     assert(Files.exists(off.resolve("livejob_snapshot.done")))
 
-    // run 2 (the restart): one tail row now present; snapshot-only
-    // stops at the first non-READ op per table, so the run drains
+    // run 2 (restart, STILL no offset): a table was added to the
+    // registry — the per-table marker snapshots ONLY the new table;
+    // the old one is not duplicated
+    graft.streaming.CdcJob.run(spark, cfg(withEvents), in.toString,
+      tmp().resolve("ck2").toString)
+    assert(spark.read.parquet(s"$out/livejob_HR__EMPLOYEE").count() == 2)
+    assert(spark.read.parquet(s"$out/livejob_SALES__USER_EVENTS").count() == 3)
+
+    // run 3 (the tail): one change row; snapshot-only stops at the
+    // first non-READ op per table, so the run drains
     Files.write(in.resolve("00-tail.jsonl"), String.join("\n",
       """{"_op":"CREATE","_ts":1700000100000,"_db":"HR","_tbl":"EMPLOYEE","ID":{"int":11},"SALARY":{"string":"50.00"},"HIRED":null,"GRADE":{"int":1},"_binlog_file":"bin.000001","_binlog_pos_end":"10","_binlog_file_internal":"bin.000001","_binlog_pos_internal":"16"}""").getBytes)
-    val p = graft.streaming.CdcJob.run(spark, cfg, in.toString,
-      tmp().resolve("ck2").toString)
+    val p = graft.streaming.CdcJob.run(spark, cfg(empOnly), in.toString,
+      tmp().resolve("ck3").toString)
     assert(p.gate.stopped) // snapshot-only completion
     val emp = spark.read.parquet(s"$out/livejob_HR__EMPLOYEE")
-    // 2 snapshot rows (NOT 4 — the marker blocked a re-snapshot) +
+    // 2 snapshot rows (NOT 4/6 — the marker blocked re-snapshots) +
     // the 1 tail row, one schema
     assert(emp.count() == 3)
     assert(emp.filter(org.apache.spark.sql.functions.col("_op") === "READ")
