@@ -187,6 +187,9 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sharding must not change the result
     assert(frame.select("ID").collect().map(_.getInt(0)).sorted.toSeq
       == Seq(1, 2, 3, 4, 5))
+    // the snapshot shape work is map-only: scan → project, no
+    // Exchange anywhere (the whole frame is embarrassingly parallel)
+    assert(!frame.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
   test("name-mapped registry snapshots the SOURCE table into the renamed sink") {
