@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * through, which is both the extension seam for exotic codecs and
   * what keeps the deterministic text-fixture path (q47-q49, oracle-
   * checked byte-for-byte in DuckDB) decodable by BOTH engines. Video
-  * frame extraction remains a byte-window stub (no JDK video codec);
-  * its partitioning and output shape are the real contract.
+  * frame extraction is REAL for MJPEG-in-AVI (RIFF chunk walk + the
+  * JDK JPEG codec — [[Multimodal.sampleAviFrames]]); codec formats
+  * the JDK can't decode (H.264...) keep the byte-window stub, whose
+  * partitioning and output shape are the real contract.
   */
 object Multimodal {
 
@@ -110,6 +112,50 @@ object Multimodal {
     private[multimodal] def resizeImageLuma(content: Array[Byte],
         w: Int, h: Int): Array[Byte] =
       lumaGrid(readImage(content), w, h)
+
+    /** MJPEG-in-AVI frame extraction: a RIFF chunk walk (pure byte
+      * arithmetic, no codec) yields the per-frame JPEG payloads —
+      * video-stream chunks are the fourcc `##dc`/`##db` entries
+      * inside `LIST movi` (and its nested `LIST rec ` groups); each
+      * payload then decodes through the JDK's own JPEG codec like any
+      * other image. This is the one video container a stock JDK can
+      * decode END TO END; codec formats (H.264 etc.) stay with the
+      * declared [[Multimodal.sampleFrames]] byte-window stub.
+      *
+      * Fail-fast on a non-AVI or structurally corrupt container (a
+      * chunk running past its parent): the CALLER decides lenient vs
+      * strict, same as the image path. Audio (`##wb`) and index
+      * (`idx1`) chunks are skipped, not errors.
+      */
+    private[multimodal] def aviMjpegFrames(
+        content: Array[Byte]): Seq[Array[Byte]] = {
+      def u32le(i: Int): Long =
+        (content(i) & 0xffL) | ((content(i + 1) & 0xffL) << 8) |
+          ((content(i + 2) & 0xffL) << 16) | ((content(i + 3) & 0xffL) << 24)
+      def fourcc(i: Int): String = new String(content, i, 4, "US-ASCII")
+      require(content.length >= 12 && fourcc(0) == "RIFF" &&
+        fourcc(8) == "AVI ", "not a RIFF/AVI container")
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var i = start
+        while (i + 8 <= end) {
+          val cc = fourcc(i)
+          val size = u32le(i + 4)
+          val dataStart = i + 8
+          val dataEnd = dataStart + size
+          require(dataEnd <= end,
+            s"corrupt container: chunk $cc runs past its parent")
+          if (cc == "LIST") walk(dataStart + 4, dataEnd.toInt)
+          else if (cc(0).isDigit && cc(1).isDigit && cc(2) == 'd' &&
+              (cc(3) == 'c' || cc(3) == 'b'))
+            out += java.util.Arrays.copyOfRange(content, dataStart,
+              dataEnd.toInt)
+          i = (dataEnd + (size & 1)).toInt // chunks pad to even offsets
+        }
+      }
+      walk(12, math.min(content.length.toLong, 8 + u32le(4)).toInt)
+      out.toSeq
+    }
 
     /** WAV container → 8-bit unsigned samples (16-bit PCM is taken
       * down to its high byte; 8-bit PCM is already unsigned).
@@ -219,9 +265,51 @@ object Multimodal {
     }.toDF("media_id", "w", "h", "pixels", "decode_ok")
   }
 
+  /** Real video-frame extraction for MJPEG-in-AVI: every k-th frame
+    * chunk from the RIFF walk ([[MediaDecoder.aviMjpegFrames]]),
+    * decoded to the same (w × h) integer luma grid as
+    * [[resizeImages]]. Lenient by default at BOTH levels: an
+    * undecodable frame quarantines that frame (`decode_ok=false`,
+    * empty pixels); a structurally corrupt container quarantines the
+    * whole asset as one `frame_no = -1` row — at 100 TB truncated
+    * uploads are routine and must stay rows, not task failures
+    * (strict=true throws either way). Only `video/avi` /
+    * `video/x-msvideo` rows are touched; codec formats the JDK can't
+    * decode stay with the [[sampleFrames]] stub.
+    */
+  def sampleAviFrames(media: Dataset[MediaRow], everyK: Int,
+      w: Int, h: Int, strict: Boolean = false): DataFrame = {
+    require(everyK > 0, s"everyK must be positive, got $everyK")
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    require(w.toLong * h <= Int.MaxValue,
+      s"target grid ${w}x$h exceeds a single array")
+    import media.sparkSession.implicits._
+    media.filter(r => r.media_type == "video/avi" ||
+        r.media_type == "video/x-msvideo")
+      .flatMap { r =>
+        val decoder = MediaDecoder
+        try {
+          decoder.aviMjpegFrames(r.content).iterator.zipWithIndex
+            .collect { case (f, idx) if idx % everyK == 0 =>
+              val px =
+                if (strict) decoder.resizeImageLuma(f, w, h)
+                else try decoder.resizeImageLuma(f, w, h)
+                catch { case scala.util.control.NonFatal(_) => null }
+              (r.media_id, idx, f.length,
+                if (px == null) Array.empty[Byte] else px, px != null)
+            }.toSeq
+        } catch {
+          case scala.util.control.NonFatal(_) if !strict =>
+            Seq((r.media_id, -1, 0, Array.empty[Byte], false))
+        }
+      }.toDF("media_id", "frame_no", "frame_bytes", "pixels", "decode_ok")
+  }
+
   /** Frame sampling stub: every k-th fixed-size byte window stands in
     * for video frame extraction — the partitioning and output shape
-    * (one row per sampled frame) are the real contract.
+    * (one row per sampled frame) are the real contract. For the one
+    * container format a stock JDK can decode end to end, use the REAL
+    * [[sampleAviFrames]] instead.
     */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int,
       everyK: Int): DataFrame = {
