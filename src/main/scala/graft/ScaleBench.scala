@@ -274,14 +274,49 @@ object ScaleBench {
     bos.toByteArray
   }
 
+  private[graft] def jpegBytes(id: Long, w: Int = 16,
+      h: Int = 16): Array[Byte] = {
+    val rnd = new scala.util.Random(id * 0x9E3779B97F4A7C15L + 13L)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rnd.nextInt(0x1000000)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** A 3-frame MJPEG/AVI container (the generator mirror of the
+    * `Multimodal.sampleAviFrames` walk).
+    */
+  private[graft] def aviBytes(id: Long): Array[Byte] = {
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    def u32(n: Int) = Array((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+      ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte)
+    def chunk(cc: String, data: Array[Byte]) =
+      fcc(cc) ++ u32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val movi = chunk("LIST", fcc("movi") ++
+      (0 until 3).flatMap(k => chunk("00dc", jpegBytes(id * 3 + k))).toArray)
+    val body = fcc("AVI ") ++
+      chunk("LIST", fcc("hdrl") ++ chunk("avih", new Array[Byte](56))) ++ movi
+    fcc("RIFF") ++ u32(body.length) ++ body
+  }
+
   /** `runMain graft.ScaleBench multimodal [workDir] [mult]` — the
     * binary-path scaling datapoint: a deterministic PNG corpus at 1×
     * and N×, timed through `Multimodal.resizeImages` (full decode →
-    * integer resample → re-encode) and `extractFeatures`. Both are
-    * mapPartitions over a binary column — no shuffle, so the exponent
-    * should track data volume (~1.0 at constant parallelism) and the
-    * rows/s should hold flat; anything super-linear means the binary
-    * path shuffled or collected somewhere.
+    * integer resample → re-encode) and `extractFeatures`, plus an
+    * MJPEG/AVI corpus through `sampleAviFrames` (container walk +
+    * 3 JPEG frame decodes per row). All are mapPartitions over a
+    * binary column — no shuffle, so the exponent should track data
+    * volume (~1.0 at constant parallelism) and the rows/s should
+    * hold flat; anything super-linear means the binary path shuffled
+    * or collected somewhere.
     */
   private def multimodalExperiment(spark: SparkSession, work: String,
       mult: Int): Unit = {
@@ -328,6 +363,28 @@ object ScaleBench {
       val exp = math.log(ts(mult) / ts(1)) / math.log(mult.toDouble)
       println(f"[scale] multimodal $label 1x->${mult}x exponent: ${exp}%5.2f")
     }
+    // MJPEG/AVI frame extraction: same map-only shape (container walk
+    // + 3 per-frame JPEG decodes per row), measured on its own corpus
+    val aviBase = base / 4 // 3 frames/row ≈ same decode volume
+    val aviDirs = Seq(1 -> s"$work/avi_x1", mult -> s"$work/avi_x$mult")
+    aviDirs.foreach { case (m, d) =>
+      if (!new java.io.File(d).exists()) {
+        println(s"[scale] generating ${aviBase * m}-video corpus at $d")
+        spark.range(aviBase * m).repartition(64)
+          .map(id => Multimodal.MediaRow(id, "video/avi", aviBytes(id)))
+          .write.mode("overwrite").parquet(d)
+      }
+    }
+    aviDirs.foreach { case (_, d) =>
+      spark.read.parquet(d).write.format("noop").mode("overwrite").save() }
+    val ts = aviDirs.map { case (m, d) =>
+      val n = aviBase * m
+      val t = time(d, n, ds => Multimodal.sampleAviFrames(ds, 1, 16, 16))
+      println(f"[scale] multimodal sampleAviFrames      ${m}x $n%8d vids ${t}%6.2fs ${n / t}%,9.0f rows/s")
+      m -> t
+    }.toMap
+    val aviExp = math.log(ts(mult) / ts(1)) / math.log(mult.toDouble)
+    println(f"[scale] multimodal sampleAviFrames 1x->${mult}x exponent: ${aviExp}%5.2f")
   }
 
   /** ONE session builder for all three experiment branches — a
