@@ -157,6 +157,35 @@ object Multimodal {
       out.toSeq
     }
 
+    /** Animated-GIF frames via the JDK's own multi-frame reader, each
+      * resampled to a (w × h) luma grid. Frames are returned AS
+      * STORED: GIF disposal-method compositing (delta frames drawn
+      * over the previous canvas) is out of scope, documented — for
+      * the full-frame GIFs training corpora normalize to, stored ==
+      * composited. Lenient: a frame that fails to read yields `null`
+      * in its slot (the caller quarantines); strict rethrows.
+      * Mislabeled single-frame image bytes (a PNG tagged image/gif)
+      * degrade to their one frame — ImageIO dispatches on content.
+      */
+    private[multimodal] def gifFrameLumas(content: Array[Byte], w: Int,
+        h: Int, strict: Boolean): Seq[Array[Byte]] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "undecodable bytes: no ImageIO reader")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          (0 until reader.getNumImages(true)).map { i =>
+            if (strict) lumaGrid(reader.read(i), w, h)
+            else try lumaGrid(reader.read(i), w, h)
+            catch { case scala.util.control.NonFatal(_) => null }
+          }
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
     /** WAV container → 8-bit unsigned samples (16-bit PCM is taken
       * down to its high byte; 8-bit PCM is already unsigned).
       */
@@ -296,6 +325,37 @@ object Multimodal {
                 else try decoder.resizeImageLuma(f, w, h)
                 catch { case scala.util.control.NonFatal(_) => null }
               (r.media_id, idx, f.length,
+                if (px == null) Array.empty[Byte] else px, px != null)
+            }.toSeq
+        } catch {
+          case scala.util.control.NonFatal(_) if !strict =>
+            Seq((r.media_id, -1, 0, Array.empty[Byte], false))
+        }
+      }.toDF("media_id", "frame_no", "frame_bytes", "pixels", "decode_ok")
+  }
+
+  /** Real frame extraction for animated GIFs — the second multi-frame
+    * format a stock JDK decodes end to end (with
+    * [[sampleAviFrames]]): every k-th stored frame raster to the same
+    * (w × h) integer luma grid, same output schema and two-level
+    * quarantine (`frame_bytes` is the luma-grid size here — GIF
+    * frames have no standalone encoded payload the way AVI chunks
+    * do). Only `image/gif` rows are touched.
+    */
+  def sampleGifFrames(media: Dataset[MediaRow], everyK: Int,
+      w: Int, h: Int, strict: Boolean = false): DataFrame = {
+    require(everyK > 0, s"everyK must be positive, got $everyK")
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    require(w.toLong * h <= Int.MaxValue,
+      s"target grid ${w}x$h exceeds a single array")
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "image/gif")
+      .flatMap { r =>
+        val decoder = MediaDecoder
+        try {
+          decoder.gifFrameLumas(r.content, w, h, strict).iterator.zipWithIndex
+            .collect { case (px, idx) if idx % everyK == 0 =>
+              (r.media_id, idx, if (px == null) 0 else px.length,
                 if (px == null) Array.empty[Byte] else px, px != null)
             }.toSeq
         } catch {
