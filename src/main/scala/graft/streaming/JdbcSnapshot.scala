@@ -54,10 +54,24 @@ object JdbcSnapshot {
       connProps: Map[String, String], sourceTable: String, spec: TableSpec,
       overrideStmt: Option[String], snapshotTsMs: Long,
       sourceType: String = "mysql",
-      partitionOptions: Map[String, String] = Map.empty): DataFrame = {
-    val dbtable = overrideStmt match {
+      partitionOptions: Map[String, String] = Map.empty,
+      chunk: Option[(String, Long, Long)] = None): DataFrame = {
+    val base = overrideStmt match {
       case Some(stmt) => SnapshotOverrides.asJdbcSubquery(sourceTable, stmt)
       case None => sourceTable
+    }
+    // chunk = (column, lo inclusive, hi exclusive): one slice of a
+    // resumable snapshot — composed AROUND the override subquery so
+    // both the operator's predicate and the chunk range run
+    // server-side
+    val dbtable = chunk match {
+      case Some((c, lo, hi)) =>
+        val inner = overrideStmt match {
+          case Some(_) => base // already a parenthesized aliased subquery
+          case None => sourceTable
+        }
+        s"(SELECT * FROM $inner WHERE $c >= $lo AND $c < $hi) graft_chunk"
+      case None => base
     }
     val raw = spark.read.format("jdbc")
       .option("url", url)
@@ -141,6 +155,121 @@ object JdbcSnapshot {
       val before = sinkCount(dir)
       frame.withColumn("dt", dtCol)
         .write.mode("append").partitionBy("dt").parquet(dir)
+      key -> (sinkCount(dir) - before)
+    }).toMap
+  }
+
+  /** The chunk plan of one table's resumable snapshot: `n` even
+    * slices of `[lo, hi]` (inclusive bounds as probed) on a numeric
+    * `column`. Computed ONCE and persisted by the caller — a restart
+    * must resume the SAME plan, because re-probing live bounds after
+    * new inserts would shift every range and drop or duplicate rows.
+    * Rows inserted after the plan was cut arrive via the binlog tail,
+    * exactly as they do for the single-shot snapshot.
+    */
+  final case class ChunkPlan(key: String, column: String, chunks: Int,
+      lo: Long, hi: Long) {
+    require(chunks > 0, s"chunks must be positive, got $chunks")
+    require(lo <= hi, s"bounds out of order: [$lo, $hi]")
+    /** Chunk i as (lo inclusive, hi exclusive); BigInt internally so
+      * full-Long-range bounds can't overflow the step math.
+      */
+    def range(i: Int): (Long, Long) = {
+      val span = BigInt(hi) - BigInt(lo) + 1
+      val step = (span + chunks - 1) / chunks
+      val a = BigInt(lo) + step * i
+      val b = (a + step).min(BigInt(hi) + 1)
+      (a.toLong, if (b > BigInt(Long.MaxValue)) Long.MaxValue else b.toLong)
+    }
+  }
+
+  /** Server-side MIN/MAX of the chunk column — one aggregate row over
+    * the index, no data scan on a keyed column. None when the table
+    * is empty (a NULL min means nothing to chunk).
+    */
+  def chunkBounds(spark: SparkSession, url: String,
+      connProps: Map[String, String], sourceTable: String,
+      column: String): Option[(Long, Long)] = {
+    val row = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable",
+        s"(SELECT MIN($column) graft_lo, MAX($column) graft_hi " +
+          s"FROM $sourceTable) graft_bounds")
+      .options(connProps)
+      .load().collect().head
+    if (row.isNullAt(0)) None
+    else Some((asLong(row.get(0)), asLong(row.get(1))))
+  }
+
+  private def asLong(v: Any): Long = v match {
+    case n: java.lang.Number => n.longValue()
+    case other => other.toString.trim.toLong
+  }
+
+  /** Chunk-progress persistence seam: the caller records the cut plan
+    * and each landed chunk so a restart resumes instead of starting
+    * the table over — at 100 TB a multi-terabyte table's snapshot
+    * must be resumable at chunk granularity, not table granularity.
+    */
+  trait ChunkProgress {
+    def plan(key: String): Option[ChunkPlan]
+    def savePlan(p: ChunkPlan): Unit
+    def doneChunks(key: String): Set[Int]
+    def chunkDone(key: String, i: Int): Unit
+  }
+
+  /** Resumable chunked snapshot: per pending table, reuse (or cut and
+    * persist) the chunk plan, then land every not-yet-done chunk as
+    * its own server-side range read + sink append, marking each chunk
+    * after its append commits. The crash-replay window shrinks from
+    * one whole table (the [[writeSnapshot]] path) to one chunk.
+    * Override statements compose: the chunk range wraps the override
+    * subquery, both pushed down. An empty table (no bounds) degrades
+    * to the single-shot path — zero rows either way.
+    *
+    * Returns rows written per table THIS run (footer-count deltas,
+    * like [[writeSnapshot]]).
+    */
+  def writeSnapshotChunked(spark: SparkSession, config: CdcConfig,
+      url: String, connProps: Map[String, String], snapshotTsMs: Long,
+      chunkColumn: String, chunks: Int, progress: ChunkProgress,
+      only: Option[Set[String]] = None): Map[String, Long] = {
+    val dtCol = config.fixedBucket.map(lit(_).as("dt"))
+      .getOrElse(EnvelopeDecoder.dtColumn)
+    def sinkCount(dir: String): Long =
+      try spark.read.parquet(dir).count() catch {
+        case _: org.apache.spark.sql.AnalysisException => 0L
+      }
+    (for ((key, spec) <- config.registry.routed.toSeq
+          if only.forall(_.contains(key))) yield {
+      val source = config.registry.sourceTables.getOrElse(key, spec)
+      val dir = spec.sinkDir(config.sinkPath, config.sourceId)
+      val before = sinkCount(dir)
+      val plan = progress.plan(key).orElse {
+        chunkBounds(spark, url, connProps, source.key, chunkColumn)
+          .map { case (lo, hi) =>
+            val p = ChunkPlan(key, chunkColumn, chunks, lo, hi)
+            progress.savePlan(p)
+            p
+          }
+      }
+      plan match {
+        case None => // empty table: nothing to chunk, nothing to write
+        case Some(p) =>
+          val done = progress.doneChunks(key)
+          for (i <- 0 until p.chunks if !done.contains(i)) {
+            val (a, b) = p.range(i)
+            if (a < b) {
+              snapshotFrame(spark, url, connProps, source.key, spec,
+                config.snapshotOverrides.get(key).map(_.statement),
+                snapshotTsMs, config.sourceType,
+                chunk = Some((p.column, a, b)))
+                .withColumn("dt", dtCol)
+                .write.mode("append").partitionBy("dt").parquet(dir)
+            }
+            progress.chunkDone(key, i) // an empty range is still done
+          }
+      }
       key -> (sinkCount(dir) - before)
     }).toMap
   }
