@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line(s) of `sbt runMain` for the
+// bench/verify JSON summary. sbt's default fork strategy (LoggedOutput)
+// re-echoes the child's stdout through its logger with an "[info] "
+// prefix, which has broken that parse every round (BENCH_r*.json
+// "parsed": null). StdoutOutput inherits the child's stdout verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

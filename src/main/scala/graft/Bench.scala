@@ -101,24 +101,33 @@ object Bench {
     // each pass in its own try: a transient failure on pass 2 must
     // not discard a successful pass-1 measurement — min over whatever
     // succeeded, None only when both passes fail
-    def ingestMin(tables: Int, label: String): Option[(Double, Double)] = {
+    def ingestMin(tables: Int, label: String)
+        : (Option[(Double, Double)], Option[Double]) = {
       def onePass(): Option[(Double, Double)] =
         try Some(benchIngest(spark, sfDir, tables))
         catch { case e: Throwable =>
           System.err.println(s"[bench] $label failed: ${e.getMessage}"); None
         }
       val passes = Seq(onePass(), onePass()).flatten
-      if (passes.isEmpty) None else Some(passes.minBy(_._1))
+      val best = if (passes.isEmpty) None else Some(passes.minBy(_._1))
+      // pass-disagreement ratio for the ingest metric, same diagnostic
+      // the query spread map provides (r7: driver cdcm 29.1k vs judge
+      // 18.9k rows/s was unexplainable from the artifact alone)
+      val spr = if (passes.size == 2) {
+        val ts = passes.map(_._1); Some(ts.max / ts.min)
+      } else None
+      (best, spr)
     }
-    val ingest = ingestMin(1, "cdc_ingest")
+    val (ingest, ingestSpread) = ingestMin(1, "cdc_ingest")
     // the reference's REAL workload shape: one stream multiplexing N
     // tables through the demux (`FlinkCDCMulti.java:345-391`) — same
     // row volume as above, fanned across a 10-table registry, so the
     // delta vs `cdc` prices the per-batch O(N tables) filter+write
     // loop the SURVEY flags (§7.4)
-    val multi = ingestMin(MultiTables, "cdc_multi")
+    val (multi, multiSpread) = ingestMin(MultiTables, "cdc_multi")
     spark.stop()
-    println(renderJson(results, spread, ingest, multi, sfDir))
+    println(renderJson(results, spread, ingest, multi, sfDir,
+      ingestSpread, multiSpread))
   }
 
   /** Table count for the multiplexed ingest bench. */
@@ -149,7 +158,9 @@ object Bench {
   private[graft] def renderJson(results: Seq[(String, Double)],
       spread: Seq[(String, Double)],
       ingest: Option[(Double, Double)],
-      multi: Option[(Double, Double)], sfDir: String): String = {
+      multi: Option[(Double, Double)], sfDir: String,
+      ingestSpread: Option[Double] = None,
+      multiSpread: Option[Double] = None): String = {
     def short(name: String): String = {
       val m = "^(q\\d+)_".r.findFirstMatchIn(name)
       m.map(_.group(1)).getOrElse(name)
@@ -175,7 +186,18 @@ object Bench {
       s""","cdc_ingest_rows_per_sec":${rate.toLong}"""
     }.getOrElse("") + multi.map { case (_, rate) =>
       s""","cdc_multi_rows_per_sec":${rate.toLong},"cdc_multi_tables":$MultiTables"""
-    }.getOrElse("")
+    }.getOrElse("") +
+      // ingest pass-disagreement, same floor as the query spread map
+      ingestSpread.filter(_ >= SpreadFloor).map(r =>
+        s""","cdc_spread":${ratio(r)}""").getOrElse("") +
+      multiSpread.filter(_ >= SpreadFloor).map(r =>
+        s""","cdcm_spread":${ratio(r)}""").getOrElse("")
+    // failed queries listed EXPLICITLY (always, even when empty): a
+    // reader must be able to tell "-1 = did not run" from "not
+    // benchmarked this round" without diffing the correctness artifact
+    // (BENCH_r08 carried 25 silent -1s from a testdata schema change).
+    val failedJson = results.filter(_._2 < 0).map(r => "\"" + short(r._1) + "\"")
+      .mkString(""","failed":[""", ",", "]")
     // spread: only queries whose two passes disagreed ≥ SpreadFloor —
     // lets a reader bound run-to-run variance per entry (a min that
     // looks regressed but has spread ≈ 1 means BOTH passes were hit
@@ -187,7 +209,7 @@ object Bench {
       else spread.sortBy(-_._2).take(SpreadCap).map { case (k, r) =>
         "\"" + short(k) + "\":" + ratio(r)
       }.mkString(""","spread":{""", ",", "}")
-    s"""{"metric":"total","value":${sec(total)},"unit":"sec","passes":2,"agg":"min","queries_total":${sec(queriesTotal)},"queries":$qs$spreadJson$extra,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${sec(total)},"unit":"sec","passes":2,"agg":"min","queries_total":${sec(queriesTotal)},"queries":$qs$failedJson$spreadJson$extra,"sf":"$sfDir"}"""
   }
 
   /** Events → JSON-lines envelope feed → CdcPipeline (AvailableNow);
@@ -212,8 +234,19 @@ object Bench {
     val tblExpr =
       if (tables == 1) lit("events")
       else concat(lit("events_"), expr(s"event_id % $tables"))
+    // `_ts` is epoch-millis (Debezium ts_ms shape). `ts` may be a
+    // timestamp (current testdata, TIMESTAMP(MICROS) — surfaced as NTZ
+    // when isAdjustedToUTC=false; session tz is UTC so the cast is a
+    // no-op on the instant) or a raw nanos long (older testdata read
+    // via nanosAsLong) — dispatch.
+    val tsMillis = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_millis(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => unix_millis(col("ts"))
+    }
     events.select(concat(
-      lit("""{"_op":"CREATE","_ts":"""), expr("ts div 1000000"),
+      lit("""{"_op":"CREATE","_ts":"""), tsMillis,
       lit(""","_db":"bench","_tbl":""""), tblExpr,
       lit("""","event_id":{"long":"""),
       col("event_id"),

@@ -21,16 +21,31 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark's
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw
-    * nanos (legacy conf) and surface a proper microsecond timestamp —
-    * same truncation DuckDB applies when it reads NANOS as timestamp.
+  /** events.parquet has shipped with ts as either INT64
+    * TIMESTAMP(NANOS) — which Spark's parquet reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]) unless read as raw nanos via the legacy
+    * conf — or plain TIMESTAMP(MICROS). Dispatch on what the reader
+    * surfaces: a LongType ts is nanos needing conversion, a
+    * TimestampType ts is already correct. The nanos branch truncates to
+    * micros, matching what DuckDB does when it reads NANOS.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, not `/`: epoch-nanos (~1.7e18) exceeds double's
-    // 53-bit mantissa, so float division is off by ±1 microsecond.
-    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, not `/`: epoch-nanos (~1.7e18) exceeds double's
+        // 53-bit mantissa, so float division is off by ±1 microsecond.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // isAdjustedToUTC=false surfaces as NTZ, which `unix_micros`
+        // et al. reject. The session timezone is pinned to UTC, so this
+        // cast attaches UTC without shifting the stored instant —
+        // byte-identical to what the nanos branch produced.
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -185,8 +185,25 @@ object CdcJob {
             "numPartitions" -> "num.partitions")
             .flatMap { case (sparkKey, cfgKey) =>
               cfg.get(s"snapshot.jdbc.$cfgKey").map(sparkKey -> _) }.toMap
-          val counts = JdbcSnapshot.writeSnapshot(spark, config, url,
-            connProps, System.currentTimeMillis(), partOpts, Some(pending))
+          // `snapshot.jdbc.chunk.column` switches a table's snapshot
+          // from one server-side scan to `snapshot.jdbc.chunks` (default
+          // 4) range slices with durable per-chunk progress beside the
+          // marker — a multi-terabyte table's snapshot then resumes at
+          // chunk granularity, not table granularity. The plan is cut
+          // once and persisted; a restart reuses it verbatim (re-probing
+          // live bounds would shift every range).
+          val counts = cfg.get("snapshot.jdbc.chunk.column") match {
+            case Some(chunkCol) =>
+              val progress = new JdbcSnapshot.FileChunkProgress(spark,
+                s"$markerDir/${config.sourceId}_snapshot.chunks")
+              JdbcSnapshot.writeSnapshotChunked(spark, config, url,
+                connProps, System.currentTimeMillis(), chunkCol,
+                cfg.getOrElse("snapshot.jdbc.chunks", "4").toInt,
+                progress, Some(pending))
+            case None =>
+              JdbcSnapshot.writeSnapshot(spark, config, url, connProps,
+                System.currentTimeMillis(), partOpts, Some(pending))
+          }
           val out = fs.create(marker, true)
           try out.write((done ++ pending).toSeq.sorted
             .mkString("", "\n", "\n").getBytes("UTF-8"))

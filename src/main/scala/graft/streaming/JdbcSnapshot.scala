@@ -218,6 +218,68 @@ object JdbcSnapshot {
     def chunkDone(key: String, i: Int): Unit
   }
 
+  /** Durable [[ChunkProgress]]: one small file per fact under `dir`
+    * (beside the `_snapshot.done` marker) — `<key>.plan` holds the cut
+    * plan (`column chunks lo hi`), `<key>.chunk<i>.done` is an empty
+    * create-only marker per landed chunk. Create-only files instead of
+    * a rewritten state file: every update is a new-file create, so a
+    * crash mid-update can never corrupt already-recorded progress.
+    * The replay window is one chunk: a crash between a chunk's append
+    * commit and its marker create re-runs just that chunk's rows.
+    */
+  final class FileChunkProgress(spark: SparkSession, dir: String)
+      extends ChunkProgress {
+    import org.apache.hadoop.fs.{Path => HPath}
+    private val root = new HPath(dir)
+    private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // route keys are db.table after sanitization — dots are fine in
+    // file names; anything else unexpected is collapsed defensively
+    private def safe(key: String): String =
+      key.replaceAll("[^A-Za-z0-9._-]", "_")
+
+    def plan(key: String): Option[ChunkPlan] = {
+      val p = new HPath(root, s"${safe(key)}.plan")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val line =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        line.split("\\s+") match {
+          case Array(col, n, lo, hi) =>
+            Some(ChunkPlan(key, col, n.toInt, lo.toLong, hi.toLong))
+          case _ => throw new IllegalStateException(
+            s"CORRUPT CHUNK PLAN at $p: '$line' (want 'column chunks lo hi')")
+        }
+      }
+    }
+
+    def savePlan(p: ChunkPlan): Unit = {
+      fs.mkdirs(root)
+      // overwrite=false: the plan is cut once; a second writer means a
+      // concurrent snapshot of the same source — fail it, don't race
+      val out = fs.create(new HPath(root, s"${safe(p.key)}.plan"), false)
+      try out.write(s"${p.column} ${p.chunks} ${p.lo} ${p.hi}\n"
+        .getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    def doneChunks(key: String): Set[Int] = {
+      val glob = new HPath(root, s"${safe(key)}.chunk*.done")
+      val hits = fs.globStatus(glob)
+      if (hits == null) Set.empty
+      else hits.map { s =>
+        val n = s.getPath.getName
+        n.stripSuffix(".done").split("\\.chunk").last.toInt
+      }.toSet
+    }
+
+    def chunkDone(key: String, i: Int): Unit = {
+      fs.mkdirs(root)
+      fs.create(new HPath(root, s"${safe(key)}.chunk$i.done"), true).close()
+    }
+  }
+
   /** Resumable chunked snapshot: per pending table, reuse (or cut and
     * persist) the chunk plan, then land every not-yet-done chunk as
     * its own server-side range read + sink append, marking each chunk

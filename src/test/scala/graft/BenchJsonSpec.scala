@@ -60,6 +60,28 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.contains("\"value\":2.000"))
   }
 
+  test("failed list names every -1 query explicitly") {
+    val line = render(Seq("q01_ok" -> 2.0, "q02_broken" -> -1.0,
+      "q03_broken" -> -1.0), None)
+    assert(line.contains(""","failed":["q02","q03"]"""), line)
+  }
+
+  test("all-green run still emits an empty failed list (affirmative signal)") {
+    val line = render(Seq("q01_ok" -> 2.0), None)
+    assert(line.contains(""","failed":[]"""), line)
+  }
+
+  test("ingest spreads render only at/above the floor") {
+    val withSpread = Bench.renderJson(Seq("q01_x" -> 1.0), Nil,
+      Some((2.0, 18000.0)), Some((3.0, 9000.0)), "/tmp/sf",
+      ingestSpread = Some(2.5), multiSpread = Some(1.1))
+    assert(withSpread.contains(""","cdc_spread":2.50"""), withSpread)
+    assert(!withSpread.contains("cdcm_spread"), withSpread)
+    val noSpread = Bench.renderJson(Seq("q01_x" -> 1.0), Nil,
+      Some((2.0, 18000.0)), None, "/tmp/sf")
+    assert(!noSpread.contains("cdc_spread"), noSpread)
+  }
+
   test("no ingest → no cdc keys, total is query sum") {
     val line = render(Seq("q01_x" -> 1.0), None)
     assert(!line.contains("cdc"))

@@ -68,9 +68,19 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
         (102, 'clik', 2.5, NULL)""",
       """INSERT INTO HR.EMPLOYEE VALUES
         (7, 1234.56, TIMESTAMP('2020-01-15 09:00:00'), 3),
-        (8, NULL, NULL, NULL)"""))
+        (8, NULL, NULL, NULL)""",
+      // ~1k-row table for the chunked resumable snapshot: big enough
+      // that 4 chunks are all non-empty, small enough to stay fast
+      "CREATE TABLE SALES.BIGSEQ(ID INTEGER NOT NULL, VAL INTEGER)"))
       st.executeUpdate(ddl)
     st.close()
+    val ps = c.prepareStatement("INSERT INTO SALES.BIGSEQ VALUES (?, ?)")
+    for (i <- 1 to 1000) {
+      ps.setInt(1, i); ps.setInt(2, i * 2); ps.addBatch()
+      if (i % 200 == 0) ps.executeBatch()
+    }
+    ps.executeBatch()
+    ps.close()
   }
 
   /** What the walk SHOULD produce: the declared-config registry for
@@ -300,5 +310,160 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     // position, same as the feed path)
     assert(Files.readString(off.resolve("livesrc_offset.txt")).trim
       == "bin.000001,30")
+  }
+
+  // ---- chunked resumable snapshot (JdbcSnapshot.writeSnapshotChunked) ----
+
+  private val bigseqSchema = StructType(Seq(
+    StructField("ID", IntegerType), StructField("VAL", IntegerType)))
+
+  /** Forwards to `inner` but throws after `n` chunks have landed —
+    * the crash-between-chunks injection point. The marker is written
+    * BEFORE the throw, exactly like a real crash after the marker
+    * create.
+    */
+  private final class CrashAfter(inner: JdbcSnapshot.ChunkProgress, n: Int)
+      extends JdbcSnapshot.ChunkProgress {
+    var landed = 0
+    def plan(key: String): Option[JdbcSnapshot.ChunkPlan] = inner.plan(key)
+    def savePlan(p: JdbcSnapshot.ChunkPlan): Unit = inner.savePlan(p)
+    def doneChunks(key: String): Set[Int] = inner.doneChunks(key)
+    def chunkDone(key: String, i: Int): Unit = {
+      inner.chunkDone(key, i)
+      landed += 1
+      if (landed >= n) throw new RuntimeException("injected crash")
+    }
+  }
+
+  /** Forwards to `inner`, recording which chunks land and whether the
+    * plan was re-cut (savePlan called again = the restart re-probed).
+    */
+  private final class Recording(inner: JdbcSnapshot.ChunkProgress)
+      extends JdbcSnapshot.ChunkProgress {
+    var saved = 0
+    var landedChunks = Vector.empty[Int]
+    def plan(key: String): Option[JdbcSnapshot.ChunkPlan] = inner.plan(key)
+    def savePlan(p: JdbcSnapshot.ChunkPlan): Unit = {
+      saved += 1; inner.savePlan(p)
+    }
+    def doneChunks(key: String): Set[Int] = inner.doneChunks(key)
+    def chunkDone(key: String, i: Int): Unit = {
+      landedChunks :+= i; inner.chunkDone(key, i)
+    }
+  }
+
+  test("chunk range composes with the override subquery, both server-side") {
+    val spec = TableSpec("SALES", "BIGSEQ", bigseqSchema)
+    val frame = JdbcSnapshot.snapshotFrame(spark, url, connProps,
+      "SALES.BIGSEQ", spec,
+      Some("SELECT id, val FROM SALES.BIGSEQ WHERE id <= 900"),
+      1700000000000L, chunk = Some(("ID", 251, 501)))
+    // the scanned relation IS the nested subquery: chunk range wrapped
+    // around the override alias — neither predicate reaches Spark
+    val plan = frame.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_chunk"), plan)
+    assert(plan.contains("graft_snapshot_override"), plan)
+    val ids = frame.select("ID").collect().map(_.getInt(0)).sorted
+    assert(ids.head == 251 && ids.last == 500 && ids.length == 250)
+  }
+
+  test("chunked snapshot crash after chunk 1 resumes the SAME plan, " +
+      "re-runs only the remaining chunks, exact counts") {
+    val out = tmp(); val progDir = tmp().resolve("chunks").toString
+    val registry = TableRegistry(Seq(TableSpec("SALES", "BIGSEQ", bigseqSchema)))
+    val cfg = CdcConfig("chunksrc", registry, out.toString,
+      snapshotOverrides = SnapshotOverrides.fromConfig(Map(
+        "snapshot.select.statement.overrides" -> "SALES.BIGSEQ",
+        "snapshot.select.statement.overrides.SALES.BIGSEQ" ->
+          "SELECT id, val FROM SALES.BIGSEQ WHERE id <= 900")))
+    val file = new JdbcSnapshot.FileChunkProgress(spark, progDir)
+
+    // run 1: crashes after the first chunk's marker lands
+    val crash = new CrashAfter(file, 1)
+    intercept[RuntimeException] {
+      JdbcSnapshot.writeSnapshotChunked(spark, cfg, url, connProps,
+        1700000000000L, "ID", 4, crash)
+    }
+    val dir = s"$out/chunksrc_SALES__BIGSEQ"
+    // plan cut once: [1,1000] in 4 chunks of 250; chunk 0 landed, and
+    // the override capped it at id<=900 — chunk 0 is fully below that
+    assert(spark.read.parquet(dir).count() == 250)
+    val planBefore = file.plan("SALES.BIGSEQ").get
+    assert(planBefore == JdbcSnapshot.ChunkPlan("SALES.BIGSEQ", "ID", 4, 1, 1000))
+    assert(file.doneChunks("SALES.BIGSEQ") == Set(0))
+
+    // a row arrives at the source AFTER the plan was cut: a restart
+    // that re-probed bounds would widen the last range to include it
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.executeUpdate("INSERT INTO SALES.BIGSEQ VALUES (2000, 4000)")
+      st.close()
+    } finally c.close()
+
+    // run 2 (restart): same progress dir — resumes, never re-probes
+    val rec = new Recording(file)
+    val counts = JdbcSnapshot.writeSnapshotChunked(spark, cfg, url,
+      connProps, 1700000000000L, "ID", 4, rec)
+    assert(rec.saved == 0, "restart re-cut the plan (re-probe!)")
+    assert(rec.landedChunks == Vector(1, 2, 3), rec.landedChunks)
+    assert(file.plan("SALES.BIGSEQ").get == planBefore)
+    // this run wrote only chunks 2-4: ids 251..900 under the override
+    assert(counts("SALES.BIGSEQ") == 650)
+    val ids = spark.read.parquet(dir).select("ID").collect()
+      .map(_.getInt(0)).sorted
+    // exact rows: 1..900 once each; the post-plan insert (id 2000) is
+    // NOT here — it belongs to the binlog tail, like any other write
+    // after the snapshot point
+    assert(ids.length == 900 && ids.head == 1 && ids.last == 900)
+    assert(ids.distinct.length == 900)
+
+    // cleanup: keep BIGSEQ deterministic for other tests
+    val c2 = DriverManager.getConnection(url)
+    try {
+      val st = c2.createStatement()
+      st.executeUpdate("DELETE FROM SALES.BIGSEQ WHERE ID = 2000")
+      st.close()
+    } finally c2.close()
+  }
+
+  test("savePlan is create-once: a second cut of the same table fails") {
+    val file = new JdbcSnapshot.FileChunkProgress(spark,
+      tmp().resolve("chunks").toString)
+    val p = JdbcSnapshot.ChunkPlan("SALES.BIGSEQ", "ID", 4, 1, 1000)
+    file.savePlan(p)
+    assert(file.plan("SALES.BIGSEQ").contains(p))
+    intercept[Exception] { file.savePlan(p.copy(chunks = 8)) }
+    assert(file.plan("SALES.BIGSEQ").contains(p)) // original untouched
+  }
+
+  test("snapshot.jdbc.chunk.* config wires the chunked path through CdcJob.run") {
+    val out = tmp(); val off = tmp(); val in = tmp()
+    val cfg = Map(
+      "source.id" -> "chunkjob",
+      "source.type" -> "mysql",
+      "sink.path" -> out.toString,
+      "offset.store.path" -> off.toString,
+      "snapshot.only" -> "true",
+      "table.schemas" -> """{"SALES.BIGSEQ":"ID:INTEGER,VAL:INTEGER"}""",
+      "snapshot.jdbc.url" -> url,
+      "snapshot.jdbc.driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      "snapshot.jdbc.chunk.column" -> "ID",
+      "snapshot.jdbc.chunks" -> "4")
+    graft.streaming.CdcJob.run(spark, cfg, in.toString,
+      tmp().resolve("ck").toString)
+    assert(spark.read.parquet(s"$out/chunkjob_SALES__BIGSEQ").count() == 1000)
+    // durable progress landed beside the marker: the cut plan + all 4
+    // chunk markers, and the table-level completion marker
+    val progDir = off.resolve("chunkjob_snapshot.chunks")
+    assert(Files.exists(progDir.resolve("SALES.BIGSEQ.plan")))
+    assert((0 until 4).forall(i =>
+      Files.exists(progDir.resolve(s"SALES.BIGSEQ.chunk$i.done"))))
+    assert(Files.exists(off.resolve("chunkjob_snapshot.done")))
+
+    // restart: marker short-circuits — no re-snapshot, rows unchanged
+    graft.streaming.CdcJob.run(spark, cfg, in.toString,
+      tmp().resolve("ck2").toString)
+    assert(spark.read.parquet(s"$out/chunkjob_SALES__BIGSEQ").count() == 1000)
   }
 }
