@@ -167,8 +167,15 @@ object Multimodal {
       * Mislabeled single-frame image bytes (a PNG tagged image/gif)
       * degrade to their one frame — ImageIO dispatches on content.
       */
+    /** Frames DECODED (reader.read calls) — the sample-only contract's
+      * test probe: at everyK=k only ceil(n/k) frames may decode, never
+      * all n. Process-wide diagnostic counter (exact in local mode).
+      */
+    private[multimodal] val gifFramesDecoded =
+      new java.util.concurrent.atomic.AtomicLong
+
     private[multimodal] def gifFrameLumas(content: Array[Byte], w: Int,
-        h: Int, strict: Boolean): Seq[Array[Byte]] = {
+        h: Int, strict: Boolean, everyK: Int = 1): Seq[(Int, Array[Byte])] = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(content))
       try {
@@ -177,10 +184,18 @@ object Multimodal {
         val reader = readers.next()
         try {
           reader.setInput(iis)
-          (0 until reader.getNumImages(true)).map { i =>
-            if (strict) lumaGrid(reader.read(i), w, h)
-            else try lumaGrid(reader.read(i), w, h)
-            catch { case scala.util.control.NonFatal(_) => null }
+          // decode ONLY the sampled indices: reader.read(i) seeks by
+          // index (the JDK GIF reader skips unsampled frames' rasters
+          // without LZW-decoding them) — everyK=30 on a long GIF was
+          // 30× wasted raster work when sampling happened on the
+          // already-decoded list
+          (0 until reader.getNumImages(true) by everyK).map { i =>
+            gifFramesDecoded.incrementAndGet()
+            val px =
+              if (strict) lumaGrid(reader.read(i), w, h)
+              else try lumaGrid(reader.read(i), w, h)
+              catch { case scala.util.control.NonFatal(_) => null }
+            i -> px
           }
         } finally reader.dispose()
       } finally iis.close()
@@ -342,6 +357,12 @@ object Multimodal {
     * frames have no standalone encoded payload the way AVI chunks
     * do). Only `image/gif` rows are touched.
     */
+  /** Test probe for the sample-only contract: cumulative frames the
+    * GIF path has DECODED (not merely skipped) process-wide.
+    */
+  private[graft] def gifFramesDecodedCount: Long =
+    MediaDecoder.gifFramesDecoded.get()
+
   def sampleGifFrames(media: Dataset[MediaRow], everyK: Int,
       w: Int, h: Int, strict: Boolean = false): DataFrame = {
     require(everyK > 0, s"everyK must be positive, got $everyK")
@@ -353,8 +374,8 @@ object Multimodal {
       .flatMap { r =>
         val decoder = MediaDecoder
         try {
-          decoder.gifFrameLumas(r.content, w, h, strict).iterator.zipWithIndex
-            .collect { case (px, idx) if idx % everyK == 0 =>
+          decoder.gifFrameLumas(r.content, w, h, strict, everyK).iterator
+            .map { case (idx, px) =>
               (r.media_id, idx, if (px == null) 0 else px.length,
                 if (px == null) Array.empty[Byte] else px, px != null)
             }.toSeq

@@ -158,6 +158,84 @@ object DdlEvolution {
       case _ => None
     }
 
+  /** Spark type → a config TYPE token that round-trips through the
+    * §1.3 MySQL collapse (`TypeMapping.jdbcToSpark`) — the reference's
+    * auto-mapping roadmap line is MySQL-scoped (`README.md:54`), and
+    * so is this rendering.
+    */
+  private def typeToken(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType => "INT"
+      case LongType => "BIGINT"
+      case DoubleType => "DOUBLE"
+      case BooleanType => "BOOLEAN"
+      case _ => "VARCHAR(255)"
+    }
+  }
+
+  /** Close the runbook loop: rewrite a flat job config with a
+    * proposal, producing the EXACT config the restarted job loads —
+    * `table.name.map` gains the dated-version entry, and (when the
+    * ALTER was mechanical) the table's `table.schemas` entry is
+    * replaced with the evolved column list. A pure function so an
+    * operator — or a supervisor process restarting from the logged
+    * proposal — applies it verbatim instead of hand-assembling the v2
+    * registry. `table.schemas` keys keep their RAW config spelling
+    * (the proposal's routeKey is the sanitized form — matched through
+    * the same collapse `configFromMap` applies).
+    */
+  def applyProposal(cfg: Map[String, String],
+      p: EvolutionProposal): Map[String, String] = {
+    def renderMap(m: Map[String, String]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""$k": "$v"""" }.mkString("{", ", ", "}")
+    def sanitizeKey(raw: String): String = raw.split("\\.", 2) match {
+      case Array(d, t) => s"${Sanitizer(d)}.${Sanitizer(t)}"
+      case Array(t) => Sanitizer(t)
+    }
+    val names = graft.streaming.JobConfig.nameMap(cfg, "table.name.map") +
+      p.tableNameMapEntry
+    val schemas = graft.streaming.JobConfig.nameMap(cfg, "table.schemas")
+    val evolvedSchemas = p.schema match {
+      case Some(s) =>
+        val rawKey = schemas.keys.find(sanitizeKey(_) == p.routeKey)
+          .getOrElse(p.routeKey)
+        schemas + (rawKey ->
+          s.fields.map(f => s"${f.name}:${typeToken(f.dataType)}")
+            .mkString(","))
+      case None => schemas
+    }
+    cfg + ("table.name.map" -> renderMap(names)) +
+      ("table.schemas" -> renderMap(evolvedSchemas))
+  }
+
+  /** The Mongo flavor of a structural change
+    * (`MongoDBDebeziumToJSONDeserializer.java:244-254`): the
+    * top-level-string drift abort ("map collection to new name").
+    * Same ready-made proposal as a MySQL DDL stop — dated collection
+    * name map + the evolved sampled schema: existing fields ∪ each
+    * new field as STRING (the top-level-string mode stringifies every
+    * field; a re-sample would land the same way via
+    * `TypeMapping.mongoClassToSpark`'s default).
+    */
+  def proposeMongoDrift(spec: graft.model.TableSpec, routeKey: String,
+      driftFields: Set[String], tsMillis: Long): EvolutionProposal = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val newFields = driftFields.toSeq.sorted
+    val evolved = StructType(spec.schema.fields ++
+      newFields.map(f => StructField(Sanitizer(f), StringType,
+        nullable = true)))
+    EvolutionProposal(
+      routeKey = routeKey,
+      newTableName = versionedName(spec.table, tsMillis),
+      tableNameMapEntry = routeKey -> versionedName(spec.table, tsMillis),
+      schema = Some(evolved),
+      note = "mongo top-level-string drift: new field(s) " +
+        s"${newFields.mkString(", ")} appended as string to the " +
+        "sampled schema")
+  }
+
   /** Proposal for one structural-DDL stop. None when the DDL's table
     * isn't in the registry (an untracked table can't need a version
     * bump) or the statement isn't structural.

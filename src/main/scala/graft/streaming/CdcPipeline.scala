@@ -419,9 +419,30 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
             case Some(mode) =>
               if (mode == graft.ops.MongoModes.TopLevelString) {
                 val drift = graft.ops.MongoModes.driftCheck(rows, spec)
-                if (drift.nonEmpty) throw new IllegalStateException(
-                  s"SCHEMA DRIFT in ${spec.key}: ${drift.mkString(", ")} " +
-                    "— map collection to new name")
+                if (drift.nonEmpty) {
+                  // the Mongo analog of the MySQL structural-DDL stop:
+                  // before aborting, surface the same ready-made
+                  // proposal (dated collection name map + evolved
+                  // sampled schema) — dated by the batch's own event
+                  // time, like the DDL path dates by the DDL's _ts
+                  val ts = rows.agg(max(col("_ts"))).collect()
+                    .headOption.filterNot(_.isNullAt(0)).map(_.getLong(0))
+                    .getOrElse(0L)
+                  val proposal = graft.ops.DdlEvolution
+                    .proposeMongoDrift(spec, key, drift, ts)
+                  // synchronized: per-table futures may drift
+                  // concurrently in one batch
+                  CdcPipeline.this.synchronized {
+                    evolutionProposals = evolutionProposals :+ proposal
+                  }
+                  org.slf4j.LoggerFactory.getLogger(getClass).info(
+                    s"[${config.name}] EVOLUTION PROPOSAL: " +
+                      s"${proposal.routeKey} -> ${proposal.newTableName} " +
+                      s"(${proposal.note}) ${proposal.configJson}")
+                  throw new IllegalStateException(
+                    s"SCHEMA DRIFT in ${spec.key}: ${drift.mkString(", ")} " +
+                      "— map collection to new name")
+                }
               }
               graft.ops.MongoModes.project(rows, spec, mode)
             case None => EnvelopeDecoder.payload(rows, spec, config.sourceType)

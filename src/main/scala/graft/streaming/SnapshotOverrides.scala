@@ -77,7 +77,14 @@ object SnapshotOverrides {
       // first batch instead of the assembly-time gate)
       val ft = fromTable.trim.stripSuffix(";").toLowerCase
       val key = table.trim.toLowerCase
-      if (ft != key && ft != key.split("\\.", 2).last)
+      // accepted shapes: exact match; bare FROM under a qualified key;
+      // and a schema-qualified FROM under a BARE key (pg/oracle route
+      // by bare table name while the live read is schema-qualified).
+      // A qualified key with a DIFFERENTLY-qualified FROM stays an
+      // error — that's the copy-paste hazard this gate exists for.
+      val ok = ft == key || ft == key.split("\\.", 2).last ||
+        (!key.contains(".") && ft.split("\\.", 2).last == key)
+      if (!ok)
         throw new IllegalArgumentException(
           s"SNAPSHOT OVERRIDE FOR $table SELECTS FROM '$ft' — " +
             "the statement must read the table it overrides")

@@ -312,6 +312,69 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
       == "bin.000001,30")
   }
 
+  // ---- pg/oracle flavor composition: keptMetadata + offset formats ----
+
+  test("postgres and oracle flavors: composed snapshot+tail keeps only " +
+      "the flavor's metadata and writes the flavor's offset format") {
+    // (flavor, §1.3-collapsed payload schema, tail lines, expected
+    // published offset). PG/Oracle route by BARE table name (`_schema`
+    // carries the namespace — EnvelopeDecoder routing), so the
+    // snapshot reads HR.EMPLOYEE via an override statement, the same
+    // mechanism a live pg/oracle job uses for schema-qualified reads.
+    val flavors = Seq(
+      ("postgres",
+        StructType(Seq(
+          StructField("ID", IntegerType), StructField("SALARY", StringType),
+          StructField("HIRED", StringType), StructField("GRADE", IntegerType))),
+        Seq("""{"_op":"CREATE","_ts":1700000100000,"_schema":"HR","_tbl":"EMPLOYEE","ID":{"int":11},"SALARY":{"string":"50.00"},"HIRED":null,"GRADE":{"int":1},"_lsn":"1001"}"""),
+        "1001"),
+      ("oracle",
+        StructType(Seq(
+          StructField("ID", StringType), StructField("SALARY", StringType),
+          StructField("HIRED", StringType), StructField("GRADE", StringType))),
+        // oracle raw ops: "r" snapshot (skipped for offsets), "c" change
+        Seq("""{"_op":"r","_ts":1700000100000,"_schema":"HR","_tbl":"EMPLOYEE","ID":{"string":"12"},"SALARY":null,"HIRED":null,"GRADE":null,"_scn":"7000"}""",
+          """{"_op":"c","_ts":1700000200000,"_schema":"HR","_tbl":"EMPLOYEE","ID":{"string":"11"},"SALARY":{"string":"50.00"},"HIRED":null,"GRADE":{"string":"1"},"_scn":"5007"}"""),
+        "5007"))
+    for ((flavor, schema, tail, expectedOffset) <- flavors) {
+      val out = tmp(); val off = tmp(); val in = tmp()
+      val registry = TableRegistry(Seq(TableSpec("", "EMPLOYEE", schema)))
+      val cfg = CdcConfig(s"live_$flavor", registry, out.toString,
+        sourceType = flavor,
+        offsetStorePath = Some(off.toString),
+        snapshotOverrides = SnapshotOverrides.fromConfig(Map(
+          "snapshot.select.statement.overrides" -> "EMPLOYEE",
+          "snapshot.select.statement.overrides.EMPLOYEE" ->
+            "SELECT * FROM HR.EMPLOYEE")))
+
+      val counts = JdbcSnapshot.writeSnapshot(spark, cfg, url, connProps,
+        snapshotTsMs = 1700000000000L)
+      assert(counts("EMPLOYEE") == 2, s"$flavor snapshot count")
+      val dir = s"$out/live_${flavor}_EMPLOYEE"
+      // keptMetadata per flavor: pg/oracle sinks carry ONLY _op/_ts
+      // after the payload — no binlog columns, no _txn_op_index
+      // (PostgresStreamer.java:257-258, OracleStreamer.java:254-255)
+      val snapCols = spark.read.parquet(dir).columns.toSeq
+      assert(snapCols.sorted ==
+        (schema.fieldNames.toSeq ++ Seq("_op", "_ts", "dt")).sorted,
+        s"$flavor snapshot columns: $snapCols")
+
+      Files.write(in.resolve("00-tail.jsonl"),
+        String.join("\n", tail: _*).getBytes)
+      new CdcPipeline(spark, cfg)
+        .runAvailableNow(in.toString, tmp().resolve("ck").toString)
+
+      val sink = spark.read.parquet(dir)
+      assert(sink.count() == 2 + tail.length, s"$flavor composed rows")
+      // ONE schema for snapshot + tail — composition did not fork it
+      assert(sink.columns.toSeq.sorted == snapCols.sorted, s"$flavor schema")
+      // the flavor's offset format wrote back: numeric LSN / SCN of the
+      // max non-snapshot op (oracle's "r" and the READ rows are skipped)
+      assert(Files.readString(off.resolve(s"live_${flavor}_offset.txt")).trim
+        == expectedOffset, s"$flavor offset")
+    }
+  }
+
   // ---- chunked resumable snapshot (JdbcSnapshot.writeSnapshotChunked) ----
 
   private val bigseqSchema = StructType(Seq(

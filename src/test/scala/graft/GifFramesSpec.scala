@@ -76,6 +76,31 @@ class GifFramesSpec extends AnyFunSuite {
     assert(out.map(_.getInt(1)).toSeq == Seq(0, 3))
   }
 
+  test("sample-only decode: everyK=5 on a 10-frame GIF decodes 2 " +
+      "frames, not 10 — output bit-identical to decode-everything") {
+    val ten = (0 until 10).map(frame)
+    val gif10 = animatedGif(ten)
+    val before = Multimodal.gifFramesDecodedCount
+    // collect WITHOUT orderBy: a global sort's range-partitioning
+    // sample pass would run the decode lambda a second time and
+    // double the probe's count
+    val out = Multimodal.sampleGifFrames(
+      media(MediaRow(7L, "image/gif", gif10)), 5, 3, 2)
+      .collect().sortBy(_.getInt(1))
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 5))
+    // the probe: only the sampled indices hit reader.read — skipped
+    // frames' rasters are never LZW-decoded (tests run sequentially in
+    // the forked JVM, so the process-wide counter delta is exact)
+    assert(Multimodal.gifFramesDecodedCount - before == 2)
+    // bit-identical: each sampled frame equals its single-image render
+    val expected = Multimodal.resizeImages(
+      media(Seq(0, 5).map(i =>
+        MediaRow(i.toLong, "image/gif", singleGif(ten(i)))): _*), 3, 2)
+      .orderBy("media_id").collect().map(_.getAs[Array[Byte]]("pixels"))
+    assert(out.map(_.getAs[Array[Byte]]("pixels")).zip(expected)
+      .forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("non-gif rows contribute nothing; mislabeled PNG degrades to " +
       "its one frame") {
     val png = {

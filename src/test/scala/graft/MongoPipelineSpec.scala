@@ -147,6 +147,57 @@ class MongoPipelineSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("SCHEMA DRIFT")))
   }
 
+  test("drift abort emits the ready-made proposal; phase-2 config " +
+      "built FROM it ingests the new field into the dated collection") {
+    val in = tmp(); val out = tmp()
+    // token t1 → ts 1700000000 → 2023-11-14: the dated version name
+    Files.write(in.resolve("00.jsonl"),
+      env("CREATE", "orders", t1,
+        """{"_id":"k9","sku":"x","qty":1,"surprise":"f"}""").getBytes)
+    val p = new CdcPipeline(spark, CdcConfig("msrc3", registry,
+      out.toString, sourceType = "mongodb",
+      mongoMode = Some(MongoModes.TopLevelString)))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      p.runAvailableNow(in.toString, tmp().resolve("ck").toString)
+    }
+    // the abort surfaced the same ready-made proposal a MySQL
+    // structural-DDL stop gets: dated collection name map + evolved
+    // sampled schema (existing fields ∪ new field as string)
+    val proposal = p.evolutionProposals match {
+      case Seq(one) => one
+      case other => fail(s"expected one proposal, got $other")
+    }
+    assert(proposal.routeKey == "orders")
+    assert(proposal.newTableName == "orders_v20231114")
+    val evolved = proposal.schema.getOrElse(fail("drift schema is mechanical"))
+    assert(evolved.fieldNames.toSeq == Seq("_id", "sku", "qty", "surprise"))
+    assert(evolved("surprise").dataType == StringType)
+
+    // phase 2, like SchemaEvolutionSpec: the v2 config is the PURE
+    // applyProposal rewrite of the flat v1 config — no hand-assembly
+    val v1Cfg = Map(
+      "source.id" -> "msrc3", "source.type" -> "mongodb",
+      "sink.path" -> out.toString,
+      "table.schemas" ->
+        """{"orders": "_id:VARCHAR(24),sku:VARCHAR(10),qty:BIGINT"}""")
+    val v2Cfg = graft.ops.DdlEvolution.applyProposal(v1Cfg, proposal)
+    val v2Registry = graft.streaming.CdcJob.registryFromConfig(v2Cfg)
+    assert(v2Registry.routed("orders").schema == evolved)
+    assert(v2Registry.tableNameMap == Map("orders" -> "orders_v20231114"))
+    val p2 = new CdcPipeline(spark, CdcConfig("msrc3", v2Registry,
+      out.toString, sourceType = "mongodb",
+      mongoMode = Some(MongoModes.TopLevelString)))
+    p2.runAvailableNow(in.toString, tmp().resolve("ck2").toString)
+    // no drift this time — the row landed in the DATED sink with the
+    // new field populated; the old dir was never written
+    val sink = spark.read.parquet(s"$out/msrc3_orders_v20231114")
+    assert(sink.count() == 1)
+    val r = sink.collect()(0)
+    assert(r.getAs[String]("surprise") == "f" &&
+      r.getAs[String]("sku") == "x")
+    assert(!Files.exists(out.resolve("msrc3_orders")))
+  }
+
   test("document field shadowing a metadata column fails with the real cause") {
     // json_tuple outputs are renamed positionally to the schema field
     // names; a collection field named _op would collide with the

@@ -98,10 +98,21 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     // (the DDL was line 0 of its segment → resume at line 1; a live
     // binlog connector restarts at the DDL record's end position the
     // same way)
-    val v2 = TableRegistry(Seq(TableSpec("testdb", "users", v2Schema)),
-      tableNameMap = Map(proposal.tableNameMapEntry))
-    val p2 = new CdcPipeline(spark, CdcConfig("evo", v2, out.toString,
-      offsetStorePath = Some(off.toString)))
+    // the v2 config is produced by applyProposal — a pure rewrite of
+    // the flat v1 config (name map + evolved schema entry), so the
+    // restart consumes the proposal VERBATIM, no hand-assembled
+    // registry anywhere in the loop
+    val v1Cfg = Map(
+      "source.id" -> "evo", "source.type" -> "mysql",
+      "sink.path" -> out.toString,
+      "offset.store.path" -> off.toString,
+      "table.schemas" -> """{"testdb.users": "id:INT,name:VARCHAR(50)"}""")
+    val v2Cfg = graft.ops.DdlEvolution.applyProposal(v1Cfg, proposal)
+    val v2Config = graft.streaming.CdcJob.configFromMap(v2Cfg)
+    assert(v2Config.registry.routed("testdb.users").schema == v2Schema)
+    assert(v2Config.registry.tableNameMap ==
+      Map("testdb.users" -> "users_v20231114"))
+    val p2 = new CdcPipeline(spark, v2Config)
     p2.startFeed(
       graft.source.Dsv2Feed(feed.toString, options = Map(
         "startup.mode" -> "offset",
