@@ -387,6 +387,67 @@ object ScaleBench {
     println(f"[scale] multimodal sampleAviFrames 1x->${mult}x exponent: ${aviExp}%5.2f")
   }
 
+  /** The snapshot-sharding datapoint SCALE.md's "scan rate × 1/N"
+    * claim was missing: one Derby table (default 100k rows),
+    * snapshotted through `JdbcSnapshot.snapshotFrame` at
+    * numPartitions 1 vs 4, min-of-2 each. Derby is embedded — both
+    * sides share one JVM and one page cache — so the measured win is
+    * bounded by the database half, not the Spark half; the number
+    * reported is what IS, same policy as the ingest rows.
+    */
+  private def jdbcExperiment(spark: SparkSession, rows: Int): Unit = {
+    import graft.model.TableSpec
+    import graft.streaming.JdbcSnapshot
+    val url = "jdbc:derby:memory:graftscale"
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("graft-derby-scale-").toString)
+    val conn = java.sql.DriverManager.getConnection(s"$url;create=true")
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE APP.SNAP(ID INTEGER NOT NULL, VAL VARCHAR(64))")
+      st.close()
+      conn.setAutoCommit(false)
+      val ps = conn.prepareStatement("INSERT INTO APP.SNAP VALUES (?, ?)")
+      for (i <- 1 to rows) {
+        ps.setInt(1, i)
+        ps.setString(2, f"value-$i%08d-${i * 2654435761L}%016x")
+        ps.addBatch()
+        if (i % 5000 == 0) { ps.executeBatch(); conn.commit() }
+      }
+      ps.executeBatch(); conn.commit()
+      ps.close()
+    } finally conn.close()
+
+    val spec = TableSpec("APP", "SNAP",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ID",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("VAL",
+          org.apache.spark.sql.types.StringType))))
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    def onePass(parts: Int): Double = {
+      val opts =
+        if (parts == 1) Map.empty[String, String]
+        else Map("partitionColumn" -> "ID", "lowerBound" -> "1",
+          "upperBound" -> rows.toString, "numPartitions" -> parts.toString)
+      val t0 = System.nanoTime()
+      JdbcSnapshot.snapshotFrame(spark, url, props, "APP.SNAP", spec,
+        None, 1700000000000L, partitionOptions = opts)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    onePass(1) // untimed warmup: JDBC driver + codegen init
+    println(f"[scale] ${"jdbc snapshot"}%-26s ${"rows"}%9s ${"sec"}%7s ${"rows/s"}%9s")
+    val times = Seq(1, 4).map { parts =>
+      val t = math.min(onePass(parts), onePass(parts))
+      println(f"[scale]   numPartitions=$parts%-16s $rows%9d $t%7.2f ${rows / t}%9.0f")
+      parts -> t
+    }.toMap
+    println(f"[scale]   1->4 speedup ${times(1) / times(4)}%.2fx " +
+      "(embedded Derby bounds the win: one JVM, one page cache)")
+  }
+
   /** ONE session builder for all three experiment branches — a
     * config tweak applied to one branch and not the others would
     * silently change that experiment's measurement conditions.
@@ -410,6 +471,12 @@ object ScaleBench {
       val spark = buildSession()
       cdcExperiment(spark, args.lift(1).getOrElse("/tmp/graft-scale"),
         args.lift(2).map(_.toInt).getOrElse(10))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("jdbc")) {
+      val spark = buildSession()
+      jdbcExperiment(spark, args.lift(1).map(_.toInt).getOrElse(100000))
       spark.stop()
       return
     }
