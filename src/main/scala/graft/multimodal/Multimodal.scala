@@ -201,6 +201,124 @@ object Multimodal {
       } finally iis.close()
     }
 
+    /** Per-frame GIF placement + disposal from the reader's native
+      * metadata tree (`javax_imageio_gif_image_1.0`): (left, top,
+      * disposalMethod). Missing nodes default to (0, 0, "none") —
+      * the full-frame layout the stored-frame path assumes.
+      */
+    private def gifFrameMeta(
+        md: javax.imageio.metadata.IIOMetadata): (Int, Int, String) = {
+      val root = md.getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      def child(name: String): Option[org.w3c.dom.Element] = {
+        val kids = root.getElementsByTagName(name)
+        if (kids.getLength == 0) None
+        else Some(kids.item(0).asInstanceOf[org.w3c.dom.Element])
+      }
+      val (x, y) = child("ImageDescriptor").map { d =>
+        (d.getAttribute("imageLeftPosition").toInt,
+          d.getAttribute("imageTopPosition").toInt)
+      }.getOrElse((0, 0))
+      val disposal = child("GraphicControlExtension")
+        .map(_.getAttribute("disposalMethod")).filter(_.nonEmpty)
+        .getOrElse("none")
+      (x, y, disposal)
+    }
+
+    /** Disposal-method compositing (the `composite = true` mode of
+      * [[Multimodal.sampleGifFrames]]): each emitted frame is the
+      * LOGICAL canvas after drawing frame i at its declared offset,
+      * honoring the prior frame's disposal — `doNotDispose`/`none`
+      * leave the canvas, `restoreToBackgroundColor` clears the frame's
+      * rectangle (to transparent; luma reads it as black, the same
+      * value an un-drawn canvas has), `restoreToPrevious` rolls the
+      * canvas back. Delta-frame GIFs become correct at the cost of
+      * decoding EVERY stored frame up to the last sampled index — the
+      * sample-only shortcut is inherently unavailable when frame i
+      * depends on frames < i, which is why stored-frame mode stays
+      * the default.
+      *
+      * Lenient mode quarantines an unreadable frame (null slot if
+      * sampled) and keeps compositing the frames that do decode.
+      */
+    private[multimodal] def gifFrameLumasComposited(content: Array[Byte],
+        w: Int, h: Int, strict: Boolean,
+        everyK: Int = 1): Seq[(Int, Array[Byte])] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "undecodable bytes: no ImageIO reader")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          // logical screen from the stream metadata; fall back to the
+          // first frame's own size (single-frame images have no LSD)
+          val (sw, sh) = {
+            val stream = Option(reader.getStreamMetadata)
+              .map(_.getAsTree("javax_imageio_gif_stream_1.0")
+                .asInstanceOf[org.w3c.dom.Element])
+              .flatMap { root =>
+                val lsd = root.getElementsByTagName("LogicalScreenDescriptor")
+                if (lsd.getLength == 0) None
+                else {
+                  val d = lsd.item(0).asInstanceOf[org.w3c.dom.Element]
+                  Some((d.getAttribute("logicalScreenWidth").toInt,
+                    d.getAttribute("logicalScreenHeight").toInt))
+                }
+              }
+            stream.getOrElse {
+              (reader.getWidth(0), reader.getHeight(0))
+            }
+          }
+          var canvas = new java.awt.image.BufferedImage(sw, sh,
+            java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          def copyCanvas(): java.awt.image.BufferedImage = {
+            val c = new java.awt.image.BufferedImage(sw, sh,
+              java.awt.image.BufferedImage.TYPE_INT_ARGB)
+            val g = c.createGraphics()
+            try g.drawImage(canvas, 0, 0, null) finally g.dispose()
+            c
+          }
+          val out = Seq.newBuilder[(Int, Array[Byte])]
+          var i = 0
+          while (i < n) {
+            val decoded =
+              try Some((reader.read(i), gifFrameMeta(reader.getImageMetadata(i))))
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  if (strict) throw e else None
+              }
+            decoded match {
+              case Some((frame, (x, y, disposal))) =>
+                gifFramesDecoded.incrementAndGet()
+                val before =
+                  if (disposal == "restoreToPrevious") Some(copyCanvas())
+                  else None
+                val g = canvas.createGraphics()
+                try g.drawImage(frame, x, y, null) finally g.dispose()
+                if (i % everyK == 0) out += (i -> lumaGrid(canvas, w, h))
+                disposal match {
+                  case "restoreToBackgroundColor" =>
+                    val g2 = canvas.createGraphics()
+                    try {
+                      g2.setComposite(java.awt.AlphaComposite.Clear)
+                      g2.fillRect(x, y, frame.getWidth, frame.getHeight)
+                    } finally g2.dispose()
+                  case "restoreToPrevious" => before.foreach(canvas = _)
+                  case _ => ()
+                }
+              case None => // lenient quarantine: null slot if sampled
+                if (i % everyK == 0) out += (i -> null)
+            }
+            i += 1
+          }
+          out.result()
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
     /** WAV container → 8-bit unsigned samples (16-bit PCM is taken
       * down to its high byte; 8-bit PCM is already unsigned).
       */
@@ -364,7 +482,8 @@ object Multimodal {
     MediaDecoder.gifFramesDecoded.get()
 
   def sampleGifFrames(media: Dataset[MediaRow], everyK: Int,
-      w: Int, h: Int, strict: Boolean = false): DataFrame = {
+      w: Int, h: Int, strict: Boolean = false,
+      composite: Boolean = false): DataFrame = {
     require(everyK > 0, s"everyK must be positive, got $everyK")
     require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
     require(w.toLong * h <= Int.MaxValue,
@@ -374,7 +493,15 @@ object Multimodal {
       .flatMap { r =>
         val decoder = MediaDecoder
         try {
-          decoder.gifFrameLumas(r.content, w, h, strict, everyK).iterator
+          // composite=true maintains the disposal-method canvas so
+          // delta-frame GIFs are correct (decodes every stored frame —
+          // sampling can't skip frames its successors draw over);
+          // the default emits frames AS STORED with sample-only decode
+          val frames =
+            if (composite)
+              decoder.gifFrameLumasComposited(r.content, w, h, strict, everyK)
+            else decoder.gifFrameLumas(r.content, w, h, strict, everyK)
+          frames.iterator
             .map { case (idx, px) =>
               (r.media_id, idx, if (px == null) 0 else px.length,
                 if (px == null) Array.empty[Byte] else px, px != null)
