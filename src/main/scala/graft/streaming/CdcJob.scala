@@ -87,7 +87,25 @@ object CdcJob {
       fixedBucket = cfg.get("sink.fixed.bucket"),
       // the reference's planned dry-run mode (`README.md:66`): routed
       // per-table counts to the console, nothing written or published
-      dryRun = cfg.get("sink.dry.run").contains("true"))
+      dryRun = cfg.get("sink.dry.run").contains("true"),
+      // `mongodb.deserialization.mode` (`MongoDBStreamer.java:64,92-107`):
+      // doc-string / top-level-string / top-level-type, defaulting to
+      // top-level-type with a warning, unknown value fails fast — only
+      // consulted for a mongodb source, like the reference
+      mongoMode =
+        if (cfg("source.type") != "mongodb") None
+        else Some(cfg.get("mongodb.deserialization.mode") match {
+          case Some("doc-string") => graft.ops.MongoModes.DocString
+          case Some("top-level-string") => graft.ops.MongoModes.TopLevelString
+          case Some("top-level-type") => graft.ops.MongoModes.TopLevelType
+          case Some(other) => throw new IllegalArgumentException(
+            s"UNKNOWN MONGODB DESERIALIZATION MODE: $other")
+          case None =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              "MONGODB DESERIALIZATION MODE NOT SET, DEFAULT TO: " +
+                "top-level-type")
+            graft.ops.MongoModes.TopLevelType
+        }))
   }
 
   /** Target `CREATE TABLE` SQL for every sink table of a config (the

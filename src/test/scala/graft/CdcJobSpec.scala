@@ -84,6 +84,32 @@ class CdcJobSpec extends AnyFunSuite {
     }
   }
 
+  test("mongodb.deserialization.mode wires into the config; unknown fails") {
+    val base = Map("source.id" -> "m", "source.type" -> "mongodb",
+      "sink.path" -> "SINK",
+      "table.schemas" -> """{"orders":"_id:VARCHAR(24),qty:BIGINT"}""")
+    import graft.ops.MongoModes
+    // reference default (MongoDBStreamer.java:92): unset → top-level-type
+    assert(CdcJob.configFromMap(base).mongoMode
+      .contains(MongoModes.TopLevelType))
+    assert(CdcJob.configFromMap(
+      base + ("mongodb.deserialization.mode" -> "doc-string")).mongoMode
+      .contains(MongoModes.DocString))
+    assert(CdcJob.configFromMap(
+      base + ("mongodb.deserialization.mode" -> "top-level-string")).mongoMode
+      .contains(MongoModes.TopLevelString))
+    val e = intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(
+        base + ("mongodb.deserialization.mode" -> "bogus"))
+    }
+    assert(e.getMessage.contains("UNKNOWN MONGODB DESERIALIZATION MODE"))
+    // a non-mongo source never gets a mongo projection mode
+    val mysql = Map("source.id" -> "s", "source.type" -> "mysql",
+      "sink.path" -> "SINK",
+      "table.schemas" -> """{"db.t":"id:INT"}""")
+    assert(CdcJob.configFromMap(mysql).mongoMode.isEmpty)
+  }
+
   test("snapshot override keys are sanitized to route keys and registry-validated") {
     val cfg = Map("source.id" -> "s", "source.type" -> "mysql",
       "sink.path" -> "SINK",
