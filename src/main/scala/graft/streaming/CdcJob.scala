@@ -210,6 +210,9 @@ object CdcJob {
           // chunk granularity, not table granularity. The plan is cut
           // once and persisted; a restart reuses it verbatim (re-probing
           // live bounds would shift every range).
+          // `snapshot.jdbc.chunk.rows` instead sizes chunks by value
+          // span — the reference's rows-per-split knob
+          // (`mysql.split.size` 4096, `MySQLStreamer.java:200`).
           val counts = cfg.get("snapshot.jdbc.chunk.column") match {
             case Some(chunkCol) =>
               val progress = new JdbcSnapshot.FileChunkProgress(spark,
@@ -217,7 +220,9 @@ object CdcJob {
               JdbcSnapshot.writeSnapshotChunked(spark, config, url,
                 connProps, System.currentTimeMillis(), chunkCol,
                 cfg.getOrElse("snapshot.jdbc.chunks", "4").toInt,
-                progress, Some(pending))
+                progress, Some(pending),
+                rowsPerChunk = cfg.get("snapshot.jdbc.chunk.rows")
+                  .map(_.toLong))
             case None =>
               JdbcSnapshot.writeSnapshot(spark, config, url, connProps,
                 System.currentTimeMillis(), partOpts, Some(pending))

@@ -292,10 +292,21 @@ object JdbcSnapshot {
     * Returns rows written per table THIS run (footer-count deltas,
     * like [[writeSnapshot]]).
     */
+  /** `rowsPerChunk` (the reference's `mysql.split.size` = 4096 shape,
+    * `MySQLStreamer.java:200`) overrides `chunks` with a per-table
+    * count derived from the probed bounds: ceil(span / rowsPerChunk).
+    * Span is the chunk column's VALUE range — for dense sequential
+    * keys that is the row count; for sparse keys chunks run smaller,
+    * never bigger (same assumption the reference's range splitter
+    * makes, with its distribution-factor guard for pathological skew).
+    * The derived count is persisted in the plan, so a restart is
+    * consistent even if the config knob changes between runs.
+    */
   def writeSnapshotChunked(spark: SparkSession, config: CdcConfig,
       url: String, connProps: Map[String, String], snapshotTsMs: Long,
       chunkColumn: String, chunks: Int, progress: ChunkProgress,
-      only: Option[Set[String]] = None): Map[String, Long] = {
+      only: Option[Set[String]] = None,
+      rowsPerChunk: Option[Long] = None): Map[String, Long] = {
     val dtCol = config.fixedBucket.map(lit(_).as("dt"))
       .getOrElse(EnvelopeDecoder.dtColumn)
     def sinkCount(dir: String): Long =
@@ -310,7 +321,14 @@ object JdbcSnapshot {
       val plan = progress.plan(key).orElse {
         chunkBounds(spark, url, connProps, source.key, chunkColumn)
           .map { case (lo, hi) =>
-            val p = ChunkPlan(key, chunkColumn, chunks, lo, hi)
+            val n = rowsPerChunk match {
+              case Some(rows) =>
+                require(rows > 0, s"rowsPerChunk must be positive, got $rows")
+                val span = BigInt(hi) - BigInt(lo) + 1
+                ((span + rows - 1) / rows).min(BigInt(Int.MaxValue)).toInt
+              case None => chunks
+            }
+            val p = ChunkPlan(key, chunkColumn, n, lo, hi)
             progress.savePlan(p)
             p
           }

@@ -490,6 +490,23 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally c2.close()
   }
 
+  test("chunk.rows sizes the plan per table from the probed span " +
+      "(the reference's rows-per-split knob)") {
+    val out = tmp(); val progDir = tmp().resolve("chunks").toString
+    val registry = TableRegistry(Seq(TableSpec("SALES", "BIGSEQ", bigseqSchema)))
+    val cfg = CdcConfig("rowchunks", registry, out.toString)
+    val file = new JdbcSnapshot.FileChunkProgress(spark, progDir)
+    val counts = JdbcSnapshot.writeSnapshotChunked(spark, cfg, url,
+      connProps, 1700000000000L, "ID", chunks = 999 /* overridden */,
+      file, rowsPerChunk = Some(300L))
+    // span [1,1000] at 300 rows/chunk → ceil(1000/300) = 4 chunks,
+    // persisted in the plan (not the ignored `chunks` arg)
+    assert(file.plan("SALES.BIGSEQ").get ==
+      JdbcSnapshot.ChunkPlan("SALES.BIGSEQ", "ID", 4, 1, 1000))
+    assert(file.doneChunks("SALES.BIGSEQ") == Set(0, 1, 2, 3))
+    assert(counts("SALES.BIGSEQ") == 1000)
+  }
+
   test("savePlan is create-once: a second cut of the same table fails") {
     val file = new JdbcSnapshot.FileChunkProgress(spark,
       tmp().resolve("chunks").toString)
