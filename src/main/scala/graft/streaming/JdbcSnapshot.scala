@@ -60,17 +60,19 @@ object JdbcSnapshot {
       case Some(stmt) => SnapshotOverrides.asJdbcSubquery(sourceTable, stmt)
       case None => sourceTable
     }
-    // chunk = (column, lo inclusive, hi exclusive): one slice of a
+    // chunk = (column, lo, hi) BOTH INCLUSIVE: one slice of a
     // resumable snapshot — composed AROUND the override subquery so
     // both the operator's predicate and the chunk range run
-    // server-side
+    // server-side. Inclusive bounds, not half-open: a half-open upper
+    // of Long.MaxValue+1 is unrepresentable, which would silently
+    // exclude a key AT Long.MaxValue from the last chunk.
     val dbtable = chunk match {
       case Some((c, lo, hi)) =>
         val inner = overrideStmt match {
           case Some(_) => base // already a parenthesized aliased subquery
           case None => sourceTable
         }
-        s"(SELECT * FROM $inner WHERE $c >= $lo AND $c < $hi) graft_chunk"
+        s"(SELECT * FROM $inner WHERE $c >= $lo AND $c <= $hi) graft_chunk"
       case None => base
     }
     val raw = spark.read.format("jdbc")
@@ -171,15 +173,18 @@ object JdbcSnapshot {
       lo: Long, hi: Long) {
     require(chunks > 0, s"chunks must be positive, got $chunks")
     require(lo <= hi, s"bounds out of order: [$lo, $hi]")
-    /** Chunk i as (lo inclusive, hi exclusive); BigInt internally so
-      * full-Long-range bounds can't overflow the step math.
+    /** Chunk i as (lo, hi) BOTH INCLUSIVE; BigInt internally so
+      * full-Long-range bounds can't overflow the step math, and
+      * inclusive so `hi = Long.MaxValue` is representable (a half-open
+      * upper would need MaxValue+1 and silently drop that key). A
+      * trailing chunk past the span is empty: its lo > hi.
       */
     def range(i: Int): (Long, Long) = {
       val span = BigInt(hi) - BigInt(lo) + 1
       val step = (span + chunks - 1) / chunks
       val a = BigInt(lo) + step * i
-      val b = (a + step).min(BigInt(hi) + 1)
-      (a.toLong, if (b > BigInt(Long.MaxValue)) Long.MaxValue else b.toLong)
+      if (a > BigInt(hi)) (Long.MaxValue, Long.MinValue) // empty: lo > hi
+      else (a.toLong, (a + step - 1).min(BigInt(hi)).toLong)
     }
   }
 
@@ -339,7 +344,7 @@ object JdbcSnapshot {
           val done = progress.doneChunks(key)
           for (i <- 0 until p.chunks if !done.contains(i)) {
             val (a, b) = p.range(i)
-            if (a < b) {
+            if (a <= b) { // inclusive bounds; a > b = empty trailing chunk
               snapshotFrame(spark, url, connProps, source.key, spec,
                 config.snapshotOverrides.get(key).map(_.statement),
                 snapshotTsMs, config.sourceType,

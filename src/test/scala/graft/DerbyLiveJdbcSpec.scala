@@ -420,7 +420,7 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     val frame = JdbcSnapshot.snapshotFrame(spark, url, connProps,
       "SALES.BIGSEQ", spec,
       Some("SELECT id, val FROM SALES.BIGSEQ WHERE id <= 900"),
-      1700000000000L, chunk = Some(("ID", 251, 501)))
+      1700000000000L, chunk = Some(("ID", 251, 500)))
     // the scanned relation IS the nested subquery: chunk range wrapped
     // around the override alias — neither predicate reaches Spark
     val plan = frame.queryExecution.optimizedPlan.toString
