@@ -387,6 +387,79 @@ object ScaleBench {
     println(f"[scale] multimodal sampleAviFrames 1x->${mult}x exponent: ${aviExp}%5.2f")
   }
 
+  /** Deterministic n-frame animated GIF (32×32 frames, distinct
+    * pattern per (id, frame)) for the sample-only decode experiment.
+    */
+  private[graft] def gifBytes(id: Long, frames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      var k = 0
+      while (k < frames) {
+        val img = new java.awt.image.BufferedImage(32, 32,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            img.setRGB(x, y,
+              (((id * 31 + k * 7 + x) & 0xff) << 16).toInt |
+                (((y * 5 + k) & 0xff) << 8))
+            x += 1
+          }
+          y += 1
+        }
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        k += 1
+      }
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Sample-only GIF decode: at everyK = k only ceil(frames/k) of a
+    * GIF's rasters are LZW-decoded (round 9 — previously every frame
+    * decoded and most were dropped). Measured as wall time of
+    * `sampleGifFrames` over one corpus at k = 1 / 5 / frames:
+    * time should fall roughly with sampled-frame count, floored by
+    * the per-asset container walk.
+    */
+  private def gifExperiment(spark: SparkSession, work: String): Unit = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val n = 2000L; val frames = 20
+    val dir = s"$work/gif_${n}x$frames"
+    if (!new java.io.File(dir).exists()) {
+      println(s"[scale] generating $n-GIF corpus ($frames frames each) at $dir")
+      spark.range(n).repartition(64)
+        .map(id => Multimodal.MediaRow(id, "image/gif", gifBytes(id, frames)))
+        .write.mode("overwrite").parquet(dir)
+    }
+    spark.read.parquet(dir).write.format("noop").mode("overwrite").save()
+    def time(k: Int): Double = {
+      val media = spark.read.parquet(dir).as[Multimodal.MediaRow]
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        Multimodal.sampleGifFrames(media, k, 16, 16)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    time(1) // untimed warmup
+    println(f"[scale] ${"gif sample-only decode"}%-26s ${"frames"}%9s ${"sec"}%7s")
+    val ts = Seq(1, 5, frames).map { k =>
+      val sampled = n * ((frames + k - 1) / k)
+      val t = time(k)
+      println(f"[scale]   everyK=$k%-3d decodes $sampled%9d $t%7.2f")
+      k -> t
+    }.toMap
+    println(f"[scale]   k=1 -> k=5 speedup ${ts(1) / ts(5)}%.2fx " +
+      f"(20x fewer decodes: ${ts(1) / ts(frames)}%.2fx)")
+  }
+
   /** The snapshot-sharding datapoint SCALE.md's "scan rate × 1/N"
     * claim was missing: one Derby table (default 100k rows),
     * snapshotted through `JdbcSnapshot.snapshotFrame` at
@@ -471,6 +544,13 @@ object ScaleBench {
       val spark = buildSession()
       cdcExperiment(spark, args.lift(1).getOrElse("/tmp/graft-scale"),
         args.lift(2).map(_.toInt).getOrElse(10))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("gif")) {
+      val spark = buildSession(Map(
+        "spark.sql.files.maxPartitionBytes" -> (4 * 1024 * 1024).toString))
+      gifExperiment(spark, args.lift(1).getOrElse("/tmp/graft-scale"))
       spark.stop()
       return
     }
