@@ -222,7 +222,11 @@ object CdcJob {
                 cfg.getOrElse("snapshot.jdbc.chunks", "4").toInt,
                 progress, Some(pending),
                 rowsPerChunk = cfg.get("snapshot.jdbc.chunk.rows")
-                  .map(_.toLong))
+                  .map(_.toLong),
+                // chunk = resume unit, partitions = parallelism unit:
+                // each chunk's range scan shards across executors
+                numPartitions = cfg.get("snapshot.jdbc.num.partitions")
+                  .map(_.toInt).getOrElse(1))
             case None =>
               JdbcSnapshot.writeSnapshot(spark, config, url, connProps,
                 System.currentTimeMillis(), partOpts, Some(pending))

@@ -307,11 +307,20 @@ object JdbcSnapshot {
     * The derived count is persisted in the plan, so a restart is
     * consistent even if the config knob changes between runs.
     */
+  /** `numPartitions` > 1 additionally shards EACH chunk's range scan
+    * across executors via Spark's JDBC partition options (bounds set
+    * to the chunk's own range) — the chunk stays the unit of RESUME,
+    * the partitions the unit of PARALLELISM, so resumability no
+    * longer costs the sharded-scan throughput the single-shot path
+    * has. The JDBC range predicates compose with the chunk WHERE
+    * (their intersection is the chunk).
+    */
   def writeSnapshotChunked(spark: SparkSession, config: CdcConfig,
       url: String, connProps: Map[String, String], snapshotTsMs: Long,
       chunkColumn: String, chunks: Int, progress: ChunkProgress,
       only: Option[Set[String]] = None,
-      rowsPerChunk: Option[Long] = None): Map[String, Long] = {
+      rowsPerChunk: Option[Long] = None,
+      numPartitions: Int = 1): Map[String, Long] = {
     val dtCol = config.fixedBucket.map(lit(_).as("dt"))
       .getOrElse(EnvelopeDecoder.dtColumn)
     def sinkCount(dir: String): Long =
@@ -345,9 +354,17 @@ object JdbcSnapshot {
           for (i <- 0 until p.chunks if !done.contains(i)) {
             val (a, b) = p.range(i)
             if (a <= b) { // inclusive bounds; a > b = empty trailing chunk
+              val shardOpts =
+                if (numPartitions <= 1) Map.empty[String, String]
+                else Map(
+                  "partitionColumn" -> p.column,
+                  "lowerBound" -> a.toString,
+                  "upperBound" -> b.toString,
+                  "numPartitions" -> numPartitions.toString)
               snapshotFrame(spark, url, connProps, source.key, spec,
                 config.snapshotOverrides.get(key).map(_.statement),
                 snapshotTsMs, config.sourceType,
+                partitionOptions = shardOpts,
                 chunk = Some((p.column, a, b)))
                 .withColumn("dt", dtCol)
                 .write.mode("append").partitionBy("dt").parquet(dir)

@@ -490,6 +490,39 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally c2.close()
   }
 
+  test("numPartitions shards each chunk's scan; result identical to unsharded") {
+    val registry = TableRegistry(Seq(TableSpec("SALES", "BIGSEQ", bigseqSchema)))
+    def snapAll(parts: Int): Seq[Int] = {
+      val out = tmp()
+      val cfg = CdcConfig(s"shard$parts", registry, out.toString)
+      val file = new JdbcSnapshot.FileChunkProgress(spark,
+        tmp().resolve("chunks").toString)
+      JdbcSnapshot.writeSnapshotChunked(spark, cfg, url, connProps,
+        1700000000000L, "ID", 4, file, numPartitions = parts)
+      spark.read.parquet(s"$out/shard${parts}_SALES__BIGSEQ")
+        .select("ID").collect().map(_.getInt(0)).sorted.toSeq
+    }
+    // chunk = resume unit, partitions = parallelism unit: the sharded
+    // run reads through 2 range partitions per chunk (the JDBC bounds
+    // are the chunk's own range, so the shards tile the chunk), and
+    // the rows are exactly the unsharded rows
+    val plain = snapAll(1)
+    val sharded = snapAll(2)
+    assert(plain == (1 to 1000) && sharded == plain)
+    // plan-level: a sharded chunk frame has 2 partitions, no Exchange
+    val frame = JdbcSnapshot.snapshotFrame(spark, url, connProps,
+      "SALES.BIGSEQ", registry.routed("SALES.BIGSEQ"), None,
+      1700000000000L,
+      partitionOptions = Map("partitionColumn" -> "ID",
+        "lowerBound" -> "251", "upperBound" -> "500",
+        "numPartitions" -> "2"),
+      chunk = Some(("ID", 251, 500)))
+    assert(frame.rdd.getNumPartitions == 2)
+    assert(frame.select("ID").collect().map(_.getInt(0)).sorted.toSeq
+      == (251 to 500))
+    assert(!frame.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("chunk.rows sizes the plan per table from the probed span " +
       "(the reference's rows-per-split knob)") {
     val out = tmp(); val progDir = tmp().resolve("chunks").toString
