@@ -139,6 +139,12 @@ object Bench {
     */
   private[graft] val SpreadFloor = 1.5
 
+  /** Max failed-query NAMES in the JSON line (`failed_n` always
+    * carries the true count) — same parse-window protection as
+    * [[SpreadCap]]: 15 × ~7 chars bounds a total-failure round.
+    */
+  private[graft] val FailedCap = 15
+
   /** Max spread entries in the JSON line (worst first). Sized from a
     * live measurement, not hope: the r7 line is ~1640 chars before
     * spread, the driver parses the LAST ~2000 and sbt appends its own
@@ -196,8 +202,14 @@ object Bench {
     // reader must be able to tell "-1 = did not run" from "not
     // benchmarked this round" without diffing the correctness artifact
     // (BENCH_r08 carried 25 silent -1s from a testdata schema change).
-    val failedJson = results.filter(_._2 < 0).map(r => "\"" + short(r._1) + "\"")
-      .mkString(""","failed":[""", ",", "]")
+    // failed_n is the TRUE count and the name list is capped like
+    // spread — a mass failure (the exact scenario this field exists
+    // for) must not push the line past the driver's ~2000-char parse
+    // window and destroy the whole record.
+    val failed = results.filter(_._2 < 0)
+    val failedJson = s""","failed_n":${failed.length}""" +
+      failed.take(FailedCap).map(r => "\"" + short(r._1) + "\"")
+        .mkString(""","failed":[""", ",", "]")
     // spread: only queries whose two passes disagreed ≥ SpreadFloor —
     // lets a reader bound run-to-run variance per entry (a min that
     // looks regressed but has spread ≈ 1 means BOTH passes were hit

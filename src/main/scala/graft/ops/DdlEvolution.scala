@@ -194,13 +194,19 @@ object DdlEvolution {
       case Array(d, t) => s"${Sanitizer(d)}.${Sanitizer(t)}"
       case Array(t) => Sanitizer(t)
     }
-    val names = graft.streaming.JobConfig.nameMap(cfg, "table.name.map") +
-      p.tableNameMapEntry
     val schemas = graft.streaming.JobConfig.nameMap(cfg, "table.schemas")
+    // BOTH rewritten entries must keep the RAW config spelling:
+    // `TableRegistry.routed` looks `tableNameMap` up by the raw
+    // declared key (`t.key`), so an entry keyed by the sanitized
+    // route key would silently never apply for a dash/dot-named
+    // db or table — the rows would land in the OLD undated sink
+    // with the NEW schema, the exact fork the versioning prevents.
+    val rawKey = schemas.keys.find(sanitizeKey(_) == p.routeKey)
+      .getOrElse(p.routeKey)
+    val names = graft.streaming.JobConfig.nameMap(cfg, "table.name.map") +
+      (rawKey -> p.newTableName)
     val evolvedSchemas = p.schema match {
       case Some(s) =>
-        val rawKey = schemas.keys.find(sanitizeKey(_) == p.routeKey)
-          .getOrElse(p.routeKey)
         schemas + (rawKey ->
           s.fields.map(f => s"${f.name}:${typeToken(f.dataType)}")
             .mkString(","))
@@ -222,10 +228,15 @@ object DdlEvolution {
   def proposeMongoDrift(spec: graft.model.TableSpec, routeKey: String,
       driftFields: Set[String], tsMillis: Long): EvolutionProposal = {
     import org.apache.spark.sql.types.{StringType, StructField}
-    val newFields = driftFields.toSeq.sorted
+    // sanitize + dedup + drop names already in the schema: a raw doc
+    // key whose SANITIZED form matches an existing field (`sku-2` vs
+    // `sku_2`) must not produce a duplicate column in the evolved
+    // schema — a duplicate-field StructType breaks json_tuple's
+    // positional rename and the parquet writer on restart
+    val newFields = driftFields.toSeq.map(Sanitizer(_)).distinct.sorted
+      .filterNot(spec.schema.fieldNames.contains)
     val evolved = StructType(spec.schema.fields ++
-      newFields.map(f => StructField(Sanitizer(f), StringType,
-        nullable = true)))
+      newFields.map(f => StructField(f, StringType, nullable = true)))
     EvolutionProposal(
       routeKey = routeKey,
       newTableName = versionedName(spec.table, tsMillis),

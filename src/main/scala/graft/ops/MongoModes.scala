@@ -92,11 +92,15 @@ object MongoModes {
     // sub-document's fields (stringified by the type mapping) must not
     // count as drift. json_object_keys parses the JSON properly, so
     // key-like text inside string values can't false-positive either.
+    // A key is known if its raw OR sanitized form matches — sampled
+    // schemas hold SANITIZED names (`sku-2` → `sku_2`), so a raw key
+    // whose collapse is already a schema field is not new data.
     frame
       .select(explode(json_object_keys(get_json_object(col("_raw"), "$._doc")))
         .as("f"))
       .filter(!col("f").startsWith("$"))
       .distinct().collect().map(_.getString(0)).toSet
-      .diff(known)
+      .filterNot(k => known.contains(k) ||
+        known.contains(graft.schema.Sanitizer(k)))
   }
 }

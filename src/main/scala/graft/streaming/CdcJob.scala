@@ -215,6 +215,14 @@ object CdcJob {
           // (`mysql.split.size` 4096, `MySQLStreamer.java:200`).
           val counts = cfg.get("snapshot.jdbc.chunk.column") match {
             case Some(chunkCol) =>
+              // chunking re-shards on the CHUNK column; explicitly
+              // configured partition.column/bounds don't apply there —
+              // say so instead of silently changing the scan shape
+              if (partOpts.keySet.exists(_ != "numPartitions"))
+                log.warn(s"[${config.name}] snapshot.jdbc.partition.* " +
+                  "column/bounds are ignored when snapshot.jdbc.chunk." +
+                  s"column is set — chunking shards on '$chunkCol' " +
+                  "(num.partitions still applies per chunk)")
               val progress = new JdbcSnapshot.FileChunkProgress(spark,
                 s"$markerDir/${config.sourceId}_snapshot.chunks")
               JdbcSnapshot.writeSnapshotChunked(spark, config, url,

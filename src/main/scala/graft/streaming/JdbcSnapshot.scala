@@ -223,6 +223,12 @@ object JdbcSnapshot {
     def chunkDone(key: String, i: Int): Unit
   }
 
+  /** Upper bound on a span-derived chunk count (`rowsPerChunk`
+    * sizing): beyond this, the chunk column is too sparse and the
+    * plan would be a persisted death march, not a snapshot.
+    */
+  val MaxChunks: Int = 100000
+
   /** Durable [[ChunkProgress]]: one small file per fact under `dir`
     * (beside the `_snapshot.done` marker) — `<key>.plan` holds the cut
     * plan (`column chunks lo hi`), `<key>.chunk<i>.done` is an empty
@@ -250,7 +256,13 @@ object JdbcSnapshot {
         val line =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
-        line.split("\\s+") match {
+        // an EMPTY file is the crash window between savePlan's create
+        // and its write — no plan was ever recorded, so nothing can
+        // have landed under it. Self-heal: delete and re-cut (the
+        // create-once guard would otherwise wedge the table forever).
+        // NON-empty malformed content is real corruption — fail loud.
+        if (line.isEmpty) { fs.delete(p, false); None }
+        else line.split("\\s+") match {
           case Array(col, n, lo, hi) =>
             Some(ChunkPlan(key, col, n.toInt, lo.toLong, hi.toLong))
           case _ => throw new IllegalStateException(
@@ -339,7 +351,21 @@ object JdbcSnapshot {
               case Some(rows) =>
                 require(rows > 0, s"rowsPerChunk must be positive, got $rows")
                 val span = BigInt(hi) - BigInt(lo) + 1
-                ((span + rows - 1) / rows).min(BigInt(Int.MaxValue)).toInt
+                val derived = (span + rows - 1) / rows
+                // span-based sizing explodes on SPARSE keys (a
+                // snowflake/epoch-millis ID spans ~1e15 regardless of
+                // row count → billions of chunks, each a JDBC query +
+                // a progress file, persisted in the plan). Fail fast
+                // with the fix rather than start a death march — the
+                // reference guards the same hazard with its
+                // distribution-factor bound.
+                require(derived <= MaxChunks,
+                  s"$key: chunk column spans [$lo, $hi] — " +
+                    s"$derived chunks at $rows rows each (cap $MaxChunks). " +
+                    "The column is too sparse for span-based sizing: " +
+                    "use snapshot.jdbc.chunks with a fixed count, or a " +
+                    "denser chunk column")
+                derived.toInt
               case None => chunks
             }
             val p = ChunkPlan(key, chunkColumn, n, lo, hi)

@@ -60,15 +60,26 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.contains("\"value\":2.000"))
   }
 
-  test("failed list names every -1 query explicitly") {
+  test("failed list names every -1 query explicitly, with the true count") {
     val line = render(Seq("q01_ok" -> 2.0, "q02_broken" -> -1.0,
       "q03_broken" -> -1.0), None)
-    assert(line.contains(""","failed":["q02","q03"]"""), line)
+    assert(line.contains(""","failed_n":2,"failed":["q02","q03"]"""), line)
   }
 
   test("all-green run still emits an empty failed list (affirmative signal)") {
     val line = render(Seq("q01_ok" -> 2.0), None)
-    assert(line.contains(""","failed":[]"""), line)
+    assert(line.contains(""","failed_n":0,"failed":[]"""), line)
+  }
+
+  test("mass failure caps the name list but keeps the true count " +
+      "(parse-window protection)") {
+    val many = (1 to 40).map(i => f"q$i%02d_x" -> -1.0)
+    val line = render(many, None)
+    assert(line.contains(""","failed_n":40"""), line)
+    val failedSection = line.substring(line.indexOf("\"failed\":["))
+      .takeWhile(_ != ']')
+    assert(failedSection.count(_ == ',') == Bench.FailedCap - 1,
+      failedSection) // exactly FailedCap names listed
   }
 
   test("ingest spreads render only at/above the floor") {

@@ -103,4 +103,36 @@ class DdlEvolutionSpec extends AnyFunSuite {
     assert(DdlEvolution.propose(registry, "testdb", "users",
       "CREATE INDEX i1 ON users (id)", ts).isEmpty)
   }
+
+  test("applyProposal keys BOTH rewritten entries by the RAW config " +
+      "spelling (dash-named db)") {
+    // raw key "my-db.users" sanitizes to route key "my_db.users";
+    // TableRegistry.routed looks tableNameMap up by the RAW key, so a
+    // sanitized-key entry would silently never rename the sink
+    val dashRegistry = TableRegistry(Seq(TableSpec("my-db", "users", base)))
+    val p = DdlEvolution.propose(dashRegistry, "my-db", "users",
+      "ALTER TABLE users ADD COLUMN age INT", ts).get
+    assert(p.routeKey == "my_db.users")
+    val v1 = Map(
+      "source.id" -> "s", "source.type" -> "mysql", "sink.path" -> "SINK",
+      "table.schemas" ->
+        """{"my-db.users": "id:INT,name:VARCHAR(50),balance:DECIMAL(10,2)"}""")
+    val v2 = DdlEvolution.applyProposal(v1, p)
+    val reg = graft.streaming.CdcJob.registryFromConfig(v2)
+    val spec = reg.routed("my_db.users")
+    assert(spec.table == "users_v20231114") // the rename APPLIED
+    assert(spec.schema.fieldNames.contains("age"))
+  }
+
+  test("mongo drift proposal never duplicates a sanitized-colliding field") {
+    // doc key "sku-2" sanitizes to existing schema field "sku_2" — it
+    // is not new data and must not appear twice in the evolved schema
+    val spec = TableSpec("", "orders", StructType(Seq(
+      StructField("_id", StringType), StructField("sku_2", StringType))))
+    val p = DdlEvolution.proposeMongoDrift(spec, "orders",
+      Set("sku-2", "brand-new"), ts)
+    val evolved = p.schema.get
+    assert(evolved.fieldNames.toSeq == Seq("_id", "sku_2", "brand_new"))
+    assert(evolved.fieldNames.distinct.length == evolved.fieldNames.length)
+  }
 }

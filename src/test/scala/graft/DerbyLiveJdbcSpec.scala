@@ -71,7 +71,11 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
         (8, NULL, NULL, NULL)""",
       // ~1k-row table for the chunked resumable snapshot: big enough
       // that 4 chunks are all non-empty, small enough to stay fast
-      "CREATE TABLE SALES.BIGSEQ(ID INTEGER NOT NULL, VAL INTEGER)"))
+      "CREATE TABLE SALES.BIGSEQ(ID INTEGER NOT NULL, VAL INTEGER)",
+      // 2 rows spanning ~5e9: the sparse-key hazard for span-based
+      // chunk sizing
+      "CREATE TABLE SALES.SPARSEQ(ID BIGINT NOT NULL)",
+      "INSERT INTO SALES.SPARSEQ VALUES (1), (5000000000)"))
       st.executeUpdate(ddl)
     st.close()
     val ps = c.prepareStatement("INSERT INTO SALES.BIGSEQ VALUES (?, ?)")
@@ -538,6 +542,39 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
       JdbcSnapshot.ChunkPlan("SALES.BIGSEQ", "ID", 4, 1, 1000))
     assert(file.doneChunks("SALES.BIGSEQ") == Set(0, 1, 2, 3))
     assert(counts("SALES.BIGSEQ") == 1000)
+  }
+
+  test("chunk.rows on a sparse key fails fast, not a persisted death march") {
+    val registry = TableRegistry(Seq(TableSpec("SALES", "SPARSEQ",
+      StructType(Seq(StructField("ID", LongType))))))
+    val cfg = CdcConfig("sparse", registry, tmp().toString)
+    val file = new JdbcSnapshot.FileChunkProgress(spark,
+      tmp().resolve("chunks").toString)
+    // span ~5e9 at 4096 rows/chunk → ~1.2M chunks, over MaxChunks:
+    // the column is too sparse for span-based sizing — the plan must
+    // never be cut (a persisted pathological plan would resume on
+    // every restart)
+    val e = intercept[IllegalArgumentException] {
+      JdbcSnapshot.writeSnapshotChunked(spark, cfg, url, connProps,
+        1700000000000L, "ID", 4, file, rowsPerChunk = Some(4096L))
+    }
+    assert(e.getMessage.contains("too sparse"), e.getMessage)
+    assert(file.plan("SALES.SPARSEQ").isEmpty)
+  }
+
+  test("an empty plan file (crash between create and write) self-heals") {
+    val dir = tmp().resolve("chunks")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("SALES.BIGSEQ.plan"), Array.empty[Byte])
+    val file = new JdbcSnapshot.FileChunkProgress(spark, dir.toString)
+    // the empty file is the savePlan create→write crash window: no
+    // plan was recorded, so it reads as absent (and is deleted) —
+    // create-once must NOT wedge the table forever
+    assert(file.plan("SALES.BIGSEQ").isEmpty)
+    assert(!Files.exists(dir.resolve("SALES.BIGSEQ.plan")))
+    val p = JdbcSnapshot.ChunkPlan("SALES.BIGSEQ", "ID", 4, 1, 1000)
+    file.savePlan(p) // re-cut succeeds after self-heal
+    assert(file.plan("SALES.BIGSEQ").contains(p))
   }
 
   test("savePlan is create-once: a second cut of the same table fails") {

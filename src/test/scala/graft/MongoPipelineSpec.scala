@@ -198,6 +198,19 @@ class MongoPipelineSpec extends AnyFunSuite {
     assert(!Files.exists(out.resolve("msrc3_orders")))
   }
 
+  test("drift check: a raw key whose SANITIZED form is a schema field " +
+      "is not drift") {
+    import spark.implicits._
+    // sampled schemas hold sanitized names: doc key "sku-2" IS schema
+    // field "sku_2" — only "newf" is genuinely outside the schema
+    val frame = Seq((
+      """{"_doc":{"_id":"k","sku-2":"x","newf":"y"}}""",
+      "CREATE", 1L, "0")).toDF("_raw", "_op", "_ts", "_txn_op_index")
+    val spec = TableSpec("", "orders", StructType(Seq(
+      StructField("_id", StringType), StructField("sku_2", StringType))))
+    assert(MongoModes.driftCheck(frame, spec) == Set("newf"))
+  }
+
   test("document field shadowing a metadata column fails with the real cause") {
     // json_tuple outputs are renamed positionally to the schema field
     // names; a collection field named _op would collide with the
