@@ -127,15 +127,21 @@ object Multimodal {
       * strict, same as the image path. Audio (`##wb`) and index
       * (`idx1`) chunks are skipped, not errors.
       */
-    private[multimodal] def aviMjpegFrames(
-        content: Array[Byte]): Seq[Array[Byte]] = {
+    /** `everyK`: only every k-th video frame's bytes are COPIED out
+      * of the container (the walk itself touches headers only) —
+      * at everyK=30 the old copy-then-drop wasted 29/30 of the
+      * byte-array churn. Returned with the original frame indices.
+      */
+    private[multimodal] def aviMjpegFrames(content: Array[Byte],
+        everyK: Int = 1): Seq[(Int, Array[Byte])] = {
       def u32le(i: Int): Long =
         (content(i) & 0xffL) | ((content(i + 1) & 0xffL) << 8) |
           ((content(i + 2) & 0xffL) << 16) | ((content(i + 3) & 0xffL) << 24)
       def fourcc(i: Int): String = new String(content, i, 4, "US-ASCII")
       require(content.length >= 12 && fourcc(0) == "RIFF" &&
         fourcc(8) == "AVI ", "not a RIFF/AVI container")
-      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      var frameNo = 0
       def walk(start: Int, end: Int): Unit = {
         var i = start
         while (i + 8 <= end) {
@@ -147,9 +153,12 @@ object Multimodal {
             s"corrupt container: chunk $cc runs past its parent")
           if (cc == "LIST") walk(dataStart + 4, dataEnd.toInt)
           else if (cc(0).isDigit && cc(1).isDigit && cc(2) == 'd' &&
-              (cc(3) == 'c' || cc(3) == 'b'))
-            out += java.util.Arrays.copyOfRange(content, dataStart,
-              dataEnd.toInt)
+              (cc(3) == 'c' || cc(3) == 'b')) {
+            if (frameNo % everyK == 0)
+              out += (frameNo -> java.util.Arrays.copyOfRange(content,
+                dataStart, dataEnd.toInt))
+            frameNo += 1
+          }
           i = (dataEnd + (size & 1)).toInt // chunks pad to even offsets
         }
       }
@@ -451,8 +460,8 @@ object Multimodal {
       .flatMap { r =>
         val decoder = MediaDecoder
         try {
-          decoder.aviMjpegFrames(r.content).iterator.zipWithIndex
-            .collect { case (f, idx) if idx % everyK == 0 =>
+          decoder.aviMjpegFrames(r.content, everyK).iterator
+            .map { case (idx, f) =>
               val px =
                 if (strict) decoder.resizeImageLuma(f, w, h)
                 else try decoder.resizeImageLuma(f, w, h)
