@@ -226,25 +226,36 @@ object DdlEvolution {
     * `TypeMapping.mongoClassToSpark`'s default).
     */
   def proposeMongoDrift(spec: graft.model.TableSpec, routeKey: String,
-      driftFields: Set[String], tsMillis: Long): EvolutionProposal = {
+      driftFields: Set[String], tsMillis: Long,
+      rawKey: Option[String] = None): EvolutionProposal = {
     import org.apache.spark.sql.types.{StringType, StructField}
-    // sanitize + dedup + drop names already in the schema: a raw doc
-    // key whose SANITIZED form matches an existing field (`sku-2` vs
-    // `sku_2`) must not produce a duplicate column in the evolved
-    // schema — a duplicate-field StructType breaks json_tuple's
-    // positional rename and the parquet writer on restart
-    val newFields = driftFields.toSeq.map(Sanitizer(_)).distinct.sorted
-      .filterNot(spec.schema.fieldNames.contains)
+    // Only SANITIZER-STABLE names auto-append: MongoModes.project
+    // extracts by the schema field name as the literal JSON key, so a
+    // doc key the sanitizer would change (`sku-2` → `sku_2`) can
+    // never be extracted through its sanitized column — appending it
+    // would produce a permanently-null column (and a collision with
+    // an existing field would produce a duplicate-field StructType
+    // that breaks json_tuple's rename and the parquet writer). Those
+    // fields go to the note: the operator renames them at the source
+    // or maps the collection, exactly the reference's manual story.
+    val (stable, manual) = driftFields.toSeq.sorted.partition(f =>
+      Sanitizer(f) == f && !spec.schema.fieldNames.contains(f))
     val evolved = StructType(spec.schema.fields ++
-      newFields.map(f => StructField(f, StringType, nullable = true)))
+      stable.map(f => StructField(f, StringType, nullable = true)))
     EvolutionProposal(
       routeKey = routeKey,
       newTableName = versionedName(spec.table, tsMillis),
-      tableNameMapEntry = routeKey -> versionedName(spec.table, tsMillis),
+      tableNameMapEntry =
+        rawKey.getOrElse(routeKey) -> versionedName(spec.table, tsMillis),
       schema = Some(evolved),
       note = "mongo top-level-string drift: new field(s) " +
-        s"${newFields.mkString(", ")} appended as string to the " +
-        "sampled schema")
+        s"${stable.mkString(", ")} appended as string to the " +
+        "sampled schema" +
+        (if (manual.isEmpty) ""
+        else s"; field(s) ${manual.mkString(", ")} need a MANUAL " +
+          "rename at the source (name not sanitizer-stable or " +
+          "collides with an existing column — the projection cannot " +
+          "extract them)"))
   }
 
   /** Proposal for one structural-DDL stop. None when the DDL's table
@@ -259,10 +270,17 @@ object DdlEvolution {
     val routeKey = if (sdb.isEmpty) stbl else s"$sdb.$stbl"
     registry.routed.get(routeKey).map { spec =>
       val evolved = evolveSchema(spec.schema, ddl)
+      // the name-map entry carries the RAW config spelling (the
+      // ORIGINAL declared key, via sourceTables) — TableRegistry looks
+      // tableNameMap up by the raw key, so a sanitized-keyed entry in
+      // the pasteable configJson would silently never rename the sink
+      // for a dash/dot-named db or table
+      val rawKey = registry.sourceTables.get(routeKey)
+        .map(_.key).getOrElse(routeKey)
       EvolutionProposal(
         routeKey = routeKey,
         newTableName = versionedName(spec.table, tsMillis),
-        tableNameMapEntry = routeKey -> versionedName(spec.table, tsMillis),
+        tableNameMapEntry = rawKey -> versionedName(spec.table, tsMillis),
         schema = evolved,
         note = if (evolved.isDefined)
           "schema evolved mechanically from the ALTER clause list"

@@ -92,15 +92,18 @@ object MongoModes {
     // sub-document's fields (stringified by the type mapping) must not
     // count as drift. json_object_keys parses the JSON properly, so
     // key-like text inside string values can't false-positive either.
-    // A key is known if its raw OR sanitized form matches — sampled
-    // schemas hold SANITIZED names (`sku-2` → `sku_2`), so a raw key
-    // whose collapse is already a schema field is not new data.
+    // RAW-key comparison, deliberately: the projection extracts by
+    // the schema field name as the literal JSON key, so a doc key the
+    // sanitizer would change (`sku-2` vs schema `sku_2`) can NEVER be
+    // extracted — treating it as known would convert the loud abort
+    // into a permanently-null column. Such keys abort like any other
+    // drift; the proposal's note flags them as needing a manual
+    // source-side rename.
     frame
       .select(explode(json_object_keys(get_json_object(col("_raw"), "$._doc")))
         .as("f"))
       .filter(!col("f").startsWith("$"))
       .distinct().collect().map(_.getString(0)).toSet
-      .filterNot(k => known.contains(k) ||
-        known.contains(graft.schema.Sanitizer(k)))
+      .diff(known)
   }
 }

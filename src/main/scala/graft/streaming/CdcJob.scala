@@ -219,10 +219,11 @@ object CdcJob {
               // configured partition.column/bounds don't apply there —
               // say so instead of silently changing the scan shape
               if (partOpts.keySet.exists(_ != "numPartitions"))
-                log.warn(s"[${config.name}] snapshot.jdbc.partition.* " +
-                  "column/bounds are ignored when snapshot.jdbc.chunk." +
+                log.warn(s"[${config.name}] snapshot.jdbc.partition." +
+                  "column / snapshot.jdbc.lower.bound / snapshot.jdbc." +
+                  "upper.bound are ignored when snapshot.jdbc.chunk." +
                   s"column is set — chunking shards on '$chunkCol' " +
-                  "(num.partitions still applies per chunk)")
+                  "(snapshot.jdbc.num.partitions still applies per chunk)")
               val progress = new JdbcSnapshot.FileChunkProgress(spark,
                 s"$markerDir/${config.sourceId}_snapshot.chunks")
               JdbcSnapshot.writeSnapshotChunked(spark, config, url,
@@ -233,7 +234,8 @@ object CdcJob {
                   .map(_.toLong),
                 // chunk = resume unit, partitions = parallelism unit:
                 // each chunk's range scan shards across executors
-                numPartitions = cfg.get("snapshot.jdbc.num.partitions")
+                // (partOpts already parsed the key — single source)
+                numPartitions = partOpts.get("numPartitions")
                   .map(_.toInt).getOrElse(1))
             case None =>
               JdbcSnapshot.writeSnapshot(spark, config, url, connProps,

@@ -429,7 +429,9 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
                     .headOption.filterNot(_.isNullAt(0)).map(_.getLong(0))
                     .getOrElse(0L)
                   val proposal = graft.ops.DdlEvolution
-                    .proposeMongoDrift(spec, key, drift, ts)
+                    .proposeMongoDrift(spec, key, drift, ts,
+                      rawKey = config.registry.sourceTables.get(key)
+                        .map(_.key))
                   // synchronized: per-table futures may drift
                   // concurrently in one batch
                   CdcPipeline.this.synchronized {

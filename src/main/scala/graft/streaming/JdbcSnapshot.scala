@@ -55,7 +55,8 @@ object JdbcSnapshot {
       overrideStmt: Option[String], snapshotTsMs: Long,
       sourceType: String = "mysql",
       partitionOptions: Map[String, String] = Map.empty,
-      chunk: Option[(String, Long, Long)] = None): DataFrame = {
+      chunk: Option[(String, Long, Long)] = None,
+      chunkIncludesNulls: Boolean = false): DataFrame = {
     val base = overrideStmt match {
       case Some(stmt) => SnapshotOverrides.asJdbcSubquery(sourceTable, stmt)
       case None => sourceTable
@@ -66,13 +67,22 @@ object JdbcSnapshot {
     // server-side. Inclusive bounds, not half-open: a half-open upper
     // of Long.MaxValue+1 is unrepresentable, which would silently
     // exclude a key AT Long.MaxValue from the last chunk.
+    // `chunkIncludesNulls` (chunk 0 only): MIN/MAX bounds ignore NULL
+    // keys and a range WHERE evaluates UNKNOWN for them — without the
+    // IS NULL arm, NULL-keyed rows would appear in NO chunk and the
+    // "complete" marker would hide their permanent loss. (Spark's own
+    // JDBC range partitions put the IS NULL predicate on the first
+    // partition the same way, so per-chunk sharding composes: the
+    // NULL rows land exactly once.)
     val dbtable = chunk match {
       case Some((c, lo, hi)) =>
         val inner = overrideStmt match {
           case Some(_) => base // already a parenthesized aliased subquery
           case None => sourceTable
         }
-        s"(SELECT * FROM $inner WHERE $c >= $lo AND $c <= $hi) graft_chunk"
+        val range = s"$c >= $lo AND $c <= $hi"
+        val pred = if (chunkIncludesNulls) s"$c IS NULL OR ($range)" else range
+        s"(SELECT * FROM $inner WHERE $pred) graft_chunk"
       case None => base
     }
     val raw = spark.read.format("jdbc")
@@ -273,12 +283,27 @@ object JdbcSnapshot {
 
     def savePlan(p: ChunkPlan): Unit = {
       fs.mkdirs(root)
-      // overwrite=false: the plan is cut once; a second writer means a
+      val fin = new HPath(root, s"${safe(p.key)}.plan")
+      // create-once: the plan is cut once; a second writer means a
       // concurrent snapshot of the same source — fail it, don't race
-      val out = fs.create(new HPath(root, s"${safe(p.key)}.plan"), false)
+      if (fs.exists(fin)) throw new IllegalStateException(
+        s"CHUNK PLAN ALREADY CUT for ${p.key} at $fin — concurrent " +
+          "snapshot of the same source?")
+      // write-temp-then-rename: the plan file only ever appears
+      // COMPLETE under its final name, so a reader can never observe
+      // the create→write window (and the empty-file self-heal in
+      // plan() can't race a writer mid-save)
+      val tmp = new HPath(root, s"${safe(p.key)}.plan.tmp")
+      val out = fs.create(tmp, true)
       try out.write(s"${p.column} ${p.chunks} ${p.lo} ${p.hi}\n"
         .getBytes("UTF-8"))
       finally out.close()
+      if (!fs.rename(tmp, fin)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"CHUNK PLAN ALREADY CUT for ${p.key} at $fin (lost the " +
+            "rename race) — concurrent snapshot of the same source?")
+      }
     }
 
     def doneChunks(key: String): Set[Int] = {
@@ -344,9 +369,10 @@ object JdbcSnapshot {
       val source = config.registry.sourceTables.getOrElse(key, spec)
       val dir = spec.sinkDir(config.sinkPath, config.sourceId)
       val before = sinkCount(dir)
-      val plan = progress.plan(key).orElse {
-        chunkBounds(spark, url, connProps, source.key, chunkColumn)
-          .map { case (lo, hi) =>
+      val plan = progress.plan(key).getOrElse {
+        val p = chunkBounds(spark, url, connProps, source.key, chunkColumn)
+          match {
+          case Some((lo, hi)) =>
             val n = rowsPerChunk match {
               case Some(rows) =>
                 require(rows > 0, s"rowsPerChunk must be positive, got $rows")
@@ -368,35 +394,43 @@ object JdbcSnapshot {
                 derived.toInt
               case None => chunks
             }
-            val p = ChunkPlan(key, chunkColumn, n, lo, hi)
-            progress.savePlan(p)
-            p
-          }
+            ChunkPlan(key, chunkColumn, n, lo, hi)
+          case None =>
+            // no non-NULL keys: truly empty, or every key is NULL. A
+            // synthetic one-chunk plan keeps BOTH cases correct: chunk
+            // 0's IS NULL arm sweeps the all-NULL table (silently
+            // skipping it would hide permanent row loss behind a
+            // "complete" marker), the [0, 0] range matches nothing
+            // (there are no non-null keys), and the chunk marker
+            // keeps the restart idempotent either way.
+            ChunkPlan(key, chunkColumn, 1, 0L, 0L)
+        }
+        progress.savePlan(p)
+        p
       }
-      plan match {
-        case None => // empty table: nothing to chunk, nothing to write
-        case Some(p) =>
-          val done = progress.doneChunks(key)
-          for (i <- 0 until p.chunks if !done.contains(i)) {
-            val (a, b) = p.range(i)
-            if (a <= b) { // inclusive bounds; a > b = empty trailing chunk
-              val shardOpts =
-                if (numPartitions <= 1) Map.empty[String, String]
-                else Map(
-                  "partitionColumn" -> p.column,
-                  "lowerBound" -> a.toString,
-                  "upperBound" -> b.toString,
-                  "numPartitions" -> numPartitions.toString)
-              snapshotFrame(spark, url, connProps, source.key, spec,
-                config.snapshotOverrides.get(key).map(_.statement),
-                snapshotTsMs, config.sourceType,
-                partitionOptions = shardOpts,
-                chunk = Some((p.column, a, b)))
-                .withColumn("dt", dtCol)
-                .write.mode("append").partitionBy("dt").parquet(dir)
-            }
-            progress.chunkDone(key, i) // an empty range is still done
-          }
+      val p = plan
+      val done = progress.doneChunks(key)
+      for (i <- 0 until p.chunks if !done.contains(i)) {
+        val (a, b) = p.range(i)
+        if (a <= b) { // inclusive bounds; a > b = empty trailing chunk
+          val shardOpts =
+            if (numPartitions <= 1) Map.empty[String, String]
+            else Map(
+              "partitionColumn" -> p.column,
+              "lowerBound" -> a.toString,
+              "upperBound" -> b.toString,
+              "numPartitions" -> numPartitions.toString)
+          snapshotFrame(spark, url, connProps, source.key, spec,
+            config.snapshotOverrides.get(key).map(_.statement),
+            snapshotTsMs, config.sourceType,
+            partitionOptions = shardOpts,
+            chunk = Some((p.column, a, b)),
+            // chunk 0 sweeps NULL-keyed rows (outside every range)
+            chunkIncludesNulls = i == 0)
+            .withColumn("dt", dtCol)
+            .write.mode("append").partitionBy("dt").parquet(dir)
+        }
+        progress.chunkDone(key, i) // an empty range is still done
       }
       key -> (sinkCount(dir) - before)
     }).toMap

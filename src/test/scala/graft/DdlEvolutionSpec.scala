@@ -113,6 +113,10 @@ class DdlEvolutionSpec extends AnyFunSuite {
     val p = DdlEvolution.propose(dashRegistry, "my-db", "users",
       "ALTER TABLE users ADD COLUMN age INT", ts).get
     assert(p.routeKey == "my_db.users")
+    // the PASTEABLE surface (logged configJson) must carry the raw
+    // spelling too — TableRegistry looks the map up by the raw key
+    assert(p.tableNameMapEntry == ("my-db.users" -> "users_v20231114"))
+    assert(p.configJson.contains("\"my-db.users\""))
     val v1 = Map(
       "source.id" -> "s", "source.type" -> "mysql", "sink.path" -> "SINK",
       "table.schemas" ->
@@ -124,15 +128,21 @@ class DdlEvolutionSpec extends AnyFunSuite {
     assert(spec.schema.fieldNames.contains("age"))
   }
 
-  test("mongo drift proposal never duplicates a sanitized-colliding field") {
-    // doc key "sku-2" sanitizes to existing schema field "sku_2" — it
-    // is not new data and must not appear twice in the evolved schema
+  test("mongo drift proposal auto-appends only sanitizer-stable " +
+      "extractable fields; the rest go to the manual note") {
     val spec = TableSpec("", "orders", StructType(Seq(
       StructField("_id", StringType), StructField("sku_2", StringType))))
+    // "extra" is stable → appended; "sku-2" collides with sku_2 after
+    // sanitization and "brand-new" isn't sanitizer-stable — the
+    // projection can't extract either (json_tuple uses the schema name
+    // as the literal JSON key), so auto-appending them would create
+    // permanently-null (or duplicate) columns — manual instead
     val p = DdlEvolution.proposeMongoDrift(spec, "orders",
-      Set("sku-2", "brand-new"), ts)
+      Set("sku-2", "brand-new", "extra"), ts)
     val evolved = p.schema.get
-    assert(evolved.fieldNames.toSeq == Seq("_id", "sku_2", "brand_new"))
-    assert(evolved.fieldNames.distinct.length == evolved.fieldNames.length)
+    assert(evolved.fieldNames.toSeq == Seq("_id", "sku_2", "extra"))
+    // the manual list is exactly the two unextractable fields
+    assert(p.note.contains("field(s) brand-new, sku-2 need a MANUAL"),
+      p.note)
   }
 }

@@ -75,7 +75,13 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
       // 2 rows spanning ~5e9: the sparse-key hazard for span-based
       // chunk sizing
       "CREATE TABLE SALES.SPARSEQ(ID BIGINT NOT NULL)",
-      "INSERT INTO SALES.SPARSEQ VALUES (1), (5000000000)"))
+      "INSERT INTO SALES.SPARSEQ VALUES (1), (5000000000)",
+      // nullable chunk key: NULL rows live outside every range
+      "CREATE TABLE SALES.NULLSEQ(ID INTEGER, VAL INTEGER)",
+      "INSERT INTO SALES.NULLSEQ VALUES (1, 10), (2, 20), (NULL, 30), (8, 80)",
+      // every key NULL: no bounds at all
+      "CREATE TABLE SALES.ALLNULL(ID INTEGER, VAL INTEGER)",
+      "INSERT INTO SALES.ALLNULL VALUES (NULL, 1), (NULL, 2)"))
       st.executeUpdate(ddl)
     st.close()
     val ps = c.prepareStatement("INSERT INTO SALES.BIGSEQ VALUES (?, ?)")
@@ -542,6 +548,45 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
       JdbcSnapshot.ChunkPlan("SALES.BIGSEQ", "ID", 4, 1, 1000))
     assert(file.doneChunks("SALES.BIGSEQ") == Set(0, 1, 2, 3))
     assert(counts("SALES.BIGSEQ") == 1000)
+  }
+
+  test("NULL-keyed rows land exactly once (chunk 0 sweeps them); " +
+      "an all-NULL table is not silently skipped") {
+    val nullSchema = StructType(Seq(
+      StructField("ID", IntegerType), StructField("VAL", IntegerType)))
+    // nullable key: 3 keyed rows + 1 NULL-keyed row, 2 chunks sharded
+    // 2 ways — the NULL row is outside every range WHERE and outside
+    // Spark's range partitions; only chunk 0's IS NULL arm can see it
+    val out1 = tmp()
+    val reg1 = TableRegistry(Seq(TableSpec("SALES", "NULLSEQ", nullSchema)))
+    val counts1 = JdbcSnapshot.writeSnapshotChunked(spark,
+      CdcConfig("nullsnap", reg1, out1.toString), url, connProps,
+      1700000000000L, "ID", 2,
+      new JdbcSnapshot.FileChunkProgress(spark,
+        tmp().resolve("chunks").toString),
+      numPartitions = 2)
+    assert(counts1("SALES.NULLSEQ") == 4)
+    val rows = spark.read.parquet(s"$out1/nullsnap_SALES__NULLSEQ")
+      .select("VAL").collect().map(_.getInt(0)).sorted.toSeq
+    assert(rows == Seq(10, 20, 30, 80)) // NULL-keyed row 30 exactly once
+
+    // all keys NULL: chunkBounds probes no bounds — the synthetic
+    // one-chunk plan's IS NULL arm still snapshots the rows
+    val out2 = tmp()
+    val reg2 = TableRegistry(Seq(TableSpec("SALES", "ALLNULL", nullSchema)))
+    val prog2 = new JdbcSnapshot.FileChunkProgress(spark,
+      tmp().resolve("chunks").toString)
+    val counts2 = JdbcSnapshot.writeSnapshotChunked(spark,
+      CdcConfig("allnull", reg2, out2.toString), url, connProps,
+      1700000000000L, "ID", 4, prog2)
+    assert(counts2("SALES.ALLNULL") == 2)
+    // the synthetic plan persisted + chunk marked: restart writes nothing
+    assert(prog2.plan("SALES.ALLNULL").contains(
+      JdbcSnapshot.ChunkPlan("SALES.ALLNULL", "ID", 1, 0, 0)))
+    val counts2b = JdbcSnapshot.writeSnapshotChunked(spark,
+      CdcConfig("allnull", reg2, out2.toString), url, connProps,
+      1700000000000L, "ID", 4, prog2)
+    assert(counts2b("SALES.ALLNULL") == 0)
   }
 
   test("chunk.rows on a sparse key fails fast, not a persisted death march") {

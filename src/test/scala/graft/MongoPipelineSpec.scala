@@ -198,17 +198,19 @@ class MongoPipelineSpec extends AnyFunSuite {
     assert(!Files.exists(out.resolve("msrc3_orders")))
   }
 
-  test("drift check: a raw key whose SANITIZED form is a schema field " +
-      "is not drift") {
+  test("drift check stays RAW-keyed: a doc key the sanitizer would " +
+      "change can never be extracted, so it must abort loudly") {
     import spark.implicits._
-    // sampled schemas hold sanitized names: doc key "sku-2" IS schema
-    // field "sku_2" — only "newf" is genuinely outside the schema
+    // doc key "sku-2" vs schema field "sku_2": json_tuple extracts by
+    // the schema name as the LITERAL json key, so "sku-2" is
+    // unreachable — treating it as known would turn the loud abort
+    // into a permanently-null column
     val frame = Seq((
       """{"_doc":{"_id":"k","sku-2":"x","newf":"y"}}""",
       "CREATE", 1L, "0")).toDF("_raw", "_op", "_ts", "_txn_op_index")
     val spec = TableSpec("", "orders", StructType(Seq(
       StructField("_id", StringType), StructField("sku_2", StringType))))
-    assert(MongoModes.driftCheck(frame, spec) == Set("newf"))
+    assert(MongoModes.driftCheck(frame, spec) == Set("sku-2", "newf"))
   }
 
   test("document field shadowing a metadata column fails with the real cause") {
