@@ -35,10 +35,15 @@ final case class EvolutionProposal(
       */
     schema: Option[StructType],
     note: String) {
-  /** The flat-config rendering the runbook pastes. */
+  /** The flat-config rendering the runbook pastes. JSON-escaped the
+    * same way as [[DdlEvolution.applyProposal]]'s renderMap — a raw
+    * spelling containing `"` or `\` must still paste as valid JSON.
+    */
   def configJson: String = {
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
     val (k, v) = tableNameMapEntry
-    s"""{"table.name.map": {"$k": "$v"}}"""
+    s"""{"table.name.map": {"${esc(k)}": "${esc(v)}"}}"""
   }
 }
 
@@ -187,9 +192,15 @@ object DdlEvolution {
     */
   def applyProposal(cfg: Map[String, String],
       p: EvolutionProposal): Map[String, String] = {
+    // renderMap must JSON-escape \ and " — a raw table spelling or
+    // schema token containing either would otherwise render an
+    // unparseable rewritten config, breaking the runbook loop's
+    // verbatim-apply artifact (JobConfig.parse unescapes both back)
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
     def renderMap(m: Map[String, String]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) =>
-        s""""$k": "$v"""" }.mkString("{", ", ", "}")
+        s""""${esc(k)}": "${esc(v)}"""" }.mkString("{", ", ", "}")
     def sanitizeKey(raw: String): String = raw.split("\\.", 2) match {
       case Array(d, t) => s"${Sanitizer(d)}.${Sanitizer(t)}"
       case Array(t) => Sanitizer(t)
@@ -201,8 +212,18 @@ object DdlEvolution {
     // route key would silently never apply for a dash/dot-named
     // db or table — the rows would land in the OLD undated sink
     // with the NEW schema, the exact fork the versioning prevents.
-    val rawKey = schemas.keys.find(sanitizeKey(_) == p.routeKey)
-      .getOrElse(p.routeKey)
+    // The proposal itself already carries the raw spelling (its
+    // tableNameMapEntry key came from `sourceTables` at propose
+    // time) — prefer it, so the two raw-key derivations can never
+    // diverge; fall back to a schemas-key scan only when the
+    // proposal carries the sanitized routeKey (a source the
+    // registry never raw-tracked).
+    val rawKey = {
+      val fromProposal = p.tableNameMapEntry._1
+      if (fromProposal != p.routeKey) fromProposal
+      else schemas.keys.find(sanitizeKey(_) == p.routeKey)
+        .getOrElse(p.routeKey)
+    }
     val names = graft.streaming.JobConfig.nameMap(cfg, "table.name.map") +
       (rawKey -> p.newTableName)
     val evolvedSchemas = p.schema match {

@@ -201,15 +201,28 @@ object JdbcSnapshot {
   /** Server-side MIN/MAX of the chunk column — one aggregate row over
     * the index, no data scan on a keyed column. None when the table
     * is empty (a NULL min means nothing to chunk).
+    *
+    * When a snapshot override narrows the table, bounds are probed
+    * THROUGH the override subquery — the same base the chunk WHERE
+    * composes around. Probing the raw table instead would size
+    * span-based `rowsPerChunk` plans from the full-table span: a
+    * narrowing override over a wide key range would trip the
+    * [[MaxChunks]] sparse-key guard (or cut mostly-empty chunks)
+    * even though the overridden read is dense.
     */
   def chunkBounds(spark: SparkSession, url: String,
       connProps: Map[String, String], sourceTable: String,
-      column: String): Option[(Long, Long)] = {
+      column: String, overrideStmt: Option[String] = None)
+      : Option[(Long, Long)] = {
+    val base = overrideStmt match {
+      case Some(stmt) => SnapshotOverrides.asJdbcSubquery(sourceTable, stmt)
+      case None => sourceTable
+    }
     val row = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable",
         s"(SELECT MIN($column) graft_lo, MAX($column) graft_hi " +
-          s"FROM $sourceTable) graft_bounds")
+          s"FROM $base) graft_bounds")
       .options(connProps)
       .load().collect().head
     if (row.isNullAt(0)) None
@@ -245,8 +258,13 @@ object JdbcSnapshot {
     * create-only marker per landed chunk. Create-only files instead of
     * a rewritten state file: every update is a new-file create, so a
     * crash mid-update can never corrupt already-recorded progress.
-    * The replay window is one chunk: a crash between a chunk's append
-    * commit and its marker create re-runs just that chunk's rows.
+    * The replay window is one chunk — and it is AT-LEAST-ONCE: a
+    * crash between a chunk's parquet append commit and its marker
+    * create re-runs that chunk, DUPLICATING its rows in the
+    * append-mode sink. Downstream consumers that need exactly-once
+    * after a mid-snapshot crash deduplicate on the source key (the
+    * chunk column), or re-run the snapshot from a truncated sink;
+    * the one-chunk window bounds the blast radius either way.
     */
   final class FileChunkProgress(spark: SparkSession, dir: String)
       extends ChunkProgress {
@@ -266,10 +284,13 @@ object JdbcSnapshot {
         val line =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
-        // an EMPTY file is the crash window between savePlan's create
-        // and its write — no plan was ever recorded, so nothing can
-        // have landed under it. Self-heal: delete and re-cut (the
-        // create-once guard would otherwise wedge the table forever).
+        // an EMPTY file is the crash window between savePlan's
+        // create-claim and its write — no plan was ever recorded, so
+        // nothing can have landed under it. Self-heal: delete and
+        // re-cut (the create-once guard would otherwise wedge the
+        // table forever). A reader can only race a LIVE writer here
+        // if two snapshots of the same source run concurrently —
+        // already the error the create-claim exists to surface.
         // NON-empty malformed content is real corruption — fail loud.
         if (line.isEmpty) { fs.delete(p, false); None }
         else line.split("\\s+") match {
@@ -284,26 +305,26 @@ object JdbcSnapshot {
     def savePlan(p: ChunkPlan): Unit = {
       fs.mkdirs(root)
       val fin = new HPath(root, s"${safe(p.key)}.plan")
-      // create-once: the plan is cut once; a second writer means a
-      // concurrent snapshot of the same source — fail it, don't race
-      if (fs.exists(fin)) throw new IllegalStateException(
-        s"CHUNK PLAN ALREADY CUT for ${p.key} at $fin — concurrent " +
-          "snapshot of the same source?")
-      // write-temp-then-rename: the plan file only ever appears
-      // COMPLETE under its final name, so a reader can never observe
-      // the create→write window (and the empty-file self-heal in
-      // plan() can't race a writer mid-save)
-      val tmp = new HPath(root, s"${safe(p.key)}.plan.tmp")
-      val out = fs.create(tmp, true)
+      // create-once via create-no-overwrite ON THE FINAL PATH: the
+      // create itself is the atomic claim (HDFS namenode-atomic;
+      // local FS O_EXCL-shaped). The earlier write-tmp-then-rename
+      // scheme was NOT a claim on local filesystems — POSIX rename
+      // silently overwrites an existing destination, so two
+      // concurrent snapshots could both "win" and proceed with
+      // different plans. The cost is a visible create→write window:
+      // plan()'s empty-file arm covers it (an empty plan file means
+      // no plan content was ever durable, and nothing can have
+      // landed under a plan that was never readable).
+      val out =
+        try fs.create(fin, false)
+        catch {
+          case e: java.io.IOException => throw new IllegalStateException(
+            s"CHUNK PLAN ALREADY CUT for ${p.key} at $fin (lost the " +
+              "create race) — concurrent snapshot of the same source?", e)
+        }
       try out.write(s"${p.column} ${p.chunks} ${p.lo} ${p.hi}\n"
         .getBytes("UTF-8"))
       finally out.close()
-      if (!fs.rename(tmp, fin)) {
-        fs.delete(tmp, false)
-        throw new IllegalStateException(
-          s"CHUNK PLAN ALREADY CUT for ${p.key} at $fin (lost the " +
-            "rename race) — concurrent snapshot of the same source?")
-      }
     }
 
     def doneChunks(key: String): Set[Int] = {
@@ -370,7 +391,11 @@ object JdbcSnapshot {
       val dir = spec.sinkDir(config.sinkPath, config.sourceId)
       val before = sinkCount(dir)
       val plan = progress.plan(key).getOrElse {
-        val p = chunkBounds(spark, url, connProps, source.key, chunkColumn)
+        // bounds probed THROUGH the override (when present) — the
+        // same base the per-chunk WHERE wraps, so span-derived chunk
+        // counts size the data actually read, not the raw table
+        val p = chunkBounds(spark, url, connProps, source.key, chunkColumn,
+            config.snapshotOverrides.get(key).map(_.statement))
           match {
           case Some((lo, hi)) =>
             val n = rowsPerChunk match {

@@ -128,6 +128,43 @@ class DdlEvolutionSpec extends AnyFunSuite {
     assert(spec.schema.fieldNames.contains("age"))
   }
 
+  test("applyProposal prefers the proposal's own raw spelling over a " +
+      "schemas-key scan — the two derivations cannot diverge") {
+    // a config may carry NO table.schemas entry for the table (the
+    // registry could have been built from live discovery): the
+    // schemas-scan fallback would then key the rewrite by the
+    // SANITIZED routeKey — silently-never-applies. The proposal's
+    // tableNameMapEntry already carries the raw spelling from
+    // sourceTables; applyProposal must use it.
+    val dashRegistry = TableRegistry(Seq(TableSpec("my-db", "users", base)))
+    val p = DdlEvolution.propose(dashRegistry, "my-db", "users",
+      "ALTER TABLE users ADD COLUMN age INT", ts).get
+    val v1 = Map(
+      "source.id" -> "s", "source.type" -> "mysql", "sink.path" -> "SINK")
+    val v2 = DdlEvolution.applyProposal(v1, p)
+    val names = graft.streaming.JobConfig.nameMap(v2, "table.name.map")
+    assert(names == Map("my-db.users" -> "users_v20231114"), names)
+  }
+
+  test("applyProposal and configJson JSON-escape raw spellings — a " +
+      "quote or backslash in a name still renders parseable config") {
+    val weird = """my"db.ta\ble"""
+    val p = graft.ops.EvolutionProposal(
+      routeKey = "my_db.ta_ble",
+      newTableName = "ta_ble_v20231114",
+      tableNameMapEntry = weird -> "ta_ble_v20231114",
+      schema = None,
+      note = "")
+    // configJson must be real JSON despite the raw " and \
+    assert(p.configJson.contains("""my\"db.ta\\ble"""), p.configJson)
+    val v2 = DdlEvolution.applyProposal(Map(
+      "source.id" -> "s", "source.type" -> "mysql",
+      "sink.path" -> "SINK"), p)
+    // the rewritten value parses back to the EXACT raw spelling
+    val names = graft.streaming.JobConfig.nameMap(v2, "table.name.map")
+    assert(names == Map(weird -> "ta_ble_v20231114"), names)
+  }
+
   test("mongo drift proposal auto-appends only sanitizer-stable " +
       "extractable fields; the rest go to the manual note") {
     val spec = TableSpec("", "orders", StructType(Seq(

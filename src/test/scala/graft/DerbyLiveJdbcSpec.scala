@@ -458,11 +458,11 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
         1700000000000L, "ID", 4, crash)
     }
     val dir = s"$out/chunksrc_SALES__BIGSEQ"
-    // plan cut once: [1,1000] in 4 chunks of 250; chunk 0 landed, and
-    // the override capped it at id<=900 — chunk 0 is fully below that
-    assert(spark.read.parquet(dir).count() == 250)
+    // plan cut once, bounds probed THROUGH the override (id<=900):
+    // [1,900] in 4 chunks of 225; chunk 0 landed
+    assert(spark.read.parquet(dir).count() == 225)
     val planBefore = file.plan("SALES.BIGSEQ").get
-    assert(planBefore == JdbcSnapshot.ChunkPlan("SALES.BIGSEQ", "ID", 4, 1, 1000))
+    assert(planBefore == JdbcSnapshot.ChunkPlan("SALES.BIGSEQ", "ID", 4, 1, 900))
     assert(file.doneChunks("SALES.BIGSEQ") == Set(0))
 
     // a row arrives at the source AFTER the plan was cut: a restart
@@ -481,8 +481,8 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rec.saved == 0, "restart re-cut the plan (re-probe!)")
     assert(rec.landedChunks == Vector(1, 2, 3), rec.landedChunks)
     assert(file.plan("SALES.BIGSEQ").get == planBefore)
-    // this run wrote only chunks 2-4: ids 251..900 under the override
-    assert(counts("SALES.BIGSEQ") == 650)
+    // this run wrote only chunks 2-4: ids 226..900 under the override
+    assert(counts("SALES.BIGSEQ") == 675)
     val ids = spark.read.parquet(dir).select("ID").collect()
       .map(_.getInt(0)).sorted
     // exact rows: 1..900 once each; the post-plan insert (id 2000) is
@@ -548,6 +548,31 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
       JdbcSnapshot.ChunkPlan("SALES.BIGSEQ", "ID", 4, 1, 1000))
     assert(file.doneChunks("SALES.BIGSEQ") == Set(0, 1, 2, 3))
     assert(counts("SALES.BIGSEQ") == 1000)
+  }
+
+  test("chunk.rows sizing probes bounds THROUGH a narrowing override: " +
+      "the plan spans the data actually read, not the raw table") {
+    val out = tmp(); val progDir = tmp().resolve("chunks").toString
+    val registry = TableRegistry(Seq(TableSpec("SALES", "BIGSEQ", bigseqSchema)))
+    val cfg = CdcConfig("ovchunks", registry, out.toString,
+      snapshotOverrides = SnapshotOverrides.fromConfig(Map(
+        "snapshot.select.statement.overrides" -> "SALES.BIGSEQ",
+        "snapshot.select.statement.overrides.SALES.BIGSEQ" ->
+          "SELECT id, val FROM SALES.BIGSEQ WHERE id <= 300")))
+    val file = new JdbcSnapshot.FileChunkProgress(spark, progDir)
+    val counts = JdbcSnapshot.writeSnapshotChunked(spark, cfg, url,
+      connProps, 1700000000000L, "ID", chunks = 999 /* overridden */,
+      file, rowsPerChunk = Some(100L))
+    // overridden span [1,300] at 100 rows/chunk → 3 chunks — NOT
+    // ceil(1000/100)=10 from the raw table's span: a narrowing
+    // override over a wide key range must not inflate the chunk
+    // count (or, at a sparse extreme, trip the MaxChunks guard)
+    assert(file.plan("SALES.BIGSEQ").get ==
+      JdbcSnapshot.ChunkPlan("SALES.BIGSEQ", "ID", 3, 1, 300))
+    assert(counts("SALES.BIGSEQ") == 300)
+    val ids = spark.read.parquet(s"$out/ovchunks_SALES__BIGSEQ")
+      .select("ID").collect().map(_.getInt(0)).sorted.toSeq
+    assert(ids == (1 to 300))
   }
 
   test("NULL-keyed rows land exactly once (chunk 0 sweeps them); " +
