@@ -1,6 +1,5 @@
 package graft.source
 
-import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
 import java.util
 
@@ -34,17 +33,27 @@ import org.apache.spark.util.SerializableConfiguration
   * `MySQLStreamer.java` S1/P3): the directory is a log — files sorted
   * by name are segments, lines within a file are ordered events, and
   * a (file, pos) offset is a durable resume point exactly like
-  * `binlog.000042,1337`. Files must be immutable once visible (the
-  * standard log-segment contract; a live Debezium adapter replaces
-  * only the listing/reading internals, the offset algebra is
-  * identical).
+  * `binlog.000042,1337`. `pos` is a BYTE offset into the segment,
+  * the same unit a real binlog position is — so seeking to an offset
+  * is an O(1) `seek`, never a scan from line 0. Files must be
+  * immutable once visible (the standard log-segment contract; a live
+  * Debezium adapter replaces only the listing/reading internals, the
+  * offset algebra is identical).
   *
-  * Scale notes: one InputPartition per file segment per batch —
-  * within-segment event order is preserved per partition (the
-  * reference's J3 guarantee holds per segment), distinct segments
-  * read in parallel. Per-file line counts are memoized on the driver
-  * (files are immutable), so steady-state admission control costs one
-  * directory listing plus one count of each NEW file per trigger.
+  * Scale notes: a segment's byte range is SPLIT into multiple
+  * InputPartitions (Hadoop text-split semantics: a split owns every
+  * line that STARTS inside it; an unaligned split start discards the
+  * partial line its predecessor owns), sized by the session's file
+  * split knobs (`spark.sql.files.maxPartitionBytes` /
+  * `openCostInBytes` / default parallelism) — parallelism is
+  * decoupled from segment layout, so one multi-GB binlog segment
+  * does not serialize a 1000-core batch. Each row carries its line's
+  * start byte as `_feed_pos`, so within-segment source order is
+  * recoverable by sort regardless of the split plan (J3). The
+  * all-available path plans from file LENGTHS alone (no content IO
+  * on the driver); only row-capped admission reads lines, memoizing
+  * one full count per immutable file plus a bounded partial scan of
+  * the single cut file per trigger.
   */
 object CdcBinlogSource {
 
@@ -54,7 +63,8 @@ object CdcBinlogSource {
     StructField("_feed_pos", LongType, nullable = false)))
 
   /** (file, pos) offset; `file` is the segment name ("" = before the
-    * first segment), `pos` = number of lines already consumed from it.
+    * first segment), `pos` = number of BYTES already consumed from it
+    * (= the start byte of the next unread line).
     */
   final case class CdcOffset(file: String, pos: Long) extends Offset {
     override def json(): String = {
@@ -140,8 +150,11 @@ final class CdcBinlogStream(dir: String, properties: Map[String, String])
   private val maxRecords = properties.get("maxrecordspertrigger").map(_.toLong)
   private val maxFiles = properties.get("maxfilespertrigger").map(_.toInt)
 
-  // Driver-side memo: segments are immutable, so each file is counted
-  // exactly once over the stream's lifetime.
+  // Driver-side memos: segments are immutable, so a file's byte
+  // length is recorded at listing time and its line count (needed
+  // only by row-capped admission) is computed at most once over the
+  // stream's lifetime.
+  private val segLens = mutable.Map.empty[String, Long]
   private val lineCounts = mutable.Map.empty[String, Long]
   private var availableNowTarget: Option[CdcOffset] = None
 
@@ -151,22 +164,41 @@ final class CdcBinlogStream(dir: String, properties: Map[String, String])
     val base = new Path(dir)
     val f = fs
     if (!f.exists(base)) Seq.empty
-    else f.listStatus(base).filter(_.isFile).map(_.getPath.getName)
+    else f.listStatus(base).filter(_.isFile)
+      .map { s => segLens(s.getPath.getName) = s.getLen; s.getPath.getName }
       .filterNot(_.startsWith(".")).filterNot(_.startsWith("_")).sorted.toSeq
   }
 
+  private def segLen(name: String): Long = segLens.getOrElse(name, 0L)
+
+  /** Scan lines of `name` from byte `fromByte` (exclusive cap
+    * `toByte`), at most `maxLines`; returns (lines read, end byte —
+    * the byte after the last consumed line's terminator). The only
+    * content IO admission control ever does.
+    */
+  private def scanLines(name: String, fromByte: Long, toByte: Long,
+      maxLines: Long): (Long, Long) = {
+    val in = fs.open(new Path(dir, name))
+    try {
+      in.seek(fromByte)
+      val r = new ByteLineReader(in, fromByte)
+      var n = 0L
+      var end = fromByte
+      while (n < maxLines && end < toByte && r.readLine() != null) {
+        n += 1; end = r.pos
+      }
+      (n, math.min(end, toByte))
+    } finally in.close()
+  }
+
   private def countLines(name: String): Long =
-    lineCounts.getOrElseUpdate(name, {
-      val in = new BufferedReader(new InputStreamReader(
-        fs.open(new Path(dir, name)), StandardCharsets.UTF_8))
-      try { var n = 0L; while (in.readLine() != null) n += 1; n }
-      finally in.close()
-    })
+    lineCounts.getOrElseUpdate(name,
+      scanLines(name, 0L, Long.MaxValue, Long.MaxValue)._1)
 
   private def fullLatest(): CdcOffset = {
     val segs = segments()
     if (segs.isEmpty) CdcOffset("", 0L)
-    else CdcOffset(segs.last, countLines(segs.last))
+    else CdcOffset(segs.last, segLen(segs.last))
   }
 
   override def prepareForTriggerAvailableNow(): Unit =
@@ -216,16 +248,16 @@ final class CdcBinlogStream(dir: String, properties: Map[String, String])
 
   private def seekTimestamp(t: Long): CdcOffset = {
     for (s <- segments()) {
-      val in = new BufferedReader(new InputStreamReader(
-        fs.open(new Path(dir, s)), StandardCharsets.UTF_8))
+      val in = fs.open(new Path(dir, s))
       try {
-        var pos = 0L
-        var line = in.readLine()
+        val r = new ByteLineReader(in, 0L)
+        var lineStart = 0L
+        var line = r.readLine()
         while (line != null) {
           val ts = TsRe.findFirstMatchIn(line).map(_.group(1).toLong)
-          if (ts.exists(_ >= t)) return CdcOffset(s, pos)
-          pos += 1
-          line = in.readLine()
+          if (ts.exists(_ >= t)) return CdcOffset(s, lineStart)
+          lineStart = r.pos
+          line = r.readLine()
         }
       } finally in.close()
     }
@@ -244,7 +276,7 @@ final class CdcBinlogStream(dir: String, properties: Map[String, String])
     val from = start.asInstanceOf[CdcOffset]
     val cap = availableNowTarget.getOrElse(fullLatest())
     val segs = segments().filter(s =>
-      s > from.file || (s == from.file && from.pos < countLines(s)))
+      s > from.file || (s == from.file && from.pos < segLen(s)))
       .filter(s => s <= cap.file)
     if (segs.isEmpty) return from
     applyLimit(from, cap, segs, limit)
@@ -256,21 +288,29 @@ final class CdcBinlogStream(dir: String, properties: Map[String, String])
       var remaining = r.maxRows()
       var end = from
       for (s <- segs if remaining > 0) {
-        val startPos = if (s == from.file) from.pos else 0L
-        val avail0 = countLines(s) - startPos
-        val avail = if (s == cap.file) math.min(avail0, cap.pos - startPos)
-          else avail0
-        if (avail > 0) {
-          val take = math.min(avail, remaining)
-          end = CdcOffset(s, startPos + take)
-          remaining -= take
+        val startB = if (s == from.file) from.pos else 0L
+        val endB = if (s == cap.file) math.min(segLen(s), cap.pos)
+          else segLen(s)
+        if (endB > startB) {
+          // whole-file shortcut: the memoized count decides "fits
+          // entirely" without re-reading; only the single CUT file
+          // pays a partial scan (bounded by maxRows lines)
+          if (startB == 0L && endB == segLen(s) &&
+              countLines(s) <= remaining) {
+            end = CdcOffset(s, endB)
+            remaining -= countLines(s)
+          } else {
+            val (n, cut) = scanLines(s, startB, endB, remaining)
+            if (n > 0) { end = CdcOffset(s, cut); remaining -= n }
+          }
         }
       }
       end
     case f: ReadMaxFiles =>
       val taken = segs.take(f.maxFiles())
       val last = taken.last
-      val lastPos = if (last == cap.file) cap.pos else countLines(last)
+      val lastPos = if (last == cap.file) math.min(segLen(last), cap.pos)
+        else segLen(last)
       CdcOffset(last, lastPos)
     case c: CompositeReadLimit =>
       // most restrictive wins: the minimum end offset of the parts
@@ -279,58 +319,145 @@ final class CdcBinlogStream(dir: String, properties: Map[String, String])
     case _ => cap
   }
 
+  /** Target split size, mirroring Spark's own file-scan formula:
+    * `min(maxPartitionBytes, max(openCostInBytes, total/parallelism))`
+    * — so the session knobs that tune parquet scans tune this source
+    * the same way, and a small batch still fans across the cluster.
+    */
+  private def maxSplitBytes(totalBytes: Long): Long = {
+    val conf = spark.sessionState.conf
+    val par = math.max(1, spark.sparkContext.defaultParallelism)
+    math.max(1L, math.min(conf.filesMaxPartitionBytes,
+      math.max(conf.filesOpenCostInBytes, totalBytes / par)))
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[CdcOffset]
     val to = end.asInstanceOf[CdcOffset]
     if (CdcOffset.ordering.lteq(to, from)) return Array.empty
-    // Only the BOUNDARY segments need driver-side line counts; middle
-    // segments read to EOF (endLine = MaxValue, the reader stops at
-    // null) — planning cost is O(1) files, not O(batch) files.
-    segments()
-      .filter(s => (s > from.file || (s == from.file && from.pos < countLines(s))) && s <= to.file)
+    // per-segment byte ranges from file LENGTHS alone — planning does
+    // zero content IO regardless of batch size
+    val ranges = segments()
+      .filter(s => (s > from.file || (s == from.file && from.pos < segLen(s))) && s <= to.file)
       .flatMap { s =>
-        val startPos = if (s == from.file) from.pos else 0L
-        val endPos = if (s == to.file) to.pos else Long.MaxValue
-        if (endPos > startPos)
-          Some(CdcSegmentPartition(new Path(dir, s).toString, s, startPos, endPos))
-        else None
-      }.toArray
+        val startB = if (s == from.file) from.pos else 0L
+        val endB = if (s == to.file) math.min(to.pos, segLen(s)) else segLen(s)
+        if (endB > startB) Some((s, startB, endB)) else None
+      }
+    if (ranges.isEmpty) return Array.empty
+    // Hadoop text-split semantics: each sub-range owns the lines that
+    // START inside it. The first split of a range begins at a known
+    // line boundary (0 or a committed offset); later splits seek to
+    // `start - 1` and discard through the next '\n', so a line
+    // starting exactly at the cut is kept by exactly one split.
+    val split = maxSplitBytes(ranges.map { case (_, a, b) => b - a }.sum)
+    ranges.flatMap { case (s, startB, endB) =>
+      val path = new Path(dir, s).toString
+      val pieces = (((endB - startB) + split - 1) / split).toInt
+      (0 until pieces).map { i =>
+        val a = startB + i * split
+        val b = math.min(a + split, endB)
+        CdcSegmentPartition(path, s, a, b, aligned = i == 0)
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcSegmentReaderFactory(new SerializableConfiguration(hadoopConf))
 }
 
-/** One contiguous line range of one immutable segment file. */
+/** One contiguous BYTE range of one immutable segment file. A reader
+  * owns every line that STARTS in [startByte, endByte); `aligned`
+  * marks a range beginning at a known line boundary (0 or a committed
+  * offset) — an unaligned split instead seeks to `startByte - 1` and
+  * discards through the next '\n' (the Hadoop text-split handshake:
+  * the partial line belongs to the predecessor split, and a line
+  * starting exactly at the cut survives because the discarded "line"
+  * is then empty).
+  */
 final case class CdcSegmentPartition(path: String, name: String,
-    startLine: Long, endLine: Long) extends InputPartition
+    startByte: Long, endByte: Long, aligned: Boolean) extends InputPartition
+
+/** Byte-accurate line reader: lines terminated by '\n' (a trailing
+  * '\r' is stripped, so CRLF feeds decode identically), `pos` is the
+  * absolute byte offset of the next unread byte — exactly the offset
+  * algebra a binlog (file, pos) resume needs, which
+  * `BufferedReader.readLine` cannot provide (it conflates chars with
+  * bytes and eats terminators silently).
+  */
+private[source] final class ByteLineReader(in: java.io.InputStream,
+    startByte: Long) {
+  private val buf = new Array[Byte](64 * 1024)
+  private var bufLen = 0
+  private var bufPos = 0
+  private var bytePos = startByte
+  private val line = new java.io.ByteArrayOutputStream(256)
+
+  /** Absolute byte offset of the next unread byte (= the next line's
+    * start once the previous `readLine` consumed its terminator).
+    */
+  def pos: Long = bytePos
+
+  /** Next line without its terminator, null at EOF. A terminal line
+    * with no trailing newline is returned (its end byte is EOF).
+    */
+  def readLine(): String = {
+    line.reset()
+    var found = false
+    var eof = false
+    while (!found && !eof) {
+      if (bufPos >= bufLen) {
+        bufLen = in.read(buf); bufPos = 0
+        if (bufLen <= 0) eof = true
+      }
+      if (!eof) {
+        val start = bufPos
+        while (bufPos < bufLen && buf(bufPos) != '\n') bufPos += 1
+        line.write(buf, start, bufPos - start)
+        bytePos += bufPos - start
+        if (bufPos < bufLen) { bufPos += 1; bytePos += 1; found = true }
+      }
+    }
+    if (!found && line.size == 0) null
+    else {
+      val arr = line.toByteArray
+      val n = if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.length - 1
+        else arr.length
+      new String(arr, 0, n, StandardCharsets.UTF_8)
+    }
+  }
+}
 
 final class CdcSegmentReaderFactory(conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcSegmentPartition]
     new PartitionReader[InternalRow] {
-      private val in = {
+      private val (in, reader) = {
         val path = new Path(p.path)
         val fs = path.getFileSystem(conf.value)
-        new BufferedReader(new InputStreamReader(fs.open(path),
-          StandardCharsets.UTF_8))
+        val stream = fs.open(path)
+        // unaligned split: seek one byte back and discard through the
+        // next '\n' — for an aligned resume offset the previous byte
+        // IS a '\n', so the same discard is a no-op by construction
+        val begin = if (p.aligned) p.startByte else p.startByte - 1
+        stream.seek(begin)
+        val r = new ByteLineReader(stream, begin)
+        if (!p.aligned) r.readLine()
+        (stream, r)
       }
-      private var pos = 0L
+      private var lineStart = 0L
       private var line: String = _
-      // skip to the partition's start line
-      while (pos < p.startLine && in.readLine() != null) pos += 1
 
       override def next(): Boolean = {
-        if (pos >= p.endLine) return false
-        line = in.readLine()
-        if (line == null) return false // segment shrank: fail-soft
-        pos += 1
-        true
+        lineStart = reader.pos
+        if (lineStart >= p.endByte) return false
+        line = reader.readLine()
+        line != null // null = segment shrank: fail-soft
       }
 
       override def get(): InternalRow = new GenericInternalRow(Array[Any](
-        UTF8String.fromString(line), UTF8String.fromString(p.name), pos - 1))
+        UTF8String.fromString(line), UTF8String.fromString(p.name), lineStart))
 
       override def close(): Unit = in.close()
     }

@@ -55,7 +55,14 @@ class CdcDsv2SourceSpec extends AnyFunSuite {
     assert(got.length == 5)
     assert(got.map(_.getString(0)).toSeq ==
       Seq("seg.000", "seg.000", "seg.000", "seg.001", "seg.001"))
-    assert(got.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 0L, 1L))
+    // _feed_pos is each line's START BYTE (binlog pos semantics):
+    // line i starts at the sum of the prior lines' byte lengths + 1
+    // newline each
+    def starts(ls: Seq[String]): Seq[Long] =
+      ls.map(_.getBytes("UTF-8").length.toLong + 1)
+        .scanLeft(0L)(_ + _).init
+    val expected = starts(lines(0 until 3, "a")) ++ starts(lines(0 until 2, "b"))
+    assert(got.map(_.getLong(1)).toSeq == expected)
     assert(got.head.getString(2) == """{"seg":"a","n":0}""")
   }
 
@@ -130,8 +137,11 @@ class CdcDsv2SourceSpec extends AnyFunSuite {
     }
     // latest: nothing until new segments arrive
     assert(run("startup.mode" -> "latest").isEmpty)
-    // offset "file,pos": resume mid-segment, reference P3 format
-    assert(run("startup.mode" -> "offset", "startup.offset" -> "b.0,1")
+    // offset "file,pos": resume mid-segment, reference P3 format —
+    // pos is the BYTE offset of the resume line, like a binlog pos
+    val line1Start = """{"n":0,"_ts":1000}""".getBytes("UTF-8").length + 1
+    assert(run("startup.mode" -> "offset",
+        "startup.offset" -> s"b.0,$line1Start")
       .map(s => "\"n\":(\\d)".r.findFirstMatchIn(s).get.group(1)) ==
       Seq("1", "2", "3"))
     // timestamp: first event at/after _ts
@@ -159,6 +169,67 @@ class CdcDsv2SourceSpec extends AnyFunSuite {
       .groupBy("pf").agg(countDistinct("_feed_file").as("n"))
       .select("n").collect().map(_.getLong(0))
     assert(perFile.nonEmpty && perFile.forall(_ == 1L))
+  }
+
+  test("a big segment splits into byte-range partitions: exact rows, " +
+      "no duplicate or dropped line at any cut") {
+    val in = Files.createTempDirectory("dsv2-split-in-")
+    // varied-length lines so split cuts land mid-line, at line starts,
+    // and just past terminators — the Hadoop-handshake edge cases
+    val ls = (0 until 2000).map(i => s"""{"n":$i,"pad":"${"x" * (i % 37)}"}""")
+    writeSeg(in, "big.0", ls)
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (4 * 1024).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+      val df = spark.read.format("graft-cdc").option("path", in.toString)
+        .load()
+      // the plan really fans out (one file, many partitions)...
+      assert(df.rdd.getNumPartitions > 4, df.rdd.getNumPartitions)
+      // ...and the rows are exactly the lines, each exactly once, with
+      // byte-accurate positions (sorting by _feed_pos restores order)
+      val got = df.orderBy("_feed_pos").select("value", "_feed_pos")
+        .collect()
+      assert(got.length == ls.length)
+      assert(got.map(_.getString(0)).toSeq == ls)
+      val starts = ls.map(_.getBytes("UTF-8").length.toLong + 1)
+        .scanLeft(0L)(_ + _).init
+      assert(got.map(_.getLong(1)).toSeq == starts)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+  }
+
+  test("split reads compose with mid-file admission resume: " +
+      "cap mid-segment, restart finishes the rest, nothing twice") {
+    val in = Files.createTempDirectory("dsv2-split-adm-in-")
+    val ls = (0 until 500).map(i => s"""{"n":$i,"p":"${"y" * (i % 23)}"}""")
+    writeSeg(in, "s.0", ls)
+    val out = Files.createTempDirectory("dsv2-split-adm-out-").toString
+    val ck = Files.createTempDirectory("dsv2-split-adm-ck-").toString
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (2 * 1024).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "512")
+      def run(): Unit =
+        spark.readStream.format("graft-cdc").option("path", in.toString)
+          .option("maxRecordsPerTrigger", 180).load()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      run()
+      val got = spark.read.parquet(out).orderBy("_feed_pos")
+        .select("value").collect().map(_.getString(0)).toSeq
+      // 180+180+140 admission across byte-split partitions: complete,
+      // ordered, exactly once
+      assert(got == ls)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
   }
 
   test("live tailing: segments appended mid-stream arrive in later batches") {
