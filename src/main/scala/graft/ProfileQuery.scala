@@ -27,6 +27,25 @@ object ProfileQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_JOBS=1: per-Spark-job wall times, to see where a
+    // multi-stage query (the q89/q108 funnel) actually spends time
+    if (sys.env.contains("SPARK_GRAFT_JOBS")) {
+      val starts = scala.collection.concurrent.TrieMap
+        .empty[Int, (Long, String)]
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts(j.jobId) = (System.nanoTime(),
+              Option(j.properties.getProperty("callSite.short"))
+                .getOrElse("?"))
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            starts.remove(j.jobId).foreach { case (t0, desc) =>
+              println(f"[job] ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3fs  $desc")
+            }
+        })
+    }
     spark.range(1000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
 

@@ -25,14 +25,21 @@ object DupClusters {
     // localCheckpoint (not persist): iterative plans nest the prior
     // iteration's plan — lineage grows exponentially and the driver
     // OOMs building plan strings by ~iteration 10. Checkpointing
-    // truncates the logical plan each round.
+    // truncates the logical plan each round. LAZY (eager = false):
+    // the labelSum action below materializes the checkpoint AND
+    // computes the convergence aggregate in the SAME job — an eager
+    // checkpoint cost one extra driver-scheduled job per round, which
+    // at small scale was most of the operator's wall time (it runs
+    // inside q59/q67/q89/q102/q108). labelSum scans every partition,
+    // so the lazy-checkpoint caveat (an action that skips partitions
+    // loses them) cannot bite.
     val edges = pairs.select(col(d1).as("a"), col(d2).as("b"))
       .union(pairs.select(col(d2).as("a"), col(d1).as("b")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Labels only ever DECREASE (per-node min over a fixed edge set),
     // so "no node changed" ⟺ "the label sum is unchanged" — a cheap
     // scan-aggregate on the already-checkpointed frame instead of a
@@ -54,8 +61,8 @@ object DupClusters {
         .select(col("a").as("id"), col("label"))
         .union(labels)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      val nextSum = labelSum(next)
+        .localCheckpoint(false)
+      val nextSum = labelSum(next) // materializes the checkpoint too
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

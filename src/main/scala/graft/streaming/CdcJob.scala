@@ -189,6 +189,18 @@ object CdcJob {
               .getLines().map(_.trim).filter(_.nonEmpty).toSet
             finally in.close()
           }
+        // entries no registry key claims are surfaced LOUDLY: they
+        // are renamed/removed tables — or, before writes were atomic,
+        // a torn line from a crash mid-marker-write. Either way the
+        // marker must not silently carry names nobody owns.
+        val unknown = done.diff(config.registry.keys)
+        if (unknown.nonEmpty)
+          log.warn(s"[${config.name}] snapshot marker $marker lists " +
+            s"entr${if (unknown.size == 1) "y" else "ies"} no registry " +
+            s"table claims: ${unknown.toSeq.sorted.mkString(", ")} " +
+            "(renamed/removed table, or a torn line from a crash " +
+            "mid-write) — unclaimed entries are kept, unmatched " +
+            "tables re-snapshot")
         val pending = config.registry.keys.diff(done)
         if (pending.isEmpty)
           log.info(s"[${config.name}] JDBC snapshot already complete " +
@@ -241,10 +253,14 @@ object CdcJob {
               JdbcSnapshot.writeSnapshot(spark, config, url, connProps,
                 System.currentTimeMillis(), partOpts, Some(pending))
           }
-          val out = fs.create(marker, true)
-          try out.write((done ++ pending).toSeq.sorted
-            .mkString("", "\n", "\n").getBytes("UTF-8"))
-          finally out.close()
+          // atomic publication: a crash mid-write must not leave a
+          // truncated marker whose partial last line silently reads
+          // as "table done" — the torn name would differ from every
+          // registry key, so the table WOULD re-snapshot, but the
+          // marker must still never lie about the tables it does list
+          AtomicFiles.write(marker.toString,
+            (done ++ pending).toSeq.sorted.mkString("", "\n", "\n"),
+            spark.sparkContext.hadoopConfiguration)
           log.info(s"[${config.name}] JDBC snapshot complete: " +
             counts.map { case (k, n) => s"$k=$n" }.mkString(", "))
         }

@@ -267,13 +267,12 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def hWrite(path: String, content: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = hfs(path)
-    val out = fs.create(p, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  // atomic tmp-then-rename publication: offsets/status/markers are
+  // observed either old-and-complete or new-and-complete, never
+  // truncated (the reference's SingleFileSinkFunction truncates in
+  // place — a crash mid-write tears the offset file there)
+  private def hWrite(path: String, content: String): Unit =
+    AtomicFiles.write(path, content, spark.sessionState.newHadoopConf())
 
   private def hRead(path: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(path)

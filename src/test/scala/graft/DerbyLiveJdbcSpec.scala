@@ -657,6 +657,37 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(file.plan("SALES.BIGSEQ").contains(p)) // original untouched
   }
 
+  test("a torn snapshot marker (pre-atomic-write crash shape) " +
+      "re-snapshots the unmatched table, never silently skips it") {
+    val out = tmp(); val off = tmp(); val in = tmp()
+    // the torn line "SALES.BIG" matches no registry key: the table
+    // re-snapshots (at-least-once, the safe direction) and the
+    // rewritten marker carries the full name — markers are written
+    // atomically now, so new tears cannot occur, but an old one must
+    // still resolve loudly-and-safely
+    Files.write(off.resolve("tornjob_snapshot.done"),
+      "SALES.BIG".getBytes("UTF-8"))
+    val cfg = Map(
+      "source.id" -> "tornjob",
+      "source.type" -> "mysql",
+      "sink.path" -> out.toString,
+      "offset.store.path" -> off.toString,
+      "snapshot.only" -> "true",
+      "table.schemas" -> """{"SALES.BIGSEQ":"ID:INTEGER,VAL:INTEGER"}""",
+      "snapshot.jdbc.url" -> url,
+      "snapshot.jdbc.driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    graft.streaming.CdcJob.run(spark, cfg, in.toString,
+      tmp().resolve("ck").toString)
+    assert(spark.read.parquet(s"$out/tornjob_SALES__BIGSEQ").count() == 1000)
+    val marker = new String(Files.readAllBytes(
+      off.resolve("tornjob_snapshot.done")), "UTF-8")
+    assert(marker.linesIterator.toSet.contains("SALES.BIGSEQ"), marker)
+    // restart: the full name now matches — no duplicate snapshot
+    graft.streaming.CdcJob.run(spark, cfg, in.toString,
+      tmp().resolve("ck2").toString)
+    assert(spark.read.parquet(s"$out/tornjob_SALES__BIGSEQ").count() == 1000)
+  }
+
   test("snapshot.jdbc.chunk.* config wires the chunked path through CdcJob.run") {
     val out = tmp(); val off = tmp(); val in = tmp()
     val cfg = Map(
