@@ -27,14 +27,24 @@ final case class EvolutionProposal(
     routeKey: String,
     /** The dated version name, e.g. `users_v20240401`. */
     newTableName: String,
-    /** Ready-to-paste `table.name.map` entry. */
+    /** Ready-to-paste name-map entry (the config key it belongs
+      * under is [[nameMapKey]]).
+      */
     tableNameMapEntry: (String, String),
     /** Evolved payload schema, when the ALTER subset allows deriving
       * it mechanically; None = operator declares it (the proposal
       * says why in `note`).
       */
     schema: Option[StructType],
-    note: String) {
+    note: String,
+    /** Which config map the entry pastes into: `table.name.map` for
+      * the relational flavors, `collection.name.map` for Mongo — the
+      * reference's MongoDB streamer reads its renames from the
+      * collection-flavored key (`MongoDBStreamer.java:65`), and the
+      * proposal must emit the spelling that flavor's config actually
+      * loads.
+      */
+    nameMapKey: String = "table.name.map") {
   /** The flat-config rendering the runbook pastes. JSON-escaped the
     * same way as [[DdlEvolution.applyProposal]]'s renderMap — a raw
     * spelling containing `"` or `\` must still paste as valid JSON.
@@ -43,7 +53,7 @@ final case class EvolutionProposal(
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
     val (k, v) = tableNameMapEntry
-    s"""{"table.name.map": {"${esc(k)}": "${esc(v)}"}}"""
+    s"""{"$nameMapKey": {"${esc(k)}": "${esc(v)}"}}"""
   }
 }
 
@@ -224,7 +234,11 @@ object DdlEvolution {
       else schemas.keys.find(sanitizeKey(_) == p.routeKey)
         .getOrElse(p.routeKey)
     }
-    val names = graft.streaming.JobConfig.nameMap(cfg, "table.name.map") +
+    // the proposal names which map it pastes into (table.name.map
+    // for relational flavors, collection.name.map for Mongo) — apply
+    // must rewrite THAT key, or a mongo proposal would land in a map
+    // the flavor-specific config surface never consults
+    val names = graft.streaming.JobConfig.nameMap(cfg, p.nameMapKey) +
       (rawKey -> p.newTableName)
     val evolvedSchemas = p.schema match {
       case Some(s) =>
@@ -233,7 +247,7 @@ object DdlEvolution {
             .mkString(","))
       case None => schemas
     }
-    cfg + ("table.name.map" -> renderMap(names)) +
+    cfg + (p.nameMapKey -> renderMap(names)) +
       ("table.schemas" -> renderMap(evolvedSchemas))
   }
 
@@ -269,6 +283,8 @@ object DdlEvolution {
       tableNameMapEntry =
         rawKey.getOrElse(routeKey) -> versionedName(spec.table, tsMillis),
       schema = Some(evolved),
+      // MongoDBStreamer.java:65 reads renames from collection.name.map
+      nameMapKey = "collection.name.map",
       note = "mongo top-level-string drift: new field(s) " +
         s"${stable.mkString(", ")} appended as string to the " +
         "sampled schema" +

@@ -41,9 +41,32 @@ object CdcJob {
       }
       TableSpec(db, tbl, TypeMapping.schemaFromJdbc(cols, oracle))
     }
+    // `collection.name.map` is the Mongo spelling of the rename map
+    // (`MongoDBStreamer.java:65` reads renames from it) — a reference
+    // config ported verbatim must not have its collection renames
+    // silently ignored. Mongo only: for any other source type the key
+    // is a config error and fails fast, like the rest of the surface.
+    // Both spellings may coexist for mongo (graft's own configs use
+    // table.name.map); a key in BOTH with different targets is a
+    // contradiction, not a precedence question.
+    val tableNames = JobConfig.nameMap(cfg, "table.name.map")
+    val collectionNames = JobConfig.nameMap(cfg, "collection.name.map")
+    if (collectionNames.nonEmpty &&
+        !cfg.get("source.type").contains("mongodb"))
+      throw new IllegalArgumentException(
+        "collection.name.map IS MONGODB-ONLY (source.type=" +
+          s"${cfg.getOrElse("source.type", "<unset>")}): use " +
+          "table.name.map for relational sources")
+    val conflicts = tableNames.keySet.intersect(collectionNames.keySet)
+      .filter(k => tableNames(k) != collectionNames(k))
+    if (conflicts.nonEmpty)
+      throw new IllegalArgumentException(
+        "CONFLICTING RENAMES between table.name.map and " +
+          "collection.name.map for: " +
+          conflicts.toSeq.sorted.mkString(", "))
     TableRegistry(tables,
       dbNameMap = JobConfig.nameMap(cfg, "database.name.map"),
-      tableNameMap = JobConfig.nameMap(cfg, "table.name.map"))
+      tableNameMap = tableNames ++ collectionNames)
   }
 
   def configFromMap(cfg: Map[String, String],

@@ -34,6 +34,37 @@ class CdcJobSpec extends AnyFunSuite {
     assert(reg.routed("testdb.counts").schema("n").dataType == LongType)
   }
 
+  test("collection.name.map aliases the rename map for mongodb only") {
+    // the reference's MongoDB streamer reads renames from
+    // collection.name.map (MongoDBStreamer.java:65) — a reference
+    // config ported verbatim must route, not silently ignore renames
+    val base = Map(
+      "source.id" -> "m", "source.type" -> "mongodb", "sink.path" -> "S",
+      "table.schemas" -> """{"orders": "_id:VARCHAR(24),qty:BIGINT"}""")
+    val reg = CdcJob.registryFromConfig(base +
+      ("collection.name.map" -> """{"orders": "orders_v2"}"""))
+    assert(reg.routed("orders").table == "orders_v2")
+    // both spellings merge; an agreeing duplicate is fine
+    val both = CdcJob.registryFromConfig(base ++ Map(
+      "collection.name.map" -> """{"orders": "orders_v2"}""",
+      "table.name.map" -> """{"orders": "orders_v2"}"""))
+    assert(both.routed("orders").table == "orders_v2")
+    // a contradicting duplicate fails loudly
+    val e1 = intercept[IllegalArgumentException] {
+      CdcJob.registryFromConfig(base ++ Map(
+        "collection.name.map" -> """{"orders": "a"}""",
+        "table.name.map" -> """{"orders": "b"}"""))
+    }
+    assert(e1.getMessage.contains("CONFLICTING"))
+    // mongodb-only: for a relational source the key is a config error
+    val e2 = intercept[IllegalArgumentException] {
+      CdcJob.registryFromConfig(base ++ Map(
+        "source.type" -> "mysql",
+        "collection.name.map" -> """{"orders": "orders_v2"}"""))
+    }
+    assert(e2.getMessage.contains("MONGODB-ONLY"))
+  }
+
   test("snapshot override config: parse, validation, statement grammar") {
     import graft.streaming.SnapshotOverrides
     val base = Map("source.id" -> "s", "source.type" -> "mysql",

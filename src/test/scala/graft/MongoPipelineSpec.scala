@@ -172,6 +172,11 @@ class MongoPipelineSpec extends AnyFunSuite {
     val evolved = proposal.schema.getOrElse(fail("drift schema is mechanical"))
     assert(evolved.fieldNames.toSeq == Seq("_id", "sku", "qty", "surprise"))
     assert(evolved("surprise").dataType == StringType)
+    // the pasteable rendering uses the MONGO config spelling — the
+    // reference's MongoDB streamer reads renames from
+    // collection.name.map, not table.name.map
+    assert(proposal.nameMapKey == "collection.name.map")
+    assert(proposal.configJson.contains("\"collection.name.map\""))
 
     // phase 2, like SchemaEvolutionSpec: the v2 config is the PURE
     // applyProposal rewrite of the flat v1 config — no hand-assembly
@@ -181,6 +186,10 @@ class MongoPipelineSpec extends AnyFunSuite {
       "table.schemas" ->
         """{"orders": "_id:VARCHAR(24),sku:VARCHAR(10),qty:BIGINT"}""")
     val v2Cfg = graft.ops.DdlEvolution.applyProposal(v1Cfg, proposal)
+    // the rewrite landed under the mongo-flavored key, and the config
+    // loader's collection.name.map alias picks it up
+    assert(v2Cfg.contains("collection.name.map") &&
+      !v2Cfg.contains("table.name.map"))
     val v2Registry = graft.streaming.CdcJob.registryFromConfig(v2Cfg)
     assert(v2Registry.routed("orders").schema == evolved)
     assert(v2Registry.tableNameMap == Map("orders" -> "orders_v20231114"))
@@ -196,6 +205,30 @@ class MongoPipelineSpec extends AnyFunSuite {
     assert(r.getAs[String]("surprise") == "f" &&
       r.getAs[String]("sku") == "x")
     assert(!Files.exists(out.resolve("msrc3_orders")))
+  }
+
+  test("reference-shaped config: collection.name.map routes a renamed " +
+      "collection end to end") {
+    val in = tmp(); val out = tmp()
+    Files.write(in.resolve("00.jsonl"),
+      env("CREATE", "orders", t1,
+        """{"_id":"k1","sku":"a","qty":2}""").getBytes)
+    // the key spelling the reference's Mongo configs use
+    // (MongoDBStreamer.java:65) — loaded through the normal config
+    // path, not a hand-built registry
+    val config = graft.streaming.CdcJob.configFromMap(Map(
+      "source.id" -> "msrc5", "source.type" -> "mongodb",
+      "sink.path" -> out.toString,
+      "mongodb.deserialization.mode" -> "top-level-type",
+      "table.schemas" ->
+        """{"orders": "_id:VARCHAR(24),sku:VARCHAR(10),qty:BIGINT"}""",
+      "collection.name.map" -> """{"orders": "orders_live"}"""))
+    val p = new CdcPipeline(spark, config)
+    p.runAvailableNow(in.toString, tmp().resolve("ck").toString)
+    val sink = spark.read.parquet(s"$out/msrc5_orders_live")
+    assert(sink.count() == 1)
+    assert(sink.collect()(0).getAs[Long]("qty") == 2L)
+    assert(!Files.exists(out.resolve("msrc5_orders")))
   }
 
   test("drift check stays RAW-keyed: a doc key the sanitizer would " +

@@ -95,9 +95,9 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(v2Schema.fieldNames.toSeq == Seq("id", "name", "age"))
 
     // ---- phase 2: the proposed v2 config, restart just past the DDL
-    // (the DDL was line 0 of its segment → resume at line 1; a live
-    // binlog connector restarts at the DDL record's end position the
-    // same way)
+    // (the DDL record is the whole segment → resume at its end BYTE —
+    // the feed's pos is a byte offset, the unit a live binlog
+    // connector's "restart at the DDL's end position" uses too)
     // the v2 config is produced by applyProposal — a pure rewrite of
     // the flat v1 config (name map + evolved schema entry), so the
     // restart consumes the proposal VERBATIM, no hand-assembled
@@ -116,7 +116,8 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     p2.startFeed(
       graft.source.Dsv2Feed(feed.toString, options = Map(
         "startup.mode" -> "offset",
-        "startup.offset" -> s"$ddlSegment,1")),
+        "startup.offset" ->
+          s"$ddlSegment,${Files.size(feed.resolve(ddlSegment))}")),
       tmp().resolve("ck2").toString,
       org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .awaitTermination()
