@@ -267,6 +267,10 @@ object CdcJob {
                 progress, Some(pending),
                 rowsPerChunk = cfg.get("snapshot.jdbc.chunk.rows")
                   .map(_.toLong),
+                // `.exact=true`: size by a server-side COUNT(*) (the
+                // reference's true rows-per-split) instead of key span
+                exactRows = cfg.get("snapshot.jdbc.chunk.rows.exact")
+                  .contains("true"),
                 // chunk = resume unit, partitions = parallelism unit:
                 // each chunk's range scan shards across executors
                 // (partOpts already parsed the key — single source)

@@ -178,9 +178,17 @@ object JdbcSnapshot {
     * new inserts would shift every range and drop or duplicate rows.
     * Rows inserted after the plan was cut arrive via the binlog tail,
     * exactly as they do for the single-shot snapshot.
+    *
+    * `tsMs` is the snapshot timestamp stamped into every chunk's
+    * `_ts` — persisted WITH the plan so a crash-resumed table's later
+    * chunks reuse run 1's value instead of run 2's clock: one table's
+    * READ rows must carry ONE `_ts` and land in ONE `dt=` partition,
+    * not straddle two. Optional only for plan files written before the
+    * field existed (4-field parse) — those resume with the resuming
+    * run's timestamp, the pre-existing behavior.
     */
   final case class ChunkPlan(key: String, column: String, chunks: Int,
-      lo: Long, hi: Long) {
+      lo: Long, hi: Long, tsMs: Option[Long] = None) {
     require(chunks > 0, s"chunks must be positive, got $chunks")
     require(lo <= hi, s"bounds out of order: [$lo, $hi]")
     /** Chunk i as (lo, hi) BOTH INCLUSIVE; BigInt internally so
@@ -232,6 +240,24 @@ object JdbcSnapshot {
   private def asLong(v: Any): Long = v match {
     case n: java.lang.Number => n.longValue()
     case other => other.toString.trim.toLong
+  }
+
+  /** Server-side COUNT(*) through the same base the chunk WHERE
+    * composes around — the one extra aggregate `chunk.rows.exact`
+    * pays to size chunks by TRUE row count instead of key span.
+    */
+  def chunkRowCount(spark: SparkSession, url: String,
+      connProps: Map[String, String], sourceTable: String,
+      overrideStmt: Option[String] = None): Long = {
+    val base = overrideStmt match {
+      case Some(stmt) => SnapshotOverrides.asJdbcSubquery(sourceTable, stmt)
+      case None => sourceTable
+    }
+    asLong(spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", s"(SELECT COUNT(*) graft_n FROM $base) graft_count")
+      .options(connProps)
+      .load().collect().head.get(0))
   }
 
   /** Chunk-progress persistence seam: the caller records the cut plan
@@ -294,10 +320,17 @@ object JdbcSnapshot {
         // NON-empty malformed content is real corruption — fail loud.
         if (line.isEmpty) { fs.delete(p, false); None }
         else line.split("\\s+") match {
+          // 4-field form: plans written before the snapshot timestamp
+          // was persisted — backward-compatible, ts falls back to the
+          // resuming run's clock
           case Array(col, n, lo, hi) =>
             Some(ChunkPlan(key, col, n.toInt, lo.toLong, hi.toLong))
+          case Array(col, n, lo, hi, ts) =>
+            Some(ChunkPlan(key, col, n.toInt, lo.toLong, hi.toLong,
+              Some(ts.toLong)))
           case _ => throw new IllegalStateException(
-            s"CORRUPT CHUNK PLAN at $p: '$line' (want 'column chunks lo hi')")
+            s"CORRUPT CHUNK PLAN at $p: '$line' " +
+              "(want 'column chunks lo hi [tsMs]')")
         }
       }
     }
@@ -322,8 +355,8 @@ object JdbcSnapshot {
             s"CHUNK PLAN ALREADY CUT for ${p.key} at $fin (lost the " +
               "create race) — concurrent snapshot of the same source?", e)
         }
-      try out.write(s"${p.column} ${p.chunks} ${p.lo} ${p.hi}\n"
-        .getBytes("UTF-8"))
+      try out.write((s"${p.column} ${p.chunks} ${p.lo} ${p.hi}" +
+        p.tsMs.map(t => s" $t").getOrElse("") + "\n").getBytes("UTF-8"))
       finally out.close()
     }
 
@@ -364,6 +397,16 @@ object JdbcSnapshot {
     * makes, with its distribution-factor guard for pathological skew).
     * The derived count is persisted in the plan, so a restart is
     * consistent even if the config knob changes between runs.
+    *
+    * `exactRows` sizes by TRUE row count instead: one extra
+    * server-side COUNT(*) (through the override when present) buys
+    * the reference's real rows-per-split semantics for moderately
+    * sparse keys — ceil(count / rowsPerChunk) chunks over the same
+    * even value slices, so each chunk averages `rowsPerChunk` rows
+    * regardless of key density. (Per-chunk row counts still follow
+    * the key DISTRIBUTION — a heavily skewed key concentrates rows
+    * in few chunks either way; the reference's distribution-factor
+    * guard makes the same trade.)
     */
   /** `numPartitions` > 1 additionally shards EACH chunk's range scan
     * across executors via Spark's JDBC partition options (bounds set
@@ -378,7 +421,8 @@ object JdbcSnapshot {
       chunkColumn: String, chunks: Int, progress: ChunkProgress,
       only: Option[Set[String]] = None,
       rowsPerChunk: Option[Long] = None,
-      numPartitions: Int = 1): Map[String, Long] = {
+      numPartitions: Int = 1,
+      exactRows: Boolean = false): Map[String, Long] = {
     val dtCol = config.fixedBucket.map(lit(_).as("dt"))
       .getOrElse(EnvelopeDecoder.dtColumn)
     def sinkCount(dir: String): Long =
@@ -401,8 +445,12 @@ object JdbcSnapshot {
             val n = rowsPerChunk match {
               case Some(rows) =>
                 require(rows > 0, s"rowsPerChunk must be positive, got $rows")
-                val span = BigInt(hi) - BigInt(lo) + 1
-                val derived = (span + rows - 1) / rows
+                val basis =
+                  if (exactRows) BigInt(chunkRowCount(spark, url, connProps,
+                    source.key,
+                    config.snapshotOverrides.get(key).map(_.statement)))
+                  else BigInt(hi) - BigInt(lo) + 1
+                val derived = (basis + rows - 1) / rows max 1
                 // span-based sizing explodes on SPARSE keys (a
                 // snowflake/epoch-millis ID spans ~1e15 regardless of
                 // row count → billions of chunks, each a JDBC query +
@@ -411,15 +459,21 @@ object JdbcSnapshot {
                 // reference guards the same hazard with its
                 // distribution-factor bound.
                 require(derived <= MaxChunks,
-                  s"$key: chunk column spans [$lo, $hi] — " +
-                    s"$derived chunks at $rows rows each (cap $MaxChunks). " +
-                    "The column is too sparse for span-based sizing: " +
-                    "use snapshot.jdbc.chunks with a fixed count, or a " +
-                    "denser chunk column")
+                  if (exactRows)
+                    s"$key: $derived chunks at $rows rows each (cap " +
+                      s"$MaxChunks) — raise snapshot.jdbc.chunk.rows or " +
+                      "use snapshot.jdbc.chunks with a fixed count"
+                  else
+                    s"$key: chunk column spans [$lo, $hi] — " +
+                      s"$derived chunks at $rows rows each (cap $MaxChunks). " +
+                      "The column is too sparse for span-based sizing: " +
+                      "use snapshot.jdbc.chunk.rows.exact=true (COUNT(*)-" +
+                      "probed sizing), snapshot.jdbc.chunks with a fixed " +
+                      "count, or a denser chunk column")
                 derived.toInt
               case None => chunks
             }
-            ChunkPlan(key, chunkColumn, n, lo, hi)
+            ChunkPlan(key, chunkColumn, n, lo, hi, Some(snapshotTsMs))
           case None =>
             // no non-NULL keys: truly empty, or every key is NULL. A
             // synthetic one-chunk plan keeps BOTH cases correct: chunk
@@ -428,12 +482,16 @@ object JdbcSnapshot {
             // "complete" marker), the [0, 0] range matches nothing
             // (there are no non-null keys), and the chunk marker
             // keeps the restart idempotent either way.
-            ChunkPlan(key, chunkColumn, 1, 0L, 0L)
+            ChunkPlan(key, chunkColumn, 1, 0L, 0L, Some(snapshotTsMs))
         }
         progress.savePlan(p)
         p
       }
       val p = plan
+      // a resumed table's remaining chunks reuse the PERSISTED
+      // timestamp: one `_ts` (and one `dt=` partition) per table's
+      // snapshot, even across a crash spanning midnight
+      val tableTs = p.tsMs.getOrElse(snapshotTsMs)
       val done = progress.doneChunks(key)
       for (i <- 0 until p.chunks if !done.contains(i)) {
         val (a, b) = p.range(i)
@@ -447,7 +505,7 @@ object JdbcSnapshot {
               "numPartitions" -> numPartitions.toString)
           snapshotFrame(spark, url, connProps, source.key, spec,
             config.snapshotOverrides.get(key).map(_.statement),
-            snapshotTsMs, config.sourceType,
+            tableTs, config.sourceType,
             partitionOptions = shardOpts,
             chunk = Some((p.column, a, b)),
             // chunk 0 sweeps NULL-keyed rows (outside every range)

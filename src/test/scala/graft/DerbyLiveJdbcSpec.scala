@@ -462,7 +462,8 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     // [1,900] in 4 chunks of 225; chunk 0 landed
     assert(spark.read.parquet(dir).count() == 225)
     val planBefore = file.plan("SALES.BIGSEQ").get
-    assert(planBefore == JdbcSnapshot.ChunkPlan("SALES.BIGSEQ", "ID", 4, 1, 900))
+    assert(planBefore == JdbcSnapshot.ChunkPlan("SALES.BIGSEQ", "ID", 4, 1,
+      900, Some(1700000000000L)))
     assert(file.doneChunks("SALES.BIGSEQ") == Set(0))
 
     // a row arrives at the source AFTER the plan was cut: a restart
@@ -474,16 +475,24 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
       st.close()
     } finally c.close()
 
-    // run 2 (restart): same progress dir — resumes, never re-probes
+    // run 2 (restart): same progress dir — resumes, never re-probes.
+    // The restart's OWN clock is a day later: the persisted plan's
+    // tsMs must win, or this table's READ rows would carry two `_ts`
+    // values and straddle two `dt=` partitions
     val rec = new Recording(file)
     val counts = JdbcSnapshot.writeSnapshotChunked(spark, cfg, url,
-      connProps, 1700000000000L, "ID", 4, rec)
+      connProps, 1700000000000L + 86400000L, "ID", 4, rec)
     assert(rec.saved == 0, "restart re-cut the plan (re-probe!)")
     assert(rec.landedChunks == Vector(1, 2, 3), rec.landedChunks)
     assert(file.plan("SALES.BIGSEQ").get == planBefore)
     // this run wrote only chunks 2-4: ids 226..900 under the override
     assert(counts("SALES.BIGSEQ") == 675)
-    val ids = spark.read.parquet(dir).select("ID").collect()
+    val snap = spark.read.parquet(dir)
+    // single _ts and single dt across ALL chunks, both runs
+    assert(snap.select("_ts").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1700000000000L))
+    assert(snap.select("dt").distinct().count() == 1)
+    val ids = snap.select("ID").collect()
       .map(_.getInt(0)).sorted
     // exact rows: 1..900 once each; the post-plan insert (id 2000) is
     // NOT here — it belongs to the binlog tail, like any other write
@@ -545,7 +554,8 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     // span [1,1000] at 300 rows/chunk → ceil(1000/300) = 4 chunks,
     // persisted in the plan (not the ignored `chunks` arg)
     assert(file.plan("SALES.BIGSEQ").get ==
-      JdbcSnapshot.ChunkPlan("SALES.BIGSEQ", "ID", 4, 1, 1000))
+      JdbcSnapshot.ChunkPlan("SALES.BIGSEQ", "ID", 4, 1, 1000,
+        Some(1700000000000L)))
     assert(file.doneChunks("SALES.BIGSEQ") == Set(0, 1, 2, 3))
     assert(counts("SALES.BIGSEQ") == 1000)
   }
@@ -568,7 +578,8 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     // override over a wide key range must not inflate the chunk
     // count (or, at a sparse extreme, trip the MaxChunks guard)
     assert(file.plan("SALES.BIGSEQ").get ==
-      JdbcSnapshot.ChunkPlan("SALES.BIGSEQ", "ID", 3, 1, 300))
+      JdbcSnapshot.ChunkPlan("SALES.BIGSEQ", "ID", 3, 1, 300,
+        Some(1700000000000L)))
     assert(counts("SALES.BIGSEQ") == 300)
     val ids = spark.read.parquet(s"$out/ovchunks_SALES__BIGSEQ")
       .select("ID").collect().map(_.getInt(0)).sorted.toSeq
@@ -607,11 +618,48 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts2("SALES.ALLNULL") == 2)
     // the synthetic plan persisted + chunk marked: restart writes nothing
     assert(prog2.plan("SALES.ALLNULL").contains(
-      JdbcSnapshot.ChunkPlan("SALES.ALLNULL", "ID", 1, 0, 0)))
+      JdbcSnapshot.ChunkPlan("SALES.ALLNULL", "ID", 1, 0, 0,
+        Some(1700000000000L))))
     val counts2b = JdbcSnapshot.writeSnapshotChunked(spark,
       CdcConfig("allnull", reg2, out2.toString), url, connProps,
       1700000000000L, "ID", 4, prog2)
     assert(counts2b("SALES.ALLNULL") == 0)
+  }
+
+  test("chunk.rows.exact sizes by COUNT(*): a sparse key that would " +
+      "trip the span guard plans from true rows") {
+    // SPARSEQ: 2 rows spanning ~5e9 — span-based sizing at 4096
+    // rows/chunk derives ~1.2M chunks and fails the MaxChunks guard
+    // (the test below); COUNT(*)-probed sizing sees 2 rows → 1 chunk
+    val out = tmp()
+    val registry = TableRegistry(Seq(TableSpec("SALES", "SPARSEQ",
+      StructType(Seq(StructField("ID", LongType))))))
+    val cfg = CdcConfig("exactrows", registry, out.toString)
+    val file = new JdbcSnapshot.FileChunkProgress(spark,
+      tmp().resolve("chunks").toString)
+    val counts = JdbcSnapshot.writeSnapshotChunked(spark, cfg, url,
+      connProps, 1700000000000L, "ID", 4, file,
+      rowsPerChunk = Some(4096L), exactRows = true)
+    assert(counts("SALES.SPARSEQ") == 2)
+    assert(file.plan("SALES.SPARSEQ").get ==
+      JdbcSnapshot.ChunkPlan("SALES.SPARSEQ", "ID", 1, 1, 5000000000L,
+        Some(1700000000000L)))
+    // the count is probed THROUGH a narrowing override, like bounds:
+    // BIGSEQ under id<=300 has 300 rows → 3 chunks at 100 rows each
+    val out2 = tmp()
+    val reg2 = TableRegistry(Seq(TableSpec("SALES", "BIGSEQ", bigseqSchema)))
+    val cfg2 = CdcConfig("exactov", reg2, out2.toString,
+      snapshotOverrides = SnapshotOverrides.fromConfig(Map(
+        "snapshot.select.statement.overrides" -> "SALES.BIGSEQ",
+        "snapshot.select.statement.overrides.SALES.BIGSEQ" ->
+          "SELECT id, val FROM SALES.BIGSEQ WHERE id <= 300")))
+    val file2 = new JdbcSnapshot.FileChunkProgress(spark,
+      tmp().resolve("chunks").toString)
+    val counts2 = JdbcSnapshot.writeSnapshotChunked(spark, cfg2, url,
+      connProps, 1700000000000L, "ID", 4, file2,
+      rowsPerChunk = Some(100L), exactRows = true)
+    assert(counts2("SALES.BIGSEQ") == 300)
+    assert(file2.plan("SALES.BIGSEQ").get.chunks == 3)
   }
 
   test("chunk.rows on a sparse key fails fast, not a persisted death march") {
