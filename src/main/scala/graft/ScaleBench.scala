@@ -521,6 +521,69 @@ object ScaleBench {
       "(embedded Derby bounds the win: one JVM, one page cache)")
   }
 
+  /** The table-parallelism datapoint: N Derby tables (default 8 ×
+    * 25k rows) snapshotted through `JdbcSnapshot.writeSnapshot` with
+    * `tableParallelism` 1 vs 4. Same embedded-Derby caveat as the
+    * sharding experiment — one JVM, one page cache bounds the win;
+    * on a real server the overlap also hides N−1 network round-trip
+    * latencies, which an embedded database has none of.
+    */
+  private def jdbcTablesExperiment(spark: SparkSession, tables: Int,
+      rows: Int): Unit = {
+    import graft.model.{TableRegistry, TableSpec}
+    import graft.streaming.{CdcConfig, JdbcSnapshot}
+    val url = "jdbc:derby:memory:grafttables"
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("graft-derby-scale-").toString)
+    val conn = java.sql.DriverManager.getConnection(s"$url;create=true")
+    try {
+      val st = conn.createStatement()
+      conn.setAutoCommit(false)
+      for (t <- 1 to tables) {
+        st.executeUpdate(
+          s"CREATE TABLE APP.SNAP$t(ID INTEGER NOT NULL, VAL VARCHAR(64))")
+        val ps = conn.prepareStatement(s"INSERT INTO APP.SNAP$t VALUES (?, ?)")
+        for (i <- 1 to rows) {
+          ps.setInt(1, i)
+          ps.setString(2, f"value-$i%08d-${i * 2654435761L}%016x")
+          ps.addBatch()
+          if (i % 5000 == 0) { ps.executeBatch(); conn.commit() }
+        }
+        ps.executeBatch(); conn.commit()
+        ps.close()
+      }
+      st.close()
+    } finally conn.close()
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ID",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("VAL",
+        org.apache.spark.sql.types.StringType)))
+    val registry = TableRegistry(
+      (1 to tables).map(t => TableSpec("APP", s"SNAP$t", schema)))
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    def onePass(par: Int): Double = {
+      val out = java.nio.file.Files.createTempDirectory("graft-partab-")
+      val cfg = CdcConfig(s"partab$par", registry, out.toString)
+      val t0 = System.nanoTime()
+      val counts = JdbcSnapshot.writeSnapshot(spark, cfg, url, props,
+        1700000000000L, tableParallelism = par)
+      require(counts.values.sum == tables.toLong * rows,
+        s"bad counts: $counts")
+      (System.nanoTime() - t0) / 1e9
+    }
+    onePass(1) // untimed warmup
+    println(f"[scale] ${"jdbc table parallelism"}%-26s ${"tables"}%7s ${"sec"}%7s")
+    val times = Seq(1, 4).map { par =>
+      val t = math.min(onePass(par), onePass(par))
+      println(f"[scale]   parallelism=$par%-17s $tables%7d $t%7.2f")
+      par -> t
+    }.toMap
+    println(f"[scale]   1->4 speedup ${times(1) / times(4)}%.2fx " +
+      "(embedded Derby bounds the win: one JVM, one page cache)")
+  }
+
   /** ONE session builder for all three experiment branches — a
     * config tweak applied to one branch and not the others would
     * silently change that experiment's measurement conditions.
@@ -557,6 +620,13 @@ object ScaleBench {
     if (args.headOption.contains("jdbc")) {
       val spark = buildSession()
       jdbcExperiment(spark, args.lift(1).map(_.toInt).getOrElse(100000))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("jdbctables")) {
+      val spark = buildSession()
+      jdbcTablesExperiment(spark, args.lift(1).map(_.toInt).getOrElse(8),
+        args.lift(2).map(_.toInt).getOrElse(25000))
       spark.stop()
       return
     }

@@ -27,6 +27,13 @@ object JdbcRegistry {
     def tables(db: String): Seq[String]
     /** (COLUMN_NAME, TYPE_NAME) pairs in ordinal order. */
     def columns(db: String, table: String): Seq[(String, String)]
+    /** Primary-key column names in KEY_SEQ order; empty = no PK (or
+      * the provider can't know — the safe reading either way is
+      * "nothing to chunk on"). Defaulted so fixture providers that
+      * predate the method keep compiling; the live adapter overrides
+      * it with a real `getPrimaryKeys` walk.
+      */
+    def primaryKeys(db: String, table: String): Seq[String] = Seq.empty
   }
 
   /** Adapter over a live connection's metadata
@@ -92,6 +99,42 @@ object JdbcRegistry {
             rs.getString("COLUMN_NAME") -> rs.getString("TYPE_NAME")))
           .collect { case (ns, t, col)
             if sameName(ns, db) && sameName(t, table) => col }
+      // getPrimaryKeys takes EXACT names (not LIKE patterns — no
+      // escaping). Case-insensitive engines may store a different
+      // case than the config declares (Derby/Oracle upcase, MySQL
+      // lower_case_table_names), and a MySQL-shaped config may run
+      // against a schema-namespaced engine — so try the declared
+      // spelling then the case variants, under the configured
+      // namespace convention first and the opposite one as a
+      // fallback, post-filtering by exact name like every other call.
+      override def primaryKeys(db: String, table: String): Seq[String] = {
+        // the db name lands in TABLE_CAT or TABLE_SCHEM depending on
+        // which convention actually matched — check both; the unused
+        // slot is null (or "": Derby reports an empty catalog), which
+        // can't contradict, and the real one must agree
+        def nsOk(reported: String): Boolean =
+          reported == null || reported.isEmpty ||
+            reported.equalsIgnoreCase(db)
+        def probe(cat: String, sch: String, t: String): Seq[String] =
+          drain(md.getPrimaryKeys(cat, sch, t))(rs =>
+            (rs.getString("TABLE_CAT"), rs.getString("TABLE_SCHEM"),
+              rs.getString("TABLE_NAME"),
+              rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+            .collect { case (c, s, tn, seq, col)
+              if nsOk(c) && nsOk(s) && sameName(tn, table) => seq -> col }
+            .sortBy(_._1).map(_._2)
+        val variants = Seq((db, table), (db.toUpperCase, table.toUpperCase),
+          (db.toLowerCase, table.toLowerCase)).distinct
+        val scopings: Seq[(String, String) => Seq[String]] =
+          if (dbIsSchema) Seq((d, t) => probe(null, d, t),
+            (d, t) => probe(d, null, t))
+          else Seq((d, t) => probe(d, null, t), (d, t) => probe(null, d, t))
+        (for {
+          scope <- scopings.iterator
+          (d, t) <- variants.iterator
+          pk = scope(d, t) if pk.nonEmpty
+        } yield pk).nextOption().getOrElse(Seq.empty)
+      }
     }
 
   /** Walk `databases` through `meta` and build the registry.

@@ -138,6 +138,68 @@ object CdcJob {
   def sinkDdl(cfg: Map[String, String]): Map[String, Seq[String]] =
     SinkDdl.createTableSql(configFromMap(cfg))
 
+  /** `snapshot.jdbc.chunk.auto`: one `DatabaseMetaData.getPrimaryKeys`
+    * walk (through the same [[graft.schema.JdbcRegistry]] adapter the
+    * live registry walk uses) resolving each pending table's chunk
+    * column from its primary key. Numeric single-column PKs only —
+    * the chunk math is a numeric range; a composite, string, or
+    * absent key means the table degrades to the single-shot scan,
+    * with a log line naming why. Numeric-ness is judged on the
+    * REGISTRY'S collapsed type for the column (the §1.3 policy the
+    * sink schema is built from), so config and discovery can't
+    * disagree. The connection is opened once and closed before any
+    * data scan starts.
+    */
+  private[graft] def discoverChunkColumns(config: CdcConfig,
+      url: String, connProps: Map[String, String],
+      tables: Set[String], log: org.slf4j.Logger)
+      : Map[String, Option[String]] = {
+    if (tables.isEmpty) return Map.empty
+    connProps.get("driver").foreach(Class.forName)
+    val props = new java.util.Properties()
+    for ((k, v) <- connProps if k != "driver") props.setProperty(k, v)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val meta = graft.schema.JdbcRegistry.fromDatabaseMetaData(
+        conn.getMetaData,
+        // MySQL namespaces databases as JDBC catalogs; PG/Oracle (and
+        // Derby) as schemas — the adapter falls back to the opposite
+        // convention anyway, this just picks the first try
+        dbIsSchema = config.sourceType != "mysql")
+      (for (key <- tables.toSeq) yield {
+        val spec = config.registry.routed(key)
+        val src = config.registry.sourceTables.getOrElse(key, spec)
+        val col = meta.primaryKeys(src.db, src.table) match {
+          case Seq(one) =>
+            import org.apache.spark.sql.types._
+            val numeric = spec.schema.fields
+              .find(_.name.equalsIgnoreCase(graft.schema.Sanitizer(one)))
+              .exists(_.dataType match {
+                case IntegerType | LongType | ShortType | ByteType => true
+                case _ => false
+              })
+            if (numeric) Some(one)
+            else {
+              log.info(s"[${config.name}] $key: primary key '$one' is " +
+                "not numeric in the registry schema — single-shot " +
+                "snapshot for this table")
+              None
+            }
+          case Seq() =>
+            log.info(s"[${config.name}] $key: no primary key " +
+              "discovered — single-shot snapshot for this table")
+            None
+          case many =>
+            log.info(s"[${config.name}] $key: composite primary key " +
+              s"(${many.mkString(", ")}) — single-shot snapshot for " +
+              "this table")
+            None
+        }
+        key -> col
+      }).toMap
+    } finally conn.close()
+  }
+
   /** Assemble and run. Snapshot-only uses AvailableNow (drain and
     * exit — cleaner than the reference's first-non-READ + 10 s timer
     * heuristic, SURVEY §3.3); tailing mode uses a ProcessingTime
@@ -238,48 +300,97 @@ object CdcJob {
             "numPartitions" -> "num.partitions")
             .flatMap { case (sparkKey, cfgKey) =>
               cfg.get(s"snapshot.jdbc.$cfgKey").map(sparkKey -> _) }.toMap
-          // `snapshot.jdbc.chunk.column` switches a table's snapshot
-          // from one server-side scan to `snapshot.jdbc.chunks` (default
-          // 4) range slices with durable per-chunk progress beside the
-          // marker — a multi-terabyte table's snapshot then resumes at
-          // chunk granularity, not table granularity. The plan is cut
-          // once and persisted; a restart reuses it verbatim (re-probing
-          // live bounds would shift every range).
-          // `snapshot.jdbc.chunk.rows` instead sizes chunks by value
-          // span — the reference's rows-per-split knob
-          // (`mysql.split.size` 4096, `MySQLStreamer.java:200`).
-          val counts = cfg.get("snapshot.jdbc.chunk.column") match {
-            case Some(chunkCol) =>
-              // chunking re-shards on the CHUNK column; explicitly
-              // configured partition.column/bounds don't apply there —
-              // say so instead of silently changing the scan shape
-              if (partOpts.keySet.exists(_ != "numPartitions"))
-                log.warn(s"[${config.name}] snapshot.jdbc.partition." +
-                  "column / snapshot.jdbc.lower.bound / snapshot.jdbc." +
-                  "upper.bound are ignored when snapshot.jdbc.chunk." +
-                  s"column is set — chunking shards on '$chunkCol' " +
-                  "(snapshot.jdbc.num.partitions still applies per chunk)")
-              val progress = new JdbcSnapshot.FileChunkProgress(spark,
-                s"$markerDir/${config.sourceId}_snapshot.chunks")
-              JdbcSnapshot.writeSnapshotChunked(spark, config, url,
-                connProps, System.currentTimeMillis(), chunkCol,
-                cfg.getOrElse("snapshot.jdbc.chunks", "4").toInt,
-                progress, Some(pending),
-                rowsPerChunk = cfg.get("snapshot.jdbc.chunk.rows")
-                  .map(_.toLong),
-                // `.exact=true`: size by a server-side COUNT(*) (the
-                // reference's true rows-per-split) instead of key span
-                exactRows = cfg.get("snapshot.jdbc.chunk.rows.exact")
-                  .contains("true"),
-                // chunk = resume unit, partitions = parallelism unit:
-                // each chunk's range scan shards across executors
-                // (partOpts already parsed the key — single source)
-                numPartitions = partOpts.get("numPartitions")
-                  .map(_.toInt).getOrElse(1))
-            case None =>
-              JdbcSnapshot.writeSnapshot(spark, config, url, connProps,
-                System.currentTimeMillis(), partOpts, Some(pending))
+          // Chunked resumable snapshot (`snapshot.jdbc.chunks`,
+          // default 4, range slices with durable per-chunk progress
+          // beside the marker — a multi-terabyte table's snapshot
+          // resumes at chunk granularity, not table granularity; the
+          // plan is cut once and persisted, a restart reuses it
+          // verbatim). The chunk column is resolved PER TABLE — a
+          // heterogeneous registry has different key names per table,
+          // like the reference's incremental snapshot which chunks
+          // every table on its own key (`MySQLStreamer.java:214-311`):
+          //   1. `snapshot.jdbc.chunk.column.<db.table>` (raw config
+          //      spelling, like table.schemas keys) — per-table
+          //      override;
+          //   2. `snapshot.jdbc.chunk.column` — one global name;
+          //   3. `snapshot.jdbc.chunk.auto=true` — the table's
+          //      discovered primary key (numeric single-column only;
+          //      else that table degrades to single-shot, logged).
+          // Any of the three turns chunked mode on.
+          // `snapshot.jdbc.chunk.rows` sizes chunks by value span —
+          // the reference's rows-per-split knob (`mysql.split.size`
+          // 4096, `MySQLStreamer.java:200`); `.rows.exact=true` sizes
+          // by a server-side COUNT(*) instead.
+          val chunkPrefix = "snapshot.jdbc.chunk.column."
+          val perTableCols: Map[String, String] = cfg.collect {
+            case (k, v) if k.startsWith(chunkPrefix) =>
+              val raw = k.stripPrefix(chunkPrefix)
+              val routeKey = raw.split("\\.", 2) match {
+                case Array(d, t) =>
+                  s"${graft.schema.Sanitizer(d)}.${graft.schema.Sanitizer(t)}"
+                case Array(t) => graft.schema.Sanitizer(t)
+              }
+              // a typo'd key would silently chunk the WRONG way (or
+              // not at all) — fail like snapshot overrides do
+              if (!config.registry.routed.contains(routeKey))
+                throw new IllegalArgumentException(
+                  s"CHUNK COLUMN FOR UNKNOWN TABLE: $k (known: " +
+                    config.registry.routed.keySet.toSeq.sorted
+                      .mkString(", ") + ")")
+              routeKey -> v
           }
+          val globalCol = cfg.get("snapshot.jdbc.chunk.column")
+          val autoChunk = cfg.get("snapshot.jdbc.chunk.auto")
+            .contains("true")
+          val counts = if (perTableCols.nonEmpty || globalCol.isDefined ||
+              autoChunk) {
+            // chunking re-shards on the CHUNK column; explicitly
+            // configured partition.column/bounds don't apply there —
+            // say so instead of silently changing the scan shape
+            if (partOpts.keySet.exists(_ != "numPartitions"))
+              log.warn(s"[${config.name}] snapshot.jdbc.partition." +
+                "column / snapshot.jdbc.lower.bound / snapshot.jdbc." +
+                "upper.bound are ignored when chunking is on — " +
+                "chunking shards on each table's chunk column " +
+                "(snapshot.jdbc.num.partitions still applies per chunk)")
+            // auto: one metadata connection, closed before any scan —
+            // probe each pending table's PK unless an explicit column
+            // already decides it
+            val autoCols: Map[String, Option[String]] =
+              if (!autoChunk) Map.empty
+              else discoverChunkColumns(config, url, connProps,
+                pending.filterNot(k =>
+                  perTableCols.contains(k) || globalCol.isDefined), log)
+            val resolver: String => Option[String] = key =>
+              perTableCols.get(key).orElse(globalCol)
+                .orElse(autoCols.getOrElse(key, None))
+            val progress = new JdbcSnapshot.FileChunkProgress(spark,
+              s"$markerDir/${config.sourceId}_snapshot.chunks")
+            JdbcSnapshot.writeSnapshotChunked(spark, config, url,
+              connProps, System.currentTimeMillis(), resolver,
+              cfg.getOrElse("snapshot.jdbc.chunks", "4").toInt,
+              progress, Some(pending),
+              rowsPerChunk = cfg.get("snapshot.jdbc.chunk.rows")
+                .map(_.toLong),
+              // `.exact=true`: size by a server-side COUNT(*) (the
+              // reference's true rows-per-split) instead of key span
+              exactRows = cfg.get("snapshot.jdbc.chunk.rows.exact")
+                .contains("true"),
+              // chunk = resume unit, partitions = parallelism unit:
+              // each chunk's range scan shards across executors
+              // (partOpts already parsed the key — single source)
+              numPartitions = partOpts.get("numPartitions")
+                .map(_.toInt).getOrElse(1),
+              // `snapshot.jdbc.table.parallelism`: overlap per-table
+              // scans on a bounded driver pool — a wide registry's
+              // wall clock is otherwise the SUM of its tables
+              tableParallelism = cfg
+                .getOrElse("snapshot.jdbc.table.parallelism", "1").toInt)
+          } else
+            JdbcSnapshot.writeSnapshot(spark, config, url, connProps,
+              System.currentTimeMillis(), partOpts, Some(pending),
+              tableParallelism = cfg
+                .getOrElse("snapshot.jdbc.table.parallelism", "1").toInt)
           // atomic publication: a crash mid-write must not leave a
           // truncated marker whose partial last line silently reads
           // as "table done" — the torn name would differ from every

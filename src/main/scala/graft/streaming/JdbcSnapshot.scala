@@ -133,6 +133,32 @@ object JdbcSnapshot {
       case (_, t) => c.cast(t)
     }
 
+  /** Run one action per table on a bounded pool — the table-level
+    * parallelism knob (`snapshot.jdbc.table.parallelism`): a 300-table
+    * registry's snapshot wall clock is otherwise the SUM of per-table
+    * scans even though each table's scan shards across executors.
+    * Each table's work is independent (own sink dir, own progress
+    * files), and Spark schedules concurrent actions from multiple
+    * driver threads natively. Fails fast on the first table failure
+    * (in-flight tables finish their current write; unfinished tables
+    * are not marked done, so a restart re-runs them — same
+    * at-least-once contract as a crash).
+    */
+  private def mapTables[A](items: Seq[A], parallelism: Int)(
+      f: A => (String, Long)): Map[String, Long] =
+    if (parallelism <= 1 || items.size <= 1) items.map(f).toMap
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, items.size))
+      try {
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        Await.result(Future.sequence(items.map(i => Future(f(i)))),
+          scala.concurrent.duration.Duration.Inf).toMap
+      } finally pool.shutdown()
+    }
+
   /** Snapshot registry tables of `config` into their sink dirs — the
     * same layout, dt bucketing (incl. K4 fixed bucket), and per-table
     * schema the binlog tail appends to. Reads the ORIGINAL source
@@ -150,15 +176,17 @@ object JdbcSnapshot {
   def writeSnapshot(spark: SparkSession, config: CdcConfig, url: String,
       connProps: Map[String, String], snapshotTsMs: Long,
       partitionOptions: Map[String, String] = Map.empty,
-      only: Option[Set[String]] = None): Map[String, Long] = {
+      only: Option[Set[String]] = None,
+      tableParallelism: Int = 1): Map[String, Long] = {
     val dtCol = config.fixedBucket.map(lit(_).as("dt"))
       .getOrElse(EnvelopeDecoder.dtColumn)
     def sinkCount(dir: String): Long =
       try spark.read.parquet(dir).count() catch {
         case _: org.apache.spark.sql.AnalysisException => 0L // no dir yet
       }
-    (for ((key, spec) <- config.registry.routed.toSeq
-          if only.forall(_.contains(key))) yield {
+    mapTables(config.registry.routed.toSeq
+        .filter { case (key, _) => only.forall(_.contains(key)) },
+      tableParallelism) { case (key, spec) =>
       val source = config.registry.sourceTables.getOrElse(key, spec)
       val frame = snapshotFrame(spark, url, connProps, source.key, spec,
         config.snapshotOverrides.get(key).map(_.statement), snapshotTsMs,
@@ -168,7 +196,7 @@ object JdbcSnapshot {
       frame.withColumn("dt", dtCol)
         .write.mode("append").partitionBy("dt").parquet(dir)
       key -> (sinkCount(dir) - before)
-    }).toMap
+    }
   }
 
   /** The chunk plan of one table's resumable snapshot: `n` even
@@ -416,29 +444,77 @@ object JdbcSnapshot {
     * has. The JDBC range predicates compose with the chunk WHERE
     * (their intersection is the chunk).
     */
+  /** `chunkColumnFor` resolves each table's chunk column — per-table,
+    * because a heterogeneous registry has different PK names per
+    * table (the reference's incremental snapshot chunks every table
+    * on its own key automatically, `MySQLStreamer.java:214-311`).
+    * None = this table has nothing to chunk on (no numeric
+    * single-column key): it degrades to the single-shot scan IN the
+    * same run, resumable at table granularity like [[writeSnapshot]],
+    * with a log line saying so.
+    */
   def writeSnapshotChunked(spark: SparkSession, config: CdcConfig,
       url: String, connProps: Map[String, String], snapshotTsMs: Long,
-      chunkColumn: String, chunks: Int, progress: ChunkProgress,
+      chunkColumnFor: String => Option[String], chunks: Int,
+      progress: ChunkProgress,
       only: Option[Set[String]] = None,
       rowsPerChunk: Option[Long] = None,
       numPartitions: Int = 1,
-      exactRows: Boolean = false): Map[String, Long] = {
+      exactRows: Boolean = false,
+      tableParallelism: Int = 1): Map[String, Long] = {
     val dtCol = config.fixedBucket.map(lit(_).as("dt"))
       .getOrElse(EnvelopeDecoder.dtColumn)
     def sinkCount(dir: String): Long =
       try spark.read.parquet(dir).count() catch {
         case _: org.apache.spark.sql.AnalysisException => 0L
       }
-    (for ((key, spec) <- config.registry.routed.toSeq
-          if only.forall(_.contains(key))) yield {
+    mapTables(config.registry.routed.toSeq
+        .filter { case (key, _) => only.forall(_.contains(key)) },
+      tableParallelism) { case (key, spec) =>
       val source = config.registry.sourceTables.getOrElse(key, spec)
       val dir = spec.sinkDir(config.sinkPath, config.sourceId)
       val before = sinkCount(dir)
+      // a resumed plan's OWN column wins over the resolver (same
+      // reason its bounds do: the persisted plan is the contract —
+      // config, or the table's discovered key, may have changed
+      // between runs)
+      progress.plan(key).map(_.column).orElse(chunkColumnFor(key)) match {
+        case None =>
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"[${config.name}] $key: no chunk column (no numeric " +
+              "single-column key and no override) — single-shot " +
+              "snapshot for this table")
+          snapshotFrame(spark, url, connProps, source.key, spec,
+            config.snapshotOverrides.get(key).map(_.statement),
+            snapshotTsMs, config.sourceType)
+            .withColumn("dt", dtCol)
+            .write.mode("append").partitionBy("dt").parquet(dir)
+        case Some(chunkColumn) =>
+          writeTableChunked(spark, config, url, connProps, snapshotTsMs,
+            key, spec, source.key, chunkColumn, chunks, progress,
+            rowsPerChunk, numPartitions, exactRows, dtCol, dir)
+      }
+      key -> (sinkCount(dir) - before)
+    }
+  }
+
+  /** One table's chunked snapshot: reuse (or cut and persist) the
+    * plan, land every not-yet-done chunk. Extracted from
+    * [[writeSnapshotChunked]]'s loop so the per-table column
+    * resolution above stays readable.
+    */
+  private def writeTableChunked(spark: SparkSession, config: CdcConfig,
+      url: String, connProps: Map[String, String], snapshotTsMs: Long,
+      key: String, spec: TableSpec, sourceKey: String,
+      chunkColumn: String, chunks: Int, progress: ChunkProgress,
+      rowsPerChunk: Option[Long], numPartitions: Int,
+      exactRows: Boolean, dtCol: org.apache.spark.sql.Column,
+      dir: String): Unit = {
       val plan = progress.plan(key).getOrElse {
         // bounds probed THROUGH the override (when present) — the
         // same base the per-chunk WHERE wraps, so span-derived chunk
         // counts size the data actually read, not the raw table
-        val p = chunkBounds(spark, url, connProps, source.key, chunkColumn,
+        val p = chunkBounds(spark, url, connProps, sourceKey, chunkColumn,
             config.snapshotOverrides.get(key).map(_.statement))
           match {
           case Some((lo, hi)) =>
@@ -447,7 +523,7 @@ object JdbcSnapshot {
                 require(rows > 0, s"rowsPerChunk must be positive, got $rows")
                 val basis =
                   if (exactRows) BigInt(chunkRowCount(spark, url, connProps,
-                    source.key,
+                    sourceKey,
                     config.snapshotOverrides.get(key).map(_.statement)))
                   else BigInt(hi) - BigInt(lo) + 1
                 val derived = (basis + rows - 1) / rows max 1
@@ -503,7 +579,7 @@ object JdbcSnapshot {
               "lowerBound" -> a.toString,
               "upperBound" -> b.toString,
               "numPartitions" -> numPartitions.toString)
-          snapshotFrame(spark, url, connProps, source.key, spec,
+          snapshotFrame(spark, url, connProps, sourceKey, spec,
             config.snapshotOverrides.get(key).map(_.statement),
             tableTs, config.sourceType,
             partitionOptions = shardOpts,
@@ -515,7 +591,5 @@ object JdbcSnapshot {
         }
         progress.chunkDone(key, i) // an empty range is still done
       }
-      key -> (sinkCount(dir) - before)
-    }).toMap
   }
 }

@@ -81,7 +81,18 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
       "INSERT INTO SALES.NULLSEQ VALUES (1, 10), (2, 20), (NULL, 30), (8, 80)",
       // every key NULL: no bounds at all
       "CREATE TABLE SALES.ALLNULL(ID INTEGER, VAL INTEGER)",
-      "INSERT INTO SALES.ALLNULL VALUES (NULL, 1), (NULL, 2)"))
+      "INSERT INTO SALES.ALLNULL VALUES (NULL, 1), (NULL, 2)",
+      // heterogeneous PK names for chunk-auto: AID vs BID, plus the
+      // two shapes auto must DECLINE (string PK, composite PK)
+      "CREATE TABLE SALES.PKA(AID INTEGER NOT NULL PRIMARY KEY, VAL INTEGER)",
+      "CREATE TABLE SALES.PKB(BID BIGINT NOT NULL PRIMARY KEY, VAL INTEGER)",
+      """CREATE TABLE SALES.PKSTR(
+        SID VARCHAR(10) NOT NULL PRIMARY KEY, VAL INTEGER)""",
+      "INSERT INTO SALES.PKSTR VALUES ('a', 1), ('b', 2), ('c', 3)",
+      """CREATE TABLE SALES.PKCOMP(
+        A INTEGER NOT NULL, B INTEGER NOT NULL, VAL INTEGER,
+        PRIMARY KEY (A, B))""",
+      "INSERT INTO SALES.PKCOMP VALUES (1, 1, 10), (1, 2, 20)"))
       st.executeUpdate(ddl)
     st.close()
     val ps = c.prepareStatement("INSERT INTO SALES.BIGSEQ VALUES (?, ?)")
@@ -91,6 +102,18 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     ps.executeBatch()
     ps.close()
+    // PKA: 400 rows on AID; PKB: 600 rows on BID — big enough that a
+    // 4-chunk plan is all-non-empty for both
+    for ((table, col, n) <- Seq(("PKA", "AID", 400), ("PKB", "BID", 600))) {
+      val ins = c.prepareStatement(
+        s"INSERT INTO SALES.$table ($col, VAL) VALUES (?, ?)")
+      for (i <- 1 to n) {
+        ins.setInt(1, i); ins.setInt(2, i * 3); ins.addBatch()
+        if (i % 200 == 0) ins.executeBatch()
+      }
+      ins.executeBatch()
+      ins.close()
+    }
   }
 
   /** What the walk SHOULD produce: the declared-config registry for
@@ -455,7 +478,7 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     val crash = new CrashAfter(file, 1)
     intercept[RuntimeException] {
       JdbcSnapshot.writeSnapshotChunked(spark, cfg, url, connProps,
-        1700000000000L, "ID", 4, crash)
+        1700000000000L, _ => Some("ID"), 4, crash)
     }
     val dir = s"$out/chunksrc_SALES__BIGSEQ"
     // plan cut once, bounds probed THROUGH the override (id<=900):
@@ -481,7 +504,7 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     // values and straddle two `dt=` partitions
     val rec = new Recording(file)
     val counts = JdbcSnapshot.writeSnapshotChunked(spark, cfg, url,
-      connProps, 1700000000000L + 86400000L, "ID", 4, rec)
+      connProps, 1700000000000L + 86400000L, _ => Some("ID"), 4, rec)
     assert(rec.saved == 0, "restart re-cut the plan (re-probe!)")
     assert(rec.landedChunks == Vector(1, 2, 3), rec.landedChunks)
     assert(file.plan("SALES.BIGSEQ").get == planBefore)
@@ -517,7 +540,7 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
       val file = new JdbcSnapshot.FileChunkProgress(spark,
         tmp().resolve("chunks").toString)
       JdbcSnapshot.writeSnapshotChunked(spark, cfg, url, connProps,
-        1700000000000L, "ID", 4, file, numPartitions = parts)
+        1700000000000L, _ => Some("ID"), 4, file, numPartitions = parts)
       spark.read.parquet(s"$out/shard${parts}_SALES__BIGSEQ")
         .select("ID").collect().map(_.getInt(0)).sorted.toSeq
     }
@@ -549,7 +572,7 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cfg = CdcConfig("rowchunks", registry, out.toString)
     val file = new JdbcSnapshot.FileChunkProgress(spark, progDir)
     val counts = JdbcSnapshot.writeSnapshotChunked(spark, cfg, url,
-      connProps, 1700000000000L, "ID", chunks = 999 /* overridden */,
+      connProps, 1700000000000L, _ => Some("ID"), chunks = 999 /* overridden */,
       file, rowsPerChunk = Some(300L))
     // span [1,1000] at 300 rows/chunk → ceil(1000/300) = 4 chunks,
     // persisted in the plan (not the ignored `chunks` arg)
@@ -571,7 +594,7 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
           "SELECT id, val FROM SALES.BIGSEQ WHERE id <= 300")))
     val file = new JdbcSnapshot.FileChunkProgress(spark, progDir)
     val counts = JdbcSnapshot.writeSnapshotChunked(spark, cfg, url,
-      connProps, 1700000000000L, "ID", chunks = 999 /* overridden */,
+      connProps, 1700000000000L, _ => Some("ID"), chunks = 999 /* overridden */,
       file, rowsPerChunk = Some(100L))
     // overridden span [1,300] at 100 rows/chunk → 3 chunks — NOT
     // ceil(1000/100)=10 from the raw table's span: a narrowing
@@ -597,7 +620,7 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     val reg1 = TableRegistry(Seq(TableSpec("SALES", "NULLSEQ", nullSchema)))
     val counts1 = JdbcSnapshot.writeSnapshotChunked(spark,
       CdcConfig("nullsnap", reg1, out1.toString), url, connProps,
-      1700000000000L, "ID", 2,
+      1700000000000L, _ => Some("ID"), 2,
       new JdbcSnapshot.FileChunkProgress(spark,
         tmp().resolve("chunks").toString),
       numPartitions = 2)
@@ -614,7 +637,7 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
       tmp().resolve("chunks").toString)
     val counts2 = JdbcSnapshot.writeSnapshotChunked(spark,
       CdcConfig("allnull", reg2, out2.toString), url, connProps,
-      1700000000000L, "ID", 4, prog2)
+      1700000000000L, _ => Some("ID"), 4, prog2)
     assert(counts2("SALES.ALLNULL") == 2)
     // the synthetic plan persisted + chunk marked: restart writes nothing
     assert(prog2.plan("SALES.ALLNULL").contains(
@@ -622,7 +645,7 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
         Some(1700000000000L))))
     val counts2b = JdbcSnapshot.writeSnapshotChunked(spark,
       CdcConfig("allnull", reg2, out2.toString), url, connProps,
-      1700000000000L, "ID", 4, prog2)
+      1700000000000L, _ => Some("ID"), 4, prog2)
     assert(counts2b("SALES.ALLNULL") == 0)
   }
 
@@ -638,7 +661,7 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     val file = new JdbcSnapshot.FileChunkProgress(spark,
       tmp().resolve("chunks").toString)
     val counts = JdbcSnapshot.writeSnapshotChunked(spark, cfg, url,
-      connProps, 1700000000000L, "ID", 4, file,
+      connProps, 1700000000000L, _ => Some("ID"), 4, file,
       rowsPerChunk = Some(4096L), exactRows = true)
     assert(counts("SALES.SPARSEQ") == 2)
     assert(file.plan("SALES.SPARSEQ").get ==
@@ -656,10 +679,193 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     val file2 = new JdbcSnapshot.FileChunkProgress(spark,
       tmp().resolve("chunks").toString)
     val counts2 = JdbcSnapshot.writeSnapshotChunked(spark, cfg2, url,
-      connProps, 1700000000000L, "ID", 4, file2,
+      connProps, 1700000000000L, _ => Some("ID"), 4, file2,
       rowsPerChunk = Some(100L), exactRows = true)
     assert(counts2("SALES.BIGSEQ") == 300)
     assert(file2.plan("SALES.BIGSEQ").get.chunks == 3)
+  }
+
+  private val pkaSchema = StructType(Seq(
+    StructField("AID", IntegerType), StructField("VAL", IntegerType)))
+  private val pkbSchema = StructType(Seq(
+    StructField("BID", LongType), StructField("VAL", IntegerType)))
+  private val pkstrSchema = StructType(Seq(
+    StructField("SID", StringType), StructField("VAL", IntegerType)))
+  private val pkcompSchema = StructType(Seq(
+    StructField("A", IntegerType), StructField("B", IntegerType),
+    StructField("VAL", IntegerType)))
+
+  test("getPrimaryKeys walk finds each table's own key under either " +
+      "namespace convention and any declared case") {
+    val c = DriverManager.getConnection(url)
+    try {
+      // Derby namespaces as schemas — the matching convention...
+      val meta = JdbcRegistry.fromDatabaseMetaData(c.getMetaData,
+        dbIsSchema = true)
+      assert(meta.primaryKeys("SALES", "PKA") == Seq("AID"))
+      assert(meta.primaryKeys("SALES", "PKB") == Seq("BID"))
+      assert(meta.primaryKeys("SALES", "PKSTR") == Seq("SID"))
+      assert(meta.primaryKeys("SALES", "PKCOMP") == Seq("A", "B"))
+      assert(meta.primaryKeys("SALES", "BIGSEQ").isEmpty) // no PK at all
+      // ...and the MySQL-shaped one (catalog-first): the opposite-
+      // convention fallback still finds it — a mysql-typed config
+      // against a schema-namespaced engine must not silently lose
+      // every PK
+      val metaCat = JdbcRegistry.fromDatabaseMetaData(c.getMetaData,
+        dbIsSchema = false)
+      assert(metaCat.primaryKeys("SALES", "PKA") == Seq("AID"))
+      // case-insensitive: a lowercase declared spelling still matches
+      // Derby's upcased catalog names
+      assert(meta.primaryKeys("sales", "pka") == Seq("AID"))
+    } finally c.close()
+  }
+
+  test("discoverChunkColumns: numeric single-column PK chunks, " +
+      "string/composite/absent PKs decline with a reason") {
+    val registry = TableRegistry(Seq(
+      TableSpec("SALES", "PKA", pkaSchema),
+      TableSpec("SALES", "PKB", pkbSchema),
+      TableSpec("SALES", "PKSTR", pkstrSchema),
+      TableSpec("SALES", "PKCOMP", pkcompSchema),
+      TableSpec("SALES", "BIGSEQ", bigseqSchema)))
+    val cfg = CdcConfig("pkdisc", registry, tmp().toString)
+    val cols = graft.streaming.CdcJob.discoverChunkColumns(cfg, url,
+      connProps, registry.keys,
+      org.slf4j.LoggerFactory.getLogger(getClass))
+    assert(cols == Map(
+      "SALES.PKA" -> Some("AID"),
+      "SALES.PKB" -> Some("BID"),
+      "SALES.PKSTR" -> None, // string PK: not a numeric range
+      "SALES.PKCOMP" -> None, // composite PK
+      "SALES.BIGSEQ" -> None)) // no PK
+  }
+
+  test("two tables with different PK names chunk-snapshot in one run; " +
+      "crash-resume is still exact per table") {
+    val out = tmp(); val progDir = tmp().resolve("chunks").toString
+    val registry = TableRegistry(Seq(
+      TableSpec("SALES", "PKA", pkaSchema),
+      TableSpec("SALES", "PKB", pkbSchema)))
+    val cfg = CdcConfig("multipk", registry, out.toString)
+    val resolver: String => Option[String] = Map(
+      "SALES.PKA" -> Some("AID"), "SALES.PKB" -> Some("BID"))
+    val file = new JdbcSnapshot.FileChunkProgress(spark, progDir)
+
+    // run 1 crashes after two chunk markers — mid-first-table
+    // whichever table the registry iterates first
+    val crash = new CrashAfter(file, 2)
+    intercept[RuntimeException] {
+      JdbcSnapshot.writeSnapshotChunked(spark, cfg, url, connProps,
+        1700000000000L, resolver, 4, crash)
+    }
+    // run 2 resumes: plans kept (each on its OWN column), every chunk
+    // lands exactly once across the two runs
+    JdbcSnapshot.writeSnapshotChunked(spark, cfg, url, connProps,
+      1700000000000L, resolver, 4, file)
+    assert(file.plan("SALES.PKA").get.column == "AID")
+    assert(file.plan("SALES.PKB").get.column == "BID")
+    assert(file.doneChunks("SALES.PKA") == Set(0, 1, 2, 3))
+    assert(file.doneChunks("SALES.PKB") == Set(0, 1, 2, 3))
+    val a = spark.read.parquet(s"$out/multipk_SALES__PKA")
+      .select("AID").collect().map(_.getInt(0)).sorted.toSeq
+    assert(a == (1 to 400))
+    val b = spark.read.parquet(s"$out/multipk_SALES__PKB")
+      .select("BID").collect().map(_.getLong(0)).sorted.toSeq
+    assert(b == (1L to 600L))
+  }
+
+  test("snapshot.jdbc.chunk.auto: a heterogeneous registry chunks " +
+      "each table on its discovered PK; non-chunkable tables " +
+      "single-shot in the same run; per-table override wins") {
+    val out = tmp(); val off = tmp(); val in = tmp()
+    val cfg = Map(
+      "source.id" -> "autopk",
+      "source.type" -> "mysql",
+      "sink.path" -> out.toString,
+      "offset.store.path" -> off.toString,
+      "snapshot.only" -> "true",
+      "table.schemas" -> ("""{"SALES.PKA":"AID:INTEGER,VAL:INTEGER",""" +
+        """"SALES.PKB":"BID:BIGINT,VAL:INTEGER",""" +
+        """"SALES.PKSTR":"SID:VARCHAR(10),VAL:INTEGER",""" +
+        """"SALES.PKCOMP":"A:INTEGER,B:INTEGER,VAL:INTEGER"}"""),
+      "snapshot.jdbc.url" -> url,
+      "snapshot.jdbc.driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      "snapshot.jdbc.chunk.auto" -> "true",
+      // PKSTR's PK is a string — but its VAL is numeric: the
+      // per-table override makes even that table chunkable
+      "snapshot.jdbc.chunk.column.SALES.PKSTR" -> "VAL")
+    graft.streaming.CdcJob.run(spark, cfg, in.toString,
+      tmp().resolve("ck").toString)
+    assert(spark.read.parquet(s"$out/autopk_SALES__PKA").count() == 400)
+    assert(spark.read.parquet(s"$out/autopk_SALES__PKB").count() == 600)
+    assert(spark.read.parquet(s"$out/autopk_SALES__PKSTR").count() == 3)
+    assert(spark.read.parquet(s"$out/autopk_SALES__PKCOMP").count() == 2)
+    // the durable plans prove who chunked on what: PKA/PKB on their
+    // own PKs, PKSTR on the overridden column, PKCOMP (composite)
+    // fell back to single-shot — no plan at all
+    val prog = new JdbcSnapshot.FileChunkProgress(spark,
+      s"$off/autopk_snapshot.chunks")
+    assert(prog.plan("SALES.PKA").get.column == "AID")
+    assert(prog.plan("SALES.PKB").get.column == "BID")
+    assert(prog.plan("SALES.PKSTR").get.column == "VAL")
+    assert(prog.plan("SALES.PKCOMP").isEmpty)
+  }
+
+  test("table.parallelism overlaps per-table snapshots (barrier-proven) " +
+      "with exact per-table counts") {
+    val out = tmp()
+    val registry = TableRegistry(Seq(
+      TableSpec("SALES", "PKA", pkaSchema),
+      TableSpec("SALES", "PKB", pkbSchema)))
+    val cfg = CdcConfig("partab", registry, out.toString)
+    val file = new JdbcSnapshot.FileChunkProgress(spark,
+      tmp().resolve("chunks").toString)
+    // both tables must be INSIDE their plan cut simultaneously to
+    // pass the barrier — deterministic proof of overlap (sequential
+    // execution times out and fails, it cannot pass by luck)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val meet = new JdbcSnapshot.ChunkProgress {
+      def plan(key: String) = file.plan(key)
+      def savePlan(p: JdbcSnapshot.ChunkPlan): Unit = {
+        barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        file.savePlan(p)
+      }
+      def doneChunks(key: String) = file.doneChunks(key)
+      def chunkDone(key: String, i: Int): Unit = file.chunkDone(key, i)
+    }
+    val counts = JdbcSnapshot.writeSnapshotChunked(spark, cfg, url,
+      connProps, 1700000000000L,
+      Map("SALES.PKA" -> Some("AID"), "SALES.PKB" -> Some("BID")), 4,
+      meet, tableParallelism = 2)
+    assert(counts == Map("SALES.PKA" -> 400L, "SALES.PKB" -> 600L))
+    assert(spark.read.parquet(s"$out/partab_SALES__PKA").count() == 400)
+    assert(spark.read.parquet(s"$out/partab_SALES__PKB").count() == 600)
+
+    // the single-shot path takes the same knob: exact counts with a
+    // 2-thread pool over two plain scans
+    val out2 = tmp()
+    val counts2 = JdbcSnapshot.writeSnapshot(spark,
+      CdcConfig("partab2", registry, out2.toString), url, connProps,
+      1700000000000L, tableParallelism = 2)
+    assert(counts2 == Map("SALES.PKA" -> 400L, "SALES.PKB" -> 600L))
+  }
+
+  test("a chunk column for an unknown table fails fast") {
+    val out = tmp(); val off = tmp(); val in = tmp()
+    val cfg = Map(
+      "source.id" -> "badchunk",
+      "source.type" -> "mysql",
+      "sink.path" -> out.toString,
+      "offset.store.path" -> off.toString,
+      "snapshot.only" -> "true",
+      "table.schemas" -> """{"SALES.PKA":"AID:INTEGER,VAL:INTEGER"}""",
+      "snapshot.jdbc.url" -> url,
+      "snapshot.jdbc.chunk.column.SALES.NOPE" -> "ID")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.CdcJob.run(spark, cfg, in.toString,
+        tmp().resolve("ck").toString)
+    }
+    assert(e.getMessage.contains("UNKNOWN TABLE"), e.getMessage)
   }
 
   test("chunk.rows on a sparse key fails fast, not a persisted death march") {
@@ -674,7 +880,7 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every restart)
     val e = intercept[IllegalArgumentException] {
       JdbcSnapshot.writeSnapshotChunked(spark, cfg, url, connProps,
-        1700000000000L, "ID", 4, file, rowsPerChunk = Some(4096L))
+        1700000000000L, _ => Some("ID"), 4, file, rowsPerChunk = Some(4096L))
     }
     assert(e.getMessage.contains("too sparse"), e.getMessage)
     assert(file.plan("SALES.SPARSEQ").isEmpty)
