@@ -298,6 +298,18 @@ object JdbcSnapshot {
     def savePlan(p: ChunkPlan): Unit
     def doneChunks(key: String): Set[Int]
     def chunkDone(key: String, i: Int): Unit
+    /** The staged-commit manifest of chunk `i`: the sink-relative
+      * file names the chunk is about to publish, persisted BEFORE the
+      * first rename into the sink. A manifest WITHOUT a done marker
+      * marks a crash mid-publish — the re-run deletes exactly those
+      * names before re-staging, which is what makes the chunk replay
+      * EXACTLY-once instead of at-least-once. Defaults are no-ops
+      * (in-memory progress in tests doesn't crash); the durable
+      * implementation overrides all three.
+      */
+    def saveManifest(key: String, i: Int, files: Seq[String]): Unit = ()
+    def manifest(key: String, i: Int): Option[Seq[String]] = None
+    def clearManifest(key: String, i: Int): Unit = ()
   }
 
   /** Upper bound on a span-derived chunk count (`rowsPerChunk`
@@ -308,17 +320,20 @@ object JdbcSnapshot {
 
   /** Durable [[ChunkProgress]]: one small file per fact under `dir`
     * (beside the `_snapshot.done` marker) — `<key>.plan` holds the cut
-    * plan (`column chunks lo hi`), `<key>.chunk<i>.done` is an empty
-    * create-only marker per landed chunk. Create-only files instead of
-    * a rewritten state file: every update is a new-file create, so a
-    * crash mid-update can never corrupt already-recorded progress.
-    * The replay window is one chunk — and it is AT-LEAST-ONCE: a
-    * crash between a chunk's parquet append commit and its marker
-    * create re-runs that chunk, DUPLICATING its rows in the
-    * append-mode sink. Downstream consumers that need exactly-once
-    * after a mid-snapshot crash deduplicate on the source key (the
-    * chunk column), or re-run the snapshot from a truncated sink;
-    * the one-chunk window bounds the blast radius either way.
+    * plan (`column chunks lo hi tsMs`), `<key>.chunk<i>.done` is an
+    * empty create-only marker per landed chunk, `<key>.chunk<i>
+    * .manifest` is the staged-commit file list (written atomically —
+    * a torn manifest would under-delete on heal and reintroduce the
+    * duplicate window). Create-only/atomic files instead of a
+    * rewritten state file: a crash mid-update can never corrupt
+    * already-recorded progress. The replay window is one chunk — and
+    * with the staged commit it is EXACTLY-once: a crash anywhere
+    * between staging and the done marker re-runs the chunk AFTER
+    * deleting whatever the manifest shows was already published, so
+    * the append-mode sink never carries a duplicate row. (The
+    * single-shot paths — [[writeSnapshot]] and non-chunkable tables —
+    * keep the at-least-once table-granularity contract: a crash
+    * mid-snapshot re-runs unfinished tables whole.)
     */
   final class FileChunkProgress(spark: SparkSession, dir: String)
       extends ChunkProgress {
@@ -402,6 +417,36 @@ object JdbcSnapshot {
       fs.mkdirs(root)
       fs.create(new HPath(root, s"${safe(key)}.chunk$i.done"), true).close()
     }
+
+    private def manifestPath(key: String, i: Int) =
+      new HPath(root, s"${safe(key)}.chunk$i.manifest")
+
+    override def saveManifest(key: String, i: Int,
+        files: Seq[String]): Unit = {
+      fs.mkdirs(root)
+      // atomic (tmp-then-rename): the heal path deletes EXACTLY the
+      // listed names — a torn list would under-delete and quietly
+      // reintroduce the duplicate-row window this file exists to close
+      AtomicFiles.write(manifestPath(key, i).toString,
+        files.mkString("", "\n", "\n"),
+        spark.sparkContext.hadoopConfiguration)
+    }
+
+    override def manifest(key: String, i: Int): Option[Seq[String]] = {
+      val p = manifestPath(key, i)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().map(_.trim).filter(_.nonEmpty).toVector
+          finally in.close()
+        Some(lines)
+      }
+    }
+
+    override def clearManifest(key: String, i: Int): Unit =
+      fs.delete(manifestPath(key, i), false)
   }
 
   /** Resumable chunked snapshot: per pending table, reuse (or cut and
@@ -569,7 +614,26 @@ object JdbcSnapshot {
       // snapshot, even across a crash spanning midnight
       val tableTs = p.tsMs.getOrElse(snapshotTsMs)
       val done = progress.doneChunks(key)
+      import org.apache.hadoop.fs.{Path => HPath}
+      val sinkRoot = new HPath(dir)
+      val fs = sinkRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
       for (i <- 0 until p.chunks if !done.contains(i)) {
+        // STAGED COMMIT — the chunk replay is exactly-once, not
+        // at-least-once: the chunk writes into a dot-prefixed staging
+        // dir inside the sink (invisible to parquet readers), its
+        // file list is persisted as a manifest, the files rename into
+        // their dt= dirs (names are task-UUID-unique, no collisions),
+        // and only then does the done marker land. A crash anywhere
+        // in between leaves a manifest without a marker — this heal
+        // deletes exactly the listed names from the sink before the
+        // re-run, so no published row can ever appear twice.
+        for (files <- progress.manifest(key, i); f <- files) {
+          // names were written by saveManifest below — but never let a
+          // corrupt manifest walk outside the sink dir
+          require(!f.contains("..") && !f.startsWith("/"),
+            s"SUSPICIOUS MANIFEST ENTRY for $key chunk $i: '$f'")
+          fs.delete(new HPath(sinkRoot, f), false)
+        }
         val (a, b) = p.range(i)
         if (a <= b) { // inclusive bounds; a > b = empty trailing chunk
           val shardOpts =
@@ -579,6 +643,9 @@ object JdbcSnapshot {
               "lowerBound" -> a.toString,
               "upperBound" -> b.toString,
               "numPartitions" -> numPartitions.toString)
+          val staging = new HPath(sinkRoot, s".graft_stage_chunk$i")
+          // overwrite also clears any half-written staging remnant
+          // from a prior crash
           snapshotFrame(spark, url, connProps, sourceKey, spec,
             config.snapshotOverrides.get(key).map(_.statement),
             tableTs, config.sourceType,
@@ -587,9 +654,29 @@ object JdbcSnapshot {
             // chunk 0 sweeps NULL-keyed rows (outside every range)
             chunkIncludesNulls = i == 0)
             .withColumn("dt", dtCol)
-            .write.mode("append").partitionBy("dt").parquet(dir)
+            .write.mode("overwrite").partitionBy("dt")
+            .parquet(staging.toString)
+          val staged: Seq[String] = for {
+            dtDir <- fs.listStatus(staging).toSeq if dtDir.isDirectory
+            f <- fs.listStatus(dtDir.getPath).toSeq
+            if !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith(".")
+          } yield s"${dtDir.getPath.getName}/${f.getPath.getName}"
+          progress.saveManifest(key, i, staged)
+          for (rel <- staged) {
+            val dst = new HPath(sinkRoot, rel)
+            fs.mkdirs(dst.getParent)
+            if (!fs.rename(new HPath(staging, rel), dst))
+              throw new java.io.IOException(
+                s"failed to publish $rel into $dir for $key chunk $i")
+          }
+          fs.delete(staging, true)
         }
         progress.chunkDone(key, i) // an empty range is still done
+        // AFTER the marker — clearing first would turn a crash here
+        // into an unhealed re-run (duplicate rows); an orphan manifest
+        // beside a done marker is merely tidy-up debt
+        progress.clearManifest(key, i)
       }
   }
 }

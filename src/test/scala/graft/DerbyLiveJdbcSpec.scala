@@ -429,6 +429,12 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
       landed += 1
       if (landed >= n) throw new RuntimeException("injected crash")
     }
+    override def saveManifest(key: String, i: Int,
+        files: Seq[String]): Unit = inner.saveManifest(key, i, files)
+    override def manifest(key: String, i: Int): Option[Seq[String]] =
+      inner.manifest(key, i)
+    override def clearManifest(key: String, i: Int): Unit =
+      inner.clearManifest(key, i)
   }
 
   /** Forwards to `inner`, recording which chunks land and whether the
@@ -446,6 +452,12 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     def chunkDone(key: String, i: Int): Unit = {
       landedChunks :+= i; inner.chunkDone(key, i)
     }
+    override def saveManifest(key: String, i: Int,
+        files: Seq[String]): Unit = inner.saveManifest(key, i, files)
+    override def manifest(key: String, i: Int): Option[Seq[String]] =
+      inner.manifest(key, i)
+    override def clearManifest(key: String, i: Int): Unit =
+      inner.clearManifest(key, i)
   }
 
   test("chunk range composes with the override subquery, both server-side") {
@@ -809,6 +821,57 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(prog.plan("SALES.PKB").get.column == "BID")
     assert(prog.plan("SALES.PKSTR").get.column == "VAL")
     assert(prog.plan("SALES.PKCOMP").isEmpty)
+  }
+
+  test("crash BETWEEN a chunk's publish and its marker cannot " +
+      "duplicate rows: the staged-commit manifest heals the re-run") {
+    val out = tmp(); val progDir = tmp().resolve("chunks").toString
+    val registry = TableRegistry(Seq(TableSpec("SALES", "BIGSEQ", bigseqSchema)))
+    val cfg = CdcConfig("stagecrash", registry, out.toString)
+    val file = new JdbcSnapshot.FileChunkProgress(spark, progDir)
+    // run 1 dies INSIDE the r9 duplicate window: chunk 1's files are
+    // already renamed into the sink, but the done marker never lands
+    // (before the staged commit, this exact shape re-ran chunk 1 on
+    // resume and appended its 250 rows a second time)
+    val crash = new JdbcSnapshot.ChunkProgress {
+      def plan(key: String) = file.plan(key)
+      def savePlan(p: JdbcSnapshot.ChunkPlan): Unit = file.savePlan(p)
+      def doneChunks(key: String) = file.doneChunks(key)
+      def chunkDone(key: String, i: Int): Unit =
+        if (i == 1) throw new RuntimeException("crash before marker")
+        else file.chunkDone(key, i)
+      override def saveManifest(key: String, i: Int,
+          files: Seq[String]): Unit = file.saveManifest(key, i, files)
+      override def manifest(key: String, i: Int) = file.manifest(key, i)
+      override def clearManifest(key: String, i: Int): Unit =
+        file.clearManifest(key, i)
+    }
+    intercept[RuntimeException] {
+      JdbcSnapshot.writeSnapshotChunked(spark, cfg, url, connProps,
+        1700000000000L, _ => Some("ID"), 4, crash)
+    }
+    val dir = s"$out/stagecrash_SALES__BIGSEQ"
+    // the window's exact on-disk shape: chunk 1 published (500 rows
+    // visible), marked NOT done, manifest still present
+    assert(spark.read.parquet(dir).count() == 500)
+    assert(file.doneChunks("SALES.BIGSEQ") == Set(0))
+    val m = file.manifest("SALES.BIGSEQ", 1)
+      .getOrElse(fail("manifest should survive the crash"))
+    assert(m.nonEmpty && m.forall(_.startsWith("dt=")))
+    // chunk 0 committed cleanly — its manifest was cleared
+    assert(file.manifest("SALES.BIGSEQ", 0).isEmpty)
+
+    // resume: the heal deletes chunk 1's published files before the
+    // re-run — every id exactly once, no duplicate from the replay
+    JdbcSnapshot.writeSnapshotChunked(spark, cfg, url, connProps,
+      1700000000000L, _ => Some("ID"), 4, file)
+    val ids = spark.read.parquet(dir).select("ID").collect()
+      .map(_.getInt(0)).sorted.toSeq
+    assert(ids == (1 to 1000))
+    assert(file.doneChunks("SALES.BIGSEQ") == Set(0, 1, 2, 3))
+    assert(file.manifest("SALES.BIGSEQ", 1).isEmpty) // cleared on commit
+    // no staging remnant inside the sink
+    assert(!Files.exists(java.nio.file.Paths.get(dir, ".graft_stage_chunk1")))
   }
 
   test("table.parallelism overlaps per-table snapshots (barrier-proven) " +
