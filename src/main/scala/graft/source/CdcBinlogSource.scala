@@ -45,9 +45,14 @@ import org.apache.spark.util.SerializableConfiguration
   * line that STARTS inside it; an unaligned split start discards the
   * partial line its predecessor owns), sized by the session's file
   * split knobs (`spark.sql.files.maxPartitionBytes` /
-  * `openCostInBytes` / default parallelism) — parallelism is
-  * decoupled from segment layout, so one multi-GB binlog segment
-  * does not serialize a 1000-core batch. Each row carries its line's
+  * `openCostInBytes` / default parallelism) FLOORED at
+  * `min.split.bytes` (default 4 MiB) — parallelism is decoupled from
+  * segment layout, so one multi-GB binlog segment does not serialize
+  * a 1000-core batch, while a session whose split knobs are tuned
+  * small for columnar scans cannot shatter a line feed into sub-MB
+  * splits (per-line decode is cheap; a tiny split is pure task/seek
+  * overhead, not parallelism — measured 2× on the 10-table ingest
+  * when a 512 KB parquet-tuned knob leaked into the feed). Each row carries its line's
   * start byte as `_feed_pos`, so within-segment source order is
   * recoverable by sort regardless of the split plan (J3). The
   * all-available path plans from file LENGTHS alone (no content IO
@@ -323,12 +328,26 @@ final class CdcBinlogStream(dir: String, properties: Map[String, String])
     * `min(maxPartitionBytes, max(openCostInBytes, total/parallelism))`
     * — so the session knobs that tune parquet scans tune this source
     * the same way, and a small batch still fans across the cluster.
+    *
+    * Floored at `min.split.bytes` (default 4 MiB): the session knobs
+    * are sized for COLUMNAR scans, where a small split still carries
+    * real per-byte decode work. A JSON line is decoded by one cheap
+    * pass — a sub-MB split of a line feed buys no parallelism, just
+    * per-task overhead and an extra seek+discard handshake (measured:
+    * a 512 KB parquet-tuned session knob doubled the 10-table ingest
+    * wall time by cutting a ~60 MB batch into ~120 splits on 4
+    * cores). Tests that exercise cut-point edge cases lower the
+    * floor explicitly.
     */
+  private val minSplitBytes = properties.get("min.split.bytes")
+    .map(_.toLong).getOrElse(4L * 1024 * 1024)
+
   private def maxSplitBytes(totalBytes: Long): Long = {
     val conf = spark.sessionState.conf
     val par = math.max(1, spark.sparkContext.defaultParallelism)
-    math.max(1L, math.min(conf.filesMaxPartitionBytes,
-      math.max(conf.filesOpenCostInBytes, totalBytes / par)))
+    math.max(math.max(1L, minSplitBytes),
+      math.min(conf.filesMaxPartitionBytes,
+        math.max(conf.filesOpenCostInBytes, totalBytes / par)))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

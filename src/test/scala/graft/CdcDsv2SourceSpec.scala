@@ -184,6 +184,7 @@ class CdcDsv2SourceSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.files.maxPartitionBytes", (4 * 1024).toString)
       spark.conf.set("spark.sql.files.openCostInBytes", "1024")
       val df = spark.read.format("graft-cdc").option("path", in.toString)
+        .option("min.split.bytes", "1") // exercise every cut alignment
         .load()
       // the plan really fans out (one file, many partitions)...
       assert(df.rdd.getNumPartitions > 4, df.rdd.getNumPartitions)
@@ -216,6 +217,7 @@ class CdcDsv2SourceSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.files.openCostInBytes", "512")
       def run(): Unit =
         spark.readStream.format("graft-cdc").option("path", in.toString)
+          .option("min.split.bytes", "1") // force real byte splits
           .option("maxRecordsPerTrigger", 180).load()
           .writeStream.format("parquet").option("path", out)
           .option("checkpointLocation", ck)
