@@ -522,8 +522,9 @@ object JdbcSnapshot {
       // a resumed plan's OWN column wins over the resolver (same
       // reason its bounds do: the persisted plan is the contract —
       // config, or the table's discovered key, may have changed
-      // between runs)
-      progress.plan(key).map(_.column).orElse(chunkColumnFor(key)) match {
+      // between runs); read once, passed down
+      val priorPlan = progress.plan(key)
+      priorPlan.map(_.column).orElse(chunkColumnFor(key)) match {
         case None =>
           org.slf4j.LoggerFactory.getLogger(getClass).info(
             s"[${config.name}] $key: no chunk column (no numeric " +
@@ -537,7 +538,7 @@ object JdbcSnapshot {
         case Some(chunkColumn) =>
           writeTableChunked(spark, config, url, connProps, snapshotTsMs,
             key, spec, source.key, chunkColumn, chunks, progress,
-            rowsPerChunk, numPartitions, exactRows, dtCol, dir)
+            priorPlan, rowsPerChunk, numPartitions, exactRows, dtCol, dir)
       }
       key -> (sinkCount(dir) - before)
     }
@@ -552,10 +553,11 @@ object JdbcSnapshot {
       url: String, connProps: Map[String, String], snapshotTsMs: Long,
       key: String, spec: TableSpec, sourceKey: String,
       chunkColumn: String, chunks: Int, progress: ChunkProgress,
+      priorPlan: Option[ChunkPlan],
       rowsPerChunk: Option[Long], numPartitions: Int,
       exactRows: Boolean, dtCol: org.apache.spark.sql.Column,
       dir: String): Unit = {
-      val plan = progress.plan(key).getOrElse {
+      val plan = priorPlan.getOrElse {
         // bounds probed THROUGH the override (when present) — the
         // same base the per-chunk WHERE wraps, so span-derived chunk
         // counts size the data actually read, not the raw table

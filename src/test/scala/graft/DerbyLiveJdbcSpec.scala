@@ -949,6 +949,30 @@ class DerbyLiveJdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(file.plan("SALES.SPARSEQ").isEmpty)
   }
 
+  test("a 4-field plan file from before the timestamp field still " +
+      "parses and resumes (ts falls back to the resuming run)") {
+    val dir = tmp().resolve("chunks")
+    Files.createDirectories(dir)
+    // the exact on-disk shape round 9 wrote: no 5th field
+    Files.write(dir.resolve("SALES.BIGSEQ.plan"),
+      "ID 4 1 1000\n".getBytes("UTF-8"))
+    val file = new JdbcSnapshot.FileChunkProgress(spark, dir.toString)
+    assert(file.plan("SALES.BIGSEQ").contains(
+      JdbcSnapshot.ChunkPlan("SALES.BIGSEQ", "ID", 4, 1, 1000, None)))
+    // the old plan resumes; rows stamp the RESUMING run's ts (the
+    // pre-field behavior — only plans cut after the field exists can
+    // promise a single ts across a crash)
+    val out = tmp()
+    val registry = TableRegistry(Seq(TableSpec("SALES", "BIGSEQ", bigseqSchema)))
+    val counts = JdbcSnapshot.writeSnapshotChunked(spark,
+      CdcConfig("oldplan", registry, out.toString), url, connProps,
+      1712345678000L, _ => Some("ID"), 999 /* plan wins */, file)
+    assert(counts("SALES.BIGSEQ") == 1000)
+    val ts = spark.read.parquet(s"$out/oldplan_SALES__BIGSEQ")
+      .select("_ts").distinct().collect().map(_.getLong(0)).toSeq
+    assert(ts == Seq(1712345678000L))
+  }
+
   test("an empty plan file (crash between create and write) self-heals") {
     val dir = tmp().resolve("chunks")
     Files.createDirectories(dir)
