@@ -1,0 +1,223 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{TableRegistry, TableSpec}
+import graft.source.JdbcChangelogTailer
+import graft.streaming.{CdcConfig, CdcPipeline}
+
+/** The LIVE tail half, end to end against embedded Derby: real
+  * AFTER INSERT/UPDATE/DELETE triggers maintain changelog tables, the
+  * [[JdbcChangelogTailer]] polls them into immutable envelope
+  * segments, and the SAME DSv2 source + pipeline that consume the
+  * binlog feed ingest them — no fixture file written by hand anywhere
+  * in the loop. Composed with the live JDBC snapshot (last test) this
+  * is snapshot-then-stream with a real database on both halves.
+  */
+class DerbyLiveTailSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = TestSpark.session
+
+  private val url = "jdbc:derby:memory:grafttail"
+  private val connProps = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+
+  def tmp(): Path = Files.createTempDirectory("graft-tail-")
+
+  override def beforeAll(): Unit = {
+    System.setProperty("derby.system.home",
+      Files.createTempDirectory("graft-tail-home-").toString)
+    val c = DriverManager.getConnection(s"$url;create=true")
+    try {
+      val st = c.createStatement()
+      st.executeUpdate("CREATE SCHEMA SALES")
+      st.close()
+    } finally c.close()
+  }
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private def exec(c: Connection, sql: String*): Unit = {
+    val st = c.createStatement()
+    try sql.foreach(st.executeUpdate) finally st.close()
+  }
+
+  private val liveSchema = StructType(Seq(
+    StructField("ID", IntegerType),
+    StructField("NAME", StringType),
+    StructField("SCORE", DoubleType)))
+  private val liveDdlTypes = Map(
+    "ID" -> "INTEGER NOT NULL", "NAME" -> "VARCHAR(50)",
+    "SCORE" -> "DOUBLE")
+
+  private def install(c: Connection, table: String): TableSpec = {
+    val spec = TableSpec("SALES", table, liveSchema)
+    exec(c, (s"CREATE TABLE SALES.$table (ID INTEGER NOT NULL, " +
+      "NAME VARCHAR(50), SCORE DOUBLE)") +:
+      JdbcChangelogTailer.changelogDdl(spec, liveDdlTypes): _*)
+    spec
+  }
+
+  test("trigger changelog → tailer → DSv2 feed → pipeline: live " +
+      "inserts, update, delete land with ops, order, and before-image") {
+    val feed = tmp(); val out = tmp(); val off = tmp()
+    val spec = withConn(install(_, "LIVE_T"))
+    val registry = TableRegistry(Seq(spec))
+    val tailer = new JdbcChangelogTailer(url, connProps, Seq(spec),
+      feed.toString)
+
+    // live phase 1: three inserts, polled into one published segment
+    withConn(exec(_,
+      "INSERT INTO SALES.LIVE_T VALUES (1, 'alice', 1.5)",
+      "INSERT INTO SALES.LIVE_T VALUES (2, 'bob', 2.5)",
+      "INSERT INTO SALES.LIVE_T VALUES (3, 'carol', 3.5)"))
+    assert(tailer.pollOnce() == 3)
+    assert(Files.exists(feed.resolve("tail-bin.000000001")))
+
+    val ck = tmp().resolve("ck").toString
+    val p1 = new CdcPipeline(spark, CdcConfig("livetail", registry,
+      out.toString, offsetStorePath = Some(off.toString)))
+    p1.startFeed(graft.source.Dsv2Feed(feed.toString), ck,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    val dir = s"$out/livetail_SALES__LIVE_T"
+    val phase1 = spark.read.parquet(dir).orderBy("ID").collect()
+    assert(phase1.length == 3)
+    assert(phase1.forall(_.getAs[String]("_op") == "CREATE"))
+    assert(phase1.map(_.getAs[String]("NAME")).toSeq ==
+      Seq("alice", "bob", "carol"))
+    assert(phase1.map(_.getAs[Double]("SCORE")).toSeq == Seq(1.5, 2.5, 3.5))
+
+    // live phase 2: an update and a delete — the delete's changelog
+    // row was written by the OLD-image trigger
+    withConn(exec(_,
+      "UPDATE SALES.LIVE_T SET NAME = 'bob2', SCORE = 9.5 WHERE ID = 2",
+      "DELETE FROM SALES.LIVE_T WHERE ID = 3"))
+    assert(tailer.pollOnce() == 2)
+    assert(Files.exists(feed.resolve("tail-bin.000000002")))
+
+    val p2 = new CdcPipeline(spark, CdcConfig("livetail", registry,
+      out.toString, offsetStorePath = Some(off.toString)))
+    p2.startFeed(graft.source.Dsv2Feed(feed.toString), ck,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    val rows = spark.read.parquet(dir).collect()
+    assert(rows.length == 5) // 3 creates + update + delete
+    val upd = rows.filter(_.getAs[String]("_op") == "UPDATE")
+    assert(upd.length == 1 && upd(0).getAs[String]("NAME") == "bob2" &&
+      upd(0).getAs[Double]("SCORE") == 9.5)
+    val del = rows.filter(_.getAs[String]("_op") == "DELETE")
+    assert(del.length == 1 && del(0).getAs[Int]("ID") == 3 &&
+      del(0).getAs[String]("NAME") == "carol") // before-image preserved
+    // offsets wrote back the REAL tail position (P3 mysql format)
+    val stored = p2.readStoredOffset(off.toString)
+    assert(stored.exists(_.startsWith("tail-bin.000000002,")), stored)
+
+    // a RESTARTED tailer recovers its watermark from the published
+    // segments themselves — nothing replays, nothing is lost
+    val tailer2 = new JdbcChangelogTailer(url, connProps, Seq(spec),
+      feed.toString)
+    assert(tailer2.pollOnce() == 0)
+    // ...and resumes cleanly past the watermark
+    withConn(exec(_, "INSERT INTO SALES.LIVE_T VALUES (4, 'dan', 4.5)"))
+    assert(tailer2.pollOnce() == 1)
+    assert(Files.exists(feed.resolve("tail-bin.000000003")))
+  }
+
+  test("a change burst larger than rowsPerSegment publishes several " +
+      "bounded segments, complete and in order") {
+    val feed = tmp()
+    val spec = withConn(install(_, "BURST_T"))
+    val tailer = new JdbcChangelogTailer(url, connProps, Seq(spec),
+      feed.toString, rowsPerSegment = 2)
+    withConn { c =>
+      val ps = c.prepareStatement("INSERT INTO SALES.BURST_T VALUES (?, ?, ?)")
+      for (i <- 1 to 5) {
+        ps.setInt(1, i); ps.setString(2, s"n$i"); ps.setDouble(3, i)
+        ps.executeUpdate()
+      }
+      ps.close()
+    }
+    assert(tailer.pollOnce() == 5)
+    val segs = Files.list(feed).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(segs)
+      .asScala.map(_.getFileName.toString).toSeq
+      // the DSv2 lister ignores dot files (Hadoop local-FS .crc
+      // sidecars land beside the segments) — so does this assert
+      .filterNot(_.startsWith(".")).sorted
+    assert(names == Seq("tail-bin.000000001", "tail-bin.000000002",
+      "tail-bin.000000003"))
+    // every line exactly once, per-table SEQ strictly increasing
+    val lines = names.flatMap(n =>
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(feed.resolve(n))).asScala)
+    assert(lines.length == 5)
+    val seqs = lines.map(l =>
+      """"_binlog_pos_end":"(\d+)"""".r.findFirstMatchIn(l).get.group(1).toLong)
+    assert(seqs == seqs.sorted && seqs.distinct.length == 5)
+  }
+
+  test("fully live snapshot-then-stream through CdcJob.run: JDBC " +
+      "snapshot composes with the trigger tail, restart skips the " +
+      "snapshot and drains only the tail") {
+    val feed = tmp(); val out = tmp(); val off = tmp()
+    val spec = withConn(install(_, "COMPOSE_T"))
+    // rows that exist BEFORE the job: the snapshot half's READ rows
+    withConn(exec(_,
+      "INSERT INTO SALES.COMPOSE_T VALUES (10, 'pre1', 0.1)",
+      "INSERT INTO SALES.COMPOSE_T VALUES (11, 'pre2', 0.2)"))
+    // drain the trigger rows those inserts produced: they predate the
+    // snapshot point, which already carries them as READ rows — a real
+    // deployment installs triggers at the snapshot instant; here we
+    // publish them into a PRE-JOB segment and let startup.mode handle
+    // it below... simpler and exact: clear the pre-snapshot changelog
+    withConn(exec(_, "DELETE FROM SALES.COMPOSE_T_GRAFT_LOG"))
+
+    val cfg = Map(
+      "source.id" -> "compose",
+      "source.type" -> "mysql",
+      "source.feed" -> "dsv2",
+      "sink.path" -> out.toString,
+      "offset.store.path" -> off.toString,
+      "snapshot.only" -> "true",
+      "table.schemas" ->
+        """{"SALES.COMPOSE_T":"ID:INTEGER,NAME:VARCHAR(50),SCORE:DOUBLE"}""",
+      "snapshot.jdbc.url" -> url,
+      "snapshot.jdbc.driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    // run 1: live snapshot (empty feed backlog) — READ rows land
+    graft.streaming.CdcJob.run(spark, cfg, feed.toString,
+      tmp().resolve("ck").toString)
+    val dir = s"$out/compose_SALES__COMPOSE_T"
+    val snap = spark.read.parquet(dir)
+    assert(snap.count() == 2)
+    assert(snap.collect().forall(_.getAs[String]("_op") == "READ"))
+
+    // live changes AFTER the snapshot → trigger changelog → tailer
+    withConn(exec(_,
+      "INSERT INTO SALES.COMPOSE_T VALUES (12, 'post1', 0.3)",
+      "UPDATE SALES.COMPOSE_T SET SCORE = 9.9 WHERE ID = 10"))
+    val tailer = new JdbcChangelogTailer(url, connProps, Seq(spec),
+      feed.toString)
+    assert(tailer.pollOnce() == 2)
+
+    // run 2, same offset store: the marker skips the snapshot (no
+    // duplicate READ rows) and the tail backlog drains into the SAME
+    // coherent sink schema
+    graft.streaming.CdcJob.run(spark, cfg, feed.toString,
+      tmp().resolve("ck2").toString)
+    val all = spark.read.parquet(dir).collect()
+    assert(all.length == 4)
+    assert(all.count(_.getAs[String]("_op") == "READ") == 2)
+    assert(all.count(_.getAs[String]("_op") == "CREATE") == 1)
+    val upd = all.filter(_.getAs[String]("_op") == "UPDATE")
+    assert(upd.length == 1 && upd(0).getAs[Int]("ID") == 10 &&
+      upd(0).getAs[Double]("SCORE") == 9.9)
+  }
+}
