@@ -65,7 +65,6 @@ final class JdbcChangelogTailer(
     * recovered from the published segments themselves.
     */
   private val watermark = scala.collection.mutable.Map.empty[String, Long]
-  recoverWatermarks()
 
   private def segments(): Seq[String] = {
     val st = fs.globStatus(new org.apache.hadoop.fs.Path(feedPath, "tail-bin.*"))
@@ -73,25 +72,62 @@ final class JdbcChangelogTailer(
     else st.map(_.getPath.getName).filter(SegRe.matches(_)).sorted
   }
 
+  // Published lines carry SANITIZED `_db`/`_tbl` (the feed contract,
+  // FIXTURES §A.1 — the demux routes by sanitized names), so recovery
+  // maps them back to the raw spec key the watermark is kept under.
+  private val bySanitized: Map[String, String] = tables.map { spec =>
+    s"${graft.schema.Sanitizer(spec.db)}.${graft.schema.Sanitizer(spec.table)}" ->
+      spec.key
+  }.toMap
+
   private def recoverWatermarks(): Unit = {
     for (spec <- tables) watermark(spec.key) = 0L
     for (s <- segments()) {
       val in = fs.open(new org.apache.hadoop.fs.Path(feedPath, s))
       try for (line <- scala.io.Source.fromInputStream(in, "UTF-8").getLines())
         LineRe.findFirstMatchIn(line).foreach { m =>
-          val key = s"${m.group(1)}.${m.group(2)}"
-          val seq = m.group(3).toLong
-          if (watermark.get(key).exists(_ < seq)) watermark(key) = seq
+          for (key <- bySanitized.get(s"${m.group(1)}.${m.group(2)}")) {
+            val seq = m.group(3).toLong
+            if (watermark.get(key).exists(_ < seq)) watermark(key) = seq
+          }
         }
       finally in.close()
     }
   }
+  recoverWatermarks() // after bySanitized: recovery maps through it
 
   private def connect(): Connection = {
     connProps.get("driver").foreach(Class.forName)
     val props = new java.util.Properties()
     for ((k, v) <- connProps if k != "driver") props.setProperty(k, v)
     DriverManager.getConnection(url, props)
+  }
+
+  /** Per-table published high-water marks (max changelog SEQ made
+    * durable in the feed) — the changelog-prune safety line.
+    */
+  def watermarks: Map[String, Long] = watermark.toMap
+
+  /** Changelog housekeeping: delete each table's changelog rows at or
+    * below its PUBLISHED watermark. Safe by the durability model —
+    * the feed already carries those rows in immutable segments, so
+    * pruning loses nothing a restart would need (the watermark itself
+    * is recovered from the feed, not the changelog). Returns rows
+    * pruned per table.
+    */
+  def pruneOnce(): Map[String, Long] = {
+    val conn = connect()
+    try tables.map { spec =>
+      val wm = watermark(spec.key)
+      val n = if (wm <= 0L) 0L
+      else {
+        val ps = conn.prepareStatement(
+          JdbcChangelogTailer.pruneSql(spec, wm, suffix))
+        try ps.executeUpdate().toLong finally ps.close()
+      }
+      spec.key -> n
+    }.toMap
+    finally conn.close()
   }
 
   /** Drain every table's changelog past its watermark and publish the
@@ -193,8 +229,11 @@ final class JdbcChangelogTailer(
     val tsMs = rs.getTimestamp("TS").getTime
     val seq = rs.getLong("SEQ")
     val sb = new StringBuilder
-    sb.append(s"""{"_op":"$op","_ts":$tsMs,"_db":"${esc(spec.db)}"""")
-      .append(s""","_tbl":"${esc(spec.table)}"""")
+    // sanitized routing identity — what the demux matches (the feed
+    // contract; recovery maps it back to the raw key via bySanitized)
+    sb.append(s"""{"_op":"$op","_ts":$tsMs""")
+      .append(s""","_db":"${esc(graft.schema.Sanitizer(spec.db))}"""")
+      .append(s""","_tbl":"${esc(graft.schema.Sanitizer(spec.table))}"""")
     for (f <- spec.schema.fields) {
       val tag = graft.schema.TypeMapping.unionTag(f.dataType)
       val v = rs.getObject(f.name)

@@ -206,11 +206,43 @@ object CdcJob {
     * trigger at the configured checkpoint interval with a monitor
     * loop that stops the query once the gate fires.
     */
+  private def jdbcConnProps(cfg: Map[String, String]): Map[String, String] =
+    Seq("driver", "user", "password")
+      .flatMap(k => cfg.get(s"snapshot.jdbc.$k").map(k -> _)).toMap
+
   def run(spark: SparkSession, cfg: Map[String, String],
       inputDir: String, checkpointDir: String,
       jobName: Option[String] = None): CdcPipeline = {
     val config = configFromMap(cfg, jobName)
     val pipeline = new CdcPipeline(spark, config)
+    // live query-based tail (tail.jdbc.*): parsed + validated up
+    // front so a contradiction fails before any data moves
+    val tailSettings = ChangelogTail.fromConfig(cfg, config)
+
+    // trigger install runs BEFORE the snapshot: changes committed in
+    // between appear both as READ rows and as tail events (the
+    // query-based-CDC at-least-once overlap window, documented on
+    // ChangelogTail); installing after would instead LOSE that window
+    for (ts <- tailSettings if ts.install) {
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      if (config.dryRun)
+        log.info(s"[${config.name}] DRY-RUN: would install changelog " +
+          "tables + triggers for " +
+          config.registry.sourceTables.values.map(_.key).toSeq.sorted
+            .mkString(", "))
+      else {
+        val conn = ChangelogTail.connect(cfg("snapshot.jdbc.url"),
+          jdbcConnProps(cfg))
+        val installed = try ChangelogTail.installMissing(conn,
+          config.registry.sourceTables.values.toSeq.sortBy(_.key),
+          ChangelogTail.rawColumnTypes(cfg), ts.suffix,
+          dbIsSchema = config.sourceType != "mysql")
+        finally conn.close()
+        if (installed.nonEmpty)
+          log.info(s"[${config.name}] installed changelog tables for: " +
+            installed.sorted.mkString(", "))
+      }
+    }
 
     // S6: startup resolution (logged decision). The DSv2 feed
     // actually SEEKS — startup.mode / startup.offset /
@@ -291,8 +323,7 @@ object CdcJob {
           log.info(s"[${config.name}] JDBC snapshot already complete " +
             s"($marker) — starting the tail only")
         else {
-          val connProps = Seq("driver", "user", "password")
-            .flatMap(k => cfg.get(s"snapshot.jdbc.$k").map(k -> _)).toMap
+          val connProps = jdbcConnProps(cfg)
           val partOpts = Seq(
             "partitionColumn" -> "partition.column",
             "lowerBound" -> "lower.bound",
@@ -436,8 +467,24 @@ object CdcJob {
       val interval = cfg.getOrElse("checkpoint.interval", "30").toInt
       val q = pipeline.startFeed(feed, checkpointDir,
         Trigger.ProcessingTime(s"$interval seconds"))
-      while (q.isActive && !pipeline.gate.stopped)
-        q.awaitTermination(200)
+      tailSettings.filter(_ => !config.dryRun) match {
+        case Some(ts) =>
+          // the live tail: poll the trigger changelogs into the SAME
+          // feed dir the query reads; drive() owns the monitor loop
+          // (gate, cadence, optional prune, drain-then-stop)
+          val tailer = new graft.source.JdbcChangelogTailer(
+            cfg("snapshot.jdbc.url"), jdbcConnProps(cfg),
+            config.registry.sourceTables.values.toSeq.sortBy(_.key),
+            inputDir, ts.rowsPerSegment, ts.suffix)
+          ChangelogTail.drive(q, pipeline.gate, tailer, ts)
+        case None =>
+          if (tailSettings.isDefined)
+            org.slf4j.LoggerFactory.getLogger(getClass).info(
+              s"[${config.name}] DRY-RUN: changelog tail not polled " +
+                "(polling publishes feed segments — a write)")
+          while (q.isActive && !pipeline.gate.stopped)
+            q.awaitTermination(200)
+      }
       if (q.isActive) q.stop() // drain-then-stop (P1 mapping)
       q.awaitTermination()
       // K3: a ProcessingTime echo never self-stops — without this it

@@ -164,6 +164,108 @@ class DerbyLiveTailSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seqs == seqs.sorted && seqs.distinct.length == 5)
   }
 
+  private def logCount(table: String): Int = withConn { c =>
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery(s"SELECT COUNT(*) FROM $table")
+      rs.next(); rs.getInt(1)
+    } finally st.close()
+  }
+
+  test("config-wired live tail (tail.jdbc.*): CdcJob.run installs the " +
+      "triggers, snapshots, polls the changelog, prunes behind the " +
+      "publish, and drain-stops after empty polls") {
+    val feed = tmp(); val out = tmp(); val off = tmp()
+    // a BARE source table: the changelog + triggers come from
+    // tail.jdbc.install, not from the spec
+    withConn(exec(_, "CREATE TABLE SALES.WIRED_T (ID INTEGER NOT NULL, " +
+      "NAME VARCHAR(50), SCORE DOUBLE)"))
+    withConn(exec(_,
+      "INSERT INTO SALES.WIRED_T VALUES (1, 'pre1', 0.1)",
+      "INSERT INTO SALES.WIRED_T VALUES (2, 'pre2', 0.2)"))
+    val cfg = Map(
+      "source.id" -> "wired",
+      "source.type" -> "mysql",
+      "source.feed" -> "dsv2",
+      "sink.path" -> out.toString,
+      "offset.store.path" -> off.toString,
+      "checkpoint.interval" -> "1",
+      "table.schemas" ->
+        """{"SALES.WIRED_T":"ID:INTEGER,NAME:VARCHAR(50),SCORE:DOUBLE"}""",
+      "snapshot.jdbc.url" -> url,
+      "snapshot.jdbc.driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      "tail.jdbc.changelog" -> "true",
+      "tail.jdbc.install" -> "true",
+      "tail.jdbc.poll.interval.ms" -> "50",
+      "tail.jdbc.stop.after.empty.polls" -> "3",
+      "tail.jdbc.prune" -> "true")
+    val ck = tmp().resolve("ck").toString
+
+    // run 1: install + live snapshot + an (empty) tail, drain-then-stop
+    graft.streaming.CdcJob.run(spark, cfg, feed.toString, ck)
+    val dir = s"$out/wired_SALES__WIRED_T"
+    val snap = spark.read.parquet(dir).collect()
+    assert(snap.length == 2 && snap.forall(_.getAs[String]("_op") == "READ"))
+    assert(logCount("SALES.WIRED_T_GRAFT_LOG") == 0) // installed, empty
+
+    // the installed triggers capture ops made BETWEEN runs
+    withConn(exec(_,
+      "INSERT INTO SALES.WIRED_T VALUES (3, 'post', 0.3)",
+      "UPDATE SALES.WIRED_T SET SCORE = 7.7 WHERE ID = 1",
+      "DELETE FROM SALES.WIRED_T WHERE ID = 2"))
+    assert(logCount("SALES.WIRED_T_GRAFT_LOG") == 3)
+
+    // run 2, SAME checkpoint: the marker skips the snapshot, the
+    // poller publishes the backlog, the stream drains it, the prune
+    // empties the changelog, and the job stops itself
+    val p2 = graft.streaming.CdcJob.run(spark, cfg, feed.toString, ck)
+    val all = spark.read.parquet(dir).collect()
+    assert(all.length == 5)
+    assert(all.count(_.getAs[String]("_op") == "READ") == 2)
+    assert(all.count(_.getAs[String]("_op") == "CREATE") == 1)
+    val del = all.filter(_.getAs[String]("_op") == "DELETE")
+    assert(del.length == 1 && del(0).getAs[String]("NAME") == "pre2") // before-image
+    assert(logCount("SALES.WIRED_T_GRAFT_LOG") == 0) // pruned behind publish
+    val stored = p2.readStoredOffset(off.toString)
+    assert(stored.exists(_.startsWith("tail-bin.")), stored)
+
+    // run 3: install skips (exists), snapshot skips (offset mode), and
+    // the tailer's watermark recovers from the FEED — the pruned
+    // changelog can't replay anything, the new row still lands
+    withConn(exec(_, "INSERT INTO SALES.WIRED_T VALUES (4, 'post2', 0.4)"))
+    graft.streaming.CdcJob.run(spark, cfg, feed.toString, ck)
+    val all3 = spark.read.parquet(dir).collect()
+    assert(all3.length == 6)
+    assert(all3.count(_.getAs[String]("_op") == "CREATE") == 2)
+  }
+
+  test("tail.jdbc.changelog contradictions fail fast, before any data " +
+      "moves") {
+    val base = Map(
+      "source.id" -> "bad",
+      "source.type" -> "mysql",
+      "sink.path" -> "/tmp/never",
+      "table.schemas" -> """{"SALES.X":"ID:INTEGER"}""",
+      "tail.jdbc.changelog" -> "true",
+      "snapshot.jdbc.url" -> url)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.streaming.CdcJob.run(spark, base + ("snapshot.only" -> "true"),
+        "/tmp/never-in", "/tmp/never-ck")
+    }
+    assert(e1.getMessage.contains("CONTRADICTS snapshot.only"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.CdcJob.run(spark, base - "snapshot.jdbc.url",
+        "/tmp/never-in", "/tmp/never-ck")
+    }
+    assert(e2.getMessage.contains("NEEDS snapshot.jdbc.url"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.streaming.CdcJob.run(spark,
+        base + ("source.type" -> "mongodb"),
+        "/tmp/never-in", "/tmp/never-ck")
+    }
+    assert(e3.getMessage.contains("NEEDS A JDBC SOURCE"))
+  }
+
   test("fully live snapshot-then-stream through CdcJob.run: JDBC " +
       "snapshot composes with the trigger tail, restart skips the " +
       "snapshot and drains only the tail") {
