@@ -521,6 +521,79 @@ object ScaleBench {
       "(embedded Derby bounds the win: one JVM, one page cache)")
   }
 
+  /** The live-tail datapoint: N rows inserted through real AFTER
+    * triggers into a Derby changelog, drained by one
+    * [[graft.source.JdbcChangelogTailer]] poll into envelope
+    * segments, then ingested by the DSv2 source + pipeline. Two
+    * numbers: drain+publish rows/s (the single-threaded poller — the
+    * same parallelism-1 shape as the reference's source operator) and
+    * ingest rows/s (parallel across the published segments' byte
+    * splits). The poller is ONE thread by design: the tail is bounded
+    * by change RATE, not table size, and ordering within a table
+    * needs one writer; Spark-side ingest is where the parallelism is.
+    */
+  private def tailExperiment(spark: SparkSession, rows: Int): Unit = {
+    import graft.model.{TableRegistry, TableSpec}
+    import graft.source.JdbcChangelogTailer
+    import graft.streaming.{CdcConfig, CdcPipeline}
+    val url = "jdbc:derby:memory:grafttailscale"
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("graft-derby-scale-").toString)
+    val spec = TableSpec("APP", "TAILT",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ID",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("VAL",
+          org.apache.spark.sql.types.StringType))))
+    val conn = java.sql.DriverManager.getConnection(s"$url;create=true")
+    val tTrig = try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE APP.TAILT(ID INTEGER NOT NULL, VAL VARCHAR(64))")
+      JdbcChangelogTailer.changelogDdl(spec,
+        Map("ID" -> "INTEGER NOT NULL", "VAL" -> "VARCHAR(64)"))
+        .foreach(st.executeUpdate)
+      st.close()
+      conn.setAutoCommit(false)
+      val ps = conn.prepareStatement("INSERT INTO APP.TAILT VALUES (?, ?)")
+      val t0 = System.nanoTime()
+      for (i <- 1 to rows) {
+        ps.setInt(1, i)
+        ps.setString(2, f"value-$i%08d-${i * 2654435761L}%016x")
+        ps.addBatch()
+        if (i % 5000 == 0) { ps.executeBatch(); conn.commit() }
+      }
+      ps.executeBatch(); conn.commit()
+      ps.close()
+      (System.nanoTime() - t0) / 1e9
+    } finally conn.close()
+
+    val feed = java.nio.file.Files.createTempDirectory("graft-tail-feed-")
+    val tailer = new JdbcChangelogTailer(url,
+      Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"), Seq(spec),
+      feed.toString)
+    val t1 = System.nanoTime()
+    val published = tailer.pollOnce()
+    val tDrain = (System.nanoTime() - t1) / 1e9
+    require(published == rows, s"published $published of $rows")
+
+    val out = java.nio.file.Files.createTempDirectory("graft-tail-out-")
+    val ck = java.nio.file.Files.createTempDirectory("graft-tail-ck-")
+    val pipeline = new CdcPipeline(spark, CdcConfig("tailscale",
+      TableRegistry(Seq(spec)), out.toString))
+    val t2 = System.nanoTime()
+    pipeline.startFeed(graft.source.Dsv2Feed(feed.toString), ck.toString,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    val tIngest = (System.nanoTime() - t2) / 1e9
+    val landed = spark.read.parquet(s"$out/tailscale_APP__TAILT").count()
+    require(landed == rows, s"landed $landed of $rows")
+    println(f"[scale] ${"live tail"}%-26s ${"rows"}%9s ${"sec"}%7s ${"rows/s"}%9s")
+    println(f"[scale]   ${"trigger-insert"}%-24s $rows%9d $tTrig%7.2f ${rows / tTrig}%9.0f")
+    println(f"[scale]   ${"drain+publish (1 thread)"}%-24s $rows%9d $tDrain%7.2f ${rows / tDrain}%9.0f")
+    println(f"[scale]   ${"dsv2 ingest"}%-24s $rows%9d $tIngest%7.2f ${rows / tIngest}%9.0f")
+  }
+
   /** The table-parallelism datapoint: N Derby tables (default 8 ×
     * 25k rows) snapshotted through `JdbcSnapshot.writeSnapshot` with
     * `tableParallelism` 1 vs 4. Same embedded-Derby caveat as the
@@ -620,6 +693,12 @@ object ScaleBench {
     if (args.headOption.contains("jdbc")) {
       val spark = buildSession()
       jdbcExperiment(spark, args.lift(1).map(_.toInt).getOrElse(100000))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("tail")) {
+      val spark = buildSession()
+      tailExperiment(spark, args.lift(1).map(_.toInt).getOrElse(100000))
       spark.stop()
       return
     }
