@@ -145,11 +145,20 @@ final class JdbcChangelogTailer(
         more = false
         val lines = scala.collection.mutable.ArrayBuffer.empty[String]
         val pending = scala.collection.mutable.Map.empty[String, Long]
-        for (spec <- tables if lines.length < rowsPerSegment) {
-          val room = rowsPerSegment - lines.length
-          val (drained, sawCap) = drainTable(conn, spec, room, lines)
-          if (drained > watermark(spec.key)) pending(spec.key) = drained
-          if (sawCap) more = true // that table may have more past the cap
+        for (spec <- tables) {
+          if (lines.length >= rowsPerSegment) {
+            // segment full before this table's turn: it was not even
+            // probed, so it MAY have rows — another loop must run, or
+            // a table behind an exactly-cap-filling sibling would
+            // silently wait a whole poll interval ("until dry" means
+            // every table, not every table that fit)
+            more = true
+          } else {
+            val room = rowsPerSegment - lines.length
+            val (drained, sawCap) = drainTable(conn, spec, room, lines)
+            if (drained > watermark(spec.key)) pending(spec.key) = drained
+            if (sawCap) more = true // that table may have more past the cap
+          }
         }
         if (lines.nonEmpty) {
           publishSegment(lines.toSeq)

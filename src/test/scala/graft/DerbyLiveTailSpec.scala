@@ -164,6 +164,32 @@ class DerbyLiveTailSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seqs == seqs.sorted && seqs.distinct.length == 5)
   }
 
+  test("one pollOnce drains EVERY table even when an earlier table " +
+      "exactly fills the segment cap") {
+    val feed = tmp()
+    val a = withConn(install(_, "CAP_A"))
+    val b = withConn(install(_, "CAP_B"))
+    // A has EXACTLY rowsPerSegment rows (fills the segment without
+    // tripping its own overflow probe), B has 2 more behind it
+    withConn { c =>
+      val ps = c.prepareStatement("INSERT INTO SALES.CAP_A VALUES (?, ?, ?)")
+      for (i <- 1 to 3) {
+        ps.setInt(1, i); ps.setString(2, s"a$i"); ps.setDouble(3, i)
+        ps.executeUpdate()
+      }
+      ps.close()
+      exec(c,
+        "INSERT INTO SALES.CAP_B VALUES (10, 'b1', 1.0)",
+        "INSERT INTO SALES.CAP_B VALUES (11, 'b2', 2.0)")
+    }
+    val tailer = new graft.source.JdbcChangelogTailer(url, connProps,
+      Seq(a, b), feed.toString, rowsPerSegment = 3)
+    assert(tailer.pollOnce() == 5) // until dry — B's rows don't wait
+    assert(Files.exists(feed.resolve("tail-bin.000000001")))
+    assert(Files.exists(feed.resolve("tail-bin.000000002")))
+    assert(tailer.pollOnce() == 0)
+  }
+
   private def logCount(table: String): Int = withConn { c =>
     val st = c.createStatement()
     try {
