@@ -146,10 +146,14 @@ object TextQueries {
     shl.select(col("doc_id"),
         graft.functions.TextHashes.minhashSig(spark, col("sh")).as("sig"))
       .select(col("doc_id") +: mhCols: _*)
-  private def duckSig: String = {
+  private def duckSig: String = duckSigFrom("documents")
+  /** The same signature CTE chain over any (doc_id, text) relation —
+    * q113 runs it over the post-delta corpus.
+    */
+  private def duckSigFrom(from: String): String = {
     import graft.functions.TextHashes.{MixA, MixB, MixP}
     s"""toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-       |         FROM documents),
+       |         FROM $from),
        |sh AS (SELECT doc_id, $DuckShingles AS s FROM toks),
        |hs AS (SELECT doc_id,
        |   list_transform(s, x -> ('0x'||substr(md5(x),1,8))::BIGINT) AS h
@@ -2058,6 +2062,57 @@ object TextQueries {
           // bucket regime this audit exists to catch) c·(c-1) exceeds
           // 2^53 and the double round-trip drifts from the oracle's
           // exact integer //
+          sum(expr("c * (c - 1) div 2")).as("cand_pairs"))
+        .orderBy("band")
+    },
+
+    // The MAINTAINED near-dup index (ops.NeardupIndex): build from the
+    // base corpus, apply a deterministic CDC-shaped delta (updates =
+    // doc_id % 17 = 3 with doubled text, deletes = doc_id % 23 = 5
+    // excluding the updated set), compact, and report the q103 stats
+    // from the maintained band table. The ORACLE recomputes the same
+    // stats from scratch over the post-delta corpus — hash equality IS
+    // the incremental-maintenance-equals-recompute contract, which is
+    // what makes the index usable at 100 TB (deltas append; nothing
+    // re-bands the corpus).
+    QueryDef(
+      "q113_neardup_index_maintain",
+      s"""WITH documents2 AS (
+         |  SELECT doc_id, text || ' ' || text AS text FROM documents
+         |  WHERE doc_id % 17 = 3
+         |  UNION ALL
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 17 <> 3 AND doc_id % 23 <> 5),
+         |${duckSigFrom("documents2")},
+         |$DuckBands,
+         |bs AS (SELECT band, bucket, count(*) AS c FROM bands
+         |       WHERE bucket IS NOT NULL GROUP BY 1, 2)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+         | CAST(sum(c) AS BIGINT) AS n_docs,
+         | CAST(max(c) AS BIGINT) AS max_bucket,
+         | round(avg(c), 4) AS mean_bucket,
+         | CAST(sum((c*(c-1))//2) AS BIGINT) AS cand_pairs
+         |FROM bs GROUP BY 1 ORDER BY band""".stripMargin) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-ndx-q113-").toString
+      graft.ops.NeardupIndex.build(spark, docs, idxDir)
+      val upserts = docs.filter(col("doc_id") % 17 === 3)
+        .withColumn("text", concat(col("text"), lit(" "), col("text")))
+      val deletes = docs
+        .filter(col("doc_id") % 23 === 5 && col("doc_id") % 17 =!= 3)
+        .select("doc_id")
+      graft.ops.NeardupIndex.applyDelta(spark, idxDir, upserts, deletes)
+      graft.ops.NeardupIndex.compact(spark, idxDir) // fold on the way out
+      val bs = graft.ops.NeardupIndex.live(spark, idxDir)
+        .filter(col("bucket").isNotNull)
+        .groupBy("band", "bucket").agg(count(lit(1)).as("c"))
+      bs.groupBy("band").agg(
+          count(lit(1)).as("n_buckets"),
+          sum("c").as("n_docs"),
+          max("c").as("max_bucket"),
+          round(avg("c"), 4).as("mean_bucket"),
           sum(expr("c * (c - 1) div 2")).as("cand_pairs"))
         .orderBy("band")
     },

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.NeardupIndex
+
+/** The durable maintained near-dup index: build → delta (update /
+  * delete / insert) → probe → compact, with the invariant that the
+  * live band set after ANY sequence of deltas equals a from-scratch
+  * banding of the post-delta corpus — incremental maintenance must be
+  * observationally identical to recompute, that is the whole
+  * contract.
+  */
+class NeardupIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  private def bandsOf(d: DataFrame): Set[(Int, String, Long)] =
+    graft.queries.TextQueries.docBands(spark, d)
+      .select(col("band"), col("bucket"), col("doc_id"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+
+  private def liveSet(dir: String): Set[(Int, String, Long)] =
+    NeardupIndex.live(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+
+  private val base = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "pack my box with five dozen liquor jugs",
+    3L -> "how vexingly quick daft zebras jump around",
+    4L -> "the quick brown fox jumps over the lazy cat")
+
+  test("live set after deltas == from-scratch banding of the " +
+      "post-delta corpus; probes hit the maintained index") {
+    val dir = Files.createTempDirectory("graft-ndx-").toString
+    NeardupIndex.build(spark, docs(base: _*), dir)
+    assert(liveSet(dir) == bandsOf(docs(base: _*)))
+
+    // delta 1: update doc 2, delete doc 3, insert doc 5
+    val upserts = docs(
+      2L -> "pack my box with five dozen liquor jugs again and again",
+      5L -> "sphinx of black quartz judge my vow")
+    val deletes = Seq(3L).toDF("doc_id")
+    assert(NeardupIndex.applyDelta(spark, dir, upserts, deletes) == 1L)
+    val after1 = Seq(
+      base(0), base(3),
+      2L -> "pack my box with five dozen liquor jugs again and again",
+      5L -> "sphinx of black quartz judge my vow")
+    assert(liveSet(dir) == bandsOf(docs(after1: _*)))
+
+    // a probe with doc 1's exact text must surface doc 1 (same
+    // signature ⇒ same buckets), and never the probe doc itself
+    val hits = NeardupIndex.probe(spark, dir,
+        docs(100L -> "the quick brown fox jumps over the lazy dog"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((100L, 1L)))
+    assert(!hits.exists(_._2 == 100L))
+
+    // delta 2: re-insert doc 3 with new text, delete doc 5
+    assert(NeardupIndex.applyDelta(spark, dir,
+      docs(3L -> "zebras are back with entirely different words now"),
+      Seq(5L).toDF("doc_id")) == 2L)
+    val after2 = Seq(base(0), base(3),
+      2L -> "pack my box with five dozen liquor jugs again and again",
+      3L -> "zebras are back with entirely different words now")
+    assert(liveSet(dir) == bandsOf(docs(after2: _*)))
+
+    // compact folds tombstones away without changing the live set
+    val liveBefore = liveSet(dir)
+    NeardupIndex.compact(spark, dir)
+    assert(liveSet(dir) == liveBefore)
+    assert(spark.read.parquet(s"$dir/tombstones").count() == 0)
+    // and the band table physically dropped the dead rows
+    assert(spark.read.parquet(s"$dir/bands").count() == liveBefore.size)
+
+    // post-compact deltas keep composing
+    NeardupIndex.applyDelta(spark, dir, docs(), Seq(1L).toDF("doc_id"))
+    assert(liveSet(dir) == bandsOf(docs(after2.filter(_._1 != 1L): _*)))
+  }
+
+  test("a torn delta retried at the next generation converges to the " +
+      "same live set (at-least-once applies)") {
+    val dir = Files.createTempDirectory("graft-ndx-").toString
+    NeardupIndex.build(spark, docs(base: _*), dir)
+    val upserts = docs(2L -> "totally rewritten second document text")
+    val deletes = Seq(4L).toDF("doc_id")
+    // half-applied delta: tombstones landed, band rows did not (the
+    // torn write the delta protocol documents) — simulated by a
+    // tombstone-only delta carrying the SAME touched set
+    NeardupIndex.applyDelta(spark, dir, docs(), // no band rows
+      upserts.select("doc_id").union(deletes))
+    // the retry applies the full delta at the next generation
+    NeardupIndex.applyDelta(spark, dir, upserts, deletes)
+    val expected = Seq(base(0), base(2),
+      2L -> "totally rewritten second document text")
+    assert(liveSet(dir) == bandsOf(docs(expected: _*)))
+  }
+}
