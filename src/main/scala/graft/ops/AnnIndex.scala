@@ -1,0 +1,242 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorExpressions
+
+/** Durable, incrementally-maintained ANN (IVF) index — the 100 TB
+  * answer to "the corpus changed, search its embeddings": re-assigning
+  * 100 TB of vectors per delta is off the table, so the posting table
+  * is a MAINTAINED dataset with the same delta protocol as
+  * [[NeardupIndex]] (append-only deltas, generation-stamped
+  * tombstones, tmp/trash/rename compaction).
+  *
+  * The centroid codebook is FROZEN at build time (classic IVF: the
+  * codebook is retrained rarely and deliberately, never drifted by a
+  * delta — a drifting codebook would silently invalidate every
+  * already-assigned posting). Delta vectors are assigned to the frozen
+  * centroids with the SAME nearest-centroid math as the batch IVF
+  * queries (cosine, ties to the lower cid), so an index maintained
+  * here and a from-scratch q45/q46 assignment can never disagree.
+  *
+  * Layout under `dir`:
+  *   - `centroids/` — (cid, ce, cnm): the frozen codebook, broadcast
+  *     side of every assignment and every search
+  *   - `postings/` — (vec_id, e, nm, gen) parquet PARTITIONED BY
+  *     `cid`: append-only between compactions. Partitioning by the
+  *     cluster id is the scale move — a probe of `nprobe` centroids
+  *     reads only those partitions (dynamic partition pruning from
+  *     the broadcast probe side), never the corpus.
+  *   - `tombstones/` — (vec_id, gen): a row kills every posting of
+  *     that vector with a STRICTLY OLDER generation
+  *
+  * Delta protocol (`applyDelta`, identical to [[NeardupIndex]]): one
+  * generation per delta; tombstones for every touched vector (updates
+  * AND deletes) land first, then the updated vectors' new postings at
+  * the same generation. The strict `tombstone.gen > posting.gen` kill
+  * rule makes the write pair crash-retryable in either half:
+  * at-least-once applies converge to the same live set.
+  *
+  * Scale shape: assignment is a map-side broadcast cross of the delta
+  * (small) against the codebook (tiny); tombstones stay ∝ CHANGES
+  * since the last compaction (collapsed to one max-gen row per vector
+  * and broadcast via [[Probes.broadcastIfSmall]]); `search` broadcasts
+  * queries and probes, touches only `nprobe` partitions per query set,
+  * and scores with the codegen'd native dot expression. Nothing ever
+  * rewrites the index on the delta path.
+  */
+object AnnIndex {
+
+  private def centroidsDir(dir: String) = s"$dir/centroids"
+  private def postingsDir(dir: String) = s"$dir/postings"
+  private def tombsDir(dir: String) = s"$dir/tombstones"
+
+  private val TombSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("gen", LongType)))
+
+  private def dot(a: Column, b: Column): Column =
+    call_function(VectorExpressions.FnName, a, b)
+
+  /** vectors (vec_id, e: array<double>) with the L2 norm appended —
+    * one codegen'd pass, same as the batch queries' `withNorm`.
+    */
+  private def withNorm(spark: SparkSession, vectors: DataFrame): DataFrame = {
+    VectorExpressions.ensureRegistered(spark)
+    vectors.select(col("vec_id").cast("long").as("vec_id"),
+        col("e").cast("array<double>").as("e"))
+      .withColumn("nm", sqrt(dot(col("e"), col("e"))))
+  }
+
+  /** Deterministic seed codebook: the `k` lowest vec_ids of `vectors`
+    * (the q45 convention — deterministic, so an oracle can reproduce
+    * it). Production codebooks come from a k-means pass (q63's
+    * kernel); the index only requires (cid, ce).
+    */
+  def seedCentroids(spark: SparkSession, vectors: DataFrame,
+      k: Int): DataFrame =
+    // orderBy+limit = distributed TakeOrdered (per-partition top-k,
+    // k rows to the driver), not a single-partition global sort
+    withNorm(spark, vectors).orderBy("vec_id").limit(k)
+      .select(col("vec_id").cast("int").as("cid"), col("e").as("ce"))
+
+  /** Nearest-centroid assignment against the frozen codebook — the
+    * SAME math as the batch IVF queries (cosine, ties to the lower
+    * cid). Emits the posting shape (cid, vec_id, e, nm, gen).
+    */
+  private def assigned(spark: SparkSession, vectors: DataFrame,
+      codebook: DataFrame, gen: Long): DataFrame = {
+    val n = withNorm(spark, vectors)
+    val c = codebook.withColumn("cnm", sqrt(dot(col("ce"), col("ce"))))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+    n.crossJoin(broadcast(c))
+      .withColumn("cos", dot(col("e"), col("ce")) / (col("nm") * col("cnm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id"), col("e"), col("nm"),
+        lit(gen).as("gen"))
+  }
+
+  private def writeEmptyTombstones(spark: SparkSession, dir: String): Unit =
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], TombSchema)
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(tombsDir(dir))
+
+  /** Cut the index fresh from `vectors` (vec_id, e) with `codebook`
+    * (cid, ce) at generation 0, replacing whatever was at `dir`.
+    */
+  def build(spark: SparkSession, vectors: DataFrame, codebook: DataFrame,
+      dir: String): Unit = {
+    codebook.select(col("cid").cast("int"), col("ce").cast("array<double>"))
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(centroidsDir(dir))
+    assigned(spark, vectors, codebook, 0L)
+      .write.mode(SaveMode.Overwrite).partitionBy("cid")
+      .parquet(postingsDir(dir))
+    writeEmptyTombstones(spark, dir)
+  }
+
+  /** The frozen codebook as persisted at build. */
+  def codebook(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(centroidsDir(dir))
+
+  /** Highest generation recorded anywhere in the index — parquet
+    * column statistics make both aggregates footer reads.
+    */
+  def currentGen(spark: SparkSession, dir: String): Long = {
+    def maxGen(path: String): Long =
+      spark.read.parquet(path).agg(max("gen")).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    math.max(maxGen(postingsDir(dir)), maxGen(tombsDir(dir)))
+  }
+
+  /** Apply one delta: `upserts` (vec_id, e — inserts and updates
+    * alike) and `deletes` (vec_id). Appends only; assignment uses the
+    * FROZEN codebook; returns the generation the delta landed as.
+    */
+  def applyDelta(spark: SparkSession, dir: String,
+      upserts: DataFrame, deletes: DataFrame): Long = {
+    val gen = currentGen(spark, dir) + 1
+    // tombstones FIRST (the NeardupIndex protocol): either order is
+    // retry-safe, but tombstone-first means a torn delta under-counts
+    // (vectors missing until retry) rather than double-counts (a
+    // stale and a fresh posting of the same vector both live)
+    upserts.select(col("vec_id").cast("long"))
+      .union(deletes.select(col("vec_id").cast("long")))
+      .distinct()
+      .withColumn("gen", lit(gen))
+      .write.mode(SaveMode.Append).parquet(tombsDir(dir))
+    assigned(spark, upserts, codebook(spark, dir), gen)
+      .write.mode(SaveMode.Append).partitionBy("cid")
+      .parquet(postingsDir(dir))
+    gen
+  }
+
+  /** The live posting set: every appended posting not killed by a
+    * strictly newer tombstone. Tombstones collapse to one max-gen row
+    * per vector and broadcast when small (the steady state — they are
+    * ∝ changes since the last compaction, not corpus size).
+    */
+  def live(spark: SparkSession, dir: String): DataFrame =
+    liveWithGen(spark, dir)
+      .select(col("cid"), col("vec_id"), col("e"), col("nm"))
+
+  private def liveWithGen(spark: SparkSession, dir: String): DataFrame = {
+    val tombs = spark.read.parquet(tombsDir(dir))
+      .groupBy("vec_id").agg(max("gen").as("tgen"))
+    spark.read.parquet(postingsDir(dir)).as("p")
+      .join(Probes.broadcastIfSmall(tombs).as("t"),
+        col("p.vec_id") === col("t.vec_id") && col("t.tgen") > col("p.gen"),
+        "left_anti")
+      .select(col("cid"), col("vec_id"), col("e"), col("nm"), col("gen"))
+  }
+
+  /** IVF search over the live index: per query (qid, qe), score the
+    * `nprobe` nearest centroids' partitions exactly and keep the
+    * top-`k` by cosine (ties to the lower vec_id; a hit with
+    * vec_id == qid is excluded — a vector is not its own neighbor).
+    * Returns (qid, vec_id, cos, rn).
+    *
+    * Queries and probes broadcast; the posting side joins on its
+    * partition column, so at scale dynamic partition pruning limits
+    * the read to the probed clusters — the corpus never shuffles.
+    */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    VectorExpressions.ensureRegistered(spark)
+    val q = queries.select(col("qid").cast("long").as("qid"),
+        col("qe").cast("array<double>").as("qe"))
+      .withColumn("qnm", sqrt(dot(col("qe"), col("qe"))))
+    val c = codebook(spark, dir)
+      .withColumn("cnm", sqrt(dot(col("ce"), col("ce"))))
+    val probeW = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(c))
+      .withColumn("cos", dot(col("qe"), col("ce")) / (col("qnm") * col("cnm")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cid"))
+    val knnW = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    broadcast(probes).join(live(spark, dir), "cid")
+      .join(broadcast(q), "qid")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qnm") * col("nm")))
+      .withColumn("rn", row_number().over(knnW))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+  }
+
+  /** Fold tombstones into the posting table: rewrite the live set,
+    * swap it in with the sink compaction's tmp/trash/rename
+    * discipline, and clear the tombstones. Postings KEEP their
+    * generations through the rewrite (the [[NeardupIndex.compact]]
+    * rationale: a reset gen would let a crash between the swap and
+    * the tombstone clear silently kill every previously-updated
+    * vector's rewritten posting).
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val target = new Path(postingsDir(dir))
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(postingsDir(dir) + "._compact_tmp")
+    val trash = new Path(postingsDir(dir) + "._compact_trash")
+    // heal an interrupted previous swap before anything else
+    if (!fs.exists(target) && fs.exists(trash)) fs.rename(trash, target)
+    fs.delete(tmp, true); fs.delete(trash, true)
+    liveWithGen(spark, dir)
+      .write.mode(SaveMode.Overwrite).partitionBy("cid")
+      .parquet(tmp.toString)
+    if (!fs.rename(target, trash))
+      throw new IllegalStateException(s"index compact swap failed: $target")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(trash, target)
+      throw new IllegalStateException(s"index compact swap failed: $target")
+    }
+    fs.delete(trash, true)
+    writeEmptyTombstones(spark, dir)
+  }
+}

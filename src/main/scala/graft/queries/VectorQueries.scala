@@ -806,5 +806,56 @@ object VectorQueries {
             / col("n_train"), 4).as("flag_rate"))
         .orderBy("label")
     },
+
+    // The MAINTAINED ANN index (ops.AnnIndex): build from the corpus
+    // with a frozen 8-seed codebook, apply a deterministic CDC-shaped
+    // delta (updates = vec_id % 13 = 2 negated element-wise, deletes
+    // = vec_id % 11 = 7 excluding the updated set), compact, and
+    // search with the 5 original query vectors (probe-2, top-3). The
+    // ORACLE recomputes the same IVF search from scratch over the
+    // post-delta corpus with the SAME frozen codebook — hash equality
+    // IS the incremental-maintenance-equals-recompute contract, which
+    // is what makes the index usable at 100 TB (deltas assign against
+    // the frozen centroids and append; nothing re-assigns the corpus).
+    QueryDef(
+      "q114_ann_index_maintain",
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |c AS (SELECT vec_id AS cid, e AS ce,
+         |        sqrt(list_dot_product(e, e)) AS cnm
+         |      FROM e0 ORDER BY vec_id LIMIT 8),
+         |e2 AS (SELECT vec_id, list_transform(e, x -> -x) AS e FROM e0
+         |       WHERE vec_id % 13 = 2
+         |       UNION ALL
+         |       SELECT vec_id, e FROM e0
+         |       WHERE vec_id % 13 <> 2 AND vec_id % 11 <> 7),
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm FROM e2),
+         |q AS (SELECT vec_id AS qid, e AS qe,
+         |        sqrt(list_dot_product(e, e)) AS qnm
+         |      FROM e0 WHERE vec_id < 5),
+         |$DuckIvf
+         |SELECT qid, vec_id, round(cos, 6) AS cosine, rn
+         |FROM ivf ORDER BY qid, rn""".stripMargin) { (spark, dir) =>
+      VectorExpressions.ensureRegistered(spark)
+      val e0 = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-ann-q114-").toString
+      val cb = graft.ops.AnnIndex.seedCentroids(spark, e0, 8)
+      graft.ops.AnnIndex.build(spark, e0, cb, idxDir)
+      val upserts = e0.filter(col("vec_id") % 13 === 2)
+        .withColumn("e", transform(col("e"), x => -x))
+      val deletes = e0
+        .filter(col("vec_id") % 11 === 7 && col("vec_id") % 13 =!= 2)
+        .select("vec_id")
+      graft.ops.AnnIndex.applyDelta(spark, idxDir, upserts, deletes)
+      graft.ops.AnnIndex.compact(spark, idxDir) // fold on the way out
+      val q = e0.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      graft.ops.AnnIndex.search(spark, idxDir, q, 2, 3)
+        .select(col("qid"), col("vec_id"),
+          round(col("cos"), 6).as("cosine"), col("rn"))
+        .orderBy("qid", "rn")
+    },
   )
 }

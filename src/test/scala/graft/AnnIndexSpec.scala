@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.AnnIndex
+
+/** The durable maintained ANN (IVF) index: build → delta (update /
+  * delete / insert) → search → compact, with the invariant that a
+  * search after ANY sequence of deltas equals a search over an index
+  * built from scratch on the post-delta corpus with the SAME frozen
+  * codebook — incremental maintenance must be observationally
+  * identical to recompute, that is the whole contract.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Double])*): DataFrame =
+    rows.toSeq.toDF("vec_id", "e")
+
+  // 4-dim corpus with two obvious clusters: ids 1-3 near the x axis,
+  // ids 4-6 near the y axis; the two codebook seeds (ids 1 and 4)
+  // land one per cluster
+  private val base = Seq(
+    1L -> Seq(1.0, 0.05, 0.0, 0.0),
+    2L -> Seq(0.9, 0.10, 0.0, 0.0),
+    3L -> Seq(1.0, -0.05, 0.1, 0.0),
+    4L -> Seq(0.05, 1.0, 0.0, 0.0),
+    5L -> Seq(-0.05, 0.9, 0.1, 0.0),
+    6L -> Seq(0.10, 1.0, 0.0, 0.1))
+
+  private def queries(rows: (Long, Seq[Double])*): DataFrame =
+    rows.toSeq.toDF("qid", "qe")
+
+  private def searchSet(dir: String, q: DataFrame, nprobe: Int,
+      k: Int): Set[(Long, Long, Int)] =
+    AnnIndex.search(spark, dir, q, nprobe, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+
+  /** From-scratch index over `corpus` with the persisted codebook of
+    * `refDir` — the recompute side of the maintenance invariant.
+    */
+  private def scratchSearch(refDir: String, corpus: DataFrame,
+      q: DataFrame, nprobe: Int, k: Int): Set[(Long, Long, Int)] = {
+    val dir = Files.createTempDirectory("graft-ann-scratch-").toString
+    AnnIndex.build(spark, corpus, AnnIndex.codebook(spark, refDir), dir)
+    searchSet(dir, q, nprobe, k)
+  }
+
+  test("search hits the nearest cluster; maintained index == " +
+      "from-scratch rebuild after update/delete/insert deltas") {
+    val dir = Files.createTempDirectory("graft-ann-").toString
+    val cb = AnnIndex.seedCentroids(spark, vecs(base: _*), 2)
+    AnnIndex.build(spark, vecs(base: _*), cb, dir)
+
+    // an x-axis query probing 1 centroid must surface only cluster-1
+    // vectors, nearest first
+    val qx = queries(100L -> Seq(1.0, 0.0, 0.0, 0.0))
+    val hits = AnnIndex.search(spark, dir, qx, 1, 3)
+      .orderBy("rn").collect().map(_.getLong(1)).toSeq
+    assert(hits.toSet.subsetOf(Set(1L, 2L, 3L)))
+    assert(hits.head == 1L) // (1, .05) is the closest to the x axis
+
+    // delta 1: update vec 2 (moves to the y cluster), delete vec 5,
+    // insert vec 7 (x cluster)
+    val up1 = vecs(
+      2L -> Seq(0.0, 1.0, 0.05, 0.0),
+      7L -> Seq(0.95, 0.0, 0.05, 0.0))
+    val del1 = Seq(5L).toDF("vec_id")
+    assert(AnnIndex.applyDelta(spark, dir, up1, del1) == 1L)
+    val after1 = Seq(
+      base(0), base(2), base(3), base(5),
+      2L -> Seq(0.0, 1.0, 0.05, 0.0),
+      7L -> Seq(0.95, 0.0, 0.05, 0.0))
+    val q2 = queries(
+      100L -> Seq(1.0, 0.0, 0.0, 0.0),
+      101L -> Seq(0.0, 1.0, 0.0, 0.0))
+    assert(searchSet(dir, q2, 2, 4) ==
+      scratchSearch(dir, vecs(after1: _*), q2, 2, 4))
+    // the updated vector is found in its NEW cluster, the deleted one
+    // never surfaces
+    val yHits = AnnIndex.search(spark, dir,
+        queries(101L -> Seq(0.0, 1.0, 0.0, 0.0)), 1, 6)
+      .collect().map(_.getLong(1)).toSet
+    assert(yHits.contains(2L) && !yHits.contains(5L))
+
+    // delta 2: re-insert vec 5 back in the x cluster, delete vec 7
+    assert(AnnIndex.applyDelta(spark, dir,
+      vecs(5L -> Seq(1.0, 0.1, 0.0, 0.0)), Seq(7L).toDF("vec_id")) == 2L)
+    val after2 = Seq(
+      base(0), base(2), base(3), base(5),
+      2L -> Seq(0.0, 1.0, 0.05, 0.0),
+      5L -> Seq(1.0, 0.1, 0.0, 0.0))
+    assert(searchSet(dir, q2, 2, 4) ==
+      scratchSearch(dir, vecs(after2: _*), q2, 2, 4))
+
+    // compact folds tombstones away without changing search results
+    val before = searchSet(dir, q2, 2, 6)
+    AnnIndex.compact(spark, dir)
+    assert(searchSet(dir, q2, 2, 6) == before)
+    assert(spark.read.parquet(s"$dir/tombstones").count() == 0)
+    assert(spark.read.parquet(s"$dir/postings").count() == after2.size)
+
+    // post-compact deltas keep composing
+    AnnIndex.applyDelta(spark, dir, vecs(), Seq(1L).toDF("vec_id"))
+    assert(searchSet(dir, q2, 2, 6) ==
+      scratchSearch(dir, vecs(after2.filter(_._1 != 1L): _*), q2, 2, 6))
+  }
+
+  test("a torn delta retried at the next generation converges to the " +
+      "same live set (at-least-once applies)") {
+    val dir = Files.createTempDirectory("graft-ann-").toString
+    AnnIndex.build(spark, vecs(base: _*),
+      AnnIndex.seedCentroids(spark, vecs(base: _*), 2), dir)
+    val upserts = vecs(2L -> Seq(0.0, 0.0, 1.0, 0.0))
+    val deletes = Seq(6L).toDF("vec_id")
+    // half-applied delta: tombstones landed, postings did not —
+    // simulated by a tombstone-only delta carrying the SAME touched set
+    AnnIndex.applyDelta(spark, dir, vecs(), // no postings
+      upserts.select("vec_id").union(deletes))
+    // the retry applies the full delta at the next generation
+    AnnIndex.applyDelta(spark, dir, upserts, deletes)
+    val expected = Seq(base(0), base(2), base(3), base(4),
+      2L -> Seq(0.0, 0.0, 1.0, 0.0))
+    val q = queries(100L -> Seq(0.0, 0.0, 1.0, 0.0))
+    assert(searchSet(dir, q, 2, 6) ==
+      scratchSearch(dir, vecs(expected: _*), q, 2, 6))
+    // the live set itself matches vector-for-vector
+    assert(AnnIndex.live(spark, dir).select("vec_id").as[Long]
+      .collect().toSet == expected.map(_._1).toSet)
+  }
+
+  test("search plan broadcasts queries/probes and never goes cartesian") {
+    val dir = Files.createTempDirectory("graft-ann-").toString
+    AnnIndex.build(spark, vecs(base: _*),
+      AnnIndex.seedCentroids(spark, vecs(base: _*), 2), dir)
+    val plan = AnnIndex.search(spark, dir,
+        queries(100L -> Seq(1.0, 0.0, 0.0, 0.0)), 1, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in search plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast join in search plan:\n$plan")
+  }
+}
