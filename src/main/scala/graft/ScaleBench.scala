@@ -460,6 +460,49 @@ object ScaleBench {
       f"(20x fewer decodes: ${ts(1) / ts(frames)}%.2fx)")
   }
 
+  /** `runMain graft.ScaleBench ann [mult] [work]` — the maintained-
+    * ANN-index experiment: at 1× and mult× embedding corpora, time a
+    * full IVF rebuild, an incremental delta (0.1% updates + 0.05%
+    * deletes), and a probe-2 search. The claim being measured is the
+    * one that justifies [[graft.ops.AnnIndex]] at 100 TB: rebuild
+    * cost grows with the CORPUS, delta cost grows with the DELTA —
+    * so at mult× the rebuild/delta ratio should widen by ~mult.
+    */
+  private def annExperiment(spark: SparkSession, work: String,
+      mult: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.AnnIndex
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[scale] ${"ann experiment"}%-24s ${"vecs"}%9s ${"rebuild"}%8s ${"delta"}%8s ${"search"}%8s ratio")
+    val ratios = Seq(1, mult).map { m =>
+      val dir = s"$work/ann_x$m"
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists())
+        generate(spark, dir, m)
+      val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      e0.write.format("noop").mode("overwrite").save() // warm the read
+      val n = e0.count()
+      val idx = s"$dir/index"
+      val cb = AnnIndex.seedCentroids(spark, e0, 16)
+      AnnIndex.build(spark, e0, cb, idx) // untimed warmup build (JIT)
+      val tBuild = time(AnnIndex.build(spark, e0, cb, idx))
+      val up = e0.filter(col("vec_id") % 1000 === 1)
+        .withColumn("e", transform(col("e"), x => -x))
+      val del = e0.filter(col("vec_id") % 2000 === 3).select("vec_id")
+      val tDelta = time(AnnIndex.applyDelta(spark, idx, up, del))
+      val q = e0.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      val tSearch = time(AnnIndex.search(spark, idx, q, 2, 10)
+        .write.format("noop").mode("overwrite").save())
+      val ratio = tBuild / tDelta
+      println(f"[scale]   x$m%-22d $n%9d $tBuild%7.2fs $tDelta%7.2fs $tSearch%7.2fs $ratio%5.1f×")
+      ratio
+    }
+    println(f"[scale] ann rebuild/delta ratio widened ${ratios(1) / ratios(0)}%4.1f× from 1x to ${mult}x")
+  }
+
   /** The snapshot-sharding datapoint SCALE.md's "scan rate × 1/N"
     * claim was missing: one Derby table (default 100k rows),
     * snapshotted through `JdbcSnapshot.snapshotFrame` at
@@ -687,6 +730,14 @@ object ScaleBench {
       val spark = buildSession(Map(
         "spark.sql.files.maxPartitionBytes" -> (4 * 1024 * 1024).toString))
       gifExperiment(spark, args.lift(1).getOrElse("/tmp/graft-scale"))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("ann")) {
+      val spark = buildSession(Map(
+        "spark.sql.files.maxPartitionBytes" -> (4 * 1024 * 1024).toString))
+      annExperiment(spark, args.lift(2).getOrElse("/tmp/graft-scale"),
+        args.lift(1).map(_.toInt).getOrElse(10))
       spark.stop()
       return
     }

@@ -19,6 +19,9 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *  - change-feed materialization + SCD2:
   *    [[graft.streaming.Materialize]]
   *  - skew tooling: [[graft.ops.SkewJoin]]
+  *  - durable maintained indexes (build/delta/probe-or-search/
+  *    compact): [[graft.ops.NeardupIndex]] (MinHash bands),
+  *    [[graft.ops.AnnIndex]] (IVF postings)
   *  - media decode/features: [[graft.multimodal.Multimodal]]
   *  - native SQL functions for plain-SQL sessions:
   *    [[graft.GraftExtensions]]
