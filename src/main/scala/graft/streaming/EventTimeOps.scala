@@ -74,6 +74,67 @@ object EventTimeOps {
       .join(graft.ops.Probes.broadcastIfSmall(index),
         Seq("band", "bucket"), "left_semi")
 
+  /** Streaming ANN candidate gate — [[graft.ops.AnnIndex]]'s probe as
+    * a stream op: each micro-batch of (vec_id, e) vectors is assigned
+    * to its `nprobe` nearest centroids and joined against the static
+    * posting table; hits at or above `minCos` cosine emerge as
+    * (vec_id, index_id, cos). Stateless by design, like
+    * [[nearDupGate]]: the index IS the state, maintained by the batch
+    * delta path and re-resolved per micro-batch.
+    *
+    * Streaming-safe by construction: top-nprobe selection uses NO
+    * window/aggregate (disallowed mid-stream) — the frozen codebook
+    * (tiny by contract) is collected ONCE at plan time into literal
+    * vectors, per-row cosines become a sorted array expression
+    * (struct(-cos, cid) ascending = cosine desc, ties to the lower
+    * cid — the exact batch-search order), and the probed cids
+    * explode map-side. The only join is stream-static on `cid`, the
+    * posting table's partition column. Emits a threshold gate rather
+    * than top-k (ranking the OUTPUT is the downstream stage's job,
+    * same contract as nearDupGate's verification stage).
+    *
+    * `codebook` = `AnnIndex.codebook(spark, dir)` (cid, ce);
+    * `postings` = `AnnIndex.live(spark, dir)` (cid, vec_id, e, nm).
+    */
+  def annGate(spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, codebook: DataFrame, postings: DataFrame,
+      nprobe: Int, minCos: Double): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function(graft.functions.VectorExpressions.FnName, a, b)
+    // the codebook is frozen and small by design (AnnIndex contract);
+    // collecting it here is the plan-time analog of its broadcast
+    val cb: Array[(Int, Array[Double], Double)] = codebook
+      .select(col("cid").cast("int"), col("ce").cast("array<double>"))
+      .collect()
+      .map { r =>
+        val ce = r.getSeq[Double](1).toArray
+        (r.getInt(0), ce, math.sqrt(ce.map(x => x * x).sum))
+      }
+    require(cb.nonEmpty, "annGate: empty codebook")
+    val n = vectors
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("e").cast("array<double>").as("e"))
+      .withColumn("nm", sqrt(dot(col("e"), col("e"))))
+    val scored = array(cb.map { case (cid, ce, cnm) =>
+      struct(
+        (dot(col("e"), typedlit(ce.toSeq)) * lit(-1.0)
+          / (col("nm") * lit(cnm))).as("negcos"),
+        lit(cid).as("cid"))
+    }: _*)
+    n.withColumn("cid",
+        explode(transform(
+          slice(sort_array(scored), 1, math.min(nprobe, cb.length)),
+          s => s.getField("cid"))))
+      .join(postings.withColumnRenamed("vec_id", "index_id")
+          .withColumnRenamed("e", "ie").withColumnRenamed("nm", "inm"),
+        Seq("cid"))
+      .filter(col("index_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("e"), col("ie")) / (col("nm") * col("inm")))
+      .filter(col("cos") >= minCos)
+      .select(col("vec_id"), col("index_id"), col("cos"))
+  }
+
   /** Stream-stream interval join: both sides watermarked, the join
     * range-bounds event-time skew, so each side's buffered state is
     * dropped once the watermark passes the horizon — state ∝ in-flight

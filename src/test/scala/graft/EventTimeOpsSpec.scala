@@ -175,4 +175,42 @@ class EventTimeOpsSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty, "fixture produced no candidates — weak test")
   }
+
+  test("streaming ANN gate agrees with the batch index search") {
+    // index = the %10!=0 embeddings as a maintained AnnIndex; stream
+    // = the %10==0 "new batch". The gate's threshold-hit set must
+    // equal the batch search with an unbounded k filtered at the same
+    // threshold — same codebook, same tie rules, so drift is a bug.
+    val dir = "/root/testdata/sf0.001"
+    val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val corpus = e0.filter(col("vec_id") % 10 =!= 0)
+    val idxDir = Files.createTempDirectory("graft-anng-idx-").toString
+    graft.ops.AnnIndex.build(spark, corpus,
+      graft.ops.AnnIndex.seedCentroids(spark, corpus, 8), idxDir)
+
+    val newBatch = e0.filter(col("vec_id") % 10 === 0)
+    val minCos = 0.3
+    val expected = graft.ops.AnnIndex.search(spark, idxDir,
+        newBatch.select(col("vec_id").as("qid"), col("e").as("qe")),
+        nprobe = 2, k = Int.MaxValue)
+      .filter(col("cos") >= minCos)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val feedDir = Files.createTempDirectory("graft-anng-")
+    newBatch.write.mode("overwrite").json(feedDir.toString)
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("e", ArrayType(DoubleType))))
+    val stream = spark.readStream.schema(vecSchema).json(feedDir.toString)
+    runToMemory(EventTimeOps.annGate(spark, stream,
+        graft.ops.AnnIndex.codebook(spark, idxDir),
+        graft.ops.AnnIndex.live(spark, idxDir), nprobe = 2, minCos),
+      "anng_out", "append")
+    val got = spark.table("anng_out")
+      .select("vec_id", "index_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture produced no hits — weak test")
+  }
 }
