@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level zone maps — a maintained min/max/count manifest over a
+  * parquet dataset, for planning-time file skipping.
+  *
+  * Parquet already carries row-group min/max in its footers, and
+  * Spark uses them — but at 100 TB "use the footers" means OPENING
+  * millions of files per query just to discover that most are
+  * irrelevant. The manifest inverts that: one small parquet dataset
+  * (a row per data file, a min/max pair per indexed column) answers
+  * "which files can match this range?" in a single scan of the
+  * manifest, and the query then reads ONLY those files — the
+  * lakehouse-format data-skipping idea (Delta's per-file stats,
+  * Iceberg's manifests) expressed over plain parquet.
+  *
+  * Composes with [[ZOrder.layout]]: z-ordered files are tight in both
+  * clustered dimensions, so their manifest ranges barely overlap and
+  * a range predicate on EITHER dimension prunes most files. Over an
+  * unclustered layout the manifest is still correct — every file's
+  * range spans everything, so nothing prunes (the manifest makes
+  * layout quality measurable: that is exactly q81's tightness audit).
+  *
+  * Maintenance contract: build once ([[build]] — one distributed scan
+  * grouped by file), then [[refresh]] after appends — it lists the
+  * directory, diffs against the manifest, and scans ONLY the new
+  * files (cost ∝ delta, the same discipline as the maintained
+  * indexes). Compaction/rewrite invalidates removed files' rows, so
+  * rewriters call [[build]] (a fresh manifest) — it is a full-scan
+  * artifact by definition there.
+  *
+  * Skipping rule ([[candidateFiles]]): a file survives for range
+  * [lo, hi] iff `max >= lo AND min <= hi`. A file whose stats are
+  * NULL (every value NULL in that file) is SKIPPED: a range
+  * predicate can never match NULL. Files missing from the manifest
+  * entirely (appended but not yet refreshed) are INCLUDED — stale
+  * manifests must degrade to over-reading, never to wrong answers.
+  */
+object ZoneMaps {
+
+  private val FileCol = "_zm_file"
+
+  private def dataFiles(spark: SparkSession, dataDir: String): Seq[String] = {
+    val root = new Path(dataDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // hidden DIRECTORIES are pruned during the walk, not just hidden
+    // files at the end: a sink dir can contain live staging dirs
+    // (`.graft_stage_*`, `_zonemaps`) whose inner files have plain
+    // names — indexing those would "find" uncommitted data
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def walk(s: FileStatus): Seq[FileStatus] =
+      if (s.isDirectory)
+        fs.listStatus(s.getPath).toSeq
+          .filterNot(c => hidden(c.getPath.getName)).flatMap(walk)
+      else Seq(s)
+    walk(fs.getFileStatus(root)).map(_.getPath.toUri.getPath)
+  }
+
+  /** Per-file stats of `files`: `(file, n_rows, <c>_min, <c>_max ...)`
+    * with each column's native type. One scan of exactly `files`,
+    * one aggregate keyed by file — shuffle ∝ file count.
+    */
+  private def statsOf(spark: SparkSession, baseDir: String,
+      files: Seq[String], columns: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      columns.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max")))
+    // basePath keeps dt=-style partition columns resolvable when
+    // reading an explicit file list out of a partitioned layout
+    spark.read.option("basePath", baseDir).parquet(files: _*)
+      .withColumn(FileCol, col("_metadata.file_path"))
+      // normalize to a bare path: candidateFiles hands results back
+      // to spark.read, and the manifest must match what dataFiles
+      // lists regardless of scheme (file:/ vs /)
+      .withColumn(FileCol, regexp_replace(col(FileCol), "^[a-z]+:/+", "/"))
+      .groupBy(col(FileCol).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Cut the manifest fresh: one distributed pass over every data
+    * file in `dataDir`, stats for `columns`.
+    */
+  def build(spark: SparkSession, dataDir: String, manifestDir: String,
+      columns: Seq[String]): Unit =
+    statsOf(spark, dataDir, dataFiles(spark, dataDir), columns)
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestDir)
+
+  /** Append stats for files present in `dataDir` but absent from the
+    * manifest — scans ONLY those files (cost ∝ appended data). The
+    * column set is the manifest's own (schema-stable by
+    * construction). Returns how many new files were indexed.
+    */
+  def refresh(spark: SparkSession, dataDir: String,
+      manifestDir: String): Int = {
+    val m = spark.read.parquet(manifestDir)
+    val known = m.select("file").collect().map(_.getString(0)).toSet
+    val fresh = dataFiles(spark, dataDir).filterNot(known)
+    if (fresh.nonEmpty) {
+      val columns = m.columns.filter(_.endsWith("_min"))
+        .map(_.stripSuffix("_min")).toSeq
+      statsOf(spark, dataDir, fresh, columns)
+        .select(m.columns.map(col).toSeq: _*) // manifest column order
+        .write.mode(SaveMode.Append).parquet(manifestDir)
+    }
+    fresh.size
+  }
+
+  /** Build if the manifest does not exist yet, refresh otherwise —
+    * the per-append hook shape (the CDC sink calls this after each
+    * micro-batch write; cost ∝ the batch's new files after the first
+    * call). Returns how many files were indexed this call.
+    *
+    * Rewrite contract: a file-REWRITING maintenance pass (compaction)
+    * must rebuild the manifest afterwards — a manifest listing
+    * replaced files makes [[prunedRead]] fail LOUDLY on the vanished
+    * paths (never silently under-read); [[graft.streaming.Compaction]]
+    * does exactly that when it finds a manifest beside the table.
+    */
+  def ensure(spark: SparkSession, dataDir: String, manifestDir: String,
+      columns: Seq[String]): Int = {
+    val fs = new Path(manifestDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(manifestDir))) refresh(spark, dataDir, manifestDir)
+    else {
+      val files = dataFiles(spark, dataDir)
+      // a dir with no data files yet (all-empty appends) has nothing
+      // to index AND no schema to shape a manifest from — the first
+      // call that sees data builds it
+      if (files.isEmpty) 0
+      else {
+        statsOf(spark, dataDir, files, columns)
+          .repartition(1)
+          .write.mode(SaveMode.Overwrite).parquet(manifestDir)
+        files.size
+      }
+    }
+  }
+
+  /** The files that can contain rows with `column` in [lo, hi], both
+    * bounds inclusive — manifest hits plus every unindexed file (a
+    * stale manifest over-reads, never under-reads).
+    */
+  def candidateFiles(spark: SparkSession, dataDir: String,
+      manifestDir: String, column: String, lo: Any, hi: Any): Seq[String] = {
+    val m = spark.read.parquet(manifestDir)
+    val hits = m
+      .filter(col(s"${column}_max") >= lit(lo) &&
+        col(s"${column}_min") <= lit(hi))
+      .select("file").collect().map(_.getString(0))
+    val known = m.select("file").collect().map(_.getString(0)).toSet
+    val unindexed = dataFiles(spark, dataDir).filterNot(known)
+    hits.toSeq ++ unindexed
+  }
+
+  /** Read only the files that can match `column BETWEEN lo AND hi`,
+    * with the predicate re-applied exactly (the manifest prunes
+    * FILES; rows inside a surviving file still need the filter).
+    * An empty candidate set yields an empty frame with the data's
+    * schema (read schema comes from the dataset root, not the
+    * pruned file list).
+    */
+  def prunedRead(spark: SparkSession, dataDir: String, manifestDir: String,
+      column: String, lo: Any, hi: Any): DataFrame = {
+    val files = candidateFiles(spark, dataDir, manifestDir, column, lo, hi)
+    val pred: Column = col(column) >= lit(lo) && col(column) <= lit(hi)
+    if (files.isEmpty)
+      spark.read.parquet(dataDir).filter(pred).limit(0)
+    else spark.read.option("basePath", dataDir).parquet(files: _*).filter(pred)
+  }
+}

@@ -722,5 +722,39 @@ object ScalarQueries {
         round(max(col("cnt")) / avg(col("cnt")), 4).as("skew_ratio"),
         ceil(max(col("cnt")) / avg(col("cnt"))).cast("int").as("salt_buckets"))
     },
+
+    // File-level zone maps (ops.ZoneMaps) — the q81 layout argument
+    // made OPERATIONAL: lineitem staged into a range-clustered
+    // multi-file layout, a min/max manifest built over it, and the
+    // scan answered through ZoneMaps.prunedRead, which consults the
+    // manifest and reads ONLY files whose [min, max] overlaps the
+    // predicate (plus re-applies the predicate exactly). The oracle
+    // is the plain filtered aggregate — file skipping must be
+    // invisible in the ANSWER (rows survive iff they match, whatever
+    // files they live in); the files-actually-skipped mechanics are
+    // ZoneMapsSpec's job. At 100 TB the manifest is one small parquet
+    // scan instead of millions of footer opens.
+    QueryDef(
+      "q115_zonemap_pruned_scan",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2999
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-zm-q115-").toString
+      Tables(spark, dir).lineitem
+        .repartitionByRange(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$work/data")
+      graft.ops.ZoneMaps.build(spark, s"$work/data", s"$work/manifest",
+        Seq("l_orderkey"))
+      graft.ops.ZoneMaps.prunedRead(spark, s"$work/data", s"$work/manifest",
+          "l_orderkey", 1000L, 2999L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
   )
 }

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{ZOrder, ZoneMaps}
+
+/** File-level zone maps: manifest build/refresh, the skipping rule
+  * (over-read on stale, skip on all-NULL), and the composition with
+  * the Z-order layout that makes pruning effective in two dimensions.
+  */
+class ZoneMapsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("pruned read equals the full filter while reading a fraction " +
+      "of the files") {
+    val dir = tmp("graft-zm-")
+    val man = tmp("graft-zm-man-")
+    // 10 range-partitioned files: k is contiguous per file
+    spark.range(1000).select(col("id").as("k"),
+        concat(lit("v"), lpad(col("id").cast("string"), 4, "0")).as("s"))
+      .repartitionByRange(10, col("k"))
+      .write.mode("overwrite").parquet(dir)
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(nFiles >= 8, s"fixture wrote too few files: $nFiles")
+    ZoneMaps.build(spark, dir, man, Seq("k", "s"))
+
+    val cand = ZoneMaps.candidateFiles(spark, dir, man, "k", 100L, 199L)
+    assert(cand.size <= 2, s"no pruning: ${cand.size} of $nFiles files")
+    val got = ZoneMaps.prunedRead(spark, dir, man, "k", 100L, 199L)
+      .select("k").as[Long].collect().toSet
+    assert(got == (100L to 199L).toSet)
+
+    // string-typed stats prune lexically the same way
+    val scand = ZoneMaps.candidateFiles(spark, dir, man, "s", "v0100", "v0199")
+    assert(scand.size <= 2, s"no string pruning: ${scand.size}")
+    assert(ZoneMaps.prunedRead(spark, dir, man, "s", "v0100", "v0199")
+      .count() == 100)
+
+    // an empty range reads zero files but keeps the schema
+    val none = ZoneMaps.prunedRead(spark, dir, man, "k", 5000L, 6000L)
+    assert(none.columns.toSeq == Seq("k", "s") && none.count() == 0)
+  }
+
+  test("stale manifest over-reads (never wrong); refresh indexes only " +
+      "the new files; all-NULL stats files are skipped") {
+    val dir = tmp("graft-zm-")
+    val man = tmp("graft-zm-man-")
+    spark.range(100).select(col("id").as("k"))
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(dir)
+    ZoneMaps.build(spark, dir, man, Seq("k"))
+
+    // append out-of-range data AND an all-NULL file, no refresh yet
+    spark.range(1000, 1100).select(col("id").as("k")).coalesce(1)
+      .write.mode("append").parquet(dir)
+    Seq.fill(5)(Option.empty[Long]).toDF("k").coalesce(1)
+      .write.mode("append").parquet(dir)
+    // unindexed files are candidates for ANY range: correct, not tight
+    val stale = ZoneMaps.candidateFiles(spark, dir, man, "k", 0L, 24L)
+    assert(stale.size == 3) // 1 indexed hit + 2 unindexed
+    assert(ZoneMaps.prunedRead(spark, dir, man, "k", 0L, 24L)
+      .count() == 25)
+
+    assert(ZoneMaps.refresh(spark, dir, man) == 2)
+    assert(ZoneMaps.refresh(spark, dir, man) == 0) // idempotent
+    // indexed now: out-of-range file and the all-NULL file both skip
+    assert(ZoneMaps.candidateFiles(spark, dir, man, "k", 0L, 24L).size == 1)
+    // and the appended range is found through the refreshed manifest
+    assert(ZoneMaps.candidateFiles(spark, dir, man, "k", 1000L, 1099L)
+      .size == 1)
+    assert(ZoneMaps.prunedRead(spark, dir, man, "k", 1000L, 1099L)
+      .count() == 100)
+  }
+
+  test("z-ordered layout prunes on BOTH dimensions; a 1-D sort prunes " +
+      "only its own") {
+    val grid = spark.range(64 * 64).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    val zDir = tmp("graft-zm-z-")
+    ZOrder.layout(grid, col("x"), col("y"), bits = 6, partitions = 16)
+      .write.mode("overwrite").parquet(zDir)
+    val zMan = tmp("graft-zm-zman-")
+    ZoneMaps.build(spark, zDir, zMan, Seq("x", "y"))
+    val sDir = tmp("graft-zm-s-")
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(sDir)
+    val sMan = tmp("graft-zm-sman-")
+    ZoneMaps.build(spark, sDir, sMan, Seq("x", "y"))
+
+    def nCand(dir: String, man: String, c: String) =
+      ZoneMaps.candidateFiles(spark, dir, man, c, 0L, 7L).size
+    // x-sorted layout: perfect on x, hopeless on y (every file spans y)
+    assert(nCand(sDir, sMan, "x") <= 2)
+    assert(nCand(sDir, sMan, "y") == 16)
+    // z-ordered: BOTH dimensions prune (each file is a z-range, tight
+    // in x and y simultaneously)
+    assert(nCand(zDir, zMan, "x") < 16)
+    assert(nCand(zDir, zMan, "y") < 16)
+    // and the pruned reads agree with the truth either way
+    assert(ZoneMaps.prunedRead(spark, zDir, zMan, "y", 0L, 7L).count()
+      == 64 * 8)
+    assert(ZoneMaps.prunedRead(spark, sDir, sMan, "y", 0L, 7L).count()
+      == 64 * 8)
+  }
+}
