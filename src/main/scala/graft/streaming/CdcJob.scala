@@ -111,6 +111,18 @@ object CdcJob {
       // the reference's planned dry-run mode (`README.md:66`): routed
       // per-table counts to the console, nothing written or published
       dryRun = cfg.get("sink.dry.run").contains("true"),
+      // `sink.zonemap.columns` — per-table file-skipping manifests
+      // maintained beside each sink table; empty entries in the list
+      // fail fast like the rest of the config surface
+      zonemapColumns = cfg.get("sink.zonemap.columns") match {
+        case None => Nil
+        case Some(s) =>
+          val cols = s.split(",").map(_.trim).toSeq
+          if (cols.isEmpty || cols.exists(_.isEmpty))
+            throw new IllegalArgumentException(
+              s"BAD sink.zonemap.columns: '$s' (want col1,col2,...)")
+          cols
+      },
       // `mongodb.deserialization.mode` (`MongoDBStreamer.java:64,92-107`):
       // doc-string / top-level-string / top-level-type, defaulting to
       // top-level-type with a warning, unknown value fails fast — only

@@ -71,7 +71,17 @@ final case class CdcConfig(
       * would silently skip data on the next real run). K3 prints the
       * raw feed; this prints the routed result.
       */
-    dryRun: Boolean = false) {
+    dryRun: Boolean = false,
+    /** Zone-map manifest columns (`sink.zonemap.columns`): when
+      * non-empty, every per-table sink write is followed by a
+      * [[graft.ops.ZoneMaps.ensure]] on a `<tableDir>._zonemaps`
+      * sibling manifest, indexing the listed columns that exist in
+      * that table's schema (cost ∝ the batch's new files). The sink
+      * stays plain parquet; queries opt into file skipping via
+      * `ZoneMaps.prunedRead`. Compaction rebuilds the manifest it
+      * finds beside a table.
+      */
+    zonemapColumns: Seq[String] = Nil) {
   def name: String = jobName.getOrElse(s"JOB-$sourceId")
 }
 
@@ -461,10 +471,22 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
             println(s">>> [DRY-RUN][${config.name}] batch=$batchId " +
               s"$key -> ${spec.sinkDir(config.sinkPath, config.sourceId)}: " +
               s"$n row(s)")
-          } else gated
-            .withColumn("dt", dtColumn)
-            .write.mode("append").partitionBy("dt")
-            .parquet(spec.sinkDir(config.sinkPath, config.sourceId))
+          } else {
+            val dir = spec.sinkDir(config.sinkPath, config.sourceId)
+            gated
+              .withColumn("dt", dtColumn)
+              .write.mode("append").partitionBy("dt")
+              .parquet(dir)
+            if (config.zonemapColumns.nonEmpty) {
+              // index the configured columns this table actually has
+              // (+ dt, always present in the written layout); a table
+              // with none of them still gets n_rows-only stats so the
+              // manifest's file census stays complete
+              val have = (gated.columns.toSet + "dt")
+              graft.ops.ZoneMaps.ensure(spark, dir, s"$dir._zonemaps",
+                config.zonemapColumns.filter(have))
+            }
+          }
         }(scala.concurrent.ExecutionContext.global)
       import scala.concurrent.duration._
       writes.foreach(scala.concurrent.Await.result(_, 1.hour))

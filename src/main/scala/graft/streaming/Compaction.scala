@@ -98,6 +98,15 @@ object Compaction {
       throw new IllegalStateException(s"compact swap failed: $tableDir")
     }
     fs.delete(trash, true)
+    // a zone-map manifest beside the table lists the files the swap
+    // just replaced — rebuild it (its own column set) so prunedRead
+    // keeps working; without a manifest this is a no-op
+    val manifest = tableDir + "._zonemaps"
+    if (fs.exists(new Path(manifest))) {
+      val columns = spark.read.parquet(manifest).columns.toSeq
+        .filter(_.endsWith("_min")).map(_.stripSuffix("_min"))
+      graft.ops.ZoneMaps.build(spark, tableDir, manifest, columns)
+    }
     (before, countFiles(tableDir))
   }
 }

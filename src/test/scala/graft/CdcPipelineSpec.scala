@@ -98,6 +98,49 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(!p.gate.stopped)
   }
 
+  test("sink zone-map manifests are maintained per batch and serve " +
+      "pruned reads") {
+    val in = tmp(); val out = tmp()
+    writeFixture(in, "00-snapshot.jsonl", Seq(
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":1},"name":{"string":"alice"},"balance":null"""),
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":2},"name":{"string":"bob"},"balance":null"""),
+      row("READ", "items", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":7},"qty":{"long":3}""")))
+    writeFixture(in, "01-changes.jsonl", Seq(
+      row("CREATE", "users", 1700000100000L, "mysql-bin.000001", 100,
+        """"id":{"int":30},"name":{"string":"carol"},"balance":null""")))
+    run(CdcConfig("srcZm", registry, out.toString,
+      // "qty" exists only in items — per-table column intersection
+      zonemapColumns = Seq("id", "_ts", "qty")), in)
+    val dir = s"$out/srcZm_testdb__users"
+    val man = s"$dir._zonemaps"
+    val m = spark.read.parquet(man)
+    // one manifest row per data file (batch 1 built, batch 2 refreshed)
+    val dataFiles = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+      .count { p =>
+        val n = p.substring(p.lastIndexOf('/') + 1)
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+          !p.contains("_zonemaps")
+      }
+    assert(m.count() == dataFiles && dataFiles >= 2)
+    // users indexed id and _ts, but not items' qty
+    assert(m.columns.toSet ==
+      Set("file", "n_rows", "id_min", "id_max", "_ts_min", "_ts_max"))
+    // the manifest prunes: id=30 lives only in batch 2's file(s)
+    val cand = graft.ops.ZoneMaps
+      .candidateFiles(spark, dir, man, "id", 30L, 30L)
+    assert(cand.size < dataFiles && cand.nonEmpty)
+    val got = graft.ops.ZoneMaps.prunedRead(spark, dir, man, "id", 30L, 30L)
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(got == Set("carol"))
+    // items got its own manifest with its own column intersection
+    val mi = spark.read.parquet(s"$out/srcZm_testdb__items._zonemaps")
+    assert(mi.columns.contains("qty_min"))
+  }
+
   test("snapshot override restricts the snapshot; binlog tail unaffected") {
     val in = tmp(); val out = tmp()
     // snapshot: 3 users rows; the override keeps id <= 2 and selects

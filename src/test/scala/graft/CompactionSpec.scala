@@ -42,4 +42,31 @@ class CompactionSpec extends AnyFunSuite {
       .count()
     assert(violations == 0)
   }
+
+  test("compaction rebuilds the zone-map manifest it finds beside " +
+      "the table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-zm-")
+      .resolve("tbl").toString
+    for (b <- 0 until 6) {
+      (0 until 50).map(i => (b * 50 + i, "2024-01-01", i.toLong))
+        .toDF("id", "dt", "pos")
+        .repartition(2)
+        .write.mode("append").partitionBy("dt").parquet(dir)
+    }
+    val man = s"$dir._zonemaps"
+    graft.ops.ZoneMaps.build(spark, dir, man, Seq("id"))
+    val rowsBefore = spark.read.parquet(man).count()
+    val (before, after) = Compaction.compact(spark, dir,
+      rowsPerFile = 300, order = Seq(col("pos")))
+    assert(after < before)
+    // the manifest now lists exactly the REWRITTEN files — a stale
+    // manifest would point prunedRead at vanished paths
+    val m = spark.read.parquet(man)
+    assert(m.count() == after && m.count() < rowsBefore)
+    val got = graft.ops.ZoneMaps
+      .prunedRead(spark, dir, man, "id", 100L, 149L)
+      .select("id").as[Int].collect().toSet
+    assert(got == (100 to 149).toSet)
+  }
 }
