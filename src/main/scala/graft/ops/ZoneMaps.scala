@@ -145,12 +145,25 @@ object ZoneMaps {
     * stale manifest over-reads, never under-reads).
     */
   def candidateFiles(spark: SparkSession, dataDir: String,
-      manifestDir: String, column: String, lo: Any, hi: Any): Seq[String] = {
+      manifestDir: String, column: String, lo: Any, hi: Any): Seq[String] =
+    candidateFilesAll(spark, dataDir, manifestDir, Seq((column, lo, hi)))
+
+  /** Conjunction form: files that can hold a row matching EVERY
+    * range at once — the z-order payoff, where a file tight in two
+    * clustered dimensions is skipped unless BOTH ranges overlap it.
+    * The per-file test stays necessary-condition sound (each range
+    * checks its own min/max), so the intersection can only shrink
+    * the candidate set, never lose a matching row.
+    */
+  def candidateFilesAll(spark: SparkSession, dataDir: String,
+      manifestDir: String,
+      ranges: Seq[(String, Any, Any)]): Seq[String] = {
+    require(ranges.nonEmpty, "candidateFilesAll: no ranges")
     val m = spark.read.parquet(manifestDir)
-    val hits = m
-      .filter(col(s"${column}_max") >= lit(lo) &&
-        col(s"${column}_min") <= lit(hi))
-      .select("file").collect().map(_.getString(0))
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi)
+    }.reduce(_ && _)
+    val hits = m.filter(pred).select("file").collect().map(_.getString(0))
     val known = m.select("file").collect().map(_.getString(0)).toSet
     val unindexed = dataFiles(spark, dataDir).filterNot(known)
     hits.toSeq ++ unindexed
@@ -164,9 +177,16 @@ object ZoneMaps {
     * pruned file list).
     */
   def prunedRead(spark: SparkSession, dataDir: String, manifestDir: String,
-      column: String, lo: Any, hi: Any): DataFrame = {
-    val files = candidateFiles(spark, dataDir, manifestDir, column, lo, hi)
-    val pred: Column = col(column) >= lit(lo) && col(column) <= lit(hi)
+      column: String, lo: Any, hi: Any): DataFrame =
+    prunedReadAll(spark, dataDir, manifestDir, Seq((column, lo, hi)))
+
+  /** Conjunction form of [[prunedRead]] — see [[candidateFilesAll]]. */
+  def prunedReadAll(spark: SparkSession, dataDir: String,
+      manifestDir: String, ranges: Seq[(String, Any, Any)]): DataFrame = {
+    val files = candidateFilesAll(spark, dataDir, manifestDir, ranges)
+    val pred: Column = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
     if (files.isEmpty)
       spark.read.parquet(dataDir).filter(pred).limit(0)
     else spark.read.option("basePath", dataDir).parquet(files: _*).filter(pred)

@@ -109,5 +109,12 @@ class ZoneMapsSpec extends AnyFunSuite {
       == 64 * 8)
     assert(ZoneMaps.prunedRead(spark, sDir, sMan, "y", 0L, 7L).count()
       == 64 * 8)
+
+    // conjunction: the x∧y intersection prunes at least as hard as
+    // either dimension alone, and the answer is still exact
+    val both = Seq(("x", 0L: Any, 7L: Any), ("y", 0L: Any, 7L: Any))
+    val nBoth = ZoneMaps.candidateFilesAll(spark, zDir, zMan, both).size
+    assert(nBoth <= math.min(nCand(zDir, zMan, "x"), nCand(zDir, zMan, "y")))
+    assert(ZoneMaps.prunedReadAll(spark, zDir, zMan, both).count() == 8 * 8)
   }
 }
