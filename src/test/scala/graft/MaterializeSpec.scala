@@ -226,4 +226,70 @@ class MaterializeSpec extends AnyFunSuite {
       }
     }
   }
+
+  private def mev(pk: Long, g: String, op: String, off: Long, v: Double,
+      txn: Long = 0): String =
+    s"""{"pk":$pk,"group":"$g","op":"$op","offset":$off,"txn":$txn,"value":$v}"""
+
+  test("incremental aggregate view: folded deltas equal a recompute " +
+      "under group moves, deletes, and replays") {
+    val in = Files.createTempDirectory("agg-in-")
+    Files.write(in.resolve("00.jsonl"), Seq(
+      mev(1, "a", "c", 10, 10.0),
+      mev(2, "a", "c", 11, 5.0),
+      mev(3, "b", "c", 12, 7.0)).asJava)
+    Files.write(in.resolve("01.jsonl"), Seq(
+      mev(2, "b", "u", 20, 6.0), // MOVES a→b: retract a, add b
+      mev(2, "b", "u", 20, 6.0), // in-batch exact duplicate: no-op
+      mev(3, "b", "d", 21, 0.0), // delete retracts from state
+      mev(1, "a", "u", 22, 12.0)).asJava) // in-place update: -10 +12
+    Files.write(in.resolve("02.jsonl"), Seq(
+      mev(2, "b", "u", 20, 6.0), // CROSS-BATCH replay: no-op
+      mev(4, "c", "d", 30, 0.0), // delete of an unseen key: no-op
+      mev(5, "c", "c", 31, 3.0), // insert → delete → re-insert,
+      mev(5, "c", "d", 32, 0.0), // one batch: nets to the re-insert
+      mev(5, "c", "c", 33, 4.0)).asJava)
+
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+    try {
+      import org.apache.spark.sql.functions.{col, from_json}
+      import spark.implicits._
+      val changes = spark.readStream.format("graft-cdc")
+        .option("path", in.toString).option("maxFilesPerTrigger", 1)
+        .load()
+        .select(from_json(col("value"), org.apache.spark.sql.Encoders
+          .product[Materialize.MeasureChange].schema).as("c"))
+        .select("c.*")
+        .as[Materialize.MeasureChange]
+      // the production shape: per batch, fold the deltas into the
+      // maintained aggregate table — the table is never recomputed
+      var view = Map.empty[String, (Long, Double)]
+      Materialize.aggDeltas(changes)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            Materialize.AggDelta], _: Long) =>
+          val cur = view.toSeq.map { case (g, (n, s)) => (g, n, s) }
+            .toDF("group", "n", "sum")
+          view = Materialize.applyAggDeltas(cur, batch.toDF()).collect()
+            .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+            .toMap
+        }
+        .outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory("agg-ck-").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      // recompute truth: live keys are 1(a,12), 2(b,6), 5(c,4)
+      assert(view == Map(
+        "a" -> (1L, 12.0), "b" -> (1L, 6.0), "c" -> (1L, 4.0)))
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
