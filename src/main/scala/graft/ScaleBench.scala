@@ -201,12 +201,14 @@ object ScaleBench {
       n1 * mult
     }
 
-    def run(feedDir: String, rows: Long, tables: Int): Double = {
+    def run(feedDir: String, rows: Long, tables: Int,
+        zonemap: Seq[String] = Nil): Double = {
       val times = (1 to 2).map { _ =>
         val tmp = java.nio.file.Files.createTempDirectory("graft-scale-cdc-")
         val pipeline = new graft.streaming.CdcPipeline(spark,
           graft.streaming.CdcConfig("scale", Bench.eventsRegistry(tables),
-            s"$tmp/sink", offsetStorePath = Some(s"$tmp/offsets")))
+            s"$tmp/sink", offsetStorePath = Some(s"$tmp/offsets"),
+            zonemapColumns = zonemap))
         val t0 = System.nanoTime()
         pipeline.startFeed(graft.source.Dsv2Feed(feedDir), s"$tmp/ck",
           org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -253,6 +255,16 @@ object ScaleBench {
         }
       report(s"segments=$seg (${mult}x, 1 tbl)", rows, t)
     }
+
+    // sink zone-map manifest overhead: same mult× 1-table feed, with
+    // `sink.zonemap.columns` maintaining a per-table manifest behind
+    // every micro-batch write — the per-batch cost is one directory
+    // listing plus a stats scan of the batch's NEW files only
+    val zmDir = s"$work/cdcfeed_m${mult}_t1_s8"
+    val zmRows = makeFeed(zmDir, mult, 1, 8)
+    val zt = run(zmDir, zmRows, 1, zonemap = Seq("event_id", "_ts"))
+    report(s"zonemap on (${mult}x, 1 tbl)", zmRows, zt)
+    println(f"[scale] zonemap ingest overhead ${(zt / m((mult, 1)) - 1) * 100}%+.1f%%")
   }
 
   /** Deterministic 32×32 RGB PNG for media-corpus generation — real
