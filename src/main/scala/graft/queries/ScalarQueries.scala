@@ -756,5 +756,41 @@ object ScalarQueries {
           round(sum("l_extendedprice"), 2).as("sum_price"))
         .orderBy("l_returnflag")
     },
+
+    // The full layout stack composed: events staged through
+    // ops.ZOrder.layout on (user bucket, hour bucket), a two-column
+    // zone-map manifest built over the written files, and a
+    // TWO-DIMENSIONAL range scan answered via prunedReadAll — the
+    // conjunction skips any file either range rules out, which is
+    // exactly what z-ordering (files tight in BOTH dimensions) makes
+    // effective. The oracle is the plain doubly-filtered aggregate:
+    // layout + manifest + skipping must be invisible in the answer.
+    QueryDef(
+      "q116_zoned_layout_scan",
+      """WITH b AS (SELECT user_id % 256 AS u,
+        |   (epoch_us(ts) // 3600000000) % 256 AS h,
+        |   event_type, value FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 2) AS sum_value
+        |FROM b WHERE u BETWEEN 0 AND 63 AND h BETWEEN 0 AND 63
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val staged = Tables(spark, dir).events
+        .select((col("user_id") % 256).as("u"),
+          (expr("unix_micros(ts) div 3600000000") % 256).as("h"),
+          col("event_type"), col("value"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-zm-q116-").toString
+      graft.ops.ZOrder.layout(staged, col("u"), col("h"), bits = 8,
+          partitions = 16)
+        .write.mode("overwrite").parquet(s"$work/data")
+      graft.ops.ZoneMaps.build(spark, s"$work/data", s"$work/manifest",
+        Seq("u", "h"))
+      graft.ops.ZoneMaps.prunedReadAll(spark, s"$work/data",
+          s"$work/manifest",
+          Seq(("u", 0L, 63L), ("h", 0L, 63L)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
   )
 }
