@@ -792,5 +792,41 @@ object ScalarQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .orderBy("event_type")
     },
+
+    // Time travel (ops.TimeTravel.asOf): the events stream treated as
+    // a change log keyed by user — reconstruct each user's LATEST
+    // event as of 2024-01-15 (ties by event_id, the kernel's
+    // offset-order argument) and aggregate the frozen state. The
+    // oracle derives the same snapshot with a plain ranked window —
+    // asOf is that window plus the cutoff and tombstone rules, so
+    // hash equality pins the kernel's keep-latest semantics to SQL.
+    // (Delete/dt-prune behavior rides the pipeline fixtures in
+    // TimeTravelSpec; events carry no deletes.)
+    QueryDef(
+      "q117_asof_snapshot",
+      """WITH ranked AS (SELECT user_id, event_type, value,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        | round(sum(value), 2) AS sum_value
+        |FROM ranked WHERE rn = 1
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      // microseconds, not millis: the fixture's ts is μs-precision,
+      // and a millisecond _ts would tie rows the oracle's full-μs
+      // ORDER BY still distinguishes
+      val cutoffUs = java.time.LocalDateTime.of(2024, 1, 15, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      val log = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("event_id"),
+          unix_micros(col("ts")).as("_ts"), lit("UPDATE").as("_op"))
+      graft.ops.TimeTravel.asOf(log, Seq("user_id"), cutoffUs,
+          Seq(col("_ts"), col("event_id")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
   )
 }
