@@ -63,11 +63,22 @@ object ZoneMaps {
     * with each column's native type. One scan of exactly `files`,
     * one aggregate keyed by file — shuffle ∝ file count.
     */
+  /** Default bloom grid size per file: 4096 bits = 512 bytes per
+    * (file, column) — ~1% false positives at ~420 keys/file, and a
+    * false positive only costs reading one extra file.
+    */
+  val DefaultBloomBits: Int = 4096
+
   private def statsOf(spark: SparkSession, baseDir: String,
-      files: Seq[String], columns: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("n_rows") +:
+      files: Seq[String], columns: Seq[String],
+      bloomColumns: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits): DataFrame = {
+    val aggs = (count(lit(1)).as("n_rows") +:
       columns.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
-        max(col(c)).as(s"${c}_max")))
+        max(col(c)).as(s"${c}_max")))) ++
+      bloomColumns.map(c => graft.functions.BloomSketch.bloom(spark,
+        graft.functions.KmvSketch.md5Hash60(col(c)), bloomBits)
+        .as(s"${c}_bloom"))
     // basePath keeps dt=-style partition columns resolvable when
     // reading an explicit file list out of a partitioned layout
     spark.read.option("basePath", baseDir).parquet(files: _*)
@@ -84,8 +95,10 @@ object ZoneMaps {
     * file in `dataDir`, stats for `columns`.
     */
   def build(spark: SparkSession, dataDir: String, manifestDir: String,
-      columns: Seq[String]): Unit =
-    statsOf(spark, dataDir, dataFiles(spark, dataDir), columns)
+      columns: Seq[String], bloomColumns: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits): Unit =
+    statsOf(spark, dataDir, dataFiles(spark, dataDir), columns,
+        bloomColumns, bloomBits)
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(manifestDir)
 
@@ -102,7 +115,8 @@ object ZoneMaps {
     if (fresh.nonEmpty) {
       val columns = m.columns.filter(_.endsWith("_min"))
         .map(_.stripSuffix("_min")).toSeq
-      statsOf(spark, dataDir, fresh, columns)
+      statsOf(spark, dataDir, fresh, columns, bloomColumnsOf(m),
+          bloomBitsOf(m))
         .select(m.columns.map(col).toSeq: _*) // manifest column order
         .write.mode(SaveMode.Append).parquet(manifestDir)
     }
@@ -121,7 +135,8 @@ object ZoneMaps {
     * does exactly that when it finds a manifest beside the table.
     */
   def ensure(spark: SparkSession, dataDir: String, manifestDir: String,
-      columns: Seq[String]): Int = {
+      columns: Seq[String], bloomColumns: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits): Int = {
     val fs = new Path(manifestDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(new Path(manifestDir))) refresh(spark, dataDir, manifestDir)
@@ -132,12 +147,83 @@ object ZoneMaps {
       // call that sees data builds it
       if (files.isEmpty) 0
       else {
-        statsOf(spark, dataDir, files, columns)
+        statsOf(spark, dataDir, files, columns, bloomColumns, bloomBits)
           .repartition(1)
           .write.mode(SaveMode.Overwrite).parquet(manifestDir)
         files.size
       }
     }
+  }
+
+  /** The manifest's bloom-indexed columns (by `_bloom` suffix). */
+  private def bloomColumnsOf(m: DataFrame): Seq[String] =
+    m.columns.filter(_.endsWith("_bloom")).map(_.stripSuffix("_bloom")).toSeq
+
+  /** Grid size of the manifest's bloom columns — read from a stored
+    * grid (bits = longs × 64) so a refresh always appends grids the
+    * existing probe expression can read; empty manifests fall back
+    * to the default.
+    */
+  private def bloomBitsOf(m: DataFrame): Int = {
+    val bcs = bloomColumnsOf(m)
+    if (bcs.isEmpty) DefaultBloomBits
+    else m.select(size(col(s"${bcs.head}_bloom"))).head() match {
+      case r if r.isNullAt(0) => DefaultBloomBits
+      case r => math.max(1, r.getInt(0)) * 64
+    }
+  }
+
+  /** Rebuild the manifest with its OWN declared column set (min/max
+    * and bloom columns, original grid size) — the rewrite hook for
+    * compaction and other file-replacing maintenance. Derivations are
+    * read out of the old manifest BEFORE the overwrite.
+    */
+  def rebuild(spark: SparkSession, dataDir: String,
+      manifestDir: String): Unit = {
+    val m = spark.read.parquet(manifestDir)
+    val columns = m.columns.filter(_.endsWith("_min"))
+      .map(_.stripSuffix("_min")).toSeq
+    val blooms = bloomColumnsOf(m)
+    val bits = bloomBitsOf(m) // materialized eagerly (head) pre-write
+    build(spark, dataDir, manifestDir, columns, blooms, bits)
+  }
+
+  /** Point-lookup file skipping: the files that can contain
+    * `column = value`, by per-file Bloom membership when the manifest
+    * carries a `<column>_bloom` grid (no false negatives — a file
+    * holding the value always survives), falling back to the min/max
+    * range test otherwise. Unindexed files are always candidates.
+    * A Bloom false positive costs one extra file read, never a wrong
+    * answer — [[prunedLookup]] re-applies the equality exactly.
+    */
+  def candidateFilesPoint(spark: SparkSession, dataDir: String,
+      manifestDir: String, column: String, value: Any): Seq[String] = {
+    val m = spark.read.parquet(manifestDir)
+    val hits =
+      if (m.columns.contains(s"${column}_bloom")) {
+        m.filter(graft.functions.BloomSketch.contains(spark,
+            col(s"${column}_bloom"),
+            graft.functions.KmvSketch.md5Hash60(lit(value))))
+          .select("file").collect().map(_.getString(0))
+      } else
+        m.filter(col(s"${column}_max") >= lit(value) &&
+            col(s"${column}_min") <= lit(value))
+          .select("file").collect().map(_.getString(0))
+    val known = m.select("file").collect().map(_.getString(0)).toSet
+    hits.toSeq ++ dataFiles(spark, dataDir).filterNot(known)
+  }
+
+  /** Read only the files that can contain `column = value`, equality
+    * re-applied exactly (same contract as [[prunedRead]]).
+    */
+  def prunedLookup(spark: SparkSession, dataDir: String,
+      manifestDir: String, column: String, value: Any): DataFrame = {
+    val files = candidateFilesPoint(spark, dataDir, manifestDir,
+      column, value)
+    if (files.isEmpty)
+      spark.read.parquet(dataDir).filter(col(column) === lit(value)).limit(0)
+    else spark.read.option("basePath", dataDir).parquet(files: _*)
+      .filter(col(column) === lit(value))
   }
 
   /** The files that can contain rows with `column` in [lo, hi], both

@@ -114,14 +114,14 @@ object CdcJob {
       // `sink.zonemap.columns` — per-table file-skipping manifests
       // maintained beside each sink table; empty entries in the list
       // fail fast like the rest of the config surface
-      zonemapColumns = cfg.get("sink.zonemap.columns") match {
-        case None => Nil
-        case Some(s) =>
-          val cols = s.split(",").map(_.trim).toSeq
-          if (cols.isEmpty || cols.exists(_.isEmpty))
-            throw new IllegalArgumentException(
-              s"BAD sink.zonemap.columns: '$s' (want col1,col2,...)")
-          cols
+      zonemapColumns = zonemapList(cfg, "sink.zonemap.columns"),
+      zonemapBloomColumns = {
+        val bloom = zonemapList(cfg, "sink.zonemap.bloom.columns")
+        if (bloom.nonEmpty && cfg.get("sink.zonemap.columns").isEmpty)
+          throw new IllegalArgumentException(
+            "sink.zonemap.bloom.columns requires sink.zonemap.columns " +
+              "(the bloom grids live in the same manifest)")
+        bloom
       },
       // `mongodb.deserialization.mode` (`MongoDBStreamer.java:64,92-107`):
       // doc-string / top-level-string / top-level-type, defaulting to
@@ -142,6 +142,20 @@ object CdcJob {
             graft.ops.MongoModes.TopLevelType
         }))
   }
+
+  /** Comma-separated column list under `key` — empty entries fail
+    * fast like the rest of the config surface.
+    */
+  private def zonemapList(cfg: Map[String, String], key: String): Seq[String] =
+    cfg.get(key) match {
+      case None => Nil
+      case Some(s) =>
+        val cols = s.split(",").map(_.trim).toSeq
+        if (cols.isEmpty || cols.exists(_.isEmpty))
+          throw new IllegalArgumentException(
+            s"BAD $key: '$s' (want col1,col2,...)")
+        cols
+    }
 
   /** Target `CREATE TABLE` SQL for every sink table of a config (the
     * reference's planned auto-generation, `README.md:67`) — see

@@ -81,7 +81,14 @@ final case class CdcConfig(
       * `ZoneMaps.prunedRead`. Compaction rebuilds the manifest it
       * finds beside a table.
       */
-    zonemapColumns: Seq[String] = Nil) {
+    zonemapColumns: Seq[String] = Nil,
+    /** Bloom-indexed manifest columns (`sink.zonemap.bloom.columns`,
+      * subset semantics of [[zonemapColumns]]): each listed column a
+      * table has gets a per-file Bloom grid in the manifest, serving
+      * point lookups (`ZoneMaps.prunedLookup`) — the "find this key's
+      * change rows" path a CDC lake answers constantly.
+      */
+    zonemapBloomColumns: Seq[String] = Nil) {
   def name: String = jobName.getOrElse(s"JOB-$sourceId")
 }
 
@@ -484,7 +491,8 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
               // manifest's file census stays complete
               val have = (gated.columns.toSet + "dt")
               graft.ops.ZoneMaps.ensure(spark, dir, s"$dir._zonemaps",
-                config.zonemapColumns.filter(have))
+                config.zonemapColumns.filter(have),
+                config.zonemapBloomColumns.filter(have))
             }
           }
         }(scala.concurrent.ExecutionContext.global)

@@ -102,11 +102,8 @@ object Compaction {
     // just replaced — rebuild it (its own column set) so prunedRead
     // keeps working; without a manifest this is a no-op
     val manifest = tableDir + "._zonemaps"
-    if (fs.exists(new Path(manifest))) {
-      val columns = spark.read.parquet(manifest).columns.toSeq
-        .filter(_.endsWith("_min")).map(_.stripSuffix("_min"))
-      graft.ops.ZoneMaps.build(spark, tableDir, manifest, columns)
-    }
+    if (fs.exists(new Path(manifest)))
+      graft.ops.ZoneMaps.rebuild(spark, tableDir, manifest)
     (before, countFiles(tableDir))
   }
 }

@@ -117,4 +117,44 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(nBoth <= math.min(nCand(zDir, zMan, "x"), nCand(zDir, zMan, "y")))
     assert(ZoneMaps.prunedReadAll(spark, zDir, zMan, both).count() == 8 * 8)
   }
+
+  test("bloom point-lookup skips files min/max can't (scattered keys), " +
+      "never loses a hit, and survives refresh + compaction rebuild") {
+    val dir = tmp("graft-zm-bloom-")
+    val man = tmp("graft-zm-bloom-man-")
+    // keys deliberately SCATTERED across files (id % 8): every file's
+    // [min, max] spans nearly the whole domain, so range stats prune
+    // nothing — the bloom grid is what can still skip
+    spark.range(800).select(col("id").as("k"))
+      .repartition(8, col("id") % 8)
+      .write.mode("overwrite").parquet(dir)
+    ZoneMaps.build(spark, dir, man, Seq("k"), bloomColumns = Seq("k"))
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    // range stats are useless on this layout…
+    assert(ZoneMaps.candidateFiles(spark, dir, man, "k", 400L, 400L)
+      .size == nFiles)
+    // …the bloom grid prunes to (nearly) the one holding file
+    val cand = ZoneMaps.candidateFilesPoint(spark, dir, man, "k", 400L)
+    assert(cand.size < nFiles, s"bloom pruned nothing: ${cand.size}")
+    assert(ZoneMaps.prunedLookup(spark, dir, man, "k", 400L)
+      .select("k").as[Long].collect().toSeq == Seq(400L))
+    // an absent key usually hits no file; correctness either way
+    assert(ZoneMaps.prunedLookup(spark, dir, man, "k", 12345L).count() == 0)
+
+    // refresh appends compatible grids for new files
+    spark.range(1000, 1010).select(col("id").as("k")).coalesce(1)
+      .write.mode("append").parquet(dir)
+    assert(ZoneMaps.refresh(spark, dir, man) == 1)
+    assert(ZoneMaps.prunedLookup(spark, dir, man, "k", 1005L)
+      .count() == 1)
+    assert(ZoneMaps.candidateFilesPoint(spark, dir, man, "k", 1005L)
+      .size < nFiles + 1)
+
+    // compaction-style rebuild keeps the bloom columns
+    ZoneMaps.rebuild(spark, dir, man)
+    val m = spark.read.parquet(man)
+    assert(m.columns.contains("k_bloom"))
+    assert(ZoneMaps.prunedLookup(spark, dir, man, "k", 400L).count() == 1)
+  }
 }
