@@ -828,5 +828,32 @@ object ScalarQueries {
           round(sum("value"), 2).as("sum_value"))
         .orderBy("event_type")
     },
+
+    // Bloom point lookup (ops.ZoneMaps bloom grids): lineitem staged
+    // into a HASH-scattered layout — every file's [min, max] spans
+    // nearly the whole orderkey domain, so range zone maps prune
+    // nothing and only the per-file Bloom grid can skip — then one
+    // order's line items are fetched via prunedLookup. The oracle is
+    // the plain equality filter: Bloom membership has no false
+    // negatives and the equality is re-applied, so file skipping must
+    // be invisible in the answer.
+    QueryDef(
+      "q118_bloom_point_lookup",
+      """SELECT l_linenumber, l_partkey, round(l_extendedprice, 2) AS price
+        |FROM lineitem WHERE l_orderkey = 1024
+        |ORDER BY l_linenumber""".stripMargin) { (spark, dir) =>
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-zm-q118-").toString
+      Tables(spark, dir).lineitem
+        .repartition(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$work/data")
+      graft.ops.ZoneMaps.build(spark, s"$work/data", s"$work/manifest",
+        Seq("l_orderkey"), bloomColumns = Seq("l_orderkey"))
+      graft.ops.ZoneMaps.prunedLookup(spark, s"$work/data",
+          s"$work/manifest", "l_orderkey", 1024L)
+        .select(col("l_linenumber"), col("l_partkey"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy("l_linenumber")
+    },
   )
 }
