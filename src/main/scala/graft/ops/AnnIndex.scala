@@ -66,8 +66,11 @@ object AnnIndex {
     */
   private def withNorm(spark: SparkSession, vectors: DataFrame): DataFrame = {
     VectorExpressions.ensureRegistered(spark)
-    vectors.select(col("vec_id").cast("long").as("vec_id"),
-        col("e").cast("array<double>").as("e"))
+    // extra columns (metadata the caller wants filterable at search
+    // time — lang, source, quality tier) ride along into the postings
+    vectors
+      .withColumn("vec_id", col("vec_id").cast("long"))
+      .withColumn("e", col("e").cast("array<double>"))
       .withColumn("nm", sqrt(dot(col("e"), col("e"))))
   }
 
@@ -92,12 +95,13 @@ object AnnIndex {
     val n = withNorm(spark, vectors)
     val c = codebook.withColumn("cnm", sqrt(dot(col("ce"), col("ce"))))
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+    val extras = vectors.columns.filterNot(Set("vec_id", "e")).toSeq
     n.crossJoin(broadcast(c))
       .withColumn("cos", dot(col("e"), col("ce")) / (col("nm") * col("cnm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("cid"), col("vec_id"), col("e"), col("nm"),
-        lit(gen).as("gen"))
+      .select((Seq(col("cid"), col("vec_id"), col("e"), col("nm"),
+        lit(gen).as("gen")) ++ extras.map(col)): _*)
   }
 
   private def writeEmptyTombstones(spark: SparkSession, dir: String): Unit =
@@ -139,6 +143,9 @@ object AnnIndex {
   /** Apply one delta: `upserts` (vec_id, e — inserts and updates
     * alike) and `deletes` (vec_id). Appends only; assignment uses the
     * FROZEN codebook; returns the generation the delta landed as.
+    * Upserts must carry the SAME attribute columns the index was
+    * built with — posting files are appended, and a column present in
+    * some files but not others forks the read schema.
     */
   def applyDelta(spark: SparkSession, dir: String,
       upserts: DataFrame, deletes: DataFrame): Long = {
@@ -164,17 +171,17 @@ object AnnIndex {
     * ∝ changes since the last compaction, not corpus size).
     */
   def live(spark: SparkSession, dir: String): DataFrame =
-    liveWithGen(spark, dir)
-      .select(col("cid"), col("vec_id"), col("e"), col("nm"))
+    liveWithGen(spark, dir).drop("gen")
 
   private def liveWithGen(spark: SparkSession, dir: String): DataFrame = {
     val tombs = spark.read.parquet(tombsDir(dir))
       .groupBy("vec_id").agg(max("gen").as("tgen"))
-    spark.read.parquet(postingsDir(dir)).as("p")
+    val p = spark.read.parquet(postingsDir(dir))
+    p.as("p")
       .join(Probes.broadcastIfSmall(tombs).as("t"),
         col("p.vec_id") === col("t.vec_id") && col("t.tgen") > col("p.gen"),
         "left_anti")
-      .select(col("cid"), col("vec_id"), col("e"), col("nm"), col("gen"))
+      .select(p.columns.map(col).toSeq: _*) // postings incl. extras
   }
 
   /** IVF search over the live index: per query (qid, qe), score the
@@ -188,7 +195,20 @@ object AnnIndex {
     * the read to the probed clusters — the corpus never shuffles.
     */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
-      nprobe: Int, k: Int): DataFrame = {
+      nprobe: Int, k: Int): DataFrame =
+    searchWhere(spark, dir, queries, nprobe, k, lit(true))
+
+  /** Filtered (hybrid) search: like [[search]], but only postings
+    * satisfying `predicate` are scored — metadata-filtered ANN
+    * ("nearest docs WHERE lang='en'"), with the filter applied BEFORE
+    * ranking so the top-k is the top-k OF THE FILTERED SET (the
+    * post-filter alternative silently returns fewer than k when the
+    * filter is selective). The predicate sees the posting columns
+    * (vec_id, cid, plus whatever the caller joined into the posting
+    * table); at scale it rides the same partition-pruned scan.
+    */
+  def searchWhere(spark: SparkSession, dir: String, queries: DataFrame,
+      nprobe: Int, k: Int, predicate: Column): DataFrame = {
     VectorExpressions.ensureRegistered(spark)
     val q = queries.select(col("qid").cast("long").as("qid"),
         col("qe").cast("array<double>").as("qe"))
@@ -202,7 +222,7 @@ object AnnIndex {
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("cid"))
     val knnW = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    broadcast(probes).join(live(spark, dir), "cid")
+    broadcast(probes).join(live(spark, dir).filter(predicate), "cid")
       .join(broadcast(q), "qid")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", dot(col("qe"), col("e")) / (col("qnm") * col("nm")))

@@ -134,6 +134,43 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().toSet == expected.map(_._1).toSet)
   }
 
+  test("filtered (hybrid) search ranks within the filtered set — " +
+      "attribute columns ride the postings through build and delta") {
+    val dir = Files.createTempDirectory("graft-ann-hybrid-").toString
+    val tagged = base.zipWithIndex.map { case ((id, e), i) =>
+      (id, e, if (i % 2 == 0) "en" else "de")
+    }.toDF("vec_id", "e", "lang")
+    AnnIndex.build(spark, tagged,
+      AnnIndex.seedCentroids(spark, tagged.select("vec_id", "e"), 2), dir)
+    // delta carries the same attribute column
+    AnnIndex.applyDelta(spark, dir,
+      Seq((7L, Seq(0.9, 0.05, 0.0, 0.0), "en")).toDF("vec_id", "e", "lang"),
+      Seq.empty[Long].toDF("vec_id"))
+
+    val q = queries(100L -> Seq(1.0, 0.0, 0.0, 0.0))
+    // unfiltered search sees everything (both langs)
+    val all = AnnIndex.search(spark, dir, q, 2, 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(all == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // filtered: top-k OF THE FILTERED SET, never fewer-than-k fallout
+    val en = AnnIndex.searchWhere(spark, dir, q, 2, 3, col("lang") === "en")
+      .orderBy("rn").collect().map(_.getLong(1)).toSeq
+    assert(en.toSet.subsetOf(Set(1L, 3L, 5L, 7L)) && en.size == 3,
+      s"hybrid search leaked across the filter: $en")
+    // the filtered top-k equals brute-force cosine over the en subset
+    val enIds = Set(1L, 3L, 5L, 7L)
+    val vecs = tagged.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Double](1)).toMap +
+      (7L -> Seq(0.9, 0.05, 0.0, 0.0))
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val brute = enIds.toSeq
+      .sortBy(id => (-cos(vecs(id), Seq(1.0, 0.0, 0.0, 0.0)), id)).take(3)
+    assert(en == brute, s"got $en want $brute")
+  }
+
   test("search plan broadcasts queries/probes and never goes cartesian") {
     val dir = Files.createTempDirectory("graft-ann-").toString
     AnnIndex.build(spark, vecs(base: _*),
