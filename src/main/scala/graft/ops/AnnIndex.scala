@@ -86,6 +86,45 @@ object AnnIndex {
     withNorm(spark, vectors).orderBy("vec_id").limit(k)
       .select(col("vec_id").cast("int").as("cid"), col("e").as("ce"))
 
+  /** Train a codebook with `iters` Lloyd rounds from the
+    * deterministic seeds: assign every vector to its nearest centroid
+    * (same math as the index), recompute each centroid as the
+    * element-wise mean of its members, empty clusters keep their
+    * previous centroid. Deterministic end to end, so a trained
+    * codebook is as reproducible as the seeds — train rarely, pass
+    * the result to [[build]], and the frozen-codebook contract holds.
+    *
+    * Scale shape (the q63 kernel): each round shuffles (cid, dim)
+    * partial sums, never whole vectors to one task; the k-row
+    * codebook collects to the driver per round (it is broadcast-sized
+    * by definition), which also truncates the iteration's lineage.
+    */
+  def trainCodebook(spark: SparkSession, vectors: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    val n = withNorm(spark, vectors)
+      .select(col("vec_id"), col("e"), col("nm"))
+    var cb: Seq[(Int, Seq[Double])] =
+      seedCentroids(spark, vectors, k)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+    for (_ <- 1 to iters) {
+      val cbDf = cb.toDF("cid", "ce")
+      val assign = assigned(spark,
+        n.select(col("vec_id"), col("e")), cbDf, 0L)
+        .select(col("vec_id"), col("cid"))
+      val means = n.join(assign, "vec_id")
+        .select(col("cid"), posexplode(col("e")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim").agg(avg("v").as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+          .as("dm"))
+        .select(col("cid"), expr("transform(dm, x -> x.m)").as("ce"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      cb = cb.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    cb.toDF("cid", "ce")
+  }
+
   /** Nearest-centroid assignment against the frozen codebook — the
     * SAME math as the batch IVF queries (cosine, ties to the lower
     * cid). Emits the posting shape (cid, vec_id, e, nm, gen).

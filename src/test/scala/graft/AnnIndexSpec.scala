@@ -134,6 +134,31 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().toSet == expected.map(_._1).toSet)
   }
 
+  test("trainCodebook refines the seeds deterministically and " +
+      "separates the obvious clusters") {
+    val v = vecs(base: _*)
+    val t1 = AnnIndex.trainCodebook(spark, v, 2, 3)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val t2 = AnnIndex.trainCodebook(spark, v, 2, 3)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(t1 == t2, "training is not deterministic")
+    assert(t1.size == 2)
+    // the two trained centroids land one per cluster: one dominated
+    // by the x component, one by the y component
+    val byAxis = t1.values.toSeq.map(c => c(0) > c(1))
+    assert(byAxis.count(identity) == 1, s"centroids collapsed: $t1")
+    // an index built on the trained codebook clusters the fixture
+    // cleanly: every x-cluster vector shares centroid with vec 1
+    val dir = Files.createTempDirectory("graft-ann-train-").toString
+    AnnIndex.build(spark, v, AnnIndex.trainCodebook(spark, v, 2, 3), dir)
+    val cids = AnnIndex.live(spark, dir)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Set(1L, 2L, 3L).map(cids) == Set(cids(1L)))
+    assert(Set(4L, 5L, 6L).map(cids) == Set(cids(4L)))
+    assert(cids(1L) != cids(4L))
+  }
+
   test("filtered (hybrid) search ranks within the filtered set — " +
       "attribute columns ride the postings through build and delta") {
     val dir = Files.createTempDirectory("graft-ann-hybrid-").toString
