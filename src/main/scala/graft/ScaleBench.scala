@@ -515,6 +515,69 @@ object ScaleBench {
     println(f"[scale] ann rebuild/delta ratio widened ${ratios(1) / ratios(0)}%4.1f× from 1x to ${mult}x")
   }
 
+  /** `runMain graft.ScaleBench zonemap [millions] [work]` — the
+    * read-side file-skipping experiment: a z-ordered two-dimension
+    * layout with a min/max+bloom manifest, a 2-D range aggregate and
+    * a point lookup answered through the manifest vs a full scan.
+    * The candidate-file counts are the 100 TB story (files not
+    * opened); the wall-clock delta on one warm local box understates
+    * it by construction.
+    */
+  private def zonemapExperiment(spark: SparkSession, work: String,
+      millions: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{ZOrder, ZoneMaps}
+    val n = millions * 1000000L
+    val dir = s"$work/zm_data_$millions"
+    val man = s"$work/zm_man_$millions"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      ZOrder.layout(spark.range(n).select(
+          (col("id") % 256).as("u"),
+          ((col("id") / 256) % 256).cast("long").as("h"),
+          (col("id") % 97).cast("double").as("v"),
+          col("id").as("k")),
+        col("u"), col("h"), bits = 8, partitions = 64)
+        .write.mode("overwrite").parquet(dir)
+    }
+    // the Bloom sizing law, demonstrated both ways: the 4 Ki-bit
+    // default saturates at ~1M keys/file (fill → 1, prunes nothing);
+    // sized ~10× keys-per-file it prunes to the holding file
+    val keysPerFile = n / 64
+    val sizedBits = (java.lang.Long.highestOneBit(keysPerFile * 10) * 2).toInt
+    ZoneMaps.build(spark, dir, s"$man-sat", Seq("k"),
+      bloomColumns = Seq("k")) // default bits: saturates on purpose
+    ZoneMaps.build(spark, dir, man, Seq("u", "h", "k"),
+      bloomColumns = Seq("k"), bloomBits = sizedBits)
+    println(f"[scale] zonemap bloom fill: default-bits " +
+      f"${ZoneMaps.bloomFillRatio(spark, s"$man-sat", "k")}%.3f " +
+      f"(saturated), sized-bits ($sizedBits) " +
+      f"${ZoneMaps.bloomFillRatio(spark, man, "k")}%.3f")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def agg(df: org.apache.spark.sql.DataFrame): Unit =
+      df.agg(count(lit(1)), sum("v")).write.format("noop")
+        .mode("overwrite").save()
+    val ranges = Seq(("u", 16L: Any, 31L: Any), ("h", 32L: Any, 63L: Any))
+    val full = spark.read.parquet(dir)
+      .filter(col("u").between(16, 31) && col("h").between(32, 63))
+    agg(full) // warm
+    val tFull = time(agg(full))
+    val nCand = ZoneMaps.candidateFilesAll(spark, dir, man, ranges).size
+    val tPruned = time(agg(ZoneMaps.prunedReadAll(spark, dir, man, ranges)))
+    val nAll = spark.read.parquet(dir).inputFiles.length
+    println(f"[scale] zonemap 2-D range: $nCand/$nAll files, " +
+      f"full ${tFull}%5.2fs vs pruned ${tPruned}%5.2fs " +
+      f"(${tFull / tPruned}%4.1fx)")
+    val key = n / 2
+    val tFullPt = time(agg(spark.read.parquet(dir)
+      .filter(col("k") === key)))
+    val nPt = ZoneMaps.candidateFilesPoint(spark, dir, man, "k", key).size
+    val tPt = time(agg(ZoneMaps.prunedLookup(spark, dir, man, "k", key)))
+    println(f"[scale] zonemap point lookup: $nPt/$nAll files, " +
+      f"full ${tFullPt}%5.2fs vs bloom ${tPt}%5.2fs (${tFullPt / tPt}%4.1fx)")
+  }
+
   /** The snapshot-sharding datapoint SCALE.md's "scan rate × 1/N"
     * claim was missing: one Derby table (default 100k rows),
     * snapshotted through `JdbcSnapshot.snapshotFrame` at
@@ -742,6 +805,13 @@ object ScaleBench {
       val spark = buildSession(Map(
         "spark.sql.files.maxPartitionBytes" -> (4 * 1024 * 1024).toString))
       gifExperiment(spark, args.lift(1).getOrElse("/tmp/graft-scale"))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("zonemap")) {
+      val spark = buildSession()
+      zonemapExperiment(spark, args.lift(2).getOrElse("/tmp/graft-scale"),
+        args.lift(1).map(_.toInt).getOrElse(20))
       spark.stop()
       return
     }

@@ -21,7 +21,15 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *  - skew tooling: [[graft.ops.SkewJoin]]
   *  - durable maintained indexes (build/delta/probe-or-search/
   *    compact): [[graft.ops.NeardupIndex]] (MinHash bands),
-  *    [[graft.ops.AnnIndex]] (IVF postings)
+  *    [[graft.ops.AnnIndex]] (IVF postings; hybrid `searchWhere`,
+  *    `trainCodebook`)
+  *  - layout + file skipping: [[graft.ops.ZOrder]] (write layout),
+  *    [[graft.ops.ZoneMaps]] (min/max + bloom manifests,
+  *    pruned/conjunction/point reads)
+  *  - time travel over the CDC sink: [[graft.ops.TimeTravel]]
+  *    (asOf / currentState)
+  *  - incremental aggregate views:
+  *    [[graft.streaming.Materialize.aggDeltas]]
   *  - media decode/features: [[graft.multimodal.Multimodal]]
   *  - native SQL functions for plain-SQL sessions:
   *    [[graft.GraftExtensions]]

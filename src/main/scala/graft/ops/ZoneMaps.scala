@@ -173,6 +173,26 @@ object ZoneMaps {
     }
   }
 
+  /** Mean fraction of set bits across `column`'s per-file grids —
+    * the saturation gauge for the Bloom sizing law: grids hold ~4
+    * set bits per distinct key, so `bloomBits` must run ~10× the
+    * keys-per-file or the grid saturates (fill → 1.0) and prunes
+    * NOTHING while still costing manifest bytes. Check after a
+    * build; past ~0.5, rebuild with bigger grids or fewer rows per
+    * file. (False-positive rate ≈ fill⁴.)
+    */
+  def bloomFillRatio(spark: SparkSession, manifestDir: String,
+      column: String): Double =
+    spark.read.parquet(manifestDir)
+      .select(avg(
+        expr(s"aggregate(transform(${column}_bloom, x -> bit_count(x)), " +
+          "0, (a, b) -> a + b)") /
+          (size(col(s"${column}_bloom")) * lit(64.0))).as("fill"))
+      .head() match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+
   /** Rebuild the manifest with its OWN declared column set (min/max
     * and bloom columns, original grid size) — the rewrite hook for
     * compaction and other file-replacing maintenance. Derivations are
@@ -199,18 +219,15 @@ object ZoneMaps {
   def candidateFilesPoint(spark: SparkSession, dataDir: String,
       manifestDir: String, column: String, value: Any): Seq[String] = {
     val m = spark.read.parquet(manifestDir)
-    val hits =
-      if (m.columns.contains(s"${column}_bloom")) {
-        m.filter(graft.functions.BloomSketch.contains(spark,
-            col(s"${column}_bloom"),
-            graft.functions.KmvSketch.md5Hash60(lit(value))))
-          .select("file").collect().map(_.getString(0))
-      } else
-        m.filter(col(s"${column}_max") >= lit(value) &&
-            col(s"${column}_min") <= lit(value))
-          .select("file").collect().map(_.getString(0))
-    val known = m.select("file").collect().map(_.getString(0)).toSet
-    hits.toSeq ++ dataFiles(spark, dataDir).filterNot(known)
+    val pred =
+      if (m.columns.contains(s"${column}_bloom"))
+        graft.functions.BloomSketch.contains(spark,
+          col(s"${column}_bloom"),
+          graft.functions.KmvSketch.md5Hash60(lit(value)))
+      else
+        col(s"${column}_max") >= lit(value) &&
+          col(s"${column}_min") <= lit(value)
+    collectCandidates(spark, dataDir, m, pred)
   }
 
   /** Read only the files that can contain `column = value`, equality
@@ -249,10 +266,19 @@ object ZoneMaps {
     val pred = ranges.map { case (c, lo, hi) =>
       col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi)
     }.reduce(_ && _)
-    val hits = m.filter(pred).select("file").collect().map(_.getString(0))
-    val known = m.select("file").collect().map(_.getString(0)).toSet
-    val unindexed = dataFiles(spark, dataDir).filterNot(known)
-    hits.toSeq ++ unindexed
+    collectCandidates(spark, dataDir, m, pred)
+  }
+
+  /** One manifest pass: every file name + its predicate verdict
+    * (NULL stats ⇒ false ⇒ skipped), plus the unindexed remainder.
+    */
+  private def collectCandidates(spark: SparkSession, dataDir: String,
+      m: DataFrame, pred: Column): Seq[String] = {
+    val rows = m.select(col("file"), coalesce(pred, lit(false)).as("hit"))
+      .collect()
+    val known = rows.map(_.getString(0)).toSet
+    rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq ++
+      dataFiles(spark, dataDir).filterNot(known)
   }
 
   /** Read only the files that can match `column BETWEEN lo AND hi`,
