@@ -855,5 +855,39 @@ object ScalarQueries {
           round(col("l_extendedprice"), 2).as("price"))
         .orderBy("l_linenumber")
     },
+
+    // Planner-integrated zone maps (ops.ZoneMapTable): the same
+    // manifest as q115, but consulted by CATALYST — the query is a
+    // plain DataFrame filter + aggregate over ZoneMapTable(...), and
+    // the custom FileIndex prunes files from the pushed-down data
+    // filters at listFiles time, with zero caller cooperation (no
+    // prunedRead call anywhere). The predicate mixes an indexed
+    // range (prunes), an unindexed equality (proves nothing, runs
+    // row-level), and the partition-discovery path — all of which
+    // must be invisible in the answer vs the plain SQL oracle.
+    QueryDef(
+      "q119_zonemap_table_scan",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 2000 AND 3999 AND l_linenumber = 1
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-zm-q119-").toString
+      Tables(spark, dir).lineitem
+        .repartitionByRange(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$work/data")
+      graft.ops.ZoneMaps.build(spark, s"$work/data", s"$work/manifest",
+        Seq("l_orderkey"))
+      graft.ops.ZoneMapTable(spark, s"$work/data", s"$work/manifest")
+        .filter(col("l_orderkey").between(2000, 3999) &&
+          col("l_linenumber") === 1)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
   )
 }
