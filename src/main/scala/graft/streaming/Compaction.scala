@@ -48,11 +48,84 @@ object Compaction {
     */
   def compact(spark: SparkSession, tableDir: String, rowsPerFile: Long,
       order: Seq[org.apache.spark.sql.Column]): (Long, Long) = {
+    restoreIfInterrupted(spark, tableDir)
     val df = spark.read.parquet(tableDir)
     val n = df.count()
     val parts = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
     val sortCols = col("dt") +: order
+    rewriteSwap(spark, tableDir) { tmp =>
+      df.repartitionByRange(parts, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .write.mode(SaveMode.Overwrite).partitionBy("dt")
+        .parquet(tmp)
+    }
+  }
 
+  /** Clustered rewrite: the same atomic swap, but the new layout is
+    * Z-ORDERED on two columns ([[graft.ops.ZOrder.zcode]]) instead of
+    * offset-sorted — for read-optimized/analytic tables where scan
+    * locality matters more than the changelog's within-file offset
+    * order. Combined with the maintained zone-map manifest (rebuilt
+    * by the swap automatically), this is what turns the manifest from
+    * "correct" into "tight": post-rewrite every file is contiguous in
+    * BOTH clustered dimensions, so a range predicate on either one
+    * prunes most files — including through the planner-integrated
+    * [[graft.ops.ZoneMapTable]] path.
+    *
+    * A `dt` partition column (when present) stays the outer range
+    * key, so files remain dt-contiguous and partition pruning is
+    * unaffected; callers compacting a plain unpartitioned table get
+    * pure z-order. NOT for sinks whose consumers rely on the offset
+    * order contract — use [[compact]] there (keep-latest kernels like
+    * TimeTravel sort by explicit offset columns and work over either
+    * layout).
+    */
+  def compactClustered(spark: SparkSession, tableDir: String,
+      rowsPerFile: Long, x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column, bits: Int = 8): (Long, Long) = {
+    restoreIfInterrupted(spark, tableDir)
+    val df = spark.read.parquet(tableDir)
+    val n = df.count()
+    val parts = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+    val codeCol = "_graft_zcode"
+    require(!df.columns.exists(_.equalsIgnoreCase(codeCol)),
+      s"column $codeCol is reserved by compactClustered")
+    val hasDt = df.columns.exists(_.equalsIgnoreCase("dt"))
+    val keyCols =
+      if (hasDt) Seq(col("dt"), col(codeCol)) else Seq(col(codeCol))
+    rewriteSwap(spark, tableDir) { tmp =>
+      val laid = df.withColumn(codeCol, graft.ops.ZOrder.zcode(x, y, bits))
+        .repartitionByRange(parts, keyCols: _*)
+        .sortWithinPartitions(keyCols: _*)
+        .drop(codeCol)
+        .write.mode(SaveMode.Overwrite)
+      (if (hasDt) laid.partitionBy("dt") else laid).parquet(tmp)
+    }
+  }
+
+  /** Finish an interrupted swap from a previous run BEFORE touching
+    * the table: if the live dir is gone but trash survives, the
+    * original table is intact there — restore it first (a crash
+    * strictly between the two renames otherwise leaves NO live
+    * directory, and even reading the table for the rewrite would
+    * fail).
+    */
+  private def restoreIfInterrupted(spark: SparkSession,
+      tableDir: String): Unit = {
+    val fs = new Path(tableDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val trash = new Path(tableDir + "._compact_trash")
+    if (!fs.exists(new Path(tableDir)) && fs.exists(trash))
+      fs.rename(trash, new Path(tableDir))
+  }
+
+  /** The shared swap machinery: stage the rewrite into
+    * `<dir>._compact_tmp` via `write`, swap it live through
+    * `._compact_trash` (two renames), rebuild any zone-map manifest
+    * beside the table, and return (filesBefore, filesAfter).
+    */
+  private def rewriteSwap(spark: SparkSession, tableDir: String)(
+      write: String => Unit): (Long, Long) = {
     val fs = new Path(tableDir).getFileSystem(
       spark.sessionState.newHadoopConf())
     // see the class doc: rename is a copy on these stores, so the
@@ -77,17 +150,8 @@ object Compaction {
 
     val tmp = new Path(tableDir + "._compact_tmp")
     val trash = new Path(tableDir + "._compact_trash")
-    // finish an interrupted swap from a previous run: if the live dir
-    // is gone but trash survives, the original table is intact there —
-    // restore it before doing anything else (a crash strictly between
-    // the two renames otherwise leaves NO live directory)
-    if (!fs.exists(new Path(tableDir)) && fs.exists(trash))
-      fs.rename(trash, new Path(tableDir))
     fs.delete(tmp, true); fs.delete(trash, true)
-    df.repartitionByRange(parts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .write.mode(SaveMode.Overwrite).partitionBy("dt")
-      .parquet(tmp.toString)
+    write(tmp.toString)
 
     // swap: old → trash, tmp → live, drop trash
     val live = new Path(tableDir)

@@ -69,4 +69,95 @@ class CompactionSpec extends AnyFunSuite {
       .select("id").as[Int].collect().toSet
     assert(got == (100 to 149).toSet)
   }
+
+  test("clustered compaction turns a scattered layout into one the " +
+      "zone-map manifest prunes tightly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-zo-")
+      .resolve("tbl").toString
+    // hash-scattered appends: every file spans ~the whole (u, h)
+    // domain, so the maintained manifest is correct but prunes nothing
+    (0 until 4096).map(i => (i % 251 % 64, i % 241 % 64, i.toLong))
+      .toDF("u", "h", "v")
+      .repartition(16) // round-robin-ish: scatters both dimensions
+      .write.mode("overwrite").parquet(dir)
+    val man = s"$dir._zonemaps"
+    graft.ops.ZoneMaps.build(spark, dir, man, Seq("u", "h"))
+    val range = Seq(("u", 0, 15), ("h", 0, 15))
+    val scattered = graft.ops.ZoneMaps
+      .candidateFilesAll(spark, dir, man, range).size
+    val rowsBefore = spark.read.parquet(dir)
+      .collect().map(_.toSeq).toSet
+
+    val (before, after) = Compaction.compactClustered(spark, dir,
+      rowsPerFile = 256, x = col("u"), y = col("h"), bits = 6)
+    assert(before == 16 && after >= 8, s"unexpected counts: $before/$after")
+    // answers unchanged
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet
+      == rowsBefore)
+    // the swap rebuilt the manifest over the NEW files, and the 2-D
+    // range now prunes: the quarter-domain box touches a fraction of
+    // the files where the scattered layout kept all of them
+    val clustered = graft.ops.ZoneMaps
+      .candidateFilesAll(spark, dir, man, range).size
+    assert(scattered == 16, s"fixture not scattered: $scattered")
+    assert(clustered * 2 <= after,
+      s"clustering did not tighten pruning: $clustered of $after files")
+    // and the planner-integrated path sees the same tight layout
+    val zm = graft.ops.ZoneMapTable(spark, dir, man)
+    assert(zm.filter(col("u") <= 15 && col("h") <= 15).count()
+      == spark.read.parquet(dir)
+        .filter(col("u") <= 15 && col("h") <= 15).count())
+  }
+
+  test("a dt-partitioned table keeps partition dirs through the " +
+      "clustered rewrite") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-zodt-")
+      .resolve("tbl").toString
+    (0 until 1000)
+      .map(i => (i % 61, i % 53, s"2024-01-0${1 + i % 2}", i.toLong))
+      .toDF("u", "h", "dt", "v")
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val rowsBefore = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    Compaction.compactClustered(spark, dir, rowsPerFile = 250,
+      x = col("u"), y = col("h"), bits = 6)
+    val got = spark.read.parquet(dir)
+    assert(got.collect().map(_.toSeq).toSet == rowsBefore)
+    assert(got.select("dt").distinct().as[String].collect().sorted.toSeq
+      == Seq("2024-01-01", "2024-01-02"))
+    // partition dirs physically present (partition pruning intact)
+    val dtDirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("dt="))
+    assert(dtDirs.sorted.toSeq
+      == Seq("dt=2024-01-01", "dt=2024-01-02"))
+  }
+
+  test("an interrupted swap (live dir gone, trash intact) is restored " +
+      "by the next compact run") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-crash-")
+      .resolve("tbl").toString
+    (0 until 100).map(i => (i, "2024-01-01", i.toLong))
+      .toDF("id", "dt", "pos")
+      .repartition(4)
+      .write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val rowsBefore = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    // simulate a crash strictly between the two swap renames:
+    // live → trash happened, tmp → live did not
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "._compact_trash")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    // the next run must restore BEFORE reading the table — a
+    // restore-after-read would throw on the missing path
+    val (_, after) = Compaction.compact(spark, dir,
+      rowsPerFile = 100, order = Seq(col("pos")))
+    assert(after >= 1)
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet
+      == rowsBefore)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "._compact_trash")))
+  }
 }
