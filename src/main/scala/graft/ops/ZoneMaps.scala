@@ -208,6 +208,33 @@ object ZoneMaps {
     build(spark, dataDir, manifestDir, columns, blooms, bits)
   }
 
+  /** Partition-scoped rewrite hook: drop the manifest rows whose file
+    * lives under any of `removedPrefixes` (the replaced directories),
+    * then [[refresh]] to index whatever replaced them. Cost ∝
+    * manifest size + NEW files — unlike [[rebuild]], the untouched
+    * 99% of a 100 TB table is never re-scanned, which is what makes a
+    * per-`dt=`-partition compactor affordable to run behind every
+    * threshold crossing. The manifest is collected driver-side before
+    * the overwrite (it is a row per file — small by construction).
+    */
+  def patch(spark: SparkSession, dataDir: String, manifestDir: String,
+      removedPrefixes: Seq[String]): Int = {
+    val m = spark.read.parquet(manifestDir)
+    val schema = m.schema
+    val fileAt = schema.fieldIndex("file")
+    val norm = removedPrefixes.map(p =>
+      if (p.endsWith("/")) p else p + "/")
+    val kept = m.collect().filterNot { r =>
+      val f = r.getString(fileAt)
+      norm.exists(f.startsWith)
+    }
+    spark.createDataFrame(
+        java.util.Arrays.asList(kept: _*), schema)
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestDir)
+    refresh(spark, dataDir, manifestDir)
+  }
+
   /** Point-lookup file skipping: the files that can contain
     * `column = value`, by per-file Bloom membership when the manifest
     * carries a `<column>_bloom` grid (no false negatives — a file

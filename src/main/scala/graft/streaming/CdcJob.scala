@@ -123,6 +123,21 @@ object CdcJob {
               "(the bloom grids live in the same manifest)")
         bloom
       },
+      // `sink.compact.after.files` — per-batch partition-scoped
+      // auto-compaction; junk or non-positive values fail fast like
+      // the rest of the config surface
+      compactAfterFiles = cfg.get("sink.compact.after.files")
+        .map(v => positiveInt(v, "sink.compact.after.files"))
+        .getOrElse(0),
+      compactRowsPerFile = cfg.get("sink.compact.rows.per.file")
+        .map { v =>
+          if (cfg.get("sink.compact.after.files").isEmpty)
+            throw new IllegalArgumentException(
+              "sink.compact.rows.per.file requires " +
+                "sink.compact.after.files (the trigger threshold)")
+          positiveInt(v, "sink.compact.rows.per.file").toLong
+        }
+        .getOrElse(1000000L),
       // `mongodb.deserialization.mode` (`MongoDBStreamer.java:64,92-107`):
       // doc-string / top-level-string / top-level-type, defaulting to
       // top-level-type with a warning, unknown value fails fast — only
@@ -146,6 +161,17 @@ object CdcJob {
   /** Comma-separated column list under `key` — empty entries fail
     * fast like the rest of the config surface.
     */
+  /** Strictly positive integer under `key` — junk fails fast. */
+  private def positiveInt(v: String, key: String): Int = {
+    val n = try v.trim.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"BAD $key: '$v' (want a positive integer)")
+    }
+    if (n <= 0) throw new IllegalArgumentException(
+      s"BAD $key: '$v' (want a positive integer)")
+    n
+  }
+
   private def zonemapList(cfg: Map[String, String], key: String): Seq[String] =
     cfg.get(key) match {
       case None => Nil

@@ -88,7 +88,23 @@ final case class CdcConfig(
       * point lookups (`ZoneMaps.prunedLookup`) — the "find this key's
       * change rows" path a CDC lake answers constantly.
       */
-    zonemapBloomColumns: Seq[String] = Nil) {
+    zonemapBloomColumns: Seq[String] = Nil,
+    /** Auto-compaction threshold (`sink.compact.after.files`): when
+      * > 0, after each batch commits, any `dt=` partition THIS batch
+      * appended to whose parquet-file count exceeds the threshold is
+      * compacted in place ([[Compaction.compactPartitions]] — atomic
+      * per-partition swap, offset order preserved, zone-map manifest
+      * patched incrementally). Partition-scoped on purpose: a
+      * streaming sink fragments its HOT partitions; rewriting the
+      * cold history per trigger would be O(table). The writer is
+      * idle between micro-batches, so the single-writer contract the
+      * compactor requires holds by construction. 0 = off.
+      */
+    compactAfterFiles: Int = 0,
+    /** Target rows per compacted file (`sink.compact.rows.per.file`,
+      * the 128 MB-proxy knob callers size from their row width).
+      */
+    compactRowsPerFile: Long = 1000000L) {
   def name: String = jobName.getOrElse(s"JOB-$sourceId")
 }
 
@@ -336,6 +352,9 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
 
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (gate.stopped) return // swallow after stop signal (P1 `:138-142`)
+    // for the auto-compactor: only dt= dirs modified at-or-after this
+    // instant can have been fragmented by THIS batch's writes
+    val batchStartMs = System.currentTimeMillis()
     val frame = EnvelopeDecoder.decode(batch).persist()
     try {
       val isNonRead = col("_op").isNotNull && col("_op") =!= "READ" &&
@@ -553,6 +572,14 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         }
         config.statusStorePath.foreach(writeStatusFile)
         markCommitted(batchId, fingerprint)
+        // Auto-compaction AFTER the batch is durable: the stream is
+        // idle between micro-batches (single writer), so the swap's
+        // no-active-writer requirement holds; a crash mid-swap heals
+        // on the next compactor pass (restoreIfInterrupted). Scoped
+        // to partitions this batch touched AND fragmented past the
+        // threshold — cold history is never rewritten.
+        if (config.compactAfterFiles > 0)
+          autoCompact(present.intersect(routed.keySet), batchStartMs)
       }
 
       // Gate decision AFTER the batch is durable (drain-then-stop).
@@ -572,6 +599,55 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
             s"${p.newTableName} (${p.note}) ${p.configJson}"))
       }
     } finally frame.unpersist()
+  }
+
+  /** Within-file order for COMPACTED sink files: the true source
+    * offset among the columns the sink actually KEEPS
+    * ([[graft.ops.EnvelopeDecoder.keptMetadata]] — the payload
+    * projection strips the rest), so a compacted directory presents
+    * the same (file-contiguous, offset-sorted) layout the write path
+    * produced.
+    */
+  private val sinkCompactOrder: Seq[org.apache.spark.sql.Column] =
+    config.sourceType match {
+      case "mysql" => Seq(col("_binlog_file_internal"),
+        col("_binlog_pos_internal"), col("_ts"))
+      case "mongodb" => Seq(col("_ts"), col("_txn_op_index").cast("long"))
+      case _ => Seq(col("_ts"))
+    }
+
+  /** The per-batch auto-compactor (`sink.compact.after.files`): for
+    * each table this batch wrote, find the `dt=` partitions it
+    * touched (directory mtime at-or-after the batch start — one
+    * listing per table) and compact any whose file count crossed the
+    * threshold. Partition-scoped by design; see
+    * [[Compaction.compactPartitions]].
+    */
+  private def autoCompact(writtenKeys: Set[String],
+      batchStartMs: Long): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    for (key <- writtenKeys; spec <- routed.get(key)) {
+      val dir = spec.sinkDir(config.sinkPath, config.sourceId)
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(hconf)
+      if (fs.exists(root)) {
+        val fragmented = fs.listStatus(root).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("dt=") &&
+            st.getModificationTime >= batchStartMs)
+          .filter(st => fs.listStatus(st.getPath).count(
+            _.getPath.getName.endsWith(".parquet"))
+            > config.compactAfterFiles)
+          .map(_.getPath.getName.stripPrefix("dt="))
+        if (fragmented.nonEmpty) {
+          val (b, a) = Compaction.compactPartitions(spark, dir,
+            fragmented, config.compactRowsPerFile, sinkCompactOrder)
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"[${config.name}] auto-compact $key " +
+              s"dt=[${fragmented.mkString(",")}]: $b -> $a file(s)")
+        }
+      }
+    }
   }
 
   /** K2 single-file overwrite sink

@@ -103,6 +103,52 @@ object Compaction {
     }
   }
 
+  /** Partition-scoped compaction: rewrite ONLY the named `dt=`
+    * partitions, each through its own atomic swap — the shape an
+    * auto-compactor needs at 100 TB, where "the table got fragmented"
+    * really means "today's partition got fragmented" and rewriting
+    * the cold 99% (as [[compact]] does) would be O(table) per
+    * trigger. Any zone-map manifest beside the table is PATCHED, not
+    * rebuilt: replaced partitions' rows drop out, the new files are
+    * indexed incrementally ([[graft.ops.ZoneMaps.patch]]) — cost ∝
+    * manifest + new files.
+    *
+    * Returns (filesBefore, filesAfter) summed over the touched
+    * partitions. Unknown partition values are skipped with a log
+    * line (a batch can name a dt the router never wrote).
+    */
+  def compactPartitions(spark: SparkSession, tableDir: String,
+      dts: Seq[String], rowsPerFile: Long,
+      order: Seq[org.apache.spark.sql.Column]): (Long, Long) = {
+    val fs = new Path(tableDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val touched = scala.collection.mutable.Buffer[String]()
+    var (before, after) = (0L, 0L)
+    for (dt <- dts.distinct) {
+      val dtDir = s"$tableDir/dt=$dt"
+      restoreIfInterrupted(spark, dtDir)
+      if (!fs.exists(new Path(dtDir)))
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"compactPartitions: no partition dt=$dt under $tableDir — skipped")
+      else {
+        val df = spark.read.parquet(dtDir)
+        val n = df.count()
+        val parts = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+        val (b, a) = rewriteSwap(spark, dtDir) { tmp =>
+          df.repartitionByRange(parts, order: _*)
+            .sortWithinPartitions(order: _*)
+            .write.mode(SaveMode.Overwrite).parquet(tmp)
+        }
+        before += b; after += a
+        touched += dtDir
+      }
+    }
+    val manifest = tableDir + "._zonemaps"
+    if (touched.nonEmpty && fs.exists(new Path(manifest)))
+      graft.ops.ZoneMaps.patch(spark, tableDir, manifest, touched.toSeq)
+    (before, after)
+  }
+
   /** Finish an interrupted swap from a previous run BEFORE touching
     * the table: if the live dir is gone but trash survives, the
     * original table is intact there — restore it first (a crash

@@ -141,6 +141,27 @@ class CdcJobSpec extends AnyFunSuite {
     assert(CdcJob.configFromMap(mysql).mongoMode.isEmpty)
   }
 
+  test("sink.compact knobs wire into the config; junk fails fast") {
+    val base = Map("source.id" -> "s", "source.type" -> "mysql",
+      "sink.path" -> "SINK",
+      "table.schemas" -> """{"db.t":"id:INT"}""")
+    // unset → off
+    assert(CdcJob.configFromMap(base).compactAfterFiles == 0)
+    val on = CdcJob.configFromMap(base ++ Map(
+      "sink.compact.after.files" -> "8",
+      "sink.compact.rows.per.file" -> "500000"))
+    assert(on.compactAfterFiles == 8 && on.compactRowsPerFile == 500000L)
+    // non-positive / junk values fail assembly
+    for (bad <- Seq("0", "-3", "abc", ""))
+      assert(intercept[IllegalArgumentException] {
+        CdcJob.configFromMap(base + ("sink.compact.after.files" -> bad))
+      }.getMessage.contains("sink.compact.after.files"))
+    // rows.per.file without the trigger threshold is a config error
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base + ("sink.compact.rows.per.file" -> "1000"))
+    }.getMessage.contains("sink.compact.after.files"))
+  }
+
   test("snapshot override keys are sanitized to route keys and registry-validated") {
     val cfg = Map("source.id" -> "s", "source.type" -> "mysql",
       "sink.path" -> "SINK",

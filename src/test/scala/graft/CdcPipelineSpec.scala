@@ -141,6 +141,69 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(mi.columns.contains("qty_min"))
   }
 
+  test("auto-compaction keeps hot dt partitions at a bounded file " +
+      "count, preserves rows/order, and patches the manifest") {
+    val in = tmp(); val out = tmp(); val off = tmp()
+    // 6 micro-batches (one file each), all landing in ONE dt bucket —
+    // the hot-partition fragmentation pattern
+    for (b <- 0 until 6)
+      writeFixture(in, f"$b%02d-changes.jsonl", Seq(
+        row("CREATE", "users", 1700000000000L + b * 1000,
+          "mysql-bin.000001", 100 + b * 10,
+          s""""id":{"int":${2 * b + 1}},"name":{"string":"u${2 * b + 1}"},""" +
+            """"balance":null"""),
+        row("CREATE", "users", 1700000000000L + b * 1000 + 500,
+          "mysql-bin.000001", 105 + b * 10,
+          s""""id":{"int":${2 * b + 2}},"name":{"string":"u${2 * b + 2}"},""" +
+            """"balance":null""")))
+    val p = run(CdcConfig("srcAc", registry, out.toString,
+      offsetStorePath = Some(off.toString),
+      zonemapColumns = Seq("id"),
+      compactAfterFiles = 3), in)
+
+    val dir = s"$out/srcAc_testdb__users"
+    val users = spark.read.parquet(dir)
+    assert(users.count() == 12)
+    assert(users.select("id").collect().map(_.getInt(0)).toSet
+      == (1 to 12).toSet)
+    // the hot partition stayed bounded: 6 appended files would exist
+    // without the compactor; threshold 3 caps live files well below
+    val dtDir = new java.io.File(s"$dir/dt=2023-11-14")
+    val live = dtDir.listFiles().map(_.getName)
+      .count(n => n.endsWith(".parquet") && !n.startsWith("."))
+    assert(live <= 4, s"auto-compact did not bound the partition: $live")
+    // within-file offset order survived the rewrite
+    val violations = users
+      .withColumn("f", org.apache.spark.sql.functions.input_file_name())
+      .withColumn("prev", org.apache.spark.sql.functions.lag(
+        org.apache.spark.sql.functions.col("_binlog_pos_internal"), 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("f")
+          .orderBy(org.apache.spark.sql.functions
+            .monotonically_increasing_id())))
+      .filter(org.apache.spark.sql.functions.col("prev").isNotNull &&
+        org.apache.spark.sql.functions.col("prev") >
+          org.apache.spark.sql.functions.col("_binlog_pos_internal"))
+      .count()
+    assert(violations == 0)
+    // manifest PATCHED, not stale: one row per live data file, and it
+    // still prunes/answers exactly
+    val man = spark.read.parquet(s"$dir._zonemaps")
+    val allFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).count { q =>
+        val n = q.substring(q.lastIndexOf('/') + 1)
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_") &&
+          !q.contains("_zonemaps")
+      }
+    assert(man.count() == allFiles,
+      s"manifest rows ${man.count()} != live files $allFiles")
+    assert(graft.ops.ZoneMaps.prunedRead(spark, dir, s"$dir._zonemaps",
+      "id", 12L, 12L).select("name").collect().map(_.getString(0)).toSet
+      == Set("u12"))
+    // offsets unaffected by maintenance
+    assert(p.readStoredOffset(off.toString)
+      .contains("mysql-bin.000001,155"))
+  }
+
   test("snapshot override restricts the snapshot; binlog tail unaffected") {
     val in = tmp(); val out = tmp()
     // snapshot: 3 users rows; the override keeps id <= 2 and selects

@@ -134,6 +134,44 @@ class CompactionSpec extends AnyFunSuite {
       == Seq("dt=2024-01-01", "dt=2024-01-02"))
   }
 
+  test("partition-scoped compaction rewrites only the named dt dirs " +
+      "and patches the manifest incrementally") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-part-")
+      .resolve("tbl").toString
+    // day 1 fragmented by 6 appends; day 2 written once (cold)
+    for (b <- 0 until 6)
+      (0 until 20).map(i => (b * 20 + i, "2024-01-01", i.toLong))
+        .toDF("id", "dt", "pos").coalesce(2)
+        .write.mode("append").partitionBy("dt").parquet(dir)
+    (1000 until 1050).map(i => (i, "2024-01-02", i.toLong))
+      .toDF("id", "dt", "pos").coalesce(1)
+      .write.mode("append").partitionBy("dt").parquet(dir)
+    val man = s"$dir._zonemaps"
+    graft.ops.ZoneMaps.build(spark, dir, man, Seq("id"))
+    val rowsBefore = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    def filesIn(d: String) = new java.io.File(d).listFiles()
+      .map(_.getName).filter(n => n.endsWith(".parquet") &&
+        !n.startsWith(".")).sorted.toSeq
+    val coldBefore = filesIn(s"$dir/dt=2024-01-02")
+
+    val (before, after) = Compaction.compactPartitions(spark, dir,
+      Seq("2024-01-01", "2024-09-09"), // unknown dt skipped with a log
+      rowsPerFile = 1000, order = Seq(col("pos"), col("id")))
+    assert(before == 12 && after == 1, s"got $before -> $after")
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet
+      == rowsBefore)
+    // the cold partition's files are BYTE-identical (untouched)
+    assert(filesIn(s"$dir/dt=2024-01-02") == coldBefore)
+    // manifest: replaced rows dropped, new file indexed, cold rows kept
+    val m = spark.read.parquet(man)
+    assert(m.count() == 2) // 1 compacted day-1 file + 1 cold day-2 file
+    assert(graft.ops.ZoneMaps.prunedRead(spark, dir, man, "id", 1000L,
+      1009L).count() == 10)
+    assert(graft.ops.ZoneMaps.prunedRead(spark, dir, man, "id", 0L,
+      19L).count() == 20)
+  }
+
   test("an interrupted swap (live dir gone, trash intact) is restored " +
       "by the next compact run") {
     import spark.implicits._
