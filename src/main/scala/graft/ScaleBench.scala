@@ -576,6 +576,17 @@ object ScaleBench {
     val tPt = time(agg(ZoneMaps.prunedLookup(spark, dir, man, "k", key)))
     println(f"[scale] zonemap point lookup: $nPt/$nAll files, " +
       f"full ${tFullPt}%5.2fs vs bloom ${tPt}%5.2fs (${tFullPt / tPt}%4.1fx)")
+    // planner-integrated path: the SAME 2-D range as a plain filter
+    // over ZoneMapTable — Catalyst pushes the conjuncts down, the
+    // FileIndex prunes at listFiles time, no prunedRead call anywhere
+    val (zmt, idx) = graft.ops.ZoneMapTable.withIndex(spark, dir, man)
+    val viaPlanner = zmt
+      .filter(col("u").between(16, 31) && col("h").between(32, 63))
+    val tPlanner = time(agg(viaPlanner))
+    val dropped = idx.prunedFileCount.get()
+    println(f"[scale] zonemap planner path: ${nAll - dropped}/$nAll " +
+      f"files via pushed filters, ${tPlanner}%5.2fs " +
+      f"(vs full ${tFull}%5.2fs, explicit pruned ${tPruned}%5.2fs)")
   }
 
   /** The snapshot-sharding datapoint SCALE.md's "scan rate × 1/N"

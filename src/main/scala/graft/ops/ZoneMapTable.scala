@@ -60,7 +60,16 @@ object ZoneMapTable {
     * stats (unindexed files are merely over-read, never missed).
     */
   def apply(spark: SparkSession, dataDir: String,
-      manifestDir: String): DataFrame = {
+      manifestDir: String): DataFrame =
+    withIndex(spark, dataDir, manifestDir)._1
+
+  /** [[apply]], returning the backing index too — its
+    * `prunedFileCount` is the observability channel specs and
+    * benchmarks assert actual skipping on (the answer alone cannot
+    * distinguish "pruned" from "read everything and filtered").
+    */
+  def withIndex(spark: SparkSession, dataDir: String,
+      manifestDir: String): (DataFrame, ZoneMapFileIndex) = {
     val index = new ZoneMapFileIndex(spark, dataDir, manifestDir)
     val partitionSchema = index.partitionSpec().partitionColumns
     val fullSchema = spark.read.option("basePath", dataDir)
@@ -70,7 +79,7 @@ object ZoneMapTable {
     val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
       None, new ParquetFileFormat(),
       Map("basePath" -> dataDir))(spark)
-    spark.baseRelationToDataFrame(relation)
+    (spark.baseRelationToDataFrame(relation), index)
   }
 }
 
