@@ -126,7 +126,15 @@ object Compaction {
     var (before, after) = (0L, 0L)
     for (dt <- dts.distinct) {
       val dtDir = s"$tableDir/dt=$dt"
-      restoreIfInterrupted(spark, dtDir)
+      // staging names are DOT-PREFIXED and live beside the partition
+      // INSIDE the table dir — a `dt=<v>._compact_tmp` name would be
+      // parsed by partition discovery as a real dt value, exposing
+      // staged (or, after a crash, trash) rows to any table reader;
+      // dot-prefixed dirs are invisible to partition discovery, the
+      // zone-map file walker, and the auto-compactor's dt= listing
+      val tmp = s"$tableDir/._compact_tmp_dt=$dt"
+      val trash = s"$tableDir/._compact_trash_dt=$dt"
+      restoreIfInterrupted(spark, dtDir, trash)
       if (!fs.exists(new Path(dtDir)))
         org.slf4j.LoggerFactory.getLogger(getClass).info(
           s"compactPartitions: no partition dt=$dt under $tableDir — skipped")
@@ -134,10 +142,10 @@ object Compaction {
         val df = spark.read.parquet(dtDir)
         val n = df.count()
         val parts = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
-        val (b, a) = rewriteSwap(spark, dtDir) { tmp =>
+        val (b, a) = rewriteSwap(spark, dtDir, tmp, trash) { t =>
           df.repartitionByRange(parts, order: _*)
             .sortWithinPartitions(order: _*)
-            .write.mode(SaveMode.Overwrite).parquet(tmp)
+            .write.mode(SaveMode.Overwrite).parquet(t)
         }
         before += b; after += a
         touched += dtDir
@@ -156,11 +164,12 @@ object Compaction {
     * directory, and even reading the table for the rewrite would
     * fail).
     */
-  private def restoreIfInterrupted(spark: SparkSession,
-      tableDir: String): Unit = {
+  private def restoreIfInterrupted(spark: SparkSession, tableDir: String,
+      trashDir: String = null): Unit = {
     val fs = new Path(tableDir).getFileSystem(
       spark.sessionState.newHadoopConf())
-    val trash = new Path(tableDir + "._compact_trash")
+    val trash = new Path(
+      Option(trashDir).getOrElse(tableDir + "._compact_trash"))
     if (!fs.exists(new Path(tableDir)) && fs.exists(trash))
       fs.rename(trash, new Path(tableDir))
   }
@@ -170,7 +179,8 @@ object Compaction {
     * `._compact_trash` (two renames), rebuild any zone-map manifest
     * beside the table, and return (filesBefore, filesAfter).
     */
-  private def rewriteSwap(spark: SparkSession, tableDir: String)(
+  private def rewriteSwap(spark: SparkSession, tableDir: String,
+      tmpDir: String = null, trashDir: String = null)(
       write: String => Unit): (Long, Long) = {
     val fs = new Path(tableDir).getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -194,8 +204,9 @@ object Compaction {
     }
     val before = countFiles(tableDir)
 
-    val tmp = new Path(tableDir + "._compact_tmp")
-    val trash = new Path(tableDir + "._compact_trash")
+    val tmp = new Path(Option(tmpDir).getOrElse(tableDir + "._compact_tmp"))
+    val trash = new Path(
+      Option(trashDir).getOrElse(tableDir + "._compact_trash"))
     fs.delete(tmp, true); fs.delete(trash, true)
     write(tmp.toString)
 

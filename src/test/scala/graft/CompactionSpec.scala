@@ -172,6 +172,41 @@ class CompactionSpec extends AnyFunSuite {
       19L).count() == 20)
   }
 
+  test("a crashed PARTITION swap exposes no phantom dt value to " +
+      "readers and heals on the next partition compact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-pcrash-")
+      .resolve("tbl").toString
+    (0 until 100).map(i =>
+        (i, if (i < 50) "2024-01-01" else "2024-01-02", i.toLong))
+      .toDF("id", "dt", "pos")
+      .repartition(2)
+      .write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val rowsBefore = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    // crash strictly between the partition swap's two renames: the
+    // live dt dir moved to the DOT-PREFIXED trash name, tmp→live never
+    // happened
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/dt=2024-01-01"),
+      new org.apache.hadoop.fs.Path(s"$dir/._compact_trash_dt=2024-01-01")))
+    // a plain table reader in the crash window: the surviving
+    // partition only — NO mangled phantom dt value from the trash dir
+    val mid = spark.read.parquet(dir)
+    assert(mid.select("dt").distinct().as[String].collect().toSeq
+      == Seq("2024-01-02"))
+    assert(mid.count() == 50)
+    // the next partition compact restores the trash FIRST, then
+    // rewrites — full row set back, staging names gone
+    Compaction.compactPartitions(spark, dir, Seq("2024-01-01"),
+      rowsPerFile = 100, order = Seq(col("pos")))
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet
+      == rowsBefore)
+    assert(new java.io.File(dir).listFiles().map(_.getName)
+      .count(_.contains("_compact_")) == 0)
+  }
+
   test("an interrupted swap (live dir gone, trash intact) is restored " +
       "by the next compact run") {
     import spark.implicits._
