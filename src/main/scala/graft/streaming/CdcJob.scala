@@ -138,6 +138,10 @@ object CdcJob {
           positiveInt(v, "sink.compact.rows.per.file").toLong
         }
         .getOrElse(1000000L),
+      // `sink.retention.days` — lazy write-time partition expiry
+      retentionDays = cfg.get("sink.retention.days")
+        .map(v => positiveInt(v, "sink.retention.days"))
+        .getOrElse(0),
       // `mongodb.deserialization.mode` (`MongoDBStreamer.java:64,92-107`):
       // doc-string / top-level-string / top-level-type, defaulting to
       // top-level-type with a warning, unknown value fails fast — only

@@ -104,7 +104,17 @@ final case class CdcConfig(
     /** Target rows per compacted file (`sink.compact.rows.per.file`,
       * the 128 MB-proxy knob callers size from their row width).
       */
-    compactRowsPerFile: Long = 1000000L) {
+    compactRowsPerFile: Long = 1000000L,
+    /** Retention horizon in days (`sink.retention.days`): when > 0,
+      * after each batch commits, date-shaped `dt=` partitions older
+      * than `today(UTC) - days` are dropped from the tables the batch
+      * wrote ([[Compaction.expirePartitions]] — manifest patched,
+      * fixed-bucket values untouched). Enforced lazily at write time
+      * on purpose: a table nothing writes to retains its history
+      * until a maintenance pass handles it, so retention can never
+      * race a backfill into a cold table. 0 = keep forever.
+      */
+    retentionDays: Int = 0) {
   def name: String = jobName.getOrElse(s"JOB-$sourceId")
 }
 
@@ -580,6 +590,19 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         // threshold — cold history is never rewritten.
         if (config.compactAfterFiles > 0)
           autoCompact(present.intersect(routed.keySet), batchStartMs)
+        if (config.retentionDays > 0) {
+          val cutoff = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+            .minusDays(config.retentionDays.toLong).toString
+          for (key <- present.intersect(routed.keySet);
+              spec <- routed.get(key)) {
+            val dropped = Compaction.expirePartitions(spark,
+              spec.sinkDir(config.sinkPath, config.sourceId), cutoff)
+            if (dropped.nonEmpty)
+              org.slf4j.LoggerFactory.getLogger(getClass).info(
+                s"[${config.name}] retention $key: dropped " +
+                  s"dt=[${dropped.mkString(",")}] (< $cutoff)")
+          }
+        }
       }
 
       // Gate decision AFTER the batch is durable (drain-then-stop).

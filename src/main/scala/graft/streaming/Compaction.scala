@@ -157,6 +157,41 @@ object Compaction {
     (before, after)
   }
 
+  /** Retention enforcement: drop every DATE-shaped `dt=` partition
+    * strictly older than `beforeDt` (ISO dates compare
+    * lexicographically), then patch any zone-map manifest beside the
+    * table so it stops listing the vanished files. Non-date dt
+    * values (a `sink.fixed.bucket` constant) are never touched — a
+    * lexicographic compare against them would be meaningless, and
+    * silently expiring a fixed bucket would empty the table. Returns
+    * the dropped dt values.
+    *
+    * Deletion is per-partition directory; a crash mid-way leaves
+    * some partitions dropped and some not — re-running converges
+    * (retention is idempotent by definition), and the manifest patch
+    * runs last so a crash can only leave it listing MISSING files,
+    * which prunedRead surfaces loudly rather than silently
+    * under-reading.
+    */
+  def expirePartitions(spark: SparkSession, tableDir: String,
+      beforeDt: String): Seq[String] = {
+    val datePat = "\\d{4}-\\d{2}-\\d{2}".r
+    val fs = new Path(tableDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(tableDir))) return Nil
+    val expired = fs.listStatus(new Path(tableDir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("dt="))
+      .map(_.getPath.getName.stripPrefix("dt="))
+      .filter(v => datePat.matches(v) && v < beforeDt)
+      .sorted
+    for (v <- expired) fs.delete(new Path(s"$tableDir/dt=$v"), true)
+    val manifest = tableDir + "._zonemaps"
+    if (expired.nonEmpty && fs.exists(new Path(manifest)))
+      graft.ops.ZoneMaps.patch(spark, tableDir, manifest,
+        expired.map(v => s"$tableDir/dt=$v"))
+    expired
+  }
+
   /** Finish an interrupted swap from a previous run BEFORE touching
     * the table: if the live dir is gone but trash survives, the
     * original table is intact there — restore it first (a crash

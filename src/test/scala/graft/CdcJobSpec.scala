@@ -160,6 +160,13 @@ class CdcJobSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       CdcJob.configFromMap(base + ("sink.compact.rows.per.file" -> "1000"))
     }.getMessage.contains("sink.compact.after.files"))
+    // retention: unset → keep forever; junk fails like the others
+    assert(CdcJob.configFromMap(base).retentionDays == 0)
+    assert(CdcJob.configFromMap(
+      base + ("sink.retention.days" -> "365")).retentionDays == 365)
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base + ("sink.retention.days" -> "0"))
+    }.getMessage.contains("sink.retention.days"))
   }
 
   test("snapshot override keys are sanitized to route keys and registry-validated") {

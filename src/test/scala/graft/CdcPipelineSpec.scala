@@ -204,6 +204,39 @@ class CdcPipelineSpec extends AnyFunSuite {
       .contains("mysql-bin.000001,155"))
   }
 
+  test("sink.retention.days expires old partitions at write time; " +
+      "a generous horizon keeps everything") {
+    // fixture events are dated 2023-11-14/15 — far past any small
+    // wall-clock horizon, inside a 100k-day one
+    def feed(): Path = {
+      val in = tmp()
+      writeFixture(in, "00-snapshot.jsonl", Seq(
+        row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+          """"id":{"int":1},"name":{"string":"alice"},"balance":null"""),
+        row("CREATE", "users", 1700086600000L, "mysql-bin.000001", 100,
+          """"id":{"int":2},"name":{"string":"bob"},"balance":null""")))
+      in
+    }
+    val keepOut = tmp()
+    run(CdcConfig("srcKeep", registry, keepOut.toString,
+      retentionDays = 100000), feed())
+    val kept = spark.read.parquet(s"$keepOut/srcKeep_testdb__users")
+    assert(kept.count() == 2)
+
+    val dropOut = tmp()
+    val p = run(CdcConfig("srcDrop", registry, dropOut.toString,
+      offsetStorePath = Some(tmp().toString),
+      retentionDays = 30), feed())
+    // both 2023 partitions expired right after the batch committed —
+    // the table dir remains, with no dt= children
+    val dtDirs = new java.io.File(s"$dropOut/srcDrop_testdb__users")
+      .listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("dt="))
+    assert(dtDirs.isEmpty, s"retention kept: ${dtDirs.mkString(",")}")
+    // bookkeeping unaffected: the batch committed BEFORE expiry
+    assert(p.recordCount == 2)
+  }
+
   test("snapshot override restricts the snapshot; binlog tail unaffected") {
     val in = tmp(); val out = tmp()
     // snapshot: 3 users rows; the override keeps id <= 2 and selects

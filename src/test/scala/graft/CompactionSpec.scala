@@ -172,6 +172,44 @@ class CompactionSpec extends AnyFunSuite {
       19L).count() == 20)
   }
 
+  test("retention drops only date-shaped partitions older than the " +
+      "cutoff and patches the manifest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-ret-")
+      .resolve("tbl").toString
+    (0 until 80).map { i =>
+      val dt = i % 4 match {
+        case 0 => "2023-12-30"
+        case 1 => "2024-01-01"
+        case 2 => "2024-01-02"
+        case _ => "constant" // a fixed-bucket-style value
+      }
+      (i, dt, i.toLong)
+    }.toDF("id", "dt", "pos")
+      .repartition(2)
+      .write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val man = s"$dir._zonemaps"
+    graft.ops.ZoneMaps.build(spark, dir, man, Seq("id"))
+    val manBefore = spark.read.parquet(man).count()
+
+    val dropped = Compaction.expirePartitions(spark, dir, "2024-01-01")
+    assert(dropped == Seq("2023-12-30"))
+    val left = spark.read.parquet(dir)
+    assert(left.select("dt").distinct().as[String].collect().sorted.toSeq
+      == Seq("2024-01-01", "2024-01-02", "constant"))
+    assert(left.count() == 60)
+    // manifest patched: no rows for the vanished partition, and the
+    // pruned read over the survivors still answers
+    val man2 = spark.read.parquet(man)
+    assert(man2.count() < manBefore)
+    assert(!man2.select("file").as[String].collect()
+      .exists(_.contains("dt=2023-12-30")))
+    assert(graft.ops.ZoneMaps.prunedRead(spark, dir, man, "id", 0L, 79L)
+      .count() == 60)
+    // idempotent; nothing else date-shaped is old enough
+    assert(Compaction.expirePartitions(spark, dir, "2024-01-01").isEmpty)
+  }
+
   test("a crashed PARTITION swap exposes no phantom dt value to " +
       "readers and heals on the next partition compact") {
     import spark.implicits._
