@@ -871,7 +871,7 @@ object ScalarQueries {
         | round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem
-        |WHERE l_orderkey BETWEEN 2000 AND 3999 AND l_linenumber = 1
+        |WHERE l_orderkey BETWEEN 500 AND 2499 AND l_linenumber = 1
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
       val work = java.nio.file.Files
         .createTempDirectory("graft-zm-q119-").toString
@@ -881,13 +881,57 @@ object ScalarQueries {
       graft.ops.ZoneMaps.build(spark, s"$work/data", s"$work/manifest",
         Seq("l_orderkey"))
       graft.ops.ZoneMapTable(spark, s"$work/data", s"$work/manifest")
-        .filter(col("l_orderkey").between(2000, 3999) &&
+        .filter(col("l_orderkey").between(500, 2499) &&
           col("l_linenumber") === 1)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_price"))
         .orderBy("l_returnflag")
+    },
+
+    // Evolved-table union (ops.EvolvedRead): lineitem split into a
+    // "base era" physical table (3 columns) and its dated schema fork
+    // (adds l_extendedprice) under the sink naming convention, then
+    // read back as ONE logical table — schemas aligned by name, the
+    // added column null-filled backward, `_table_version` carrying
+    // lineage. The oracle derives the same union from lineitem
+    // directly with a CASE-era split, so hash equality pins the
+    // discovery + alignment semantics (decoy dirs that must NOT be
+    // absorbed ride in EvolvedReadSpec).
+    QueryDef(
+      "q120_evolved_union",
+      """WITH eras AS (SELECT
+        |   CASE WHEN l_orderkey <= 700 THEN 'base'
+        |        ELSE 'v20240401' END AS _table_version,
+        |   l_quantity,
+        |   CASE WHEN l_orderkey <= 700 THEN NULL
+        |        ELSE l_extendedprice END AS price
+        | FROM lineitem)
+        |SELECT _table_version, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(count(price) AS BIGINT) AS n_price,
+        | round(coalesce(sum(price), 0), 2) AS sum_price
+        |FROM eras GROUP BY 1 ORDER BY _table_version""".stripMargin) {
+      (spark, dir) =>
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-evo-q120-").toString
+      val li = Tables(spark, dir).lineitem
+      li.filter(col("l_orderkey") <= 700)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .write.mode("overwrite").parquet(s"$work/q120_db__li")
+      li.filter(col("l_orderkey") > 700)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$work/q120_db__li_v20240401")
+      graft.ops.EvolvedRead.readAll(spark, work, "q120", "db", "li")
+        .groupBy("_table_version")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          count(col("l_extendedprice")).as("n_price"),
+          round(coalesce(sum("l_extendedprice"), lit(0)), 2)
+            .as("sum_price"))
+        .orderBy("_table_version")
     },
   )
 }
