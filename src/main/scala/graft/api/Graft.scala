@@ -36,6 +36,43 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Graft {
 
+  /** Register every sink table of `sourceId` under `sinkRoot` as a
+    * SQL temp view named `<db>__<table>` (the sink dir name minus
+    * the `{sourceId}_` prefix), so a plain-SQL session queries the
+    * whole CDC lake by name. A table with a maintained `._zonemaps`
+    * manifest beside it registers through the planner-integrated
+    * [[graft.ops.ZoneMapTable]] — its filters skip files with no
+    * caller cooperation; plain tables register as plain parquet.
+    * Bookkeeping (`_checkpoints`, manifests, staging dirs) never
+    * registers. Returns the view names, sorted.
+    *
+    * Views snapshot the file listing at registration (Spark's normal
+    * FileIndex behavior) — re-register after heavy ingestion, or for
+    * always-current reads use the streaming path.
+    */
+  def registerSinkTables(spark: SparkSession, sinkRoot: String,
+      sourceId: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(sinkRoot)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val prefix = s"${sourceId}_"
+    val names = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && !n.startsWith("_") &&
+        !n.startsWith(".") && !n.contains("._"))
+      .sorted
+    for (n <- names) {
+      val dir = s"$sinkRoot/$n"
+      val manifest = s"$dir._zonemaps"
+      val df =
+        if (fs.exists(new org.apache.hadoop.fs.Path(manifest)))
+          graft.ops.ZoneMapTable(spark, dir, manifest)
+        else spark.read.parquet(dir)
+      df.createOrReplaceTempView(n.stripPrefix(prefix))
+    }
+    names.map(_.stripPrefix(prefix))
+  }
+
   /** MinHash LSH band buckets `(doc_id, band, bucket)` for any
     * `(doc_id: BIGINT, text: STRING)` frame — batch or streaming
     * (every stage is a projection). This IS the banding scheme the

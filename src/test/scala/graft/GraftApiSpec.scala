@@ -234,4 +234,35 @@ class GraftApiSpec extends AnyFunSuite {
       .select("k", "id", "v").collect().toSeq
     assert(salted == plain)
   }
+
+  test("registerSinkTables exposes the lake to plain SQL, zone-mapped " +
+      "tables through the planner path, bookkeeping excluded") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-api-sink-").toString
+    spark.range(100).select(col("id"), lit("2024-01-01").as("dt"))
+      .write.mode("overwrite").partitionBy("dt")
+      .parquet(s"$root/lake1_db__users")
+    spark.range(50).select(col("id").as("order_id"),
+        (col("id") % 7).as("qty"), lit("2024-01-01").as("dt"))
+      .write.mode("overwrite").partitionBy("dt")
+      .parquet(s"$root/lake1_db__orders")
+    graft.ops.ZoneMaps.build(spark, s"$root/lake1_db__orders",
+      s"$root/lake1_db__orders._zonemaps", Seq("order_id"))
+    // bookkeeping siblings that must never register
+    new java.io.File(s"$root/_checkpoints").mkdirs()
+    new java.io.File(s"$root/other_db__ghost").mkdirs()
+
+    val views = Graft.registerSinkTables(spark, root, "lake1")
+    assert(views == Seq("db__orders", "db__users"))
+    assert(spark.sql("SELECT count(*) FROM db__users").as[Long].head()
+      == 100L)
+    // the zone-mapped table answers SQL through the pruned scan
+    assert(spark.sql(
+      "SELECT sum(qty) FROM db__orders WHERE order_id BETWEEN 10 AND 19")
+      .as[Long].head()
+      == (10 until 20).map(_ % 7).sum.toLong)
+    // another source's tables and bookkeeping stayed unregistered
+    assert(!spark.catalog.tableExists("ghost") &&
+      !spark.catalog.tableExists("_checkpoints"))
+  }
 }
