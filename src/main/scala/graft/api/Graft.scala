@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *  - durable maintained indexes (build/delta/probe-or-search/
   *    compact): [[graft.ops.NeardupIndex]] (MinHash bands),
   *    [[graft.ops.AnnIndex]] (IVF postings; hybrid `searchWhere`,
-  *    `trainCodebook`)
+  *    `trainCodebook`), [[graft.ops.TextIndex]] (inverted BM25
+  *    postings — [[bm25]] without scanning the corpus per query)
   *  - layout + file skipping: [[graft.ops.ZOrder]] (write layout),
   *    [[graft.ops.ZoneMaps]] (min/max + bloom manifests,
   *    pruned/conjunction/point reads)

@@ -40,6 +40,14 @@ object TextQueries {
   private def withToks(df: DataFrame, keep: Column*): DataFrame =
     df.select(keep :+ toks(col("text")).as("t"): _*)
 
+  /** The shared tokenizer staged over a `(doc_id, text)` frame — the
+    * ONE rule the BM25 kernel (q111, `Graft.bm25`) and the maintained
+    * inverted index ([[graft.ops.TextIndex]]) tokenize with, so
+    * index-served scores cannot drift from the audited kernel.
+    */
+  private[graft] def tokenized(docs: DataFrame): DataFrame =
+    withToks(docs, col("doc_id"))
+
   /** Distinct word n-gram shingles (n=3) over the staged tokens;
     * <n tokens ⇒ empty (the kernel's loop bound).
     */
@@ -1284,6 +1292,50 @@ object TextQueries {
            |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
       }) { (spark, dir) =>
       bm25Scores(withToks(Tables(spark, dir).documents, col("doc_id")),
+          Seq("spark", "shuffle", "window", "stream"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+    },
+
+    // Maintained inverted index (ops.TextIndex) — q111's retrieval
+    // served WITHOUT touching the corpus at query time: documents are
+    // tokenized ONCE into a term-bucketed postings table, a delta
+    // DELETES every 17th doc (tombstone protocol), and the search
+    // reads only the four query terms' buckets + the docs census. The
+    // oracle scores the surviving corpus directly with the same
+    // rational-IDF/Okapi formula — hash equality proves the
+    // index-served path (build → delta → tombstone-folded search)
+    // byte-identical to scoring the edited corpus from scratch.
+    QueryDef(
+      "q121_indexed_bm25", {
+        val terms = Seq("spark", "shuffle", "window", "stream")
+        val fs = terms.indices.map(i =>
+          s"len(list_filter(t, x -> x = '${terms(i)}')) AS f$i")
+          .mkString(", ")
+        val dfs = terms.indices.map(i =>
+          s"sum(CASE WHEN f$i > 0 THEN 1 ELSE 0 END) AS df$i")
+          .mkString(", ")
+        val score = terms.indices.map(i =>
+          s"((s.n - s.df$i + 0.5) / (s.df$i + 0.5))" +
+            s" * ((f$i * 2.2) / (f$i + 1.2 * (0.25 + 0.75 * dl / (s.sdl * 1.0 / s.n))))")
+          .mkString("\n        | + ")
+        s"""WITH d AS (SELECT doc_id,
+           |   string_split_regex(lower(trim(text)), '\\s+') AS t
+           | FROM documents WHERE doc_id % 17 <> 0),
+           |f AS (SELECT doc_id, len(t) AS dl, $fs FROM d),
+           |s AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl,
+           |        $dfs FROM f)
+           |SELECT doc_id, round($score, 6) AS bm25
+           |FROM f, s WHERE f0 + f1 + f2 + f3 > 0
+           |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+      }) { (spark, dir) =>
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ti-q121-").toString
+      val docs = Tables(spark, dir).documents.select("doc_id", "text")
+      graft.ops.TextIndex.build(spark, docs, s"$work/idx")
+      graft.ops.TextIndex.applyDelta(spark, s"$work/idx",
+        upserts = docs.limit(0),
+        deletes = docs.filter(col("doc_id") % 17 === 0).select("doc_id"))
+      graft.ops.TextIndex.search(spark, s"$work/idx",
           Seq("spark", "shuffle", "window", "stream"))
         .orderBy(col("bm25").desc, col("doc_id")).limit(10)
     },
