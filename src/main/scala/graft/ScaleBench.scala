@@ -523,6 +523,48 @@ object ScaleBench {
     * opened); the wall-clock delta on one warm local box understates
     * it by construction.
     */
+  /** Index-served vs corpus-scan BM25: the maintained inverted index
+    * pays one tokenize+group build, then each query touches only its
+    * terms' postings buckets — the full-scan kernel re-tokenizes the
+    * whole corpus per query. Synthetic corpus: `docs` documents of
+    * 100 zipf-ish tokens over a 1000-term vocabulary (real documents
+    * run hundreds of tokens; the scan side's cost is ∝ corpus TOKENS,
+    * the index side's ∝ matching postings).
+    */
+  private def textIndexExperiment(spark: SparkSession, work: String,
+      docsK: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = docsK * 1000L
+    val dir = s"$work/ti_docs_$docsK"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(99)),
+          i => concat(lit("t"),
+            pmod(pmod(hash(col("id") * 31 + i), lit(1009)) *
+              pmod(hash(i), lit(7)), lit(1000))))).as("text"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    val docs = spark.read.parquet(dir)
+    docs.write.format("noop").mode("overwrite").save() // warm the read
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val idx = s"$work/ti_idx_$docsK"
+    val tBuild = time(graft.ops.TextIndex.build(spark, docs, idx))
+    val terms = Seq("t1", "t42", "t999")
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    drain(graft.api.Graft.bm25(docs, terms)) // warm
+    val tScan = time(drain(graft.api.Graft.bm25(docs, terms)))
+    drain(graft.ops.TextIndex.search(spark, idx, terms)) // warm
+    val tIdx = time(drain(graft.ops.TextIndex.search(spark, idx, terms)))
+    val tDelta = time(graft.ops.TextIndex.applyDelta(spark, idx,
+      docs.limit(1000), docs.select("doc_id").limit(100)))
+    println(f"[scale] textindex ${n} docs: build ${tBuild}%5.2fs, " +
+      f"query scan ${tScan}%5.2fs vs index ${tIdx}%5.2fs " +
+      f"(${tScan / tIdx}%4.1fx), delta(1k up/100 del) ${tDelta}%5.2fs")
+  }
+
   private def zonemapExperiment(spark: SparkSession, work: String,
       millions: Int): Unit = {
     import org.apache.spark.sql.functions._
@@ -823,6 +865,13 @@ object ScaleBench {
       val spark = buildSession()
       zonemapExperiment(spark, args.lift(2).getOrElse("/tmp/graft-scale"),
         args.lift(1).map(_.toInt).getOrElse(20))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("textindex")) {
+      val spark = buildSession()
+      textIndexExperiment(spark, args.lift(2).getOrElse("/tmp/graft-scale"),
+        args.lift(1).map(_.toInt).getOrElse(1000))
       spark.stop()
       return
     }
