@@ -654,10 +654,16 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       val root = new org.apache.hadoop.fs.Path(dir)
       val fs = root.getFileSystem(hconf)
       if (fs.exists(root)) {
+        // 1 s slack: a filesystem with second-granularity mtimes can
+        // record a write landing in the same second as the batch
+        // start BELOW batchStartMs, which would systematically skip
+        // the hot partition on fast batches; an extra second only
+        // means occasionally file-counting a partition the previous
+        // batch touched
         val fragmented = fs.listStatus(root).toSeq
           .filter(st => st.isDirectory &&
             st.getPath.getName.startsWith("dt=") &&
-            st.getModificationTime >= batchStartMs)
+            st.getModificationTime >= batchStartMs - 1000L)
           .filter(st => fs.listStatus(st.getPath).count(
             _.getPath.getName.endsWith(".parquet"))
             > config.compactAfterFiles)
