@@ -155,17 +155,31 @@ object TextIndex {
     import spark.implicits._
     val tbs = terms.toDF("term").select(bucketOf(col("term")).as("tb"))
       .distinct().as[Long].collect()
+    // ONE tombstone fold per query (broadcastIfSmall probes its input
+    // eagerly — building it per live-side would re-run that probe),
+    // shared by the census aggregate and the postings read
+    val tomb = Probes.broadcastIfSmall(tombs(spark, dir))
+    def live(path: String): DataFrame =
+      spark.read.parquet(path).as("r")
+        .join(tomb.as("t"),
+          col("r.doc_id") === col("t.doc_id") &&
+            col("t.tgen") > col("r.gen"),
+          "left_anti")
     // corpus stats from the live census: one aggregate row, broadcast
-    val stats = liveRows(spark, dir, docsDir(dir))
+    val stats = live(docsDir(dir))
       .agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
     // live postings of just these terms: partition-pruned to the
     // terms' buckets, then term-filtered inside them
     val termIdx = terms.zipWithIndex.toDF("term", "i")
-    val fetched = liveRows(spark, dir, postingsDir(dir))
+    val fetched = live(postingsDir(dir))
       .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
       .join(broadcast(termIdx), "term")
     // per-term document frequency over the fetched postings (each
-    // (doc, term) appears once, so a count IS the df)
+    // (doc, term) appears once, so a count IS the df). `fetched`
+    // feeds this aggregate AND the scoring join, so the pruned-bucket
+    // scan runs twice — deliberately unpersisted (the facade returns
+    // a lazy frame; a cache here would leak past the call), and the
+    // re-read is bounded by the terms' buckets, not the index
     val dfs = fetched.groupBy("i").agg(count(lit(1)).as("df"))
     val partial =
       ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
@@ -190,13 +204,24 @@ object TextIndex {
     * crash-window argument), then clear tombstones.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
+    // heal any interrupted previous swap BEFORE building the rewrite
+    // frames: liveRows eagerly resolves the target dir's schema, so a
+    // restore that only ran inside swapIn (after the frame is built)
+    // would never be reached — the crash window between the two
+    // renames would leave the index permanently unreadable
+    // (NeardupIndex.compact restores first for the same reason)
+    val hfs = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    for (p <- Seq(postingsDir(dir), docsDir(dir))) {
+      val (t, tr) = (new Path(p), new Path(p + "._compact_trash"))
+      if (!hfs.exists(t) && hfs.exists(tr)) hfs.rename(tr, t)
+    }
     def swapIn(path: String, partitionBy: Option[String])(
         rows: DataFrame): Unit = {
       val target = new Path(path)
       val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
       val tmp = new Path(path + "._compact_tmp")
       val trash = new Path(path + "._compact_trash")
-      if (!fs.exists(target) && fs.exists(trash)) fs.rename(trash, target)
       fs.delete(tmp, true); fs.delete(trash, true)
       val w = rows.write.mode(SaveMode.Overwrite)
       partitionBy.fold(w)(c => w.partitionBy(c)).parquet(tmp.toString)

@@ -72,14 +72,38 @@ object ZoneMapTable {
       manifestDir: String): (DataFrame, ZoneMapFileIndex) = {
     val index = new ZoneMapFileIndex(spark, dataDir, manifestDir)
     val partitionSchema = index.partitionSpec().partitionColumns
-    val fullSchema = spark.read.option("basePath", dataDir)
-      .parquet(dataDir).schema
-    val dataSchema = StructType(fullSchema
-      .filterNot(f => partitionSchema.fieldNames.contains(f.name)))
+    // data schema from the index's OWN file listing — a
+    // spark.read.parquet(dataDir) here would build a second file
+    // index and re-list the whole tree (at millions of files, twice
+    // the planning cost for nothing); partition columns come from the
+    // index's partition discovery, so the footer-inferred schema is
+    // exactly the data schema
+    val fmt = new ParquetFileFormat()
+    // nullable-coerced like spark.read.parquet does: footer schemas
+    // mark parquet `required` fields non-nullable, but that is a
+    // PER-FILE fact — another file of the same table can hold nulls,
+    // and a non-nullable relation schema lets the optimizer fold
+    // `IsNull(c)` to false over rows that do contain nulls
+    val dataSchema = asNullable(
+      fmt.inferSchema(spark, Map.empty, index.allFiles())
+        .getOrElse(throw new IllegalArgumentException(
+          s"no parquet data under $dataDir")))
     val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
-      None, new ParquetFileFormat(),
-      Map("basePath" -> dataDir))(spark)
+      None, fmt, Map("basePath" -> dataDir))(spark)
     (spark.baseRelationToDataFrame(relation), index)
+  }
+
+  private def asNullable(s: StructType): StructType =
+    StructType(s.fields.map(f =>
+      f.copy(dataType = nullableType(f.dataType), nullable = true)))
+
+  private def nullableType(dt: DataType): DataType = dt match {
+    case s: StructType => asNullable(s)
+    case a: ArrayType =>
+      a.copy(elementType = nullableType(a.elementType), containsNull = true)
+    case m: MapType => m.copy(valueType = nullableType(m.valueType),
+      valueContainsNull = true)
+    case other => other
   }
 }
 

@@ -159,6 +159,12 @@ object ZoneMaps {
   private def bloomColumnsOf(m: DataFrame): Seq[String] =
     m.columns.filter(_.endsWith("_bloom")).map(_.stripSuffix("_bloom")).toSeq
 
+  /** Public form of [[bloomColumnsOf]] — maintenance passes use it to
+    * audit grid health ([[bloomFillRatio]]) after a rewrite.
+    */
+  def bloomColumns(spark: SparkSession, manifestDir: String): Seq[String] =
+    bloomColumnsOf(spark.read.parquet(manifestDir))
+
   /** Grid size of the manifest's bloom columns — read from a stored
     * grid (bits = longs × 64) so a refresh always appends grids the
     * existing probe expression can read; empty manifests fall back
@@ -167,9 +173,14 @@ object ZoneMaps {
   private def bloomBitsOf(m: DataFrame): Int = {
     val bcs = bloomColumnsOf(m)
     if (bcs.isEmpty) DefaultBloomBits
-    else m.select(size(col(s"${bcs.head}_bloom"))).head() match {
-      case r if r.isNullAt(0) => DefaultBloomBits
-      case r => math.max(1, r.getInt(0)) * 64
+    else m.select(size(col(s"${bcs.head}_bloom"))).take(1) match {
+      // a ZERO-ROW manifest (patch() can empty one when a rewrite
+      // replaced every indexed file) has a grid SCHEMA but no grid to
+      // read the size from — fall back to the default rather than
+      // crash the maintenance step; a caller who sized grids larger
+      // re-establishes that with an explicit rebuild
+      case Array(r) if !r.isNullAt(0) => math.max(1, r.getInt(0)) * 64
+      case _ => DefaultBloomBits
     }
   }
 
@@ -222,8 +233,17 @@ object ZoneMaps {
     val m = spark.read.parquet(manifestDir)
     val schema = m.schema
     val fileAt = schema.fieldIndex("file")
-    val norm = removedPrefixes.map(p =>
-      if (p.endsWith("/")) p else p + "/")
+    // manifest keys are NORMALIZED bare absolute paths (statsOf strips
+    // the scheme, dataFiles uses toUri.getPath) — qualify each prefix
+    // the same way, or a scheme-qualified (hdfs://...) or relative
+    // tableDir would silently match nothing and leave the manifest
+    // listing vanished files
+    val fs = new Path(dataDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val norm = removedPrefixes.map { p0 =>
+      val q = fs.makeQualified(new Path(p0)).toUri.getPath
+      if (q.endsWith("/")) q else q + "/"
+    }
     val kept = m.collect().filterNot { r =>
       val f = r.getString(fileAt)
       norm.exists(f.startsWith)

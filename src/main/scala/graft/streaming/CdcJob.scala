@@ -165,17 +165,6 @@ object CdcJob {
   /** Comma-separated column list under `key` — empty entries fail
     * fast like the rest of the config surface.
     */
-  /** Strictly positive integer under `key` — junk fails fast. */
-  private def positiveInt(v: String, key: String): Int = {
-    val n = try v.trim.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"BAD $key: '$v' (want a positive integer)")
-    }
-    if (n <= 0) throw new IllegalArgumentException(
-      s"BAD $key: '$v' (want a positive integer)")
-    n
-  }
-
   private def zonemapList(cfg: Map[String, String], key: String): Seq[String] =
     cfg.get(key) match {
       case None => Nil
@@ -186,6 +175,17 @@ object CdcJob {
             s"BAD $key: '$s' (want col1,col2,...)")
         cols
     }
+
+  /** Strictly positive integer under `key` — junk fails fast. */
+  private def positiveInt(v: String, key: String): Int = {
+    val n = try v.trim.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"BAD $key: '$v' (want a positive integer)")
+    }
+    if (n <= 0) throw new IllegalArgumentException(
+      s"BAD $key: '$v' (want a positive integer)")
+    n
+  }
 
   /** Target `CREATE TABLE` SQL for every sink table of a config (the
     * reference's planned auto-generation, `README.md:67`) — see

@@ -152,8 +152,26 @@ object Compaction {
       }
     }
     val manifest = tableDir + "._zonemaps"
-    if (touched.nonEmpty && fs.exists(new Path(manifest)))
+    if (touched.nonEmpty && fs.exists(new Path(manifest))) {
       graft.ops.ZoneMaps.patch(spark, tableDir, manifest, touched.toSeq)
+      // a compacted file holds up to rowsPerFile keys, and the
+      // re-index keeps the manifest's ORIGINAL grid size — the Bloom
+      // sizing law (grids want ~10× keys-per-file bits) means a
+      // default-size grid saturates far below a 1M-row file and then
+      // prunes NOTHING while still costing manifest bytes. Surface it
+      // with the documented gauge instead of failing a maintenance
+      // step over an advisory index.
+      for (c <- graft.ops.ZoneMaps.bloomColumns(spark, manifest)) {
+        val fill = graft.ops.ZoneMaps.bloomFillRatio(spark, manifest, c)
+        if (fill > 0.5)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            f"compactPartitions: bloom grid for '$c' in $manifest is " +
+              f"$fill%.2f full after the rewrite — point lookups will " +
+              "stop skipping; rebuild with bigger grids " +
+              "(ZoneMaps.build bloomBits ≈ 10× rows-per-file) or a " +
+              "smaller sink.compact.rows.per.file")
+      }
+    }
     (before, after)
   }
 

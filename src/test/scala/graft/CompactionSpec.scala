@@ -172,6 +172,62 @@ class CompactionSpec extends AnyFunSuite {
       19L).count() == 20)
   }
 
+  test("partition compaction that replaces EVERY indexed file keeps a " +
+      "bloom-carrying manifest alive (empty-manifest refresh)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-bloom-")
+      .resolve("tbl").toString
+    // everything in ONE partition (the day-one / fixed-bucket shape):
+    // the patch drops every manifest row before re-indexing
+    for (b <- 0 until 4)
+      (0 until 50).map(i => (b * 50 + i, "2024-01-01", i.toLong))
+        .toDF("id", "dt", "pos").coalesce(1)
+        .write.mode("append").partitionBy("dt").parquet(dir)
+    val man = s"$dir._zonemaps"
+    graft.ops.ZoneMaps.build(spark, dir, man, Seq("id"),
+      bloomColumns = Seq("id"))
+    val (before, after) = Compaction.compactPartitions(spark, dir,
+      Seq("2024-01-01"), rowsPerFile = 500,
+      order = Seq(col("pos"), col("id")))
+    assert(before == 4 && after == 1)
+    // manifest survived the zero-row window: one row, grids intact,
+    // point lookup still answers through the bloom path
+    val m = spark.read.parquet(man)
+    assert(m.count() == 1 && m.columns.contains("id_bloom"))
+    assert(graft.ops.ZoneMaps.prunedLookup(spark, dir, man, "id", 123L)
+      .count() == 1)
+  }
+
+  test("patch matches scheme-qualified and bare prefixes alike") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-scheme-")
+      .resolve("tbl").toString
+    (0 until 100).map(i =>
+        (i, if (i < 50) "2024-01-01" else "2024-01-02"))
+      .toDF("id", "dt")
+      .repartition(2)
+      .write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val man = s"$dir._zonemaps"
+    graft.ops.ZoneMaps.build(spark, dir, man, Seq("id"))
+    val total = spark.read.parquet(man).count()
+    // the retention shape: the partition's files are GONE, and the
+    // patch prefix arrives scheme-qualified (file:/...) — it must
+    // still match the manifest's normalized bare keys, or the
+    // manifest keeps listing vanished files and prunedRead dies
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/dt=2024-01-01"), true)
+    val indexed = graft.ops.ZoneMaps.patch(spark, dir, man,
+      Seq(s"file:$dir/dt=2024-01-01"))
+    assert(indexed == 0) // nothing new to index
+    val m = spark.read.parquet(man)
+    assert(!m.select("file").as[String].collect()
+      .exists(_.contains("dt=2024-01-01")))
+    assert(m.count() < total && m.count() > 0)
+    assert(graft.ops.ZoneMaps.prunedRead(spark, dir, man, "id", 50L, 99L)
+      .count() == 50)
+  }
+
   test("retention drops only date-shaped partitions older than the " +
       "cutoff and patches the manifest") {
     import spark.implicits._

@@ -82,6 +82,30 @@ class TextIndexSpec extends AnyFunSuite {
       == scores(Graft.bm25(edited2, terms)))
   }
 
+  test("a compact() crash between the swap renames heals on the next " +
+      "compact run") {
+    val dir = tmp()
+    TextIndex.build(spark, corpus, dir)
+    TextIndex.applyDelta(spark, dir,
+      Seq((8L, "quick dog")).toDF("doc_id", "text"),
+      Seq(Tuple1(5L)).toDF("doc_id"))
+    val edited = corpus.filter(!col("doc_id").isin(5L, 8L))
+      .unionByName(Seq((8L, "quick dog")).toDF("doc_id", "text"))
+    // crash strictly between rename(postings, trash) and
+    // rename(tmp, postings): postings gone, trash intact
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/postings"),
+      new org.apache.hadoop.fs.Path(s"$dir/postings._compact_trash")))
+    // the retry must restore BEFORE building its rewrite frames —
+    // an eager read of the missing dir would throw and never heal
+    TextIndex.compact(spark, dir)
+    assert(scores(TextIndex.search(spark, dir, terms))
+      == scores(Graft.bm25(edited, terms)))
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/postings._compact_trash")))
+  }
+
   test("a query reads only its terms' postings buckets") {
     val dir = tmp()
     TextIndex.build(spark, corpus, dir)
