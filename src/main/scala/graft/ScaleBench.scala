@@ -523,6 +523,48 @@ object ScaleBench {
     * opened); the wall-clock delta on one warm local box understates
     * it by construction.
     */
+  /** Auto-compaction under a many-small-batches ingest: the same feed
+    * replayed one file per micro-batch with the compactor off vs on —
+    * ingest overhead (the rewrites ride the batch loop), final sink
+    * file count (the thing the feature bounds), and the read-side
+    * wall a fragmented vs compacted table costs a full scan.
+    */
+  private def autoCompactExperiment(spark: SparkSession, work: String,
+      batches: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$base/events.parquet")
+    val feed = s"$work/acfeed_$batches"
+    if (!new java.io.File(feed, "_SUCCESS").exists())
+      Bench.envelopeLines(events, 1).repartition(batches)
+        .write.mode("overwrite").text(feed)
+    val rows = events.count()
+    def one(label: String, after: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scale-ac-")
+      val p = new graft.streaming.CdcPipeline(spark,
+        graft.streaming.CdcConfig("ac", Bench.eventsRegistry(1),
+          s"$tmp/sink", compactAfterFiles = after))
+      val t0 = System.nanoTime()
+      p.runAvailableNow(feed, s"$tmp/ck") // one feed file per batch
+      val tIngest = (System.nanoTime() - t0) / 1e9
+      require(p.recordCount == rows,
+        s"ingest row mismatch: ${p.recordCount} != $rows")
+      val dir = s"$tmp/sink/ac_bench__events"
+      val nFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .toArray.map(_.toString)
+        .count(s => s.endsWith(".parquet") && !s.contains("._"))
+      val t1 = System.nanoTime()
+      spark.read.parquet(dir).agg(count(lit(1)), sum("value")).collect()
+      val tRead = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] autocompact $label ($batches batches): " +
+        f"ingest ${tIngest}%6.2fs, sink files $nFiles%5d, " +
+        f"full read ${tRead}%5.2fs")
+    }
+    one("off     ", 0)
+    one("after=12", 12)
+  }
+
   /** Index-served vs corpus-scan BM25: the maintained inverted index
     * pays one tokenize+group build, then each query touches only its
     * terms' postings buckets — the full-scan kernel re-tokenizes the
@@ -865,6 +907,14 @@ object ScaleBench {
       val spark = buildSession()
       zonemapExperiment(spark, args.lift(2).getOrElse("/tmp/graft-scale"),
         args.lift(1).map(_.toInt).getOrElse(20))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("autocompact")) {
+      val spark = buildSession()
+      autoCompactExperiment(spark,
+        args.lift(2).getOrElse("/tmp/graft-scale"),
+        args.lift(1).map(_.toInt).getOrElse(30))
       spark.stop()
       return
     }
