@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
-import org.apache.spark.sql.execution.datasources.{FileStatusWithMetadata, HadoopFsRelation, InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types._
 
@@ -118,6 +118,49 @@ final class ZoneMapFileIndex(spark: SparkSession, dataDir: String,
     extends InMemoryFileIndex(spark, Seq(new Path(dataDir)),
       Map("basePath" -> dataDir), None) {
 
+  private val verdicts = new ZoneMapVerdicts(spark, manifestDir)
+
+  /** How many files the manifest verdict dropped across all
+    * `listFiles` calls on this index — observability for specs and
+    * operators (the scan metric a caller can assert on).
+    */
+  val prunedFileCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    verdicts.prune(super.listFiles(partitionFilters, dataFilters),
+      dataFilters, prunedFileCount)
+}
+
+/** Wrap ANY existing [[FileIndex]] with manifest verdicts — the
+  * delegation form [[ZoneMapAuto]]'s optimizer rule uses to add
+  * skipping to a relation Spark already built (reusing its listing
+  * instead of re-walking the tree). Same contract as
+  * [[ZoneMapFileIndex]].
+  */
+final class ZoneMapPrunedIndex(underlying: FileIndex,
+    verdicts: ZoneMapVerdicts) extends FileIndex {
+  val prunedFileCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  override def rootPaths: Seq[Path] = underlying.rootPaths
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    verdicts.prune(underlying.listFiles(partitionFilters, dataFilters),
+      dataFilters, prunedFileCount)
+  override def inputFiles: Array[String] = underlying.inputFiles
+  override def refresh(): Unit = underlying.refresh()
+  override def sizeInBytes: Long = underlying.sizeInBytes
+  override def partitionSchema: StructType = underlying.partitionSchema
+  override def metadataOpsTimeNs: Option[Long] =
+    underlying.metadataOpsTimeNs
+}
+
+/** The pushed-filter → per-file-verdict translation over one
+  * manifest snapshot, shared by [[ZoneMapFileIndex]] (construct-time
+  * listing) and [[ZoneMapPrunedIndex]] (wrap an existing index).
+  */
+private[ops] final class ZoneMapVerdicts(spark: SparkSession,
+    manifestDir: String) {
+
   // ---- manifest snapshot (one row per indexed file), driver-side ----
   private val (manifestSchema: StructType,
       rowByFile: Map[String, InternalRow]) = {
@@ -148,15 +191,12 @@ final class ZoneMapFileIndex(spark: SparkSession, dataDir: String,
         mAttr(s"${c}_bloom").map(c.toLowerCase -> _)
       }.toMap
 
-  /** How many files the manifest verdict dropped across all
-    * `listFiles` calls on this index — observability for specs and
-    * operators (the scan metric a caller can assert on).
+  /** Drop the files the manifest rules out for `dataFilters`;
+    * `counter` accumulates how many were dropped.
     */
-  val prunedFileCount = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  override def listFiles(partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val parts = super.listFiles(partitionFilters, dataFilters)
+  def prune(parts: Seq[PartitionDirectory], dataFilters: Seq[Expression],
+      counter: java.util.concurrent.atomic.AtomicLong)
+      : Seq[PartitionDirectory] = {
     if (dataFilters.isEmpty || rowByFile.isEmpty) parts
     else dataFilters.flatMap(translate).reduceOption(And) match {
       case None => parts
@@ -167,7 +207,7 @@ final class ZoneMapFileIndex(spark: SparkSession, dataDir: String,
           val kept = pd.files.filter { f: FileStatusWithMetadata =>
             rowByFile.get(f.getPath.toUri.getPath).forall(pred.eval)
           }
-          prunedFileCount.addAndGet(pd.files.size - kept.size)
+          counter.addAndGet(pd.files.size - kept.size)
           pd.copy(files = kept)
         }.filter(_.files.nonEmpty)
     }
