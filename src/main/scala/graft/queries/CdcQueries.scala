@@ -173,5 +173,37 @@ object CdcQueries {
             .otherwise("stop").as("action"))
         .orderBy("ddl_id")
     },
+
+    // Auto-compacted sink, oracle-checked END TO END: the events table
+    // serialized as a 6-batch envelope feed, replayed through the REAL
+    // streaming pipeline with the auto-compactor firing behind every
+    // committed batch (threshold 2 guarantees multiple hot-partition
+    // rewrites during the run), then the compacted sink aggregated per
+    // dt bucket. The oracle aggregates the source table directly —
+    // hash equality proves the ingest + atomic partition rewrites
+    // preserved every row and every dt assignment (a lost or
+    // duplicated row in any crash-window path would break the counts;
+    // a mis-bucketed one would break a group).
+    QueryDef(
+      "q122_compacted_sink",
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        | CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY dt ORDER BY dt""".stripMargin) { (spark, dir) =>
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ac-q122-").toString
+      graft.Bench.envelopeLines(Tables(spark, dir).events, 1)
+        .repartition(6).write.mode("overwrite").text(s"$work/feed")
+      val p = new graft.streaming.CdcPipeline(spark,
+        graft.streaming.CdcConfig("q122", graft.Bench.eventsRegistry(1),
+          s"$work/sink",
+          compactAfterFiles = 2, compactRowsPerFile = 100000))
+      p.runAvailableNow(s"$work/feed", s"$work/ck") // one file per batch
+      spark.read.parquet(s"$work/sink/q122_bench__events")
+        .groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("dt")
+    },
   )
 }
