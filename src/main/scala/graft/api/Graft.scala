@@ -71,7 +71,26 @@ object Graft {
         else spark.read.parquet(dir)
       df.createOrReplaceTempView(n.stripPrefix(prefix))
     }
-    names.map(_.stripPrefix(prefix))
+    // evolution forks get a LOGICAL view too: for every dated
+    // `<base>_vYYYYMMDD` dir, `<base>__all` is the name-aligned union
+    // across the fork ([[graft.ops.EvolvedRead]]) — SQL users read one
+    // table whatever schema era a row landed in
+    val logical = names
+      .flatMap { n =>
+        "_v\\d{8}$".r.findFirstIn(n).map(_ => n.replaceAll("_v\\d{8}$", ""))
+      }
+      .distinct.filter(names.contains) // base must exist to anchor it
+      .flatMap { base =>
+        val rel = base.stripPrefix(prefix)
+        rel.split("__", 2) match {
+          case Array(db, table) =>
+            graft.ops.EvolvedRead.readAll(spark, sinkRoot, sourceId,
+              db, table).createOrReplaceTempView(s"${rel}__all")
+            Some(s"${rel}__all")
+          case _ => None
+        }
+      }
+    (names.map(_.stripPrefix(prefix)) ++ logical).sorted
   }
 
   /** MinHash LSH band buckets `(doc_id, band, bucket)` for any

@@ -264,5 +264,20 @@ class GraftApiSpec extends AnyFunSuite {
     // another source's tables and bookkeeping stayed unregistered
     assert(!spark.catalog.tableExists("ghost") &&
       !spark.catalog.tableExists("_checkpoints"))
+
+    // an evolution fork additionally registers the logical union view
+    spark.range(10).select(col("id"), lit("x").as("extra"),
+        lit("2024-02-01").as("dt"))
+      .write.mode("overwrite").partitionBy("dt")
+      .parquet(s"$root/lake1_db__users_v20240201")
+    val views2 = Graft.registerSinkTables(spark, root, "lake1")
+    assert(views2.contains("db__users__all"))
+    val all = spark.sql("SELECT count(*) FROM db__users__all").as[Long]
+      .head()
+    assert(all == 110L)
+    // base-era rows null-filled in the fork's added column
+    assert(spark.sql(
+      "SELECT count(*) FROM db__users__all WHERE extra IS NULL")
+      .as[Long].head() == 100L)
   }
 }

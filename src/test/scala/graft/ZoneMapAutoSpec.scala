@@ -71,6 +71,33 @@ class ZoneMapAutoSpec extends AnyFunSuite {
       .count(_.isInstanceOf[ZoneMapAuto.AutoRule]) == 0)
   }
 
+  test("a REAL pipeline-written sink (sink.zonemap.columns) is picked " +
+      "up by the rule under its manifest naming convention") {
+    import graft.model.{TableRegistry, TableSpec}
+    import org.apache.spark.sql.types._
+    val in = Files.createTempDirectory("graft-zma-cdc-")
+    val out = Files.createTempDirectory("graft-zma-cdc-out-")
+    val reg = TableRegistry(Seq(TableSpec("zdb", "items", StructType(Seq(
+      StructField("id", IntegerType), StructField("qty", LongType))))))
+    Files.write(in.resolve("00.jsonl"), (1 to 40).map(i =>
+      s"""{"_op":"CREATE","_ts":${1700000000000L + i},"_db":"zdb",""" +
+        s""""_tbl":"items","id":{"int":$i},"qty":{"long":${i * 2}},""" +
+        """"_binlog_file":"b.1","_binlog_pos_end":"1"}""")
+      .mkString("\n").getBytes)
+    val p = new graft.streaming.CdcPipeline(spark,
+      graft.streaming.CdcConfig("zma", reg, out.toString,
+        zonemapColumns = Seq("id")))
+    p.runAvailableNow(in.toString, Files.createTempDirectory("zma-ck")
+      .resolve("ck").toString)
+    val dir = s"$out/zma_zdb__items"
+    ZoneMapAuto.enable(spark)
+    try {
+      val q = spark.read.parquet(dir).filter(col("id") === 7)
+      assert(locationOf(q).isInstanceOf[ZoneMapPrunedIndex])
+      assert(q.count() == 1)
+    } finally ZoneMapAuto.disable(spark)
+  }
+
   test("enabled: a dir WITHOUT a manifest sibling is left untouched") {
     val dir = Files.createTempDirectory("graft-zma-plain-")
       .resolve("tbl").toString
