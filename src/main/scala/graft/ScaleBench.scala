@@ -671,6 +671,30 @@ object ScaleBench {
     println(f"[scale] zonemap planner path: ${nAll - dropped}/$nAll " +
       f"files via pushed filters, ${tPlanner}%5.2fs " +
       f"(vs full ${tFull}%5.2fs, explicit pruned ${tPruned}%5.2fs)")
+    // the opt-in rule: a PLAIN read with ZoneMapAuto enabled — same
+    // skipping through the sibling-manifest convention; the delta vs
+    // tPlanner is the rule's own planning cost (manifest re-read per
+    // planned query)
+    val sib = new org.apache.hadoop.fs.Path(s"$dir._zonemaps")
+    val hfs = sib.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!hfs.exists(sib))
+      org.apache.hadoop.fs.FileUtil.copy(hfs,
+        new org.apache.hadoop.fs.Path(man), hfs, sib, false,
+        spark.sessionState.newHadoopConf())
+    // apples to apples: BOTH sides construct the DataFrame fresh
+    // (spark.read re-lists and re-infers schema per call — that cost
+    // is the plain read's own, rule or no rule)
+    def plainRead() = agg(spark.read.parquet(dir)
+      .filter(col("u").between(16, 31) && col("h").between(32, 63)))
+    plainRead() // warm FS caches
+    val tOff = time(plainRead())
+    graft.ops.ZoneMapAuto.enable(spark)
+    val tAuto = try { plainRead(); time(plainRead()) }
+    finally graft.ops.ZoneMapAuto.disable(spark)
+    println(f"[scale] zonemap auto rule: plain read ${tOff}%5.2fs off " +
+      f"vs ${tAuto}%5.2fs on — verdicts cached per manifest version, " +
+      "so a warm query pays one mtime check; the win is the files " +
+      "not opened")
   }
 
   /** The snapshot-sharding datapoint SCALE.md's "scan rate × 1/N"

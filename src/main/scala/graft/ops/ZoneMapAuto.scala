@@ -36,15 +36,45 @@ object ZoneMapAuto {
   def manifestOf(root: Path): Path =
     new Path(root.getParent, root.getName + "._zonemaps")
 
+  /** Verdicts cached per manifest path, validated by the manifest
+    * dir's mtime (overwrite/append both touch it): the manifest
+    * collect is a small Spark job, and paying it once per PLANNED
+    * QUERY would tax every query over a hot table — with the cache
+    * it is paid once per manifest VERSION. A stale hit is impossible
+    * beyond the mtime window, and even then the contract degrades to
+    * over- or under-SKIPPING files the verdicts were built for —
+    * never to wrong rows, because pruning only consults stats of
+    * files it recognizes and keeps everything else.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Long, ZoneMapVerdicts)]()
+
+  private def verdictsFor(spark: SparkSession, manifest: Path,
+      mtime: Long): ZoneMapVerdicts = {
+    if (cache.size > 256) cache.clear() // crude bound; rebuilt on miss
+    val key = manifest.toString
+    val hit = cache.get(key)
+    if (hit != null && hit._1 == mtime) hit._2
+    else {
+      val v = new ZoneMapVerdicts(spark, key)
+      cache.put(key, (mtime, v))
+      v
+    }
+  }
+
   final case class AutoRule(spark: SparkSession)
       extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case l @ LogicalRelation(r: HadoopFsRelation, _, _, false, _)
           if eligible(r) =>
         val manifest = manifestOf(r.location.rootPaths.head)
+        val fs = manifest.getFileSystem(
+          spark.sessionState.newHadoopConf())
+        val mtime = fs.getFileStatus(manifest).getModificationTime
         l.copy(relation = r.copy(
           location = new ZoneMapPrunedIndex(r.location,
-            new ZoneMapVerdicts(spark, manifest.toString)))(spark))
+            verdictsFor(spark, manifest, mtime)))(spark))
     }
 
     private def eligible(r: HadoopFsRelation): Boolean =

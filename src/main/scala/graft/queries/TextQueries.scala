@@ -929,6 +929,40 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic global shuffle + stable sharding — the
+    // reproducibility primitive every training run needs: the corpus
+    // ordered by a seeded content-free hash (re-running ANY subset of
+    // the pipeline reproduces the exact order; no rand(), no
+    // partition-index dependence) and sharded by the same hash. The
+    // audit aggregates per shard: size, the shard's first/last doc in
+    // shuffle order (min_by/max_by on the hash — exact cross-engine
+    // because the md5 recipe is the q64 one DuckDB mirrors), and a
+    // membership checksum. Shape at scale: the shuffle is one
+    // range-sort by hv (∝ corpus, the op's definition); sharding is
+    // map-only arithmetic on the same hash.
+    QueryDef(
+      "q123_deterministic_shuffle",
+      """WITH h AS (SELECT doc_id,
+        |  ('0x'||substr(md5('42:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+        |    AS hv
+        | FROM documents)
+        |SELECT CAST(hv % 8 AS BIGINT) AS shard,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(arg_min(doc_id, hv) AS BIGINT) AS first_doc,
+        | CAST(arg_max(doc_id, hv) AS BIGINT) AS last_doc,
+        | CAST(sum(doc_id) AS BIGINT) AS sum_doc
+        |FROM h GROUP BY 1 ORDER BY shard""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"), graft.functions.KmvSketch.md5Hash60(
+          concat(lit("42:"), col("doc_id").cast("string"))).as("hv"))
+        .groupBy((col("hv") % 8).as("shard"))
+        .agg(count(lit(1)).as("n"),
+          min_by(col("doc_id"), col("hv")).as("first_doc"),
+          max_by(col("doc_id"), col("hv")).as("last_doc"),
+          sum("doc_id").as("sum_doc"))
+        .orderBy("shard")
+    },
+
     // Gopher-style repetition signals: the share of the most frequent
     // word and the duplicate-bigram fraction — the classic "remove
     // degenerate repetitive documents" filters of an LLM data

@@ -175,6 +175,39 @@ object Compaction {
     (before, after)
   }
 
+  /** Sweep crash leftovers: `._compact_tmp*` staging dirs and
+    * `.graft_stage_*` chunk staging older than `minAgeMs` are deleted
+    * (a crashed rewrite leaves them behind; readers ignore
+    * dot-prefixed dirs, but they cost listing time forever and can
+    * hold a dead copy of a whole partition's data on disk).
+    * `._compact_trash*` dirs are NOT swept: trash beside a MISSING
+    * live dir is the interrupted-swap recovery source — the matching
+    * compact run restores it; trash beside a live dir is a completed
+    * swap's debris and IS swept. The age guard keeps a live rewrite's
+    * staging safe; run with the same no-active-writer discipline as
+    * compaction for a full sweep. Returns the deleted paths.
+    */
+  def vacuum(spark: SparkSession, tableDir: String,
+      minAgeMs: Long = 3600000L): Seq[String] = {
+    val fs = new Path(tableDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val root = new Path(tableDir)
+    if (!fs.exists(root)) return Nil
+    val now = System.currentTimeMillis()
+    val doomed = fs.listStatus(root).toSeq.filter { st =>
+      val n = st.getPath.getName
+      val stale = now - st.getModificationTime >= minAgeMs
+      val tmpLike = n.startsWith("._compact_tmp") ||
+        n.startsWith(".graft_stage_")
+      val deadTrash = n.startsWith("._compact_trash_dt=") &&
+        fs.exists(new Path(root,
+          "dt=" + n.stripPrefix("._compact_trash_dt=")))
+      stale && (tmpLike || deadTrash)
+    }
+    doomed.foreach(st => fs.delete(st.getPath, true))
+    doomed.map(_.getPath.toString)
+  }
+
   /** Retention enforcement: drop every DATE-shaped `dt=` partition
     * strictly older than `beforeDt` (ISO dates compare
     * lexicographically), then patch any zone-map manifest beside the

@@ -228,6 +228,34 @@ class CompactionSpec extends AnyFunSuite {
       .count() == 50)
   }
 
+  test("vacuum sweeps stale staging and dead trash, never live data " +
+      "or recovery trash") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-vac-")
+      .resolve("tbl").toString
+    (0 until 40).map(i => (i, "2024-01-01")).toDF("id", "dt")
+      .write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def mk(n: String): Unit =
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/$n"))
+    mk("._compact_tmp_dt=2024-01-01") // crashed rewrite's staging
+    mk(".graft_stage_chunk3") // crashed chunk snapshot's staging
+    mk("._compact_trash_dt=2024-01-01") // dead: live dt dir EXISTS
+    mk("._compact_trash_dt=2024-09-09") // recovery: live dir MISSING
+    // too-young staging is protected by the age guard
+    val swept0 = Compaction.vacuum(spark, dir, minAgeMs = 3600000L)
+    assert(swept0.isEmpty)
+    val swept = Compaction.vacuum(spark, dir, minAgeMs = 0L)
+    assert(swept.map(_.split('/').last).toSet == Set(
+      "._compact_tmp_dt=2024-01-01", ".graft_stage_chunk3",
+      "._compact_trash_dt=2024-01-01"))
+    // the recovery trash (no live dir to match) survived, data intact
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/._compact_trash_dt=2024-09-09")))
+    assert(spark.read.parquet(dir).count() == 40)
+  }
+
   test("retention drops only date-shaped partitions older than the " +
       "cutoff and patches the manifest") {
     import spark.implicits._
