@@ -29,6 +29,8 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *    pruned/conjunction/point reads)
   *  - time travel over the CDC sink: [[graft.ops.TimeTravel]]
   *    (asOf / currentState)
+  *  - copy-on-write current-state TABLE, incrementally synced from
+  *    the sink: [[graft.streaming.CurrentTable]]
   *  - incremental aggregate views:
   *    [[graft.streaming.Materialize.aggDeltas]]
   *  - media decode/features: [[graft.multimodal.Multimodal]]

@@ -933,5 +933,49 @@ object ScalarQueries {
             .as("sum_price"))
         .orderBy("_table_version")
     },
+
+    // Copy-on-write current-state table (streaming.CurrentTable): the
+    // events stream as a user-keyed changelog, materialized in TWO
+    // incremental syncs (the second fold touches only the buckets its
+    // keys hash into), then the frozen state aggregated. The oracle
+    // is q117's ranked window with no cutoff — keep-latest per user —
+    // so hash equality pins the whole sync discipline: bucket
+    // assignment, per-bucket merge, delta-only folding, cursor.
+    QueryDef(
+      "q124_current_table",
+      """WITH ranked AS (SELECT user_id, event_type, value,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        | round(sum(value), 2) AS sum_value
+        |FROM ranked WHERE rn = 1
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ct-q124-").toString
+      val midUs = java.time.LocalDateTime.of(2024, 1, 15, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      val log = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("event_id"),
+          unix_micros(col("ts")).as("_ts"), lit("UPDATE").as("_op"),
+          when(unix_micros(col("ts")) <= midUs, "h1").otherwise("h2")
+            .as("dt"))
+      val order = Some(Seq(col("_ts"), col("event_id")))
+      log.filter(col("dt") === "h1")
+        .write.mode("append").partitionBy("dt").parquet(s"$work/sink")
+      graft.streaming.CurrentTable.sync(spark, s"$work/sink",
+        s"$work/cur", Seq("user_id"), buckets = 8,
+        orderOverride = order)
+      log.filter(col("dt") === "h2")
+        .write.mode("append").partitionBy("dt").parquet(s"$work/sink")
+      graft.streaming.CurrentTable.sync(spark, s"$work/sink",
+        s"$work/cur", Seq("user_id"), orderOverride = order)
+      graft.streaming.CurrentTable.read(spark, s"$work/cur")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
   )
 }
