@@ -523,6 +523,69 @@ object ScaleBench {
     * opened); the wall-clock delta on one warm local box understates
     * it by construction.
     */
+  /** Current-table maintenance: a `keys`-key changelog materialized
+    * once, then a 1% delta folded incrementally vs the full
+    * TimeTravel.currentState recompute — the rebuild-vs-delta ratio
+    * that justifies the maintained table (cost ∝ delta, not corpus).
+    */
+  private def currentTableExperiment(spark: SparkSession, work: String,
+      keysK: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val keys = keysK * 1000L
+    val sink = s"$work/ct_sink_$keysK"
+    val cur = s"$work/ct_cur_$keysK"
+    def rows(ids: org.apache.spark.sql.DataFrame, tsBase: Long) =
+      ids.select(col("id"), concat(lit("v"), col("id")).as("name"),
+        lit("UPDATE").as("_op"), (lit(tsBase) + col("id")).as("_ts"),
+        lit("f1").as("_binlog_file_internal"),
+        (lit(tsBase) + col("id")).as("_binlog_pos_internal"),
+        lit("2024-01-01").as("dt"))
+    new java.io.File(sink).delete(); new java.io.File(cur).delete()
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(sink))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(cur))
+    // 3 versions per key: the reason a current table EXISTS is a
+    // changelog several times the live set — every consumer otherwise
+    // re-pays the full history per read
+    for (w <- 0 until 3)
+      rows(spark.range(keys).toDF("id"), 1000000L * (w + 1))
+        .write.mode("append").partitionBy("dt").parquet(sink)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // bucket sizing law: a delta fold rewrites
+    // ~min(deltaKeys, buckets)/buckets of the table, so the win needs
+    // buckets ≫ the typical delta's KEY count while each bucket stays
+    // a sane file size — 256 buckets against a 10-key delta here (the
+    // hot-entity CDC shape: few entities change, often)
+    val tBuild = time(graft.streaming.CurrentTable.sync(spark, sink, cur,
+      Seq("id"), buckets = 256))
+    rows(spark.range(10).toDF("id"), 9000000L)
+      .write.mode("append").partitionBy("dt").parquet(sink)
+    val tDelta = time(graft.streaming.CurrentTable.sync(spark, sink, cur,
+      Seq("id")))
+    // the honest alternatives: materializing the same queryable table
+    // from scratch per refresh, and serving each read by a full
+    // changelog scan instead of reading the table
+    val scratch = s"$work/ct_scratch_$keysK"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(scratch))
+    val tFull = time(
+      graft.ops.TimeTravel.currentState(spark, sink, Seq("id"))
+        .write.mode("overwrite").parquet(scratch))
+    def drainCount(df: org.apache.spark.sql.DataFrame): Unit =
+      df.agg(count(lit(1))).write.format("noop").mode("overwrite").save()
+    val tReadCur = time(drainCount(
+      graft.streaming.CurrentTable.read(spark, cur)))
+    val tReadScan = time(drainCount(
+      graft.ops.TimeTravel.currentState(spark, sink, Seq("id"))))
+    val n = graft.streaming.CurrentTable.read(spark, cur).count()
+    require(n == keys, s"current table rows $n != $keys")
+    println(f"[scale] currenttable ${keys} keys: first sync " +
+      f"${tBuild}%6.2fs; 10-key delta fold ${tDelta}%5.2fs vs " +
+      f"from-scratch rematerialize ${tFull}%5.2fs " +
+      f"(${tFull / tDelta}%4.1fx); read current ${tReadCur}%5.2fs vs " +
+      f"per-query log scan ${tReadScan}%5.2fs")
+  }
+
   /** Auto-compaction under a many-small-batches ingest: the same feed
     * replayed one file per micro-batch with the compactor off vs on —
     * ingest overhead (the rewrites ride the batch loop), final sink
@@ -931,6 +994,14 @@ object ScaleBench {
       val spark = buildSession()
       zonemapExperiment(spark, args.lift(2).getOrElse("/tmp/graft-scale"),
         args.lift(1).map(_.toInt).getOrElse(20))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("currenttable")) {
+      val spark = buildSession()
+      currentTableExperiment(spark,
+        args.lift(2).getOrElse("/tmp/graft-scale"),
+        args.lift(1).map(_.toInt).getOrElse(2000))
       spark.stop()
       return
     }

@@ -74,10 +74,11 @@ class CurrentTableSpec extends AnyFunSuite {
     assert(stateOf(cur) == oracleOf(sink))
     assert(stateOf(cur) ==
       Set((1L, "alice2"), (3L, "carol"), (4L, "dave")))
-    // only the touched buckets were rewritten
+    // only the touched buckets were rewritten (a delete-emptied
+    // bucket counts: its dir is REMOVED, not rewritten)
     val after = bucketMtimes()
-    val changed = after.keySet.filter(k =>
-      !before.contains(k) || before(k) != after(k))
+    val changed = (before.keySet ++ after.keySet).filter(k =>
+      before.get(k) != after.get(k))
     assert(changed.size == b2 && b2 < 8,
       s"expected $b2 touched buckets, dirs changed: $changed")
 
