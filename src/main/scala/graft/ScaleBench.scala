@@ -614,9 +614,11 @@ object ScaleBench {
       require(p.recordCount == rows,
         s"ingest row mismatch: ${p.recordCount} != $rows")
       val dir = s"$tmp/sink/ac_bench__events"
-      val nFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .toArray.map(_.toString)
-        .count(s => s.endsWith(".parquet") && !s.contains("._"))
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val nFiles =
+        try walk.toArray.map(_.toString)
+          .count(s => s.endsWith(".parquet") && !s.contains("._"))
+        finally walk.close()
       val t1 = System.nanoTime()
       spark.read.parquet(dir).agg(count(lit(1)), sum("value")).collect()
       val tRead = (System.nanoTime() - t1) / 1e9

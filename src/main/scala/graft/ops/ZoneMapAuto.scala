@@ -68,13 +68,26 @@ object ZoneMapAuto {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case l @ LogicalRelation(r: HadoopFsRelation, _, _, false, _)
           if eligible(r) =>
-        val manifest = manifestOf(r.location.rootPaths.head)
-        val fs = manifest.getFileSystem(
-          spark.sessionState.newHadoopConf())
-        val mtime = fs.getFileStatus(manifest).getModificationTime
-        l.copy(relation = r.copy(
-          location = new ZoneMapPrunedIndex(r.location,
-            verdictsFor(spark, manifest, mtime)))(spark))
+        // DEGRADE, NEVER BREAK: between eligible()'s exists() and the
+        // reads below, a concurrent maintenance pass can be rewriting
+        // the manifest (rebuild = delete + rewrite over seconds). A
+        // vanished or half-written manifest must leave the user's
+        // plain read exactly as it was — an unpruned scan — not fail
+        // the query from inside the optimizer.
+        try {
+          val manifest = manifestOf(r.location.rootPaths.head)
+          val fs = manifest.getFileSystem(
+            spark.sessionState.newHadoopConf())
+          val mtime = fs.getFileStatus(manifest).getModificationTime
+          l.copy(relation = r.copy(
+            location = new ZoneMapPrunedIndex(r.location,
+              verdictsFor(spark, manifest, mtime)))(spark))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            logWarning(s"ZoneMapAuto: leaving scan unpruned " +
+              s"(manifest unreadable: ${e.getMessage})")
+            l
+        }
     }
 
     private def eligible(r: HadoopFsRelation): Boolean =

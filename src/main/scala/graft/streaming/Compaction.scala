@@ -198,14 +198,30 @@ object Compaction {
       val n = st.getPath.getName
       val stale = now - st.getModificationTime >= minAgeMs
       val tmpLike = n.startsWith("._compact_tmp") ||
-        n.startsWith(".graft_stage_")
-      val deadTrash = n.startsWith("._compact_trash_dt=") &&
-        fs.exists(new Path(root,
-          "dt=" + n.stripPrefix("._compact_trash_dt=")))
-      stale && (tmpLike || deadTrash)
+        n.startsWith(".graft_stage_") || n == "._ct_stage"
+      // trash beside a LIVE twin is a completed swap's debris; trash
+      // with its twin missing is the interrupted-swap recovery source
+      // (partition compaction and the current table share the shape)
+      def dead(prefix: String, livePrefix: String) =
+        n.startsWith(prefix) &&
+          fs.exists(new Path(root, livePrefix + n.stripPrefix(prefix)))
+      stale && (tmpLike ||
+        dead("._compact_trash_dt=", "dt=") ||
+        dead("._ct_trash_kb=", "kb="))
     }
     doomed.foreach(st => fs.delete(st.getPath, true))
-    doomed.map(_.getPath.toString)
+    // whole-table compact stages at SIBLING paths (`<dir>._compact_tmp`
+    // / `._compact_trash`) — a crashed table rewrite otherwise parks a
+    // full-size dead copy nothing reclaims
+    val sibTmp = new Path(tableDir + "._compact_tmp")
+    val sibTrash = new Path(tableDir + "._compact_trash")
+    val siblings = Seq(sibTmp -> true,
+      sibTrash -> fs.exists(root)) // trash only if the live table exists
+      .collect { case (p, ok) if ok && fs.exists(p) &&
+          now - fs.getFileStatus(p).getModificationTime >= minAgeMs =>
+        fs.delete(p, true); p.toString
+      }
+    doomed.map(_.getPath.toString) ++ siblings
   }
 
   /** Retention enforcement: drop every DATE-shaped `dt=` partition

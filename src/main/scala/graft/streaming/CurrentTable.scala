@@ -75,7 +75,11 @@ object CurrentTable {
         fs.listStatus(s.getPath).toSeq
           .filterNot(c => hidden(c.getPath.getName)).flatMap(walk)
       else Seq(s)
-    walk(fs.getFileStatus(root)).map(_.getPath.toUri.getPath)
+    // FULL qualified URIs, not bare paths: these strings go straight
+    // back into spark.read.parquet — stripping the scheme would
+    // resolve them against fs.defaultFS and break non-default
+    // filesystems (s3a://, hdfs://)
+    walk(fs.getFileStatus(root)).map(_.getPath.toString)
       .filter(_.endsWith(".parquet"))
   }
 
@@ -96,6 +100,27 @@ object CurrentTable {
     val state = readState(spark, currentDir)
     val nb = state.map(_._1).getOrElse(buckets)
     val done = state.map(_._2).getOrElse(Set.empty)
+    // the bucket count is a LAYOUT constant — persist it BEFORE the
+    // first fold, or a crash before the cursor lands followed by a
+    // retry with a different `buckets` argument would merge new rows
+    // under one modulus into dirs cut under another (duplicate keys,
+    // silently, forever). And if the cursor is GONE while bucket dirs
+    // exist (external deletion), the modulus is unknowable — fail
+    // loudly rather than guess.
+    if (state.isEmpty) {
+      val rootP = new Path(currentDir)
+      val rfs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+      if (rfs.exists(rootP)) {
+        val orphaned = rfs.listStatus(rootP)
+          .count(_.getPath.getName.startsWith("kb="))
+        require(orphaned == 0,
+          s"current table at $currentDir has $orphaned bucket dirs but " +
+            "no _synced.txt — the bucket modulus is unknowable; restore " +
+            "the cursor or rebuild the table")
+      }
+      AtomicFiles.write(stateFile(currentDir), s"$nb\n",
+        spark.sparkContext.hadoopConfiguration)
+    }
     val all = dataFiles(spark, sinkDir)
     val fresh = all.filterNot(done)
     if (fresh.isEmpty) return (0, 0)
@@ -104,8 +129,13 @@ object CurrentTable {
     // concatenation (("ab","c") vs ("a","bc"))
     val kb = pmod(xxhash64(concat_ws("\u0001", pk.map(col): _*)),
       lit(nb.toLong)).cast("int")
+    val sinkBase = {
+      val sp = new Path(sinkDir)
+      sp.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(sp).toString
+    }
     val changes = spark.read
-      .option("basePath", sinkDir).parquet(fresh: _*)
+      .option("basePath", sinkBase).parquet(fresh: _*)
       .drop("dt") // the current table is keyed, not time-bucketed
       .withColumn("kb", kb)
     val touched = changes.select("kb").distinct()

@@ -243,16 +243,26 @@ class CompactionSpec extends AnyFunSuite {
     mk(".graft_stage_chunk3") // crashed chunk snapshot's staging
     mk("._compact_trash_dt=2024-01-01") // dead: live dt dir EXISTS
     mk("._compact_trash_dt=2024-09-09") // recovery: live dir MISSING
+    mk("._ct_stage") // crashed current-table fold staging
+    mk("._ct_trash_kb=3"); mk("kb=3") // dead current-table trash
+    mk("._ct_trash_kb=9") // recovery trash: kb=9 missing — keep
+    // whole-table compact stages at SIBLING paths
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir._compact_tmp"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir._compact_trash"))
     // too-young staging is protected by the age guard
     val swept0 = Compaction.vacuum(spark, dir, minAgeMs = 3600000L)
     assert(swept0.isEmpty)
     val swept = Compaction.vacuum(spark, dir, minAgeMs = 0L)
     assert(swept.map(_.split('/').last).toSet == Set(
       "._compact_tmp_dt=2024-01-01", ".graft_stage_chunk3",
-      "._compact_trash_dt=2024-01-01"))
-    // the recovery trash (no live dir to match) survived, data intact
+      "._compact_trash_dt=2024-01-01", "._ct_stage", "._ct_trash_kb=3",
+      new java.io.File(dir).getName + "._compact_tmp",
+      new java.io.File(dir).getName + "._compact_trash"))
+    // the recovery trashes (no live twin) survived, data intact
     assert(fs.exists(new org.apache.hadoop.fs.Path(
       s"$dir/._compact_trash_dt=2024-09-09")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/._ct_trash_kb=9")))
     assert(spark.read.parquet(dir).count() == 40)
   }
 

@@ -82,15 +82,27 @@ class CurrentTableSpec extends AnyFunSuite {
     assert(changed.size == b2 && b2 < 8,
       s"expected $b2 touched buckets, dirs changed: $changed")
 
-    // crash replay: wipe the cursor (as if the crash hit before it
-    // landed) and re-sync — the same files re-fold, state unchanged
+    // crash replay: revert the cursor to its pre-fold nb-only form
+    // (the real crash window — the bucket count lands BEFORE any
+    // fold) and re-sync, even with a DIFFERENT buckets argument: the
+    // persisted modulus wins, the same files re-fold, keep-latest
+    // converges
     val fs = new org.apache.hadoop.fs.Path(cur)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(s"$cur/_synced.txt"), false)
+    graft.streaming.AtomicFiles.write(s"$cur/_synced.txt", "8\n",
+      spark.sparkContext.hadoopConfiguration)
     val (f3, _) = CurrentTable.sync(spark, sink, cur, Seq("id"),
-      buckets = 8)
+      buckets = 4) // mismatched arg must NOT change the layout
     assert(f3 == 2) // everything re-folded
     assert(stateOf(cur) == oracleOf(sink))
+
+    // a wholly-missing cursor beside existing bucket dirs is an
+    // unknowable modulus — loud failure, never a silent guess
+    fs.delete(new org.apache.hadoop.fs.Path(s"$cur/_synced.txt"), false)
+    val e = intercept[IllegalArgumentException] {
+      CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 8)
+    }
+    assert(e.getMessage.contains("unknowable"))
   }
 
   test("an interrupted bucket swap heals on the next sync") {
