@@ -142,6 +142,33 @@ object CdcJob {
       retentionDays = cfg.get("sink.retention.days")
         .map(v => positiveInt(v, "sink.retention.days"))
         .getOrElse(0),
+      // `sink.current.keys` — per-table current-state materialization;
+      // raw `db.table` keys re-key through the sanitizer like the
+      // override surface, unknown tables and unknown key columns fail
+      // assembly (a typo'd key column would otherwise NPE-shape every
+      // sync at runtime)
+      currentKeys = JobConfig.nameMap(cfg, "sink.current.keys")
+        .map { case (k, v) =>
+          val routeKey = k.split("\\.", 2) match {
+            case Array(d, t) =>
+              s"${graft.schema.Sanitizer(d)}.${graft.schema.Sanitizer(t)}"
+            case Array(t) => graft.schema.Sanitizer(t)
+          }
+          if (!registry.routed.contains(routeKey))
+            throw new IllegalArgumentException(
+              s"CURRENT-TABLE KEYS FOR UNKNOWN TABLE: $k (known: " +
+                registry.routed.keySet.toSeq.sorted.mkString(", ") + ")")
+          val cols = v.split(",").map(_.trim).toSeq
+          if (cols.isEmpty || cols.exists(_.isEmpty))
+            throw new IllegalArgumentException(
+              s"BAD sink.current.keys for $k: '$v' (want col1,col2,...)")
+          val fields = registry.routed(routeKey).schema.fieldNames
+          for (c <- cols if !fields.exists(_.equalsIgnoreCase(c)))
+            throw new IllegalArgumentException(
+              s"UNKNOWN CURRENT-TABLE KEY COLUMN for $k: '$c' " +
+                s"(table has: ${fields.mkString(", ")})")
+          routeKey -> cols
+        },
       // `mongodb.deserialization.mode` (`MongoDBStreamer.java:64,92-107`):
       // doc-string / top-level-string / top-level-type, defaulting to
       // top-level-type with a warning, unknown value fails fast — only

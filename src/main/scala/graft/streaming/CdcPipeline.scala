@@ -114,7 +114,18 @@ final case class CdcConfig(
       * until a maintenance pass handles it, so retention can never
       * race a backfill into a cold table. 0 = keep forever.
       */
-    retentionDays: Int = 0) {
+    retentionDays: Int = 0,
+    /** Current-state tables (`sink.current.keys`, JSON map of raw
+      * `db.table` → comma-separated key columns): after each batch
+      * commits, every listed table the batch wrote gets its
+      * `<tableDir>__current` sibling synced
+      * ([[CurrentTable.sync]] — incremental by the sink files
+      * appended since the table's own durable cursor, so replayed or
+      * skipped batches cost nothing extra). The pipeline ships a
+      * QUERYABLE latest-row table beside the changelog, no log scan
+      * per read.
+      */
+    currentKeys: Map[String, Seq[String]] = Map.empty) {
   def name: String = jobName.getOrElse(s"JOB-$sourceId")
 }
 
@@ -590,6 +601,18 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         // threshold — cold history is never rewritten.
         if (config.compactAfterFiles > 0)
           autoCompact(present.intersect(routed.keySet), batchStartMs)
+        if (config.currentKeys.nonEmpty)
+          for (key <- present.intersect(routed.keySet);
+              pk <- config.currentKeys.get(key);
+              spec <- routed.get(key)) {
+            val dir = spec.sinkDir(config.sinkPath, config.sourceId)
+            val (nf, nbk) = CurrentTable.sync(spark, dir,
+              s"${dir}__current", pk, config.sourceType)
+            if (nf > 0)
+              org.slf4j.LoggerFactory.getLogger(getClass).info(
+                s"[${config.name}] current-table $key: folded $nf " +
+                  s"file(s) into $nbk bucket(s)")
+          }
         if (config.retentionDays > 0) {
           val cutoff = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
             .minusDays(config.retentionDays.toLong).toString

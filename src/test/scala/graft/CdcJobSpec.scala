@@ -167,6 +167,19 @@ class CdcJobSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       CdcJob.configFromMap(base + ("sink.retention.days" -> "0"))
     }.getMessage.contains("sink.retention.days"))
+    // current-table keys: raw spellings re-key; unknown table or
+    // column fails assembly
+    assert(CdcJob.configFromMap(base +
+      ("sink.current.keys" -> """{"db.t": "id"}""")).currentKeys
+      == Map("db.t" -> Seq("id")))
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base +
+        ("sink.current.keys" -> """{"db.ghost": "id"}"""))
+    }.getMessage.contains("UNKNOWN TABLE"))
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base +
+        ("sink.current.keys" -> """{"db.t": "nope"}"""))
+    }.getMessage.contains("KEY COLUMN"))
   }
 
   test("snapshot override keys are sanitized to route keys and registry-validated") {
