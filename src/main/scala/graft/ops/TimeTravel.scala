@@ -44,6 +44,31 @@ object TimeTravel {
       case _ => Seq.empty
     })
 
+  /** The tombstone predicate shared by every keep-latest consumer:
+    * a change row whose `_op` marks a delete (mysql/pg/oracle spell
+    * it `DELETE`, Debezium-compact envelopes `d`).
+    */
+  def isTombstone: Column = col("_op").isin("DELETE", "d")
+
+  /** Each key's LATEST change row at or before `tsMs` — tombstones
+    * INCLUDED (one row per key that ever changed; a deleted key's row
+    * is its DELETE). This is the merge kernel for maintained state
+    * ([[graft.streaming.CurrentTable]] folds with tombstones retained
+    * so a re-folded OLDER change can never outrank a stored delete);
+    * [[asOf]] is this plus the tombstone drop.
+    */
+  def latest(changeLog: DataFrame, pk: Seq[String], tsMs: Long,
+      order: Seq[Column]): DataFrame = {
+    require(pk.nonEmpty, "latest: no key columns")
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(order.map(_.desc_nulls_last): _*)
+    changeLog
+      .filter(col("_ts") <= tsMs)
+      .withColumn("_tt_rn", row_number().over(w))
+      .filter(col("_tt_rn") === 1)
+      .drop("_tt_rn")
+  }
+
   /** The state of `changeLog` as of `tsMs` (inclusive): one row per
     * live key, payload exactly as the latest qualifying change wrote
     * it (metadata columns retained — callers drop what they don't
@@ -51,16 +76,8 @@ object TimeTravel {
     * sort FIRST (snapshot rows precede any real offset).
     */
   def asOf(changeLog: DataFrame, pk: Seq[String], tsMs: Long,
-      order: Seq[Column]): DataFrame = {
-    require(pk.nonEmpty, "asOf: no key columns")
-    val w = Window.partitionBy(pk.map(col): _*)
-      .orderBy(order.map(_.desc_nulls_last): _*)
-    changeLog
-      .filter(col("_ts") <= tsMs)
-      .withColumn("_tt_rn", row_number().over(w))
-      .filter(col("_tt_rn") === 1 && !col("_op").isin("DELETE", "d"))
-      .drop("_tt_rn")
-  }
+      order: Seq[Column]): DataFrame =
+    latest(changeLog, pk, tsMs, order).filter(!isTombstone)
 
   /** [[asOf]] straight off a sink table directory, with the `dt=`
     * cutoff filter applied FIRST so partition pruning keeps buckets

@@ -109,6 +109,7 @@ object ZoneMaps {
     */
   def refresh(spark: SparkSession, dataDir: String,
       manifestDir: String): Int = {
+    restorePatchIfInterrupted(spark, manifestDir)
     val m = spark.read.parquet(manifestDir)
     val known = m.select("file").collect().map(_.getString(0)).toSet
     val fresh = dataFiles(spark, dataDir).filterNot(known)
@@ -137,6 +138,7 @@ object ZoneMaps {
   def ensure(spark: SparkSession, dataDir: String, manifestDir: String,
       columns: Seq[String], bloomColumns: Seq[String] = Nil,
       bloomBits: Int = DefaultBloomBits): Int = {
+    restorePatchIfInterrupted(spark, manifestDir)
     val fs = new Path(manifestDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(new Path(manifestDir))) refresh(spark, dataDir, manifestDir)
@@ -211,12 +213,28 @@ object ZoneMaps {
     */
   def rebuild(spark: SparkSession, dataDir: String,
       manifestDir: String): Unit = {
+    restorePatchIfInterrupted(spark, manifestDir)
     val m = spark.read.parquet(manifestDir)
     val columns = m.columns.filter(_.endsWith("_min"))
       .map(_.stripSuffix("_min")).toSeq
     val blooms = bloomColumnsOf(m)
     val bits = bloomBitsOf(m) // materialized eagerly (head) pre-write
     build(spark, dataDir, manifestDir, columns, blooms, bits)
+  }
+
+  /** Finish an interrupted [[patch]] swap: a crash strictly between
+    * its two renames leaves the live manifest missing and the
+    * original parked in `._patch_trash` — restore it before reading.
+    * Called by every manifest entry point, so a crashed patch never
+    * strands prunedRead/refresh/maintenance until a manual rebuild.
+    */
+  private def restorePatchIfInterrupted(spark: SparkSession,
+      manifestDir: String): Unit = {
+    val fs = new Path(manifestDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val trash = new Path(manifestDir + "._patch_trash")
+    if (!fs.exists(new Path(manifestDir)) && fs.exists(trash))
+      fs.rename(trash, new Path(manifestDir))
   }
 
   /** Partition-scoped rewrite hook: drop the manifest rows whose file
@@ -227,9 +245,18 @@ object ZoneMaps {
     * per-`dt=`-partition compactor affordable to run behind every
     * threshold crossing. The manifest is collected driver-side before
     * the overwrite (it is a row per file — small by construction).
+    *
+    * The pruned manifest is staged to a dot-suffixed sibling and
+    * swapped in by two renames (live → `._patch_trash`, staged →
+    * live) — a delete-then-rewrite overwrite would leave concurrent
+    * readers a whole Spark job's worth of missing-manifest window,
+    * and a crash mid-write an unreadable manifest. A crash between
+    * the renames heals at the next manifest read
+    * ([[restorePatchIfInterrupted]]).
     */
   def patch(spark: SparkSession, dataDir: String, manifestDir: String,
       removedPrefixes: Seq[String]): Int = {
+    restorePatchIfInterrupted(spark, manifestDir)
     val m = spark.read.parquet(manifestDir)
     val schema = m.schema
     val fileAt = schema.fieldIndex("file")
@@ -248,10 +275,23 @@ object ZoneMaps {
       val f = r.getString(fileAt)
       norm.exists(f.startsWith)
     }
+    val mfs = new Path(manifestDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(manifestDir + "._patch_tmp")
+    val trash = new Path(manifestDir + "._patch_trash")
+    mfs.delete(tmp, true); mfs.delete(trash, true)
     spark.createDataFrame(
         java.util.Arrays.asList(kept: _*), schema)
       .repartition(1)
-      .write.mode(SaveMode.Overwrite).parquet(manifestDir)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val live = new Path(manifestDir)
+    if (!mfs.rename(live, trash))
+      throw new IllegalStateException(s"manifest patch swap failed: $live")
+    if (!mfs.rename(tmp, live)) {
+      mfs.rename(trash, live) // roll back
+      throw new IllegalStateException(s"manifest patch swap failed: $live")
+    }
+    mfs.delete(trash, true)
     refresh(spark, dataDir, manifestDir)
   }
 
@@ -265,6 +305,7 @@ object ZoneMaps {
     */
   def candidateFilesPoint(spark: SparkSession, dataDir: String,
       manifestDir: String, column: String, value: Any): Seq[String] = {
+    restorePatchIfInterrupted(spark, manifestDir)
     val m = spark.read.parquet(manifestDir)
     val pred =
       if (m.columns.contains(s"${column}_bloom"))
@@ -309,6 +350,7 @@ object ZoneMaps {
       manifestDir: String,
       ranges: Seq[(String, Any, Any)]): Seq[String] = {
     require(ranges.nonEmpty, "candidateFilesAll: no ranges")
+    restorePatchIfInterrupted(spark, manifestDir)
     val m = spark.read.parquet(manifestDir)
     val pred = ranges.map { case (c, lo, hi) =>
       col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi)

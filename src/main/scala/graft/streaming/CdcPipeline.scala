@@ -229,6 +229,12 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
 
   private val routed: Map[String, TableSpec] = config.registry.routed
 
+  /** Tables whose current-table sync has done its one full-listing
+    * pass this run (later syncs scope to the batch's partitions —
+    * see processBatch). Driver-side, single foreachBatch thread.
+    */
+  private val fullSynced = scala.collection.mutable.Set.empty[String]
+
   /** The sink bucket column: event-date (K1), or the K4 constant. */
   private val dtColumn: org.apache.spark.sql.Column =
     config.fixedBucket.map(lit).getOrElse(EnvelopeDecoder.dtColumn)
@@ -373,9 +379,6 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
 
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (gate.stopped) return // swallow after stop signal (P1 `:138-142`)
-    // for the auto-compactor: only dt= dirs modified at-or-after this
-    // instant can have been fragmented by THIS batch's writes
-    val batchStartMs = System.currentTimeMillis()
     val frame = EnvelopeDecoder.decode(batch).persist()
     try {
       val isNonRead = col("_op").isNotNull && col("_op") =!= "READ" &&
@@ -397,11 +400,23 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         min(col("_ts")).as("minTs"),
         // undecodable envelope (bad JSON / no routing key): counted
         // here, fatal below — silently dropping data is not an option
-        sum(when(col("_tbl_key").isNull, 1).otherwise(0)).as("nBad"))
+        sum(when(col("_tbl_key").isNull, 1).otherwise(0)).as("nBad"),
+        // the exact (table, dt) pairs this batch writes — what the
+        // maintenance passes below (auto-compaction, current-table
+        // sync) scope to. EXACT, not inferred: directory mtimes are
+        // synthetic on object stores and a heuristic everywhere else.
+        // Bounded by tables × distinct days in the batch.
+        collect_set(when(col("_ddl").isNull && col("_tbl_key").isNotNull,
+          struct(col("_tbl_key").as("k"), dtColumn.as("d")))).as("tblDts"))
         .collect()(0)
       val present = s.getSeq[String](2).toSet
       val nonReadTables = s.getSeq[String](3)
       val nDdl = Option(s.get(5)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val tblDts: Map[String, Seq[String]] =
+        s.getSeq[org.apache.spark.sql.Row](8)
+          .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+          .groupBy(_.getString(0))
+          .map { case (k, rs) => k -> rs.map(_.getString(1)).distinct }
 
       val fingerprint = s"${s.getLong(0)}|${Option(s.get(1)).orNull}|" +
         s"${Option(s.get(6)).orNull}|${Option(s.get(4)).orNull}|$nDdl"
@@ -593,37 +608,57 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         }
         config.statusStorePath.foreach(writeStatusFile)
         markCommitted(batchId, fingerprint)
-        // Auto-compaction AFTER the batch is durable: the stream is
-        // idle between micro-batches (single writer), so the swap's
-        // no-active-writer requirement holds; a crash mid-swap heals
-        // on the next compactor pass (restoreIfInterrupted). Scoped
-        // to partitions this batch touched AND fragmented past the
-        // threshold — cold history is never rewritten.
-        if (config.compactAfterFiles > 0)
-          autoCompact(present.intersect(routed.keySet), batchStartMs)
+        // Maintenance AFTER the batch is durable, current-table sync
+        // FIRST: once the batch's partitions are fully folded, the
+        // compactor below may swap the cursor to the rewritten file
+        // names instead of re-folding the whole partition — and a
+        // rewrite the cursor misses is still safe, because the table
+        // retains DELETE tombstones (re-folded older changes lose the
+        // keep-latest rematch instead of resurrecting deleted keys).
         if (config.currentKeys.nonEmpty)
           for (key <- present.intersect(routed.keySet);
               pk <- config.currentKeys.get(key);
               spec <- routed.get(key)) {
             val dir = spec.sinkDir(config.sinkPath, config.sourceId)
+            // scope the listing to the batch's own partitions — except
+            // each table's first sync this run, which walks everything:
+            // a crash between a committed batch and its sync leaves
+            // unfolded files a scoped listing would never revisit
+            val scope = if (fullSynced(key))
+              Some(tblDts.getOrElse(key, Nil).map(d => s"dt=$d"))
+            else None
             val (nf, nbk) = CurrentTable.sync(spark, dir,
-              s"${dir}__current", pk, config.sourceType)
+              s"${dir}__current", pk, config.sourceType, scope = scope)
+            fullSynced += key
             if (nf > 0)
               org.slf4j.LoggerFactory.getLogger(getClass).info(
                 s"[${config.name}] current-table $key: folded $nf " +
                   s"file(s) into $nbk bucket(s)")
           }
+        // Auto-compaction next: the stream is idle between
+        // micro-batches (single writer), so the swap's no-active-writer
+        // requirement holds; a crash mid-swap heals on the next
+        // compactor pass (restoreIfInterrupted). Scoped to the exact
+        // partitions this batch wrote (from the batch frame itself)
+        // AND fragmented past the threshold — cold history is never
+        // rewritten.
+        if (config.compactAfterFiles > 0)
+          autoCompact(tblDts.view.filterKeys(routed.keySet).toMap)
         if (config.retentionDays > 0) {
-          val cutoff = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
-            .minusDays(config.retentionDays.toLong).toString
+          val cutoff =
+            CdcPipeline.retentionCutoff(spark, config.retentionDays)
           for (key <- present.intersect(routed.keySet);
               spec <- routed.get(key)) {
-            val dropped = Compaction.expirePartitions(spark,
-              spec.sinkDir(config.sinkPath, config.sourceId), cutoff)
-            if (dropped.nonEmpty)
+            val dir = spec.sinkDir(config.sinkPath, config.sourceId)
+            val dropped = Compaction.expirePartitions(spark, dir, cutoff)
+            if (dropped.nonEmpty) {
+              if (config.currentKeys.contains(key))
+                CurrentTable.onSinkRewrite(spark, dir, s"${dir}__current",
+                  dropped.map(v => s"$dir/dt=$v"), Nil)
               org.slf4j.LoggerFactory.getLogger(getClass).info(
                 s"[${config.name}] retention $key: dropped " +
                   s"dt=[${dropped.mkString(",")}] (< $cutoff)")
+            }
           }
         }
       }
@@ -663,41 +698,43 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     }
 
   /** The per-batch auto-compactor (`sink.compact.after.files`): for
-    * each table this batch wrote, find the `dt=` partitions it
-    * touched (directory mtime at-or-after the batch start — one
-    * listing per table) and compact any whose file count crossed the
-    * threshold. Partition-scoped by design; see
-    * [[Compaction.compactPartitions]].
+    * each table this batch wrote, compact the `dt=` partitions the
+    * BATCH FRAME says it wrote (exact — no directory-mtime guessing,
+    * which breaks outright on object stores' synthetic mtimes) whose
+    * file count crossed the threshold. Partition-scoped by design;
+    * see [[Compaction.compactPartitions]]. When a current table rides
+    * beside the sink, its cursor is swapped to the rewritten file
+    * names (the sync above already folded them — see
+    * [[CurrentTable.onSinkRewrite]]'s contract) so the rewrite never
+    * triggers a re-fold of the whole partition.
     */
-  private def autoCompact(writtenKeys: Set[String],
-      batchStartMs: Long): Unit = {
+  private def autoCompact(tblDts: Map[String, Seq[String]]): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
-    for (key <- writtenKeys; spec <- routed.get(key)) {
+    for ((key, dts) <- tblDts; spec <- routed.get(key)) {
       val dir = spec.sinkDir(config.sinkPath, config.sourceId)
       val root = new org.apache.hadoop.fs.Path(dir)
       val fs = root.getFileSystem(hconf)
-      if (fs.exists(root)) {
-        // 1 s slack: a filesystem with second-granularity mtimes can
-        // record a write landing in the same second as the batch
-        // start BELOW batchStartMs, which would systematically skip
-        // the hot partition on fast batches; an extra second only
-        // means occasionally file-counting a partition the previous
-        // batch touched
-        val fragmented = fs.listStatus(root).toSeq
-          .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith("dt=") &&
-            st.getModificationTime >= batchStartMs - 1000L)
-          .filter(st => fs.listStatus(st.getPath).count(
-            _.getPath.getName.endsWith(".parquet"))
-            > config.compactAfterFiles)
-          .map(_.getPath.getName.stripPrefix("dt="))
-        if (fragmented.nonEmpty) {
-          val (b, a) = Compaction.compactPartitions(spark, dir,
-            fragmented, config.compactRowsPerFile, sinkCompactOrder)
-          org.slf4j.LoggerFactory.getLogger(getClass).info(
-            s"[${config.name}] auto-compact $key " +
-              s"dt=[${fragmented.mkString(",")}]: $b -> $a file(s)")
-        }
+      def partFiles(dt: String): Seq[String] = {
+        val p = new org.apache.hadoop.fs.Path(dir, s"dt=$dt")
+        if (!fs.exists(p)) Nil
+        else fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      }
+      val fragmented = dts.filter(
+        partFiles(_).size > config.compactAfterFiles).sorted
+      if (fragmented.nonEmpty) {
+        val (b, a) = Compaction.compactPartitions(spark, dir,
+          fragmented, config.compactRowsPerFile, sinkCompactOrder)
+        // the current-table sync ran before this compaction in the
+        // same batch, over these same partitions — every replaced
+        // file was folded, so the rewritten files carry no new rows
+        if (config.currentKeys.contains(key) && fullSynced.contains(key))
+          CurrentTable.onSinkRewrite(spark, dir, s"${dir}__current",
+            fragmented.map(v => s"$dir/dt=$v"),
+            fragmented.flatMap(partFiles))
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"[${config.name}] auto-compact $key " +
+            s"dt=[${fragmented.mkString(",")}]: $b -> $a file(s)")
       }
     }
   }
@@ -807,4 +844,18 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     q.awaitTermination()
     awaitDebugEcho() // K3 echo drains on its own; don't return mid-print
   }
+}
+
+object CdcPipeline {
+  /** The retention cutoff date (`dt` values strictly below it
+    * expire), derived in the SESSION timezone — the same clock
+    * [[graft.ops.EnvelopeDecoder.dtColumn]]'s `date_format` used to
+    * assign each row's `dt` bucket. A UTC-fixed cutoff under a
+    * non-UTC session timezone shifts the day boundary and deletes a
+    * partition up to a day outside the configured horizon.
+    */
+  def retentionCutoff(spark: SparkSession, days: Int): String =
+    java.time.LocalDate.now(java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone))
+      .minusDays(days.toLong).toString
 }

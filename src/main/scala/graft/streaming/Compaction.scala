@@ -215,8 +215,16 @@ object Compaction {
     // full-size dead copy nothing reclaims
     val sibTmp = new Path(tableDir + "._compact_tmp")
     val sibTrash = new Path(tableDir + "._compact_trash")
+    // zone-map manifest patch staging shares the discipline: tmp is
+    // always debris once stale; trash is only debris while the live
+    // manifest exists (trash beside a MISSING manifest is the
+    // interrupted-swap recovery source — ZoneMaps restores from it)
+    val manTmp = new Path(tableDir + "._zonemaps._patch_tmp")
+    val manTrash = new Path(tableDir + "._zonemaps._patch_trash")
     val siblings = Seq(sibTmp -> true,
-      sibTrash -> fs.exists(root)) // trash only if the live table exists
+      sibTrash -> fs.exists(root), // trash only if the live table exists
+      manTmp -> true,
+      manTrash -> fs.exists(new Path(tableDir + "._zonemaps")))
       .collect { case (p, ok) if ok && fs.exists(p) &&
           now - fs.getFileStatus(p).getModificationTime >= minAgeMs =>
         fs.delete(p, true); p.toString

@@ -6,10 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Incrementally-synced CURRENT-STATE materialization of a CDC sink —
   * the copy-on-write upsert table a lakehouse format maintains,
-  * expressed over plain parquet: one row per live primary key (the
-  * latest change row; DELETE tombstones drop the key), kept fresh by
-  * folding only the sink files appended since the last sync into only
-  * the key-buckets they touch.
+  * expressed over plain parquet: one row per key holding its latest
+  * change (DELETE tombstones RETAINED as rows; [[read]] filters them),
+  * kept fresh by folding only the sink files appended since the last
+  * sync into only the key-buckets they touch.
   *
   * [[graft.ops.TimeTravel.currentState]] answers the same question by
   * scanning the WHOLE changelog per query; [[Materialize]] answers it
@@ -22,12 +22,24 @@ import org.apache.spark.sql.functions._
   * hash into — never the full table.
   *
   * Layout under `currentDir`:
-  *   - `kb=<i>/` — the current rows whose key hashes to bucket `i`
-  *     (`pmod(xxhash64(pk), buckets)`); bucket count is fixed at
-  *     first sync (persisted in the state file) — a key's bucket must
-  *     never move.
+  *   - `kb=<i>/` — the latest change per key whose key hashes to
+  *     bucket `i` (`pmod(xxhash64(pk), buckets)`); bucket count is
+  *     fixed at first sync (persisted in the state file) — a key's
+  *     bucket must never move.
   *   - `_synced.txt` — the sink files already folded in (one per
   *     line), written atomically AFTER the bucket rewrites commit.
+  *
+  * Tombstone contract: a deleted key's row stays in its bucket with
+  * `_op = DELETE` and the delete's own source offset. This is what
+  * makes re-folding ALWAYS safe: a sink maintenance pass (compaction)
+  * rewrites partitions under new file names, and a sync that treats
+  * those as fresh re-folds rows it already folded — if the table had
+  * dropped tombstones, re-folding a deleted key's older INSERT (its
+  * DELETE living in a different, un-refolded file) would resurrect
+  * the key permanently. With the tombstone stored, keep-latest by
+  * source offset lets the delete win every rematch. [[read]] hides
+  * tombstones; [[pruneTombstones]] reclaims ancient ones once no
+  * older change can still be re-folded past them.
   *
   * Crash contract: bucket rewrites use the compaction swap (atomic
   * per bucket; an interrupted swap heals on the next sync). A crash
@@ -37,13 +49,6 @@ import org.apache.spark.sql.functions._
   * leaves some buckets a sync ahead; each key lives in exactly one
   * bucket, so no key is ever half-updated, and the re-run completes
   * the rest.
-  *
-  * Ordering assumption: sink files are folded in publication order
-  * and the pipeline appends them in source-offset order, so a key's
-  * DELETE is never followed by a later-file change with an OLDER
-  * offset (within one fold, keep-latest resolves any order). A sink
-  * populated out of offset order would need tombstone retention —
-  * the same assumption TimeTravel's dt-pruning makes.
   */
 object CurrentTable {
 
@@ -65,7 +70,19 @@ object CurrentTable {
     }
   }
 
-  private def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
+  private def writeState(spark: SparkSession, dir: String, nb: Int,
+      done: Set[String]): Unit =
+    AtomicFiles.write(stateFile(dir),
+      (nb.toString +: done.toSeq.sorted).mkString("\n"),
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Data files under `dir` — or, when `scope` names `dt=` partition
+    * subdirectories, under only those (the per-batch cheap path: the
+    * pipeline knows which partitions a batch wrote, so the sync never
+    * pays an O(whole-sink) listing for a steady-state delta).
+    */
+  private def dataFiles(spark: SparkSession, dir: String,
+      scope: Option[Seq[String]] = None): Seq[String] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Nil
@@ -75,11 +92,16 @@ object CurrentTable {
         fs.listStatus(s.getPath).toSeq
           .filterNot(c => hidden(c.getPath.getName)).flatMap(walk)
       else Seq(s)
+    val roots = scope match {
+      case None => Seq(fs.getFileStatus(root))
+      case Some(subs) => subs.map(s => new Path(dir, s))
+        .filter(fs.exists).map(fs.getFileStatus)
+    }
     // FULL qualified URIs, not bare paths: these strings go straight
     // back into spark.read.parquet — stripping the scheme would
     // resolve them against fs.defaultFS and break non-default
     // filesystems (s3a://, hdfs://)
-    walk(fs.getFileStatus(root)).map(_.getPath.toString)
+    roots.flatMap(walk).map(_.getPath.toString)
       .filter(_.endsWith(".parquet"))
   }
 
@@ -89,11 +111,18 @@ object CurrentTable {
     * `sourceType`). Returns (newFiles folded, buckets rewritten).
     * First call cuts the table fresh with `buckets` key-buckets;
     * later calls reuse the persisted count.
+    *
+    * `scope`: `dt=` partition names the caller KNOWS contain every
+    * unfolded file (the pipeline passes the batch's own partitions) —
+    * the listing then touches only those directories. The FIRST sync
+    * of a table ignores scope (history lives everywhere), and a
+    * caller unsure of coverage passes None for a full walk.
     */
   def sync(spark: SparkSession, sinkDir: String, currentDir: String,
       pk: Seq[String], sourceType: String = "mysql",
       buckets: Int = 16,
-      orderOverride: Option[Seq[org.apache.spark.sql.Column]] = None)
+      orderOverride: Option[Seq[org.apache.spark.sql.Column]] = None,
+      scope: Option[Seq[String]] = None)
       : (Int, Int) = {
     require(pk.nonEmpty, "sync: no key columns")
     require(buckets > 0, s"buckets must be positive, got $buckets")
@@ -118,10 +147,10 @@ object CurrentTable {
             "no _synced.txt — the bucket modulus is unknowable; restore " +
             "the cursor or rebuild the table")
       }
-      AtomicFiles.write(stateFile(currentDir), s"$nb\n",
-        spark.sparkContext.hadoopConfiguration)
+      writeState(spark, currentDir, nb, Set.empty)
     }
-    val all = dataFiles(spark, sinkDir)
+    val all = dataFiles(spark, sinkDir,
+      if (state.isEmpty) None else scope)
     val fresh = all.filterNot(done)
     if (fresh.isEmpty) return (0, 0)
 
@@ -169,7 +198,10 @@ object CurrentTable {
       else spark.read.option("basePath", currentDir)
         .parquet(liveTouched: _*)
         .withColumn("kb", col("kb").cast("int"))
-    val merged = graft.ops.TimeTravel.asOf(
+    // tombstones stay IN the merge result (see the class doc): a
+    // stored DELETE must be there to outrank any re-folded older
+    // change for its key
+    val merged = graft.ops.TimeTravel.latest(
       cur.unionByName(changes), pk, Long.MaxValue, order)
     val stage = s"$currentDir/._ct_stage"
     fs.delete(new Path(stage), true)
@@ -183,8 +215,9 @@ object CurrentTable {
       if (fs.exists(new Path(bDir)) && !fs.rename(new Path(bDir),
           new Path(trash)))
         throw new IllegalStateException(s"current-table swap failed: $bDir")
-      // a touched bucket with NO staged rows lost its every key to
-      // deletes — the empty bucket simply stays absent
+      // a touched bucket with NO staged rows cannot happen with
+      // tombstones retained (every key keeps a row), but an absent
+      // staged dir is still tolerated: the bucket simply stays absent
       if (fs.exists(new Path(staged)) &&
           !fs.rename(new Path(staged), new Path(bDir))) {
         fs.rename(new Path(trash), new Path(bDir)) // roll back
@@ -195,16 +228,90 @@ object CurrentTable {
     fs.delete(new Path(stage), true)
     // the durable cursor lands LAST: a crash anywhere above re-folds
     // the same files, and keep-latest converges
-    AtomicFiles.write(stateFile(currentDir),
-      (nb.toString +: (done ++ fresh).toSeq.sorted).mkString("\n"),
-      spark.sparkContext.hadoopConfiguration)
+    writeState(spark, currentDir, nb, done ++ fresh)
     (fresh.size, touched.length)
   }
 
-  /** The current table as a frame (live keys only — tombstones were
-    * dropped at merge time). `kb=` rides along as a partition column;
-    * callers who key-join can exploit it.
+  /** Cursor maintenance hook for sink rewrites (compaction, retention):
+    * drop cursor entries under `removedPrefixes` (the replaced or
+    * expired directories) and record `addedFiles` as already-folded.
+    *
+    * CONTRACT: every file under `removedPrefixes` must have been
+    * synced before the rewrite (the pipeline syncs the batch's
+    * partitions, THEN compacts them) — `addedFiles` hold only rows
+    * those synced files held, so marking them done skips a pointless
+    * full re-fold of the rewritten partition. A caller that cannot
+    * guarantee that passes `addedFiles = Nil`: the new files then
+    * fold as fresh, which the retained tombstones make safe. No-op
+    * when no cursor exists yet.
+    */
+  def onSinkRewrite(spark: SparkSession, sinkDir: String,
+      currentDir: String, removedPrefixes: Seq[String],
+      addedFiles: Seq[String]): Unit =
+    readState(spark, currentDir).foreach { case (nb, done) =>
+      val fs = new Path(sinkDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      // cursor entries are fully-qualified URIs (see dataFiles) —
+      // qualify the prefixes the same way or nothing would match
+      val norm = removedPrefixes.map { p =>
+        val q = fs.makeQualified(new Path(p)).toString
+        if (q.endsWith("/")) q else q + "/"
+      }
+      val kept = done.filterNot(f => norm.exists(f.startsWith))
+      val added = addedFiles
+        .map(f => fs.makeQualified(new Path(f)).toString)
+      writeState(spark, currentDir, nb, kept ++ added)
+    }
+
+  /** Reclaim tombstones older than `beforeTsMs`: rewrite (atomic
+    * per-bucket swap) every bucket holding one, dropping those rows.
+    * Safe once no sink rewrite can re-fold a change OLDER than the
+    * horizon — e.g. the sink's own retention horizon: a change that
+    * old no longer exists in any sink file. Returns tombstones
+    * dropped.
+    */
+  def pruneTombstones(spark: SparkSession, currentDir: String,
+      beforeTsMs: Long): Long = {
+    val fs = new Path(currentDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(currentDir))) return 0L
+    val doomed = graft.ops.TimeTravel.isTombstone &&
+      col("_ts") < beforeTsMs
+    val all = spark.read.parquet(currentDir)
+    val hit = all.filter(doomed).groupBy("kb").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    if (hit.isEmpty) return 0L
+    val stage = s"$currentDir/._ct_stage"
+    fs.delete(new Path(stage), true)
+    val hitDirs = hit.keySet.toSeq.sorted.map(b => s"$currentDir/kb=$b")
+    spark.read.option("basePath", currentDir).parquet(hitDirs: _*)
+      .withColumn("kb", col("kb").cast("int"))
+      .filter(!doomed)
+      .write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(stage)
+    for (b <- hit.keySet.toSeq.sorted) {
+      val bDir = s"$currentDir/kb=$b"
+      val staged = s"$stage/kb=$b"
+      val trash = s"$currentDir/._ct_trash_kb=$b"
+      fs.delete(new Path(trash), true)
+      if (!fs.rename(new Path(bDir), new Path(trash)))
+        throw new IllegalStateException(s"tombstone prune failed: $bDir")
+      if (fs.exists(new Path(staged)) &&
+          !fs.rename(new Path(staged), new Path(bDir))) {
+        fs.rename(new Path(trash), new Path(bDir))
+        throw new IllegalStateException(s"tombstone prune failed: $bDir")
+      }
+      fs.delete(new Path(trash), true)
+    }
+    fs.delete(new Path(stage), true)
+    hit.values.sum
+  }
+
+  /** The current table as a frame: live keys only — the stored
+    * DELETE tombstones are filtered here, at read time. `kb=` rides
+    * along as a partition column; callers who key-join can exploit
+    * it.
     */
   def read(spark: SparkSession, currentDir: String): DataFrame =
     spark.read.parquet(currentDir)
+      .filter(!graft.ops.TimeTravel.isTombstone)
 }

@@ -276,6 +276,31 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(p.recordCount == 2)
   }
 
+  test("retention cutoff is derived in the session timezone — the " +
+      "clock that assigned dt") {
+    val key = "spark.sql.session.timeZone"
+    val orig = spark.conf.get(key)
+    try {
+      // two zones a calendar day apart for ~22h of every day: the
+      // cutoff must follow the session zone, not UTC
+      for (tz <- Seq("Pacific/Kiritimati", "Etc/GMT+12", "UTC")) {
+        spark.conf.set(key, tz)
+        val want = java.time.LocalDate.now(java.time.ZoneId.of(tz))
+          .minusDays(7L).toString
+        assert(graft.streaming.CdcPipeline.retentionCutoff(spark, 7)
+          == want, s"tz=$tz")
+      }
+      // and it disagrees with a UTC-fixed cutoff when the zones
+      // straddle midnight (true for at least one of the two offsets
+      // at any wall-clock instant except within ±2h of UTC midnight)
+      val utcDay = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+      val straddles = Seq("Pacific/Kiritimati", "Etc/GMT+12").exists(
+        tz => java.time.LocalDate.now(java.time.ZoneId.of(tz)) != utcDay)
+      val hour = java.time.LocalTime.now(java.time.ZoneOffset.UTC).getHour
+      if (hour >= 2 && hour < 22) assert(straddles)
+    } finally spark.conf.set(key, orig)
+  }
+
   test("snapshot override restricts the snapshot; binlog tail unaffected") {
     val in = tmp(); val out = tmp()
     // snapshot: 3 users rows; the override keeps id <= 2 and selects

@@ -249,6 +249,10 @@ class CompactionSpec extends AnyFunSuite {
     // whole-table compact stages at SIBLING paths
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir._compact_tmp"))
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir._compact_trash"))
+    // manifest patch staging: tmp is debris; trash is the
+    // interrupted-swap recovery source while no live manifest exists
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir._zonemaps._patch_tmp"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir._zonemaps._patch_trash"))
     // too-young staging is protected by the age guard
     val swept0 = Compaction.vacuum(spark, dir, minAgeMs = 3600000L)
     assert(swept0.isEmpty)
@@ -257,12 +261,20 @@ class CompactionSpec extends AnyFunSuite {
       "._compact_tmp_dt=2024-01-01", ".graft_stage_chunk3",
       "._compact_trash_dt=2024-01-01", "._ct_stage", "._ct_trash_kb=3",
       new java.io.File(dir).getName + "._compact_tmp",
-      new java.io.File(dir).getName + "._compact_trash"))
+      new java.io.File(dir).getName + "._compact_trash",
+      new java.io.File(dir).getName + "._zonemaps._patch_tmp"))
     // the recovery trashes (no live twin) survived, data intact
     assert(fs.exists(new org.apache.hadoop.fs.Path(
       s"$dir/._compact_trash_dt=2024-09-09")))
     assert(fs.exists(new org.apache.hadoop.fs.Path(
       s"$dir/._ct_trash_kb=9")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir._zonemaps._patch_trash")))
+    // once a live manifest exists the patch trash is dead debris
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir._zonemaps"))
+    assert(Compaction.vacuum(spark, dir, minAgeMs = 0L)
+      .map(_.split('/').last).toSet ==
+        Set(new java.io.File(dir).getName + "._zonemaps._patch_trash"))
     assert(spark.read.parquet(dir).count() == 40)
   }
 

@@ -21,12 +21,15 @@ class CurrentTableSpec extends AnyFunSuite {
     * metadata the pipeline writes.
     */
   private def append(dir: String,
-      rows: Seq[(Long, String, String, Long, String, Long)]): Unit =
+      rows: Seq[(Long, String, String, Long, String, Long)],
+      dt: String = "2024-01-01"): Unit =
     rows.toDF("id", "name", "_op", "_ts", "_binlog_file_internal",
         "_binlog_pos_internal")
-      .withColumn("dt", lit("2024-01-01"))
+      .withColumn("dt", lit(dt))
       .coalesce(1)
       .write.mode("append").partitionBy("dt").parquet(dir)
+
+  private val mysqlOrder = graft.ops.TimeTravel.defaultOrder("mysql")
 
   private def stateOf(dir: String): Set[(Long, String)] =
     CurrentTable.read(spark, dir)
@@ -74,8 +77,13 @@ class CurrentTableSpec extends AnyFunSuite {
     assert(stateOf(cur) == oracleOf(sink))
     assert(stateOf(cur) ==
       Set((1L, "alice2"), (3L, "carol"), (4L, "dave")))
-    // only the touched buckets were rewritten (a delete-emptied
-    // bucket counts: its dir is REMOVED, not rewritten)
+    // bob's DELETE is RETAINED as a tombstone row (hidden by read):
+    // what makes any later re-fold of his older CREATE lose the
+    // keep-latest rematch instead of resurrecting him
+    assert(spark.read.parquet(cur)
+      .filter(col("_op") === "DELETE").select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // only the touched buckets were rewritten
     val after = bucketMtimes()
     val changed = (before.keySet ++ after.keySet).filter(k =>
       before.get(k) != after.get(k))
@@ -129,5 +137,111 @@ class CurrentTableSpec extends AnyFunSuite {
     assert(stateOf(cur) == oracleOf(sink))
     assert(!new java.io.File(cur).listFiles()
       .exists(_.getName.contains("_ct_trash")))
+  }
+
+  test("a compaction rewrite cannot resurrect a deleted key: the " +
+      "re-folded older INSERT loses to the stored tombstone") {
+    val sink = Files.createTempDirectory("graft-ct3-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct3-cur-").toString
+    // key 1's INSERT lives in dt=2024-01-01; its DELETE in 01-02
+    append(sink, Seq((1L, "doomed", "CREATE", 1000L, "f1", 10L),
+      (2L, "keeper", "CREATE", 1100L, "f1", 20L)), dt = "2024-01-01")
+    append(sink, Seq((1L, "doomed", "DELETE", 2000L, "f1", 30L)),
+      dt = "2024-01-02")
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    assert(stateOf(cur) == Set((2L, "keeper")))
+    // compact ONLY the partition holding the older INSERT — new file
+    // names, same rows; the DELETE's partition is untouched
+    graft.streaming.Compaction.compactPartitions(spark, sink,
+      Seq("2024-01-01"), 1000000L, mysqlOrder)
+    // no cursor swap: the rewritten files look fresh and re-fold —
+    // pre-tombstone semantics would merge key 1's INSERT back in
+    val (nf, _) = CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(nf > 0, "rewritten files should have re-folded")
+    assert(stateOf(cur) == Set((2L, "keeper")))
+    assert(stateOf(cur) == oracleOf(sink))
+  }
+
+  test("onSinkRewrite swaps the cursor to rewritten file names so a " +
+      "compacted partition never re-folds") {
+    val sink = Files.createTempDirectory("graft-ct4-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct4-cur-").toString
+    append(sink, Seq((1L, "a", "CREATE", 1000L, "f1", 10L)))
+    append(sink, Seq((2L, "b", "CREATE", 1100L, "f1", 20L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    graft.streaming.Compaction.compactPartitions(spark, sink,
+      Seq("2024-01-01"), 1000000L, mysqlOrder)
+    // list the rewritten partition's files and swap them in as done
+    val dtDir = s"$sink/dt=2024-01-01"
+    val added = new java.io.File(dtDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(added.nonEmpty)
+    CurrentTable.onSinkRewrite(spark, sink, cur, Seq(dtDir), added)
+    assert(CurrentTable.sync(spark, sink, cur, Seq("id")) == ((0, 0)))
+    assert(stateOf(cur) == Set((1L, "a"), (2L, "b")))
+    // retention shape: prefixes removed with nothing added
+    new java.io.File(dtDir).listFiles().foreach(_.delete())
+    new java.io.File(dtDir).delete()
+    CurrentTable.onSinkRewrite(spark, sink, cur, Seq(dtDir), Nil)
+    val cursor = scala.io.Source.fromFile(s"$cur/_synced.txt")
+      .getLines().toVector
+    assert(cursor.size == 1, s"cursor should hold only nb, got $cursor")
+  }
+
+  test("scoped sync lists only the named partitions; a later full " +
+      "sync catches the rest") {
+    val sink = Files.createTempDirectory("graft-ct5-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct5-cur-").toString
+    append(sink, Seq((1L, "a", "CREATE", 1000L, "f1", 10L)),
+      dt = "2024-01-01")
+    // FIRST sync ignores scope — history may live anywhere
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4,
+      scope = Some(Seq("dt=2024-01-01")))
+    assert(stateOf(cur) == Set((1L, "a")))
+    append(sink, Seq((1L, "a2", "UPDATE", 2000L, "f1", 20L)),
+      dt = "2024-01-01")
+    append(sink, Seq((2L, "b", "CREATE", 2100L, "f1", 30L)),
+      dt = "2024-01-02")
+    // scoped to 01-01: folds that partition's new file only
+    val (nf, _) = CurrentTable.sync(spark, sink, cur, Seq("id"),
+      scope = Some(Seq("dt=2024-01-01")))
+    assert(nf == 1)
+    assert(stateOf(cur) == Set((1L, "a2")))
+    // unscoped: the 01-02 file it skipped folds now
+    val (nf2, _) = CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(nf2 == 1)
+    assert(stateOf(cur) == Set((1L, "a2"), (2L, "b")))
+    assert(stateOf(cur) == oracleOf(sink))
+  }
+
+  test("pruneTombstones reclaims only tombstones older than the " +
+      "horizon, atomically per bucket") {
+    val sink = Files.createTempDirectory("graft-ct6-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct6-cur-").toString
+    append(sink, Seq(
+      (1L, "a", "CREATE", 1000L, "f1", 10L),
+      (1L, "a", "DELETE", 1500L, "f1", 20L),
+      (2L, "b", "CREATE", 1600L, "f1", 30L),
+      (2L, "b", "DELETE", 2500L, "f1", 40L),
+      (3L, "c", "CREATE", 2600L, "f1", 50L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    assert(stateOf(cur) == Set((3L, "c")))
+    assert(spark.read.parquet(cur)
+      .filter(col("_op") === "DELETE").count() == 2)
+    // horizon between the two deletes: only key 1's goes
+    assert(CurrentTable.pruneTombstones(spark, cur, 2000L) == 1L)
+    assert(spark.read.parquet(cur)
+      .filter(col("_op") === "DELETE").select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(stateOf(cur) == Set((3L, "c"))) // live rows untouched
+    assert(CurrentTable.pruneTombstones(spark, cur, 2000L) == 0L)
+    // no swap debris
+    assert(!new java.io.File(cur).listFiles()
+      .exists(f => f.getName.contains("_ct_trash") ||
+        f.getName.contains("_ct_stage")))
   }
 }

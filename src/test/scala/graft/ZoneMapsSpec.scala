@@ -157,4 +157,44 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(m.columns.contains("k_bloom"))
     assert(ZoneMaps.prunedLookup(spark, dir, man, "k", 400L).count() == 1)
   }
+
+  test("patch swaps the manifest atomically: staging never lands " +
+      "under the live name, and an interrupted swap heals") {
+    val dir = tmp("graft-zm-")
+    val man = tmp("graft-zm-pm-") + "/t._zonemaps"
+    spark.range(100).select(col("id").as("k"))
+      .withColumn("g", (col("k") / 50).cast("int"))
+      .repartitionByRange(2, col("k")).write.mode("overwrite").parquet(dir)
+    ZoneMaps.build(spark, dir, man, Seq("k"))
+    val rowsBefore = spark.read.parquet(man).count()
+    assert(rowsBefore >= 2)
+    // patch with a prefix matching nothing: pure rewrite of the same
+    // content through the staged swap
+    ZoneMaps.patch(spark, dir, man, Seq(s"$dir/nonexistent"))
+    val after = spark.read.parquet(man)
+    assert(after.count() == rowsBefore)
+    // no staging debris under or beside the live name
+    val parent = new java.io.File(man).getParentFile
+    assert(parent.listFiles().map(_.getName).toSet == Set("t._zonemaps"),
+      parent.listFiles().map(_.getName).mkString(","))
+    // the pruning path still answers exactly
+    assert(ZoneMaps.prunedRead(spark, dir, man, "k", 10L, 19L).count() == 10)
+
+    // interrupted swap: live manifest gone, original parked in trash —
+    // every entry point restores it before reading
+    val fs = new org.apache.hadoop.fs.Path(man)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(man),
+      new org.apache.hadoop.fs.Path(man + "._patch_trash")))
+    assert(ZoneMaps.candidateFiles(spark, dir, man, "k", 0L, 9L).nonEmpty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(man)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(man + "._patch_trash")))
+    assert(spark.read.parquet(man).count() == rowsBefore)
+
+    // a real removal still prunes rows and re-indexes replacements
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(ZoneMaps.patch(spark, dir, man, Seq(dir)) == files.length)
+    assert(spark.read.parquet(man).count() == files.length)
+  }
 }
