@@ -584,6 +584,33 @@ object ScaleBench {
       f"from-scratch rematerialize ${tFull}%5.2fs " +
       f"(${tFull / tDelta}%4.1fx); read current ${tReadCur}%5.2fs vs " +
       f"per-query log scan ${tReadScan}%5.2fs")
+    // sink compaction under the maintained table: a rewrite renames
+    // every file, so a cursor that tracks by name sees the whole
+    // partition as fresh. Without the swap hook the sync re-folds it
+    // wholesale (SAFE — retained tombstones win every rematch — but
+    // O(partition)); with CurrentTable.onSinkRewrite it is a no-op.
+    val order = graft.ops.TimeTravel.defaultOrder("mysql")
+    def compactOnce(): Seq[String] = {
+      graft.streaming.Compaction.compactPartitions(spark, sink,
+        Seq("2024-01-01"), keys, order)
+      val dtDir = new java.io.File(s"$sink/dt=2024-01-01")
+      dtDir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.toString).toSeq
+    }
+    compactOnce()
+    val tRefold = time(graft.streaming.CurrentTable.sync(spark, sink,
+      cur, Seq("id")))
+    val added = compactOnce()
+    graft.streaming.CurrentTable.onSinkRewrite(spark, sink, cur,
+      Seq(s"$sink/dt=2024-01-01"), added)
+    val tSwap = time {
+      val r = graft.streaming.CurrentTable.sync(spark, sink, cur,
+        Seq("id"))
+      require(r == ((0, 0)), s"cursor swap left fresh files: $r")
+    }
+    println(f"[scale] currenttable ${keys} keys, post-compaction " +
+      f"sync: blind re-fold ${tRefold}%5.2fs vs cursor swap " +
+      f"${tSwap}%5.2fs (${tRefold / tSwap}%4.1fx)")
   }
 
   /** Auto-compaction under a many-small-batches ingest: the same feed

@@ -977,5 +977,57 @@ object ScalarQueries {
           round(sum("value"), 2).as("sum_value"))
         .orderBy("event_type")
     },
+
+    // The current table's delete semantics under a sink rewrite: every
+    // 'purchase' event is that user's DELETE, the first half of the
+    // changelog is COMPACTED (files renamed) between the two syncs, so
+    // the second sync re-folds h1's already-folded changes. The oracle
+    // keeps users whose LATEST event is not a purchase — hash equality
+    // therefore pins the resurrection defense: a user deleted in h2
+    // must stay dead when their older h1 changes re-fold, which only
+    // holds because tombstones are retained in the buckets and win the
+    // keep-latest rematch.
+    QueryDef(
+      "q125_current_tombstones",
+      """WITH ranked AS (SELECT user_id, event_type, value,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        | round(sum(value), 2) AS sum_value
+        |FROM ranked WHERE rn = 1 AND event_type <> 'purchase'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ct-q125-").toString
+      val midUs = java.time.LocalDateTime.of(2024, 1, 15, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      val log = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("event_id"),
+          unix_micros(col("ts")).as("_ts"),
+          when(col("event_type") === "purchase", "DELETE")
+            .otherwise("UPDATE").as("_op"),
+          when(unix_micros(col("ts")) <= midUs, "h1").otherwise("h2")
+            .as("dt"))
+      val orderCols = Seq(col("_ts"), col("event_id"))
+      log.filter(col("dt") === "h1")
+        .write.mode("append").partitionBy("dt").parquet(s"$work/sink")
+      graft.streaming.CurrentTable.sync(spark, s"$work/sink",
+        s"$work/cur", Seq("user_id"), buckets = 8,
+        orderOverride = Some(orderCols))
+      // the rewrite: h1's files come back under new names, so the
+      // second sync sees them as fresh and re-folds every h1 change
+      graft.streaming.Compaction.compactPartitions(spark, s"$work/sink",
+        Seq("h1"), 1000000L, orderCols)
+      log.filter(col("dt") === "h2")
+        .write.mode("append").partitionBy("dt").parquet(s"$work/sink")
+      graft.streaming.CurrentTable.sync(spark, s"$work/sink",
+        s"$work/cur", Seq("user_id"), orderOverride = Some(orderCols))
+      graft.streaming.CurrentTable.read(spark, s"$work/cur")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
   )
 }

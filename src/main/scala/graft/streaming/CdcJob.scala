@@ -169,6 +169,17 @@ object CdcJob {
                 s"(table has: ${fields.mkString(", ")})")
           routeKey -> cols
         },
+      // `sink.current.buckets` — copy-on-write unit for NEW current
+      // tables; meaningless without tables to apply it to
+      currentBuckets = cfg.get("sink.current.buckets")
+        .map { v =>
+          if (cfg.get("sink.current.keys").isEmpty)
+            throw new IllegalArgumentException(
+              "sink.current.buckets requires sink.current.keys " +
+                "(the tables it sizes)")
+          positiveInt(v, "sink.current.buckets")
+        }
+        .getOrElse(16),
       // `mongodb.deserialization.mode` (`MongoDBStreamer.java:64,92-107`):
       // doc-string / top-level-string / top-level-type, defaulting to
       // top-level-type with a warning, unknown value fails fast — only

@@ -123,9 +123,20 @@ final case class CdcConfig(
       * appended since the table's own durable cursor, so replayed or
       * skipped batches cost nothing extra). The pipeline ships a
       * QUERYABLE latest-row table beside the changelog, no log scan
-      * per read.
+      * per read. With [[retentionDays]] also set, a batch that
+      * expires sink partitions prunes the current tables' tombstones
+      * past the same horizon — no sink file that old survives to
+      * re-fold past them, so the deleted-key ledger stays bounded.
       */
-    currentKeys: Map[String, Seq[String]] = Map.empty) {
+    currentKeys: Map[String, Seq[String]] = Map.empty,
+    /** Key-bucket count for NEW current tables
+      * (`sink.current.buckets`): sizes the unit of copy-on-write —
+      * a sync rewrites only the buckets its delta's keys hash into,
+      * so more buckets = smaller rewrites but more files. Fixed at a
+      * table's first sync (persisted in its cursor); changing it
+      * later only affects tables not yet cut.
+      */
+    currentBuckets: Int = 16) {
   def name: String = jobName.getOrElse(s"JOB-$sourceId")
 }
 
@@ -628,7 +639,8 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
               Some(tblDts.getOrElse(key, Nil).map(d => s"dt=$d"))
             else None
             val (nf, nbk) = CurrentTable.sync(spark, dir,
-              s"${dir}__current", pk, config.sourceType, scope = scope)
+              s"${dir}__current", pk, config.sourceType,
+              buckets = config.currentBuckets, scope = scope)
             fullSynced += key
             if (nf > 0)
               org.slf4j.LoggerFactory.getLogger(getClass).info(
@@ -652,9 +664,28 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
             val dir = spec.sinkDir(config.sinkPath, config.sourceId)
             val dropped = Compaction.expirePartitions(spark, dir, cutoff)
             if (dropped.nonEmpty) {
-              if (config.currentKeys.contains(key))
-                CurrentTable.onSinkRewrite(spark, dir, s"${dir}__current",
+              if (config.currentKeys.contains(key)) {
+                val curDir = s"${dir}__current"
+                CurrentTable.onSinkRewrite(spark, dir, curDir,
                   dropped.map(v => s"$dir/dt=$v"), Nil)
+                // tombstones older than the horizon are now safe to
+                // reclaim: dt derives from _ts, so every change that
+                // old lived in a partition retention just (or already)
+                // dropped — nothing survives to re-fold past them.
+                // Run only when partitions actually dropped (at most
+                // ~daily per table), so the table-wide tombstone scan
+                // amortizes instead of taxing every batch.
+                val horizonMs = java.time.LocalDate.parse(cutoff)
+                  .atStartOfDay(java.time.ZoneId.of(
+                    spark.sessionState.conf.sessionLocalTimeZone))
+                  .toInstant.toEpochMilli
+                val pruned =
+                  CurrentTable.pruneTombstones(spark, curDir, horizonMs)
+                if (pruned > 0)
+                  org.slf4j.LoggerFactory.getLogger(getClass).info(
+                    s"[${config.name}] retention $key: pruned $pruned " +
+                      s"tombstone(s) older than $cutoff")
+              }
               org.slf4j.LoggerFactory.getLogger(getClass).info(
                 s"[${config.name}] retention $key: dropped " +
                   s"dt=[${dropped.mkString(",")}] (< $cutoff)")

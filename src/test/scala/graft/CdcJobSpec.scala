@@ -180,6 +180,20 @@ class CdcJobSpec extends AnyFunSuite {
       CdcJob.configFromMap(base +
         ("sink.current.keys" -> """{"db.t": "nope"}"""))
     }.getMessage.contains("KEY COLUMN"))
+    // bucket sizing: default, explicit, requires current tables,
+    // junk fails like the others
+    assert(CdcJob.configFromMap(base).currentBuckets == 16)
+    assert(CdcJob.configFromMap(base ++ Map(
+      "sink.current.keys" -> """{"db.t": "id"}""",
+      "sink.current.buckets" -> "64")).currentBuckets == 64)
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base + ("sink.current.buckets" -> "64"))
+    }.getMessage.contains("sink.current.keys"))
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base ++ Map(
+        "sink.current.keys" -> """{"db.t": "id"}""",
+        "sink.current.buckets" -> "0"))
+    }.getMessage.contains("sink.current.buckets"))
   }
 
   test("snapshot override keys are sanitized to route keys and registry-validated") {

@@ -276,6 +276,39 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(p.recordCount == 2)
   }
 
+  test("retention prunes current-table tombstones past the same " +
+      "horizon it expires sink partitions") {
+    val in = tmp(); val out = tmp()
+    writeFixture(in, "00-snapshot.jsonl", Seq(
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":1},"name":{"string":"alice"},"balance":null"""),
+      row("CREATE", "users", 1700000100000L, "mysql-bin.000001", 100,
+        """"id":{"int":2},"name":{"string":"bob"},"balance":null""")))
+    writeFixture(in, "01-changes.jsonl", Seq(
+      row("DELETE", "users", 1700000200000L, "mysql-bin.000001", 200,
+        """"id":{"int":2},"name":{"string":"bob"},"balance":null""")))
+    run(CdcConfig("srcTp", registry, out.toString,
+      retentionDays = 30, // 2023-dated fixtures: everything expires
+      currentKeys = Map("testdb.users" -> Seq("id")),
+      currentBuckets = 4), in)
+    val cur = s"$out/srcTp_testdb__users__current"
+    // the current table was synced BEFORE the partitions expired, so
+    // alice survives retention of her changelog...
+    assert(graft.streaming.CurrentTable.read(spark, cur)
+      .select("id", "name").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+      == Set((1, "alice")))
+    // ...and bob's tombstone — older than the horizon, with no sink
+    // file left that could ever re-fold past it — was reclaimed
+    assert(spark.read.parquet(cur)
+      .filter(org.apache.spark.sql.functions.col("_op") === "DELETE")
+      .count() == 0)
+    // the cursor holds no entries for the vanished sink files
+    val cursor = scala.io.Source.fromFile(s"$cur/_synced.txt")
+      .getLines().toVector
+    assert(cursor.size == 1, s"stale cursor entries: $cursor")
+  }
+
   test("retention cutoff is derived in the session timezone — the " +
       "clock that assigned dt") {
     val key = "spark.sql.session.timeZone"
