@@ -164,6 +164,10 @@ private[ops] final class ZoneMapVerdicts(spark: SparkSession,
   // ---- manifest snapshot (one row per indexed file), driver-side ----
   private val (manifestSchema: StructType,
       rowByFile: Map[String, InternalRow]) = {
+    // a crashed ZoneMaps.patch parks the manifest in `._patch_trash`
+    // between its two renames — restore before reading, like every
+    // ZoneMaps entry point does
+    ZoneMaps.restorePatchIfInterrupted(spark, manifestDir)
     val df = spark.read.parquet(manifestDir)
     val schema = df.schema
     val fileAt = schema.fieldIndex("file")

@@ -228,7 +228,7 @@ object ZoneMaps {
     * Called by every manifest entry point, so a crashed patch never
     * strands prunedRead/refresh/maintenance until a manual rebuild.
     */
-  private def restorePatchIfInterrupted(spark: SparkSession,
+  private[ops] def restorePatchIfInterrupted(spark: SparkSession,
       manifestDir: String): Unit = {
     val fs = new Path(manifestDir)
       .getFileSystem(spark.sessionState.newHadoopConf())

@@ -275,6 +275,10 @@ object CurrentTable {
     val fs = new Path(currentDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(currentDir))) return 0L
+    // a cursor-only table (state file written, nothing folded yet)
+    // has no buckets to scan — and no parquet for read to infer from
+    if (!fs.listStatus(new Path(currentDir))
+        .exists(_.getPath.getName.startsWith("kb="))) return 0L
     val doomed = graft.ops.TimeTravel.isTombstone &&
       col("_ts") < beforeTsMs
     val all = spark.read.parquet(currentDir)

@@ -196,5 +196,13 @@ class ZoneMapsSpec extends AnyFunSuite {
       .filter(_.getName.endsWith(".parquet"))
     assert(ZoneMaps.patch(spark, dir, man, Seq(dir)) == files.length)
     assert(spark.read.parquet(man).count() == files.length)
+
+    // the planner-integrated table heals the same interruption before
+    // its driver-side manifest snapshot
+    assert(fs.rename(new org.apache.hadoop.fs.Path(man),
+      new org.apache.hadoop.fs.Path(man + "._patch_trash")))
+    assert(graft.ops.ZoneMapTable(spark, dir, man)
+      .filter(col("k") === 42L).count() == 1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(man)))
   }
 }
