@@ -164,8 +164,10 @@ object ZoneMaps {
   /** Public form of [[bloomColumnsOf]] — maintenance passes use it to
     * audit grid health ([[bloomFillRatio]]) after a rewrite.
     */
-  def bloomColumns(spark: SparkSession, manifestDir: String): Seq[String] =
+  def bloomColumns(spark: SparkSession, manifestDir: String): Seq[String] = {
+    restorePatchIfInterrupted(spark, manifestDir)
     bloomColumnsOf(spark.read.parquet(manifestDir))
+  }
 
   /** Grid size of the manifest's bloom columns — read from a stored
     * grid (bits = longs × 64) so a refresh always appends grids the
@@ -195,7 +197,8 @@ object ZoneMaps {
     * file. (False-positive rate ≈ fill⁴.)
     */
   def bloomFillRatio(spark: SparkSession, manifestDir: String,
-      column: String): Double =
+      column: String): Double = {
+    restorePatchIfInterrupted(spark, manifestDir)
     spark.read.parquet(manifestDir)
       .select(avg(
         expr(s"aggregate(transform(${column}_bloom, x -> bit_count(x)), " +
@@ -205,6 +208,7 @@ object ZoneMaps {
         case r if r.isNullAt(0) => 0.0
         case r => r.getDouble(0)
       }
+  }
 
   /** Rebuild the manifest with its OWN declared column set (min/max
     * and bloom columns, original grid size) — the rewrite hook for
@@ -227,14 +231,45 @@ object ZoneMaps {
     * original parked in `._patch_trash` — restore it before reading.
     * Called by every manifest entry point, so a crashed patch never
     * strands prunedRead/refresh/maintenance until a manual rebuild.
+    *
+    * Concurrency: the planner integration reads manifests with zero
+    * caller cooperation, so a reader CAN land exactly inside a live
+    * patch's two-rename window — restoring there would fight the
+    * writer's second rename (worst case re-installing the stale
+    * manifest while the writer fails, or nesting dirs on stores whose
+    * rename moves INTO an existing destination). The writer therefore
+    * marks the swap with `._patch_inflight` (created before the first
+    * rename, removed after the trash is dropped): trash + a YOUNG
+    * marker means an active writer — poll briefly for its second
+    * rename instead of restoring; trash with no marker, or a marker
+    * past the grace window, is a crash — restore. A reader that
+    * catches the rare crashed-seconds-ago case fails its one read and
+    * heals on the next call.
     */
+  private val PatchGraceMs = 30000L
+
   private[ops] def restorePatchIfInterrupted(spark: SparkSession,
       manifestDir: String): Unit = {
     val fs = new Path(manifestDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    val live = new Path(manifestDir)
     val trash = new Path(manifestDir + "._patch_trash")
-    if (!fs.exists(new Path(manifestDir)) && fs.exists(trash))
-      fs.rename(trash, new Path(manifestDir))
+    val marker = new Path(manifestDir + "._patch_inflight")
+    if (fs.exists(live) || !fs.exists(trash)) return
+    val activeWriter =
+      try fs.exists(marker) && System.currentTimeMillis() -
+        fs.getFileStatus(marker).getModificationTime < PatchGraceMs
+      catch { case _: java.io.FileNotFoundException => false }
+    if (activeWriter) {
+      // the live window between the two renames is milliseconds
+      var waited = 0L
+      while (waited < 2000L && !fs.exists(live)) {
+        Thread.sleep(100L); waited += 100L
+      }
+      return // live restored by the writer, or fail this one read
+    }
+    if (!fs.exists(live) && fs.exists(trash))
+      fs.rename(trash, live)
   }
 
   /** Partition-scoped rewrite hook: drop the manifest rows whose file
@@ -279,19 +314,29 @@ object ZoneMaps {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(manifestDir + "._patch_tmp")
     val trash = new Path(manifestDir + "._patch_trash")
+    val marker = new Path(manifestDir + "._patch_inflight")
     mfs.delete(tmp, true); mfs.delete(trash, true)
+    mfs.delete(marker, false)
     spark.createDataFrame(
         java.util.Arrays.asList(kept: _*), schema)
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // the in-flight marker guards the two-rename window against a
+    // concurrent reader's restore (see restorePatchIfInterrupted) —
+    // created fresh here so its mtime dates THIS swap
+    mfs.create(marker, true).close()
     val live = new Path(manifestDir)
-    if (!mfs.rename(live, trash))
+    if (!mfs.rename(live, trash)) {
+      mfs.delete(marker, false)
       throw new IllegalStateException(s"manifest patch swap failed: $live")
+    }
     if (!mfs.rename(tmp, live)) {
       mfs.rename(trash, live) // roll back
+      mfs.delete(marker, false)
       throw new IllegalStateException(s"manifest patch swap failed: $live")
     }
     mfs.delete(trash, true)
+    mfs.delete(marker, false)
     refresh(spark, dataDir, manifestDir)
   }
 

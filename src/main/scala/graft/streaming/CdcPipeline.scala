@@ -246,6 +246,13 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     */
   private val fullSynced = scala.collection.mutable.Set.empty[String]
 
+  /** Tables whose current-table retention sweep (expired cursor
+    * entries + horizon tombstone prune) ran this run — later passes
+    * run it only when partitions actually drop. Same threading
+    * contract as [[fullSynced]].
+    */
+  private val retentionSwept = scala.collection.mutable.Set.empty[String]
+
   /** The sink bucket column: event-date (K1), or the K4 constant. */
   private val dtColumn: org.apache.spark.sql.Column =
     config.fixedBucket.map(lit).getOrElse(EnvelopeDecoder.dtColumn)
@@ -416,9 +423,14 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         // maintenance passes below (auto-compaction, current-table
         // sync) scope to. EXACT, not inferred: directory mtimes are
         // synthetic on object stores and a heuristic everywhere else.
-        // Bounded by tables × distinct days in the batch.
+        // Bounded by tables × distinct days in the batch. A null dt
+        // (null `_ts` in warn mode) lands in Spark's default
+        // partition directory — name it explicitly, or the scoped
+        // sync would never list the partition those rows went to.
         collect_set(when(col("_ddl").isNull && col("_tbl_key").isNotNull,
-          struct(col("_tbl_key").as("k"), dtColumn.as("d")))).as("tblDts"))
+          struct(col("_tbl_key").as("k"),
+            coalesce(dtColumn, lit("__HIVE_DEFAULT_PARTITION__"))
+              .as("d")))).as("tblDts"))
         .collect()(0)
       val present = s.getSeq[String](2).toSet
       val nonReadTables = s.getSeq[String](3)
@@ -663,33 +675,39 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
               spec <- routed.get(key)) {
             val dir = spec.sinkDir(config.sinkPath, config.sourceId)
             val dropped = Compaction.expirePartitions(spark, dir, cutoff)
-            if (dropped.nonEmpty) {
-              if (config.currentKeys.contains(key)) {
-                val curDir = s"${dir}__current"
-                CurrentTable.onSinkRewrite(spark, dir, curDir,
-                  dropped.map(v => s"$dir/dt=$v"), Nil)
-                // tombstones older than the horizon are now safe to
-                // reclaim: dt derives from _ts, so every change that
-                // old lived in a partition retention just (or already)
-                // dropped — nothing survives to re-fold past them.
-                // Run only when partitions actually dropped (at most
-                // ~daily per table), so the table-wide tombstone scan
-                // amortizes instead of taxing every batch.
-                val horizonMs = java.time.LocalDate.parse(cutoff)
-                  .atStartOfDay(java.time.ZoneId.of(
-                    spark.sessionState.conf.sessionLocalTimeZone))
-                  .toInstant.toEpochMilli
-                val pruned =
-                  CurrentTable.pruneTombstones(spark, curDir, horizonMs)
-                if (pruned > 0)
-                  org.slf4j.LoggerFactory.getLogger(getClass).info(
-                    s"[${config.name}] retention $key: pruned $pruned " +
-                      s"tombstone(s) older than $cutoff")
-              }
+            // current-table retention hygiene runs when partitions
+            // dropped AND on each table's first pass this run: a
+            // crashed run may have deleted partitions without reaching
+            // this block, and a re-run's expirePartitions returns
+            // empty for already-deleted partitions — sweeping by the
+            // horizon itself (not the dropped list) converges.
+            if (config.currentKeys.contains(key) &&
+                (dropped.nonEmpty || !retentionSwept(key))) {
+              val curDir = s"${dir}__current"
+              CurrentTable.pruneCursorExpired(spark, curDir, cutoff)
+              // tombstones older than the horizon are safe to
+              // reclaim: dt derives from _ts, so every change that
+              // old lived in a partition retention has dropped —
+              // nothing survives to re-fold past them. Gated like the
+              // sweep (~daily + once per run), so the table-wide
+              // tombstone scan amortizes instead of taxing every
+              // batch.
+              val horizonMs = java.time.LocalDate.parse(cutoff)
+                .atStartOfDay(java.time.ZoneId.of(
+                  spark.sessionState.conf.sessionLocalTimeZone))
+                .toInstant.toEpochMilli
+              val pruned =
+                CurrentTable.pruneTombstones(spark, curDir, horizonMs)
+              if (pruned > 0)
+                org.slf4j.LoggerFactory.getLogger(getClass).info(
+                  s"[${config.name}] retention $key: pruned $pruned " +
+                    s"tombstone(s) older than $cutoff")
+            }
+            retentionSwept += key
+            if (dropped.nonEmpty)
               org.slf4j.LoggerFactory.getLogger(getClass).info(
                 s"[${config.name}] retention $key: dropped " +
                   s"dt=[${dropped.mkString(",")}] (< $cutoff)")
-            }
           }
         }
       }

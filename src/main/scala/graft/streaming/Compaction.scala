@@ -221,9 +221,11 @@ object Compaction {
     // interrupted-swap recovery source — ZoneMaps restores from it)
     val manTmp = new Path(tableDir + "._zonemaps._patch_tmp")
     val manTrash = new Path(tableDir + "._zonemaps._patch_trash")
+    val manInflight = new Path(tableDir + "._zonemaps._patch_inflight")
     val siblings = Seq(sibTmp -> true,
       sibTrash -> fs.exists(root), // trash only if the live table exists
       manTmp -> true,
+      manInflight -> true, // a stale swap marker; restore ignores old ones
       manTrash -> fs.exists(new Path(tableDir + "._zonemaps")))
       .collect { case (p, ok) if ok && fs.exists(p) &&
           now - fs.getFileStatus(p).getModificationTime >= minAgeMs =>

@@ -149,6 +149,14 @@ object CurrentTable {
       }
       writeState(spark, currentDir, nb, Set.empty)
     }
+    val fs = new Path(currentDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // heal EVERY interrupted swap BEFORE the no-fresh-files early
+    // return: a crashed swap (a sync's, or a pruneTombstones run's —
+    // which never touches the cursor, so it cannot count on a re-fold
+    // to bring a later sync past this point) must not leave a
+    // bucket's keys invisible until some future delta touches it
+    healBuckets(fs, currentDir)
     val all = dataFiles(spark, sinkDir,
       if (state.isEmpty) None else scope)
     val fresh = all.filterNot(done)
@@ -172,19 +180,6 @@ object CurrentTable {
     val order = orderOverride.getOrElse(
       graft.ops.TimeTravel.defaultOrder(sourceType))
 
-    val fs = new Path(currentDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    // heal EVERY interrupted swap first, not just touched buckets' —
-    // a crashed bucket this delta does not touch would otherwise stay
-    // invisible (its keys missing from reads) until some future delta
-    // happened to touch it
-    if (fs.exists(new Path(currentDir)))
-      for (st <- fs.listStatus(new Path(currentDir))
-          if st.getPath.getName.startsWith("._ct_trash_kb=")) {
-        val live = new Path(currentDir,
-          st.getPath.getName.stripPrefix("._ct_trash_"))
-        if (!fs.exists(live)) fs.rename(st.getPath, live)
-      }
     // ONE merge job over (touched buckets' current rows) ∪ (changes),
     // written kb-partitioned into a dot-prefixed staging root, then
     // per-bucket RENAME-only swaps — a per-bucket merge loop would
@@ -207,7 +202,37 @@ object CurrentTable {
     fs.delete(new Path(stage), true)
     merged.write.mode(SaveMode.Overwrite).partitionBy("kb")
       .parquet(stage)
-    for (b <- touched) {
+    swapBuckets(fs, currentDir, stage, touched.toSeq)
+    // the durable cursor lands LAST: a crash anywhere above re-folds
+    // the same files, and keep-latest converges
+    writeState(spark, currentDir, nb, done ++ fresh)
+    (fresh.size, touched.length)
+  }
+
+  /** Finish interrupted bucket swaps: a bucket whose live dir is gone
+    * while its `._ct_trash_kb=` twin survives is restored — globally,
+    * not just for buckets the caller is about to touch.
+    */
+  private def healBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      currentDir: String): Unit =
+    if (fs.exists(new Path(currentDir)))
+      for (st <- fs.listStatus(new Path(currentDir))
+          if st.getPath.getName.startsWith("._ct_trash_kb=")) {
+        val live = new Path(currentDir,
+          st.getPath.getName.stripPrefix("._ct_trash_"))
+        if (!fs.exists(live)) fs.rename(st.getPath, live)
+      }
+
+  /** The shared per-bucket staged swap (sync and pruneTombstones):
+    * live → trash, staged → live, drop trash — atomic per bucket; a
+    * crash between the renames heals at the next [[healBuckets]].
+    * A bucket with no staged dir ends absent; a pre-existing-absent
+    * bucket (first fold) skips the first rename. Drops the staging
+    * root last.
+    */
+  private def swapBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      currentDir: String, stage: String, buckets: Seq[Int]): Unit = {
+    for (b <- buckets) {
       val bDir = s"$currentDir/kb=$b"
       val staged = s"$stage/kb=$b"
       val trash = s"$currentDir/._ct_trash_kb=$b"
@@ -215,9 +240,6 @@ object CurrentTable {
       if (fs.exists(new Path(bDir)) && !fs.rename(new Path(bDir),
           new Path(trash)))
         throw new IllegalStateException(s"current-table swap failed: $bDir")
-      // a touched bucket with NO staged rows cannot happen with
-      // tombstones retained (every key keeps a row), but an absent
-      // staged dir is still tolerated: the bucket simply stays absent
       if (fs.exists(new Path(staged)) &&
           !fs.rename(new Path(staged), new Path(bDir))) {
         fs.rename(new Path(trash), new Path(bDir)) // roll back
@@ -226,10 +248,6 @@ object CurrentTable {
       fs.delete(new Path(trash), true)
     }
     fs.delete(new Path(stage), true)
-    // the durable cursor lands LAST: a crash anywhere above re-folds
-    // the same files, and keep-latest converges
-    writeState(spark, currentDir, nb, done ++ fresh)
-    (fresh.size, touched.length)
   }
 
   /** Cursor maintenance hook for sink rewrites (compaction, retention):
@@ -263,6 +281,29 @@ object CurrentTable {
       writeState(spark, currentDir, nb, kept ++ added)
     }
 
+  /** Drop cursor entries whose file lives under a DATE-shaped `dt=`
+    * partition strictly older than `beforeDt` (ISO dates compare
+    * lexicographically — the same rule retention expires by). Unlike
+    * [[onSinkRewrite]], which needs the just-dropped partition list,
+    * this sweeps by the HORIZON itself, so a run that crashed between
+    * deleting partitions and updating the cursor converges on the
+    * next pass instead of leaking those entries forever. Returns
+    * entries dropped. No-op without a cursor.
+    */
+  def pruneCursorExpired(spark: SparkSession, currentDir: String,
+      beforeDt: String): Int = {
+    val datePat = ".*/dt=(\\d{4}-\\d{2}-\\d{2})/.*".r
+    readState(spark, currentDir).map { case (nb, done) =>
+      val kept = done.filter {
+        case datePat(d) => d >= beforeDt
+        case _ => true // non-date buckets never expire
+      }
+      if (kept.size != done.size)
+        writeState(spark, currentDir, nb, kept)
+      done.size - kept.size
+    }.getOrElse(0)
+  }
+
   /** Reclaim tombstones older than `beforeTsMs`: rewrite (atomic
     * per-bucket swap) every bucket holding one, dropping those rows.
     * Safe once no sink rewrite can re-fold a change OLDER than the
@@ -275,6 +316,10 @@ object CurrentTable {
     val fs = new Path(currentDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(currentDir))) return 0L
+    // a crashed swap (ours or a sync's) is healed BEFORE scanning —
+    // prune never advances a cursor, so nothing else guarantees a
+    // later entry point reaches the heal
+    healBuckets(fs, currentDir)
     // a cursor-only table (state file written, nothing folded yet)
     // has no buckets to scan — and no parquet for read to infer from
     if (!fs.listStatus(new Path(currentDir))
@@ -292,21 +337,7 @@ object CurrentTable {
       .withColumn("kb", col("kb").cast("int"))
       .filter(!doomed)
       .write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(stage)
-    for (b <- hit.keySet.toSeq.sorted) {
-      val bDir = s"$currentDir/kb=$b"
-      val staged = s"$stage/kb=$b"
-      val trash = s"$currentDir/._ct_trash_kb=$b"
-      fs.delete(new Path(trash), true)
-      if (!fs.rename(new Path(bDir), new Path(trash)))
-        throw new IllegalStateException(s"tombstone prune failed: $bDir")
-      if (fs.exists(new Path(staged)) &&
-          !fs.rename(new Path(staged), new Path(bDir))) {
-        fs.rename(new Path(trash), new Path(bDir))
-        throw new IllegalStateException(s"tombstone prune failed: $bDir")
-      }
-      fs.delete(new Path(trash), true)
-    }
-    fs.delete(new Path(stage), true)
+    swapBuckets(fs, currentDir, stage, hit.keySet.toSeq.sorted)
     hit.values.sum
   }
 

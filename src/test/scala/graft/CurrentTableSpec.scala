@@ -243,5 +243,51 @@ class CurrentTableSpec extends AnyFunSuite {
     assert(!new java.io.File(cur).listFiles()
       .exists(f => f.getName.contains("_ct_trash") ||
         f.getName.contains("_ct_stage")))
+    // a crash mid-prune-swap heals at the NEXT prune entry, even with
+    // no fresh sink files to drive a sync there (prune never advances
+    // the cursor, so sync's early return would never reach its heal)
+    val fs = new org.apache.hadoop.fs.Path(cur)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val kb = new java.io.File(cur).listFiles()
+      .filter(_.getName.startsWith("kb=")).head.getName
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$cur/$kb"),
+      new org.apache.hadoop.fs.Path(s"$cur/._ct_trash_$kb")))
+    assert(CurrentTable.pruneTombstones(spark, cur, 2000L) == 0L)
+    assert(new java.io.File(s"$cur/$kb").exists(), "prune did not heal")
+    assert(stateOf(cur) == Set((3L, "c")))
+    // ...and at sync entry, BEFORE the no-fresh-files early return
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$cur/$kb"),
+      new org.apache.hadoop.fs.Path(s"$cur/._ct_trash_$kb")))
+    assert(CurrentTable.sync(spark, sink, cur, Seq("id")) == ((0, 0)))
+    assert(new java.io.File(s"$cur/$kb").exists(), "sync did not heal")
+  }
+
+  test("pruneCursorExpired sweeps date-partition entries past the " +
+      "horizon, keeping non-date buckets") {
+    val sink = Files.createTempDirectory("graft-ct7-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct7-cur-").toString
+    append(sink, Seq((1L, "a", "CREATE", 1000L, "f1", 10L)),
+      dt = "2023-01-01")
+    append(sink, Seq((2L, "b", "CREATE", 1100L, "f1", 20L)),
+      dt = "2024-06-01")
+    append(sink, Seq((3L, "c", "CREATE", 1200L, "f1", 30L)),
+      dt = "static") // fixed-bucket-style value: never expires
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    def cursorSize(): Int = scala.io.Source.fromFile(s"$cur/_synced.txt")
+      .getLines().size - 1
+    assert(cursorSize() == 3)
+    // horizon between the two dates: only the 2023 entry goes —
+    // even though its partition was deleted out-of-band (the crashed
+    // retention-run shape: partitions gone, cursor hook never ran)
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$sink/dt=2023-01-01"), true)
+    assert(CurrentTable.pruneCursorExpired(spark, cur, "2024-01-01") == 1)
+    assert(cursorSize() == 2)
+    assert(CurrentTable.pruneCursorExpired(spark, cur, "2024-01-01") == 0)
+    // the table itself is untouched; a later full sync stays converged
+    assert(CurrentTable.sync(spark, sink, cur, Seq("id")) == ((0, 0)))
+    assert(stateOf(cur) == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 }
