@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TimeTravel
+import graft.streaming.{Compaction, CurrentTable}
+
+/** Property-style fuzz of the current-table fold: random changelogs
+  * (create/update/delete over a small key space, spread across files
+  * and `dt=` partitions) driven through RANDOM maintenance schedules —
+  * scoped and unscoped syncs, partition compactions with and without
+  * the cursor-swap hook, cursor expiry sweeps — must always converge
+  * to the TimeTravel reconstruction of the same changelog. This is
+  * the invariant everything else rests on: no interleaving of
+  * maintenance can lose a change, duplicate a key, or resurrect a
+  * deleted one.
+  */
+class CurrentTableFuzzSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val order = Seq(col("_ts"), col("_binlog_pos_internal"))
+
+  private def appendFile(sink: String, dt: String,
+      rows: Seq[(Long, String, String, Long, Long)]): Unit =
+    rows.toDF("id", "name", "_op", "_ts", "_binlog_pos_internal")
+      .withColumn("_binlog_file_internal", lit("f1"))
+      .withColumn("dt", lit(dt))
+      .coalesce(1)
+      .write.mode("append").partitionBy("dt").parquet(sink)
+
+  private def liveState(cur: String): Set[(Long, String)] =
+    CurrentTable.read(spark, cur)
+      .select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def oracle(sink: String): Set[(Long, String)] =
+    TimeTravel.asOf(spark.read.parquet(sink), Seq("id"), Long.MaxValue,
+        TimeTravel.defaultOrder("mysql"))
+      .select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("random changelogs under random maintenance schedules always " +
+      "converge to the TimeTravel oracle") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val sink = Files.createTempDirectory(s"graft-ctf-$seed-")
+        .resolve("sink").toString
+      val cur = Files.createTempDirectory(s"graft-ctf-cur-$seed-").toString
+      val keySpace = 1 + rnd.nextInt(20)
+      val dts = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+      var pos = 0L
+      val steps = 6 + rnd.nextInt(6)
+      for (step <- 0 until steps) {
+        // one batch: 1-3 files of 1-8 events each, each file in one
+        // random partition (the pipeline's steady-state write shape)
+        val batchDts = scala.collection.mutable.Set[String]()
+        for (_ <- 0 to rnd.nextInt(2)) {
+          val dt = dts(rnd.nextInt(dts.length))
+          batchDts += dt
+          val rows = (0 to rnd.nextInt(7)).map { _ =>
+            pos += 1
+            val id = 1L + rnd.nextInt(keySpace)
+            val op = rnd.nextInt(4) match {
+              case 0 => "DELETE"
+              case _ => "UPDATE"
+            }
+            (id, s"v$pos", op, 1000L + pos, pos)
+          }
+          appendFile(sink, dt, rows)
+        }
+        // maintenance roulette, mirroring the pipeline's order:
+        // sync (scoped or full) → maybe compact (with or without the
+        // cursor swap) → maybe sweep the cursor
+        val scope =
+          if (rnd.nextBoolean()) Some(batchDts.toSeq.map(d => s"dt=$d"))
+          else None
+        CurrentTable.sync(spark, sink, cur, Seq("id"),
+          buckets = 1 + rnd.nextInt(8), orderOverride = Some(order),
+          scope = if (step == 0) None else scope)
+        if (rnd.nextInt(3) == 0) {
+          val dt = dts(rnd.nextInt(dts.length))
+          val dtDir = s"$sink/dt=$dt"
+          if (new java.io.File(dtDir).exists()) {
+            Compaction.compactPartitions(spark, sink, Seq(dt),
+              1 + rnd.nextInt(20), order)
+            if (rnd.nextBoolean()) {
+              // the pipeline's swap hook — everything under the
+              // partition was synced just above
+              val added = new java.io.File(dtDir).listFiles()
+                .filter(_.getName.endsWith(".parquet")).map(_.toString)
+              CurrentTable.onSinkRewrite(spark, sink, cur,
+                Seq(dtDir), added.toSeq)
+            } // else: blind re-fold next sync — tombstones defend
+          }
+        }
+        if (rnd.nextInt(4) == 0)
+          // horizon BELOW every live partition: must never drop a
+          // live entry (the live-partition sweep is retention's job,
+          // exercised separately with deleted partitions)
+          CurrentTable.pruneCursorExpired(spark, cur, "2024-01-01")
+      }
+      // final full sync, then the invariant
+      CurrentTable.sync(spark, sink, cur, Seq("id"),
+        orderOverride = Some(order))
+      assert(liveState(cur) == oracle(sink),
+        s"seed $seed diverged from the oracle")
+      // raw table: exactly one row per key ever seen, tombstones for
+      // exactly the keys whose latest change is a DELETE
+      val raw = spark.read.parquet(cur)
+      val perKey = raw.groupBy("id").count()
+        .filter(col("count") > 1).count()
+      assert(perKey == 0, s"seed $seed: duplicate keys in buckets")
+      val deadKeys = raw
+        .filter(TimeTravel.isTombstone).select("id")
+        .collect().map(_.getLong(0)).toSet
+      val oracleDead = TimeTravel.latest(spark.read.parquet(sink),
+          Seq("id"), Long.MaxValue, TimeTravel.defaultOrder("mysql"))
+        .filter(TimeTravel.isTombstone).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(deadKeys == oracleDead,
+        s"seed $seed: tombstone set diverged")
+    }
+  }
+}
