@@ -54,6 +54,17 @@ object CurrentTable {
 
   private def stateFile(dir: String) = s"$dir/_synced.txt"
 
+  /** The bucket assignment — THE layout contract: every writer and
+    * every pruning reader must hash identically or keys silently
+    * land in (or get looked up from) the wrong bucket. Separator
+    * byte 0x01 so composite keys cannot collide by concatenation
+    * (("ab","c") vs ("a","bc")).
+    */
+  private def bucketExpr(pk: Seq[String],
+      nb: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(concat_ws("\u0001", pk.map(col): _*)),
+      lit(nb.toLong)).cast("int")
+
   /** (bucketCount, processed sink files) from the state file. */
   private def readState(spark: SparkSession,
       dir: String): Option[(Int, Set[String])] = {
@@ -162,10 +173,7 @@ object CurrentTable {
     val fresh = all.filterNot(done)
     if (fresh.isEmpty) return (0, 0)
 
-    // separator byte 0x01 so composite keys cannot collide by
-    // concatenation (("ab","c") vs ("a","bc"))
-    val kb = pmod(xxhash64(concat_ws("\u0001", pk.map(col): _*)),
-      lit(nb.toLong)).cast("int")
+    val kb = bucketExpr(pk, nb)
     val sinkBase = {
       val sp = new Path(sinkDir)
       sp.getFileSystem(spark.sessionState.newHadoopConf())
@@ -349,4 +357,39 @@ object CurrentTable {
   def read(spark: SparkSession, currentDir: String): DataFrame =
     spark.read.parquet(currentDir)
       .filter(!graft.ops.TimeTravel.isTombstone)
+
+  /** Point lookups over the bucket layout: the live rows matching
+    * `keys` (a frame whose columns are exactly the table's key
+    * columns), reading ONLY the buckets those keys hash into — the
+    * same expression the sync bucketed by, so the prune can never
+    * disagree with the layout. At scale this is the difference
+    * between a point lookup scanning 1/nb of the table and scanning
+    * all of it; the key set is assumed driver-small (it is collected
+    * to plan the bucket list). Matching is a semi-join on the key
+    * columns, so composite keys and duplicates in `keys` behave like
+    * SQL `IN`. The key columns' TYPES must match the table's —
+    * xxhash64 hashes an int and a long differently, so a mistyped
+    * probe would silently plan the wrong bucket.
+    */
+  def lookup(spark: SparkSession, currentDir: String,
+      pk: Seq[String], keys: DataFrame): DataFrame = {
+    require(pk.nonEmpty, "lookup: no key columns")
+    require(keys.columns.toSeq == pk,
+      s"lookup: keys frame must have exactly the key columns $pk, " +
+        s"got ${keys.columns.toSeq}")
+    val nb = readState(spark, currentDir).map(_._1).getOrElse(
+      throw new IllegalStateException(
+        s"no current table at $currentDir (missing ${stateFile(currentDir)})"))
+    val kbExpr = bucketExpr(pk, nb)
+    val buckets = keys.select(kbExpr.as("kb")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val fs = new Path(currentDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val live = buckets.map(b => s"$currentDir/kb=$b")
+      .filter(d => fs.exists(new Path(d)))
+    if (live.isEmpty) return read(spark, currentDir).limit(0)
+    spark.read.option("basePath", currentDir).parquet(live.toSeq: _*)
+      .filter(!graft.ops.TimeTravel.isTombstone)
+      .join(keys.distinct(), pk, "left_semi")
+  }
 }

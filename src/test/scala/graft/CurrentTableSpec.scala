@@ -262,6 +262,41 @@ class CurrentTableSpec extends AnyFunSuite {
     assert(new java.io.File(s"$cur/$kb").exists(), "sync did not heal")
   }
 
+  test("lookup reads only the buckets the keys hash into; tombstoned " +
+      "keys do not match") {
+    val sink = Files.createTempDirectory("graft-ct8-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct8-cur-").toString
+    append(sink, Seq(
+      (1L, "a", "CREATE", 1000L, "f1", 10L),
+      (2L, "b", "CREATE", 1100L, "f1", 20L),
+      (3L, "c", "CREATE", 1200L, "f1", 30L),
+      (4L, "d", "CREATE", 1300L, "f1", 40L),
+      (2L, "b", "DELETE", 2000L, "f1", 50L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 8)
+    val keys = Seq(1L, 2L, 9L).toDF("id") // live, deleted, never-seen
+    val got = CurrentTable.lookup(spark, cur, Seq("id"), keys)
+    assert(got.select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "a")))
+    // the scan read ONLY the buckets the probe keys hash into — the
+    // layout prune, visible through the frame's input files
+    val nBuckets = new java.io.File(cur).listFiles()
+      .count(_.getName.startsWith("kb="))
+    val readBuckets = got.inputFiles
+      .flatMap(_.split('/').find(_.startsWith("kb="))).toSet
+    assert(readBuckets.size <= 3 && readBuckets.size < nBuckets,
+      s"no bucket prune: read $readBuckets of $nBuckets")
+    // empty key set / all-unknown keys yield an empty, well-shaped frame
+    assert(CurrentTable.lookup(spark, cur, Seq("id"),
+      Seq(99L).toDF("id")).count() == 0)
+    // shape mismatch fails loudly
+    val e = intercept[IllegalArgumentException] {
+      CurrentTable.lookup(spark, cur, Seq("id"),
+        Seq((1L, "x")).toDF("id", "extra"))
+    }
+    assert(e.getMessage.contains("key columns"))
+  }
+
   test("pruneCursorExpired sweeps date-partition entries past the " +
       "horizon, keeping non-date buckets") {
     val sink = Files.createTempDirectory("graft-ct7-")
