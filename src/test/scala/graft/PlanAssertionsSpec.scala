@@ -224,4 +224,29 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan.contains("least("), plan.take(800))
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
   }
+
+  test("current-table lookup: probe keys broadcast onto the bucket " +
+      "scan — the table side never shuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-plan-ct-").toString
+    spark.range(2000)
+      .select(col("id"), concat(lit("v"), col("id")).as("name"),
+        lit("UPDATE").as("_op"), (lit(1000L) + col("id")).as("_ts"),
+        lit("f1").as("_binlog_file_internal"),
+        col("id").as("_binlog_pos_internal"),
+        lit("2024-01-01").as("dt"))
+      .write.mode("append").partitionBy("dt").parquet(s"$work/sink")
+    graft.streaming.CurrentTable.sync(spark, s"$work/sink",
+      s"$work/cur", Seq("id"), buckets = 16)
+    val got = graft.streaming.CurrentTable.lookup(spark, s"$work/cur",
+      Seq("id"), Seq(7L, 1234L).toDF("id"))
+    val plan = planOf(got)
+    // driver-small probe set broadcasts; the bucket read is joined
+    // in place — a shuffle of the table side would defeat the point
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
 }
