@@ -680,8 +680,12 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
             // crashed run may have deleted partitions without reaching
             // this block, and a re-run's expirePartitions returns
             // empty for already-deleted partitions — sweeping by the
-            // horizon itself (not the dropped list) converges.
+            // horizon itself (not the dropped list) converges. NEVER
+            // under a fixed bucket: retention cannot expire a constant
+            // bucket, so arbitrarily old changes stay re-foldable and
+            // their tombstones must stay to defend against them.
             if (config.currentKeys.contains(key) &&
+                config.fixedBucket.isEmpty &&
                 (dropped.nonEmpty || !retentionSwept(key))) {
               val curDir = s"${dir}__current"
               CurrentTable.pruneCursorExpired(spark, curDir, cutoff)

@@ -309,6 +309,30 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(cursor.size == 1, s"stale cursor entries: $cursor")
   }
 
+  test("a fixed bucket never prunes tombstones: retention cannot " +
+      "expire a constant bucket, so old changes stay re-foldable") {
+    val in = tmp(); val out = tmp()
+    writeFixture(in, "00-snapshot.jsonl", Seq(
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":1},"name":{"string":"alice"},"balance":null""")))
+    writeFixture(in, "01-changes.jsonl", Seq(
+      row("DELETE", "users", 1700000200000L, "mysql-bin.000001", 200,
+        """"id":{"int":1},"name":{"string":"alice"},"balance":null""")))
+    run(CdcConfig("srcFb", registry, out.toString,
+      fixedBucket = Some("static"),
+      retentionDays = 30,
+      currentKeys = Map("testdb.users" -> Seq("id"))), in)
+    val cur = s"$out/srcFb_testdb__users__current"
+    // the bucket survives retention (non-date dt), and so MUST the
+    // tombstone — its older CREATE is still on disk, re-foldable
+    assert(new java.io.File(s"$out/srcFb_testdb__users/dt=static")
+      .exists())
+    assert(spark.read.parquet(cur)
+      .filter(org.apache.spark.sql.functions.col("_op") === "DELETE")
+      .count() == 1)
+    assert(graft.streaming.CurrentTable.read(spark, cur).count() == 0)
+  }
+
   test("retention cutoff is derived in the session timezone — the " +
       "clock that assigned dt") {
     val key = "spark.sql.session.timeZone"
