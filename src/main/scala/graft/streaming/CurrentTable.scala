@@ -81,6 +81,24 @@ object CurrentTable {
     }
   }
 
+  /** The bucket count alone — first line of the state file, without
+    * materializing the (unbounded) processed-file list behind it.
+    */
+  private def readBucketCount(spark: SparkSession,
+      dir: String): Option[Int] = {
+    val p = new Path(stateFile(dir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8"))
+        Option(br.readLine()).map(_.trim.toInt)
+      } finally in.close()
+    }
+  }
+
   private def writeState(spark: SparkSession, dir: String, nb: Int,
       done: Set[String]): Unit =
     AtomicFiles.write(stateFile(dir),
@@ -369,7 +387,7 @@ object CurrentTable {
     * columns, so composite keys and duplicates in `keys` behave like
     * SQL `IN`. The key columns' TYPES must match the table's —
     * xxhash64 hashes an int and a long differently, so a mistyped
-    * probe would silently plan the wrong bucket.
+    * probe is rejected loudly rather than planning the wrong bucket.
     */
   def lookup(spark: SparkSession, currentDir: String,
       pk: Seq[String], keys: DataFrame): DataFrame = {
@@ -377,19 +395,51 @@ object CurrentTable {
     require(keys.columns.toSeq == pk,
       s"lookup: keys frame must have exactly the key columns $pk, " +
         s"got ${keys.columns.toSeq}")
-    val nb = readState(spark, currentDir).map(_._1).getOrElse(
+    // just the layout constant off the cursor's first line — reading
+    // the full cursor (one line per folded sink file) would put
+    // O(cursor) driver IO on the hot point-lookup path
+    val nb = readBucketCount(spark, currentDir).getOrElse(
       throw new IllegalStateException(
         s"no current table at $currentDir (missing ${stateFile(currentDir)})"))
-    val kbExpr = bucketExpr(pk, nb)
-    val buckets = keys.select(kbExpr.as("kb")).distinct()
+    // snapshot the probe set ONCE, driver-side: bucket planning and
+    // the join below must see the SAME rows — a probe frame over a
+    // changing or non-deterministic source could otherwise hash a key
+    // into a bucket the plan never listed and silently miss it
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(keys.collect(): _*), keys.schema)
+    val buckets = local.select(bucketExpr(pk, nb).as("kb")).distinct()
       .collect().map(_.getInt(0)).sorted
     val fs = new Path(currentDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val live = buckets.map(b => s"$currentDir/kb=$b")
-      .filter(d => fs.exists(new Path(d)))
-    if (live.isEmpty) return read(spark, currentDir).limit(0)
+    // one listing for existence AND a bucket-pruned schema source —
+    // schema inference off the table root would list every bucket
+    val existing = fs.listStatus(new Path(currentDir))
+      .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
+    if (existing.isEmpty)
+      throw new IllegalStateException(
+        s"current table at $currentDir holds no data yet")
+    val schemaSrc = spark.read.option("basePath", currentDir)
+      .parquet(s"$currentDir/${existing.head}")
+    // the hash is TYPE-sensitive (xxhash64 of an int != the same
+    // value as a long) — a mistyped probe would silently plan the
+    // wrong bucket, so mistypes must fail loudly instead
+    for (c <- pk) {
+      def typeOf(s: org.apache.spark.sql.types.StructType, n: String) =
+        s.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
+      (typeOf(keys.schema, c), typeOf(schemaSrc.schema, c)) match {
+        case (Some(kt), Some(tt)) => require(kt == tt,
+          s"lookup: key column '$c' is $kt but the table stores $tt — " +
+            "xxhash64 is type-sensitive; cast the probe frame")
+        case _ => throw new IllegalArgumentException(
+          s"lookup: key column '$c' missing from probe or table schema")
+      }
+    }
+    val live = buckets.map(b => s"kb=$b").filter(existing)
+      .map(n => s"$currentDir/$n")
+    if (live.isEmpty) return schemaSrc.limit(0)
+      .filter(!graft.ops.TimeTravel.isTombstone)
     spark.read.option("basePath", currentDir).parquet(live.toSeq: _*)
       .filter(!graft.ops.TimeTravel.isTombstone)
-      .join(keys.distinct(), pk, "left_semi")
+      .join(local, pk, "left_semi")
   }
 }

@@ -295,6 +295,21 @@ class CurrentTableSpec extends AnyFunSuite {
         Seq((1L, "x")).toDF("id", "extra"))
     }
     assert(e.getMessage.contains("key columns"))
+    // TYPE mismatch fails loudly too: an int probe of a long column
+    // would hash into the wrong bucket and silently miss
+    val te = intercept[IllegalArgumentException] {
+      CurrentTable.lookup(spark, cur, Seq("id"), Seq(1).toDF("id"))
+    }
+    assert(te.getMessage.contains("type-sensitive"))
+    // a cursor-only table (nothing folded yet) is loud, not a crash
+    // deep in schema inference
+    val empty = Files.createTempDirectory("graft-ct8e-").toString
+    graft.streaming.AtomicFiles.write(s"$empty/_synced.txt", "8\n",
+      spark.sparkContext.hadoopConfiguration)
+    val ee = intercept[IllegalStateException] {
+      CurrentTable.lookup(spark, empty, Seq("id"), Seq(1L).toDF("id"))
+    }
+    assert(ee.getMessage.contains("no data"))
   }
 
   test("pruneCursorExpired sweeps date-partition entries past the " +
