@@ -611,6 +611,18 @@ object ScaleBench {
     println(f"[scale] currenttable ${keys} keys, post-compaction " +
       f"sync: blind re-fold ${tRefold}%5.2fs vs cursor swap " +
       f"${tSwap}%5.2fs (${tRefold / tSwap}%4.1fx)")
+    // point lookups: the bucket prune reads ≤ probe-count of the 256
+    // buckets; the honest alternative semi-joins the probe against a
+    // full table scan
+    val probe = spark.range(10).toDF("id")
+    val tLookup = time(drainCount(
+      graft.streaming.CurrentTable.lookup(spark, cur, Seq("id"), probe)))
+    val tScanJoin = time(drainCount(
+      graft.streaming.CurrentTable.read(spark, cur)
+        .join(probe, Seq("id"), "left_semi")))
+    println(f"[scale] currenttable ${keys} keys, 10-key lookup: " +
+      f"bucket-pruned ${tLookup}%5.2fs vs full-scan semi-join " +
+      f"${tScanJoin}%5.2fs (${tScanJoin / tLookup}%4.1fx)")
   }
 
   /** Auto-compaction under a many-small-batches ingest: the same feed
