@@ -226,7 +226,15 @@ object CurrentTable {
       cur.unionByName(changes), pk, Long.MaxValue, order)
     val stage = s"$currentDir/._ct_stage"
     fs.delete(new Path(stage), true)
-    merged.write.mode(SaveMode.Overwrite).partitionBy("kb")
+    // repartition by kb before the bucketed write: the merge comes
+    // off a pk-hash shuffle, so WITHOUT this every write task holds
+    // rows of every touched bucket and a full fold emits
+    // tasks × buckets small files (measured 32 files per bucket);
+    // hashed on kb, each bucket's rows land in exactly one task —
+    // one file per bucket, and parquet row groups keep one big file
+    // scan-parallel
+    merged.repartition(col("kb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("kb")
       .parquet(stage)
     swapBuckets(fs, currentDir, stage, touched.toSeq)
     // the durable cursor lands LAST: a crash anywhere above re-folds
@@ -362,6 +370,7 @@ object CurrentTable {
     spark.read.option("basePath", currentDir).parquet(hitDirs: _*)
       .withColumn("kb", col("kb").cast("int"))
       .filter(!doomed)
+      .repartition(col("kb")) // one file per bucket, like sync's write
       .write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(stage)
     swapBuckets(fs, currentDir, stage, hit.keySet.toSeq.sorted)
     hit.values.sum

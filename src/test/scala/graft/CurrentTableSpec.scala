@@ -312,6 +312,32 @@ class CurrentTableSpec extends AnyFunSuite {
     assert(ee.getMessage.contains("no data"))
   }
 
+  test("a fold writes ONE file per touched bucket, not one per " +
+      "upstream task") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft-ct9-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct9-cur-").toString
+    // enough keys that the pk-hash shuffle spreads every bucket's
+    // rows across many tasks — without the kb repartition the write
+    // emits tasks × buckets files
+    spark.range(2000)
+      .select(col("id"), concat(lit("v"), col("id")).as("name"),
+        lit("UPDATE").as("_op"), (lit(1000L) + col("id")).as("_ts"),
+        lit("f1").as("_binlog_file_internal"),
+        col("id").as("_binlog_pos_internal"),
+        lit("2024-01-01").as("dt"))
+      .write.mode("append").partitionBy("dt").parquet(sink)
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    for (d <- new java.io.File(cur).listFiles()
+        if d.getName.startsWith("kb=")) {
+      val files = d.listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(files == 1, s"${d.getName}: $files files (want 1)")
+    }
+    assert(CurrentTable.read(spark, cur).count() == 2000)
+  }
+
   test("pruneCursorExpired sweeps date-partition entries past the " +
       "horizon, keeping non-date buckets") {
     val sink = Files.createTempDirectory("graft-ct7-")
