@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,8 +26,21 @@ import org.apache.spark.sql.functions._
   *     bucket `i` (`pmod(xxhash64(pk), buckets)`); bucket count is
   *     fixed at first sync (persisted in the state file) — a key's
   *     bucket must never move.
-  *   - `_synced.txt` — the sink files already folded in (one per
-  *     line), written atomically AFTER the bucket rewrites commit.
+  *   - `_synced.txt` — the LAYOUT state: bucket count (line 1) and,
+  *     when maintained, the per-bucket tombstone census (`#tomb
+  *     b=minTs ...` — the oldest tombstone `_ts` each bucket holds),
+  *     which lets [[pruneTombstones]] skip buckets that cannot hold a
+  *     prunable row. Older layouts appended the folded-file list
+  *     here; such files migrate into `_cursor/` on first touch.
+  *   - `_cursor/<partition>.txt` — the sync cursor, SHARDED one
+  *     sidecar per sink `dt=` partition (files outside any `dt=` dir
+  *     live in `_root.txt`): each sidecar lists that partition's sink
+  *     files already folded in, written atomically AFTER the bucket
+  *     rewrites commit. Sharding is what keeps per-batch cursor IO
+  *     proportional to the BATCH's partitions, not to the table's
+  *     lifetime file count — a months-old 100 TB sink has millions of
+  *     live files, and a whole-table cursor rewrite per micro-batch
+  *     would dwarf the fold itself.
   *
   * Tombstone contract: a deleted key's row stays in its bucket with
   * `_op = DELETE` and the delete's own source offset. This is what
@@ -42,17 +55,144 @@ import org.apache.spark.sql.functions._
   * older change can still be re-folded past them.
   *
   * Crash contract: bucket rewrites use the compaction swap (atomic
-  * per bucket; an interrupted swap heals on the next sync). A crash
-  * BEFORE `_synced.txt` lands re-folds the same sink files — keep-
-  * latest by source offset is idempotent, so at-least-once replay
-  * converges to the same table. A crash between two bucket swaps
-  * leaves some buckets a sync ahead; each key lives in exactly one
-  * bucket, so no key is ever half-updated, and the re-run completes
-  * the rest.
+  * per bucket; an interrupted swap heals on the next sync, and
+  * [[read]]/[[lookup]] refuse to serve a partial table in the
+  * meantime — see [[heal]]). A crash BEFORE the cursor sidecars land
+  * re-folds the same sink files — keep-latest by source offset is
+  * idempotent, so at-least-once replay converges to the same table.
+  * A crash between two sidecar writes re-folds only the unrecorded
+  * partitions' files. A crash between two bucket swaps leaves some
+  * buckets a sync ahead; each key lives in exactly one bucket, so no
+  * key is ever half-updated, and the re-run completes the rest.
+  *
+  * Cursor hygiene: every sync fully lists the partitions it governs,
+  * so sidecar entries whose file has vanished (a compaction that
+  * never reported through [[onSinkRewrite]], an out-of-band delete)
+  * are dropped on the spot — a vanished file can never be re-listed
+  * as fresh, so the drop is always safe, and the cursor stays
+  * bounded by LIVE files even on sinks that never enable retention.
   */
 object CurrentTable {
 
   private def stateFile(dir: String) = s"$dir/_synced.txt"
+  private def cursorDir(dir: String) = s"$dir/_cursor"
+  private val RootPart = "_root"
+  private val PartComponent = ".*/(dt=[^/]+)/[^/]*$".r
+
+  /** The cursor shard a sink file belongs to: its `dt=` path
+    * component, or [[RootPart]] for files outside any partition.
+    */
+  private def partKeyOf(fileUri: String): String = fileUri match {
+    case PartComponent(p) => p
+    case _ => RootPart
+  }
+
+  /** Partition name → sidecar file name, reversibly: chars outside
+    * the filename-safe set percent-encode as `%HHHH` so an exotic
+    * `dt=` value can never escape the cursor directory or collide
+    * with another partition's sidecar.
+    */
+  private def encodePart(p: String): String =
+    p.flatMap { c =>
+      if (c.isLetterOrDigit && c < 128) c.toString
+      else if (c == '=' || c == '.' || c == '_' || c == '-') c.toString
+      else f"%%${c.toInt}%04X"
+    }
+
+  private def decodePart(s: String): String =
+    "%([0-9A-F]{4})".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(
+        Integer.parseInt(m.group(1), 16).toChar.toString))
+
+  private def sidecarPath(dir: String, part: String): Path =
+    new Path(cursorDir(dir), encodePart(part) + ".txt")
+
+  private def readLines(fs: FileSystem, p: Path): Vector[String] = {
+    if (!fs.exists(p)) return Vector.empty
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toVector
+    finally in.close()
+  }
+
+  private def readSidecar(fs: FileSystem, dir: String,
+      part: String): Set[String] =
+    readLines(fs, sidecarPath(dir, part)).toSet
+
+  /** Write (or, when empty, delete) one partition's cursor sidecar —
+    * atomic, so a reader never sees a half-written file list.
+    */
+  private def writeSidecar(spark: SparkSession, dir: String,
+      part: String, entries: Set[String]): Unit = {
+    val p = sidecarPath(dir, part)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (entries.isEmpty) fs.delete(p, false)
+    else AtomicFiles.write(p.toString,
+      entries.toSeq.sorted.mkString("\n"),
+      spark.sparkContext.hadoopConfiguration)
+  }
+
+  /** Every partition that has a cursor sidecar on disk. */
+  private def sidecarParts(fs: FileSystem, dir: String): Seq[String] = {
+    val cd = new Path(cursorDir(dir))
+    if (!fs.exists(cd)) Nil
+    else fs.listStatus(cd).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".txt"))
+      .map(n => decodePart(n.stripSuffix(".txt")))
+  }
+
+  /** The root state: layout bucket count, the per-bucket tombstone
+    * census when maintained (None on tables cut before the census
+    * existed — [[pruneTombstones]] self-heals it on its next full
+    * scan), and any legacy folded-file lines awaiting migration.
+    */
+  private case class RootState(nb: Int, census: Option[Map[Int, Long]],
+      legacy: Set[String])
+
+  private def readRoot(spark: SparkSession,
+      dir: String): Option[RootState] = {
+    val p = new Path(stateFile(dir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val lines = readLines(fs, p)
+    if (lines.isEmpty) None
+    else {
+      val (tomb, files) = lines.tail.partition(_.startsWith("#tomb"))
+      val census = tomb.headOption.map {
+        _.stripPrefix("#tomb").trim.split("\\s+").filter(_.nonEmpty)
+          .map { kv =>
+            val Array(b, t) = kv.split("=", 2)
+            b.toInt -> t.toLong
+          }.toMap
+      }
+      Some(RootState(lines.head.toInt, census, files.toSet))
+    }
+  }
+
+  private def writeRoot(spark: SparkSession, dir: String, nb: Int,
+      census: Option[Map[Int, Long]]): Unit = {
+    val censusLine = census.map(m => ("#tomb " +
+      m.toSeq.sorted.map { case (b, t) => s"$b=$t" }.mkString(" ")).trim)
+    AtomicFiles.write(stateFile(dir),
+      (nb.toString +: censusLine.toSeq).mkString("\n"),
+      spark.sparkContext.hadoopConfiguration)
+  }
+
+  /** One-time layout upgrade: a pre-sharding root file carried the
+    * whole folded-file list — split it into per-partition sidecars
+    * (UNION with any sidecar already there, so a crash mid-migration
+    * re-runs safely), then rewrite the root without the file lines.
+    */
+  private def migrateCursor(spark: SparkSession, dir: String): Unit =
+    readRoot(spark, dir).foreach { rs =>
+      if (rs.legacy.nonEmpty) {
+        val fs = new Path(dir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        for ((part, files) <- rs.legacy.groupBy(partKeyOf))
+          writeSidecar(spark, dir, part,
+            readSidecar(fs, dir, part) ++ files)
+        writeRoot(spark, dir, rs.nb, rs.census)
+      }
+    }
 
   /** The bucket assignment — THE layout contract: every writer and
     * every pruning reader must hash identically or keys silently
@@ -65,25 +205,7 @@ object CurrentTable {
     pmod(xxhash64(concat_ws("\u0001", pk.map(col): _*)),
       lit(nb.toLong)).cast("int")
 
-  /** (bucketCount, processed sink files) from the state file. */
-  private def readState(spark: SparkSession,
-      dir: String): Option[(Int, Set[String])] = {
-    val p = new Path(stateFile(dir))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().map(_.trim).filter(_.nonEmpty).toVector
-        finally in.close()
-      Some((lines.head.toInt, lines.tail.toSet))
-    }
-  }
-
-  /** The bucket count alone — first line of the state file, without
-    * materializing the (unbounded) processed-file list behind it.
-    */
+  /** The bucket count alone — first line of the state file. */
   private def readBucketCount(spark: SparkSession,
       dir: String): Option[Int] = {
     val p = new Path(stateFile(dir))
@@ -98,12 +220,6 @@ object CurrentTable {
       } finally in.close()
     }
   }
-
-  private def writeState(spark: SparkSession, dir: String, nb: Int,
-      done: Set[String]): Unit =
-    AtomicFiles.write(stateFile(dir),
-      (nb.toString +: done.toSeq.sorted).mkString("\n"),
-      spark.sparkContext.hadoopConfiguration)
 
   /** Data files under `dir` — or, when `scope` names `dt=` partition
     * subdirectories, under only those (the per-batch cheap path: the
@@ -143,9 +259,10 @@ object CurrentTable {
     *
     * `scope`: `dt=` partition names the caller KNOWS contain every
     * unfolded file (the pipeline passes the batch's own partitions) —
-    * the listing then touches only those directories. The FIRST sync
-    * of a table ignores scope (history lives everywhere), and a
-    * caller unsure of coverage passes None for a full walk.
+    * the listing AND the cursor IO then touch only those partitions'
+    * sidecars. The FIRST sync of a table ignores scope (history lives
+    * everywhere), and a caller unsure of coverage passes None for a
+    * full walk.
     */
   def sync(spark: SparkSession, sinkDir: String, currentDir: String,
       pk: Seq[String], sourceType: String = "mysql",
@@ -155,9 +272,9 @@ object CurrentTable {
       : (Int, Int) = {
     require(pk.nonEmpty, "sync: no key columns")
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val state = readState(spark, currentDir)
-    val nb = state.map(_._1).getOrElse(buckets)
-    val done = state.map(_._2).getOrElse(Set.empty)
+    migrateCursor(spark, currentDir)
+    val root = readRoot(spark, currentDir)
+    val nb = root.map(_.nb).getOrElse(buckets)
     // the bucket count is a LAYOUT constant — persist it BEFORE the
     // first fold, or a crash before the cursor lands followed by a
     // retry with a different `buckets` argument would merge new rows
@@ -165,7 +282,7 @@ object CurrentTable {
     // silently, forever). And if the cursor is GONE while bucket dirs
     // exist (external deletion), the modulus is unknowable — fail
     // loudly rather than guess.
-    if (state.isEmpty) {
+    if (root.isEmpty) {
       val rootP = new Path(currentDir)
       val rfs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
       if (rfs.exists(rootP)) {
@@ -176,7 +293,8 @@ object CurrentTable {
             "no _synced.txt — the bucket modulus is unknowable; restore " +
             "the cursor or rebuild the table")
       }
-      writeState(spark, currentDir, nb, Set.empty)
+      // census maintained from birth: an empty table holds none
+      writeRoot(spark, currentDir, nb, Some(Map.empty))
     }
     val fs = new Path(currentDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -186,10 +304,31 @@ object CurrentTable {
     // to bring a later sync past this point) must not leave a
     // bucket's keys invisible until some future delta touches it
     healBuckets(fs, currentDir)
-    val all = dataFiles(spark, sinkDir,
-      if (state.isEmpty) None else scope)
+    val effScope = if (root.isEmpty) None else scope
+    val all = dataFiles(spark, sinkDir, effScope)
+    val listedByPart: Map[String, Set[String]] =
+      all.groupBy(partKeyOf).map { case (p, fsq) => p -> fsq.toSet }
+    // the sidecars this sync governs: scoped → exactly the scope's
+    // partitions; unscoped → every sidecar on disk plus whatever the
+    // listing surfaced (a full walk may see partitions never synced)
+    val governed: Set[String] = (effScope match {
+      case Some(subs) => subs.toSet
+      case None => sidecarParts(fs, currentDir).toSet
+    }) ++ listedByPart.keySet
+    val oldByPart: Map[String, Set[String]] =
+      governed.iterator.map(p => p -> readSidecar(fs, currentDir, p)).toMap
+    val done = oldByPart.valuesIterator.flatten.toSet
     val fresh = all.filterNot(done)
-    if (fresh.isEmpty) return (0, 0)
+    // cursor hygiene (see class doc): within each governed partition
+    // the listing is COMPLETE, so entries for vanished files are dead
+    def gc(p: String): Set[String] =
+      oldByPart.getOrElse(p, Set.empty)
+        .intersect(listedByPart.getOrElse(p, Set.empty))
+    if (fresh.isEmpty) {
+      for (p <- governed; g = gc(p) if g != oldByPart(p))
+        writeSidecar(spark, currentDir, p, g)
+      return (0, 0)
+    }
 
     val kb = bucketExpr(pk, nb)
     val sinkBase = {
@@ -237,9 +376,36 @@ object CurrentTable {
       .write.mode(SaveMode.Overwrite).partitionBy("kb")
       .parquet(stage)
     swapBuckets(fs, currentDir, stage, touched.toSeq)
-    // the durable cursor lands LAST: a crash anywhere above re-folds
-    // the same files, and keep-latest converges
-    writeState(spark, currentDir, nb, done ++ fresh)
+    // tombstone census over the just-swapped buckets — one
+    // tombstone-only aggregate over delta-sized files (read off the
+    // LIVE dirs: Spark's listing skips the dot-prefixed stage), so
+    // pruneTombstones can later skip buckets whose oldest tombstone
+    // is younger than its horizon. Computed AFTER the swap it
+    // describes — a crash before the root write re-folds and
+    // recomputes. Only when the census is already maintained (legacy
+    // tables stay census-less until a full prune scan heals them).
+    if (!root.exists(_.census.isEmpty)) {
+      val old = root.flatMap(_.census).getOrElse(Map.empty[Int, Long])
+      val touchedDirs = touched.map(b => s"$currentDir/kb=$b")
+        .filter(d => fs.exists(new Path(d)))
+      val touchedMin =
+        if (touchedDirs.isEmpty) Map.empty[Int, Long]
+        else spark.read.option("basePath", currentDir)
+          .parquet(touchedDirs.toSeq: _*)
+          .filter(graft.ops.TimeTravel.isTombstone)
+          .groupBy(col("kb").cast("int").as("kb"))
+          .agg(min(col("_ts")).cast("long").as("mn"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      writeRoot(spark, currentDir, nb, Some(old -- touched ++ touchedMin))
+    }
+    // the durable cursor lands LAST, one sidecar per governed
+    // partition: a crash anywhere above (or between two sidecar
+    // writes) re-folds the unrecorded files, and keep-latest converges
+    for (p <- governed) {
+      val nc = gc(p) ++ fresh.filter(f => partKeyOf(f) == p)
+      if (nc != oldByPart.getOrElse(p, Set.empty))
+        writeSidecar(spark, currentDir, p, nc)
+    }
     (fresh.size, touched.length)
   }
 
@@ -247,8 +413,7 @@ object CurrentTable {
     * while its `._ct_trash_kb=` twin survives is restored — globally,
     * not just for buckets the caller is about to touch.
     */
-  private def healBuckets(fs: org.apache.hadoop.fs.FileSystem,
-      currentDir: String): Unit =
+  private def healBuckets(fs: FileSystem, currentDir: String): Unit =
     if (fs.exists(new Path(currentDir)))
       for (st <- fs.listStatus(new Path(currentDir))
           if st.getPath.getName.startsWith("._ct_trash_kb=")) {
@@ -257,6 +422,53 @@ object CurrentTable {
         if (!fs.exists(live)) fs.rename(st.getPath, live)
       }
 
+  /** Restore any bucket stranded by an interrupted swap — the manual
+    * lever [[read]]/[[lookup]] point at when they refuse to serve a
+    * partial table. Safe ONLY while no sync/prune is running against
+    * this table (the single-maintainer discipline the pipeline's
+    * in-batch maintenance already observes): healing concurrently
+    * with a live swap's rename window could re-install the old bucket
+    * under the writer's feet.
+    */
+  def heal(spark: SparkSession, currentDir: String): Unit =
+    healBuckets(new Path(currentDir)
+      .getFileSystem(spark.sessionState.newHadoopConf()), currentDir)
+
+  /** Trash dirs whose live bucket is missing — the signature of a
+    * swap that crashed strictly between its two renames.
+    */
+  private def orphanTrash(fs: FileSystem,
+      currentDir: String): Seq[String] =
+    if (!fs.exists(new Path(currentDir))) Nil
+    else fs.listStatus(new Path(currentDir)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("._ct_trash_kb="))
+      .filter(n => !fs.exists(new Path(currentDir,
+        n.stripPrefix("._ct_trash_"))))
+
+  /** Readers must not silently serve a table missing a bucket: a
+    * crashed swap parks a bucket in trash, and Spark's listing skips
+    * dot-dirs — every key in it would just be ABSENT. A LIVE writer's
+    * swap window (between its two renames) is milliseconds, so poll
+    * briefly; trash that persists is a crash — fail loudly naming the
+    * lever rather than return a partial table. (Healing here instead
+    * would race a paused live writer's second rename — see [[heal]].)
+    */
+  private def requireHealed(fs: FileSystem, currentDir: String): Unit = {
+    var orphans = orphanTrash(fs, currentDir)
+    var waited = 0L
+    while (orphans.nonEmpty && waited < 1000L) {
+      Thread.sleep(100L); waited += 100L
+      orphans = orphanTrash(fs, currentDir)
+    }
+    if (orphans.nonEmpty)
+      throw new IllegalStateException(
+        s"current table at $currentDir has interrupted bucket " +
+          s"swap(s): ${orphans.mkString(", ")} — a read now would " +
+          "silently miss those buckets' keys; run " +
+          "CurrentTable.heal (or any sync/pruneTombstones) first")
+  }
+
   /** The shared per-bucket staged swap (sync and pruneTombstones):
     * live → trash, staged → live, drop trash — atomic per bucket; a
     * crash between the renames heals at the next [[healBuckets]].
@@ -264,7 +476,7 @@ object CurrentTable {
     * bucket (first fold) skips the first rename. Drops the staging
     * root last.
     */
-  private def swapBuckets(fs: org.apache.hadoop.fs.FileSystem,
+  private def swapBuckets(fs: FileSystem,
       currentDir: String, stage: String, buckets: Seq[Int]): Unit = {
     for (b <- buckets) {
       val bDir = s"$currentDir/kb=$b"
@@ -287,6 +499,9 @@ object CurrentTable {
   /** Cursor maintenance hook for sink rewrites (compaction, retention):
     * drop cursor entries under `removedPrefixes` (the replaced or
     * expired directories) and record `addedFiles` as already-folded.
+    * Touches only the affected partitions' sidecars when every prefix
+    * names a `dt=` partition dir (the pipeline's shape); a broader
+    * prefix falls back to sweeping every sidecar.
     *
     * CONTRACT: every file under `removedPrefixes` must have been
     * synced before the rewrite (the pipeline syncs the batch's
@@ -299,91 +514,168 @@ object CurrentTable {
     */
   def onSinkRewrite(spark: SparkSession, sinkDir: String,
       currentDir: String, removedPrefixes: Seq[String],
-      addedFiles: Seq[String]): Unit =
-    readState(spark, currentDir).foreach { case (nb, done) =>
-      val fs = new Path(sinkDir)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      // cursor entries are fully-qualified URIs (see dataFiles) —
-      // qualify the prefixes the same way or nothing would match
-      val norm = removedPrefixes.map { p =>
-        val q = fs.makeQualified(new Path(p)).toString
-        if (q.endsWith("/")) q else q + "/"
-      }
-      val kept = done.filterNot(f => norm.exists(f.startsWith))
-      val added = addedFiles
-        .map(f => fs.makeQualified(new Path(f)).toString)
-      writeState(spark, currentDir, nb, kept ++ added)
+      addedFiles: Seq[String]): Unit = {
+    if (readRoot(spark, currentDir).isEmpty) return
+    migrateCursor(spark, currentDir)
+    val fs = new Path(sinkDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cfs = new Path(currentDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // cursor entries are fully-qualified URIs (see dataFiles) —
+    // qualify the prefixes the same way or nothing would match
+    val norm = removedPrefixes.map { p =>
+      val q = fs.makeQualified(new Path(p)).toString
+      if (q.endsWith("/")) q else q + "/"
     }
+    val added = addedFiles
+      .map(f => fs.makeQualified(new Path(f)).toString)
+    // a prefix ending in a dt= component can only hold entries of
+    // that partition's sidecar (partKeyOf keys by the same component)
+    val prefixParts = norm.map { p =>
+      val last = p.stripSuffix("/").split('/').last
+      if (last.startsWith("dt=")) Some(last) else None
+    }
+    val governed: Set[String] =
+      (if (prefixParts.forall(_.isDefined)) prefixParts.flatten.toSet
+       else sidecarParts(cfs, currentDir).toSet) ++
+        added.map(partKeyOf)
+    for (p <- governed) {
+      val old = readSidecar(cfs, currentDir, p)
+      val nc = old.filterNot(f => norm.exists(f.startsWith)) ++
+        added.filter(f => partKeyOf(f) == p)
+      if (nc != old) writeSidecar(spark, currentDir, p, nc)
+    }
+  }
 
   /** Drop cursor entries whose file lives under a DATE-shaped `dt=`
     * partition strictly older than `beforeDt` (ISO dates compare
-    * lexicographically — the same rule retention expires by). Unlike
-    * [[onSinkRewrite]], which needs the just-dropped partition list,
-    * this sweeps by the HORIZON itself, so a run that crashed between
-    * deleting partitions and updating the cursor converges on the
-    * next pass instead of leaking those entries forever. Returns
-    * entries dropped. No-op without a cursor.
+    * lexicographically — the same rule retention expires by). With
+    * the sharded cursor this is a per-sidecar DELETE of the expired
+    * partitions' files — O(expired partitions), never a rewrite of
+    * the live cursor. Unlike [[onSinkRewrite]], which needs the
+    * just-dropped partition list, this sweeps by the HORIZON itself,
+    * so a run that crashed between deleting partitions and updating
+    * the cursor converges on the next pass instead of leaking those
+    * entries forever. Returns entries dropped. No-op without a
+    * cursor.
     */
   def pruneCursorExpired(spark: SparkSession, currentDir: String,
       beforeDt: String): Int = {
-    val datePat = ".*/dt=(\\d{4}-\\d{2}-\\d{2})/.*".r
-    readState(spark, currentDir).map { case (nb, done) =>
-      val kept = done.filter {
-        case datePat(d) => d >= beforeDt
-        case _ => true // non-date buckets never expire
-      }
-      if (kept.size != done.size)
-        writeState(spark, currentDir, nb, kept)
-      done.size - kept.size
-    }.getOrElse(0)
+    if (readRoot(spark, currentDir).isEmpty) return 0
+    migrateCursor(spark, currentDir)
+    val fs = new Path(currentDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val datePat = "dt=(\\d{4}-\\d{2}-\\d{2})".r
+    var dropped = 0
+    for (part <- sidecarParts(fs, currentDir)) part match {
+      case datePat(d) if d < beforeDt =>
+        val p = sidecarPath(currentDir, part)
+        dropped += readLines(fs, p).size
+        fs.delete(p, false)
+      case _ => // non-date buckets never expire
+    }
+    dropped
   }
 
   /** Reclaim tombstones older than `beforeTsMs`: rewrite (atomic
     * per-bucket swap) every bucket holding one, dropping those rows.
     * Safe once no sink rewrite can re-fold a change OLDER than the
     * horizon — e.g. the sink's own retention horizon: a change that
-    * old no longer exists in any sink file. Returns tombstones
-    * dropped.
+    * old no longer exists in any sink file. The per-bucket tombstone
+    * census (maintained by [[sync]] in the root state file) prunes
+    * the scan to buckets whose OLDEST tombstone is under the horizon
+    * — a table whose tombstones are all young scans nothing; a
+    * census-less legacy table pays one full scan here and writes the
+    * census for every run after. Returns tombstones dropped.
     */
   def pruneTombstones(spark: SparkSession, currentDir: String,
       beforeTsMs: Long): Long = {
     val fs = new Path(currentDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(currentDir))) return 0L
+    migrateCursor(spark, currentDir)
     // a crashed swap (ours or a sync's) is healed BEFORE scanning —
     // prune never advances a cursor, so nothing else guarantees a
     // later entry point reaches the heal
     healBuckets(fs, currentDir)
     // a cursor-only table (state file written, nothing folded yet)
     // has no buckets to scan — and no parquet for read to infer from
-    if (!fs.listStatus(new Path(currentDir))
-        .exists(_.getPath.getName.startsWith("kb="))) return 0L
-    val doomed = graft.ops.TimeTravel.isTombstone &&
-      col("_ts") < beforeTsMs
-    val all = spark.read.parquet(currentDir)
-    val hit = all.filter(doomed).groupBy("kb").count().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).toMap
-    if (hit.isEmpty) return 0L
-    val stage = s"$currentDir/._ct_stage"
-    fs.delete(new Path(stage), true)
-    val hitDirs = hit.keySet.toSeq.sorted.map(b => s"$currentDir/kb=$b")
-    spark.read.option("basePath", currentDir).parquet(hitDirs: _*)
+    val existing = fs.listStatus(new Path(currentDir))
+      .map(_.getPath.getName).filter(_.startsWith("kb="))
+      .map(_.stripPrefix("kb=").toInt).toSeq
+    if (existing.isEmpty) return 0L
+    val root = readRoot(spark, currentDir)
+    val census = root.flatMap(_.census)
+    val candidates = (census match {
+      case Some(m) => existing.filter(b => m.get(b).exists(_ < beforeTsMs))
+      case None => existing // census unknown: full scan, then heal it
+    }).sorted
+    if (candidates.isEmpty) return 0L
+    val scan = spark.read.option("basePath", currentDir)
+      .parquet(candidates.map(b => s"$currentDir/kb=$b"): _*)
       .withColumn("kb", col("kb").cast("int"))
-      .filter(!doomed)
-      .repartition(col("kb")) // one file per bucket, like sync's write
-      .write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(stage)
-    swapBuckets(fs, currentDir, stage, hit.keySet.toSeq.sorted)
-    hit.values.sum
+    // one pass per candidate bucket: how many tombstones fall, and
+    // the oldest that SURVIVES (the bucket's next census entry)
+    val stats = scan.filter(graft.ops.TimeTravel.isTombstone)
+      .groupBy("kb").agg(
+        sum(when(col("_ts") < beforeTsMs, 1L).otherwise(0L)).as("gone"),
+        min(when(col("_ts") >= beforeTsMs, col("_ts")))
+          .cast("long").as("keptMin"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val hit = stats.filter(_._2 > 0L).map(_._1).sorted
+    if (hit.nonEmpty) {
+      val doomed = graft.ops.TimeTravel.isTombstone &&
+        col("_ts") < beforeTsMs
+      val stage = s"$currentDir/._ct_stage"
+      fs.delete(new Path(stage), true)
+      spark.read.option("basePath", currentDir)
+        .parquet(hit.map(b => s"$currentDir/kb=$b"): _*)
+        .withColumn("kb", col("kb").cast("int"))
+        .filter(!doomed)
+        .repartition(col("kb")) // one file per bucket, like sync's write
+        .write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(stage)
+      swapBuckets(fs, currentDir, stage, hit)
+    }
+    // census self-heal: every scanned bucket's entry is now exact
+    // (absent = no tombstones left); unscanned buckets keep theirs.
+    // A census-less table just scanned EVERYTHING, so the write below
+    // births a complete census.
+    root.foreach { rs =>
+      val kept = stats.flatMap { case (b, _, mn) => mn.map(b -> _) }.toMap
+      writeRoot(spark, currentDir, rs.nb,
+        Some(rs.census.getOrElse(Map.empty) -- candidates ++ kept))
+    }
+    stats.map(_._2).sum
+  }
+
+  /** The raw bucket rows — tombstones INCLUDED — for consumers that
+    * run their own keep-latest (the cross-fork union). Refuses a
+    * table with an unhealed swap.
+    */
+  private def readRaw(spark: SparkSession, currentDir: String): DataFrame = {
+    requireHealed(new Path(currentDir)
+      .getFileSystem(spark.sessionState.newHadoopConf()), currentDir)
+    spark.read.parquet(currentDir)
   }
 
   /** The current table as a frame: live keys only — the stored
     * DELETE tombstones are filtered here, at read time. `kb=` rides
     * along as a partition column; callers who key-join can exploit
-    * it.
+    * it. Fails loudly (after a brief grace for a live swap) on a
+    * table with a crashed bucket swap rather than silently serving a
+    * table missing that bucket's keys.
     */
   def read(spark: SparkSession, currentDir: String): DataFrame =
-    spark.read.parquet(currentDir)
+    readRaw(spark, currentDir)
       .filter(!graft.ops.TimeTravel.isTombstone)
+
+  private val IntegralTypes: Set[org.apache.spark.sql.types.DataType] =
+    Set(org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
 
   /** Point lookups over the bucket layout: the live rows matching
     * `keys` (a frame whose columns are exactly the table's key
@@ -391,35 +683,54 @@ object CurrentTable {
     * same expression the sync bucketed by, so the prune can never
     * disagree with the layout. At scale this is the difference
     * between a point lookup scanning 1/nb of the table and scanning
-    * all of it; the key set is assumed driver-small (it is collected
-    * to plan the bucket list). Matching is a semi-join on the key
-    * columns, so composite keys and duplicates in `keys` behave like
-    * SQL `IN`. The key columns' TYPES must match the table's —
-    * xxhash64 hashes an int and a long differently, so a mistyped
-    * probe is rejected loudly rather than planning the wrong bucket.
+    * all of it. Matching is a semi-join on the key columns, so
+    * composite keys and duplicates in `keys` behave like SQL `IN`.
+    *
+    * The probe set is collected to the driver to plan the bucket
+    * list — bounded by `maxDriverKeys`: a larger probe frame falls
+    * back to a full-table semi-join ([[read]] + `left_semi`), which
+    * scans every bucket but keeps the driver out of the data path
+    * entirely (the right trade once the probe stops being "a point
+    * lookup" and starts being a join).
+    *
+    * Probe column TYPES: the bucket hash renders the key through
+    * `concat_ws` — i.e. hashes the key's STRING RENDERING — so any
+    * two types that render a value identically probe correctly (the
+    * integral family: an int 1 and a long 1 both render "1").
+    * Types whose renderings can diverge from the stored column's
+    * (float vs integral "1.0"/"1", decimal scales, binary, dates)
+    * are rejected loudly rather than silently planning a wrong
+    * bucket.
     */
   def lookup(spark: SparkSession, currentDir: String,
-      pk: Seq[String], keys: DataFrame): DataFrame = {
+      pk: Seq[String], keys: DataFrame,
+      maxDriverKeys: Int = 10000): DataFrame = {
     require(pk.nonEmpty, "lookup: no key columns")
     require(keys.columns.toSeq == pk,
       s"lookup: keys frame must have exactly the key columns $pk, " +
         s"got ${keys.columns.toSeq}")
     // just the layout constant off the cursor's first line — reading
-    // the full cursor (one line per folded sink file) would put
-    // O(cursor) driver IO on the hot point-lookup path
+    // the full cursor would put needless driver IO on the hot
+    // point-lookup path
     val nb = readBucketCount(spark, currentDir).getOrElse(
       throw new IllegalStateException(
         s"no current table at $currentDir (missing ${stateFile(currentDir)})"))
-    // snapshot the probe set ONCE, driver-side: bucket planning and
+    // snapshot the probe set ONCE, driver-side (bucket planning and
     // the join below must see the SAME rows — a probe frame over a
     // changing or non-deterministic source could otherwise hash a key
-    // into a bucket the plan never listed and silently miss it
+    // into a bucket the plan never listed and silently miss it) —
+    // but only up to the driver-small bound: limit+1 detects an
+    // oversized probe without ever collecting it
+    val collected = keys.limit(maxDriverKeys + 1).collect()
+    if (collected.length > maxDriverKeys)
+      return read(spark, currentDir).join(keys, pk, "left_semi")
     val local = spark.createDataFrame(
-      java.util.Arrays.asList(keys.collect(): _*), keys.schema)
+      java.util.Arrays.asList(collected: _*), keys.schema)
     val buckets = local.select(bucketExpr(pk, nb).as("kb")).distinct()
       .collect().map(_.getInt(0)).sorted
     val fs = new Path(currentDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    requireHealed(fs, currentDir)
     // one listing for existence AND a bucket-pruned schema source —
     // schema inference off the table root would list every bucket
     val existing = fs.listStatus(new Path(currentDir))
@@ -429,16 +740,19 @@ object CurrentTable {
         s"current table at $currentDir holds no data yet")
     val schemaSrc = spark.read.option("basePath", currentDir)
       .parquet(s"$currentDir/${existing.head}")
-    // the hash is TYPE-sensitive (xxhash64 of an int != the same
-    // value as a long) — a mistyped probe would silently plan the
-    // wrong bucket, so mistypes must fail loudly instead
+    // the hash input is the key's STRING rendering (concat_ws casts
+    // every input to string) — same-rendering families are safe,
+    // divergent renderings would plan the wrong bucket: check
     for (c <- pk) {
       def typeOf(s: org.apache.spark.sql.types.StructType, n: String) =
         s.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
       (typeOf(keys.schema, c), typeOf(schemaSrc.schema, c)) match {
-        case (Some(kt), Some(tt)) => require(kt == tt,
-          s"lookup: key column '$c' is $kt but the table stores $tt — " +
-            "xxhash64 is type-sensitive; cast the probe frame")
+        case (Some(kt), Some(tt)) =>
+          require(kt == tt || (IntegralTypes(kt) && IntegralTypes(tt)),
+            s"lookup: key column '$c' is $kt but the table stores $tt " +
+              "— the bucket hash is rendering-sensitive (it hashes the " +
+              "key's string form), and those types can render the same " +
+              "value differently; cast the probe frame")
         case _ => throw new IllegalArgumentException(
           s"lookup: key column '$c' missing from probe or table schema")
       }
@@ -450,5 +764,51 @@ object CurrentTable {
     spark.read.option("basePath", currentDir).parquet(live.toSeq: _*)
       .filter(!graft.ops.TimeTravel.isTombstone)
       .join(local, pk, "left_semi")
+  }
+
+  /** Maintained current state ACROSS schema-evolution forks: the
+    * [[graft.ops.EvolvedRead]] runbook splits a structurally-changed
+    * table into dated physical siblings, and each fork's pipeline
+    * maintains its own current table beside its sink. This presents
+    * them as ONE logical current table: align the forks' schemas by
+    * column name (missing columns null-fill, the q120 rules), then
+    * keep each key's LATEST row across forks — a key that changed
+    * after the fork shows its fork-era row; a key untouched since
+    * shows its base-era row; a key DELETED in any fork stays dead
+    * (the forks retain tombstones, and the cross-fork keep-latest
+    * lets the newest change win before the tombstone filter).
+    *
+    * Scale shape: the input is the CURRENT tables (≤ one row per key
+    * per fork), never the changelogs — the cross-fork shuffle moves
+    * #keys × #forks rows, against [[graft.ops.EvolvedRead.stateAll]]'s
+    * full-log scan.
+    */
+  def readEvolved(spark: SparkSession, sinkRoot: String,
+      sourceId: String, db: String, table: String, pk: Seq[String],
+      sourceType: String = "mysql",
+      orderOverride: Option[Seq[org.apache.spark.sql.Column]] = None)
+      : DataFrame = {
+    require(pk.nonEmpty, "readEvolved: no key columns")
+    val dirs = graft.ops.EvolvedRead.versionDirs(spark, sinkRoot,
+      sourceId, db, table)
+    require(dirs.nonEmpty,
+      s"no sink table $db.$table (source $sourceId) under $sinkRoot")
+    val fs = new Path(sinkRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val frames = dirs.map { case (v, dir) =>
+      val cur = s"${dir}__current"
+      require(fs.exists(new Path(stateFile(cur))),
+        s"version $v of $db.$table has no maintained current table " +
+          s"at $cur — sync it first")
+      // RAW rows: each fork's tombstones must enter the cross-fork
+      // keep-latest (a key deleted post-fork would otherwise revive
+      // through its base-era row). kb is per-fork layout, not data.
+      readRaw(spark, cur).drop("kb").withColumn("_table_version", lit(v))
+    }
+    val union = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    val order = orderOverride.getOrElse(
+      graft.ops.TimeTravel.defaultOrder(sourceType))
+    graft.ops.TimeTravel.latest(union, pk, Long.MaxValue, order)
+      .filter(!graft.ops.TimeTravel.isTombstone)
   }
 }

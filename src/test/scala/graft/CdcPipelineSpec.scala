@@ -303,10 +303,15 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(cur)
       .filter(org.apache.spark.sql.functions.col("_op") === "DELETE")
       .count() == 0)
-    // the cursor holds no entries for the vanished sink files
-    val cursor = scala.io.Source.fromFile(s"$cur/_synced.txt")
-      .getLines().toVector
-    assert(cursor.size == 1, s"stale cursor entries: $cursor")
+    // the cursor holds no entries for the vanished sink files: every
+    // expired partition's sidecar is gone with it
+    val staleSidecars = Option(new java.io.File(s"$cur/_cursor")
+        .listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".txt"))
+      .filter(f => scala.io.Source.fromFile(f).getLines()
+        .exists(_.trim.nonEmpty))
+    assert(staleSidecars.isEmpty,
+      s"stale cursor entries: ${staleSidecars.mkString(",")}")
   }
 
   test("a fixed bucket never prunes tombstones: retention cannot " +

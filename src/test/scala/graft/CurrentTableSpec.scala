@@ -92,13 +92,14 @@ class CurrentTableSpec extends AnyFunSuite {
 
     // crash replay: revert the cursor to its pre-fold nb-only form
     // (the real crash window — the bucket count lands BEFORE any
-    // fold) and re-sync, even with a DIFFERENT buckets argument: the
-    // persisted modulus wins, the same files re-fold, keep-latest
-    // converges
+    // fold, the sidecars after) and re-sync, even with a DIFFERENT
+    // buckets argument: the persisted modulus wins, the same files
+    // re-fold, keep-latest converges
     val fs = new org.apache.hadoop.fs.Path(cur)
       .getFileSystem(spark.sessionState.newHadoopConf())
     graft.streaming.AtomicFiles.write(s"$cur/_synced.txt", "8\n",
       spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$cur/_cursor"), true)
     val (f3, _) = CurrentTable.sync(spark, sink, cur, Seq("id"),
       buckets = 4) // mismatched arg must NOT change the layout
     assert(f3 == 2) // everything re-folded
@@ -181,13 +182,21 @@ class CurrentTableSpec extends AnyFunSuite {
     CurrentTable.onSinkRewrite(spark, sink, cur, Seq(dtDir), added)
     assert(CurrentTable.sync(spark, sink, cur, Seq("id")) == ((0, 0)))
     assert(stateOf(cur) == Set((1L, "a"), (2L, "b")))
-    // retention shape: prefixes removed with nothing added
+    // retention shape: prefixes removed with nothing added — the
+    // partition's sidecar empties and is deleted outright, leaving
+    // no cursor file at all for the vanished partition
     new java.io.File(dtDir).listFiles().foreach(_.delete())
     new java.io.File(dtDir).delete()
     CurrentTable.onSinkRewrite(spark, sink, cur, Seq(dtDir), Nil)
-    val cursor = scala.io.Source.fromFile(s"$cur/_synced.txt")
+    val sidecars = Option(new java.io.File(s"$cur/_cursor").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".txt"))
+    assert(sidecars.isEmpty,
+      s"cursor should hold no entries, got ${sidecars.mkString(",")}")
+    // the root state never carries file entries in the sharded layout
+    val rootLines = scala.io.Source.fromFile(s"$cur/_synced.txt")
       .getLines().toVector
-    assert(cursor.size == 1, s"cursor should hold only nb, got $cursor")
+    assert(rootLines.tail.forall(_.startsWith("#tomb")),
+      s"file entries leaked into the root state: $rootLines")
   }
 
   test("scoped sync lists only the named partitions; a later full " +
@@ -295,12 +304,17 @@ class CurrentTableSpec extends AnyFunSuite {
         Seq((1L, "x")).toDF("id", "extra"))
     }
     assert(e.getMessage.contains("key columns"))
-    // TYPE mismatch fails loudly too: an int probe of a long column
-    // would hash into the wrong bucket and silently miss
+    // probe types: the bucket hash keys on the STRING RENDERING of
+    // the key (concat_ws), so an int probe of a long column renders
+    // — and hashes — identically and must WORK...
+    assert(CurrentTable.lookup(spark, cur, Seq("id"), Seq(1).toDF("id"))
+      .select("name").collect().map(_.getString(0)).toSeq == Seq("a"))
+    // ...while a type whose rendering can diverge (double 1.0 → "1.0"
+    // vs long 1 → "1" — wrong bucket, silent miss) fails loudly
     val te = intercept[IllegalArgumentException] {
-      CurrentTable.lookup(spark, cur, Seq("id"), Seq(1).toDF("id"))
+      CurrentTable.lookup(spark, cur, Seq("id"), Seq(1.0).toDF("id"))
     }
-    assert(te.getMessage.contains("type-sensitive"))
+    assert(te.getMessage.contains("rendering"))
     // a cursor-only table (nothing folded yet) is loud, not a crash
     // deep in schema inference
     val empty = Files.createTempDirectory("graft-ct8e-").toString
@@ -338,6 +352,207 @@ class CurrentTableSpec extends AnyFunSuite {
     assert(CurrentTable.read(spark, cur).count() == 2000)
   }
 
+  test("a scoped sync touches ONLY the batch partitions' cursor " +
+      "sidecars — per-batch cursor IO is delta-sized, not table-sized") {
+    val sink = Files.createTempDirectory("graft-ct10-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct10-cur-").toString
+    // history across many partitions
+    for (d <- 1 to 8)
+      append(sink, Seq((d.toLong, s"v$d", "CREATE", 1000L + d, "f1",
+        d.toLong)), dt = f"2024-01-$d%02d")
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    val cursorFiles = new java.io.File(s"$cur/_cursor").listFiles()
+      .filter(_.getName.endsWith(".txt"))
+    assert(cursorFiles.length == 8, "one sidecar per partition")
+    val before = cursorFiles.map(f => f.getName -> f.lastModified()).toMap
+    Thread.sleep(1100) // mtime granularity
+    // a delta in ONE partition, scoped sync
+    append(sink, Seq((1L, "v1b", "UPDATE", 9000L, "f1", 100L)),
+      dt = "2024-01-01")
+    val (nf, _) = CurrentTable.sync(spark, sink, cur, Seq("id"),
+      scope = Some(Seq("dt=2024-01-01")))
+    assert(nf == 1)
+    val after = new java.io.File(s"$cur/_cursor").listFiles()
+      .filter(_.getName.endsWith(".txt"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val rewritten = after.keySet.filter(k =>
+      before.get(k) != after.get(k))
+    assert(rewritten == Set("dt=2024-01-01.txt"),
+      s"scoped sync rewrote sidecars $rewritten")
+    assert(stateOf(cur) == oracleOf(sink))
+  }
+
+  test("legacy whole-table cursor migrates into per-partition " +
+      "sidecars without re-folding anything") {
+    val sink = Files.createTempDirectory("graft-ct11-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct11-cur-").toString
+    append(sink, Seq((1L, "a", "CREATE", 1000L, "f1", 10L)),
+      dt = "2024-01-01")
+    append(sink, Seq((2L, "b", "CREATE", 1100L, "f1", 20L)),
+      dt = "2024-01-02")
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    // rewrite the cursor in the PRE-SHARDING format: nb + all file
+    // entries in the root, no _cursor dir
+    val entries = new java.io.File(s"$cur/_cursor").listFiles()
+      .filter(_.getName.endsWith(".txt"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines())
+      .filter(_.trim.nonEmpty).toVector
+    assert(entries.size == 2)
+    val fs = new org.apache.hadoop.fs.Path(cur)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$cur/_cursor"), true)
+    graft.streaming.AtomicFiles.write(s"$cur/_synced.txt",
+      ("4" +: entries).mkString("\n"),
+      spark.sparkContext.hadoopConfiguration)
+    // next sync migrates — and folds NOTHING (the entries were done)
+    assert(CurrentTable.sync(spark, sink, cur, Seq("id")) == ((0, 0)))
+    val migrated = new java.io.File(s"$cur/_cursor").listFiles()
+      .filter(_.getName.endsWith(".txt")).map(_.getName).toSet
+    assert(migrated == Set("dt=2024-01-01.txt", "dt=2024-01-02.txt"))
+    val rootLines = scala.io.Source.fromFile(s"$cur/_synced.txt")
+      .getLines().toVector
+    assert(rootLines.tail.forall(_.startsWith("#tomb")),
+      s"legacy entries not cleaned from root: $rootLines")
+    assert(stateOf(cur) == oracleOf(sink))
+  }
+
+  test("sync drops cursor entries for vanished files — an unreported " +
+      "compaction cannot grow the cursor forever") {
+    val sink = Files.createTempDirectory("graft-ct12-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct12-cur-").toString
+    append(sink, Seq((1L, "a", "CREATE", 1000L, "f1", 10L)))
+    append(sink, Seq((2L, "b", "CREATE", 1100L, "f1", 20L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    def sidecarEntries(): Set[String] =
+      new java.io.File(s"$cur/_cursor").listFiles()
+        .filter(_.getName.endsWith(".txt"))
+        .flatMap(f => scala.io.Source.fromFile(f).getLines())
+        .filter(_.trim.nonEmpty).toSet
+    val old = sidecarEntries()
+    assert(old.size == 2)
+    // compact WITHOUT the onSinkRewrite hook: old names vanish, new
+    // names appear, the cursor still lists the dead ones
+    graft.streaming.Compaction.compactPartitions(spark, sink,
+      Seq("2024-01-01"), 1000000L, mysqlOrder)
+    // the next sync re-lists the partition in full: the rewritten
+    // file folds as fresh (tombstones make that safe) and the dead
+    // entries drop in the same pass
+    val (nf, _) = CurrentTable.sync(spark, sink, cur, Seq("id"),
+      scope = Some(Seq("dt=2024-01-01")))
+    assert(nf > 0)
+    val now = sidecarEntries()
+    assert(now.intersect(old).isEmpty,
+      s"dead cursor entries survived: ${now.intersect(old)}")
+    assert(stateOf(cur) == oracleOf(sink))
+    // ...and the no-fresh-work path drops dead entries too: delete a
+    // file out-of-band, sync again
+    val f = new java.io.File(s"$sink/dt=2024-01-01").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(f.delete())
+    assert(CurrentTable.sync(spark, sink, cur, Seq("id"),
+      scope = Some(Seq("dt=2024-01-01"))) == ((0, 0)))
+    assert(!sidecarEntries().exists(_.endsWith(f.getName)),
+      "vanished file's entry survived a no-op sync")
+  }
+
+  test("an oversized probe frame falls back to the full semi-join " +
+      "instead of collecting keys to the driver") {
+    val sink = Files.createTempDirectory("graft-ct13-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct13-cur-").toString
+    append(sink, (1 to 40).map(i =>
+      (i.toLong, s"v$i", "CREATE", 1000L + i, "f1", i.toLong)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 8)
+    val probe = (1 to 10).map(_.toLong).toDF("id")
+    // small bound → fallback path; result still exact
+    val got = CurrentTable.lookup(spark, cur, Seq("id"), probe,
+      maxDriverKeys = 4)
+    assert(got.select("id").collect().map(_.getLong(0)).toSet ==
+      (1L to 10L).toSet)
+    // the fallback scans every bucket (no driver-side plan to prune
+    // with) — that's the documented trade
+    val readBuckets = got.inputFiles
+      .flatMap(_.split('/').find(_.startsWith("kb="))).toSet
+    assert(readBuckets.size == 8, s"fallback should scan all: $readBuckets")
+    // same probe above the bound uses the pruned path
+    val pruned = CurrentTable.lookup(spark, cur, Seq("id"),
+      Seq(1L).toDF("id"), maxDriverKeys = 4)
+    assert(pruned.inputFiles
+      .flatMap(_.split('/').find(_.startsWith("kb="))).toSet.size == 1)
+  }
+
+  test("read and lookup refuse a table with a crashed bucket swap " +
+      "instead of silently dropping its keys; heal restores it") {
+    val sink = Files.createTempDirectory("graft-ct14-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct14-cur-").toString
+    append(sink, Seq((1L, "a", "CREATE", 1000L, "f1", 10L),
+      (2L, "b", "CREATE", 1100L, "f1", 20L),
+      (3L, "c", "CREATE", 1200L, "f1", 30L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(cur)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val kb = new java.io.File(cur).listFiles()
+      .filter(_.getName.startsWith("kb=")).head.getName
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$cur/$kb"),
+      new org.apache.hadoop.fs.Path(s"$cur/._ct_trash_$kb")))
+    val re = intercept[IllegalStateException] {
+      CurrentTable.read(spark, cur).count()
+    }
+    assert(re.getMessage.contains("heal"))
+    val le = intercept[IllegalStateException] {
+      CurrentTable.lookup(spark, cur, Seq("id"), Seq(1L).toDF("id"))
+        .count()
+    }
+    assert(le.getMessage.contains("heal"))
+    CurrentTable.heal(spark, cur)
+    assert(stateOf(cur) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("the tombstone census keeps young-tombstone prunes from " +
+      "scanning any bucket, and self-heals on census-less tables") {
+    val sink = Files.createTempDirectory("graft-ct15-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct15-cur-").toString
+    append(sink, Seq(
+      (1L, "a", "CREATE", 1000L, "f1", 10L),
+      (1L, "a", "DELETE", 5000L, "f1", 20L),
+      (2L, "b", "CREATE", 1100L, "f1", 30L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    def rootText(): String =
+      scala.io.Source.fromFile(s"$cur/_synced.txt").mkString
+    // the sync maintained the census: the tombstone's bucket and min
+    assert(rootText().contains("#tomb"), s"no census in: ${rootText()}")
+    assert(rootText().contains("=5000"), s"census missing ts: ${rootText()}")
+    // horizon below every tombstone: zero buckets rewritten, and the
+    // census is what proves the scan never ran (bucket mtimes still)
+    def bucketMtimes(): Map[String, Long] =
+      new java.io.File(cur).listFiles()
+        .filter(_.getName.startsWith("kb="))
+        .map(d => d.getName -> d.lastModified()).toMap
+    val before = bucketMtimes()
+    assert(CurrentTable.pruneTombstones(spark, cur, 2000L) == 0L)
+    assert(bucketMtimes() == before, "young-tombstone prune touched buckets")
+    // past the horizon: reclaimed, census entry dropped
+    assert(CurrentTable.pruneTombstones(spark, cur, 9000L) == 1L)
+    assert(!rootText().contains("=5000"),
+      s"census kept a pruned tombstone: ${rootText()}")
+    // census-less legacy root: prune full-scans once and births it
+    val nbLine = rootText().linesIterator.next()
+    graft.streaming.AtomicFiles.write(s"$cur/_synced.txt", nbLine,
+      spark.sparkContext.hadoopConfiguration)
+    append(sink, Seq((2L, "b", "DELETE", 7000L, "f1", 40L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(!rootText().contains("#tomb"),
+      "census must stay absent until a prune scan heals it")
+    assert(CurrentTable.pruneTombstones(spark, cur, 6000L) == 0L)
+    assert(rootText().contains("#tomb") && rootText().contains("=7000"),
+      s"prune did not heal the census: ${rootText()}")
+  }
+
   test("pruneCursorExpired sweeps date-partition entries past the " +
       "horizon, keeping non-date buckets") {
     val sink = Files.createTempDirectory("graft-ct7-")
@@ -350,8 +565,11 @@ class CurrentTableSpec extends AnyFunSuite {
     append(sink, Seq((3L, "c", "CREATE", 1200L, "f1", 30L)),
       dt = "static") // fixed-bucket-style value: never expires
     CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
-    def cursorSize(): Int = scala.io.Source.fromFile(s"$cur/_synced.txt")
-      .getLines().size - 1
+    def cursorSize(): Int =
+      Option(new java.io.File(s"$cur/_cursor").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".txt"))
+        .map(f => scala.io.Source.fromFile(f).getLines()
+          .count(_.trim.nonEmpty)).sum
     assert(cursorSize() == 3)
     // horizon between the two dates: only the 2023 entry goes —
     // even though its partition was deleted out-of-band (the crashed
