@@ -534,9 +534,10 @@ object ScaleBench {
     val keys = keysK * 1000L
     val sink = s"$work/ct_sink_$keysK"
     val cur = s"$work/ct_cur_$keysK"
-    def rows(ids: org.apache.spark.sql.DataFrame, tsBase: Long) =
+    def rows(ids: org.apache.spark.sql.DataFrame, tsBase: Long,
+        op: String = "UPDATE") =
       ids.select(col("id"), concat(lit("v"), col("id")).as("name"),
-        lit("UPDATE").as("_op"), (lit(tsBase) + col("id")).as("_ts"),
+        lit(op).as("_op"), (lit(tsBase) + col("id")).as("_ts"),
         lit("f1").as("_binlog_file_internal"),
         (lit(tsBase) + col("id")).as("_binlog_pos_internal"),
         lit("2024-01-01").as("dt"))
@@ -623,6 +624,90 @@ object ScaleBench {
     println(f"[scale] currenttable ${keys} keys, 10-key lookup: " +
       f"bucket-pruned ${tLookup}%5.2fs vs full-scan semi-join " +
       f"${tScanJoin}%5.2fs (${tScanJoin / tLookup}%4.1fx)")
+    // tombstone census: with all tombstones YOUNGER than the horizon,
+    // a censused prune scans zero buckets; the census-less legacy
+    // table pays the full-table scan the census exists to skip
+    rows(spark.range(5).toDF("id"), 9900000L, op = "DELETE")
+      .write.mode("append").partitionBy("dt").parquet(sink)
+    graft.streaming.CurrentTable.sync(spark, sink, cur, Seq("id"))
+    val tCensus = time(require(graft.streaming.CurrentTable
+      .pruneTombstones(spark, cur, 1L) == 0L, "pruned a young tombstone"))
+    // strip the census line → the pre-census layout
+    val stateP = s"$cur/_synced.txt"
+    val nbLine = scala.io.Source.fromFile(stateP).getLines().next()
+    graft.streaming.AtomicFiles.write(stateP, nbLine,
+      spark.sparkContext.hadoopConfiguration)
+    val tNoCensus = time(require(graft.streaming.CurrentTable
+      .pruneTombstones(spark, cur, 1L) == 0L, "pruned a young tombstone"))
+    println(f"[scale] currenttable ${keys} keys, young-tombstone " +
+      f"prune: censused ${tCensus}%5.2fs (0 buckets scanned) vs " +
+      f"census-less full scan ${tNoCensus}%5.2fs " +
+      f"(${tNoCensus / tCensus}%4.1fx)")
+  }
+
+  /** `runMain graft.ScaleBench cursorshard [parts] [work]` — the
+    * sharded-cursor claim: per-batch cursor IO must stay FLAT as
+    * partitions (and thus lifetime file count) accumulate, because a
+    * scoped sync reads/writes only the batch partitions' sidecars.
+    * Measures a one-partition delta sync against the same table at
+    * 1/4, 1/2 and full partition counts — the pre-sharding layout
+    * rewrote the whole folded-file list per sync, so its per-batch
+    * cost grew with table AGE; flat timings here are the fix's
+    * observable.
+    */
+  private def cursorShardExperiment(spark: SparkSession, work: String,
+      parts: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val sink = s"$work/cs_sink_$parts"
+    val cur = s"$work/cs_cur_$parts"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(sink))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(cur))
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def addPartition(p: Int, files: Int): Unit =
+      for (fno <- 0 until files)
+        spark.range(p * 1000L + fno * 100L, p * 1000L + fno * 100L + 100L)
+          .select(col("id"), concat(lit("v"), col("id")).as("name"),
+            lit("UPDATE").as("_op"), (col("id") + lit(p * 1000L)).as("_ts"),
+            lit("f1").as("_binlog_file_internal"),
+            (col("id") + lit(p * 1000L)).as("_binlog_pos_internal"),
+            lit(f"2024-01-${(p % 28) + 1}%02d-p$p").as("dt"))
+          .coalesce(1)
+          .write.mode("append").partitionBy("dt").parquet(sink)
+    println("[scale] cursorshard: partitions  sidecars  delta-sync(s)  " +
+      "sidecars-rewritten")
+    val checkpoints = Seq(parts / 4, parts / 2, parts).distinct
+    var built = 0
+    for (target <- checkpoints) {
+      while (built < target) { addPartition(built, 4); built += 1 }
+      // full sync brings the cursor up to date over everything so far
+      graft.streaming.CurrentTable.sync(spark, sink, cur, Seq("id"),
+        buckets = 64)
+      val cursorDir = new java.io.File(s"$cur/_cursor")
+      val sidecars = cursorDir.listFiles().count(_.getName.endsWith(".txt"))
+      // the steady-state shape: one hot partition gets a delta file,
+      // the batch syncs scoped to it
+      val hot = "dt=2024-01-01-p0"
+      val before = cursorDir.listFiles()
+        .filter(_.getName.endsWith(".txt"))
+        .map(f => f.getName -> f.lastModified()).toMap
+      Thread.sleep(1100) // mtime granularity
+      addPartition(0, 1)
+      val tDelta = time(graft.streaming.CurrentTable.sync(spark, sink,
+        cur, Seq("id"), scope = Some(Seq(hot))))
+      val rewritten = cursorDir.listFiles()
+        .filter(_.getName.endsWith(".txt"))
+        .map(f => f.getName -> f.lastModified())
+        .count { case (n, m) => before.get(n).forall(_ != m) }
+      println(f"[scale] cursorshard: $built%10d  $sidecars%8d  " +
+        f"$tDelta%13.2f  $rewritten%18d")
+      require(rewritten == 1,
+        s"scoped sync rewrote $rewritten sidecars at $built partitions")
+    }
+    println("[scale] cursorshard: flat delta-sync time + 1 sidecar " +
+      "rewritten at every table age = per-batch cursor IO is " +
+      "delta-sized, not table-sized")
   }
 
   /** Auto-compaction under a many-small-batches ingest: the same feed
@@ -1043,6 +1128,14 @@ object ScaleBench {
       currentTableExperiment(spark,
         args.lift(2).getOrElse("/tmp/graft-scale"),
         args.lift(1).map(_.toInt).getOrElse(2000))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("cursorshard")) {
+      val spark = buildSession()
+      cursorShardExperiment(spark,
+        args.lift(2).getOrElse("/tmp/graft-scale"),
+        args.lift(1).map(_.toInt).getOrElse(64))
       spark.stop()
       return
     }

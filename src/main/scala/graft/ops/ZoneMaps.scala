@@ -288,6 +288,20 @@ object ZoneMaps {
     * and a crash mid-write an unreadable manifest. A crash between
     * the renames heals at the next manifest read
     * ([[restorePatchIfInterrupted]]).
+    *
+    * SINGLE-MAINTAINER ASSUMPTION: at most one process patches a
+    * given manifest at a time (the pipeline's in-batch maintenance
+    * already guarantees this). Readers need no coordination — but a
+    * reader on a DIFFERENT machine whose clock (or a writer pause)
+    * stretches past the in-flight grace window can misjudge a live
+    * patch as crashed and restore the stale manifest mid-swap. That
+    * lost race cannot be prevented from the writer's side, so it is
+    * DETECTED instead: the staged manifest carries a per-patch nonce
+    * stamp, read back after the final rename — a mismatch means the
+    * live manifest is not the one this patch staged, and the patch
+    * fails loudly (the stale-but-internally-consistent manifest
+    * stays live; over-reading, never wrong answers) instead of
+    * silently shipping rows that reference replaced files.
     */
   def patch(spark: SparkSession, dataDir: String, manifestDir: String,
       removedPrefixes: Seq[String]): Int = {
@@ -321,6 +335,11 @@ object ZoneMaps {
         java.util.Arrays.asList(kept: _*), schema)
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // per-patch nonce stamped into the STAGED dir (underscore name —
+    // invisible to parquet readers): read back post-swap to prove the
+    // manifest now live is the one this patch staged (see scaladoc)
+    val nonce = java.util.UUID.randomUUID().toString
+    writeStamp(mfs, tmp, nonce)
     // the in-flight marker guards the two-rename window against a
     // concurrent reader's restore (see restorePatchIfInterrupted) —
     // created fresh here so its mtime dates THIS swap
@@ -335,10 +354,35 @@ object ZoneMaps {
       mfs.delete(marker, false)
       throw new IllegalStateException(s"manifest patch swap failed: $live")
     }
+    if (!readStamp(mfs, live).contains(nonce)) {
+      mfs.delete(marker, false)
+      throw new IllegalStateException(
+        s"manifest patch lost a race at $live: the live manifest is " +
+          "not the one this patch staged (a concurrent reader's " +
+          "crash-restore fired during the swap window — see the " +
+          "single-maintainer note on ZoneMaps.patch); the previous " +
+          "manifest remains live, re-run the patch")
+    }
     mfs.delete(trash, true)
     mfs.delete(marker, false)
     refresh(spark, dataDir, manifestDir)
   }
+
+  private val StampName = "_patch_stamp"
+
+  private[graft] def writeStamp(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, nonce: String): Unit = {
+    val out = fs.create(new Path(dir, StampName), true)
+    try out.write(nonce.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[graft] def readStamp(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Option[String] =
+    try {
+      val in = fs.open(new Path(dir, StampName))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
 
   /** Point-lookup file skipping: the files that can contain
     * `column = value`, by per-file Bloom membership when the manifest

@@ -1029,5 +1029,68 @@ object ScalarQueries {
           round(sum("value"), 2).as("sum_value"))
         .orderBy("event_type")
     },
+
+    // Maintained current state ACROSS schema-evolution forks
+    // (CurrentTable.readEvolved): the events changelog splits at a
+    // structural change — the base era's physical table lacks `value`,
+    // the dated fork adds it — each era's pipeline maintains its OWN
+    // current table, and readEvolved presents them as one logical
+    // current table: schemas aligned by name (q120's rules),
+    // keep-latest per key ACROSS forks, fork tombstones suppressing
+    // base-era rows. The oracle is the global ranked-window
+    // keep-latest over the whole log with the era split re-derived in
+    // SQL — hash equality pins the cross-fork merge: a user whose
+    // latest change predates the fork shows the base-era row (null
+    // value), one who changed after shows the fork row, one whose
+    // latest is a delete (purchase) in EITHER era stays dead.
+    QueryDef(
+      "q126_evolved_current",
+      """WITH ranked AS (SELECT user_id, event_type, value,
+        |   epoch_us(ts) AS tsu,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events),
+        |cur AS (SELECT
+        |   CASE WHEN tsu <= 1705276800000000 THEN 'base'
+        |        ELSE 'v20240701' END AS _table_version,
+        |   event_type,
+        |   CASE WHEN tsu <= 1705276800000000 THEN NULL
+        |        ELSE value END AS value
+        | FROM ranked WHERE rn = 1 AND event_type <> 'purchase')
+        |SELECT _table_version, event_type,
+        | CAST(count(*) AS BIGINT) AS n_users,
+        | round(coalesce(sum(value), 0), 2) AS sum_value
+        |FROM cur GROUP BY 1, 2
+        |ORDER BY _table_version, event_type""".stripMargin) {
+      (spark, dir) =>
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ct-q126-").toString
+      val midUs = 1705276800000000L // 2024-01-15T00:00:00Z in micros
+      val log = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("event_id"),
+          unix_micros(col("ts")).as("_ts"),
+          when(col("event_type") === "purchase", "DELETE")
+            .otherwise("UPDATE").as("_op"),
+          lit("all").as("dt"))
+      val orderCols = Some(Seq(col("_ts"), col("event_id")))
+      val base = s"$work/q126_db__ev"
+      val fork = s"$work/q126_db__ev_v20240701"
+      // base era: pre-fork changes, pre-evolution schema (no value)
+      log.filter(col("_ts") <= midUs).drop("value")
+        .write.mode("append").partitionBy("dt").parquet(base)
+      // fork era: post-fork changes with the added column
+      log.filter(col("_ts") > midUs)
+        .write.mode("append").partitionBy("dt").parquet(fork)
+      for (d <- Seq(base, fork))
+        graft.streaming.CurrentTable.sync(spark, d, s"${d}__current",
+          Seq("user_id"), buckets = 8, orderOverride = orderCols)
+      graft.streaming.CurrentTable.readEvolved(spark, work, "q126",
+          "db", "ev", Seq("user_id"), orderOverride = orderCols)
+        .groupBy("_table_version", "event_type")
+        .agg(count(lit(1)).as("n_users"),
+          round(coalesce(sum("value"), lit(0)), 2).as("sum_value"))
+        .orderBy("_table_version", "event_type")
+    },
   )
 }

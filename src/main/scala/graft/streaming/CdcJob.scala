@@ -180,6 +180,18 @@ object CdcJob {
           positiveInt(v, "sink.current.buckets")
         }
         .getOrElse(16),
+      // `sink.current.fullsync.batches` — every Nth current-table sync
+      // does a full sink listing (catches out-of-band backfills);
+      // meaningless without current tables to sync
+      currentFullsyncBatches = cfg.get("sink.current.fullsync.batches")
+        .map { v =>
+          if (cfg.get("sink.current.keys").isEmpty)
+            throw new IllegalArgumentException(
+              "sink.current.fullsync.batches requires sink.current.keys " +
+                "(the tables it paces)")
+          positiveInt(v, "sink.current.fullsync.batches")
+        }
+        .getOrElse(0),
       // `mongodb.deserialization.mode` (`MongoDBStreamer.java:64,92-107`):
       // doc-string / top-level-string / top-level-type, defaulting to
       // top-level-type with a warning, unknown value fails fast — only

@@ -129,6 +129,17 @@ final case class CdcConfig(
       * re-fold past them, so the deleted-key ledger stays bounded.
       */
     currentKeys: Map[String, Seq[String]] = Map.empty,
+    /** Full-listing cadence for current-table syncs
+      * (`sink.current.fullsync.batches`): scoped syncs only list the
+      * partitions the batch itself wrote, so a BACKFILL writer
+      * appending to an old partition OUTSIDE the pipeline stays
+      * invisible until the next restart's first-pass full walk. When
+      * > 0, every Nth sync per table does an unscoped full listing
+      * instead, bounding that window to N batches. Default 0 (off):
+      * the full walk is O(live sink files) of listing, and sinks
+      * without out-of-band writers never need it.
+      */
+    currentFullsyncBatches: Int = 0,
     /** Key-bucket count for NEW current tables
       * (`sink.current.buckets`): sizes the unit of copy-on-write —
       * a sync rewrites only the buckets its delta's keys hash into,
@@ -245,6 +256,12 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     * see processBatch). Driver-side, single foreachBatch thread.
     */
   private val fullSynced = scala.collection.mutable.Set.empty[String]
+
+  /** Scoped syncs per table since its last full-listing pass — drives
+    * the `sink.current.fullsync.batches` cadence. Same threading
+    * contract as [[fullSynced]].
+    */
+  private val scopedSyncs = scala.collection.mutable.Map.empty[String, Int]
 
   /** Tables whose current-table retention sweep (expired cursor
     * entries + horizon tombstone prune) ran this run — later passes
@@ -644,16 +661,23 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
               spec <- routed.get(key)) {
             val dir = spec.sinkDir(config.sinkPath, config.sourceId)
             // scope the listing to the batch's own partitions — except
-            // each table's first sync this run, which walks everything:
-            // a crash between a committed batch and its sync leaves
-            // unfolded files a scoped listing would never revisit
-            val scope = if (fullSynced(key))
+            // each table's first sync this run, which walks everything
+            // (a crash between a committed batch and its sync leaves
+            // unfolded files a scoped listing would never revisit),
+            // and every Nth sync under the fullsync cadence (catches
+            // out-of-band backfills between restarts)
+            val cadenceDue = config.currentFullsyncBatches > 0 &&
+              scopedSyncs.getOrElse(key, 0) + 1 >=
+                config.currentFullsyncBatches
+            val scope = if (fullSynced(key) && !cadenceDue)
               Some(tblDts.getOrElse(key, Nil).map(d => s"dt=$d"))
             else None
             val (nf, nbk) = CurrentTable.sync(spark, dir,
               s"${dir}__current", pk, config.sourceType,
               buckets = config.currentBuckets, scope = scope)
             fullSynced += key
+            scopedSyncs(key) =
+              if (scope.isEmpty) 0 else scopedSyncs.getOrElse(key, 0) + 1
             if (nf > 0)
               org.slf4j.LoggerFactory.getLogger(getClass).info(
                 s"[${config.name}] current-table $key: folded $nf " +

@@ -194,6 +194,21 @@ class CdcJobSpec extends AnyFunSuite {
         "sink.current.keys" -> """{"db.t": "id"}""",
         "sink.current.buckets" -> "0"))
     }.getMessage.contains("sink.current.buckets"))
+    // fullsync cadence: default off, explicit, requires current
+    // tables, junk fails like the others
+    assert(CdcJob.configFromMap(base).currentFullsyncBatches == 0)
+    assert(CdcJob.configFromMap(base ++ Map(
+      "sink.current.keys" -> """{"db.t": "id"}""",
+      "sink.current.fullsync.batches" -> "12")).currentFullsyncBatches == 12)
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base +
+        ("sink.current.fullsync.batches" -> "12"))
+    }.getMessage.contains("sink.current.keys"))
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base ++ Map(
+        "sink.current.keys" -> """{"db.t": "id"}""",
+        "sink.current.fullsync.batches" -> "0"))
+    }.getMessage.contains("sink.current.fullsync.batches"))
   }
 
   test("snapshot override keys are sanitized to route keys and registry-validated") {

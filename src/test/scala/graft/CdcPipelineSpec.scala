@@ -243,6 +243,60 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(state() == oracle)
   }
 
+  test("sink.current.fullsync.batches folds an out-of-band backfill " +
+      "within N batches; scoped syncs alone never see it") {
+    val in = tmp(); val out = tmp()
+    val ckpt = tmp().resolve("ckpt").toString
+    // batch 1 (first sync = full walk): one 2023-11-14 row
+    writeFixture(in, "00.jsonl", Seq(
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":1},"name":{"string":"alice"},"balance":null""")))
+    val cfg = CdcConfig("srcFs", registry, out.toString,
+      currentKeys = Map("testdb.users" -> Seq("id")),
+      currentFullsyncBatches = 2)
+    val p = new CdcPipeline(spark, cfg)
+    val q = p.start(in.toString, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+        "100 milliseconds"), maxFilesPerTrigger = Some(1))
+    try {
+      q.processAllAvailable()
+      val cur = s"$out/srcFs_testdb__users__current"
+      def state(): Set[(Int, String)] =
+        graft.streaming.CurrentTable.read(spark, cur)
+          .select("id", "name").collect()
+          .map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(state() == Set((1, "alice")))
+      // OUT-OF-BAND backfill: a writer outside the pipeline appends
+      // a new key's file straight into the already-synced partition
+      val sinkDir = s"$out/srcFs_testdb__users"
+      val part = new java.io.File(sinkDir).listFiles()
+        .filter(_.getName.startsWith("dt=")).head
+      val raw = spark.read.parquet(part.getAbsolutePath)
+      raw.limit(1)
+        .withColumn("id", org.apache.spark.sql.functions.lit(9))
+        .withColumn("name", org.apache.spark.sql.functions.lit("backfill"))
+        .withColumn("_op", org.apache.spark.sql.functions.lit("CREATE"))
+        .write.mode("append").parquet(part.getAbsolutePath)
+      // batch 2 lands in a DIFFERENT partition (2023-11-15): the
+      // scoped sync lists only that partition — the backfill stays
+      // invisible (this is the hazard the cadence bounds)
+      writeFixture(in, "01.jsonl", Seq(
+        row("UPDATE", "users", 1700086600000L, "mysql-bin.000001", 100,
+          """"id":{"int":1},"name":{"string":"alice2"},"balance":null""")))
+      q.processAllAvailable()
+      assert(state() == Set((1, "alice2")),
+        "a scoped sync must not have seen the backfill yet")
+      // batch 3 trips the every-2nd-sync cadence: full listing finds
+      // the backfill file and folds it
+      writeFixture(in, "02.jsonl", Seq(
+        row("UPDATE", "users", 1700086700000L, "mysql-bin.000001", 200,
+          """"id":{"int":1},"name":{"string":"alice3"},"balance":null""")))
+      q.processAllAvailable()
+      assert(state() == Set((1, "alice3"), (9, "backfill")),
+        "the cadence's full walk must fold the out-of-band file")
+    } finally q.stop()
+  }
+
   test("sink.retention.days expires old partitions at write time; " +
       "a generous horizon keeps everything") {
     // fixture events are dated 2023-11-14/15 — far past any small

@@ -12,11 +12,12 @@ import graft.streaming.{Compaction, CurrentTable}
   * (create/update/delete over a small key space, spread across files
   * and `dt=` partitions) driven through RANDOM maintenance schedules —
   * scoped and unscoped syncs, partition compactions with and without
-  * the cursor-swap hook, cursor expiry sweeps — must always converge
-  * to the TimeTravel reconstruction of the same changelog. This is
-  * the invariant everything else rests on: no interleaving of
-  * maintenance can lose a change, duplicate a key, or resurrect a
-  * deleted one.
+  * the cursor-swap hook, cursor expiry sweeps, and crashes between
+  * the per-partition cursor sidecar writes (a sidecar vanishing after
+  * the bucket swaps committed) — must always converge to the
+  * TimeTravel reconstruction of the same changelog. This is the
+  * invariant everything else rests on: no interleaving of maintenance
+  * can lose a change, duplicate a key, or resurrect a deleted one.
   */
 class CurrentTableFuzzSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
@@ -102,6 +103,17 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
           // live entry (the live-partition sweep is retention's job,
           // exercised separately with deleted partitions)
           CurrentTable.pruneCursorExpired(spark, cur, "2024-01-01")
+        if (rnd.nextInt(4) == 0) {
+          // crash between sidecar writes: the buckets committed but a
+          // random partition's cursor sidecar never landed — its
+          // files re-fold on a later sync covering that partition,
+          // and keep-latest + retained tombstones converge
+          val sidecars = Option(new java.io.File(s"$cur/_cursor")
+            .listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".txt"))
+          if (sidecars.nonEmpty)
+            assert(sidecars(rnd.nextInt(sidecars.length)).delete())
+        }
       }
       // final full sync, then the invariant
       CurrentTable.sync(spark, sink, cur, Seq("id"),

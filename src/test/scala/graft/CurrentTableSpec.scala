@@ -553,6 +553,52 @@ class CurrentTableSpec extends AnyFunSuite {
       s"prune did not heal the census: ${rootText()}")
   }
 
+  test("readEvolved merges maintained current tables across schema " +
+      "forks: latest change wins, fork tombstones keep base keys dead") {
+    val root = Files.createTempDirectory("graft-ct-evo-").toString
+    val base = s"$root/s1_db__t"
+    val fork = s"$root/s1_db__t_v20240401"
+    // base era (no `extra` column): four keys, one deleted in-era
+    append(base, Seq(
+      (1L, "a1", "CREATE", 1000L, "f1", 10L),
+      (2L, "b1", "CREATE", 1100L, "f1", 20L),
+      (3L, "c1", "CREATE", 1200L, "f1", 30L),
+      (4L, "d1", "CREATE", 1300L, "f1", 40L),
+      (4L, "d1", "DELETE", 1400L, "f1", 50L)))
+    // fork era ADDS a column: key 2 updated (fork row must win), key 3
+    // DELETED post-fork (must stay dead despite its live base row)
+    Seq((2L, "b2", "x", "UPDATE", 2000L, "f1", 60L),
+        (3L, "c1", "x", "DELETE", 2100L, "f1", 70L))
+      .toDF("id", "name", "extra", "_op", "_ts",
+        "_binlog_file_internal", "_binlog_pos_internal")
+      .withColumn("dt", lit("2024-04-01"))
+      .coalesce(1).write.mode("append").partitionBy("dt").parquet(fork)
+    // each fork maintains its OWN current table — required, loudly
+    CurrentTable.sync(spark, base, s"${base}__current", Seq("id"),
+      buckets = 4)
+    val missing = intercept[IllegalArgumentException] {
+      CurrentTable.readEvolved(spark, root, "s1", "db", "t", Seq("id"))
+    }
+    assert(missing.getMessage.contains("no maintained current table"))
+    CurrentTable.sync(spark, fork, s"${fork}__current", Seq("id"),
+      buckets = 4)
+    val got = CurrentTable.readEvolved(spark, root, "s1", "db", "t",
+        Seq("id"))
+      .select("id", "name", "extra", "_table_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      (1L, "a1", null, "base"),      // untouched since the fork
+      (2L, "b2", "x", "v20240401"))) // fork row wins; 3 and 4 dead
+    // matches the full-log cross-fork oracle
+    val oracle = graft.ops.EvolvedRead.stateAll(spark, root, "s1",
+        "db", "t", Seq("id"), Long.MaxValue)
+      .select("id", "name", "extra", "_table_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got == oracle)
+  }
+
   test("pruneCursorExpired sweeps date-partition entries past the " +
       "horizon, keeping non-date buckets") {
     val sink = Files.createTempDirectory("graft-ct7-")

@@ -205,4 +205,28 @@ class ZoneMapsSpec extends AnyFunSuite {
       .filter(col("k") === 42L).count() == 1)
     assert(fs.exists(new org.apache.hadoop.fs.Path(man)))
   }
+
+  test("patch detects a lost swap race via the nonce stamp: a live " +
+      "manifest that is not the staged one fails loudly") {
+    val dir = tmp("graft-zm-st-")
+    val man = tmp("graft-zm-stm-") + "/t._zonemaps"
+    spark.range(100).select(col("id").as("k"))
+      .repartitionByRange(2, col("k")).write.mode("overwrite").parquet(dir)
+    ZoneMaps.build(spark, dir, man, Seq("k"))
+    val fs = new org.apache.hadoop.fs.Path(man)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a normal patch leaves its own stamp at the live name (proof the
+    // read-back verification saw the staged dir), invisible to readers
+    ZoneMaps.patch(spark, dir, man, Seq(s"$dir/nonexistent"))
+    val live = new org.apache.hadoop.fs.Path(man)
+    assert(ZoneMaps.readStamp(fs, live).nonEmpty)
+    assert(spark.read.parquet(man).count() >= 2) // stamp not parsed as data
+    // the stamp helpers adjudicate the race exactly: no stamp (a
+    // crash-restored pre-stamp manifest) and a foreign stamp (another
+    // writer's staged dir) both read back as NOT this patch's nonce
+    ZoneMaps.writeStamp(fs, live, "other-nonce")
+    assert(ZoneMaps.readStamp(fs, live).contains("other-nonce"))
+    fs.delete(new org.apache.hadoop.fs.Path(live, "_patch_stamp"), false)
+    assert(ZoneMaps.readStamp(fs, live).isEmpty)
+  }
 }
