@@ -39,6 +39,22 @@ object Bench {
     // sorted: Map iteration order varies with hashing, and run order
     // matters for first-run codegen/JIT costs — keep rounds comparable
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // untimed warm-up for LIFECYCLE queries (QueryDef.stateful: sink
+    // copies, current tables, index builds per execution): the table
+    // warm-up above covers scans, but these queries' first run also
+    // absorbs the write/sync/compact paths' one-time codegen + JIT —
+    // which min-of-2 cannot shed when ambient load hits the other
+    // pass too (r11/r12 artifacts disagreed with same-commit judge
+    // re-runs by 1.5-2.7× on exactly this family). One throwaway
+    // execution per stateful query; failures surface in the timed
+    // passes, not here.
+    val statefulNames = SparkEntry.allDefs.filter(_.stateful)
+      .map(_.name).toSet
+    for ((name, fn) <- names if statefulNames(name)) {
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
     def timedPass(): Seq[(String, Double)] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full execution incl. final sort and all output
@@ -313,6 +329,11 @@ object Bench {
     val dt = (System.nanoTime() - t0) / 1e9
     require(pipeline.recordCount == n,
       s"ingest row mismatch: ${pipeline.recordCount} != $n")
+    // the feed/sink/checkpoint staging is dead once the pass is
+    // measured — two passes × two ingest metrics per bench run would
+    // otherwise leak 4 copies of the envelope feed into /tmp per run
+    org.apache.hadoop.fs.FileUtil
+      .fullyDelete(new java.io.File(tmp.toString))
     (dt, n / dt)
   }
 }

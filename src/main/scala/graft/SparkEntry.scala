@@ -26,5 +26,5 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    allDefs.collect { case QueryDef(n, _, Some(sql)) => n -> sql }.toMap
+    allDefs.collect { case QueryDef(n, _, Some(sql), _) => n -> sql }.toMap
 }

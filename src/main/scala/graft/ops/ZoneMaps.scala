@@ -354,18 +354,34 @@ object ZoneMaps {
       mfs.delete(marker, false)
       throw new IllegalStateException(s"manifest patch swap failed: $live")
     }
-    if (!readStamp(mfs, live).contains(nonce)) {
-      mfs.delete(marker, false)
-      throw new IllegalStateException(
-        s"manifest patch lost a race at $live: the live manifest is " +
-          "not the one this patch staged (a concurrent reader's " +
-          "crash-restore fired during the swap window — see the " +
-          "single-maintainer note on ZoneMaps.patch); the previous " +
-          "manifest remains live, re-run the patch")
-    }
+    if (!readStamp(mfs, live).contains(nonce))
+      failLostRace(mfs, live, tmp, marker)
     mfs.delete(trash, true)
     mfs.delete(marker, false)
     refresh(spark, dataDir, manifestDir)
+  }
+
+  /** The lost-race exit: a reader's crash-restore re-created `live`
+    * before our tmp→live rename ran — and on filesystems where
+    * rename-into-an-existing-directory moves the source INSIDE it
+    * (HDFS/local semantics), our staged dir now sits NESTED at
+    * `<live>/<tmpName>`: a non-dot name whose parquet files a
+    * recursive manifest read would pick up as phantom rows. Drop the
+    * residue before failing — nothing else ever cleans that path
+    * (the next patch deletes only the SIBLING `._patch_tmp`). The
+    * restored stale-but-consistent manifest stays live: over-reading,
+    * never wrong answers.
+    */
+  private[graft] def failLostRace(mfs: org.apache.hadoop.fs.FileSystem,
+      live: Path, tmp: Path, marker: Path): Nothing = {
+    mfs.delete(new Path(live, tmp.getName), true)
+    mfs.delete(marker, false)
+    throw new IllegalStateException(
+      s"manifest patch lost a race at $live: the live manifest is " +
+        "not the one this patch staged (a concurrent reader's " +
+        "crash-restore fired during the swap window — see the " +
+        "single-maintainer note on ZoneMaps.patch); the previous " +
+        "manifest remains live, re-run the patch")
   }
 
   private val StampName = "_patch_stamp"

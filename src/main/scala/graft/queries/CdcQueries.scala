@@ -184,15 +184,14 @@ object CdcQueries {
     // preserved every row and every dt assignment (a lost or
     // duplicated row in any crash-window path would break the counts;
     // a mis-bucketed one would break a group).
-    QueryDef(
+    QueryDef.statefulQ(
       "q122_compacted_sink",
       """SELECT strftime(ts, '%Y-%m-%d') AS dt,
         | CAST(count(*) AS BIGINT) AS n,
         | round(sum(value), 2) AS sum_value
         |FROM events WHERE ts < TIMESTAMP '2024-01-09 00:00:00'
         |GROUP BY dt ORDER BY dt""".stripMargin) { (spark, dir) =>
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-ac-q122-").toString
+      val work = QueryDef.tempWorkDir("graft-ac-q122-")
       // an 8-day window keeps the partition count (and so the bench
       // cost of the ~2 mid-run compaction waves) bounded; the
       // lifecycle exercised is identical

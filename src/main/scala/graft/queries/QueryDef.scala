@@ -9,11 +9,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Determinism contract (FIXTURES.md): every query ends in a total
   * ORDER BY, doubles are rounded at a declared precision, timestamps
   * are rendered as strings, and column names match the oracle exactly.
+  *
+  * `stateful` marks lifecycle queries that BUILD durable state per
+  * execution (sink copies, current tables, indexes) rather than just
+  * scanning the test tables — the bench gives those an untimed
+  * warm-up so their first timed pass doesn't absorb the lifecycle
+  * path's one-time codegen/JIT costs.
   */
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    stateful: Boolean = false) {
+  /** Mark this query as building per-execution temp state. */
+  def tempState: QueryDef = copy(stateful = true)
+}
 
 object QueryDef {
   def apply(name: String, sql: String)(
@@ -24,4 +34,33 @@ object QueryDef {
   def rowsOnly(name: String)(
       fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
+
+  /** [[apply]] marked [[QueryDef.tempState]]: a lifecycle query that
+    * stages per-execution state (typically via [[tempWorkDir]]).
+    */
+  def statefulQ(name: String, sql: String)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    apply(name, sql)(fn).tempState
+
+  /** Work dir for lifecycle queries: created fresh per execution,
+    * recursively deleted at JVM exit — repeated verify/bench runs in
+    * separate JVMs must not accrete dataset copies under /tmp (each
+    * stateful query stages its own sink + derived tables there).
+    * Exit-time, not eager: the returned frame READS from this dir
+    * lazily, so the dir must outlive every action on it.
+    */
+  def tempWorkDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(dir)))
+    dir.toString
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val s = java.nio.file.Files.list(p)
+      try s.forEach(deleteTree(_)) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
 }

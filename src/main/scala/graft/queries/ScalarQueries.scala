@@ -734,15 +734,14 @@ object ScalarQueries {
     // files they live in); the files-actually-skipped mechanics are
     // ZoneMapsSpec's job. At 100 TB the manifest is one small parquet
     // scan instead of millions of footer opens.
-    QueryDef(
+    QueryDef.statefulQ(
       "q115_zonemap_pruned_scan",
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         | round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2999
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-zm-q115-").toString
+      val work = QueryDef.tempWorkDir("graft-zm-q115-")
       Tables(spark, dir).lineitem
         .repartitionByRange(16, col("l_orderkey"))
         .write.mode("overwrite").parquet(s"$work/data")
@@ -765,7 +764,7 @@ object ScalarQueries {
     // exactly what z-ordering (files tight in BOTH dimensions) makes
     // effective. The oracle is the plain doubly-filtered aggregate:
     // layout + manifest + skipping must be invisible in the answer.
-    QueryDef(
+    QueryDef.statefulQ(
       "q116_zoned_layout_scan",
       """WITH b AS (SELECT user_id % 256 AS u,
         |   (epoch_us(ts) // 3600000000) % 256 AS h,
@@ -778,8 +777,7 @@ object ScalarQueries {
         .select((col("user_id") % 256).as("u"),
           (expr("unix_micros(ts) div 3600000000") % 256).as("h"),
           col("event_type"), col("value"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-zm-q116-").toString
+      val work = QueryDef.tempWorkDir("graft-zm-q116-")
       graft.ops.ZOrder.layout(staged, col("u"), col("h"), bits = 8,
           partitions = 16)
         .write.mode("overwrite").parquet(s"$work/data")
@@ -837,13 +835,12 @@ object ScalarQueries {
     // the plain equality filter: Bloom membership has no false
     // negatives and the equality is re-applied, so file skipping must
     // be invisible in the answer.
-    QueryDef(
+    QueryDef.statefulQ(
       "q118_bloom_point_lookup",
       """SELECT l_linenumber, l_partkey, round(l_extendedprice, 2) AS price
         |FROM lineitem WHERE l_orderkey = 1024
         |ORDER BY l_linenumber""".stripMargin) { (spark, dir) =>
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-zm-q118-").toString
+      val work = QueryDef.tempWorkDir("graft-zm-q118-")
       Tables(spark, dir).lineitem
         .repartition(16, col("l_orderkey"))
         .write.mode("overwrite").parquet(s"$work/data")
@@ -865,7 +862,7 @@ object ScalarQueries {
     // range (prunes), an unindexed equality (proves nothing, runs
     // row-level), and the partition-discovery path — all of which
     // must be invisible in the answer vs the plain SQL oracle.
-    QueryDef(
+    QueryDef.statefulQ(
       "q119_zonemap_table_scan",
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         | round(sum(l_quantity), 2) AS sum_qty,
@@ -873,8 +870,7 @@ object ScalarQueries {
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 500 AND 2499 AND l_linenumber = 1
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-zm-q119-").toString
+      val work = QueryDef.tempWorkDir("graft-zm-q119-")
       Tables(spark, dir).lineitem
         .repartitionByRange(16, col("l_orderkey"))
         .write.mode("overwrite").parquet(s"$work/data")
@@ -899,7 +895,7 @@ object ScalarQueries {
     // directly with a CASE-era split, so hash equality pins the
     // discovery + alignment semantics (decoy dirs that must NOT be
     // absorbed ride in EvolvedReadSpec).
-    QueryDef(
+    QueryDef.statefulQ(
       "q120_evolved_union",
       """WITH eras AS (SELECT
         |   CASE WHEN l_orderkey <= 700 THEN 'base'
@@ -914,8 +910,7 @@ object ScalarQueries {
         | round(coalesce(sum(price), 0), 2) AS sum_price
         |FROM eras GROUP BY 1 ORDER BY _table_version""".stripMargin) {
       (spark, dir) =>
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-evo-q120-").toString
+      val work = QueryDef.tempWorkDir("graft-evo-q120-")
       val li = Tables(spark, dir).lineitem
       li.filter(col("l_orderkey") <= 700)
         .select("l_orderkey", "l_linenumber", "l_quantity")
@@ -941,7 +936,7 @@ object ScalarQueries {
     // is q117's ranked window with no cutoff — keep-latest per user —
     // so hash equality pins the whole sync discipline: bucket
     // assignment, per-bucket merge, delta-only folding, cursor.
-    QueryDef(
+    QueryDef.statefulQ(
       "q124_current_table",
       """WITH ranked AS (SELECT user_id, event_type, value,
         |   row_number() OVER (PARTITION BY user_id
@@ -951,8 +946,7 @@ object ScalarQueries {
         | round(sum(value), 2) AS sum_value
         |FROM ranked WHERE rn = 1
         |GROUP BY 1 ORDER BY event_type""".stripMargin) { (spark, dir) =>
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-ct-q124-").toString
+      val work = QueryDef.tempWorkDir("graft-ct-q124-")
       val midUs = java.time.LocalDateTime.of(2024, 1, 15, 0, 0)
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
       val log = Tables(spark, dir).events
@@ -987,7 +981,7 @@ object ScalarQueries {
     // must stay dead when their older h1 changes re-fold, which only
     // holds because tombstones are retained in the buckets and win the
     // keep-latest rematch.
-    QueryDef(
+    QueryDef.statefulQ(
       "q125_current_tombstones",
       """WITH ranked AS (SELECT user_id, event_type, value,
         |   row_number() OVER (PARTITION BY user_id
@@ -997,8 +991,7 @@ object ScalarQueries {
         | round(sum(value), 2) AS sum_value
         |FROM ranked WHERE rn = 1 AND event_type <> 'purchase'
         |GROUP BY 1 ORDER BY event_type""".stripMargin) { (spark, dir) =>
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-ct-q125-").toString
+      val work = QueryDef.tempWorkDir("graft-ct-q125-")
       val midUs = java.time.LocalDateTime.of(2024, 1, 15, 0, 0)
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
       val log = Tables(spark, dir).events
@@ -1043,7 +1036,7 @@ object ScalarQueries {
     // latest change predates the fork shows the base-era row (null
     // value), one who changed after shows the fork row, one whose
     // latest is a delete (purchase) in EITHER era stays dead.
-    QueryDef(
+    QueryDef.statefulQ(
       "q126_evolved_current",
       """WITH ranked AS (SELECT user_id, event_type, value,
         |   epoch_us(ts) AS tsu,
@@ -1063,8 +1056,7 @@ object ScalarQueries {
         |FROM cur GROUP BY 1, 2
         |ORDER BY _table_version, event_type""".stripMargin) {
       (spark, dir) =>
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-ct-q126-").toString
+      val work = QueryDef.tempWorkDir("graft-ct-q126-")
       val midUs = 1705276800000000L // 2024-01-15T00:00:00Z in micros
       val log = Tables(spark, dir).events
         .select(col("user_id"), col("event_type"), col("value"),

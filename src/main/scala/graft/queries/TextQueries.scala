@@ -1339,7 +1339,7 @@ object TextQueries {
     // rational-IDF/Okapi formula — hash equality proves the
     // index-served path (build → delta → tombstone-folded search)
     // byte-identical to scoring the edited corpus from scratch.
-    QueryDef(
+    QueryDef.statefulQ(
       "q121_indexed_bm25", {
         val terms = Seq("spark", "shuffle", "window", "stream")
         val fs = terms.indices.map(i =>
@@ -1362,8 +1362,7 @@ object TextQueries {
            |FROM f, s WHERE f0 + f1 + f2 + f3 > 0
            |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
       }) { (spark, dir) =>
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-ti-q121-").toString
+      val work = QueryDef.tempWorkDir("graft-ti-q121-")
       val docs = Tables(spark, dir).documents.select("doc_id", "text")
       graft.ops.TextIndex.build(spark, docs, s"$work/idx")
       graft.ops.TextIndex.applyDelta(spark, s"$work/idx",
@@ -2161,7 +2160,7 @@ object TextQueries {
     // the incremental-maintenance-equals-recompute contract, which is
     // what makes the index usable at 100 TB (deltas append; nothing
     // re-bands the corpus).
-    QueryDef(
+    QueryDef.statefulQ(
       "q113_neardup_index_maintain",
       s"""WITH documents2 AS (
          |  SELECT doc_id, text || ' ' || text AS text FROM documents
@@ -2181,8 +2180,7 @@ object TextQueries {
          |FROM bs GROUP BY 1 ORDER BY band""".stripMargin) { (spark, dir) =>
       val docs = Tables(spark, dir).documents.select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
-      val idxDir = java.nio.file.Files
-        .createTempDirectory("graft-ndx-q113-").toString
+      val idxDir = QueryDef.tempWorkDir("graft-ndx-q113-")
       graft.ops.NeardupIndex.build(spark, docs, idxDir)
       val upserts = docs.filter(col("doc_id") % 17 === 3)
         .withColumn("text", concat(col("text"), lit(" "), col("text")))

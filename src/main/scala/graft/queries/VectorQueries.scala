@@ -817,7 +817,7 @@ object VectorQueries {
     // IS the incremental-maintenance-equals-recompute contract, which
     // is what makes the index usable at 100 TB (deltas assign against
     // the frozen centroids and append; nothing re-assigns the corpus).
-    QueryDef(
+    QueryDef.statefulQ(
       "q114_ann_index_maintain",
       s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |c AS (SELECT vec_id AS cid, e AS ce,
@@ -839,8 +839,7 @@ object VectorQueries {
       val e0 = Tables(spark, dir).embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         .repartition(spark.sparkContext.defaultParallelism)
-      val idxDir = java.nio.file.Files
-        .createTempDirectory("graft-ann-q114-").toString
+      val idxDir = QueryDef.tempWorkDir("graft-ann-q114-")
       val cb = graft.ops.AnnIndex.seedCentroids(spark, e0, 8)
       graft.ops.AnnIndex.build(spark, e0, cb, idxDir)
       val upserts = e0.filter(col("vec_id") % 13 === 2)

@@ -192,6 +192,19 @@ object CdcJob {
           positiveInt(v, "sink.current.fullsync.batches")
         }
         .getOrElse(0),
+      // `sink.current.lookup.max.driver.keys` — CurrentTable.lookup's
+      // driver-side probe bound, published as the session default by
+      // the pipeline; meaningless without current tables to look into
+      currentLookupMaxDriverKeys =
+        cfg.get("sink.current.lookup.max.driver.keys")
+          .map { v =>
+            if (cfg.get("sink.current.keys").isEmpty)
+              throw new IllegalArgumentException(
+                "sink.current.lookup.max.driver.keys requires " +
+                  "sink.current.keys (the tables it bounds lookups on)")
+            positiveInt(v, "sink.current.lookup.max.driver.keys")
+          }
+          .getOrElse(0),
       // `mongodb.deserialization.mode` (`MongoDBStreamer.java:64,92-107`):
       // doc-string / top-level-string / top-level-type, defaulting to
       // top-level-type with a warning, unknown value fails fast — only

@@ -147,7 +147,15 @@ final case class CdcConfig(
       * table's first sync (persisted in its cursor); changing it
       * later only affects tables not yet cut.
       */
-    currentBuckets: Int = 16) {
+    currentBuckets: Int = 16,
+    /** Driver-side probe bound for [[CurrentTable.lookup]]
+      * (`sink.current.lookup.max.driver.keys`): probes above it fall
+      * back to a full-scan semi-join. When > 0 the pipeline publishes
+      * it as the session conf [[CurrentTable.LookupMaxKeysConf]] at
+      * start, so readers sharing the session inherit the job's bound
+      * without passing it per call. 0 = leave the session default.
+      */
+    currentLookupMaxDriverKeys: Int = 0) {
   def name: String = jobName.getOrElse(s"JOB-$sourceId")
 }
 
@@ -227,6 +235,13 @@ final class StopGate(
   * parallelism 1 for the same guarantee — J3).
   */
 final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
+
+  // the job's lookup bound becomes the session default (see the
+  // CdcConfig scaladoc) — published at construction so readers that
+  // come up alongside the pipeline see it from the first query
+  if (config.currentLookupMaxDriverKeys > 0)
+    spark.conf.set(CurrentTable.LookupMaxKeysConf,
+      config.currentLookupMaxDriverKeys.toString)
 
   val gate = new StopGate(
     config.registry.keys,

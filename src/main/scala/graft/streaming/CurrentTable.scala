@@ -77,10 +77,16 @@ object CurrentTable {
   private def stateFile(dir: String) = s"$dir/_synced.txt"
   private def cursorDir(dir: String) = s"$dir/_cursor"
   private val RootPart = "_root"
-  private val PartComponent = ".*/(dt=[^/]+)/[^/]*$".r
+  private val PartComponent = ".*?/(dt=[^/]+)/.*".r
 
-  /** The cursor shard a sink file belongs to: its `dt=` path
-    * component, or [[RootPart]] for files outside any partition.
+  /** The cursor shard a sink file belongs to: the FIRST `dt=`
+    * component on its path (NOT the immediate parent — a compactor or
+    * writer may nest files deeper under a partition, and those must
+    * shard with the partition, not with [[RootPart]]), or [[RootPart]]
+    * for files outside any partition. Keying is over the full URI, so
+    * a sink living UNDER a `dt=`-named ancestor directory is not
+    * supported by the sharded cursor (every file would key to the
+    * ancestor).
     */
   private def partKeyOf(fileUri: String): String = fileUri match {
     case PartComponent(p) => p
@@ -320,10 +326,17 @@ object CurrentTable {
     val done = oldByPart.valuesIterator.flatten.toSet
     val fresh = all.filterNot(done)
     // cursor hygiene (see class doc): within each governed partition
-    // the listing is COMPLETE, so entries for vanished files are dead
-    def gc(p: String): Set[String] =
-      oldByPart.getOrElse(p, Set.empty)
-        .intersect(listedByPart.getOrElse(p, Set.empty))
+    // the listing is COMPLETE, so entries for vanished files are dead.
+    // Exception: _root (files outside any dt= partition) under a
+    // SCOPED sync — the scoped listing never walks the whole sink, so
+    // the completeness invariant holds for _root only on a full walk;
+    // dropping against a partial listing would GC live entries and
+    // force a pointless (if idempotent) re-fold on the next full sync
+    def gc(p: String): Set[String] = {
+      val old = oldByPart.getOrElse(p, Set.empty)
+      if (p == RootPart && effScope.isDefined) old
+      else old.intersect(listedByPart.getOrElse(p, Set.empty))
+    }
     if (fresh.isEmpty) {
       for (p <- governed; g = gc(p) if g != oldByPart(p))
         writeSidecar(spark, currentDir, p, g)
@@ -365,6 +378,30 @@ object CurrentTable {
       cur.unionByName(changes), pk, Long.MaxValue, order)
     val stage = s"$currentDir/._ct_stage"
     fs.delete(new Path(stage), true)
+    // tombstone census OBSERVED on the fold's own write job: `merged`
+    // IS exactly the touched buckets' post-swap contents, so a
+    // conditional min-tombstone-`_ts` metric per touched bucket yields
+    // precisely the census a re-read of those buckets would — for
+    // zero extra reads. (r12 recomputed it by re-reading every
+    // touched bucket's live files AFTER the swap — a reproduced ~2×
+    // on per-sync bucket IO, the round's only real regression.)
+    // Metric width is bounded by the table's bucket count; an
+    // aggregation-buffer row per task, not a shuffle. Only when the
+    // census is already maintained (legacy tables stay census-less
+    // until a full prune scan heals them).
+    val maintainCensus = !root.exists(_.census.isEmpty)
+    val obs =
+      if (maintainCensus) Some(new org.apache.spark.sql.Observation())
+      else None
+    val toWrite = obs match {
+      case Some(o) =>
+        val tomb = graft.ops.TimeTravel.isTombstone
+        val metrics = touched.toSeq.map(b =>
+          min(when(col("kb") === b && tomb, col("_ts")))
+            .cast("long").as(s"b$b"))
+        merged.observe(o, metrics.head, metrics.tail: _*)
+      case None => merged
+    }
     // repartition by kb before the bucketed write: the merge comes
     // off a pk-hash shuffle, so WITHOUT this every write task holds
     // rows of every touched bucket and a full fold emits
@@ -372,30 +409,23 @@ object CurrentTable {
     // hashed on kb, each bucket's rows land in exactly one task —
     // one file per bucket, and parquet row groups keep one big file
     // scan-parallel
-    merged.repartition(col("kb"))
+    toWrite.repartition(col("kb"))
       .write.mode(SaveMode.Overwrite).partitionBy("kb")
       .parquet(stage)
+    // collect the observed census BEFORE the swap (the write job is
+    // done; get() is a map read) but WRITE it after, so the root
+    // always describes the live layout: a crash before the swap
+    // orphans only the stage; between swap and root write, the
+    // un-advanced cursor re-folds and re-observes
+    val touchedMin: Map[Int, Long] = obs match {
+      case Some(o) => o.get.collect {
+        case (k, v: Long) => k.stripPrefix("b").toInt -> v
+      }.toMap
+      case None => Map.empty
+    }
     swapBuckets(fs, currentDir, stage, touched.toSeq)
-    // tombstone census over the just-swapped buckets — one
-    // tombstone-only aggregate over delta-sized files (read off the
-    // LIVE dirs: Spark's listing skips the dot-prefixed stage), so
-    // pruneTombstones can later skip buckets whose oldest tombstone
-    // is younger than its horizon. Computed AFTER the swap it
-    // describes — a crash before the root write re-folds and
-    // recomputes. Only when the census is already maintained (legacy
-    // tables stay census-less until a full prune scan heals them).
-    if (!root.exists(_.census.isEmpty)) {
+    if (maintainCensus) {
       val old = root.flatMap(_.census).getOrElse(Map.empty[Int, Long])
-      val touchedDirs = touched.map(b => s"$currentDir/kb=$b")
-        .filter(d => fs.exists(new Path(d)))
-      val touchedMin =
-        if (touchedDirs.isEmpty) Map.empty[Int, Long]
-        else spark.read.option("basePath", currentDir)
-          .parquet(touchedDirs.toSeq: _*)
-          .filter(graft.ops.TimeTravel.isTombstone)
-          .groupBy(col("kb").cast("int").as("kb"))
-          .agg(min(col("_ts")).cast("long").as("mn"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       writeRoot(spark, currentDir, nb, Some(old -- touched ++ touchedMin))
     }
     // the durable cursor lands LAST, one sidecar per governed
@@ -446,19 +476,40 @@ object CurrentTable {
       .filter(n => !fs.exists(new Path(currentDir,
         n.stripPrefix("._ct_trash_"))))
 
+  /** Grace a reader gives a LIVE writer's in-flight swap before
+    * calling persistent trash a crash. The default assumes
+    * rename-atomic filesystems (HDFS, POSIX) where the two-rename
+    * window is milliseconds; on object stores whose directory
+    * "rename" copies data (s3a), raise it to cover the largest
+    * bucket's copy time — or reads during a healthy swap can
+    * spuriously fail.
+    */
+  private[graft] val HealGraceConf = "spark.graft.current.healGraceMs"
+
+  private def healGraceMs(spark: SparkSession): Long = {
+    val v = spark.conf.get(HealGraceConf, "1000").toLong
+    require(v >= 0, s"$HealGraceConf must be >= 0, got $v")
+    v
+  }
+
   /** Readers must not silently serve a table missing a bucket: a
     * crashed swap parks a bucket in trash, and Spark's listing skips
     * dot-dirs — every key in it would just be ABSENT. A LIVE writer's
-    * swap window (between its two renames) is milliseconds, so poll
-    * briefly; trash that persists is a crash — fail loudly naming the
-    * lever rather than return a partial table. (Healing here instead
-    * would race a paused live writer's second rename — see [[heal]].)
+    * swap window (between its two renames) gets `graceMs` of polling
+    * ([[HealGraceConf]]); trash that persists is a crash — fail
+    * loudly naming the lever rather than return a partial table.
+    * (Healing here instead would race a paused live writer's second
+    * rename — see [[heal]].) The clean case (no trash at all — every
+    * read on a healthy table) costs exactly one root listing, no
+    * sleep.
     */
-  private def requireHealed(fs: FileSystem, currentDir: String): Unit = {
+  private def requireHealed(fs: FileSystem, currentDir: String,
+      graceMs: Long = 1000L): Unit = {
     var orphans = orphanTrash(fs, currentDir)
     var waited = 0L
-    while (orphans.nonEmpty && waited < 1000L) {
-      Thread.sleep(100L); waited += 100L
+    while (orphans.nonEmpty && waited < graceMs) {
+      val step = math.min(100L, graceMs - waited)
+      Thread.sleep(step); waited += step
       orphans = orphanTrash(fs, currentDir)
     }
     if (orphans.nonEmpty)
@@ -467,6 +518,28 @@ object CurrentTable {
           s"swap(s): ${orphans.mkString(", ")} — a read now would " +
           "silently miss those buckets' keys; run " +
           "CurrentTable.heal (or any sync/pruneTombstones) first")
+  }
+
+  /** Check → build → re-check: the orphan check and the listing the
+    * built frame snapshots are two separate filesystem reads, so a
+    * maintenance swap STARTING in between could hide a bucket from
+    * the listing. Re-checking after the build catches a swap still
+    * in flight (trash visible) and rebuilds once the writer finishes.
+    * RESIDUAL window, documented honestly: a swap that starts AND
+    * fully completes between the listing and the re-check leaves no
+    * trash to see — excluded only by the single-maintainer
+    * discipline ([[heal]]), not by this guard.
+    */
+  private def buildHealed(spark: SparkSession, fs: FileSystem,
+      currentDir: String)(build: => DataFrame): DataFrame = {
+    val grace = healGraceMs(spark)
+    requireHealed(fs, currentDir, grace)
+    val df = build
+    if (orphanTrash(fs, currentDir).isEmpty) df
+    else {
+      requireHealed(fs, currentDir, grace)
+      build
+    }
   }
 
   /** The shared per-bucket staged swap (sync and pruneTombstones):
@@ -655,17 +728,20 @@ object CurrentTable {
     * table with an unhealed swap.
     */
   private def readRaw(spark: SparkSession, currentDir: String): DataFrame = {
-    requireHealed(new Path(currentDir)
-      .getFileSystem(spark.sessionState.newHadoopConf()), currentDir)
-    spark.read.parquet(currentDir)
+    val fs = new Path(currentDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    buildHealed(spark, fs, currentDir)(spark.read.parquet(currentDir))
   }
 
   /** The current table as a frame: live keys only — the stored
     * DELETE tombstones are filtered here, at read time. `kb=` rides
     * along as a partition column; callers who key-join can exploit
-    * it. Fails loudly (after a brief grace for a live swap) on a
-    * table with a crashed bucket swap rather than silently serving a
-    * table missing that bucket's keys.
+    * it. Fails loudly (after a [[HealGraceConf]] grace for a live
+    * swap) on a table with a crashed bucket swap rather than
+    * silently serving a table missing that bucket's keys — a
+    * plan-time detector with a residual race under CONCURRENT
+    * maintenance (see [[buildHealed]]), which the single-maintainer
+    * discipline excludes.
     */
   def read(spark: SparkSession, currentDir: String): DataFrame =
     readRaw(spark, currentDir)
@@ -702,13 +778,29 @@ object CurrentTable {
     * are rejected loudly rather than silently planning a wrong
     * bucket.
     */
+  /** Session default for [[lookup]]'s `maxDriverKeys` guard — the
+    * config surface for plain-SQL/notebook callers who never pass the
+    * parameter (jobs set it from `sink.current.lookup.max.driver.keys`).
+    */
+  private[graft] val LookupMaxKeysConf =
+    "spark.graft.current.lookup.maxDriverKeys"
+
   def lookup(spark: SparkSession, currentDir: String,
       pk: Seq[String], keys: DataFrame,
-      maxDriverKeys: Int = 10000): DataFrame = {
+      maxDriverKeys: Int = 0): DataFrame = {
     require(pk.nonEmpty, "lookup: no key columns")
     require(keys.columns.toSeq == pk,
       s"lookup: keys frame must have exactly the key columns $pk, " +
         s"got ${keys.columns.toSeq}")
+    // <= 0 (the default) resolves the guard from the session conf so
+    // the bound is tunable without touching call sites
+    val maxKeys =
+      if (maxDriverKeys > 0) maxDriverKeys
+      else {
+        val v = spark.conf.get(LookupMaxKeysConf, "10000").toInt
+        require(v > 0, s"$LookupMaxKeysConf must be positive, got $v")
+        v
+      }
     // just the layout constant off the cursor's first line — reading
     // the full cursor would put needless driver IO on the hot
     // point-lookup path
@@ -721,8 +813,8 @@ object CurrentTable {
     // into a bucket the plan never listed and silently miss it) —
     // but only up to the driver-small bound: limit+1 detects an
     // oversized probe without ever collecting it
-    val collected = keys.limit(maxDriverKeys + 1).collect()
-    if (collected.length > maxDriverKeys)
+    val collected = keys.limit(maxKeys + 1).collect()
+    if (collected.length > maxKeys)
       return read(spark, currentDir).join(keys, pk, "left_semi")
     val local = spark.createDataFrame(
       java.util.Arrays.asList(collected: _*), keys.schema)
@@ -730,40 +822,42 @@ object CurrentTable {
       .collect().map(_.getInt(0)).sorted
     val fs = new Path(currentDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    requireHealed(fs, currentDir)
-    // one listing for existence AND a bucket-pruned schema source —
-    // schema inference off the table root would list every bucket
-    val existing = fs.listStatus(new Path(currentDir))
-      .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
-    if (existing.isEmpty)
-      throw new IllegalStateException(
-        s"current table at $currentDir holds no data yet")
-    val schemaSrc = spark.read.option("basePath", currentDir)
-      .parquet(s"$currentDir/${existing.head}")
-    // the hash input is the key's STRING rendering (concat_ws casts
-    // every input to string) — same-rendering families are safe,
-    // divergent renderings would plan the wrong bucket: check
-    for (c <- pk) {
-      def typeOf(s: org.apache.spark.sql.types.StructType, n: String) =
-        s.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
-      (typeOf(keys.schema, c), typeOf(schemaSrc.schema, c)) match {
-        case (Some(kt), Some(tt)) =>
-          require(kt == tt || (IntegralTypes(kt) && IntegralTypes(tt)),
-            s"lookup: key column '$c' is $kt but the table stores $tt " +
-              "— the bucket hash is rendering-sensitive (it hashes the " +
-              "key's string form), and those types can render the same " +
-              "value differently; cast the probe frame")
-        case _ => throw new IllegalArgumentException(
-          s"lookup: key column '$c' missing from probe or table schema")
+    buildHealed(spark, fs, currentDir) {
+      // one listing for existence AND a bucket-pruned schema source —
+      // schema inference off the table root would list every bucket
+      val existing = fs.listStatus(new Path(currentDir))
+        .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
+      if (existing.isEmpty)
+        throw new IllegalStateException(
+          s"current table at $currentDir holds no data yet")
+      val schemaSrc = spark.read.option("basePath", currentDir)
+        .parquet(s"$currentDir/${existing.head}")
+      // the hash input is the key's STRING rendering (concat_ws casts
+      // every input to string) — same-rendering families are safe,
+      // divergent renderings would plan the wrong bucket: check
+      for (c <- pk) {
+        def typeOf(s: org.apache.spark.sql.types.StructType, n: String) =
+          s.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
+        (typeOf(keys.schema, c), typeOf(schemaSrc.schema, c)) match {
+          case (Some(kt), Some(tt)) =>
+            require(kt == tt || (IntegralTypes(kt) && IntegralTypes(tt)),
+              s"lookup: key column '$c' is $kt but the table stores $tt " +
+                "— the bucket hash is rendering-sensitive (it hashes the " +
+                "key's string form), and those types can render the same " +
+                "value differently; cast the probe frame")
+          case _ => throw new IllegalArgumentException(
+            s"lookup: key column '$c' missing from probe or table schema")
+        }
       }
+      val live = buckets.map(b => s"kb=$b").filter(existing)
+        .map(n => s"$currentDir/$n")
+      if (live.isEmpty) schemaSrc.limit(0)
+        .filter(!graft.ops.TimeTravel.isTombstone)
+      else spark.read.option("basePath", currentDir)
+        .parquet(live.toSeq: _*)
+        .filter(!graft.ops.TimeTravel.isTombstone)
+        .join(local, pk, "left_semi")
     }
-    val live = buckets.map(b => s"kb=$b").filter(existing)
-      .map(n => s"$currentDir/$n")
-    if (live.isEmpty) return schemaSrc.limit(0)
-      .filter(!graft.ops.TimeTravel.isTombstone)
-    spark.read.option("basePath", currentDir).parquet(live.toSeq: _*)
-      .filter(!graft.ops.TimeTravel.isTombstone)
-      .join(local, pk, "left_semi")
   }
 
   /** Maintained current state ACROSS schema-evolution forks: the

@@ -209,6 +209,39 @@ class CdcJobSpec extends AnyFunSuite {
         "sink.current.keys" -> """{"db.t": "id"}""",
         "sink.current.fullsync.batches" -> "0"))
     }.getMessage.contains("sink.current.fullsync.batches"))
+    // lookup probe bound: default off (session default governs),
+    // explicit, requires current tables, junk fails like the others
+    assert(CdcJob.configFromMap(base).currentLookupMaxDriverKeys == 0)
+    assert(CdcJob.configFromMap(base ++ Map(
+      "sink.current.keys" -> """{"db.t": "id"}""",
+      "sink.current.lookup.max.driver.keys" -> "500"))
+      .currentLookupMaxDriverKeys == 500)
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base +
+        ("sink.current.lookup.max.driver.keys" -> "500"))
+    }.getMessage.contains("sink.current.keys"))
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base ++ Map(
+        "sink.current.keys" -> """{"db.t": "id"}""",
+        "sink.current.lookup.max.driver.keys" -> "junk"))
+    }.getMessage.contains("sink.current.lookup.max.driver.keys"))
+    // the pipeline publishes the bound as the session conf readers
+    // resolve CurrentTable.lookup's default from
+    val cfgWithBound = CdcJob.configFromMap(base ++ Map(
+      "sink.current.keys" -> """{"db.t": "id"}""",
+      "sink.current.lookup.max.driver.keys" -> "777"))
+    val priorBound =
+      spark.conf.getOption("spark.graft.current.lookup.maxDriverKeys")
+    try {
+      new graft.streaming.CdcPipeline(spark, cfgWithBound)
+      assert(spark.conf.get("spark.graft.current.lookup.maxDriverKeys")
+        == "777")
+    } finally priorBound match {
+      case Some(v) =>
+        spark.conf.set("spark.graft.current.lookup.maxDriverKeys", v)
+      case None =>
+        spark.conf.unset("spark.graft.current.lookup.maxDriverKeys")
+    }
   }
 
   test("snapshot override keys are sanitized to route keys and registry-validated") {

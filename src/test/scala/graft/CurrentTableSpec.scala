@@ -630,4 +630,102 @@ class CurrentTableSpec extends AnyFunSuite {
     assert(CurrentTable.sync(spark, sink, cur, Seq("id")) == ((0, 0)))
     assert(stateOf(cur) == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
+
+  test("a file nested deeper under a dt= partition shards with the " +
+      "partition's sidecar, and _root entries survive scoped syncs") {
+    val sink = Files.createTempDirectory("graft-ct16-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct16-cur-").toString
+    append(sink, Seq((1L, "a", "CREATE", 1000L, "f1", 10L),
+      (2L, "b", "CREATE", 1100L, "f1", 20L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    // a compactor-style writer nests a file under the partition:
+    // copy an already-folded file one level down — re-folding it is
+    // idempotent, so only its CURSOR placement is at stake
+    val part = new java.io.File(s"$sink/dt=2024-01-01")
+    val src = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val sub = new java.io.File(part, "sub"); sub.mkdirs()
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(sub, "nested.parquet").toPath)
+    val (f2, _) = CurrentTable.sync(spark, sink, cur, Seq("id"),
+      scope = Some(Seq("dt=2024-01-01")))
+    assert(f2 == 1, "the nested file should fold as fresh")
+    def sidecar(name: String): Seq[String] = {
+      val f = new java.io.File(s"$cur/_cursor/$name")
+      if (!f.exists()) Nil
+      else scala.io.Source.fromFile(f).getLines()
+        .filter(_.trim.nonEmpty).toSeq
+    }
+    // sharded with its FIRST dt= component, never _root — a scoped
+    // sync's gc would otherwise intersect _root against a partial
+    // listing and drop live entries
+    assert(sidecar("dt=2024-01-01.txt").exists(_.contains("nested")),
+      "nested file must land in its partition's sidecar")
+    assert(sidecar("_root.txt").isEmpty)
+    assert(stateOf(cur) == oracleOf(sink))
+
+    // a genuine _root file (outside any dt= partition, dt as a data
+    // column): folds on a FULL sync into _root.txt...
+    Seq((3L, "c", "CREATE", 1200L, "f1", 30L))
+      .toDF("id", "name", "_op", "_ts", "_binlog_file_internal",
+        "_binlog_pos_internal")
+      .withColumn("dt", lit("2024-01-01")).coalesce(1)
+      .write.mode("append").parquet(s"$sink/flat")
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    val rootEntries = sidecar("_root.txt")
+    assert(rootEntries.nonEmpty, "flat file should shard to _root")
+    // ...and a later SCOPED sync — whose listing never walks the flat
+    // dir — must leave those _root entries alone
+    append(sink, Seq((4L, "d", "CREATE", 1300L, "f1", 40L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"),
+      scope = Some(Seq("dt=2024-01-01")))
+    assert(sidecar("_root.txt") == rootEntries,
+      "scoped sync must not gc _root against its partial listing")
+    // the flat file never re-folds on the next full walk
+    assert(CurrentTable.sync(spark, sink, cur, Seq("id")) == ((0, 0)))
+    assert(stateOf(cur) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("the heal grace window is session-configurable, and the lookup " +
+      "probe bound falls back to the session conf when not passed") {
+    val sink = Files.createTempDirectory("graft-ct17-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct17-cur-").toString
+    append(sink, (1 to 20).map(i =>
+      (i.toLong, s"v$i", "CREATE", 1000L + i, "f1", i.toLong)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    // conf-resolved probe bound: 3 keys over a bound of 2 → fallback
+    // (scans every bucket); unset → default 10000 → pruned path
+    spark.conf.set("spark.graft.current.lookup.maxDriverKeys", "2")
+    try {
+      val probe = Seq(1L, 2L, 3L).toDF("id")
+      val fb = CurrentTable.lookup(spark, cur, Seq("id"), probe)
+      assert(fb.inputFiles
+        .flatMap(_.split('/').find(_.startsWith("kb="))).toSet.size == 4,
+        "conf-bounded lookup should take the full-scan fallback")
+    } finally spark.conf.unset("spark.graft.current.lookup.maxDriverKeys")
+    val pruned = CurrentTable.lookup(spark, cur, Seq("id"),
+      Seq(1L).toDF("id"))
+    assert(pruned.inputFiles
+      .flatMap(_.split('/').find(_.startsWith("kb="))).toSet.size == 1)
+    // heal grace: with the window at 0 a crashed swap fails the read
+    // immediately — no 1 s poll (the knob object stores raise instead)
+    val fs = new org.apache.hadoop.fs.Path(cur)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val kb = new java.io.File(cur).listFiles()
+      .filter(_.getName.startsWith("kb=")).head.getName
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$cur/$kb"),
+      new org.apache.hadoop.fs.Path(s"$cur/._ct_trash_$kb")))
+    spark.conf.set("spark.graft.current.healGraceMs", "0")
+    try {
+      val t0 = System.nanoTime()
+      intercept[IllegalStateException] {
+        CurrentTable.read(spark, cur).count()
+      }
+      assert((System.nanoTime() - t0) / 1e6 < 900,
+        "grace=0 must not poll before refusing")
+    } finally spark.conf.unset("spark.graft.current.healGraceMs")
+    CurrentTable.heal(spark, cur)
+    assert(CurrentTable.read(spark, cur).count() == 20)
+  }
 }

@@ -249,4 +249,43 @@ class PlanAssertionsSpec extends AnyFunSuite {
       plan.contains("LeftSemi"), plan.take(800))
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
+
+  test("readEvolved: one pk shuffle over the fork union, no join at " +
+      "all — the cross-fork merge moves #keys x #forks rows once") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-plan-re-").toString
+    // two evolution forks of db.ev, each with its own current table
+    // (the q126 shape, minus the oracle ceremony)
+    for ((v, withExtra) <- Seq(("base", false), ("v20240701", true))) {
+      val dir = if (v == "base") s"$work/p_db__ev"
+        else s"$work/p_db__ev_$v"
+      val rows = spark.range(500)
+        .select(col("id"), concat(lit(v), col("id")).as("name"),
+          lit("UPDATE").as("_op"), (lit(1000L) + col("id")).as("_ts"),
+          lit("f1").as("_binlog_file_internal"),
+          col("id").as("_binlog_pos_internal"),
+          lit("2024-01-01").as("dt"))
+      val shaped = if (withExtra) rows.withColumn("extra", col("id") * 2)
+        else rows
+      shaped.write.mode("append").partitionBy("dt").parquet(dir)
+      graft.streaming.CurrentTable.sync(spark, dir, s"${dir}__current",
+        Seq("id"), buckets = 4)
+    }
+    val df = graft.streaming.CurrentTable.readEvolved(spark, work,
+      "p", "db", "ev", Seq("id"))
+    // AQE's toString repeats nodes under "== Initial Plan ==" — count
+    // only the final section or every Exchange double-counts
+    val plan = planOf(df).split("== Initial Plan ==").head
+    // the q126 oracle pins VALUES; this pins the 100x SHAPE: exactly
+    // one hash shuffle (the keep-latest window over pk), the two
+    // forks unioned by name, and never a join/cartesian — the input
+    // is <= one row per key per fork, not the changelogs
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(1200))
+    assert(plan.contains("Union"), plan.take(800))
+    assert("Scan parquet".r.findAllIn(plan).size == 2, plan.take(1200))
+    assert(!plan.contains("Join") && !plan.contains("Cartesian"),
+      plan.take(800))
+  }
 }

@@ -228,5 +228,27 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(ZoneMaps.readStamp(fs, live).contains("other-nonce"))
     fs.delete(new org.apache.hadoop.fs.Path(live, "_patch_stamp"), false)
     assert(ZoneMaps.readStamp(fs, live).isEmpty)
+    // the lost-race exit cleans the NESTED staged dir: on HDFS/local
+    // semantics, renaming tmp onto a restored live moves it INSIDE as
+    // <live>/<tmpName> — a non-dot name whose parquet a recursive
+    // manifest read would surface as phantom rows. Reproduce that end
+    // state and run the exit the mismatch branch takes.
+    val beforeRows = spark.read.parquet(man).count()
+    val tmpName = new org.apache.hadoop.fs.Path(man + "._patch_tmp")
+    val nested = new org.apache.hadoop.fs.Path(live, tmpName.getName)
+    spark.range(5).select(lit("phantom").as("file"))
+      .write.mode("overwrite").parquet(nested.toString)
+    // nested residue IS visible to a recursive read — the hazard
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(man).count() > beforeRows)
+    val marker = new org.apache.hadoop.fs.Path(man + "._patch_inflight")
+    fs.create(marker, true).close()
+    val ex = intercept[IllegalStateException] {
+      ZoneMaps.failLostRace(fs, live, tmpName, marker)
+    }
+    assert(ex.getMessage.contains("lost a race"))
+    assert(!fs.exists(nested), "lost-race exit must drop nested residue")
+    assert(!fs.exists(marker))
+    assert(spark.read.parquet(man).count() == beforeRows)
   }
 }
