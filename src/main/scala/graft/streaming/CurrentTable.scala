@@ -211,6 +211,14 @@ object CurrentTable {
     pmod(xxhash64(concat_ws("\u0001", pk.map(col): _*)),
       lit(nb.toLong)).cast("int")
 
+  /** Touched-bucket count above which the sync's tombstone census
+    * switches from observe metrics (zero extra IO, but interpreted
+    * per-row evaluation ∝ width) to one aggregate over the staged
+    * files (one extra delta-sized read — amortized by the fold that
+    * just wrote it, and wide folds are rare).
+    */
+  private val CensusObserveMaxMetrics = 64
+
   /** The bucket count alone — first line of the state file. */
   private def readBucketCount(spark: SparkSession,
       dir: String): Option[Int] = {
@@ -385,13 +393,18 @@ object CurrentTable {
     // zero extra reads. (r12 recomputed it by re-reading every
     // touched bucket's live files AFTER the swap — a reproduced ~2×
     // on per-sync bucket IO, the round's only real regression.)
-    // Metric width is bounded by the table's bucket count; an
-    // aggregation-buffer row per task, not a shuffle. Only when the
-    // census is already maintained (legacy tables stay census-less
-    // until a full prune scan heals them).
+    // CollectMetrics evaluates its aggregates INTERPRETED, per row —
+    // fine at delta width (a handful of touched buckets), but a full
+    // fold touching hundreds of buckets would pay width × rows
+    // predicate evals, so wide folds (rare: first sync, massive
+    // backfill) compute the census from the STAGED files instead —
+    // the same delta-sized bytes, read once, before the swap. Only
+    // when the census is already maintained (legacy tables stay
+    // census-less until a full prune scan heals them).
     val maintainCensus = !root.exists(_.census.isEmpty)
     val obs =
-      if (maintainCensus) Some(new org.apache.spark.sql.Observation())
+      if (maintainCensus && touched.length <= CensusObserveMaxMetrics)
+        Some(new org.apache.spark.sql.Observation())
       else None
     val toWrite = obs match {
       case Some(o) =>
@@ -412,15 +425,22 @@ object CurrentTable {
     toWrite.repartition(col("kb"))
       .write.mode(SaveMode.Overwrite).partitionBy("kb")
       .parquet(stage)
-    // collect the observed census BEFORE the swap (the write job is
-    // done; get() is a map read) but WRITE it after, so the root
-    // always describes the live layout: a crash before the swap
-    // orphans only the stage; between swap and root write, the
-    // un-advanced cursor re-folds and re-observes
+    // collect the census BEFORE the swap (observe: the write job is
+    // done, get() is a map read; wide folds: one tombstone-only
+    // aggregate over the just-written stage) but WRITE it after, so
+    // the root always describes the live layout: a crash before the
+    // swap orphans only the stage; between swap and root write, the
+    // un-advanced cursor re-folds and recomputes
     val touchedMin: Map[Int, Long] = obs match {
       case Some(o) => o.get.collect {
         case (k, v: Long) => k.stripPrefix("b").toInt -> v
       }.toMap
+      case None if maintainCensus =>
+        spark.read.option("basePath", stage).parquet(stage)
+          .filter(graft.ops.TimeTravel.isTombstone)
+          .groupBy(col("kb").cast("int").as("kb"))
+          .agg(min(col("_ts")).cast("long").as("mn"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       case None => Map.empty
     }
     swapBuckets(fs, currentDir, stage, touched.toSeq)

@@ -686,6 +686,34 @@ class CurrentTableSpec extends AnyFunSuite {
     assert(stateOf(cur) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("a wide fold (more touched buckets than the observe-metric " +
+      "cap) still writes the exact tombstone census, off the stage") {
+    val sink = Files.createTempDirectory("graft-ct18-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct18-cur-").toString
+    // 300 keys over 100 buckets: the first fold touches ~all of them,
+    // past CensusObserveMaxMetrics — the stage-aggregate path
+    append(sink, (1 to 300).map(i =>
+      (i.toLong, s"v$i", if (i == 7) "DELETE" else "CREATE",
+        1000L + i, "f1", i.toLong)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 100)
+    def rootText(): String =
+      scala.io.Source.fromFile(s"$cur/_synced.txt").mkString
+    assert(rootText().contains("#tomb"), s"no census in: ${rootText()}")
+    assert(rootText().contains("=1007"),
+      s"wide-fold census missing the delete's ts: ${rootText()}")
+    // ...and the narrow follow-up delta keeps it exact via observe
+    append(sink, Seq((9L, "x", "DELETE", 5000L, "f1", 400L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(rootText().contains("=5000"), rootText())
+    assert(rootText().contains("=1007"), rootText())
+    // both census entries prune away past the horizon, exactly
+    assert(CurrentTable.pruneTombstones(spark, cur, 9000L) == 2L)
+    assert(!rootText().contains("=1007") && !rootText().contains("=5000"),
+      rootText())
+    assert(stateOf(cur) == oracleOf(sink))
+  }
+
   test("the heal grace window is session-configurable, and the lookup " +
       "probe bound falls back to the session conf when not passed") {
     val sink = Files.createTempDirectory("graft-ct17-")
