@@ -710,6 +710,83 @@ object ScaleBench {
       "delta-sized, not table-sized")
   }
 
+  /** `runMain graft.ScaleBench evolved [keysK] [work]` — the
+    * cross-fork current-state claim (`CurrentTable.readEvolved`,
+    * q126): merging the forks' maintained CURRENT tables moves
+    * ≤ #keys × #forks rows, while the full-log alternative
+    * (`EvolvedRead.stateAll`) re-reads and re-ranks the WHOLE
+    * changelog per query. Cost of the log path ∝ log DEPTH, cost of
+    * the merge ∝ key count — so the experiment sweeps depth at fixed
+    * keys to expose the crossover, rather than cherry-picking one
+    * depth where either side happens to win.
+    */
+  private def evolvedExperiment(spark: SparkSession, work: String,
+      keysK: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val keys = keysK * 1000L
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.agg(count(lit(1))).write.format("noop").mode("overwrite").save()
+    // steady-state: first pass absorbs page-cache + codegen for each
+    // plan shape, second pass measures the plan
+    def steady(f: => org.apache.spark.sql.DataFrame): Double = {
+      drain(f); time(drain(f))
+    }
+    println("[scale] evolved: log-depth  sync-once(s)  readEvolved(s)  " +
+      "stateAll(s)  ratio")
+    for (versions <- Seq(5, 25)) {
+      val root = s"$work/ev_root_${keysK}_$versions"
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      val base = s"$root/ev_db__t"
+      val fork = s"$root/ev_db__t_v20240701"
+      // base era: `versions` full versions of every key, pre-evolution
+      // schema
+      for (v <- 1 to versions)
+        spark.range(keys).select(col("id"),
+            concat(lit(s"v$v-"), col("id")).as("name"),
+            lit("UPDATE").as("_op"),
+            (lit(v * 10000000L) + col("id")).as("_ts"),
+            lit("f1").as("_binlog_file_internal"),
+            (lit(v * 10000000L) + col("id")).as("_binlog_pos_internal"),
+            lit(f"2024-01-$v%02d").as("dt"))
+          .write.mode("append").partitionBy("dt").parquet(base)
+      // fork era: half the keys change under the evolved schema (adds
+      // `extra`), and every 100th id is deleted post-fork — the
+      // fork's tombstones must keep those keys dead across the merge
+      spark.range(keys).filter(col("id") % 2 === 0)
+        .select(col("id"), concat(lit("f-"), col("id")).as("name"),
+          when(col("id") % 100 === 0, "DELETE").otherwise("UPDATE")
+            .as("_op"),
+          (lit(900000000L) + col("id")).as("_ts"),
+          lit("f2").as("_binlog_file_internal"),
+          (lit(900000000L) + col("id")).as("_binlog_pos_internal"),
+          (col("id") * 2).as("extra"), lit("2024-07-01").as("dt"))
+        .write.mode("append").partitionBy("dt").parquet(fork)
+      val tSync = time {
+        graft.streaming.CurrentTable.sync(spark, base,
+          s"${base}__current", Seq("id"), buckets = 128)
+        graft.streaming.CurrentTable.sync(spark, fork,
+          s"${fork}__current", Seq("id"), buckets = 128)
+      }
+      val tEv = steady(graft.streaming.CurrentTable.readEvolved(
+        spark, root, "ev", "db", "t", Seq("id")))
+      val tLog = steady(graft.ops.EvolvedRead.stateAll(spark, root,
+        "ev", "db", "t", Seq("id"), Long.MaxValue))
+      val n = graft.streaming.CurrentTable.readEvolved(spark, root,
+        "ev", "db", "t", Seq("id")).count()
+      require(n == keys - keys / 100,
+        s"evolved state rows $n != ${keys - keys / 100}")
+      println(f"[scale] evolved: ${versions + 1}%9d  ${tSync}%12.2f  " +
+        f"${tEv}%14.2f  ${tLog}%11.2f  ${tLog / tEv}%5.2fx")
+    }
+    println("[scale] evolved: readEvolved is flat in log depth (reads " +
+      "<= keys x forks current rows); stateAll grows with every " +
+      "change ever written — the sync is paid once, the read is paid " +
+      "per query")
+  }
+
   /** Auto-compaction under a many-small-batches ingest: the same feed
     * replayed one file per micro-batch with the compactor off vs on —
     * ingest overhead (the rewrites ride the batch loop), final sink
@@ -1136,6 +1213,14 @@ object ScaleBench {
       cursorShardExperiment(spark,
         args.lift(2).getOrElse("/tmp/graft-scale"),
         args.lift(1).map(_.toInt).getOrElse(64))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("evolved")) {
+      val spark = buildSession()
+      evolvedExperiment(spark,
+        args.lift(2).getOrElse("/tmp/graft-scale"),
+        args.lift(1).map(_.toInt).getOrElse(2000))
       spark.stop()
       return
     }
