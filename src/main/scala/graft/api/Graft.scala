@@ -45,9 +45,13 @@ object Graft {
     * whole CDC lake by name. A table with a maintained `._zonemaps`
     * manifest beside it registers through the planner-integrated
     * [[graft.ops.ZoneMapTable]] — its filters skip files with no
-    * caller cooperation; plain tables register as plain parquet.
-    * Bookkeeping (`_checkpoints`, manifests, staging dirs) never
-    * registers. Returns the view names, sorted.
+    * caller cooperation; a maintained current table (a `__current`
+    * sibling with a `_synced.txt` cursor) registers through
+    * [[graft.streaming.CurrentTable.read]] so SQL users see live
+    * keys only (tombstones filtered, partial tables refused); plain
+    * tables register as plain parquet. Bookkeeping (`_checkpoints`,
+    * manifests, staging dirs) never registers. Returns the view
+    * names, sorted.
     *
     * Views snapshot the file listing at registration (Spark's normal
     * FileIndex behavior) — re-register after heavy ingestion, or for
@@ -68,7 +72,15 @@ object Graft {
       val dir = s"$sinkRoot/$n"
       val manifest = s"$dir._zonemaps"
       val df =
-        if (fs.exists(new org.apache.hadoop.fs.Path(manifest)))
+        // a maintained current table (the `__current` sibling the
+        // pipeline keeps beside its sink) must register through
+        // CurrentTable.read — a plain parquet view would expose the
+        // stored DELETE tombstone rows as live data to SQL users,
+        // and would silently serve a table with a crashed bucket
+        // swap instead of refusing
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_synced.txt")))
+          graft.streaming.CurrentTable.read(spark, dir)
+        else if (fs.exists(new org.apache.hadoop.fs.Path(manifest)))
           graft.ops.ZoneMapTable(spark, dir, manifest)
         else spark.read.parquet(dir)
       df.createOrReplaceTempView(n.stripPrefix(prefix))

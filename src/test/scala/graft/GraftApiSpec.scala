@@ -279,5 +279,24 @@ class GraftApiSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT count(*) FROM db__users__all WHERE extra IS NULL")
       .as[Long].head() == 100L)
+
+    // a maintained current table registers through CurrentTable.read:
+    // SQL users see LIVE keys only, never the stored DELETE
+    // tombstone rows a plain parquet view would surface
+    val sink = s"$root/lake1_db__events"
+    spark.range(20).select(col("id"),
+        when(col("id") === 7L, "DELETE").otherwise("UPDATE").as("_op"),
+        (lit(1000L) + col("id")).as("_ts"),
+        lit("f1").as("_binlog_file_internal"),
+        col("id").as("_binlog_pos_internal"),
+        lit("2024-01-01").as("dt"))
+      .write.mode("overwrite").partitionBy("dt").parquet(sink)
+    graft.streaming.CurrentTable.sync(spark, sink, s"${sink}__current",
+      Seq("id"), buckets = 4)
+    val views3 = Graft.registerSinkTables(spark, root, "lake1")
+    assert(views3.contains("db__events__current"))
+    assert(spark.sql("SELECT count(*) FROM db__events__current")
+      .as[Long].head() == 19L,
+      "the deleted key's tombstone row must not surface in SQL")
   }
 }
