@@ -1084,5 +1084,62 @@ object ScalarQueries {
           round(coalesce(sum("value"), lit(0)), 2).as("sum_value"))
         .orderBy("_table_version", "event_type")
     },
+
+    // Cross-fork POINT lookups (CurrentTable.lookupEvolved): the same
+    // two-fork evolved table as q126, probed for the 7 smallest
+    // user_ids through each fork's own bucket layout — raw per-fork
+    // hits (tombstones included) merged keep-latest so a post-fork
+    // delete (purchase) kills the probed key, THEN filtered. The
+    // oracle is the global ranked-window keep-latest restricted to
+    // the same probe set — row-level hash equality pins that the
+    // bucket-pruned probe path returns exactly what a full evolved
+    // read would for those keys: base-era users surface with a null
+    // (-1-coalesced) value, post-fork changers with the fork row,
+    // latest-is-purchase users not at all.
+    QueryDef.statefulQ(
+      "q127_evolved_lookup",
+      """WITH ranked AS (SELECT user_id, event_type, value,
+        |   epoch_us(ts) AS tsu,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events),
+        |probe AS (SELECT DISTINCT user_id FROM events
+        |          ORDER BY user_id LIMIT 7)
+        |SELECT user_id,
+        | CASE WHEN tsu <= 1705276800000000 THEN 'base'
+        |      ELSE 'v20240701' END AS _table_version,
+        | event_type,
+        | CASE WHEN tsu <= 1705276800000000 THEN -1.0
+        |      ELSE round(value, 2) END AS value
+        |FROM ranked WHERE rn = 1 AND event_type <> 'purchase'
+        | AND user_id IN (SELECT user_id FROM probe)
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val work = QueryDef.tempWorkDir("graft-ct-q127-")
+      val midUs = 1705276800000000L // 2024-01-15T00:00:00Z in micros
+      val log = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("event_id"),
+          unix_micros(col("ts")).as("_ts"),
+          when(col("event_type") === "purchase", "DELETE")
+            .otherwise("UPDATE").as("_op"),
+          lit("all").as("dt"))
+      val orderCols = Some(Seq(col("_ts"), col("event_id")))
+      val base = s"$work/q127_db__ev"
+      val fork = s"$work/q127_db__ev_v20240701"
+      log.filter(col("_ts") <= midUs).drop("value")
+        .write.mode("append").partitionBy("dt").parquet(base)
+      log.filter(col("_ts") > midUs)
+        .write.mode("append").partitionBy("dt").parquet(fork)
+      for (d <- Seq(base, fork))
+        graft.streaming.CurrentTable.sync(spark, d, s"${d}__current",
+          Seq("user_id"), buckets = 8, orderOverride = orderCols)
+      val probe = Tables(spark, dir).events
+        .select("user_id").distinct().orderBy("user_id").limit(7)
+      graft.streaming.CurrentTable.lookupEvolved(spark, work, "q127",
+          "db", "ev", Seq("user_id"), probe, orderOverride = orderCols)
+        .select(col("user_id"), col("_table_version"), col("event_type"),
+          coalesce(round(col("value"), 2), lit(-1.0)).as("value"))
+        .orderBy("user_id")
+    },
   )
 }

@@ -807,6 +807,19 @@ object CurrentTable {
 
   def lookup(spark: SparkSession, currentDir: String,
       pk: Seq[String], keys: DataFrame,
+      maxDriverKeys: Int = 0): DataFrame =
+    rawLookup(spark, currentDir, pk, keys, maxDriverKeys)
+      .filter(!graft.ops.TimeTravel.isTombstone)
+
+  /** [[lookup]] WITHOUT the tombstone filter: the matching rows as
+    * stored, DELETE rows included — for consumers that run their own
+    * keep-latest over them (the cross-fork [[lookupEvolved]], where a
+    * fork's tombstone must outrank the base era's live row before any
+    * filtering). Semi-join commutes with the tombstone filter, so
+    * `lookup == rawLookup.filter(!tombstone)` exactly.
+    */
+  private def rawLookup(spark: SparkSession, currentDir: String,
+      pk: Seq[String], keys: DataFrame,
       maxDriverKeys: Int = 0): DataFrame = {
     require(pk.nonEmpty, "lookup: no key columns")
     require(keys.columns.toSeq == pk,
@@ -835,7 +848,7 @@ object CurrentTable {
     // oversized probe without ever collecting it
     val collected = keys.limit(maxKeys + 1).collect()
     if (collected.length > maxKeys)
-      return read(spark, currentDir).join(keys, pk, "left_semi")
+      return readRaw(spark, currentDir).join(keys, pk, "left_semi")
     val local = spark.createDataFrame(
       java.util.Arrays.asList(collected: _*), keys.schema)
     val buckets = local.select(bucketExpr(pk, nb).as("kb")).distinct()
@@ -872,10 +885,8 @@ object CurrentTable {
       val live = buckets.map(b => s"kb=$b").filter(existing)
         .map(n => s"$currentDir/$n")
       if (live.isEmpty) schemaSrc.limit(0)
-        .filter(!graft.ops.TimeTravel.isTombstone)
       else spark.read.option("basePath", currentDir)
         .parquet(live.toSeq: _*)
-        .filter(!graft.ops.TimeTravel.isTombstone)
         .join(local, pk, "left_semi")
     }
   }
@@ -918,6 +929,69 @@ object CurrentTable {
       // keep-latest (a key deleted post-fork would otherwise revive
       // through its base-era row). kb is per-fork layout, not data.
       readRaw(spark, cur).drop("kb").withColumn("_table_version", lit(v))
+    }
+    val union = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    val order = orderOverride.getOrElse(
+      graft.ops.TimeTravel.defaultOrder(sourceType))
+    graft.ops.TimeTravel.latest(union, pk, Long.MaxValue, order)
+      .filter(!graft.ops.TimeTravel.isTombstone)
+  }
+
+  /** Bucket-pruned point lookups ACROSS schema-evolution forks — the
+    * [[lookup]] analog of [[readEvolved]]: probe every fork's
+    * maintained current table through its own bucket layout (each
+    * fork fixes its own bucket count at first sync, so the prune
+    * plans per fork), align the hits by column name, keep each key's
+    * LATEST row across forks, then drop tombstones. The per-fork
+    * probes must run on RAW rows: a key deleted post-fork matches
+    * only as a tombstone there, and that tombstone has to reach the
+    * cross-fork keep-latest to kill the base era's live row — probing
+    * with the public tombstone-filtered [[lookup]] would silently
+    * revive deleted keys.
+    *
+    * Scale shape: reads ≤ (probe buckets) per fork, merges
+    * ≤ #probe-keys × #forks rows driver-free; an oversized probe
+    * falls back to [[readEvolved]] + semi-join (full scan, driver out
+    * of the data path), mirroring [[lookup]]'s fallback. The probe
+    * set is snapshotted ONCE here so every fork plans from the same
+    * keys even over a non-deterministic probe source.
+    */
+  def lookupEvolved(spark: SparkSession, sinkRoot: String,
+      sourceId: String, db: String, table: String, pk: Seq[String],
+      keys: DataFrame, sourceType: String = "mysql",
+      maxDriverKeys: Int = 0,
+      orderOverride: Option[Seq[org.apache.spark.sql.Column]] = None)
+      : DataFrame = {
+    require(pk.nonEmpty, "lookupEvolved: no key columns")
+    require(keys.columns.toSeq == pk,
+      s"lookupEvolved: keys frame must have exactly the key columns " +
+        s"$pk, got ${keys.columns.toSeq}")
+    val maxKeys =
+      if (maxDriverKeys > 0) maxDriverKeys
+      else {
+        val v = spark.conf.get(LookupMaxKeysConf, "10000").toInt
+        require(v > 0, s"$LookupMaxKeysConf must be positive, got $v")
+        v
+      }
+    val collected = keys.limit(maxKeys + 1).collect()
+    if (collected.length > maxKeys)
+      return readEvolved(spark, sinkRoot, sourceId, db, table, pk,
+        sourceType, orderOverride).join(keys, pk, "left_semi")
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(collected: _*), keys.schema)
+    val dirs = graft.ops.EvolvedRead.versionDirs(spark, sinkRoot,
+      sourceId, db, table)
+    require(dirs.nonEmpty,
+      s"no sink table $db.$table (source $sourceId) under $sinkRoot")
+    val fs = new Path(sinkRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val frames = dirs.map { case (v, dir) =>
+      val cur = s"${dir}__current"
+      require(fs.exists(new Path(stateFile(cur))),
+        s"version $v of $db.$table has no maintained current table " +
+          s"at $cur — sync it first")
+      rawLookup(spark, cur, pk, local, maxKeys)
+        .drop("kb").withColumn("_table_version", lit(v))
     }
     val union = frames.reduce(_.unionByName(_, allowMissingColumns = true))
     val order = orderOverride.getOrElse(

@@ -597,6 +597,38 @@ class CurrentTableSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getString(3))).toSet
     assert(got == oracle)
+
+    // lookupEvolved on the same table: probing keys 1/2/3 returns
+    // exactly readEvolved restricted to those keys — key 3's
+    // post-fork tombstone must reach the cross-fork keep-latest (a
+    // per-fork FILTERED lookup would revive its live base row)
+    val probe = Seq(1L, 2L, 3L).toDF("id")
+    val looked = CurrentTable.lookupEvolved(spark, root, "s1", "db",
+        "t", Seq("id"), probe)
+      .select("id", "name", "extra", "_table_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(looked == Set(
+      (1L, "a1", null, "base"),
+      (2L, "b2", "x", "v20240401")),
+      s"lookupEvolved mismatch: $looked")
+    // ...and reads only the probed buckets of each fork, not the
+    // whole tables
+    val lookedDf = CurrentTable.lookupEvolved(spark, root, "s1", "db",
+      "t", Seq("id"), probe)
+    val perFork = lookedDf.inputFiles
+      .groupBy(f => if (f.contains("_v20240401")) "fork" else "base")
+      .view.mapValues(_.flatMap(_.split('/').find(_.startsWith("kb=")))
+        .toSet).toMap
+    assert(perFork.values.forall(_.size <= 3),
+      s"lookup should prune to <= probe-count buckets: $perFork")
+    // an oversized probe falls back to the full evolved read —
+    // same rows, every bucket scanned
+    val fb = CurrentTable.lookupEvolved(spark, root, "s1", "db", "t",
+      Seq("id"), probe, maxDriverKeys = 2)
+    assert(fb.select("id", "name", "extra", "_table_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet == looked)
   }
 
   test("pruneCursorExpired sweeps date-partition entries past the " +

@@ -287,5 +287,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).size == 2, plan.take(1200))
     assert(!plan.contains("Join") && !plan.contains("Cartesian"),
       plan.take(800))
+
+    // lookupEvolved on the same forks: per-fork broadcast semi-joins
+    // onto bucket-pruned scans feeding the ONE keep-latest shuffle —
+    // never a sort-merge join, never a shuffle of the probe side
+    import spark.implicits._
+    val probed = graft.streaming.CurrentTable.lookupEvolved(spark,
+      work, "p", "db", "ev", Seq("id"), Seq(7L, 123L).toDF("id"))
+    val lplan = planOf(probed).split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(lplan).size == 2 &&
+      lplan.contains("LeftSemi"), lplan.take(1200))
+    assert(!lplan.contains("SortMergeJoin"), lplan.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(lplan).size == 1,
+      lplan.take(1200))
   }
 }
