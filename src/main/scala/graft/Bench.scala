@@ -162,11 +162,12 @@ object Bench {
   private[graft] val FailedCap = 15
 
   /** Max spread entries in the JSON line (worst first). Sized from a
-    * live measurement, not hope: the r7 line is ~1640 chars before
-    * spread, the driver parses the LAST ~2000 and sbt appends its own
-    * [success] line — 12 × ~13 chars keeps worst-case ~1830.
+    * live measurement, not hope: the r13 line is ~1700 chars before
+    * spread at 127 queries (2-decimal per-query seconds), the driver
+    * parses the LAST ~2000 and sbt appends its own [success] line —
+    * 8 × ~13 chars keeps the worst case ~1870.
     */
-  private[graft] val SpreadCap = 12
+  private[graft] val SpreadCap = 8
 
   /** The one line the driver parses — factored pure so its contract
     * (valid JSON, Locale-proof decimals, short keys, failure
@@ -175,7 +176,11 @@ object Bench {
     * of output and json-parses lines from it; sbt appends a
     * "[success] ..." line after ours. Keep this line well under
     * that window: short keys (the qNN prefix of each query name)
-    * and 3-decimal seconds — 92 queries ≈ 1.3 KB.
+    * and TWO-decimal per-query seconds (10 ms resolution — ample for
+    * 0.2-6 s queries; the r12 line hit 1809 chars at 3 decimals and
+    * 126 queries, one spread map away from the window edge). The
+    * totals keep 3 decimals — two entries cost nothing and carry the
+    * round-over-round trend.
     */
   private[graft] def renderJson(results: Seq[(String, Double)],
       spread: Seq[(String, Double)],
@@ -191,11 +196,13 @@ object Bench {
     // comma-decimal locale would corrupt the JSON line
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def sec2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def ratio(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = (results.map { case (k, v) => short(k) -> v } ++
       ingest.map("cdc" -> _._1) ++ multi.map("cdcm" -> _._1)).map {
-      case (k, v) => "\"" + k + "\":" + sec(v)
+      case (k, v) => "\"" + k + "\":" + sec2(v)
     }.mkString("{", ",", "}")
     // queries_total excludes the cdc/cdcm ingest metrics so the
     // round-over-round trend line sums the same workload each round

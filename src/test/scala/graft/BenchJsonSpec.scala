@@ -25,9 +25,9 @@ class BenchJsonSpec extends AnyFunSuite {
     val line = render(Seq("q01_pricing_summary" -> 1.5,
       "q92_join_cardinality" -> 0.25), Some((2.0, 18000.9)))
     assert(line.startsWith("{") && line.endsWith("}"))
-    assert(line.contains("\"q01\":1.500"))
-    assert(line.contains("\"q92\":0.250"))
-    assert(line.contains("\"cdc\":2.000"))
+    assert(line.contains("\"q01\":1.50"))
+    assert(line.contains("\"q92\":0.25"))
+    assert(line.contains("\"cdc\":2.00"))
     assert(line.contains("\"cdc_ingest_rows_per_sec\":18000"))
     assert(line.contains("\"value\":3.750")) // 1.5 + 0.25 + 2.0
     assert(line.contains("\"queries_total\":1.750")) // 1.5 + 0.25, no cdc
@@ -37,7 +37,7 @@ class BenchJsonSpec extends AnyFunSuite {
   test("multi-table ingest adds cdcm timing and its rate/table-count keys") {
     val line = render(Seq("q01_x" -> 1.0), Some((2.0, 18000.0)),
       Some((3.5, 9000.7)))
-    assert(line.contains("\"cdcm\":3.500"))
+    assert(line.contains("\"cdcm\":3.50"))
     assert(line.contains("\"cdc_multi_rows_per_sec\":9000"))
     assert(line.contains(s""""cdc_multi_tables":${Bench.MultiTables}"""))
     assert(line.contains("\"value\":6.500")) // 1.0 + 2.0 + 3.5
@@ -49,14 +49,14 @@ class BenchJsonSpec extends AnyFunSuite {
     Locale.setDefault(Locale.GERMANY)
     try {
       val line = render(Seq("q01_x" -> 1.5), None)
-      assert(line.contains("\"q01\":1.500"), line)
+      assert(line.contains("\"q01\":1.50"), line)
       assert(!line.matches(""".*\d,\d.*"""), line)
     } finally Locale.setDefault(prev)
   }
 
   test("failed queries (-1 marker) stay visible but never inflate the total") {
     val line = render(Seq("q01_ok" -> 2.0, "q02_broken" -> -1.0), None)
-    assert(line.contains("\"q02\":-1.000"))
+    assert(line.contains("\"q02\":-1.00"))
     assert(line.contains("\"value\":2.000"))
   }
 
