@@ -135,6 +135,19 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSet
       assert(deadKeys == oracleDead,
         s"seed $seed: tombstone set diverged")
+      // bucket-pruned point lookups agree with the state for a random
+      // probe (including absent and deleted keys): a hash/layout
+      // disagreement between lookup's plan and sync's write would slip
+      // past the full-state compare above — the probe reads through
+      // the pruned path the state compare never exercises
+      val probeIds = (0 to rnd.nextInt(5))
+        .map(_ => 1L + rnd.nextInt(keySpace * 2)).distinct
+      val looked = CurrentTable.lookup(spark, cur, Seq("id"),
+          probeIds.toDF("id"))
+        .select("id", "name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(looked == liveState(cur).filter(kv => probeIds.contains(kv._1)),
+        s"seed $seed: lookup diverged from state on probe $probeIds")
     }
   }
 }
