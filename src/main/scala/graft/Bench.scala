@@ -51,8 +51,14 @@ object Bench {
     val statefulNames = SparkEntry.allDefs.filter(_.stateful)
       .map(_.name).toSet
     for ((name, fn) <- names if statefulNames(name)) {
+      // NonFatal only: an OOM mid-warm-up must crash the run, not be
+      // swallowed into a silently contaminated artifact; ordinary
+      // failures print (the timed passes log theirs — warm-up should
+      // not be the one silent phase)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+      }
       spark.catalog.clearCache()
     }
     def timedPass(): Seq[(String, Double)] = names.map { case (name, fn) =>

@@ -47,13 +47,26 @@ object QueryDef {
     * separate JVMs must not accrete dataset copies under /tmp (each
     * stateful query stages its own sink + derived tables there).
     * Exit-time, not eager: the returned frame READS from this dir
-    * lazily, so the dir must outlive every action on it.
+    * lazily, so the dir must outlive every action on it. ONE shared
+    * hook drains the queue (a hook per call would pile up a live
+    * Thread per execution in a long-lived sbt JVM, all run unordered
+    * at exit).
     */
   def tempWorkDir(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(dir)))
+    if (hookInstalled.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        var p = pendingDeletes.poll()
+        while (p != null) { deleteTree(p); p = pendingDeletes.poll() }
+      }))
+    pendingDeletes.add(dir)
     dir.toString
   }
+
+  private val pendingDeletes =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private val hookInstalled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def deleteTree(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p,

@@ -236,12 +236,18 @@ final class StopGate(
   */
 final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
 
-  // the job's lookup bound becomes the session default (see the
-  // CdcConfig scaladoc) — published at construction so readers that
-  // come up alongside the pipeline see it from the first query
-  if (config.currentLookupMaxDriverKeys > 0)
-    spark.conf.set(CurrentTable.LookupMaxKeysConf,
-      config.currentLookupMaxDriverKeys.toString)
+  /** Publish the job's session-level confs (the lookup bound — see
+    * the CdcConfig scaladoc). Called when the pipeline STARTS, not at
+    * construction: building a pipeline for validation must not mutate
+    * shared session state, and with several jobs on one session the
+    * conf belongs to whichever job is actually running (last started
+    * wins — the per-call `maxDriverKeys` parameter disambiguates when
+    * jobs genuinely need different bounds concurrently).
+    */
+  private[graft] def publishSessionConfs(): Unit =
+    if (config.currentLookupMaxDriverKeys > 0)
+      spark.conf.set(CurrentTable.LookupMaxKeysConf,
+        config.currentLookupMaxDriverKeys.toString)
 
   val gate = new StopGate(
     config.registry.keys,
@@ -901,6 +907,7 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
 
   def startFeed(feed: graft.source.CdcFeed, checkpointDir: String,
       trigger: Trigger): StreamingQuery = {
+    publishSessionConfs()
     val lines = feed.lines(spark)
     // K3 (`FlinkCDCMulti.java:148-154`): raw source echo to the
     // console as a SECOND query on the same feed — parallelism is the

@@ -86,7 +86,11 @@ object CurrentTable {
     * for files outside any partition. Keying is over the full URI, so
     * a sink living UNDER a `dt=`-named ancestor directory is not
     * supported by the sharded cursor (every file would key to the
-    * ancestor).
+    * ancestor). Upgrade note: tables cut before round 13 keyed nested
+    * files by their IMMEDIATE parent (landing them in `_root`); the
+    * re-keying strands those entries for one full sync and re-folds
+    * the nested files once on the next — idempotent by keep-latest,
+    * then stable under the new keying.
     */
   private def partKeyOf(fileUri: String): String = fileUri match {
     case PartComponent(p) => p
@@ -363,6 +367,17 @@ object CurrentTable {
       .withColumn("kb", kb)
     val touched = changes.select("kb").distinct()
       .collect().map(_.getInt(0)).sorted
+    // fresh files holding ZERO rows (an external writer's empty part
+    // files): nothing to fold, but the cursor must still advance or
+    // every later sync re-lists them as fresh forever
+    if (touched.isEmpty) {
+      for (p <- governed) {
+        val nc = gc(p) ++ fresh.filter(f => partKeyOf(f) == p)
+        if (nc != oldByPart.getOrElse(p, Set.empty))
+          writeSidecar(spark, currentDir, p, nc)
+      }
+      return (fresh.size, 0)
+    }
     val order = orderOverride.getOrElse(
       graft.ops.TimeTravel.defaultOrder(sourceType))
 
@@ -805,6 +820,19 @@ object CurrentTable {
   private[graft] val LookupMaxKeysConf =
     "spark.graft.current.lookup.maxDriverKeys"
 
+  /** `maxDriverKeys` <= 0 (the default everywhere) resolves the probe
+    * bound from the session conf — ONE resolution rule shared by
+    * [[lookup]] and [[lookupEvolved]] so the two can never diverge.
+    */
+  private def resolveMaxKeys(spark: SparkSession,
+      maxDriverKeys: Int): Int =
+    if (maxDriverKeys > 0) maxDriverKeys
+    else {
+      val v = spark.conf.get(LookupMaxKeysConf, "10000").toInt
+      require(v > 0, s"$LookupMaxKeysConf must be positive, got $v")
+      v
+    }
+
   def lookup(spark: SparkSession, currentDir: String,
       pk: Seq[String], keys: DataFrame,
       maxDriverKeys: Int = 0): DataFrame =
@@ -825,15 +853,7 @@ object CurrentTable {
     require(keys.columns.toSeq == pk,
       s"lookup: keys frame must have exactly the key columns $pk, " +
         s"got ${keys.columns.toSeq}")
-    // <= 0 (the default) resolves the guard from the session conf so
-    // the bound is tunable without touching call sites
-    val maxKeys =
-      if (maxDriverKeys > 0) maxDriverKeys
-      else {
-        val v = spark.conf.get(LookupMaxKeysConf, "10000").toInt
-        require(v > 0, s"$LookupMaxKeysConf must be positive, got $v")
-        v
-      }
+    val maxKeys = resolveMaxKeys(spark, maxDriverKeys)
     // just the layout constant off the cursor's first line — reading
     // the full cursor would put needless driver IO on the hot
     // point-lookup path
@@ -914,6 +934,23 @@ object CurrentTable {
       orderOverride: Option[Seq[org.apache.spark.sql.Column]] = None)
       : DataFrame = {
     require(pk.nonEmpty, "readEvolved: no key columns")
+    mergeForks(spark, sinkRoot, sourceId, db, table, pk, sourceType,
+      orderOverride)((_, cur) => readRaw(spark, cur))
+  }
+
+  /** The ONE cross-fork merge rule [[readEvolved]] and
+    * [[lookupEvolved]] share: each fork's maintained current table
+    * contributes the RAW frame `perFork(version, currentDir)` builds
+    * (tombstones INCLUDED — a fork's delete must outrank the base
+    * era's live row before any filtering; `kb` is per-fork layout,
+    * not data), aligned by column name, keep-latest per key across
+    * forks, tombstones dropped LAST.
+    */
+  private def mergeForks(spark: SparkSession, sinkRoot: String,
+      sourceId: String, db: String, table: String, pk: Seq[String],
+      sourceType: String,
+      orderOverride: Option[Seq[org.apache.spark.sql.Column]])(
+      perFork: (String, String) => DataFrame): DataFrame = {
     val dirs = graft.ops.EvolvedRead.versionDirs(spark, sinkRoot,
       sourceId, db, table)
     require(dirs.nonEmpty,
@@ -925,10 +962,7 @@ object CurrentTable {
       require(fs.exists(new Path(stateFile(cur))),
         s"version $v of $db.$table has no maintained current table " +
           s"at $cur — sync it first")
-      // RAW rows: each fork's tombstones must enter the cross-fork
-      // keep-latest (a key deleted post-fork would otherwise revive
-      // through its base-era row). kb is per-fork layout, not data.
-      readRaw(spark, cur).drop("kb").withColumn("_table_version", lit(v))
+      perFork(v, cur).drop("kb").withColumn("_table_version", lit(v))
     }
     val union = frames.reduce(_.unionByName(_, allowMissingColumns = true))
     val order = orderOverride.getOrElse(
@@ -966,37 +1000,14 @@ object CurrentTable {
     require(keys.columns.toSeq == pk,
       s"lookupEvolved: keys frame must have exactly the key columns " +
         s"$pk, got ${keys.columns.toSeq}")
-    val maxKeys =
-      if (maxDriverKeys > 0) maxDriverKeys
-      else {
-        val v = spark.conf.get(LookupMaxKeysConf, "10000").toInt
-        require(v > 0, s"$LookupMaxKeysConf must be positive, got $v")
-        v
-      }
+    val maxKeys = resolveMaxKeys(spark, maxDriverKeys)
     val collected = keys.limit(maxKeys + 1).collect()
     if (collected.length > maxKeys)
       return readEvolved(spark, sinkRoot, sourceId, db, table, pk,
         sourceType, orderOverride).join(keys, pk, "left_semi")
     val local = spark.createDataFrame(
       java.util.Arrays.asList(collected: _*), keys.schema)
-    val dirs = graft.ops.EvolvedRead.versionDirs(spark, sinkRoot,
-      sourceId, db, table)
-    require(dirs.nonEmpty,
-      s"no sink table $db.$table (source $sourceId) under $sinkRoot")
-    val fs = new Path(sinkRoot)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val frames = dirs.map { case (v, dir) =>
-      val cur = s"${dir}__current"
-      require(fs.exists(new Path(stateFile(cur))),
-        s"version $v of $db.$table has no maintained current table " +
-          s"at $cur — sync it first")
-      rawLookup(spark, cur, pk, local, maxKeys)
-        .drop("kb").withColumn("_table_version", lit(v))
-    }
-    val union = frames.reduce(_.unionByName(_, allowMissingColumns = true))
-    val order = orderOverride.getOrElse(
-      graft.ops.TimeTravel.defaultOrder(sourceType))
-    graft.ops.TimeTravel.latest(union, pk, Long.MaxValue, order)
-      .filter(!graft.ops.TimeTravel.isTombstone)
+    mergeForks(spark, sinkRoot, sourceId, db, table, pk, sourceType,
+      orderOverride)((_, cur) => rawLookup(spark, cur, pk, local, maxKeys))
   }
 }

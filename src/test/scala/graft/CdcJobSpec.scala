@@ -226,14 +226,20 @@ class CdcJobSpec extends AnyFunSuite {
         "sink.current.lookup.max.driver.keys" -> "junk"))
     }.getMessage.contains("sink.current.lookup.max.driver.keys"))
     // the pipeline publishes the bound as the session conf readers
-    // resolve CurrentTable.lookup's default from
+    // resolve CurrentTable.lookup's default from — at job START, not
+    // construction (building a pipeline for validation must not
+    // mutate shared session state)
     val cfgWithBound = CdcJob.configFromMap(base ++ Map(
       "sink.current.keys" -> """{"db.t": "id"}""",
       "sink.current.lookup.max.driver.keys" -> "777"))
     val priorBound =
       spark.conf.getOption("spark.graft.current.lookup.maxDriverKeys")
     try {
-      new graft.streaming.CdcPipeline(spark, cfgWithBound)
+      val p = new graft.streaming.CdcPipeline(spark, cfgWithBound)
+      assert(spark.conf.getOption(
+        "spark.graft.current.lookup.maxDriverKeys") == priorBound,
+        "construction alone must not publish the conf")
+      p.publishSessionConfs() // what startFeed runs first
       assert(spark.conf.get("spark.graft.current.lookup.maxDriverKeys")
         == "777")
     } finally priorBound match {

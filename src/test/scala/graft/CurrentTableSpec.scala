@@ -718,6 +718,33 @@ class CurrentTableSpec extends AnyFunSuite {
     assert(stateOf(cur) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("a zero-row fresh file advances the cursor instead of wedging " +
+      "every later sync") {
+    val sink = Files.createTempDirectory("graft-ct19-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct19-cur-").toString
+    append(sink, Seq((1L, "a", "CREATE", 1000L, "f1", 10L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    // an external writer's empty part file (schema, no rows) lands in
+    // the partition: rows to fold = 0 but the file must still be
+    // marked done, or it re-lists as fresh forever
+    val tmp = Files.createTempDirectory("graft-ct19-empty-").toString
+    Seq((1L, "a", "CREATE", 1000L, "f1", 10L))
+      .toDF("id", "name", "_op", "_ts", "_binlog_file_internal",
+        "_binlog_pos_internal")
+      .limit(0).repartition(1).write.parquet(s"$tmp/e")
+    val emptyPart = new java.io.File(s"$tmp/e").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(emptyPart.nonEmpty, "fixture: expected an empty part file")
+    java.nio.file.Files.copy(emptyPart.head.toPath,
+      new java.io.File(s"$sink/dt=2024-01-01/empty.parquet").toPath)
+    assert(CurrentTable.sync(spark, sink, cur, Seq("id")) == ((1, 0)))
+    // done: the empty file is in the cursor, the next sync is a no-op,
+    // and the table still matches the oracle
+    assert(CurrentTable.sync(spark, sink, cur, Seq("id")) == ((0, 0)))
+    assert(stateOf(cur) == Set((1L, "a")))
+  }
+
   test("a wide fold (more touched buckets than the observe-metric " +
       "cap) still writes the exact tombstone census, off the stage") {
     val sink = Files.createTempDirectory("graft-ct18-")
