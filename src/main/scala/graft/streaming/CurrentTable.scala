@@ -87,10 +87,11 @@ object CurrentTable {
     * a sink living UNDER a `dt=`-named ancestor directory is not
     * supported by the sharded cursor (every file would key to the
     * ancestor). Upgrade note: tables cut before round 13 keyed nested
-    * files by their IMMEDIATE parent (landing them in `_root`); the
-    * re-keying strands those entries for one full sync and re-folds
-    * the nested files once on the next — idempotent by keep-latest,
-    * then stable under the new keying.
+    * files by their IMMEDIATE parent (landing them in `_root`);
+    * [[sync]] reads `_root` on every pass and MIGRATES such entries
+    * into their partition's sidecar — never dropping and re-folding
+    * them, which on a table whose tombstones were already pruned
+    * could resurrect a deleted key.
     */
   private def partKeyOf(fileUri: String): String = fileUri match {
     case PartComponent(p) => p
@@ -333,9 +334,29 @@ object CurrentTable {
       case Some(subs) => subs.toSet
       case None => sidecarParts(fs, currentDir).toSet
     }) ++ listedByPart.keySet
+    // _root is ALWAYS read alongside the governed sidecars: pre-r13
+    // layouts keyed nested files by their IMMEDIATE parent, landing
+    // them in _root — reading it lets those entries RE-KEY into their
+    // partition's sidecar below instead of being GC'd and re-listed
+    // as fresh. That re-fold would usually be harmless (keep-latest),
+    // but NOT on a table whose tombstones were legitimately pruned
+    // under the old folded-files-never-re-fold contract: the
+    // re-folded older change would resurrect the deleted key.
+    val readParts: Set[String] = governed + RootPart
+    val rawByPart: Map[String, Set[String]] =
+      readParts.iterator.map(p => p -> readSidecar(fs, currentDir, p)).toMap
+    // each entry is ASSIGNED to the sidecar the current keying puts it
+    // in, when that sidecar is in this sync's write set — otherwise it
+    // stays where it was (an out-of-scope legacy entry migrates on the
+    // sync that governs its partition)
     val oldByPart: Map[String, Set[String]] =
-      governed.iterator.map(p => p -> readSidecar(fs, currentDir, p)).toMap
-    val done = oldByPart.valuesIterator.flatten.toSet
+      rawByPart.toSeq.flatMap { case (from, es) =>
+        es.map { e =>
+          val k = partKeyOf(e)
+          (if (k == from || readParts(k)) k else from) -> e
+        }
+      }.groupBy(_._1).map { case (p, s) => p -> s.map(_._2).toSet }
+    val done = rawByPart.valuesIterator.flatten.toSet
     val fresh = all.filterNot(done)
     // cursor hygiene (see class doc): within each governed partition
     // the listing is COMPLETE, so entries for vanished files are dead.
@@ -349,8 +370,16 @@ object CurrentTable {
       if (p == RootPart && effScope.isDefined) old
       else old.intersect(listedByPart.getOrElse(p, Set.empty))
     }
+    // _root LAST in every sidecar write loop: a migrating entry is an
+    // ADD to its partition's sidecar and a REMOVE from _root — in
+    // that order, a crash between the two leaves the entry in both
+    // (done is a union, converges); the other order would lose it for
+    // one crash window and re-open the re-fold hazard
+    def writeOrder: Seq[String] =
+      (readParts - RootPart).toSeq.sorted :+ RootPart
     if (fresh.isEmpty) {
-      for (p <- governed; g = gc(p) if g != oldByPart(p))
+      for (p <- writeOrder; g = gc(p)
+          if g != rawByPart.getOrElse(p, Set.empty))
         writeSidecar(spark, currentDir, p, g)
       return (0, 0)
     }
@@ -371,9 +400,9 @@ object CurrentTable {
     // files): nothing to fold, but the cursor must still advance or
     // every later sync re-lists them as fresh forever
     if (touched.isEmpty) {
-      for (p <- governed) {
+      for (p <- writeOrder) {
         val nc = gc(p) ++ fresh.filter(f => partKeyOf(f) == p)
-        if (nc != oldByPart.getOrElse(p, Set.empty))
+        if (nc != rawByPart.getOrElse(p, Set.empty))
           writeSidecar(spark, currentDir, p, nc)
       }
       return (fresh.size, 0)
@@ -464,11 +493,12 @@ object CurrentTable {
       writeRoot(spark, currentDir, nb, Some(old -- touched ++ touchedMin))
     }
     // the durable cursor lands LAST, one sidecar per governed
-    // partition: a crash anywhere above (or between two sidecar
-    // writes) re-folds the unrecorded files, and keep-latest converges
-    for (p <- governed) {
+    // partition (plus _root, written after them — see writeOrder): a
+    // crash anywhere above (or between two sidecar writes) re-folds
+    // the unrecorded files, and keep-latest converges
+    for (p <- writeOrder) {
       val nc = gc(p) ++ fresh.filter(f => partKeyOf(f) == p)
-      if (nc != oldByPart.getOrElse(p, Set.empty))
+      if (nc != rawByPart.getOrElse(p, Set.empty))
         writeSidecar(spark, currentDir, p, nc)
     }
     (fresh.size, touched.length)
@@ -522,7 +552,7 @@ object CurrentTable {
   private[graft] val HealGraceConf = "spark.graft.current.healGraceMs"
 
   private def healGraceMs(spark: SparkSession): Long = {
-    val v = spark.conf.get(HealGraceConf, "1000").toLong
+    val v = confLong(spark, HealGraceConf, "1000")
     require(v >= 0, s"$HealGraceConf must be >= 0, got $v")
     v
   }
@@ -535,11 +565,15 @@ object CurrentTable {
     * loudly naming the lever rather than return a partial table.
     * (Healing here instead would race a paused live writer's second
     * rename — see [[heal]].) The clean case (no trash at all — every
-    * read on a healthy table) costs exactly one root listing, no
-    * sleep.
+    * read on a healthy table) never sleeps and costs only the orphan
+    * listings [[buildHealed]] does (one before the build, one after).
+    * No default grace: every caller must resolve it from the session
+    * conf ([[healGraceMs]]) — a hardcoded fallback here would
+    * silently bypass [[HealGraceConf]] for exactly the object-store
+    * deployments the knob exists for.
     */
   private def requireHealed(fs: FileSystem, currentDir: String,
-      graceMs: Long = 1000L): Unit = {
+      graceMs: Long): Unit = {
     var orphans = orphanTrash(fs, currentDir)
     var waited = 0L
     while (orphans.nonEmpty && waited < graceMs) {
@@ -828,10 +862,24 @@ object CurrentTable {
       maxDriverKeys: Int): Int =
     if (maxDriverKeys > 0) maxDriverKeys
     else {
-      val v = spark.conf.get(LookupMaxKeysConf, "10000").toInt
+      val v = confLong(spark, LookupMaxKeysConf, "10000").toInt
       require(v > 0, s"$LookupMaxKeysConf must be positive, got $v")
       v
     }
+
+  /** Session-conf integer with a NAMED parse error — a bare .toLong
+    * would fail every read/lookup with a context-free
+    * NumberFormatException that never says which conf is malformed.
+    */
+  private def confLong(spark: SparkSession, key: String,
+      default: String): Long = {
+    val raw = spark.conf.get(key, default)
+    try raw.toLong
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"$key must be an integer, got '$raw'")
+    }
+  }
 
   def lookup(spark: SparkSession, currentDir: String,
       pk: Seq[String], keys: DataFrame,
@@ -848,7 +896,13 @@ object CurrentTable {
     */
   private def rawLookup(spark: SparkSession, currentDir: String,
       pk: Seq[String], keys: DataFrame,
-      maxDriverKeys: Int = 0): DataFrame = {
+      maxDriverKeys: Int = 0,
+      // memo for multi-table probes of the SAME snapshotted key set
+      // (lookupEvolved): the planned bucket list depends only on the
+      // table's bucket count, so N forks sharing a count plan once
+      // instead of running N driver-side distinct jobs per lookup
+      planCache: scala.collection.mutable.Map[Int, Array[Int]] = null)
+      : DataFrame = {
     require(pk.nonEmpty, "lookup: no key columns")
     require(keys.columns.toSeq == pk,
       s"lookup: keys frame must have exactly the key columns $pk, " +
@@ -871,8 +925,12 @@ object CurrentTable {
       return readRaw(spark, currentDir).join(keys, pk, "left_semi")
     val local = spark.createDataFrame(
       java.util.Arrays.asList(collected: _*), keys.schema)
-    val buckets = local.select(bucketExpr(pk, nb).as("kb")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    def planBuckets(): Array[Int] =
+      local.select(bucketExpr(pk, nb).as("kb")).distinct()
+        .collect().map(_.getInt(0)).sorted
+    val buckets =
+      if (planCache == null) planBuckets()
+      else planCache.getOrElseUpdate(nb, planBuckets())
     val fs = new Path(currentDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     buildHealed(spark, fs, currentDir) {
@@ -1007,7 +1065,9 @@ object CurrentTable {
         sourceType, orderOverride).join(keys, pk, "left_semi")
     val local = spark.createDataFrame(
       java.util.Arrays.asList(collected: _*), keys.schema)
+    val planCache = scala.collection.mutable.Map.empty[Int, Array[Int]]
     mergeForks(spark, sinkRoot, sourceId, db, table, pk, sourceType,
-      orderOverride)((_, cur) => rawLookup(spark, cur, pk, local, maxKeys))
+      orderOverride)((_, cur) =>
+        rawLookup(spark, cur, pk, local, maxKeys, planCache))
   }
 }

@@ -718,6 +718,50 @@ class CurrentTableSpec extends AnyFunSuite {
     assert(stateOf(cur) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("pre-r13 cursor entries for nested files migrate to their " +
+      "partition's sidecar without re-folding anything") {
+    val sink = Files.createTempDirectory("graft-ct20-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct20-cur-").toString
+    append(sink, Seq((1L, "a", "CREATE", 1000L, "f1", 10L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    val part = new java.io.File(s"$sink/dt=2024-01-01")
+    val src = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val sub = new java.io.File(part, "sub"); sub.mkdirs()
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(sub, "nested.parquet").toPath)
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    // reconstruct the PRE-r13 layout: the nested file's entry keyed
+    // by immediate parent, i.e. sitting in _root.txt
+    def lines(f: java.io.File): Seq[String] =
+      scala.io.Source.fromFile(f).getLines().filter(_.trim.nonEmpty).toSeq
+    // through the hadoop fs, not raw java.io: the local fs keeps .crc
+    // sidecars that a raw rewrite would invalidate
+    def write(f: java.io.File, ls: Seq[String]): Unit =
+      graft.streaming.AtomicFiles.write(f.toString, ls.mkString("\n"),
+        spark.sparkContext.hadoopConfiguration)
+    val dtSc = new java.io.File(s"$cur/_cursor/dt=2024-01-01.txt")
+    val rootSc = new java.io.File(s"$cur/_cursor/_root.txt")
+    val (nested, rest) = lines(dtSc).partition(_.contains("nested"))
+    assert(nested.size == 1, s"fixture: $nested")
+    write(dtSc, rest)
+    write(rootSc, nested)
+    // a sync must MIGRATE the entry — zero files re-folded (a re-fold
+    // would resurrect deleted keys on tables whose tombstones were
+    // pruned under the old folded-files-never-re-fold contract)
+    assert(CurrentTable.sync(spark, sink, cur, Seq("id")) == ((0, 0)))
+    assert(lines(dtSc).exists(_.contains("nested")),
+      "entry must land in its partition's sidecar")
+    assert(!rootSc.exists(), "_root must drop the migrated entry")
+    // same through a SCOPED sync (the batch-steady-state path)
+    write(dtSc, rest)
+    write(rootSc, nested)
+    assert(CurrentTable.sync(spark, sink, cur, Seq("id"),
+      scope = Some(Seq("dt=2024-01-01"))) == ((0, 0)))
+    assert(lines(dtSc).exists(_.contains("nested")) && !rootSc.exists())
+    assert(stateOf(cur) == Set((1L, "a")))
+  }
+
   test("a zero-row fresh file advances the cursor instead of wedging " +
       "every later sync") {
     val sink = Files.createTempDirectory("graft-ct19-")
