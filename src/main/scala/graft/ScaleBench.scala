@@ -780,6 +780,18 @@ object ScaleBench {
         s"evolved state rows $n != ${keys - keys / 100}")
       println(f"[scale] evolved: ${versions + 1}%9d  ${tSync}%12.2f  " +
         f"${tEv}%14.2f  ${tLog}%11.2f  ${tLog / tEv}%5.2fx")
+      // cross-fork POINT lookups: bucket-pruned per fork (<= probe
+      // buckets of 128 read per fork) vs the full evolved read +
+      // semi-join a caller without lookupEvolved would write
+      val probe = spark.range(10).select((col("id") * 97 % keys).as("id"))
+      val tLk = steady(graft.streaming.CurrentTable.lookupEvolved(
+        spark, root, "ev", "db", "t", Seq("id"), probe))
+      val tLkScan = steady(graft.streaming.CurrentTable.readEvolved(
+          spark, root, "ev", "db", "t", Seq("id"))
+        .join(probe, Seq("id"), "left_semi"))
+      println(f"[scale] evolved: 10-key lookupEvolved ${tLk}%5.2fs vs " +
+        f"readEvolved+semi-join ${tLkScan}%5.2fs " +
+        f"(${tLkScan / tLk}%4.1fx) at depth ${versions + 1}")
     }
     println("[scale] evolved: readEvolved is flat in log depth (reads " +
       "<= keys x forks current rows); stateAll grows with every " +
