@@ -1110,7 +1110,7 @@ object ScalarQueries {
         |      ELSE 'v20240701' END AS _table_version,
         | event_type,
         | CASE WHEN tsu <= 1705276800000000 THEN -1.0
-        |      ELSE round(value, 2) END AS value
+        |      ELSE coalesce(round(value, 2), -1.0) END AS value
         |FROM ranked WHERE rn = 1 AND event_type <> 'purchase'
         | AND user_id IN (SELECT user_id FROM probe)
         |ORDER BY user_id""".stripMargin) { (spark, dir) =>

@@ -358,29 +358,39 @@ object CurrentTable {
       }.groupBy(_._1).map { case (p, s) => p -> s.map(_._2).toSet }
     val done = rawByPart.valuesIterator.flatten.toSet
     val fresh = all.filterNot(done)
-    // cursor hygiene (see class doc): within each governed partition
-    // the listing is COMPLETE, so entries for vanished files are dead.
-    // Exception: _root (files outside any dt= partition) under a
-    // SCOPED sync — the scoped listing never walks the whole sink, so
-    // the completeness invariant holds for _root only on a full walk;
-    // dropping against a partial listing would GC live entries and
-    // force a pointless (if idempotent) re-fold on the next full sync
+    val listedAll = all.toSet
+    // cursor hygiene (see class doc): a FULL walk's listing is
+    // complete for the whole sink, so any entry whose file is listed
+    // nowhere is vanished — droppable whatever sidecar or keying it
+    // sits under. A SCOPED listing is complete only WITHIN each
+    // scoped partition: GC only entries that BELONG to the partition
+    // under the current keying (a legacy mis-keyed entry stuck in the
+    // wrong sidecar is outside the guarantee — dropping it would
+    // re-list its live file as fresh, and a re-fold can resurrect a
+    // key whose tombstone was already pruned), and never GC _root
+    // (its files are outside every scoped listing).
     def gc(p: String): Set[String] = {
       val old = oldByPart.getOrElse(p, Set.empty)
-      if (p == RootPart && effScope.isDefined) old
-      else old.intersect(listedByPart.getOrElse(p, Set.empty))
+      if (effScope.isEmpty) old.intersect(listedAll)
+      else if (p == RootPart) old
+      else old.filter(e => partKeyOf(e) == p)
+        .intersect(listedByPart.getOrElse(p, Set.empty)) ++
+        old.filterNot(e => partKeyOf(e) == p)
     }
-    // _root LAST in every sidecar write loop: a migrating entry is an
-    // ADD to its partition's sidecar and a REMOVE from _root — in
-    // that order, a crash between the two leaves the entry in both
-    // (done is a union, converges); the other order would lose it for
-    // one crash window and re-open the re-fold hazard
-    def writeOrder: Seq[String] =
-      (readParts - RootPart).toSeq.sorted :+ RootPart
+    // ONE cursor-advance loop (the crash-ordering invariant lives
+    // here alone): _root LAST, because a migrating entry is an ADD to
+    // its partition's sidecar and a REMOVE from _root — in that
+    // order, a crash between the two leaves the entry in both (done
+    // is a union, converges); the other order would lose it for one
+    // crash window and re-open the re-fold hazard
+    def advanceCursor(additions: String => Set[String]): Unit =
+      for (p <- (readParts - RootPart).toSeq.sorted :+ RootPart) {
+        val nc = gc(p) ++ additions(p)
+        if (nc != rawByPart.getOrElse(p, Set.empty))
+          writeSidecar(spark, currentDir, p, nc)
+      }
     if (fresh.isEmpty) {
-      for (p <- writeOrder; g = gc(p)
-          if g != rawByPart.getOrElse(p, Set.empty))
-        writeSidecar(spark, currentDir, p, g)
+      advanceCursor(_ => Set.empty)
       return (0, 0)
     }
 
@@ -400,11 +410,7 @@ object CurrentTable {
     // files): nothing to fold, but the cursor must still advance or
     // every later sync re-lists them as fresh forever
     if (touched.isEmpty) {
-      for (p <- writeOrder) {
-        val nc = gc(p) ++ fresh.filter(f => partKeyOf(f) == p)
-        if (nc != rawByPart.getOrElse(p, Set.empty))
-          writeSidecar(spark, currentDir, p, nc)
-      }
+      advanceCursor(p => fresh.filter(f => partKeyOf(f) == p).toSet)
       return (fresh.size, 0)
     }
     val order = orderOverride.getOrElse(
@@ -493,14 +499,10 @@ object CurrentTable {
       writeRoot(spark, currentDir, nb, Some(old -- touched ++ touchedMin))
     }
     // the durable cursor lands LAST, one sidecar per governed
-    // partition (plus _root, written after them — see writeOrder): a
-    // crash anywhere above (or between two sidecar writes) re-folds
+    // partition (plus _root, written after them — see advanceCursor):
+    // a crash anywhere above (or between two sidecar writes) re-folds
     // the unrecorded files, and keep-latest converges
-    for (p <- writeOrder) {
-      val nc = gc(p) ++ fresh.filter(f => partKeyOf(f) == p)
-      if (nc != rawByPart.getOrElse(p, Set.empty))
-        writeSidecar(spark, currentDir, p, nc)
-    }
+    advanceCursor(p => fresh.filter(f => partKeyOf(f) == p).toSet)
     (fresh.size, touched.length)
   }
 
@@ -862,9 +864,13 @@ object CurrentTable {
       maxDriverKeys: Int): Int =
     if (maxDriverKeys > 0) maxDriverKeys
     else {
-      val v = confLong(spark, LookupMaxKeysConf, "10000").toInt
-      require(v > 0, s"$LookupMaxKeysConf must be positive, got $v")
-      v
+      val v = confLong(spark, LookupMaxKeysConf, "10000")
+      // range-check BEFORE narrowing: a silent .toInt wrap would turn
+      // an "effectively unlimited" 2^32+1 into 1 (every probe of 2+
+      // keys falling back to a full scan) with no error at all
+      require(v > 0 && v <= Int.MaxValue,
+        s"$LookupMaxKeysConf must be in [1, ${Int.MaxValue}], got $v")
+      v.toInt
     }
 
   /** Session-conf integer with a NAMED parse error — a bare .toLong
@@ -901,7 +907,11 @@ object CurrentTable {
       // (lookupEvolved): the planned bucket list depends only on the
       // table's bucket count, so N forks sharing a count plan once
       // instead of running N driver-side distinct jobs per lookup
-      planCache: scala.collection.mutable.Map[Int, Array[Int]] = null)
+      planCache: scala.collection.mutable.Map[Int, Array[Int]] = null,
+      // true when `keys` is ALREADY a driver-local snapshot within the
+      // bound (lookupEvolved collected it once for every fork) — skips
+      // the per-call limit+collect re-snapshot
+      snapshotted: Boolean = false)
       : DataFrame = {
     require(pk.nonEmpty, "lookup: no key columns")
     require(keys.columns.toSeq == pk,
@@ -920,11 +930,15 @@ object CurrentTable {
     // into a bucket the plan never listed and silently miss it) —
     // but only up to the driver-small bound: limit+1 detects an
     // oversized probe without ever collecting it
-    val collected = keys.limit(maxKeys + 1).collect()
-    if (collected.length > maxKeys)
-      return readRaw(spark, currentDir).join(keys, pk, "left_semi")
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(collected: _*), keys.schema)
+    val local =
+      if (snapshotted) keys
+      else {
+        val collected = keys.limit(maxKeys + 1).collect()
+        if (collected.length > maxKeys)
+          return readRaw(spark, currentDir).join(keys, pk, "left_semi")
+        spark.createDataFrame(
+          java.util.Arrays.asList(collected: _*), keys.schema)
+      }
     def planBuckets(): Array[Int] =
       local.select(bucketExpr(pk, nb).as("kb")).distinct()
         .collect().map(_.getInt(0)).sorted
@@ -1068,6 +1082,7 @@ object CurrentTable {
     val planCache = scala.collection.mutable.Map.empty[Int, Array[Int]]
     mergeForks(spark, sinkRoot, sourceId, db, table, pk, sourceType,
       orderOverride)((_, cur) =>
-        rawLookup(spark, cur, pk, local, maxKeys, planCache))
+        rawLookup(spark, cur, pk, local, maxKeys, planCache,
+          snapshotted = true))
   }
 }
