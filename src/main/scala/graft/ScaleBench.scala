@@ -710,6 +710,55 @@ object ScaleBench {
       "delta-sized, not table-sized")
   }
 
+  /** `runMain graft.ScaleBench ctorder [keysK] [work]` — the
+    * within-bucket order claim: a current table whose buckets are
+    * sorted on a column serves narrow filters on that column by
+    * parquet row-group/page stat pruning; an unsorted table decodes
+    * everything. Same data, same buckets, same filter — only the
+    * persisted `orderBy` differs.
+    */
+  private def ctOrderExperiment(spark: SparkSession, work: String,
+      keysK: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val keys = keysK * 1000L
+    val sink = s"$work/cto_sink_$keysK"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(sink))
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.agg(count(lit(1))).write.format("noop").mode("overwrite").save()
+    def steady(f: => org.apache.spark.sql.DataFrame): Double = {
+      drain(f); time(drain(f))
+    }
+    // value column decorrelated from both id and bucket (a large odd
+    // multiplier mod a domain) so only the SORT can make file stats
+    // tight on it
+    spark.range(keys).select(col("id"),
+        (col("id") * 2654435761L % 1000000L).as("v"),
+        lit("CREATE").as("_op"), (lit(1000L) + col("id")).as("_ts"),
+        lit("f1").as("_binlog_file_internal"),
+        col("id").as("_binlog_pos_internal"),
+        lit("2024-01-01").as("dt"))
+      .write.mode("append").partitionBy("dt").parquet(sink)
+    val times = for (ordered <- Seq(false, true)) yield {
+      val cur = s"$work/cto_cur_${keysK}_$ordered"
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(cur))
+      val tSync = time(graft.streaming.CurrentTable.sync(spark, sink,
+        cur, Seq("id"), buckets = 16,
+        orderBy = if (ordered) Seq("v") else Nil))
+      // 0.1% of the value domain — the "recent slice" shape
+      val tScan = steady(graft.streaming.CurrentTable.read(spark, cur)
+        .filter(col("v").between(500000L, 500999L)))
+      (tSync, tScan)
+    }
+    val Seq((sU, fU), (sS, fS)) = times
+    println(f"[scale] ctorder ${keys} keys, 16 buckets, 0.1%% filter " +
+      f"on v: unsorted sync ${sU}%5.2fs scan ${fU}%5.2fs; sorted sync " +
+      f"${sS}%5.2fs scan ${fS}%5.2fs (${fU / fS}%4.2fx scan win; the " +
+      "sort rides the fold's existing per-bucket exchange)")
+  }
+
   /** `runMain graft.ScaleBench evolved [keysK] [work]` — the
     * cross-fork current-state claim (`CurrentTable.readEvolved`,
     * q126): merging the forks' maintained CURRENT tables moves
@@ -1225,6 +1274,14 @@ object ScaleBench {
       cursorShardExperiment(spark,
         args.lift(2).getOrElse("/tmp/graft-scale"),
         args.lift(1).map(_.toInt).getOrElse(64))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("ctorder")) {
+      val spark = buildSession()
+      ctOrderExperiment(spark,
+        args.lift(2).getOrElse("/tmp/graft-scale"),
+        args.lift(1).map(_.toInt).getOrElse(10000))
       spark.stop()
       return
     }

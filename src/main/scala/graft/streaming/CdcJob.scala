@@ -192,6 +192,43 @@ object CdcJob {
           positiveInt(v, "sink.current.fullsync.batches")
         }
         .getOrElse(0),
+      // `sink.current.order.by` — within-bucket sort columns per
+      // current table (clustered rewrites for stat-pruned reads);
+      // same raw-key re-keying and fail-fast validation as
+      // sink.current.keys, and each listed table must HAVE a current
+      // table (order for a table nothing materializes is dead config)
+      currentOrderBy = JobConfig.nameMap(cfg, "sink.current.order.by")
+        .map { case (k, v) =>
+          val routeKey = k.split("\\.", 2) match {
+            case Array(d, t) =>
+              s"${graft.schema.Sanitizer(d)}.${graft.schema.Sanitizer(t)}"
+            case Array(t) => graft.schema.Sanitizer(t)
+          }
+          if (!registry.routed.contains(routeKey))
+            throw new IllegalArgumentException(
+              s"CURRENT-TABLE ORDER FOR UNKNOWN TABLE: $k (known: " +
+                registry.routed.keySet.toSeq.sorted.mkString(", ") + ")")
+          val keyedTables = JobConfig.nameMap(cfg, "sink.current.keys")
+            .keySet.map(_.split("\\.", 2) match {
+              case Array(d, t) =>
+                s"${graft.schema.Sanitizer(d)}.${graft.schema.Sanitizer(t)}"
+              case Array(t) => graft.schema.Sanitizer(t)
+            })
+          if (!keyedTables.contains(routeKey))
+            throw new IllegalArgumentException(
+              s"sink.current.order.by for $k requires sink.current.keys " +
+                "for the same table (nothing materializes it otherwise)")
+          val cols = v.split(",").map(_.trim).toSeq
+          if (cols.isEmpty || cols.exists(_.isEmpty))
+            throw new IllegalArgumentException(
+              s"BAD sink.current.order.by for $k: '$v' (want col1,col2,...)")
+          val fields = registry.routed(routeKey).schema.fieldNames
+          for (c <- cols if !fields.exists(_.equalsIgnoreCase(c)))
+            throw new IllegalArgumentException(
+              s"UNKNOWN CURRENT-TABLE ORDER COLUMN for $k: '$c' " +
+                s"(table has: ${fields.mkString(", ")})")
+          routeKey -> cols
+        },
       // `sink.current.lookup.max.driver.keys` — CurrentTable.lookup's
       // driver-side probe bound, published as the session default by
       // the pipeline; meaningless without current tables to look into

@@ -155,7 +155,17 @@ final case class CdcConfig(
       * start, so readers sharing the session inherit the job's bound
       * without passing it per call. 0 = leave the session default.
       */
-    currentLookupMaxDriverKeys: Int = 0) {
+    currentLookupMaxDriverKeys: Int = 0,
+    /** Within-bucket sort columns per current table
+      * (`sink.current.order.by`, JSON map of raw `db.table` →
+      * comma-separated columns): every bucket rewrite sorts the
+      * bucket's rows by these columns, so parquet row-group/page
+      * min/max stats are tight on them and filtered reads of the
+      * current state skip IO — the lakehouse clustered-rewrite trick.
+      * Fixed at each table's first sync (persisted in its layout
+      * root, like the bucket count).
+      */
+    currentOrderBy: Map[String, Seq[String]] = Map.empty) {
   def name: String = jobName.getOrElse(s"JOB-$sourceId")
 }
 
@@ -695,7 +705,8 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
             else None
             val (nf, nbk) = CurrentTable.sync(spark, dir,
               s"${dir}__current", pk, config.sourceType,
-              buckets = config.currentBuckets, scope = scope)
+              buckets = config.currentBuckets, scope = scope,
+              orderBy = config.currentOrderBy.getOrElse(key, Nil))
             fullSynced += key
             scopedSyncs(key) =
               if (scope.isEmpty) 0 else scopedSyncs.getOrElse(key, 0) + 1

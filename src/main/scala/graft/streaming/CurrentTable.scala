@@ -155,10 +155,11 @@ object CurrentTable {
   /** The root state: layout bucket count, the per-bucket tombstone
     * census when maintained (None on tables cut before the census
     * existed — [[pruneTombstones]] self-heals it on its next full
-    * scan), and any legacy folded-file lines awaiting migration.
+    * scan), the persisted within-bucket sort order (empty = unsorted),
+    * and any legacy folded-file lines awaiting migration.
     */
   private case class RootState(nb: Int, census: Option[Map[Int, Long]],
-      legacy: Set[String])
+      order: Seq[String], legacy: Set[String])
 
   private def readRoot(spark: SparkSession,
       dir: String): Option[RootState] = {
@@ -167,7 +168,8 @@ object CurrentTable {
     val lines = readLines(fs, p)
     if (lines.isEmpty) None
     else {
-      val (tomb, files) = lines.tail.partition(_.startsWith("#tomb"))
+      val (tomb, rest) = lines.tail.partition(_.startsWith("#tomb"))
+      val (ord, files) = rest.partition(_.startsWith("#order"))
       val census = tomb.headOption.map {
         _.stripPrefix("#tomb").trim.split("\\s+").filter(_.nonEmpty)
           .map { kv =>
@@ -175,16 +177,21 @@ object CurrentTable {
             b.toInt -> t.toLong
           }.toMap
       }
-      Some(RootState(lines.head.toInt, census, files.toSet))
+      val order = ord.headOption.map(_.stripPrefix("#order").trim
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      Some(RootState(lines.head.toInt, census, order, files.toSet))
     }
   }
 
   private def writeRoot(spark: SparkSession, dir: String, nb: Int,
-      census: Option[Map[Int, Long]]): Unit = {
+      census: Option[Map[Int, Long]], order: Seq[String]): Unit = {
     val censusLine = census.map(m => ("#tomb " +
       m.toSeq.sorted.map { case (b, t) => s"$b=$t" }.mkString(" ")).trim)
+    val orderLine =
+      if (order.isEmpty) None else Some("#order " + order.mkString(","))
     AtomicFiles.write(stateFile(dir),
-      (nb.toString +: censusLine.toSeq).mkString("\n"),
+      (nb.toString +: (censusLine.toSeq ++ orderLine.toSeq))
+        .mkString("\n"),
       spark.sparkContext.hadoopConfiguration)
   }
 
@@ -201,7 +208,7 @@ object CurrentTable {
         for ((part, files) <- rs.legacy.groupBy(partKeyOf))
           writeSidecar(spark, dir, part,
             readSidecar(fs, dir, part) ++ files)
-        writeRoot(spark, dir, rs.nb, rs.census)
+        writeRoot(spark, dir, rs.nb, rs.census, rs.order)
       }
     }
 
@@ -282,18 +289,44 @@ object CurrentTable {
     * sidecars. The FIRST sync of a table ignores scope (history lives
     * everywhere), and a caller unsure of coverage passes None for a
     * full walk.
+    *
+    * `orderBy`: WITHIN-BUCKET sort columns, fixed at the table's
+    * first sync (persisted in the layout root like the bucket count;
+    * a later differing value fails loudly — rewrite the table to
+    * change it). Every bucket rewrite — sync folds AND tombstone
+    * prunes — sorts the bucket's rows by these columns, so parquet's
+    * row-group and page min/max stats are TIGHT on them and a
+    * filtered read of the current state (`read(...).filter(...)`)
+    * skips row groups/pages instead of decoding the whole table —
+    * the lakehouse clustered-rewrite trick, applied to the one table
+    * shape this module maintains. Costs one local (shuffle-free)
+    * sort per rewritten bucket; empty = unsorted (the default).
     */
   def sync(spark: SparkSession, sinkDir: String, currentDir: String,
       pk: Seq[String], sourceType: String = "mysql",
       buckets: Int = 16,
       orderOverride: Option[Seq[org.apache.spark.sql.Column]] = None,
-      scope: Option[Seq[String]] = None)
+      scope: Option[Seq[String]] = None,
+      orderBy: Seq[String] = Nil)
       : (Int, Int) = {
     require(pk.nonEmpty, "sync: no key columns")
     require(buckets > 0, s"buckets must be positive, got $buckets")
     migrateCursor(spark, currentDir)
     val root = readRoot(spark, currentDir)
     val nb = root.map(_.nb).getOrElse(buckets)
+    // the within-bucket order is a layout constant like the bucket
+    // count: persisted at creation, later syncs apply the STORED
+    // value (a silent flip would leave a mix of sorted and unsorted
+    // buckets that looks clustered but isn't)
+    val bucketOrder = root match {
+      case None => orderBy
+      case Some(rs) =>
+        require(orderBy.isEmpty || orderBy == rs.order,
+          s"sync: orderBy $orderBy differs from the table's persisted " +
+            s"within-bucket order ${rs.order} — fixed at first sync; " +
+            "rebuild the table to change it")
+        rs.order
+    }
     // the bucket count is a LAYOUT constant — persist it BEFORE the
     // first fold, or a crash before the cursor lands followed by a
     // retry with a different `buckets` argument would merge new rows
@@ -313,7 +346,7 @@ object CurrentTable {
             "the cursor or rebuild the table")
       }
       // census maintained from birth: an empty table holds none
-      writeRoot(spark, currentDir, nb, Some(Map.empty))
+      writeRoot(spark, currentDir, nb, Some(Map.empty), bucketOrder)
     }
     val fs = new Path(currentDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -471,9 +504,20 @@ object CurrentTable {
     // tasks × buckets small files (measured 32 files per bucket);
     // hashed on kb, each bucket's rows land in exactly one task —
     // one file per bucket, and parquet row groups keep one big file
-    // scan-parallel
-    toWrite.repartition(col("kb"))
-      .write.mode(SaveMode.Overwrite).partitionBy("kb")
+    // scan-parallel. With a persisted within-bucket order, a LOCAL
+    // sort on (kb, order...) rides the same exchange — a task may
+    // hold several buckets, so kb leads the sort to keep each
+    // bucket's rows contiguous AND ordered in its file.
+    val parted = toWrite.repartition(col("kb"))
+    val staged =
+      if (bucketOrder.isEmpty) parted
+      else {
+        for (c <- bucketOrder) require(merged.columns.contains(c),
+          s"sync: within-bucket order column '$c' is not in the " +
+            s"table schema (${merged.columns.mkString(", ")})")
+        parted.sortWithinPartitions(("kb" +: bucketOrder).map(col): _*)
+      }
+    staged.write.mode(SaveMode.Overwrite).partitionBy("kb")
       .parquet(stage)
     // collect the census BEFORE the swap (observe: the write job is
     // done, get() is a map read; wide folds: one tombstone-only
@@ -496,7 +540,8 @@ object CurrentTable {
     swapBuckets(fs, currentDir, stage, touched.toSeq)
     if (maintainCensus) {
       val old = root.flatMap(_.census).getOrElse(Map.empty[Int, Long])
-      writeRoot(spark, currentDir, nb, Some(old -- touched ++ touchedMin))
+      writeRoot(spark, currentDir, nb, Some(old -- touched ++ touchedMin),
+        bucketOrder)
     }
     // the durable cursor lands LAST, one sidecar per governed
     // partition (plus _root, written after them — see advanceCursor):
@@ -774,12 +819,17 @@ object CurrentTable {
         col("_ts") < beforeTsMs
       val stage = s"$currentDir/._ct_stage"
       fs.delete(new Path(stage), true)
-      spark.read.option("basePath", currentDir)
+      val keptRows = spark.read.option("basePath", currentDir)
         .parquet(hit.map(b => s"$currentDir/kb=$b"): _*)
         .withColumn("kb", col("kb").cast("int"))
         .filter(!doomed)
         .repartition(col("kb")) // one file per bucket, like sync's write
-        .write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(stage)
+      // preserve the persisted within-bucket order through the rewrite
+      val order = root.map(_.order).getOrElse(Nil)
+      val staged =
+        if (order.isEmpty) keptRows
+        else keptRows.sortWithinPartitions(("kb" +: order).map(col): _*)
+      staged.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(stage)
       swapBuckets(fs, currentDir, stage, hit)
     }
     // census self-heal: every scanned bucket's entry is now exact
@@ -789,7 +839,8 @@ object CurrentTable {
     root.foreach { rs =>
       val kept = stats.flatMap { case (b, _, mn) => mn.map(b -> _) }.toMap
       writeRoot(spark, currentDir, rs.nb,
-        Some(rs.census.getOrElse(Map.empty) -- candidates ++ kept))
+        Some(rs.census.getOrElse(Map.empty) -- candidates ++ kept),
+        rs.order)
     }
     stats.map(_._2).sum
   }

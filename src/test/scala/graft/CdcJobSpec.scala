@@ -209,6 +209,28 @@ class CdcJobSpec extends AnyFunSuite {
         "sink.current.keys" -> """{"db.t": "id"}""",
         "sink.current.fullsync.batches" -> "0"))
     }.getMessage.contains("sink.current.fullsync.batches"))
+    // within-bucket order: re-keyed + validated like current keys,
+    // requires a current table for the same table, unknown column
+    // fails fast
+    assert(CdcJob.configFromMap(base).currentOrderBy.isEmpty)
+    assert(CdcJob.configFromMap(base ++ Map(
+      "sink.current.keys" -> """{"db.t": "id"}""",
+      "sink.current.order.by" -> """{"db.t": "id"}"""))
+      .currentOrderBy == Map("db.t" -> Seq("id")))
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base +
+        ("sink.current.order.by" -> """{"db.t": "id"}"""))
+    }.getMessage.contains("sink.current.keys"))
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base ++ Map(
+        "sink.current.keys" -> """{"db.t": "id"}""",
+        "sink.current.order.by" -> """{"db.t": "nope"}"""))
+    }.getMessage.contains("ORDER COLUMN"))
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base ++ Map(
+        "sink.current.keys" -> """{"db.t": "id"}""",
+        "sink.current.order.by" -> """{"db.zzz": "id"}"""))
+    }.getMessage.contains("UNKNOWN TABLE"))
     // lookup probe bound: default off (session default governs),
     // explicit, requires current tables, junk fails like the others
     assert(CdcJob.configFromMap(base).currentLookupMaxDriverKeys == 0)

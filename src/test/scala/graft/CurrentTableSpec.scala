@@ -762,6 +762,44 @@ class CurrentTableSpec extends AnyFunSuite {
     assert(stateOf(cur) == Set((1L, "a")))
   }
 
+  test("within-bucket order: every rewrite (fold and prune) leaves " +
+      "each bucket file sorted; the order persists like the bucket count") {
+    val sink = Files.createTempDirectory("graft-ct21-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct21-cur-").toString
+    // shuffled _ts values so a sorted file cannot happen by accident
+    append(sink, (1 to 60).map(i =>
+      (i.toLong, s"v$i", if (i == 5) "DELETE" else "CREATE",
+        1000L + ((i * 37) % 60), "f1", i.toLong)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4,
+      orderBy = Seq("_ts"))
+    def bucketFiles(): Seq[java.io.File] =
+      new java.io.File(cur).listFiles().filter(_.getName.startsWith("kb="))
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet")).toSeq
+    def assertSorted(why: String): Unit =
+      for (f <- bucketFiles()) {
+        val ts = spark.read.parquet(f.toString)
+          .select("_ts").collect().map(_.getLong(0)).toSeq
+        assert(ts == ts.sorted, s"$why: ${f.getName} unsorted: $ts")
+      }
+    assertSorted("first fold")
+    // a later sync WITHOUT the parameter applies the persisted order
+    append(sink, (61 to 90).map(i =>
+      (i.toLong, s"v$i", "CREATE", 1000L + ((i * 37) % 60), "f1",
+        i.toLong)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assertSorted("delta fold")
+    // a DIFFERENT explicit order fails loudly (layout constant)
+    assert(intercept[IllegalArgumentException] {
+      CurrentTable.sync(spark, sink, cur, Seq("id"),
+        orderBy = Seq("name"))
+    }.getMessage.contains("persisted within-bucket order"))
+    // the tombstone prune's rewrite preserves the order
+    assert(CurrentTable.pruneTombstones(spark, cur, 5000L) == 1L)
+    assertSorted("post-prune")
+    assert(stateOf(cur) == oracleOf(sink))
+  }
+
   test("a zero-row fresh file advances the cursor instead of wedging " +
       "every later sync") {
     val sink = Files.createTempDirectory("graft-ct19-")
