@@ -21,6 +21,16 @@ import graft.schema.TypeMapping
   */
 object CdcJob {
 
+  /** Raw config `db.table` (or bare `table`) spelling -> the sanitized
+    * ROUTE key the demux looks tables up by — the ONE sanitize-split
+    * rule every per-table config surface re-keys through.
+    */
+  private def routeKeyOf(k: String): String = k.split("\\.", 2) match {
+    case Array(d, t) =>
+      s"${graft.schema.Sanitizer(d)}.${graft.schema.Sanitizer(t)}"
+    case Array(t) => graft.schema.Sanitizer(t)
+  }
+
   def registryFromConfig(cfg: Map[String, String]): TableRegistry = {
     val oracle = cfg.get("source.type").contains("oracle")
     val schemas = JobConfig.nameMap(cfg, "table.schemas")
@@ -78,11 +88,7 @@ object CdcJob {
     // match no registry entry: a typo'd override would otherwise
     // silently snapshot the FULL table it meant to restrict.
     val overrides = SnapshotOverrides.fromConfig(cfg).map { case (k, v) =>
-      val routeKey = k.split("\\.", 2) match {
-        case Array(d, t) =>
-          s"${graft.schema.Sanitizer(d)}.${graft.schema.Sanitizer(t)}"
-        case Array(t) => graft.schema.Sanitizer(t)
-      }
+      val routeKey = routeKeyOf(k)
       if (!registry.routed.contains(routeKey))
         throw new IllegalArgumentException(
           s"SNAPSHOT OVERRIDE FOR UNKNOWN TABLE: $k (known: " +
@@ -149,11 +155,7 @@ object CdcJob {
       // sync at runtime)
       currentKeys = JobConfig.nameMap(cfg, "sink.current.keys")
         .map { case (k, v) =>
-          val routeKey = k.split("\\.", 2) match {
-            case Array(d, t) =>
-              s"${graft.schema.Sanitizer(d)}.${graft.schema.Sanitizer(t)}"
-            case Array(t) => graft.schema.Sanitizer(t)
-          }
+          val routeKey = routeKeyOf(k)
           if (!registry.routed.contains(routeKey))
             throw new IllegalArgumentException(
               s"CURRENT-TABLE KEYS FOR UNKNOWN TABLE: $k (known: " +
@@ -199,21 +201,13 @@ object CdcJob {
       // table (order for a table nothing materializes is dead config)
       currentOrderBy = JobConfig.nameMap(cfg, "sink.current.order.by")
         .map { case (k, v) =>
-          val routeKey = k.split("\\.", 2) match {
-            case Array(d, t) =>
-              s"${graft.schema.Sanitizer(d)}.${graft.schema.Sanitizer(t)}"
-            case Array(t) => graft.schema.Sanitizer(t)
-          }
+          val routeKey = routeKeyOf(k)
           if (!registry.routed.contains(routeKey))
             throw new IllegalArgumentException(
               s"CURRENT-TABLE ORDER FOR UNKNOWN TABLE: $k (known: " +
                 registry.routed.keySet.toSeq.sorted.mkString(", ") + ")")
           val keyedTables = JobConfig.nameMap(cfg, "sink.current.keys")
-            .keySet.map(_.split("\\.", 2) match {
-              case Array(d, t) =>
-                s"${graft.schema.Sanitizer(d)}.${graft.schema.Sanitizer(t)}"
-              case Array(t) => graft.schema.Sanitizer(t)
-            })
+            .keySet.map(routeKeyOf)
           if (!keyedTables.contains(routeKey))
             throw new IllegalArgumentException(
               s"sink.current.order.by for $k requires sink.current.keys " +
@@ -222,7 +216,13 @@ object CdcJob {
           if (cols.isEmpty || cols.exists(_.isEmpty))
             throw new IllegalArgumentException(
               s"BAD sink.current.order.by for $k: '$v' (want col1,col2,...)")
-          val fields = registry.routed(routeKey).schema.fieldNames
+          // the sink's rows carry the kept METADATA columns alongside
+          // the payload — `_ts` (recency) is the most natural order,
+          // and the registry schema is payload-only, so validate
+          // against both
+          val fields = registry.routed(routeKey).schema.fieldNames ++
+            graft.ops.EnvelopeDecoder
+              .keptMetadata(cfg("source.type")).map(_.name)
           for (c <- cols if !fields.exists(_.equalsIgnoreCase(c)))
             throw new IllegalArgumentException(
               s"UNKNOWN CURRENT-TABLE ORDER COLUMN for $k: '$c' " +

@@ -314,18 +314,27 @@ object CurrentTable {
     migrateCursor(spark, currentDir)
     val root = readRoot(spark, currentDir)
     val nb = root.map(_.nb).getOrElse(buckets)
-    // the within-bucket order is a layout constant like the bucket
-    // count: persisted at creation, later syncs apply the STORED
-    // value (a silent flip would leave a mix of sorted and unsorted
-    // buckets that looks clustered but isn't)
+    val fs = new Path(currentDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // the within-bucket order is fixed by DATA, not by the root file
+    // alone: once bucket dirs exist, a silent flip would leave a mix
+    // of sorted and unsorted buckets that looks clustered but isn't —
+    // but an EMPTY table (e.g. a first sync that persisted a typo'd
+    // order and then failed column validation before folding) may
+    // adopt a corrected order instead of being wedged forever
     val bucketOrder = root match {
       case None => orderBy
+      case Some(rs) if orderBy.isEmpty || orderBy == rs.order => rs.order
       case Some(rs) =>
-        require(orderBy.isEmpty || orderBy == rs.order,
+        val hasBuckets = fs.exists(new Path(currentDir)) &&
+          fs.listStatus(new Path(currentDir))
+            .exists(_.getPath.getName.startsWith("kb="))
+        require(!hasBuckets,
           s"sync: orderBy $orderBy differs from the table's persisted " +
-            s"within-bucket order ${rs.order} — fixed at first sync; " +
-            "rebuild the table to change it")
-        rs.order
+            s"within-bucket order ${rs.order} — fixed once data " +
+            "exists; rebuild the table to change it")
+        writeRoot(spark, currentDir, rs.nb, rs.census, orderBy)
+        orderBy
     }
     // the bucket count is a LAYOUT constant — persist it BEFORE the
     // first fold, or a crash before the cursor lands followed by a
@@ -348,8 +357,6 @@ object CurrentTable {
       // census maintained from birth: an empty table holds none
       writeRoot(spark, currentDir, nb, Some(Map.empty), bucketOrder)
     }
-    val fs = new Path(currentDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
     // heal EVERY interrupted swap BEFORE the no-fresh-files early
     // return: a crashed swap (a sync's, or a pruneTombstones run's —
     // which never touches the cursor, so it cannot count on a re-fold
@@ -437,6 +444,14 @@ object CurrentTable {
       .option("basePath", sinkBase).parquet(fresh: _*)
       .drop("dt") // the current table is keyed, not time-bucketed
       .withColumn("kb", kb)
+    // order columns validated HERE, before any job runs or anything
+    // persists further — case-insensitively, matching both the config
+    // validator and Spark's own col() resolution (a case-sensitive
+    // check would crash-loop a config the validator accepted)
+    for (c <- bucketOrder)
+      require(changes.columns.exists(_.equalsIgnoreCase(c)),
+        s"sync: within-bucket order column '$c' is not in the table " +
+          s"schema (${changes.columns.mkString(", ")})")
     val touched = changes.select("kb").distinct()
       .collect().map(_.getInt(0)).sorted
     // fresh files holding ZERO rows (an external writer's empty part
@@ -511,12 +526,7 @@ object CurrentTable {
     val parted = toWrite.repartition(col("kb"))
     val staged =
       if (bucketOrder.isEmpty) parted
-      else {
-        for (c <- bucketOrder) require(merged.columns.contains(c),
-          s"sync: within-bucket order column '$c' is not in the " +
-            s"table schema (${merged.columns.mkString(", ")})")
-        parted.sortWithinPartitions(("kb" +: bucketOrder).map(col): _*)
-      }
+      else parted.sortWithinPartitions(("kb" +: bucketOrder).map(col): _*)
     staged.write.mode(SaveMode.Overwrite).partitionBy("kb")
       .parquet(stage)
     // collect the census BEFORE the swap (observe: the write job is

@@ -217,6 +217,13 @@ class CdcJobSpec extends AnyFunSuite {
       "sink.current.keys" -> """{"db.t": "id"}""",
       "sink.current.order.by" -> """{"db.t": "id"}"""))
       .currentOrderBy == Map("db.t" -> Seq("id")))
+    // sink METADATA columns are orderable too (the registry schema is
+    // payload-only, but the sink rows carry _ts etc. — recency is the
+    // canonical clustering)
+    assert(CdcJob.configFromMap(base ++ Map(
+      "sink.current.keys" -> """{"db.t": "id"}""",
+      "sink.current.order.by" -> """{"db.t": "_ts"}"""))
+      .currentOrderBy == Map("db.t" -> Seq("_ts")))
     assert(intercept[IllegalArgumentException] {
       CdcJob.configFromMap(base +
         ("sink.current.order.by" -> """{"db.t": "id"}"""))

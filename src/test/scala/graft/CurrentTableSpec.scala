@@ -798,6 +798,17 @@ class CurrentTableSpec extends AnyFunSuite {
     assert(CurrentTable.pruneTombstones(spark, cur, 5000L) == 1L)
     assertSorted("post-prune")
     assert(stateOf(cur) == oracleOf(sink))
+    // recovery: a typo'd FIRST sync persists the bad order but folds
+    // nothing — a corrected retry ADOPTS the fix (the order is fixed
+    // by data, not the root file alone) instead of wedging the table
+    val cur2 = Files.createTempDirectory("graft-ct21b-cur-").toString
+    assert(intercept[IllegalArgumentException] {
+      CurrentTable.sync(spark, sink, cur2, Seq("id"), buckets = 4,
+        orderBy = Seq("nope"))
+    }.getMessage.contains("order column"))
+    CurrentTable.sync(spark, sink, cur2, Seq("id"), buckets = 4,
+      orderBy = Seq("_ts"))
+    assert(stateOf(cur2) == oracleOf(sink))
   }
 
   test("a zero-row fresh file advances the cursor instead of wedging " +
