@@ -243,6 +243,36 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(state() == oracle)
   }
 
+  test("sink.current.order.by flows config -> pipeline -> sorted " +
+      "bucket files in the maintained current table") {
+    val in = tmp(); val out = tmp()
+    // shuffled _ts values within one bucket's worth of keys so sorted
+    // files cannot happen by accident
+    writeFixture(in, "00-data.jsonl", (1 to 20).map(i =>
+      row("CREATE", "users", 1700000000000L + ((i * 7) % 20) * 1000L,
+        "mysql-bin.000001", i,
+        s""""id":{"int":$i},"name":{"string":"u$i"},"balance":null""")))
+    val cfg = CdcConfig("srcOb", registry, out.toString,
+      currentKeys = Map("testdb.users" -> Seq("id")),
+      currentOrderBy = Map("testdb.users" -> Seq("_ts")),
+      currentBuckets = 2)
+    run(cfg, in)
+    val cur = s"$out/srcOb_testdb__users__current"
+    // the layout root persists the order...
+    assert(scala.io.Source.fromFile(s"$cur/_synced.txt").mkString
+      .contains("#order _ts"))
+    // ...and every bucket file is sorted on it
+    val files = new java.io.File(cur).listFiles()
+      .filter(_.getName.startsWith("kb="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    for (f <- files) {
+      val ts = spark.read.parquet(f.toString)
+        .select("_ts").collect().map(_.getLong(0)).toSeq
+      assert(ts == ts.sorted, s"${f.getName} unsorted: $ts")
+    }
+  }
+
   test("sink.current.fullsync.batches folds an out-of-band backfill " +
       "within N batches; scoped syncs alone never see it") {
     val in = tmp(); val out = tmp()
