@@ -76,6 +76,7 @@ object CurrentTable {
 
   private def stateFile(dir: String) = s"$dir/_synced.txt"
   private def cursorDir(dir: String) = s"$dir/_cursor"
+  private def rescaleMarker(dir: String) = s"$dir/_rescale.txt"
   private val RootPart = "_root"
   private val PartComponent = ".*?/(dt=[^/]+)/.*".r
 
@@ -311,11 +312,15 @@ object CurrentTable {
       : (Int, Int) = {
     require(pk.nonEmpty, "sync: no key columns")
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    val fs = new Path(currentDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a staged rescale's marker holds the AUTHORITATIVE bucket count —
+    // roll it forward before reading the root, or this fold would
+    // bucket under the pre-rescale modulus
+    completeRescale(spark, fs, currentDir)
     migrateCursor(spark, currentDir)
     val root = readRoot(spark, currentDir)
     val nb = root.map(_.nb).getOrElse(buckets)
-    val fs = new Path(currentDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
     // the within-bucket order is fixed by DATA, not by the root file
     // alone: once bucket dirs exist, a silent flip would leave a mix
     // of sorted and unsorted buckets that looks clustered but isn't —
@@ -574,17 +579,21 @@ object CurrentTable {
         if (!fs.exists(live)) fs.rename(st.getPath, live)
       }
 
-  /** Restore any bucket stranded by an interrupted swap — the manual
-    * lever [[read]]/[[lookup]] point at when they refuse to serve a
-    * partial table. Safe ONLY while no sync/prune is running against
-    * this table (the single-maintainer discipline the pipeline's
-    * in-batch maintenance already observes): healing concurrently
-    * with a live swap's rename window could re-install the old bucket
-    * under the writer's feet.
+  /** Restore any bucket stranded by an interrupted swap, and roll a
+    * staged [[rescale]] forward — the manual lever [[read]]/[[lookup]]
+    * point at when they refuse to serve a partial table. Safe ONLY
+    * while no sync/prune/rescale is running against this table (the
+    * single-maintainer discipline the pipeline's in-batch maintenance
+    * already observes): healing concurrently with a live swap's
+    * rename window could re-install the old bucket under the
+    * writer's feet.
     */
-  def heal(spark: SparkSession, currentDir: String): Unit =
-    healBuckets(new Path(currentDir)
-      .getFileSystem(spark.sessionState.newHadoopConf()), currentDir)
+  def heal(spark: SparkSession, currentDir: String): Unit = {
+    val fs = new Path(currentDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    completeRescale(spark, fs, currentDir)
+    healBuckets(fs, currentDir)
+  }
 
   /** Trash dirs whose live bucket is missing — the signature of a
     * swap that crashed strictly between its two renames.
@@ -597,6 +606,20 @@ object CurrentTable {
       .filter(_.startsWith("._ct_trash_kb="))
       .filter(n => !fs.exists(new Path(currentDir,
         n.stripPrefix("._ct_trash_"))))
+
+  /** Everything that makes the on-disk layout unservable right now:
+    * crashed-swap trash, plus a [[rescale]] marker (its swap may be
+    * mid-flight — live dirs are a mix of two moduli until the
+    * roll-forward finishes).
+    */
+  private def pendingMaintenance(fs: FileSystem,
+      currentDir: String): Seq[String] = {
+    val resc =
+      if (fs.exists(new Path(rescaleMarker(currentDir))))
+        Seq("_rescale.txt (staged rescale)")
+      else Nil
+    orphanTrash(fs, currentDir) ++ resc
+  }
 
   /** Grace a reader gives a LIVE writer's in-flight swap before
     * calling persistent trash a crash. The default assumes
@@ -631,19 +654,19 @@ object CurrentTable {
     */
   private def requireHealed(fs: FileSystem, currentDir: String,
       graceMs: Long): Unit = {
-    var orphans = orphanTrash(fs, currentDir)
+    var orphans = pendingMaintenance(fs, currentDir)
     var waited = 0L
     while (orphans.nonEmpty && waited < graceMs) {
       val step = math.min(100L, graceMs - waited)
       Thread.sleep(step); waited += step
-      orphans = orphanTrash(fs, currentDir)
+      orphans = pendingMaintenance(fs, currentDir)
     }
     if (orphans.nonEmpty)
       throw new IllegalStateException(
-        s"current table at $currentDir has interrupted bucket " +
-          s"swap(s): ${orphans.mkString(", ")} — a read now would " +
-          "silently miss those buckets' keys; run " +
-          "CurrentTable.heal (or any sync/pruneTombstones) first")
+        s"current table at $currentDir has interrupted maintenance: " +
+          s"${orphans.mkString(", ")} — a read now would silently " +
+          "miss or duplicate keys; run CurrentTable.heal (or any " +
+          "sync/pruneTombstones) first")
   }
 
   /** Check → build → re-check: the orphan check and the listing the
@@ -661,7 +684,7 @@ object CurrentTable {
     val grace = healGraceMs(spark)
     requireHealed(fs, currentDir, grace)
     val df = build
-    if (orphanTrash(fs, currentDir).isEmpty) df
+    if (pendingMaintenance(fs, currentDir).isEmpty) df
     else {
       requireHealed(fs, currentDir, grace)
       build
@@ -792,6 +815,10 @@ object CurrentTable {
     val fs = new Path(currentDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(currentDir))) return 0L
+    // a staged rescale holds the authoritative layout — roll forward
+    // before reading root/census, or the prune would scan and swap
+    // buckets the completed rescale is about to replace
+    completeRescale(spark, fs, currentDir)
     migrateCursor(spark, currentDir)
     // a crashed swap (ours or a sync's) is healed BEFORE scanning —
     // prune never advances a cursor, so nothing else guarantees a
@@ -853,6 +880,158 @@ object CurrentTable {
         rs.order)
     }
     stats.map(_._2).sum
+  }
+
+  /** Re-bucket a current table to `newBuckets` — the maintenance
+    * lever for the one layout constant [[sync]] fixes forever at
+    * first cut. A table born at 16 buckets and grown 1000× has
+    * multi-GB buckets (slow point [[lookup]]s, one write task per
+    * bucket on every fold); one born wide and mostly deleted pays
+    * per-bucket file overhead on every read. The modulus can't drift
+    * incrementally (EVERY key's bucket changes), so this is a
+    * whole-table rewrite: one distributed job — the same cost class
+    * as a full compaction — shuffling on the NEW bucket id, run
+    * rarely and deliberately.
+    *
+    * Availability: the rewrite stages against the LIVE table, so
+    * reads/lookups/syncs stay correct through the whole compute
+    * phase. Only the swap — O(buckets) renames — runs behind the
+    * `_rescale.txt` marker, which readers refuse (after the
+    * [[HealGraceConf]] grace) and [[heal]]/[[sync]]/
+    * [[pruneTombstones]] ROLL FORWARD: the marker is written only
+    * once the staged layout is complete (every new bucket dir
+    * present — empty ones included, so grow vs shrink roll-forward
+    * is never ambiguous — and the new census precomputed into the
+    * marker), so completion never needs the rewrite job again.
+    *
+    * The sync cursor is untouched — it tracks SINK files, which
+    * don't move — so the next delta sync folds into the new layout
+    * seamlessly. The census is recomputed from the staged files
+    * (the rewrite already paid those bytes), so a census-less legacy
+    * table leaves its rescale WITH a census. The within-bucket order
+    * persists through the rewrite (same local sort on the write's
+    * own exchange). `pk` must be the same key columns every sync
+    * uses — the root doesn't store them, and a different set here
+    * would bucket keys under a hash no reader ever probes.
+    *
+    * Returns the number of buckets in the new layout (== newBuckets),
+    * or 0 for a no-op (newBuckets equals the current count).
+    */
+  def rescale(spark: SparkSession, currentDir: String, pk: Seq[String],
+      newBuckets: Int): Int = {
+    require(pk.nonEmpty, "rescale: no key columns")
+    require(newBuckets > 0,
+      s"rescale: newBuckets must be positive, got $newBuckets")
+    val fs = new Path(currentDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // finish anything interrupted FIRST: a pending rescale's marker
+    // holds the authoritative layout, and a crashed sync swap's
+    // trashed bucket would be invisible to the rewrite read below
+    completeRescale(spark, fs, currentDir)
+    healBuckets(fs, currentDir)
+    migrateCursor(spark, currentDir)
+    val root = readRoot(spark, currentDir).getOrElse(
+      throw new IllegalStateException(
+        s"no current table at $currentDir (missing ${stateFile(currentDir)})"))
+    if (newBuckets == root.nb) return 0
+    val existing = fs.listStatus(new Path(currentDir))
+      .map(_.getPath.getName).filter(_.startsWith("kb="))
+    if (existing.isEmpty) {
+      // cursor-only table: the layout constant flips with no data to
+      // move; census (empty) and order carry over
+      writeRoot(spark, currentDir, newBuckets, root.census, root.order)
+      return newBuckets
+    }
+    val stage = s"$currentDir/._ct_stage_rescale"
+    fs.delete(new Path(stage), true)
+    val rows = spark.read.option("basePath", currentDir)
+      .parquet(existing.map(n => s"$currentDir/$n").toIndexedSeq: _*)
+      .drop("kb")
+    for (c <- pk)
+      require(rows.columns.exists(_.equalsIgnoreCase(c)),
+        s"rescale: key column '$c' is not in the table schema " +
+          s"(${rows.columns.mkString(", ")})")
+    val parted = rows.withColumn("kb", bucketExpr(pk, newBuckets))
+      .repartition(col("kb"))
+    val staged =
+      if (root.order.isEmpty) parted
+      else parted.sortWithinPartitions(("kb" +: root.order).map(col): _*)
+    staged.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(stage)
+    // new census off the staged files — the one full scan this op
+    // inherently pays anyway covers it; computed BEFORE the marker so
+    // roll-forward never needs a Spark job
+    val census: Map[Int, Long] =
+      spark.read.option("basePath", stage).parquet(stage)
+        .filter(graft.ops.TimeTravel.isTombstone)
+        .groupBy(col("kb").cast("int").as("kb"))
+        .agg(min(col("_ts")).cast("long").as("mn"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // COMPLETE the staged set: a new bucket holding zero rows gets an
+    // empty dir, so roll-forward can read "staged kb=i exists" as
+    // "live kb=i must be replaced" with no empty-bucket ambiguity
+    for (i <- 0 until newBuckets) {
+      val d = new Path(stage, s"kb=$i")
+      if (!fs.exists(d)) fs.mkdirs(d)
+    }
+    val censusLine = "#tomb " +
+      census.toSeq.sorted.map { case (b, t) => s"$b=$t" }.mkString(" ")
+    AtomicFiles.write(rescaleMarker(currentDir),
+      s"$newBuckets\n${censusLine.trim}",
+      spark.sparkContext.hadoopConfiguration)
+    completeRescale(spark, fs, currentDir)
+    newBuckets
+  }
+
+  /** Idempotent roll-forward of a staged rescale — every maintenance
+    * entry point runs it, so a crash anywhere past the marker write
+    * converges on the next touch. No-op without a marker. Steps are
+    * each individually idempotent: (1) live buckets at ids outside
+    * the new range are old-layout leftovers — delete; (2) every
+    * STAGED bucket replaces its live twin (the staged set is complete
+    * by construction, so a live dir with no staged twin is already
+    * swapped); (3) empty installed dirs (zero-row new buckets) drop;
+    * (4) root rewritten from the marker's count + census (order
+    * carried from the old root), marker last.
+    */
+  private def completeRescale(spark: SparkSession, fs: FileSystem,
+      currentDir: String): Unit = {
+    val marker = new Path(rescaleMarker(currentDir))
+    if (!fs.exists(marker)) return
+    val lines = readLines(fs, marker)
+    val newNb = lines.head.toInt
+    val census: Map[Int, Long] = lines.tail
+      .find(_.startsWith("#tomb")).map {
+        _.stripPrefix("#tomb").trim.split("\\s+").filter(_.nonEmpty)
+          .map { kv =>
+            val Array(b, t) = kv.split("=", 2)
+            b.toInt -> t.toLong
+          }.toMap
+      }.getOrElse(Map.empty)
+    val stage = new Path(s"$currentDir/._ct_stage_rescale")
+    def liveBuckets(): Seq[(Int, Path)] =
+      fs.listStatus(new Path(currentDir)).toSeq
+        .filter(_.getPath.getName.startsWith("kb="))
+        .map(st => st.getPath.getName.stripPrefix("kb=").toInt
+          -> st.getPath)
+    for ((i, p) <- liveBuckets() if i >= newNb) fs.delete(p, true)
+    if (fs.exists(stage))
+      for (st <- fs.listStatus(stage)
+          if st.getPath.getName.startsWith("kb=")) {
+        val live = new Path(currentDir, st.getPath.getName)
+        fs.delete(live, true)
+        if (!fs.rename(st.getPath, live))
+          throw new IllegalStateException(
+            s"rescale swap failed: ${st.getPath} -> $live")
+      }
+    for ((_, p) <- liveBuckets()
+        if fs.listStatus(p).forall(s =>
+          s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.startsWith(".")))
+      fs.delete(p, true)
+    fs.delete(stage, true)
+    val order = readRoot(spark, currentDir).map(_.order).getOrElse(Nil)
+    writeRoot(spark, currentDir, newNb, Some(census), order)
+    fs.delete(marker, false)
   }
 
   /** The raw bucket rows — tombstones INCLUDED — for consumers that

@@ -12,10 +12,11 @@ import graft.streaming.{Compaction, CurrentTable}
   * (create/update/delete over a small key space, spread across files
   * and `dt=` partitions) driven through RANDOM maintenance schedules —
   * scoped and unscoped syncs, partition compactions with and without
-  * the cursor-swap hook, cursor expiry sweeps, and crashes between
-  * the per-partition cursor sidecar writes (a sidecar vanishing after
-  * the bucket swaps committed) — must always converge to the
-  * TimeTravel reconstruction of the same changelog. This is the
+  * the cursor-swap hook, cursor expiry sweeps, mid-schedule bucket
+  * rescales, and crashes between the per-partition cursor sidecar
+  * writes (a sidecar vanishing after the bucket swaps committed) —
+  * must always converge to the TimeTravel reconstruction of the same
+  * changelog. This is the
   * invariant everything else rests on: no interleaving of maintenance
   * can lose a change, duplicate a key, or resurrect a deleted one.
   */
@@ -103,6 +104,11 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
           // live entry (the live-partition sweep is retention's job,
           // exercised separately with deleted partitions)
           CurrentTable.pruneCursorExpired(spark, cur, "2024-01-01")
+        if (rnd.nextInt(5) == 0)
+          // re-bucket mid-schedule: the modulus flip must be invisible
+          // to everything that follows — later scoped syncs, lookups,
+          // compaction re-folds all run against the new layout
+          CurrentTable.rescale(spark, cur, Seq("id"), 1 + rnd.nextInt(8))
         if (rnd.nextInt(4) == 0) {
           // crash between sidecar writes: the buckets committed but a
           // random partition's cursor sidecar never landed — its
