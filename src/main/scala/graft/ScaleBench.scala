@@ -710,6 +710,66 @@ object ScaleBench {
       "delta-sized, not table-sized")
   }
 
+  /** `runMain graft.ScaleBench rescale [keysK] [work]` — the
+    * re-bucketing claim: a table born at 8 buckets and grown far past
+    * them pays O(table/8) on EVERY point lookup and — because a few-key
+    * delta usually touches most of 8 buckets — O(table) on every delta
+    * fold. One `CurrentTable.rescale` to 256 (a single full-table
+    * rewrite, the same cost class as the table's first sync) converts
+    * both to O(table·keys/256): the experiment times the same 5-key
+    * lookup and the same 10-key delta sync before and after, plus the
+    * rescale itself against the initial build.
+    */
+  private def rescaleExperiment(spark: SparkSession, work: String,
+      keysK: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val keys = keysK * 1000L
+    val sink = s"$work/rs_sink_$keysK"
+    val cur = s"$work/rs_cur_$keysK"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(sink))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(cur))
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.agg(count(lit(1))).write.format("noop").mode("overwrite").save()
+    def rows(ids: org.apache.spark.sql.DataFrame, tsBase: Long) =
+      ids.select(col("id"), concat(lit("v"), col("id")).as("name"),
+        lit("UPDATE").as("_op"), (lit(tsBase) + col("id")).as("_ts"),
+        lit("f1").as("_binlog_file_internal"),
+        (lit(tsBase) + col("id")).as("_binlog_pos_internal"),
+        lit("2024-01-01").as("dt"))
+    rows(spark.range(keys).toDF("id"), 1000000L)
+      .write.mode("append").partitionBy("dt").parquet(sink)
+    // born narrow: 8 buckets was right when the table was 100× smaller
+    val tBuild = time(graft.streaming.CurrentTable.sync(spark, sink,
+      cur, Seq("id"), buckets = 8))
+    val probe = spark.range(5).toDF("id")
+    def lookupOnce(): Double = time(drain(
+      graft.streaming.CurrentTable.lookup(spark, cur, Seq("id"), probe)))
+    def deltaOnce(ts: Long): Double = {
+      rows(spark.range(37L, 47L).toDF("id"), ts)
+        .write.mode("append").partitionBy("dt").parquet(sink)
+      time(graft.streaming.CurrentTable.sync(spark, sink, cur, Seq("id")))
+    }
+    lookupOnce() // warm the read path once; both layouts then compare cold-equal
+    val tLook8 = lookupOnce()
+    val tDelta8 = deltaOnce(2000000L)
+    val tRescale = time(require(graft.streaming.CurrentTable.rescale(
+      spark, cur, Seq("id"), 256) == 256, "rescale did not apply"))
+    val tLook256 = lookupOnce()
+    val tDelta256 = deltaOnce(3000000L)
+    val n = graft.streaming.CurrentTable.read(spark, cur).count()
+    require(n == keys, s"rescale lost keys: $n != $keys")
+    println(f"[scale] rescale ${keys} keys: 5-key lookup " +
+      f"${tLook8}%5.2fs @8 buckets -> ${tLook256}%5.2fs @256 " +
+      f"(${tLook8 / tLook256}%4.1fx); 10-key delta fold " +
+      f"${tDelta8}%5.2fs -> ${tDelta256}%5.2fs " +
+      f"(${tDelta8 / tDelta256}%4.1fx); the rescale itself " +
+      f"${tRescale}%5.2fs vs first sync ${tBuild}%5.2fs " +
+      f"(${tRescale / tBuild}%4.1fx, same full-rewrite cost class)")
+  }
+
   /** `runMain graft.ScaleBench ctorder [keysK] [work]` — the
     * within-bucket order claim: a current table whose buckets are
     * sorted on a column serves narrow filters on that column by
@@ -1274,6 +1334,14 @@ object ScaleBench {
       cursorShardExperiment(spark,
         args.lift(2).getOrElse("/tmp/graft-scale"),
         args.lift(1).map(_.toInt).getOrElse(64))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("rescale")) {
+      val spark = buildSession()
+      rescaleExperiment(spark,
+        args.lift(2).getOrElse("/tmp/graft-scale"),
+        args.lift(1).map(_.toInt).getOrElse(2000))
       spark.stop()
       return
     }

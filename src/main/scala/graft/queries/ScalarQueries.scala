@@ -1141,5 +1141,52 @@ object ScalarQueries {
           coalesce(round(col("value"), 2), lit(-1.0)).as("value"))
         .orderBy("user_id")
     },
+
+    // Mid-life RESCALE (CurrentTable.rescale): the q125 lifecycle —
+    // tombstones included — with the bucket modulus flipped 4→9
+    // between the two syncs. Every row re-hashes into a new bucket,
+    // the tombstone census follows its tombstone, and the SECOND sync
+    // folds its delta incrementally into the rescaled layout (the
+    // cursor tracks sink files, which never moved). The oracle is the
+    // ROW-LEVEL global keep-latest — a single drifted key (folded
+    // under the old modulus, doubled across layouts, or resurrected
+    // past its migrated tombstone) breaks the hash, not just an
+    // aggregate.
+    QueryDef.statefulQ(
+      "q128_current_rescale",
+      """WITH ranked AS (SELECT user_id, event_type, value,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events)
+        |SELECT user_id, event_type, round(value, 2) AS value
+        |FROM ranked WHERE rn = 1 AND event_type <> 'purchase'
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val work = QueryDef.tempWorkDir("graft-ct-q128-")
+      val midUs = 1705276800000000L // 2024-01-15T00:00:00Z in micros
+      val log = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("event_id"),
+          unix_micros(col("ts")).as("_ts"),
+          when(col("event_type") === "purchase", "DELETE")
+            .otherwise("UPDATE").as("_op"),
+          when(unix_micros(col("ts")) <= midUs, "h1").otherwise("h2")
+            .as("dt"))
+      val orderCols = Some(Seq(col("_ts"), col("event_id")))
+      log.filter(col("dt") === "h1")
+        .write.mode("append").partitionBy("dt").parquet(s"$work/sink")
+      graft.streaming.CurrentTable.sync(spark, s"$work/sink",
+        s"$work/cur", Seq("user_id"), buckets = 4,
+        orderOverride = orderCols)
+      graft.streaming.CurrentTable.rescale(spark, s"$work/cur",
+        Seq("user_id"), newBuckets = 9)
+      log.filter(col("dt") === "h2")
+        .write.mode("append").partitionBy("dt").parquet(s"$work/sink")
+      graft.streaming.CurrentTable.sync(spark, s"$work/sink",
+        s"$work/cur", Seq("user_id"), orderOverride = orderCols)
+      graft.streaming.CurrentTable.read(spark, s"$work/cur")
+        .select(col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value"))
+        .orderBy("user_id")
+    },
   )
 }
