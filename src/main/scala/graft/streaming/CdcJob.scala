@@ -182,6 +182,19 @@ object CdcJob {
           positiveInt(v, "sink.current.buckets")
         }
         .getOrElse(16),
+      // `sink.current.target.bucket.mb` — rescale-advisory target for
+      // live bytes per bucket, measured on full syncs only; advisory
+      // (a log line naming CurrentTable.rescale), never an implicit
+      // full-table rewrite inside a streaming batch
+      currentTargetBucketMb = cfg.get("sink.current.target.bucket.mb")
+        .map { v =>
+          if (cfg.get("sink.current.keys").isEmpty)
+            throw new IllegalArgumentException(
+              "sink.current.target.bucket.mb requires sink.current.keys " +
+                "(the tables it measures)")
+          positiveInt(v, "sink.current.target.bucket.mb")
+        }
+        .getOrElse(0),
       // `sink.current.fullsync.batches` — every Nth current-table sync
       // does a full sink listing (catches out-of-band backfills);
       // meaningless without current tables to sync

@@ -145,9 +145,23 @@ final case class CdcConfig(
       * a sync rewrites only the buckets its delta's keys hash into,
       * so more buckets = smaller rewrites but more files. Fixed at a
       * table's first sync (persisted in its cursor); changing it
-      * later only affects tables not yet cut.
+      * later only affects tables not yet cut — a CUT table re-buckets
+      * only through the explicit [[CurrentTable.rescale]] lever.
       */
     currentBuckets: Int = 16,
+    /** Target live bytes per current-table bucket
+      * (`sink.current.target.bucket.mb`): when > 0, each FULL sync
+      * (first pass + the fullsync cadence — never the per-batch
+      * scoped syncs, so the O(buckets) stat listing amortizes)
+      * measures the table's layout and logs a rescale ADVISORY when
+      * it has drifted ≥2× from this target. Advisory only: a rescale
+      * is a full-table rewrite, and kicking one off implicitly inside
+      * a streaming batch would trade a log line for an unbounded
+      * batch — the operator runs [[CurrentTable.rescale]] (or any
+      * out-of-band maintenance job) at a moment of their choosing.
+      * 0 = off.
+      */
+    currentTargetBucketMb: Int = 0,
     /** Driver-side probe bound for [[CurrentTable.lookup]]
       * (`sink.current.lookup.max.driver.keys`): probes above it fall
       * back to a full-scan semi-join. When > 0 the pipeline publishes
@@ -714,6 +728,19 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
               org.slf4j.LoggerFactory.getLogger(getClass).info(
                 s"[${config.name}] current-table $key: folded $nf " +
                   s"file(s) into $nbk bucket(s)")
+            // rescale advisory, full syncs only: the O(buckets) stat
+            // listing rides the walk that already listed everything
+            if (config.currentTargetBucketMb > 0 && scope.isEmpty)
+              for (st <- CurrentTable.layoutStats(spark, s"${dir}__current");
+                  rec <- CurrentTable.rescaleAdvice(st,
+                    config.currentTargetBucketMb * 1024L * 1024L))
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"[${config.name}] current-table $key has drifted " +
+                    s"from its bucket target: ${st.buckets} buckets, " +
+                    s"${st.bytes / (1024 * 1024)} MB live " +
+                    s"(target ${config.currentTargetBucketMb} MB/bucket) " +
+                    s"— run CurrentTable.rescale(spark, \"${dir}__current\", " +
+                    s"keys, $rec) at a maintenance window")
           }
         // Auto-compaction next: the stream is idle between
         // micro-batches (single writer), so the swap's no-active-writer

@@ -1034,6 +1034,69 @@ object CurrentTable {
     fs.delete(marker, false)
   }
 
+  /** A read-only snapshot of the table's physical layout, for
+    * operators deciding WHEN to [[rescale]]: the bucket modulus, how
+    * many buckets actually hold data, total live bytes, and the
+    * largest single bucket (skew shows up as max ≫ bytes/buckets —
+    * a hot-key table where a rescale redistributes nothing). One
+    * driver-side listing per bucket dir — O(buckets) RPCs, the same
+    * class as the maintenance swaps — so call it at maintenance
+    * cadence, not per query. `pendingRescale` flags a staged-but-
+    * unswapped [[rescale]] whose marker makes these numbers a mix of
+    * two layouts; roll it forward (any maintenance entry) first.
+    */
+  case class LayoutStats(buckets: Int, liveBuckets: Int, bytes: Long,
+      maxBucketBytes: Long, pendingRescale: Boolean)
+
+  def layoutStats(spark: SparkSession,
+      currentDir: String): Option[LayoutStats] = {
+    val fs = new Path(currentDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    readRoot(spark, currentDir).map { root =>
+      val sizes = fs.listStatus(new Path(currentDir)).toSeq
+        .filter(_.getPath.getName.startsWith("kb="))
+        .map(st => fs.listStatus(st.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(_.getLen).sum)
+      LayoutStats(root.nb, sizes.count(_ > 0L), sizes.sum,
+        if (sizes.isEmpty) 0L else sizes.max,
+        fs.exists(new Path(rescaleMarker(currentDir))))
+    }
+  }
+
+  /** Pure rescale decision: Some(newBuckets) when the layout has
+    * drifted ≥2× from what `targetBucketBytes` implies, None inside
+    * the band. The 2× hysteresis keeps a table near a boundary from
+    * flapping grow/shrink advice batch over batch; the recommendation
+    * is the power of two closest to bytes/target (powers of two keep
+    * the modulus-doubling property — key k in old bucket b lands in
+    * b or b+n — open for a future incremental split). Skewed tables
+    * (max bucket ≫ mean) are excluded: their fat bucket is a hot KEY,
+    * which re-hashing cannot spread, so advising a rewrite would cost
+    * a full pass for nothing.
+    */
+  def rescaleAdvice(stats: LayoutStats,
+      targetBucketBytes: Long): Option[Int] = {
+    require(targetBucketBytes > 0,
+      s"targetBucketBytes must be positive, got $targetBucketBytes")
+    if (stats.pendingRescale || stats.bytes == 0L) return None
+    val ideal = math.min(1L << 30,
+      math.max(1L, math.round(stats.bytes.toDouble / targetBucketBytes)))
+    // nearest power of two in LOG space (the scale the modulus lives
+    // on): 3×target/bucket advises 4, 5× advises 4, 6× advises 8
+    val floor = Integer.highestOneBit(ideal.toInt)
+    val rec =
+      if (ideal.toDouble / floor >= math.sqrt(2.0)) floor * 2 else floor
+    val mean = stats.bytes.toDouble / stats.buckets
+    val skewed = stats.liveBuckets > 4 &&
+      stats.maxBucketBytes > 4 * mean
+    if (skewed) None
+    else if (rec >= 2 * stats.buckets || rec * 2 <= stats.buckets)
+      Some(rec)
+    else None
+  }
+
   /** The raw bucket rows — tombstones INCLUDED — for consumers that
     * run their own keep-latest (the cross-fork union). Refuses a
     * table with an unhealed swap.

@@ -209,6 +209,21 @@ class CdcJobSpec extends AnyFunSuite {
         "sink.current.keys" -> """{"db.t": "id"}""",
         "sink.current.fullsync.batches" -> "0"))
     }.getMessage.contains("sink.current.fullsync.batches"))
+    // rescale-advisory bucket target: default off, explicit, requires
+    // current tables, junk fails like the others
+    assert(CdcJob.configFromMap(base).currentTargetBucketMb == 0)
+    assert(CdcJob.configFromMap(base ++ Map(
+      "sink.current.keys" -> """{"db.t": "id"}""",
+      "sink.current.target.bucket.mb" -> "256")).currentTargetBucketMb == 256)
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base +
+        ("sink.current.target.bucket.mb" -> "256"))
+    }.getMessage.contains("sink.current.keys"))
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base ++ Map(
+        "sink.current.keys" -> """{"db.t": "id"}""",
+        "sink.current.target.bucket.mb" -> "-1"))
+    }.getMessage.contains("sink.current.target.bucket.mb"))
     // within-bucket order: re-keyed + validated like current keys,
     // requires a current table for the same table, unknown column
     // fails fast

@@ -1056,4 +1056,46 @@ class CurrentTableSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$cur/_rescale.txt")))
     assert(stateOf(cur) == want + ((26L, "late")))
   }
+
+  test("layoutStats measures the live layout; rescaleAdvice fires only " +
+      "outside the 2x band and never on skew or a pending rescale") {
+    val sink = Files.createTempDirectory("graft-ct20-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct20-cur-").toString
+    assert(CurrentTable.layoutStats(spark, cur).isEmpty) // no table yet
+    append(sink, (1 to 40).map(i =>
+      (i.toLong, s"v$i", "CREATE", 1000L + i, "f1", i.toLong)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    val st = CurrentTable.layoutStats(spark, cur).get
+    assert(st.buckets == 4 && !st.pendingRescale)
+    assert(st.liveBuckets > 0 && st.liveBuckets <= 4)
+    assert(st.bytes > 0 && st.maxBucketBytes <= st.bytes)
+    // inside the band (target ≈ current mean): hold
+    assert(CurrentTable.rescaleAdvice(st, st.bytes / 4).isEmpty)
+    // target far under the mean: grow to a power of two ≥ 2× current
+    val grow = CurrentTable.rescaleAdvice(st, math.max(1L, st.bytes / 64))
+    assert(grow.exists(n => n >= 8 && Integer.bitCount(n) == 1), grow)
+    // target far over the table: shrink advice bottoms out at 1
+    assert(CurrentTable.rescaleAdvice(st, st.bytes * 4).contains(1))
+    // a fat bucket is a hot KEY, not a layout problem — re-hashing
+    // spreads nothing, so skewed stats advise nothing
+    val skewed = CurrentTable.LayoutStats(8, 8, 800L << 20, 790L << 20,
+      pendingRescale = false)
+    assert(CurrentTable.rescaleAdvice(skewed, 50L << 20).isEmpty)
+    val even = CurrentTable.LayoutStats(8, 8, 800L << 20, 110L << 20,
+      pendingRescale = false)
+    assert(CurrentTable.rescaleAdvice(even, 50L << 20).contains(16))
+    // a staged-but-unswapped rescale makes the numbers a layout mix:
+    // flagged, and advice stays quiet until it rolls forward
+    graft.streaming.AtomicFiles.write(s"$cur/_rescale.txt", "8",
+      spark.sparkContext.hadoopConfiguration)
+    val pending = CurrentTable.layoutStats(spark, cur).get
+    assert(pending.pendingRescale)
+    assert(CurrentTable.rescaleAdvice(pending,
+      math.max(1L, pending.bytes / 64)).isEmpty)
+    val fs = new org.apache.hadoop.fs.Path(cur)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$cur/_rescale.txt"), false)
+    assert(!CurrentTable.layoutStats(spark, cur).get.pendingRescale)
+  }
 }
