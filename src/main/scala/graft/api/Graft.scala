@@ -50,8 +50,13 @@ object Graft {
     * [[graft.streaming.CurrentTable.read]] so SQL users see live
     * keys only (tombstones filtered, partial tables refused); plain
     * tables register as plain parquet. Bookkeeping (`_checkpoints`,
-    * manifests, staging dirs) never registers. Returns the view
-    * names, sorted.
+    * manifests, staging dirs) never registers. A table whose read
+    * REFUSES (a crashed bucket swap awaiting `CurrentTable.heal`) is
+    * skipped with a warning instead of aborting the rest of the
+    * lake — its view is never registered, so querying it stays a
+    * loud TABLE_NOT_FOUND, and its evolution forks' `__all` view is
+    * withheld with it. Returns the view names actually registered,
+    * sorted.
     *
     * Views snapshot the file listing at registration (Spark's normal
     * FileIndex behavior) — re-register after heavy ingestion, or for
@@ -68,32 +73,47 @@ object Graft {
       .filter(n => n.startsWith(prefix) && !n.startsWith("_") &&
         !n.startsWith(".") && !n.contains("._"))
       .sorted
-    for (n <- names) {
+    val registered = names.filter { n =>
       val dir = s"$sinkRoot/$n"
       val manifest = s"$dir._zonemaps"
-      val df =
-        // a maintained current table (the `__current` sibling the
-        // pipeline keeps beside its sink) must register through
-        // CurrentTable.read — a plain parquet view would expose the
-        // stored DELETE tombstone rows as live data to SQL users,
-        // and would silently serve a table with a crashed bucket
-        // swap instead of refusing
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_synced.txt")))
-          graft.streaming.CurrentTable.read(spark, dir)
-        else if (fs.exists(new org.apache.hadoop.fs.Path(manifest)))
-          graft.ops.ZoneMapTable(spark, dir, manifest)
-        else spark.read.parquet(dir)
-      df.createOrReplaceTempView(n.stripPrefix(prefix))
-    }
+      try {
+        val df =
+          // a maintained current table (the `__current` sibling the
+          // pipeline keeps beside its sink) must register through
+          // CurrentTable.read — a plain parquet view would expose the
+          // stored DELETE tombstone rows as live data to SQL users,
+          // and would silently serve a table with a crashed bucket
+          // swap instead of refusing
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_synced.txt")))
+            graft.streaming.CurrentTable.read(spark, dir)
+          else if (fs.exists(new org.apache.hadoop.fs.Path(manifest)))
+            graft.ops.ZoneMapTable(spark, dir, manifest)
+          else spark.read.parquet(dir)
+        df.createOrReplaceTempView(n.stripPrefix(prefix))
+        true
+      } catch {
+        // one table mid-crashed-swap must not take the whole lake's
+        // SQL surface down: skip it (its view is never registered —
+        // and a STALE view from an earlier registration is dropped,
+        // so a query against it fails TABLE_NOT_FOUND rather than
+        // silently serving an old snapshot), register everything
+        // healthy, and name the heal lever here
+        case e: IllegalStateException =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"skipping view for $n — ${e.getMessage}")
+          spark.catalog.dropTempView(n.stripPrefix(prefix))
+          false
+      }
+    }.toSet
     // evolution forks get a LOGICAL view too: for every dated
     // `<base>_vYYYYMMDD` dir, `<base>__all` is the name-aligned union
     // across the fork ([[graft.ops.EvolvedRead]]) — SQL users read one
     // table whatever schema era a row landed in
-    val logical = names
+    val logical = names.filter(registered)
       .flatMap { n =>
         "_v\\d{8}$".r.findFirstIn(n).map(_ => n.replaceAll("_v\\d{8}$", ""))
       }
-      .distinct.filter(names.contains) // base must exist to anchor it
+      .distinct.filter(registered) // base must exist to anchor it
       .flatMap { base =>
         val rel = base.stripPrefix(prefix)
         rel.split("__", 2) match {
@@ -104,7 +124,8 @@ object Graft {
           case _ => None
         }
       }
-    (names.map(_.stripPrefix(prefix)) ++ logical).sorted
+    (names.filter(registered).map(_.stripPrefix(prefix)) ++ logical)
+      .sorted
   }
 
   /** MinHash LSH band buckets `(doc_id, band, bucket)` for any

@@ -212,15 +212,17 @@ object CdcJob {
       // same raw-key re-keying and fail-fast validation as
       // sink.current.keys, and each listed table must HAVE a current
       // table (order for a table nothing materializes is dead config)
-      currentOrderBy = JobConfig.nameMap(cfg, "sink.current.order.by")
+      currentOrderBy = {
+        // loop-invariant: parse the keyed-table set once, not per entry
+        lazy val keyedTables = JobConfig.nameMap(cfg, "sink.current.keys")
+          .keySet.map(routeKeyOf)
+        JobConfig.nameMap(cfg, "sink.current.order.by")
         .map { case (k, v) =>
           val routeKey = routeKeyOf(k)
           if (!registry.routed.contains(routeKey))
             throw new IllegalArgumentException(
               s"CURRENT-TABLE ORDER FOR UNKNOWN TABLE: $k (known: " +
                 registry.routed.keySet.toSeq.sorted.mkString(", ") + ")")
-          val keyedTables = JobConfig.nameMap(cfg, "sink.current.keys")
-            .keySet.map(routeKeyOf)
           if (!keyedTables.contains(routeKey))
             throw new IllegalArgumentException(
               s"sink.current.order.by for $k requires sink.current.keys " +
@@ -241,7 +243,8 @@ object CdcJob {
               s"UNKNOWN CURRENT-TABLE ORDER COLUMN for $k: '$c' " +
                 s"(table has: ${fields.mkString(", ")})")
           routeKey -> cols
-        },
+        }
+      },
       // `sink.current.lookup.max.driver.keys` — CurrentTable.lookup's
       // driver-side probe bound, published as the session default by
       // the pipeline; meaningless without current tables to look into

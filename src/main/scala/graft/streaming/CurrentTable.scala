@@ -162,6 +162,22 @@ object CurrentTable {
   private case class RootState(nb: Int, census: Option[Map[Int, Long]],
       order: Seq[String], legacy: Set[String])
 
+  /** The census line's ONE parse/render pair — shared by the root
+    * state file and the rescale marker, which embeds the same line
+    * (a format change applied to one but not the other would silently
+    * corrupt the census a roll-forward installs).
+    */
+  private def renderCensus(m: Map[Int, Long]): String =
+    ("#tomb " +
+      m.toSeq.sorted.map { case (b, t) => s"$b=$t" }.mkString(" ")).trim
+
+  private def parseCensus(line: String): Map[Int, Long] =
+    line.stripPrefix("#tomb").trim.split("\\s+").filter(_.nonEmpty)
+      .map { kv =>
+        val Array(b, t) = kv.split("=", 2)
+        b.toInt -> t.toLong
+      }.toMap
+
   private def readRoot(spark: SparkSession,
       dir: String): Option[RootState] = {
     val p = new Path(stateFile(dir))
@@ -171,13 +187,7 @@ object CurrentTable {
     else {
       val (tomb, rest) = lines.tail.partition(_.startsWith("#tomb"))
       val (ord, files) = rest.partition(_.startsWith("#order"))
-      val census = tomb.headOption.map {
-        _.stripPrefix("#tomb").trim.split("\\s+").filter(_.nonEmpty)
-          .map { kv =>
-            val Array(b, t) = kv.split("=", 2)
-            b.toInt -> t.toLong
-          }.toMap
-      }
+      val census = tomb.headOption.map(parseCensus)
       val order = ord.headOption.map(_.stripPrefix("#order").trim
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
       Some(RootState(lines.head.toInt, census, order, files.toSet))
@@ -186,8 +196,7 @@ object CurrentTable {
 
   private def writeRoot(spark: SparkSession, dir: String, nb: Int,
       census: Option[Map[Int, Long]], order: Seq[String]): Unit = {
-    val censusLine = census.map(m => ("#tomb " +
-      m.toSeq.sorted.map { case (b, t) => s"$b=$t" }.mkString(" ")).trim)
+    val censusLine = census.map(renderCensus)
     val orderLine =
       if (order.isEmpty) None else Some("#order " + order.mkString(","))
     AtomicFiles.write(stateFile(dir),
@@ -195,6 +204,38 @@ object CurrentTable {
         .mkString("\n"),
       spark.sparkContext.hadoopConfiguration)
   }
+
+  /** The ONE bucketed stage write every rewrite path — sync's fold,
+    * [[pruneTombstones]], [[rescale]] — shares. It carries the two
+    * physical invariants: ONE file per bucket (hashed on kb, each
+    * bucket's rows land in exactly one write task — without it every
+    * task off a pk-hash shuffle holds rows of every touched bucket
+    * and a full fold emits tasks × buckets small files), and with a
+    * persisted within-bucket order, each bucket's rows contiguous
+    * AND sorted in its file (a LOCAL sort riding the same exchange;
+    * kb leads it because a task may hold several buckets).
+    */
+  private def stageBucketWrite(df: DataFrame, order: Seq[String],
+      stage: String): Unit = {
+    val parted = df.repartition(col("kb"))
+    val staged =
+      if (order.isEmpty) parted
+      else parted.sortWithinPartitions(("kb" +: order).map(col): _*)
+    staged.write.mode(SaveMode.Overwrite).partitionBy("kb")
+      .parquet(stage)
+  }
+
+  /** Per-bucket min tombstone `_ts` over a just-written stage — the
+    * census as the swapped-in layout will hold it. Shared by sync's
+    * wide-fold path and [[rescale]].
+    */
+  private def stagedCensus(spark: SparkSession,
+      stage: String): Map[Int, Long] =
+    spark.read.option("basePath", stage).parquet(stage)
+      .filter(graft.ops.TimeTravel.isTombstone)
+      .groupBy(col("kb").cast("int").as("kb"))
+      .agg(min(col("_ts")).cast("long").as("mn"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
   /** One-time layout upgrade: a pre-sharding root file carried the
     * whole folded-file list — split it into per-partition sidecars
@@ -327,9 +368,16 @@ object CurrentTable {
     // but an EMPTY table (e.g. a first sync that persisted a typo'd
     // order and then failed column validation before folding) may
     // adopt a corrected order instead of being wedged forever
+    // case-insensitive match, like column resolution and the config
+    // validator: "_TS" and "_ts" sort identically, and a case-only
+    // config normalization must not crash-loop the pipeline
+    def sameOrder(a: Seq[String], b: Seq[String]): Boolean =
+      a.size == b.size &&
+        a.zip(b).forall { case (x, y) => x.equalsIgnoreCase(y) }
     val bucketOrder = root match {
       case None => orderBy
-      case Some(rs) if orderBy.isEmpty || orderBy == rs.order => rs.order
+      case Some(rs) if orderBy.isEmpty || sameOrder(orderBy, rs.order) =>
+        rs.order
       case Some(rs) =>
         val hasBuckets = fs.exists(new Path(currentDir)) &&
           fs.listStatus(new Path(currentDir))
@@ -518,22 +566,7 @@ object CurrentTable {
         merged.observe(o, metrics.head, metrics.tail: _*)
       case None => merged
     }
-    // repartition by kb before the bucketed write: the merge comes
-    // off a pk-hash shuffle, so WITHOUT this every write task holds
-    // rows of every touched bucket and a full fold emits
-    // tasks × buckets small files (measured 32 files per bucket);
-    // hashed on kb, each bucket's rows land in exactly one task —
-    // one file per bucket, and parquet row groups keep one big file
-    // scan-parallel. With a persisted within-bucket order, a LOCAL
-    // sort on (kb, order...) rides the same exchange — a task may
-    // hold several buckets, so kb leads the sort to keep each
-    // bucket's rows contiguous AND ordered in its file.
-    val parted = toWrite.repartition(col("kb"))
-    val staged =
-      if (bucketOrder.isEmpty) parted
-      else parted.sortWithinPartitions(("kb" +: bucketOrder).map(col): _*)
-    staged.write.mode(SaveMode.Overwrite).partitionBy("kb")
-      .parquet(stage)
+    stageBucketWrite(toWrite, bucketOrder, stage)
     // collect the census BEFORE the swap (observe: the write job is
     // done, get() is a map read; wide folds: one tombstone-only
     // aggregate over the just-written stage) but WRITE it after, so
@@ -544,12 +577,7 @@ object CurrentTable {
       case Some(o) => o.get.collect {
         case (k, v: Long) => k.stripPrefix("b").toInt -> v
       }.toMap
-      case None if maintainCensus =>
-        spark.read.option("basePath", stage).parquet(stage)
-          .filter(graft.ops.TimeTravel.isTombstone)
-          .groupBy(col("kb").cast("int").as("kb"))
-          .agg(min(col("_ts")).cast("long").as("mn"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      case None if maintainCensus => stagedCensus(spark, stage)
       case None => Map.empty
     }
     swapBuckets(fs, currentDir, stage, touched.toSeq)
@@ -860,13 +888,9 @@ object CurrentTable {
         .parquet(hit.map(b => s"$currentDir/kb=$b"): _*)
         .withColumn("kb", col("kb").cast("int"))
         .filter(!doomed)
-        .repartition(col("kb")) // one file per bucket, like sync's write
-      // preserve the persisted within-bucket order through the rewrite
-      val order = root.map(_.order).getOrElse(Nil)
-      val staged =
-        if (order.isEmpty) keptRows
-        else keptRows.sortWithinPartitions(("kb" +: order).map(col): _*)
-      staged.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(stage)
+      // one file per bucket + the persisted within-bucket order, like
+      // every rewrite path
+      stageBucketWrite(keptRows, root.map(_.order).getOrElse(Nil), stage)
       swapBuckets(fs, currentDir, stage, hit)
     }
     // census self-heal: every scanned bucket's entry is now exact
@@ -951,21 +975,12 @@ object CurrentTable {
       require(rows.columns.exists(_.equalsIgnoreCase(c)),
         s"rescale: key column '$c' is not in the table schema " +
           s"(${rows.columns.mkString(", ")})")
-    val parted = rows.withColumn("kb", bucketExpr(pk, newBuckets))
-      .repartition(col("kb"))
-    val staged =
-      if (root.order.isEmpty) parted
-      else parted.sortWithinPartitions(("kb" +: root.order).map(col): _*)
-    staged.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(stage)
+    stageBucketWrite(rows.withColumn("kb", bucketExpr(pk, newBuckets)),
+      root.order, stage)
     // new census off the staged files — the one full scan this op
     // inherently pays anyway covers it; computed BEFORE the marker so
     // roll-forward never needs a Spark job
-    val census: Map[Int, Long] =
-      spark.read.option("basePath", stage).parquet(stage)
-        .filter(graft.ops.TimeTravel.isTombstone)
-        .groupBy(col("kb").cast("int").as("kb"))
-        .agg(min(col("_ts")).cast("long").as("mn"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val census = stagedCensus(spark, stage)
     // COMPLETE the staged set: a new bucket holding zero rows gets an
     // empty dir, so roll-forward can read "staged kb=i exists" as
     // "live kb=i must be replaced" with no empty-bucket ambiguity
@@ -973,10 +988,8 @@ object CurrentTable {
       val d = new Path(stage, s"kb=$i")
       if (!fs.exists(d)) fs.mkdirs(d)
     }
-    val censusLine = "#tomb " +
-      census.toSeq.sorted.map { case (b, t) => s"$b=$t" }.mkString(" ")
     AtomicFiles.write(rescaleMarker(currentDir),
-      s"$newBuckets\n${censusLine.trim}",
+      s"$newBuckets\n${renderCensus(census)}",
       spark.sparkContext.hadoopConfiguration)
     completeRescale(spark, fs, currentDir)
     newBuckets
@@ -1000,13 +1013,7 @@ object CurrentTable {
     val lines = readLines(fs, marker)
     val newNb = lines.head.toInt
     val census: Map[Int, Long] = lines.tail
-      .find(_.startsWith("#tomb")).map {
-        _.stripPrefix("#tomb").trim.split("\\s+").filter(_.nonEmpty)
-          .map { kv =>
-            val Array(b, t) = kv.split("=", 2)
-            b.toInt -> t.toLong
-          }.toMap
-      }.getOrElse(Map.empty)
+      .find(_.startsWith("#tomb")).map(parseCensus).getOrElse(Map.empty)
     val stage = new Path(s"$currentDir/._ct_stage_rescale")
     def liveBuckets(): Seq[(Int, Path)] =
       fs.listStatus(new Path(currentDir)).toSeq
@@ -1221,12 +1228,6 @@ object CurrentTable {
       s"lookup: keys frame must have exactly the key columns $pk, " +
         s"got ${keys.columns.toSeq}")
     val maxKeys = resolveMaxKeys(spark, maxDriverKeys)
-    // just the layout constant off the cursor's first line — reading
-    // the full cursor would put needless driver IO on the hot
-    // point-lookup path
-    val nb = readBucketCount(spark, currentDir).getOrElse(
-      throw new IllegalStateException(
-        s"no current table at $currentDir (missing ${stateFile(currentDir)})"))
     // snapshot the probe set ONCE, driver-side (bucket planning and
     // the join below must see the SAME rows — a probe frame over a
     // changing or non-deterministic source could otherwise hash a key
@@ -1242,15 +1243,24 @@ object CurrentTable {
         spark.createDataFrame(
           java.util.Arrays.asList(collected: _*), keys.schema)
       }
-    def planBuckets(): Array[Int] =
-      local.select(bucketExpr(pk, nb).as("kb")).distinct()
-        .collect().map(_.getInt(0)).sorted
-    val buckets =
-      if (planCache == null) planBuckets()
-      else planCache.getOrElseUpdate(nb, planBuckets())
     val fs = new Path(currentDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     buildHealed(spark, fs, currentDir) {
+      // the layout constant is read INSIDE the healed build: the heal
+      // grace explicitly lets a reader outwait a running rescale, and
+      // a modulus read before that wait would plan the probe's
+      // buckets under the layout the rescale just replaced — dirs
+      // that still exist but hold different keys, a silent miss. The
+      // re-check path re-enters here and replans under the new count.
+      val nb = readBucketCount(spark, currentDir).getOrElse(
+        throw new IllegalStateException(
+          s"no current table at $currentDir (missing ${stateFile(currentDir)})"))
+      def planBuckets(): Array[Int] =
+        local.select(bucketExpr(pk, nb).as("kb")).distinct()
+          .collect().map(_.getInt(0)).sorted
+      val buckets =
+        if (planCache == null) planBuckets()
+        else planCache.getOrElseUpdate(nb, planBuckets())
       // one listing for existence AND a bucket-pruned schema source —
       // schema inference off the table root would list every bucket
       val existing = fs.listStatus(new Path(currentDir))

@@ -1098,4 +1098,80 @@ class CurrentTableSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(s"$cur/_rescale.txt"), false)
     assert(!CurrentTable.layoutStats(spark, cur).get.pendingRescale)
   }
+
+  test("a lookup that outwaits a concurrent rescale replans its probe " +
+      "under the NEW modulus instead of silently missing keys") {
+    val sink = Files.createTempDirectory("graft-ct21-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct21-cur-").toString
+    append(sink, (1 to 30).map(i =>
+      (i.toLong, s"v$i", "CREATE", 1000L + i, "f1", i.toLong)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    // fabricate a rescale paused right after its marker write: a
+    // complete staged 8-bucket layout (a sync of the same sink into a
+    // twin dir yields byte-equivalent buckets) + the marker
+    val fs = new org.apache.hadoop.fs.Path(cur)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val twin = Files.createTempDirectory("graft-ct21-twin-").toString
+    CurrentTable.sync(spark, sink, twin, Seq("id"), buckets = 8)
+    val stage = new org.apache.hadoop.fs.Path(s"$cur/._ct_stage_rescale")
+    fs.mkdirs(stage)
+    for (d <- new java.io.File(twin).listFiles()
+        if d.getName.startsWith("kb="))
+      assert(fs.rename(new org.apache.hadoop.fs.Path(d.toString),
+        new org.apache.hadoop.fs.Path(stage, d.getName)))
+    for (i <- 0 until 8) {
+      val p = new org.apache.hadoop.fs.Path(stage, s"kb=$i")
+      if (!fs.exists(p)) fs.mkdirs(p)
+    }
+    graft.streaming.AtomicFiles.write(s"$cur/_rescale.txt", "8",
+      spark.sparkContext.hadoopConfiguration)
+    // the maintainer finishes the roll-forward while the reader is
+    // inside its heal-grace poll — exactly the window the grace
+    // exists for. The lookup must plan its buckets AFTER the wait:
+    // a modulus read before it would probe mod-4 bucket ids against
+    // the mod-8 layout — dirs that exist but hold different keys, a
+    // silent miss
+    spark.conf.set("spark.graft.current.healGraceMs", "15000")
+    val healer = new Thread(() => {
+      Thread.sleep(600)
+      CurrentTable.heal(spark, cur)
+    })
+    healer.start()
+    try {
+      val got = CurrentTable.lookup(spark, cur, Seq("id"),
+          (1L to 9L).toDF("id"))
+        .select("id", "name").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet
+      assert(got == (1L to 9L).map(i => i -> s"v$i").toSet)
+    } finally {
+      healer.join()
+      spark.conf.unset("spark.graft.current.healGraceMs")
+    }
+    // and the table really is at 8 buckets now
+    assert(CurrentTable.layoutStats(spark, cur).get.buckets == 8)
+  }
+
+  test("a case-only orderBy change matches the persisted order instead " +
+      "of crash-looping sync") {
+    val sink = Files.createTempDirectory("graft-ct22-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct22-cur-").toString
+    append(sink, (1 to 10).map(i =>
+      (i.toLong, s"v$i", "CREATE", 1000L + i, "f1", i.toLong)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 2,
+      orderBy = Seq("name"))
+    append(sink, Seq((11L, "w", "CREATE", 2000L, "f1", 99L)))
+    // column resolution and the config validator are both
+    // case-insensitive — the persisted-order guard must be too, or a
+    // config normalization ("NAME" -> "name") wedges the pipeline
+    CurrentTable.sync(spark, sink, cur, Seq("id"), orderBy = Seq("NAME"))
+    assert(stateOf(cur) == oracleOf(sink))
+    // a genuinely different order still fails loudly
+    append(sink, Seq((12L, "x", "CREATE", 3000L, "f1", 100L)))
+    val e = intercept[IllegalArgumentException] {
+      CurrentTable.sync(spark, sink, cur, Seq("id"), orderBy = Seq("id"))
+    }
+    assert(e.getMessage.contains("persisted"))
+  }
 }

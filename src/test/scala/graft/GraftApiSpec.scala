@@ -298,5 +298,25 @@ class GraftApiSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM db__events__current")
       .as[Long].head() == 19L,
       "the deleted key's tombstone row must not surface in SQL")
+
+    // ONE table with a crashed bucket swap must not take down the
+    // whole lake's SQL surface: the broken table is skipped (querying
+    // it stays a loud failure — its view is gone), everything healthy
+    // still registers
+    val cur = s"${sink}__current"
+    assert(new java.io.File(s"$cur/kb=0").renameTo(
+      new java.io.File(s"$cur/._ct_trash_kb=0")))
+    spark.conf.set("spark.graft.current.healGraceMs", "0")
+    try {
+      val views4 = Graft.registerSinkTables(spark, root, "lake1")
+      assert(!views4.contains("db__events__current"))
+      assert(views4.contains("db__orders") && views4.contains("db__users"))
+      assert(spark.sql("SELECT count(*) FROM db__users").as[Long].head()
+        == 100L)
+      assert(!spark.catalog.tableExists("db__events__current"))
+    } finally {
+      spark.conf.unset("spark.graft.current.healGraceMs")
+      graft.streaming.CurrentTable.heal(spark, cur)
+    }
   }
 }
