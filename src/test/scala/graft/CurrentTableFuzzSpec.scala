@@ -109,6 +109,49 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
           // to everything that follows — later scoped syncs, lookups,
           // compaction re-folds all run against the new layout
           CurrentTable.rescale(spark, cur, Seq("id"), 1 + rnd.nextInt(8))
+        if (rnd.nextInt(6) == 0) {
+          // a rescale that CRASHED mid-swap: fabricate exactly what it
+          // leaves — a complete staged layout at a new modulus (a full
+          // twin sync of the same sink yields it, census included in
+          // its root), the marker, and a random number of buckets
+          // already swapped in. The next maintenance entry anywhere in
+          // the schedule must roll it forward, and everything after
+          // runs against the completed layout. (The staged state may
+          // be AHEAD of the live table — scoped syncs can trail the
+          // sink — which matches a rescale racing a catch-up: the
+          // cursor re-folds anything unrecorded and keep-latest +
+          // retained tombstones converge.)
+          val newNb = 1 + rnd.nextInt(8)
+          val twin = Files.createTempDirectory(
+            s"graft-ctf-twin-$seed-").toString
+          CurrentTable.sync(spark, sink, twin, Seq("id"),
+            buckets = newNb, orderOverride = Some(order))
+          val stageDir = new java.io.File(s"$cur/._ct_stage_rescale")
+          org.apache.hadoop.fs.FileUtil.fullyDelete(stageDir)
+          assert(stageDir.mkdirs())
+          for (d <- new java.io.File(twin).listFiles()
+              if d.getName.startsWith("kb="))
+            assert(d.renameTo(new java.io.File(stageDir, d.getName)))
+          for (i <- 0 until newNb) {
+            val d = new java.io.File(stageDir, s"kb=$i")
+            if (!d.exists()) assert(d.mkdirs())
+          }
+          val censusLine = scala.io.Source
+            .fromFile(s"$twin/_synced.txt").getLines().toVector
+            .filter(_.startsWith("#tomb"))
+          graft.streaming.AtomicFiles.write(s"$cur/_rescale.txt",
+            (newNb.toString +: censusLine).mkString("\n"),
+            spark.sparkContext.hadoopConfiguration)
+          // partial swap: 0..all staged buckets already went live
+          val staged = stageDir.listFiles()
+            .filter(_.getName.startsWith("kb=")).toSeq
+          for (d <- rnd.shuffle(staged)
+              .take(rnd.nextInt(staged.length + 1))) {
+            org.apache.hadoop.fs.FileUtil.fullyDelete(
+              new java.io.File(s"$cur/${d.getName}"))
+            assert(d.renameTo(new java.io.File(s"$cur/${d.getName}")))
+          }
+        }
         if (rnd.nextInt(4) == 0) {
           // crash between sidecar writes: the buckets committed but a
           // random partition's cursor sidecar never landed — its
