@@ -770,6 +770,65 @@ object ScaleBench {
       f"(${tRescale / tBuild}%4.1fx, same full-rewrite cost class)")
   }
 
+  /** `runMain graft.ScaleBench reader [keysK] [work]` — the prepared
+    * point-lookup claim: a serving process probing one current table
+    * repeatedly re-pays per-call driver fixed costs (orphan check,
+    * root read, full bucket listing, a parquet footer open for
+    * schema) through `CurrentTable.lookup`; `CurrentTable.reader`
+    * pays them once and revalidates per call with one small root
+    * read. Times N sequential small probes both ways, same table,
+    * same keys — and one probe AFTER a fold, pinning that the handle
+    * sees new data without help.
+    */
+  private def readerExperiment(spark: SparkSession, work: String,
+      keysK: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val keys = keysK * 1000L
+    val sink = s"$work/rd_sink_$keysK"
+    val cur = s"$work/rd_cur_$keysK"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(sink))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(cur))
+    def rows(ids: org.apache.spark.sql.DataFrame, tsBase: Long) =
+      ids.select(col("id"), concat(lit("v"), col("id")).as("name"),
+        lit("UPDATE").as("_op"), (lit(tsBase) + col("id")).as("_ts"),
+        lit("f1").as("_binlog_file_internal"),
+        (lit(tsBase) + col("id")).as("_binlog_pos_internal"),
+        lit("2024-01-01").as("dt"))
+    rows(spark.range(keys).toDF("id"), 1000000L)
+      .write.mode("append").partitionBy("dt").parquet(sink)
+    graft.streaming.CurrentTable.sync(spark, sink, cur, Seq("id"),
+      buckets = 256)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val n = 50
+    def probes(i: Int) = spark.createDataFrame(Seq(
+      Tuple1(i.toLong), Tuple1(i + 1000L), Tuple1(i + 2000L))).toDF("id")
+    def drain(df: org.apache.spark.sql.DataFrame): Long = df.count()
+    // warm both paths once (codegen, FS metadata cache)
+    drain(graft.streaming.CurrentTable.lookup(spark, cur, Seq("id"),
+      probes(0)))
+    val handle = graft.streaming.CurrentTable.reader(spark, cur, Seq("id"))
+    drain(handle.lookup(probes(0)))
+    val tLookup = time(for (i <- 1 to n)
+      require(drain(graft.streaming.CurrentTable.lookup(spark, cur,
+        Seq("id"), probes(i))) == 3))
+    val tReader = time(for (i <- 1 to n)
+      require(drain(handle.lookup(probes(i))) == 3))
+    // the handle is not a stale snapshot: a fold lands and the very
+    // next call serves it
+    rows(spark.range(keys, keys + 5L).toDF("id"), 9000000L)
+      .write.mode("append").partitionBy("dt").parquet(sink)
+    graft.streaming.CurrentTable.sync(spark, sink, cur, Seq("id"))
+    require(drain(handle.lookup(
+        spark.createDataFrame(Seq(Tuple1(keys + 1L))).toDF("id"))) == 1,
+      "reader missed a fold")
+    println(f"[scale] reader ${keys} keys, $n sequential 3-key probes: " +
+      f"one-shot lookup ${tLookup}%5.2fs (${tLookup / n * 1000}%5.0f ms" +
+      f"/probe) vs prepared reader ${tReader}%5.2fs " +
+      f"(${tReader / n * 1000}%5.0f ms/probe, ${tLookup / tReader}%4.1fx)")
+  }
+
   /** `runMain graft.ScaleBench ctorder [keysK] [work]` — the
     * within-bucket order claim: a current table whose buckets are
     * sorted on a column serves narrow filters on that column by
@@ -1334,6 +1393,14 @@ object ScaleBench {
       cursorShardExperiment(spark,
         args.lift(2).getOrElse("/tmp/graft-scale"),
         args.lift(1).map(_.toInt).getOrElse(64))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("reader")) {
+      val spark = buildSession()
+      readerExperiment(spark,
+        args.lift(2).getOrElse("/tmp/graft-scale"),
+        args.lift(1).map(_.toInt).getOrElse(2000))
       spark.stop()
       return
     }

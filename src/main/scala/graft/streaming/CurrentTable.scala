@@ -186,7 +186,11 @@ object CurrentTable {
     if (lines.isEmpty) None
     else {
       val (tomb, rest) = lines.tail.partition(_.startsWith("#tomb"))
-      val (ord, files) = rest.partition(_.startsWith("#order"))
+      val (ord, rest2) = rest.partition(_.startsWith("#order"))
+      // unknown #-directives (e.g. #seq, or a future field) are NOT
+      // legacy file entries — only bare lines are (the pre-sharding
+      // folded-file list, which never started with '#')
+      val files = rest2.filterNot(_.startsWith("#"))
       val census = tomb.headOption.map(parseCensus)
       val order = ord.headOption.map(_.stripPrefix("#order").trim
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
@@ -199,8 +203,14 @@ object CurrentTable {
     val censusLine = census.map(renderCensus)
     val orderLine =
       if (order.isEmpty) None else Some("#order " + order.mkString(","))
+    // a fresh nonce per write: two writes can otherwise leave
+    // byte-identical content (a CREATE-only fold changes neither nb,
+    // census nor order) within one mtime tick on a coarse-granularity
+    // filesystem — [[Reader]]'s staleness signature is the CONTENT,
+    // and this line guarantees every write changes it
+    val seqLine = s"#seq ${java.util.UUID.randomUUID()}"
     AtomicFiles.write(stateFile(dir),
-      (nb.toString +: (censusLine.toSeq ++ orderLine.toSeq))
+      (nb.toString +: (censusLine.toSeq ++ orderLine.toSeq :+ seqLine))
         .mkString("\n"),
       spark.sparkContext.hadoopConfiguration)
   }
@@ -1203,6 +1213,145 @@ object CurrentTable {
     rawLookup(spark, currentDir, pk, keys, maxDriverKeys)
       .filter(!graft.ops.TimeTravel.isTombstone)
 
+  /** The hash input is the key's STRING rendering (concat_ws casts
+    * every input to string) — same-rendering families are safe,
+    * divergent renderings would plan the wrong bucket. ONE check
+    * shared by [[lookup]] and [[Reader]] so they can never drift.
+    */
+  private def checkProbeTypes(probe: org.apache.spark.sql.types.StructType,
+      table: org.apache.spark.sql.types.StructType,
+      pk: Seq[String]): Unit =
+    for (c <- pk) {
+      def typeOf(s: org.apache.spark.sql.types.StructType, n: String) =
+        s.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
+      (typeOf(probe, c), typeOf(table, c)) match {
+        case (Some(kt), Some(tt)) =>
+          require(kt == tt || (IntegralTypes(kt) && IntegralTypes(tt)),
+            s"lookup: key column '$c' is $kt but the table stores $tt " +
+              "— the bucket hash is rendering-sensitive (it hashes the " +
+              "key's string form), and those types can render the same " +
+              "value differently; cast the probe frame")
+        case _ => throw new IllegalArgumentException(
+          s"lookup: key column '$c' missing from probe or table schema")
+      }
+    }
+
+  /** A PREPARED handle for repeated point lookups — the serving
+    * pattern: one process probing the same current table thousands of
+    * times. Each [[lookup]] call re-pays fixed driver costs that
+    * don't change between calls: the orphan/marker check, the root
+    * read, a full bucket listing, a parquet footer open for schema
+    * inference. The handle pays them once and revalidates per call
+    * with ONE small read of the root layout file — every data
+    * mutation of a census-maintained table (fold, prune, tombstone
+    * sweep, rescale roll-forward) rewrites that file as its final
+    * step with a fresh `#seq` nonce, so unchanged content implies an
+    * unchanged layout, and changed content re-prepares in full
+    * before serving.
+    */
+  def reader(spark: SparkSession, currentDir: String,
+      pk: Seq[String]): Reader = new Reader(spark, currentDir, pk)
+
+  /** See [[reader]]. Visibility + failure modes, honestly scoped:
+    * a fold becomes visible to the handle at its root write; a call
+    * racing the ms-scale swap→root-write window inside the one live
+    * maintainer sees the same mix [[lookup]]'s own fresh-listing race
+    * admits. A crashed swap that never reached its root write fails
+    * LOUDLY (the probed bucket's path is gone — run
+    * [[CurrentTable.heal]] and keep serving; the handle re-prepares
+    * by itself once the heal's next root write lands). Census-less
+    * legacy tables are refused at creation: their folds don't
+    * rewrite the root, so the staleness signature would miss them —
+    * one [[pruneTombstones]] pass heals the census.
+    */
+  final class Reader private[CurrentTable](spark: SparkSession,
+      currentDir: String, pk: Seq[String]) {
+    require(pk.nonEmpty, "reader: no key columns")
+    private val fs = new Path(currentDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    private case class Prep(sig: Vector[String], nb: Int,
+        existing: Set[String],
+        schema: org.apache.spark.sql.types.StructType)
+    @volatile private var prep: Prep = prepare()
+
+    /** The root file's CONTENT is the staleness signature — one small
+      * read per call. Every write stamps a fresh `#seq` nonce, so
+      * content equality ⇔ no write since prepare (an mtime+length
+      * signature would alias two writes inside one mtime tick on a
+      * coarse-granularity filesystem).
+      */
+    private def rootSig(): Vector[String] = {
+      val sig = readLines(fs, new Path(stateFile(currentDir)))
+      if (sig.isEmpty)
+        throw new IllegalStateException(
+          s"no current table at $currentDir (missing ${stateFile(currentDir)})")
+      sig
+    }
+
+    private def prepare(): Prep = {
+      requireHealed(fs, currentDir, healGraceMs(spark))
+      // signature FIRST: a mutation landing anywhere during the reads
+      // below changes it, so the next call re-prepares rather than
+      // trusting a torn snapshot
+      val sig = rootSig()
+      val root = readRoot(spark, currentDir).getOrElse(
+        throw new IllegalStateException(
+          s"no current table at $currentDir (missing ${stateFile(currentDir)})"))
+      require(root.census.isDefined,
+        s"reader: the table at $currentDir predates the tombstone " +
+          "census, so folds do not rewrite its root file and the " +
+          "reader's staleness check would miss them — run " +
+          "pruneTombstones once (any horizon; it heals the census) " +
+          "and re-create the reader")
+      val existing = fs.listStatus(new Path(currentDir))
+        .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
+      if (existing.isEmpty)
+        throw new IllegalStateException(
+          s"current table at $currentDir holds no data yet")
+      val schema = spark.read.option("basePath", currentDir)
+        .parquet(s"$currentDir/${existing.head}").schema
+      Prep(sig, root.nb, existing, schema)
+    }
+
+    /** Same rows as `CurrentTable.lookup(spark, dir, pk, keys)` —
+      * spec-pinned — at a fraction of the per-call driver cost.
+      */
+    def lookup(keys: DataFrame, maxDriverKeys: Int = 0): DataFrame = {
+      require(keys.columns.toSeq == pk,
+        s"lookup: keys frame must have exactly the key columns $pk, " +
+          s"got ${keys.columns.toSeq}")
+      val cached = prep
+      val p =
+        if (rootSig() == cached.sig) cached
+        else { val n = prepare(); prep = n; n }
+      checkProbeTypes(keys.schema, p.schema, pk)
+      val maxKeys = resolveMaxKeys(spark, maxDriverKeys)
+      val collected = keys.limit(maxKeys + 1).collect()
+      if (collected.length > maxKeys)
+        return readRaw(spark, currentDir).join(keys, pk, "left_semi")
+          .filter(!graft.ops.TimeTravel.isTombstone)
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(collected: _*), keys.schema)
+      // a local relation: the projection collapses driver-side
+      // (ConvertToLocalRelation), no Spark job
+      val buckets = local.select(bucketExpr(pk, p.nb).as("kb"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      val live = buckets.map(b => s"kb=$b").filter(p.existing)
+        .map(n => s"$currentDir/$n")
+      val rows =
+        if (live.isEmpty)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            p.schema)
+        // the cached schema rides the read — no footer open per call
+        else spark.read.schema(p.schema).option("basePath", currentDir)
+          .parquet(live.toSeq: _*)
+          .join(local, pk, "left_semi")
+      rows.filter(!graft.ops.TimeTravel.isTombstone)
+    }
+  }
+
   /** [[lookup]] WITHOUT the tombstone filter: the matching rows as
     * stored, DELETE rows included — for consumers that run their own
     * keep-latest over them (the cross-fork [[lookupEvolved]], where a
@@ -1270,23 +1419,7 @@ object CurrentTable {
           s"current table at $currentDir holds no data yet")
       val schemaSrc = spark.read.option("basePath", currentDir)
         .parquet(s"$currentDir/${existing.head}")
-      // the hash input is the key's STRING rendering (concat_ws casts
-      // every input to string) — same-rendering families are safe,
-      // divergent renderings would plan the wrong bucket: check
-      for (c <- pk) {
-        def typeOf(s: org.apache.spark.sql.types.StructType, n: String) =
-          s.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
-        (typeOf(keys.schema, c), typeOf(schemaSrc.schema, c)) match {
-          case (Some(kt), Some(tt)) =>
-            require(kt == tt || (IntegralTypes(kt) && IntegralTypes(tt)),
-              s"lookup: key column '$c' is $kt but the table stores $tt " +
-                "— the bucket hash is rendering-sensitive (it hashes the " +
-                "key's string form), and those types can render the same " +
-                "value differently; cast the probe frame")
-          case _ => throw new IllegalArgumentException(
-            s"lookup: key column '$c' missing from probe or table schema")
-        }
-      }
+      checkProbeTypes(keys.schema, schemaSrc.schema, pk)
       val live = buckets.map(b => s"kb=$b").filter(existing)
         .map(n => s"$currentDir/$n")
       if (live.isEmpty) schemaSrc.limit(0)

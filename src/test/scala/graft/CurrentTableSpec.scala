@@ -195,7 +195,7 @@ class CurrentTableSpec extends AnyFunSuite {
     // the root state never carries file entries in the sharded layout
     val rootLines = scala.io.Source.fromFile(s"$cur/_synced.txt")
       .getLines().toVector
-    assert(rootLines.tail.forall(_.startsWith("#tomb")),
+    assert(rootLines.tail.forall(_.startsWith("#")),
       s"file entries leaked into the root state: $rootLines")
   }
 
@@ -413,7 +413,7 @@ class CurrentTableSpec extends AnyFunSuite {
     assert(migrated == Set("dt=2024-01-01.txt", "dt=2024-01-02.txt"))
     val rootLines = scala.io.Source.fromFile(s"$cur/_synced.txt")
       .getLines().toVector
-    assert(rootLines.tail.forall(_.startsWith("#tomb")),
+    assert(rootLines.tail.forall(_.startsWith("#")),
       s"legacy entries not cleaned from root: $rootLines")
     assert(stateOf(cur) == oracleOf(sink))
   }
@@ -1150,6 +1150,65 @@ class CurrentTableSpec extends AnyFunSuite {
     }
     // and the table really is at 8 buckets now
     assert(CurrentTable.layoutStats(spark, cur).get.buckets == 8)
+  }
+
+  test("a prepared Reader matches lookup, tracks folds and rescales " +
+      "through the root signature, and fails loudly on a crashed swap") {
+    val sink = Files.createTempDirectory("graft-ct23-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct23-cur-").toString
+    append(sink, (1 to 30).map(i =>
+      (i.toLong, s"v$i", "CREATE", 1000L + i, "f1", i.toLong)))
+    append(sink, Seq((5L, "gone", "DELETE", 2000L, "f1", 100L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    val r = CurrentTable.reader(spark, cur, Seq("id"))
+    def probe(ids: Long*): Set[(Long, String)] =
+      r.lookup(ids.toDF("id")).select("id", "name").collect()
+        .map(x => (x.getLong(0), x.getString(1))).toSet
+    // matches the one-shot lookup exactly, tombstoned + absent keys out
+    assert(probe(1L, 5L, 7L, 99999L) == Set(1L -> "v1", 7L -> "v7"))
+    assert(probe(1L, 5L, 7L) == CurrentTable.lookup(spark, cur,
+        Seq("id"), Seq(1L, 5L, 7L).toDF("id"))
+      .select("id", "name").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet)
+    // bucket-pruned: a one-key probe reads ONE bucket dir
+    assert(r.lookup(Seq(3L).toDF("id")).inputFiles
+      .flatMap(_.split('/').find(_.startsWith("kb="))).toSet.size == 1)
+    // a fold lands: visible on the very next call (root #seq changed)
+    append(sink, Seq((31L, "late", "CREATE", 3000L, "f1", 200L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(probe(31L) == Set(31L -> "late"))
+    // a rescale flips the modulus: the reader replans under it
+    CurrentTable.rescale(spark, cur, Seq("id"), 9)
+    assert(probe(2L, 5L, 31L) == Set(2L -> "v2", 31L -> "late"))
+    // prune drops the tombstone rows physically; still no resurrection
+    assert(CurrentTable.pruneTombstones(spark, cur, 2001L) == 1L)
+    assert(probe(5L).isEmpty)
+    // an oversized probe falls back to the full-scan semi-join
+    assert(r.lookup((1L to 4L).toDF("id"), maxDriverKeys = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L, 4L))
+    // a crashed swap (never reached its root write) fails LOUDLY
+    // instead of serving a partial table; heal restores service with
+    // no re-prepare needed (the layout is back to what the signature
+    // describes)
+    val dirs = new java.io.File(cur).listFiles()
+      .filter(_.getName.startsWith("kb="))
+    for (d <- dirs)
+      assert(d.renameTo(new java.io.File(cur,
+        s"._ct_trash_${d.getName}")))
+    intercept[Exception] { probe(1L) }
+    CurrentTable.heal(spark, cur)
+    assert(probe(1L) == Set(1L -> "v1"))
+    // census-less legacy tables are refused at creation, naming the lever
+    val nbLine = scala.io.Source.fromFile(s"$cur/_synced.txt")
+      .getLines().next()
+    graft.streaming.AtomicFiles.write(s"$cur/_synced.txt", nbLine,
+      spark.sparkContext.hadoopConfiguration)
+    val e = intercept[IllegalArgumentException] {
+      CurrentTable.reader(spark, cur, Seq("id"))
+    }
+    assert(e.getMessage.contains("pruneTombstones"))
   }
 
   test("a case-only orderBy change matches the persisted order instead " +
