@@ -1256,7 +1256,10 @@ object CurrentTable {
     * a fold becomes visible to the handle at its root write; a call
     * racing the ms-scale swap→root-write window inside the one live
     * maintainer sees the same mix [[lookup]]'s own fresh-listing race
-    * admits. A crashed swap that never reached its root write fails
+    * admits. A RESCALE mid-swap (the one window where probed dirs
+    * exist but hold other moduli's keys) is refused-or-outwaited per
+    * call via its marker, exactly like [[read]]/[[lookup]]. A
+    * crashed sync swap that never reached its root write fails
     * LOUDLY (the probed bucket's path is gone — run
     * [[CurrentTable.heal]] and keep serving; the handle re-prepares
     * by itself once the heal's next root write lands). Census-less
@@ -1321,6 +1324,17 @@ object CurrentTable {
       require(keys.columns.toSeq == pk,
         s"lookup: keys frame must have exactly the key columns $pk, " +
           s"got ${keys.columns.toSeq}")
+      // a rescale's SWAP window is the one mutation the root
+      // signature cannot see (the root is rewritten only when the
+      // roll-forward completes): behind the marker the live dirs are
+      // a mix of two moduli, and an old-modulus plan would probe
+      // dirs that exist but hold different keys — a silent miss, not
+      // the loud path error a crashed sync swap gives. One exists()
+      // per call buys the same refuse-or-outwait readers get from
+      // [[read]]/[[lookup]]; the marker clearing implies a root write,
+      // so the re-prepare below picks up the new modulus.
+      if (fs.exists(new Path(rescaleMarker(currentDir))))
+        requireHealed(fs, currentDir, healGraceMs(spark))
       val cached = prep
       val p =
         if (rootSig() == cached.sig) cached

@@ -1200,6 +1200,33 @@ class CurrentTableSpec extends AnyFunSuite {
     intercept[Exception] { probe(1L) }
     CurrentTable.heal(spark, cur)
     assert(probe(1L) == Set(1L -> "v1"))
+    // a rescale mid-swap: the marker makes the reader refuse (at
+    // grace 0) — its probed dirs could hold another modulus's keys —
+    // and once rolled forward it serves through the NEW modulus
+    val twin = Files.createTempDirectory("graft-ct23-twin-").toString
+    CurrentTable.sync(spark, sink, twin, Seq("id"), buckets = 5)
+    val fs = new org.apache.hadoop.fs.Path(cur)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = new org.apache.hadoop.fs.Path(s"$cur/._ct_stage_rescale")
+    fs.mkdirs(stage)
+    for (d <- new java.io.File(twin).listFiles()
+        if d.getName.startsWith("kb="))
+      assert(fs.rename(new org.apache.hadoop.fs.Path(d.toString),
+        new org.apache.hadoop.fs.Path(stage, d.getName)))
+    for (i <- 0 until 5) {
+      val p = new org.apache.hadoop.fs.Path(stage, s"kb=$i")
+      if (!fs.exists(p)) fs.mkdirs(p)
+    }
+    graft.streaming.AtomicFiles.write(s"$cur/_rescale.txt", "5",
+      spark.sparkContext.hadoopConfiguration)
+    spark.conf.set("spark.graft.current.healGraceMs", "0")
+    try {
+      val re = intercept[IllegalStateException] { probe(1L) }
+      assert(re.getMessage.contains("heal"))
+    } finally spark.conf.unset("spark.graft.current.healGraceMs")
+    CurrentTable.heal(spark, cur)
+    assert(probe(1L, 31L) == Set(1L -> "v1", 31L -> "late"))
+    assert(CurrentTable.layoutStats(spark, cur).get.buckets == 5)
     // census-less legacy tables are refused at creation, naming the lever
     val nbLine = scala.io.Source.fromFile(s"$cur/_synced.txt")
       .getLines().next()
