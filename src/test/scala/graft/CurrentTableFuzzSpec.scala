@@ -55,6 +55,7 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
       val keySpace = 1 + rnd.nextInt(20)
       val dts = Seq("2024-01-01", "2024-01-02", "2024-01-03")
       var pos = 0L
+      var handle: CurrentTable.Reader = null
       val steps = 6 + rnd.nextInt(6)
       for (step <- 0 until steps) {
         // one batch: 1-3 files of 1-8 events each, each file in one
@@ -83,6 +84,26 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
         CurrentTable.sync(spark, sink, cur, Seq("id"),
           buckets = 1 + rnd.nextInt(8), orderOverride = Some(order),
           scope = if (step == 0) None else scope)
+        // ONE prepared Reader lives through the whole schedule: every
+        // fold/prune/rescale/crash-heal it survives must be visible
+        // through its root-signature revalidation — probed right
+        // after the sync, when any fabricated crash state from the
+        // previous step has been rolled forward
+        if (handle == null)
+          handle = CurrentTable.reader(spark, cur, Seq("id"))
+        else if (rnd.nextInt(2) == 0) {
+          val ids = (0 to rnd.nextInt(4))
+            .map(_ => 1L + rnd.nextInt(keySpace * 2)).distinct
+          val viaReader = handle.lookup(ids.toDF("id"))
+            .select("id", "name").collect()
+            .map(r => (r.getLong(0), r.getString(1))).toSet
+          val viaLookup = CurrentTable.lookup(spark, cur, Seq("id"),
+              ids.toDF("id"))
+            .select("id", "name").collect()
+            .map(r => (r.getLong(0), r.getString(1))).toSet
+          assert(viaReader == viaLookup,
+            s"seed $seed step $step: prepared reader diverged on $ids")
+        }
         if (rnd.nextInt(3) == 0) {
           val dt = dts(rnd.nextInt(dts.length))
           val dtDir = s"$sink/dt=$dt"
