@@ -1,0 +1,336 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained aggregate tables (materialized rollups)
+  * over a [[graft.streaming.CurrentTable]] — the "dashboard table"
+  * a warehouse refreshes by rescanning the corpus, maintained here
+  * for the cost of each sync's OWN delta.
+  *
+  * The classic way to keep `SELECT dims, agg(...) FROM current GROUP
+  * BY dims` fresh against a changelog is signed-delta view
+  * maintenance (see [[graft.streaming.Materialize.aggDeltas]] for the
+  * in-stream shape) — but deltas are not idempotent, so a durable
+  * delta-merged table needs transactional pairing with the sync
+  * cursor or a crash double-applies. This module sidesteps deltas
+  * entirely with the same trick the tombstone census uses: store the
+  * rollup as PER-KEY-BUCKET PARTIAL aggregates, and have each sync
+  * RECOMPUTE (not adjust) the partials of exactly the buckets it
+  * rewrote, from the staged files the fold just produced. Overwrite-
+  * from-state is idempotent, so the crash contract is inherited from
+  * the sync itself: any replay re-folds to the same bucket contents
+  * and therefore re-publishes the same partials — convergence with
+  * zero extra transactional machinery.
+  *
+  * Scale shape: maintenance reads only the sync's staged delta (data
+  * the fold already materialized) plus the old partials (tiny —
+  * ≤ buckets × groups rows); the global rollup is read by merging
+  * partials across buckets (count/sum re-sum, min/max re-min/max —
+  * every supported aggregate is algebraic, which is WHY it can live
+  * as partials). A 100 TB table's rollup refresh costs O(delta),
+  * never O(table); the one full pass is [[attach]] (birth) or the
+  * rebuild after a [[graft.streaming.CurrentTable.rescale]] (the
+  * modulus the partials are keyed by changed — detected via the
+  * bucket count persisted in the rollup meta, rebuilt on the next
+  * sync; until then reads stay CORRECT, because summing partials
+  * over all buckets is modulus-independent).
+  *
+  * Layout under `<currentDir>/_rollup/<name>/` (underscore-prefixed,
+  * so current-table reads and sync listings skip it):
+  *   - `_meta.txt` — bucket count the partials are keyed under, the
+  *     pointed data dir, dims, and one agg line per measure; written
+  *     atomically LAST, so the pointer flip is the publish.
+  *   - `d_<nonce>/` — the partials parquet (kb, dims..., partials...).
+  *     A new dir per publish; the meta pointer flips onto it, then
+  *     unpointed dirs are garbage-collected (a crash between write
+  *     and flip leaks a dir until the next publish's GC, never a
+  *     wrong answer).
+  *
+  * Consistency: after a COMPLETED sync the rollup equals the grouped
+  * aggregate over [[graft.streaming.CurrentTable.read]] exactly
+  * (tombstones excluded — q129 hash-pins it against DuckDB). Between
+  * a crash and the replay that converges it, rollup and table can
+  * disagree — same window the table's own buckets have, closed by
+  * the same replay.
+  */
+object RollupTable {
+
+  /** One measure: `op` ∈ count/sum/min/max over `col` (count takes
+    * `*`), published as column `as`. avg is deliberately absent —
+    * declare sum + count and divide at read; storing a ratio as a
+    * partial would not merge.
+    */
+  case class Agg(op: String, col: String, as: String)
+
+  case class Spec(dims: Seq[String], aggs: Seq[Agg]) {
+    require(aggs.nonEmpty, "rollup: no aggregates declared")
+    require(aggs.map(_.as).distinct.size == aggs.size,
+      s"rollup: duplicate output names in ${aggs.map(_.as)}")
+    require((dims ++ aggs.map(_.as)).map(_.toLowerCase).distinct.size ==
+      dims.size + aggs.size,
+      "rollup: a measure output name collides with a dimension")
+    for (a <- aggs) {
+      require(Set("count", "sum", "min", "max")(a.op),
+        s"rollup: unsupported aggregate '${a.op}' (count/sum/min/max)")
+      require(a.op == "count" || a.col != "*",
+        s"rollup: ${a.op}(*) is not an aggregate — name a column")
+    }
+  }
+
+  private def rollupRoot(currentDir: String) = s"$currentDir/_rollup"
+  private def metaFile(dir: String) = new Path(dir, "_meta.txt")
+
+  private def validName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit && c < 128 || c == '_' || c == '-'),
+      s"rollup name '$name' — letters, digits, _ and - only")
+
+  private case class Meta(nb: Int, data: Option[String], spec: Spec)
+
+  private def renderMeta(m: Meta): String = {
+    val aggLines = m.spec.aggs.map(a => s"agg=${a.op}:${a.col}:${a.as}")
+    (Seq(s"nb=${m.nb}", s"data=${m.data.getOrElse("")}",
+      s"dims=${m.spec.dims.mkString(",")}") ++ aggLines).mkString("\n")
+  }
+
+  private def parseMeta(lines: Seq[String]): Meta = {
+    def field(k: String): String = lines.find(_.startsWith(k + "="))
+      .getOrElse(throw new IllegalStateException(
+        s"rollup meta missing '$k='")).drop(k.length + 1)
+    val aggs = lines.filter(_.startsWith("agg=")).map { l =>
+      l.drop(4).split(":", 3) match {
+        case Array(op, c, as) => Agg(op, c, as)
+        case _ => throw new IllegalStateException(
+          s"rollup meta: malformed '$l'")
+      }
+    }
+    val dims = field("dims").split(",").map(_.trim).filter(_.nonEmpty)
+    Meta(field("nb").toInt,
+      Some(field("data")).filter(_.nonEmpty),
+      Spec(dims.toIndexedSeq, aggs))
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): Option[Meta] = {
+    val p = metaFile(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toVector
+      finally in.close()
+    Some(parseMeta(lines))
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String,
+      m: Meta): Unit =
+    graft.streaming.AtomicFiles.write(metaFile(dir).toString,
+      renderMeta(m), spark.sparkContext.hadoopConfiguration)
+
+  /** The partial-aggregate columns for one bucket-grouped pass. Count
+    * partials are SUMs at merge time, so they materialize as longs;
+    * sum/min/max keep the input column's own type.
+    */
+  private def partialCols(spec: Spec): Seq[org.apache.spark.sql.Column] =
+    spec.aggs.map { a =>
+      (a.op match {
+        case "count" =>
+          if (a.col == "*") count(lit(1)) else count(col(a.col))
+        case "sum" => sum(col(a.col))
+        case "min" => min(col(a.col))
+        case "max" => max(col(a.col))
+      }).as(a.as)
+    }
+
+  /** Merge partials ACROSS buckets into the global rollup: counts and
+    * sums re-sum, min/max re-min/max — null partials (an all-null
+    * bucket) fall out exactly as they would in the direct aggregate.
+    */
+  private def mergeCols(spec: Spec): Seq[org.apache.spark.sql.Column] =
+    spec.aggs.map { a =>
+      (a.op match {
+        case "count" | "sum" => sum(col(a.as))
+        case "min" => min(col(a.as))
+        case "max" => max(col(a.as))
+      }).as(a.as)
+    }
+
+  private def requireCols(schema: Seq[String], spec: Spec,
+      where: String): Unit = {
+    val have = schema.map(_.toLowerCase).toSet
+    for (c <- spec.dims ++ spec.aggs.map(_.col).filter(_ != "*"))
+      require(have(c.toLowerCase),
+        s"rollup: column '$c' is not in the $where schema " +
+          s"(${schema.mkString(", ")})")
+  }
+
+  /** LIVE rows bucket-partial-aggregated — the one aggregate shape
+    * every build path (attach, incremental maintain, rebuild) runs,
+    * so they cannot drift. Input must carry `kb`; tombstones are
+    * excluded HERE, which is what makes the rollup agree with
+    * [[graft.streaming.CurrentTable.read]] rather than the raw
+    * buckets.
+    */
+  private def partialsOf(df: DataFrame, spec: Spec): DataFrame =
+    df.filter(!TimeTravel.isTombstone)
+      .withColumn("kb", col("kb").cast("int"))
+      .groupBy(("kb" +: spec.dims).map(col): _*)
+      .agg(partialCols(spec).head, partialCols(spec).tail: _*)
+
+  /** Publish a complete partials frame: write a fresh `d_<nonce>`,
+    * flip the meta pointer onto it, then GC every unpointed data dir.
+    * The pointer flip is the only visibility step, so readers see the
+    * old complete rollup or the new one, never a mix.
+    */
+  private def publish(spark: SparkSession, dir: String, fs: FileSystem,
+      meta: Meta, partials: DataFrame): Unit = {
+    val nonce = java.util.UUID.randomUUID().toString
+    val dataName = s"d_$nonce"
+    partials.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(dir, dataName).toString)
+    writeMeta(spark, dir, meta.copy(data = Some(dataName)))
+    for (st <- fs.listStatus(new Path(dir))
+        if st.isDirectory && st.getPath.getName.startsWith("d_") &&
+          st.getPath.getName != dataName)
+      fs.delete(st.getPath, true)
+  }
+
+  /** Attach a rollup to a maintained current table: full-build the
+    * partials from the live table (the ONE table-sized pass this
+    * rollup ever pays outside a rescale), persist the spec, and from
+    * then on every [[graft.streaming.CurrentTable.sync]] maintains it
+    * for delta cost. Fails if `name` is already attached (detach
+    * first — silently replacing a spec would leave readers mixing two
+    * definitions).
+    */
+  def attach(spark: SparkSession, currentDir: String, name: String,
+      spec: Spec): Unit = {
+    validName(name)
+    val nb = graft.streaming.CurrentTable.bucketCount(spark, currentDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no current table at $currentDir — sync it before attaching"))
+    val dir = s"${rollupRoot(currentDir)}/$name"
+    val fs = new Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(metaFile(dir)),
+      s"rollup '$name' already attached at $dir — detach it first")
+    val cfs = new Path(currentDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(cfs.listStatus(new Path(currentDir))
+        .exists(_.getPath.getName.startsWith("kb=")),
+      s"current table at $currentDir holds no data yet — sync data " +
+        "before attaching (the spec is validated against a real schema)")
+    val live = graft.streaming.CurrentTable.read(spark, currentDir)
+    requireCols(live.columns.toIndexedSeq, spec, "current table")
+    publish(spark, dir, fs, Meta(nb, None, spec), partialsOf(live, spec))
+  }
+
+  /** Drop a rollup. */
+  def detach(spark: SparkSession, currentDir: String,
+      name: String): Unit = {
+    validName(name)
+    val p = new Path(s"${rollupRoot(currentDir)}/$name")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+  }
+
+  /** Attached rollup names. */
+  def list(spark: SparkSession, currentDir: String): Seq[String] = {
+    val root = new Path(rollupRoot(currentDir))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+  }
+
+  /** The maintained rollup as a frame: partials merged across buckets
+    * into one row per dims group. Cost is the partials scan —
+    * ≤ buckets × groups rows — regardless of table size.
+    */
+  def read(spark: SparkSession, currentDir: String,
+      name: String): DataFrame = {
+    validName(name)
+    val dir = s"${rollupRoot(currentDir)}/$name"
+    val meta = readMeta(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"no rollup '$name' at $dir — attach it first"))
+    val data = meta.data.getOrElse(throw new IllegalStateException(
+      s"rollup '$name' has no published data — attach crashed before " +
+        "its first publish; detach and re-attach"))
+    val partials = spark.read.parquet(new Path(dir, data).toString)
+    val grouped =
+      if (meta.spec.dims.isEmpty) partials.groupBy()
+      else partials.groupBy(meta.spec.dims.map(col): _*)
+    grouped.agg(mergeCols(meta.spec).head, mergeCols(meta.spec).tail: _*)
+  }
+
+  /** Sync-side maintenance, two-phase around the bucket swap. Called
+    * by [[graft.streaming.CurrentTable.sync]] AFTER its stage write
+    * (the staged files hold exactly the touched buckets' post-fold
+    * contents) and BEFORE its swap (the stage is deleted by the
+    * swap): computes and writes each attached rollup's new partials —
+    * incremental (old partials minus touched buckets, union the
+    * staged delta's) when the modulus matches, a full rebuild
+    * (untouched live buckets + stage — the pre-swap read of untouched
+    * buckets is exactly their post-swap content) when a rescale
+    * changed it. Returns the PUBLISH closure the sync runs after the
+    * swap: pointer flips are the last step, so a crash anywhere
+    * replays to identical partials (the cursor hasn't advanced, the
+    * re-fold reproduces the same staged contents) and the rollup
+    * converges with the table.
+    */
+  private[graft] def prepareSync(spark: SparkSession, currentDir: String,
+      nb: Int, touched: Seq[Int], stage: String): () => Unit = {
+    val names = list(spark, currentDir)
+    if (names.isEmpty) return () => ()
+    val stageDf = spark.read.option("basePath", stage).parquet(stage)
+    val touchedSet = touched.toSet
+    val publishes = names.flatMap { name =>
+      val dir = s"${rollupRoot(currentDir)}/$name"
+      val fs = new Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      readMeta(spark, dir).map { meta =>
+        requireCols(stageDf.columns.toIndexedSeq, meta.spec,
+          s"sink (rollup '$name')")
+        val fresh = partialsOf(stageDf, meta.spec)
+        val partials = meta.data match {
+          case Some(d) if meta.nb == nb =>
+            spark.read.parquet(new Path(dir, d).toString)
+              .filter(!col("kb").isin(touchedSet.toSeq: _*))
+              .unionByName(fresh)
+          case _ =>
+            // rescale (or an attach that crashed pre-publish): the
+            // partials are keyed under a dead modulus — rebuild from
+            // untouched live buckets + the staged delta. One
+            // table-sized read, once per rescale.
+            val cfs = new Path(currentDir)
+              .getFileSystem(spark.sessionState.newHadoopConf())
+            val untouched = cfs.listStatus(new Path(currentDir)).toSeq
+              .map(_.getPath.getName)
+              .filter(n => n.startsWith("kb=") &&
+                !touchedSet(n.stripPrefix("kb=").toInt))
+              .map(n => s"$currentDir/$n")
+            if (untouched.isEmpty) fresh
+            else partialsOf(
+              spark.read.option("basePath", currentDir)
+                .parquet(untouched: _*), meta.spec)
+              .unionByName(fresh)
+        }
+        val nonce = java.util.UUID.randomUUID().toString
+        val dataName = s"d_$nonce"
+        partials.coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(new Path(dir, dataName).toString)
+        () => {
+          writeMeta(spark, dir, meta.copy(nb = nb, data = Some(dataName)))
+          for (st <- fs.listStatus(new Path(dir))
+              if st.isDirectory && st.getPath.getName.startsWith("d_") &&
+                st.getPath.getName != dataName)
+            fs.delete(st.getPath, true)
+        }
+      }
+    }
+    () => publishes.foreach(_.apply())
+  }
+}

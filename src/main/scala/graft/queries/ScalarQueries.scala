@@ -1188,5 +1188,62 @@ object ScalarQueries {
           round(col("value"), 2).as("value"))
         .orderBy("user_id")
     },
+
+    // Incrementally-maintained ROLLUP (ops.RollupTable): a grouped
+    // aggregate over the current state, stored as per-bucket partial
+    // aggregates and kept fresh by each sync recomputing ONLY the
+    // buckets it rewrote — the materialized dashboard table refreshed
+    // for delta cost, never a corpus rescan. The lifecycle: first
+    // sync, ATTACH (the one full-build pass), second sync maintains
+    // the partials incrementally — with purchases as DELETEs, so the
+    // rollup's tombstone exclusion and the delete-kills-key rule are
+    // both in the hash. The oracle aggregates the ranked-window
+    // keep-latest directly; equality pins attach + incremental
+    // maintain + cross-bucket partial merge end to end.
+    QueryDef.statefulQ(
+      "q129_rollup_table",
+      """WITH ranked AS (SELECT user_id, event_type, value,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        | round(sum(value), 2) AS sum_value,
+        | round(min(value), 2) AS min_value,
+        | round(max(value), 2) AS max_value
+        |FROM ranked WHERE rn = 1 AND event_type <> 'purchase'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val work = QueryDef.tempWorkDir("graft-ct-q129-")
+      val midUs = 1705276800000000L // 2024-01-15T00:00:00Z in micros
+      val log = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("event_id"),
+          unix_micros(col("ts")).as("_ts"),
+          when(col("event_type") === "purchase", "DELETE")
+            .otherwise("UPDATE").as("_op"),
+          when(unix_micros(col("ts")) <= midUs, "h1").otherwise("h2")
+            .as("dt"))
+      val orderCols = Some(Seq(col("_ts"), col("event_id")))
+      log.filter(col("dt") === "h1")
+        .write.mode("append").partitionBy("dt").parquet(s"$work/sink")
+      graft.streaming.CurrentTable.sync(spark, s"$work/sink",
+        s"$work/cur", Seq("user_id"), buckets = 8,
+        orderOverride = orderCols)
+      graft.ops.RollupTable.attach(spark, s"$work/cur", "by_type",
+        graft.ops.RollupTable.Spec(Seq("event_type"), Seq(
+          graft.ops.RollupTable.Agg("count", "*", "n_users"),
+          graft.ops.RollupTable.Agg("sum", "value", "sum_value"),
+          graft.ops.RollupTable.Agg("min", "value", "min_value"),
+          graft.ops.RollupTable.Agg("max", "value", "max_value"))))
+      log.filter(col("dt") === "h2")
+        .write.mode("append").partitionBy("dt").parquet(s"$work/sink")
+      graft.streaming.CurrentTable.sync(spark, s"$work/sink",
+        s"$work/cur", Seq("user_id"), orderOverride = orderCols)
+      graft.ops.RollupTable.read(spark, s"$work/cur", "by_type")
+        .select(col("event_type"), col("n_users"),
+          round(col("sum_value"), 2).as("sum_value"),
+          round(col("min_value"), 2).as("min_value"),
+          round(col("max_value"), 2).as("max_value"))
+        .orderBy("event_type")
+    },
   )
 }

@@ -283,6 +283,12 @@ object CurrentTable {
     */
   private val CensusObserveMaxMetrics = 64
 
+  /** The bucket count alone — [[graft.ops.RollupTable.attach]] needs
+    * the layout modulus to key its partials under.
+    */
+  private[graft] def bucketCount(spark: SparkSession,
+      dir: String): Option[Int] = readBucketCount(spark, dir)
+
   /** The bucket count alone — first line of the state file. */
   private def readBucketCount(spark: SparkSession,
       dir: String): Option[Int] = {
@@ -590,12 +596,21 @@ object CurrentTable {
       case None if maintainCensus => stagedCensus(spark, stage)
       case None => Map.empty
     }
+    // attached rollups: new partials computed and written NOW (the
+    // staged files hold exactly the touched buckets' post-fold
+    // contents, and the swap below deletes the stage), pointer flips
+    // deferred past the swap — see RollupTable.prepareSync for the
+    // crash-convergence argument (overwrite-from-state, like the
+    // census: any replay re-folds to the same partials)
+    val publishRollups = graft.ops.RollupTable.prepareSync(
+      spark, currentDir, nb, touched.toIndexedSeq, stage)
     swapBuckets(fs, currentDir, stage, touched.toSeq)
     if (maintainCensus) {
       val old = root.flatMap(_.census).getOrElse(Map.empty[Int, Long])
       writeRoot(spark, currentDir, nb, Some(old -- touched ++ touchedMin),
         bucketOrder)
     }
+    publishRollups()
     // the durable cursor lands LAST, one sidecar per governed
     // partition (plus _root, written after them — see advanceCursor):
     // a crash anywhere above (or between two sidecar writes) re-folds

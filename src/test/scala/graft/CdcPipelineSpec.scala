@@ -243,6 +243,36 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(state() == oracle)
   }
 
+  test("an attached rollup is maintained by the pipeline's own syncs " +
+      "with no extra wiring") {
+    val in = tmp(); val out = tmp()
+    writeFixture(in, "00-snapshot.jsonl", Seq(
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":1},"name":{"string":"alice"},"balance":null"""),
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":2},"name":{"string":"bob"},"balance":null""")))
+    val cfg = CdcConfig("srcRu", registry, out.toString,
+      currentKeys = Map("testdb.users" -> Seq("id")))
+    run(cfg, in)
+    val cur = s"$out/srcRu_testdb__users__current"
+    // one-time attach (the operator action); every later pipeline
+    // batch's CurrentTable.sync maintains it as part of the fold
+    graft.ops.RollupTable.attach(spark, cur, "by_name",
+      graft.ops.RollupTable.Spec(Nil, Seq(
+        graft.ops.RollupTable.Agg("count", "*", "n"),
+        graft.ops.RollupTable.Agg("max", "name", "last_name"))))
+    writeFixture(in, "01-changes.jsonl", Seq(
+      row("DELETE", "users", 1700000200000L, "mysql-bin.000001", 200,
+        """"id":{"int":2},"name":{"string":"bob"},"balance":null"""),
+      row("CREATE", "users", 1700000300000L, "mysql-bin.000001", 300,
+        """"id":{"int":3},"name":{"string":"zed"},"balance":null""")))
+    run(cfg, in)
+    val r = graft.ops.RollupTable.read(spark, cur, "by_name").collect()
+    assert(r.length == 1 && r(0).getLong(0) == 2L &&
+      r(0).getString(1) == "zed",
+      s"rollup after pipeline batches: ${r.mkString}")
+  }
+
   test("sink.current.order.by flows config -> pipeline -> sorted " +
       "bucket files in the maintained current table") {
     val in = tmp(); val out = tmp()
