@@ -168,12 +168,13 @@ object Bench {
   private[graft] val FailedCap = 15
 
   /** Max spread entries in the JSON line (worst first). Sized from a
-    * live measurement, not hope: the r13 line is ~1700 chars before
-    * spread at 127 queries (2-decimal per-query seconds), the driver
-    * parses the LAST ~2000 and sbt appends its own [success] line —
-    * 8 × ~13 chars keeps the worst case ~1870.
+    * live measurement, not hope: the r13 line is ~1730 chars before
+    * spread at 129 queries (2-decimal per-query seconds), the driver
+    * parses the LAST ~2000 and sbt appends its own ~70-char
+    * [success] line — 6 × ~13 chars keeps the worst case ~1880 with
+    * room for a few more rounds of query growth.
     */
-  private[graft] val SpreadCap = 8
+  private[graft] val SpreadCap = 6
 
   /** The one line the driver parses — factored pure so its contract
     * (valid JSON, Locale-proof decimals, short keys, failure

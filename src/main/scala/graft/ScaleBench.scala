@@ -770,6 +770,142 @@ object ScaleBench {
       f"(${tRescale / tBuild}%4.1fx, same full-rewrite cost class)")
   }
 
+  /** `runMain graft.ScaleBench rollup [keysK] [work]` — the
+    * maintained-rollup claim: keeping `GROUP BY cat` aggregates fresh
+    * over a changing keyed table costs either a full recompute per
+    * refresh (O(table), the thing warehouses schedule) or, with
+    * RollupTable, whatever the sync's own delta costs plus a
+    * partials-sized read. Measures: the one-time attach (full build),
+    * a 10-key delta sync before vs after attach (the maintenance
+    * overhead rides the fold), and serving the aggregate from the
+    * rollup vs recomputing it from the table — equality asserted.
+    */
+  private def rollupExperiment(spark: SparkSession, work: String,
+      keysK: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val keys = keysK * 1000L
+    val sink = s"$work/ru_sink_$keysK"
+    val cur = s"$work/ru_cur_$keysK"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(sink))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(cur))
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def rows(ids: org.apache.spark.sql.DataFrame, tsBase: Long) =
+      ids.select(col("id"),
+        concat(lit("c"), pmod(col("id"), lit(1000L))).as("cat"),
+        (col("id") % 97L).cast("double").as("amount"),
+        lit("UPDATE").as("_op"), (lit(tsBase) + col("id")).as("_ts"),
+        lit("f1").as("_binlog_file_internal"),
+        (lit(tsBase) + col("id")).as("_binlog_pos_internal"),
+        lit("2024-01-01").as("dt"))
+    rows(spark.range(keys).toDF("id"), 1000000L)
+      .write.mode("append").partitionBy("dt").parquet(sink)
+    graft.streaming.CurrentTable.sync(spark, sink, cur, Seq("id"),
+      buckets = 64)
+    def deltaOnce(ts: Long): Double = {
+      rows(spark.range(37L, 47L).toDF("id"), ts)
+        .write.mode("append").partitionBy("dt").parquet(sink)
+      time(graft.streaming.CurrentTable.sync(spark, sink, cur, Seq("id")))
+    }
+    val tDeltaPlain = deltaOnce(2000000L)
+    val spec = graft.ops.RollupTable.Spec(Seq("cat"), Seq(
+      graft.ops.RollupTable.Agg("count", "*", "n"),
+      graft.ops.RollupTable.Agg("sum", "amount", "total"),
+      graft.ops.RollupTable.Agg("min", "amount", "lo"),
+      graft.ops.RollupTable.Agg("max", "amount", "hi")))
+    val tAttach = time(
+      graft.ops.RollupTable.attach(spark, cur, "by_cat", spec))
+    val tDeltaMaint = deltaOnce(3000000L)
+    def recompute() = graft.streaming.CurrentTable.read(spark, cur)
+      .groupBy("cat").agg(count(lit(1)).as("n"), sum("amount").as("total"),
+        min("amount").as("lo"), max("amount").as("hi"))
+    // warm both read paths once, then time
+    drain(recompute())
+    drain(graft.ops.RollupTable.read(spark, cur, "by_cat"))
+    val tServe = time(drain(graft.ops.RollupTable.read(spark, cur, "by_cat")))
+    val tRecompute = time(drain(recompute()))
+    val served = graft.ops.RollupTable.read(spark, cur, "by_cat")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val direct = recompute()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    require(served == direct, "rollup diverged from recompute")
+    println(f"[scale] rollup ${keys} keys / 1000 groups: attach " +
+      f"${tAttach}%5.2fs (once); 10-key delta sync ${tDeltaPlain}%5.2fs " +
+      f"plain -> ${tDeltaMaint}%5.2fs maintained " +
+      f"(${tDeltaMaint / tDeltaPlain}%4.2fx); serving the aggregate " +
+      f"${tRecompute}%5.2fs recompute -> ${tServe}%5.2fs rollup " +
+      f"(${tRecompute / tServe}%4.1fx)")
+  }
+
+  /** `runMain graft.ScaleBench index [keysK] [work]` — the secondary
+    * bloom-index claim: a point lookup on a NON-key column scans
+    * every bucket without it (the layout prunes by primary key
+    * only); with per-bucket blooms the driver tests the probe
+    * against ≤ buckets tiny bitsets and reads only candidate
+    * buckets. Times the same selective probe both ways on the same
+    * table — equality asserted — plus the maintenance overhead on a
+    * 10-key delta sync.
+    */
+  private def indexExperiment(spark: SparkSession, work: String,
+      keysK: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val keys = keysK * 1000L
+    val sink = s"$work/ix_sink_$keysK"
+    val cur = s"$work/ix_cur_$keysK"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(sink))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(cur))
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def rows(ids: org.apache.spark.sql.DataFrame, tsBase: Long) =
+      ids.select(col("id"),
+        concat(lit("u"), col("id"), lit("@example.com")).as("email"),
+        lit("UPDATE").as("_op"), (lit(tsBase) + col("id")).as("_ts"),
+        lit("f1").as("_binlog_file_internal"),
+        (lit(tsBase) + col("id")).as("_binlog_pos_internal"),
+        lit("2024-01-01").as("dt"))
+    rows(spark.range(keys).toDF("id"), 1000000L)
+      .write.mode("append").partitionBy("dt").parquet(sink)
+    graft.streaming.CurrentTable.sync(spark, sink, cur, Seq("id"),
+      buckets = 64)
+    def deltaOnce(ts: Long): Double = {
+      rows(spark.range(37L, 47L).toDF("id"), ts)
+        .write.mode("append").partitionBy("dt").parquet(sink)
+      time(graft.streaming.CurrentTable.sync(spark, sink, cur, Seq("id")))
+    }
+    val tDeltaPlain = deltaOnce(2000000L)
+    val tAttach = time(
+      graft.ops.BucketIndex.attach(spark, cur, "email"))
+    val tDeltaMaint = deltaOnce(3000000L)
+    import spark.implicits._
+    val probe = Seq("u123457@example.com").toDF("email")
+    def byIndex() = graft.ops.BucketIndex.lookupBy(spark, cur,
+      "email", probe)
+    def byScan() = graft.streaming.CurrentTable.read(spark, cur)
+      .join(probe, Seq("email"), "left_semi")
+    drain(byScan()); drain(byIndex()) // warm both paths
+    val tScan = time(drain(byScan()))
+    val tIndex = time(drain(byIndex()))
+    val a = byIndex().select("id").collect().map(_.getLong(0)).toSet
+    val b = byScan().select("id").collect().map(_.getLong(0)).toSet
+    require(a == b && a == Set(123457L), s"index diverged: $a vs $b")
+    val readBuckets = byIndex().inputFiles
+      .flatMap(_.split('/').find(_.startsWith("kb="))).toSet.size
+    println(f"[scale] index ${keys} keys / 64 buckets: attach " +
+      f"${tAttach}%5.2fs (once); 10-key delta sync ${tDeltaPlain}%5.2fs " +
+      f"plain -> ${tDeltaMaint}%5.2fs maintained " +
+      f"(${tDeltaMaint / tDeltaPlain}%4.2fx); 1-value non-key lookup " +
+      f"${tScan}%5.2fs full scan -> ${tIndex}%5.2fs via index " +
+      f"(${tScan / tIndex}%4.1fx, read $readBuckets/64 buckets)")
+  }
+
   /** `runMain graft.ScaleBench reader [keysK] [work]` — the prepared
     * point-lookup claim: a serving process probing one current table
     * repeatedly re-pays per-call driver fixed costs (orphan check,
@@ -1399,6 +1535,22 @@ object ScaleBench {
     if (args.headOption.contains("reader")) {
       val spark = buildSession()
       readerExperiment(spark,
+        args.lift(2).getOrElse("/tmp/graft-scale"),
+        args.lift(1).map(_.toInt).getOrElse(2000))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("rollup")) {
+      val spark = buildSession()
+      rollupExperiment(spark,
+        args.lift(2).getOrElse("/tmp/graft-scale"),
+        args.lift(1).map(_.toInt).getOrElse(2000))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("index")) {
+      val spark = buildSession()
+      indexExperiment(spark,
         args.lift(2).getOrElse("/tmp/graft-scale"),
         args.lift(1).map(_.toInt).getOrElse(2000))
       spark.stop()

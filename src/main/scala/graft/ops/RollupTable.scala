@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained aggregate tables (materialized rollups)
@@ -80,7 +80,6 @@ object RollupTable {
   }
 
   private def rollupRoot(currentDir: String) = s"$currentDir/_rollup"
-  private def metaFile(dir: String) = new Path(dir, "_meta.txt")
 
   private def validName(name: String): Unit =
     require(name.nonEmpty && name.forall(c =>
@@ -89,16 +88,11 @@ object RollupTable {
 
   private case class Meta(nb: Int, data: Option[String], spec: Spec)
 
-  private def renderMeta(m: Meta): String = {
-    val aggLines = m.spec.aggs.map(a => s"agg=${a.op}:${a.col}:${a.as}")
-    (Seq(s"nb=${m.nb}", s"data=${m.data.getOrElse("")}",
-      s"dims=${m.spec.dims.mkString(",")}") ++ aggLines).mkString("\n")
-  }
+  private def renderMeta(nb: Int, spec: Spec)(data: String): Seq[String] =
+    Seq(s"nb=$nb", s"data=$data", s"dims=${spec.dims.mkString(",")}") ++
+      spec.aggs.map(a => s"agg=${a.op}:${a.col}:${a.as}")
 
   private def parseMeta(lines: Seq[String]): Meta = {
-    def field(k: String): String = lines.find(_.startsWith(k + "="))
-      .getOrElse(throw new IllegalStateException(
-        s"rollup meta missing '$k='")).drop(k.length + 1)
     val aggs = lines.filter(_.startsWith("agg=")).map { l =>
       l.drop(4).split(":", 3) match {
         case Array(op, c, as) => Agg(op, c, as)
@@ -106,28 +100,15 @@ object RollupTable {
           s"rollup meta: malformed '$l'")
       }
     }
-    val dims = field("dims").split(",").map(_.trim).filter(_.nonEmpty)
-    Meta(field("nb").toInt,
-      Some(field("data")).filter(_.nonEmpty),
+    val dims = PointerDir.metaField(lines, "dims")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    Meta(PointerDir.metaField(lines, "nb").toInt,
+      Some(PointerDir.metaField(lines, "data")).filter(_.nonEmpty),
       Spec(dims.toIndexedSeq, aggs))
   }
 
-  private def readMeta(spark: SparkSession, dir: String): Option[Meta] = {
-    val p = metaFile(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().map(_.trim).filter(_.nonEmpty).toVector
-      finally in.close()
-    Some(parseMeta(lines))
-  }
-
-  private def writeMeta(spark: SparkSession, dir: String,
-      m: Meta): Unit =
-    graft.streaming.AtomicFiles.write(metaFile(dir).toString,
-      renderMeta(m), spark.sparkContext.hadoopConfiguration)
+  private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
+    PointerDir.readMetaLines(spark, dir).map(parseMeta)
 
   /** The partial-aggregate columns for one bucket-grouped pass. Count
     * partials are SUMs at merge time, so they materialize as longs;
@@ -179,24 +160,6 @@ object RollupTable {
       .groupBy(("kb" +: spec.dims).map(col): _*)
       .agg(partialCols(spec).head, partialCols(spec).tail: _*)
 
-  /** Publish a complete partials frame: write a fresh `d_<nonce>`,
-    * flip the meta pointer onto it, then GC every unpointed data dir.
-    * The pointer flip is the only visibility step, so readers see the
-    * old complete rollup or the new one, never a mix.
-    */
-  private def publish(spark: SparkSession, dir: String, fs: FileSystem,
-      meta: Meta, partials: DataFrame): Unit = {
-    val nonce = java.util.UUID.randomUUID().toString
-    val dataName = s"d_$nonce"
-    partials.coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(new Path(dir, dataName).toString)
-    writeMeta(spark, dir, meta.copy(data = Some(dataName)))
-    for (st <- fs.listStatus(new Path(dir))
-        if st.isDirectory && st.getPath.getName.startsWith("d_") &&
-          st.getPath.getName != dataName)
-      fs.delete(st.getPath, true)
-  }
-
   /** Attach a rollup to a maintained current table: full-build the
     * partials from the live table (the ONE table-sized pass this
     * rollup ever pays outside a rescale), persist the spec, and from
@@ -214,7 +177,7 @@ object RollupTable {
     val dir = s"${rollupRoot(currentDir)}/$name"
     val fs = new Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    require(!fs.exists(metaFile(dir)),
+    require(!fs.exists(PointerDir.metaFile(dir)),
       s"rollup '$name' already attached at $dir — detach it first")
     val cfs = new Path(currentDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -224,7 +187,8 @@ object RollupTable {
         "before attaching (the spec is validated against a real schema)")
     val live = graft.streaming.CurrentTable.read(spark, currentDir)
     requireCols(live.columns.toIndexedSeq, spec, "current table")
-    publish(spark, dir, fs, Meta(nb, None, spec), partialsOf(live, spec))
+    PointerDir.publish(spark, dir, partialsOf(live, spec),
+      renderMeta(nb, spec))
   }
 
   /** Drop a rollup. */
@@ -289,8 +253,6 @@ object RollupTable {
     val touchedSet = touched.toSet
     val publishes = names.flatMap { name =>
       val dir = s"${rollupRoot(currentDir)}/$name"
-      val fs = new Path(dir)
-        .getFileSystem(spark.sessionState.newHadoopConf())
       readMeta(spark, dir).map { meta =>
         requireCols(stageDf.columns.toIndexedSeq, meta.spec,
           s"sink (rollup '$name')")
@@ -318,17 +280,7 @@ object RollupTable {
                 .parquet(untouched: _*), meta.spec)
               .unionByName(fresh)
         }
-        val nonce = java.util.UUID.randomUUID().toString
-        val dataName = s"d_$nonce"
-        partials.coalesce(1).write.mode(SaveMode.Overwrite)
-          .parquet(new Path(dir, dataName).toString)
-        () => {
-          writeMeta(spark, dir, meta.copy(nb = nb, data = Some(dataName)))
-          for (st <- fs.listStatus(new Path(dir))
-              if st.isDirectory && st.getPath.getName.startsWith("d_") &&
-                st.getPath.getName != dataName)
-            fs.delete(st.getPath, true)
-        }
+        PointerDir.stage(spark, dir, partials, renderMeta(nb, meta.spec))
       }
     }
     () => publishes.foreach(_.apply())

@@ -1245,5 +1245,59 @@ object ScalarQueries {
           round(col("max_value"), 2).as("max_value"))
         .orderBy("event_type")
     },
+
+    // Secondary bloom index (ops.BucketIndex): point lookups on a
+    // NON-key column of the maintained current table — the layout
+    // prunes by primary key only, so without the index every such
+    // probe scans all buckets. Per-bucket blooms over the column's
+    // live values, attached after the first sync and MAINTAINED by
+    // the second (the incremental re-bloom path is in the hash), then
+    // probed with the 5 smallest event_ids of the final state. The
+    // oracle filters the ranked-window keep-latest with the same IN
+    // list derived in SQL — equality pins no-false-negative bloom
+    // candidates + the exact post-filter + tombstone exclusion, with
+    // deletes in the log.
+    QueryDef.statefulQ(
+      "q130_secondary_index",
+      """WITH ranked AS (SELECT user_id, event_type, value, event_id,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events),
+        |cur AS (SELECT user_id, event_type, value, event_id
+        | FROM ranked WHERE rn = 1 AND event_type <> 'purchase')
+        |SELECT user_id, event_id, event_type, round(value, 2) AS value
+        |FROM cur
+        |WHERE event_id IN (SELECT event_id FROM cur
+        |                   ORDER BY event_id LIMIT 5)
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val work = QueryDef.tempWorkDir("graft-ct-q130-")
+      val midUs = 1705276800000000L // 2024-01-15T00:00:00Z in micros
+      val log = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("event_id"),
+          unix_micros(col("ts")).as("_ts"),
+          when(col("event_type") === "purchase", "DELETE")
+            .otherwise("UPDATE").as("_op"),
+          when(unix_micros(col("ts")) <= midUs, "h1").otherwise("h2")
+            .as("dt"))
+      val orderCols = Some(Seq(col("_ts"), col("event_id")))
+      log.filter(col("dt") === "h1")
+        .write.mode("append").partitionBy("dt").parquet(s"$work/sink")
+      graft.streaming.CurrentTable.sync(spark, s"$work/sink",
+        s"$work/cur", Seq("user_id"), buckets = 8,
+        orderOverride = orderCols)
+      graft.ops.BucketIndex.attach(spark, s"$work/cur", "event_id")
+      log.filter(col("dt") === "h2")
+        .write.mode("append").partitionBy("dt").parquet(s"$work/sink")
+      graft.streaming.CurrentTable.sync(spark, s"$work/sink",
+        s"$work/cur", Seq("user_id"), orderOverride = orderCols)
+      val probe = graft.streaming.CurrentTable.read(spark, s"$work/cur")
+        .select("event_id").orderBy("event_id").limit(5)
+      graft.ops.BucketIndex.lookupBy(spark, s"$work/cur", "event_id",
+        probe)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"))
+        .orderBy("user_id")
+    },
   )
 }

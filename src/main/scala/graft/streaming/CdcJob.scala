@@ -245,6 +245,42 @@ object CdcJob {
           routeKey -> cols
         }
       },
+      // `sink.current.index.columns` — secondary bloom-index columns
+      // per current table; same raw-key re-keying and fail-fast
+      // validation as sink.current.order.by (an index for a table
+      // nothing materializes, or on a column the table doesn't have,
+      // is dead config or a runtime attach failure — catch it at
+      // assembly)
+      currentIndexColumns = {
+        lazy val keyedTables = JobConfig.nameMap(cfg, "sink.current.keys")
+          .keySet.map(routeKeyOf)
+        JobConfig.nameMap(cfg, "sink.current.index.columns")
+        .map { case (k, v) =>
+          val routeKey = routeKeyOf(k)
+          if (!registry.routed.contains(routeKey))
+            throw new IllegalArgumentException(
+              s"CURRENT-TABLE INDEX FOR UNKNOWN TABLE: $k (known: " +
+                registry.routed.keySet.toSeq.sorted.mkString(", ") + ")")
+          if (!keyedTables.contains(routeKey))
+            throw new IllegalArgumentException(
+              s"sink.current.index.columns for $k requires " +
+                "sink.current.keys for the same table (nothing " +
+                "materializes it otherwise)")
+          val cols = v.split(",").map(_.trim).toSeq
+          if (cols.isEmpty || cols.exists(_.isEmpty))
+            throw new IllegalArgumentException(
+              s"BAD sink.current.index.columns for $k: '$v' " +
+                "(want col1,col2,...)")
+          val fields = registry.routed(routeKey).schema.fieldNames ++
+            graft.ops.EnvelopeDecoder
+              .keptMetadata(cfg("source.type")).map(_.name)
+          for (c <- cols if !fields.exists(_.equalsIgnoreCase(c)))
+            throw new IllegalArgumentException(
+              s"UNKNOWN CURRENT-TABLE INDEX COLUMN for $k: '$c' " +
+                s"(table has: ${fields.mkString(", ")})")
+          routeKey -> cols
+        }
+      },
       // `sink.current.lookup.max.driver.keys` — CurrentTable.lookup's
       // driver-side probe bound, published as the session default by
       // the pipeline; meaningless without current tables to look into

@@ -179,7 +179,19 @@ final case class CdcConfig(
       * Fixed at each table's first sync (persisted in its layout
       * root, like the bucket count).
       */
-    currentOrderBy: Map[String, Seq[String]] = Map.empty) {
+    currentOrderBy: Map[String, Seq[String]] = Map.empty,
+    /** Secondary bloom-index columns per current table
+      * (`sink.current.index.columns`, JSON map of raw `db.table` →
+      * comma-separated NON-key columns): after each listed table's
+      * sync, any configured column not yet indexed is attached
+      * ([[graft.ops.BucketIndex]] — auto-sized blooms, the one
+      * full-build pass) and every later sync maintains it at delta
+      * cost, giving `lookupBy` point lookups on those columns that
+      * read only candidate buckets. Attach-once semantics: an index
+      * already on disk (this config in an earlier run, or a manual
+      * attach) is left alone.
+      */
+    currentIndexColumns: Map[String, Seq[String]] = Map.empty) {
   def name: String = jobName.getOrElse(s"JOB-$sourceId")
 }
 
@@ -728,6 +740,25 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
               org.slf4j.LoggerFactory.getLogger(getClass).info(
                 s"[${config.name}] current-table $key: folded $nf " +
                   s"file(s) into $nbk bucket(s)")
+            // secondary indexes: attach-once per configured column
+            // (the one full-build pass), AFTER the sync above so the
+            // table exists and carries this batch's data; every later
+            // sync maintains attached indexes as part of its fold
+            for (cols <- config.currentIndexColumns.get(key)) {
+              val curDir = s"${dir}__current"
+              // a batch of only zero-row files leaves a cursor-only
+              // table attach would refuse — wait for real data
+              val hasData = new org.apache.hadoop.fs.Path(curDir)
+                .getFileSystem(spark.sessionState.newHadoopConf())
+                .listStatus(new org.apache.hadoop.fs.Path(curDir))
+                .exists(_.getPath.getName.startsWith("kb="))
+              if (hasData) {
+                val have = graft.ops.BucketIndex.list(spark, curDir)
+                  .map(_.toLowerCase).toSet
+                for (c <- cols if !have(c.toLowerCase))
+                  graft.ops.BucketIndex.attach(spark, curDir, c)
+              }
+            }
             // rescale advisory, full syncs only: the O(buckets) stat
             // listing rides the walk that already listed everything
             if (config.currentTargetBucketMb > 0 && scope.isEmpty)

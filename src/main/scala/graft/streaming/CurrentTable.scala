@@ -596,13 +596,16 @@ object CurrentTable {
       case None if maintainCensus => stagedCensus(spark, stage)
       case None => Map.empty
     }
-    // attached rollups: new partials computed and written NOW (the
-    // staged files hold exactly the touched buckets' post-fold
-    // contents, and the swap below deletes the stage), pointer flips
-    // deferred past the swap — see RollupTable.prepareSync for the
-    // crash-convergence argument (overwrite-from-state, like the
-    // census: any replay re-folds to the same partials)
+    // attached rollups and secondary bloom indexes: new partials /
+    // blooms computed and written NOW (the staged files hold exactly
+    // the touched buckets' post-fold contents, and the swap below
+    // deletes the stage), pointer flips deferred past the swap — see
+    // RollupTable.prepareSync for the crash-convergence argument
+    // (overwrite-from-state, like the census: any replay re-folds to
+    // the same artifacts)
     val publishRollups = graft.ops.RollupTable.prepareSync(
+      spark, currentDir, nb, touched.toIndexedSeq, stage)
+    val publishIndexes = graft.ops.BucketIndex.prepareSync(
       spark, currentDir, nb, touched.toIndexedSeq, stage)
     swapBuckets(fs, currentDir, stage, touched.toSeq)
     if (maintainCensus) {
@@ -611,6 +614,7 @@ object CurrentTable {
         bucketOrder)
     }
     publishRollups()
+    publishIndexes()
     // the durable cursor lands LAST, one sidecar per governed
     // partition (plus _root, written after them — see advanceCursor):
     // a crash anywhere above (or between two sidecar writes) re-folds
@@ -1231,9 +1235,11 @@ object CurrentTable {
   /** The hash input is the key's STRING rendering (concat_ws casts
     * every input to string) — same-rendering families are safe,
     * divergent renderings would plan the wrong bucket. ONE check
-    * shared by [[lookup]] and [[Reader]] so they can never drift.
+    * shared by [[lookup]], [[Reader]] and the secondary
+    * [[graft.ops.BucketIndex]] (whose md5 bloom hash is equally
+    * rendering-sensitive) so they can never drift.
     */
-  private def checkProbeTypes(probe: org.apache.spark.sql.types.StructType,
+  private[graft] def checkProbeTypes(probe: org.apache.spark.sql.types.StructType,
       table: org.apache.spark.sql.types.StructType,
       pk: Seq[String]): Unit =
     for (c <- pk) {

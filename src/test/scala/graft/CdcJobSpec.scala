@@ -253,6 +253,28 @@ class CdcJobSpec extends AnyFunSuite {
         "sink.current.keys" -> """{"db.t": "id"}""",
         "sink.current.order.by" -> """{"db.zzz": "id"}"""))
     }.getMessage.contains("UNKNOWN TABLE"))
+    // secondary index columns: re-keyed + validated like order.by —
+    // requires a current table for the same table, unknown table or
+    // column fails at assembly, metadata columns indexable too
+    assert(CdcJob.configFromMap(base).currentIndexColumns.isEmpty)
+    assert(CdcJob.configFromMap(base ++ Map(
+      "sink.current.keys" -> """{"db.t": "id"}""",
+      "sink.current.index.columns" -> """{"db.t": "id,_ts"}"""))
+      .currentIndexColumns == Map("db.t" -> Seq("id", "_ts")))
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base +
+        ("sink.current.index.columns" -> """{"db.t": "name"}"""))
+    }.getMessage.contains("sink.current.keys"))
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base ++ Map(
+        "sink.current.keys" -> """{"db.t": "id"}""",
+        "sink.current.index.columns" -> """{"db.t": "nope"}"""))
+    }.getMessage.contains("INDEX COLUMN"))
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base ++ Map(
+        "sink.current.keys" -> """{"db.t": "id"}""",
+        "sink.current.index.columns" -> """{"db.zzz": "name"}"""))
+    }.getMessage.contains("UNKNOWN TABLE"))
     // lookup probe bound: default off (session default governs),
     // explicit, requires current tables, junk fails like the others
     assert(CdcJob.configFromMap(base).currentLookupMaxDriverKeys == 0)

@@ -273,6 +273,39 @@ class CdcPipelineSpec extends AnyFunSuite {
       s"rollup after pipeline batches: ${r.mkString}")
   }
 
+  test("sink.current.index.columns auto-attaches a bloom index the " +
+      "pipeline then maintains; lookupBy prunes to candidate buckets") {
+    val in = tmp(); val out = tmp()
+    writeFixture(in, "00-snapshot.jsonl", (1 to 24).map(i =>
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        s""""id":{"int":$i},"name":{"string":"u$i"},"balance":null""")))
+    val cfg = CdcConfig("srcIx", registry, out.toString,
+      currentKeys = Map("testdb.users" -> Seq("id")),
+      currentIndexColumns = Map("testdb.users" -> Seq("name")),
+      currentBuckets = 8)
+    run(cfg, in)
+    val cur = s"$out/srcIx_testdb__users__current"
+    assert(graft.ops.BucketIndex.list(spark, cur) == Seq("name"))
+    // a later batch updates a value; the maintained index must follow
+    writeFixture(in, "01-changes.jsonl", Seq(
+      row("UPDATE", "users", 1700000100000L, "mysql-bin.000001", 100,
+        """"id":{"int":7},"name":{"string":"renamed"},"balance":null""")))
+    run(cfg, in)
+    import spark.implicits._
+    val hit = graft.ops.BucketIndex.lookupBy(spark, cur, "name",
+      Seq("renamed").toDF("name"))
+    assert(hit.select("id").collect().map(_.getInt(0)).toSeq == Seq(7))
+    assert(graft.ops.BucketIndex.lookupBy(spark, cur, "name",
+      Seq("u7").toDF("name")).count() == 0)
+    // and the probe read fewer buckets than the table holds
+    val nBuckets = new java.io.File(cur).listFiles()
+      .count(_.getName.startsWith("kb="))
+    val readBuckets = hit.inputFiles
+      .flatMap(_.split('/').find(_.startsWith("kb="))).toSet
+    assert(readBuckets.size < nBuckets,
+      s"no prune: $readBuckets of $nBuckets")
+  }
+
   test("sink.current.order.by flows config -> pipeline -> sorted " +
       "bucket files in the maintained current table") {
     val in = tmp(); val out = tmp()
