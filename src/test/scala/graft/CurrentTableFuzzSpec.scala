@@ -45,6 +45,45 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
       .select("id", "name").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
 
+  /** The rollup must equal a direct aggregate over the live state and
+    * the index probe must equal the exact filter — at ANY point in
+    * the schedule (a rescale may have left them stale-keyed: the
+    * rollup still merges correctly across buckets, the index detects
+    * the modulus and full-scans).
+    */
+  private def assertDerived(cur: String, rnd: scala.util.Random,
+      seed: Int, step: Int): Unit = {
+    val live = CurrentTable.read(spark, cur)
+    val direct = live.agg(count(lit(1)).as("n"), sum("_ts").as("sum_ts"),
+        min("name").as("lo"), max("name").as("hi"))
+      .collect()(0)
+    val rolled = graft.ops.RollupTable.read(spark, cur, "fz")
+      .select("n", "sum_ts", "lo", "hi").collect()
+    if (direct.getLong(0) == 0L)
+      // every key deleted: partials may be absent entirely (no live
+      // rows in any bucket) or merge to a null/zero count
+      assert(rolled.isEmpty || rolled(0).isNullAt(0) ||
+        rolled(0).getLong(0) == 0L,
+        s"seed $seed step $step: rollup nonzero on empty state")
+    else {
+      assert(rolled.length == 1 && rolled(0) == direct,
+        s"seed $seed step $step: rollup ${rolled.toSeq} != $direct")
+    }
+    // probe one live value and one that never existed
+    val names = live.select("name").collect().map(_.getString(0))
+    val probes = (if (names.isEmpty) Nil
+      else Seq(names(rnd.nextInt(names.length)))) :+ "never-written"
+    for (p <- probes) {
+      val viaIndex = graft.ops.BucketIndex.lookupBy(spark, cur, "name",
+          Seq(p).toDF("name"))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val viaScan = live.filter(col("name") === p)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(viaIndex == viaScan,
+        s"seed $seed step $step: index diverged on '$p'")
+    }
+  }
+
   test("random changelogs under random maintenance schedules always " +
       "converge to the TimeTravel oracle") {
     for (seed <- 1 to 5) {
@@ -84,6 +123,22 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
         CurrentTable.sync(spark, sink, cur, Seq("id"),
           buckets = 1 + rnd.nextInt(8), orderOverride = Some(order),
           scope = if (step == 0) None else scope)
+        // a maintained ROLLUP and a secondary bloom INDEX ride the
+        // whole schedule from the first fold: every sync must keep
+        // both equal to a direct recompute/filter over the live state
+        // no matter what maintenance (rescales, fabricated crashes,
+        // compaction re-folds, vanished sidecars) happened in between
+        if (step == 0) {
+          graft.ops.RollupTable.attach(spark, cur, "fz",
+            graft.ops.RollupTable.Spec(Nil, Seq(
+              graft.ops.RollupTable.Agg("count", "*", "n"),
+              graft.ops.RollupTable.Agg("sum", "_ts", "sum_ts"),
+              graft.ops.RollupTable.Agg("min", "name", "lo"),
+              graft.ops.RollupTable.Agg("max", "name", "hi"))))
+          graft.ops.BucketIndex.attach(spark, cur, "name")
+        } else if (rnd.nextInt(2) == 0) {
+          assertDerived(cur, rnd, seed, step)
+        }
         // ONE prepared Reader lives through the whole schedule: every
         // fold/prune/rescale/crash-heal it survives must be visible
         // through its root-signature revalidation — probed right
@@ -190,6 +245,8 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
         orderOverride = Some(order))
       assert(liveState(cur) == oracle(sink),
         s"seed $seed diverged from the oracle")
+      // the derived artifacts converged with the table
+      assertDerived(cur, rnd, seed, -1)
       // raw table: exactly one row per key ever seen, tombstones for
       // exactly the keys whose latest change is a DELETE
       val raw = spark.read.parquet(cur)
