@@ -31,6 +31,7 @@ object GraftExtensions {
   val All: Seq[(String, Seq[Expression] => Expression)] =
     VectorExpressions.Builders ++
       TextHashes.Builders ++ BloomSketch.Builders ++
+      KmvSketch.StateBuilders ++
       Seq(KmvSketch.FnName -> (KmvSketch.fromExprs _),
         CmsSketch.FnName -> (CmsSketch.fromExprs _),
         TopKAgg.FnName -> (TopKAgg.fromExprs _))

@@ -126,4 +126,143 @@ object KmvSketch {
     ensureRegistered(spark)
     call_function(FnName, hash, lit(k))
   }
+
+  /** The MATERIALIZED sketch (sorted ≤k min-hash array) instead of the
+    * estimate — the mergeable-partial form a maintained rollup stores
+    * per bucket: the k smallest distinct hashes of a union are always
+    * contained in the union of each part's k smallest, so re-merging
+    * materialized sketches ([[kmvMergeEstimate]]) is EXACTLY the
+    * sketch of the whole set, never an approximation of an
+    * approximation.
+    */
+  def kmvState(spark: SparkSession, hash: Column, k: Int): Column = {
+    graft.GraftExtensions.ensure(spark, StateBuilders)
+    call_function(StateFnName, hash, lit(k))
+  }
+
+  /** Merge materialized sketches (array<long> columns) and evaluate
+    * the same estimator [[kmvDistinct]] uses — exact below k distinct.
+    */
+  def kmvMergeEstimate(spark: SparkSession, sketches: Column,
+      k: Int): Column = {
+    graft.GraftExtensions.ensure(spark, StateBuilders)
+    call_function(MergeFnName, sketches, lit(k))
+  }
+
+  val StateFnName = "graft_kmv_state"
+  val MergeFnName = "graft_kmv_merge"
+
+  private def literalK(exprs: Seq[Expression], fn: String): Int =
+    exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: k must be an INTEGER literal, got $other")
+    }
+
+  val StateBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    StateFnName -> (es =>
+      KmvState(es.head, literalK(es, StateFnName)).toAggregateExpression()),
+    MergeFnName -> (es =>
+      KmvMerge(es.head, literalK(es, MergeFnName)).toAggregateExpression()))
+}
+
+/** [[KmvSketch]] evaluating to the materialized sorted min-hash array
+  * (the mergeable partial) instead of the estimate. Same buffer, same
+  * update/merge — only eval differs.
+  */
+case class KmvState(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.TreeSet[Long]] {
+
+  private val inner = KmvSketch(child, k)
+
+  override def createAggregationBuffer(): scala.collection.mutable.TreeSet[Long] =
+    scala.collection.mutable.TreeSet.empty[Long]
+  override def update(buf: scala.collection.mutable.TreeSet[Long],
+      input: InternalRow): scala.collection.mutable.TreeSet[Long] =
+    inner.update(buf, input)
+  override def merge(buf: scala.collection.mutable.TreeSet[Long],
+      other: scala.collection.mutable.TreeSet[Long]): scala.collection.mutable.TreeSet[Long] =
+    inner.merge(buf, other)
+  override def eval(buf: scala.collection.mutable.TreeSet[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+  override def serialize(buf: scala.collection.mutable.TreeSet[Long]): Array[Byte] =
+    inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.TreeSet[Long] =
+    inner.deserialize(bytes)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): KmvState =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvState =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): KmvState = copy(child = c.head)
+}
+
+/** Union materialized [[KmvState]] sketches back into one bounded
+  * buffer and evaluate the estimator — the read side of sketch
+  * partials. Input rows are array<long> sketches; k must match the
+  * k the states were built with (a smaller k would under-merge, a
+  * larger one would mistake a capped sketch for an exact set).
+  */
+case class KmvMerge(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.TreeSet[Long]] {
+
+  private val domain = 1.152921504606846976e18 // 16^15
+  private val inner = KmvSketch(child, k)
+
+  override def createAggregationBuffer(): scala.collection.mutable.TreeSet[Long] =
+    scala.collection.mutable.TreeSet.empty[Long]
+
+  override def update(buf: scala.collection.mutable.TreeSet[Long],
+      input: InternalRow): scala.collection.mutable.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        add(buf, arr.getLong(i)); i += 1
+      }
+    }
+    buf
+  }
+
+  private def add(buf: scala.collection.mutable.TreeSet[Long], v: Long): Unit =
+    if (buf.size < k) buf += v
+    else if (v < buf.last && !buf.contains(v)) { buf += v; buf -= buf.last }
+
+  override def merge(buf: scala.collection.mutable.TreeSet[Long],
+      other: scala.collection.mutable.TreeSet[Long]): scala.collection.mutable.TreeSet[Long] = {
+    other.foreach(add(buf, _))
+    buf
+  }
+
+  override def eval(buf: scala.collection.mutable.TreeSet[Long]): Any =
+    if (buf.size < k) buf.size.toDouble
+    else (k - 1) * domain / buf.last
+
+  override def serialize(buf: scala.collection.mutable.TreeSet[Long]): Array[Byte] =
+    inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.TreeSet[Long] =
+    inner.deserialize(bytes)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): KmvMerge =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvMerge =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): KmvMerge = copy(child = c.head)
 }

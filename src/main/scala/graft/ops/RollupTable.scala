@@ -57,12 +57,19 @@ import org.apache.spark.sql.functions._
   */
 object RollupTable {
 
-  /** One measure: `op` ∈ count/sum/min/max over `col` (count takes
-    * `*`), published as column `as`. avg is deliberately absent —
-    * declare sum + count and divide at read; storing a ratio as a
-    * partial would not merge.
+  /** One measure: `op` ∈ count/sum/min/max/countd over `col` (count
+    * takes `*`), published as column `as`. avg is deliberately
+    * absent — declare sum + count and divide at read; storing a
+    * ratio as a partial would not merge. `countd` is the KMV
+    * approximate distinct count ([[graft.functions.KmvSketch]],
+    * deterministic and SQL-mirrorable like q60, EXACT below `k`
+    * distinct values): the partial is the materialized ≤k min-hash
+    * sketch, and merging bucket sketches is exactly the sketch of
+    * the whole table — a distinct count maintained at delta cost,
+    * which no exact partial can do (distinct does not decompose
+    * across buckets for non-key columns).
     */
-  case class Agg(op: String, col: String, as: String)
+  case class Agg(op: String, col: String, as: String, k: Int = 256)
 
   case class Spec(dims: Seq[String], aggs: Seq[Agg]) {
     require(aggs.nonEmpty, "rollup: no aggregates declared")
@@ -72,10 +79,13 @@ object RollupTable {
       dims.size + aggs.size,
       "rollup: a measure output name collides with a dimension")
     for (a <- aggs) {
-      require(Set("count", "sum", "min", "max")(a.op),
-        s"rollup: unsupported aggregate '${a.op}' (count/sum/min/max)")
+      require(Set("count", "sum", "min", "max", "countd")(a.op),
+        s"rollup: unsupported aggregate '${a.op}' " +
+          "(count/sum/min/max/countd)")
       require(a.op == "count" || a.col != "*",
         s"rollup: ${a.op}(*) is not an aggregate — name a column")
+      require(a.op != "countd" || a.k > 1,
+        s"rollup: countd k must be > 1, got ${a.k}")
     }
   }
 
@@ -90,12 +100,16 @@ object RollupTable {
 
   private def renderMeta(nb: Int, spec: Spec)(data: String): Seq[String] =
     Seq(s"nb=$nb", s"data=$data", s"dims=${spec.dims.mkString(",")}") ++
-      spec.aggs.map(a => s"agg=${a.op}:${a.col}:${a.as}")
+      spec.aggs.map { a =>
+        val kSuffix = if (a.op == "countd") s":${a.k}" else ""
+        s"agg=${a.op}:${a.col}:${a.as}$kSuffix"
+      }
 
   private def parseMeta(lines: Seq[String]): Meta = {
     val aggs = lines.filter(_.startsWith("agg=")).map { l =>
-      l.drop(4).split(":", 3) match {
+      l.drop(4).split(":", 4) match {
         case Array(op, c, as) => Agg(op, c, as)
+        case Array(op, c, as, k) => Agg(op, c, as, k.toInt)
         case _ => throw new IllegalStateException(
           s"rollup meta: malformed '$l'")
       }
@@ -112,9 +126,11 @@ object RollupTable {
 
   /** The partial-aggregate columns for one bucket-grouped pass. Count
     * partials are SUMs at merge time, so they materialize as longs;
-    * sum/min/max keep the input column's own type.
+    * sum/min/max keep the input column's own type; countd stores the
+    * materialized ≤k min-hash sketch (array<long>).
     */
-  private def partialCols(spec: Spec): Seq[org.apache.spark.sql.Column] =
+  private def partialCols(spark: SparkSession,
+      spec: Spec): Seq[org.apache.spark.sql.Column] =
     spec.aggs.map { a =>
       (a.op match {
         case "count" =>
@@ -122,19 +138,26 @@ object RollupTable {
         case "sum" => sum(col(a.col))
         case "min" => min(col(a.col))
         case "max" => max(col(a.col))
+        case "countd" => graft.functions.KmvSketch.kmvState(spark,
+          graft.functions.KmvSketch.md5Hash60(col(a.col)), a.k)
       }).as(a.as)
     }
 
   /** Merge partials ACROSS buckets into the global rollup: counts and
     * sums re-sum, min/max re-min/max — null partials (an all-null
-    * bucket) fall out exactly as they would in the direct aggregate.
+    * bucket) fall out exactly as they would in the direct aggregate —
+    * and countd sketches union back into one bounded sketch, which
+    * for k-min sets is EXACTLY the whole table's sketch.
     */
-  private def mergeCols(spec: Spec): Seq[org.apache.spark.sql.Column] =
+  private def mergeCols(spark: SparkSession,
+      spec: Spec): Seq[org.apache.spark.sql.Column] =
     spec.aggs.map { a =>
       (a.op match {
         case "count" | "sum" => sum(col(a.as))
         case "min" => min(col(a.as))
         case "max" => max(col(a.as))
+        case "countd" => graft.functions.KmvSketch.kmvMergeEstimate(
+          spark, col(a.as), a.k)
       }).as(a.as)
     }
 
@@ -154,11 +177,13 @@ object RollupTable {
     * [[graft.streaming.CurrentTable.read]] rather than the raw
     * buckets.
     */
-  private def partialsOf(df: DataFrame, spec: Spec): DataFrame =
+  private def partialsOf(df: DataFrame, spec: Spec): DataFrame = {
+    val cols = partialCols(df.sparkSession, spec)
     df.filter(!TimeTravel.isTombstone)
       .withColumn("kb", col("kb").cast("int"))
       .groupBy(("kb" +: spec.dims).map(col): _*)
-      .agg(partialCols(spec).head, partialCols(spec).tail: _*)
+      .agg(cols.head, cols.tail: _*)
+  }
 
   /** Attach a rollup to a maintained current table: full-build the
     * partials from the live table (the ONE table-sized pass this
@@ -227,7 +252,8 @@ object RollupTable {
     val grouped =
       if (meta.spec.dims.isEmpty) partials.groupBy()
       else partials.groupBy(meta.spec.dims.map(col): _*)
-    grouped.agg(mergeCols(meta.spec).head, mergeCols(meta.spec).tail: _*)
+    val cols = mergeCols(spark, meta.spec)
+    grouped.agg(cols.head, cols.tail: _*)
   }
 
   /** Sync-side maintenance, two-phase around the bucket swap. Called

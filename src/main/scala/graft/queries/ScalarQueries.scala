@@ -1299,5 +1299,70 @@ object ScalarQueries {
           round(col("value"), 2).as("value"))
         .orderBy("user_id")
     },
+
+    // Distinct-count ROLLUP measure (RollupTable op "countd"): the
+    // one aggregate no exact partial can maintain — distinct does not
+    // decompose across key buckets for non-key columns — held as a
+    // materialized KMV min-hash sketch per bucket; merging bucket
+    // sketches is EXACTLY the whole-table sketch (the global k
+    // smallest hashes survive in some bucket's k smallest). Two
+    // measures pin both regimes: distinct users (cardinality >> k=256
+    // → the estimator) and distinct event types (< k → exact count),
+    // both maintained through a delta sync with deletes. The oracle
+    // re-derives the q60 estimator in SQL over the ranked-window
+    // keep-latest state — hash equality means the sketch a sync
+    // maintained per bucket merged to the estimator an independent
+    // engine computes from scratch.
+    QueryDef.statefulQ(
+      "q131_rollup_countd",
+      """WITH ranked AS (SELECT user_id, event_type,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events),
+        |cur AS (SELECT user_id, event_type FROM ranked
+        |        WHERE rn = 1 AND event_type <> 'purchase'),
+        |hu AS (SELECT DISTINCT
+        |   ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+        | FROM cur),
+        |ru AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+        |   count(*) OVER () AS cnt FROM hu),
+        |eu AS (SELECT CASE WHEN cnt < 256 THEN CAST(cnt AS DOUBLE)
+        |   ELSE 255 * 1152921504606846976.0 / hv END AS d_users
+        | FROM ru WHERE rn = least(256, cnt)),
+        |ht AS (SELECT DISTINCT
+        |   ('0x'||substr(md5(event_type),1,15))::BIGINT AS hv
+        | FROM cur),
+        |rt AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+        |   count(*) OVER () AS cnt FROM ht),
+        |et AS (SELECT CASE WHEN cnt < 256 THEN CAST(cnt AS DOUBLE)
+        |   ELSE 255 * 1152921504606846976.0 / hv END AS d_types
+        | FROM rt WHERE rn = least(256, cnt))
+        |SELECT d_users, d_types FROM eu, et""".stripMargin) { (spark, dir) =>
+      val work = QueryDef.tempWorkDir("graft-ct-q131-")
+      val midUs = 1705276800000000L // 2024-01-15T00:00:00Z in micros
+      val log = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("_ts"),
+          when(col("event_type") === "purchase", "DELETE")
+            .otherwise("UPDATE").as("_op"),
+          when(unix_micros(col("ts")) <= midUs, "h1").otherwise("h2")
+            .as("dt"))
+      val orderCols = Some(Seq(col("_ts"), col("event_id")))
+      log.filter(col("dt") === "h1")
+        .write.mode("append").partitionBy("dt").parquet(s"$work/sink")
+      graft.streaming.CurrentTable.sync(spark, s"$work/sink",
+        s"$work/cur", Seq("user_id"), buckets = 8,
+        orderOverride = orderCols)
+      graft.ops.RollupTable.attach(spark, s"$work/cur", "d",
+        graft.ops.RollupTable.Spec(Nil, Seq(
+          graft.ops.RollupTable.Agg("countd", "user_id", "d_users"),
+          graft.ops.RollupTable.Agg("countd", "event_type", "d_types"))))
+      log.filter(col("dt") === "h2")
+        .write.mode("append").partitionBy("dt").parquet(s"$work/sink")
+      graft.streaming.CurrentTable.sync(spark, s"$work/sink",
+        s"$work/cur", Seq("user_id"), orderOverride = orderCols)
+      graft.ops.RollupTable.read(spark, s"$work/cur", "d")
+        .select(col("d_users"), col("d_types"))
+    },
   )
 }

@@ -55,10 +55,12 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
       seed: Int, step: Int): Unit = {
     val live = CurrentTable.read(spark, cur)
     val direct = live.agg(count(lit(1)).as("n"), sum("_ts").as("sum_ts"),
-        min("name").as("lo"), max("name").as("hi"))
+        min("name").as("lo"), max("name").as("hi"),
+        graft.functions.KmvSketch.kmvDistinct(spark,
+          graft.functions.KmvSketch.md5Hash60(col("name")), 4).as("dn"))
       .collect()(0)
     val rolled = graft.ops.RollupTable.read(spark, cur, "fz")
-      .select("n", "sum_ts", "lo", "hi").collect()
+      .select("n", "sum_ts", "lo", "hi", "dn").collect()
     if (direct.getLong(0) == 0L)
       // every key deleted: partials may be absent entirely (no live
       // rows in any bucket) or merge to a null/zero count
@@ -134,7 +136,9 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
               graft.ops.RollupTable.Agg("count", "*", "n"),
               graft.ops.RollupTable.Agg("sum", "_ts", "sum_ts"),
               graft.ops.RollupTable.Agg("min", "name", "lo"),
-              graft.ops.RollupTable.Agg("max", "name", "hi"))))
+              graft.ops.RollupTable.Agg("max", "name", "hi"),
+              // tiny k so schedules cross the exact/estimator boundary
+              graft.ops.RollupTable.Agg("countd", "name", "dn", k = 4))))
           graft.ops.BucketIndex.attach(spark, cur, "name")
         } else if (rnd.nextInt(2) == 0) {
           assertDerived(cur, rnd, seed, step)

@@ -25,7 +25,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(spark.sessionState.functionRegistry
         .functionExists(FunctionIdentifier(n)), s"$n not in registry")
     }
-    assert(GraftExtensions.All.size == 12) // one SQL call each below
+    assert(GraftExtensions.All.size == 14) // one SQL call each below
     // int8 codec pair: code 0 for the min, roundtrip lands mid-cell
     val codec = spark.sql(
       """SELECT graft_quant(array(0.0D, 1.0D), array(0.0D, 0.0D),
@@ -75,6 +75,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |WHERE NOT graft_bloom_contains(b.g, r.id)""".stripMargin)
       .collect()(0).getLong(0)
     assert(misses == 0L)
+    // KMV state/merge pair: materialized sketches re-merge to the
+    // same exact count a single-pass sketch gives below k
+    val merged = spark.sql(
+      """SELECT graft_kmv_merge(s, 256) AS d FROM (
+        |  SELECT graft_kmv_state(CAST(conv(substring(md5(CAST(id AS STRING)),
+        |    1, 15), 16, 10) AS BIGINT), 256) AS s
+        |  FROM range(100) GROUP BY id % 7)""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(merged == 100.0)
     // top-k heap: k survivors, ascending by (priority, id)
     val top = spark.sql(
       """SELECT graft_topk(md5(CAST(id AS STRING)), id, 5) AS t
@@ -95,6 +104,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "graft_minhash" -> Seq(
         Literal.create(Seq("a b"), ArrayType(StringType))),
       "graft_kmv" -> Seq(Literal(1L), Literal(256)),
+      "graft_kmv_state" -> Seq(Literal(1L), Literal(256)),
+      "graft_kmv_merge" -> Seq(
+        Literal.create(Seq(1L, 2L), ArrayType(LongType)), Literal(256)),
       "graft_cms" -> Seq(Literal(1L), Literal(64)),
       "graft_bloom" -> Seq(Literal(1L), Literal(1024)),
       "graft_bloom_contains" -> Seq(

@@ -250,6 +250,43 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
 
+  test("rollup read: one scan of the tiny partials and one aggregate " +
+      "exchange — never a join, never a table scan; lookupBy " +
+      "broadcasts the probe onto the candidate buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-plan-ru-").toString
+    spark.range(2000)
+      .select(col("id"), concat(lit("v"), col("id") % 10).as("name"),
+        lit("UPDATE").as("_op"), (lit(1000L) + col("id")).as("_ts"),
+        lit("f1").as("_binlog_file_internal"),
+        col("id").as("_binlog_pos_internal"),
+        lit("2024-01-01").as("dt"))
+      .write.mode("append").partitionBy("dt").parquet(s"$work/sink")
+    graft.streaming.CurrentTable.sync(spark, s"$work/sink",
+      s"$work/cur", Seq("id"), buckets = 16)
+    graft.ops.RollupTable.attach(spark, s"$work/cur", "by_name",
+      graft.ops.RollupTable.Spec(Seq("name"), Seq(
+        graft.ops.RollupTable.Agg("count", "*", "n"))))
+    val rplan = planOf(graft.ops.RollupTable.read(spark, s"$work/cur",
+      "by_name")).split("== Initial Plan ==").head
+    // serving cost is O(buckets x groups): exactly one parquet scan
+    // (the partials), no join, and the scan path points at _rollup —
+    // a table-dir scan here would mean the read is secretly a recompute
+    assert("Scan parquet".r.findAllIn(rplan).size == 1, rplan.take(1200))
+    assert(!rplan.contains("Join"), rplan.take(800))
+    assert(rplan.contains("_rollup"), rplan.take(1200))
+
+    graft.ops.BucketIndex.attach(spark, s"$work/cur", "name")
+    val probed = graft.ops.BucketIndex.lookupBy(spark, s"$work/cur",
+      "name", Seq("v7").toDF("name"))
+    val iplan = planOf(probed).split("== Initial Plan ==").head
+    assert(iplan.contains("BroadcastHashJoin") &&
+      iplan.contains("LeftSemi"), iplan.take(800))
+    assert(!iplan.contains("SortMergeJoin"), iplan.take(800))
+  }
+
   test("readEvolved: one pk shuffle over the fork union, no join at " +
       "all — the cross-fork merge moves #keys x #forks rows once") {
     import org.apache.spark.sql.functions._

@@ -169,6 +169,36 @@ class RollupTableSpec extends AnyFunSuite {
     assert(rolled(cur) == direct(cur))
   }
 
+  test("countd: merged bucket sketches equal the whole-table KMV " +
+      "exactly, stay exact below k, and deletes shrink the count") {
+    val sink = Files.createTempDirectory("graft-ru-").resolve("s").toString
+    val cur = Files.createTempDirectory("graft-ru-cur-").toString
+    append(sink, (1L to 64L).map(i =>
+      (i, if (i <= 40) "a" else "b", i.toDouble, "CREATE", 1000L + i)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 8)
+    RollupTable.attach(spark, cur, "d", Spec(Nil, Seq(
+      Agg("countd", "cat", "d_cats"),         // 2 distinct < k: exact
+      Agg("countd", "id", "d_ids", k = 16)))) // 64 > k: estimator path
+    def readD(): (Double, Double) = {
+      val r = RollupTable.read(spark, cur, "d").collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // the merged-sketch estimate must equal a DIRECT single-pass KMV
+    // over the same live rows — k-min of unioned k-min sets is the
+    // global k-min set, so this is exact equality, not approximate
+    def directKmv(c: String, k: Int): Double =
+      CurrentTable.read(spark, cur)
+        .agg(graft.functions.KmvSketch.kmvDistinct(spark,
+          graft.functions.KmvSketch.md5Hash60(col(c)), k))
+        .collect()(0).getDouble(0)
+    assert(readD() == ((2.0, directKmv("id", 16))))
+    // delete every 'b' row: the recomputed bucket sketches drop the
+    // values — the thing a delta-maintained sketch cannot do
+    append(sink, (41L to 64L).map(i => (i, "b", i.toDouble, "DELETE", 5000L + i)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(readD() == ((1.0, directKmv("id", 16))))
+  }
+
   test("global rollup (no dims), multiple rollups per table, list and " +
       "detach") {
     val sink = Files.createTempDirectory("graft-ru-").resolve("s").toString
