@@ -73,6 +73,7 @@ object Graft {
       .filter(n => n.startsWith(prefix) && !n.startsWith("_") &&
         !n.startsWith(".") && !n.contains("._"))
       .sorted
+    val rollupViews = scala.collection.mutable.ArrayBuffer.empty[String]
     val registered = names.filter { n =>
       val dir = s"$sinkRoot/$n"
       val manifest = s"$dir._zonemaps"
@@ -90,6 +91,16 @@ object Graft {
             graft.ops.ZoneMapTable(spark, dir, manifest)
           else spark.read.parquet(dir)
         df.createOrReplaceTempView(n.stripPrefix(prefix))
+        // a current table's maintained rollups are SQL tables too:
+        // `<view>__<rollup>` serves the partials-merge read — the
+        // O(groups) dashboard path — instead of making SQL users
+        // re-aggregate the table the rollup exists to avoid
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_synced.txt")))
+          for (r <- graft.ops.RollupTable.list(spark, dir)) {
+            graft.ops.RollupTable.read(spark, dir, r)
+              .createOrReplaceTempView(s"${n.stripPrefix(prefix)}__$r")
+            rollupViews += s"${n.stripPrefix(prefix)}__$r"
+          }
         true
       } catch {
         // one table mid-crashed-swap must not take the whole lake's
@@ -124,8 +135,8 @@ object Graft {
           case _ => None
         }
       }
-    (names.filter(registered).map(_.stripPrefix(prefix)) ++ logical)
-      .sorted
+    (names.filter(registered).map(_.stripPrefix(prefix)) ++ logical ++
+      rollupViews).sorted
   }
 
   /** MinHash LSH band buckets `(doc_id, band, bucket)` for any

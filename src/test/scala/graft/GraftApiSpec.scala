@@ -293,11 +293,20 @@ class GraftApiSpec extends AnyFunSuite {
       .write.mode("overwrite").partitionBy("dt").parquet(sink)
     graft.streaming.CurrentTable.sync(spark, sink, s"${sink}__current",
       Seq("id"), buckets = 4)
+    // an attached rollup becomes a SQL table of its own: the
+    // partials-merge read, not a re-aggregation of the current view
+    graft.ops.RollupTable.attach(spark, s"${sink}__current", "totals",
+      graft.ops.RollupTable.Spec(Nil, Seq(
+        graft.ops.RollupTable.Agg("count", "*", "n"))))
     val views3 = Graft.registerSinkTables(spark, root, "lake1")
     assert(views3.contains("db__events__current"))
     assert(spark.sql("SELECT count(*) FROM db__events__current")
       .as[Long].head() == 19L,
       "the deleted key's tombstone row must not surface in SQL")
+    assert(views3.contains("db__events__current__totals"))
+    assert(spark.sql("SELECT n FROM db__events__current__totals")
+      .as[Long].head() == 19L,
+      "the rollup view must serve the maintained partials")
 
     // ONE table with a crashed bucket swap must not take down the
     // whole lake's SQL surface: the broken table is skipped (querying
