@@ -245,10 +245,9 @@ object BucketIndex {
     * once per rescale, the cost the rescale itself already paid.
     */
   private[graft] def prepareSync(spark: SparkSession, currentDir: String,
-      nb: Int, touched: Seq[Int], stage: String): () => Unit = {
+      nb: Int, touched: Seq[Int], stageDf: DataFrame): () => Unit = {
     val cols = list(spark, currentDir)
     if (cols.isEmpty) return () => ()
-    val stageDf = spark.read.option("basePath", stage).parquet(stage)
     val touchedSet = touched.toSet
     val publishes = cols.flatMap { column =>
       val dir = s"${indexRoot(currentDir)}/$column"

@@ -272,10 +272,9 @@ object RollupTable {
     * converges with the table.
     */
   private[graft] def prepareSync(spark: SparkSession, currentDir: String,
-      nb: Int, touched: Seq[Int], stage: String): () => Unit = {
+      nb: Int, touched: Seq[Int], stageDf: DataFrame): () => Unit = {
     val names = list(spark, currentDir)
     if (names.isEmpty) return () => ()
-    val stageDf = spark.read.option("basePath", stage).parquet(stage)
     val touchedSet = touched.toSet
     val publishes = names.flatMap { name =>
       val dir = s"${rollupRoot(currentDir)}/$name"

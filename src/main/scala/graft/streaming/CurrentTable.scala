@@ -602,19 +602,30 @@ object CurrentTable {
     // deletes the stage), pointer flips deferred past the swap — see
     // RollupTable.prepareSync for the crash-convergence argument
     // (overwrite-from-state, like the census: any replay re-folds to
-    // the same artifacts)
-    val publishRollups = graft.ops.RollupTable.prepareSync(
-      spark, currentDir, nb, touched.toIndexedSeq, stage)
-    val publishIndexes = graft.ops.BucketIndex.prepareSync(
-      spark, currentDir, nb, touched.toIndexedSeq, stage)
+    // the same artifacts). ONE stage frame, cached when more than one
+    // artifact will aggregate it — K artifacts cost one delta read,
+    // not K
+    val artifacts = graft.ops.RollupTable.list(spark, currentDir).size +
+      graft.ops.BucketIndex.list(spark, currentDir).size
+    val publishArtifacts: () => Unit =
+      if (artifacts == 0) () => () // no footer open for plain tables
+      else {
+        val stageDf = spark.read.option("basePath", stage).parquet(stage)
+        if (artifacts > 1) stageDf.persist()
+        val pr = graft.ops.RollupTable.prepareSync(
+          spark, currentDir, nb, touched.toIndexedSeq, stageDf)
+        val pi = graft.ops.BucketIndex.prepareSync(
+          spark, currentDir, nb, touched.toIndexedSeq, stageDf)
+        if (artifacts > 1) stageDf.unpersist()
+        () => { pr(); pi() }
+      }
     swapBuckets(fs, currentDir, stage, touched.toSeq)
     if (maintainCensus) {
       val old = root.flatMap(_.census).getOrElse(Map.empty[Int, Long])
       writeRoot(spark, currentDir, nb, Some(old -- touched ++ touchedMin),
         bucketOrder)
     }
-    publishRollups()
-    publishIndexes()
+    publishArtifacts()
     // the durable cursor lands LAST, one sidecar per governed
     // partition (plus _root, written after them — see advanceCursor):
     // a crash anywhere above (or between two sidecar writes) re-folds
