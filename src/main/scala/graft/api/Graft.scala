@@ -94,12 +94,24 @@ object Graft {
         // a current table's maintained rollups are SQL tables too:
         // `<view>__<rollup>` serves the partials-merge read — the
         // O(groups) dashboard path — instead of making SQL users
-        // re-aggregate the table the rollup exists to avoid
+        // re-aggregate the table the rollup exists to avoid. Each
+        // rollup registers in ITS OWN guard: one corrupted rollup
+        // meta must not take down its healthy base table's view (or
+        // the rest of the lake) — it is skipped with a warning and
+        // stays a loud TABLE_NOT_FOUND
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_synced.txt")))
           for (r <- graft.ops.RollupTable.list(spark, dir)) {
-            graft.ops.RollupTable.read(spark, dir, r)
-              .createOrReplaceTempView(s"${n.stripPrefix(prefix)}__$r")
-            rollupViews += s"${n.stripPrefix(prefix)}__$r"
+            val vn = s"${n.stripPrefix(prefix)}__$r"
+            try {
+              graft.ops.RollupTable.read(spark, dir, r)
+                .createOrReplaceTempView(vn)
+              rollupViews += vn
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"skipping rollup view $vn — ${e.getMessage}")
+                spark.catalog.dropTempView(vn)
+            }
           }
         true
       } catch {

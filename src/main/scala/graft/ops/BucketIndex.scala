@@ -44,10 +44,8 @@ object BucketIndex {
 
   private def indexRoot(currentDir: String) = s"$currentDir/_index"
 
-  private def validColumn(c: String): Unit =
-    require(c.nonEmpty && c.forall(ch =>
-      ch.isLetterOrDigit && ch < 128 || ch == '_' || ch == '-'),
-      s"index column '$c' — letters, digits, _ and - only")
+  private[graft] def validColumn(c: String): Unit =
+    PointerDir.validSegment("index column", c)
 
   private case class Meta(nb: Int, bits: Int, data: Option[String])
 
@@ -141,14 +139,13 @@ object BucketIndex {
     fs.delete(p, true)
   }
 
-  /** Indexed column names. */
-  def list(spark: SparkSession, currentDir: String): Seq[String] = {
-    val root = new Path(indexRoot(currentDir))
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) Nil
-    else fs.listStatus(root).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName).sorted
-  }
+  /** Indexed column names — dirs with a PUBLISHED meta only, so a
+    * crashed attach is invisible (and re-attachable) rather than a
+    * permanently wedged entry the pipeline's attach-once check would
+    * skip forever.
+    */
+  def list(spark: SparkSession, currentDir: String): Seq[String] =
+    PointerDir.attached(spark, indexRoot(currentDir))
 
   /** Live rows whose `column` equals any of `keys` (a frame with
     * exactly that one column — same probe contract as
@@ -173,18 +170,20 @@ object BucketIndex {
     val meta = readMeta(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"no index on '$column' at $dir — attach it first"))
-    val live = graft.streaming.CurrentTable.read(spark, currentDir)
-    graft.streaming.CurrentTable.checkProbeTypes(keys.schema, live.schema,
-      Seq(column))
-    def fullScan(): DataFrame = live.join(keys, Seq(keys.columns.head),
-      "left_semi")
+    // the fallback (table scan + semi-join) is built only on the
+    // branches that need it: the indexed happy path must not pay
+    // CurrentTable.read's full bucket listing per probe
+    def fullScan(): DataFrame =
+      graft.streaming.CurrentTable.read(spark, currentDir)
+        .join(keys, Seq(keys.columns.head), "left_semi")
     val nb = graft.streaming.CurrentTable.bucketCount(spark, currentDir)
       .getOrElse(throw new IllegalStateException(
         s"no current table at $currentDir"))
     val data = meta.data.getOrElse(throw new IllegalStateException(
       s"index on '$column' has no published data — detach and re-attach"))
     if (meta.nb != nb) return fullScan() // rescaled; index awaits rebuild
-    val maxKeys = resolveMax(spark, maxDriverKeys)
+    val maxKeys = graft.streaming.CurrentTable.resolveMaxKeys(
+      spark, maxDriverKeys)
     val collected = keys.limit(maxKeys + 1).collect()
     if (collected.length > maxKeys) return fullScan()
     val local = spark.createDataFrame(
@@ -206,35 +205,32 @@ object BucketIndex {
     }.sorted
     val cfs = new Path(currentDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val existing = cfs.listStatus(new Path(currentDir))
-      .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
-    val dirs = candidates.map(b => s"kb=$b").filter(existing)
-      .map(n => s"$currentDir/$n")
-    if (dirs.isEmpty) live.limit(0).join(keys, Seq(keys.columns.head),
-      "left_semi")
-    else spark.read.option("basePath", currentDir)
-      .parquet(dirs.toIndexedSeq: _*)
-      .filter(!TimeTravel.isTombstone)
-      .join(local, Seq(keys.columns.head), "left_semi")
-  }
-
-  /** Same conf-resolved probe bound as CurrentTable.lookup. */
-  private def resolveMax(spark: SparkSession, maxDriverKeys: Int): Int =
-    if (maxDriverKeys > 0) maxDriverKeys
-    else {
-      val raw = spark.conf.get(
-        graft.streaming.CurrentTable.LookupMaxKeysConf, "10000")
-      val v = try raw.toLong catch {
-        case _: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"${graft.streaming.CurrentTable.LookupMaxKeysConf} must " +
-              s"be an integer, got '$raw'")
-      }
-      require(v > 0 && v <= Int.MaxValue,
-        s"${graft.streaming.CurrentTable.LookupMaxKeysConf} must be " +
-          s"in [1, ${Int.MaxValue}], got $v")
-      v.toInt
+    // healed-guarded like read/lookup: a candidate bucket mid-swap is
+    // ABSENT from the listing — silently skipping it would return
+    // incomplete rows, the exact failure requireHealed exists to
+    // refuse (an absent candidate on a HEALTHY table is legitimate:
+    // a prune emptied the bucket, and the bloom is one publish stale)
+    graft.streaming.CurrentTable.buildHealed(spark, cfs, currentDir) {
+      val existing = cfs.listStatus(new Path(currentDir))
+        .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
+      if (existing.isEmpty)
+        throw new IllegalStateException(
+          s"current table at $currentDir holds no data yet")
+      // schema from ONE bucket footer, not a table-wide inference
+      val schemaSrc = spark.read.option("basePath", currentDir)
+        .parquet(s"$currentDir/${existing.head}")
+      graft.streaming.CurrentTable.checkProbeTypes(keys.schema,
+        schemaSrc.schema, Seq(column))
+      val dirs = candidates.map(b => s"kb=$b").filter(existing)
+        .map(n => s"$currentDir/$n")
+      if (dirs.isEmpty)
+        schemaSrc.limit(0).join(local, Seq(keys.columns.head), "left_semi")
+      else spark.read.option("basePath", currentDir)
+        .parquet(dirs.toIndexedSeq: _*)
+        .filter(!TimeTravel.isTombstone)
+        .join(local, Seq(keys.columns.head), "left_semi")
     }
+  }
 
   /** Sync-side maintenance, two-phase around the bucket swap exactly
     * like [[RollupTable.prepareSync]]: touched buckets' blooms
@@ -256,26 +252,10 @@ object BucketIndex {
           s"index: column '$column' is not in the sink schema " +
             s"(${stageDf.columns.mkString(", ")}) — detach the index " +
             "or fix the sink")
-        val fresh = bloomsOf(spark, stageDf, column, meta.bits)
-        val blooms = meta.data match {
-          case Some(d) if meta.nb == nb =>
-            spark.read.parquet(new Path(dir, d).toString)
-              .filter(!col("kb").isin(touchedSet.toSeq: _*))
-              .unionByName(fresh)
-          case _ =>
-            val cfs = new Path(currentDir)
-              .getFileSystem(spark.sessionState.newHadoopConf())
-            val untouched = cfs.listStatus(new Path(currentDir)).toSeq
-              .map(_.getPath.getName)
-              .filter(n => n.startsWith("kb=") &&
-                !touchedSet(n.stripPrefix("kb=").toInt))
-              .map(n => s"$currentDir/$n")
-            if (untouched.isEmpty) fresh
-            else bloomsOf(spark,
-              spark.read.option("basePath", currentDir)
-                .parquet(untouched: _*), column, meta.bits)
-              .unionByName(fresh)
-        }
+        val blooms = PointerDir.mergeBucketed(spark, currentDir, dir,
+          nb, meta.nb, meta.data, touchedSet,
+          bloomsOf(spark, stageDf, column, meta.bits),
+          bloomsOf(spark, _, column, meta.bits))
         PointerDir.stage(spark, dir, blooms, renderMeta(nb, meta.bits))
       }
     }

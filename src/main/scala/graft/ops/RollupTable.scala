@@ -78,6 +78,13 @@ object RollupTable {
     require((dims ++ aggs.map(_.as)).map(_.toLowerCase).distinct.size ==
       dims.size + aggs.size,
       "rollup: a measure output name collides with a dimension")
+    // the meta file encodes dims comma-joined and aggs colon-joined —
+    // a column name carrying either separator (legal in a parquet
+    // schema) would parse back as two, wedging every later sync
+    for (c <- dims ++ aggs.map(_.as) ++ aggs.map(_.col))
+      require(!c.exists(",:\n\r".contains(_)),
+        s"rollup: name '$c' may not contain ',' ':' or line breaks " +
+          "(the spec is persisted in a line-oriented meta file)")
     for (a <- aggs) {
       require(Set("count", "sum", "min", "max", "countd")(a.op),
         s"rollup: unsupported aggregate '${a.op}' " +
@@ -92,9 +99,7 @@ object RollupTable {
   private def rollupRoot(currentDir: String) = s"$currentDir/_rollup"
 
   private def validName(name: String): Unit =
-    require(name.nonEmpty && name.forall(c =>
-      c.isLetterOrDigit && c < 128 || c == '_' || c == '-'),
-      s"rollup name '$name' — letters, digits, _ and - only")
+    PointerDir.validSegment("rollup name", name)
 
   private case class Meta(nb: Int, data: Option[String], spec: Spec)
 
@@ -225,14 +230,12 @@ object RollupTable {
     fs.delete(p, true)
   }
 
-  /** Attached rollup names. */
-  def list(spark: SparkSession, currentDir: String): Seq[String] = {
-    val root = new Path(rollupRoot(currentDir))
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) Nil
-    else fs.listStatus(root).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName).sorted
-  }
+  /** Attached rollup names — dirs with a PUBLISHED meta only, so a
+    * crashed attach (data written, meta never landed) is invisible to
+    * maintenance and SQL registration and simply re-attachable.
+    */
+  def list(spark: SparkSession, currentDir: String): Seq[String] =
+    PointerDir.attached(spark, rollupRoot(currentDir))
 
   /** The maintained rollup as a frame: partials merged across buckets
     * into one row per dims group. Cost is the partials scan —
@@ -253,7 +256,17 @@ object RollupTable {
       if (meta.spec.dims.isEmpty) partials.groupBy()
       else partials.groupBy(meta.spec.dims.map(col): _*)
     val cols = mergeCols(spark, meta.spec)
-    grouped.agg(cols.head, cols.tail: _*)
+    val merged = grouped.agg(cols.head, cols.tail: _*)
+    // a dims-less rollup over a table whose every key was deleted has
+    // ZERO partial rows; the global sum-of-counts is then NULL where
+    // the direct count(*) the contract promises gives 0 — coalesce
+    // exactly the count measures (sum/min/max over nothing are NULL
+    // in the direct aggregate too, and countd's agg already yields 0)
+    val countAs = meta.spec.aggs.filter(_.op == "count").map(_.as).toSet
+    if (meta.spec.dims.nonEmpty || countAs.isEmpty) merged
+    else merged.select(merged.columns.map { c =>
+      if (countAs(c)) coalesce(col(c), lit(0L)).as(c) else col(c)
+    }: _*)
   }
 
   /** Sync-side maintenance, two-phase around the bucket swap. Called
@@ -281,30 +294,9 @@ object RollupTable {
       readMeta(spark, dir).map { meta =>
         requireCols(stageDf.columns.toIndexedSeq, meta.spec,
           s"sink (rollup '$name')")
-        val fresh = partialsOf(stageDf, meta.spec)
-        val partials = meta.data match {
-          case Some(d) if meta.nb == nb =>
-            spark.read.parquet(new Path(dir, d).toString)
-              .filter(!col("kb").isin(touchedSet.toSeq: _*))
-              .unionByName(fresh)
-          case _ =>
-            // rescale (or an attach that crashed pre-publish): the
-            // partials are keyed under a dead modulus — rebuild from
-            // untouched live buckets + the staged delta. One
-            // table-sized read, once per rescale.
-            val cfs = new Path(currentDir)
-              .getFileSystem(spark.sessionState.newHadoopConf())
-            val untouched = cfs.listStatus(new Path(currentDir)).toSeq
-              .map(_.getPath.getName)
-              .filter(n => n.startsWith("kb=") &&
-                !touchedSet(n.stripPrefix("kb=").toInt))
-              .map(n => s"$currentDir/$n")
-            if (untouched.isEmpty) fresh
-            else partialsOf(
-              spark.read.option("basePath", currentDir)
-                .parquet(untouched: _*), meta.spec)
-              .unionByName(fresh)
-        }
+        val partials = PointerDir.mergeBucketed(spark, currentDir, dir,
+          nb, meta.nb, meta.data, touchedSet,
+          partialsOf(stageDf, meta.spec), partialsOf(_, meta.spec))
         PointerDir.stage(spark, dir, partials, renderMeta(nb, meta.spec))
       }
     }

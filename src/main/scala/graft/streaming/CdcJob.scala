@@ -274,10 +274,17 @@ object CdcJob {
           val fields = registry.routed(routeKey).schema.fieldNames ++
             graft.ops.EnvelopeDecoder
               .keptMetadata(cfg("source.type")).map(_.name)
-          for (c <- cols if !fields.exists(_.equalsIgnoreCase(c)))
-            throw new IllegalArgumentException(
-              s"UNKNOWN CURRENT-TABLE INDEX COLUMN for $k: '$c' " +
-                s"(table has: ${fields.mkString(", ")})")
+          for (c <- cols) {
+            if (!fields.exists(_.equalsIgnoreCase(c)))
+              throw new IllegalArgumentException(
+                s"UNKNOWN CURRENT-TABLE INDEX COLUMN for $k: '$c' " +
+                  s"(table has: ${fields.mkString(", ")})")
+            // the index dir is named after the column — enforce the
+            // attach-time charset HERE, or a schema-legal exotic name
+            // passes assembly and crash-loops the job at the first
+            // batch's attach
+            graft.ops.BucketIndex.validColumn(c)
+          }
           routeKey -> cols
         }
       },

@@ -747,7 +747,7 @@ object CurrentTable {
     * trash to see — excluded only by the single-maintainer
     * discipline ([[heal]]), not by this guard.
     */
-  private def buildHealed(spark: SparkSession, fs: FileSystem,
+  private[graft] def buildHealed(spark: SparkSession, fs: FileSystem,
       currentDir: String)(build: => DataFrame): DataFrame = {
     val grace = healGraceMs(spark)
     requireHealed(fs, currentDir, grace)
@@ -1208,9 +1208,10 @@ object CurrentTable {
 
   /** `maxDriverKeys` <= 0 (the default everywhere) resolves the probe
     * bound from the session conf — ONE resolution rule shared by
-    * [[lookup]] and [[lookupEvolved]] so the two can never diverge.
+    * [[lookup]], [[lookupEvolved]] and [[graft.ops.BucketIndex]]'s
+    * lookupBy so they can never diverge.
     */
-  private def resolveMaxKeys(spark: SparkSession,
+  private[graft] def resolveMaxKeys(spark: SparkSession,
       maxDriverKeys: Int): Int =
     if (maxDriverKeys > 0) maxDriverKeys
     else {

@@ -61,16 +61,11 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
       .collect()(0)
     val rolled = graft.ops.RollupTable.read(spark, cur, "fz")
       .select("n", "sum_ts", "lo", "hi", "dn").collect()
-    if (direct.getLong(0) == 0L)
-      // every key deleted: partials may be absent entirely (no live
-      // rows in any bucket) or merge to a null/zero count
-      assert(rolled.isEmpty || rolled(0).isNullAt(0) ||
-        rolled(0).getLong(0) == 0L,
-        s"seed $seed step $step: rollup nonzero on empty state")
-    else {
-      assert(rolled.length == 1 && rolled(0) == direct,
-        s"seed $seed step $step: rollup ${rolled.toSeq} != $direct")
-    }
+    // exact Row equality INCLUDING the all-keys-deleted state: the
+    // global count coalesces to 0 over empty partials, sum/min/max
+    // are NULL in both, and countd merges to 0.0 in both
+    assert(rolled.length == 1 && rolled(0) == direct,
+      s"seed $seed step $step: rollup ${rolled.toSeq} != $direct")
     // probe one live value and one that never existed
     val names = live.select("name").collect().map(_.getString(0))
     val probes = (if (names.isEmpty) Nil

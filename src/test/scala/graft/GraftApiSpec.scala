@@ -308,6 +308,24 @@ class GraftApiSpec extends AnyFunSuite {
       .as[Long].head() == 19L,
       "the rollup view must serve the maintained partials")
 
+    // ONE corrupted rollup meta must not take down its healthy base
+    // table's view (or the rest of the lake): the rollup view is
+    // skipped, the base table stays queryable
+    val metaPath = java.nio.file.Paths.get(
+      s"${sink}__current/_rollup/totals/_meta.txt")
+    val goodMeta = java.nio.file.Files.readAllBytes(metaPath)
+    java.nio.file.Files.write(metaPath,
+      "nb=not-a-number\ndata=d_x\ndims=\nagg=count:*:n".getBytes)
+    try {
+      val views3b = Graft.registerSinkTables(spark, root, "lake1")
+      assert(views3b.contains("db__events__current"),
+        "base view must survive a broken rollup sidecar")
+      assert(!views3b.contains("db__events__current__totals"))
+      assert(!spark.catalog.tableExists("db__events__current__totals"))
+      assert(spark.sql("SELECT count(*) FROM db__events__current")
+        .as[Long].head() == 19L)
+    } finally java.nio.file.Files.write(metaPath, goodMeta)
+
     // ONE table with a crashed bucket swap must not take down the
     // whole lake's SQL surface: the broken table is skipped (querying
     // it stays a loud failure — its view is gone), everything healthy

@@ -226,6 +226,54 @@ class RollupTableSpec extends AnyFunSuite {
     }
   }
 
+  test("a fully-deleted table serves count 0 (not NULL) from a global " +
+      "rollup, and publishes retain one previous generation") {
+    val sink = Files.createTempDirectory("graft-ru-").resolve("s").toString
+    val cur = Files.createTempDirectory("graft-ru-cur-").toString
+    append(sink, Seq(
+      (1L, "a", 1.0, "CREATE", 1000L), (2L, "b", 2.0, "CREATE", 1100L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    RollupTable.attach(spark, cur, "g",
+      Spec(Nil, Seq(Agg("count", "*", "n"), Agg("sum", "amount", "t"))))
+    def dataDirs(): Int = new java.io.File(s"$cur/_rollup/g")
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("d_"))
+    assert(dataDirs() == 1)
+    append(sink, Seq((1L, "a", 1.0, "DELETE", 2000L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    // one previous generation retained: a reader that resolved the
+    // pointer just before this publish still has intact files
+    assert(dataDirs() == 2)
+    append(sink, Seq((2L, "b", 2.0, "DELETE", 3000L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(dataDirs() == 2, "only ONE previous generation is retained")
+    // every key dead: the exact-equality contract holds at zero —
+    // count coalesces to 0 where a bare sum-of-partials would be NULL
+    val r = RollupTable.read(spark, cur, "g").collect()
+    assert(r.length == 1 && r(0).getLong(0) == 0L && r(0).isNullAt(1),
+      s"got ${r.toSeq}")
+  }
+
+  test("a crashed attach (data written, meta never landed) is " +
+      "invisible and re-attachable, never wedged") {
+    val sink = Files.createTempDirectory("graft-ru-").resolve("s").toString
+    val cur = Files.createTempDirectory("graft-ru-cur-").toString
+    append(sink, Seq((1L, "a", 1.0, "CREATE", 1000L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    RollupTable.attach(spark, cur, "g",
+      Spec(Nil, Seq(Agg("count", "*", "n"))))
+    // fabricate the crash: the published meta vanishes, data remains
+    assert(new java.io.File(s"$cur/_rollup/g/_meta.txt").delete())
+    assert(RollupTable.list(spark, cur).isEmpty)
+    // syncs ignore the residue rather than failing
+    append(sink, Seq((2L, "b", 2.0, "CREATE", 2000L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    // re-attach heals: publish points at fresh data and GCs orphans
+    RollupTable.attach(spark, cur, "g",
+      Spec(Nil, Seq(Agg("count", "*", "n"))))
+    assert(RollupTable.read(spark, cur, "g")
+      .collect()(0).getLong(0) == 2L)
+  }
+
   test("validation: bad ops, missing columns, duplicate attach, " +
       "attach before data, name hygiene") {
     intercept[IllegalArgumentException] {
@@ -240,6 +288,12 @@ class RollupTableSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       Spec(Seq("cat"), Seq(Agg("sum", "amount", "CAT")))
+    }
+    intercept[IllegalArgumentException] { // meta-format separators
+      Spec(Seq("a,b"), Seq(Agg("count", "*", "n")))
+    }
+    intercept[IllegalArgumentException] {
+      Spec(Seq("cat"), Seq(Agg("sum", "x:y", "n")))
     }
     val sink = Files.createTempDirectory("graft-ru-").resolve("s").toString
     val cur = Files.createTempDirectory("graft-ru-cur-").toString
