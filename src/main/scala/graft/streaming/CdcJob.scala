@@ -288,6 +288,46 @@ object CdcJob {
           routeKey -> cols
         }
       },
+      // `sink.current.rollup` — maintained rollups per current table,
+      // `"name: dims=c1,c2; op:col:as op:col:as"` (dims= optional →
+      // global). Spec built HERE so every rule RollupTable.Spec
+      // enforces (ops, k, separator hygiene) plus schema membership
+      // fails at assembly, not at the first batch's attach
+      currentRollups = {
+        lazy val keyedTables = JobConfig.nameMap(cfg, "sink.current.keys")
+          .keySet.map(routeKeyOf)
+        JobConfig.nameMap(cfg, "sink.current.rollup")
+        .map { case (k, v) =>
+          val routeKey = routeKeyOf(k)
+          if (!registry.routed.contains(routeKey))
+            throw new IllegalArgumentException(
+              s"CURRENT-TABLE ROLLUP FOR UNKNOWN TABLE: $k (known: " +
+                registry.routed.keySet.toSeq.sorted.mkString(", ") + ")")
+          if (!keyedTables.contains(routeKey))
+            throw new IllegalArgumentException(
+              s"sink.current.rollup for $k requires sink.current.keys " +
+                "for the same table (nothing materializes it otherwise)")
+          val specs = v.split("\\|").map(_.trim).filter(_.nonEmpty)
+            .map(parseRollupSpec(k, _)).toSeq
+          if (specs.isEmpty)
+            throw new IllegalArgumentException(
+              s"BAD sink.current.rollup for $k: '$v' " +
+                "(want name: [dims=c1,c2;] op:col:as ...)")
+          if (specs.map(_._1).distinct.size != specs.size)
+            throw new IllegalArgumentException(
+              s"DUPLICATE ROLLUP NAME in sink.current.rollup for $k")
+          val fields = registry.routed(routeKey).schema.fieldNames ++
+            graft.ops.EnvelopeDecoder
+              .keptMetadata(cfg("source.type")).map(_.name)
+          for ((_, spec) <- specs;
+              c <- spec.dims ++ spec.aggs.map(_.col).filter(_ != "*")
+              if !fields.exists(_.equalsIgnoreCase(c)))
+            throw new IllegalArgumentException(
+              s"UNKNOWN CURRENT-TABLE ROLLUP COLUMN for $k: '$c' " +
+                s"(table has: ${fields.mkString(", ")})")
+          routeKey -> specs
+        }
+      },
       // `sink.current.lookup.max.driver.keys` — CurrentTable.lookup's
       // driver-side probe bound, published as the session default by
       // the pipeline; meaningless without current tables to look into
@@ -336,6 +376,52 @@ object CdcJob {
     }
 
   /** Strictly positive integer under `key` — junk fails fast. */
+  /** One rollup clause of `sink.current.rollup`:
+    * `name: [dims=c1,c2;] op:col:as[:k] op:col:as ...` → the name and
+    * the [[graft.ops.RollupTable.Spec]] it builds. Spec construction
+    * runs the full RollupTable validation (ops, k, separator hygiene)
+    * at assembly; malformed shapes fail with the clause named.
+    */
+  private def parseRollupSpec(table: String,
+      s: String): (String, graft.ops.RollupTable.Spec) = {
+    def bad(why: String): Nothing = throw new IllegalArgumentException(
+      s"BAD sink.current.rollup for $table: '$s' ($why; want " +
+        "name: [dims=c1,c2;] op:col:as[:k] ...)")
+    s.split(":", 2) match {
+      case Array(rawName, rest) =>
+        val name = rawName.trim
+        if (name.isEmpty) bad("empty rollup name")
+        // the attach-time charset, enforced at assembly like the
+        // index columns — no crash-looping the job at the first batch
+        graft.ops.PointerDir.validSegment("rollup name", name)
+        var dims: Seq[String] = Nil
+        val aggs = scala.collection.mutable.ArrayBuffer
+          .empty[graft.ops.RollupTable.Agg]
+        for (seg0 <- rest.split(";").map(_.trim).filter(_.nonEmpty)) {
+          if (seg0.toLowerCase.startsWith("dims=")) {
+            if (dims.nonEmpty) bad("dims= given twice")
+            dims = seg0.drop(5).split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq
+            if (dims.isEmpty) bad("empty dims=")
+          } else for (a <- seg0.split("[,\\s]+").filter(_.nonEmpty)) {
+            a.split(":") match {
+              case Array(op, c, as) =>
+                aggs += graft.ops.RollupTable.Agg(op, c, as)
+              case Array(op, c, as, k) =>
+                val kk = try k.toInt catch {
+                  case _: NumberFormatException => bad(s"bad k in '$a'")
+                }
+                aggs += graft.ops.RollupTable.Agg(op, c, as, kk)
+              case _ => bad(s"malformed aggregate '$a'")
+            }
+          }
+        }
+        if (aggs.isEmpty) bad("no aggregates")
+        name -> graft.ops.RollupTable.Spec(dims, aggs.toSeq)
+      case _ => bad("missing ':' after the rollup name")
+    }
+  }
+
   private def positiveInt(v: String, key: String): Int = {
     val n = try v.trim.toInt catch {
       case _: NumberFormatException => throw new IllegalArgumentException(

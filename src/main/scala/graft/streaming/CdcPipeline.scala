@@ -191,7 +191,20 @@ final case class CdcConfig(
       * already on disk (this config in an earlier run, or a manual
       * attach) is left alone.
       */
-    currentIndexColumns: Map[String, Seq[String]] = Map.empty) {
+    currentIndexColumns: Map[String, Seq[String]] = Map.empty,
+    /** Maintained rollups per current table (`sink.current.rollup`,
+      * JSON map of raw `db.table` → `"name: dims=c1,c2; op:col:as
+      * [op:col:as ...]"` — dims= optional for a global rollup, countd
+      * takes an optional `:k` fourth field): after each listed
+      * table's sync, a rollup not yet attached is full-built once
+      * ([[graft.ops.RollupTable.attach]]) and every later sync
+      * maintains it at delta cost — a configured dashboard aggregate
+      * with no Scala in the loop. Attach-once semantics like
+      * [[currentIndexColumns]]: a rollup already on disk is left
+      * alone (detach to change a spec).
+      */
+    currentRollups: Map[String, Seq[(String, graft.ops.RollupTable.Spec)]] =
+      Map.empty) {
   def name: String = jobName.getOrElse(s"JOB-$sourceId")
 }
 
@@ -744,7 +757,8 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
             // (the one full-build pass), AFTER the sync above so the
             // table exists and carries this batch's data; every later
             // sync maintains attached indexes as part of its fold
-            for (cols <- config.currentIndexColumns.get(key)) {
+            if (config.currentIndexColumns.contains(key) ||
+                config.currentRollups.contains(key)) {
               val curDir = s"${dir}__current"
               // a batch of only zero-row files leaves a cursor-only
               // table attach would refuse — wait for real data
@@ -753,10 +767,17 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
                 .listStatus(new org.apache.hadoop.fs.Path(curDir))
                 .exists(_.getPath.getName.startsWith("kb="))
               if (hasData) {
-                val have = graft.ops.BucketIndex.list(spark, curDir)
-                  .map(_.toLowerCase).toSet
-                for (c <- cols if !have(c.toLowerCase))
-                  graft.ops.BucketIndex.attach(spark, curDir, c)
+                for (cols <- config.currentIndexColumns.get(key)) {
+                  val have = graft.ops.BucketIndex.list(spark, curDir)
+                    .map(_.toLowerCase).toSet
+                  for (c <- cols if !have(c.toLowerCase))
+                    graft.ops.BucketIndex.attach(spark, curDir, c)
+                }
+                for (rollups <- config.currentRollups.get(key)) {
+                  val have = graft.ops.RollupTable.list(spark, curDir).toSet
+                  for ((rn, spec) <- rollups if !have(rn))
+                    graft.ops.RollupTable.attach(spark, curDir, rn, spec)
+                }
               }
             }
             // rescale advisory, full syncs only: the O(buckets) stat

@@ -275,6 +275,46 @@ class CdcJobSpec extends AnyFunSuite {
         "sink.current.keys" -> """{"db.t": "id"}""",
         "sink.current.index.columns" -> """{"db.zzz": "name"}"""))
     }.getMessage.contains("UNKNOWN TABLE"))
+    // configured rollups: full clause parse (name, dims, aggs, countd
+    // k), global form, multiple per table via '|', every validation
+    // path named
+    assert(CdcJob.configFromMap(base).currentRollups.isEmpty)
+    val ru = CdcJob.configFromMap(base ++ Map(
+      "sink.current.keys" -> """{"db.t": "id"}""",
+      "sink.current.rollup" ->
+        """{"db.t": "by_id: dims=id; count:*:n sum:id:s countd:id:d:64 | g: count:*:n"}"""))
+      .currentRollups("db.t")
+    assert(ru.map(_._1) == Seq("by_id", "g"))
+    assert(ru.head._2 == graft.ops.RollupTable.Spec(Seq("id"), Seq(
+      graft.ops.RollupTable.Agg("count", "*", "n"),
+      graft.ops.RollupTable.Agg("sum", "id", "s"),
+      graft.ops.RollupTable.Agg("countd", "id", "d", 64))))
+    assert(ru(1)._2.dims.isEmpty)
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base +
+        ("sink.current.rollup" -> """{"db.t": "g: count:*:n"}"""))
+    }.getMessage.contains("sink.current.keys"))
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base ++ Map(
+        "sink.current.keys" -> """{"db.t": "id"}""",
+        "sink.current.rollup" -> """{"db.t": "g: sum:nope:s"}"""))
+    }.getMessage.contains("ROLLUP COLUMN"))
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base ++ Map(
+        "sink.current.keys" -> """{"db.t": "id"}""",
+        "sink.current.rollup" -> """{"db.t": "g: avg:id:a"}"""))
+    }.getMessage.contains("unsupported aggregate"))
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base ++ Map(
+        "sink.current.keys" -> """{"db.t": "id"}""",
+        "sink.current.rollup" -> """{"db.t": "g count *"}"""))
+    }.getMessage.contains("sink.current.rollup"))
+    assert(intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base ++ Map(
+        "sink.current.keys" -> """{"db.t": "id"}""",
+        "sink.current.rollup" ->
+          """{"db.t": "g: count:*:n | g: sum:id:s"}"""))
+    }.getMessage.contains("DUPLICATE ROLLUP NAME"))
     // lookup probe bound: default off (session default governs),
     // explicit, requires current tables, junk fails like the others
     assert(CdcJob.configFromMap(base).currentLookupMaxDriverKeys == 0)

@@ -273,6 +273,31 @@ class CdcPipelineSpec extends AnyFunSuite {
       s"rollup after pipeline batches: ${r.mkString}")
   }
 
+  test("sink.current.rollup auto-attaches a configured rollup the " +
+      "pipeline then maintains at delta cost") {
+    val in = tmp(); val out = tmp()
+    writeFixture(in, "00-snapshot.jsonl", Seq(
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":1},"name":{"string":"alice"},"balance":null"""),
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":2},"name":{"string":"bob"},"balance":null""")))
+    val cfg = CdcConfig("srcCr", registry, out.toString,
+      currentKeys = Map("testdb.users" -> Seq("id")),
+      currentRollups = Map("testdb.users" -> Seq(
+        "by_name" -> graft.ops.RollupTable.Spec(Seq("name"), Seq(
+          graft.ops.RollupTable.Agg("count", "*", "n"))))))
+    run(cfg, in)
+    val cur = s"$out/srcCr_testdb__users__current"
+    assert(graft.ops.RollupTable.list(spark, cur) == Seq("by_name"))
+    writeFixture(in, "01-changes.jsonl", Seq(
+      row("CREATE", "users", 1700000100000L, "mysql-bin.000001", 100,
+        """"id":{"int":3},"name":{"string":"alice"},"balance":null""")))
+    run(cfg, in)
+    val got = graft.ops.RollupTable.read(spark, cur, "by_name")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("alice" -> 2L, "bob" -> 1L), got.toString)
+  }
+
   test("sink.current.index.columns auto-attaches a bloom index the " +
       "pipeline then maintains; lookupBy prunes to candidate buckets") {
     val in = tmp(); val out = tmp()
