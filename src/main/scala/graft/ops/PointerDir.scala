@@ -12,6 +12,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * then read — they see the old complete artifact or the new one,
   * never a mix; a crash between data write and pointer flip leaks
   * one orphan dir until the next publish's GC, never a wrong answer.
+  *
+  * Data is written as ONE file (coalesce) — these artifacts exist to
+  * be read whole in one request (a rollup's partials, an index's
+  * bitsets) and are small BY CONTRACT: buckets × groups rows. An
+  * artifact large enough for the single write task to matter is
+  * mis-specified (see the countd sizing note on
+  * [[RollupTable.Agg]]), not a reason to shard the publish.
   */
 private[graft] object PointerDir {
 

@@ -67,7 +67,13 @@ object RollupTable {
     * sketch, and merging bucket sketches is exactly the sketch of
     * the whole table — a distinct count maintained at delta cost,
     * which no exact partial can do (distinct does not decompose
-    * across buckets for non-key columns).
+    * across buckets for non-key columns). SIZING: a countd partial
+    * is ≤k longs per (bucket, group) — the partials file grows as
+    * buckets × groups × 8k bytes, so a high-cardinality dims set
+    * with a large k stops being "tiny" (1000 groups × 256 buckets ×
+    * k=1024 ≈ 2 GB); keep k at the accuracy you need (~256 ⇒ ~6%
+    * standard error) and rollup dims low-cardinality, which is what
+    * a rollup is for.
     */
   case class Agg(op: String, col: String, as: String, k: Int = 256)
 
