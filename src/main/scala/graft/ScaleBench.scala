@@ -815,24 +815,32 @@ object ScaleBench {
       graft.ops.RollupTable.Agg("count", "*", "n"),
       graft.ops.RollupTable.Agg("sum", "amount", "total"),
       graft.ops.RollupTable.Agg("min", "amount", "lo"),
-      graft.ops.RollupTable.Agg("max", "amount", "hi")))
+      graft.ops.RollupTable.Agg("max", "amount", "hi"),
+      // the sketch measure rides the same maintenance: 97 distinct
+      // amounts per group < k, so the estimate is EXACT and equality
+      // with the direct aggregate below pins it at this scale too
+      graft.ops.RollupTable.Agg("countd", "amount", "d_amt")))
     val tAttach = time(
       graft.ops.RollupTable.attach(spark, cur, "by_cat", spec))
     val tDeltaMaint = deltaOnce(3000000L)
     def recompute() = graft.streaming.CurrentTable.read(spark, cur)
       .groupBy("cat").agg(count(lit(1)).as("n"), sum("amount").as("total"),
-        min("amount").as("lo"), max("amount").as("hi"))
+        min("amount").as("lo"), max("amount").as("hi"),
+        graft.functions.KmvSketch.kmvDistinct(spark,
+          graft.functions.KmvSketch.md5Hash60(col("amount")), 256)
+          .as("d_amt"))
     // warm both read paths once, then time
     drain(recompute())
     drain(graft.ops.RollupTable.read(spark, cur, "by_cat"))
     val tServe = time(drain(graft.ops.RollupTable.read(spark, cur, "by_cat")))
     val tRecompute = time(drain(recompute()))
     val served = graft.ops.RollupTable.read(spark, cur, "by_cat")
+      .select("cat", "n", "total", "lo", "hi", "d_amt")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
-        r.getDouble(3), r.getDouble(4))).toSet
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
     val direct = recompute()
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
-        r.getDouble(3), r.getDouble(4))).toSet
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
     require(served == direct, "rollup diverged from recompute")
     println(f"[scale] rollup ${keys} keys / 1000 groups: attach " +
       f"${tAttach}%5.2fs (once); 10-key delta sync ${tDeltaPlain}%5.2fs " +
