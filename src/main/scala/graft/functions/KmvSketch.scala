@@ -230,6 +230,15 @@ case class KmvMerge(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      // k-mismatch guard: a stored sketch LARGER than this merge's k
+      // means the states were built with a bigger k (a hand-edited or
+      // future-version rollup meta) — merging them under the smaller
+      // k would silently under-merge (treat a capped sketch's k-th
+      // value as the true k-th minimum). Fail loudly instead.
+      require(arr.numElements() <= k,
+        s"${KmvSketch.MergeFnName}: sketch holds ${arr.numElements()} " +
+          s"values but k=$k — the states were built with a larger k; " +
+          "merge with the k they were built with")
       var i = 0
       while (i < arr.numElements()) {
         add(buf, arr.getLong(i)); i += 1

@@ -13,12 +13,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * never a mix; a crash between data write and pointer flip leaks
   * one orphan dir until the next publish's GC, never a wrong answer.
   *
-  * Data is written as ONE file (coalesce) — these artifacts exist to
-  * be read whole in one request (a rollup's partials, an index's
-  * bitsets) and are small BY CONTRACT: buckets × groups rows. An
-  * artifact large enough for the single write task to matter is
-  * mis-specified (see the countd sizing note on
-  * [[RollupTable.Agg]]), not a reason to shard the publish.
+  * Data is written as ONE file (coalesce) while the artifact is small
+  * — rollup partials are small BY CONTRACT (buckets × groups rows;
+  * see the countd sizing note on [[RollupTable.Agg]]) and read whole
+  * in one request. Artifacts that legitimately grow with the table —
+  * a correctly-sized bloom sidecar is ~10 bits per live row — pass
+  * `numFiles` > 1 so the publish spreads across write tasks instead
+  * of funneling every byte through one ([[graft.ops.BucketIndex]]
+  * sizes it from the declared filter dimensions).
   */
 private[graft] object PointerDir {
 
@@ -58,9 +60,13 @@ private[graft] object PointerDir {
     * after-ingestion contract table views already carry.
     */
   def stage(spark: SparkSession, dir: String, data: DataFrame,
-      renderMeta: String => Seq[String]): () => Unit = {
+      renderMeta: String => Seq[String], numFiles: Int = 1): () => Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val dataName = s"d_${java.util.UUID.randomUUID()}"
-    data.coalesce(1).write.mode(SaveMode.Overwrite)
+    val shaped =
+      if (numFiles == 1) data.coalesce(1)
+      else data.repartition(numFiles)
+    shaped.write.mode(SaveMode.Overwrite)
       .parquet(new Path(dir, dataName).toString)
     () => {
       val previous = readMetaLines(spark, dir)
@@ -78,8 +84,8 @@ private[graft] object PointerDir {
 
   /** [[stage]] + immediate flip — the attach/full-build path. */
   def publish(spark: SparkSession, dir: String, data: DataFrame,
-      renderMeta: String => Seq[String]): Unit =
-    stage(spark, dir, data, renderMeta)()
+      renderMeta: String => Seq[String], numFiles: Int = 1): Unit =
+    stage(spark, dir, data, renderMeta, numFiles)()
 
   /** Shared filename hygiene for sidecar names (rollup names, index
     * columns) — one charset rule so the two can never drift.

@@ -91,6 +91,15 @@ object RollupTable {
       require(!c.exists(",:\n\r".contains(_)),
         s"rollup: name '$c' may not contain ',' ':' or line breaks " +
           "(the spec is persisted in a line-oriented meta file)")
+    // `kb` is the bucket-layout column every partials pass groups by
+    // and every merge filters on — a dim, output or measure named kb
+    // would pass attach's schema check (kb IS in the table schema)
+    // then hit ambiguous-column errors on every later sync, wedging
+    // the pipeline until detach. It is also layout, not data: a
+    // measure over kb would change value on rescale.
+    for (c <- dims ++ aggs.map(_.as) ++ aggs.map(_.col).filter(_ != "*"))
+      require(!c.equalsIgnoreCase("kb"),
+        s"rollup: '$c' is reserved (kb names the bucket layout)")
     for (a <- aggs) {
       require(Set("count", "sum", "min", "max", "countd")(a.op),
         s"rollup: unsupported aggregate '${a.op}' " +

@@ -612,12 +612,16 @@ object CurrentTable {
       else {
         val stageDf = spark.read.option("basePath", stage).parquet(stage)
         if (artifacts > 1) stageDf.persist()
-        val pr = graft.ops.RollupTable.prepareSync(
-          spark, currentDir, nb, touched.toIndexedSeq, stageDf)
-        val pi = graft.ops.BucketIndex.prepareSync(
-          spark, currentDir, nb, touched.toIndexedSeq, stageDf)
-        if (artifacts > 1) stageDf.unpersist()
-        () => { pr(); pi() }
+        // finally: a prepareSync require (e.g. an index column gone
+        // from the sink schema) throws per retried sync — without the
+        // unpersist each attempt would leak one cached frame
+        try {
+          val pr = graft.ops.RollupTable.prepareSync(
+            spark, currentDir, nb, touched.toIndexedSeq, stageDf)
+          val pi = graft.ops.BucketIndex.prepareSync(
+            spark, currentDir, nb, touched.toIndexedSeq, stageDf)
+          () => { pr(); pi() }
+        } finally if (artifacts > 1) stageDf.unpersist()
       }
     swapBuckets(fs, currentDir, stage, touched.toSeq)
     if (maintainCensus) {
@@ -736,6 +740,60 @@ object CurrentTable {
           "miss or duplicate keys; run CurrentTable.heal (or any " +
           "sync/pruneTombstones) first")
   }
+
+  /** [[requireHealed]] with the session-resolved grace — the form
+    * prepared handles outside this file ([[graft.ops.BucketIndex]]'s
+    * reader) share.
+    */
+  private[graft] def requireHealedFor(spark: SparkSession, fs: FileSystem,
+      currentDir: String): Unit =
+    requireHealed(fs, currentDir, healGraceMs(spark))
+
+  /** The root file's content — the staleness signature prepared
+    * handles revalidate with (every data mutation of a
+    * census-maintained table rewrites it with a fresh `#seq` nonce,
+    * so content equality ⇔ no write since prepare).
+    */
+  private[graft] def rootSignature(spark: SparkSession,
+      currentDir: String): Vector[String] = {
+    val fs = new Path(currentDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sig = readLines(fs, new Path(stateFile(currentDir)))
+    if (sig.isEmpty)
+      throw new IllegalStateException(
+        s"no current table at $currentDir (missing ${stateFile(currentDir)})")
+    sig
+  }
+
+  /** Bucket count for a prepared handle — refuses census-less legacy
+    * tables, whose folds don't rewrite the root and would defeat the
+    * [[rootSignature]] staleness check.
+    */
+  private[graft] def readerBucketCount(spark: SparkSession,
+      currentDir: String, who: String): Int = {
+    val root = readRoot(spark, currentDir).getOrElse(
+      throw new IllegalStateException(
+        s"no current table at $currentDir (missing ${stateFile(currentDir)})"))
+    require(root.census.isDefined,
+      s"$who: the table at $currentDir predates the tombstone " +
+        "census, so folds do not rewrite its root file and the " +
+        "staleness check would miss them — run pruneTombstones once " +
+        "(any horizon; it heals the census) and re-create the handle")
+    root.nb
+  }
+
+  /** A rescale's SWAP window is the one mutation [[rootSignature]]
+    * cannot see (the root is rewritten only when the roll-forward
+    * completes): behind the marker the live dirs are a mix of two
+    * moduli, and a plan under either modulus can silently miss keys.
+    * One exists() per call buys prepared handles the same
+    * refuse-or-outwait [[read]]/[[lookup]] get; the marker clearing
+    * implies a root write, so the caller's signature check re-prepares.
+    */
+  private[graft] def outwaitRescale(spark: SparkSession, fs: FileSystem,
+      currentDir: String): Unit =
+    if (fs.exists(new Path(rescaleMarker(currentDir))))
+      requireHealed(fs, currentDir, healGraceMs(spark))
 
   /** Check → build → re-check: the orphan check and the listing the
     * built frame snapshots are two separate filesystem reads, so a
@@ -1311,35 +1369,15 @@ object CurrentTable {
         schema: org.apache.spark.sql.types.StructType)
     @volatile private var prep: Prep = prepare()
 
-    /** The root file's CONTENT is the staleness signature — one small
-      * read per call. Every write stamps a fresh `#seq` nonce, so
-      * content equality ⇔ no write since prepare (an mtime+length
-      * signature would alias two writes inside one mtime tick on a
-      * coarse-granularity filesystem).
-      */
-    private def rootSig(): Vector[String] = {
-      val sig = readLines(fs, new Path(stateFile(currentDir)))
-      if (sig.isEmpty)
-        throw new IllegalStateException(
-          s"no current table at $currentDir (missing ${stateFile(currentDir)})")
-      sig
-    }
-
     private def prepare(): Prep = {
-      requireHealed(fs, currentDir, healGraceMs(spark))
-      // signature FIRST: a mutation landing anywhere during the reads
-      // below changes it, so the next call re-prepares rather than
-      // trusting a torn snapshot
-      val sig = rootSig()
-      val root = readRoot(spark, currentDir).getOrElse(
-        throw new IllegalStateException(
-          s"no current table at $currentDir (missing ${stateFile(currentDir)})"))
-      require(root.census.isDefined,
-        s"reader: the table at $currentDir predates the tombstone " +
-          "census, so folds do not rewrite its root file and the " +
-          "reader's staleness check would miss them — run " +
-          "pruneTombstones once (any horizon; it heals the census) " +
-          "and re-create the reader")
+      requireHealedFor(spark, fs, currentDir)
+      // signature FIRST ([[rootSignature]] — one small read; `#seq`
+      // nonce makes content equality ⇔ no write since prepare): a
+      // mutation landing anywhere during the reads below changes it,
+      // so the next call re-prepares rather than trusting a torn
+      // snapshot
+      val sig = rootSignature(spark, currentDir)
+      val nb = readerBucketCount(spark, currentDir, "reader")
       val existing = fs.listStatus(new Path(currentDir))
         .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
       if (existing.isEmpty)
@@ -1347,7 +1385,7 @@ object CurrentTable {
           s"current table at $currentDir holds no data yet")
       val schema = spark.read.option("basePath", currentDir)
         .parquet(s"$currentDir/${existing.head}").schema
-      Prep(sig, root.nb, existing, schema)
+      Prep(sig, nb, existing, schema)
     }
 
     /** Same rows as `CurrentTable.lookup(spark, dir, pk, keys)` —
@@ -1358,19 +1396,13 @@ object CurrentTable {
         s"lookup: keys frame must have exactly the key columns $pk, " +
           s"got ${keys.columns.toSeq}")
       // a rescale's SWAP window is the one mutation the root
-      // signature cannot see (the root is rewritten only when the
-      // roll-forward completes): behind the marker the live dirs are
-      // a mix of two moduli, and an old-modulus plan would probe
-      // dirs that exist but hold different keys — a silent miss, not
-      // the loud path error a crashed sync swap gives. One exists()
-      // per call buys the same refuse-or-outwait readers get from
-      // [[read]]/[[lookup]]; the marker clearing implies a root write,
-      // so the re-prepare below picks up the new modulus.
-      if (fs.exists(new Path(rescaleMarker(currentDir))))
-        requireHealed(fs, currentDir, healGraceMs(spark))
+      // signature cannot see — refuse-or-outwait via the marker
+      // ([[outwaitRescale]]); its clearing implies a root write, so
+      // the re-prepare below picks up the new modulus
+      outwaitRescale(spark, fs, currentDir)
       val cached = prep
       val p =
-        if (rootSig() == cached.sig) cached
+        if (rootSignature(spark, currentDir) == cached.sig) cached
         else { val n = prepare(); prep = n; n }
       checkProbeTypes(keys.schema, p.schema, pk)
       val maxKeys = resolveMaxKeys(spark, maxDriverKeys)

@@ -125,6 +125,150 @@ class BucketIndexSpec extends AnyFunSuite {
       s"rebuilt index must prune again: read $readPruned")
   }
 
+  test("auto-sizing holds ~10 bits/row at ANY scale by adding shards; " +
+      "the publish shards files past the target size") {
+    import graft.ops.BucketIndex.{autoSize, publishFiles, MaxShardBits}
+    // small tables: one shard, floored filter
+    assert(autoSize(10L) == ((1024, 1)))
+    // the pre-shard cap boundary: 1.6M rows still fits one shard
+    val (b1, s1) = autoSize(1600000L)
+    assert(s1 == 1 && b1 == MaxShardBits)
+    // the module-header example the r13 design silently degraded at:
+    // 100 TB / 4096 buckets ~ 250M rows/bucket. Budget must stay
+    // ~10 bits/row instead of saturating one capped filter.
+    val (b2, s2) = autoSize(250000000L)
+    assert(s2 >= 149, s"shards $s2")
+    assert(b2.toLong * s2 >= 250000000L * 10L, s"bits $b2 x $s2")
+    assert(b2 <= MaxShardBits)
+    // forced shard count: budget spread across what the caller asked
+    val (b3, s3) = autoSize(1000000L, forcedShards = 4)
+    assert(s3 == 4 && b3.toLong * 4 >= 10000000L && b3 <= MaxShardBits)
+    // publish sharding: tiny sidecars stay one file; the 60k-bucket /
+    // 2MB-filter shape the r13 review measured at ~120 GB must spread
+    // across write tasks (bounded at 1024 files)
+    assert(publishFiles(16, 1 << 16, 1) == 1)
+    assert(publishFiles(60000, MaxShardBits, 1) > 100)
+    assert(publishFiles(4096, MaxShardBits, 150) == 1024)
+  }
+
+  test("sharded filters: probes stay exact and pruned when a bucket's " +
+      "values split across shards, and syncs maintain the sharded layout") {
+    val sink = Files.createTempDirectory("graft-bi-").resolve("s").toString
+    val cur = Files.createTempDirectory("graft-bi-cur-").toString
+    append(sink, (1L to 256L).map(i => (i, s"u$i@x.com", "CREATE", 1000L + i)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 8)
+    BucketIndex.attach(spark, cur, "email", numBits = 1024, numShards = 4)
+    assert(idsByIndex(cur, "u97@x.com") == Set(97L))
+    assert(idsByIndex(cur, "u97@x.com") == fullScan(cur, "u97@x.com"))
+    val readBuckets = byIndex(cur, "u97@x.com").inputFiles
+      .flatMap(_.split('/').find(_.startsWith("kb="))).toSet
+    assert(readBuckets.size < 8, s"no prune: $readBuckets")
+    // maintenance keeps the sharded layout: update + delete, re-probe
+    append(sink, Seq((97L, "moved@x.com", "UPDATE", 9000L),
+      (98L, "u98@x.com", "DELETE", 9100L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(idsByIndex(cur, "moved@x.com") == Set(97L))
+    assert(idsByIndex(cur, "u97@x.com").isEmpty)
+    assert(idsByIndex(cur, "u98@x.com").isEmpty)
+    // multi-value probe spanning shards behaves like IN
+    val multi = BucketIndex.lookupBy(spark, cur, "email",
+      Seq("u5@x.com", "moved@x.com", "u200@x.com").toDF("email"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(multi == Set(5L, 97L, 200L))
+  }
+
+  test("a legacy pre-shard sidecar (no shards= in meta, no shard " +
+      "column in data) stays probeable and is rebuilt by the next sync") {
+    val sink = Files.createTempDirectory("graft-bi-").resolve("s").toString
+    val cur = Files.createTempDirectory("graft-bi-cur-").toString
+    append(sink, (1L to 64L).map(i => (i, s"u$i@x.com", "CREATE", 1000L + i)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 8)
+    BucketIndex.attach(spark, cur, "email")
+    // rewrite the sidecar in the r13 on-disk format: data rows
+    // (kb, bloom) and a meta without the shards= line
+    val ixDir = s"$cur/_index/email"
+    val metaPath = java.nio.file.Paths.get(s"$ixDir/_meta.txt")
+    val lines = java.nio.file.Files.readAllLines(metaPath)
+    val dataName = lines.toArray.map(_.toString)
+      .find(_.startsWith("data=")).get.stripPrefix("data=")
+    val legacyData = s"d_legacy_${java.util.UUID.randomUUID()}"
+    spark.read.parquet(s"$ixDir/$dataName")
+      .select("kb", "bloom").coalesce(1)
+      .write.parquet(s"$ixDir/$legacyData")
+    val edited = new java.util.ArrayList[String]()
+    lines.forEach { l =>
+      if (l.startsWith("data=")) edited.add(s"data=$legacyData")
+      else if (!l.startsWith("shards=")) edited.add(l)
+    }
+    java.nio.file.Files.write(metaPath, edited)
+    // drop the local-FS checksum sidecar the out-of-band edit stales
+    java.nio.file.Files.deleteIfExists(
+      metaPath.getParent.resolve("._meta.txt.crc"))
+    // probeable as one implicit shard
+    assert(idsByIndex(cur, "u7@x.com") == Set(7L))
+    // the next sync REBUILDS (incremental union would mix layouts)
+    append(sink, Seq((65L, "u65@x.com", "CREATE", 9000L)), dt = "2024-01-02")
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    val after = java.nio.file.Files.readAllLines(metaPath)
+    assert(after.toArray.map(_.toString).exists(_.startsWith("shards=")),
+      "sync must republish in the sharded layout")
+    assert(idsByIndex(cur, "u65@x.com") == Set(65L))
+    assert(idsByIndex(cur, "u7@x.com") == Set(7L))
+  }
+
+  test("IndexReader: matches lookupBy, sees syncs through the " +
+      "signatures, serves exact scans while rescale-stale, and probes " +
+      "from the pinned frame") {
+    val sink = Files.createTempDirectory("graft-bi-").resolve("s").toString
+    val cur = Files.createTempDirectory("graft-bi-cur-").toString
+    append(sink, (1L to 64L).map(i => (i, s"u$i@x.com", "CREATE", 1000L + i)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 16)
+    BucketIndex.attach(spark, cur, "email")
+    val rd = BucketIndex.reader(spark, cur, "email")
+    def byReader(email: String): Set[Long] =
+      rd.lookup(Seq(email).toDF("email"))
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(byReader("u7@x.com") == Set(7L))
+    assert(byReader("nobody@x.com").isEmpty)
+    // pruned like lookupBy
+    val readBuckets = rd.lookup(Seq("u7@x.com").toDF("email")).inputFiles
+      .flatMap(_.split('/').find(_.startsWith("kb="))).toSet
+    assert(readBuckets.size < 16, s"no prune: $readBuckets")
+    // a sync lands: the handle must see the new value without help
+    append(sink, Seq((7L, "moved@x.com", "UPDATE", 9000L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(byReader("moved@x.com") == Set(7L))
+    assert(byReader("u7@x.com").isEmpty)
+    // rescale: the handle serves the exact full scan (stale blooms
+    // would MISS rows), then picks up the rebuilt index on the next
+    // sync's signature change
+    CurrentTable.rescale(spark, cur, Seq("id"), newBuckets = 9)
+    assert(byReader("u13@x.com") == Set(13L))
+    val readAll = rd.lookup(Seq("u13@x.com").toDF("email")).inputFiles
+      .flatMap(_.split('/').find(_.startsWith("kb="))).toSet
+    assert(readAll.size == 9, s"stale index must full-scan: $readAll")
+    append(sink, Seq((65L, "u65@x.com", "CREATE", 9500L)), dt = "2024-01-02")
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(byReader("u65@x.com") == Set(65L))
+    val pruned = rd.lookup(Seq("u13@x.com").toDF("email")).inputFiles
+      .flatMap(_.split('/').find(_.startsWith("kb="))).toSet
+    assert(pruned.size < 9, s"rebuilt index must prune again: $pruned")
+    // oversized probe: full-scan fallback, driver out of the data path
+    val big = (1 to 50).map(i => s"u$i@x.com").toDF("email")
+    assert(rd.lookup(big, maxDriverKeys = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+      == fullScanMany(cur, (1 to 50).map(i => s"u$i@x.com")))
+    rd.close()
+    // usable after close — re-prepares by itself
+    assert(byReader("u65@x.com") == Set(65L))
+    rd.close()
+  }
+
+  private def fullScanMany(cur: String, emails: Seq[String]): Set[Long] =
+    CurrentTable.read(spark, cur)
+      .filter(col("email").isin(emails: _*))
+      .select("id").collect().map(_.getLong(0)).toSet
+
   test("validation: duplicate attach, unknown column, probe shape and " +
       "type, oversized probe falls back") {
     val sink = Files.createTempDirectory("graft-bi-").resolve("s").toString
@@ -162,5 +306,12 @@ class BucketIndexSpec extends AnyFunSuite {
       .count() == 1)
     BucketIndex.detach(spark, cur, "id")
     assert(BucketIndex.list(spark, cur) == Seq("email"))
+    // 'kb' is the bucket-layout column every build and probe keys by
+    intercept[IllegalArgumentException] {
+      BucketIndex.attach(spark, cur, "kb")
+    }
+    intercept[IllegalArgumentException] {
+      BucketIndex.attach(spark, cur, "KB")
+    }
   }
 }

@@ -52,4 +52,24 @@ class KmvSketchSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     assert(run(1) == run(32))
   }
+
+  test("merge refuses sketches built with a larger k — under-merging " +
+      "would silently corrupt the estimate") {
+    // materialize k=16 sketches, then merge claiming k=8
+    val states = hashed(5000, 4)
+      .groupBy("g").agg(KmvSketch.kmvState(spark, col("hv"), 16).as("s"))
+    val e = intercept[Exception] {
+      states.agg(KmvSketch.kmvMergeEstimate(spark, col("s"), 8)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("built with a larger k")),
+      messages(e).mkString(" | "))
+    // a SMALLER stored sketch is legal (an exact small set)
+    val ok = states.agg(
+      KmvSketch.kmvMergeEstimate(spark, col("s"), 32).as("d"))
+      .collect()(0).getDouble(0)
+    assert(ok > 0)
+  }
 }

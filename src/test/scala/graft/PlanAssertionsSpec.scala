@@ -285,6 +285,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(iplan.contains("BroadcastHashJoin") &&
       iplan.contains("LeftSemi"), iplan.take(800))
     assert(!iplan.contains("SortMergeJoin"), iplan.take(800))
+
+    // candidate selection is CLUSTER-SIDE: the frame lookupBy
+    // collects carries bucket ids ONLY — bloom words must never
+    // transit the driver, however large the sidecar grows. The probe
+    // hashes broadcast onto the sidecar scan (shard-equi semi-join,
+    // bloom test as the residual); nothing shuffles.
+    val cand = graft.ops.BucketIndex.candidateFrameFor(spark,
+      s"$work/cur", "name", Seq("v7").toDF("name"))
+    assert(cand.schema.fields.map(f =>
+        (f.name, f.dataType.simpleString)).toSeq == Seq(("kb", "int")),
+      cand.schema.treeString)
+    val cplan = planOf(cand).split("== Initial Plan ==").head
+    assert(cplan.contains("BroadcastHashJoin") &&
+      cplan.contains("LeftSemi"), cplan.take(1200))
+    assert(cplan.contains("_index"), cplan.take(1200))
+    assert(!cplan.contains("SortMergeJoin") &&
+      !cplan.contains("Exchange hashpartitioning"), cplan.take(1200))
   }
 
   test("readEvolved: one pk shuffle over the fork union, no join at " +

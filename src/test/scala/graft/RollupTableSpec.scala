@@ -199,6 +199,53 @@ class RollupTableSpec extends AnyFunSuite {
     assert(readD() == ((1.0, directKmv("id", 16))))
   }
 
+  test("countd k-mismatch at read fails loudly: a meta whose k shrank " +
+      "under the stored sketches must not silently under-merge") {
+    val sink = Files.createTempDirectory("graft-ru-").resolve("s").toString
+    val cur = Files.createTempDirectory("graft-ru-cur-").toString
+    append(sink, (1L to 64L).map(i =>
+      (i, "a", i.toDouble, "CREATE", 1000L + i)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    RollupTable.attach(spark, cur, "d", Spec(Nil, Seq(
+      Agg("countd", "id", "d_ids", k = 16))))
+    // corrupt the meta: claim the sketches were built with k=4 (a
+    // hand-edit or a future version changing defaults). Stored
+    // arrays hold up to 16 values — merging them under k=4 would
+    // treat a capped sketch's 4th value as the true 4th minimum.
+    val metaPath = java.nio.file.Paths.get(s"$cur/_rollup/d/_meta.txt")
+    val lines = java.nio.file.Files.readAllLines(metaPath)
+    val edited = new java.util.ArrayList[String]()
+    lines.forEach(l => edited.add(
+      if (l.startsWith("agg=")) l.replace(":16", ":4") else l))
+    java.nio.file.Files.write(metaPath, edited)
+    // drop the local-FS checksum sidecar the out-of-band edit stales
+    java.nio.file.Files.deleteIfExists(
+      metaPath.getParent.resolve("._meta.txt.crc"))
+    val e = intercept[Exception] {
+      RollupTable.read(spark, cur, "d").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("built with a larger k")),
+      messages(e).mkString(" | "))
+  }
+
+  test("'kb' is reserved: a dim, measure output or measure column " +
+      "named kb is rejected at Spec construction, not at the next sync") {
+    intercept[IllegalArgumentException] {
+      Spec(Seq("kb"), Seq(Agg("count", "*", "n")))
+    }
+    intercept[IllegalArgumentException] {
+      Spec(Seq("cat"), Seq(Agg("count", "*", "KB")))
+    }
+    intercept[IllegalArgumentException] {
+      Spec(Seq("cat"), Seq(Agg("sum", "kb", "s")))
+    }
+    // count(*) stays legal — the '*' placeholder is not a column
+    Spec(Seq("cat"), Seq(Agg("count", "*", "n")))
+  }
+
   test("global rollup (no dims), multiple rollups per table, list and " +
       "detach") {
     val sink = Files.createTempDirectory("graft-ru-").resolve("s").toString
