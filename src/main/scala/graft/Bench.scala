@@ -79,6 +79,22 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
+    // Box-speed calibration: a fixed pure-CPU job (range + sum inside
+    // one whole-stage-codegen loop — no IO, no shuffle, never touched
+    // by query changes) timed before, between and after the passes.
+    // Two consecutive rounds' cal_med ratio separates AMBIENT box
+    // slowdown from real plan regressions mechanically: r12→r13 spent
+    // a verdict section proving a +13% drift was the box (identical
+    // tests 1.6x slower) — this number answers it in one division.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(400000000L)
+        .selectExpr("sum(id * 2654435761 + 17)")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // untimed warm (JIT)
+    val calBuf = scala.collection.mutable.ArrayBuffer(calibrate())
     // Two full passes, report per-query MIN (steady-state): a single
     // pass conflates plan cost with one-time codegen/JIT (measured
     // q59 14 s first vs 2.7 s steady) and with ambient box load —
@@ -87,7 +103,9 @@ object Bench {
     // PLAN, which is what scale tuning acts on; the pass count is
     // reported so the methodology is explicit.
     val pass1 = timedPass()
+    calBuf += calibrate()
     val pass2 = timedPass().toMap
+    calBuf += calibrate()
     // both passes failed → -1 marker (keeps the JSON line valid and
     // the failure visible; the driver's correctness gate catches the
     // broken query itself)
@@ -149,7 +167,7 @@ object Bench {
     val (multi, multiSpread) = ingestMin(MultiTables, "cdc_multi")
     spark.stop()
     println(renderJson(results, spread, ingest, multi, sfDir,
-      ingestSpread, multiSpread))
+      ingestSpread, multiSpread, calBuf.toSeq))
   }
 
   /** Table count for the multiplexed ingest bench. */
@@ -171,10 +189,11 @@ object Bench {
     * live measurement, not hope: the r13 line is ~1730 chars before
     * spread at 129 queries (2-decimal per-query seconds), the driver
     * parses the LAST ~2000 and sbt appends its own ~70-char
-    * [success] line — 6 × ~13 chars keeps the worst case ~1880 with
-    * room for a few more rounds of query growth.
+    * [success] line — 5 × ~13 chars plus the ~50-char calibration
+    * block keeps the worst case ~1880 with room for a few more
+    * rounds of query growth.
     */
-  private[graft] val SpreadCap = 6
+  private[graft] val SpreadCap = 5
 
   /** The one line the driver parses — factored pure so its contract
     * (valid JSON, Locale-proof decimals, short keys, failure
@@ -194,7 +213,8 @@ object Bench {
       ingest: Option[(Double, Double)],
       multi: Option[(Double, Double)], sfDir: String,
       ingestSpread: Option[Double] = None,
-      multiSpread: Option[Double] = None): String = {
+      multiSpread: Option[Double] = None,
+      cal: Seq[Double] = Nil): String = {
     def short(name: String): String = {
       val m = "^(q\\d+)_".r.findFirstMatchIn(name)
       m.map(_.group(1)).getOrElse(name)
@@ -251,7 +271,18 @@ object Bench {
       else spread.sortBy(-_._2).take(SpreadCap).map { case (k, r) =>
         "\"" + short(k) + "\":" + ratio(r)
       }.mkString(""","spread":{""", ",", "}")
-    s"""{"metric":"total","value":${sec(total)},"unit":"sec","passes":2,"agg":"min","queries_total":${sec(queriesTotal)},"queries":$qs$failedJson$spreadJson$extra,"sf":"$sfDir"}"""
+    // box-speed calibration samples + their median: divide another
+    // round's cal_med by this one's to convert its raw seconds into
+    // this box-state's terms (the probe is pure CPU and code-frozen,
+    // so the ratio is ambient load/thermal state, never the diff)
+    val calJson =
+      if (cal.isEmpty) ""
+      else {
+        val med = cal.sorted.apply(cal.size / 2)
+        cal.map(ratio).mkString(""","cal":[""", ",",
+          s"""],"cal_med":${ratio(med)}""")
+      }
+    s"""{"metric":"total","value":${sec(total)},"unit":"sec","passes":2,"agg":"min","queries_total":${sec(queriesTotal)},"queries":$qs$failedJson$spreadJson$extra$calJson,"sf":"$sfDir"}"""
   }
 
   /** Events → JSON-lines envelope feed → CdcPipeline (AvailableNow);

@@ -973,6 +973,152 @@ object ScaleBench {
       f"(${tReader / n * 1000}%5.0f ms/probe, ${tLookup / tReader}%4.1fx)")
   }
 
+  /** `runMain graft.ScaleBench indexbig [bigKeysM] [work]` — the
+    * index-at-its-own-scale claim: probe cost must grow far slower
+    * than the bloom sidecar, because candidate selection is
+    * cluster-side — the probe hashes broadcast onto a distributed
+    * sidecar scan and only candidate bucket ids (ints) reach the
+    * driver. (The r13 design collected the WHOLE sidecar per probe:
+    * cost ∝ sidecar bytes, ~120 GB/probe at a correctly-sized 100 TB
+    * index.) Two auto-sized tables — 2M keys (~MB sidecar) and
+    * `bigKeysM` million keys (default 96 ⇒ a >100 MB sidecar at
+    * honest ~30% filter fill). Also times the prepared IndexReader,
+    * which pins the bloom frame so repeated probes skip even the
+    * distributed re-scan.
+    */
+  private def indexBigExperiment(spark: SparkSession, work: String,
+      bigKeysM: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    import spark.implicits._
+    val n = 10
+    def probe(i: Int) = Seq(s"u${1000 + i}@example.com").toDF("email")
+    // a sidecar's on-disk size is ~rows x 1.25 B at the auto sizing
+    // (10 bits/row at ~30% fill is near-incompressible) — so a
+    // >100 MB sidecar honestly requires tens of millions of live
+    // rows, not an inflated empty filter (mostly-zero bitsets
+    // RLE-compress to nothing and would fake the experiment)
+    val sizes = Seq(("small", 2000000L), ("big", bigKeysM * 1000000L))
+    val results = for ((label, keys) <- sizes) yield {
+      val sink = s"$work/ixb_sink_$label"
+      val cur = s"$work/ixb_cur_$label"
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(sink))
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(cur))
+      spark.range(keys).select(col("id"),
+          concat(lit("u"), col("id"), lit("@example.com")).as("email"),
+          lit("CREATE").as("_op"), (lit(1000L) + col("id")).as("_ts"),
+          lit("f1").as("_binlog_file_internal"),
+          col("id").as("_binlog_pos_internal"),
+          lit("2024-01-01").as("dt"))
+        .write.mode("append").partitionBy("dt").parquet(sink)
+      graft.streaming.CurrentTable.sync(spark, sink, cur, Seq("id"),
+        buckets = 256)
+      val tAttach = time(
+        graft.ops.BucketIndex.attach(spark, cur, "email"))
+      val ixDir = new java.io.File(s"$cur/_index/email")
+      val dataDir = ixDir.listFiles().filter(_.isDirectory)
+        .find(_.getName.startsWith("d_")).get
+      val files = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
+      val mb = dataDir.listFiles().map(_.length()).sum / 1e6
+      def oneShot(i: Int): Long = graft.ops.BucketIndex.lookupBy(spark,
+        cur, "email", probe(i)).count()
+      require(oneShot(0) == 1) // warm
+      val tProbe = time(for (i <- 1 to n) require(oneShot(i) == 1))
+      val rd = graft.ops.BucketIndex.reader(spark, cur, "email")
+      require(rd.lookup(probe(0)).count() == 1) // warm + pin
+      val tReader = time(for (i <- 1 to n)
+        require(rd.lookup(probe(i)).count() == 1))
+      rd.close()
+      println(f"[scale] indexbig $label: $keys keys / 256 buckets, " +
+        f"attach ${tAttach}%6.1fs, sidecar ${mb}%7.1f MB in $files " +
+        f"file(s): lookupBy ${tProbe / n * 1000}%6.0f ms/probe, " +
+        f"IndexReader ${tReader / n * 1000}%6.0f ms/probe")
+      (mb, tProbe / n, tReader / n)
+    }
+    val (mb0, p0, r0) = results(0); val (mb1, p1, r1) = results(1)
+    println(f"[scale] indexbig: ${mb1 / mb0}%4.0fx sidecar growth -> " +
+      f"${p1 / p0}%4.2fx one-shot probe, ${r1 / r0}%4.2fx prepared " +
+      "probe (r13's driver-side selection moved the whole sidecar per " +
+      "probe: cost would track the bytes)")
+  }
+
+  /** `runMain graft.ScaleBench evolvedreader [keysK] [work]` — the
+    * cross-fork serving claim: `lookupEvolved` re-pays PER FORK and
+    * PER CALL the fixed driver costs (orphan/marker checks, root
+    * reads, full bucket listings, footer opens) a prepared
+    * `CurrentTable.evolvedReader` pays once and revalidates with one
+    * small root read per fork. Times N sequential small probes both
+    * ways over a 3-fork table, then lands a fold on one fork and
+    * pins that the held handle serves it on the very next call.
+    */
+  private def evolvedReaderExperiment(spark: SparkSession, work: String,
+      keysK: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val keys = keysK * 1000L
+    val root = s"$work/evr"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // base + two forks, each adding a column, each with its own
+    // maintained current table (the runbook shape q126/q127 pin)
+    val dirs = Seq(s"$root/s1_db__t", s"$root/s1_db__t_v20240301",
+      s"$root/s1_db__t_v20240601")
+    for ((dir, f) <- dirs.zipWithIndex) {
+      val slice = spark.range(f * keys / 3, (f + 1) * keys / 3)
+        .select(col("id"), concat(lit(s"v$f"), col("id")).as("name"),
+          lit("UPDATE").as("_op"),
+          (lit(1000000L * (f + 1)) + col("id")).as("_ts"),
+          lit("f1").as("_binlog_file_internal"),
+          col("id").as("_binlog_pos_internal"),
+          lit("2024-01-01").as("dt"))
+      val shaped = (0 until f).foldLeft(slice)((d, i) =>
+        d.withColumn(s"extra$i", col("id") * (i + 2)))
+      shaped.write.mode("append").partitionBy("dt").parquet(dir)
+      graft.streaming.CurrentTable.sync(spark, dir, s"${dir}__current",
+        Seq("id"), buckets = 64)
+    }
+    val n = 25
+    def probes(i: Int) = spark.createDataFrame(Seq(
+      Tuple1(i.toLong), Tuple1(i + keys / 3), Tuple1(i + 2 * keys / 3)))
+      .toDF("id")
+    def drain(df: org.apache.spark.sql.DataFrame): Long = df.count()
+    def oneShot(i: Int): Long =
+      drain(graft.streaming.CurrentTable.lookupEvolved(spark, root,
+        "s1", "db", "t", Seq("id"), probes(i)))
+    require(oneShot(0) == 3) // warm
+    val handle = graft.streaming.CurrentTable.evolvedReader(spark, root,
+      "s1", "db", "t", Seq("id"))
+    require(drain(handle.lookup(probes(0))) == 3)
+    val tOneShot = time(for (i <- 1 to n) require(oneShot(i) == 3))
+    val tHandle = time(for (i <- 1 to n)
+      require(drain(handle.lookup(probes(i))) == 3))
+    // a fold on one fork: the held handle serves it next call (rows
+    // carry the fork's full schema — a narrower file would be a DDL
+    // event, not a fold)
+    val late = spark.range(keys, keys + 5L)
+      .select(col("id"), concat(lit("late"), col("id")).as("name"),
+        lit("UPDATE").as("_op"), (lit(9000000L) + col("id")).as("_ts"),
+        lit("f1").as("_binlog_file_internal"),
+        col("id").as("_binlog_pos_internal"),
+        lit("2024-01-02").as("dt"))
+    (0 until 2).foldLeft(late)((d, i) =>
+        d.withColumn(s"extra$i", col("id") * (i + 2)))
+      .write.mode("append").partitionBy("dt").parquet(dirs.last)
+    graft.streaming.CurrentTable.sync(spark, dirs.last,
+      s"${dirs.last}__current", Seq("id"))
+    require(drain(handle.lookup(spark.createDataFrame(
+        Seq(Tuple1(keys + 1L))).toDF("id"))) == 1,
+      "evolvedReader missed a fold")
+    println(f"[scale] evolvedreader ${keys} keys x 3 forks, $n " +
+      f"sequential 3-key probes: one-shot lookupEvolved ${tOneShot}%5.2fs " +
+      f"(${tOneShot / n * 1000}%5.0f ms/probe) vs prepared handle " +
+      f"${tHandle}%5.2fs (${tHandle / n * 1000}%5.0f ms/probe, " +
+      f"${tOneShot / tHandle}%4.1fx)")
+  }
+
   /** `runMain graft.ScaleBench ctorder [keysK] [work]` — the
     * within-bucket order claim: a current table whose buckets are
     * sorted on a column serves narrow filters on that column by
@@ -1561,6 +1707,22 @@ object ScaleBench {
       indexExperiment(spark,
         args.lift(2).getOrElse("/tmp/graft-scale"),
         args.lift(1).map(_.toInt).getOrElse(2000))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("indexbig")) {
+      val spark = buildSession()
+      indexBigExperiment(spark,
+        args.lift(2).getOrElse("/tmp/graft-scale"),
+        args.lift(1).map(_.toInt).getOrElse(96))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("evolvedreader")) {
+      val spark = buildSession()
+      evolvedReaderExperiment(spark,
+        args.lift(2).getOrElse("/tmp/graft-scale"),
+        args.lift(1).map(_.toInt).getOrElse(600))
       spark.stop()
       return
     }

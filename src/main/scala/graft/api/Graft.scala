@@ -99,9 +99,19 @@ object Graft {
         // meta must not take down its healthy base table's view (or
         // the rest of the lake) — it is skipped with a warning and
         // stays a loud TABLE_NOT_FOUND
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_synced.txt")))
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_synced.txt"))) {
+          // sweep STALE derived views first: a rollup DETACHED since
+          // the last registration would otherwise keep serving its
+          // dropped partials' final read through the old temp view —
+          // dropping `<view>__*` up front makes a detached rollup a
+          // loud TABLE_NOT_FOUND, and anything still attached (or the
+          // fork-union `__all`) re-registers below in this same call
+          val rel = n.stripPrefix(prefix)
+          for (t <- spark.catalog.listTables().collect()
+              if t.isTemporary && t.name.startsWith(s"${rel}__"))
+            spark.catalog.dropTempView(t.name)
           for (r <- graft.ops.RollupTable.list(spark, dir)) {
-            val vn = s"${n.stripPrefix(prefix)}__$r"
+            val vn = s"${rel}__$r"
             try {
               graft.ops.RollupTable.read(spark, dir, r)
                 .createOrReplaceTempView(vn)
@@ -113,6 +123,7 @@ object Graft {
                 spark.catalog.dropTempView(vn)
             }
           }
+        }
         true
       } catch {
         // one table mid-crashed-swap must not take the whole lake's

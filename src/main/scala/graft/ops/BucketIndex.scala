@@ -427,7 +427,9 @@ object BucketIndex {
     * its meta — which the per-call signature check picks up. Same
     * census requirement as `CurrentTable.Reader`: the root-content
     * staleness signature only works on tables whose folds rewrite
-    * the root.
+    * the root. One handle per serving thread: concurrent lookups
+    * racing a re-prepare could each pin a bloom frame and strand one
+    * until [[close]] (results stay correct — only storage leaks).
     */
   final class IndexReader private[BucketIndex](spark: SparkSession,
       currentDir: String, column: String) {

@@ -785,7 +785,7 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
             if (config.currentTargetBucketMb > 0 && scope.isEmpty)
               for (st <- CurrentTable.layoutStats(spark, s"${dir}__current");
                   rec <- CurrentTable.rescaleAdvice(st,
-                    config.currentTargetBucketMb * 1024L * 1024L))
+                    config.currentTargetBucketMb * 1024L * 1024L)) {
                 org.slf4j.LoggerFactory.getLogger(getClass).warn(
                   s"[${config.name}] current-table $key has drifted " +
                     s"from its bucket target: ${st.buckets} buckets, " +
@@ -793,6 +793,13 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
                     s"(target ${config.currentTargetBucketMb} MB/bucket) " +
                     s"— run CurrentTable.rescale(spark, \"${dir}__current\", " +
                     s"keys, $rec) at a maintenance window")
+                // machine-readable twin of the warning, into the P7
+                // status store: an operator's cron can act on the
+                // advice (the exact rescale call is in the record)
+                // without scraping executor logs
+                config.statusStorePath.foreach(writeAdviceFile(_, key,
+                  s"${dir}__current", st, rec))
+              }
           }
         // Auto-compaction next: the stream is idle between
         // micro-batches (single writer), so the swap's no-active-writer
@@ -941,6 +948,29 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     val json = s"""{"job_id":"${config.sourceId}","job_name":"${config.name}",""" +
       s""""record_count":$recordCount,"last_event_timestamp":$lastEventTs,""" +
       s""""last_checkpoint_timestamp":${System.currentTimeMillis()}}"""
+    hWrite(s"$root/dt=$today/${java.util.UUID.randomUUID()}.json", json)
+  }
+
+  /** Rescale-advisory record, same store and dt-layout as
+    * [[writeStatusFile]] but `"advice":"rescale"`-typed so a consumer
+    * filters them apart. Written only when [[CurrentTable.rescaleAdvice]]
+    * fires (layout drift ≥ 2× from `sink.current.target.bucket.mb`);
+    * carries the numbers behind the advice and the exact maintenance
+    * call, so an operator's cron can act without scraping logs.
+    */
+  private def writeAdviceFile(root: String, tableKey: String,
+      currentDir: String, st: CurrentTable.LayoutStats,
+      recommended: Int): Unit = {
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    val json = s"""{"job_id":"${config.sourceId}",""" +
+      s""""job_name":"${config.name}","advice":"rescale",""" +
+      s""""table":"$tableKey","current_dir":"$currentDir",""" +
+      s""""buckets":${st.buckets},"live_bytes":${st.bytes},""" +
+      s""""max_bucket_bytes":${st.maxBucketBytes},""" +
+      s""""target_bucket_mb":${config.currentTargetBucketMb},""" +
+      s""""recommended_buckets":$recommended,""" +
+      s""""call":"CurrentTable.rescale(spark, \\"$currentDir\\", keys, $recommended)",""" +
+      s""""timestamp":${System.currentTimeMillis()}}"""
     hWrite(s"$root/dt=$today/${java.util.UUID.randomUUID()}.json", json)
   }
 

@@ -1395,6 +1395,23 @@ object CurrentTable {
       require(keys.columns.toSeq == pk,
         s"lookup: keys frame must have exactly the key columns $pk, " +
           s"got ${keys.columns.toSeq}")
+      val maxKeys = resolveMaxKeys(spark, maxDriverKeys)
+      val collected = keys.limit(maxKeys + 1).collect()
+      if (collected.length > maxKeys)
+        return readRaw(spark, currentDir).join(keys, pk, "left_semi")
+          .filter(!graft.ops.TimeTravel.isTombstone)
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(collected: _*), keys.schema)
+      rawRows(local).filter(!graft.ops.TimeTravel.isTombstone)
+    }
+
+    /** The probe WITHOUT the tombstone filter, over an ALREADY
+      * driver-snapshotted `local` frame — the per-fork unit
+      * [[EvolvedReader]] merges (a fork's DELETE must outrank the
+      * base era's live row before any filtering), and the body of
+      * [[lookup]]. Revalidates the root signature per call.
+      */
+    private[CurrentTable] def rawRows(local: DataFrame): DataFrame = {
       // a rescale's SWAP window is the one mutation the root
       // signature cannot see — refuse-or-outwait via the marker
       // ([[outwaitRescale]]); its clearing implies a root write, so
@@ -1404,30 +1421,21 @@ object CurrentTable {
       val p =
         if (rootSignature(spark, currentDir) == cached.sig) cached
         else { val n = prepare(); prep = n; n }
-      checkProbeTypes(keys.schema, p.schema, pk)
-      val maxKeys = resolveMaxKeys(spark, maxDriverKeys)
-      val collected = keys.limit(maxKeys + 1).collect()
-      if (collected.length > maxKeys)
-        return readRaw(spark, currentDir).join(keys, pk, "left_semi")
-          .filter(!graft.ops.TimeTravel.isTombstone)
-      val local = spark.createDataFrame(
-        java.util.Arrays.asList(collected: _*), keys.schema)
+      checkProbeTypes(local.schema, p.schema, pk)
       // a local relation: the projection collapses driver-side
       // (ConvertToLocalRelation), no Spark job
       val buckets = local.select(bucketExpr(pk, p.nb).as("kb"))
         .distinct().collect().map(_.getInt(0)).sorted
       val live = buckets.map(b => s"kb=$b").filter(p.existing)
         .map(n => s"$currentDir/$n")
-      val rows =
-        if (live.isEmpty)
-          spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            p.schema)
-        // the cached schema rides the read — no footer open per call
-        else spark.read.schema(p.schema).option("basePath", currentDir)
-          .parquet(live.toSeq: _*)
-          .join(local, pk, "left_semi")
-      rows.filter(!graft.ops.TimeTravel.isTombstone)
+      if (live.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          p.schema)
+      // the cached schema rides the read — no footer open per call
+      else spark.read.schema(p.schema).option("basePath", currentDir)
+        .parquet(live.toSeq: _*)
+        .join(local, pk, "left_semi")
     }
   }
 
@@ -1609,5 +1617,63 @@ object CurrentTable {
       orderOverride)((_, cur) =>
         rawLookup(spark, cur, pk, local, maxKeys, planCache,
           snapshotted = true))
+  }
+
+  /** A PREPARED handle for repeated [[lookupEvolved]] probes — the
+    * cross-fork serving pattern: each one-shot call re-pays PER FORK
+    * the fixed driver costs a single-table [[reader]] already
+    * eliminates (orphan/marker check, root read, full bucket listing,
+    * a parquet footer open), so a process probing an N-fork table
+    * thousands of times pays them N × calls times. The handle holds
+    * one [[Reader]] per fork — each revalidating per call with its
+    * own root-signature read, so a fold landing on ANY fork is seen
+    * without help — and re-lists the fork set itself per call (one
+    * directory listing; a NEW evolution fork appearing between calls
+    * must join the merge, not be silently ignored until a handle
+    * rebuild).
+    */
+  def evolvedReader(spark: SparkSession, sinkRoot: String,
+      sourceId: String, db: String, table: String, pk: Seq[String],
+      sourceType: String = "mysql",
+      orderOverride: Option[Seq[org.apache.spark.sql.Column]] = None)
+      : EvolvedReader =
+    new EvolvedReader(spark, sinkRoot, sourceId, db, table, pk,
+      sourceType, orderOverride)
+
+  /** See [[evolvedReader]]. Same per-fork visibility and failure
+    * modes as [[Reader]] (root-signature staleness, rescale
+    * refuse-or-outwait, loud failure on a crashed swap, census
+    * required); the cross-fork merge rule is [[lookupEvolved]]'s
+    * exactly — spec-pinned equal.
+    */
+  final class EvolvedReader private[CurrentTable](spark: SparkSession,
+      sinkRoot: String, sourceId: String, db: String, table: String,
+      pk: Seq[String], sourceType: String,
+      orderOverride: Option[Seq[org.apache.spark.sql.Column]]) {
+    require(pk.nonEmpty, "evolvedReader: no key columns")
+    // per-fork prepared handles, keyed by current-table dir — a fork
+    // never moves, so entries are append-only across calls
+    private val readers =
+      scala.collection.mutable.Map.empty[String, Reader]
+
+    /** Same rows as `CurrentTable.lookupEvolved(...)` — spec-pinned —
+      * at a fraction of the per-call driver cost.
+      */
+    def lookup(keys: DataFrame, maxDriverKeys: Int = 0): DataFrame = {
+      require(keys.columns.toSeq == pk,
+        s"lookup: keys frame must have exactly the key columns $pk, " +
+          s"got ${keys.columns.toSeq}")
+      val maxKeys = resolveMaxKeys(spark, maxDriverKeys)
+      val collected = keys.limit(maxKeys + 1).collect()
+      if (collected.length > maxKeys)
+        return readEvolved(spark, sinkRoot, sourceId, db, table, pk,
+          sourceType, orderOverride).join(keys, pk, "left_semi")
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(collected: _*), keys.schema)
+      mergeForks(spark, sinkRoot, sourceId, db, table, pk, sourceType,
+        orderOverride)((_, cur) =>
+          readers.getOrElseUpdate(cur, new Reader(spark, cur, pk))
+            .rawRows(local))
+    }
   }
 }

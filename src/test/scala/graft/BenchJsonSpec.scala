@@ -71,6 +71,15 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.contains(""","failed_n":0,"failed":[]"""), line)
   }
 
+  test("calibration samples and their median render; absent when not " +
+      "measured (spec-only renders)") {
+    val line = Bench.renderJson(Seq("q01_x" -> 1.0), Nil, None, None,
+      "/tmp/sf", cal = Seq(0.51, 0.48, 0.55))
+    assert(line.contains(""","cal":[0.51,0.48,0.55],"cal_med":0.51"""),
+      line)
+    assert(!render(Seq("q01_x" -> 1.0), None).contains("cal"))
+  }
+
   test("mass failure caps the name list but keeps the true count " +
       "(parse-window protection)") {
     val many = (1 to 40).map(i => f"q$i%02d_x" -> -1.0)

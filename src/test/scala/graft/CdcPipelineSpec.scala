@@ -331,6 +331,36 @@ class CdcPipelineSpec extends AnyFunSuite {
       s"no prune: $readBuckets of $nBuckets")
   }
 
+  test("rescale advice lands in the status store as a machine-readable " +
+      "record when layout drift >= 2x, naming the exact maintenance call") {
+    val in = tmp(); val out = tmp(); val status = tmp()
+    writeFixture(in, "00-snapshot.jsonl", Seq(
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":1},"name":{"string":"alice"},"balance":null"""),
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        """"id":{"int":2},"name":{"string":"bob"},"balance":null""")))
+    // 64 buckets of a KB-scale table against a 1 MB/bucket target:
+    // the shrink advice (>= 2x drift) must fire on the full sync
+    run(CdcConfig("srca", registry, out.toString,
+      statusStorePath = Some(status.toString),
+      currentKeys = Map("testdb.users" -> Seq("id")),
+      currentBuckets = 64, currentTargetBucketMb = 1), in)
+    val records = Files.walk(status).toArray.map(_.toString)
+      .filter(_.endsWith(".json"))
+      .map(p => new String(Files.readAllBytes(Paths.get(p)), "UTF-8"))
+    val advice = records.filter(_.contains(""""advice":"rescale""""))
+    assert(advice.nonEmpty, s"no advice record in: ${records.toSeq}")
+    val a = advice.head
+    assert(a.contains(""""table":"testdb.users""""), a)
+    assert(a.contains(""""buckets":64"""), a)
+    assert(a.contains(""""recommended_buckets":1"""), a)
+    assert(a.contains("CurrentTable.rescale(spark, "), a)
+    assert(a.contains("""keys, 1)"""), a)
+    // plain status records still present beside it
+    assert(records.exists(r => r.contains(""""record_count":""") &&
+      !r.contains(""""advice"""")), records.toSeq.toString)
+  }
+
   test("sink.current.order.by flows config -> pipeline -> sorted " +
       "bucket files in the maintained current table") {
     val in = tmp(); val out = tmp()

@@ -631,6 +631,75 @@ class CurrentTableSpec extends AnyFunSuite {
         r.getString(3))).toSet == looked)
   }
 
+  test("a prepared EvolvedReader matches lookupEvolved through a " +
+      "schedule with a mid-run fork, per-fork folds, a rescale and " +
+      "post-fork deletes") {
+    val root = Files.createTempDirectory("graft-ct-evr-").toString
+    val base = s"$root/s1_db__t"
+    val fork = s"$root/s1_db__t_v20240401"
+    append(base, Seq(
+      (1L, "a1", "CREATE", 1000L, "f1", 10L),
+      (2L, "b1", "CREATE", 1100L, "f1", 20L),
+      (3L, "c1", "CREATE", 1200L, "f1", 30L)))
+    CurrentTable.sync(spark, base, s"${base}__current", Seq("id"),
+      buckets = 4)
+    val rd = CurrentTable.evolvedReader(spark, root, "s1", "db", "t",
+      Seq("id"))
+    def both(ids: Long*): Set[(Long, String, String)] = {
+      def shape(df: org.apache.spark.sql.DataFrame) =
+        df.select("id", "name", "_table_version").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val held = shape(rd.lookup(ids.toDF("id")))
+      val oneShot = shape(CurrentTable.lookupEvolved(spark, root, "s1",
+        "db", "t", Seq("id"), ids.toDF("id")))
+      assert(held == oneShot, s"handle diverged: $held vs $oneShot")
+      held
+    }
+    assert(both(1L, 2L, 99L) == Set((1L, "a1", "base"), (2L, "b1", "base")))
+    // MID-RUN FORK: a new evolution fork (extra column) lands between
+    // calls — the handle's per-call fork listing must pick it up,
+    // including its tombstone for key 3 outranking the live base row
+    Seq((2L, "b2", "x", "UPDATE", 2000L, "f1", 60L),
+        (3L, "c1", "x", "DELETE", 2100L, "f1", 70L))
+      .toDF("id", "name", "extra", "_op", "_ts",
+        "_binlog_file_internal", "_binlog_pos_internal")
+      .withColumn("dt", lit("2024-04-01"))
+      .coalesce(1).write.mode("append").partitionBy("dt").parquet(fork)
+    CurrentTable.sync(spark, fork, s"${fork}__current", Seq("id"),
+      buckets = 4)
+    assert(both(1L, 2L, 3L) ==
+      Set((1L, "a1", "base"), (2L, "b2", "v20240401")))
+    // a fold on ONE fork only: that fork's root signature re-prepares
+    // its reader; the other fork's stays cached
+    Seq((4L, "d2", "y", "CREATE", 3000L, "f1", 80L))
+      .toDF("id", "name", "extra", "_op", "_ts",
+        "_binlog_file_internal", "_binlog_pos_internal")
+      .withColumn("dt", lit("2024-04-02"))
+      .coalesce(1).write.mode("append").partitionBy("dt").parquet(fork)
+    CurrentTable.sync(spark, fork, s"${fork}__current", Seq("id"))
+    assert(both(3L, 4L) == Set((4L, "d2", "v20240401")))
+    // a rescale on the BASE fork: the handle replans under the new
+    // modulus without help
+    CurrentTable.rescale(spark, s"${base}__current", Seq("id"), 9)
+    assert(both(1L, 2L, 4L) == Set((1L, "a1", "base"),
+      (2L, "b2", "v20240401"), (4L, "d2", "v20240401")))
+    // oversized probe: the readEvolved fallback, same rows
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "name", "_table_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(shape(rd.lookup((1L to 5L).toDF("id"), maxDriverKeys = 2))
+      == Set((1L, "a1", "base"), (2L, "b2", "v20240401"),
+        (4L, "d2", "v20240401")))
+    // probe stays bucket-pruned per fork (the handle must not have
+    // traded the prune away for its caching)
+    val perFork = rd.lookup(Seq(1L, 2L).toDF("id")).inputFiles
+      .groupBy(f => if (f.contains("_v20240401")) "fork" else "base")
+      .view.mapValues(_.flatMap(_.split('/').find(_.startsWith("kb=")))
+        .toSet).toMap
+    assert(perFork.values.forall(_.size <= 2),
+      s"lookup should prune to <= probe-count buckets: $perFork")
+  }
+
   test("pruneCursorExpired sweeps date-partition entries past the " +
       "horizon, keeping non-date buckets") {
     val sink = Files.createTempDirectory("graft-ct7-")

@@ -308,6 +308,23 @@ class GraftApiSpec extends AnyFunSuite {
       .as[Long].head() == 19L,
       "the rollup view must serve the maintained partials")
 
+    // a rollup DETACHED since the last registration must not keep
+    // serving its dropped partials' final read through a stale temp
+    // view: re-registering sweeps `<view>__*` first, so the query
+    // fails loudly
+    graft.ops.RollupTable.detach(spark, s"${sink}__current", "totals")
+    val viewsDetached = Graft.registerSinkTables(spark, root, "lake1")
+    assert(!viewsDetached.contains("db__events__current__totals"))
+    assert(!spark.catalog.tableExists("db__events__current__totals"),
+      "stale rollup view must be dropped on re-registration")
+    assert(viewsDetached.contains("db__events__current"))
+    // re-attach: the view comes back on the next registration
+    graft.ops.RollupTable.attach(spark, s"${sink}__current", "totals",
+      graft.ops.RollupTable.Spec(Nil, Seq(
+        graft.ops.RollupTable.Agg("count", "*", "n"))))
+    assert(Graft.registerSinkTables(spark, root, "lake1")
+      .contains("db__events__current__totals"))
+
     // ONE corrupted rollup meta must not take down its healthy base
     // table's view (or the rest of the lake): the rollup view is
     // skipped, the base table stays queryable
