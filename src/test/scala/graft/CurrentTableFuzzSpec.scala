@@ -52,7 +52,8 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
     * the modulus and full-scans).
     */
   private def assertDerived(cur: String, rnd: scala.util.Random,
-      seed: Int, step: Int): Unit = {
+      seed: Int, step: Int,
+      ixHandle: graft.ops.BucketIndex.IndexReader = null): Unit = {
     val live = CurrentTable.read(spark, cur)
     val direct = live.agg(count(lit(1)).as("n"), sum("_ts").as("sum_ts"),
         min("name").as("lo"), max("name").as("hi"),
@@ -78,6 +79,15 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
         .select("id").collect().map(_.getLong(0)).toSet
       assert(viaIndex == viaScan,
         s"seed $seed step $step: index diverged on '$p'")
+      // the PREPARED index handle, held through the whole schedule,
+      // must see every fold/rescale/crash-heal through its two
+      // signature reads and match the one-shot probe exactly
+      if (ixHandle != null) {
+        val viaHandle = ixHandle.lookup(Seq(p).toDF("name"))
+          .select("id").collect().map(_.getLong(0)).toSet
+        assert(viaHandle == viaScan,
+          s"seed $seed step $step: index READER diverged on '$p'")
+      }
     }
   }
 
@@ -92,6 +102,7 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
       val dts = Seq("2024-01-01", "2024-01-02", "2024-01-03")
       var pos = 0L
       var handle: CurrentTable.Reader = null
+      var ixHandle: graft.ops.BucketIndex.IndexReader = null
       val steps = 6 + rnd.nextInt(6)
       for (step <- 0 until steps) {
         // one batch: 1-3 files of 1-8 events each, each file in one
@@ -135,8 +146,9 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
               // tiny k so schedules cross the exact/estimator boundary
               graft.ops.RollupTable.Agg("countd", "name", "dn", k = 4))))
           graft.ops.BucketIndex.attach(spark, cur, "name")
+          ixHandle = graft.ops.BucketIndex.reader(spark, cur, "name")
         } else if (rnd.nextInt(2) == 0) {
-          assertDerived(cur, rnd, seed, step)
+          assertDerived(cur, rnd, seed, step, ixHandle)
         }
         // ONE prepared Reader lives through the whole schedule: every
         // fold/prune/rescale/crash-heal it survives must be visible
@@ -245,7 +257,8 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
       assert(liveState(cur) == oracle(sink),
         s"seed $seed diverged from the oracle")
       // the derived artifacts converged with the table
-      assertDerived(cur, rnd, seed, -1)
+      assertDerived(cur, rnd, seed, -1, ixHandle)
+      ixHandle.close()
       // raw table: exactly one row per key ever seen, tombstones for
       // exactly the keys whose latest change is a DELETE
       val raw = spark.read.parquet(cur)
