@@ -88,8 +88,10 @@ object Bench {
     // tests 1.6x slower) — this number answers it in one division.
     def calibrate(): Double = {
       val t0 = System.nanoTime()
+      // pmod keeps every addend < 1000 so the 400M-row sum can never
+      // hit ANSI's long-overflow error; xxhash64 keeps it CPU-bound
       spark.range(400000000L)
-        .selectExpr("sum(id * 2654435761 + 17)")
+        .selectExpr("sum(pmod(xxhash64(id), 1000))")
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }

@@ -1015,13 +1015,17 @@ object ScaleBench {
         .write.mode("append").partitionBy("dt").parquet(sink)
       graft.streaming.CurrentTable.sync(spark, sink, cur, Seq("id"),
         buckets = 256)
-      val tAttach = time(
-        graft.ops.BucketIndex.attach(spark, cur, "email"))
+      // 32 groups so maintenance IO is measurable per group (auto
+      // would give 1-2 at this size; a 100 TB sidecar auto-sizes to
+      // the 1024 cap)
+      val tAttach = time(graft.ops.BucketIndex.attach(spark, cur,
+        "email", numGroups = 32))
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
       val ixDir = new java.io.File(s"$cur/_index/email")
-      val dataDir = ixDir.listFiles().filter(_.isDirectory)
-        .find(_.getName.startsWith("d_")).get
-      val files = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
-      val mb = dataDir.listFiles().map(_.length()).sum / 1e6
+      def sidecar() = walk(ixDir).filter(_.getName.endsWith(".parquet"))
+      val files = sidecar().size
+      val mb = sidecar().map(_.length()).sum / 1e6
       def oneShot(i: Int): Long = graft.ops.BucketIndex.lookupBy(spark,
         cur, "email", probe(i)).count()
       require(oneShot(0) == 1) // warm
@@ -1031,10 +1035,28 @@ object ScaleBench {
       val tReader = time(for (i <- 1 to n)
         require(rd.lookup(probe(i)).count() == 1))
       rd.close()
-      println(f"[scale] indexbig $label: $keys keys / 256 buckets, " +
-        f"attach ${tAttach}%6.1fs, sidecar ${mb}%7.1f MB in $files " +
-        f"file(s): lookupBy ${tProbe / n * 1000}%6.0f ms/probe, " +
-        f"IndexReader ${tReader / n * 1000}%6.0f ms/probe")
+      // maintenance at delta grain: a 10-key sync touches ≤ 10 of the
+      // 32 groups — the rewritten bytes are the touched groups', not
+      // the sidecar's (pre-grouping, every sync re-wrote all of it)
+      val preBytes = sidecar().map(_.length()).sum
+      val preNames = sidecar().map(_.getPath).toSet
+      spark.range(keys, keys + 10L).select(col("id"),
+          concat(lit("u"), col("id"), lit("@example.com")).as("email"),
+          lit("CREATE").as("_op"), (lit(9000000L) + col("id")).as("_ts"),
+          lit("f1").as("_binlog_file_internal"),
+          col("id").as("_binlog_pos_internal"),
+          lit("2024-01-02").as("dt"))
+        .write.mode("append").partitionBy("dt").parquet(sink)
+      val tDelta = time(graft.streaming.CurrentTable.sync(spark, sink,
+        cur, Seq("id")))
+      val rewrittenMb = sidecar().filterNot(f => preNames(f.getPath))
+        .map(_.length()).sum / 1e6
+      println(f"[scale] indexbig $label: $keys keys / 256 buckets / " +
+        f"32 groups, attach ${tAttach}%6.1fs, sidecar ${mb}%7.1f MB " +
+        f"in $files file(s): lookupBy ${tProbe / n * 1000}%6.0f " +
+        f"ms/probe, IndexReader ${tReader / n * 1000}%6.0f ms/probe; " +
+        f"10-key delta sync ${tDelta}%5.1fs rewrote " +
+        f"${rewrittenMb}%7.1f of ${preBytes / 1e6}%7.1f MB")
       (mb, tProbe / n, tReader / n)
     }
     val (mb0, p0, r0) = results(0); val (mb1, p1, r1) = results(1)

@@ -36,25 +36,43 @@ import org.apache.spark.sql.functions._
   *     sidecar, and only the matching bucket IDs (ints) return to the
   *     driver — the sidecar's bits never transit the driver, however
   *     large the table ([[candidateFrame]]; plan-asserted).
-  *   - The sidecar publishes across multiple parquet files once it
-  *     outgrows one ([[PointerDir.stage]]'s `numFiles`), so index
-  *     maintenance never funnels through a single write task.
+  *   - The sidecar is a GROUPED manifest: buckets hash into
+  *     ~[[TargetGroupBytes]]-sized groups (`grp = kb mod groups`),
+  *     each group's bloom rows in their own parquet dir, the meta
+  *     listing one pointer per group. A sync rewrites ONLY the
+  *     touched buckets' groups and carries the rest forward by
+  *     pointer — per-sync maintenance IO is O(touched groups), not
+  *     O(sidecar) (a 120 GB sidecar at the 100 TB sizing would
+  *     otherwise be re-read and re-written by every sync), and the
+  *     write parallelism is one task per touched group, never one
+  *     funnel task.
   *   - Repeated probes (the serving pattern) use a prepared
   *     [[reader]] that pins the bloom frame in executor storage and
   *     revalidates per call with two small meta reads, instead of
   *     re-reading the sidecar per probe.
   *
-  * Layout under `<currentDir>/_index/<column>/`: `_meta.txt` (bucket
-  * modulus, per-shard bloom bits, shard count, data pointer — atomic
-  * flip via [[PointerDir]]) and `d_<nonce>/` parquet rows
-  * `(kb, shard, bloom)`. Maintenance rides
-  * [[graft.streaming.CurrentTable.sync]]: touched buckets' blooms
-  * recompute from the staged fold (a bloom cannot "remove" a value,
-  * so recompute — not delta-update — is also the only way a DELETE
-  * or UPDATE-away ever tightens the filter). A sidecar written by a
-  * pre-shard version (no `shards=` in its meta) stays readable
-  * (one implicit shard) and is rebuilt in the new layout by the next
-  * sync — one table-sized read, once, the rescale-rebuild cost class.
+  * Layout under `<currentDir>/_index/<column>/`:
+  * {{{
+  *   _meta.txt          nb=…, bits=…, shards=…, groups=G,
+  *                      g<g>=d_<nonce>   (one per NON-EMPTY group;
+  *                      written atomically LAST — the flip)
+  *   d_<nonce>/grp=<g>/ the bloom rows (kb, shard, bloom) of the
+  *                      groups that publish wrote; untouched groups
+  *                      keep pointing at the dirs of earlier
+  *                      publishes
+  * }}}
+  * GC after each flip deletes `d_` dirs referenced by neither the
+  * new manifest nor the immediately-previous one (a reader that
+  * resolved pointers just before the flip keeps reading intact files
+  * through one concurrent publish — the PointerDir contract).
+  * Maintenance rides [[graft.streaming.CurrentTable.sync]]: touched
+  * buckets' blooms recompute from the staged fold (a bloom cannot
+  * "remove" a value, so recompute — not delta-update — is also the
+  * only way a DELETE or UPDATE-away ever tightens the filter). A
+  * sidecar written by a pre-group version (single `data=` pointer,
+  * and possibly no `shards=`) stays readable and is rebuilt into the
+  * current layout by the next sync — one table-sized read, once, the
+  * rescale-rebuild cost class.
   *
   * A [[graft.streaming.CurrentTable.rescale]] re-keys every bucket,
   * and unlike rollup partials a bloom keyed under a dead modulus
@@ -97,30 +115,57 @@ object BucketIndex {
     */
   private[graft] val MaxShardBits: Int = 1 << 24
 
-  /** Target parquet file size for the published sidecar — filters
-    * beyond one file's worth publish across multiple write tasks.
+  /** Target bytes per bucket-group — the unit of incremental
+    * maintenance IO and of write parallelism. Groups are capped at
+    * [[MaxGroups]], so extremely large sidecars get proportionally
+    * larger groups rather than an unbounded manifest.
     */
-  private[graft] val TargetFileBytes: Long = 128L * 1024 * 1024
+  private[graft] val TargetGroupBytes: Long = 128L * 1024 * 1024
+  private[graft] val MaxGroups: Int = 1024
 
-  /** `legacy` = written by a pre-shard version (no `shards=` line):
-    * readable as one implicit shard, rebuilt by the next sync.
+  /** `legacy` = written by a pre-group version (single `data=`
+    * pointer; `legacyPreShard` additionally means no `shards=` line,
+    * the r13 on-disk format): readable as-is, rebuilt into the
+    * grouped layout by the next sync.
     */
-  private case class Meta(nb: Int, bits: Int, shards: Int,
-      data: Option[String], legacy: Boolean)
+  private case class Meta(nb: Int, bits: Int, shards: Int, groups: Int,
+      pointers: Map[Int, String], legacyData: Option[String],
+      legacy: Boolean, legacyPreShard: Boolean) {
+    /** The parquet paths holding the bloom rows — empty only for a
+      * grouped manifest over a table with zero live indexed values.
+      */
+    def dataPaths(dir: String): Seq[String] =
+      if (legacy)
+        legacyData.map(d => s"$dir/$d").toSeq
+      else pointers.toSeq.sortBy(_._1)
+        .map { case (g, d) => s"$dir/$d/grp=$g" }
+  }
 
-  private def renderMeta(nb: Int, bits: Int, shards: Int)(
-      data: String): Seq[String] =
-    Seq(s"nb=$nb", s"bits=$bits", s"shards=$shards", s"data=$data")
+  private def renderMeta(nb: Int, bits: Int, shards: Int, groups: Int,
+      pointers: Map[Int, String]): Seq[String] =
+    Seq(s"nb=$nb", s"bits=$bits", s"shards=$shards", s"groups=$groups") ++
+      pointers.toSeq.sortBy(_._1).map { case (g, d) => s"g$g=$d" }
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
     PointerDir.readMetaLines(spark, dir).map { lines =>
-      val shards = lines.find(_.startsWith("shards="))
-        .map(_.stripPrefix("shards=").toInt)
+      def opt(k: String): Option[String] =
+        lines.find(_.startsWith(k + "=")).map(_.drop(k.length + 1))
+      val shards = opt("shards")
+      val groups = opt("groups")
+      val pointers = lines.collect {
+        case l if l.startsWith("g") && l.takeWhile(_ != '=').drop(1)
+            .forall(_.isDigit) && l.contains('=') && l(1).isDigit =>
+          val Array(g, d) = l.split("=", 2)
+          g.drop(1).toInt -> d
+      }.toMap
       Meta(PointerDir.metaField(lines, "nb").toInt,
         PointerDir.metaField(lines, "bits").toInt,
-        shards.getOrElse(1),
-        Some(PointerDir.metaField(lines, "data")).filter(_.nonEmpty),
-        legacy = shards.isEmpty)
+        shards.map(_.toInt).getOrElse(1),
+        groups.map(_.toInt).getOrElse(1),
+        pointers,
+        opt("data").filter(_.nonEmpty),
+        legacy = groups.isEmpty,
+        legacyPreShard = shards.isEmpty)
     }
 
   /** Sharded blooms over LIVE rows' values — the one aggregate every
@@ -164,14 +209,55 @@ object BucketIndex {
     (bits, shards)
   }
 
-  /** Parquet file count for a published sidecar of the given
-    * dimensions — one file while small (the common case), sharded
-    * across write tasks past [[TargetFileBytes]].
+  /** Bucket-group count for the manifest: enough ~128 MB groups to
+    * hold the sidecar (1 while small — the common case), capped at
+    * [[MaxGroups]].
     */
-  private[graft] def publishFiles(nb: Int, bits: Int, shards: Int): Int = {
+  private[graft] def autoGroups(nb: Int, bits: Int, shards: Int): Int = {
     val est = nb.toLong * shards * (bits / 8L)
-    math.min(1024L, math.max(1L,
-      (est + TargetFileBytes - 1) / TargetFileBytes)).toInt
+    math.min(MaxGroups.toLong, math.max(1L,
+      (est + TargetGroupBytes - 1) / TargetGroupBytes)).toInt
+  }
+
+  /** Write `rows` (the TOUCHED groups' new bloom rows) as one
+    * `d_<nonce>` partitioned by `grp = kb mod groups` NOW; return the
+    * FLIP: meta rewrite pointing touched groups at the new dir —
+    * groups the write produced no rows for are dropped (their buckets
+    * hold no live values) — carrying `carry`'s untouched pointers
+    * forward, then GC of `d_` dirs referenced by neither the new nor
+    * the immediately-previous manifest.
+    */
+  private def stageGrouped(spark: SparkSession, dir: String, nb: Int,
+      bits: Int, shards: Int, groups: Int, rows: DataFrame,
+      writeTasks: Int, carry: Map[Int, String]): () => Unit = {
+    val dataName = s"d_${java.util.UUID.randomUUID()}"
+    rows.withColumn("grp", pmod(col("kb"), lit(groups)).cast("int"))
+      .repartition(math.max(1, math.min(MaxGroups, writeTasks)),
+        col("grp"))
+      .write.partitionBy("grp")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new Path(dir, dataName).toString)
+    () => {
+      val fs = new Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val written = fs.listStatus(new Path(dir, dataName))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("grp="))
+        .map(n => n.stripPrefix("grp=").toInt -> dataName).toMap
+      val pointers = carry ++ written
+      // previous generation read NOW (pre-flip) for the one-publish
+      // reader-retention contract
+      val previous: Set[String] = readMeta(spark, dir)
+        .map(m => m.pointers.values.toSet ++ m.legacyData)
+        .getOrElse(Set.empty)
+      PointerDir.writeMetaLines(spark, dir,
+        renderMeta(nb, bits, shards, groups, pointers))
+      val keep = pointers.values.toSet ++ previous + dataName
+      for (st <- fs.listStatus(new Path(dir))
+          if st.isDirectory && st.getPath.getName.startsWith("d_") &&
+            !keep(st.getPath.getName))
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** Attach a bloom index on `column`: full-build from the live
@@ -182,19 +268,23 @@ object BucketIndex {
     * silently degrades to a near-full scan: at 2M rows / 64 buckets a
     * fixed 2^16-bit filter measured 52% fpp, 32 of 64 buckets read
     * per probe), adding shards rather than letting any filter exceed
-    * [[MaxShardBits]]. FPP only costs extra bucket reads, never wrong
-    * rows, and the filters do not resize as the table grows —
-    * re-attach (or rescale, which rebuilds) when rows/bucket has
-    * grown well past the sizing.
+    * [[MaxShardBits]]. `numGroups` (0 = auto) sets the manifest's
+    * bucket-group count — the unit of per-sync maintenance IO; auto
+    * targets ~128 MB per group. FPP only costs extra bucket reads,
+    * never wrong rows, and the filters do not resize as the table
+    * grows — re-attach (or rescale, which rebuilds) when rows/bucket
+    * has grown well past the sizing.
     */
   def attach(spark: SparkSession, currentDir: String, column: String,
-      numBits: Int = 0, numShards: Int = 0): Unit = {
+      numBits: Int = 0, numShards: Int = 0, numGroups: Int = 0): Unit = {
     validColumn(column)
     require(numBits == 0 || (numBits >= 64 && numBits % 64 == 0),
       s"numBits must be 0 (auto) or a positive multiple of 64, " +
         s"got $numBits")
     require(numShards >= 0,
       s"numShards must be 0 (auto) or positive, got $numShards")
+    require(numGroups >= 0 && numGroups <= MaxGroups,
+      s"numGroups must be 0 (auto) or in [1, $MaxGroups], got $numGroups")
     val nb = graft.streaming.CurrentTable.bucketCount(spark, currentDir)
       .getOrElse(throw new IllegalStateException(
         s"no current table at $currentDir — sync it before indexing"))
@@ -218,9 +308,11 @@ object BucketIndex {
       // auto: one count over the live table — attach is the one
       // full-build pass anyway, and a blind default measured 52% fpp
       else autoSize(live.count() / math.max(1, nb), numShards)
-    PointerDir.publish(spark, dir,
+    val groups =
+      if (numGroups > 0) numGroups else autoGroups(nb, bits, shards)
+    stageGrouped(spark, dir, nb, bits, shards, groups,
       bloomsOf(spark, live, column, bits, shards),
-      renderMeta(nb, bits, shards), publishFiles(nb, bits, shards))
+      writeTasks = groups, carry = Map.empty)()
   }
 
   def detach(spark: SparkSession, currentDir: String,
@@ -239,14 +331,20 @@ object BucketIndex {
   def list(spark: SparkSession, currentDir: String): Seq[String] =
     PointerDir.attached(spark, indexRoot(currentDir))
 
-  /** The published bloom rows, shard column normalized (a legacy
-    * sidecar's rows carry no `shard` — it has exactly one).
+  /** The published bloom rows, shard column normalized (an r13
+    * pre-shard sidecar's rows carry no `shard` — it has exactly one).
+    * None ⇔ the manifest points at nothing: zero live indexed values,
+    * zero candidates everywhere.
     */
   private def bloomFrame(spark: SparkSession, dir: String,
-      data: String): DataFrame = {
-    val df = spark.read.parquet(new Path(dir, data).toString)
-    if (df.columns.contains("shard")) df
-    else df.withColumn("shard", lit(0))
+      meta: Meta): Option[DataFrame] = {
+    val paths = meta.dataPaths(dir)
+    if (paths.isEmpty) None
+    else {
+      val df = spark.read.parquet(paths: _*)
+      Some(if (df.columns.contains("shard")) df
+        else df.withColumn("shard", lit(0)))
+    }
   }
 
   /** The snapshotted probe values as `(h, pshard)` — the same hash
@@ -269,7 +367,11 @@ object BucketIndex {
     * residual), and the output is `kb` ints ONLY. This is the frame
     * [[lookupBy]] collects: however large the sidecar grows, the
     * driver receives candidate bucket IDs, never bloom words
-    * (plan-asserted in PlanAssertionsSpec).
+    * (plan-asserted in PlanAssertionsSpec). Driver bound: ≤ one int
+    * per MATCHING (bucket, shard) row — worst case (a wide probe
+    * lighting up every shard) buckets × shards ints, i.e. tens of MB
+    * at the 100 TB sizing, against the ~120 GB the r13 driver-side
+    * design pulled for the same probe.
     */
   private[graft] def candidateFrame(spark: SparkSession,
       blooms: DataFrame, hashes: DataFrame): DataFrame =
@@ -283,11 +385,14 @@ object BucketIndex {
       // would buy an exchange stage per probe to dedupe ints
       .select("kb")
 
-  private def candidateBuckets(spark: SparkSession, blooms: DataFrame,
-      local: DataFrame, column: String, shards: Int): Array[Int] =
-    candidateFrame(spark, blooms,
-      probeHashes(local, column, shards))
-      .collect().map(_.getInt(0)).distinct.sorted
+  private def candidateBuckets(spark: SparkSession,
+      blooms: Option[DataFrame], local: DataFrame, column: String,
+      shards: Int): Array[Int] = blooms match {
+    case None => Array.empty
+    case Some(b) =>
+      candidateFrame(spark, b, probeHashes(local, column, shards))
+        .collect().map(_.getInt(0)).distinct.sorted
+  }
 
   /** Test seam: the EXACT candidate frame a [[lookupBy]] of `keys`
     * would collect — PlanAssertionsSpec pins that its output schema
@@ -299,10 +404,10 @@ object BucketIndex {
     val dir = s"${indexRoot(currentDir)}/$column"
     val meta = readMeta(spark, dir).getOrElse(
       throw new IllegalStateException(s"no index on '$column' at $dir"))
-    val data = meta.data.getOrElse(throw new IllegalStateException(
-      s"index on '$column' has no published data"))
-    candidateFrame(spark, bloomFrame(spark, dir, data),
-      probeHashes(keys, column, meta.shards))
+    val blooms = bloomFrame(spark, dir, meta).getOrElse(
+      throw new IllegalStateException(
+        s"index on '$column' holds no data"))
+    candidateFrame(spark, blooms, probeHashes(keys, column, meta.shards))
   }
 
   /** The pruned read every probe path shares: candidate buckets
@@ -353,8 +458,9 @@ object BucketIndex {
     val meta = readMeta(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"no index on '$column' at $dir — attach it first"))
-    val data = meta.data.getOrElse(throw new IllegalStateException(
-      s"index on '$column' has no published data — detach and re-attach"))
+    if (meta.legacy && meta.legacyData.isEmpty)
+      throw new IllegalStateException(
+        s"index on '$column' has no published data — detach and re-attach")
     val maxKeys = graft.streaming.CurrentTable.resolveMaxKeys(
       spark, maxDriverKeys)
     val collected = keys.limit(maxKeys + 1).collect()
@@ -397,7 +503,7 @@ object BucketIndex {
           .join(local, Seq(keys.columns.head), "left_semi")
       else {
         val candidates = candidateBuckets(spark,
-          bloomFrame(spark, dir, data), local, column, meta.shards)
+          bloomFrame(spark, dir, meta), local, column, meta.shards)
         readCandidates(spark, currentDir, existing, candidates, local,
           keys.columns.head, schemaSrc.schema)
       }
@@ -414,7 +520,7 @@ object BucketIndex {
     * can reach GBs at its largest sizing) and revalidates per call
     * with TWO small reads: the table root (every data mutation
     * rewrites it with a fresh `#seq`) and the index meta (every sync
-    * flips its data pointer). Either changing re-prepares in full.
+    * flips its group pointers). Either changing re-prepares in full.
     * Call [[IndexReader.close]] when done to release the pinned frame.
     */
   def reader(spark: SparkSession, currentDir: String,
@@ -438,9 +544,12 @@ object BucketIndex {
     private val fs = new Path(currentDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
+    /** `degraded` = rescale-stale (serve exact scans until rebuilt);
+      * `blooms` None while healthy = zero live indexed values.
+      */
     private case class Prep(sig: Vector[String], metaSig: Vector[String],
         nb: Int, meta: Meta, blooms: Option[DataFrame],
-        existing: Set[String],
+        degraded: Boolean, existing: Set[String],
         schema: org.apache.spark.sql.types.StructType)
     @volatile private var prep: Prep = prepare(None)
 
@@ -474,17 +583,18 @@ object BucketIndex {
         .parquet(s"$currentDir/${existing.head}").schema
       require(schema.fields.exists(_.name.equalsIgnoreCase(column)),
         s"index reader: column '$column' is not in the table schema")
+      val degraded = meta.nb != nb
       // a rescale-stale index serves full scans until rebuilt — don't
       // pin a bloom frame that can't be probed
       val blooms =
-        if (meta.nb != nb) None
-        else meta.data.map { d =>
-          val f = bloomFrame(spark, dir, d)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          f.count() // materialize now, not on the first probe's clock
-          f
+        if (degraded) None
+        else bloomFrame(spark, dir, meta).map { f =>
+          val p = f.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          p.count() // materialize now, not on the first probe's clock
+          p
         }
-      Prep(sig, metaSig, nb, meta, blooms, existing, schema)
+      Prep(sig, metaSig, nb, meta, blooms, degraded, existing, schema)
     }
 
     /** Same rows as `BucketIndex.lookupBy(spark, dir, column, keys)`
@@ -516,17 +626,16 @@ object BucketIndex {
           .join(keys, Seq(keys.columns.head), "left_semi")
       val local = spark.createDataFrame(
         java.util.Arrays.asList(collected: _*), keys.schema)
-      p.blooms match {
-        case None => // rescale-stale (or crashed attach): exact scan
-          spark.read.schema(p.schema).option("basePath", currentDir)
-            .parquet(currentDir)
-            .filter(!TimeTravel.isTombstone)
-            .join(local, Seq(keys.columns.head), "left_semi")
-        case Some(blooms) =>
-          val candidates = candidateBuckets(spark, blooms, local,
-            column, p.meta.shards)
-          readCandidates(spark, currentDir, p.existing, candidates,
-            local, keys.columns.head, p.schema)
+      if (p.degraded) // rescale-stale: exact scan until rebuilt
+        spark.read.schema(p.schema).option("basePath", currentDir)
+          .parquet(currentDir)
+          .filter(!TimeTravel.isTombstone)
+          .join(local, Seq(keys.columns.head), "left_semi")
+      else {
+        val candidates = candidateBuckets(spark, p.blooms, local,
+          column, p.meta.shards)
+        readCandidates(spark, currentDir, p.existing, candidates,
+          local, keys.columns.head, p.schema)
       }
     }
 
@@ -537,18 +646,25 @@ object BucketIndex {
   }
 
   /** Sync-side maintenance, two-phase around the bucket swap exactly
-    * like [[RollupTable.prepareSync]]: touched buckets' blooms
-    * recompute from the staged fold NOW (the swap deletes the stage);
-    * the pointer flip runs after the swap. Modulus mismatch (a
-    * rescale landed since the last sync) — or a legacy pre-shard
+    * like [[RollupTable.prepareSync]]: touched buckets' GROUPS
+    * recompute from the old group dirs minus the touched buckets plus
+    * the staged fold's fresh blooms, written NOW (the swap deletes the
+    * stage); untouched groups carry forward BY POINTER — zero IO; the
+    * meta flip runs after the swap. Per-sync cost is O(touched
+    * groups' bytes + delta), never O(sidecar). Modulus mismatch (a
+    * rescale landed since the last sync) — or a legacy pre-group
     * sidecar — rebuilds the whole index from untouched live buckets +
     * the stage: one table-sized read, once per rescale (or upgrade),
-    * the cost the rescale itself already paid.
+    * the cost the rescale itself already paid; the rebuild re-sizes
+    * the group count for the new modulus (never below the attach-time
+    * choice).
     */
   private[graft] def prepareSync(spark: SparkSession, currentDir: String,
       nb: Int, touched: Seq[Int], stageDf: DataFrame): () => Unit = {
     val cols = list(spark, currentDir)
-    if (cols.isEmpty) return () => ()
+    // zero touched buckets (a batch of zero-row files) changed no
+    // bloom: publishing would re-point groups at byte-identical data
+    if (cols.isEmpty || touched.isEmpty) return () => ()
     val touchedSet = touched.toSet
     val publishes = cols.flatMap { column =>
       val dir = s"${indexRoot(currentDir)}/$column"
@@ -557,16 +673,44 @@ object BucketIndex {
           s"index: column '$column' is not in the sink schema " +
             s"(${stageDf.columns.mkString(", ")}) — detach the index " +
             "or fix the sink")
-        // legacy sidecars rebuild (their rows carry no shard column,
-        // so the incremental union would mix two layouts)
-        val oldData = if (meta.legacy) None else meta.data
-        val blooms = PointerDir.mergeBucketed(spark, currentDir, dir,
-          nb, meta.nb, oldData, touchedSet,
-          bloomsOf(spark, stageDf, column, meta.bits, meta.shards),
-          bloomsOf(spark, _, column, meta.bits, meta.shards))
-        PointerDir.stage(spark, dir, blooms,
-          renderMeta(nb, meta.bits, meta.shards),
-          publishFiles(nb, meta.bits, meta.shards))
+        val fresh = bloomsOf(spark, stageDf, column, meta.bits,
+          meta.shards)
+        if (meta.legacy || meta.nb != nb) {
+          // rebuild: legacy sidecars' rows carry no shard/grp layout,
+          // and a dead modulus keys every bloom wrong — one
+          // table-sized read, the rescale's own cost class
+          val groups = math.max(meta.groups,
+            autoGroups(nb, meta.bits, meta.shards))
+          val cfs = new Path(currentDir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val untouched = cfs.listStatus(new Path(currentDir)).toSeq
+            .map(_.getPath.getName)
+            .filter(n => n.startsWith("kb=") &&
+              !touchedSet(n.stripPrefix("kb=").toInt))
+            .map(n => s"$currentDir/$n")
+          val rows =
+            if (untouched.isEmpty) fresh
+            else bloomsOf(spark,
+              spark.read.option("basePath", currentDir)
+                .parquet(untouched: _*),
+              column, meta.bits, meta.shards).unionByName(fresh)
+          stageGrouped(spark, dir, nb, meta.bits, meta.shards, groups,
+            rows, writeTasks = groups, carry = Map.empty)
+        } else {
+          // incremental: read ONLY the touched groups' old rows,
+          // drop the touched buckets' among them, add the fresh ones
+          val touchedGroups = touchedSet.map(b => b % meta.groups)
+          val oldPaths = touchedGroups.toSeq.sorted.flatMap(g =>
+            meta.pointers.get(g).map(d => s"$dir/$d/grp=$g"))
+          val rows =
+            if (oldPaths.isEmpty) fresh
+            else spark.read.parquet(oldPaths: _*)
+              .filter(!col("kb").isin(touchedSet.toSeq: _*))
+              .unionByName(fresh)
+          stageGrouped(spark, dir, nb, meta.bits, meta.shards,
+            meta.groups, rows, writeTasks = touchedGroups.size,
+            carry = meta.pointers.filter(kv => !touchedGroups(kv._1)))
+        }
       }
     }
     () => publishes.foreach(_.apply())

@@ -13,14 +13,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * never a mix; a crash between data write and pointer flip leaks
   * one orphan dir until the next publish's GC, never a wrong answer.
   *
-  * Data is written as ONE file (coalesce) while the artifact is small
-  * — rollup partials are small BY CONTRACT (buckets × groups rows;
-  * see the countd sizing note on [[RollupTable.Agg]]) and read whole
-  * in one request. Artifacts that legitimately grow with the table —
-  * a correctly-sized bloom sidecar is ~10 bits per live row — pass
-  * `numFiles` > 1 so the publish spreads across write tasks instead
-  * of funneling every byte through one ([[graft.ops.BucketIndex]]
-  * sizes it from the declared filter dimensions).
+  * Data is written as ONE file (coalesce) — the artifacts published
+  * through this single-pointer form (rollup partials) are small BY
+  * CONTRACT (buckets × groups rows; see the countd sizing note on
+  * [[RollupTable.Agg]]) and read whole in one request. Artifacts that
+  * legitimately grow with the table — a correctly-sized bloom sidecar
+  * is ~10 bits per live row — outgrow a single pointer ENTIRELY:
+  * [[graft.ops.BucketIndex]] keeps its own grouped manifest (one
+  * pointer per bucket-group, per-sync IO ∝ touched groups) while
+  * sharing this module's meta/GC/attached discipline.
   */
 private[graft] object PointerDir {
 
@@ -60,13 +61,9 @@ private[graft] object PointerDir {
     * after-ingestion contract table views already carry.
     */
   def stage(spark: SparkSession, dir: String, data: DataFrame,
-      renderMeta: String => Seq[String], numFiles: Int = 1): () => Unit = {
-    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+      renderMeta: String => Seq[String]): () => Unit = {
     val dataName = s"d_${java.util.UUID.randomUUID()}"
-    val shaped =
-      if (numFiles == 1) data.coalesce(1)
-      else data.repartition(numFiles)
-    shaped.write.mode(SaveMode.Overwrite)
+    data.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(new Path(dir, dataName).toString)
     () => {
       val previous = readMetaLines(spark, dir)
@@ -84,8 +81,8 @@ private[graft] object PointerDir {
 
   /** [[stage]] + immediate flip — the attach/full-build path. */
   def publish(spark: SparkSession, dir: String, data: DataFrame,
-      renderMeta: String => Seq[String], numFiles: Int = 1): Unit =
-    stage(spark, dir, data, renderMeta, numFiles)()
+      renderMeta: String => Seq[String]): Unit =
+    stage(spark, dir, data, renderMeta)()
 
   /** Shared filename hygiene for sidecar names (rollup names, index
     * columns) — one charset rule so the two can never drift.

@@ -126,8 +126,9 @@ class BucketIndexSpec extends AnyFunSuite {
   }
 
   test("auto-sizing holds ~10 bits/row at ANY scale by adding shards; " +
-      "the publish shards files past the target size") {
-    import graft.ops.BucketIndex.{autoSize, publishFiles, MaxShardBits}
+      "groups split the manifest past the target group size") {
+    import graft.ops.BucketIndex.{autoSize, autoGroups, MaxShardBits,
+      MaxGroups}
     // small tables: one shard, floored filter
     assert(autoSize(10L) == ((1024, 1)))
     // the pre-shard cap boundary: 1.6M rows still fits one shard
@@ -143,12 +144,42 @@ class BucketIndexSpec extends AnyFunSuite {
     // forced shard count: budget spread across what the caller asked
     val (b3, s3) = autoSize(1000000L, forcedShards = 4)
     assert(s3 == 4 && b3.toLong * 4 >= 10000000L && b3 <= MaxShardBits)
-    // publish sharding: tiny sidecars stay one file; the 60k-bucket /
-    // 2MB-filter shape the r13 review measured at ~120 GB must spread
-    // across write tasks (bounded at 1024 files)
-    assert(publishFiles(16, 1 << 16, 1) == 1)
-    assert(publishFiles(60000, MaxShardBits, 1) > 100)
-    assert(publishFiles(4096, MaxShardBits, 150) == 1024)
+    // manifest grouping: tiny sidecars stay one group; the 60k-bucket /
+    // 2MB-filter shape the r13 review measured at ~120 GB spreads over
+    // the max group count (each group a maintenance + write unit)
+    assert(autoGroups(16, 1 << 16, 1) == 1)
+    assert(autoGroups(60000, MaxShardBits, 1) > 100)
+    assert(autoGroups(4096, MaxShardBits, 150) == MaxGroups)
+  }
+
+  test("incremental maintenance rewrites ONLY the touched bucket-" +
+      "groups: untouched groups carry forward by pointer, zero IO") {
+    val sink = Files.createTempDirectory("graft-bi-").resolve("s").toString
+    val cur = Files.createTempDirectory("graft-bi-cur-").toString
+    append(sink, (1L to 128L).map(i => (i, s"u$i@x.com", "CREATE", 1000L + i)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 16)
+    BucketIndex.attach(spark, cur, "email", numGroups = 8)
+    def pointers(): Map[String, String] =
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+          s"$cur/_index/email/_meta.txt")).toArray.map(_.toString)
+        .filter(l => l.matches("g\\d+=.*"))
+        .map { l => val Array(g, d) = l.split("=", 2); g -> d }.toMap
+    val before = pointers()
+    assert(before.keySet.size == 8, before.keySet.toString)
+    // one key's delta: exactly one bucket, so exactly ONE group (its
+    // kb mod 8) re-points; the other seven pointers are UNCHANGED —
+    // their bytes were neither read nor written
+    append(sink, Seq((7L, "moved@x.com", "UPDATE", 9000L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    val after = pointers()
+    val changed = after.filter { case (g, d) => before.get(g) != Some(d) }
+    assert(changed.size == 1,
+      s"one group expected to re-point, got $changed")
+    assert((before -- changed.keySet) == (after -- changed.keySet))
+    // probes stay exact across the grouped layout
+    assert(idsByIndex(cur, "moved@x.com") == Set(7L))
+    assert(idsByIndex(cur, "u7@x.com").isEmpty)
+    assert(idsByIndex(cur, "u100@x.com") == Set(100L))
   }
 
   test("sharded filters: probes stay exact and pruned when a bucket's " +
@@ -184,22 +215,25 @@ class BucketIndexSpec extends AnyFunSuite {
     append(sink, (1L to 64L).map(i => (i, s"u$i@x.com", "CREATE", 1000L + i)))
     CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 8)
     BucketIndex.attach(spark, cur, "email")
-    // rewrite the sidecar in the r13 on-disk format: data rows
-    // (kb, bloom) and a meta without the shards= line
+    // rewrite the sidecar in the r13 on-disk format: a single flat
+    // data dir of (kb, bloom) rows — no shard column, no grouped
+    // manifest — and a meta of only nb/bits/data lines
     val ixDir = s"$cur/_index/email"
     val metaPath = java.nio.file.Paths.get(s"$ixDir/_meta.txt")
     val lines = java.nio.file.Files.readAllLines(metaPath)
-    val dataName = lines.toArray.map(_.toString)
-      .find(_.startsWith("data=")).get.stripPrefix("data=")
+      .toArray.map(_.toString)
     val legacyData = s"d_legacy_${java.util.UUID.randomUUID()}"
-    spark.read.parquet(s"$ixDir/$dataName")
+    // the attach above used shards=1, so dropping the shard (and grp
+    // partition) columns reproduces a faithful r13 sidecar
+    spark.read.parquet(ixDir + "/" +
+        lines.find(_.startsWith("g0=")).get.stripPrefix("g0="))
       .select("kb", "bloom").coalesce(1)
       .write.parquet(s"$ixDir/$legacyData")
     val edited = new java.util.ArrayList[String]()
-    lines.forEach { l =>
-      if (l.startsWith("data=")) edited.add(s"data=$legacyData")
-      else if (!l.startsWith("shards=")) edited.add(l)
+    lines.foreach { l =>
+      if (l.startsWith("nb=") || l.startsWith("bits=")) edited.add(l)
     }
+    edited.add(s"data=$legacyData")
     java.nio.file.Files.write(metaPath, edited)
     // drop the local-FS checksum sidecar the out-of-band edit stales
     java.nio.file.Files.deleteIfExists(
@@ -210,8 +244,10 @@ class BucketIndexSpec extends AnyFunSuite {
     append(sink, Seq((65L, "u65@x.com", "CREATE", 9000L)), dt = "2024-01-02")
     CurrentTable.sync(spark, sink, cur, Seq("id"))
     val after = java.nio.file.Files.readAllLines(metaPath)
-    assert(after.toArray.map(_.toString).exists(_.startsWith("shards=")),
-      "sync must republish in the sharded layout")
+      .toArray.map(_.toString)
+    assert(after.exists(_.startsWith("shards=")) &&
+      after.exists(_.startsWith("groups=")),
+      s"sync must republish in the grouped sharded layout: ${after.toSeq}")
     assert(idsByIndex(cur, "u65@x.com") == Set(65L))
     assert(idsByIndex(cur, "u7@x.com") == Set(7L))
   }

@@ -275,6 +275,16 @@ class CdcJobSpec extends AnyFunSuite {
         "sink.current.keys" -> """{"db.t": "id"}""",
         "sink.current.index.columns" -> """{"db.zzz": "name"}"""))
     }.getMessage.contains("UNKNOWN TABLE"))
+    // the reserved layout column fails at ASSEMBLY, not as a
+    // crash-looping attach on the first batch (kb is not in any
+    // registry schema, so the membership check names it; validColumn
+    // backstops a hypothetical source column literally named kb)
+    val kbErr = intercept[IllegalArgumentException] {
+      CdcJob.configFromMap(base ++ Map(
+        "sink.current.keys" -> """{"db.t": "id"}""",
+        "sink.current.index.columns" -> """{"db.t": "kb"}"""))
+    }.getMessage
+    assert(kbErr.contains("kb"), kbErr)
     // configured rollups: full clause parse (name, dims, aggs, countd
     // k), global form, multiple per table via '|', every validation
     // path named
