@@ -62,6 +62,17 @@ object Graft {
     * FileIndex behavior) — re-register after heavy ingestion, or for
     * always-current reads use the streaming path.
     */
+  /** Derived views (rollup + `__all`) registered by the LAST
+    * [[registerSinkTables]] call, per (session, root, source) — swept
+    * at the start of the next call, so a rollup detached (or a fork
+    * whose base turned unhealthy) since then fails TABLE_NOT_FOUND
+    * instead of serving a stale snapshot. Scoped to names THIS api
+    * registered: a user's own temp views — whatever they're named —
+    * are never touched, and no catalog listing is ever needed.
+    */
+  private val derivedViews = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), Seq[String]]
+
   def registerSinkTables(spark: SparkSession, sinkRoot: String,
       sourceId: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(sinkRoot)
@@ -73,6 +84,13 @@ object Graft {
       .filter(n => n.startsWith(prefix) && !n.startsWith("_") &&
         !n.startsWith(".") && !n.contains("._"))
       .sorted
+    // sweep the PREVIOUS call's derived views up front — before any
+    // base table can refuse: a crashed-swap table must take its
+    // rollup views down WITH its base view, not leave them serving
+    // pre-crash partials while the base fails loudly
+    val registryKey = (System.identityHashCode(spark), sinkRoot, sourceId)
+    for (v <- derivedViews.getOrElse(registryKey, Nil))
+      spark.catalog.dropTempView(v)
     val rollupViews = scala.collection.mutable.ArrayBuffer.empty[String]
     val registered = names.filter { n =>
       val dir = s"$sinkRoot/$n"
@@ -100,16 +118,7 @@ object Graft {
         // the rest of the lake) — it is skipped with a warning and
         // stays a loud TABLE_NOT_FOUND
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_synced.txt"))) {
-          // sweep STALE derived views first: a rollup DETACHED since
-          // the last registration would otherwise keep serving its
-          // dropped partials' final read through the old temp view —
-          // dropping `<view>__*` up front makes a detached rollup a
-          // loud TABLE_NOT_FOUND, and anything still attached (or the
-          // fork-union `__all`) re-registers below in this same call
           val rel = n.stripPrefix(prefix)
-          for (t <- spark.catalog.listTables().collect()
-              if t.isTemporary && t.name.startsWith(s"${rel}__"))
-            spark.catalog.dropTempView(t.name)
           for (r <- graft.ops.RollupTable.list(spark, dir)) {
             val vn = s"${rel}__$r"
             try {
@@ -158,6 +167,7 @@ object Graft {
           case _ => None
         }
       }
+    derivedViews(registryKey) = (rollupViews ++ logical).toSeq
     (names.filter(registered).map(_.stripPrefix(prefix)) ++ logical ++
       rollupViews).sorted
   }

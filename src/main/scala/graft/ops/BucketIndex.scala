@@ -126,11 +126,15 @@ object BucketIndex {
   /** `legacy` = written by a pre-group version (single `data=`
     * pointer; `legacyPreShard` additionally means no `shards=` line,
     * the r13 on-disk format): readable as-is, rebuilt into the
-    * grouped layout by the next sync.
+    * grouped layout by the next sync. `autoSized` = the attach left
+    * bits AND shards to the measurement (no explicit numBits /
+    * numShards), so a rescale rebuild may re-measure; a missing
+    * `sizing=` line reads as fixed — never silently resize an index
+    * whose intent is unknown.
     */
   private case class Meta(nb: Int, bits: Int, shards: Int, groups: Int,
       pointers: Map[Int, String], legacyData: Option[String],
-      legacy: Boolean, legacyPreShard: Boolean) {
+      legacy: Boolean, legacyPreShard: Boolean, autoSized: Boolean) {
     /** The parquet paths holding the bloom rows — empty only for a
       * grouped manifest over a table with zero live indexed values.
       */
@@ -142,8 +146,9 @@ object BucketIndex {
   }
 
   private def renderMeta(nb: Int, bits: Int, shards: Int, groups: Int,
-      pointers: Map[Int, String]): Seq[String] =
-    Seq(s"nb=$nb", s"bits=$bits", s"shards=$shards", s"groups=$groups") ++
+      autoSized: Boolean, pointers: Map[Int, String]): Seq[String] =
+    Seq(s"nb=$nb", s"bits=$bits", s"shards=$shards", s"groups=$groups",
+      s"sizing=${if (autoSized) "auto" else "fixed"}") ++
       pointers.toSeq.sortBy(_._1).map { case (g, d) => s"g$g=$d" }
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
@@ -165,7 +170,8 @@ object BucketIndex {
         pointers,
         opt("data").filter(_.nonEmpty),
         legacy = groups.isEmpty,
-        legacyPreShard = shards.isEmpty)
+        legacyPreShard = shards.isEmpty,
+        autoSized = opt("sizing").contains("auto"))
     }
 
   /** Sharded blooms over LIVE rows' values — the one aggregate every
@@ -228,8 +234,9 @@ object BucketIndex {
     * the immediately-previous manifest.
     */
   private def stageGrouped(spark: SparkSession, dir: String, nb: Int,
-      bits: Int, shards: Int, groups: Int, rows: DataFrame,
-      writeTasks: Int, carry: Map[Int, String]): () => Unit = {
+      bits: Int, shards: Int, groups: Int, autoSized: Boolean,
+      rows: DataFrame, writeTasks: Int,
+      carry: Map[Int, String]): () => Unit = {
     val dataName = s"d_${java.util.UUID.randomUUID()}"
     rows.withColumn("grp", pmod(col("kb"), lit(groups)).cast("int"))
       .repartition(math.max(1, math.min(MaxGroups, writeTasks)),
@@ -251,7 +258,7 @@ object BucketIndex {
         .map(m => m.pointers.values.toSet ++ m.legacyData)
         .getOrElse(Set.empty)
       PointerDir.writeMetaLines(spark, dir,
-        renderMeta(nb, bits, shards, groups, pointers))
+        renderMeta(nb, bits, shards, groups, autoSized, pointers))
       val keep = pointers.values.toSet ++ previous + dataName
       for (st <- fs.listStatus(new Path(dir))
           if st.isDirectory && st.getPath.getName.startsWith("d_") &&
@@ -311,6 +318,7 @@ object BucketIndex {
     val groups =
       if (numGroups > 0) numGroups else autoGroups(nb, bits, shards)
     stageGrouped(spark, dir, nb, bits, shards, groups,
+      autoSized = numBits == 0 && numShards == 0,
       bloomsOf(spark, live, column, bits, shards),
       writeTasks = groups, carry = Map.empty)()
   }
@@ -613,8 +621,12 @@ object BucketIndex {
       val cached = prep
       val p = {
         val (s, m) = sigs()
-        if (s == cached.sig && m == cached.metaSig) cached
-        else { val n = prepare(Some(cached)); prep = n; n }
+        // cached == null after close(): the pinned frame was released,
+        // so matching signatures must NOT shortcut to a prep whose
+        // bloom frame would silently re-scan parquet on every probe
+        if (cached != null && s == cached.sig && m == cached.metaSig)
+          cached
+        else { val n = prepare(Option(cached)); prep = n; n }
       }
       graft.streaming.CurrentTable.checkProbeTypes(keys.schema,
         p.schema, Seq(column))
@@ -640,9 +652,15 @@ object BucketIndex {
     }
 
     /** Release the pinned bloom frame. The handle stays usable — the
-      * next call re-prepares.
+      * next call re-prepares (the cached prep is invalidated too, or
+      * unchanged signatures would keep serving through the released
+      * frame, re-scanning the sidecar per probe).
       */
-    def close(): Unit = prep.blooms.foreach(_.unpersist())
+    def close(): Unit = {
+      val c = prep
+      prep = null
+      if (c != null) c.blooms.foreach(_.unpersist())
+    }
   }
 
   /** Sync-side maintenance, two-phase around the bucket swap exactly
@@ -673,14 +691,10 @@ object BucketIndex {
           s"index: column '$column' is not in the sink schema " +
             s"(${stageDf.columns.mkString(", ")}) — detach the index " +
             "or fix the sink")
-        val fresh = bloomsOf(spark, stageDf, column, meta.bits,
-          meta.shards)
         if (meta.legacy || meta.nb != nb) {
           // rebuild: legacy sidecars' rows carry no shard/grp layout,
           // and a dead modulus keys every bloom wrong — one
           // table-sized read, the rescale's own cost class
-          val groups = math.max(meta.groups,
-            autoGroups(nb, meta.bits, meta.shards))
           val cfs = new Path(currentDir)
             .getFileSystem(spark.sessionState.newHadoopConf())
           val untouched = cfs.listStatus(new Path(currentDir)).toSeq
@@ -688,15 +702,34 @@ object BucketIndex {
             .filter(n => n.startsWith("kb=") &&
               !touchedSet(n.stripPrefix("kb=").toInt))
             .map(n => s"$currentDir/$n")
+          def untouchedDf = spark.read.option("basePath", currentDir)
+            .parquet(untouched: _*)
+          // AUTO-sized indexes re-measure here: rows/bucket changed
+          // with the modulus, and keeping the old per-bucket capacity
+          // across a shrink-rescale would silently saturate the
+          // filters (the attach doc promises rescale re-sizes). The
+          // extra count over the same frames is the attach contract;
+          // explicitly-sized indexes keep the operator's numbers.
+          val (bits, shards) =
+            if (!meta.autoSized) (meta.bits, meta.shards)
+            else {
+              val live = (if (untouched.isEmpty) stageDf
+                else untouchedDf.unionByName(stageDf))
+                .filter(!TimeTravel.isTombstone).count()
+              autoSize(live / math.max(1, nb))
+            }
+          val groups = math.max(meta.groups, autoGroups(nb, bits, shards))
+          val fresh = bloomsOf(spark, stageDf, column, bits, shards)
           val rows =
             if (untouched.isEmpty) fresh
-            else bloomsOf(spark,
-              spark.read.option("basePath", currentDir)
-                .parquet(untouched: _*),
-              column, meta.bits, meta.shards).unionByName(fresh)
-          stageGrouped(spark, dir, nb, meta.bits, meta.shards, groups,
-            rows, writeTasks = groups, carry = Map.empty)
+            else bloomsOf(spark, untouchedDf, column, bits, shards)
+              .unionByName(fresh)
+          stageGrouped(spark, dir, nb, bits, shards, groups,
+            meta.autoSized, rows, writeTasks = groups,
+            carry = Map.empty)
         } else {
+          val fresh = bloomsOf(spark, stageDf, column, meta.bits,
+            meta.shards)
           // incremental: read ONLY the touched groups' old rows,
           // drop the touched buckets' among them, add the fresh ones
           val touchedGroups = touchedSet.map(b => b % meta.groups)
@@ -708,7 +741,8 @@ object BucketIndex {
               .filter(!col("kb").isin(touchedSet.toSeq: _*))
               .unionByName(fresh)
           stageGrouped(spark, dir, nb, meta.bits, meta.shards,
-            meta.groups, rows, writeTasks = touchedGroups.size,
+            meta.groups, meta.autoSized, rows,
+            writeTasks = touchedGroups.size,
             carry = meta.pointers.filter(kv => !touchedGroups(kv._1)))
         }
       }

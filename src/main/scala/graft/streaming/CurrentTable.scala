@@ -1652,9 +1652,12 @@ object CurrentTable {
       orderOverride: Option[Seq[org.apache.spark.sql.Column]]) {
     require(pk.nonEmpty, "evolvedReader: no key columns")
     // per-fork prepared handles, keyed by current-table dir — a fork
-    // never moves, so entries are append-only across calls
+    // never moves, so entries are append-only across calls. Concurrent
+    // map: the serving pattern often means a request thread pool, and
+    // racing getOrElseUpdate on a plain HashMap could corrupt it (the
+    // worst a TrieMap race costs is one redundant Reader construction)
     private val readers =
-      scala.collection.mutable.Map.empty[String, Reader]
+      scala.collection.concurrent.TrieMap.empty[String, Reader]
 
     /** Same rows as `CurrentTable.lookupEvolved(...)` — spec-pinned —
       * at a fraction of the per-call driver cost.

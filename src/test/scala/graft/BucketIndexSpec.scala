@@ -305,6 +305,35 @@ class BucketIndexSpec extends AnyFunSuite {
       .filter(col("email").isin(emails: _*))
       .select("id").collect().map(_.getLong(0)).toSet
 
+  test("a rescale rebuild RE-MEASURES auto-sized filters (rows/bucket " +
+      "changed with the modulus) but keeps explicitly-sized ones") {
+    val sink = Files.createTempDirectory("graft-bi-").resolve("s").toString
+    val cur = Files.createTempDirectory("graft-bi-cur-").toString
+    append(sink, (1L to 20000L).map(i => (i, s"u$i@x", "CREATE", 1000L + i)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 64)
+    BucketIndex.attach(spark, cur, "email")            // auto
+    BucketIndex.attach(spark, cur, "id", numBits = 2048) // fixed
+    def bitsOf(col: String): Int =
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+          s"$cur/_index/$col/_meta.txt")).toArray.map(_.toString)
+        .find(_.startsWith("bits=")).get.stripPrefix("bits=").toInt
+    // 20k rows / 64 buckets = 312/bucket -> ~3.1k bits -> 4096
+    assert(bitsOf("email") == 4096, bitsOf("email").toString)
+    // shrink-rescale to 4 buckets: 5000 rows/bucket. Keeping 4096
+    // bits would be ~0.8 bits/row — the silent near-full-scan the
+    // attach doc promises rescale fixes. The rebuild must re-measure:
+    // 50k bits -> 65536. The fixed-size index keeps its 2048.
+    CurrentTable.rescale(spark, cur, Seq("id"), newBuckets = 4)
+    append(sink, Seq((20001L, "late@x", "CREATE", 99000L)),
+      dt = "2024-01-02")
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(bitsOf("email") == 65536, bitsOf("email").toString)
+    assert(bitsOf("id") == 2048, bitsOf("id").toString)
+    assert(idsByIndex(cur, "u1234@x") == Set(1234L))
+    assert(idsByIndex(cur, "late@x") == Set(20001L))
+    BucketIndex.detach(spark, cur, "id")
+  }
+
   test("validation: duplicate attach, unknown column, probe shape and " +
       "type, oversized probe falls back") {
     val sink = Files.createTempDirectory("graft-bi-").resolve("s").toString

@@ -313,11 +313,19 @@ class GraftApiSpec extends AnyFunSuite {
     // view: re-registering sweeps `<view>__*` first, so the query
     // fails loudly
     graft.ops.RollupTable.detach(spark, s"${sink}__current", "totals")
+    // ...while a USER's own temp view — even one named inside the
+    // derived-view namespace — is never swept (the registry drops
+    // only names this api registered)
+    spark.sql("SELECT 42 AS x")
+      .createOrReplaceTempView("db__events__current__scratch")
     val viewsDetached = Graft.registerSinkTables(spark, root, "lake1")
     assert(!viewsDetached.contains("db__events__current__totals"))
     assert(!spark.catalog.tableExists("db__events__current__totals"),
       "stale rollup view must be dropped on re-registration")
     assert(viewsDetached.contains("db__events__current"))
+    assert(spark.sql("SELECT x FROM db__events__current__scratch")
+      .as[Long].head() == 42L, "user view must survive the sweep")
+    spark.catalog.dropTempView("db__events__current__scratch")
     // re-attach: the view comes back on the next registration
     graft.ops.RollupTable.attach(spark, s"${sink}__current", "totals",
       graft.ops.RollupTable.Spec(Nil, Seq(
@@ -342,6 +350,12 @@ class GraftApiSpec extends AnyFunSuite {
       assert(spark.sql("SELECT count(*) FROM db__events__current")
         .as[Long].head() == 19L)
     } finally java.nio.file.Files.write(metaPath, goodMeta)
+    // healthy again: the rollup view serves — so the crashed-swap
+    // case below proves the sweep takes a LIVE rollup view down with
+    // its refused base, not a trivially-absent one
+    assert(Graft.registerSinkTables(spark, root, "lake1")
+      .contains("db__events__current__totals"))
+    assert(spark.catalog.tableExists("db__events__current__totals"))
 
     // ONE table with a crashed bucket swap must not take down the
     // whole lake's SQL surface: the broken table is skipped (querying
@@ -358,6 +372,12 @@ class GraftApiSpec extends AnyFunSuite {
       assert(spark.sql("SELECT count(*) FROM db__users").as[Long].head()
         == 100L)
       assert(!spark.catalog.tableExists("db__events__current"))
+      // the broken table's ROLLUP view goes down WITH it: the base
+      // read refuses before the rollup loop runs, and the up-front
+      // registry sweep must not leave the previous registration's
+      // rollup view serving pre-crash partials
+      assert(!spark.catalog.tableExists("db__events__current__totals"),
+        "a refused base table must not leave its rollup view serving")
     } finally {
       spark.conf.unset("spark.graft.current.healGraceMs")
       graft.streaming.CurrentTable.heal(spark, cur)
