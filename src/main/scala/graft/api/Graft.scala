@@ -69,9 +69,14 @@ object Graft {
     * instead of serving a stale snapshot. Scoped to names THIS api
     * registered: a user's own temp views — whatever they're named —
     * are never touched, and no catalog listing is ever needed.
+    * WeakHashMap on the session: entries die with it (a
+    * per-request-session server never accumulates), and a recycled
+    * identity hash can never hand one session's name list to another.
     */
-  private val derivedViews = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, String), Seq[String]]
+  private val derivedViews: java.util.Map[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), Seq[String]]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap())
 
   def registerSinkTables(spark: SparkSession, sinkRoot: String,
       sourceId: String): Seq[String] = {
@@ -87,11 +92,21 @@ object Graft {
     // sweep the PREVIOUS call's derived views up front — before any
     // base table can refuse: a crashed-swap table must take its
     // rollup views down WITH its base view, not leave them serving
-    // pre-crash partials while the base fails loudly
-    val registryKey = (System.identityHashCode(spark), sinkRoot, sourceId)
-    for (v <- derivedViews.getOrElse(registryKey, Nil))
+    // pre-crash partials while the base fails loudly. The key is the
+    // CANONICAL root path ("/lake" and "/lake/" are one lake — a
+    // spelling difference must not skip the sweep).
+    val sessionViews = derivedViews.computeIfAbsent(spark,
+      _ => scala.collection.concurrent.TrieMap.empty)
+    val registryKey = (root.toString, sourceId)
+    for (v <- sessionViews.getOrElse(registryKey, Nil))
       spark.catalog.dropTempView(v)
+    // rollup + __all views as they land, recorded even on a mid-call
+    // failure (finally below): a view registered before a later table
+    // threw must still be sweepable by the NEXT call, or it would
+    // serve stale forever
     val rollupViews = scala.collection.mutable.ArrayBuffer.empty[String]
+    val derivedRegistered = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
     val registered = names.filter { n =>
       val dir = s"$sinkRoot/$n"
       val manifest = s"$dir._zonemaps"
@@ -125,6 +140,7 @@ object Graft {
               graft.ops.RollupTable.read(spark, dir, r)
                 .createOrReplaceTempView(vn)
               rollupViews += vn
+              derivedRegistered += vn
             } catch {
               case scala.util.control.NonFatal(e) =>
                 org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -163,13 +179,14 @@ object Graft {
           case Array(db, table) =>
             graft.ops.EvolvedRead.readAll(spark, sinkRoot, sourceId,
               db, table).createOrReplaceTempView(s"${rel}__all")
+            derivedRegistered += s"${rel}__all"
             Some(s"${rel}__all")
           case _ => None
         }
       }
-    derivedViews(registryKey) = (rollupViews ++ logical).toSeq
     (names.filter(registered).map(_.stripPrefix(prefix)) ++ logical ++
       rollupViews).sorted
+    } finally sessionViews(registryKey) = derivedRegistered.toSeq
   }
 
   /** MinHash LSH band buckets `(doc_id, band, bucket)` for any

@@ -126,15 +126,16 @@ object BucketIndex {
   /** `legacy` = written by a pre-group version (single `data=`
     * pointer; `legacyPreShard` additionally means no `shards=` line,
     * the r13 on-disk format): readable as-is, rebuilt into the
-    * grouped layout by the next sync. `autoSized` = the attach left
-    * bits AND shards to the measurement (no explicit numBits /
-    * numShards), so a rescale rebuild may re-measure; a missing
-    * `sizing=` line reads as fixed — never silently resize an index
-    * whose intent is unknown.
+    * grouped layout by the next sync. `sizing` records the attach
+    * intent — "auto" (bits and shards both measured), "auto-bits"
+    * (shards forced, bits measured) or "fixed" (bits forced) — so a
+    * rescale rebuild re-measures exactly what the attach measured; a
+    * missing `sizing=` line reads as fixed — never silently resize an
+    * index whose intent is unknown.
     */
   private case class Meta(nb: Int, bits: Int, shards: Int, groups: Int,
       pointers: Map[Int, String], legacyData: Option[String],
-      legacy: Boolean, legacyPreShard: Boolean, autoSized: Boolean) {
+      legacy: Boolean, legacyPreShard: Boolean, sizing: String) {
     /** The parquet paths holding the bloom rows — empty only for a
       * grouped manifest over a table with zero live indexed values.
       */
@@ -146,9 +147,9 @@ object BucketIndex {
   }
 
   private def renderMeta(nb: Int, bits: Int, shards: Int, groups: Int,
-      autoSized: Boolean, pointers: Map[Int, String]): Seq[String] =
+      sizing: String, pointers: Map[Int, String]): Seq[String] =
     Seq(s"nb=$nb", s"bits=$bits", s"shards=$shards", s"groups=$groups",
-      s"sizing=${if (autoSized) "auto" else "fixed"}") ++
+      s"sizing=$sizing") ++
       pointers.toSeq.sortBy(_._1).map { case (g, d) => s"g$g=$d" }
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
@@ -171,7 +172,7 @@ object BucketIndex {
         opt("data").filter(_.nonEmpty),
         legacy = groups.isEmpty,
         legacyPreShard = shards.isEmpty,
-        autoSized = opt("sizing").contains("auto"))
+        sizing = opt("sizing").getOrElse("fixed"))
     }
 
   /** Sharded blooms over LIVE rows' values — the one aggregate every
@@ -234,7 +235,7 @@ object BucketIndex {
     * the immediately-previous manifest.
     */
   private def stageGrouped(spark: SparkSession, dir: String, nb: Int,
-      bits: Int, shards: Int, groups: Int, autoSized: Boolean,
+      bits: Int, shards: Int, groups: Int, sizing: String,
       rows: DataFrame, writeTasks: Int,
       carry: Map[Int, String]): () => Unit = {
     val dataName = s"d_${java.util.UUID.randomUUID()}"
@@ -258,7 +259,7 @@ object BucketIndex {
         .map(m => m.pointers.values.toSet ++ m.legacyData)
         .getOrElse(Set.empty)
       PointerDir.writeMetaLines(spark, dir,
-        renderMeta(nb, bits, shards, groups, autoSized, pointers))
+        renderMeta(nb, bits, shards, groups, sizing, pointers))
       val keep = pointers.values.toSet ++ previous + dataName
       for (st <- fs.listStatus(new Path(dir))
           if st.isDirectory && st.getPath.getName.startsWith("d_") &&
@@ -318,7 +319,10 @@ object BucketIndex {
     val groups =
       if (numGroups > 0) numGroups else autoGroups(nb, bits, shards)
     stageGrouped(spark, dir, nb, bits, shards, groups,
-      autoSized = numBits == 0 && numShards == 0,
+      // intent for later rescale rebuilds: what was measured here
+      // gets re-measured there (forced numbers are kept verbatim)
+      sizing = if (numBits > 0) "fixed"
+        else if (numShards > 0) "auto-bits" else "auto",
       bloomsOf(spark, live, column, bits, shards),
       writeTasks = groups, carry = Map.empty)()
   }
@@ -710,14 +714,20 @@ object BucketIndex {
           // filters (the attach doc promises rescale re-sizes). The
           // extra count over the same frames is the attach contract;
           // explicitly-sized indexes keep the operator's numbers.
-          val (bits, shards) =
-            if (!meta.autoSized) (meta.bits, meta.shards)
-            else {
+          val (bits, shards) = meta.sizing match {
+            case "fixed" => (meta.bits, meta.shards)
+            case s =>
+              // the count pass is column-pruned to the tombstone
+              // marker — cheap next to the bloom aggregation that
+              // follows over the same frames
               val live = (if (untouched.isEmpty) stageDf
                 else untouchedDf.unionByName(stageDf))
                 .filter(!TimeTravel.isTombstone).count()
-              autoSize(live / math.max(1, nb))
-            }
+              // auto-bits: the operator's shard count is kept, only
+              // the per-shard bits re-measure
+              autoSize(live / math.max(1, nb),
+                if (s == "auto-bits") meta.shards else 0)
+          }
           val groups = math.max(meta.groups, autoGroups(nb, bits, shards))
           val fresh = bloomsOf(spark, stageDf, column, bits, shards)
           val rows =
@@ -725,7 +735,7 @@ object BucketIndex {
             else bloomsOf(spark, untouchedDf, column, bits, shards)
               .unionByName(fresh)
           stageGrouped(spark, dir, nb, bits, shards, groups,
-            meta.autoSized, rows, writeTasks = groups,
+            meta.sizing, rows, writeTasks = groups,
             carry = Map.empty)
         } else {
           val fresh = bloomsOf(spark, stageDf, column, meta.bits,
@@ -741,7 +751,7 @@ object BucketIndex {
               .filter(!col("kb").isin(touchedSet.toSeq: _*))
               .unionByName(fresh)
           stageGrouped(spark, dir, nb, meta.bits, meta.shards,
-            meta.groups, meta.autoSized, rows,
+            meta.groups, meta.sizing, rows,
             writeTasks = touchedGroups.size,
             carry = meta.pointers.filter(kv => !touchedGroups(kv._1)))
         }

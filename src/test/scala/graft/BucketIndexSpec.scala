@@ -313,12 +313,16 @@ class BucketIndexSpec extends AnyFunSuite {
     CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 64)
     BucketIndex.attach(spark, cur, "email")            // auto
     BucketIndex.attach(spark, cur, "id", numBits = 2048) // fixed
-    def bitsOf(col: String): Int =
+    BucketIndex.attach(spark, cur, "_ts", numShards = 2) // auto-bits
+    def metaOf(col: String, k: String): Int =
       java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
           s"$cur/_index/$col/_meta.txt")).toArray.map(_.toString)
-        .find(_.startsWith("bits=")).get.stripPrefix("bits=").toInt
+        .find(_.startsWith(k + "=")).get.stripPrefix(k + "=").toInt
+    def bitsOf(col: String): Int = metaOf(col, "bits")
     // 20k rows / 64 buckets = 312/bucket -> ~3.1k bits -> 4096
     assert(bitsOf("email") == 4096, bitsOf("email").toString)
+    // forced 2 shards, measured bits: 3120/2 -> 2048 per shard
+    assert(bitsOf("_ts") == 2048 && metaOf("_ts", "shards") == 2)
     // shrink-rescale to 4 buckets: 5000 rows/bucket. Keeping 4096
     // bits would be ~0.8 bits/row — the silent near-full-scan the
     // attach doc promises rescale fixes. The rebuild must re-measure:
@@ -329,9 +333,13 @@ class BucketIndexSpec extends AnyFunSuite {
     CurrentTable.sync(spark, sink, cur, Seq("id"))
     assert(bitsOf("email") == 65536, bitsOf("email").toString)
     assert(bitsOf("id") == 2048, bitsOf("id").toString)
+    // auto-bits keeps the operator's 2 shards, re-measures per-shard
+    // bits: 5000 rows/bucket -> 50k bits / 2 shards -> 32768
+    assert(bitsOf("_ts") == 32768 && metaOf("_ts", "shards") == 2)
     assert(idsByIndex(cur, "u1234@x") == Set(1234L))
     assert(idsByIndex(cur, "late@x") == Set(20001L))
     BucketIndex.detach(spark, cur, "id")
+    BucketIndex.detach(spark, cur, "_ts")
   }
 
   test("validation: duplicate attach, unknown column, probe shape and " +
