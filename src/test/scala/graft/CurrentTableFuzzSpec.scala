@@ -145,7 +145,11 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
               graft.ops.RollupTable.Agg("max", "name", "hi"),
               // tiny k so schedules cross the exact/estimator boundary
               graft.ops.RollupTable.Agg("countd", "name", "dn", k = 4))))
-          graft.ops.BucketIndex.attach(spark, cur, "name")
+          // random group count: tiny tables auto-size to ONE group,
+          // which would leave the grouped manifest's incremental
+          // carry/rebuild/GC paths unexercised by every schedule
+          graft.ops.BucketIndex.attach(spark, cur, "name",
+            numGroups = 1 + rnd.nextInt(4))
           ixHandle = graft.ops.BucketIndex.reader(spark, cur, "name")
         } else if (rnd.nextInt(2) == 0) {
           assertDerived(cur, rnd, seed, step, ixHandle)
