@@ -100,11 +100,11 @@ object Graft {
     val registryKey = (root.toString, sourceId)
     for (v <- sessionViews.getOrElse(registryKey, Nil))
       spark.catalog.dropTempView(v)
-    // rollup + __all views as they land, recorded even on a mid-call
-    // failure (finally below): a view registered before a later table
-    // threw must still be sweepable by the NEXT call, or it would
-    // serve stale forever
-    val rollupViews = scala.collection.mutable.ArrayBuffer.empty[String]
+    // every rollup + __all view as it lands, recorded even on a
+    // mid-call failure (finally below): a view registered before a
+    // later table threw must still be sweepable by the NEXT call, or
+    // it would serve stale forever. ONE buffer — it is both the
+    // registry record and the derived part of the returned names.
     val derivedRegistered = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
     val registered = names.filter { n =>
@@ -139,7 +139,6 @@ object Graft {
             try {
               graft.ops.RollupTable.read(spark, dir, r)
                 .createOrReplaceTempView(vn)
-              rollupViews += vn
               derivedRegistered += vn
             } catch {
               case scala.util.control.NonFatal(e) =>
@@ -168,24 +167,23 @@ object Graft {
     // `<base>_vYYYYMMDD` dir, `<base>__all` is the name-aligned union
     // across the fork ([[graft.ops.EvolvedRead]]) — SQL users read one
     // table whatever schema era a row landed in
-    val logical = names.filter(registered)
+    names.filter(registered)
       .flatMap { n =>
         "_v\\d{8}$".r.findFirstIn(n).map(_ => n.replaceAll("_v\\d{8}$", ""))
       }
       .distinct.filter(registered) // base must exist to anchor it
-      .flatMap { base =>
+      .foreach { base =>
         val rel = base.stripPrefix(prefix)
         rel.split("__", 2) match {
           case Array(db, table) =>
             graft.ops.EvolvedRead.readAll(spark, sinkRoot, sourceId,
               db, table).createOrReplaceTempView(s"${rel}__all")
             derivedRegistered += s"${rel}__all"
-            Some(s"${rel}__all")
-          case _ => None
+          case _ => ()
         }
       }
-    (names.filter(registered).map(_.stripPrefix(prefix)) ++ logical ++
-      rollupViews).sorted
+    (names.filter(registered).map(_.stripPrefix(prefix)) ++
+      derivedRegistered).sorted
     } finally sessionViews(registryKey) = derivedRegistered.toSeq
   }
 

@@ -208,6 +208,16 @@ object BucketIndex {
       if (forcedShards > 0) forcedShards
       else ((want + MaxShardBits - 1) / MaxShardBits).toInt
     val perShard = (want + shards - 1) / shards
+    // a FORCED shard count that cannot hold ~10 bits/row under the
+    // per-shard cap degrades fpp silently — the one sizing failure
+    // auto mode exists to prevent, so it at least gets a log line
+    // naming the fix (more shards, or full-auto)
+    if (perShard > MaxShardBits)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"bloom sizing: $rowsPerBucket rows/bucket over $shards " +
+          s"shard(s) wants $perShard bits/shard but the cap is " +
+          s"$MaxShardBits — false positives will exceed the ~1% " +
+          "target; raise numShards (or use full-auto sizing)")
     val capped = math.max(1024L, math.min(MaxShardBits.toLong, perShard))
     val bits = Integer.highestOneBit(capped.toInt) match {
       case p if p >= capped => p
@@ -715,8 +725,7 @@ object BucketIndex {
           // extra count over the same frames is the attach contract;
           // explicitly-sized indexes keep the operator's numbers.
           val (bits, shards) = meta.sizing match {
-            case "fixed" => (meta.bits, meta.shards)
-            case s =>
+            case s @ ("auto" | "auto-bits") =>
               // the count pass is column-pruned to the tombstone
               // marker — cheap next to the bloom aggregation that
               // follows over the same frames
@@ -727,6 +736,10 @@ object BucketIndex {
               // the per-shard bits re-measure
               autoSize(live / math.max(1, nb),
                 if (s == "auto-bits") meta.shards else 0)
+            // "fixed", a missing line, AND any unrecognized value (a
+            // future version's mode, a hand edit): never silently
+            // resize an index whose intent this binary can't read
+            case _ => (meta.bits, meta.shards)
           }
           val groups = math.max(meta.groups, autoGroups(nb, bits, shards))
           val fresh = bloomsOf(spark, stageDf, column, bits, shards)

@@ -235,6 +235,55 @@ class GraftApiSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("derived-view registry: canonical root spellings share one " +
+      "sweep, and views registered before a mid-call failure are " +
+      "swept by the next call") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-api-reg-").toString
+    val sink = s"$root/lake2_db__events"
+    spark.range(10).select(col("id"), lit("UPDATE").as("_op"),
+        (lit(1000L) + col("id")).as("_ts"),
+        lit("f1").as("_binlog_file_internal"),
+        col("id").as("_binlog_pos_internal"),
+        lit("2024-01-01").as("dt"))
+      .write.mode("overwrite").partitionBy("dt").parquet(sink)
+    graft.streaming.CurrentTable.sync(spark, sink, s"${sink}__current",
+      Seq("id"), buckets = 4)
+    def attachTotals(): Unit =
+      graft.ops.RollupTable.attach(spark, s"${sink}__current", "totals",
+        graft.ops.RollupTable.Spec(Nil, Seq(
+          graft.ops.RollupTable.Agg("count", "*", "n"))))
+    attachTotals()
+    val vn = "db__events__current__totals"
+    // register under a TRAILING-SLASH spelling of the same root
+    assert(Graft.registerSinkTables(spark, s"$root/", "lake2")
+      .contains(vn))
+    // detach, re-register under the canonical spelling: the sweep
+    // must still find the previous call's record — the registry key
+    // is the canonicalized path, not the raw string
+    graft.ops.RollupTable.detach(spark, s"${sink}__current", "totals")
+    assert(!Graft.registerSinkTables(spark, root, "lake2").contains(vn))
+    assert(!spark.catalog.tableExists(vn),
+      "a path-spelling difference must not skip the sweep")
+    // mid-call failure AFTER some derived views registered: an empty
+    // plain-table dir that sorts last throws uncaught AnalysisException
+    attachTotals()
+    val broken = new java.io.File(s"$root/lake2_zz__broken")
+    assert(broken.mkdir())
+    intercept[Exception] {
+      Graft.registerSinkTables(spark, root, "lake2")
+    }
+    assert(spark.catalog.tableExists(vn),
+      "the rollup view registered before the failure")
+    // the finally recorded it: after detaching, the NEXT call sweeps
+    // it even though the call that registered it never completed
+    graft.ops.RollupTable.detach(spark, s"${sink}__current", "totals")
+    assert(broken.delete())
+    assert(!Graft.registerSinkTables(spark, root, "lake2").contains(vn))
+    assert(!spark.catalog.tableExists(vn),
+      "a view from a failed call must still be sweepable")
+  }
+
   test("registerSinkTables exposes the lake to plain SQL, zone-mapped " +
       "tables through the planner path, bookkeeping excluded") {
     val root = java.nio.file.Files
