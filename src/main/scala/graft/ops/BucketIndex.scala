@@ -124,9 +124,9 @@ object BucketIndex {
   private[graft] val MaxGroups: Int = 1024
 
   /** `legacy` = written by a pre-group version (single `data=`
-    * pointer; `legacyPreShard` additionally means no `shards=` line,
-    * the r13 on-disk format): readable as-is, rebuilt into the
-    * grouped layout by the next sync. `sizing` records the attach
+    * pointer; the r13 format additionally lacks `shards=` — its rows
+    * carry no shard column, normalized at read): readable as-is,
+    * rebuilt into the grouped layout by the next sync. `sizing` records the attach
     * intent — "auto" (bits and shards both measured), "auto-bits"
     * (shards forced, bits measured) or "fixed" (bits forced) — so a
     * rescale rebuild re-measures exactly what the attach measured; a
@@ -135,7 +135,7 @@ object BucketIndex {
     */
   private case class Meta(nb: Int, bits: Int, shards: Int, groups: Int,
       pointers: Map[Int, String], legacyData: Option[String],
-      legacy: Boolean, legacyPreShard: Boolean, sizing: String) {
+      legacy: Boolean, sizing: String) {
     /** The parquet paths holding the bloom rows — empty only for a
       * grouped manifest over a table with zero live indexed values.
       */
@@ -171,7 +171,6 @@ object BucketIndex {
         pointers,
         opt("data").filter(_.nonEmpty),
         legacy = groups.isEmpty,
-        legacyPreShard = shards.isEmpty,
         sizing = opt("sizing").getOrElse("fixed"))
     }
 
