@@ -340,6 +340,28 @@ class BucketIndexSpec extends AnyFunSuite {
     assert(idsByIndex(cur, "late@x") == Set(20001L))
     BucketIndex.detach(spark, cur, "id")
     BucketIndex.detach(spark, cur, "_ts")
+    // an UNRECOGNIZED sizing value (a future version's mode, a hand
+    // edit) must read as fixed — the rebuild keeps the stored numbers
+    // rather than silently re-measuring an intent this binary can't
+    // parse (auto would give 32768 at 8 buckets; 65536 proves fixed)
+    val metaPath = java.nio.file.Paths.get(s"$cur/_index/email/_meta.txt")
+    val edited = new java.util.ArrayList[String]()
+    java.nio.file.Files.readAllLines(metaPath).forEach(l => edited.add(
+      if (l.startsWith("sizing=")) "sizing=mystery-mode" else l))
+    java.nio.file.Files.write(metaPath, edited)
+    java.nio.file.Files.deleteIfExists(
+      metaPath.getParent.resolve("._meta.txt.crc"))
+    CurrentTable.rescale(spark, cur, Seq("id"), newBuckets = 8)
+    append(sink, Seq((20002L, "later@x", "CREATE", 99500L)),
+      dt = "2024-01-03")
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(bitsOf("email") == 65536,
+      s"unknown sizing must not re-measure: ${bitsOf("email")}")
+    assert(idsByIndex(cur, "later@x") == Set(20002L))
+    // the saturation warn branch: a forced shard count that can't
+    // hold ~10 bits/row caps at MaxShardBits (and logs)
+    assert(graft.ops.BucketIndex.autoSize(10000000L, forcedShards = 1)
+      == ((graft.ops.BucketIndex.MaxShardBits, 1)))
   }
 
   test("validation: duplicate attach, unknown column, probe shape and " +
