@@ -86,7 +86,7 @@ object Bench {
     // slowdown from real plan regressions mechanically: r12→r13 spent
     // a verdict section proving a +13% drift was the box (identical
     // tests 1.6x slower) — this number answers it in one division.
-    def calibrate(): Double = {
+    def calProbe(): Double = {
       val t0 = System.nanoTime()
       // pmod keeps every addend < 1000 so the 400M-row sum can never
       // hit ANSI's long-overflow error; xxhash64 keeps it CPU-bound
@@ -95,7 +95,15 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    calibrate() // untimed warm (JIT)
+    // Each SAMPLE is the median of three back-to-back probe runs:
+    // the single-shot probe spread ±30% within one session (the r14
+    // judge run measured cal [0.36, 0.51, 0.67]) — wider than the
+    // ±15% round-over-round box drift the number exists to resolve.
+    // Median-of-3 keeps a one-off scheduler stall in any single run
+    // out of the sample, at ~1.5 s per sample (<5 s for the round).
+    def calibrate(): Double =
+      Bench.medianOf(Seq(calProbe(), calProbe(), calProbe()))
+    calProbe() // untimed warm (JIT)
     val calBuf = scala.collection.mutable.ArrayBuffer(calibrate())
     // Two full passes, report per-query MIN (steady-state): a single
     // pass conflates plan cost with one-time codegen/JIT (measured
@@ -197,6 +205,12 @@ object Bench {
     */
   private[graft] val SpreadCap = 5
 
+  /** Median (upper median for even sizes) — the calibration samples'
+    * per-sample reducer and the `cal_med` reducer share it.
+    */
+  private[graft] def medianOf(xs: Seq[Double]): Double =
+    xs.sorted.apply(xs.size / 2)
+
   /** The one line the driver parses — factored pure so its contract
     * (valid JSON, Locale-proof decimals, short keys, failure
     * markers) is spec-testable without running the suite
@@ -279,11 +293,8 @@ object Bench {
     // so the ratio is ambient load/thermal state, never the diff)
     val calJson =
       if (cal.isEmpty) ""
-      else {
-        val med = cal.sorted.apply(cal.size / 2)
-        cal.map(ratio).mkString(""","cal":[""", ",",
-          s"""],"cal_med":${ratio(med)}""")
-      }
+      else cal.map(ratio).mkString(""","cal":[""", ",",
+        s"""],"cal_med":${ratio(medianOf(cal))}""")
     s"""{"metric":"total","value":${sec(total)},"unit":"sec","passes":2,"agg":"min","queries_total":${sec(queriesTotal)},"queries":$qs$failedJson$spreadJson$extra$calJson,"sf":"$sfDir"}"""
   }
 

@@ -62,18 +62,22 @@ object Graft {
     * FileIndex behavior) — re-register after heavy ingestion, or for
     * always-current reads use the streaming path.
     */
-  /** Derived views (rollup + `__all`) registered by the LAST
-    * [[registerSinkTables]] call, per (session, root, source) — swept
-    * at the start of the next call, so a rollup detached (or a fork
-    * whose base turned unhealthy) since then fails TABLE_NOT_FOUND
-    * instead of serving a stale snapshot. Scoped to names THIS api
-    * registered: a user's own temp views — whatever they're named —
-    * are never touched, and no catalog listing is ever needed.
-    * WeakHashMap on the session: entries die with it (a
-    * per-request-session server never accumulates), and a recycled
-    * identity hash can never hand one session's name list to another.
+  /** EVERY view (base tables included, beside their rollup + `__all`
+    * derivatives) registered by the LAST [[registerSinkTables]] call,
+    * per (session, root, source) — swept at the start of the next
+    * call, so a rollup detached, a fork whose base turned unhealthy,
+    * or a base table whose DIRECTORY was deleted since then (simply
+    * absent from the listing — not refused) fails TABLE_NOT_FOUND
+    * instead of serving a stale snapshot (for a vanished base, one
+    * that would only fail later, at scan time, on missing files).
+    * Scoped to names THIS api registered: a user's own temp views —
+    * whatever they're named — are never touched, and no catalog
+    * listing is ever needed. WeakHashMap on the session: entries die
+    * with it (a per-request-session server never accumulates), and a
+    * recycled identity hash can never hand one session's name list to
+    * another.
     */
-  private val derivedViews: java.util.Map[SparkSession,
+  private val registryViews: java.util.Map[SparkSession,
       scala.collection.concurrent.TrieMap[(String, String), Seq[String]]] =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap())
@@ -89,23 +93,31 @@ object Graft {
       .filter(n => n.startsWith(prefix) && !n.startsWith("_") &&
         !n.startsWith(".") && !n.contains("._"))
       .sorted
-    // sweep the PREVIOUS call's derived views up front — before any
-    // base table can refuse: a crashed-swap table must take its
-    // rollup views down WITH its base view, not leave them serving
-    // pre-crash partials while the base fails loudly. The key is the
-    // CANONICAL root path ("/lake" and "/lake/" are one lake — a
-    // spelling difference must not skip the sweep).
-    val sessionViews = derivedViews.computeIfAbsent(spark,
+    // sweep the PREVIOUS call's views up front — before any base
+    // table can refuse: a crashed-swap table must take its rollup
+    // views down WITH its base view, not leave them serving
+    // pre-crash partials while the base fails loudly; a base whose
+    // directory VANISHED from the listing must be gone, not serving
+    // its old file snapshot. Base views still listed are NOT swept:
+    // they re-register atomically below (createOrReplaceTempView),
+    // so a healthy table has no dropped-view window for concurrent
+    // SQL, and a mid-call abort can never leave a healthy base
+    // deregistered. The key is the CANONICAL root path ("/lake" and
+    // "/lake/" are one lake — a spelling difference must not skip
+    // the sweep).
+    val sessionViews = registryViews.computeIfAbsent(spark,
       _ => scala.collection.concurrent.TrieMap.empty)
     val registryKey = (root.toString, sourceId)
-    for (v <- sessionViews.getOrElse(registryKey, Nil))
-      spark.catalog.dropTempView(v)
-    // every rollup + __all view as it lands, recorded even on a
-    // mid-call failure (finally below): a view registered before a
+    val baseNames = names.map(_.stripPrefix(prefix)).toSet
+    val (kept, sweep) = sessionViews.getOrElse(registryKey, Nil)
+      .partition(baseNames)
+    for (v <- sweep) spark.catalog.dropTempView(v)
+    // every view as it lands (base, rollup, __all), recorded even on
+    // a mid-call failure (finally below): a view registered before a
     // later table threw must still be sweepable by the NEXT call, or
     // it would serve stale forever. ONE buffer — it is both the
-    // registry record and the derived part of the returned names.
-    val derivedRegistered = scala.collection.mutable.ArrayBuffer.empty[String]
+    // registry record and the returned names.
+    val recorded = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
     val registered = names.filter { n =>
       val dir = s"$sinkRoot/$n"
@@ -124,6 +136,7 @@ object Graft {
             graft.ops.ZoneMapTable(spark, dir, manifest)
           else spark.read.parquet(dir)
         df.createOrReplaceTempView(n.stripPrefix(prefix))
+        recorded += n.stripPrefix(prefix)
         // a current table's maintained rollups are SQL tables too:
         // `<view>__<rollup>` serves the partials-merge read — the
         // O(groups) dashboard path — instead of making SQL users
@@ -139,7 +152,7 @@ object Graft {
             try {
               graft.ops.RollupTable.read(spark, dir, r)
                 .createOrReplaceTempView(vn)
-              derivedRegistered += vn
+              recorded += vn
             } catch {
               case scala.util.control.NonFatal(e) =>
                 org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -160,6 +173,10 @@ object Graft {
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"skipping view for $n — ${e.getMessage}")
           spark.catalog.dropTempView(n.stripPrefix(prefix))
+          // the base view was dropped; rollup views that landed
+          // before the throw stay recorded — they are live temp
+          // views the next call's sweep must still take down
+          recorded -= n.stripPrefix(prefix)
           false
       }
     }.toSet
@@ -178,13 +195,18 @@ object Graft {
           case Array(db, table) =>
             graft.ops.EvolvedRead.readAll(spark, sinkRoot, sourceId,
               db, table).createOrReplaceTempView(s"${rel}__all")
-            derivedRegistered += s"${rel}__all"
+            recorded += s"${rel}__all"
           case _ => ()
         }
       }
-    (names.filter(registered).map(_.stripPrefix(prefix)) ++
-      derivedRegistered).sorted
-    } finally sessionViews(registryKey) = derivedRegistered.toSeq
+    recorded.sorted.toSeq
+    // kept (unswept) base views stay recorded even when an abort
+    // stopped the call before re-registering them — they are live
+    // temp views a later sweep must still be able to take down; a
+    // kept name whose view was refused-and-dropped this call is a
+    // harmless extra (sweeping a nonexistent temp view is a no-op)
+    } finally sessionViews(registryKey) =
+      (recorded ++ kept).distinct.toSeq
   }
 
   /** MinHash LSH band buckets `(doc_id, band, bucket)` for any

@@ -235,6 +235,13 @@ case class KmvMerge(
       // future-version rollup meta) — merging them under the smaller
       // k would silently under-merge (treat a capped sketch's k-th
       // value as the true k-th minimum). Fail loudly instead.
+      // ONE-DIRECTIONAL by construction: states built with a SMALLER
+      // k than this merge's are structurally indistinguishable from
+      // legitimately under-full sketches (the values between the two
+      // k-th minimums simply were never stored), so they merge to a
+      // silent underestimate no guard can detect. Only reachable by
+      // hand-editing the stored k out of the meta it round-trips
+      // through — changing k means detach and re-attach the rollup.
       require(arr.numElements() <= k,
         s"${KmvSketch.MergeFnName}: sketch holds ${arr.numElements()} " +
           s"values but k=$k — the states were built with a larger k; " +

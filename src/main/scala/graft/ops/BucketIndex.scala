@@ -175,11 +175,14 @@ object BucketIndex {
     }
 
   /** Sharded blooms over LIVE rows' values — the one aggregate every
-    * build path shares: `(kb, shard, bloom)` where
+    * build path shares: `(kb, shard, bloom, nrows)` where
     * `shard = hash mod shards` splits each bucket's values across
-    * bounded-size filters. Null values don't insert (SQL `IN` never
-    * matches null, so skipping them loses nothing and keeps the
-    * filters tight).
+    * bounded-size filters and `nrows` counts the rows the filter was
+    * built from — the sidecar carries its own load measurement, so
+    * [[capacityAdvice]] reads per-bucket live counts from two pruned
+    * sidecar columns instead of re-scanning the table. Null values
+    * don't insert (SQL `IN` never matches null, so skipping them
+    * loses nothing and keeps the filters tight).
     */
   private def bloomsOf(spark: SparkSession, df: DataFrame,
       column: String, bits: Int, shards: Int): DataFrame =
@@ -191,7 +194,8 @@ object BucketIndex {
       .withColumn("shard", pmod(col("_ix_h"), lit(shards)).cast("int"))
       .groupBy("kb", "shard")
       .agg(graft.functions.BloomSketch.bloom(spark, col("_ix_h"), bits)
-        .as("bloom"))
+        .as("bloom"),
+        count(lit(1)).as("nrows"))
 
   /** Bloom sizing: ~10 bits per element at K=4 hashes ≈ 1% false
     * positives. Returns (bitsPerShard, shards): the total bit budget
@@ -225,6 +229,40 @@ object BucketIndex {
     (bits, shards)
   }
 
+  /** The rows/bucket statistic auto-sizing designs for: the
+    * p99-by-rank of the per-bucket counts, NOT the global average — a
+    * key-skewed table's hot bucket would get under-sized filters under
+    * the average and degrade toward every-probe candidacy exactly on
+    * the bucket most probes light up (one bucket at 10× the average
+    * measured ~25% fpp under average sizing vs ~1% under p99). The
+    * p99 bound is the other half of the trade: ≤1% of buckets may
+    * exceed the sizing and degrade GRACEFULLY (extra candidate reads,
+    * never wrong rows), which keeps one pathological mega-bucket from
+    * inflating every bucket's filters by the skew ratio. Below 100
+    * buckets the p99 rank IS the max (at exactly 100 it is the
+    * second-largest — one bucket may exceed, consistent with the
+    * ≤1% bound). [[capacityAdvice]] measures
+    * with the same statistic, so a stable outlier above the p99 can
+    * never advise a re-attach that re-attaching would not fix.
+    */
+  private[graft] def sizingRows(perBucket: Seq[Long]): Long =
+    if (perBucket.isEmpty) 0L
+    else {
+      val sorted = perBucket.sorted
+      sorted(math.max(0, math.ceil(sorted.size * 0.99).toInt - 1))
+    }
+
+  /** Per-bucket counts of the rows that actually insert into the
+    * filters (live, non-null indexed value) — ≤ nb rows to the
+    * driver, the input to [[sizingRows]].
+    */
+  private def perBucketCounts(df: DataFrame, column: String): Seq[Long] =
+    df.filter(!TimeTravel.isTombstone)
+      .filter(col(column).isNotNull)
+      .groupBy(col("kb").cast("int"))
+      .count()
+      .collect().map(_.getLong(1)).toIndexedSeq
+
   /** Bucket-group count for the manifest: enough ~128 MB groups to
     * hold the sidecar (1 while small — the common case), capped at
     * [[MaxGroups]].
@@ -240,8 +278,9 @@ object BucketIndex {
     * FLIP: meta rewrite pointing touched groups at the new dir —
     * groups the write produced no rows for are dropped (their buckets
     * hold no live values) — carrying `carry`'s untouched pointers
-    * forward, then GC of `d_` dirs referenced by neither the new nor
-    * the immediately-previous manifest.
+    * forward, then GC at `(d_ dir, grp=)` granularity of every pair
+    * referenced by neither the new nor the immediately-previous
+    * manifest.
     */
   private def stageGrouped(spark: SparkSession, dir: String, nb: Int,
       bits: Int, shards: Int, groups: Int, sizing: String,
@@ -263,17 +302,43 @@ object BucketIndex {
         .map(n => n.stripPrefix("grp=").toInt -> dataName).toMap
       val pointers = carry ++ written
       // previous generation read NOW (pre-flip) for the one-publish
-      // reader-retention contract
-      val previous: Set[String] = readMeta(spark, dir)
-        .map(m => m.pointers.values.toSet ++ m.legacyData)
+      // reader-retention contract — at (dir, grp=) grain: one dir can
+      // serve some groups for the new manifest, others for only the
+      // previous one, and hold dead bytes for groups re-pointed two
+      // publishes ago
+      val prevMeta = readMeta(spark, dir)
+      val prevPairs: Set[(String, Int)] = prevMeta
+        .map(_.pointers.iterator.map { case (g, d) => (d, g) }.toSet)
         .getOrElse(Set.empty)
+      // legacy single-pointer dirs have no grp= structure: keep whole
+      val legacyKeep: Set[String] = prevMeta.flatMap(_.legacyData).toSet
       PointerDir.writeMetaLines(spark, dir,
         renderMeta(nb, bits, shards, groups, sizing, pointers))
-      val keep = pointers.values.toSet ++ previous + dataName
+      // GC at pair granularity: whole-dir GC alone would strand a
+      // re-pointed group's bytes inside a dir another group still
+      // references — forever, if that other group is never touched
+      // again (worst case ~2× live sidecar bytes of dead data, ~120 GB
+      // at the 100 TB sizing). The immediately-previous manifest's
+      // pairs survive this publish (a reader that resolved pointers
+      // just before the flip keeps reading intact files — the
+      // PointerDir contract); everything older is dead.
+      val keepPairs: Set[(String, Int)] = prevPairs ++
+        pointers.iterator.map { case (g, d) => (d, g) }
       for (st <- fs.listStatus(new Path(dir))
-          if st.isDirectory && st.getPath.getName.startsWith("d_") &&
-            !keep(st.getPath.getName))
-        fs.delete(st.getPath, true)
+          if st.isDirectory && st.getPath.getName.startsWith("d_")) {
+        val name = st.getPath.getName
+        if (!legacyKeep(name)) {
+          if (!keepPairs.exists(_._1 == name))
+            // no group references any of the dir's bytes (includes a
+            // just-written dir whose every group produced zero rows)
+            fs.delete(st.getPath, true)
+          else for (c <- fs.listStatus(st.getPath)
+              if c.isDirectory && c.getPath.getName.startsWith("grp=")) {
+            val g = c.getPath.getName.stripPrefix("grp=").toInt
+            if (!keepPairs((name, g))) fs.delete(c.getPath, true)
+          }
+        }
+      }
     }
   }
 
@@ -281,16 +346,20 @@ object BucketIndex {
     * table; every later sync maintains it at delta cost. `numBits`
     * sizes EACH SHARD's filter and `numShards` the shards per bucket;
     * the default (0 = auto) measures the table and allocates ~10 bits
-    * per live row (≈1% false positives at K=4 — an UNDERSIZED filter
-    * silently degrades to a near-full scan: at 2M rows / 64 buckets a
-    * fixed 2^16-bit filter measured 52% fpp, 32 of 64 buckets read
-    * per probe), adding shards rather than letting any filter exceed
-    * [[MaxShardBits]]. `numGroups` (0 = auto) sets the manifest's
-    * bucket-group count — the unit of per-sync maintenance IO; auto
-    * targets ~128 MB per group. FPP only costs extra bucket reads,
-    * never wrong rows, and the filters do not resize as the table
-    * grows — re-attach (or rescale, which rebuilds) when rows/bucket
-    * has grown well past the sizing.
+    * per row of the p99 per-bucket live count (≈1% false positives at
+    * K=4 even on the hot bucket of a key-skewed table — an UNDERSIZED
+    * filter silently degrades to a near-full scan: at 2M rows / 64
+    * buckets a fixed 2^16-bit filter measured 52% fpp, 32 of 64
+    * buckets read per probe), adding shards rather than letting any
+    * filter exceed [[MaxShardBits]]. `numGroups` (0 = auto) sets the
+    * manifest's bucket-group count — the unit of per-sync maintenance
+    * IO; auto targets ~128 MB per group. FPP only costs extra bucket
+    * reads, never wrong rows, and the filters do not resize as the
+    * table grows — re-attach (or rescale, which rebuilds) when
+    * rows/bucket has grown well past the sizing; [[capacityAdvice]]
+    * measures exactly that from the sidecar's own counts, and the
+    * pipeline writes its machine-readable `reattach-index` record on
+    * full syncs.
     */
   def attach(spark: SparkSession, currentDir: String, column: String,
       numBits: Int = 0, numShards: Int = 0, numGroups: Int = 0): Unit = {
@@ -322,9 +391,13 @@ object BucketIndex {
         s"(${live.columns.mkString(", ")})")
     val (bits, shards) =
       if (numBits > 0) (numBits, math.max(1, numShards))
-      // auto: one count over the live table — attach is the one
-      // full-build pass anyway, and a blind default measured 52% fpp
-      else autoSize(live.count() / math.max(1, nb), numShards)
+      // auto: one per-bucket count over the live table (≤ nb rows to
+      // the driver) — attach is the one full-build pass anyway, and a
+      // blind default measured 52% fpp. Sized from the p99 per-bucket
+      // count, not the average: a key-skewed table's hot bucket under
+      // average sizing degrades to near-every-probe candidacy exactly
+      // where probes concentrate ([[sizingRows]]).
+      else autoSize(sizingRows(perBucketCounts(live, column)), numShards)
     val groups =
       if (numGroups > 0) numGroups else autoGroups(nb, bits, shards)
     stageGrouped(spark, dir, nb, bits, shards, groups,
@@ -595,6 +668,12 @@ object BucketIndex {
       val meta = readMeta(spark, dir).getOrElse(
         throw new IllegalStateException(
           s"no index on '$column' at $dir — attach it first"))
+      // same broken-index guard as lookupBy: a legacy meta with an
+      // empty data pointer must fail loudly, not read as "zero live
+      // indexed values" and silently serve empty results forever
+      if (meta.legacy && meta.legacyData.isEmpty)
+        throw new IllegalStateException(s"index on '$column' has no " +
+          "published data — detach and re-attach")
       val existing = fs.listStatus(new Path(currentDir))
         .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
       if (existing.isEmpty)
@@ -646,16 +725,16 @@ object BucketIndex {
       val maxKeys = graft.streaming.CurrentTable.resolveMaxKeys(
         spark, maxDriverKeys)
       val collected = keys.limit(maxKeys + 1).collect()
-      if (collected.length > maxKeys)
-        return graft.streaming.CurrentTable.read(spark, currentDir)
-          .join(keys, Seq(keys.columns.head), "left_semi")
+      // oversized probe: full-table semi-join — built from the
+      // prep's cached listing and schema (CurrentTable.read here
+      // would re-pay the full bucket listing and a footer-open
+      // schema inference per probe, the exact per-call costs the
+      // handle exists to avoid)
+      if (collected.length > maxKeys) return exactScan(p, keys)
       val local = spark.createDataFrame(
         java.util.Arrays.asList(collected: _*), keys.schema)
       if (p.degraded) // rescale-stale: exact scan until rebuilt
-        spark.read.schema(p.schema).option("basePath", currentDir)
-          .parquet(currentDir)
-          .filter(!TimeTravel.isTombstone)
-          .join(local, Seq(keys.columns.head), "left_semi")
+        exactScan(p, local)
       else {
         val candidates = candidateBuckets(spark, p.blooms, local,
           column, p.meta.shards)
@@ -663,6 +742,19 @@ object BucketIndex {
           local, keys.columns.head, p.schema)
       }
     }
+
+    /** The exact full-table semi-join BOTH non-indexed paths share
+      * (rescale-degraded and oversized-probe): built from the prep's
+      * cached listing and schema — never a fresh listing or a footer
+      * open per call. The bloom-free scan admits every bucket, the
+      * semi-join is exact, so rows equal the indexed path's.
+      */
+    private def exactScan(p: Prep, probe: DataFrame): DataFrame =
+      spark.read.schema(p.schema).option("basePath", currentDir)
+        .parquet(p.existing.toSeq.sorted
+          .map(n => s"$currentDir/$n"): _*)
+        .filter(!TimeTravel.isTombstone)
+        .join(probe, Seq(probe.columns.head), "left_semi")
 
     /** Release the pinned bloom frame. The handle stays usable — the
       * next call re-prepares (the cached prep is invalidated too, or
@@ -693,82 +785,195 @@ object BucketIndex {
   private[graft] def prepareSync(spark: SparkSession, currentDir: String,
       nb: Int, touched: Seq[Int], stageDf: DataFrame): () => Unit = {
     val cols = list(spark, currentDir)
-    // zero touched buckets (a batch of zero-row files) changed no
-    // bloom: publishing would re-point groups at byte-identical data
-    if (cols.isEmpty || touched.isEmpty) return () => ()
+    if (cols.isEmpty) return () => ()
     val touchedSet = touched.toSet
     val publishes = cols.flatMap { column =>
       val dir = s"${indexRoot(currentDir)}/$column"
-      readMeta(spark, dir).map { meta =>
+      readMeta(spark, dir).flatMap { meta =>
         require(stageDf.columns.exists(_.equalsIgnoreCase(column)),
           s"index: column '$column' is not in the sink schema " +
             s"(${stageDf.columns.mkString(", ")}) — detach the index " +
             "or fix the sink")
-        if (meta.legacy || meta.nb != nb) {
-          // rebuild: legacy sidecars' rows carry no shard/grp layout,
-          // and a dead modulus keys every bloom wrong — one
-          // table-sized read, the rescale's own cost class
-          val cfs = new Path(currentDir)
-            .getFileSystem(spark.sessionState.newHadoopConf())
-          val untouched = cfs.listStatus(new Path(currentDir)).toSeq
-            .map(_.getPath.getName)
-            .filter(n => n.startsWith("kb=") &&
-              !touchedSet(n.stripPrefix("kb=").toInt))
-            .map(n => s"$currentDir/$n")
-          def untouchedDf = spark.read.option("basePath", currentDir)
-            .parquet(untouched: _*)
-          // AUTO-sized indexes re-measure here: rows/bucket changed
-          // with the modulus, and keeping the old per-bucket capacity
-          // across a shrink-rescale would silently saturate the
-          // filters (the attach doc promises rescale re-sizes). The
-          // extra count over the same frames is the attach contract;
-          // explicitly-sized indexes keep the operator's numbers.
-          val (bits, shards) = meta.sizing match {
-            case s @ ("auto" | "auto-bits") =>
-              // the count pass is column-pruned to the tombstone
-              // marker — cheap next to the bloom aggregation that
-              // follows over the same frames
-              val live = (if (untouched.isEmpty) stageDf
-                else untouchedDf.unionByName(stageDf))
-                .filter(!TimeTravel.isTombstone).count()
-              // auto-bits: the operator's shard count is kept, only
-              // the per-shard bits re-measure
-              autoSize(live / math.max(1, nb),
-                if (s == "auto-bits") meta.shards else 0)
-            // "fixed", a missing line, AND any unrecognized value (a
-            // future version's mode, a hand edit): never silently
-            // resize an index whose intent this binary can't read
-            case _ => (meta.bits, meta.shards)
-          }
-          val groups = math.max(meta.groups, autoGroups(nb, bits, shards))
-          val fresh = bloomsOf(spark, stageDf, column, bits, shards)
-          val rows =
-            if (untouched.isEmpty) fresh
-            else bloomsOf(spark, untouchedDf, column, bits, shards)
-              .unionByName(fresh)
-          stageGrouped(spark, dir, nb, bits, shards, groups,
-            meta.sizing, rows, writeTasks = groups,
-            carry = Map.empty)
-        } else {
+        if (meta.legacy || meta.nb != nb)
+          // rebuild — reachable even on a zero-touched sync: a dead
+          // modulus (or a legacy layout) must not outlive "the next
+          // sync rebuilds" just because the batch folded nothing
+          Some(rebuildColumn(spark, currentDir, dir, column, meta, nb,
+            touchedSet, Some(stageDf)))
+        else if (touched.isEmpty)
+          // healthy index, zero touched buckets (a batch of zero-row
+          // files) changed no bloom: publishing would re-point groups
+          // at byte-identical data
+          None
+        else {
           val fresh = bloomsOf(spark, stageDf, column, meta.bits,
             meta.shards)
           // incremental: read ONLY the touched groups' old rows,
-          // drop the touched buckets' among them, add the fresh ones
+          // drop the touched buckets' among them, add the fresh ones.
+          // Old rows read under the fresh frame's EXPLICIT schema
+          // (nullable — a pre-r15 group's rows carry no nrows and
+          // must read as null, not as an inference coin-flip over
+          // mixed-generation footers)
           val touchedGroups = touchedSet.map(b => b % meta.groups)
           val oldPaths = touchedGroups.toSeq.sorted.flatMap(g =>
             meta.pointers.get(g).map(d => s"$dir/$d/grp=$g"))
           val rows =
             if (oldPaths.isEmpty) fresh
-            else spark.read.parquet(oldPaths: _*)
+            else spark.read
+              .schema(org.apache.spark.sql.types.StructType(
+                fresh.schema.fields.map(_.copy(nullable = true))))
+              .parquet(oldPaths: _*)
               .filter(!col("kb").isin(touchedSet.toSeq: _*))
               .unionByName(fresh)
-          stageGrouped(spark, dir, nb, meta.bits, meta.shards,
+          Some(stageGrouped(spark, dir, nb, meta.bits, meta.shards,
             meta.groups, meta.sizing, rows,
             writeTasks = touchedGroups.size,
-            carry = meta.pointers.filter(kv => !touchedGroups(kv._1)))
+            carry = meta.pointers.filter(kv => !touchedGroups(kv._1))))
         }
       }
     }
     () => publishes.foreach(_.apply())
+  }
+
+  /** The full-rebuild unit both [[prepareSync]] (rescale-stale or
+    * legacy meta, delta in hand) and [[rebuildStale]] (zero-delta
+    * sync, no stage) share: blooms recomputed from the untouched live
+    * buckets plus the staged fold, one table-sized read — the
+    * rescale's (or legacy upgrade's) own cost class, paid once.
+    */
+  private def rebuildColumn(spark: SparkSession, currentDir: String,
+      dir: String, column: String, meta: Meta, nb: Int,
+      touchedSet: Set[Int], stage: Option[DataFrame]): () => Unit = {
+    val cfs = new Path(currentDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val untouched = cfs.listStatus(new Path(currentDir)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("kb=") &&
+        !touchedSet(n.stripPrefix("kb=").toInt))
+      .map(n => s"$currentDir/$n")
+    def untouchedDf = spark.read.option("basePath", currentDir)
+      .parquet(untouched: _*)
+    val live: Option[DataFrame] = (untouched.nonEmpty, stage) match {
+      // no buckets and no stage: nothing to size or bloom from — keep
+      // the stale meta (lookups already serve the exact full scan of
+      // an essentially-empty table; the next data-bearing sync
+      // rebuilds)
+      case (false, None) => None
+      case (false, Some(s)) => Some(s)
+      case (true, None) => Some(untouchedDf)
+      case (true, Some(s)) => Some(untouchedDf.unionByName(s))
+    }
+    live match {
+      case None => () => ()
+      case Some(df) =>
+        // AUTO-sized indexes re-measure here: rows/bucket changed
+        // with the modulus, and keeping the old per-bucket capacity
+        // across a shrink-rescale would silently saturate the
+        // filters (the attach doc promises rescale re-sizes). The
+        // per-bucket count pass is column-pruned — cheap next to the
+        // bloom aggregation that follows over the same frames — and
+        // uses the same p99 statistic the attach used.
+        val (bits, shards) = meta.sizing match {
+          case s @ ("auto" | "auto-bits") =>
+            // auto-bits: the operator's shard count is kept, only
+            // the per-shard bits re-measure
+            autoSize(sizingRows(perBucketCounts(df, column)),
+              if (s == "auto-bits") meta.shards else 0)
+          // "fixed", a missing line, AND any unrecognized value (a
+          // future version's mode, a hand edit): never silently
+          // resize an index whose intent this binary can't read
+          case _ => (meta.bits, meta.shards)
+        }
+        val groups = math.max(meta.groups, autoGroups(nb, bits, shards))
+        stageGrouped(spark, dir, nb, bits, shards, groups, meta.sizing,
+          bloomsOf(spark, df, column, bits, shards),
+          writeTasks = groups, carry = Map.empty)
+    }
+  }
+
+  /** Rebuild any attached index left stale by a rescale (or a legacy
+    * pre-group layout) on a sync that FOLDED NOTHING: the zero-delta
+    * early returns in [[graft.streaming.CurrentTable.sync]] never
+    * reach [[prepareSync]], so without this hook a run of empty
+    * batches after a rescale would keep every lookup on the exact
+    * full-scan fallback indefinitely — correct rows, prune lost —
+    * despite the class doc's "the next sync rebuilds". Publishes
+    * immediately: with nothing folded there is no bucket swap to
+    * defer the flip past. No-op (two small meta reads per index) when
+    * every sidecar is healthy.
+    */
+  private[graft] def rebuildStale(spark: SparkSession,
+      currentDir: String, nb: Int): Unit =
+    for (column <- list(spark, currentDir)) {
+      val dir = s"${indexRoot(currentDir)}/$column"
+      for (meta <- readMeta(spark, dir)
+          if meta.legacy || meta.nb != nb)
+        rebuildColumn(spark, currentDir, dir, column, meta, nb,
+          Set.empty, None)()
+    }
+
+  /** Sizing-health measurement behind the pipeline's
+    * `"advice":"reattach-index"` record: filters do NOT resize as the
+    * table grows (only a rescale rebuild re-measures), so a table
+    * that grew well past its attach-time sizing quietly degrades
+    * toward every-bucket candidacy — the runbook's "re-attach when
+    * rows/bucket has grown well past the sizing", measured instead of
+    * manual. Per-bucket live counts come from the sidecar's OWN
+    * `nrows` column (each publish's bloom rows carry the count they
+    * were built from — zero table reads; the scan below is pruned to
+    * two int/long sidecar columns), compared with the same p99
+    * statistic the sizing used, so a stable hot outlier above the p99
+    * can never advise a re-attach that re-attaching would not fix.
+    * Returns Some when implied bits/row fell below `minBitsPerRow`
+    * (default 5 — half the ~10-bit design point, ≈5–10% fpp and
+    * worsening); None while healthy, while awaiting the rescale
+    * rebuild that re-measures anyway, or while the sidecar predates
+    * the counts (pre-r15 rows — buckets regain counts as syncs touch
+    * them).
+    */
+  case class CapacityStats(column: String, bits: Int, shards: Int,
+      sizingRowsPerBucket: Long, bitsPerRow: Double, knownBuckets: Int,
+      call: String)
+
+  def capacityAdvice(spark: SparkSession, currentDir: String,
+      column: String, minBitsPerRow: Double = 5.0): Option[CapacityStats] = {
+    validColumn(column)
+    require(minBitsPerRow > 0,
+      s"minBitsPerRow must be positive, got $minBitsPerRow")
+    val dir = s"${indexRoot(currentDir)}/$column"
+    readMeta(spark, dir).flatMap { meta =>
+      val nb = graft.streaming.CurrentTable.bucketCount(spark, currentDir)
+      if (meta.legacy || !nb.contains(meta.nb)) None
+      else {
+        val paths = meta.dataPaths(dir)
+        if (paths.isEmpty) None // zero live indexed values
+        else {
+          val counts = spark.read
+            .schema(org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("kb",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("nrows",
+                org.apache.spark.sql.types.LongType))))
+            .parquet(paths: _*)
+            .groupBy("kb")
+            .agg(sum("nrows").as("rows"),
+              count(when(col("nrows").isNull, 1)).as("unknown"))
+            // a bucket with any count-less (pre-r15) rows is unknown,
+            // not zero — skip it rather than under-measure
+            .filter(col("unknown") === 0 && col("rows").isNotNull)
+            .select("rows").collect().map(_.getLong(0)).toIndexedSeq
+          val rows = sizingRows(counts)
+          if (rows <= 0) None
+          else {
+            val bitsPerRow = meta.bits.toDouble * meta.shards / rows
+            if (bitsPerRow >= minBitsPerRow) None
+            else Some(CapacityStats(column, meta.bits, meta.shards,
+              rows, bitsPerRow, counts.size,
+              s"""BucketIndex.detach(spark, "$currentDir", "$column"); """ +
+                s"""BucketIndex.attach(spark, "$currentDir", "$column")"""))
+          }
+        }
+      }
+    }
   }
 }

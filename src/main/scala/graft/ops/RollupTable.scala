@@ -73,7 +73,13 @@ object RollupTable {
     * with a large k stops being "tiny" (1000 groups × 256 buckets ×
     * k=1024 ≈ 2 GB); keep k at the accuracy you need (~256 ⇒ ~6%
     * standard error) and rollup dims low-cardinality, which is what
-    * a rollup is for.
+    * a rollup is for. `k` is part of the stored layout (it
+    * round-trips through the rollup meta): the read-side guard
+    * catches a meta whose k SHRANK below the stored sketches', but a
+    * k GROWN past them is undetectable by construction — a
+    * smaller-k state is structurally identical to a legitimately
+    * under-full sketch — and would merge to a silent underestimate.
+    * Changing k means detach and re-attach the rollup.
     */
   case class Agg(op: String, col: String, as: String, k: Int = 256)
 

@@ -800,6 +800,30 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
                 config.statusStorePath.foreach(writeAdviceFile(_, key,
                   s"${dir}__current", st, rec))
               }
+            // index capacity advisory, full syncs only — the rescale
+            // advice's twin for secondary indexes: attached bloom
+            // filters never resize as the table grows (only a rescale
+            // rebuild re-measures), so when the sidecar's own
+            // per-bucket counts show the sizing degraded past ~5
+            // bits/row, warn AND write the machine-readable
+            // reattach record beside the status records (the
+            // BucketIndex runbook's "re-attach when rows/bucket has
+            // grown well past the sizing", measured instead of manual)
+            if (scope.isEmpty)
+              for (cols <- config.currentIndexColumns.get(key).toSeq;
+                  c <- cols;
+                  st <- graft.ops.BucketIndex.capacityAdvice(spark,
+                    s"${dir}__current", c)) {
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"[${config.name}] index '$c' on current-table $key " +
+                    s"has outgrown its sizing: ${st.bits} bits x " +
+                    s"${st.shards} shard(s) against ${st.sizingRowsPerBucket} " +
+                    s"rows/bucket (p99) is ${f"${st.bitsPerRow}%.1f"} " +
+                    "bits/row — false positives are degrading the " +
+                    s"prune; run ${st.call} at a maintenance window")
+                config.statusStorePath.foreach(writeIndexAdviceFile(_,
+                  key, s"${dir}__current", st))
+              }
           }
         // Auto-compaction next: the stream is idle between
         // micro-batches (single writer), so the swap's no-active-writer
@@ -970,6 +994,34 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       s""""target_bucket_mb":${config.currentTargetBucketMb},""" +
       s""""recommended_buckets":$recommended,""" +
       s""""call":"CurrentTable.rescale(spark, \\"$currentDir\\", keys, $recommended)",""" +
+      s""""timestamp":${System.currentTimeMillis()}}"""
+    hWrite(s"$root/dt=$today/${java.util.UUID.randomUUID()}.json", json)
+  }
+
+  /** Reattach-advisory record for a secondary index that outgrew its
+    * attach-time bloom sizing — same store, dt-layout and consumer
+    * contract as [[writeAdviceFile]] but `"advice":"reattach-index"`.
+    * Written only when [[graft.ops.BucketIndex.capacityAdvice]] fires
+    * (implied bits/row under ~5 at the p99 per-bucket live count the
+    * sidecar itself maintains); carries the measured numbers and the
+    * exact detach-then-attach call.
+    */
+  private def writeIndexAdviceFile(root: String, tableKey: String,
+      currentDir: String,
+      st: graft.ops.BucketIndex.CapacityStats): Unit = {
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    // Locale.ROOT: a comma-decimal default locale must not emit
+    // "2,05" into a JSON number
+    val bpr = String.format(java.util.Locale.ROOT, "%.2f",
+      Double.box(st.bitsPerRow))
+    val json = s"""{"job_id":"${config.sourceId}",""" +
+      s""""job_name":"${config.name}","advice":"reattach-index",""" +
+      s""""table":"$tableKey","current_dir":"$currentDir",""" +
+      s""""column":"${st.column}","bits":${st.bits},""" +
+      s""""shards":${st.shards},""" +
+      s""""rows_per_bucket_p99":${st.sizingRowsPerBucket},""" +
+      s""""bits_per_row":$bpr,""" +
+      s""""call":"${st.call.replace("\"", "\\\"")}",""" +
       s""""timestamp":${System.currentTimeMillis()}}"""
     hWrite(s"$root/dt=$today/${java.util.UUID.randomUUID()}.json", json)
   }

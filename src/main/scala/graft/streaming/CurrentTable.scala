@@ -500,6 +500,10 @@ object CurrentTable {
       }
     if (fresh.isEmpty) {
       advanceCursor(_ => Set.empty)
+      // a zero-delta sync still owes one maintenance debt: an index
+      // left keyed under a dead modulus by a rescale (or a legacy
+      // layout) rebuilds on "the next sync" — which may fold nothing
+      graft.ops.BucketIndex.rebuildStale(spark, currentDir, nb)
       return (0, 0)
     }
 
@@ -528,6 +532,8 @@ object CurrentTable {
     // every later sync re-lists them as fresh forever
     if (touched.isEmpty) {
       advanceCursor(p => fresh.filter(f => partKeyOf(f) == p).toSet)
+      // same rescale/legacy rebuild debt as the no-fresh-files return
+      graft.ops.BucketIndex.rebuildStale(spark, currentDir, nb)
       return (fresh.size, 0)
     }
     val order = orderOverride.getOrElse(
@@ -1388,6 +1394,19 @@ object CurrentTable {
       Prep(sig, nb, existing, schema)
     }
 
+    /** Per-call revalidation shared by [[lookup]]'s two paths: a
+      * rescale's SWAP window is the one mutation the root signature
+      * cannot see — refuse-or-outwait via the marker
+      * ([[outwaitRescale]]); its clearing implies a root write, so
+      * the re-prepare picks up the new modulus.
+      */
+    private def revalidated(): Prep = {
+      outwaitRescale(spark, fs, currentDir)
+      val cached = prep
+      if (rootSignature(spark, currentDir) == cached.sig) cached
+      else { val n = prepare(); prep = n; n }
+    }
+
     /** Same rows as `CurrentTable.lookup(spark, dir, pk, keys)` —
       * spec-pinned — at a fraction of the per-call driver cost.
       */
@@ -1397,9 +1416,19 @@ object CurrentTable {
           s"got ${keys.columns.toSeq}")
       val maxKeys = resolveMaxKeys(spark, maxDriverKeys)
       val collected = keys.limit(maxKeys + 1).collect()
-      if (collected.length > maxKeys)
-        return readRaw(spark, currentDir).join(keys, pk, "left_semi")
+      if (collected.length > maxKeys) {
+        // oversized probe: full-table semi-join, built from the
+        // prep's cached listing and schema — `read` here would re-pay
+        // the orphan check, a full bucket listing and a footer-open
+        // schema inference per probe, the exact per-call costs the
+        // handle exists to avoid
+        val p = revalidated()
+        return spark.read.schema(p.schema).option("basePath", currentDir)
+          .parquet(p.existing.toSeq.sorted
+            .map(n => s"$currentDir/$n"): _*)
+          .join(keys, pk, "left_semi")
           .filter(!graft.ops.TimeTravel.isTombstone)
+      }
       val local = spark.createDataFrame(
         java.util.Arrays.asList(collected: _*), keys.schema)
       rawRows(local).filter(!graft.ops.TimeTravel.isTombstone)
@@ -1412,15 +1441,7 @@ object CurrentTable {
       * [[lookup]]. Revalidates the root signature per call.
       */
     private[CurrentTable] def rawRows(local: DataFrame): DataFrame = {
-      // a rescale's SWAP window is the one mutation the root
-      // signature cannot see — refuse-or-outwait via the marker
-      // ([[outwaitRescale]]); its clearing implies a root write, so
-      // the re-prepare below picks up the new modulus
-      outwaitRescale(spark, fs, currentDir)
-      val cached = prep
-      val p =
-        if (rootSignature(spark, currentDir) == cached.sig) cached
-        else { val n = prepare(); prep = n; n }
+      val p = revalidated()
       checkProbeTypes(local.schema, p.schema, pk)
       // a local relation: the projection collapses driver-side
       // (ConvertToLocalRelation), no Spark job

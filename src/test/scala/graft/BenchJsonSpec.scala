@@ -80,6 +80,14 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(!render(Seq("q01_x" -> 1.0), None).contains("cal"))
   }
 
+  test("medianOf (each cal sample is a median of 3 back-to-back probe " +
+      "runs — the single-shot probe spread ±30% within one session, " +
+      "wider than the drift it measures) picks the middle, not a tail") {
+    assert(Bench.medianOf(Seq(0.67, 0.36, 0.51)) == 0.51)
+    assert(Bench.medianOf(Seq(9.0, 0.5, 0.48)) == 0.5) // one-off stall out
+    assert(Bench.medianOf(Seq(1.0)) == 1.0)
+  }
+
   test("mass failure caps the name list but keeps the true count " +
       "(parse-window protection)") {
     val many = (1 to 40).map(i => f"q$i%02d_x" -> -1.0)

@@ -291,9 +291,18 @@ class BucketIndexSpec extends AnyFunSuite {
     assert(pruned.size < 9, s"rebuilt index must prune again: $pruned")
     // oversized probe: full-scan fallback, driver out of the data path
     val big = (1 to 50).map(i => s"u$i@x.com").toDF("email")
-    assert(rd.lookup(big, maxDriverKeys = 10)
-      .select("id").collect().map(_.getLong(0)).toSet
+    val fb = rd.lookup(big, maxDriverKeys = 10)
+    assert(fb.select("id").collect().map(_.getLong(0)).toSet
       == fullScanMany(cur, (1 to 50).map(i => s"u$i@x.com")))
+    // the fallback is built from the prep's CACHED listing and schema
+    // (a CurrentTable.read here would re-pay the full bucket listing
+    // and a footer-open schema inference per oversized probe): its
+    // scan reads exactly the live bucket dirs, nothing else
+    val fbDirs = fb.inputFiles
+      .flatMap(_.split('/').find(_.startsWith("kb="))).toSet
+    assert(fbDirs.size == new java.io.File(cur).listFiles()
+      .count(_.getName.startsWith("kb=")), s"full scan expected: $fbDirs")
+    assert(fb.inputFiles.forall(_.contains("/kb=")), "bucket files only")
     rd.close()
     // usable after close — re-prepares by itself
     assert(byReader("u65@x.com") == Set(65L))
@@ -408,5 +417,177 @@ class BucketIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       BucketIndex.attach(spark, cur, "KB")
     }
+  }
+
+  test("grp=-granular GC reclaims a re-pointed group's bytes inside a " +
+      "still-referenced dir; the immediately-previous pointer " +
+      "survives exactly one publish (reader retention)") {
+    val sink = Files.createTempDirectory("graft-bi-").resolve("s").toString
+    val cur = Files.createTempDirectory("graft-bi-cur-").toString
+    append(sink, (1L to 128L).map(i => (i, s"u$i@x.com", "CREATE", 1000L + i)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 16)
+    BucketIndex.attach(spark, cur, "email", numGroups = 8)
+    val ix = s"$cur/_index/email"
+    def pointers(): Map[String, String] =
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+          s"$ix/_meta.txt")).toArray.map(_.toString)
+        .filter(l => l.matches("g\\d+=.*"))
+        .map { l => val Array(g, d) = l.split("=", 2); g -> d }.toMap
+    def exists(rel: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$ix/$rel"))
+    val p0 = pointers()
+    val dA = p0.values.head // the attach wrote ONE dir for all groups
+    assert(p0.values.forall(_ == dA))
+    // publish 1: one key's bucket re-points its group g to a new dir
+    append(sink, Seq((7L, "m1@x.com", "UPDATE", 9000L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    val p1 = pointers()
+    val gk = p1.collectFirst { case (k, v) if p0(k) != v => k }.get
+    val g = gk.stripPrefix("g") // meta lines are "g<N>=dir"
+    val d1 = p1(gk)
+    // one-publish retention: the re-pointed group's OLD bytes survive
+    // the publish that orphaned them (a reader that resolved pointers
+    // just before the flip keeps reading intact files)
+    assert(exists(s"$dA/grp=$g"), "one-publish retention for (dA, g)")
+    // publish 2, same bucket: (dA, g) is now referenced by neither
+    // the new manifest nor the immediately-previous one — its bytes
+    // are reclaimed WHILE dA stays alive for the 7 groups still
+    // pointing at it (the r14 whole-dir GC stranded them forever)
+    append(sink, Seq((7L, "m2@x.com", "UPDATE", 9100L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    val p2 = pointers()
+    assert(p2(gk) != d1 && (p2 - gk).values.forall(_ == dA))
+    assert(!exists(s"$dA/grp=$g"),
+      "dead group bytes inside a live dir must be reclaimed")
+    val other = p2.keys.find(_ != gk).get.stripPrefix("g")
+    assert(exists(s"$dA/grp=$other"), "live groups' bytes untouched")
+    assert(exists(s"$d1/grp=$g"), "one-publish retention for (d1, g)")
+    // publish 3: d1 (which only ever held group g) dies WHOLE
+    append(sink, Seq((7L, "m3@x.com", "UPDATE", 9200L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(!exists(d1), "a dir with no referenced pair dies whole")
+    // probes stay exact through the reclamation
+    assert(idsByIndex(cur, "m3@x.com") == Set(7L))
+    assert(idsByIndex(cur, "m1@x.com").isEmpty)
+    assert(idsByIndex(cur, "u100@x.com") == Set(100L))
+  }
+
+  test("a rescale-stale index rebuilds even on a sync that folds " +
+      "NOTHING — the prune must not stay lost behind empty batches") {
+    val sink = Files.createTempDirectory("graft-bi-").resolve("s").toString
+    val cur = Files.createTempDirectory("graft-bi-cur-").toString
+    append(sink, (1L to 40L).map(i => (i, s"u$i@x", "CREATE", 1000L + i)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    BucketIndex.attach(spark, cur, "email")
+    CurrentTable.rescale(spark, cur, Seq("id"), newBuckets = 9)
+    // zero-delta sync: every sink file is already folded, so the
+    // sync takes the fresh.isEmpty early return — which must still
+    // pay the rebuild debt (the same hook covers a legacy sidecar)
+    val (nf, _) = CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(nf == 0, s"expected a zero-delta sync, folded $nf")
+    assert(idsByIndex(cur, "u13@x") == Set(13L))
+    val readPruned = byIndex(cur, "u13@x").inputFiles
+      .flatMap(_.split('/').find(_.startsWith("kb="))).toSet
+    assert(readPruned.size < 9,
+      s"zero-delta sync must rebuild the index: read $readPruned")
+  }
+
+  test("a legacy meta with no data pointer fails loudly at reader " +
+      "prepare — matching lookupBy, never 'zero live indexed values'") {
+    val sink = Files.createTempDirectory("graft-bi-").resolve("s").toString
+    val cur = Files.createTempDirectory("graft-bi-cur-").toString
+    append(sink, Seq((1L, "a@x", "CREATE", 1000L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    BucketIndex.attach(spark, cur, "email")
+    val metaPath = java.nio.file.Paths.get(s"$cur/_index/email/_meta.txt")
+    val kept = new java.util.ArrayList[String]()
+    java.nio.file.Files.readAllLines(metaPath).forEach(l =>
+      if (l.startsWith("nb=") || l.startsWith("bits=")) kept.add(l))
+    java.nio.file.Files.write(metaPath, kept)
+    java.nio.file.Files.deleteIfExists(
+      metaPath.getParent.resolve("._meta.txt.crc"))
+    val e1 = intercept[IllegalStateException] {
+      BucketIndex.reader(spark, cur, "email")
+    }
+    assert(e1.getMessage.contains("no published data"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] { byIndex(cur, "a@x") }
+    assert(e2.getMessage.contains("no published data"), e2.getMessage)
+  }
+
+  test("auto-sizing measures the p99 per-bucket live count, not the " +
+      "global average: a hot bucket ~10x the rest keeps ~1% fpp") {
+    val sink = Files.createTempDirectory("graft-bi-").resolve("s").toString
+    val cur = Files.createTempDirectory("graft-bi-cur-").toString
+    // 4000 uniform keys into 8 buckets, then thin every bucket but
+    // the hottest to a tenth with DELETEs: live ≈ hot 500, rest 50
+    append(sink, (1L to 4000L).map(i => (i, s"u$i@x", "CREATE", 1000L + i)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 8)
+    val byBucket = CurrentTable.read(spark, cur).select("id", "kb")
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val hot = byBucket.groupBy(_._2).view.mapValues(_.size).maxBy(_._2)._1
+    val doomed = byBucket.collect {
+      case (id, b) if b != hot && id % 10 != 0L =>
+        (id, s"u$id@x", "DELETE", 5000L + id)
+    }
+    append(sink, doomed.toSeq, dt = "2024-01-02")
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    BucketIndex.attach(spark, cur, "email")
+    // p99 (= max at 8 buckets) ≈ 500 rows → 8192 bits. The global
+    // average saw ~106 rows/bucket → 2048 bits → ~18% fpp on the hot
+    // bucket: roughly every 6th probe reading the BIGGEST bucket for
+    // nothing, exactly where probes concentrate
+    val bits = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+        s"$cur/_index/email/_meta.txt")).toArray.map(_.toString)
+      .find(_.startsWith("bits=")).get.stripPrefix("bits=").toInt
+    assert(bits == 8192, s"p99 sizing expected 8192 bits, got $bits")
+    // measured: absent-value probes include the hot bucket among the
+    // candidates at ≈ its fpp (~0.3% at 10 bits/row; ~18% under
+    // average sizing would put ~7 of 40 here)
+    import graft.ops.BucketIndex.candidateFrameFor
+    val hotHits = (1 to 40).count { i =>
+      candidateFrameFor(spark, cur, "email", Seq(s"ghost$i@x").toDF("email"))
+        .collect().map(_.getInt(0)).contains(hot)
+    }
+    assert(hotHits <= 3, s"hot-bucket candidacy $hotHits/40 — fpp degraded")
+    // probes stay exact on the skewed layout
+    assert(idsByIndex(cur, "u10@x") == Set(10L))
+    // capacityAdvice shares the statistic: a healthy-but-skewed table
+    // is silent (a stable outlier can never advise a re-attach that
+    // re-attaching would not fix)
+    assert(BucketIndex.capacityAdvice(spark, cur, "email").isEmpty)
+  }
+
+  test("capacityAdvice fires when the table outgrows the attach " +
+      "sizing, names the exact re-attach, and is silent while healthy " +
+      "or awaiting the rescale rebuild that re-measures anyway") {
+    val sink = Files.createTempDirectory("graft-bi-").resolve("s").toString
+    val cur = Files.createTempDirectory("graft-bi-cur-").toString
+    append(sink, (1L to 32L).map(i => (i, s"u$i@x", "CREATE", 1000L + i)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    BucketIndex.attach(spark, cur, "email") // ~8 rows/bucket → 1024 bits
+    assert(BucketIndex.capacityAdvice(spark, cur, "email").isEmpty,
+      "healthy at attach time")
+    // grow ~60x: ~510 rows/bucket against 1024 bits ≈ 2 bits/row —
+    // the sidecar's own nrows counts (refreshed by the sync's bloom
+    // recompute) feed the measurement, zero table reads
+    append(sink, (33L to 2032L).map(i => (i, s"u$i@x", "CREATE", 2000L + i)),
+      dt = "2024-01-02")
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    val st = BucketIndex.capacityAdvice(spark, cur, "email")
+      .getOrElse(fail("advice must fire at ~2 bits/row"))
+    assert(st.bits == 1024 && st.shards == 1 && st.bitsPerRow < 5.0, st)
+    assert(st.knownBuckets == 4, st.toString)
+    assert(st.call.contains(s"""BucketIndex.attach(spark, "$cur", "email")"""),
+      st.call)
+    assert(st.call.contains("detach"), st.call)
+    // rescale-stale: silent (the next sync's rebuild re-measures)
+    CurrentTable.rescale(spark, cur, Seq("id"), newBuckets = 8)
+    assert(BucketIndex.capacityAdvice(spark, cur, "email").isEmpty,
+      "rescale-stale must not advise a manual fix the sync applies")
+    // the zero-delta sync rebuilds AND re-measures: healthy again
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(idsByIndex(cur, "u1234@x") == Set(1234L))
+    assert(BucketIndex.capacityAdvice(spark, cur, "email").isEmpty,
+      "re-measured sizing must read healthy")
   }
 }

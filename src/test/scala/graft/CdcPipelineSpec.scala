@@ -361,6 +361,50 @@ class CdcPipelineSpec extends AnyFunSuite {
       !r.contains(""""advice"""")), records.toSeq.toString)
   }
 
+  test("index capacity advice lands in the status store when the " +
+      "table outgrows the attach sizing; a healthy index stays silent") {
+    val in = tmp(); val out = tmp(); val status = tmp()
+    // batch 1: 20 rows into 4 buckets — the auto attach sizes ~1024
+    // bits for ~5 rows/bucket
+    writeFixture(in, "00-snapshot.jsonl", (1 to 20).map(i =>
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        s""""id":{"int":$i},"name":{"string":"u$i"},"balance":null""")))
+    // fullsync cadence 1: every sync is a full walk, so the advisory
+    // (full syncs only) runs each batch
+    val cfg = CdcConfig("srcCap", registry, out.toString,
+      statusStorePath = Some(status.toString),
+      currentKeys = Map("testdb.users" -> Seq("id")),
+      currentIndexColumns = Map("testdb.users" -> Seq("name")),
+      currentBuckets = 4, currentFullsyncBatches = 1)
+    run(cfg, in)
+    def records(): Seq[String] = Files.walk(status).toArray
+      .map(_.toString).filter(_.endsWith(".json"))
+      .map(p => new String(Files.readAllBytes(Paths.get(p)), "UTF-8"))
+      .toSeq
+    assert(!records().exists(_.contains(""""advice":"reattach-index"""")),
+      "a freshly-attached index is healthy — no advice expected")
+    // batch 2 grows the table ~100x: ~505 rows/bucket against 1024
+    // bits ≈ 2 bits/row — the advisory must fire on the full sync,
+    // measured from the sidecar's own per-bucket counts
+    writeFixture(in, "01-growth.jsonl", (21 to 2020).map(i =>
+      row("CREATE", "users", 1700000100000L, "mysql-bin.000001", i,
+        s""""id":{"int":$i},"name":{"string":"u$i"},"balance":null""")))
+    run(cfg, in)
+    val advice = records()
+      .filter(_.contains(""""advice":"reattach-index""""))
+    assert(advice.nonEmpty, s"no reattach advice in: ${records()}")
+    val a = advice.head
+    assert(a.contains(""""table":"testdb.users""""), a)
+    assert(a.contains(""""column":"name""""), a)
+    assert(a.contains(""""bits":1024"""), a)
+    assert(a.contains("""BucketIndex.detach(spark, """), a)
+    assert(a.contains("""BucketIndex.attach(spark, """), a)
+    assert(a.contains("""\"name\")"""), a)
+    // plain status records still present beside it
+    assert(records().exists(r => r.contains(""""record_count":""") &&
+      !r.contains(""""advice"""")), records().toString)
+  }
+
   test("sink.current.order.by flows config -> pipeline -> sorted " +
       "bucket files in the maintained current table") {
     val in = tmp(); val out = tmp()

@@ -1253,10 +1253,21 @@ class CurrentTableSpec extends AnyFunSuite {
     // prune drops the tombstone rows physically; still no resurrection
     assert(CurrentTable.pruneTombstones(spark, cur, 2001L) == 1L)
     assert(probe(5L).isEmpty)
-    // an oversized probe falls back to the full-scan semi-join
-    assert(r.lookup((1L to 4L).toDF("id"), maxDriverKeys = 2)
-      .select("id").collect().map(_.getLong(0)).toSet
+    // an oversized probe falls back to the full-scan semi-join —
+    // built from the prep's CACHED listing and schema (CurrentTable
+    // .read here would re-pay the orphan check, the full bucket
+    // listing and a footer-open schema inference per probe): its
+    // scan reads exactly the live bucket dirs
+    val fb = r.lookup((1L to 4L).toDF("id"), maxDriverKeys = 2)
+    assert(fb.select("id").collect().map(_.getLong(0)).toSet
       == Set(1L, 2L, 3L, 4L))
+    assert(fb.inputFiles.nonEmpty && fb.inputFiles.forall(_.contains("/kb=")),
+      "bucket files only")
+    assert(fb.inputFiles
+      .flatMap(_.split('/').find(_.startsWith("kb="))).toSet.size
+      == new java.io.File(cur).listFiles()
+        .count(f => f.getName.startsWith("kb=") && f.listFiles().nonEmpty),
+      "full scan over the cached listing expected")
     // a crashed swap (never reached its root write) fails LOUDLY
     // instead of serving a partial table; heal restores service with
     // no re-prepare needed (the layout is back to what the signature

@@ -284,6 +284,34 @@ class GraftApiSpec extends AnyFunSuite {
       "a view from a failed call must still be sweepable")
   }
 
+  test("a base table whose directory vanished is swept on the next " +
+      "register — TABLE_NOT_FOUND, not a stale file snapshot failing " +
+      "at scan time") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-api-gone-").toString
+    for (t <- Seq("keep", "gone"))
+      spark.range(10).select(col("id"), lit("2024-01-01").as("dt"))
+        .write.mode("overwrite").partitionBy("dt")
+        .parquet(s"$root/lake3_db__$t")
+    assert(Graft.registerSinkTables(spark, root, "lake3")
+      == Seq("db__gone", "db__keep"))
+    assert(spark.sql("SELECT count(*) FROM db__gone").collect()
+      .head.getLong(0) == 10L)
+    // the table's directory is DELETED outside the session (not
+    // refused — simply absent from the next listing)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(s"$root/lake3_db__gone"))
+    assert(Graft.registerSinkTables(spark, root, "lake3")
+      == Seq("db__keep"))
+    assert(!spark.catalog.tableExists("db__gone"),
+      "a vanished base table's view must be swept with the rest")
+    assert(spark.sql("SELECT count(*) FROM db__keep").collect()
+      .head.getLong(0) == 10L)
+  }
+
   test("registerSinkTables exposes the lake to plain SQL, zone-mapped " +
       "tables through the planner path, bookkeeping excluded") {
     val root = java.nio.file.Files

@@ -66,7 +66,12 @@ class KmvSketchSpec extends AnyFunSuite {
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("built with a larger k")),
       messages(e).mkString(" | "))
-    // a SMALLER stored sketch is legal (an exact small set)
+    // a SMALLER stored sketch is legal (an exact small set) — which
+    // is exactly why the guard is ONE-directional: a state built with
+    // k=8 merged under k=16 looks like this legal case (the 8th-16th
+    // minimums simply were never stored) and silently underestimates;
+    // only the over-k direction is structurally detectable. Changing
+    // k means rebuilding the states (detach/re-attach a rollup).
     val ok = states.agg(
       KmvSketch.kmvMergeEstimate(spark, col("s"), 32).as("d"))
       .collect()(0).getDouble(0)
