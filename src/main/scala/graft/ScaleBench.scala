@@ -1066,6 +1066,94 @@ object ScaleBench {
       "probe: cost would track the bytes)")
   }
 
+  /** `runMain graft.ScaleBench indexskew [keysM] [work]` — the
+    * skew-sizing claim: auto-sizing designs for the p99 per-bucket
+    * live count, so the HOT bucket of a key-skewed table keeps ~1%
+    * fpp where the global-average rule degrades it toward coin-flip
+    * candidacy — on exactly the bucket most probes light up. Measured
+    * A/B through the public API: the average-sized variant attaches
+    * with `numBits` forced to what the r14 rule would have picked,
+    * the p99 variant is the plain auto attach; both probe the same
+    * absent values and count how often the hot bucket enters the
+    * candidate set (every hit = reading the biggest bucket for
+    * nothing). Skew fixture: `keysM` million uniform keys into 64
+    * buckets, then every bucket but the hottest thinned to a tenth
+    * with DELETEs — built distributedly (the doomed-id frame never
+    * touches the driver).
+    */
+  private def indexSkewExperiment(spark: SparkSession, work: String,
+      keysM: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val keys = keysM * 1000000L
+    val sink = s"$work/ixs_sink"
+    val cur = s"$work/ixs_cur"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(sink))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(cur))
+    def envelope(df: org.apache.spark.sql.DataFrame, op: String,
+        tsBase: Long, dt: String) =
+      df.select(col("id"),
+        concat(lit("u"), col("id"), lit("@example.com")).as("email"),
+        lit(op).as("_op"), (lit(tsBase) + col("id")).as("_ts"),
+        lit("f1").as("_binlog_file_internal"),
+        col("id").as("_binlog_pos_internal"), lit(dt).as("dt"))
+    envelope(spark.range(keys).toDF, "CREATE", 1000L, "2024-01-01")
+      .write.mode("append").partitionBy("dt").parquet(sink)
+    graft.streaming.CurrentTable.sync(spark, sink, cur, Seq("id"),
+      buckets = 64)
+    val live0 = graft.streaming.CurrentTable.read(spark, cur)
+    val hot = live0.groupBy("kb").count()
+      .orderBy(desc("count")).limit(1).collect()(0).getInt(0)
+    envelope(live0.filter(col("kb") =!= hot &&
+        pmod(col("id"), lit(10)) =!= 0).select("id"),
+      "DELETE", 500000000L, "2024-01-02")
+      .write.mode("append").partitionBy("dt").parquet(sink)
+    graft.streaming.CurrentTable.sync(spark, sink, cur, Seq("id"))
+    val counts = graft.streaming.CurrentTable.read(spark, cur)
+      .groupBy("kb").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val hotRows = counts(hot)
+    val avgRows = counts.values.sum / 64
+    def pow2(want: Long): Int = {
+      val p = Integer.highestOneBit(want.toInt)
+      if (p >= want) p else p << 1
+    }
+    def bitsOf(): Int = scala.io.Source
+      .fromFile(s"$cur/_index/email/_meta.txt").getLines()
+      .find(_.startsWith("bits=")).get.stripPrefix("bits=").toInt
+    val nProbes = 40
+    def measure(label: String, tAttach: Double): Unit = {
+      var hotHits = 0
+      var cand = 0L
+      for (i <- 1 to nProbes) {
+        val c = graft.ops.BucketIndex.candidateFrameFor(spark, cur,
+            "email", Seq(s"ghost$i@example.com").toDF("email"))
+          .collect().map(_.getInt(0)).distinct
+        cand += c.length
+        if (c.contains(hot)) hotHits += 1
+      }
+      println(f"[scale] indexskew $label: ${bitsOf()} bits/shard, " +
+        f"attach ${tAttach}%5.1fs -> hot-bucket candidacy " +
+        f"$hotHits/$nProbes absent probes, " +
+        f"${cand.toDouble / nProbes}%5.2f candidate buckets/probe " +
+        f"(hot $hotRows rows, avg $avgRows)")
+    }
+    // A: the r14 global-average rule, forced through the public knob
+    // (capped at the per-shard bound exactly as single-shard auto was)
+    val avgBits = math.min(graft.ops.BucketIndex.MaxShardBits,
+      pow2(math.max(1024L, avgRows * 10L)))
+    val tAvg = time(graft.ops.BucketIndex.attach(spark, cur, "email",
+      numBits = avgBits))
+    measure("avg-sized", tAvg)
+    graft.ops.BucketIndex.detach(spark, cur, "email")
+    // B: the p99 auto sizing
+    val tAuto = time(graft.ops.BucketIndex.attach(spark, cur, "email"))
+    measure("p99-sized", tAuto)
+  }
+
   /** `runMain graft.ScaleBench evolvedreader [keysK] [work]` — the
     * cross-fork serving claim: `lookupEvolved` re-pays PER FORK and
     * PER CALL the fixed driver costs (orphan/marker checks, root
@@ -1737,6 +1825,14 @@ object ScaleBench {
       indexBigExperiment(spark,
         args.lift(2).getOrElse("/tmp/graft-scale"),
         args.lift(1).map(_.toInt).getOrElse(96))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("indexskew")) {
+      val spark = buildSession()
+      indexSkewExperiment(spark,
+        args.lift(2).getOrElse("/tmp/graft-scale"),
+        args.lift(1).map(_.toInt).getOrElse(8))
       spark.stop()
       return
     }

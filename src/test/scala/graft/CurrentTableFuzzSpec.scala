@@ -89,6 +89,34 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
           s"seed $seed step $step: index READER diverged on '$p'")
       }
     }
+    // sidecar-disk invariants, at any point in any schedule:
+    // (1) every manifest pointer resolves to a non-empty grp= dir —
+    //     the (dir, grp)-granular GC may never delete a referenced
+    //     pair (that is reader-visible data loss);
+    // (2) disk holds at most current + immediately-previous
+    //     generations of group dirs (≤ 2 × groups) — the unbounded
+    //     dead-pair accumulation whole-dir GC allowed may not return,
+    //     however many publishes a schedule chains between asserts
+    val ixDir = new java.io.File(s"$cur/_index/name")
+    val metaLines = scala.io.Source
+      .fromFile(s"$cur/_index/name/_meta.txt").getLines().toVector
+    val groupCount = metaLines.find(_.startsWith("groups="))
+      .get.stripPrefix("groups=").toInt
+    val pointers = metaLines.filter(_.matches("g\\d+=.*"))
+      .map { l => val Array(g, d) = l.split("=", 2); (g.drop(1), d) }
+    for ((g, d) <- pointers) {
+      val gd = new java.io.File(ixDir, s"$d/grp=$g")
+      assert(gd.isDirectory &&
+        gd.listFiles().exists(_.getName.endsWith(".parquet")),
+        s"seed $seed step $step: dangling index pointer g$g=$d")
+    }
+    val onDiskPairs = Option(ixDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("d_"))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .count(c => c.isDirectory && c.getName.startsWith("grp="))
+    assert(onDiskPairs <= 2 * groupCount,
+      s"seed $seed step $step: $onDiskPairs on-disk group dirs for " +
+        s"$groupCount groups — dead pairs leaking")
   }
 
   test("random changelogs under random maintenance schedules always " +
