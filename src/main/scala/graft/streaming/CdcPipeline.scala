@@ -809,9 +809,12 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
             // reattach record beside the status records (the
             // BucketIndex runbook's "re-attach when rows/bucket has
             // grown well past the sizing", measured instead of manual)
+            // every ATTACHED index is measured — the config's columns
+            // plus any an operator attached by hand on this table
+            // (BucketIndex.list is one small dir listing per full sync)
             if (scope.isEmpty)
-              for (cols <- config.currentIndexColumns.get(key).toSeq;
-                  c <- cols;
+              for (c <- graft.ops.BucketIndex.list(spark,
+                    s"${dir}__current");
                   st <- graft.ops.BucketIndex.capacityAdvice(spark,
                     s"${dir}__current", c)) {
                 org.slf4j.LoggerFactory.getLogger(getClass).warn(
