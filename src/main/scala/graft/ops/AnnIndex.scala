@@ -298,4 +298,63 @@ object AnnIndex {
     fs.delete(trash, true)
     writeEmptyTombstones(spark, dir)
   }
+
+  /** Posting-layout health, for operators deciding WHEN to retrain —
+    * the IVF analog of [[graft.streaming.CurrentTable.layoutStats]]:
+    * the codebook is FROZEN at build time, so a corpus that grew N×
+    * scans ~N× more candidates per probed partition (probe cost ∝
+    * nprobe × rows/centroid) and nothing resizes by itself. Counts
+    * RAW posting rows per centroid — appended generations and their
+    * tombstone-superseded rows included — because that is the scan
+    * cost a probe actually pays as laid out; run [[compact]] first if
+    * generations have piled up, and re-measure (advice that a compact
+    * would have cleared is not a retrain signal). One column-pruned
+    * pass over the postings (`cid` only) plus a codebook count —
+    * maintenance cadence, not per query. `p99Rows` is the p99-by-rank
+    * per-centroid count (= max below 100 centroids), the same
+    * skew-aware statistic the bloom-index sizing uses.
+    */
+  case class LoadStats(centroids: Int, postingRows: Long,
+      meanRows: Double, p99Rows: Long, maxRows: Long)
+
+  def loadStats(spark: SparkSession, dir: String): LoadStats = {
+    val perCid = spark.read.parquet(postingsDir(dir))
+      .groupBy("cid").count()
+      .collect().map(_.getLong(1)).sorted
+    val k = spark.read.parquet(centroidsDir(dir)).count().toInt
+    val total = perCid.sum
+    LoadStats(k, total, total.toDouble / math.max(1, k),
+      if (perCid.isEmpty) 0L
+      else perCid(math.max(0, math.ceil(perCid.length * 0.99).toInt - 1)),
+      if (perCid.isEmpty) 0L else perCid.last)
+  }
+
+  /** Pure retrain decision over [[loadStats]] — the
+    * [[graft.streaming.CurrentTable.rescaleAdvice]] analog:
+    * Some(recommendedK) when the p99 partition holds ≥2× the target
+    * rows (grow — or REBALANCE: unlike re-hashing a hot key, which a
+    * rescale cannot spread, retraining k-means DOES split dense
+    * regions, so skew is a reason to retrain, never an exclusion) or
+    * when the corpus shrank to ≤half the centroids' worth (tiny
+    * posting lists pay per-partition task overhead for nothing);
+    * None inside the band. The recommendation is corpus/target,
+    * floored at the current k in the grow case — a recommendation
+    * EQUAL to the current k means "retrain at the same k to
+    * rebalance", which is meaningful for k-means where it would be a
+    * no-op for a hash modulus. The 2× hysteresis keeps a corpus near
+    * a boundary from flapping advice delta over delta. Act with
+    * [[trainCodebook]] + [[build]] into a fresh dir and swap readers.
+    */
+  def retrainAdvice(stats: LoadStats,
+      targetRowsPerCentroid: Long): Option[Int] = {
+    require(targetRowsPerCentroid > 0,
+      s"targetRowsPerCentroid must be positive, got $targetRowsPerCentroid")
+    if (stats.postingRows == 0L || stats.centroids == 0) return None
+    val ideal = math.min(1L << 20, math.max(1L,
+      math.round(stats.postingRows.toDouble / targetRowsPerCentroid)))
+    if (stats.p99Rows >= 2 * targetRowsPerCentroid)
+      Some(math.max(ideal, stats.centroids.toLong).toInt)
+    else if (ideal * 2 <= stats.centroids) Some(ideal.toInt)
+    else None
+  }
 }

@@ -196,6 +196,47 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(en == brute, s"got $en want $brute")
   }
 
+  test("loadStats measures the posting layout and retrainAdvice fires " +
+      "on growth/skew, recommends fewer centroids on shrink, and is " +
+      "silent in the band") {
+    val dir = Files.createTempDirectory("graft-ann-load-").toString
+    val cb = AnnIndex.seedCentroids(spark, vecs(base: _*), 2)
+    AnnIndex.build(spark, vecs(base: _*), cb, dir)
+    val st0 = AnnIndex.loadStats(spark, dir)
+    assert(st0.centroids == 2 && st0.postingRows == 6L)
+    // two occupied cells (the exact split depends on the seeds);
+    // p99 over 2 cells is the max
+    assert(st0.p99Rows == st0.maxRows && st0.maxRows <= 4L, st0.toString)
+    // ~3 rows/centroid against a target of 4: inside the band
+    assert(AnnIndex.retrainAdvice(st0, 4).isEmpty)
+    // the corpus grows 10x INTO THE X CLUSTER (growth + skew): the
+    // p99 partition trips the 2x band; the recommendation covers the
+    // corpus at the target and never shrinks below the current k
+    val grown = (100L until 160L)
+      .map(i => i -> Seq(1.0, i / 1000.0, 0.0, 0.0))
+    AnnIndex.applyDelta(spark, dir, vecs(grown: _*), vecs())
+    val st1 = AnnIndex.loadStats(spark, dir)
+    assert(st1.postingRows == 66L && st1.p99Rows >= 62L, st1.toString)
+    assert(AnnIndex.retrainAdvice(st1, 4) == Some(17),
+      "66 rows / 4-per-centroid target -> retrain at ~17 centroids")
+    // skew alone (p99 over the band, corpus/target ≈ current k): the
+    // advice is "retrain AT the current k to rebalance" — k-means
+    // splits a dense region where re-hashing a hot key could not
+    // (p99 63 ≥ 2×30; 66 rows / 30-per-centroid rounds to k=2)
+    assert(AnnIndex.retrainAdvice(st1, 30) == Some(2), st1.toString)
+    // shrink: a huge target means half the centroids would do
+    assert(AnnIndex.retrainAdvice(st1, 1000) == Some(1))
+    // raw postings measure SCAN cost: superseded generations count
+    // until compact collapses them — the runbook's compact-first rule
+    AnnIndex.applyDelta(spark, dir,
+      vecs((100L until 160L).map(i =>
+        i -> Seq(1.0, i / 1000.0, 0.0, 0.0)): _*), vecs())
+    assert(AnnIndex.loadStats(spark, dir).postingRows == 126L)
+    AnnIndex.compact(spark, dir)
+    assert(AnnIndex.loadStats(spark, dir).postingRows == 66L)
+    require(AnnIndex.retrainAdvice(st0, 4).isEmpty) // stats are pure
+  }
+
   test("search plan broadcasts queries/probes and never goes cartesian") {
     val dir = Files.createTempDirectory("graft-ann-").toString
     AnnIndex.build(spark, vecs(base: _*),
