@@ -957,8 +957,66 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         org.slf4j.LoggerFactory.getLogger(getClass).info(
           s"[${config.name}] auto-compact $key " +
             s"dt=[${fragmented.mkString(",")}]: $b -> $a file(s)")
+        // machine-readable twin of Compaction's grid-saturation warn
+        // (the rescale / reattach-index advice pattern): a compacted
+        // file can outgrow the manifest's original bloom grid size,
+        // and past ~50% fill the grids stop skipping while still
+        // costing manifest bytes. The record names the exact rebuild,
+        // bits sized ~10× the compactor's own rows-per-file — which
+        // sticks, because a refresh always appends grids at the
+        // stored size.
+        val manifest = s"$dir._zonemaps"
+        if (config.statusStorePath.isDefined &&
+            fs.exists(new org.apache.hadoop.fs.Path(manifest)))
+          for (c <- graft.ops.ZoneMaps.bloomColumns(spark, manifest)) {
+            val fill = graft.ops.ZoneMaps.bloomFillRatio(spark,
+              manifest, c)
+            if (fill > 0.5)
+              config.statusStorePath.foreach(
+                writeZonemapAdviceFile(_, key, dir, c, fill))
+          }
       }
     }
+  }
+
+  /** Rebuild-advisory record for a zone-map bloom grid saturated by
+    * compaction — same store, dt-layout and consumer contract as the
+    * rescale / reattach-index advice but `"advice":"rebuild-zonemaps"`.
+    * Written when a just-compacted manifest's grid runs > 50% full
+    * (point lookups stop skipping); carries the measured fill and the
+    * exact `ZoneMaps.build` call with `bloomBits` ≈ 10 bits per row
+    * of the compactor's rows-per-file target.
+    */
+  private def writeZonemapAdviceFile(root: String, tableKey: String,
+      tableDir: String, column: String, fill: Double): Unit = {
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    val bits = {
+      val want = math.min(1L << 26,
+        math.max(4096L, 10L * config.compactRowsPerFile))
+      val p = Integer.highestOneBit(want.toInt)
+      if (p >= want) p else p << 1
+    }
+    val cols =
+      if (config.zonemapColumns.nonEmpty)
+        config.zonemapColumns.map(c => s"\\\"$c\\\"").mkString(", ")
+      else "<stat columns>"
+    val bloomCols =
+      if (config.zonemapBloomColumns.nonEmpty)
+        config.zonemapBloomColumns.map(c => s"\\\"$c\\\"").mkString(", ")
+      else s"""\\\"$column\\\""""
+    val call = s"ZoneMaps.build(spark, \\\"$tableDir\\\", " +
+      s"\\\"$tableDir._zonemaps\\\", Seq($cols), Seq($bloomCols), " +
+      s"bloomBits = $bits)"
+    val fillStr = String.format(java.util.Locale.ROOT, "%.2f",
+      Double.box(fill))
+    val json = s"""{"job_id":"${config.sourceId}",""" +
+      s""""job_name":"${config.name}","advice":"rebuild-zonemaps",""" +
+      s""""table":"$tableKey","manifest":"$tableDir._zonemaps",""" +
+      s""""column":"$column","fill":$fillStr,""" +
+      s""""rows_per_file":${config.compactRowsPerFile},""" +
+      s""""call":"$call",""" +
+      s""""timestamp":${System.currentTimeMillis()}}"""
+    hWrite(s"$root/dt=$today/${java.util.UUID.randomUUID()}.json", json)
   }
 
   /** K2 single-file overwrite sink

@@ -405,6 +405,42 @@ class CdcPipelineSpec extends AnyFunSuite {
       !r.contains(""""advice"""")), records().toString)
   }
 
+  test("zone-map grid saturation after auto-compaction lands in the " +
+      "status store naming the exact rebuild with re-sized grids") {
+    val in = tmp(); val out = tmp(); val status = tmp()
+    // 4096-bit default grids saturate past ~700 distinct keys per
+    // file (K=4): three 400-row batches compact into one 1200-row
+    // file at ~0.69 fill — past the 0.5 advisory band
+    val cfg = CdcConfig("srcZm", registry, out.toString,
+      statusStorePath = Some(status.toString),
+      zonemapColumns = Seq("name"), zonemapBloomColumns = Seq("name"),
+      compactAfterFiles = 2)
+    for (b <- 0 until 3) {
+      writeFixture(in, f"0$b-batch.jsonl", (b * 400 until (b + 1) * 400)
+        .map(i => row("CREATE", "users", 1700000000000L + i,
+          "mysql-bin.000001", i,
+          s""""id":{"int":$i},"name":{"string":"u$i"},"balance":null""")))
+      run(cfg, in)
+    }
+    val records = Files.walk(status).toArray.map(_.toString)
+      .filter(_.endsWith(".json"))
+      .map(p => new String(Files.readAllBytes(Paths.get(p)), "UTF-8"))
+    val advice = records
+      .filter(_.contains(""""advice":"rebuild-zonemaps""""))
+    assert(advice.nonEmpty, s"no rebuild advice in: ${records.toSeq}")
+    val a = advice.head
+    assert(a.contains(""""table":"testdb.users""""), a)
+    assert(a.contains(""""column":"name""""), a)
+    // ~10 bits per row of the compactor's rows-per-file (default 1M)
+    assert(a.contains("bloomBits = 16777216"), a)
+    assert(a.contains("""ZoneMaps.build(spark, """), a)
+    assert(a.contains("""\"name\")""") || a.contains("""\"name\"),"""), a)
+    // the measured fill is a JSON number past the band
+    val fill = """"fill":([0-9.]+)""".r.findFirstMatchIn(a)
+      .get.group(1).toDouble
+    assert(fill > 0.5, a)
+  }
+
   test("sink.current.order.by flows config -> pipeline -> sorted " +
       "bucket files in the maintained current table") {
     val in = tmp(); val out = tmp()
