@@ -1117,10 +1117,6 @@ object ScaleBench {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val hotRows = counts(hot)
     val avgRows = counts.values.sum / 64
-    def pow2(want: Long): Int = {
-      val p = Integer.highestOneBit(want.toInt)
-      if (p >= want) p else p << 1
-    }
     def bitsOf(): Int = scala.io.Source
       .fromFile(s"$cur/_index/email/_meta.txt").getLines()
       .find(_.startsWith("bits=")).get.stripPrefix("bits=").toInt
@@ -1141,10 +1137,10 @@ object ScaleBench {
         f"${cand.toDouble / nProbes}%5.2f candidate buckets/probe " +
         f"(hot $hotRows rows, avg $avgRows)")
     }
-    // A: the r14 global-average rule, forced through the public knob
-    // (capped at the per-shard bound exactly as single-shard auto was)
-    val avgBits = math.min(graft.ops.BucketIndex.MaxShardBits,
-      pow2(math.max(1024L, avgRows * 10L)))
+    // A: the r14 global-average rule, forced through the public knob —
+    // autoSize ITSELF fed the average instead of the p99, so the A/B
+    // can never drift from the real sizing arithmetic
+    val avgBits = graft.ops.BucketIndex.autoSize(avgRows)._1
     val tAvg = time(graft.ops.BucketIndex.attach(spark, cur, "email",
       numBits = avgBits))
     measure("avg-sized", tAvg)

@@ -318,9 +318,19 @@ object AnnIndex {
       meanRows: Double, p99Rows: Long, maxRows: Long)
 
   def loadStats(spark: SparkSession, dir: String): LoadStats = {
-    val perCid = spark.read.parquet(postingsDir(dir))
-      .groupBy("cid").count()
-      .collect().map(_.getLong(1)).sorted
+    // a fully-deleted-then-compacted corpus (or a build over an empty
+    // frame) leaves a postings dir with no cid= partitions at all —
+    // exactly the shrunken state the advisory exists to measure, so
+    // it must read as zero rows, not crash schema inference
+    val pfs = new Path(postingsDir(dir))
+    val fs = pfs.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData = fs.exists(pfs) && fs.listStatus(pfs)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+    val perCid =
+      if (!hasData) Array.empty[Long]
+      else spark.read.parquet(postingsDir(dir))
+        .groupBy("cid").count()
+        .collect().map(_.getLong(1)).sorted
     val k = spark.read.parquet(centroidsDir(dir)).count().toInt
     val total = perCid.sum
     LoadStats(k, total, total.toDouble / math.max(1, k),
@@ -350,11 +360,15 @@ object AnnIndex {
     require(targetRowsPerCentroid > 0,
       s"targetRowsPerCentroid must be positive, got $targetRowsPerCentroid")
     if (stats.postingRows == 0L || stats.centroids == 0) return None
-    val ideal = math.min(1L << 20, math.max(1L,
-      math.round(stats.postingRows.toDouble / targetRowsPerCentroid)))
+    val ideal = math.max(1L,
+      math.round(stats.postingRows.toDouble / targetRowsPerCentroid))
+    // the 2^20 cap applies to the RETURNED recommendation only — a
+    // capped ideal in the band decisions would let a corpus too big
+    // for its current k pass the shrink test and be advised DOWN
+    def cap(k: Long): Int = math.min(1L << 20, k).toInt
     if (stats.p99Rows >= 2 * targetRowsPerCentroid)
-      Some(math.max(ideal, stats.centroids.toLong).toInt)
-    else if (ideal * 2 <= stats.centroids) Some(ideal.toInt)
+      Some(cap(math.max(ideal, stats.centroids.toLong)))
+    else if (ideal * 2 <= stats.centroids) Some(cap(ideal))
     else None
   }
 }

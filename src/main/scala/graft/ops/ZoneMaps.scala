@@ -196,6 +196,46 @@ object ZoneMaps {
     * build; past ~0.5, rebuild with bigger grids or fewer rows per
     * file. (False-positive rate ≈ fill⁴.)
     */
+  /** The fill ratio past which a grid has effectively stopped
+    * skipping — Compaction's warn and the pipeline's
+    * `rebuild-zonemaps` advice record share this one constant so the
+    * two surfaces can never drift apart.
+    */
+  val SaturationBand: Double = 0.5
+
+  /** [[bloomFillRatio]] for EVERY bloom column in one manifest scan —
+    * `(column, fill)` pairs. The per-column form scans the manifest
+    * once per column; maintenance passes that audit all grids after
+    * a rewrite use this instead.
+    */
+  def gridHealth(spark: SparkSession,
+      manifestDir: String): Seq[(String, Double)] = {
+    restorePatchIfInterrupted(spark, manifestDir)
+    val m = spark.read.parquet(manifestDir)
+    val bcs = bloomColumnsOf(m)
+    if (bcs.isEmpty) Nil
+    else {
+      val aggs = bcs.map(c => avg(
+        expr(s"aggregate(transform(${c}_bloom, x -> bit_count(x)), " +
+          "0, (a, b) -> a + b)") /
+          (size(col(s"${c}_bloom")) * lit(64.0))).as(c))
+      val r = m.agg(aggs.head, aggs.tail: _*).head()
+      bcs.zipWithIndex.map { case (c, i) =>
+        c -> (if (r.isNullAt(i)) 0.0 else r.getDouble(i)) }
+    }
+  }
+
+  /** The manifest's min/max stat columns (by `_min` suffix) — with
+    * [[bloomColumns]], enough to reconstruct the exact [[build]]
+    * call from the manifest alone (the manifest self-describes; a
+    * caller's global config may cover other tables' columns).
+    */
+  def statColumns(spark: SparkSession, manifestDir: String): Seq[String] = {
+    restorePatchIfInterrupted(spark, manifestDir)
+    spark.read.parquet(manifestDir).columns
+      .filter(_.endsWith("_min")).map(_.stripSuffix("_min")).toSeq
+  }
+
   def bloomFillRatio(spark: SparkSession, manifestDir: String,
       column: String): Double = {
     restorePatchIfInterrupted(spark, manifestDir)

@@ -960,21 +960,27 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         // machine-readable twin of Compaction's grid-saturation warn
         // (the rescale / reattach-index advice pattern): a compacted
         // file can outgrow the manifest's original bloom grid size,
-        // and past ~50% fill the grids stop skipping while still
-        // costing manifest bytes. The record names the exact rebuild,
-        // bits sized ~10× the compactor's own rows-per-file — which
-        // sticks, because a refresh always appends grids at the
-        // stored size.
+        // and past the shared saturation band the grids stop skipping
+        // while still costing manifest bytes. The record names the
+        // exact rebuild, bits sized ~10× the compactor's own
+        // rows-per-file — which sticks, because a refresh always
+        // appends grids at the stored size. One health scan covers
+        // every bloom column; the call's columns come from the
+        // MANIFEST (it self-describes), never from the global config,
+        // whose list may cover other tables' columns.
         val manifest = s"$dir._zonemaps"
-        if (config.statusStorePath.isDefined &&
-            fs.exists(new org.apache.hadoop.fs.Path(manifest)))
-          for (c <- graft.ops.ZoneMaps.bloomColumns(spark, manifest)) {
-            val fill = graft.ops.ZoneMaps.bloomFillRatio(spark,
-              manifest, c)
-            if (fill > 0.5)
-              config.statusStorePath.foreach(
-                writeZonemapAdviceFile(_, key, dir, c, fill))
+        for (store <- config.statusStorePath
+            if fs.exists(new org.apache.hadoop.fs.Path(manifest))) {
+          val health = graft.ops.ZoneMaps.gridHealth(spark, manifest)
+          val saturated = health.filter(
+            _._2 > graft.ops.ZoneMaps.SaturationBand)
+          if (saturated.nonEmpty) {
+            val statCols = graft.ops.ZoneMaps.statColumns(spark, manifest)
+            for ((c, fill) <- saturated)
+              writeZonemapAdviceFile(store, key, dir, c, fill,
+                statCols, health.map(_._1))
           }
+        }
       }
     }
   }
@@ -988,7 +994,8 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     * of the compactor's rows-per-file target.
     */
   private def writeZonemapAdviceFile(root: String, tableKey: String,
-      tableDir: String, column: String, fill: Double): Unit = {
+      tableDir: String, column: String, fill: Double,
+      statColumns: Seq[String], bloomColumns: Seq[String]): Unit = {
     val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
     val bits = {
       val want = math.min(1L << 26,
@@ -996,14 +1003,8 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       val p = Integer.highestOneBit(want.toInt)
       if (p >= want) p else p << 1
     }
-    val cols =
-      if (config.zonemapColumns.nonEmpty)
-        config.zonemapColumns.map(c => s"\\\"$c\\\"").mkString(", ")
-      else "<stat columns>"
-    val bloomCols =
-      if (config.zonemapBloomColumns.nonEmpty)
-        config.zonemapBloomColumns.map(c => s"\\\"$c\\\"").mkString(", ")
-      else s"""\\\"$column\\\""""
+    val cols = statColumns.map(c => s"\\\"$c\\\"").mkString(", ")
+    val bloomCols = bloomColumns.map(c => s"\\\"$c\\\"").mkString(", ")
     val call = s"ZoneMaps.build(spark, \\\"$tableDir\\\", " +
       s"\\\"$tableDir._zonemaps\\\", Seq($cols), Seq($bloomCols), " +
       s"bloomBits = $bits)"

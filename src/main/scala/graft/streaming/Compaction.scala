@@ -161,16 +161,14 @@ object Compaction {
       // prunes NOTHING while still costing manifest bytes. Surface it
       // with the documented gauge instead of failing a maintenance
       // step over an advisory index.
-      for (c <- graft.ops.ZoneMaps.bloomColumns(spark, manifest)) {
-        val fill = graft.ops.ZoneMaps.bloomFillRatio(spark, manifest, c)
-        if (fill > 0.5)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            f"compactPartitions: bloom grid for '$c' in $manifest is " +
-              f"$fill%.2f full after the rewrite — point lookups will " +
-              "stop skipping; rebuild with bigger grids " +
-              "(ZoneMaps.build bloomBits ≈ 10× rows-per-file) or a " +
-              "smaller sink.compact.rows.per.file")
-      }
+      for ((c, fill) <- graft.ops.ZoneMaps.gridHealth(spark, manifest)
+          if fill > graft.ops.ZoneMaps.SaturationBand)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          f"compactPartitions: bloom grid for '$c' in $manifest is " +
+            f"$fill%.2f full after the rewrite — point lookups will " +
+            "stop skipping; rebuild with bigger grids " +
+            "(ZoneMaps.build bloomBits ≈ 10× rows-per-file) or a " +
+            "smaller sink.compact.rows.per.file")
     }
     (before, after)
   }

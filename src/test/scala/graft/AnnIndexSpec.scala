@@ -235,6 +235,24 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndex.compact(spark, dir)
     assert(AnnIndex.loadStats(spark, dir).postingRows == 66L)
     require(AnnIndex.retrainAdvice(st0, 4).isEmpty) // stats are pure
+    // the 2^20 cap applies at RETURN, never in the band decision: a
+    // corpus too big for its current k (ideal 5M > k=3M, evenly
+    // loaded) is in band — a capped ideal would pass the shrink test
+    // and advise DOWN a corpus that needs to grow
+    val big = AnnIndex.LoadStats(3000000, 50000000L, 16.7, 17L, 20L)
+    assert(AnnIndex.retrainAdvice(big, 10).isEmpty, big.toString)
+    val huge = AnnIndex.LoadStats(4, 100000000L, 2.5e7, 25000000L,
+      25000000L)
+    assert(AnnIndex.retrainAdvice(huge, 10) == Some(1 << 20))
+    // delete EVERYTHING then compact — the shrunken-corpus state the
+    // advisory exists to measure must read as zero rows, not crash
+    // schema inference on a partition-less postings dir
+    AnnIndex.applyDelta(spark, dir, vecs(),
+      AnnIndex.live(spark, dir).select("vec_id"))
+    AnnIndex.compact(spark, dir)
+    val stEmpty = AnnIndex.loadStats(spark, dir)
+    assert(stEmpty.postingRows == 0L && stEmpty.maxRows == 0L)
+    assert(AnnIndex.retrainAdvice(stEmpty, 4).isEmpty)
   }
 
   test("search plan broadcasts queries/probes and never goes cartesian") {
