@@ -333,9 +333,9 @@ object AnnIndex {
         .collect().map(_.getLong(1)).sorted
     val k = spark.read.parquet(centroidsDir(dir)).count().toInt
     val total = perCid.sum
+    // LITERALLY the bloom-index sizing statistic, not a re-derivation
     LoadStats(k, total, total.toDouble / math.max(1, k),
-      if (perCid.isEmpty) 0L
-      else perCid(math.max(0, math.ceil(perCid.length * 0.99).toInt - 1)),
+      BucketIndex.sizingRows(perCid.toIndexedSeq),
       if (perCid.isEmpty) 0L else perCid.last)
   }
 

@@ -324,11 +324,12 @@ object BucketIndex {
       // PointerDir contract); everything older is dead.
       val keepPairs: Set[(String, Int)] = prevPairs ++
         pointers.iterator.map { case (g, d) => (d, g) }
+      val keepDirs: Set[String] = keepPairs.map(_._1)
       for (st <- fs.listStatus(new Path(dir))
           if st.isDirectory && st.getPath.getName.startsWith("d_")) {
         val name = st.getPath.getName
         if (!legacyKeep(name)) {
-          if (!keepPairs.exists(_._1 == name))
+          if (!keepDirs(name))
             // no group references any of the dir's bytes (includes a
             // just-written dir whose every group produced zero rows)
             fs.delete(st.getPath, true)

@@ -38,6 +38,13 @@ class BucketIndexSpec extends AnyFunSuite {
   private def idsByIndex(cur: String, email: String): Set[Long] =
     byIndex(cur, email).select("id").collect().map(_.getLong(0)).toSet
 
+  /** The sidecar manifest's group pointers, `"g<N>" -> dirName`. */
+  private def pointersOf(cur: String): Map[String, String] =
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+        s"$cur/_index/email/_meta.txt")).toArray.map(_.toString)
+      .filter(l => l.matches("g\\d+=.*"))
+      .map { l => val Array(g, d) = l.split("=", 2); g -> d }.toMap
+
   test("lookupBy equals the exact filter, reads fewer buckets, and " +
       "syncs keep the index fresh through updates and deletes") {
     val sink = Files.createTempDirectory("graft-bi-").resolve("s").toString
@@ -159,11 +166,7 @@ class BucketIndexSpec extends AnyFunSuite {
     append(sink, (1L to 128L).map(i => (i, s"u$i@x.com", "CREATE", 1000L + i)))
     CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 16)
     BucketIndex.attach(spark, cur, "email", numGroups = 8)
-    def pointers(): Map[String, String] =
-      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
-          s"$cur/_index/email/_meta.txt")).toArray.map(_.toString)
-        .filter(l => l.matches("g\\d+=.*"))
-        .map { l => val Array(g, d) = l.split("=", 2); g -> d }.toMap
+    def pointers(): Map[String, String] = pointersOf(cur)
     val before = pointers()
     assert(before.keySet.size == 8, before.keySet.toString)
     // one key's delta: exactly one bucket, so exactly ONE group (its
@@ -428,11 +431,7 @@ class BucketIndexSpec extends AnyFunSuite {
     CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 16)
     BucketIndex.attach(spark, cur, "email", numGroups = 8)
     val ix = s"$cur/_index/email"
-    def pointers(): Map[String, String] =
-      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
-          s"$ix/_meta.txt")).toArray.map(_.toString)
-        .filter(l => l.matches("g\\d+=.*"))
-        .map { l => val Array(g, d) = l.split("=", 2); g -> d }.toMap
+    def pointers(): Map[String, String] = pointersOf(cur)
     def exists(rel: String): Boolean =
       java.nio.file.Files.exists(java.nio.file.Paths.get(s"$ix/$rel"))
     val p0 = pointers()
