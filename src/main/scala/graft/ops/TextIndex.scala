@@ -15,8 +15,12 @@ import org.apache.spark.sql.types._
   * buckets.
   *
   * Layout under `dir`:
+  *   - `_meta.txt` — `tb=N`, the postings bucket count the index was
+  *     built with (the `nb`-in-meta discipline [[BucketIndex]] uses):
+  *     readers and delta writers take the stored value, so the fanout
+  *     is a build-time choice, not a compile-time constant.
   *   - `postings/` — (term, doc_id, tf, dl, gen) parquet, partitioned
-  *     by `tb = pmod(xxhash64(term), TermBuckets)`: a term lookup
+  *     by `tb = pmod(xxhash64(term), N)`: a term lookup
   *     partition-prunes to one bucket dir. `dl` (doc token length)
   *     rides denormalized so scoring never joins the corpus.
   *   - `docs/` — (doc_id, dl, gen): the corpus census behind the BM25
@@ -42,9 +46,14 @@ import org.apache.spark.sql.types._
   */
 object TextIndex {
 
-  /** Postings bucket count — the partition-pruning fanout. Fixed per
-    * index lifetime (the bucket of a term must never move between
-    * write and read); changing it requires a rebuild.
+  /** DEFAULT postings bucket count — the partition-pruning fanout
+    * when [[build]] isn't told otherwise, and the assumed count for
+    * legacy indexes built before the count was persisted. The count
+    * is fixed per index LIFETIME (the bucket of a term must never
+    * move between write and read, so every reader takes the value
+    * stored in the index's `_meta.txt`, never this constant);
+    * changing it requires a rebuild — [[rebuildAdvice]] measures
+    * when that is worth paying.
     */
   val TermBuckets = 64
 
@@ -52,24 +61,43 @@ object TextIndex {
   private def docsDir(dir: String) = s"$dir/docs"
   private def tombsDir(dir: String) = s"$dir/tombstones"
 
+  /** The index's postings bucket count, from its `_meta.txt`. An
+    * index that predates the meta (or whose meta predates the `tb=`
+    * line) was necessarily built with the then-hard-coded
+    * [[TermBuckets]], so that is the correct legacy fallback — NOT a
+    * guess. Every routing site (delta writes, query-term bucket
+    * resolution) calls this, so a caller-side constant can never
+    * misroute a term.
+    */
+  def termBucketsOf(spark: SparkSession, dir: String): Int =
+    PointerDir.readMetaLines(spark, dir)
+      .flatMap(_.find(_.startsWith("tb=")).map(_.drop(3).toInt))
+      .getOrElse(TermBuckets)
+
+  private def writeMeta(spark: SparkSession, dir: String,
+      termBuckets: Int): Unit =
+    PointerDir.writeMetaLines(spark, dir, Seq(s"tb=$termBuckets"))
+
   private val TombSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("gen", LongType)))
 
-  private def bucketOf(term: org.apache.spark.sql.Column) =
-    pmod(xxhash64(term), lit(TermBuckets.toLong))
+  private def bucketOf(term: org.apache.spark.sql.Column,
+      termBuckets: Int) =
+    pmod(xxhash64(term), lit(termBuckets.toLong))
 
   /** (term, doc_id, tf, dl, tb, gen) for `docs` (doc_id, text) —
     * the q111 tokenizer, exploded and counted. Zero-token docs keep a
     * census row but no postings (they can never match a term).
     */
-  private def posted(docs: DataFrame, gen: Long): DataFrame =
+  private def posted(docs: DataFrame, gen: Long,
+      termBuckets: Int): DataFrame =
     graft.queries.TextQueries.tokenized(docs)
       .select(col("doc_id").cast("long").as("doc_id"),
         size(col("t")).as("dl"), explode(col("t")).as("term"))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).cast("int").as("tf"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-        bucketOf(col("term")).as("tb"), lit(gen).as("gen"))
+        bucketOf(col("term"), termBuckets).as("tb"), lit(gen).as("gen"))
 
   private def census(docs: DataFrame, gen: Long): DataFrame =
     graft.queries.TextQueries.tokenized(docs)
@@ -83,10 +111,21 @@ object TextIndex {
       .write.mode(SaveMode.Overwrite).parquet(tombsDir(dir))
 
   /** Cut the index fresh from `docs` (doc_id, text) at generation 0,
-    * replacing whatever was at `dir`.
+    * replacing whatever was at `dir`. `termBuckets` is persisted in
+    * the index meta and governs the index for its whole lifetime —
+    * size it for the corpus you expect ([[rebuildAdvice]] names the
+    * number once the corpus is measurable). The meta lands FIRST:
+    * build (like [[NeardupIndex.build]]) is replace-not-atomic — a
+    * crash mid-build means re-run build — and meta-first guarantees
+    * no window where freshly-bucketed postings exist without the
+    * count that routes reads to them.
     */
-  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
-    posted(docs, 0L)
+  def build(spark: SparkSession, docs: DataFrame, dir: String,
+      termBuckets: Int = TermBuckets): Unit = {
+    require(termBuckets > 0,
+      s"termBuckets must be positive, got $termBuckets")
+    writeMeta(spark, dir, termBuckets)
+    posted(docs, 0L, termBuckets)
       .write.mode(SaveMode.Overwrite).partitionBy("tb")
       .parquet(postingsDir(dir))
     census(docs, 0L)
@@ -112,12 +151,13 @@ object TextIndex {
   def applyDelta(spark: SparkSession, dir: String,
       upserts: DataFrame, deletes: DataFrame): Long = {
     val gen = currentGen(spark, dir) + 1
+    val nb = termBucketsOf(spark, dir)
     upserts.select(col("doc_id").cast("long"))
       .union(deletes.select(col("doc_id").cast("long")))
       .distinct()
       .withColumn("gen", lit(gen))
       .write.mode(SaveMode.Append).parquet(tombsDir(dir))
-    posted(upserts, gen)
+    posted(upserts, gen, nb)
       .write.mode(SaveMode.Append).partitionBy("tb")
       .parquet(postingsDir(dir))
     census(upserts, gen)
@@ -149,11 +189,15 @@ object TextIndex {
     require(terms.nonEmpty, "search needs at least one query term")
     require(terms.distinct.size == terms.size,
       s"duplicate query terms: ${terms.mkString(", ")}")
-    // the terms' bucket values, via the SAME expression the write
-    // side bucketed with (one tiny local job — a driver-side hash
-    // reimplementation could silently drift from xxhash64)
+    // the terms' bucket values, via the SAME expression AND the
+    // SAME stored bucket count the write side bucketed with (one
+    // tiny local job — a driver-side hash reimplementation could
+    // silently drift from xxhash64; a caller-side constant could
+    // silently misroute an index built at a different fanout)
     import spark.implicits._
-    val tbs = terms.toDF("term").select(bucketOf(col("term")).as("tb"))
+    val nb = termBucketsOf(spark, dir)
+    val tbs = terms.toDF("term")
+      .select(bucketOf(col("term"), nb).as("tb"))
       .distinct().as[Long].collect()
     // ONE tombstone fold per query (broadcastIfSmall probes its input
     // eagerly — building it per live-side would re-run that probe),
@@ -237,5 +281,95 @@ object TextIndex {
       liveRows(spark, dir, postingsDir(dir)))
     swapIn(docsDir(dir), None)(liveRows(spark, dir, docsDir(dir)))
     writeEmptyTombstones(spark, dir)
+  }
+
+  /** Postings-layout health, for operators deciding WHEN to rebuild
+    * at a different bucket count — the inverted-index member of the
+    * advisory family ([[BucketIndex.capacityAdvice]],
+    * [[AnnIndex.loadStats]]): `termBuckets` is FROZEN at build time,
+    * so a corpus that grew N× serves every term lookup from a bucket
+    * dir holding ~N× more posting rows, and nothing resizes by
+    * itself. Counts RAW posting rows per bucket — appended
+    * generations and tombstone-superseded rows included — because
+    * that is the scan a term lookup pays as laid out; run [[compact]]
+    * first if generations piled up, and re-measure (advice a compact
+    * would have cleared is not a rebuild signal). One column-pruned
+    * pass over the postings (`tb`, `term` only), ≤ termBuckets rows
+    * to the driver — maintenance cadence, never per query. `p99Rows`
+    * is the p99-by-rank per-bucket count (= max below 100 buckets),
+    * the shared [[BucketIndex.sizingRows]] statistic.
+    * `maxTermRows` — the largest single term's posting-list length —
+    * rides along because it is the INDIVISIBLE floor: a term's
+    * postings hash to one bucket whole, so no bucket count gets a
+    * bucket under its hottest term's list ([[rebuildAdvice]] uses it
+    * to never advise a rebuild that rebuilding cannot fix).
+    */
+  case class LoadStats(termBuckets: Int, postingRows: Long,
+      meanRows: Double, p99Rows: Long, maxRows: Long, maxTermRows: Long)
+
+  def loadStats(spark: SparkSession, dir: String): LoadStats = {
+    val nb = termBucketsOf(spark, dir)
+    // a fully-deleted-then-compacted corpus (or a build over an
+    // all-empty-text frame) leaves a postings dir with no tb=
+    // partitions — exactly the shrunken state the advisory exists to
+    // measure, so it must read as zero rows, not crash inference
+    val pfs = new Path(postingsDir(dir))
+    val fs = pfs.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData = fs.exists(pfs) && fs.listStatus(pfs)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("tb="))
+    val perTb: Array[(Long, Long)] =
+      if (!hasData) Array.empty
+      else spark.read.parquet(postingsDir(dir))
+        // one pass, two fold levels: rows per (bucket, term), then
+        // per bucket (rows, hottest term's rows) — the term-level
+        // shuffle is ∝ distinct (bucket, term), the driver gets ≤ nb
+        .groupBy("tb", "term").agg(count(lit(1)).as("c"))
+        .groupBy("tb").agg(sum("c").as("rows"), max("c").as("mt"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val counts = perTb.map(_._1).toIndexedSeq
+    val total = counts.sum
+    LoadStats(nb, total, total.toDouble / math.max(1, nb),
+      BucketIndex.sizingRows(counts),
+      if (counts.isEmpty) 0L else counts.max,
+      if (perTb.isEmpty) 0L else perTb.map(_._2).max)
+  }
+
+  /** Pure rebuild decision over [[loadStats]] — Some(recommended
+    * bucket count) when the p99 bucket holds ≥2× the target rows
+    * (grow) or the corpus shrank to ≤half the buckets' worth (tiny
+    * buckets pay per-partition task overhead for nothing); None
+    * inside the band — 2× hysteresis keeps a corpus near a boundary
+    * from flapping advice delta over delta, like
+    * [[AnnIndex.retrainAdvice]]. Two twists the hash modulus forces,
+    * where k-means has neither: a recommendation EQUAL to the current
+    * count is meaningless (the same modulus reproduces the identical
+    * layout bit for bit, where re-running k-means rebalances), so the
+    * grow branch always recommends ≥2× the current count — also the
+    * honest minimum, since the trigger statistic already proves ≥2×
+    * the designed load; and a single term's posting list is
+    * INDIVISIBLE (it hashes to one bucket whole), so when the hot
+    * bucket is mostly one mega-term (`maxTermRows` ≥ half of
+    * `p99Rows`) and total volume alone doesn't warrant more buckets,
+    * the advice is None — a rebuild would move the list, not shrink
+    * it. Act with [[build]] into a fresh dir (same corpus, new
+    * count) and swap readers.
+    */
+  def rebuildAdvice(stats: LoadStats,
+      targetRowsPerBucket: Long): Option[Int] = {
+    require(targetRowsPerBucket > 0,
+      s"targetRowsPerBucket must be positive, got $targetRowsPerBucket")
+    if (stats.postingRows == 0L || stats.termBuckets == 0) return None
+    val ideal = math.max(1L,
+      math.round(stats.postingRows.toDouble / targetRowsPerBucket))
+    // the 2^20 cap applies to the RETURNED recommendation only — a
+    // capped ideal inside the band decisions could advise a too-big
+    // corpus DOWN (the AnnIndex.retrainAdvice argument)
+    def cap(n: Long): Int = math.min(1L << 20, n).toInt
+    if (stats.p99Rows >= 2 * targetRowsPerBucket) {
+      if (ideal <= stats.termBuckets &&
+          2 * stats.maxTermRows >= stats.p99Rows) None
+      else Some(cap(math.max(ideal, 2L * stats.termBuckets)))
+    } else if (ideal * 2 <= stats.termBuckets) Some(cap(ideal))
+    else None
   }
 }

@@ -106,6 +106,106 @@ class TextIndexSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(s"$dir/postings._compact_trash")))
   }
 
+  test("the bucket count round-trips through the index meta: readers " +
+      "and delta writers take the stored value, so a non-default " +
+      "build cannot be misrouted by the compile-time constant") {
+    val dir = tmp()
+    TextIndex.build(spark, corpus, dir, termBuckets = 8)
+    assert(TextIndex.termBucketsOf(spark, dir) == 8)
+    assert(TextIndex.TermBuckets == 64,
+      "fixture relies on the built fanout differing from the default")
+    // search routes by the STORED 8 — with the constant 64 the terms
+    // would prune to the wrong tb dirs and silently return nothing
+    assert(scores(TextIndex.search(spark, dir, terms))
+      == scores(Graft.bm25(corpus, terms)))
+    // a delta writer buckets new postings with the stored value too:
+    // the new doc's terms must land where subsequent reads look
+    TextIndex.applyDelta(spark, dir,
+      Seq((8L, "quick spark dog")).toDF("doc_id", "text"),
+      spark.emptyDataset[Long].toDF("doc_id"))
+    val edited = corpus.unionByName(
+      Seq((8L, "quick spark dog")).toDF("doc_id", "text"))
+    assert(scores(TextIndex.search(spark, dir, terms))
+      == scores(Graft.bm25(edited, terms)))
+    // and the on-disk fanout really is 8, not 64
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tbDirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/postings"))
+      .map(_.getPath.getName).filter(_.startsWith("tb=")).toSet
+    assert(tbDirs.forall(_.drop(3).toInt < 8), s"fanout leaked: $tbDirs")
+  }
+
+  test("a legacy index without a meta reads with the historical " +
+      "default fanout") {
+    val dir = tmp()
+    TextIndex.build(spark, corpus, dir) // default = the legacy 64
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_meta.txt"),
+      false))
+    assert(TextIndex.termBucketsOf(spark, dir) == TextIndex.TermBuckets)
+    assert(scores(TextIndex.search(spark, dir, terms))
+      == scores(Graft.bm25(corpus, terms)))
+  }
+
+  test("loadStats measures raw per-bucket postings with the shared " +
+      "p99 statistic; rebuildAdvice fires on a grown corpus, stays " +
+      "silent healthy, shrinks an over-bucketed one, and never " +
+      "advises a rebuild an indivisible mega-term makes futile") {
+    val dir = tmp()
+    // 2 buckets, 300 docs × ~4 terms: mean ≫ target ⇒ grow
+    val grown = spark.range(300)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", lit("alpha"), lit("beta"),
+          concat(lit("w"), (col("id") % 50).cast("string"))).as("text"))
+    TextIndex.build(spark, grown, dir, termBuckets = 2)
+    val s = TextIndex.loadStats(spark, dir)
+    assert(s.termBuckets == 2)
+    assert(s.postingRows == 900L) // 3 distinct terms per doc
+    assert(s.p99Rows == s.maxRows, "p99 = max below 100 buckets")
+    assert(s.maxTermRows == 300L) // alpha (and beta) in every doc
+    // grown: p99 ≥ 2×target and total warrants more buckets — the
+    // recommendation is ≥ 2× current (same modulus = same layout)
+    val rec = TextIndex.rebuildAdvice(s, targetRowsPerBucket = 50)
+    assert(rec.exists(r => r >= 4 && r == math.round(900.0 / 50)))
+    // healthy: inside the band ⇒ silent (500/bucket: the p99 bucket
+    // cannot reach 2×500 with only 900 rows total, and 900 rows are
+    // still ≥ a bucket's worth each, so neither branch fires)
+    assert(TextIndex.rebuildAdvice(s, targetRowsPerBucket = 500).isEmpty)
+    // the advice round-trips: rebuilding at the recommendation brings
+    // the measured mean to the target's order
+    val dir2 = tmp()
+    TextIndex.build(spark, grown, dir2, termBuckets = rec.get)
+    val s2 = TextIndex.loadStats(spark, dir2)
+    assert(s2.termBuckets == rec.get && s2.postingRows == 900L)
+    assert(s2.meanRows <= 50.0 + 1e-9)
+    // shrink: corpus worth ≤ half the buckets
+    val tiny = tmp()
+    TextIndex.build(spark, corpus, tiny, termBuckets = 32)
+    val st = TextIndex.loadStats(spark, tiny)
+    val shrink = TextIndex.rebuildAdvice(st, targetRowsPerBucket = 16)
+    assert(shrink.exists(_ < 32), s"expected shrink advice, got $shrink")
+    // mega-term: one term dominates the hot bucket and total volume
+    // fits the current fanout — more buckets cannot split one
+    // posting list, so the advice is None, not a futile rebuild
+    val hot = spark.range(200)
+      .select(col("id").as("doc_id"), lit("stopword").as("text"))
+    val hotDir = tmp()
+    TextIndex.build(spark, hot, hotDir, termBuckets = 4)
+    val sh = TextIndex.loadStats(spark, hotDir)
+    assert(sh.maxTermRows == 200L && sh.p99Rows == 200L)
+    assert(TextIndex.rebuildAdvice(sh, targetRowsPerBucket = 60).isEmpty)
+    // empty index: None, and loadStats reads zero, not a crash
+    val empty = tmp()
+    TextIndex.build(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), empty,
+      termBuckets = 4)
+    val se = TextIndex.loadStats(spark, empty)
+    assert(se.postingRows == 0L && se.maxTermRows == 0L)
+    assert(TextIndex.rebuildAdvice(se, targetRowsPerBucket = 10).isEmpty)
+  }
+
   test("a query reads only its terms' postings buckets") {
     val dir = tmp()
     TextIndex.build(spark, corpus, dir)
