@@ -209,20 +209,35 @@ object ZoneMaps {
     * a rewrite use this instead.
     */
   def gridHealth(spark: SparkSession,
-      manifestDir: String): Seq[(String, Double)] = {
+      manifestDir: String): Seq[(String, Double)] =
+    manifestHealth(spark, manifestDir)._1
+
+  /** [[gridHealth]] AND [[statColumns]] from ONE manifest read —
+    * `((column, fill) pairs, stat columns)`. Compaction audits the
+    * grids and the pipeline's advice record needs the stat columns
+    * for the rebuild call; deriving both from the same frame keeps
+    * an auto-compaction at one health scan instead of three (each
+    * separate entry also re-runs the interrupted-patch restore).
+    */
+  def manifestHealth(spark: SparkSession,
+      manifestDir: String): (Seq[(String, Double)], Seq[String]) = {
     restorePatchIfInterrupted(spark, manifestDir)
     val m = spark.read.parquet(manifestDir)
+    val stats = m.columns
+      .filter(_.endsWith("_min")).map(_.stripSuffix("_min")).toSeq
     val bcs = bloomColumnsOf(m)
-    if (bcs.isEmpty) Nil
-    else {
-      val aggs = bcs.map(c => avg(
-        expr(s"aggregate(transform(${c}_bloom, x -> bit_count(x)), " +
-          "0, (a, b) -> a + b)") /
-          (size(col(s"${c}_bloom")) * lit(64.0))).as(c))
-      val r = m.agg(aggs.head, aggs.tail: _*).head()
-      bcs.zipWithIndex.map { case (c, i) =>
-        c -> (if (r.isNullAt(i)) 0.0 else r.getDouble(i)) }
-    }
+    val health =
+      if (bcs.isEmpty) Nil
+      else {
+        val aggs = bcs.map(c => avg(
+          expr(s"aggregate(transform(${c}_bloom, x -> bit_count(x)), " +
+            "0, (a, b) -> a + b)") /
+            (size(col(s"${c}_bloom")) * lit(64.0))).as(c))
+        val r = m.agg(aggs.head, aggs.tail: _*).head()
+        bcs.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(i)) 0.0 else r.getDouble(i)) }
+      }
+    (health, stats)
   }
 
   /** The manifest's min/max stat columns (by `_min` suffix) — with

@@ -116,10 +116,22 @@ object Compaction {
     * Returns (filesBefore, filesAfter) summed over the touched
     * partitions. Unknown partition values are skipped with a log
     * line (a batch can name a dt the router never wrote).
+    *
+    * `onManifestHealth` receives the post-patch grid audit —
+    * `((column, fill) pairs, the manifest's stat columns)` — from the
+    * SAME single manifest read the saturation warn uses, and only
+    * when a manifest exists and a partition was rewritten. The
+    * pipeline's `rebuild-zonemaps` advice record consumes it here
+    * instead of re-scanning the manifest (each separate
+    * gridHealth/statColumns entry is another manifest read plus an
+    * interrupted-patch restore).
     */
   def compactPartitions(spark: SparkSession, tableDir: String,
       dts: Seq[String], rowsPerFile: Long,
-      order: Seq[org.apache.spark.sql.Column]): (Long, Long) = {
+      order: Seq[org.apache.spark.sql.Column],
+      onManifestHealth:
+        (Seq[(String, Double)], Seq[String]) => Unit = (_, _) => ())
+      : (Long, Long) = {
     val fs = new Path(tableDir).getFileSystem(
       spark.sessionState.newHadoopConf())
     val touched = scala.collection.mutable.Buffer[String]()
@@ -161,14 +173,18 @@ object Compaction {
       // prunes NOTHING while still costing manifest bytes. Surface it
       // with the documented gauge instead of failing a maintenance
       // step over an advisory index.
-      for ((c, fill) <- graft.ops.ZoneMaps.gridHealth(spark, manifest)
+      val (health, statCols) =
+        graft.ops.ZoneMaps.manifestHealth(spark, manifest)
+      for ((c, fill) <- health
           if fill > graft.ops.ZoneMaps.SaturationBand)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          f"compactPartitions: bloom grid for '$c' in $manifest is " +
-            f"$fill%.2f full after the rewrite — point lookups will " +
+          "compactPartitions: bloom grid for '" + c + s"' in $manifest is " +
+            String.format(java.util.Locale.ROOT, "%.2f", Double.box(fill)) +
+            " full after the rewrite — point lookups will " +
             "stop skipping; rebuild with bigger grids " +
             "(ZoneMaps.build bloomBits ≈ 10× rows-per-file) or a " +
             "smaller sink.compact.rows.per.file")
+      onManifestHealth(health, statCols)
     }
     (before, after)
   }

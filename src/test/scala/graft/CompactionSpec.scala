@@ -198,6 +198,52 @@ class CompactionSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("compactPartitions hands its single post-patch manifest audit " +
+      "to the caller: the callback sees the same health pairs and " +
+      "stat columns a direct read would, exactly once, and never " +
+      "fires without a manifest or a rewritten partition") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-health-")
+      .resolve("tbl").toString
+    for (b <- 0 until 3)
+      (0 until 50).map(i => (b * 50 + i, "2024-01-01", i.toLong))
+        .toDF("id", "dt", "pos").coalesce(1)
+        .write.mode("append").partitionBy("dt").parquet(dir)
+    val man = s"$dir._zonemaps"
+    graft.ops.ZoneMaps.build(spark, dir, man, Seq("id", "pos"),
+      bloomColumns = Seq("id"))
+    val seen = scala.collection.mutable
+      .Buffer[(Seq[(String, Double)], Seq[String])]()
+    Compaction.compactPartitions(spark, dir, Seq("2024-01-01"),
+      rowsPerFile = 500, order = Seq(col("pos"), col("id")),
+      onManifestHealth = (h, sc) => seen += ((h, sc)))
+    // exactly ONE audit per compaction — the advice consumer reuses
+    // it instead of re-scanning the manifest (the seam that keeps an
+    // auto-compaction at one health read total)
+    assert(seen.size == 1, s"audits: ${seen.size}")
+    val (health, statCols) = seen.head
+    assert(health == graft.ops.ZoneMaps.gridHealth(spark, man),
+      s"callback health $health")
+    assert(statCols == graft.ops.ZoneMaps.statColumns(spark, man) &&
+      statCols.toSet == Set("id", "pos"), s"callback stats $statCols")
+    // only unknown dts → nothing rewritten → no audit
+    seen.clear()
+    Compaction.compactPartitions(spark, dir, Seq("2099-01-01"),
+      rowsPerFile = 500, order = Seq(col("pos"), col("id")),
+      onManifestHealth = (h, sc) => seen += ((h, sc)))
+    assert(seen.isEmpty, "audit fired with no rewritten partition")
+    // no manifest beside the table → no audit
+    val bare = Files.createTempDirectory("graft-compact-nomani-")
+      .resolve("tbl").toString
+    (0 until 50).map(i => (i, "2024-01-01", i.toLong))
+      .toDF("id", "dt", "pos").coalesce(1)
+      .write.mode("append").partitionBy("dt").parquet(bare)
+    Compaction.compactPartitions(spark, bare, Seq("2024-01-01"),
+      rowsPerFile = 500, order = Seq(col("pos"), col("id")),
+      onManifestHealth = (h, sc) => seen += ((h, sc)))
+    assert(seen.isEmpty, "audit fired without a manifest")
+  }
+
   test("patch matches scheme-qualified and bare prefixes alike") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-compact-scheme-")
