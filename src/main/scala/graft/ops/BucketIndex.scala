@@ -927,14 +927,27 @@ object BucketIndex {
     * can never advise a re-attach that re-attaching would not fix.
     * Returns Some when implied bits/row fell below `minBitsPerRow`
     * (default 5 — half the ~10-bit design point, ≈5–10% fpp and
-    * worsening); None while healthy, while awaiting the rescale
-    * rebuild that re-measures anyway, or while the sidecar predates
-    * the counts (pre-r15 rows — buckets regain counts as syncs touch
-    * them).
+    * worsening — `reason = "outgrown"`); None while healthy or while
+    * awaiting the rescale rebuild that re-measures anyway.
+    *
+    * Buckets whose sidecar rows predate the counts (pre-`nrows`
+    * publishes) are UNKNOWN — they regain counts as syncs touch them,
+    * and the recently-touched are typically the hottest, so a p99
+    * over a known MINORITY would be hot-biased (it could advise a
+    * re-attach an unrepresentative subset suggested). The measured
+    * verdict therefore requires counts on more than half the buckets
+    * holding sidecar rows; below that, Some with
+    * `reason = "counts-unknown"` — the one table shape the advisory
+    * would otherwise be permanently blind to is a pre-upgrade sidecar
+    * on a table that grew and then went append-quiet, and "re-attach
+    * to measure" IS the remedy there (the re-attach both re-sizes and
+    * stamps every bucket's count). In the counts-unknown case
+    * `sizingRowsPerBucket`/`bitsPerRow` report the known subset
+    * (zero/0.0 when none) — context, not the trigger.
     */
   case class CapacityStats(column: String, bits: Int, shards: Int,
       sizingRowsPerBucket: Long, bitsPerRow: Double, knownBuckets: Int,
-      call: String)
+      unknownBuckets: Int, reason: String, call: String)
 
   def capacityAdvice(spark: SparkSession, currentDir: String,
       column: String, minBitsPerRow: Double = 5.0): Option[CapacityStats] = {
@@ -949,7 +962,7 @@ object BucketIndex {
         val paths = meta.dataPaths(dir)
         if (paths.isEmpty) None // zero live indexed values
         else {
-          val counts = spark.read
+          val perBucket = spark.read
             .schema(org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("kb",
                 org.apache.spark.sql.types.IntegerType),
@@ -959,20 +972,29 @@ object BucketIndex {
             .groupBy("kb")
             .agg(sum("nrows").as("rows"),
               count(when(col("nrows").isNull, 1)).as("unknown"))
-            // a bucket with any count-less (pre-r15) rows is unknown,
-            // not zero — skip it rather than under-measure
-            .filter(col("unknown") === 0 && col("rows").isNotNull)
-            .select("rows").collect().map(_.getLong(0)).toIndexedSeq
+            .collect()
+          // a bucket with any count-less (pre-nrows) rows is unknown,
+          // not zero — measuring it would under-count
+          val counts = perBucket
+            .filter(r => r.getLong(2) == 0L && !r.isNullAt(1))
+            .map(_.getLong(1)).toIndexedSeq
+          val unknown = perBucket.length - counts.size
+          val call =
+            s"""BucketIndex.detach(spark, "$currentDir", "$column"); """ +
+              s"""BucketIndex.attach(spark, "$currentDir", "$column")"""
           val rows = sizingRows(counts)
-          if (rows <= 0) None
-          else {
-            val bitsPerRow = meta.bits.toDouble * meta.shards / rows
-            if (bitsPerRow >= minBitsPerRow) None
-            else Some(CapacityStats(column, meta.bits, meta.shards,
-              rows, bitsPerRow, counts.size,
-              s"""BucketIndex.detach(spark, "$currentDir", "$column"); """ +
-                s"""BucketIndex.attach(spark, "$currentDir", "$column")"""))
-          }
+          val bitsPerRow =
+            if (rows > 0) meta.bits.toDouble * meta.shards / rows else 0.0
+          if (unknown > 0 && unknown >= counts.size)
+            // known minority: the p99 would be hot-biased, and a
+            // grown-then-static pre-upgrade table would otherwise
+            // never be measured at all — advise the measuring
+            // re-attach instead of a biased verdict or silence
+            Some(CapacityStats(column, meta.bits, meta.shards, rows,
+              bitsPerRow, counts.size, unknown, "counts-unknown", call))
+          else if (rows <= 0 || bitsPerRow >= minBitsPerRow) None
+          else Some(CapacityStats(column, meta.bits, meta.shards,
+            rows, bitsPerRow, counts.size, unknown, "outgrown", call))
         }
       }
     }

@@ -817,13 +817,28 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
                     s"${dir}__current");
                   st <- graft.ops.BucketIndex.capacityAdvice(spark,
                     s"${dir}__current", c)) {
-                org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                  s"[${config.name}] index '$c' on current-table $key " +
-                    s"has outgrown its sizing: ${st.bits} bits x " +
-                    s"${st.shards} shard(s) against ${st.sizingRowsPerBucket} " +
-                    s"rows/bucket (p99) is ${f"${st.bitsPerRow}%.1f"} " +
-                    "bits/row — false positives are degrading the " +
-                    s"prune; run ${st.call} at a maintenance window")
+                val log = org.slf4j.LoggerFactory.getLogger(getClass)
+                if (st.reason == "counts-unknown")
+                  log.warn(
+                    s"[${config.name}] index '$c' on current-table $key " +
+                      s"cannot be capacity-measured: ${st.unknownBuckets} " +
+                      s"of ${st.knownBuckets + st.unknownBuckets} " +
+                      "sidecar buckets predate the per-publish counts " +
+                      "(a p99 over the known minority would be " +
+                      s"hot-biased); run ${st.call} at a maintenance " +
+                      "window to re-size and stamp every bucket")
+                else
+                  log.warn(
+                    s"[${config.name}] index '$c' on current-table $key " +
+                      s"has outgrown its sizing: ${st.bits} bits x " +
+                      s"${st.shards} shard(s) against ${st.sizingRowsPerBucket} " +
+                      "rows/bucket (p99) is " +
+                      // Locale.ROOT like the record's JSON twin — the
+                      // two surfaces must render one number one way
+                      String.format(java.util.Locale.ROOT, "%.1f",
+                        Double.box(st.bitsPerRow)) + " " +
+                      "bits/row — false positives are degrading the " +
+                      s"prune; run ${st.call} at a maintenance window")
                 config.statusStorePath.foreach(writeIndexAdviceFile(_,
                   key, s"${dir}__current", st))
               }
@@ -945,8 +960,30 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       val fragmented = dts.filter(
         partFiles(_).size > config.compactAfterFiles).sorted
       if (fragmented.nonEmpty) {
+        // machine-readable twin of Compaction's grid-saturation warn
+        // (the rescale / reattach-index advice pattern): a compacted
+        // file can outgrow the manifest's original bloom grid size,
+        // and past the shared saturation band the grids stop skipping
+        // while still costing manifest bytes. The record names the
+        // exact rebuild, bits sized ~10× the compactor's own
+        // rows-per-file — which sticks, because a refresh always
+        // appends grids at the stored size. The health pairs and the
+        // manifest's stat columns (it self-describes — the global
+        // config's list may cover other tables' columns) arrive from
+        // compactPartitions' OWN single post-patch audit, so one
+        // auto-compaction pays one manifest health scan total.
+        val onHealth: (Seq[(String, Double)], Seq[String]) => Unit =
+          (health, statCols) =>
+            for (store <- config.statusStorePath) {
+              val saturated = health.filter(
+                _._2 > graft.ops.ZoneMaps.SaturationBand)
+              for ((c, fill) <- saturated)
+                writeZonemapAdviceFile(store, key, dir, c, fill,
+                  statCols, health.map(_._1))
+            }
         val (b, a) = Compaction.compactPartitions(spark, dir,
-          fragmented, config.compactRowsPerFile, sinkCompactOrder)
+          fragmented, config.compactRowsPerFile, sinkCompactOrder,
+          onManifestHealth = onHealth)
         // the current-table sync ran before this compaction in the
         // same batch, over these same partitions — every replaced
         // file was folded, so the rewritten files carry no new rows
@@ -957,36 +994,14 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         org.slf4j.LoggerFactory.getLogger(getClass).info(
           s"[${config.name}] auto-compact $key " +
             s"dt=[${fragmented.mkString(",")}]: $b -> $a file(s)")
-        // machine-readable twin of Compaction's grid-saturation warn
-        // (the rescale / reattach-index advice pattern): a compacted
-        // file can outgrow the manifest's original bloom grid size,
-        // and past the shared saturation band the grids stop skipping
-        // while still costing manifest bytes. The record names the
-        // exact rebuild, bits sized ~10× the compactor's own
-        // rows-per-file — which sticks, because a refresh always
-        // appends grids at the stored size. One health scan covers
-        // every bloom column; the call's columns come from the
-        // MANIFEST (it self-describes), never from the global config,
-        // whose list may cover other tables' columns.
-        val manifest = s"$dir._zonemaps"
-        for (store <- config.statusStorePath
-            if fs.exists(new org.apache.hadoop.fs.Path(manifest))) {
-          val health = graft.ops.ZoneMaps.gridHealth(spark, manifest)
-          val saturated = health.filter(
-            _._2 > graft.ops.ZoneMaps.SaturationBand)
-          if (saturated.nonEmpty) {
-            val statCols = graft.ops.ZoneMaps.statColumns(spark, manifest)
-            for ((c, fill) <- saturated)
-              writeZonemapAdviceFile(store, key, dir, c, fill,
-                statCols, health.map(_._1))
-          }
-        }
       }
     }
   }
 
   /** Rebuild-advisory record for a zone-map bloom grid saturated by
-    * compaction — same store, dt-layout and consumer contract as the
+    * compaction — same store, dt-layout and CONSUMER CONTRACT (see
+    * [[writeAdviceFile]]: repeats once per auto-compaction while the
+    * grid stays saturated; dedupe by (table, advice, column)) as the
     * rescale / reattach-index advice but `"advice":"rebuild-zonemaps"`.
     * Written when a just-compacted manifest's grid runs > 50% full
     * (point lookups stop skipping); carries the measured fill and the
@@ -1043,6 +1058,22 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     * fires (layout drift ≥ 2× from `sink.current.target.bucket.mb`);
     * carries the numbers behind the advice and the exact maintenance
     * call, so an operator's cron can act without scraping logs.
+    *
+    * CONSUMER CONTRACT (all three advice flavors — `rescale` here,
+    * `reattach-index` in [[writeIndexAdviceFile]], `rebuild-zonemaps`
+    * in [[writeZonemapAdviceFile]]): records REPEAT while the
+    * condition persists — one per full sync (every batch at
+    * `sink.current.fullsync.batches=1`) or per auto-compaction —
+    * because each is an independent measurement, and suppressing
+    * repeats would make a consumer that missed one record (store
+    * retention, a skipped day) permanently blind. A cron therefore
+    * MUST dedupe by (`table`, `advice`, and the flavor's subject
+    * column — `column` for the index and zone-map records, absent for
+    * rescale) before launching maintenance, treating the latest
+    * record's measured numbers as current; firing one job per record
+    * would run N identical rebuilds. Records stop on their own once
+    * the maintenance (or organic shrink) moves the measurement back
+    * inside its band.
     */
   private def writeAdviceFile(root: String, tableKey: String,
       currentDir: String, st: CurrentTable.LayoutStats,
@@ -1061,11 +1092,16 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
   }
 
   /** Reattach-advisory record for a secondary index that outgrew its
-    * attach-time bloom sizing — same store, dt-layout and consumer
-    * contract as [[writeAdviceFile]] but `"advice":"reattach-index"`.
+    * attach-time bloom sizing — same store, dt-layout and CONSUMER
+    * CONTRACT (see [[writeAdviceFile]]: repeats while the condition
+    * persists; dedupe by (table, advice, column)) as the rescale
+    * record but `"advice":"reattach-index"`.
     * Written only when [[graft.ops.BucketIndex.capacityAdvice]] fires
-    * (implied bits/row under ~5 at the p99 per-bucket live count the
-    * sidecar itself maintains); carries the measured numbers and the
+    * — `"reason":"outgrown"` (implied bits/row under ~5 at the p99
+    * per-bucket live count the sidecar itself maintains) or
+    * `"reason":"counts-unknown"` (most sidecar buckets predate the
+    * per-publish counts, so the table can't be measured until a
+    * re-attach stamps them); carries the measured numbers and the
     * exact detach-then-attach call.
     */
   private def writeIndexAdviceFile(root: String, tableKey: String,
@@ -1078,11 +1114,13 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       Double.box(st.bitsPerRow))
     val json = s"""{"job_id":"${config.sourceId}",""" +
       s""""job_name":"${config.name}","advice":"reattach-index",""" +
+      s""""reason":"${st.reason}",""" +
       s""""table":"$tableKey","current_dir":"$currentDir",""" +
       s""""column":"${st.column}","bits":${st.bits},""" +
       s""""shards":${st.shards},""" +
       s""""rows_per_bucket_p99":${st.sizingRowsPerBucket},""" +
       s""""bits_per_row":$bpr,""" +
+      s""""unknown_buckets":${st.unknownBuckets},""" +
       s""""call":"${st.call.replace("\"", "\\\"")}",""" +
       s""""timestamp":${System.currentTimeMillis()}}"""
     hWrite(s"$root/dt=$today/${java.util.UUID.randomUUID()}.json", json)

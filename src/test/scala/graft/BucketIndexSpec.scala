@@ -589,4 +589,74 @@ class BucketIndexSpec extends AnyFunSuite {
     assert(BucketIndex.capacityAdvice(spark, cur, "email").isEmpty,
       "re-measured sizing must read healthy")
   }
+
+  /** Null `nrows` in the sidecar's bloom rows for every bucket except
+    * `keepKb` — the on-disk shape of a sidecar published before the
+    * per-publish counts existed (group dirs rewritten in place; the
+    * manifest's pointers keep their paths).
+    */
+  private def dropCounts(cur: String, keepKb: Set[Int]): Unit =
+    for ((g, d) <- pointersOf(cur).toSeq) {
+      val gdir = s"$cur/_index/email/$d/grp=${g.stripPrefix("g")}"
+      val df = spark.read.parquet(gdir)
+      val doctored = df.withColumn("nrows",
+        when(col("kb").isin(keepKb.toSeq: _*), col("nrows"))
+          .otherwise(lit(null).cast("long")))
+      val rows = doctored.collect()
+      spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), doctored.schema)
+        .repartition(1).write.mode("overwrite").parquet(gdir)
+    }
+
+  test("capacityAdvice on a count-less (pre-measurement) sidecar " +
+      "advises the measuring re-attach instead of a hot-biased " +
+      "verdict or silence; counts regained by a sync restore the " +
+      "measured path") {
+    val sink = Files.createTempDirectory("graft-bi-").resolve("s").toString
+    val cur = Files.createTempDirectory("graft-bi-cur-").toString
+    // a HEALTHY table whose sidecar predates the counts on 3 of 4
+    // buckets — the blind shape: grown-then-static would look exactly
+    // like this, and the known (recently-touched = hottest) minority
+    // must not produce a measured verdict either way
+    append(sink, (1L to 32L).map(i => (i, s"u$i@x", "CREATE", 1000L + i)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    BucketIndex.attach(spark, cur, "email")
+    assert(BucketIndex.capacityAdvice(spark, cur, "email").isEmpty)
+    dropCounts(cur, keepKb = Set(0))
+    val st = BucketIndex.capacityAdvice(spark, cur, "email")
+      .getOrElse(fail("a count-less majority must surface, not hide"))
+    assert(st.reason == "counts-unknown", st.toString)
+    assert(st.unknownBuckets == 3 && st.knownBuckets == 1, st.toString)
+    assert(st.call.contains("detach") && st.call.contains("attach"),
+      st.call)
+    // probes still serve exactly through the doctored sidecar
+    assert(idsByIndex(cur, "u7@x") == Set(7L))
+    // counts exactly half-known is still unmeasurable (the doc's
+    // "more than half" bound)
+    dropCounts(cur, keepKb = Set(0, 1))
+    assert(BucketIndex.capacityAdvice(spark, cur, "email")
+      .exists(_.reason == "counts-unknown"))
+    // a sync refreshes exactly the TOUCHED buckets' counts — a
+    // 32-key delta lands in all four, so every bucket re-publishes
+    // with a fresh count: measured again, and a healthy table goes
+    // back to silent
+    append(sink, (33L to 64L).map(i => (i, s"u$i@x", "CREATE", 2000L + i)),
+      dt = "2024-01-02")
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(BucketIndex.capacityAdvice(spark, cur, "email").isEmpty,
+      "fully-counted healthy table must be silent again")
+    // known-majority with one stale bucket: the measured verdict
+    // stands (here: grown past the sizing -> outgrown, with the
+    // unknown bucket reported, not silently folded in)
+    append(sink, (65L to 2064L).map(i => (i, s"u$i@x", "CREATE", 3000L + i)),
+      dt = "2024-01-03")
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    dropCounts(cur, keepKb = Set(0, 1, 2))
+    val grown = BucketIndex.capacityAdvice(spark, cur, "email")
+      .getOrElse(fail("grown table with known majority must advise"))
+    assert(grown.reason == "outgrown", grown.toString)
+    assert(grown.unknownBuckets == 1 && grown.knownBuckets == 3,
+      grown.toString)
+    assert(grown.bitsPerRow < 5.0, grown.toString)
+  }
 }

@@ -393,7 +393,14 @@ class CdcPipelineSpec extends AnyFunSuite {
     val advice = records()
       .filter(_.contains(""""advice":"reattach-index""""))
     assert(advice.nonEmpty, s"no reattach advice in: ${records()}")
+    // CONSUMER CONTRACT (writeAdviceFile doc): records repeat once
+    // per full sync while the condition persists — at fullsync
+    // cadence 1 a second batch would write a second identical-shaped
+    // record; consumers dedupe by (table, advice, column) and act on
+    // the latest measurement, never one job per record
     val a = advice.head
+    assert(a.contains(""""reason":"outgrown""""), a)
+    assert(a.contains(""""unknown_buckets":0"""), a)
     assert(a.contains(""""table":"testdb.users""""), a)
     assert(a.contains(""""column":"name""""), a)
     assert(a.contains(""""bits":1024"""), a)
