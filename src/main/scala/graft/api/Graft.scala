@@ -382,6 +382,55 @@ object Graft {
   def int8Codec(spark: SparkSession, embeddings: DataFrame): DataFrame =
     graft.queries.VectorQueries.quantCodesOf(spark, embeddings)
 
+  /** A maintained index's measured sizing verdict: the load stats it
+    * was measured from (typed per index family), the recommended new
+    * sizing, and the exact maintenance call to run at a window — the
+    * shape an operator cron consumes (same discipline as the
+    * pipeline's `reattach-index` status record: act on the LATEST
+    * measurement, one job per subject, not per record).
+    */
+  case class IndexHealth[S](stats: S, recommended: Int, call: String)
+
+  /** One-call serving-health check for a maintained IVF vector index
+    * ([[graft.ops.AnnIndex]]) — the cron entry that makes the
+    * advisory usable without knowing the measurement internals:
+    * `loadStats` (one cid-pruned pass) fed to `retrainAdvice` (2×
+    * hysteresis; a recommendation EQUAL to the current k means
+    * "retrain at the same k to rebalance" — k-means splits dense
+    * regions where re-hashing spreads nothing). None = healthy, do
+    * nothing. Some = run the returned call's retrain+build into a
+    * FRESH dir and swap readers; run `compact` first if generations
+    * piled up (advice a compact would clear is not a retrain signal).
+    */
+  def annIndexHealth(spark: SparkSession, dir: String,
+      targetRowsPerCentroid: Long)
+      : Option[IndexHealth[graft.ops.AnnIndex.LoadStats]] = {
+    val st = graft.ops.AnnIndex.loadStats(spark, dir)
+    graft.ops.AnnIndex.retrainAdvice(st, targetRowsPerCentroid).map { k =>
+      IndexHealth(st, k,
+        s"""val cb = AnnIndex.trainCodebook(spark, vectors, k = $k); """ +
+          s"""AnnIndex.build(spark, vectors, cb, "<fresh-dir>") """ +
+          "// then point readers at <fresh-dir>")
+    }
+  }
+
+  /** [[annIndexHealth]]'s twin for the maintained inverted text index
+    * ([[graft.ops.TextIndex]]): measured postings-bucket load →
+    * recommended fanout (always ≥2× current on grow — a hash modulus
+    * rebuilt at the same count reproduces the identical layout — and
+    * silent when one indivisible mega-term is the whole hot bucket).
+    */
+  def textIndexHealth(spark: SparkSession, dir: String,
+      targetRowsPerBucket: Long)
+      : Option[IndexHealth[graft.ops.TextIndex.LoadStats]] = {
+    val st = graft.ops.TextIndex.loadStats(spark, dir)
+    graft.ops.TextIndex.rebuildAdvice(st, targetRowsPerBucket).map { nb =>
+      IndexHealth(st, nb,
+        s"""TextIndex.build(spark, docs, "<fresh-dir>", """ +
+          s"termBuckets = $nb) // then point readers at <fresh-dir>")
+    }
+  }
+
   /** Release the clean-corpus stage cache the q89/q108 pipelines
     * memoize (one survivor-stage set per (session, dir), pinned in
     * executor storage until replaced): long-lived sessions that ran

@@ -460,4 +460,45 @@ class GraftApiSpec extends AnyFunSuite {
       graft.streaming.CurrentTable.heal(spark, cur)
     }
   }
+
+  test("annIndexHealth / textIndexHealth surface the maintained-index " +
+      "advisories as one operator call: silent healthy, measured " +
+      "stats + the exact maintenance call when outgrown") {
+    import graft.ops.{AnnIndex, TextIndex}
+    // ANN: 6 base vectors on 2 centroids, then a 60-vector growth
+    // spike into one cluster (the AnnIndexSpec fixture)
+    val annDir = java.nio.file.Files
+      .createTempDirectory("graft-api-ann-").toString
+    def vecs(rows: (Long, Seq[Double])*) = rows.toSeq.toDF("vec_id", "e")
+    val base = (1L to 3L).map(i => i -> Seq(1.0, i * 0.03, 0.0, 0.0)) ++
+      (4L to 6L).map(i => i -> Seq(0.03 * i, 1.0, 0.0, 0.0))
+    val cb = AnnIndex.seedCentroids(spark, vecs(base: _*), 2)
+    AnnIndex.build(spark, vecs(base: _*), cb, annDir)
+    assert(Graft.annIndexHealth(spark, annDir, 4).isEmpty,
+      "healthy index must be silent")
+    AnnIndex.applyDelta(spark, annDir,
+      vecs((100L until 160L).map(i =>
+        i -> Seq(1.0, i / 1000.0, 0.0, 0.0)): _*), vecs())
+    val ann = Graft.annIndexHealth(spark, annDir, 4)
+      .getOrElse(fail("grown index must advise"))
+    assert(ann.recommended == 17 && ann.stats.postingRows == 66L,
+      ann.toString)
+    assert(ann.call.contains("trainCodebook") &&
+      ann.call.contains("k = 17"), ann.call)
+
+    // text: 300 docs into 2 postings buckets
+    val tDir = java.nio.file.Files
+      .createTempDirectory("graft-api-ti-").toString
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("alpha"), lit("beta"),
+        concat(lit("w"), (col("id") % 50).cast("string"))).as("text"))
+    TextIndex.build(spark, docs, tDir, termBuckets = 2)
+    assert(Graft.textIndexHealth(spark, tDir, 500).isEmpty,
+      "in-band fanout must be silent")
+    val ti = Graft.textIndexHealth(spark, tDir, 50)
+      .getOrElse(fail("overloaded fanout must advise"))
+    assert(ti.recommended == 18 && ti.stats.postingRows == 900L,
+      ti.toString)
+    assert(ti.call.contains("termBuckets = 18"), ti.call)
+  }
 }
