@@ -1359,7 +1359,16 @@ object CurrentTable {
     * crashed sync swap that never reached its root write fails
     * LOUDLY (the probed bucket's path is gone — run
     * [[CurrentTable.heal]] and keep serving; the handle re-prepares
-    * by itself once the heal's next root write lands). Census-less
+    * by itself once the heal's next root write lands). The
+    * OVERSIZED-probe fallback inside [[Reader.lookup]] shares
+    * [[Reader.rawRows]]'s residual crashed-swap exposure, not
+    * `CurrentTable.lookup`'s [[buildHealed]] heal-or-refuse: it
+    * reads the prep's cached listing through signature revalidation,
+    * so a swap that crashed WITHOUT reaching its root rewrite
+    * surfaces as a planner file-not-found (or a stale-listing scan)
+    * rather than the guided refusal — acceptable under the
+    * single-maintainer discipline the handle already assumes, and
+    * healed the same way. Census-less
     * legacy tables are refused at creation: their folds don't
     * rewrite the root, so the staleness signature would miss them —
     * one [[pruneTombstones]] pass heals the census.

@@ -117,6 +117,26 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
     assert(onDiskPairs <= 2 * groupCount,
       s"seed $seed step $step: $onDiskPairs on-disk group dirs for " +
         s"$groupCount groups — dead pairs leaking")
+    // the rollup sidecar shares the PointerDir layout (one data
+    // pointer, GC keeps current + immediately-previous) and earns
+    // the same two invariants at every step of every schedule
+    val roDir = new java.io.File(s"$cur/_rollup/fz")
+    val roLines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(
+        roDir.toPath.resolve("_meta.txt"))).asScala
+    val roData = roLines.find(_.startsWith("data="))
+      .get.stripPrefix("data=")
+    if (roData.nonEmpty) {
+      val dd = new java.io.File(roDir, roData)
+      assert(dd.isDirectory &&
+        dd.listFiles().exists(_.getName.endsWith(".parquet")),
+        s"seed $seed step $step: dangling rollup pointer data=$roData")
+    }
+    val roGens = Option(roDir.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("d_"))
+    assert(roGens <= 2,
+      s"seed $seed step $step: $roGens rollup data dirs on disk — " +
+        "dead generations leaking")
   }
 
   test("random changelogs under random maintenance schedules always " +
