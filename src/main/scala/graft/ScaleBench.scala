@@ -1117,9 +1117,14 @@ object ScaleBench {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val hotRows = counts(hot)
     val avgRows = counts.values.sum / 64
-    def bitsOf(): Int = scala.io.Source
-      .fromFile(s"$cur/_index/email/_meta.txt").getLines()
-      .find(_.startsWith("bits=")).get.stripPrefix("bits=").toInt
+    def bitsOf(): Int = {
+      // read-all-and-close (the specs' pattern) — a held-open
+      // Source leaks a file handle per measured variant
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$cur/_index/email/_meta.txt"))
+      lines.toArray.map(_.toString)
+        .find(_.startsWith("bits=")).get.stripPrefix("bits=").toInt
+    }
     val nProbes = 40
     def measure(label: String, tAttach: Double): Unit = {
       var hotHits = 0
@@ -1447,6 +1452,80 @@ object ScaleBench {
     println(f"[scale] textindex ${n} docs: build ${tBuild}%5.2fs, " +
       f"query scan ${tScan}%5.2fs vs index ${tIdx}%5.2fs " +
       f"(${tScan / tIdx}%4.1fx), delta(1k up/100 del) ${tDelta}%5.2fs")
+  }
+
+  /** Fanout A/B for the inverted index's postings bucket count — the
+    * round-16 knob: the SAME corpus built at a deliberately-undersized
+    * fanout vs at the fanout [[graft.ops.TextIndex.rebuildAdvice]]
+    * itself recommends (the compared variant is FED by the public
+    * advisory, so the comparison can never drift from the real sizing
+    * arithmetic — the indexskew discipline). A term query reads its
+    * terms' buckets whole, so per-query postings IO ∝ corpus/fanout;
+    * the advisory's recommendation should buy back ~(rec/small)× of
+    * that scan.
+    */
+  private def textIndexFanoutExperiment(spark: SparkSession, work: String,
+      docsK: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val n = docsK * 1000L
+    val dir = s"$work/tif_docs_$docsK"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(99)),
+          i => concat(lit("t"),
+            pmod(pmod(hash(col("id") * 31 + i), lit(1009)) *
+              pmod(hash(i), lit(7)), lit(1000))))).as("text"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    val docs = spark.read.parquet(dir)
+    docs.write.format("noop").mode("overwrite").save()
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val terms = Seq("t1", "t42", "t999")
+    // pruned postings bytes per query: the terms' tb= dirs' on-disk
+    // size — the IO a term lookup pays as laid out, the metric that
+    // dominates at corpus scale (wall-clock at bench scale carries
+    // per-query fixed costs — census aggregate, broadcasts, job
+    // setup — that fanout cannot and should not change)
+    def prunedBytes(idx: String, nb: Int): Long = {
+      val tbs = terms.toDF("term")
+        .select(pmod(xxhash64(col("term")), lit(nb.toLong)).as("tb"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      tbs.toSeq.map { tb =>
+        val d = new java.io.File(s"$idx/postings/tb=$tb")
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      }.sum
+    }
+    def measure(nb: Int): (Double, Double, Long) = {
+      val idx = s"$work/tif_idx_${docsK}_$nb"
+      val tBuild = time(
+        graft.ops.TextIndex.build(spark, docs, idx, termBuckets = nb))
+      drain(graft.ops.TextIndex.search(spark, idx, terms)) // warm
+      val tQ = (1 to 3).map(_ =>
+        time(drain(graft.ops.TextIndex.search(spark, idx, terms)))).min
+      (tBuild, tQ, prunedBytes(idx, nb))
+    }
+    val small = 4
+    val (bSmall, qSmall, ioSmall) = measure(small)
+    val st = graft.ops.TextIndex.loadStats(spark,
+      s"$work/tif_idx_${docsK}_$small")
+    // target sized so ~1M posting rows land per bucket at the
+    // recommendation — a plausible serving budget
+    val rec = graft.ops.TextIndex.rebuildAdvice(st, 1000000L)
+      .getOrElse(sys.error(s"advisory silent at $st — raise docsK"))
+    val (bRec, qRec, ioRec) = measure(rec)
+    println(f"[scale] textindexfanout ${n} docs " +
+      f"(${st.postingRows} postings): fanout $small -> query " +
+      f"${qSmall}%5.2fs / ${ioSmall / 1048576}%d MB postings read " +
+      f"(build ${bSmall}%5.2fs); advisory-recommended fanout $rec -> " +
+      f"query ${qRec}%5.2fs / ${ioRec / 1048576}%d MB " +
+      f"(build ${bRec}%5.2fs): ${qSmall / qRec}%4.2fx time, " +
+      f"${ioSmall.toDouble / math.max(1L, ioRec)}%4.1fx IO")
   }
 
   private def zonemapExperiment(spark: SparkSession, work: String,
@@ -1876,6 +1955,14 @@ object ScaleBench {
       val spark = buildSession()
       textIndexExperiment(spark, args.lift(2).getOrElse("/tmp/graft-scale"),
         args.lift(1).map(_.toInt).getOrElse(1000))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("textindexfanout")) {
+      val spark = buildSession()
+      textIndexFanoutExperiment(spark,
+        args.lift(2).getOrElse("/tmp/graft-scale"),
+        args.lift(1).map(_.toInt).getOrElse(400))
       spark.stop()
       return
     }
