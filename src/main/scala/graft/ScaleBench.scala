@@ -1492,10 +1492,10 @@ object ScaleBench {
     // per-query fixed costs — census aggregate, broadcasts, job
     // setup — that fanout cannot and should not change)
     def prunedBytes(idx: String, nb: Int): Long = {
-      val tbs = terms.toDF("term")
-        .select(pmod(xxhash64(col("term")), lit(nb.toLong)).as("tb"))
-        .distinct().collect().map(_.getLong(0)).toSet
-      tbs.toSeq.map { tb =>
+      // the index's OWN routing — a re-derived hash expression here
+      // could silently drift and report garbage IO numbers
+      val tbs = graft.ops.TextIndex.bucketsOf(spark, terms, nb)
+      tbs.map { tb =>
         val d = new java.io.File(s"$idx/postings/tb=$tb")
         Option(d.listFiles()).getOrElse(Array.empty)
           .filter(_.getName.endsWith(".parquet")).map(_.length()).sum

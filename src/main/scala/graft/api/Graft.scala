@@ -408,7 +408,11 @@ object Graft {
     val st = graft.ops.AnnIndex.loadStats(spark, dir)
     graft.ops.AnnIndex.retrainAdvice(st, targetRowsPerCentroid).map { k =>
       IndexHealth(st, k,
-        s"""val cb = AnnIndex.trainCodebook(spark, vectors, k = $k); """ +
+        // iters has no default on trainCodebook — the advised call
+        // must be runnable as written; 10 Lloyd rounds is the q63
+        // fixture's converged depth, a sane maintenance default
+        s"""val cb = AnnIndex.trainCodebook(spark, vectors, k = $k, """ +
+          s"""iters = 10); """ +
           s"""AnnIndex.build(spark, vectors, cb, "<fresh-dir>") """ +
           "// then point readers at <fresh-dir>")
     }

@@ -85,6 +85,21 @@ object TextIndex {
       termBuckets: Int) =
     pmod(xxhash64(term), lit(termBuckets.toLong))
 
+  /** The distinct postings buckets `terms` hash to at `termBuckets`
+    * fanout — computed with the SAME expression the write side
+    * buckets with (one tiny local job; a caller-side hash
+    * reimplementation could silently drift from xxhash64).
+    * Package-visible so measurement code ([[graft.ScaleBench]]'s
+    * pruned-IO metric) shares the routing instead of re-deriving it.
+    */
+  private[graft] def bucketsOf(spark: SparkSession, terms: Seq[String],
+      termBuckets: Int): Seq[Long] = {
+    import spark.implicits._
+    terms.toDF("term")
+      .select(bucketOf(col("term"), termBuckets).as("tb"))
+      .distinct().as[Long].collect().toIndexedSeq
+  }
+
   /** (term, doc_id, tf, dl, tb, gen) for `docs` (doc_id, text) —
     * the q111 tokenizer, exploded and counted. Zero-token docs keep a
     * census row but no postings (they can never match a term).
@@ -114,16 +129,25 @@ object TextIndex {
     * replacing whatever was at `dir`. `termBuckets` is persisted in
     * the index meta and governs the index for its whole lifetime —
     * size it for the corpus you expect ([[rebuildAdvice]] names the
-    * number once the corpus is measurable). The meta lands FIRST:
-    * build (like [[NeardupIndex.build]]) is replace-not-atomic — a
-    * crash mid-build means re-run build — and meta-first guarantees
-    * no window where freshly-bucketed postings exist without the
-    * count that routes reads to them.
+    * number once the corpus is measurable). Build (like
+    * [[NeardupIndex.build]]) is replace-not-atomic: any old index
+    * data is deleted FIRST, then the meta lands, then the new data —
+    * so no crash state ever pairs a stored count with postings
+    * bucketed under a different one (that would misroute every
+    * search SILENTLY; this ordering makes every torn state fail
+    * LOUDLY on the missing data dir instead). A crash mid-build
+    * means re-run build; for reader continuity across a fanout
+    * change, build into a FRESH dir and swap readers — the shape
+    * [[rebuildAdvice]]'s consumers are told to use.
     */
   def build(spark: SparkSession, docs: DataFrame, dir: String,
       termBuckets: Int = TermBuckets): Unit = {
     require(termBuckets > 0,
       s"termBuckets must be positive, got $termBuckets")
+    val fs = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    for (p <- Seq(postingsDir(dir), docsDir(dir), tombsDir(dir)))
+      fs.delete(new Path(p), true)
     writeMeta(spark, dir, termBuckets)
     posted(docs, 0L, termBuckets)
       .write.mode(SaveMode.Overwrite).partitionBy("tb")
@@ -189,16 +213,11 @@ object TextIndex {
     require(terms.nonEmpty, "search needs at least one query term")
     require(terms.distinct.size == terms.size,
       s"duplicate query terms: ${terms.mkString(", ")}")
-    // the terms' bucket values, via the SAME expression AND the
-    // SAME stored bucket count the write side bucketed with (one
-    // tiny local job — a driver-side hash reimplementation could
-    // silently drift from xxhash64; a caller-side constant could
-    // silently misroute an index built at a different fanout)
     import spark.implicits._
-    val nb = termBucketsOf(spark, dir)
-    val tbs = terms.toDF("term")
-      .select(bucketOf(col("term"), nb).as("tb"))
-      .distinct().as[Long].collect()
+    // the terms' bucket values under the STORED fanout — a
+    // caller-side constant could silently misroute an index built
+    // at a different count
+    val tbs = bucketsOf(spark, terms, termBucketsOf(spark, dir))
     // ONE tombstone fold per query (broadcastIfSmall probes its input
     // eagerly — building it per live-side would re-run that probe),
     // shared by the census aggregate and the postings read
@@ -298,14 +317,18 @@ object TextIndex {
     * to the driver — maintenance cadence, never per query. `p99Rows`
     * is the p99-by-rank per-bucket count (= max below 100 buckets),
     * the shared [[BucketIndex.sizingRows]] statistic.
-    * `maxTermRows` — the largest single term's posting-list length —
-    * rides along because it is the INDIVISIBLE floor: a term's
-    * postings hash to one bucket whole, so no bucket count gets a
-    * bucket under its hottest term's list ([[rebuildAdvice]] uses it
-    * to never advise a rebuild that rebuilding cannot fix).
+    * `p99TopTermRows` — the largest single term's posting-list length
+    * INSIDE the p99-rank bucket — rides along because it is that
+    * bucket's INDIVISIBLE floor: a term's postings hash to one bucket
+    * whole, so no fanout gets the sizing bucket under its own hottest
+    * term's list ([[rebuildAdvice]] uses it to never advise a rebuild
+    * that rebuilding cannot fix). Scoped to the p99 bucket, not the
+    * global hottest term — a mega-term living in a COOLER bucket says
+    * nothing about whether the overloaded bucket would split.
     */
   case class LoadStats(termBuckets: Int, postingRows: Long,
-      meanRows: Double, p99Rows: Long, maxRows: Long, maxTermRows: Long)
+      meanRows: Double, p99Rows: Long, maxRows: Long,
+      p99TopTermRows: Long)
 
   def loadStats(spark: SparkSession, dir: String): LoadStats = {
     val nb = termBucketsOf(spark, dir)
@@ -328,10 +351,19 @@ object TextIndex {
         .collect().map(r => (r.getLong(1), r.getLong(2)))
     val counts = perTb.map(_._1).toIndexedSeq
     val total = counts.sum
+    // the p99-RANK bucket's own hottest term: sort pairs the way
+    // sizingRows sorts counts and take the same rank — the rows at
+    // that index are sizingRows' answer by construction, and the
+    // paired term count is the one the rebuild decision needs
+    val sorted = perTb.sortBy(p => (p._1, p._2)).toIndexedSeq
+    val p99Top =
+      if (sorted.isEmpty) 0L
+      else sorted(
+        math.max(0, math.ceil(sorted.size * 0.99).toInt - 1))._2
     LoadStats(nb, total, total.toDouble / math.max(1, nb),
       BucketIndex.sizingRows(counts),
       if (counts.isEmpty) 0L else counts.max,
-      if (perTb.isEmpty) 0L else perTb.map(_._2).max)
+      p99Top)
   }
 
   /** Pure rebuild decision over [[loadStats]] — Some(recommended
@@ -347,12 +379,16 @@ object TextIndex {
     * grow branch always recommends ≥2× the current count — also the
     * honest minimum, since the trigger statistic already proves ≥2×
     * the designed load; and a single term's posting list is
-    * INDIVISIBLE (it hashes to one bucket whole), so when the hot
-    * bucket is mostly one mega-term (`maxTermRows` ≥ half of
-    * `p99Rows`) and total volume alone doesn't warrant more buckets,
-    * the advice is None — a rebuild would move the list, not shrink
-    * it. Act with [[build]] into a fresh dir (same corpus, new
-    * count) and swap readers.
+    * INDIVISIBLE (it hashes to one bucket whole), so when the SIZING
+    * bucket is mostly its own one mega-term (`p99TopTermRows` ≥ half
+    * of `p99Rows`) and total volume alone doesn't warrant more
+    * buckets, the advice is None — a rebuild would move the list,
+    * not shrink it. The same no-futile-advice rule governs the 2^20
+    * fanout cap: a grow recommendation clamped to ≤ the current
+    * count would rebuild into the identical (or a coarser) layout,
+    * so past the cap the advisory stays silent rather than sending
+    * a cron in circles. Act with [[build]] into a fresh dir (same
+    * corpus, new count) and swap readers.
     */
   def rebuildAdvice(stats: LoadStats,
       targetRowsPerBucket: Long): Option[Int] = {
@@ -367,8 +403,11 @@ object TextIndex {
     def cap(n: Long): Int = math.min(1L << 20, n).toInt
     if (stats.p99Rows >= 2 * targetRowsPerBucket) {
       if (ideal <= stats.termBuckets &&
-          2 * stats.maxTermRows >= stats.p99Rows) None
-      else Some(cap(math.max(ideal, 2L * stats.termBuckets)))
+          2 * stats.p99TopTermRows >= stats.p99Rows) None
+      else {
+        val rec = cap(math.max(ideal, 2L * stats.termBuckets))
+        if (rec > stats.termBuckets) Some(rec) else None
+      }
     } else if (ideal * 2 <= stats.termBuckets) Some(cap(ideal))
     else None
   }

@@ -114,8 +114,7 @@ object ZoneMaps {
     val known = m.select("file").collect().map(_.getString(0)).toSet
     val fresh = dataFiles(spark, dataDir).filterNot(known)
     if (fresh.nonEmpty) {
-      val columns = m.columns.filter(_.endsWith("_min"))
-        .map(_.stripSuffix("_min")).toSeq
+      val columns = statColumnsOf(m)
       statsOf(spark, dataDir, fresh, columns, bloomColumnsOf(m),
           bloomBitsOf(m))
         .select(m.columns.map(col).toSeq: _*) // manifest column order
@@ -160,6 +159,13 @@ object ZoneMaps {
   /** The manifest's bloom-indexed columns (by `_bloom` suffix). */
   private def bloomColumnsOf(m: DataFrame): Seq[String] =
     m.columns.filter(_.endsWith("_bloom")).map(_.stripSuffix("_bloom")).toSeq
+
+  /** The manifest's min/max stat columns (by `_min` suffix) — the ONE
+    * derivation [[refresh]], [[statColumns]] and [[manifestHealth]]
+    * share, so a naming-rule change can never desynchronize them.
+    */
+  private def statColumnsOf(m: DataFrame): Seq[String] =
+    m.columns.filter(_.endsWith("_min")).map(_.stripSuffix("_min")).toSeq
 
   /** Public form of [[bloomColumnsOf]] — maintenance passes use it to
     * audit grid health ([[bloomFillRatio]]) after a rewrite.
@@ -223,8 +229,7 @@ object ZoneMaps {
       manifestDir: String): (Seq[(String, Double)], Seq[String]) = {
     restorePatchIfInterrupted(spark, manifestDir)
     val m = spark.read.parquet(manifestDir)
-    val stats = m.columns
-      .filter(_.endsWith("_min")).map(_.stripSuffix("_min")).toSeq
+    val stats = statColumnsOf(m)
     val bcs = bloomColumnsOf(m)
     val health =
       if (bcs.isEmpty) Nil
@@ -247,8 +252,7 @@ object ZoneMaps {
     */
   def statColumns(spark: SparkSession, manifestDir: String): Seq[String] = {
     restorePatchIfInterrupted(spark, manifestDir)
-    spark.read.parquet(manifestDir).columns
-      .filter(_.endsWith("_min")).map(_.stripSuffix("_min")).toSeq
+    statColumnsOf(spark.read.parquet(manifestDir))
   }
 
   def bloomFillRatio(spark: SparkSession, manifestDir: String,

@@ -483,8 +483,11 @@ class GraftApiSpec extends AnyFunSuite {
       .getOrElse(fail("grown index must advise"))
     assert(ann.recommended == 17 && ann.stats.postingRows == 66L,
       ann.toString)
+    // the call must be runnable as written — trainCodebook has no
+    // default for iters, so the advised line must supply it
     assert(ann.call.contains("trainCodebook") &&
-      ann.call.contains("k = 17"), ann.call)
+      ann.call.contains("k = 17") && ann.call.contains("iters ="),
+      ann.call)
 
     // text: 300 docs into 2 postings buckets
     val tDir = java.nio.file.Files

@@ -164,7 +164,7 @@ class TextIndexSpec extends AnyFunSuite {
     assert(s.termBuckets == 2)
     assert(s.postingRows == 900L) // 3 distinct terms per doc
     assert(s.p99Rows == s.maxRows, "p99 = max below 100 buckets")
-    assert(s.maxTermRows == 300L) // alpha (and beta) in every doc
+    assert(s.p99TopTermRows == 300L) // the p99 bucket holds alpha or beta
     // grown: p99 ≥ 2×target and total warrants more buckets — the
     // recommendation is ≥ 2× current (same modulus = same layout)
     val rec = TextIndex.rebuildAdvice(s, targetRowsPerBucket = 50)
@@ -194,7 +194,7 @@ class TextIndexSpec extends AnyFunSuite {
     val hotDir = tmp()
     TextIndex.build(spark, hot, hotDir, termBuckets = 4)
     val sh = TextIndex.loadStats(spark, hotDir)
-    assert(sh.maxTermRows == 200L && sh.p99Rows == 200L)
+    assert(sh.p99TopTermRows == 200L && sh.p99Rows == 200L)
     assert(TextIndex.rebuildAdvice(sh, targetRowsPerBucket = 60).isEmpty)
     // empty index: None, and loadStats reads zero, not a crash
     val empty = tmp()
@@ -202,8 +202,61 @@ class TextIndexSpec extends AnyFunSuite {
       Seq.empty[(Long, String)].toDF("doc_id", "text"), empty,
       termBuckets = 4)
     val se = TextIndex.loadStats(spark, empty)
-    assert(se.postingRows == 0L && se.maxTermRows == 0L)
+    assert(se.postingRows == 0L && se.p99TopTermRows == 0L)
     assert(TextIndex.rebuildAdvice(se, targetRowsPerBucket = 10).isEmpty)
+  }
+
+  test("rebuildAdvice's mega-term veto is scoped to the SIZING bucket " +
+      "(a mega-term in a cooler bucket must not silence a fixable " +
+      "overload), and at the 2^20 fanout cap a grow that cannot " +
+      "exceed the current count stays silent instead of advising a " +
+      "no-op rebuild") {
+    // cooler-bucket mega-term: the p99 bucket (1000 rows) is fully
+    // splittable (its top term is 5 rows); a 600-row single-term
+    // bucket elsewhere is irrelevant to whether MORE buckets help
+    val splittable = TextIndex.LoadStats(termBuckets = 4,
+      postingRows = 1700L, meanRows = 425.0, p99Rows = 1000L,
+      maxRows = 1000L, p99TopTermRows = 5L)
+    assert(TextIndex.rebuildAdvice(splittable, 500L).contains(8),
+      "a splittable hot bucket must advise 2x the fanout")
+    // the SAME shape with the p99 bucket itself mega-term-dominated
+    // is futile: no fanout splits one posting list
+    val dominated = splittable.copy(p99TopTermRows = 600L)
+    assert(TextIndex.rebuildAdvice(dominated, 500L).isEmpty)
+    // at the cap: p99 trips the band but the recommendation cannot
+    // exceed the current count — same-count hash rebuild = identical
+    // layout, so silence, not a cron loop
+    val capped = TextIndex.LoadStats(termBuckets = 1 << 20,
+      postingRows = (1L << 20) * 100L, meanRows = 100.0,
+      p99Rows = 10000L, maxRows = 10000L, p99TopTermRows = 5L)
+    assert(TextIndex.rebuildAdvice(capped, 100L).isEmpty,
+      "cap-clamped grow must be silent, never a no-op recommendation")
+  }
+
+  test("an in-place rebuild can never pair a stored count with " +
+      "postings bucketed under a different one: the torn state fails " +
+      "loudly, a completed rebuild serves the new fanout") {
+    val dir = tmp()
+    TextIndex.build(spark, corpus, dir) // 64
+    // the worst crash state the delete-data-first ordering can leave:
+    // old data gone, new meta landed, new postings never written —
+    // a search must THROW (missing dir), not silently misroute or
+    // return empty over stale postings
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/postings"),
+      true))
+    graft.streaming.AtomicFiles.write(s"$dir/_meta.txt", "tb=8",
+      spark.sparkContext.hadoopConfiguration)
+    intercept[Exception] {
+      TextIndex.search(spark, dir, terms).collect()
+    }
+    // re-running build (the documented crash remedy) completes the
+    // fanout change and serves correctly at the new count
+    TextIndex.build(spark, corpus, dir, termBuckets = 8)
+    assert(TextIndex.termBucketsOf(spark, dir) == 8)
+    assert(scores(TextIndex.search(spark, dir, terms))
+      == scores(Graft.bm25(corpus, terms)))
   }
 
   test("a query reads only its terms' postings buckets") {
