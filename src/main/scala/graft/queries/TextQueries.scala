@@ -1364,7 +1364,12 @@ object TextQueries {
       }) { (spark, dir) =>
       val work = QueryDef.tempWorkDir("graft-ti-q121-")
       val docs = Tables(spark, dir).documents.select("doc_id", "text")
-      graft.ops.TextIndex.build(spark, docs, s"$work/idx")
+      // non-default fanout (round 16 build knob): scores are
+      // fanout-independent by construction, so the oracle hash also
+      // gates the stored-count routing end to end — a misroute would
+      // drop matching postings and change the top-10
+      graft.ops.TextIndex.build(spark, docs, s"$work/idx",
+        termBuckets = 16)
       graft.ops.TextIndex.applyDelta(spark, s"$work/idx",
         upserts = docs.limit(0),
         deletes = docs.filter(col("doc_id") % 17 === 0).select("doc_id"))
