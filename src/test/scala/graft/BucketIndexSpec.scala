@@ -38,12 +38,11 @@ class BucketIndexSpec extends AnyFunSuite {
   private def idsByIndex(cur: String, email: String): Set[Long] =
     byIndex(cur, email).select("id").collect().map(_.getLong(0)).toSet
 
-  /** The sidecar manifest's group pointers, `"g<N>" -> dirName`. */
+  /** The sidecar manifest's group pointers, `"g<N>" -> dirName` —
+    * the shared parser, pinned to this suite's "email" column.
+    */
   private def pointersOf(cur: String): Map[String, String] =
-    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
-        s"$cur/_index/email/_meta.txt")).toArray.map(_.toString)
-      .filter(l => l.matches("g\\d+=.*"))
-      .map { l => val Array(g, d) = l.split("=", 2); g -> d }.toMap
+    SidecarTestOps.pointersOf(cur, "email")
 
   test("lookupBy equals the exact filter, reads fewer buckets, and " +
       "syncs keep the index fresh through updates and deletes") {
@@ -590,23 +589,11 @@ class BucketIndexSpec extends AnyFunSuite {
       "re-measured sizing must read healthy")
   }
 
-  /** Null `nrows` in the sidecar's bloom rows for every bucket except
-    * `keepKb` — the on-disk shape of a sidecar published before the
-    * per-publish counts existed (group dirs rewritten in place; the
-    * manifest's pointers keep their paths).
+  /** The shared pre-measurement doctor (see [[SidecarTestOps]]),
+    * pinned to this suite's "email" column.
     */
   private def dropCounts(cur: String, keepKb: Set[Int]): Unit =
-    for ((g, d) <- pointersOf(cur).toSeq) {
-      val gdir = s"$cur/_index/email/$d/grp=${g.stripPrefix("g")}"
-      val df = spark.read.parquet(gdir)
-      val doctored = df.withColumn("nrows",
-        when(col("kb").isin(keepKb.toSeq: _*), col("nrows"))
-          .otherwise(lit(null).cast("long")))
-      val rows = doctored.collect()
-      spark.createDataFrame(
-          java.util.Arrays.asList(rows: _*), doctored.schema)
-        .repartition(1).write.mode("overwrite").parquet(gdir)
-    }
+    SidecarTestOps.dropCounts(spark, cur, "email", keepKb)
 
   test("capacityAdvice on a count-less (pre-measurement) sidecar " +
       "advises the measuring re-attach instead of a hot-biased " +

@@ -412,6 +412,55 @@ class CdcPipelineSpec extends AnyFunSuite {
       !r.contains(""""advice"""")), records().toString)
   }
 
+  test("a count-less pre-measurement sidecar surfaces through the " +
+      "pipeline as reason=counts-unknown; counts regained by later " +
+      "syncs return it to measured silence") {
+    val in = tmp(); val out = tmp(); val status = tmp()
+    writeFixture(in, "00-snapshot.jsonl", (1 to 32).map(i =>
+      row("READ", "users", 1700000000000L, "mysql-bin.000001", 0,
+        s""""id":{"int":$i},"name":{"string":"u$i"},"balance":null""")))
+    val cfg = CdcConfig("srcCuk", registry, out.toString,
+      statusStorePath = Some(status.toString),
+      currentKeys = Map("testdb.users" -> Seq("id")),
+      currentIndexColumns = Map("testdb.users" -> Seq("name")),
+      currentBuckets = 4, currentFullsyncBatches = 1)
+    run(cfg, in)
+    def records(): Seq[String] = Files.walk(status).toArray
+      .map(_.toString).filter(_.endsWith(".json"))
+      .map(p => new String(Files.readAllBytes(Paths.get(p)), "UTF-8"))
+      .toSeq
+    assert(!records().exists(_.contains(""""advice":"reattach-index"""")))
+    // fabricate a pre-measurement sidecar: every bucket's counts gone
+    val cur = s"$out/srcCuk_testdb__users__current"
+    SidecarTestOps.dropCounts(spark, cur, "name", keepKb = Set.empty)
+    // a 1-row batch refreshes only ITS bucket's count — the unknown
+    // majority must surface as the measuring re-attach, not silence
+    // and not a verdict measured from the one hot bucket
+    writeFixture(in, "01-one.jsonl", Seq(
+      row("CREATE", "users", 1700000100000L, "mysql-bin.000001", 33,
+        """"id":{"int":33},"name":{"string":"u33"},"balance":null""")))
+    run(cfg, in)
+    val unknown = records()
+      .filter(_.contains(""""reason":"counts-unknown""""))
+    assert(unknown.nonEmpty, s"no counts-unknown advice in ${records()}")
+    assert(unknown.head.contains(""""advice":"reattach-index""""),
+      unknown.head)
+    assert(unknown.head.contains(""""unknown_buckets":3"""), unknown.head)
+    assert(unknown.head.contains("""BucketIndex.detach"""), unknown.head)
+    // a batch touching every bucket re-stamps all counts: healthy and
+    // fully measured again, so no NEW advice lands
+    val before = records().size
+    writeFixture(in, "02-refresh.jsonl", (34 to 65).map(i =>
+      row("CREATE", "users", 1700000200000L, "mysql-bin.000001", i,
+        s""""id":{"int":$i},"name":{"string":"u$i"},"balance":null""")))
+    run(cfg, in)
+    val fresh = records().filter(
+      _.contains(""""advice":"reattach-index""""))
+    assert(records().size > before, "batch 3 wrote no status records")
+    assert(fresh.size == unknown.size,
+      s"advice kept firing after counts were re-stamped: $fresh")
+  }
+
   test("zone-map grid saturation after auto-compaction lands in the " +
       "status store naming the exact rebuild with re-sized grids") {
     val in = tmp(); val out = tmp(); val status = tmp()
