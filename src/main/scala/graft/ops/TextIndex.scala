@@ -324,7 +324,12 @@ object TextIndex {
     * term's list ([[rebuildAdvice]] uses it to never advise a rebuild
     * that rebuilding cannot fix). Scoped to the p99 bucket, not the
     * global hottest term — a mega-term living in a COOLER bucket says
-    * nothing about whether the overloaded bucket would split.
+    * nothing about whether the overloaded bucket would split — and
+    * among buckets TIED at the p99 row count, to the least-dominated
+    * one: a tie means several buckets carry the sizing load, and if
+    * any of them is splittable the rebuild helps, so the veto must
+    * not be decided by whichever tied bucket a sort order happens to
+    * surface.
     */
   case class LoadStats(termBuckets: Int, postingRows: Long,
       meanRows: Double, p99Rows: Long, maxRows: Long,
@@ -351,17 +356,16 @@ object TextIndex {
         .collect().map(r => (r.getLong(1), r.getLong(2)))
     val counts = perTb.map(_._1).toIndexedSeq
     val total = counts.sum
-    // the p99-RANK bucket's own hottest term: sort pairs the way
-    // sizingRows sorts counts and take the same rank — the rows at
-    // that index are sizingRows' answer by construction, and the
-    // paired term count is the one the rebuild decision needs
-    val sorted = perTb.sortBy(p => (p._1, p._2)).toIndexedSeq
+    val p99 = BucketIndex.sizingRows(counts)
+    // the sizing bucket's own hottest term, derived from sizingRows'
+    // OWN answer (no re-implemented rank arithmetic to drift): among
+    // buckets tied at the p99 row count, take the LEAST dominated —
+    // if ANY bucket at the sizing load is splittable, a rebuild is
+    // not futile, so the veto must not hide behind a tied mega-term
     val p99Top =
-      if (sorted.isEmpty) 0L
-      else sorted(
-        math.max(0, math.ceil(sorted.size * 0.99).toInt - 1))._2
-    LoadStats(nb, total, total.toDouble / math.max(1, nb),
-      BucketIndex.sizingRows(counts),
+      if (perTb.isEmpty) 0L
+      else perTb.filter(_._1 == p99).map(_._2).min
+    LoadStats(nb, total, total.toDouble / math.max(1, nb), p99,
       if (counts.isEmpty) 0L else counts.max,
       p99Top)
   }

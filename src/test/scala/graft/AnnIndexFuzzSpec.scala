@@ -7,14 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.AnnIndex
 
-/** Randomized delta/compact schedules for the maintained IVF index:
-  * after every step, (1) the index's live set must equal the expected
-  * key→vector state (the generation/tombstone kill rule under torn
-  * retries and interleaved compactions), and (2) a full-probe search
-  * (nprobe = centroids, so IVF degenerates to exact scan) must return
-  * exactly the brute-force cosine top-k over that state — the same
-  * oracle discipline as [[TextIndexFuzzSpec]], on the vector member
-  * of the family.
+/** Randomized delta/compact schedules for the maintained IVF index
+  * under the shared [[IndexFuzzHarness]]: after every step, (1) the
+  * index's live set must equal the expected key→vector state (the
+  * generation/tombstone kill rule under torn retries and interleaved
+  * compactions), and (2) a full-probe search (nprobe = centroids, so
+  * IVF degenerates to exact scan) must return exactly the brute-force
+  * cosine top-k over that state.
   */
 class AnnIndexFuzzSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
@@ -37,70 +36,40 @@ class AnnIndexFuzzSpec extends AnyFunSuite {
       val rnd = new scala.util.Random(seed)
       val k = 2 + rnd.nextInt(3) // centroids
       val dir = Files.createTempDirectory(s"graft-annf-$seed-").toString
-      var state = (1L to (6 + rnd.nextInt(6)).toLong)
+      val initial = (1L to (6 + rnd.nextInt(6)).toLong)
         .map(i => i -> vec(rnd)).toMap
-      var nextId = state.size + 1L
-      val cb = AnnIndex.seedCentroids(spark, df(state), k)
-      AnnIndex.build(spark, df(state), cb, dir)
-
-      def check(step: String): Unit = {
-        // (1) the live set IS the expected state
-        val got = AnnIndex.live(spark, dir)
-          .select("vec_id", "e").collect()
-          .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
-        assert(got == state, s"seed $seed $step: live set diverged")
-        // (2) full-probe search == brute-force top-3 (ties to lower id)
-        val q = state.head
-        val want = state.toSeq.filter(_._1 != q._1)
-          .map { case (id, e) =>
-            (id, math.rint(cosine(q._2, e) * 1e9) / 1e9) }
-          .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
-        val res = AnnIndex.search(spark, dir,
-            Seq((q._1, q._2)).toDF("qid", "qe"), nprobe = k, k = 3)
-          .orderBy("rn").select("vec_id", "cos").collect()
-          .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9) / 1e9))
-        // compare by score first: distinct random vectors make exact
-        // score ties (which could reorder ids) vanishingly unlikely,
-        // and the 1e-9 rounding absorbs float-order noise
-        assert(res.map(_._1).toSeq == want,
-          s"seed $seed $step: search ${res.toSeq} != brute force $want")
-      }
-      check("build")
-
-      for (step <- 0 until 4 + rnd.nextInt(4)) {
-        rnd.nextInt(4) match {
-          case 0 => // upserts: new vectors + a rewrite
-            val news = (0 until 1 + rnd.nextInt(3)).map { _ =>
-              val id = nextId; nextId += 1; id -> vec(rnd)
-            }
-            val rewrites = rnd.shuffle(state.keys.toSeq)
-              .take(rnd.nextInt(2)).map(id => id -> vec(rnd))
-            val up = (news ++ rewrites).toMap
-            AnnIndex.applyDelta(spark, dir, df(up),
-              spark.emptyDataset[Long].toDF("vec_id"))
-            state = state ++ up
-          case 1 => // deletes, never below 5 live (top-3 + query + 1)
-            if (state.size > 5) {
-              val dead = rnd.shuffle(state.keys.toSeq)
-                .take(1 + rnd.nextInt(2))
-              AnnIndex.applyDelta(spark, dir,
-                Seq.empty[(Long, Seq[Double])].toDF("vec_id", "e"),
-                dead.toDF("vec_id"))
-              state = state -- dead
-            }
-          case 2 => // torn-delta retry
-            val id = nextId; nextId += 1
-            val up = Map(id -> vec(rnd))
-            AnnIndex.applyDelta(spark, dir, df(up),
-              spark.emptyDataset[Long].toDF("vec_id"))
-            AnnIndex.applyDelta(spark, dir, df(up),
-              spark.emptyDataset[Long].toDF("vec_id"))
-            state = state ++ up
-          case 3 =>
-            AnnIndex.compact(spark, dir)
-        }
-        check(s"step $step")
-      }
+      val cb = AnnIndex.seedCentroids(spark, df(initial), k)
+      AnnIndex.build(spark, df(initial), cb, dir)
+      IndexFuzzHarness.run[Seq[Double]](rnd, initial,
+        freshValue = () => vec(rnd),
+        upsert = up => AnnIndex.applyDelta(spark, dir, df(up),
+          spark.emptyDataset[Long].toDF("vec_id")),
+        delete = dead => AnnIndex.applyDelta(spark, dir,
+          Seq.empty[(Long, Seq[Double])].toDF("vec_id", "e"),
+          dead.toDF("vec_id")),
+        compact = () => AnnIndex.compact(spark, dir),
+        deleteFloor = 5, // top-3 candidates + the query vector + slack
+        check = (state, step) => {
+          // (1) the live set IS the expected state
+          val got = AnnIndex.live(spark, dir)
+            .select("vec_id", "e").collect()
+            .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+          assert(got == state, s"seed $seed $step: live set diverged")
+          // (2) full-probe search == brute-force top-3 (ties to lower
+          // id): distinct random vectors make exact score ties
+          // vanishingly unlikely, and the 1e-9 rounding absorbs
+          // float-order noise
+          val q = state.head
+          val want = state.toSeq.filter(_._1 != q._1)
+            .map { case (id, e) =>
+              (id, math.rint(cosine(q._2, e) * 1e9) / 1e9) }
+            .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+          val res = AnnIndex.search(spark, dir,
+              Seq((q._1, q._2)).toDF("qid", "qe"), nprobe = k, k = 3)
+            .orderBy("rn").select("vec_id").collect().map(_.getLong(0))
+          assert(res.toSeq == want,
+            s"seed $seed $step: search ${res.toSeq} != brute force $want")
+        })
     }
   }
 }

@@ -9,13 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.NeardupIndex
 
 /** Randomized delta/compact schedules for the maintained near-dup
-  * index: after every step the index's LIVE band set must equal
-  * banding the expected corpus from scratch (the maintained dataset
-  * is exactly the one a rebuild would produce — the whole point of
-  * the generation/tombstone protocol), and a probe of a fresh batch
-  * must equal the from-scratch candidate join over that corpus.
-  * Completes the fuzz family: [[TextIndexFuzzSpec]] (postings),
-  * [[AnnIndexFuzzSpec]] (vectors), this (bands).
+  * index under the shared [[IndexFuzzHarness]]: after every step the
+  * index's LIVE band set must equal banding the expected corpus from
+  * scratch (the maintained dataset is exactly the one a rebuild would
+  * produce — the whole point of the generation/tombstone protocol),
+  * and a probe of a fresh batch must equal the from-scratch candidate
+  * join over that corpus.
   */
 class NeardupIndexFuzzSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
@@ -45,71 +44,43 @@ class NeardupIndexFuzzSpec extends AnyFunSuite {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)
       val dir = Files.createTempDirectory(s"graft-ndf-$seed-").toString
-      var state = (1L to (5 + rnd.nextInt(8)).toLong)
+      val initial = (1L to (5 + rnd.nextInt(8)).toLong)
         .map(i => i -> docText(rnd)).toMap
-      var nextId = 100L
-      NeardupIndex.build(spark, df(state), dir)
-
-      def check(step: String): Unit = {
-        val live = bandSet(NeardupIndex.live(spark, dir))
-        val want = bandSet(
-          graft.queries.TextQueries.docBands(spark, df(state)))
-        assert(live == want,
-          s"seed $seed $step: live bands diverged from a fresh banding")
-        // probe a fresh (unapplied) batch: index-served candidates ==
-        // the from-scratch candidate join over the same corpus
-        val batch = (0 until 2).map { _ =>
-          val id = nextId + 1000; (id + rnd.nextInt(3), docText(rnd))
-        }.toMap.toSeq.toDF("doc_id", "text")
-        val got = NeardupIndex.probe(spark, dir, batch)
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        val wantPairs = graft.queries.TextQueries
-          .docBands(spark, batch).as("n")
-          .join(graft.queries.TextQueries.docBands(spark, df(state)).as("i"),
-            col("n.band") === col("i.band") &&
-              col("n.bucket") === col("i.bucket") &&
-              col("n.doc_id") =!= col("i.doc_id"))
-          .select(col("n.doc_id"), col("i.doc_id")).distinct()
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        assert(got == wantPairs,
-          s"seed $seed $step: probe $got != from-scratch $wantPairs")
-      }
-      check("build")
-
-      for (step <- 0 until 4 + rnd.nextInt(4)) {
-        rnd.nextInt(4) match {
-          case 0 => // upserts: new docs + a rewrite
-            val news = (0 until 1 + rnd.nextInt(3)).map { _ =>
-              val id = nextId; nextId += 1; id -> docText(rnd)
-            }
-            val rewrites = rnd.shuffle(state.keys.toSeq)
-              .take(rnd.nextInt(2)).map(id => id -> docText(rnd))
-            val up = (news ++ rewrites).toMap
-            NeardupIndex.applyDelta(spark, dir, df(up),
-              spark.emptyDataset[Long].toDF("doc_id"))
-            state = state ++ up
-          case 1 => // deletes, never below 2 live docs
-            if (state.size > 2) {
-              val dead = rnd.shuffle(state.keys.toSeq)
-                .take(1 + rnd.nextInt(2))
-              NeardupIndex.applyDelta(spark, dir,
-                Seq.empty[(Long, String)].toDF("doc_id", "text"),
-                dead.toDF("doc_id"))
-              state = state -- dead
-            }
-          case 2 => // torn-delta retry: the SAME delta applied twice
-            val id = nextId; nextId += 1
-            val up = Map(id -> docText(rnd))
-            NeardupIndex.applyDelta(spark, dir, df(up),
-              spark.emptyDataset[Long].toDF("doc_id"))
-            NeardupIndex.applyDelta(spark, dir, df(up),
-              spark.emptyDataset[Long].toDF("doc_id"))
-            state = state ++ up
-          case 3 =>
-            NeardupIndex.compact(spark, dir)
-        }
-        check(s"step $step")
-      }
+      NeardupIndex.build(spark, df(initial), dir)
+      IndexFuzzHarness.run[String](rnd, initial,
+        freshValue = () => docText(rnd),
+        upsert = up => NeardupIndex.applyDelta(spark, dir, df(up),
+          spark.emptyDataset[Long].toDF("doc_id")),
+        delete = dead => NeardupIndex.applyDelta(spark, dir,
+          Seq.empty[(Long, String)].toDF("doc_id", "text"),
+          dead.toDF("doc_id")),
+        compact = () => NeardupIndex.compact(spark, dir),
+        deleteFloor = 2,
+        check = (state, step) => {
+          val live = bandSet(NeardupIndex.live(spark, dir))
+          val want = bandSet(
+            graft.queries.TextQueries.docBands(spark, df(state)))
+          assert(live == want,
+            s"seed $seed $step: live bands diverged from a fresh banding")
+          // probe a fresh (unapplied) batch: index-served candidates
+          // == the from-scratch candidate join over the same corpus
+          val batch = (0 until 2).map(i =>
+            (10000L + rnd.nextInt(100) * 2 + i, docText(rnd)))
+            .toDF("doc_id", "text")
+          val got = NeardupIndex.probe(spark, dir, batch)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val wantPairs = graft.queries.TextQueries
+            .docBands(spark, batch).as("n")
+            .join(graft.queries.TextQueries
+                .docBands(spark, df(state)).as("i"),
+              col("n.band") === col("i.band") &&
+                col("n.bucket") === col("i.bucket") &&
+                col("n.doc_id") =!= col("i.doc_id"))
+            .select(col("n.doc_id"), col("i.doc_id")).distinct()
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          assert(got == wantPairs,
+            s"seed $seed $step: probe $got != from-scratch $wantPairs")
+        })
     }
   }
 }

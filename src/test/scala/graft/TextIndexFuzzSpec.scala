@@ -9,13 +9,13 @@ import graft.api.Graft
 import graft.ops.TextIndex
 
 /** Randomized schedules for the maintained inverted index: random
-  * fanouts (including the 1-bucket degenerate), random upsert/delete
-  * deltas, torn-delta retries and compactions at random points — after
-  * EVERY step, index-served BM25 must equal the kernel over the same
-  * live corpus to its own rounding, and the stored fanout must be the
-  * one the index was built with. The CurrentTableFuzzSpec discipline
-  * applied to the index family's newest knob: example specs pin the
-  * designed states, the fuzz walks the states nobody designed.
+  * fanouts (including the 1-bucket degenerate) under the shared
+  * [[IndexFuzzHarness]] schedule — after EVERY step, index-served
+  * BM25 must equal the kernel over the same live corpus to its own
+  * rounding, and the stored fanout must be the one the index was
+  * built with. The CurrentTableFuzzSpec discipline applied to the
+  * index family's newest knob: example specs pin the designed states,
+  * the fuzz walks the states nobody designed.
   */
 class TextIndexFuzzSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
@@ -41,56 +41,27 @@ class TextIndexFuzzSpec extends AnyFunSuite {
       val rnd = new scala.util.Random(seed)
       val nb = 1 + rnd.nextInt(12)
       val dir = Files.createTempDirectory(s"graft-tif-$seed-").toString
-      var state = (1L to (5 + rnd.nextInt(10)).toLong)
+      val initial = (1L to (5 + rnd.nextInt(10)).toLong)
         .map(i => i -> docText(rnd)).toMap
-      var nextId = state.size + 1L
-      TextIndex.build(spark, df(state), dir, termBuckets = nb)
-
-      def check(step: String): Unit = {
-        val terms = rnd.shuffle(vocab).take(2) :+ "neverword"
-        val got = scores(TextIndex.search(spark, dir, terms))
-        val want = scores(Graft.bm25(df(state), terms))
-        assert(got == want,
-          s"seed $seed nb $nb $step: index $got != kernel $want")
-        assert(TextIndex.termBucketsOf(spark, dir) == nb,
-          s"seed $seed $step: stored fanout drifted")
-      }
-      check("build")
-
-      for (step <- 0 until 5 + rnd.nextInt(4)) {
-        rnd.nextInt(4) match {
-          case 0 => // upsert delta: some new docs, some rewrites
-            val news = (0 until 1 + rnd.nextInt(3)).map { _ =>
-              val id = nextId; nextId += 1; id -> docText(rnd)
-            }
-            val rewrites = rnd.shuffle(state.keys.toSeq)
-              .take(rnd.nextInt(2)).map(id => id -> docText(rnd))
-            val up = (news ++ rewrites).toMap
-            TextIndex.applyDelta(spark, dir, df(up),
-              spark.emptyDataset[Long].toDF("doc_id"))
-            state = state ++ up
-          case 1 => // delete delta, never below 2 live docs
-            if (state.size > 2) {
-              val dead = rnd.shuffle(state.keys.toSeq)
-                .take(1 + rnd.nextInt(2))
-              TextIndex.applyDelta(spark, dir,
-                Seq.empty[(Long, String)].toDF("doc_id", "text"),
-                dead.toDF("doc_id"))
-              state = state -- dead
-            }
-          case 2 => // torn-delta retry: the SAME delta applied twice
-            val id = nextId; nextId += 1
-            val up = Map(id -> docText(rnd))
-            TextIndex.applyDelta(spark, dir, df(up),
-              spark.emptyDataset[Long].toDF("doc_id"))
-            TextIndex.applyDelta(spark, dir, df(up),
-              spark.emptyDataset[Long].toDF("doc_id"))
-            state = state ++ up
-          case 3 =>
-            TextIndex.compact(spark, dir)
-        }
-        check(s"step $step")
-      }
+      TextIndex.build(spark, df(initial), dir, termBuckets = nb)
+      IndexFuzzHarness.run[String](rnd, initial,
+        freshValue = () => docText(rnd),
+        upsert = up => TextIndex.applyDelta(spark, dir, df(up),
+          spark.emptyDataset[Long].toDF("doc_id")),
+        delete = dead => TextIndex.applyDelta(spark, dir,
+          Seq.empty[(Long, String)].toDF("doc_id", "text"),
+          dead.toDF("doc_id")),
+        compact = () => TextIndex.compact(spark, dir),
+        deleteFloor = 2,
+        check = (state, step) => {
+          val terms = rnd.shuffle(vocab).take(2) :+ "neverword"
+          val got = scores(TextIndex.search(spark, dir, terms))
+          val want = scores(Graft.bm25(df(state), terms))
+          assert(got == want,
+            s"seed $seed nb $nb $step: index $got != kernel $want")
+          assert(TextIndex.termBucketsOf(spark, dir) == nb,
+            s"seed $seed $step: stored fanout drifted")
+        })
       // the postings on disk never leak outside the built fanout
       val tbDirs = Option(new java.io.File(s"$dir/postings").listFiles())
         .getOrElse(Array.empty).map(_.getName)
