@@ -1495,10 +1495,17 @@ object ScaleBench {
       // the index's OWN routing — a re-derived hash expression here
       // could silently drift and report garbage IO numbers
       val tbs = graft.ops.TextIndex.bucketsOf(spark, terms, nb)
+      // Hadoop FS listing, not java.io.File: a local-only listing
+      // would silently report 0 MB if this bench ever ran against an
+      // HDFS/S3 work dir — a wrong number is worse than a slow one
+      val conf = spark.sessionState.newHadoopConf()
       tbs.map { tb =>
-        val d = new java.io.File(s"$idx/postings/tb=$tb")
-        Option(d.listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+        val p = new org.apache.hadoop.fs.Path(s"$idx/postings/tb=$tb")
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) 0L
+        else fs.listStatus(p)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
       }.sum
     }
     def measure(nb: Int): (Double, Double, Long) = {
@@ -1518,6 +1525,7 @@ object ScaleBench {
     // recommendation — a plausible serving budget
     val rec = graft.ops.TextIndex.rebuildAdvice(st, 1000000L)
       .getOrElse(sys.error(s"advisory silent at $st — raise docsK"))
+      .termBuckets
     val (bRec, qRec, ioRec) = measure(rec)
     println(f"[scale] textindexfanout ${n} docs " +
       f"(${st.postingRows} postings): fanout $small -> query " +

@@ -423,15 +423,22 @@ object Graft {
     * recommended fanout (always ≥2× current on grow — a hash modulus
     * rebuilt at the same count reproduces the identical layout — and
     * silent when one indivisible mega-term is the whole hot bucket).
+    * The advised call carries the skew floor
+    * ([[graft.ops.TextIndex.Rebuild.termBucketsFloor]]) into the
+    * fresh build — dropping it there would forget the collision
+    * evidence the rebuild just paid to learn, re-opening the
+    * grow↔shrink oscillation the floor exists to close.
     */
   def textIndexHealth(spark: SparkSession, dir: String,
       targetRowsPerBucket: Long)
       : Option[IndexHealth[graft.ops.TextIndex.LoadStats]] = {
     val st = graft.ops.TextIndex.loadStats(spark, dir)
-    graft.ops.TextIndex.rebuildAdvice(st, targetRowsPerBucket).map { nb =>
-      IndexHealth(st, nb,
+    graft.ops.TextIndex.rebuildAdvice(st, targetRowsPerBucket).map { r =>
+      IndexHealth(st, r.termBuckets,
         s"""TextIndex.build(spark, docs, "<fresh-dir>", """ +
-          s"termBuckets = $nb) // then point readers at <fresh-dir>")
+          s"termBuckets = ${r.termBuckets}, " +
+          s"termBucketsFloor = ${r.termBucketsFloor}) " +
+          "// then point readers at <fresh-dir>")
     }
   }
 

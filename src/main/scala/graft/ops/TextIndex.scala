@@ -18,7 +18,10 @@ import org.apache.spark.sql.types._
   *   - `_meta.txt` — `tb=N`, the postings bucket count the index was
   *     built with (the `nb`-in-meta discipline [[BucketIndex]] uses):
   *     readers and delta writers take the stored value, so the fanout
-  *     is a build-time choice, not a compile-time constant.
+  *     is a build-time choice, not a compile-time constant. Plus
+  *     `tbfloor=F` when a skew-driven grow has been acted on — the
+  *     advisory's memory that counts ≤ F collision-concentrate for
+  *     this term distribution ([[rebuildAdvice]]'s anti-flap floor).
   *   - `postings/` — (term, doc_id, tf, dl, gen) parquet, partitioned
   *     by `tb = pmod(xxhash64(term), N)`: a term lookup
   *     partition-prunes to one bucket dir. `dl` (doc token length)
@@ -74,9 +77,32 @@ object TextIndex {
       .flatMap(_.find(_.startsWith("tb=")).map(_.drop(3).toInt))
       .getOrElse(TermBuckets)
 
+  /** The index's SKEW FLOOR, from its `_meta.txt` (`tbfloor=`; 0 when
+    * never recorded — every pre-floor index). The floor is advisory
+    * memory, not routing state: when [[rebuildAdvice]] recommends a
+    * grow whose trigger was hash-collision skew rather than corpus
+    * volume (the p99 bucket tripped while `ideal ≤ termBuckets`), the
+    * count that PROVED overloaded is remembered as a floor the shrink
+    * branch never advises back below. Without it the advisory can
+    * ping-pong forever: the grow spreads the colliding terms, the
+    * very next measurement satisfies the volume-only shrink condition
+    * and advises back down to ~`ideal` — at or below the fanout that
+    * just tripped — where the collision skew re-concentrates and
+    * re-fires the grow. A literal cron would rebuild between the two
+    * layouts indefinitely, the exact futile-maintenance loop the
+    * advisory family exists to prevent.
+    */
+  def termBucketsFloorOf(spark: SparkSession, dir: String): Int =
+    PointerDir.readMetaLines(spark, dir)
+      .flatMap(_.find(_.startsWith("tbfloor=")).map(_.drop(8).toInt))
+      .getOrElse(0)
+
   private def writeMeta(spark: SparkSession, dir: String,
-      termBuckets: Int): Unit =
-    PointerDir.writeMetaLines(spark, dir, Seq(s"tb=$termBuckets"))
+      termBuckets: Int, termBucketsFloor: Int): Unit =
+    PointerDir.writeMetaLines(spark, dir,
+      Seq(s"tb=$termBuckets") ++
+        (if (termBucketsFloor > 0) Seq(s"tbfloor=$termBucketsFloor")
+         else Seq.empty))
 
   private val TombSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("gen", LongType)))
@@ -129,26 +155,40 @@ object TextIndex {
     * replacing whatever was at `dir`. `termBuckets` is persisted in
     * the index meta and governs the index for its whole lifetime —
     * size it for the corpus you expect ([[rebuildAdvice]] names the
-    * number once the corpus is measurable). Build (like
-    * [[NeardupIndex.build]]) is replace-not-atomic: any old index
-    * data is deleted FIRST, then the meta lands, then the new data —
-    * so no crash state ever pairs a stored count with postings
-    * bucketed under a different one (that would misroute every
-    * search SILENTLY; this ordering makes every torn state fail
-    * LOUDLY on the missing data dir instead). A crash mid-build
-    * means re-run build; for reader continuity across a fanout
-    * change, build into a FRESH dir and swap readers — the shape
-    * [[rebuildAdvice]]'s consumers are told to use.
+    * number once the corpus is measurable). `termBucketsFloor`
+    * (0 = none) is the skew floor to remember ([[termBucketsFloorOf]]);
+    * when acting on a [[rebuildAdvice]] recommendation pass the
+    * advised [[Rebuild.termBucketsFloor]] through, or the new index
+    * forgets the collision skew the advice just paid a rebuild to
+    * learn. Build (like [[NeardupIndex.build]]) is
+    * replace-not-atomic: any old index data is deleted FIRST — the
+    * compact staging dirs (`._compact_tmp`/`._compact_trash`)
+    * included, because a trash dir surviving into the new index is a
+    * time bomb: if this build then crashes after its meta lands but
+    * before its postings land, the NEXT compact's heal step would
+    * rename the OLD-fanout trash back to `postings/`, silently
+    * pairing the new `tb=` with postings bucketed under the old
+    * count — then the meta lands, then the new data. So no crash
+    * state ever pairs a stored count with postings bucketed under a
+    * different one (that would misroute every search SILENTLY; this
+    * ordering makes every torn state fail LOUDLY on the missing data
+    * dir instead). A crash mid-build means re-run build; for reader
+    * continuity across a fanout change, build into a FRESH dir and
+    * swap readers — the shape [[rebuildAdvice]]'s consumers are told
+    * to use.
     */
   def build(spark: SparkSession, docs: DataFrame, dir: String,
-      termBuckets: Int = TermBuckets): Unit = {
+      termBuckets: Int = TermBuckets, termBucketsFloor: Int = 0): Unit = {
     require(termBuckets > 0,
       s"termBuckets must be positive, got $termBuckets")
+    require(termBucketsFloor >= 0,
+      s"termBucketsFloor must be >= 0, got $termBucketsFloor")
     val fs = new Path(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
-    for (p <- Seq(postingsDir(dir), docsDir(dir), tombsDir(dir)))
+    for (base <- Seq(postingsDir(dir), docsDir(dir), tombsDir(dir));
+        p <- Seq(base, base + "._compact_trash", base + "._compact_tmp"))
       fs.delete(new Path(p), true)
-    writeMeta(spark, dir, termBuckets)
+    writeMeta(spark, dir, termBuckets, termBucketsFloor)
     posted(docs, 0L, termBuckets)
       .write.mode(SaveMode.Overwrite).partitionBy("tb")
       .parquet(postingsDir(dir))
@@ -333,7 +373,7 @@ object TextIndex {
     */
   case class LoadStats(termBuckets: Int, postingRows: Long,
       meanRows: Double, p99Rows: Long, maxRows: Long,
-      p99TopTermRows: Long)
+      p99TopTermRows: Long, termBucketsFloor: Int = 0)
 
   def loadStats(spark: SparkSession, dir: String): LoadStats = {
     val nb = termBucketsOf(spark, dir)
@@ -367,35 +407,62 @@ object TextIndex {
       else perTb.filter(_._1 == p99).map(_._2).min
     LoadStats(nb, total, total.toDouble / math.max(1, nb), p99,
       if (counts.isEmpty) 0L else counts.max,
-      p99Top)
+      p99Top, termBucketsFloorOf(spark, dir))
   }
 
-  /** Pure rebuild decision over [[loadStats]] — Some(recommended
-    * bucket count) when the p99 bucket holds ≥2× the target rows
-    * (grow) or the corpus shrank to ≤half the buckets' worth (tiny
-    * buckets pay per-partition task overhead for nothing); None
-    * inside the band — 2× hysteresis keeps a corpus near a boundary
-    * from flapping advice delta over delta, like
-    * [[AnnIndex.retrainAdvice]]. Two twists the hash modulus forces,
-    * where k-means has neither: a recommendation EQUAL to the current
-    * count is meaningless (the same modulus reproduces the identical
-    * layout bit for bit, where re-running k-means rebalances), so the
-    * grow branch always recommends ≥2× the current count — also the
-    * honest minimum, since the trigger statistic already proves ≥2×
-    * the designed load; and a single term's posting list is
-    * INDIVISIBLE (it hashes to one bucket whole), so when the SIZING
-    * bucket is mostly its own one mega-term (`p99TopTermRows` ≥ half
-    * of `p99Rows`) and total volume alone doesn't warrant more
-    * buckets, the advice is None — a rebuild would move the list,
-    * not shrink it. The same no-futile-advice rule governs the 2^20
-    * fanout cap: a grow recommendation clamped to ≤ the current
-    * count would rebuild into the identical (or a coarser) layout,
-    * so past the cap the advisory stays silent rather than sending
-    * a cron in circles. Act with [[build]] into a fresh dir (same
-    * corpus, new count) and swap readers.
+  /** A [[rebuildAdvice]] recommendation: rebuild at `termBuckets`,
+    * persisting `termBucketsFloor` in the new index's meta (pass both
+    * to [[build]]). The floor rides the advice because it is PART of
+    * what the measurement learned: a skew-driven grow proves the
+    * current count collision-concentrates, and a rebuilt index that
+    * doesn't remember that would advise shrinking right back into it.
+    */
+  case class Rebuild(termBuckets: Int, termBucketsFloor: Int)
+
+  /** Pure rebuild decision over [[loadStats]] — Some([[Rebuild]])
+    * when the p99 bucket holds ≥2× the target rows (grow) or the
+    * corpus shrank to ≤half the buckets' worth (tiny buckets pay
+    * per-partition task overhead for nothing); None inside the band —
+    * 2× hysteresis keeps a corpus near a boundary from flapping
+    * advice delta over delta, like [[AnnIndex.retrainAdvice]]. Two
+    * twists the hash modulus forces, where k-means has neither: a
+    * recommendation EQUAL to the current count is meaningless (the
+    * same modulus reproduces the identical layout bit for bit, where
+    * re-running k-means rebalances), so the grow branch always
+    * recommends ≥2× the current count — also the honest minimum,
+    * since the trigger statistic already proves ≥2× the designed
+    * load; and a single term's posting list is INDIVISIBLE (it hashes
+    * to one bucket whole), so when the SIZING bucket is mostly its
+    * own one mega-term (`p99TopTermRows` ≥ half of `p99Rows`) and
+    * total volume alone doesn't warrant more buckets, the advice is
+    * None — a rebuild would move the list, not shrink it.
+    *
+    * The SKEW FLOOR closes the one loop hysteresis alone cannot: a
+    * grow whose trigger was collision skew (`p99Rows` tripped while
+    * `ideal ≤ termBuckets` — volume alone didn't warrant the count)
+    * spreads the hot terms at 2× the buckets, after which the
+    * volume-only shrink condition (`ideal*2 ≤ termBuckets`) holds BY
+    * CONSTRUCTION of that grow — without memory the next measurement
+    * advises back down to ~`ideal`, at or below the count that just
+    * tripped, where the skew re-concentrates and re-fires the grow:
+    * a cron oscillates between two layouts forever. So a skew-driven
+    * grow carries its recommendation as [[Rebuild.termBucketsFloor]]
+    * (persisted by [[build]], surfaced by [[loadStats]]), and the
+    * shrink branch never recommends below the stored floor: it
+    * shrinks to `max(ideal, floor)` and only when THAT still halves
+    * the current count. A volume-driven grow and a shrink carry the
+    * existing floor forward unchanged — the skew evidence doesn't
+    * expire just because the corpus grew.
+    *
+    * The same no-futile-advice rule governs the 2^20 fanout cap: a
+    * grow recommendation clamped to ≤ the current count would
+    * rebuild into the identical (or a coarser) layout, so past the
+    * cap the advisory stays silent rather than sending a cron in
+    * circles. Act with [[build]] into a fresh dir (same corpus, new
+    * count AND floor) and swap readers.
     */
   def rebuildAdvice(stats: LoadStats,
-      targetRowsPerBucket: Long): Option[Int] = {
+      targetRowsPerBucket: Long): Option[Rebuild] = {
     require(targetRowsPerBucket > 0,
       s"targetRowsPerBucket must be positive, got $targetRowsPerBucket")
     if (stats.postingRows == 0L || stats.termBuckets == 0) return None
@@ -406,13 +473,23 @@ object TextIndex {
     // corpus DOWN (the AnnIndex.retrainAdvice argument)
     def cap(n: Long): Int = math.min(1L << 20, n).toInt
     if (stats.p99Rows >= 2 * targetRowsPerBucket) {
-      if (ideal <= stats.termBuckets &&
-          2 * stats.p99TopTermRows >= stats.p99Rows) None
+      val skewDriven = ideal <= stats.termBuckets
+      if (skewDriven && 2 * stats.p99TopTermRows >= stats.p99Rows) None
       else {
         val rec = cap(math.max(ideal, 2L * stats.termBuckets))
-        if (rec > stats.termBuckets) Some(rec) else None
+        if (rec <= stats.termBuckets) None
+        // a skew grow remembers the count it proved overloaded by
+        // flooring at its own recommendation; a volume grow learned
+        // nothing new about collisions and carries the floor as is
+        else if (skewDriven)
+          Some(Rebuild(rec, math.max(stats.termBucketsFloor, rec)))
+        else Some(Rebuild(rec, stats.termBucketsFloor))
       }
-    } else if (ideal * 2 <= stats.termBuckets) Some(cap(ideal))
-    else None
+    } else {
+      val floored = math.max(ideal, stats.termBucketsFloor.toLong)
+      if (floored * 2 <= stats.termBuckets)
+        Some(Rebuild(cap(floored), stats.termBucketsFloor))
+      else None
+    }
   }
 }

@@ -502,6 +502,11 @@ class GraftApiSpec extends AnyFunSuite {
       .getOrElse(fail("overloaded fanout must advise"))
     assert(ti.recommended == 18 && ti.stats.postingRows == 900L,
       ti.toString)
-    assert(ti.call.contains("termBuckets = 18"), ti.call)
+    // the advised build carries the skew floor (0 here — a
+    // volume-driven grow; TextIndexSpec pins the skew-grow case) so
+    // an operator pasting the call can never forget the advisory's
+    // anti-flap memory
+    assert(ti.call.contains("termBuckets = 18") &&
+      ti.call.contains("termBucketsFloor = 0"), ti.call)
   }
 }

@@ -168,6 +168,7 @@ class TextIndexSpec extends AnyFunSuite {
     // grown: p99 ≥ 2×target and total warrants more buckets — the
     // recommendation is ≥ 2× current (same modulus = same layout)
     val rec = TextIndex.rebuildAdvice(s, targetRowsPerBucket = 50)
+      .map(_.termBuckets)
     assert(rec.exists(r => r >= 4 && r == math.round(900.0 / 50)))
     // healthy: inside the band ⇒ silent (500/bucket: the p99 bucket
     // cannot reach 2×500 with only 900 rows total, and 900 rows are
@@ -185,7 +186,8 @@ class TextIndexSpec extends AnyFunSuite {
     TextIndex.build(spark, corpus, tiny, termBuckets = 32)
     val st = TextIndex.loadStats(spark, tiny)
     val shrink = TextIndex.rebuildAdvice(st, targetRowsPerBucket = 16)
-    assert(shrink.exists(_ < 32), s"expected shrink advice, got $shrink")
+    assert(shrink.exists(_.termBuckets < 32),
+      s"expected shrink advice, got $shrink")
     // mega-term: one term dominates the hot bucket and total volume
     // fits the current fanout — more buckets cannot split one
     // posting list, so the advice is None, not a futile rebuild
@@ -217,8 +219,11 @@ class TextIndexSpec extends AnyFunSuite {
     val splittable = TextIndex.LoadStats(termBuckets = 4,
       postingRows = 1700L, meanRows = 425.0, p99Rows = 1000L,
       maxRows = 1000L, p99TopTermRows = 5L)
-    assert(TextIndex.rebuildAdvice(splittable, 500L).contains(8),
-      "a splittable hot bucket must advise 2x the fanout")
+    assert(TextIndex.rebuildAdvice(splittable, 500L)
+        .contains(TextIndex.Rebuild(8, 8)),
+      "a splittable hot bucket must advise 2x the fanout, flooring " +
+        "the shrink branch at its own recommendation (the grow was " +
+        "skew-driven: volume alone fits 4 buckets)")
     // the SAME shape with the p99 bucket itself mega-term-dominated
     // is futile: no fanout splits one posting list
     val dominated = splittable.copy(p99TopTermRows = 600L)
@@ -254,6 +259,90 @@ class TextIndexSpec extends AnyFunSuite {
     // re-running build (the documented crash remedy) completes the
     // fanout change and serves correctly at the new count
     TextIndex.build(spark, corpus, dir, termBuckets = 8)
+    assert(TextIndex.termBucketsOf(spark, dir) == 8)
+    assert(scores(TextIndex.search(spark, dir, terms))
+      == scores(Graft.bm25(corpus, terms)))
+  }
+
+  test("the skew floor closes the grow<->shrink oscillation: a " +
+      "skew-driven grow's floor keeps the next measurement's shrink " +
+      "branch silent, and the floor round-trips through build's meta") {
+    // the r16 'splittable' fixture was the oscillation: nb=4, 1700
+    // rows, target 500 — p99 trips on collision skew (ideal=3 fits 4
+    // buckets) so the grow advises 8, AND remembers 8 as the floor
+    val grownAt4 = TextIndex.LoadStats(termBuckets = 4,
+      postingRows = 1700L, meanRows = 425.0, p99Rows = 1000L,
+      maxRows = 1000L, p99TopTermRows = 5L)
+    val grow = TextIndex.rebuildAdvice(grownAt4, 500L)
+    assert(grow.contains(TextIndex.Rebuild(8, 8)))
+    // rebuilt at 8 with the advised floor, the hot terms spread and
+    // p99 falls back in band — the volume-only shrink condition
+    // (ideal=3, 3*2 <= 8) holds BY CONSTRUCTION of the grow, so
+    // without the floor the advisory would send the cron right back
+    // to the count that just tripped
+    val rebuiltAt8 = TextIndex.LoadStats(termBuckets = 8,
+      postingRows = 1700L, meanRows = 212.5, p99Rows = 400L,
+      maxRows = 400L, p99TopTermRows = 5L, termBucketsFloor = 8)
+    assert(TextIndex.rebuildAdvice(rebuiltAt8, 500L).isEmpty,
+      "shrink below the skew floor = the oscillation's second half")
+    // the floor is load-bearing: the SAME stats without it reproduce
+    // the r16 flap (shrink to ideal=3, below the overloaded 4)
+    assert(TextIndex.rebuildAdvice(
+        rebuiltAt8.copy(termBucketsFloor = 0), 500L)
+      .contains(TextIndex.Rebuild(3, 0)))
+    // a genuine large shrink still fires, floored: a 64-bucket index
+    // whose corpus is worth 2 buckets shrinks to the floor, not below
+    val shrunk = TextIndex.LoadStats(termBuckets = 64,
+      postingRows = 1000L, meanRows = 15.6, p99Rows = 20L,
+      maxRows = 20L, p99TopTermRows = 3L, termBucketsFloor = 8)
+    assert(TextIndex.rebuildAdvice(shrunk, 500L)
+      .contains(TextIndex.Rebuild(8, 8)))
+    // a volume-driven grow learned nothing new about collisions: it
+    // carries the existing floor forward unchanged
+    val volumeGrown = TextIndex.LoadStats(termBuckets = 8,
+      postingRows = 100000L, meanRows = 12500.0, p99Rows = 14000L,
+      maxRows = 14000L, p99TopTermRows = 100L, termBucketsFloor = 8)
+    assert(TextIndex.rebuildAdvice(volumeGrown, 500L)
+      .contains(TextIndex.Rebuild(200, 8)))
+    // end to end: build persists the floor beside the fanout,
+    // loadStats surfaces it, and routing still serves the kernel
+    val dir = tmp()
+    TextIndex.build(spark, corpus, dir, termBuckets = 8,
+      termBucketsFloor = 8)
+    assert(TextIndex.termBucketsOf(spark, dir) == 8)
+    assert(TextIndex.termBucketsFloorOf(spark, dir) == 8)
+    assert(TextIndex.loadStats(spark, dir).termBucketsFloor == 8)
+    assert(scores(TextIndex.search(spark, dir, terms))
+      == scores(Graft.bm25(corpus, terms)))
+    // a pre-floor meta (tb= only) reads floor 0, not a crash
+    graft.streaming.AtomicFiles.write(s"$dir/_meta.txt", "tb=8",
+      spark.sparkContext.hadoopConfiguration)
+    assert(TextIndex.termBucketsFloorOf(spark, dir) == 0)
+  }
+
+  test("build's initial sweep clears compact staging dirs: a trash " +
+      "dir surviving a fanout rebuild could be healed back over the " +
+      "new meta by the next compact — the silent-misroute state the " +
+      "delete-data-first ordering exists to exclude") {
+    val dir = tmp()
+    TextIndex.build(spark, corpus, dir, termBuckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a compact crashed between its two renames: old-fanout postings
+    // parked in trash, target gone; docs mid-swap with a stale tmp
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/postings"),
+      new org.apache.hadoop.fs.Path(s"$dir/postings._compact_trash")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/docs._compact_tmp"))
+    // the operator rebuilds at a new fanout instead of re-compacting
+    TextIndex.build(spark, corpus, dir, termBuckets = 8)
+    for (stale <- Seq("postings._compact_trash", "docs._compact_tmp",
+        "docs._compact_trash", "postings._compact_tmp"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$stale")),
+        s"$stale survived build — a later compact would heal " +
+          "old-fanout postings back under the new tb= meta")
+    // and the next compact (whose heal step would have restored the
+    // stale trash) serves the kernel at the new fanout
+    TextIndex.compact(spark, dir)
     assert(TextIndex.termBucketsOf(spark, dir) == 8)
     assert(scores(TextIndex.search(spark, dir, terms))
       == scores(Graft.bm25(corpus, terms)))
