@@ -1,38 +1,44 @@
 package graft
 
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
 /** ONE random maintenance-schedule driver for the three maintained
   * indexes' fuzz suites (TextIndexFuzzSpec, AnnIndexFuzzSpec,
   * NeardupIndexFuzzSpec): the seed loop, key→value corpus state,
-  * upsert/delete/torn-retry/compact schedule and the
+  * upsert/delete/torn-retry/compact/torn-compact schedule and the
   * check-after-every-step discipline live here once, so a fix to the
-  * schedule logic (delete floor, torn-retry shape) can never drift
-  * between suites — the [[SidecarTestOps]] rule applied to the fuzz
-  * family.
+  * schedule logic (delete floor, torn-retry shape, mid-swap tear) can
+  * never drift between suites — the [[SidecarTestOps]] rule applied
+  * to the fuzz family.
   */
 object IndexFuzzHarness {
 
   /** Run one schedule over `initial`. The caller has already built
     * its index from `initial`; `upsert`/`delete` apply ONE delta to
     * the index (the torn-retry step calls `upsert` twice with the
-    * same map), `compact` folds tombstones, and `check(state, step)`
-    * asserts the index against the caller's oracle — invoked after
-    * build and after every step. `deleteFloor` is the minimum live
-    * corpus the oracle needs: a delete step never takes the state
-    * below it (floor counted AFTER the removal, so the stated slack
-    * really holds).
+    * same map), `compact` folds tombstones, `tearMidSwap` fabricates
+    * the mid-swap crash state a compact can die in (the torn-compact
+    * step tears then re-runs `compact` as the documented recovery),
+    * and `check(state, step)` asserts the index against the caller's
+    * oracle — invoked after build and after every step. `deleteFloor`
+    * is the minimum live corpus the oracle needs: a delete step never
+    * takes the state below it (floor counted AFTER the removal, so
+    * the stated slack really holds).
     */
   def run[V](rnd: scala.util.Random, initial: Map[Long, V],
       freshValue: () => V,
       upsert: Map[Long, V] => Unit,
       delete: Seq[Long] => Unit,
       compact: () => Unit,
+      tearMidSwap: () => Unit,
       deleteFloor: Int,
       check: (Map[Long, V], String) => Unit): Unit = {
     var state = initial
     var nextId = initial.keys.foldLeft(0L)(math.max) + 1L
     check(state, "build")
     for (step <- 0 until 5 + rnd.nextInt(4)) {
-      rnd.nextInt(4) match {
+      rnd.nextInt(5) match {
         case 0 => // upsert delta: some new docs, some rewrites
           val news = (0 until 1 + rnd.nextInt(3)).map { _ =>
             val id = nextId; nextId += 1; id -> freshValue()
@@ -57,8 +63,35 @@ object IndexFuzzHarness {
           state = state ++ up
         case 3 =>
           compact()
+        case 4 => // torn compaction: a compact dies mid-swap (between
+          // its two renames), and the re-run must heal the parked
+          // data before serving — the one maintenance crash shape the
+          // designed spec states pin but a random schedule can reach
+          // INTERLEAVED with deltas and prior compactions
+          tearMidSwap()
+          compact()
       }
       check(state, s"step $step")
     }
+  }
+
+  /** Fabricate the crash state compact's two-rename window can leave
+    * on ONE of its swapped sub-dirs (a single crash point tears a
+    * single swap — for a multi-dir compact like TextIndex's the torn
+    * dir is chosen at random): live data parked in
+    * `<sub>._compact_trash`, the target gone, and a stale
+    * `<sub>._compact_tmp` left behind that the retry must discard.
+    * Shared by all three index fuzz suites so the torn shape can
+    * never drift from the swap discipline it simulates.
+    */
+  def tearCompactSwap(spark: SparkSession, rnd: scala.util.Random,
+      swapped: Seq[String]): Unit = {
+    val sub = swapped(rnd.nextInt(swapped.size))
+    val target = new Path(sub)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val trash = new Path(sub + "._compact_trash")
+    fs.delete(trash, true)
+    require(fs.rename(target, trash), s"tear: rename of $target failed")
+    fs.mkdirs(new Path(sub + "._compact_tmp"))
   }
 }

@@ -55,6 +55,8 @@ class NeardupIndexFuzzSpec extends AnyFunSuite {
           Seq.empty[(Long, String)].toDF("doc_id", "text"),
           dead.toDF("doc_id")),
         compact = () => NeardupIndex.compact(spark, dir),
+        tearMidSwap = () => IndexFuzzHarness.tearCompactSwap(spark, rnd,
+          Seq(s"$dir/bands")),
         deleteFloor = 2,
         check = (state, step) => {
           val live = bandSet(NeardupIndex.live(spark, dir))

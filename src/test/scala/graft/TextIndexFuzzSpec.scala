@@ -52,6 +52,8 @@ class TextIndexFuzzSpec extends AnyFunSuite {
           Seq.empty[(Long, String)].toDF("doc_id", "text"),
           dead.toDF("doc_id")),
         compact = () => TextIndex.compact(spark, dir),
+        tearMidSwap = () => IndexFuzzHarness.tearCompactSwap(spark, rnd,
+          Seq(s"$dir/postings", s"$dir/docs")),
         deleteFloor = 2,
         check = (state, step) => {
           val terms = rnd.shuffle(vocab).take(2) :+ "neverword"
