@@ -944,10 +944,19 @@ object BucketIndex {
     * stamps every bucket's count). In the counts-unknown case
     * `sizingRowsPerBucket`/`bitsPerRow` report the known subset
     * (zero/0.0 when none) — context, not the trigger.
+    *
+    * `approxLiveRows` is the size signal for ordering the work: a
+    * fleet upgrade emits one counts-unknown advisory per
+    * pre-measurement sidecar at once, and a cron acting on them needs
+    * the big tables first. Known buckets contribute their exact live
+    * counts, unknown buckets the known average; −1 when no bucket has
+    * a count at all (an estimate from nothing would order by noise —
+    * treat those as unknown-size, not as empty).
     */
   case class CapacityStats(column: String, bits: Int, shards: Int,
       sizingRowsPerBucket: Long, bitsPerRow: Double, knownBuckets: Int,
-      unknownBuckets: Int, reason: String, call: String)
+      unknownBuckets: Int, approxLiveRows: Long, reason: String,
+      call: String)
 
   def capacityAdvice(spark: SparkSession, currentDir: String,
       column: String, minBitsPerRow: Double = 5.0): Option[CapacityStats] = {
@@ -985,16 +994,29 @@ object BucketIndex {
           val rows = sizingRows(counts)
           val bitsPerRow =
             if (rows > 0) meta.bits.toDouble * meta.shards / rows else 0.0
+          // SIZE signal for cron ordering (same two-column sidecar
+          // scan): a fleet upgrade emits one counts-unknown advisory
+          // per pre-measurement sidecar, and without a magnitude the
+          // operator can't put the big tables first. Known buckets
+          // contribute their exact live counts; unknown buckets the
+          // known average (−1 when NO bucket has a count — an
+          // estimate from nothing would order the queue by noise)
+          val approxLiveRows =
+            if (counts.isEmpty) -1L
+            else math.round(
+              counts.sum.toDouble / counts.size * perBucket.length)
           if (unknown > 0 && unknown >= counts.size)
             // known minority: the p99 would be hot-biased, and a
             // grown-then-static pre-upgrade table would otherwise
             // never be measured at all — advise the measuring
             // re-attach instead of a biased verdict or silence
             Some(CapacityStats(column, meta.bits, meta.shards, rows,
-              bitsPerRow, counts.size, unknown, "counts-unknown", call))
+              bitsPerRow, counts.size, unknown, approxLiveRows,
+              "counts-unknown", call))
           else if (rows <= 0 || bitsPerRow >= minBitsPerRow) None
           else Some(CapacityStats(column, meta.bits, meta.shards,
-            rows, bitsPerRow, counts.size, unknown, "outgrown", call))
+            rows, bitsPerRow, counts.size, unknown, approxLiveRows,
+            "outgrown", call))
         }
       }
     }

@@ -1121,6 +1121,9 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       s""""rows_per_bucket_p99":${st.sizingRowsPerBucket},""" +
       s""""bits_per_row":$bpr,""" +
       s""""unknown_buckets":${st.unknownBuckets},""" +
+      // the cron-ordering size signal: −1 = no count information at
+      // all (unknown size, NOT an empty table)
+      s""""approx_live_rows":${st.approxLiveRows},""" +
       s""""call":"${st.call.replace("\"", "\\\"")}",""" +
       s""""timestamp":${System.currentTimeMillis()}}"""
     hWrite(s"$root/dt=$today/${java.util.UUID.randomUUID()}.json", json)

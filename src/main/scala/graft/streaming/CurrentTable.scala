@@ -1357,18 +1357,16 @@ object CurrentTable {
     * exist but hold other moduli's keys) is refused-or-outwaited per
     * call via its marker, exactly like [[read]]/[[lookup]]. A
     * crashed sync swap that never reached its root write fails
-    * LOUDLY (the probed bucket's path is gone — run
+    * LOUDLY on the FAST path (the probed bucket's path is gone — run
     * [[CurrentTable.heal]] and keep serving; the handle re-prepares
-    * by itself once the heal's next root write lands). The
-    * OVERSIZED-probe fallback inside [[Reader.lookup]] shares
-    * [[Reader.rawRows]]'s residual crashed-swap exposure, not
-    * `CurrentTable.lookup`'s [[buildHealed]] heal-or-refuse: it
-    * reads the prep's cached listing through signature revalidation,
-    * so a swap that crashed WITHOUT reaching its root rewrite
-    * surfaces as a planner file-not-found (or a stale-listing scan)
-    * rather than the guided refusal — acceptable under the
-    * single-maintainer discipline the handle already assumes, and
-    * healed the same way. Census-less
+    * by itself once the heal's next root write lands), and the
+    * OVERSIZED-probe fallback gets `CurrentTable.lookup`'s full
+    * [[buildHealed]] heal-or-refuse — it would otherwise scan EVERY
+    * listed bucket, so a bucket parked in trash is a guaranteed
+    * planner failure there, and the guided refusal naming the heal
+    * remedy beats a raw file-not-found (the fallback already pays a
+    * full-table scan; buildHealed's orphan listings are noise
+    * against it). Census-less
     * legacy tables are refused at creation: their folds don't
     * rewrite the root, so the staleness signature would miss them —
     * one [[pruneTombstones]] pass heals the census.
@@ -1428,15 +1426,24 @@ object CurrentTable {
       if (collected.length > maxKeys) {
         // oversized probe: full-table semi-join, built from the
         // prep's cached listing and schema — `read` here would re-pay
-        // the orphan check, a full bucket listing and a footer-open
-        // schema inference per probe, the exact per-call costs the
-        // handle exists to avoid
-        val p = revalidated()
-        return spark.read.schema(p.schema).option("basePath", currentDir)
-          .parquet(p.existing.toSeq.sorted
-            .map(n => s"$currentDir/$n"): _*)
-          .join(keys, pk, "left_semi")
-          .filter(!graft.ops.TimeTravel.isTombstone)
+        // a full bucket listing and a footer-open schema inference
+        // per probe, the per-call costs the handle exists to avoid.
+        // But it DOES get [[buildHealed]]'s heal-or-refuse (the same
+        // decision `CurrentTable.lookup` makes): a bucket swap that
+        // crashed WITHOUT reaching its root rewrite leaves the
+        // signature intact while the listed path sits in trash —
+        // served raw, that is a planner FileNotFoundException (or a
+        // stale-listing scan), not the guided heal message. The
+        // orphan listings buildHealed pays are noise against the
+        // full-table scan this path fronts.
+        return buildHealed(spark, fs, currentDir) {
+          val p = revalidated()
+          spark.read.schema(p.schema).option("basePath", currentDir)
+            .parquet(p.existing.toSeq.sorted
+              .map(n => s"$currentDir/$n"): _*)
+            .join(keys, pk, "left_semi")
+            .filter(!graft.ops.TimeTravel.isTombstone)
+        }
       }
       val local = spark.createDataFrame(
         java.util.Arrays.asList(collected: _*), keys.schema)

@@ -616,6 +616,10 @@ class BucketIndexSpec extends AnyFunSuite {
     assert(st.unknownBuckets == 3 && st.knownBuckets == 1, st.toString)
     assert(st.call.contains("detach") && st.call.contains("attach"),
       st.call)
+    // the cron-ordering size signal: one known bucket of four, so
+    // the estimate is 4x its count (= the p99 of a single count)
+    assert(st.approxLiveRows == 4 * st.sizingRowsPerBucket,
+      st.toString)
     // probes still serve exactly through the doctored sidecar
     assert(idsByIndex(cur, "u7@x") == Set(7L))
     // counts exactly half-known is still unmeasurable (the doc's
@@ -623,6 +627,13 @@ class BucketIndexSpec extends AnyFunSuite {
     dropCounts(cur, keepKb = Set(0, 1))
     assert(BucketIndex.capacityAdvice(spark, cur, "email")
       .exists(_.reason == "counts-unknown"))
+    // NO bucket counted: size unknowable — the signal is -1 (order
+    // these separately), never a fabricated zero that reads "empty"
+    dropCounts(cur, keepKb = Set.empty)
+    val blind = BucketIndex.capacityAdvice(spark, cur, "email")
+      .getOrElse(fail("fully count-less sidecar must surface"))
+    assert(blind.reason == "counts-unknown" &&
+      blind.approxLiveRows == -1L, blind.toString)
     // a sync refreshes exactly the TOUCHED buckets' counts — a
     // 32-key delta lands in all four, so every bucket re-publishes
     // with a fresh count: measured again, and a healthy table goes
@@ -645,5 +656,9 @@ class BucketIndexSpec extends AnyFunSuite {
     assert(grown.unknownBuckets == 1 && grown.knownBuckets == 3,
       grown.toString)
     assert(grown.bitsPerRow < 5.0, grown.toString)
+    // the estimate (known sum scaled to all 4 buckets) lands near the
+    // true 2064 live rows — close enough to order a re-attach queue
+    assert(grown.approxLiveRows > 1500L && grown.approxLiveRows < 2700L,
+      grown.toString)
   }
 }

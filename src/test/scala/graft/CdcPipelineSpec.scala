@@ -401,6 +401,11 @@ class CdcPipelineSpec extends AnyFunSuite {
     val a = advice.head
     assert(a.contains(""""reason":"outgrown""""), a)
     assert(a.contains(""""unknown_buckets":0"""), a)
+    // fully-counted: the size signal is the (exact-known) estimate
+    // of the ~2020-row table
+    val aAlr = """"approx_live_rows":(-?\d+)""".r
+      .findFirstMatchIn(a).map(_.group(1).toLong)
+    assert(aAlr.exists(n => n > 1500L && n < 2600L), a)
     assert(a.contains(""""table":"testdb.users""""), a)
     assert(a.contains(""""column":"name""""), a)
     assert(a.contains(""""bits":1024"""), a)
@@ -447,6 +452,13 @@ class CdcPipelineSpec extends AnyFunSuite {
       unknown.head)
     assert(unknown.head.contains(""""unknown_buckets":3"""), unknown.head)
     assert(unknown.head.contains("""BucketIndex.detach"""), unknown.head)
+    // the record carries the size signal so a fleet-upgrade wave of
+    // counts-unknown advisories can be worked biggest-first (here one
+    // bucket is counted, so the estimate is positive, not -1)
+    val alr = """"approx_live_rows":(-?\d+)""".r
+      .findFirstMatchIn(unknown.head).map(_.group(1).toLong)
+    assert(alr.exists(_ > 0L),
+      s"size signal missing or unmeasured: ${unknown.head}")
     // a batch touching every bucket re-stamps all counts: healthy and
     // fully measured again, so no NEW advice lands
     val before = records().size

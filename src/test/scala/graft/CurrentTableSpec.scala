@@ -1278,6 +1278,18 @@ class CurrentTableSpec extends AnyFunSuite {
       assert(d.renameTo(new java.io.File(cur,
         s"._ct_trash_${d.getName}")))
     intercept[Exception] { probe(1L) }
+    // the OVERSIZED probe would scan every listed bucket, so the
+    // parked dir is a guaranteed hit there — it gets buildHealed's
+    // GUIDED refusal naming the heal remedy, not a raw planner
+    // file-not-found over the cached listing
+    spark.conf.set("spark.graft.current.healGraceMs", "0")
+    try {
+      val ov = intercept[IllegalStateException] {
+        r.lookup((1L to 4L).toDF("id"), maxDriverKeys = 2)
+      }
+      assert(ov.getMessage.contains("CurrentTable.heal"),
+        s"guided refusal expected, got: ${ov.getMessage}")
+    } finally spark.conf.unset("spark.graft.current.healGraceMs")
     CurrentTable.heal(spark, cur)
     assert(probe(1L) == Set(1L -> "v1"))
     // a rescale mid-swap: the marker makes the reader refuse (at
