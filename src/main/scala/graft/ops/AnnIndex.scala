@@ -151,9 +151,26 @@ object AnnIndex {
 
   /** Cut the index fresh from `vectors` (vec_id, e) with `codebook`
     * (cid, ce) at generation 0, replacing whatever was at `dir`.
+    * Replace-not-atomic with [[graft.ops.TextIndex.build]]'s
+    * delete-data-first ordering — the codebook-vs-postings pairing is
+    * this index's analog of the fanout-vs-postings one: a crash
+    * between the centroid and posting writes would otherwise pair the
+    * NEW codebook with postings assigned under the OLD one (probes
+    * read the wrong cid partitions — silently wrong results), and a
+    * crash before the tombstone clear would let OLD tombstones kill
+    * the new gen-0 postings. With the sweep (compact staging dirs
+    * included, so a stale trash can't be healed back over the new
+    * postings) every torn state fails LOUDLY on a missing dir; a
+    * crash mid-build means re-run build.
     */
   def build(spark: SparkSession, vectors: DataFrame, codebook: DataFrame,
       dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    for (p <- Seq(centroidsDir(dir), postingsDir(dir), tombsDir(dir),
+        postingsDir(dir) + "._compact_trash",
+        postingsDir(dir) + "._compact_tmp"))
+      fs.delete(new Path(p), true)
     codebook.select(col("cid").cast("int"), col("ce").cast("array<double>"))
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(centroidsDir(dir))

@@ -57,9 +57,25 @@ object NeardupIndex {
       .write.mode(SaveMode.Overwrite).parquet(tombsDir(dir))
 
   /** Cut the index fresh from `docs` (columns `doc_id`, `text`) at
-    * generation 0, replacing whatever was at `dir`.
+    * generation 0, replacing whatever was at `dir`. Replace-not-
+    * atomic with [[graft.ops.TextIndex.build]]'s delete-data-first
+    * ordering: the old bands, tombstones AND compact staging dirs go
+    * before anything new lands, so every torn state fails LOUDLY on
+    * a missing dir instead of serving a silent mix — without the
+    * sweep, a crash after the new bands but before the tombstone
+    * clear would pair them with the OLD tombstones (whose higher
+    * generations kill the new gen-0 rows of every previously-updated
+    * doc), and a surviving `._compact_trash` could be healed back
+    * over the new bands by the next compact. A crash mid-build means
+    * re-run build.
     */
   def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    for (p <- Seq(bandsDir(dir), tombsDir(dir),
+        bandsDir(dir) + "._compact_trash",
+        bandsDir(dir) + "._compact_tmp"))
+      fs.delete(new Path(p), true)
     banded(spark, docs, 0L)
       .write.mode(SaveMode.Overwrite).partitionBy("band")
       .parquet(bandsDir(dir))

@@ -268,4 +268,39 @@ class AnnIndexSpec extends AnyFunSuite {
       plan.contains("BroadcastNestedLoopJoin"),
       s"no broadcast join in search plan:\n$plan")
   }
+
+  test("an in-place rebuild replaces everything: surviving tombstones " +
+      "cannot kill rebuilt gen-0 postings, and compact staging dirs " +
+      "are swept so a later compact cannot heal old-assignment " +
+      "postings back under the new codebook") {
+    val dir = Files.createTempDirectory("graft-ann-rb-").toString
+    val cb = AnnIndex.seedCentroids(spark, vecs(base: _*), 2)
+    AnnIndex.build(spark, vecs(base: _*), cb, dir)
+    // a gen-1 tombstone for vec 1, then staging junk a crashed
+    // compact could leave behind
+    AnnIndex.applyDelta(spark, dir, vecs(), Seq(1L).toDF("vec_id"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$dir/postings._compact_trash"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$dir/postings._compact_tmp"))
+    // rebuild over a corpus that CONTAINS vec 1 — without the
+    // delete-data-first sweep the old tombstone (gen 1) outranks the
+    // rebuilt gen-0 posting and vec 1 silently vanishes from search
+    AnnIndex.build(spark, vecs(base: _*), cb, dir)
+    assert(AnnIndex.live(spark, dir).select("vec_id").collect()
+      .map(_.getLong(0)).toSet == base.map(_._1).toSet,
+      "a pre-rebuild tombstone leaked into the rebuilt index")
+    for (stale <- Seq("postings._compact_trash", "postings._compact_tmp"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$stale")),
+        s"$stale survived build")
+    // and the next compact (whose heal step would restore a stale
+    // trash) still serves the rebuilt corpus
+    AnnIndex.compact(spark, dir)
+    val hits = AnnIndex.search(spark, dir,
+        queries(100L -> Seq(1.0, 0.0, 0.0, 0.0)), 1, 3)
+      .orderBy("rn").collect().map(_.getLong(1)).toSeq
+    assert(hits.head == 1L, s"rebuilt vec 1 must serve again: $hits")
+  }
 }

@@ -102,4 +102,31 @@ class NeardupIndexSpec extends AnyFunSuite {
       2L -> "totally rewritten second document text")
     assert(liveSet(dir) == bandsOf(docs(expected: _*)))
   }
+
+  test("an in-place rebuild replaces everything: surviving tombstones " +
+      "cannot kill the new corpus's gen-0 bands, and compact staging " +
+      "dirs are swept so a later compact cannot heal stale bands back") {
+    val dir = Files.createTempDirectory("graft-ndx-rb-").toString
+    NeardupIndex.build(spark, docs(base: _*), dir)
+    // a gen-1 tombstone for doc 1, then staging junk a crashed
+    // compact could leave behind
+    NeardupIndex.applyDelta(spark, dir, docs(), Seq(1L).toDF("doc_id"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/bands._compact_trash"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/bands._compact_tmp"))
+    // rebuild over a corpus that CONTAINS doc 1 — without the
+    // delete-data-first sweep the old tombstone (gen 1) outranks the
+    // rebuilt gen-0 rows and doc 1 silently vanishes from the index
+    NeardupIndex.build(spark, docs(base: _*), dir)
+    assert(liveSet(dir) == bandsOf(docs(base: _*)),
+      "a pre-rebuild tombstone leaked into the rebuilt index")
+    for (stale <- Seq("bands._compact_trash", "bands._compact_tmp"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$stale")),
+        s"$stale survived build")
+    // and the next compact (whose heal step would restore a stale
+    // trash) still serves the rebuilt corpus
+    NeardupIndex.compact(spark, dir)
+    assert(liveSet(dir) == bandsOf(docs(base: _*)))
+  }
 }
