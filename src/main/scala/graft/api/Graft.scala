@@ -383,13 +383,18 @@ object Graft {
     graft.queries.VectorQueries.quantCodesOf(spark, embeddings)
 
   /** A maintained index's measured sizing verdict: the load stats it
-    * was measured from (typed per index family), the recommended new
-    * sizing, and the exact maintenance call to run at a window — the
-    * shape an operator cron consumes (same discipline as the
-    * pipeline's `reattach-index` status record: act on the LATEST
-    * measurement, one job per subject, not per record).
+    * was measured from and the recommendation — BOTH typed per index
+    * family (the IVF advice is a centroid count; the text index's is
+    * a [[graft.ops.TextIndex.Rebuild]], fanout AND skew floor — an
+    * Int here would lose the floor for every consumer that doesn't
+    * parse the call string, silently reopening the grow↔shrink
+    * oscillation the floor closes) — and the exact maintenance call
+    * to run at a window: the shape an operator cron consumes (same
+    * discipline as the pipeline's `reattach-index` status record:
+    * act on the LATEST measurement, one job per subject, not per
+    * record).
     */
-  case class IndexHealth[S](stats: S, recommended: Int, call: String)
+  case class IndexHealth[S, R](stats: S, recommended: R, call: String)
 
   /** One-call serving-health check for a maintained IVF vector index
     * ([[graft.ops.AnnIndex]]) — the cron entry that makes the
@@ -404,7 +409,7 @@ object Graft {
     */
   def annIndexHealth(spark: SparkSession, dir: String,
       targetRowsPerCentroid: Long)
-      : Option[IndexHealth[graft.ops.AnnIndex.LoadStats]] = {
+      : Option[IndexHealth[graft.ops.AnnIndex.LoadStats, Int]] = {
     val st = graft.ops.AnnIndex.loadStats(spark, dir)
     graft.ops.AnnIndex.retrainAdvice(st, targetRowsPerCentroid).map { k =>
       IndexHealth(st, k,
@@ -423,18 +428,19 @@ object Graft {
     * recommended fanout (always ≥2× current on grow — a hash modulus
     * rebuilt at the same count reproduces the identical layout — and
     * silent when one indivisible mega-term is the whole hot bucket).
-    * The advised call carries the skew floor
-    * ([[graft.ops.TextIndex.Rebuild.termBucketsFloor]]) into the
-    * fresh build — dropping it there would forget the collision
-    * evidence the rebuild just paid to learn, re-opening the
-    * grow↔shrink oscillation the floor exists to close.
+    * `recommended` is the full [[graft.ops.TextIndex.Rebuild]] —
+    * fanout AND skew floor — and the advised call spells both out:
+    * a consumer that rebuilt from a bare fanout would forget the
+    * collision evidence the rebuild just paid to learn, re-opening
+    * the grow↔shrink oscillation the floor exists to close.
     */
   def textIndexHealth(spark: SparkSession, dir: String,
       targetRowsPerBucket: Long)
-      : Option[IndexHealth[graft.ops.TextIndex.LoadStats]] = {
+      : Option[IndexHealth[graft.ops.TextIndex.LoadStats,
+        graft.ops.TextIndex.Rebuild]] = {
     val st = graft.ops.TextIndex.loadStats(spark, dir)
     graft.ops.TextIndex.rebuildAdvice(st, targetRowsPerBucket).map { r =>
-      IndexHealth(st, r.termBuckets,
+      IndexHealth(st, r,
         s"""TextIndex.build(spark, docs, "<fresh-dir>", """ +
           s"termBuckets = ${r.termBuckets}, " +
           s"termBucketsFloor = ${r.termBucketsFloor}) " +

@@ -167,9 +167,8 @@ object AnnIndex {
       dir: String): Unit = {
     val fs = new Path(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
-    for (p <- Seq(centroidsDir(dir), postingsDir(dir), tombsDir(dir),
-        postingsDir(dir) + "._compact_trash",
-        postingsDir(dir) + "._compact_tmp"))
+    for (p <- Seq(centroidsDir(dir), postingsDir(dir), tombsDir(dir))
+        ++ CompactStaging.all(postingsDir(dir)))
       fs.delete(new Path(p), true)
     codebook.select(col("cid").cast("int"), col("ce").cast("array<double>"))
       .repartition(1)
@@ -298,8 +297,8 @@ object AnnIndex {
   def compact(spark: SparkSession, dir: String): Unit = {
     val target = new Path(postingsDir(dir))
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new Path(postingsDir(dir) + "._compact_tmp")
-    val trash = new Path(postingsDir(dir) + "._compact_trash")
+    val tmp = new Path(CompactStaging.tmp(postingsDir(dir)))
+    val trash = new Path(CompactStaging.trash(postingsDir(dir)))
     // heal an interrupted previous swap before anything else
     if (!fs.exists(target) && fs.exists(trash)) fs.rename(trash, target)
     fs.delete(tmp, true); fs.delete(trash, true)

@@ -72,9 +72,8 @@ object NeardupIndex {
   def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
     val fs = new Path(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
-    for (p <- Seq(bandsDir(dir), tombsDir(dir),
-        bandsDir(dir) + "._compact_trash",
-        bandsDir(dir) + "._compact_tmp"))
+    for (p <- Seq(bandsDir(dir), tombsDir(dir))
+        ++ CompactStaging.all(bandsDir(dir)))
       fs.delete(new Path(p), true)
     banded(spark, docs, 0L)
       .write.mode(SaveMode.Overwrite).partitionBy("band")
@@ -168,8 +167,8 @@ object NeardupIndex {
   def compact(spark: SparkSession, dir: String): Unit = {
     val target = new Path(bandsDir(dir))
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new Path(bandsDir(dir) + "._compact_tmp")
-    val trash = new Path(bandsDir(dir) + "._compact_trash")
+    val tmp = new Path(CompactStaging.tmp(bandsDir(dir)))
+    val trash = new Path(CompactStaging.trash(bandsDir(dir)))
     // heal an interrupted previous swap before anything else
     if (!fs.exists(target) && fs.exists(trash)) fs.rename(trash, target)
     fs.delete(tmp, true); fs.delete(trash, true)

@@ -186,7 +186,7 @@ object TextIndex {
     val fs = new Path(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
     for (base <- Seq(postingsDir(dir), docsDir(dir), tombsDir(dir));
-        p <- Seq(base, base + "._compact_trash", base + "._compact_tmp"))
+        p <- base +: CompactStaging.all(base))
       fs.delete(new Path(p), true)
     writeMeta(spark, dir, termBuckets, termBucketsFloor)
     posted(docs, 0L, termBuckets)
@@ -316,15 +316,15 @@ object TextIndex {
     val hfs = new Path(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
     for (p <- Seq(postingsDir(dir), docsDir(dir))) {
-      val (t, tr) = (new Path(p), new Path(p + "._compact_trash"))
+      val (t, tr) = (new Path(p), new Path(CompactStaging.trash(p)))
       if (!hfs.exists(t) && hfs.exists(tr)) hfs.rename(tr, t)
     }
     def swapIn(path: String, partitionBy: Option[String])(
         rows: DataFrame): Unit = {
       val target = new Path(path)
       val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-      val tmp = new Path(path + "._compact_tmp")
-      val trash = new Path(path + "._compact_trash")
+      val tmp = new Path(CompactStaging.tmp(path))
+      val trash = new Path(CompactStaging.trash(path))
       fs.delete(tmp, true); fs.delete(trash, true)
       val w = rows.write.mode(SaveMode.Overwrite)
       partitionBy.fold(w)(c => w.partitionBy(c)).parquet(tmp.toString)

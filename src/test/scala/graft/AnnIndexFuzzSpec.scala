@@ -61,10 +61,13 @@ class AnnIndexFuzzSpec extends AnyFunSuite {
           Seq(s"$dir/postings")),
         deleteFloor = 5, // top-3 candidates + the query vector + slack
         check = (state, step) => {
+          // ONE live collect feeds both (1) and (3)'s cell oracle
+          val liveRows = AnnIndex.live(spark, dir)
+            .select("vec_id", "cid", "e").collect()
+            .map(r => (r.getLong(0), r.getInt(1),
+              r.getSeq[Double](2).toSeq))
           // (1) the live set IS the expected state
-          val got = AnnIndex.live(spark, dir)
-            .select("vec_id", "e").collect()
-            .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+          val got = liveRows.map(v => v._1 -> v._3).toMap
           assert(got == state, s"seed $seed $step: live set diverged")
           // (2) full-probe search == brute-force top-3 (ties to lower
           // id): distinct random vectors make exact score ties
@@ -92,10 +95,7 @@ class AnnIndexFuzzSpec extends AnyFunSuite {
           val probedCid = cents
             .map { case (cid, ce) => (cid, cosine(q._2, ce)) }
             .minBy { case (cid, c) => (-c, cid) }._1
-          val cellVecs = AnnIndex.live(spark, dir)
-            .select("vec_id", "cid", "e").collect()
-            .map(r => (r.getLong(0), r.getInt(1),
-              r.getSeq[Double](2).toSeq))
+          val cellVecs = liveRows
             .filter(v => v._2 == probedCid && v._1 != q._1)
           val wantCell = cellVecs
             .map { case (id, _, e) =>

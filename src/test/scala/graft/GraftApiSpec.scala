@@ -500,8 +500,11 @@ class GraftApiSpec extends AnyFunSuite {
       "in-band fanout must be silent")
     val ti = Graft.textIndexHealth(spark, tDir, 50)
       .getOrElse(fail("overloaded fanout must advise"))
-    assert(ti.recommended == 18 && ti.stats.postingRows == 900L,
-      ti.toString)
+    // the TYPED recommendation carries the skew floor (0 here — a
+    // volume-driven grow), so a cron acting on the field, not the
+    // call string, can never rebuild floorless
+    assert(ti.recommended == TextIndex.Rebuild(18, 0) &&
+      ti.stats.postingRows == 900L, ti.toString)
     // the advised build carries the skew floor (0 here — a
     // volume-driven grow; TextIndexSpec pins the skew-grow case) so
     // an operator pasting the call can never forget the advisory's

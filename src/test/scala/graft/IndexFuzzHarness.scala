@@ -89,9 +89,11 @@ object IndexFuzzHarness {
     val sub = swapped(rnd.nextInt(swapped.size))
     val target = new Path(sub)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    val trash = new Path(sub + "._compact_trash")
+    // the PRODUCTION staging names (ops.CompactStaging) — a literal
+    // here could drift from the swap it simulates and tear nothing
+    val trash = new Path(graft.ops.CompactStaging.trash(sub))
     fs.delete(trash, true)
     require(fs.rename(target, trash), s"tear: rename of $target failed")
-    fs.mkdirs(new Path(sub + "._compact_tmp"))
+    fs.mkdirs(new Path(graft.ops.CompactStaging.tmp(sub)))
   }
 }
