@@ -40,10 +40,14 @@ class TextIndexFuzzSpec extends AnyFunSuite {
     for (seed <- 1 to 4) {
       val rnd = new scala.util.Random(seed)
       val nb = 1 + rnd.nextInt(12)
+      // a random skew floor (0 = none) rides the meta: maintenance
+      // must never lose or alter the advisory's memory
+      val floor = rnd.nextInt(3) * nb
       val dir = Files.createTempDirectory(s"graft-tif-$seed-").toString
       val initial = (1L to (5 + rnd.nextInt(10)).toLong)
         .map(i => i -> docText(rnd)).toMap
-      TextIndex.build(spark, df(initial), dir, termBuckets = nb)
+      TextIndex.build(spark, df(initial), dir, termBuckets = nb,
+        termBucketsFloor = floor)
       IndexFuzzHarness.run[String](rnd, initial,
         freshValue = () => docText(rnd),
         upsert = up => TextIndex.applyDelta(spark, dir, df(up),
@@ -63,6 +67,8 @@ class TextIndexFuzzSpec extends AnyFunSuite {
             s"seed $seed nb $nb $step: index $got != kernel $want")
           assert(TextIndex.termBucketsOf(spark, dir) == nb,
             s"seed $seed $step: stored fanout drifted")
+          assert(TextIndex.termBucketsFloorOf(spark, dir) == floor,
+            s"seed $seed $step: stored skew floor drifted")
         })
       // the postings on disk never leak outside the built fanout
       val tbDirs = Option(new java.io.File(s"$dir/postings").listFiles())
