@@ -1536,6 +1536,84 @@ object ScaleBench {
       f"${ioSmall.toDouble / math.max(1L, ioRec)}%4.1fx IO")
   }
 
+  /** Convergence A/B for the round-17 SKEW FLOOR — the indexskew
+    * discipline applied to the advisory LOOP itself: a corpus whose
+    * vocabulary deliberately collision-concentrates at a small fanout
+    * (terms picked into ONE bucket with the index's OWN routing,
+    * `TextIndex.bucketOfTerms`) trips the p99 band while volume alone
+    * fits the current buckets — a SKEW-driven grow. The experiment
+    * then ACTS on the advisory's recommendation exactly as
+    * `Graft.textIndexHealth` spells it (fanout AND floor into the
+    * fresh build) and re-measures: pass = the floored index reads
+    * back SILENT in one step, while the SAME measured stats with the
+    * floor stripped advise shrinking below the count that just
+    * tripped — the cron oscillation the floor closes, demonstrated on
+    * real measured postings, not a fixture. Self-validating: every
+    * claimed shape is require()d, so a drift in the advisory
+    * arithmetic fails the run instead of printing a stale story.
+    */
+  private def textIndexFloorExperiment(spark: SparkSession, work: String,
+      docsK: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextIndex
+    val n = docsK * 1000L
+    val nbSmall = 4
+    // vocabulary engineered with the index's own routing: ~300 terms
+    // that all hash into one bucket at fanout 4, plus a few spread
+    // terms so no bucket is empty
+    val perTerm = TextIndex.bucketOfTerms(spark,
+      (0 until 4000).map(i => s"term$i"), nbSmall)
+    val hotBucket = perTerm.values.head
+    val hotTerms = perTerm.collect {
+      case (t, b) if b == hotBucket => t }.toSeq.sorted.take(300)
+    val coldTerms = perTerm.collect {
+      case (t, b) if b != hotBucket => t }.toSeq.sorted.take(30)
+    require(hotTerms.size == 300 && coldTerms.size == 30,
+      s"vocabulary too small: ${hotTerms.size} hot / ${coldTerms.size}")
+    val hotLit = array(hotTerms.map(lit): _*)
+    val coldLit = array(coldTerms.map(lit): _*)
+    // 9 hot terms + 1 cold term per doc, deterministic by id — ~90%
+    // of postings land in the hot bucket at fanout 4
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        (0 until 9).map(i => element_at(hotLit,
+          (pmod(col("id") * 7 + i, lit(hotTerms.size)) + 1)
+            .cast("int"))) :+
+          element_at(coldLit,
+            (pmod(col("id"), lit(coldTerms.size)) + 1).cast("int")): _*)
+        .as("text"))
+    val small = s"$work/tifl_idx_${docsK}_4"
+    TextIndex.build(spark, docs, small, termBuckets = nbSmall)
+    val st4 = TextIndex.loadStats(spark, small)
+    val target = 3L * n // ideal = round(10n/3n) = 3 fits 4 buckets
+    val grow = TextIndex.rebuildAdvice(st4, target).getOrElse(
+      sys.error(s"skew grow must fire at $st4"))
+    require(grow.termBuckets == 2 * nbSmall &&
+      grow.termBucketsFloor == grow.termBuckets,
+      s"expected a skew grow flooring at its own recommendation: $grow")
+    // act on the advice EXACTLY as the health check spells it
+    val grown = s"$work/tifl_idx_${docsK}_${grow.termBuckets}"
+    TextIndex.build(spark, docs, grown,
+      termBuckets = grow.termBuckets,
+      termBucketsFloor = grow.termBucketsFloor)
+    val st8 = TextIndex.loadStats(spark, grown)
+    val floored = TextIndex.rebuildAdvice(st8, target)
+    val stripped = TextIndex.rebuildAdvice(
+      st8.copy(termBucketsFloor = 0), target)
+    require(floored.isEmpty,
+      s"floored re-measurement must be silent, got $floored at $st8")
+    require(stripped.exists(_.termBuckets <= nbSmall),
+      s"floor-stripped stats must reproduce the shrink-back: $stripped")
+    println(f"[scale] textindexfloor ${n} docs " +
+      f"(${st4.postingRows} postings): fanout 4 p99 share " +
+      f"${100.0 * st4.p99Rows / st4.postingRows}%.0f%% -> skew grow " +
+      f"Rebuild(${grow.termBuckets}, floor ${grow.termBucketsFloor}) " +
+      f"(ideal fits 4 buckets: collision skew, not volume); acted on " +
+      f"-> floored advice None (converged in ONE step); same measured " +
+      f"stats floor-stripped -> ${stripped.get} = shrink back below " +
+      "the count that just tripped, the cron loop the floor closes")
+  }
+
   private def zonemapExperiment(spark: SparkSession, work: String,
       millions: Int): Unit = {
     import org.apache.spark.sql.functions._
@@ -1971,6 +2049,14 @@ object ScaleBench {
       textIndexFanoutExperiment(spark,
         args.lift(2).getOrElse("/tmp/graft-scale"),
         args.lift(1).map(_.toInt).getOrElse(400))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("textindexfloor")) {
+      val spark = buildSession()
+      textIndexFloorExperiment(spark,
+        args.lift(2).getOrElse("/tmp/graft-scale"),
+        args.lift(1).map(_.toInt).getOrElse(200))
       spark.stop()
       return
     }

@@ -126,6 +126,21 @@ object TextIndex {
       .distinct().as[Long].collect().toIndexedSeq
   }
 
+  /** [[bucketsOf]]'s per-term sibling: each term's bucket at
+    * `termBuckets` fanout, same write-side expression. For
+    * measurement code that needs the ASSIGNMENT itself —
+    * [[graft.ScaleBench]]'s floor experiment engineers a
+    * collision-skewed vocabulary with the index's own routing
+    * (a re-derived hash would demonstrate nothing about this index).
+    */
+  private[graft] def bucketOfTerms(spark: SparkSession,
+      terms: Seq[String], termBuckets: Int): Map[String, Long] = {
+    import spark.implicits._
+    terms.toDF("term")
+      .select(col("term"), bucketOf(col("term"), termBuckets).as("tb"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** (term, doc_id, tf, dl, tb, gen) for `docs` (doc_id, text) —
     * the q111 tokenizer, exploded and counted. Zero-token docs keep a
     * census row but no postings (they can never match a term).
