@@ -465,9 +465,12 @@ object TextIndex {
     * (persisted by [[build]], surfaced by [[loadStats]]), and the
     * shrink branch never recommends below the stored floor: it
     * shrinks to `max(ideal, floor)` and only when THAT still halves
-    * the current count. A volume-driven grow and a shrink carry the
-    * existing floor forward unchanged — the skew evidence doesn't
-    * expire just because the corpus grew.
+    * the current count. Grow recommendations respect the floor too —
+    * an operator who once built below it is advised at least the
+    * floor, never a count inside the proven-collision zone. A
+    * volume-driven grow and a shrink carry the existing floor
+    * forward unchanged — the skew evidence doesn't expire just
+    * because the corpus grew.
     *
     * The same no-futile-advice rule governs the 2^20 fanout cap: a
     * grow recommendation clamped to ≤ the current count would
@@ -491,7 +494,12 @@ object TextIndex {
       val skewDriven = ideal <= stats.termBuckets
       if (skewDriven && 2 * stats.p99TopTermRows >= stats.p99Rows) None
       else {
-        val rec = cap(math.max(ideal, 2L * stats.termBuckets))
+        // every recommendation respects the stored floor, grows
+        // included: an operator who once built below the floor could
+        // otherwise be advised a volume grow INTO the proven-collision
+        // zone (max(ideal, 2×current) < floor)
+        val rec = cap(math.max(math.max(ideal, 2L * stats.termBuckets),
+          stats.termBucketsFloor.toLong))
         if (rec <= stats.termBuckets) None
         // a skew grow remembers the count it proved overloaded by
         // flooring at its own recommendation; a volume grow learned

@@ -304,6 +304,14 @@ class TextIndexSpec extends AnyFunSuite {
       maxRows = 14000L, p99TopTermRows = 100L, termBucketsFloor = 8)
     assert(TextIndex.rebuildAdvice(volumeGrown, 500L)
       .contains(TextIndex.Rebuild(200, 8)))
+    // and a grow can never recommend INTO the proven-collision zone:
+    // an operator who built below the floor gets advised at least the
+    // floor, not max(ideal, 2x current) inside it
+    val belowFloor = TextIndex.LoadStats(termBuckets = 8,
+      postingRows = 10000L, meanRows = 1250.0, p99Rows = 1400L,
+      maxRows = 1400L, p99TopTermRows = 10L, termBucketsFloor = 64)
+    assert(TextIndex.rebuildAdvice(belowFloor, 500L)
+      .contains(TextIndex.Rebuild(64, 64)))
     // end to end: build persists the floor beside the fanout,
     // loadStats surfaces it, and routing still serves the kernel
     val dir = tmp()
