@@ -512,4 +512,41 @@ class GraftApiSpec extends AnyFunSuite {
     assert(ti.call.contains("termBuckets = 18") &&
       ti.call.contains("termBucketsFloor = 0"), ti.call)
   }
+
+  test("the skew-grow advisory loop converges through the one-call " +
+      "health check: fire with a floor, act on the typed " +
+      "recommendation, re-measure to silence") {
+    import graft.ops.TextIndex
+    // a vocabulary engineered to collision-concentrate at fanout 4
+    // with the index's OWN routing — p99 trips while volume alone
+    // fits the current buckets, the SKEW-driven grow
+    val perTerm = TextIndex.bucketOfTerms(spark,
+      (0 until 400).map(i => s"sk$i"), 4)
+    val hotBucket = perTerm.values.head
+    val hot = perTerm.collect { case (t, b) if b == hotBucket => t }
+      .toSeq.sorted.take(40)
+    val cold = perTerm.collect { case (t, b) if b != hotBucket => t }
+      .toSeq.sorted.take(5)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, ((0 until 5).map(j => hot((i * 7 + j) % hot.size)) :+
+        cold(i % cold.size)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val d1 = java.nio.file.Files
+      .createTempDirectory("graft-api-tif-").toString
+    TextIndex.build(spark, docs, d1, termBuckets = 4)
+    val h = Graft.textIndexHealth(spark, d1, targetRowsPerBucket = 120)
+      .getOrElse(fail("collision-skewed index must advise"))
+    assert(h.recommended == TextIndex.Rebuild(8, 8),
+      s"skew grow must floor at its own recommendation: $h")
+    // act on the TYPED recommendation, exactly as a cron would
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft-api-tif2-").toString
+    TextIndex.build(spark, docs, d2,
+      termBuckets = h.recommended.termBuckets,
+      termBucketsFloor = h.recommended.termBucketsFloor)
+    // converged: the floored index measures back to SILENCE — the
+    // shrink-back that closed the r16 oscillation cannot fire
+    assert(Graft.textIndexHealth(spark, d2, 120).isEmpty,
+      "acted-on skew advice must converge in one step")
+  }
 }

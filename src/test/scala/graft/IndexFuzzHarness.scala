@@ -20,11 +20,14 @@ object IndexFuzzHarness {
     * same map), `compact` folds tombstones, `tearMidSwap` fabricates
     * the mid-swap crash state a compact can die in (the torn-compact
     * step tears then re-runs `compact` as the documented recovery),
-    * and `check(state, step)` asserts the index against the caller's
-    * oracle — invoked after build and after every step. `deleteFloor`
-    * is the minimum live corpus the oracle needs: a delete step never
-    * takes the state below it (floor counted AFTER the removal, so
-    * the stated slack really holds).
+    * `rebuild` cuts the index fresh from the given corpus IN PLACE
+    * (the delete-data-first replacement — generations reset under
+    * live tombstone history, the maintenance op a schedule must not
+    * be able to poison), and `check(state, step)` asserts the index
+    * against the caller's oracle — invoked after build and after
+    * every step. `deleteFloor` is the minimum live corpus the oracle
+    * needs: a delete step never takes the state below it (floor
+    * counted AFTER the removal, so the stated slack really holds).
     */
   def run[V](rnd: scala.util.Random, initial: Map[Long, V],
       freshValue: () => V,
@@ -32,13 +35,14 @@ object IndexFuzzHarness {
       delete: Seq[Long] => Unit,
       compact: () => Unit,
       tearMidSwap: () => Unit,
+      rebuild: Map[Long, V] => Unit,
       deleteFloor: Int,
       check: (Map[Long, V], String) => Unit): Unit = {
     var state = initial
     var nextId = initial.keys.foldLeft(0L)(math.max) + 1L
     check(state, "build")
     for (step <- 0 until 5 + rnd.nextInt(4)) {
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
         case 0 => // upsert delta: some new docs, some rewrites
           val news = (0 until 1 + rnd.nextInt(3)).map { _ =>
             val id = nextId; nextId += 1; id -> freshValue()
@@ -70,6 +74,13 @@ object IndexFuzzHarness {
           // INTERLEAVED with deltas and prior compactions
           tearMidSwap()
           compact()
+        case 5 => // in-place rebuild from the current corpus: the
+          // delete-data-first replacement over whatever generations,
+          // tombstones and staging leftovers the schedule piled up —
+          // surviving state from the old index (a tombstone outranking
+          // the rebuilt gen-0 rows, a stale trash dir) must be
+          // impossible by construction
+          rebuild(state)
       }
       check(state, s"step $step")
     }

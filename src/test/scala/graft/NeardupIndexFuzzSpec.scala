@@ -57,6 +57,7 @@ class NeardupIndexFuzzSpec extends AnyFunSuite {
         compact = () => NeardupIndex.compact(spark, dir),
         tearMidSwap = () => IndexFuzzHarness.tearCompactSwap(spark, rnd,
           Seq(s"$dir/bands")),
+        rebuild = st => NeardupIndex.build(spark, df(st), dir),
         deleteFloor = 2,
         check = (state, step) => {
           val live = bandSet(NeardupIndex.live(spark, dir))

@@ -58,6 +58,8 @@ class TextIndexFuzzSpec extends AnyFunSuite {
         compact = () => TextIndex.compact(spark, dir),
         tearMidSwap = () => IndexFuzzHarness.tearCompactSwap(spark, rnd,
           Seq(s"$dir/postings", s"$dir/docs")),
+        rebuild = st => TextIndex.build(spark, df(st), dir,
+          termBuckets = nb, termBucketsFloor = floor),
         deleteFloor = 2,
         check = (state, step) => {
           val terms = rnd.shuffle(vocab).take(2) :+ "neverword"
