@@ -112,26 +112,22 @@ object TextIndex {
     pmod(xxhash64(term), lit(termBuckets.toLong))
 
   /** The distinct postings buckets `terms` hash to at `termBuckets`
-    * fanout — computed with the SAME expression the write side
-    * buckets with (one tiny local job; a caller-side hash
-    * reimplementation could silently drift from xxhash64).
-    * Package-visible so measurement code ([[graft.ScaleBench]]'s
-    * pruned-IO metric) shares the routing instead of re-deriving it.
+    * fanout — derived from [[bucketOfTerms]], the one
+    * routing-evaluation path.
     */
   private[graft] def bucketsOf(spark: SparkSession, terms: Seq[String],
-      termBuckets: Int): Seq[Long] = {
-    import spark.implicits._
-    terms.toDF("term")
-      .select(bucketOf(col("term"), termBuckets).as("tb"))
-      .distinct().as[Long].collect().toIndexedSeq
-  }
+      termBuckets: Int): Seq[Long] =
+    bucketOfTerms(spark, terms, termBuckets).values.toSeq.distinct
 
-  /** [[bucketsOf]]'s per-term sibling: each term's bucket at
-    * `termBuckets` fanout, same write-side expression. For
-    * measurement code that needs the ASSIGNMENT itself —
-    * [[graft.ScaleBench]]'s floor experiment engineers a
-    * collision-skewed vocabulary with the index's own routing
-    * (a re-derived hash would demonstrate nothing about this index).
+  /** Each term's bucket at `termBuckets` fanout, with the SAME
+    * expression the write side buckets with (one tiny local job; a
+    * caller-side hash reimplementation could silently drift from
+    * xxhash64) — the ONE routing-evaluation path [[bucketsOf]]
+    * derives from. Package-visible for measurement code that needs
+    * the assignment itself: [[graft.ScaleBench]]'s floor experiment
+    * engineers a collision-skewed vocabulary with the index's own
+    * routing (a re-derived hash would demonstrate nothing about this
+    * index).
     */
   private[graft] def bucketOfTerms(spark: SparkSession,
       terms: Seq[String], termBuckets: Int): Map[String, Long] = {
@@ -490,6 +486,12 @@ object TextIndex {
     // capped ideal inside the band decisions could advise a too-big
     // corpus DOWN (the AnnIndex.retrainAdvice argument)
     def cap(n: Long): Int = math.min(1L << 20, n).toInt
+    // the stored floor participates in recommendations, so it is
+    // clamped to the same cap FIRST: a hand-persisted floor above
+    // 2^20 would otherwise force every recommendation below its own
+    // floor (no fanout above the cap is ever advised), and carrying
+    // the uncapped value forward would persist the inconsistency
+    val floor = cap(stats.termBucketsFloor.toLong)
     if (stats.p99Rows >= 2 * targetRowsPerBucket) {
       val skewDriven = ideal <= stats.termBuckets
       if (skewDriven && 2 * stats.p99TopTermRows >= stats.p99Rows) None
@@ -499,19 +501,18 @@ object TextIndex {
         // otherwise be advised a volume grow INTO the proven-collision
         // zone (max(ideal, 2×current) < floor)
         val rec = cap(math.max(math.max(ideal, 2L * stats.termBuckets),
-          stats.termBucketsFloor.toLong))
+          floor.toLong))
         if (rec <= stats.termBuckets) None
         // a skew grow remembers the count it proved overloaded by
         // flooring at its own recommendation; a volume grow learned
         // nothing new about collisions and carries the floor as is
-        else if (skewDriven)
-          Some(Rebuild(rec, math.max(stats.termBucketsFloor, rec)))
-        else Some(Rebuild(rec, stats.termBucketsFloor))
+        else if (skewDriven) Some(Rebuild(rec, math.max(floor, rec)))
+        else Some(Rebuild(rec, floor))
       }
     } else {
-      val floored = math.max(ideal, stats.termBucketsFloor.toLong)
+      val floored = math.max(ideal, floor.toLong)
       if (floored * 2 <= stats.termBuckets)
-        Some(Rebuild(cap(floored), stats.termBucketsFloor))
+        Some(Rebuild(cap(floored), floor))
       else None
     }
   }

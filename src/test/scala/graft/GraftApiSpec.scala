@@ -527,6 +527,11 @@ class GraftApiSpec extends AnyFunSuite {
       .toSeq.sorted.take(40)
     val cold = perTerm.collect { case (t, b) if b != hotBucket => t }
       .toSeq.sorted.take(5)
+    // loud guard (the ScaleBench twin's discipline): an undersized
+    // vocabulary would change the p99 arithmetic the Rebuild(8, 8)
+    // assertion depends on, or divide by a zero-sized cold set
+    assert(hot.size == 40 && cold.size == 5,
+      s"vocabulary too small: ${hot.size} hot / ${cold.size} cold")
     val docs = (0 until 60).map { i =>
       (i.toLong, ((0 until 5).map(j => hot((i * 7 + j) % hot.size)) :+
         cold(i % cold.size)).mkString(" "))

@@ -312,6 +312,11 @@ class TextIndexSpec extends AnyFunSuite {
       maxRows = 1400L, p99TopTermRows = 10L, termBucketsFloor = 64)
     assert(TextIndex.rebuildAdvice(belowFloor, 500L)
       .contains(TextIndex.Rebuild(64, 64)))
+    // a hand-persisted floor ABOVE the 2^20 cap clamps with the
+    // recommendation: the advice can never sit below its own floor
+    val hugeFloor = grownAt4.copy(termBucketsFloor = 2000000)
+    assert(TextIndex.rebuildAdvice(hugeFloor, 500L)
+      .contains(TextIndex.Rebuild(1 << 20, 1 << 20)))
     // end to end: build persists the floor beside the fanout,
     // loadStats surfaces it, and routing still serves the kernel
     val dir = tmp()
