@@ -41,7 +41,14 @@ class AnnIndexFuzzSpec extends AnyFunSuite {
       "full-probe search equal to brute-force cosine top-k") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)
-      val k = 2 + rnd.nextInt(3) // centroids
+      // CURRENT centroid count — a var, because every in-place rebuild
+      // draws a fresh k and a fresh codebook from the live corpus (the
+      // retrain+build maintenance op): the codebook TRANSITION is what
+      // the build's delete-data-first sweep protects (old-codebook
+      // postings or trash paired with the new centroids is the silent
+      // misroute), and a schedule that always rebuilds with the
+      // original codebook never crosses it
+      var k = 2 + rnd.nextInt(3) // centroids
       val dir = Files.createTempDirectory(s"graft-annf-$seed-").toString
       val initial = (1L to (6 + rnd.nextInt(6)).toLong)
         .map(i => i -> vec(rnd)).toMap
@@ -59,9 +66,11 @@ class AnnIndexFuzzSpec extends AnyFunSuite {
         compact = () => AnnIndex.compact(spark, dir),
         tearMidSwap = () => IndexFuzzHarness.tearCompactSwap(spark, rnd,
           Seq(s"$dir/postings")),
-        // the FROZEN codebook survives a rebuild by contract — the
-        // seed frame re-evaluates from the initial corpus
-        rebuild = st => AnnIndex.build(spark, df(st), cb, dir),
+        rebuild = st => {
+          k = 2 + rnd.nextInt(3)
+          AnnIndex.build(spark, df(st),
+            AnnIndex.seedCentroids(spark, df(st), k), dir)
+        },
         deleteFloor = 5, // top-3 candidates + the query vector + slack
         check = (state, step) => {
           // ONE live collect feeds both (1) and (3)'s cell oracle
@@ -95,6 +104,12 @@ class AnnIndexFuzzSpec extends AnyFunSuite {
           val cents = AnnIndex.codebook(spark, dir).collect()
             .map(r => r.getInt(0) ->
               r.getSeq[Double](1).toSeq)
+          // the stored codebook tracks the LATEST rebuild's k — the
+          // meta-follows-the-rebuild assertion, TextIndexFuzzSpec's
+          // stored-fanout twin
+          assert(cents.length == k,
+            s"seed $seed $step: codebook size ${cents.length} != " +
+              s"latest rebuild's k $k")
           val probedCid = cents
             .map { case (cid, ce) => (cid, cosine(q._2, ce)) }
             .minBy { case (cid, c) => (-c, cid) }._1
@@ -118,16 +133,20 @@ class AnnIndexFuzzSpec extends AnyFunSuite {
       // assignment regression that keeps (3)'s oracle equality but
       // degrades what the probed cell CONTAINS shows up here
       val recall = recallHit.toDouble / math.max(1, recallTot)
-      // measured at these seeds: 0.429 / 0.500 / 0.667 (tiny corpora
+      info(f"seed $seed: nprobe=1 recall $recall%.2f " +
+        s"($recallHit/$recallTot)")
+      // measured at these seeds: 0.43 / 0.54 / 0.71 (tiny corpora
       // at 2-4 centroids — the global top-3 legitimately spans cells,
       // so nprobe=1 recall is modest BY DESIGN here; the value being
       // pinned is that it cannot silently sink further) — the floor
       // sits just under the observed minimum, so any regression that
       // hollows out the probed cell (bad assignment, dropped
-      // postings) fails loudly instead of drifting
+      // postings) fails loudly instead of drifting. This is the
+      // smoke-alarm pin; the statistically meaningful recall floor
+      // binds in ScaleBench's `ann` experiment at 2M vectors
       assert(recall >= 0.40,
         f"seed $seed: nprobe=1 recall $recall%.2f fell below the " +
-          "pinned floor 0.40 (measured 0.43-0.67 at these seeds)")
+          "pinned floor 0.40 (measured 0.43-0.71 at these seeds)")
     }
   }
 }

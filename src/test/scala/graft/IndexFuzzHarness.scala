@@ -23,7 +23,14 @@ object IndexFuzzHarness {
     * `rebuild` cuts the index fresh from the given corpus IN PLACE
     * (the delete-data-first replacement — generations reset under
     * live tombstone history, the maintenance op a schedule must not
-    * be able to poison), and `check(state, step)` asserts the index
+    * be able to poison; the callback is free to draw FRESH build
+    * parameters per invocation — a new fanout and floor, a new
+    * codebook — because the parameter TRANSITION is exactly what the
+    * delete-data-first staging sweep exists to protect, and a
+    * schedule that always rebuilds at the original parameters never
+    * crosses it; the caller tracks the latest values so `check` can
+    * assert the stored meta follows the LATEST rebuild), and
+    * `check(state, step)` asserts the index
     * against the caller's oracle — invoked after build and after
     * every step. `deleteFloor` is the minimum live corpus the oracle
     * needs: a delete step never takes the state below it (floor

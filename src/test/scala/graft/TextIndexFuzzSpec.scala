@@ -39,10 +39,17 @@ class TextIndexFuzzSpec extends AnyFunSuite {
       "the kernel's scores") {
     for (seed <- 1 to 4) {
       val rnd = new scala.util.Random(seed)
-      val nb = 1 + rnd.nextInt(12)
+      // the CURRENT build parameters — vars, because every in-place
+      // rebuild step draws fresh ones: a schedule that always rebuilds
+      // at the original fanout never crosses the fanout TRANSITION the
+      // build's delete-data-first staging sweep exists to protect
+      // (old-fanout trash healed back under a new tb= is the silent
+      // misroute), so the transition must be reachable INTERLEAVED
+      // with deltas, tombstones and torn compactions
+      var nb = 1 + rnd.nextInt(12)
       // a random skew floor (0 = none) rides the meta: maintenance
       // must never lose or alter the advisory's memory
-      val floor = rnd.nextInt(3) * nb
+      var floor = rnd.nextInt(3) * nb
       val dir = Files.createTempDirectory(s"graft-tif-$seed-").toString
       val initial = (1L to (5 + rnd.nextInt(10)).toLong)
         .map(i => i -> docText(rnd)).toMap
@@ -58,8 +65,12 @@ class TextIndexFuzzSpec extends AnyFunSuite {
         compact = () => TextIndex.compact(spark, dir),
         tearMidSwap = () => IndexFuzzHarness.tearCompactSwap(spark, rnd,
           Seq(s"$dir/postings", s"$dir/docs")),
-        rebuild = st => TextIndex.build(spark, df(st), dir,
-          termBuckets = nb, termBucketsFloor = floor),
+        rebuild = st => {
+          nb = 1 + rnd.nextInt(12)
+          floor = rnd.nextInt(3) * nb
+          TextIndex.build(spark, df(st), dir,
+            termBuckets = nb, termBucketsFloor = floor)
+        },
         deleteFloor = 2,
         check = (state, step) => {
           val terms = rnd.shuffle(vocab).take(2) :+ "neverword"
@@ -67,14 +78,21 @@ class TextIndexFuzzSpec extends AnyFunSuite {
           val want = scores(Graft.bm25(df(state), terms))
           assert(got == want,
             s"seed $seed nb $nb $step: index $got != kernel $want")
+          // the stored meta tracks the LATEST rebuild's parameters
           assert(TextIndex.termBucketsOf(spark, dir) == nb,
             s"seed $seed $step: stored fanout drifted")
           assert(TextIndex.termBucketsFloorOf(spark, dir) == floor,
             s"seed $seed $step: stored skew floor drifted")
         })
-      // the postings on disk never leak outside the built fanout
-      val tbDirs = Option(new java.io.File(s"$dir/postings").listFiles())
-        .getOrElse(Array.empty).map(_.getName)
+      // the postings on disk never leak outside the LATEST fanout —
+      // exactly the misroute a fanout-crossing rebuild could leave.
+      // Hadoop FS like the prod twin (TextIndex.loadStats): the check
+      // must see whatever filesystem the index was written through
+      val pPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
+      val pfs = pPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val tbDirs = (if (pfs.exists(pPath)) pfs.listStatus(pPath)
+        else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(_.isDirectory).map(_.getPath.getName)
         .filter(_.startsWith("tb=")).map(_.stripPrefix("tb=").toInt)
       assert(tbDirs.forall(tb => tb >= 0 && tb < nb),
         s"seed $seed: fanout leaked: ${tbDirs.toSeq} at nb=$nb")
