@@ -393,6 +393,13 @@ object Graft {
     * discipline as the pipeline's `reattach-index` status record:
     * act on the LATEST measurement, one job per subject, not per
     * record).
+    *
+    * Compatibility note: this type was `IndexHealth[S]` (with an Int
+    * recommendation) before the text index's typed [[graft.ops
+    * .TextIndex.Rebuild]] forced the second parameter — a SOURCE-
+    * BREAKING change for external consumers, taken deliberately while
+    * the library is pre-release rather than kept alive as a deprecated
+    * single-param alias that would silently drop the skew floor.
     */
   case class IndexHealth[S, R](stats: S, recommended: R, call: String)
 
@@ -404,8 +411,9 @@ object Graft {
     * "retrain at the same k to rebalance" — k-means splits dense
     * regions where re-hashing spreads nothing). None = healthy, do
     * nothing. Some = run the returned call's retrain+build into a
-    * FRESH dir and swap readers; run `compact` first if generations
-    * piled up (advice a compact would clear is not a retrain signal).
+    * FRESH dir and swap readers; check [[annIndexCompactHealth]]
+    * first — it MEASURES whether generations piled up, and advice a
+    * compact would clear is not a retrain signal.
     */
   def annIndexHealth(spark: SparkSession, dir: String,
       targetRowsPerCentroid: Long)
@@ -432,7 +440,10 @@ object Graft {
     * fanout AND skew floor — and the advised call spells both out:
     * a consumer that rebuilt from a bare fanout would forget the
     * collision evidence the rebuild just paid to learn, re-opening
-    * the grow↔shrink oscillation the floor exists to close.
+    * the grow↔shrink oscillation the floor exists to close. Check
+    * [[textIndexCompactHealth]] first — sizing stats count raw rows
+    * as laid out, and advice a compact would clear is not a rebuild
+    * signal.
     */
   def textIndexHealth(spark: SparkSession, dir: String,
       targetRowsPerBucket: Long)
@@ -447,6 +458,51 @@ object Graft {
           "// then point readers at <fresh-dir>")
     }
   }
+
+  /** The WHEN-to-compact verdict for a maintained index — the other
+    * half of index maintenance ([[annIndexHealth]]/[[textIndexHealth]]
+    * answer when to re-SIZE; this answers when the tombstone backlog
+    * makes the in-place `compact` worth running):
+    * [[graft.ops.IndexCompaction.compactStats]] fed to
+    * [[graft.ops.IndexCompaction.compactAdvice]]. None = the backlog
+    * is under the live row count (reads pay <2× the post-compact
+    * scan), or there is nothing to reclaim — do nothing. Some = the
+    * measured stats, the reclaimable row count as `recommended`, and
+    * the exact in-place call to run at a maintenance window (no
+    * fresh-dir swap needed — compact is crash-safe in place, unlike
+    * the rebuilds the sizing advisories recommend). Run this BEFORE
+    * acting on a sizing advisory: sizing stats count raw rows as laid
+    * out, so advice a compact would have cleared is not a rebuild
+    * signal.
+    */
+  def textIndexCompactHealth(spark: SparkSession, dir: String)
+      : Option[IndexHealth[graft.ops.IndexCompaction.CompactStats, Long]] =
+    compactHealth(graft.ops.TextIndex.compactStats(spark, dir),
+      s"""TextIndex.compact(spark, "$dir")""")
+
+  /** [[textIndexCompactHealth]] for the maintained IVF vector index. */
+  def annIndexCompactHealth(spark: SparkSession, dir: String)
+      : Option[IndexHealth[graft.ops.IndexCompaction.CompactStats, Long]] =
+    compactHealth(graft.ops.AnnIndex.compactStats(spark, dir),
+      s"""AnnIndex.compact(spark, "$dir")""")
+
+  /** The near-dup band index's ONE health check: its band count is a
+    * scheme constant (the MinHash (bands, rows) tradeoff — nothing to
+    * re-size, so no sizing twin exists), but its delta protocol
+    * accumulates the same tombstone backlog as the other two
+    * maintained indexes, measured and advised identically
+    * ([[textIndexCompactHealth]]).
+    */
+  def neardupIndexHealth(spark: SparkSession, dir: String)
+      : Option[IndexHealth[graft.ops.IndexCompaction.CompactStats, Long]] =
+    compactHealth(graft.ops.NeardupIndex.compactStats(spark, dir),
+      s"""NeardupIndex.compact(spark, "$dir")""")
+
+  private def compactHealth(
+      st: graft.ops.IndexCompaction.CompactStats, call: String)
+      : Option[IndexHealth[graft.ops.IndexCompaction.CompactStats, Long]] =
+    graft.ops.IndexCompaction.compactAdvice(st).map(reclaim =>
+      IndexHealth(st, reclaim, s"$call // folds $reclaim rows"))
 
   /** Release the clean-corpus stage cache the q89/q108 pipelines
     * memoize (one survivor-stage set per (session, dir), pinned in

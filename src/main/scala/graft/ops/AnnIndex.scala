@@ -315,6 +315,17 @@ object AnnIndex {
     writeEmptyTombstones(spark, dir)
   }
 
+  /** Measured tombstone backlog — the WHEN-to-compact half of this
+    * index's health ([[IndexCompaction]]; [[loadStats]] answers the
+    * when-to-RETRAIN half): counted over the postings, the table every
+    * probe scans. Feed to [[IndexCompaction.compactAdvice]], or call
+    * `Graft.annIndexCompactHealth` for the one-call verdict.
+    */
+  def compactStats(spark: SparkSession,
+      dir: String): IndexCompaction.CompactStats =
+    IndexCompaction.measure(spark, postingsDir(dir), "cid=", "vec_id",
+      tombsDir(dir))
+
   /** Posting-layout health, for operators deciding WHEN to retrain —
     * the IVF analog of [[graft.streaming.CurrentTable.layoutStats]]:
     * the codebook is FROZEN at build time, so a corpus that grew N×

@@ -152,6 +152,21 @@ object NeardupIndex {
       .distinct()
   }
 
+  /** Measured tombstone backlog — this index's FIRST health surface
+    * ([[IndexCompaction]]): the band count is a scheme constant (the
+    * MinHash banding's (bands, rows) tradeoff, not frozen sizing), so
+    * unlike [[TextIndex]]/[[AnnIndex]] there is nothing to re-SIZE —
+    * but the delta protocol accumulates the same tombstone backlog
+    * every probe pays for, and WHEN a [[compact]] is worth running is
+    * just as measurable. Counted over the bands, the table every probe
+    * joins. Feed to [[IndexCompaction.compactAdvice]], or call
+    * `Graft.neardupIndexHealth` for the one-call verdict.
+    */
+  def compactStats(spark: SparkSession,
+      dir: String): IndexCompaction.CompactStats =
+    IndexCompaction.measure(spark, bandsDir(dir), "band=", "doc_id",
+      tombsDir(dir))
+
   /** Fold tombstones into the band table: rewrite the live set, swap
     * it in with the sink compaction's tmp/trash/rename discipline,
     * and clear the tombstones. Rows KEEP their generations through

@@ -353,6 +353,20 @@ object TextIndex {
     writeEmptyTombstones(spark, dir)
   }
 
+  /** Measured tombstone backlog — the WHEN-to-compact half of this
+    * index's health ([[IndexCompaction]]; [[loadStats]] answers the
+    * when-to-REBUILD half): counted over the postings, the dominant
+    * read-side table every search scans. The docs census is governed
+    * by the SAME tombstones, so its dead fraction tracks this one, and
+    * [[compact]] rewrites both. Feed to
+    * [[IndexCompaction.compactAdvice]], or call
+    * `Graft.textIndexCompactHealth` for the one-call verdict.
+    */
+  def compactStats(spark: SparkSession,
+      dir: String): IndexCompaction.CompactStats =
+    IndexCompaction.measure(spark, postingsDir(dir), "tb=", "doc_id",
+      tombsDir(dir))
+
   /** Postings-layout health, for operators deciding WHEN to rebuild
     * at a different bucket count — the inverted-index member of the
     * advisory family ([[BucketIndex.capacityAdvice]],

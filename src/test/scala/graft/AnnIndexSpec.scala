@@ -303,4 +303,35 @@ class AnnIndexSpec extends AnyFunSuite {
       .orderBy("rn").collect().map(_.getLong(1)).toSeq
     assert(hits.head == 1L, s"rebuilt vec 1 must serve again: $hits")
   }
+
+  test("compactStats counts the posting backlog exactly and the " +
+      "advice fires at the family's 2x read-amplification threshold") {
+    import graft.ops.IndexCompaction
+    import graft.ops.IndexCompaction.CompactStats
+    val dir = Files.createTempDirectory("graft-annc-").toString
+    val cb = AnnIndex.seedCentroids(spark, vecs(base: _*), 2)
+    AnnIndex.build(spark, vecs(base: _*), cb, dir)
+    assert(AnnIndex.compactStats(spark, dir) == CompactStats(6, 6, 0))
+    assert(IndexCompaction.compactAdvice(
+      AnnIndex.compactStats(spark, dir)).isEmpty)
+    // update vec 2: backlog 2 (1 dead posting + 1 tombstone) under
+    // live 6, stays silent
+    AnnIndex.applyDelta(spark, dir,
+      vecs(2L -> Seq(0.8, 0.2, 0.0, 0.0)), vecs())
+    val st1 = AnnIndex.compactStats(spark, dir)
+    assert(st1 == CompactStats(7, 6, 1))
+    assert(IndexCompaction.compactAdvice(st1).isEmpty,
+      s"backlog 2 < live 6 must be silent: $st1")
+    // delete vecs 3-5: backlog 8 (4 dead + 4 tombstones) >= live 3
+    AnnIndex.applyDelta(spark, dir, vecs(),
+      Seq(3L, 4L, 5L).toDF("vec_id"))
+    val st2 = AnnIndex.compactStats(spark, dir)
+    assert(st2 == CompactStats(7, 3, 4))
+    assert(IndexCompaction.compactAdvice(st2).contains(8L))
+    // acted on: silent until real churn re-accumulates
+    AnnIndex.compact(spark, dir)
+    val st3 = AnnIndex.compactStats(spark, dir)
+    assert(st3 == CompactStats(3, 3, 0))
+    assert(IndexCompaction.compactAdvice(st3).isEmpty)
+  }
 }

@@ -554,4 +554,69 @@ class GraftApiSpec extends AnyFunSuite {
     assert(Graft.textIndexHealth(spark, d2, 120).isEmpty,
       "acted-on skew advice must converge in one step")
   }
+
+  test("neardupIndexHealth and the text/ann compact twins surface the " +
+      "when-to-compact verdict as one operator call") {
+    import graft.ops.{AnnIndex, NeardupIndex, TextIndex}
+    import graft.ops.IndexCompaction.CompactStats
+    // near-dup: its FIRST health surface (the band count is a scheme
+    // constant — nothing to size — but the tombstone backlog is as
+    // measurable as the other two indexes')
+    val nd = java.nio.file.Files
+      .createTempDirectory("graft-api-ndc-").toString
+    val ndDocs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs",
+      3L -> "how vexingly quick daft zebras jump around",
+      4L -> "sphinx of black quartz judge my vow")
+      .toDF("doc_id", "text")
+    NeardupIndex.build(spark, ndDocs, nd)
+    assert(Graft.neardupIndexHealth(spark, nd).isEmpty,
+      "fresh index must be silent")
+    // delete half the corpus: backlog 6 (4 dead band rows + 2
+    // tombstones) >= live 4
+    NeardupIndex.applyDelta(spark, nd,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      Seq(1L, 2L).toDF("doc_id"))
+    val ndh = Graft.neardupIndexHealth(spark, nd)
+      .getOrElse(fail("backlogged index must advise"))
+    assert(ndh.stats == CompactStats(8, 4, 2) && ndh.recommended == 6L,
+      ndh.toString)
+    // the call names the exact in-place maintenance op — run it as
+    // advised, and the verdict converges to silence
+    assert(ndh.call.contains(s"""NeardupIndex.compact(spark, "$nd")"""),
+      ndh.call)
+    NeardupIndex.compact(spark, nd)
+    assert(Graft.neardupIndexHealth(spark, nd).isEmpty,
+      "acted-on compact advice must be silent")
+
+    // the text/ann twins share the verdict shape and the call naming
+    val td = java.nio.file.Files
+      .createTempDirectory("graft-api-tic-").toString
+    TextIndex.build(spark,
+      Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text"),
+      td)
+    assert(Graft.textIndexCompactHealth(spark, td).isEmpty)
+    TextIndex.applyDelta(spark, td,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      Seq(2L).toDF("doc_id"))
+    val th = Graft.textIndexCompactHealth(spark, td)
+      .getOrElse(fail("backlogged text index must advise"))
+    assert(th.stats == CompactStats(4, 2, 1) && th.recommended == 3L &&
+      th.call.contains("TextIndex.compact"), th.toString)
+
+    val ad = java.nio.file.Files
+      .createTempDirectory("graft-api-annc-").toString
+    val vs = Seq(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0))
+      .toDF("vec_id", "e")
+    AnnIndex.build(spark, vs, AnnIndex.seedCentroids(spark, vs, 1), ad)
+    assert(Graft.annIndexCompactHealth(spark, ad).isEmpty)
+    AnnIndex.applyDelta(spark, ad,
+      Seq.empty[(Long, Seq[Double])].toDF("vec_id", "e"),
+      Seq(2L).toDF("vec_id"))
+    val ah = Graft.annIndexCompactHealth(spark, ad)
+      .getOrElse(fail("backlogged ann index must advise"))
+    assert(ah.stats == CompactStats(2, 1, 1) && ah.recommended == 2L &&
+      ah.call.contains("AnnIndex.compact"), ah.toString)
+  }
 }

@@ -129,4 +129,38 @@ class NeardupIndexSpec extends AnyFunSuite {
     NeardupIndex.compact(spark, dir)
     assert(liveSet(dir) == bandsOf(docs(base: _*)))
   }
+
+  test("compactStats measures the tombstone backlog exactly and the " +
+      "advice fires at the family's 2x read-amplification threshold") {
+    import graft.ops.IndexCompaction
+    import graft.ops.IndexCompaction.CompactStats
+    val dir = Files.createTempDirectory("graft-ndc-").toString
+    NeardupIndex.build(spark, docs(base: _*), dir)
+    // fresh: 4 docs x 2 bands, nothing dead, nothing to advise
+    assert(NeardupIndex.compactStats(spark, dir) == CompactStats(8, 8, 0))
+    assert(IndexCompaction.compactAdvice(
+      NeardupIndex.compactStats(spark, dir)).isEmpty)
+    // update doc 2: 1 tombstone + 2 fresh band rows — backlog 3
+    // (2 dead + 1 tombstone) under live 8, stays silent
+    NeardupIndex.applyDelta(spark, dir,
+      docs(2L -> "pack my box with five dozen liquor jugs again"),
+      Seq.empty[Long].toDF("doc_id"))
+    val st1 = NeardupIndex.compactStats(spark, dir)
+    assert(st1 == CompactStats(10, 8, 1))
+    assert(IndexCompaction.compactAdvice(st1).isEmpty,
+      s"backlog 3 < live 8 must be silent: $st1")
+    // delete docs 3 and 4: backlog 9 (6 dead + 3 tombstones) >=
+    // live 4 — reads now pay >=2x the post-compact scan, advise
+    NeardupIndex.applyDelta(spark, dir, docs(),
+      Seq(3L, 4L).toDF("doc_id"))
+    val st2 = NeardupIndex.compactStats(spark, dir)
+    assert(st2 == CompactStats(10, 4, 3))
+    assert(IndexCompaction.compactAdvice(st2).contains(9L))
+    // acted on: the backlog folds away and the advice is silent until
+    // real churn re-accumulates — flap-proof by direction
+    NeardupIndex.compact(spark, dir)
+    val st3 = NeardupIndex.compactStats(spark, dir)
+    assert(st3 == CompactStats(4, 4, 0))
+    assert(IndexCompaction.compactAdvice(st3).isEmpty)
+  }
 }

@@ -391,4 +391,39 @@ class TextIndexSpec extends AnyFunSuite {
     assert(tbDirs.size == 1,
       s"single-term query touched buckets: $tbDirs")
   }
+
+  test("compactStats counts the postings backlog exactly and the " +
+      "advice fires at the family's 2x read-amplification threshold") {
+    import graft.ops.IndexCompaction
+    import graft.ops.IndexCompaction.CompactStats
+    val dir = tmp()
+    // 2 distinct terms per doc -> posting counts are exact
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    TextIndex.build(spark, docs, dir)
+    assert(TextIndex.compactStats(spark, dir) == CompactStats(4, 4, 0))
+    assert(IndexCompaction.compactAdvice(
+      TextIndex.compactStats(spark, dir)).isEmpty)
+    // update doc 2: backlog 3 (2 dead postings + 1 tombstone) under
+    // live 4, stays silent
+    TextIndex.applyDelta(spark, dir,
+      Seq((2L, "alpha delta")).toDF("doc_id", "text"),
+      Seq.empty[Long].toDF("doc_id"))
+    val st1 = TextIndex.compactStats(spark, dir)
+    assert(st1 == CompactStats(6, 4, 1))
+    assert(IndexCompaction.compactAdvice(st1).isEmpty,
+      s"backlog 3 < live 4 must be silent: $st1")
+    // delete doc 1: backlog 6 (4 dead + 2 tombstones) >= live 2
+    TextIndex.applyDelta(spark, dir,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      Seq(1L).toDF("doc_id"))
+    val st2 = TextIndex.compactStats(spark, dir)
+    assert(st2 == CompactStats(6, 2, 2))
+    assert(IndexCompaction.compactAdvice(st2).contains(6L))
+    // acted on: silent until real churn re-accumulates
+    TextIndex.compact(spark, dir)
+    val st3 = TextIndex.compactStats(spark, dir)
+    assert(st3 == CompactStats(2, 2, 0))
+    assert(IndexCompaction.compactAdvice(st3).isEmpty)
+  }
 }
