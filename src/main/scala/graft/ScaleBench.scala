@@ -479,6 +479,17 @@ object ScaleBench {
     * one that justifies [[graft.ops.AnnIndex]] at 100 TB: rebuild
     * cost grows with the CORPUS, delta cost grows with the DELTA —
     * so at mult× the rebuild/delta ratio should widen by ~mult.
+    *
+    * The experiment also PINS the pruned search's recall at scale —
+    * the q70 discipline where it binds statistically (the fuzz suite's
+    * per-seed floor is three tiny corpora at top-3, one rank swap of
+    * margin): nprobe=2-of-16 top-10 vs the GLOBAL exact top-10, the
+    * oracle being the index's OWN full probe (nprobe = all centroids
+    * degenerates IVF to an exact scan — fuzz-proven equal to
+    * brute-force cosine, and no re-derived kernel to drift). The
+    * require()d floor means a prune/assignment regression FAILS the
+    * bench run instead of silently trading recall for the speed
+    * numbers printed beside it.
     */
   private def annExperiment(spark: SparkSession, work: String,
       mult: Int): Unit = {
@@ -487,7 +498,9 @@ object ScaleBench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    println(f"[scale] ${"ann experiment"}%-24s ${"vecs"}%9s ${"rebuild"}%8s ${"delta"}%8s ${"search"}%8s ratio")
+    val centroids = 16
+    val topK = 10
+    println(f"[scale] ${"ann experiment"}%-24s ${"vecs"}%9s ${"rebuild"}%8s ${"delta"}%8s ${"search"}%8s ${"recall@2"}%9s ratio")
     val ratios = Seq(1, mult).map { m =>
       val dir = s"$work/ann_x$m"
       if (!new java.io.File(s"$dir/embeddings.parquet").exists())
@@ -497,22 +510,40 @@ object ScaleBench {
       e0.write.format("noop").mode("overwrite").save() // warm the read
       val n = e0.count()
       val idx = s"$dir/index"
-      val cb = AnnIndex.seedCentroids(spark, e0, 16)
+      val cb = AnnIndex.seedCentroids(spark, e0, centroids)
       AnnIndex.build(spark, e0, cb, idx) // untimed warmup build (JIT)
       val tBuild = time(AnnIndex.build(spark, e0, cb, idx))
+      // recall on the freshly-built index (pre-delta, so the exact
+      // oracle's corpus is e0 itself): pruned hits / exact hits over
+      // the query set
+      val q = e0.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      def hitSet(nprobe: Int): Set[(Long, Long)] =
+        AnnIndex.search(spark, idx, q, nprobe, topK)
+          .select("qid", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = hitSet(centroids)
+      val recall = (hitSet(2) intersect exact).size.toDouble / exact.size
+      // measured 0.74 at 2k vectors / 0.94 at 2M (`ScaleBench ann
+      // 1000`) on the generated 10-cluster corpus — recall RISES with
+      // corpus size because the neighbors concentrate into the probed
+      // cells as clusters fill in. The floor sits under the small-
+      // corpus measurement with margin for tie churn, far above a
+      // hollowed-out probe: a regression dropping one of the two
+      // probed cells' postings lands ~0.5 and fails loudly
+      require(recall >= 0.65,
+        f"nprobe=2 recall $recall%.2f fell below the pinned floor 0.65")
       val up = e0.filter(col("vec_id") % 1000 === 1)
         .withColumn("e", transform(col("e"), x => -x))
       val del = e0.filter(col("vec_id") % 2000 === 3).select("vec_id")
       val tDelta = time(AnnIndex.applyDelta(spark, idx, up, del))
-      val q = e0.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("e").as("qe"))
-      val tSearch = time(AnnIndex.search(spark, idx, q, 2, 10)
+      val tSearch = time(AnnIndex.search(spark, idx, q, 2, topK)
         .write.format("noop").mode("overwrite").save())
       val ratio = tBuild / tDelta
-      println(f"[scale]   x$m%-22d $n%9d $tBuild%7.2fs $tDelta%7.2fs $tSearch%7.2fs $ratio%5.1f×")
+      println(f"[scale]   x$m%-22d $n%9d $tBuild%7.2fs $tDelta%7.2fs $tSearch%7.2fs $recall%9.2f $ratio%5.1f×")
       ratio
     }
-    println(f"[scale] ann rebuild/delta ratio widened ${ratios(1) / ratios(0)}%4.1f× from 1x to ${mult}x")
+    println(f"[scale] ann rebuild/delta ratio widened ${ratios(1) / ratios(0)}%4.1f× from 1x to ${mult}x; recall@nprobe=2 require()d >= 0.65")
   }
 
   /** `runMain graft.ScaleBench zonemap [millions] [work]` — the
