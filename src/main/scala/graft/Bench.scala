@@ -61,7 +61,9 @@ object Bench {
       }
       spark.catalog.clearCache()
     }
-    def timedPass(): Seq[(String, Double)] = names.map { case (name, fn) =>
+    def timedPass(subset: Set[String] = names.map(_._1).toSet)
+        : Seq[(String, Double)] =
+      names.filter(q => subset(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full execution incl. final sort and all output
       // columns (count() would let Catalyst prune both)
@@ -116,23 +118,39 @@ object Bench {
     calBuf += calibrate()
     val pass2 = timedPass().toMap
     calBuf += calibrate()
-    // both passes failed → -1 marker (keeps the JSON line valid and
+    // TARGETED third pass: a query whose two passes disagreed ≥2× was
+    // hit by ambient load in at least one of them, and min-of-2 then
+    // has a coin-flip chance of still carrying contamination — two
+    // consecutive rounds' artifacts (r16 q112, r17 q59/q89/q43)
+    // manufactured phantom regressions a judge re-run erased. One more
+    // measurement of JUST those queries (bounded: the spread tail is
+    // ~5-10 queries × ~1 s) gives the min a third sample where it
+    // matters, without re-paying the whole suite.
+    val p3names = pass1.flatMap { case (n, d1) =>
+      val d2 = pass2(n)
+      val (lo, hi) = (math.min(d1, d2), math.max(d1, d2))
+      if (lo > 0 && hi.isFinite && hi / lo >= ThirdPassFloor) Some(n)
+      else None
+    }.toSet
+    val pass3 = timedPass(p3names).toMap
+    calBuf += calibrate()
+    // all passes failed → -1 marker (keeps the JSON line valid and
     // the failure visible; the driver's correctness gate catches the
     // broken query itself)
     val results = pass1.map { case (n, d) =>
-      val m = math.min(d, pass2(n))
+      val m = (Seq(d, pass2(n)) ++ pass3.get(n)).min
       n -> (if (m.isFinite) m else -1.0)
     }
-    // per-query max/min ratio across the two passes: min-of-2 hides
-    // WHICH entries were contaminated by ambient box load (BENCH_r06
-    // carried q17 at 8.7× its idle-box time with nothing in the
-    // artifact revealing both passes were hit). A big ratio = the
-    // passes disagreed = the min is trustworthy; a ratio near 1 on an
-    // inflated number = both passes were hit, re-measure before
-    // calling it a regression.
+    // per-query max/min ratio across ALL of a query's passes: min-of-N
+    // hides WHICH entries were contaminated by ambient box load
+    // (BENCH_r06 carried q17 at 8.7× its idle-box time with nothing in
+    // the artifact revealing both passes were hit). A big ratio = the
+    // passes disagreed = the min is trustworthy (and for ≥2× entries a
+    // third sample backed it); a ratio near 1 on an inflated number =
+    // every pass was hit, re-measure before calling it a regression.
     val spread = pass1.flatMap { case (n, d1) =>
-      val d2 = pass2(n)
-      val (lo, hi) = (math.min(d1, d2), math.max(d1, d2))
+      val ds = Seq(d1, pass2(n)) ++ pass3.get(n)
+      val (lo, hi) = (ds.min, ds.max)
       if (lo > 0 && hi.isFinite && hi / lo >= SpreadFloor)
         Some(n -> hi / lo)
       else None
@@ -177,11 +195,17 @@ object Bench {
     val (multi, multiSpread) = ingestMin(MultiTables, "cdc_multi")
     spark.stop()
     println(renderJson(results, spread, ingest, multi, sfDir,
-      ingestSpread, multiSpread, calBuf.toSeq))
+      ingestSpread, multiSpread, calBuf.toSeq, p3names.size))
   }
 
   /** Table count for the multiplexed ingest bench. */
   private[graft] val MultiTables = 10
+
+  /** Pass-1-vs-2 disagreement at which a query earns a third targeted
+    * measurement: 2× is where contamination stops being jitter — the
+    * floor the verdict's phantom-regression entries all cleared.
+    */
+  private[graft] val ThirdPassFloor = 2.0
 
   /** Minimum max/min pass ratio a query must show to be listed in the
     * JSON `spread` map — below this, run-to-run variance is noise not
@@ -230,7 +254,8 @@ object Bench {
       multi: Option[(Double, Double)], sfDir: String,
       ingestSpread: Option[Double] = None,
       multiSpread: Option[Double] = None,
-      cal: Seq[Double] = Nil): String = {
+      cal: Seq[Double] = Nil,
+      thirdPassed: Int = 0): String = {
     def short(name: String): String = {
       val m = "^(q\\d+)_".r.findFirstMatchIn(name)
       m.map(_.group(1)).getOrElse(name)
@@ -295,7 +320,12 @@ object Bench {
       if (cal.isEmpty) ""
       else cal.map(ratio).mkString(""","cal":[""", ",",
         s"""],"cal_med":${ratio(medianOf(cal))}""")
-    s"""{"metric":"total","value":${sec(total)},"unit":"sec","passes":2,"agg":"min","queries_total":${sec(queriesTotal)},"queries":$qs$failedJson$spreadJson$extra$calJson,"sf":"$sfDir"}"""
+    // p3_n: queries that earned a targeted third pass (pass-1-vs-2
+    // disagreement ≥ ThirdPassFloor) — the methodology is 2 passes +
+    // a third for the spread tail, so the base "passes" stays 2 and
+    // this field says how many entries carry a third sample
+    val p3Json = if (thirdPassed > 0) s""","p3_n":$thirdPassed""" else ""
+    s"""{"metric":"total","value":${sec(total)},"unit":"sec","passes":2,"agg":"min"$p3Json,"queries_total":${sec(queriesTotal)},"queries":$qs$failedJson$spreadJson$extra$calJson,"sf":"$sfDir"}"""
   }
 
   /** Events → JSON-lines envelope feed → CdcPipeline (AvailableNow);

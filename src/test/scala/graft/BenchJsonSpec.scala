@@ -34,6 +34,15 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.contains("\"passes\":2") && line.contains("\"agg\":\"min\""))
   }
 
+  test("p3_n records the targeted-third-pass count, omitted when zero") {
+    val withP3 = Bench.renderJson(Seq("q01_x" -> 1.0), Nil, None, None,
+      "/tmp/sf", thirdPassed = 4)
+    assert(withP3.contains("\"p3_n\":4"), withP3)
+    val noP3 = Bench.renderJson(Seq("q01_x" -> 1.0), Nil, None, None,
+      "/tmp/sf")
+    assert(!noP3.contains("p3_n"), noP3)
+  }
+
   test("multi-table ingest adds cdcm timing and its rate/table-count keys") {
     val line = render(Seq("q01_x" -> 1.0), Some((2.0, 18000.0)),
       Some((3.5, 9000.7)))
