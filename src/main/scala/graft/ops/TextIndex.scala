@@ -171,7 +171,14 @@ object TextIndex {
     * when acting on a [[rebuildAdvice]] recommendation pass the
     * advised [[Rebuild.termBucketsFloor]] through, or the new index
     * forgets the collision skew the advice just paid a rebuild to
-    * learn. Build (like [[NeardupIndex.build]]) is
+    * learn. The floor only ever RATCHETS upward through the advisory
+    * (skew grows raise it; volume grows and shrinks carry it), so it
+    * can outlive the vocabulary that earned it — rebuilding with
+    * `termBucketsFloor = 0` is the deliberate escape hatch: it
+    * forgets collision evidence that a wholly-replaced corpus made
+    * stale, and the next skew trip (if the skew is real) re-learns a
+    * fresh floor from current measurements. Build (like
+    * [[NeardupIndex.build]]) is
     * replace-not-atomic: any old index data is deleted FIRST — the
     * compact staging dirs (`._compact_tmp`/`._compact_trash`)
     * included, because a trash dir surviving into the new index is a

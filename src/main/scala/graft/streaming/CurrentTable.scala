@@ -674,7 +674,12 @@ object CurrentTable {
   }
 
   /** Trash dirs whose live bucket is missing — the signature of a
-    * swap that crashed strictly between its two renames.
+    * swap that crashed strictly between its two renames. Trash whose
+    * live twin is PRESENT is deliberately excluded: both renames
+    * landed and only the trash delete was lost, the listed data is
+    * fully intact, so it must never cost a reader the grace sleep or
+    * the refusal (spec-pinned) — the next swap of that bucket deletes
+    * it in passing.
     */
   private def orphanTrash(fs: FileSystem,
       currentDir: String): Seq[String] =

@@ -1319,6 +1319,28 @@ class CurrentTableSpec extends AnyFunSuite {
     CurrentTable.heal(spark, cur)
     assert(probe(1L, 31L) == Set(1L -> "v1", 31L -> "late"))
     assert(CurrentTable.layoutStats(spark, cur).get.buckets == 5)
+    // trash WITH its live bucket present — the leftover of a swap
+    // that completed BOTH renames and crashed only before the trash
+    // delete: the listed data is fully intact, so this is a harmless
+    // leftover, not interrupted maintenance (orphanTrash counts only
+    // trash whose live twin is MISSING), and the oversized probe must
+    // keep serving at grace 0 instead of sleeping-then-refusing — the
+    // availability half of the heal-or-refuse contract
+    val doneKb = new java.io.File(cur).listFiles()
+      .filter(f => f.getName.startsWith("kb=") &&
+        f.listFiles().nonEmpty).head
+    val leftover = new org.apache.hadoop.fs.Path(cur,
+      s"._ct_trash_${doneKb.getName}")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(doneKb.toString), fs, leftover,
+      false, spark.sparkContext.hadoopConfiguration)
+    spark.conf.set("spark.graft.current.healGraceMs", "0")
+    try assert(r.lookup((1L to 4L).toDF("id"), maxDriverKeys = 2)
+        .select("id").collect().map(_.getLong(0)).toSet
+        == Set(1L, 2L, 3L, 4L),
+      "a completed swap's trash leftover must not refuse service")
+    finally spark.conf.unset("spark.graft.current.healGraceMs")
+    fs.delete(leftover, true)
     // census-less legacy tables are refused at creation, naming the lever
     val nbLine = scala.io.Source.fromFile(s"$cur/_synced.txt")
       .getLines().next()

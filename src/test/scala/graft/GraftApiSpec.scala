@@ -523,15 +523,26 @@ class GraftApiSpec extends AnyFunSuite {
     val perTerm = TextIndex.bucketOfTerms(spark,
       (0 until 400).map(i => s"sk$i"), 4)
     val hotBucket = perTerm.values.head
-    val hot = perTerm.collect { case (t, b) if b == hotBucket => t }
-      .toSeq.sorted.take(40)
+    val hotAll = perTerm.collect { case (t, b) if b == hotBucket => t }
+      .toSeq.sorted
+    // the convergence half below asserts the GROWN index reads back
+    // silent, which needs the hot postings to split ~evenly between
+    // the hot bucket's two mod-8 residues — xxhash64 guarantees no
+    // such balance, so pick the hot terms in PAIRS, one per residue,
+    // verified with the index's own routing at the grown fanout
+    // (a lopsided draw would fail the silence assertion against the
+    // FIXTURE, not the advisory)
+    val grownOf = TextIndex.bucketOfTerms(spark, hotAll, 8)
+    val (resLo, resHi) = hotAll.partition(t => grownOf(t) == hotBucket)
+    val hot = (resLo.take(20) ++ resHi.take(20)).sorted
     val cold = perTerm.collect { case (t, b) if b != hotBucket => t }
       .toSeq.sorted.take(5)
     // loud guard (the ScaleBench twin's discipline): an undersized
     // vocabulary would change the p99 arithmetic the Rebuild(8, 8)
     // assertion depends on, or divide by a zero-sized cold set
-    assert(hot.size == 40 && cold.size == 5,
-      s"vocabulary too small: ${hot.size} hot / ${cold.size} cold")
+    assert(resLo.size >= 20 && resHi.size >= 20 && cold.size == 5,
+      s"vocabulary too small: ${resLo.size}/${resHi.size} hot residues" +
+        s" / ${cold.size} cold")
     val docs = (0 until 60).map { i =>
       (i.toLong, ((0 until 5).map(j => hot((i * 7 + j) % hot.size)) :+
         cold(i % cold.size)).mkString(" "))
@@ -553,6 +564,28 @@ class GraftApiSpec extends AnyFunSuite {
     // shrink-back that closed the r16 oscillation cannot fire
     assert(Graft.textIndexHealth(spark, d2, 120).isEmpty,
       "acted-on skew advice must converge in one step")
+
+    // the floored SHRINK through the same one-call loop: an operator
+    // who over-built at 64 with the learned floor 8 persisted must be
+    // advised down to EXACTLY the floor (shrink lands on max(ideal,
+    // floor), never below the count skew proved overloaded), and the
+    // acted-on shrink re-measures to silence in one step — the other
+    // arm of the convergence the synthetic decision table pins
+    val d3 = java.nio.file.Files
+      .createTempDirectory("graft-api-tif3-").toString
+    TextIndex.build(spark, docs, d3, termBuckets = 64,
+      termBucketsFloor = 8)
+    val hs = Graft.textIndexHealth(spark, d3, targetRowsPerBucket = 120)
+      .getOrElse(fail("over-bucketed floored index must advise"))
+    assert(hs.recommended == TextIndex.Rebuild(8, 8),
+      s"floored shrink must land exactly on the floor: $hs")
+    val d4 = java.nio.file.Files
+      .createTempDirectory("graft-api-tif4-").toString
+    TextIndex.build(spark, docs, d4,
+      termBuckets = hs.recommended.termBuckets,
+      termBucketsFloor = hs.recommended.termBucketsFloor)
+    assert(Graft.textIndexHealth(spark, d4, 120).isEmpty,
+      "acted-on floored shrink must converge in one step")
   }
 
   test("neardupIndexHealth and the text/ann compact twins surface the " +
