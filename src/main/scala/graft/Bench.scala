@@ -127,10 +127,7 @@ object Bench {
     // ~5-10 queries × ~1 s) gives the min a third sample where it
     // matters, without re-paying the whole suite.
     val p3names = pass1.flatMap { case (n, d1) =>
-      val d2 = pass2(n)
-      val (lo, hi) = (math.min(d1, d2), math.max(d1, d2))
-      if (lo > 0 && hi.isFinite && hi / lo >= ThirdPassFloor) Some(n)
-      else None
+      if (needsThirdPass(Seq(d1, pass2(n)))) Some(n) else None
     }.toSet
     val pass3 = timedPass(p3names).toMap
     calBuf += calibrate()
@@ -149,11 +146,7 @@ object Bench {
     // third sample backed it); a ratio near 1 on an inflated number =
     // every pass was hit, re-measure before calling it a regression.
     val spread = pass1.flatMap { case (n, d1) =>
-      val ds = Seq(d1, pass2(n)) ++ pass3.get(n)
-      val (lo, hi) = (ds.min, ds.max)
-      if (lo > 0 && hi.isFinite && hi / lo >= SpreadFloor)
-        Some(n -> hi / lo)
-      else None
+      spreadRatio(Seq(d1, pass2(n)) ++ pass3.get(n)).map(n -> _)
     }
     // CDC ingestion throughput: replay the events table as a
     // Debezium-shaped envelope feed through the full pipeline
@@ -206,6 +199,35 @@ object Bench {
     * floor the verdict's phantom-regression entries all cleared.
     */
   private[graft] val ThirdPassFloor = 2.0
+
+  /** Whether a query's first passes left its min untrustworthy enough
+    * to buy one more measurement: they disagreed ≥ [[ThirdPassFloor]],
+    * OR at least one FAILED (non-finite) — the surviving measurement
+    * is then a single sample, often the first-execution JIT-
+    * contaminated one the warm-up didn't cover, and a double failure
+    * gets one bounded retry rather than a guaranteed -1.
+    */
+  private[graft] def needsThirdPass(ds: Seq[Double]): Boolean = {
+    val finite = ds.filter(_.isFinite)
+    finite.size < ds.size ||
+      (finite.nonEmpty && finite.min > 0 &&
+        finite.max / finite.min >= ThirdPassFloor)
+  }
+
+  /** Per-query pass-disagreement ratio for the JSON `spread` map:
+    * max/min over the FINITE samples only (a failed retry must not
+    * knock a real ≥2× disagreement out of the map — the entries with
+    * disagreement are exactly the ones a reader needs flagged), None
+    * with fewer than two successful samples or below [[SpreadFloor]].
+    */
+  private[graft] def spreadRatio(ds: Seq[Double]): Option[Double] = {
+    val finite = ds.filter(_.isFinite)
+    if (finite.size < 2 || finite.min <= 0) None
+    else {
+      val r = finite.max / finite.min
+      if (r >= SpreadFloor) Some(r) else None
+    }
+  }
 
   /** Minimum max/min pass ratio a query must show to be listed in the
     * JSON `spread` map — below this, run-to-run variance is noise not

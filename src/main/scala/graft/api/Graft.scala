@@ -395,9 +395,10 @@ object Graft {
     * record).
     *
     * Compatibility note: this type was `IndexHealth[S]` (with an Int
-    * recommendation) before the text index's typed [[graft.ops
-    * .TextIndex.Rebuild]] forced the second parameter — a SOURCE-
-    * BREAKING change for external consumers, taken deliberately while
+    * recommendation) before the text index's typed
+    * [[graft.ops.TextIndex.Rebuild]] forced the second parameter — a
+    * SOURCE-BREAKING change for external consumers, taken deliberately
+    * while
     * the library is pre-release rather than kept alive as a deprecated
     * single-param alias that would silently drop the skew floor.
     */

@@ -54,13 +54,13 @@ object IndexCompaction {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val hasData = fs.exists(p) && fs.listStatus(p).exists(st =>
       st.isDirectory && st.getPath.getName.startsWith(partitionPrefix))
-    val tombstoneRows = spark.read.parquet(tombsDir).count()
+    val tombs = spark.read.parquet(tombsDir)
+    val tombstoneRows = tombs.count()
     if (!hasData) return CompactStats(0L, 0L, tombstoneRows)
     // id + gen only — column-pruned like the sizing stats' passes
     val rows = spark.read.parquet(rowsDir).select(col(idCol), col("gen"))
     val raw = rows.count()
-    val tmax = spark.read.parquet(tombsDir)
-      .groupBy(idCol).agg(max("gen").as("tgen"))
+    val tmax = tombs.groupBy(idCol).agg(max("gen").as("tgen"))
     // LITERALLY the reads' kill rule (strictly newer tombstone wins),
     // so the measured live count can never drift from what a compact
     // would actually keep

@@ -34,6 +34,30 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.contains("\"passes\":2") && line.contains("\"agg\":\"min\""))
   }
 
+  test("third-pass selection: >=2x disagreement and failed passes " +
+      "qualify; spread survives a failed retry and skips " +
+      "single-sample queries") {
+    val inf = Double.PositiveInfinity
+    // agreement inside the floor: no third pass
+    assert(!Bench.needsThirdPass(Seq(1.0, 1.4)))
+    // >=2x disagreement: contaminated, re-measure
+    assert(Bench.needsThirdPass(Seq(1.0, 2.0)))
+    // ONE failed pass: the min rests on a single (possibly
+    // JIT-contaminated first-execution) sample — re-measure; a double
+    // failure gets one bounded retry rather than a guaranteed -1
+    assert(Bench.needsThirdPass(Seq(14.0, inf)))
+    assert(Bench.needsThirdPass(Seq(inf, inf)))
+    // spread over FINITE samples only: a failed third pass must not
+    // hide the real 2.5x pass1/pass2 disagreement it was meant to
+    // arbitrate
+    assert(Bench.spreadRatio(Seq(2.0, 5.0, inf)).contains(2.5))
+    // fewer than two successful samples: no ratio to report
+    assert(Bench.spreadRatio(Seq(2.0, inf)).isEmpty)
+    assert(Bench.spreadRatio(Seq(inf, inf)).isEmpty)
+    // inside the floor: not worth line budget
+    assert(Bench.spreadRatio(Seq(1.0, 1.2, 1.4)).isEmpty)
+  }
+
   test("p3_n records the targeted-third-pass count, omitted when zero") {
     val withP3 = Bench.renderJson(Seq("q01_x" -> 1.0), Nil, None, None,
       "/tmp/sf", thirdPassed = 4)
