@@ -1658,6 +1658,84 @@ object ScaleBench {
       "the count that just tripped, the cron loop the floor closes")
   }
 
+  /** `runMain graft.ScaleBench indexcompact [docsK] [work]` — the
+    * WHEN-to-compact advisory measured end to end on real churn (the
+    * `textindexfloor` discipline applied to the family's other
+    * maintenance verdict, shared by all three maintained indexes via
+    * [[graft.ops.IndexCompaction]]): a text index whose corpus was
+    * half-rewritten TWICE carries a tombstone backlog of exactly its
+    * live row count — the 2× read-amplification line — so
+    * `Graft.textIndexCompactHealth` must fire with the exact
+    * reclaimable count, the as-laid-out raw rows must be 2× the live
+    * rows, acting on the advised in-place call must fold the backlog
+    * away (raw == live, zero tombstones), and the re-measurement must
+    * read back SILENT. Search wall-clock before/after is printed (the
+    * postings scan halves; fixed per-query work dampens the ratio on
+    * a warm local box — the row counts are the term that scales).
+    * Every claimed shape is require()d, so advisory drift fails the
+    * run instead of printing a stale story.
+    */
+  private def indexCompactExperiment(spark: SparkSession, work: String,
+      docsK: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextIndex
+    import graft.api.Graft
+    val n = docsK * 1000L
+    require(n % 2 == 0, s"docsK*1000 must be even, got $n")
+    // 10 DISTINCT terms per doc (10 consecutive ints mod a 1000-term
+    // vocabulary), shifted per rewrite wave so updates really replace
+    // the doc's postings
+    def docs(shift: Int,
+        ids: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      spark.range(n).filter(ids(col("id")))
+        .select(col("id").as("doc_id"), concat_ws(" ",
+          (0 until 10).map(j => concat(lit("w"),
+            pmod(col("id") * 13 + j + shift, lit(1000)))): _*).as("text"))
+    val all = (_: org.apache.spark.sql.Column) => lit(true)
+    val evens = (c: org.apache.spark.sql.Column) => c % 2 === 0
+    val dir = s"$work/ticompact_$docsK"
+    TextIndex.build(spark, docs(0, all), dir)
+    require(Graft.textIndexCompactHealth(spark, dir).isEmpty,
+      "a fresh index must measure silent")
+    // churn: the even half of the corpus rewritten twice — raw grows
+    // to 2x the live postings (10n + 5n + 5n raw vs 10n live), plus
+    // n tombstone rows: backlog 11n >= live 10n, the family threshold
+    val noDel = spark.range(0).select(col("id").as("doc_id"))
+    TextIndex.applyDelta(spark, dir, docs(7, evens), noDel)
+    TextIndex.applyDelta(spark, dir, docs(14, evens), noDel)
+    val terms = Seq("w1", "w501", "w998")
+    def timeSearch(): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      TextIndex.search(spark, dir, terms)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    timeSearch() // untimed warmup (JIT + page cache)
+    val tBefore = timeSearch()
+    val h = Graft.textIndexCompactHealth(spark, dir).getOrElse(
+      sys.error("a 2x-backlogged index must advise compact"))
+    require(h.stats.rawRows == 2 * h.stats.liveRows &&
+      h.stats.liveRows == 10 * n && h.stats.tombstoneRows == n &&
+      h.recommended == 11 * n,
+      s"expected raw 2x live (${20 * n}/${10 * n}) + $n tombstones: $h")
+    // act EXACTLY as the health check spells it (in place, no swap)
+    TextIndex.compact(spark, dir)
+    val after = TextIndex.compactStats(spark, dir)
+    require(after.rawRows == 10 * n && after.liveRows == 10 * n &&
+      after.tombstoneRows == 0L,
+      s"compact must fold the backlog away: $after")
+    require(Graft.textIndexCompactHealth(spark, dir).isEmpty,
+      "acted-on compact advice must re-measure silent")
+    val tAfter = timeSearch()
+    println(f"[scale] indexcompact ${n} docs: churn left raw " +
+      f"${h.stats.rawRows} = 2.0x live ${h.stats.liveRows} postings " +
+      f"+ ${h.stats.tombstoneRows} tombstones -> compactHealth fires " +
+      f"(reclaimable ${h.recommended}); acted on in place -> raw " +
+      f"${after.rawRows} == live, advice None (converged); 3-term " +
+      f"search $tBefore%.2fs as laid out vs $tAfter%.2fs compacted " +
+      f"(${tBefore / tAfter}%.2fx)")
+  }
+
   private def zonemapExperiment(spark: SparkSession, work: String,
       millions: Int): Unit = {
     import org.apache.spark.sql.functions._
@@ -2093,6 +2171,14 @@ object ScaleBench {
       textIndexFanoutExperiment(spark,
         args.lift(2).getOrElse("/tmp/graft-scale"),
         args.lift(1).map(_.toInt).getOrElse(400))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("indexcompact")) {
+      val spark = buildSession()
+      indexCompactExperiment(spark,
+        args.lift(2).getOrElse("/tmp/graft-scale"),
+        args.lift(1).map(_.toInt).getOrElse(200))
       spark.stop()
       return
     }
