@@ -2205,5 +2205,65 @@ object TextQueries {
           sum(expr("c * (c - 1) div 2")).as("cand_pairs"))
         .orderBy("band")
     },
+
+    // The WHEN-to-compact advisory (ops.IndexCompaction through
+    // Graft.textIndexCompactHealth) oracle-gated end to end: build the
+    // inverted index over the corpus, rewrite the even half TWICE
+    // (doubled text keeps each doc's DISTINCT term set, so the posting
+    // arithmetic is exact in SQL: raw = P + 2U, live = P, tombstones =
+    // 2 updated-doc rows), report the measured backlog stats and the
+    // fired verdict, act on the advised in-place compact, and report
+    // the folded stats + the re-measured silence. The ORACLE computes
+    // every number from the documents table with the q111 tokenizer —
+    // a drift in the kill-rule live count, the reclaimable arithmetic,
+    // or the 2x threshold breaks the hash.
+    QueryDef.statefulQ(
+      "q132_index_compact_advice",
+      """WITH d AS (SELECT doc_id,
+        |   len(list_distinct(string_split_regex(lower(trim(text)),
+        |     '\s+'))) AS dt
+        | FROM documents),
+        |p AS (SELECT CAST(sum(dt) AS BIGINT) AS nr FROM d),
+        |u AS (SELECT CAST(count(*) AS BIGINT) AS docs,
+        |        CAST(sum(dt) AS BIGINT) AS nr
+        |      FROM d WHERE doc_id % 2 = 0)
+        |SELECT p.nr + 2 * u.nr AS raw_rows, p.nr AS live_rows,
+        | 2 * u.docs AS tombstone_rows,
+        | CASE WHEN 2 * u.nr + 2 * u.docs >= p.nr
+        |   THEN 2 * u.nr + 2 * u.docs ELSE CAST(0 AS BIGINT)
+        |   END AS reclaimable,
+        | CAST(CASE WHEN 2 * u.nr + 2 * u.docs >= p.nr
+        |   THEN 1 ELSE 0 END AS INTEGER) AS advised,
+        | p.nr AS post_raw_rows, CAST(0 AS BIGINT) AS post_tombstones,
+        | CAST(0 AS INTEGER) AS post_advised
+        |FROM p, u""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val idxDir = QueryDef.tempWorkDir("graft-ti-q132-")
+      graft.ops.TextIndex.build(spark, docs, idxDir)
+      val upserts = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("text", concat(col("text"), lit(" "), col("text")))
+      val noDeletes = docs.limit(0).select("doc_id")
+      graft.ops.TextIndex.applyDelta(spark, idxDir, upserts, noDeletes)
+      graft.ops.TextIndex.applyDelta(spark, idxDir, upserts, noDeletes)
+      // the MEASURED verdict, not a recomputation of its formula —
+      // the oracle hash gates the measurement itself
+      val h = graft.api.Graft.textIndexCompactHealth(spark, idxDir)
+      val st = h.map(_.stats).getOrElse(
+        graft.ops.TextIndex.compactStats(spark, idxDir))
+      // act exactly as the health check spells it (in place)
+      graft.ops.TextIndex.compact(spark, idxDir)
+      val post = graft.ops.TextIndex.compactStats(spark, idxDir)
+      val postAdvised =
+        graft.api.Graft.textIndexCompactHealth(spark, idxDir).isDefined
+      Seq((st.rawRows, st.liveRows, st.tombstoneRows,
+          h.map(_.recommended).getOrElse(0L),
+          if (h.isDefined) 1 else 0,
+          post.rawRows, post.tombstoneRows,
+          if (postAdvised) 1 else 0))
+        .toDF("raw_rows", "live_rows", "tombstone_rows", "reclaimable",
+          "advised", "post_raw_rows", "post_tombstones", "post_advised")
+    },
   )
 }
