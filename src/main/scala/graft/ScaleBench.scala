@@ -1680,8 +1680,8 @@ object ScaleBench {
     import org.apache.spark.sql.functions._
     import graft.ops.TextIndex
     import graft.api.Graft
+    require(docsK > 0, s"indexcompact needs docsK > 0, got $docsK")
     val n = docsK * 1000L
-    require(n % 2 == 0, s"docsK*1000 must be even, got $n")
     // 10 DISTINCT terms per doc (10 consecutive ints mod a 1000-term
     // vocabulary), shifted per rewrite wave so updates really replace
     // the doc's postings
@@ -1724,7 +1724,10 @@ object ScaleBench {
     require(after.rawRows == 10 * n && after.liveRows == 10 * n &&
       after.tombstoneRows == 0L,
       s"compact must fold the backlog away: $after")
-    require(Graft.textIndexCompactHealth(spark, dir).isEmpty,
+    // the pure silence verdict over the stats just measured — a
+    // second one-call health here would re-scan 2M postings between
+    // the two timed searches for numbers `after` already holds
+    require(graft.ops.IndexCompaction.compactAdvice(after).isEmpty,
       "acted-on compact advice must re-measure silent")
     val tAfter = timeSearch()
     println(f"[scale] indexcompact ${n} docs: churn left raw " +

@@ -2255,8 +2255,11 @@ object TextQueries {
       // act exactly as the health check spells it (in place)
       graft.ops.TextIndex.compact(spark, idxDir)
       val post = graft.ops.TextIndex.compactStats(spark, idxDir)
+      // the silence verdict is the PURE decision over the stats just
+      // measured — re-running the one-call health here would only
+      // re-scan the index for numbers `post` already holds
       val postAdvised =
-        graft.api.Graft.textIndexCompactHealth(spark, idxDir).isDefined
+        graft.ops.IndexCompaction.compactAdvice(post).isDefined
       Seq((st.rawRows, st.liveRows, st.tombstoneRows,
           h.map(_.recommended).getOrElse(0L),
           if (h.isDefined) 1 else 0,
