@@ -2241,7 +2241,11 @@ object TextQueries {
       val docs = Tables(spark, dir).documents.select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
       val idxDir = QueryDef.tempWorkDir("graft-ti-q132-")
-      graft.ops.TextIndex.build(spark, docs, idxDir)
+      // small explicit fanout: the advisory's posting arithmetic is
+      // fanout-independent (the oracle gates row counts, not layout),
+      // and the default 64 buckets would make this lifecycle's three
+      // generations of writes mostly small-file overhead at test scale
+      graft.ops.TextIndex.build(spark, docs, idxDir, termBuckets = 8)
       val upserts = docs.filter(col("doc_id") % 2 === 0)
         .withColumn("text", concat(col("text"), lit(" "), col("text")))
       val noDeletes = docs.limit(0).select("doc_id")
