@@ -112,8 +112,11 @@ object Bench {
     // q59 14 s first vs 2.7 s steady) and with ambient box load —
     // r3's driver run recorded 147 s for a suite that measures 65 s
     // on an idle box, entirely transient noise. Min-of-2 measures the
-    // PLAN, which is what scale tuning acts on; the pass count is
-    // reported so the methodology is explicit.
+    // PLAN, which is what scale tuning acts on — plus a TARGETED
+    // third pass for the handful of entries whose first two passes
+    // left the min untrustworthy ([[needsThirdPass]]); the pass count
+    // and the third-pass count (`p3_n`) are reported so the
+    // methodology is explicit.
     val pass1 = timedPass()
     calBuf += calibrate()
     val pass2 = timedPass().toMap

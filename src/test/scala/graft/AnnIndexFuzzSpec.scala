@@ -81,6 +81,13 @@ class AnnIndexFuzzSpec extends AnyFunSuite {
           // (1) the live set IS the expected state
           val got = liveRows.map(v => v._1 -> v._3).toMap
           assert(got == state, s"seed $seed $step: live set diverged")
+          // the compact advisory's live count agrees (one posting per
+          // vector) after every step — the measurement's kill rule
+          // exercised under random generations, tears and rebuilds
+          val cs = AnnIndex.compactStats(spark, dir)
+          assert(cs.liveRows == state.size && cs.rawRows >= cs.liveRows,
+            s"seed $seed $step: measured live ${cs.liveRows} != " +
+              s"${state.size} ($cs)")
           // (2) full-probe search == brute-force top-3 (ties to lower
           // id): distinct random vectors make exact score ties
           // vanishingly unlikely, and the 1e-9 rounding absorbs

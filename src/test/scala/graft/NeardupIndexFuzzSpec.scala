@@ -65,6 +65,13 @@ class NeardupIndexFuzzSpec extends AnyFunSuite {
             graft.queries.TextQueries.docBands(spark, df(state)))
           assert(live == want,
             s"seed $seed $step: live bands diverged from a fresh banding")
+          // the compact advisory's live count equals a fresh banding's
+          // row count after every step — the measurement's kill rule
+          // exercised under random generations, tears and rebuilds
+          val cs = NeardupIndex.compactStats(spark, dir)
+          assert(cs.liveRows == want.size && cs.rawRows >= cs.liveRows,
+            s"seed $seed $step: measured live ${cs.liveRows} != " +
+              s"${want.size} ($cs)")
           // probe a fresh (unapplied) batch: index-served candidates
           // == the from-scratch candidate join over the same corpus
           val batch = (0 until 2).map(i =>

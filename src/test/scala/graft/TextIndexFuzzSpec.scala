@@ -83,6 +83,17 @@ class TextIndexFuzzSpec extends AnyFunSuite {
             s"seed $seed $step: stored fanout drifted")
           assert(TextIndex.termBucketsFloorOf(spark, dir) == floor,
             s"seed $seed $step: stored skew floor drifted")
+          // the compact advisory's live count equals the oracle
+          // corpus's posting count after EVERY step — the kill rule
+          // the measurement claims to apply, exercised under random
+          // generations, tears and rebuilds (a >= vs > drift in the
+          // tombstone rule shows up here, not in designed states)
+          val wantLive = state.values.map(t =>
+            t.trim.toLowerCase.split("\\s+").distinct.length.toLong).sum
+          val cs = TextIndex.compactStats(spark, dir)
+          assert(cs.liveRows == wantLive && cs.rawRows >= cs.liveRows,
+            s"seed $seed $step: live postings ${cs.liveRows} != " +
+              s"kernel count $wantLive ($cs)")
         })
       // the postings on disk never leak outside the LATEST fanout —
       // exactly the misroute a fanout-crossing rebuild could leave.
