@@ -537,10 +537,19 @@ object ScaleBench {
         .withColumn("e", transform(col("e"), x => -x))
       val del = e0.filter(col("vec_id") % 2000 === 3).select("vec_id")
       val tDelta = time(AnnIndex.applyDelta(spark, idx, up, del))
+      // recall on the MAINTAINED index too (post-delta, same full-
+      // probe exact oracle over the index's own live set): a delta
+      // assignment bug that degrades what the probed cells contain
+      // would hide from the fresh-built pin above
+      val exactD = hitSet(centroids)
+      val recallD = (hitSet(2) intersect exactD).size.toDouble / exactD.size
+      require(recallD >= 0.65,
+        f"post-delta nprobe=2 recall $recallD%.2f fell below the " +
+          "pinned floor 0.65")
       val tSearch = time(AnnIndex.search(spark, idx, q, 2, topK)
         .write.format("noop").mode("overwrite").save())
       val ratio = tBuild / tDelta
-      println(f"[scale]   x$m%-22d $n%9d $tBuild%7.2fs $tDelta%7.2fs $tSearch%7.2fs $recall%9.2f $ratio%5.1f×")
+      println(f"[scale]   x$m%-22d $n%9d $tBuild%7.2fs $tDelta%7.2fs $tSearch%7.2fs $recall%9.2f $ratio%5.1f× (post-delta recall $recallD%.2f)")
       ratio
     }
     println(f"[scale] ann rebuild/delta ratio widened ${ratios(1) / ratios(0)}%4.1f× from 1x to ${mult}x; recall@nprobe=2 require()d >= 0.65")
