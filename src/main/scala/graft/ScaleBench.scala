@@ -486,10 +486,13 @@ object ScaleBench {
     * margin): nprobe=2-of-16 top-10 vs the GLOBAL exact top-10, the
     * oracle being the index's OWN full probe (nprobe = all centroids
     * degenerates IVF to an exact scan — fuzz-proven equal to
-    * brute-force cosine, and no re-derived kernel to drift). The
-    * require()d floor means a prune/assignment regression FAILS the
-    * bench run instead of silently trading recall for the speed
-    * numbers printed beside it.
+    * brute-force cosine, and no re-derived kernel to drift),
+    * measured at BOTH lifecycle points: freshly built AND after the
+    * maintenance delta, where an assignment bug degrading the probed
+    * cells' contents would hide from a fresh-built-only pin. The
+    * require()d floor (shared by both pins) means a prune/assignment
+    * regression FAILS the bench run instead of silently trading
+    * recall for the speed numbers printed beside it.
     */
   private def annExperiment(spark: SparkSession, work: String,
       mult: Int): Unit = {
@@ -513,46 +516,48 @@ object ScaleBench {
       val cb = AnnIndex.seedCentroids(spark, e0, centroids)
       AnnIndex.build(spark, e0, cb, idx) // untimed warmup build (JIT)
       val tBuild = time(AnnIndex.build(spark, e0, cb, idx))
-      // recall on the freshly-built index (pre-delta, so the exact
-      // oracle's corpus is e0 itself): pruned hits / exact hits over
-      // the query set
       val q = e0.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("e").as("qe"))
       def hitSet(nprobe: Int): Set[(Long, Long)] =
         AnnIndex.search(spark, idx, q, nprobe, topK)
           .select("qid", "vec_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val exact = hitSet(centroids)
-      val recall = (hitSet(2) intersect exact).size.toDouble / exact.size
-      // measured 0.74 at 2k vectors / 0.94 at 2M (`ScaleBench ann
-      // 1000`) on the generated 10-cluster corpus — recall RISES with
+      // ONE recall measurement, pinned at ONE shared floor, run at
+      // both lifecycle points — a floor or oracle change edited in
+      // one place cannot leave the two pins measuring different
+      // contracts. Measured 0.74 at 2k vectors / 0.94 at 2M
+      // (`ScaleBench ann 1000`) on the generated 10-cluster corpus,
+      // IDENTICAL fresh-built and post-delta — recall RISES with
       // corpus size because the neighbors concentrate into the probed
       // cells as clusters fill in. The floor sits under the small-
       // corpus measurement with margin for tie churn, far above a
       // hollowed-out probe: a regression dropping one of the two
       // probed cells' postings lands ~0.5 and fails loudly
-      require(recall >= 0.65,
-        f"nprobe=2 recall $recall%.2f fell below the pinned floor 0.65")
+      def recallAt2(tag: String): Double = {
+        val exact = hitSet(centroids)
+        val r = (hitSet(2) intersect exact).size.toDouble / exact.size
+        require(r >= 0.65,
+          f"$tag nprobe=2 recall $r%.2f fell below the pinned floor 0.65")
+        r
+      }
+      // fresh-built (pre-delta, so the exact oracle's corpus is e0)
+      val recall = recallAt2("fresh-built")
       val up = e0.filter(col("vec_id") % 1000 === 1)
         .withColumn("e", transform(col("e"), x => -x))
       val del = e0.filter(col("vec_id") % 2000 === 3).select("vec_id")
       val tDelta = time(AnnIndex.applyDelta(spark, idx, up, del))
-      // recall on the MAINTAINED index too (post-delta, same full-
-      // probe exact oracle over the index's own live set): a delta
-      // assignment bug that degrades what the probed cells contain
-      // would hide from the fresh-built pin above
-      val exactD = hitSet(centroids)
-      val recallD = (hitSet(2) intersect exactD).size.toDouble / exactD.size
-      require(recallD >= 0.65,
-        f"post-delta nprobe=2 recall $recallD%.2f fell below the " +
-          "pinned floor 0.65")
+      // the MAINTAINED index too (same full-probe exact oracle over
+      // the index's own live set): a delta assignment bug that
+      // degrades what the probed cells contain would hide from the
+      // fresh-built pin alone
+      val recallD = recallAt2("post-delta")
       val tSearch = time(AnnIndex.search(spark, idx, q, 2, topK)
         .write.format("noop").mode("overwrite").save())
       val ratio = tBuild / tDelta
       println(f"[scale]   x$m%-22d $n%9d $tBuild%7.2fs $tDelta%7.2fs $tSearch%7.2fs $recall%9.2f $ratio%5.1f× (post-delta recall $recallD%.2f)")
       ratio
     }
-    println(f"[scale] ann rebuild/delta ratio widened ${ratios(1) / ratios(0)}%4.1f× from 1x to ${mult}x; recall@nprobe=2 require()d >= 0.65")
+    println(f"[scale] ann rebuild/delta ratio widened ${ratios(1) / ratios(0)}%4.1f× from 1x to ${mult}x; recall@nprobe=2 require()d >= 0.65 fresh-built AND post-delta")
   }
 
   /** `runMain graft.ScaleBench zonemap [millions] [work]` — the

@@ -85,7 +85,7 @@ class AnnIndexFuzzSpec extends AnyFunSuite {
           // vector) after every step — the measurement's kill rule
           // exercised under random generations, tears and rebuilds
           val cs = AnnIndex.compactStats(spark, dir)
-          assert(cs.liveRows == state.size && cs.rawRows >= cs.liveRows,
+          assert(cs.liveRows == state.size,
             s"seed $seed $step: measured live ${cs.liveRows} != " +
               s"${state.size} ($cs)")
           // (2) full-probe search == brute-force top-3 (ties to lower

