@@ -58,6 +58,27 @@ object AnnIndex {
   private val TombSchema = StructType(Seq(
     StructField("vec_id", LongType), StructField("gen", LongType)))
 
+  /** The posting layout's BASE row shape as a read returns it
+    * (partition column `cid` last, integer-inferred) — the
+    * [[IndexCompaction.readOrEmpty]] fallback that keeps a
+    * fully-deleted-then-compacted index (postings dir with no `cid=`
+    * partitions) readable instead of bricking every later call on
+    * schema inference. Caller extras ride along only while actual
+    * posting files exist; in the zero-row fallback there is nothing
+    * to carry them, so a [[searchWhere]] predicate naming an extra
+    * column fails to resolve against a fully-emptied index — re-apply
+    * a delta (or rebuild) to restore the extras' schema.
+    */
+  private val PostingsBaseSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("e", ArrayType(DoubleType)),
+    StructField("nm", DoubleType), StructField("gen", LongType),
+    StructField("cid", IntegerType)))
+
+  private def postingRows(spark: SparkSession, dir: String): DataFrame =
+    IndexCompaction.readOrEmpty(spark, postingsDir(dir),
+      PostingsBaseSchema)
+
   private def dot(a: Column, b: Column): Column =
     call_function(VectorExpressions.FnName, a, b)
 
@@ -187,12 +208,13 @@ object AnnIndex {
     * column statistics make both aggregates footer reads.
     */
   def currentGen(spark: SparkSession, dir: String): Long = {
-    def maxGen(path: String): Long =
-      spark.read.parquet(path).agg(max("gen")).head() match {
+    def maxGen(rows: DataFrame): Long =
+      rows.agg(max("gen")).head() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
-    math.max(maxGen(postingsDir(dir)), maxGen(tombsDir(dir)))
+    math.max(maxGen(postingRows(spark, dir)),
+      maxGen(spark.read.parquet(tombsDir(dir))))
   }
 
   /** Apply one delta: `upserts` (vec_id, e — inserts and updates
@@ -231,7 +253,7 @@ object AnnIndex {
   private def liveWithGen(spark: SparkSession, dir: String): DataFrame = {
     val tombs = spark.read.parquet(tombsDir(dir))
       .groupBy("vec_id").agg(max("gen").as("tgen"))
-    val p = spark.read.parquet(postingsDir(dir))
+    val p = postingRows(spark, dir)
     p.as("p")
       .join(Probes.broadcastIfSmall(tombs).as("t"),
         col("p.vec_id") === col("t.vec_id") && col("t.tgen") > col("p.gen"),
@@ -323,7 +345,7 @@ object AnnIndex {
     */
   def compactStats(spark: SparkSession,
       dir: String): IndexCompaction.CompactStats =
-    IndexCompaction.measure(spark, postingsDir(dir), "cid=", "vec_id",
+    IndexCompaction.measure(spark, postingsDir(dir), "vec_id",
       tombsDir(dir))
 
   /** Posting-layout health, for operators deciding WHEN to retrain —
@@ -349,15 +371,10 @@ object AnnIndex {
     // frame) leaves a postings dir with no cid= partitions at all —
     // exactly the shrunken state the advisory exists to measure, so
     // it must read as zero rows, not crash schema inference
-    val pfs = new Path(postingsDir(dir))
-    val fs = pfs.getFileSystem(spark.sessionState.newHadoopConf())
-    val hasData = fs.exists(pfs) && fs.listStatus(pfs)
-      .exists(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
-    val perCid =
-      if (!hasData) Array.empty[Long]
-      else spark.read.parquet(postingsDir(dir))
-        .groupBy("cid").count()
-        .collect().map(_.getLong(1)).sorted
+    // (postingRows' readOrEmpty fallback)
+    val perCid = postingRows(spark, dir)
+      .groupBy("cid").count()
+      .collect().map(_.getLong(1)).sorted
     val k = spark.read.parquet(centroidsDir(dir)).count().toInt
     val total = perCid.sum
     // LITERALLY the bloom-index sizing statistic, not a re-derivation

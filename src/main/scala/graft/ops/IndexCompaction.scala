@@ -1,8 +1,9 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** The WHEN-to-compact half of maintained-index health, shared by all
   * three indexes ([[TextIndex]], [[AnnIndex]], [[NeardupIndex]]) the
@@ -19,7 +20,8 @@ import org.apache.spark.sql.functions._
   *
   * Measurement counts the index's DOMINANT read-side table (postings /
   * bands — the one every probe scans), one two-column pass (id + gen)
-  * plus the tombstone fold the reads already pay: maintenance cadence,
+  * plus ONE pass over the tombstone table (collapsed to max-gen per id
+  * with the raw count riding the same aggregate): maintenance cadence,
   * never per query.
   */
 object IndexCompaction {
@@ -40,36 +42,72 @@ object IndexCompaction {
       if (rawRows == 0L) 0.0 else deadRows.toDouble / rawRows
   }
 
+  /** Read a maintained-index table tolerating the EMPTY LAYOUT state:
+    * a dir that EXISTS but holds no data files at all — what a build
+    * over an empty frame, or a compact of a fully-deleted corpus,
+    * leaves behind (a partitioned write of zero rows produces no
+    * partition dirs, a plain write of zero rows can produce no part
+    * files). Parquet schema inference crashes on such a dir, which
+    * without this fallback BRICKS the index: every later read —
+    * currentGen, search/probe, applyDelta, the next compact — throws,
+    * so a corpus that legitimately emptied out could never be
+    * repopulated. Falls back to an empty frame with `schema` (the
+    * layout's declared row shape) exactly when the dir exists with no
+    * data entries; a MISSING dir still fails loudly through the normal
+    * read — that is the torn-build state the builds' delete-data-first
+    * ordering deliberately surfaces, not a valid empty index.
+    */
+  private[graft] def readOrEmpty(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val exists = fs.exists(p)
+    // hidden entries (_SUCCESS, .crc) are not data; partition dirs
+    // (tb=/cid=/band=) and part files are. The compact staging dirs
+    // are SIBLINGS of the table dir (CompactStaging), never inside it.
+    val hasData = exists && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!exists || hasData) spark.read.parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+  }
+
   /** Measure one index's backlog: `rowsDir` is its dominant read-side
-    * table (partition dirs prefixed `partitionPrefix` — the
-    * [[TextIndex.loadStats]] empty-layout guard, because a fully-
-    * deleted-then-compacted index has a data dir with no partitions
-    * and must read as zero rows, not crash schema inference), `idCol`
-    * the key the tombstones kill by.
+    * table (read via [[readOrEmpty]] — a fully-deleted-then-compacted
+    * index has a data dir with no partitions and must read as zero
+    * rows, not crash schema inference), `idCol` the key the tombstones
+    * kill by. One scan of each table: the tombstones collapse to
+    * max-gen per id with the raw count riding the same aggregate
+    * (persisted across its two consumers), and the collapsed side
+    * broadcasts when its measured id count is broadcast-sized — the
+    * size is already known here, so no separate bounded probe runs.
     */
   private[graft] def measure(spark: SparkSession, rowsDir: String,
-      partitionPrefix: String, idCol: String,
-      tombsDir: String): CompactStats = {
-    val p = new Path(rowsDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val hasData = fs.exists(p) && fs.listStatus(p).exists(st =>
-      st.isDirectory && st.getPath.getName.startsWith(partitionPrefix))
-    val tombs = spark.read.parquet(tombsDir)
-    val tombstoneRows = tombs.count()
-    if (!hasData) return CompactStats(0L, 0L, tombstoneRows)
-    // id + gen only — column-pruned like the sizing stats' passes
-    val rows = spark.read.parquet(rowsDir).select(col(idCol), col("gen"))
-    val raw = rows.count()
-    val tmax = tombs.groupBy(idCol).agg(max("gen").as("tgen"))
-    // LITERALLY the reads' kill rule (strictly newer tombstone wins),
-    // so the measured live count can never drift from what a compact
-    // would actually keep
-    val live = rows.as("r")
-      .join(Probes.broadcastIfSmall(tmax).as("t"),
-        col(s"r.$idCol") === col(s"t.$idCol") &&
-          col("t.tgen") > col("r.gen"), "left_anti")
-      .count()
-    CompactStats(raw, live, tombstoneRows)
+      idCol: String, tombsDir: String): CompactStats = {
+    val tm = spark.read.parquet(tombsDir)
+      .groupBy(idCol).agg(max("gen").as("tgen"), count(lit(1)).as("tn"))
+    tm.persist()
+    try {
+      val t = tm.agg(coalesce(sum("tn"), lit(0L)), count(lit(1))).head()
+      val (tombstoneRows, tombIds) = (t.getLong(0), t.getLong(1))
+      // id + gen only — column-pruned like the sizing stats' passes
+      val rows = readOrEmpty(spark, rowsDir, StructType(Seq(
+          StructField(idCol, LongType), StructField("gen", LongType))))
+        .select(col(idCol), col("gen"))
+      val raw = rows.count()
+      val tside = if (tombIds <= Probes.DefaultMaxRows) broadcast(tm) else tm
+      // LITERALLY the reads' kill rule (strictly newer tombstone wins),
+      // so the measured live count can never drift from what a compact
+      // would actually keep
+      val live = rows.as("r")
+        .join(tside.as("t"),
+          col(s"r.$idCol") === col(s"t.$idCol") &&
+            col("t.tgen") > col("r.gen"), "left_anti")
+        .count()
+      CompactStats(raw, live, tombstoneRows)
+    } finally tm.unpersist()
   }
 
   /** Pure compact decision over [[CompactStats]] — Some(reclaimable
@@ -83,9 +121,22 @@ object IndexCompaction {
     * maintenance the family never advises, however small the index.
     * Flap-proof by direction: a compact only shrinks the backlog, so
     * acted-on advice is silent until real churn re-accumulates.
+    *
+    * The threshold is RELATIVE, so a 4-row index with a 6-row backlog
+    * fires just like a 4-billion-row one — deliberate (the tiny
+    * compact is also tiny to run), but a fleet cron acting on hundreds
+    * of small indexes can raise `minReclaimable` to skip compacts
+    * whose absolute payoff is under the cost of scheduling one, and
+    * should order a wave largest-`recommended`-first (the
+    * `approx_live_rows` reattach discipline) so the biggest read-side
+    * wins land first. `minReclaimable = 0` (the default) keeps the
+    * pure relative threshold.
     */
-  def compactAdvice(stats: CompactStats): Option[Long] = {
+  def compactAdvice(stats: CompactStats,
+      minReclaimable: Long = 0L): Option[Long] = {
     val backlog = stats.reclaimableRows
-    if (backlog > 0 && backlog >= stats.liveRows) Some(backlog) else None
+    if (backlog > 0 && backlog >= stats.liveRows &&
+      backlog >= minReclaimable) Some(backlog)
+    else None
   }
 }

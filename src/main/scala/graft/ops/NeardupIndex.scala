@@ -45,6 +45,20 @@ object NeardupIndex {
   private val TombSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("gen", LongType)))
 
+  /** The band layout's row shape as a read returns it (partition
+    * column `band` last, integer-inferred) — the
+    * [[IndexCompaction.readOrEmpty]] fallback, so a fully-deleted-
+    * then-compacted index (bands dir with no `band=` partitions)
+    * stays readable instead of bricking every later call on schema
+    * inference.
+    */
+  private val BandsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("bucket", StringType),
+    StructField("gen", LongType), StructField("band", IntegerType)))
+
+  private def bandRows(spark: SparkSession, dir: String): DataFrame =
+    IndexCompaction.readOrEmpty(spark, bandsDir(dir), BandsSchema)
+
   private def banded(spark: SparkSession, docs: DataFrame,
       gen: Long): DataFrame =
     graft.queries.TextQueries.docBands(spark, docs)
@@ -85,12 +99,13 @@ object NeardupIndex {
     * column statistics make both aggregates footer reads.
     */
   def currentGen(spark: SparkSession, dir: String): Long = {
-    def maxGen(path: String): Long =
-      spark.read.parquet(path).agg(max("gen")).head() match {
+    def maxGen(rows: DataFrame): Long =
+      rows.agg(max("gen")).head() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
-    math.max(maxGen(bandsDir(dir)), maxGen(tombsDir(dir)))
+    math.max(maxGen(bandRows(spark, dir)),
+      maxGen(spark.read.parquet(tombsDir(dir))))
   }
 
   /** Apply one delta: `upserts` (doc_id, text — inserts and updates
@@ -126,7 +141,7 @@ object NeardupIndex {
   private def liveWithGen(spark: SparkSession, dir: String): DataFrame = {
     val tombs = spark.read.parquet(tombsDir(dir))
       .groupBy("doc_id").agg(max("gen").as("tgen"))
-    spark.read.parquet(bandsDir(dir)).as("b")
+    bandRows(spark, dir).as("b")
       .join(Probes.broadcastIfSmall(tombs).as("t"),
         col("b.doc_id") === col("t.doc_id") && col("t.tgen") > col("b.gen"),
         "left_anti")
@@ -164,7 +179,7 @@ object NeardupIndex {
     */
   def compactStats(spark: SparkSession,
       dir: String): IndexCompaction.CompactStats =
-    IndexCompaction.measure(spark, bandsDir(dir), "band=", "doc_id",
+    IndexCompaction.measure(spark, bandsDir(dir), "doc_id",
       tombsDir(dir))
 
   /** Fold tombstones into the band table: rewrite the live set, swap

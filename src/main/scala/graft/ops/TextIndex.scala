@@ -107,6 +107,31 @@ object TextIndex {
   private val TombSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("gen", LongType)))
 
+  /** The postings layout's row shape as a READ returns it (partition
+    * column `tb` last, integer-inferred) — the
+    * [[IndexCompaction.readOrEmpty]] fallback, so a fully-deleted-
+    * then-compacted index (postings dir with no `tb=` partitions)
+    * stays readable instead of bricking every later call on schema
+    * inference.
+    */
+  private val PostingsSchema = StructType(Seq(
+    StructField("term", StringType), StructField("doc_id", LongType),
+    StructField("tf", IntegerType), StructField("dl", IntegerType),
+    StructField("gen", LongType), StructField("tb", IntegerType)))
+
+  /** The docs census's row shape — same empty-layout rationale (a
+    * plain write of zero census rows can produce no part files).
+    */
+  private val CensusSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("dl", IntegerType),
+    StructField("gen", LongType)))
+
+  private def postingRows(spark: SparkSession, dir: String): DataFrame =
+    IndexCompaction.readOrEmpty(spark, postingsDir(dir), PostingsSchema)
+
+  private def censusRows(spark: SparkSession, dir: String): DataFrame =
+    IndexCompaction.readOrEmpty(spark, docsDir(dir), CensusSchema)
+
   private def bucketOf(term: org.apache.spark.sql.Column,
       termBuckets: Int) =
     pmod(xxhash64(term), lit(termBuckets.toLong))
@@ -217,12 +242,13 @@ object TextIndex {
 
   /** Highest generation recorded anywhere — footer-statistics reads. */
   def currentGen(spark: SparkSession, dir: String): Long = {
-    def maxGen(path: String): Long =
-      spark.read.parquet(path).agg(max("gen")).head() match {
+    def maxGen(rows: DataFrame): Long =
+      rows.agg(max("gen")).head() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
-    Seq(postingsDir(dir), docsDir(dir), tombsDir(dir)).map(maxGen).max
+    Seq(postingRows(spark, dir), censusRows(spark, dir),
+      spark.read.parquet(tombsDir(dir))).map(maxGen).max
   }
 
   /** Apply one delta: `upserts` (doc_id, text) and `deletes`
@@ -251,9 +277,9 @@ object TextIndex {
     spark.read.parquet(tombsDir(dir))
       .groupBy("doc_id").agg(max("gen").as("tgen"))
 
-  private def liveRows(spark: SparkSession, dir: String,
-      path: String): DataFrame =
-    spark.read.parquet(path).as("r")
+  private def liveOf(spark: SparkSession, dir: String,
+      rows: DataFrame): DataFrame =
+    rows.as("r")
       .join(Probes.broadcastIfSmall(tombs(spark, dir)).as("t"),
         col("r.doc_id") === col("t.doc_id") && col("t.tgen") > col("r.gen"),
         "left_anti")
@@ -280,19 +306,19 @@ object TextIndex {
     // eagerly — building it per live-side would re-run that probe),
     // shared by the census aggregate and the postings read
     val tomb = Probes.broadcastIfSmall(tombs(spark, dir))
-    def live(path: String): DataFrame =
-      spark.read.parquet(path).as("r")
+    def live(rows: DataFrame): DataFrame =
+      rows.as("r")
         .join(tomb.as("t"),
           col("r.doc_id") === col("t.doc_id") &&
             col("t.tgen") > col("r.gen"),
           "left_anti")
     // corpus stats from the live census: one aggregate row, broadcast
-    val stats = live(docsDir(dir))
+    val stats = live(censusRows(spark, dir))
       .agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
     // live postings of just these terms: partition-pruned to the
     // terms' buckets, then term-filtered inside them
     val termIdx = terms.zipWithIndex.toDF("term", "i")
-    val fetched = live(postingsDir(dir))
+    val fetched = live(postingRows(spark, dir))
       .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
       .join(broadcast(termIdx), "term")
     // per-term document frequency over the fetched postings (each
@@ -355,8 +381,8 @@ object TextIndex {
       fs.delete(trash, true)
     }
     swapIn(postingsDir(dir), Some("tb"))(
-      liveRows(spark, dir, postingsDir(dir)))
-    swapIn(docsDir(dir), None)(liveRows(spark, dir, docsDir(dir)))
+      liveOf(spark, dir, postingRows(spark, dir)))
+    swapIn(docsDir(dir), None)(liveOf(spark, dir, censusRows(spark, dir)))
     writeEmptyTombstones(spark, dir)
   }
 
@@ -371,7 +397,7 @@ object TextIndex {
     */
   def compactStats(spark: SparkSession,
       dir: String): IndexCompaction.CompactStats =
-    IndexCompaction.measure(spark, postingsDir(dir), "tb=", "doc_id",
+    IndexCompaction.measure(spark, postingsDir(dir), "doc_id",
       tombsDir(dir))
 
   /** Postings-layout health, for operators deciding WHEN to rebuild
@@ -413,13 +439,9 @@ object TextIndex {
     // all-empty-text frame) leaves a postings dir with no tb=
     // partitions — exactly the shrunken state the advisory exists to
     // measure, so it must read as zero rows, not crash inference
-    val pfs = new Path(postingsDir(dir))
-    val fs = pfs.getFileSystem(spark.sessionState.newHadoopConf())
-    val hasData = fs.exists(pfs) && fs.listStatus(pfs)
-      .exists(st => st.isDirectory && st.getPath.getName.startsWith("tb="))
+    // (postingRows' readOrEmpty fallback)
     val perTb: Array[(Long, Long)] =
-      if (!hasData) Array.empty
-      else spark.read.parquet(postingsDir(dir))
+      postingRows(spark, dir)
         // one pass, two fold levels: rows per (bucket, term), then
         // per bucket (rows, hottest term's rows) — the term-level
         // shuffle is ∝ distinct (bucket, term), the driver gets ≤ nb

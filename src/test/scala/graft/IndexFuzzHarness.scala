@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
 /** ONE random maintenance-schedule driver for the three maintained
   * indexes' fuzz suites (TextIndexFuzzSpec, AnnIndexFuzzSpec,
   * NeardupIndexFuzzSpec): the seed loop, key→value corpus state,
-  * upsert/delete/torn-retry/compact/torn-compact schedule and the
+  * upsert/delete/torn-retry/compact/torn-compact/rebuild/
+  * empty-excursion schedule and the
   * check-after-every-step discipline live here once, so a fix to the
   * schedule logic (delete floor, torn-retry shape, mid-swap tear) can
   * never drift between suites — the [[SidecarTestOps]] rule applied
@@ -49,7 +50,7 @@ object IndexFuzzHarness {
     var nextId = initial.keys.foldLeft(0L)(math.max) + 1L
     check(state, "build")
     for (step <- 0 until 5 + rnd.nextInt(4)) {
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 => // upsert delta: some new docs, some rewrites
           val news = (0 until 1 + rnd.nextInt(3)).map { _ =>
             val id = nextId; nextId += 1; id -> freshValue()
@@ -88,6 +89,20 @@ object IndexFuzzHarness {
           // the rebuilt gen-0 rows, a stale trash dir) must be
           // impossible by construction
           rebuild(state)
+        case 6 => // empty excursion: delete EVERYTHING, compact the
+          // fully-deleted index (a partitioned rewrite of zero rows
+          // leaves a data dir with no partitions — the empty-layout
+          // state that bricked every later read before readOrEmpty),
+          // then restore the same corpus through the ordinary delta
+          // path. The oracle floor is respected because the state the
+          // post-step check sees is the restored one; the transition
+          // itself is what this step exists to cross — compact reads
+          // the emptied layout, the restoring upsert's currentGen
+          // reads it again, and any resurrected row or poisoned
+          // generation fails the restored-state check.
+          delete(state.keys.toSeq)
+          compact()
+          upsert(state)
       }
       check(state, s"step $step")
     }
