@@ -414,7 +414,9 @@ object Graft {
     * nothing. Some = run the returned call's retrain+build into a
     * FRESH dir and swap readers; check [[annIndexCompactHealth]]
     * first — it MEASURES whether generations piled up, and advice a
-    * compact would clear is not a retrain signal.
+    * compact would clear is not a retrain signal — or call
+    * [[annIndexMaintenance]], which encodes that ordering in one
+    * prioritized verdict.
     */
   def annIndexHealth(spark: SparkSession, dir: String,
       targetRowsPerCentroid: Long)
@@ -444,7 +446,8 @@ object Graft {
     * the grow↔shrink oscillation the floor exists to close. Check
     * [[textIndexCompactHealth]] first — sizing stats count raw rows
     * as laid out, and advice a compact would clear is not a rebuild
-    * signal.
+    * signal — or call [[textIndexMaintenance]], which encodes that
+    * ordering in one prioritized verdict.
     */
   def textIndexHealth(spark: SparkSession, dir: String,
       targetRowsPerBucket: Long)
@@ -474,18 +477,27 @@ object Graft {
     * the rebuilds the sizing advisories recommend). Run this BEFORE
     * acting on a sizing advisory: sizing stats count raw rows as laid
     * out, so advice a compact would have cleared is not a rebuild
-    * signal.
+    * signal — [[textIndexMaintenance]] encodes that ordering in one
+    * call. `minReclaimable` (default 0: the pure relative threshold)
+    * lets a fleet cron skip compacts whose absolute payoff is under
+    * the cost of scheduling one; order a fleet wave
+    * largest-`recommended`-first (the `approx_live_rows` reattach
+    * discipline) so the biggest read-side wins land first. The
+    * `call` record carries the reclaimable count AND the formatted
+    * dead fraction — the number operators alert on.
     */
-  def textIndexCompactHealth(spark: SparkSession, dir: String)
+  def textIndexCompactHealth(spark: SparkSession, dir: String,
+      minReclaimable: Long = 0L)
       : Option[IndexHealth[graft.ops.IndexCompaction.CompactStats, Long]] =
     compactHealth(graft.ops.TextIndex.compactStats(spark, dir),
-      s"""TextIndex.compact(spark, "$dir")""")
+      s"""TextIndex.compact(spark, "$dir")""", minReclaimable)
 
   /** [[textIndexCompactHealth]] for the maintained IVF vector index. */
-  def annIndexCompactHealth(spark: SparkSession, dir: String)
+  def annIndexCompactHealth(spark: SparkSession, dir: String,
+      minReclaimable: Long = 0L)
       : Option[IndexHealth[graft.ops.IndexCompaction.CompactStats, Long]] =
     compactHealth(graft.ops.AnnIndex.compactStats(spark, dir),
-      s"""AnnIndex.compact(spark, "$dir")""")
+      s"""AnnIndex.compact(spark, "$dir")""", minReclaimable)
 
   /** The near-dup band index's ONE health check: its band count is a
     * scheme constant (the MinHash (bands, rows) tradeoff — nothing to
@@ -494,16 +506,87 @@ object Graft {
     * maintained indexes, measured and advised identically
     * ([[textIndexCompactHealth]]).
     */
-  def neardupIndexHealth(spark: SparkSession, dir: String)
+  def neardupIndexHealth(spark: SparkSession, dir: String,
+      minReclaimable: Long = 0L)
       : Option[IndexHealth[graft.ops.IndexCompaction.CompactStats, Long]] =
     compactHealth(graft.ops.NeardupIndex.compactStats(spark, dir),
-      s"""NeardupIndex.compact(spark, "$dir")""")
+      s"""NeardupIndex.compact(spark, "$dir")""", minReclaimable)
 
   private def compactHealth(
-      st: graft.ops.IndexCompaction.CompactStats, call: String)
+      st: graft.ops.IndexCompaction.CompactStats, call: String,
+      minReclaimable: Long)
       : Option[IndexHealth[graft.ops.IndexCompaction.CompactStats, Long]] =
-    graft.ops.IndexCompaction.compactAdvice(st).map(reclaim =>
-      IndexHealth(st, reclaim, s"$call // folds $reclaim rows"))
+    graft.ops.IndexCompaction.compactAdvice(st, minReclaimable).map(reclaim =>
+      // the dead fraction rides formatted in the call record — the
+      // number operators alert/triage on, so a consumer that only
+      // keeps the call string still has it
+      IndexHealth(st, reclaim, s"$call // folds $reclaim rows, " +
+        "dead fraction " +
+        "%.3f".formatLocal(java.util.Locale.ROOT, st.deadFraction)))
+
+  /** One prioritized maintenance verdict for a maintained index — the
+    * shape [[textIndexMaintenance]]/[[annIndexMaintenance]]/
+    * [[neardupIndexMaintenance]] return so an operator cron needs ONE
+    * call per index per window, not two health checks it must
+    * remember to run in the right order.
+    */
+  sealed trait Maintenance[+S, +R] { def call: String }
+  /** Run the in-place compact this cycle; re-check next cycle. */
+  case class CompactFirst(
+      health: IndexHealth[graft.ops.IndexCompaction.CompactStats, Long])
+      extends Maintenance[Nothing, Nothing] { def call: String = health.call }
+  /** No compact is owed — act on the measured sizing verdict. */
+  case class Resize[S, R](health: IndexHealth[S, R])
+      extends Maintenance[S, R] { def call: String = health.call }
+
+  /** ONE maintenance verdict per window for the maintained inverted
+    * text index — the cron entry that encodes the
+    * compact-before-resize ordering instead of documenting it:
+    * [[textIndexCompactHealth]] is measured first, and when it fires
+    * the verdict is [[CompactFirst]] WITHOUT measuring sizing at all —
+    * sizing stats count raw rows as laid out, so a sizing verdict
+    * computed over an uncompacted backlog can advise a rebuild the
+    * compact would have made unnecessary (and the rebuild is the
+    * expensive, fresh-dir-and-swap op of the two). Only when no
+    * compact is owed is [[textIndexHealth]] measured, surfacing as
+    * [[Resize]]. The deferral converges in one extra cycle: act on
+    * the compact, and the NEXT window measures sizing over clean
+    * arithmetic — GraftApiSpec drives simultaneous churn+skew through
+    * exactly that loop (compact first, then the sizing verdict, then
+    * silence). None = healthy on both axes, do nothing.
+    */
+  def textIndexMaintenance(spark: SparkSession, dir: String,
+      targetRowsPerBucket: Long, minReclaimable: Long = 0L)
+      : Option[Maintenance[graft.ops.TextIndex.LoadStats,
+        graft.ops.TextIndex.Rebuild]] =
+    textIndexCompactHealth(spark, dir, minReclaimable)
+      .map(CompactFirst(_))
+      .orElse(textIndexHealth(spark, dir, targetRowsPerBucket)
+        .map(Resize(_)))
+
+  /** [[textIndexMaintenance]] for the maintained IVF vector index:
+    * compact verdicts win over retrain verdicts for the same reason —
+    * retrain advice measured over an uncompacted backlog counts dead
+    * postings as load.
+    */
+  def annIndexMaintenance(spark: SparkSession, dir: String,
+      targetRowsPerCentroid: Long, minReclaimable: Long = 0L)
+      : Option[Maintenance[graft.ops.AnnIndex.LoadStats, Int]] =
+    annIndexCompactHealth(spark, dir, minReclaimable)
+      .map(CompactFirst(_))
+      .orElse(annIndexHealth(spark, dir, targetRowsPerCentroid)
+        .map(Resize(_)))
+
+  /** [[textIndexMaintenance]] for the near-dup band index — which has
+    * no sizing axis (the band count is a scheme constant), so this
+    * delegates to its single compact check and only ever returns
+    * [[CompactFirst]]; it exists so a fleet cron can treat all three
+    * maintained indexes uniformly.
+    */
+  def neardupIndexMaintenance(spark: SparkSession, dir: String,
+      minReclaimable: Long = 0L)
+      : Option[Maintenance[Nothing, Nothing]] =
+    neardupIndexHealth(spark, dir, minReclaimable).map(CompactFirst(_))
 
   /** Release the clean-corpus stage cache the q89/q108 pipelines
     * memoize (one survivor-stage set per (session, dir), pinned in

@@ -652,4 +652,129 @@ class GraftApiSpec extends AnyFunSuite {
     assert(ah.stats == CompactStats(2, 1, 1) && ah.recommended == 2L &&
       ah.call.contains("AnnIndex.compact"), ah.toString)
   }
+
+  test("the one-call maintenance verdict prioritizes compact over " +
+      "resize: simultaneous churn+skew converges compact-first, then " +
+      "the sizing verdict, then silence") {
+    import graft.ops.{AnnIndex, NeardupIndex, TextIndex}
+    // the skew-grow fixture (residue-paired hot terms, verified with
+    // the index's own routing — see the advisory-loop test above)
+    val perTerm = TextIndex.bucketOfTerms(spark,
+      (0 until 400).map(i => s"sk$i"), 4)
+    val hotBucket = perTerm.values.head
+    val hotAll = perTerm.collect { case (t, b) if b == hotBucket => t }
+      .toSeq.sorted
+    val grownOf = TextIndex.bucketOfTerms(spark, hotAll, 8)
+    val (resLo, resHi) = hotAll.partition(t => grownOf(t) == hotBucket)
+    val hot = (resLo.take(20) ++ resHi.take(20)).sorted
+    val cold = perTerm.collect { case (t, b) if b != hotBucket => t }
+      .toSeq.sorted.take(5)
+    assert(resLo.size >= 20 && resHi.size >= 20 && cold.size == 5,
+      s"vocabulary too small: ${resLo.size}/${resHi.size}/${cold.size}")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, ((0 until 5).map(j => hot((i * 7 + j) % hot.size)) :+
+        cold(i % cold.size)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val d1 = java.nio.file.Files
+      .createTempDirectory("graft-api-mt-").toString
+    TextIndex.build(spark, docs, d1, termBuckets = 4)
+    // CHURN on top of the SKEW: rewrite every doc once (same text, so
+    // the post-compact corpus keeps the fixture's sizing arithmetic).
+    // Backlog 120 (60 dead + 60 tombstones) >= live 60: a compact is
+    // owed — and sizing measured NOW would count 120 raw docs' worth
+    // of postings, advice the compact makes moot
+    TextIndex.applyDelta(spark, d1, docs,
+      Seq.empty[Long].toDF("doc_id"))
+    // cycle 1: compact wins; sizing is not even measured
+    val m1 = Graft.textIndexMaintenance(spark, d1,
+      targetRowsPerBucket = 120)
+      .getOrElse(fail("churned+skewed index must advise"))
+    val c1 = m1 match {
+      case Graft.CompactFirst(h) => h
+      case other => fail(s"compact must win over resize: $other")
+    }
+    // raw 720 postings (60 docs * 6 terms * 2 generations), live 360,
+    // 60 tombstones: backlog 420 = 360 dead + 60 tombstones
+    assert(c1.stats == graft.ops.IndexCompaction.CompactStats(
+      720L, 360L, 60L) && c1.recommended == 420L, c1.toString)
+    // the call record carries the formatted dead fraction operators
+    // alert on (raw 720, dead 360)
+    assert(c1.call.contains("dead fraction 0.500"), c1.call)
+    TextIndex.compact(spark, d1) // act as advised
+    // cycle 2: no compact owed — NOW the skew verdict surfaces, with
+    // clean post-compact arithmetic (the same Rebuild(8, 8) the
+    // advisory-loop test pins for the un-churned corpus)
+    val m2 = Graft.textIndexMaintenance(spark, d1,
+      targetRowsPerBucket = 120)
+      .getOrElse(fail("post-compact skew must advise"))
+    val r2 = m2 match {
+      case Graft.Resize(h) => h
+      case other => fail(s"no compact owed — resize must surface: $other")
+    }
+    assert(r2.recommended == TextIndex.Rebuild(8, 8), r2.toString)
+    // cycle 3: act on the sizing verdict (fresh dir, reader swap) —
+    // and the one call reads back silence on BOTH axes
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft-api-mt2-").toString
+    TextIndex.build(spark, docs, d2,
+      termBuckets = r2.recommended.termBuckets,
+      termBucketsFloor = r2.recommended.termBucketsFloor)
+    assert(Graft.textIndexMaintenance(spark, d2, 120).isEmpty,
+      "acted-on compact-then-resize must converge to silence")
+
+    // the ann twin: churn (every vector rewritten) + growth spike at
+    // once — compact wins cycle 1, the retrain verdict surfaces with
+    // post-compact arithmetic cycle 2 (17 = 66 live / target 4, the
+    // annIndexHealth fixture's number, NOT one inflated by the 66
+    // dead postings a pre-compact measurement would have counted)
+    val ad = java.nio.file.Files
+      .createTempDirectory("graft-api-mta-").toString
+    def vecs(rows: (Long, Seq[Double])*) = rows.toSeq.toDF("vec_id", "e")
+    val base = (1L to 3L).map(i => i -> Seq(1.0, i * 0.03, 0.0, 0.0)) ++
+      (4L to 6L).map(i => i -> Seq(0.03 * i, 1.0, 0.0, 0.0))
+    AnnIndex.build(spark, vecs(base: _*),
+      AnnIndex.seedCentroids(spark, vecs(base: _*), 2), ad)
+    assert(Graft.annIndexMaintenance(spark, ad, 4).isEmpty,
+      "healthy index must be silent on both axes")
+    AnnIndex.applyDelta(spark, ad,
+      vecs((base ++ (100L until 160L).map(i =>
+        i -> Seq(1.0, i / 1000.0, 0.0, 0.0))): _*), vecs())
+    val am1 = Graft.annIndexMaintenance(spark, ad, 4)
+      .getOrElse(fail("churned+grown index must advise"))
+    assert(am1.isInstanceOf[Graft.CompactFirst], am1.toString)
+    AnnIndex.compact(spark, ad)
+    val am2 = Graft.annIndexMaintenance(spark, ad, 4)
+      .getOrElse(fail("post-compact growth must advise retrain"))
+    val ar2 = am2 match {
+      case Graft.Resize(h) => h
+      case other => fail(s"no compact owed — retrain must surface: $other")
+    }
+    assert(ar2.recommended == 17 && ar2.stats.postingRows == 66L,
+      ar2.toString)
+
+    // the near-dup twin has no sizing axis: its maintenance call
+    // delegates to the single compact check, so a fleet cron treats
+    // all three indexes uniformly
+    val nd = java.nio.file.Files
+      .createTempDirectory("graft-api-mtn-").toString
+    NeardupIndex.build(spark, Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs")
+      .toDF("doc_id", "text"), nd)
+    NeardupIndex.applyDelta(spark, nd,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      Seq(1L).toDF("doc_id"))
+    val nm = Graft.neardupIndexMaintenance(spark, nd)
+      .getOrElse(fail("backlogged band index must advise"))
+    assert(nm.isInstanceOf[Graft.CompactFirst] &&
+      nm.call.contains("NeardupIndex.compact"), nm.toString)
+    // minReclaimable threads through the one call: the SAME fired
+    // verdict stays silent when the backlog is under the fleet floor
+    assert(Graft.neardupIndexMaintenance(spark, nd,
+      minReclaimable = 1000L).isEmpty,
+      "a 3-row backlog must not clear a 1000-row fleet floor")
+    NeardupIndex.compact(spark, nd)
+    assert(Graft.neardupIndexMaintenance(spark, nd).isEmpty,
+      "acted-on compact must converge to silence")
+  }
 }

@@ -41,6 +41,22 @@ class IndexCompactionSpec extends AnyFunSuite {
       .contains(3L))
   }
 
+  test("minReclaimable gates the absolute payoff without touching " +
+      "the relative threshold") {
+    // the relative 2x threshold fires on a tiny index...
+    assert(IndexCompaction.compactAdvice(CompactStats(10, 4, 0))
+      .contains(6L))
+    // ...but a fleet floor above the backlog silences it
+    assert(IndexCompaction.compactAdvice(CompactStats(10, 4, 0),
+      minReclaimable = 7L).isEmpty)
+    // at the floor exactly, it still fires (>=, like the 2x rule)
+    assert(IndexCompaction.compactAdvice(CompactStats(10, 4, 0),
+      minReclaimable = 6L).contains(6L))
+    // the floor never turns a below-2x backlog INTO advice
+    assert(IndexCompaction.compactAdvice(CompactStats(10, 6, 1),
+      minReclaimable = 1L).isEmpty)
+  }
+
   test("CompactStats derived fields") {
     val st = CompactStats(rawRows = 10, liveRows = 6, tombstoneRows = 2)
     assert(st.deadRows == 4L)
