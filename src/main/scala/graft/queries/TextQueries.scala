@@ -2208,7 +2208,11 @@ object TextQueries {
 
     // The WHEN-to-compact advisory (ops.IndexCompaction through
     // Graft.textIndexCompactHealth) oracle-gated end to end: build the
-    // inverted index over the corpus, rewrite the even half TWICE
+    // inverted index over a deterministic HALF-SLICE of the corpus
+    // (doc_id % 4 <= 1, oracle CTE filtered identically — the gate's
+    // arithmetic is corpus-size-independent, and the full corpus made
+    // this lifecycle the suite's most expensive bench entry purely on
+    // small-file job overhead), rewrite the even half TWICE
     // (doubled text keeps each doc's DISTINCT term set, so the posting
     // arithmetic is exact in SQL: raw = P + 2U, live = P, tombstones =
     // 2 updated-doc rows), report the measured backlog stats and the
@@ -2222,7 +2226,7 @@ object TextQueries {
       """WITH d AS (SELECT doc_id,
         |   len(list_distinct(string_split_regex(lower(trim(text)),
         |     '\s+'))) AS dt
-        | FROM documents),
+        | FROM documents WHERE doc_id % 4 <= 1),
         |p AS (SELECT CAST(sum(dt) AS BIGINT) AS nr FROM d),
         |u AS (SELECT CAST(count(*) AS BIGINT) AS docs,
         |        CAST(sum(dt) AS BIGINT) AS nr
@@ -2239,6 +2243,7 @@ object TextQueries {
         |FROM p, u""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val docs = Tables(spark, dir).documents.select("doc_id", "text")
+        .filter(col("doc_id") % 4 <= 1)
         .repartition(spark.sparkContext.defaultParallelism)
       val idxDir = QueryDef.tempWorkDir("graft-ti-q132-")
       // small explicit fanout: the advisory's posting arithmetic is

@@ -856,5 +856,66 @@ object VectorQueries {
           round(col("cos"), 6).as("cosine"), col("rn"))
         .orderBy("qid", "rn")
     },
+
+    // The vector index's WHEN-to-compact advisory
+    // (ops.IndexCompaction through Graft.annIndexCompactHealth)
+    // oracle-gated end to end — q132's discipline applied to the ANN
+    // twin: build the IVF index over the embeddings, re-assign the
+    // even half TWICE (negate-update waves; one posting per vector,
+    // so the posting arithmetic is exact in SQL: raw = N + 2U,
+    // live = N, tombstones = 2U), report the measured backlog stats
+    // and the fired verdict, act on the advised in-place compact, and
+    // report the folded stats + the re-measured silence. A drift in
+    // the kill-rule live count, the reclaimable arithmetic, or the 2x
+    // threshold breaks the hash.
+    QueryDef.statefulQ(
+      "q133_ann_compact_advice",
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nr
+        |           FROM embeddings),
+        |u AS (SELECT CAST(count(*) AS BIGINT) AS docs
+        |      FROM embeddings WHERE vec_id % 2 = 0)
+        |SELECT n.nr + 2 * u.docs AS raw_rows, n.nr AS live_rows,
+        | 2 * u.docs AS tombstone_rows,
+        | CASE WHEN 4 * u.docs >= n.nr
+        |   THEN 4 * u.docs ELSE CAST(0 AS BIGINT)
+        |   END AS reclaimable,
+        | CAST(CASE WHEN 4 * u.docs >= n.nr
+        |   THEN 1 ELSE 0 END AS INTEGER) AS advised,
+        | n.nr AS post_raw_rows, CAST(0 AS BIGINT) AS post_tombstones,
+        | CAST(0 AS INTEGER) AS post_advised
+        |FROM n, u""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      VectorExpressions.ensureRegistered(spark)
+      val e0 = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val idxDir = QueryDef.tempWorkDir("graft-ann-q133-")
+      graft.ops.AnnIndex.build(spark, e0,
+        graft.ops.AnnIndex.seedCentroids(spark, e0, 8), idxDir)
+      // two update waves over the even half: values flip each wave
+      // (assignment may move clusters — irrelevant to the arithmetic,
+      // one posting per vector regardless), ids stay the same U set
+      val noDeletes = e0.limit(0).select("vec_id")
+      graft.ops.AnnIndex.applyDelta(spark, idxDir,
+        e0.filter(col("vec_id") % 2 === 0)
+          .withColumn("e", transform(col("e"), x => -x)), noDeletes)
+      graft.ops.AnnIndex.applyDelta(spark, idxDir,
+        e0.filter(col("vec_id") % 2 === 0), noDeletes)
+      // the MEASURED verdict, not a recomputation of its formula
+      val h = graft.api.Graft.annIndexCompactHealth(spark, idxDir)
+      val st = h.map(_.stats).getOrElse(
+        graft.ops.AnnIndex.compactStats(spark, idxDir))
+      graft.ops.AnnIndex.compact(spark, idxDir) // act as advised
+      val post = graft.ops.AnnIndex.compactStats(spark, idxDir)
+      val postAdvised =
+        graft.ops.IndexCompaction.compactAdvice(post).isDefined
+      Seq((st.rawRows, st.liveRows, st.tombstoneRows,
+          h.map(_.recommended).getOrElse(0L),
+          if (h.isDefined) 1 else 0,
+          post.rawRows, post.tombstoneRows,
+          if (postAdvised) 1 else 0))
+        .toDF("raw_rows", "live_rows", "tombstone_rows", "reclaimable",
+          "advised", "post_raw_rows", "post_tombstones", "post_advised")
+    },
   )
 }
