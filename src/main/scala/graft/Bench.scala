@@ -39,18 +39,24 @@ object Bench {
     // sorted: Map iteration order varies with hashing, and run order
     // matters for first-run codegen/JIT costs — keep rounds comparable
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    // untimed warm-up for LIFECYCLE queries (QueryDef.stateful: sink
-    // copies, current tables, index builds per execution): the table
-    // warm-up above covers scans, but these queries' first run also
-    // absorbs the write/sync/compact paths' one-time codegen + JIT —
-    // which min-of-2 cannot shed when ambient load hits the other
-    // pass too (r11/r12 artifacts disagreed with same-commit judge
-    // re-runs by 1.5-2.7× on exactly this family). One throwaway
-    // execution per stateful query; failures surface in the timed
-    // passes, not here.
+    // untimed warm-up for EVERY query (round 19; previously only the
+    // stateful lifecycle family got one): pass 1 of a never-executed
+    // query absorbs its plan's one-time codegen/JIT, which read as
+    // pass-disagreement noise — r18's artifact sent 42 of 132 queries
+    // to a targeted third pass on a busy box. Measured A/B on one
+    // idle-box session (sf0.1, r19): stateful-only warm-up → p3_n 5,
+    // spread tail q28 2.7× … q30 2.1×; warm-all → p3_n 0, spread map
+    // EMPTY, cal-adjusted queries_total equal — both timed passes are
+    // steady-state, so the min measures the PLAN and the remaining
+    // p3_n on a busy box isolates genuine ambient-load hits (which no
+    // warm-up can fix — the r18 verdict's cal-series finding). Cost:
+    // one extra untimed pass (~+90 s wall at sf0.1).
+    // SPARK_GRAFT_WARMUP=stateful reverts to the narrow warm-up (the
+    // A/B lever this was measured with).
     val statefulNames = SparkEntry.allDefs.filter(_.stateful)
       .map(_.name).toSet
-    for ((name, fn) <- names if statefulNames(name)) {
+    val warmAll = !sys.env.get("SPARK_GRAFT_WARMUP").contains("stateful")
+    for ((name, fn) <- names if warmAll || statefulNames(name)) {
       // NonFatal only: an OOM mid-warm-up must crash the run, not be
       // swallowed into a silently contaminated artifact; ordinary
       // failures print (the timed passes log theirs — warm-up should

@@ -1678,12 +1678,15 @@ object ScaleBench {
     * maintenance verdict, shared by all three maintained indexes via
     * [[graft.ops.IndexCompaction]]): a text index whose corpus was
     * half-rewritten TWICE carries a tombstone backlog of exactly its
-    * live row count — the 2× read-amplification line — so
-    * `Graft.textIndexCompactHealth` must fire with the exact
-    * reclaimable count, the as-laid-out raw rows must be 2× the live
-    * rows, acting on the advised in-place call must fold the backlog
-    * away (raw == live, zero tombstones), and the re-measurement must
-    * read back SILENT. Search wall-clock before/after is printed (the
+    * live row count — the 2× read-amplification line — so the
+    * one-call `Graft.textIndexMaintenance` (round 19; the experiment
+    * consumes the prioritized verdict exactly as a fleet cron would)
+    * must verdict COMPACT-FIRST with the exact reclaimable count, the
+    * as-laid-out raw rows must be 2× the live rows, acting on the
+    * advised in-place call must fold the backlog away (raw == live,
+    * zero tombstones), and the next maintenance window must read back
+    * SILENT on both axes (the deferred sizing measurement lands
+    * in-band on the folded layout). Search wall-clock before/after is printed (the
     * postings scan halves; fixed per-query work dampens the ratio on
     * a warm local box — the row counts are the term that scales).
     * Every claimed shape is require()d, so advisory drift fails the
@@ -1709,8 +1712,17 @@ object ScaleBench {
     val evens = (c: org.apache.spark.sql.Column) => c % 2 === 0
     val dir = s"$work/ticompact_$docsK"
     TextIndex.build(spark, docs(0, all), dir)
-    require(Graft.textIndexCompactHealth(spark, dir).isEmpty,
-      "a fresh index must measure silent")
+    // the sizing target rides the corpus (the live mean rows/bucket),
+    // so the SIZING axis is deterministically in-band at any docsK —
+    // ideal == current fanout, p99/mean ≈ 1.7 on the uniform
+    // vocabulary — and the one-call maintenance verdict isolates the
+    // COMPACT axis this experiment measures (round 19: the experiment
+    // consumes Graft.textIndexMaintenance, the prioritized one-call,
+    // so the compact-before-resize ordering is exercised at scale,
+    // not just in GraftApiSpec's 60-doc fixture)
+    val target = math.max(1L, 10L * n / TextIndex.TermBuckets)
+    require(Graft.textIndexMaintenance(spark, dir, target).isEmpty,
+      "a fresh index must measure silent on both axes")
     // churn: the even half of the corpus rewritten twice — raw grows
     // to 2x the live postings (10n + 5n + 5n raw vs 10n live), plus
     // n tombstone rows: backlog 11n >= live 10n, the family threshold
@@ -1726,8 +1738,11 @@ object ScaleBench {
     }.min
     timeSearch() // untimed warmup (JIT + page cache)
     val tBefore = timeSearch()
-    val h = Graft.textIndexCompactHealth(spark, dir).getOrElse(
-      sys.error("a 2x-backlogged index must advise compact"))
+    val h = Graft.textIndexMaintenance(spark, dir, target) match {
+      case Some(Graft.CompactFirst(health)) => health
+      case other => sys.error(
+        s"a 2x-backlogged index must verdict compact-first, got $other")
+    }
     require(h.stats.rawRows == 2 * h.stats.liveRows &&
       h.stats.liveRows == 10 * n && h.stats.tombstoneRows == n &&
       h.recommended == 11 * n,
@@ -1744,13 +1759,19 @@ object ScaleBench {
     require(graft.ops.IndexCompaction.compactAdvice(after).isEmpty,
       "acted-on compact advice must re-measure silent")
     val tAfter = timeSearch()
+    // the NEXT maintenance window (timed searches done): the one call
+    // must read silence on BOTH axes — no compact owed, and the
+    // deferred sizing measurement lands in-band on the folded layout
+    require(Graft.textIndexMaintenance(spark, dir, target).isEmpty,
+      "post-compact maintenance must converge to silence on both axes")
     println(f"[scale] indexcompact ${n} docs: churn left raw " +
       f"${h.stats.rawRows} = 2.0x live ${h.stats.liveRows} postings " +
-      f"+ ${h.stats.tombstoneRows} tombstones -> compactHealth fires " +
-      f"(reclaimable ${h.recommended}); acted on in place -> raw " +
-      f"${after.rawRows} == live, advice None (converged); 3-term " +
-      f"search $tBefore%.2fs as laid out vs $tAfter%.2fs compacted " +
-      f"(${tBefore / tAfter}%.2fx)")
+      f"+ ${h.stats.tombstoneRows} tombstones -> the one-call " +
+      f"maintenance verdicts COMPACT-FIRST (reclaimable " +
+      f"${h.recommended}, sizing deferred); acted on in place -> raw " +
+      f"${after.rawRows} == live, next-window verdict None on both " +
+      f"axes (converged); 3-term search $tBefore%.2fs as laid out vs " +
+      f"$tAfter%.2fs compacted (${tBefore / tAfter}%.2fx)")
   }
 
   private def zonemapExperiment(spark: SparkSession, work: String,

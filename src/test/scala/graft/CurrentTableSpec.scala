@@ -1339,8 +1339,13 @@ class CurrentTableSpec extends AnyFunSuite {
         .select("id").collect().map(_.getLong(0)).toSet
         == Set(1L, 2L, 3L, 4L),
       "a completed swap's trash leftover must not refuse service")
-    finally spark.conf.unset("spark.graft.current.healGraceMs")
-    fs.delete(leftover, true)
+    finally {
+      // leftover removal belongs in the finally: a failed lookup
+      // assertion must not leak the fake trash dir into the shared
+      // fixture and confound the remaining assertions
+      spark.conf.unset("spark.graft.current.healGraceMs")
+      fs.delete(leftover, true)
+    }
     // census-less legacy tables are refused at creation, naming the lever
     val nbLine = scala.io.Source.fromFile(s"$cur/_synced.txt")
       .getLines().next()
