@@ -553,16 +553,30 @@ object Graft {
     * the compact, and the NEXT window measures sizing over clean
     * arithmetic — GraftApiSpec drives simultaneous churn+skew through
     * exactly that loop (compact first, then the sizing verdict, then
-    * silence). None = healthy on both axes, do nothing.
+    * silence). None = healthy on both axes, do nothing — INCLUDING
+    * the owed-but-floored state: when a compact is owed but its
+    * reclaimable count sits under `minReclaimable`, sizing is still
+    * NOT measured (it would count the uncompacted backlog as load)
+    * and the verdict is silence until churn clears the fleet floor.
     */
   def textIndexMaintenance(spark: SparkSession, dir: String,
       targetRowsPerBucket: Long, minReclaimable: Long = 0L)
       : Option[Maintenance[graft.ops.TextIndex.LoadStats,
         graft.ops.TextIndex.Rebuild]] =
-    textIndexCompactHealth(spark, dir, minReclaimable)
-      .map(CompactFirst(_))
-      .orElse(textIndexHealth(spark, dir, targetRowsPerBucket)
-        .map(Resize(_)))
+    // the UN-floored verdict decides the ordering: an owed compact
+    // that the fleet floor deems too small to schedule must NOT fall
+    // through to the sizing axis — sizing would then be measured over
+    // the uncompacted >=2x backlog, the exact inflated-rebuild advice
+    // the compact-first ordering exists to prevent. The verdict is
+    // silence until churn clears the floor (or an operator compacts
+    // anyway); only a genuinely-unbacklogged index measures sizing
+    textIndexCompactHealth(spark, dir) match {
+      case Some(h) =>
+        if (h.recommended >= minReclaimable) Some(CompactFirst(h))
+        else None
+      case None => textIndexHealth(spark, dir, targetRowsPerBucket)
+        .map(Resize(_))
+    }
 
   /** [[textIndexMaintenance]] for the maintained IVF vector index:
     * compact verdicts win over retrain verdicts for the same reason —
@@ -572,10 +586,14 @@ object Graft {
   def annIndexMaintenance(spark: SparkSession, dir: String,
       targetRowsPerCentroid: Long, minReclaimable: Long = 0L)
       : Option[Maintenance[graft.ops.AnnIndex.LoadStats, Int]] =
-    annIndexCompactHealth(spark, dir, minReclaimable)
-      .map(CompactFirst(_))
-      .orElse(annIndexHealth(spark, dir, targetRowsPerCentroid)
-        .map(Resize(_)))
+    // un-floored ordering decision — see [[textIndexMaintenance]]
+    annIndexCompactHealth(spark, dir) match {
+      case Some(h) =>
+        if (h.recommended >= minReclaimable) Some(CompactFirst(h))
+        else None
+      case None => annIndexHealth(spark, dir, targetRowsPerCentroid)
+        .map(Resize(_))
+    }
 
   /** [[textIndexMaintenance]] for the near-dup band index — which has
     * no sizing axis (the band count is a scheme constant), so this

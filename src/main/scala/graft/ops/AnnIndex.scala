@@ -69,7 +69,7 @@ object AnnIndex {
     * column fails to resolve against a fully-emptied index — re-apply
     * a delta (or rebuild) to restore the extras' schema.
     */
-  private val PostingsBaseSchema = StructType(Seq(
+  private[graft] val PostingsBaseSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("e", ArrayType(DoubleType)),
     StructField("nm", DoubleType), StructField("gen", LongType),

@@ -52,7 +52,7 @@ object NeardupIndex {
     * stays readable instead of bricking every later call on schema
     * inference.
     */
-  private val BandsSchema = StructType(Seq(
+  private[graft] val BandsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("bucket", StringType),
     StructField("gen", LongType), StructField("band", IntegerType)))
 

@@ -114,7 +114,7 @@ object TextIndex {
     * stays readable instead of bricking every later call on schema
     * inference.
     */
-  private val PostingsSchema = StructType(Seq(
+  private[graft] val PostingsSchema = StructType(Seq(
     StructField("term", StringType), StructField("doc_id", LongType),
     StructField("tf", IntegerType), StructField("dl", IntegerType),
     StructField("gen", LongType), StructField("tb", IntegerType)))
@@ -122,7 +122,7 @@ object TextIndex {
   /** The docs census's row shape — same empty-layout rationale (a
     * plain write of zero census rows can produce no part files).
     */
-  private val CensusSchema = StructType(Seq(
+  private[graft] val CensusSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("dl", IntegerType),
     StructField("gen", LongType)))
 

@@ -2233,10 +2233,12 @@ object TextQueries {
         |      FROM d WHERE doc_id % 2 = 0)
         |SELECT p.nr + 2 * u.nr AS raw_rows, p.nr AS live_rows,
         | 2 * u.docs AS tombstone_rows,
-        | CASE WHEN 2 * u.nr + 2 * u.docs >= p.nr
+        | CASE WHEN 2 * u.nr + 2 * u.docs > 0
+        |     AND 2 * u.nr + 2 * u.docs >= p.nr
         |   THEN 2 * u.nr + 2 * u.docs ELSE CAST(0 AS BIGINT)
         |   END AS reclaimable,
-        | CAST(CASE WHEN 2 * u.nr + 2 * u.docs >= p.nr
+        | CAST(CASE WHEN 2 * u.nr + 2 * u.docs > 0
+        |     AND 2 * u.nr + 2 * u.docs >= p.nr
         |   THEN 1 ELSE 0 END AS INTEGER) AS advised,
         | p.nr AS post_raw_rows, CAST(0 AS BIGINT) AS post_tombstones,
         | CAST(0 AS INTEGER) AS post_advised

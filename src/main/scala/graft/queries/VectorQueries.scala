@@ -876,10 +876,10 @@ object VectorQueries {
         |      FROM embeddings WHERE vec_id % 2 = 0)
         |SELECT n.nr + 2 * u.docs AS raw_rows, n.nr AS live_rows,
         | 2 * u.docs AS tombstone_rows,
-        | CASE WHEN 4 * u.docs >= n.nr
+        | CASE WHEN 4 * u.docs > 0 AND 4 * u.docs >= n.nr
         |   THEN 4 * u.docs ELSE CAST(0 AS BIGINT)
         |   END AS reclaimable,
-        | CAST(CASE WHEN 4 * u.docs >= n.nr
+        | CAST(CASE WHEN 4 * u.docs > 0 AND 4 * u.docs >= n.nr
         |   THEN 1 ELSE 0 END AS INTEGER) AS advised,
         | n.nr AS post_raw_rows, CAST(0 AS BIGINT) AS post_tombstones,
         | CAST(0 AS INTEGER) AS post_advised

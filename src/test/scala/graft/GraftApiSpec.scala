@@ -700,6 +700,15 @@ class GraftApiSpec extends AnyFunSuite {
     // the call record carries the formatted dead fraction operators
     // alert on (raw 720, dead 360)
     assert(c1.call.contains("dead fraction 0.500"), c1.call)
+    // owed-but-floored: a fleet floor above the backlog suppresses
+    // the compact verdict, but must NOT fall through to sizing —
+    // the skew verdict WOULD fire here (proven below post-compact),
+    // and measuring it now would count the 2x backlog as load; the
+    // one call stays silent until churn clears the floor
+    assert(Graft.textIndexMaintenance(spark, d1,
+      targetRowsPerBucket = 120, minReclaimable = 1000000L).isEmpty,
+      "an owed-but-floored compact must not surface backlog-inflated " +
+        "sizing advice")
     TextIndex.compact(spark, d1) // act as advised
     // cycle 2: no compact owed — NOW the skew verdict surfaces, with
     // clean post-compact arithmetic (the same Rebuild(8, 8) the

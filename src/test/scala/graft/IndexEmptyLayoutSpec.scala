@@ -35,6 +35,36 @@ class IndexEmptyLayoutSpec extends AnyFunSuite {
   private def noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
   private def noIds = Seq.empty[Long].toDF("doc_id")
 
+  test("the empty-layout fallback schemas track the writers' real " +
+      "output shapes (drift trap)") {
+    // the four fallback schemas are literals restating what the build
+    // writers produce; if a writer gains or retypes a column, a
+    // fully-emptied index would fork its read schema from a populated
+    // one in exactly the state no ordinary test exercises — so pin
+    // (name, type) pairs against REAL reads of just-built indexes
+    // (nullability excluded: parquet reads and partition-column
+    // inference flip it freely)
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    val td = tmp()
+    TextIndex.build(spark, Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+      td, termBuckets = 2)
+    assert(shape(spark.read.parquet(s"$td/postings").schema)
+      == shape(TextIndex.PostingsSchema))
+    assert(shape(spark.read.parquet(s"$td/docs").schema)
+      == shape(TextIndex.CensusSchema))
+    val ad = tmp()
+    val vecs = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "e")
+    AnnIndex.build(spark, vecs, AnnIndex.seedCentroids(spark, vecs, 1), ad)
+    assert(shape(spark.read.parquet(s"$ad/postings").schema)
+      == shape(AnnIndex.PostingsBaseSchema))
+    val nd = tmp()
+    NeardupIndex.build(spark,
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"), nd)
+    assert(shape(spark.read.parquet(s"$nd/bands").schema)
+      == shape(NeardupIndex.BandsSchema))
+  }
+
   test("text index: fully-deleted corpus compacts, stays readable, " +
       "acts on the (0,0,k) advice, repopulates to the kernel") {
     val dir = tmp()
