@@ -535,9 +535,43 @@ object Graft {
   case class CompactFirst(
       health: IndexHealth[graft.ops.IndexCompaction.CompactStats, Long])
       extends Maintenance[Nothing, Nothing] { def call: String = health.call }
+  /** A compact IS owed (backlog ≥ live rows) but its reclaimable
+    * count sits under the caller's `minReclaimable` fleet floor:
+    * deferred, not hidden. The sizing axis is deliberately NOT
+    * measured in this state (it would count the uncompacted ≥2×
+    * backlog as load — the inflated-rebuild advice the compact-first
+    * ordering exists to prevent), and without this case an index
+    * whose churn then STOPS would read healthy forever while every
+    * query pays the backlog and any real sizing need stays invisible.
+    * A cron treats it as a no-op; a dashboard can alert on it, and an
+    * operator can run the carried compact call anyway — the next
+    * window then measures sizing clean.
+    */
+  case class CompactDeferred(
+      health: IndexHealth[graft.ops.IndexCompaction.CompactStats, Long])
+      extends Maintenance[Nothing, Nothing] { def call: String = health.call }
   /** No compact is owed — act on the measured sizing verdict. */
   case class Resize[S, R](health: IndexHealth[S, R])
       extends Maintenance[S, R] { def call: String = health.call }
+
+  /** The one ordering/floor decision all three maintenance one-calls
+    * share: compact verdicts win outright; under the fleet floor the
+    * owed compact is surfaced as [[CompactDeferred]] (never silently
+    * swallowed, never falling through to backlog-inflated sizing);
+    * only a genuinely-unbacklogged index measures `sizing` (by-name —
+    * the measurement must not run otherwise).
+    */
+  private def prioritized[S, R](
+      compact: Option[IndexHealth[graft.ops.IndexCompaction.CompactStats,
+        Long]],
+      minReclaimable: Long)(sizing: => Option[IndexHealth[S, R]])
+      : Option[Maintenance[S, R]] =
+    compact match {
+      case Some(h) =>
+        if (h.recommended >= minReclaimable) Some(CompactFirst(h))
+        else Some(CompactDeferred(h))
+      case None => sizing.map(Resize(_))
+    }
 
   /** ONE maintenance verdict per window for the maintained inverted
     * text index — the cron entry that encodes the
@@ -553,30 +587,19 @@ object Graft {
     * the compact, and the NEXT window measures sizing over clean
     * arithmetic — GraftApiSpec drives simultaneous churn+skew through
     * exactly that loop (compact first, then the sizing verdict, then
-    * silence). None = healthy on both axes, do nothing — INCLUDING
-    * the owed-but-floored state: when a compact is owed but its
-    * reclaimable count sits under `minReclaimable`, sizing is still
-    * NOT measured (it would count the uncompacted backlog as load)
-    * and the verdict is silence until churn clears the fleet floor.
+    * silence). None = healthy on both axes, do nothing. The
+    * owed-but-floored state (a compact owed, reclaimable under
+    * `minReclaimable`) surfaces as [[CompactDeferred]]: sizing is
+    * still NOT measured (it would count the uncompacted backlog as
+    * load), but the owed state is visible — a fleet whose churn stops
+    * inside the floor window must not read healthy forever.
     */
   def textIndexMaintenance(spark: SparkSession, dir: String,
       targetRowsPerBucket: Long, minReclaimable: Long = 0L)
       : Option[Maintenance[graft.ops.TextIndex.LoadStats,
         graft.ops.TextIndex.Rebuild]] =
-    // the UN-floored verdict decides the ordering: an owed compact
-    // that the fleet floor deems too small to schedule must NOT fall
-    // through to the sizing axis — sizing would then be measured over
-    // the uncompacted >=2x backlog, the exact inflated-rebuild advice
-    // the compact-first ordering exists to prevent. The verdict is
-    // silence until churn clears the floor (or an operator compacts
-    // anyway); only a genuinely-unbacklogged index measures sizing
-    textIndexCompactHealth(spark, dir) match {
-      case Some(h) =>
-        if (h.recommended >= minReclaimable) Some(CompactFirst(h))
-        else None
-      case None => textIndexHealth(spark, dir, targetRowsPerBucket)
-        .map(Resize(_))
-    }
+    prioritized(textIndexCompactHealth(spark, dir), minReclaimable)(
+      textIndexHealth(spark, dir, targetRowsPerBucket))
 
   /** [[textIndexMaintenance]] for the maintained IVF vector index:
     * compact verdicts win over retrain verdicts for the same reason —
@@ -586,14 +609,8 @@ object Graft {
   def annIndexMaintenance(spark: SparkSession, dir: String,
       targetRowsPerCentroid: Long, minReclaimable: Long = 0L)
       : Option[Maintenance[graft.ops.AnnIndex.LoadStats, Int]] =
-    // un-floored ordering decision — see [[textIndexMaintenance]]
-    annIndexCompactHealth(spark, dir) match {
-      case Some(h) =>
-        if (h.recommended >= minReclaimable) Some(CompactFirst(h))
-        else None
-      case None => annIndexHealth(spark, dir, targetRowsPerCentroid)
-        .map(Resize(_))
-    }
+    prioritized(annIndexCompactHealth(spark, dir), minReclaimable)(
+      annIndexHealth(spark, dir, targetRowsPerCentroid))
 
   /** [[textIndexMaintenance]] for the near-dup band index — which has
     * no sizing axis (the band count is a scheme constant), so this
@@ -604,7 +621,7 @@ object Graft {
   def neardupIndexMaintenance(spark: SparkSession, dir: String,
       minReclaimable: Long = 0L)
       : Option[Maintenance[Nothing, Nothing]] =
-    neardupIndexHealth(spark, dir, minReclaimable).map(CompactFirst(_))
+    prioritized(neardupIndexHealth(spark, dir), minReclaimable)(None)
 
   /** Release the clean-corpus stage cache the q89/q108 pipelines
     * memoize (one survivor-stage set per (session, dir), pinned in

@@ -2227,9 +2227,9 @@ object TextQueries {
         |   len(list_distinct(string_split_regex(lower(trim(text)),
         |     '\s+'))) AS dt
         | FROM documents WHERE doc_id % 4 <= 1),
-        |p AS (SELECT CAST(sum(dt) AS BIGINT) AS nr FROM d),
+        |p AS (SELECT CAST(COALESCE(sum(dt), 0) AS BIGINT) AS nr FROM d),
         |u AS (SELECT CAST(count(*) AS BIGINT) AS docs,
-        |        CAST(sum(dt) AS BIGINT) AS nr
+        |        CAST(COALESCE(sum(dt), 0) AS BIGINT) AS nr
         |      FROM d WHERE doc_id % 2 = 0)
         |SELECT p.nr + 2 * u.nr AS raw_rows, p.nr AS live_rows,
         | 2 * u.docs AS tombstone_rows,

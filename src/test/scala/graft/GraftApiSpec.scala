@@ -700,15 +700,20 @@ class GraftApiSpec extends AnyFunSuite {
     // the call record carries the formatted dead fraction operators
     // alert on (raw 720, dead 360)
     assert(c1.call.contains("dead fraction 0.500"), c1.call)
-    // owed-but-floored: a fleet floor above the backlog suppresses
-    // the compact verdict, but must NOT fall through to sizing —
-    // the skew verdict WOULD fire here (proven below post-compact),
-    // and measuring it now would count the 2x backlog as load; the
-    // one call stays silent until churn clears the floor
-    assert(Graft.textIndexMaintenance(spark, d1,
-      targetRowsPerBucket = 120, minReclaimable = 1000000L).isEmpty,
-      "an owed-but-floored compact must not surface backlog-inflated " +
-        "sizing advice")
+    // owed-but-floored: a fleet floor above the backlog surfaces the
+    // owed compact as DEFERRED — visible to a dashboard, a no-op for
+    // the cron — and must NOT fall through to sizing: the skew
+    // verdict WOULD fire here (proven below post-compact), and
+    // measuring it now would count the 2x backlog as load. Without
+    // the explicit deferred case, an index whose churn stops inside
+    // the floor window would read healthy forever
+    Graft.textIndexMaintenance(spark, d1,
+      targetRowsPerBucket = 120, minReclaimable = 1000000L) match {
+      case Some(Graft.CompactDeferred(h)) =>
+        assert(h.recommended == 420L, h.toString)
+      case other => fail("an owed-but-floored compact must surface " +
+        s"as deferred, never as backlog-inflated sizing: $other")
+    }
     TextIndex.compact(spark, d1) // act as advised
     // cycle 2: no compact owed — NOW the skew verdict surfaces, with
     // clean post-compact arithmetic (the same Rebuild(8, 8) the
@@ -778,10 +783,10 @@ class GraftApiSpec extends AnyFunSuite {
     assert(nm.isInstanceOf[Graft.CompactFirst] &&
       nm.call.contains("NeardupIndex.compact"), nm.toString)
     // minReclaimable threads through the one call: the SAME fired
-    // verdict stays silent when the backlog is under the fleet floor
+    // verdict defers (visible, non-actionable) under the fleet floor
     assert(Graft.neardupIndexMaintenance(spark, nd,
-      minReclaimable = 1000L).isEmpty,
-      "a 3-row backlog must not clear a 1000-row fleet floor")
+      minReclaimable = 1000L).exists(_.isInstanceOf[Graft.CompactDeferred]),
+      "a 3-row backlog must defer under a 1000-row fleet floor")
     NeardupIndex.compact(spark, nd)
     assert(Graft.neardupIndexMaintenance(spark, nd).isEmpty,
       "acted-on compact must converge to silence")
