@@ -545,11 +545,20 @@ object Graft {
     * query pays the backlog and any real sizing need stays invisible.
     * A cron treats it as a no-op; a dashboard can alert on it, and an
     * operator can run the carried compact call anyway — the next
-    * window then measures sizing clean.
+    * window then measures sizing clean. `call` is COMMENT-PREFIXED:
+    * the health record's runnable line is inside `health.call`, but a
+    * consumer that uniformly executes `verdict.call` (the
+    * [[IndexHealth]] consumption shape) must not be tricked into
+    * running the very compacts the fleet floor exists to skip — a
+    * pasted deferred line is a no-op by construction.
     */
   case class CompactDeferred(
       health: IndexHealth[graft.ops.IndexCompaction.CompactStats, Long])
-      extends Maintenance[Nothing, Nothing] { def call: String = health.call }
+      extends Maintenance[Nothing, Nothing] {
+    def call: String =
+      s"// deferred under the fleet floor — run anyway to clear: " +
+        health.call
+  }
   /** No compact is owed — act on the measured sizing verdict. */
   case class Resize[S, R](health: IndexHealth[S, R])
       extends Maintenance[S, R] { def call: String = health.call }
@@ -615,7 +624,8 @@ object Graft {
   /** [[textIndexMaintenance]] for the near-dup band index — which has
     * no sizing axis (the band count is a scheme constant), so this
     * delegates to its single compact check and only ever returns
-    * [[CompactFirst]]; it exists so a fleet cron can treat all three
+    * [[CompactFirst]] or (under the fleet floor) [[CompactDeferred]],
+    * never [[Resize]]; it exists so a fleet cron can treat all three
     * maintained indexes uniformly.
     */
   def neardupIndexMaintenance(spark: SparkSession, dir: String,

@@ -709,8 +709,13 @@ class GraftApiSpec extends AnyFunSuite {
     // the floor window would read healthy forever
     Graft.textIndexMaintenance(spark, d1,
       targetRowsPerBucket = 120, minReclaimable = 1000000L) match {
-      case Some(Graft.CompactDeferred(h)) =>
+      case Some(d @ Graft.CompactDeferred(h)) =>
         assert(h.recommended == 420L, h.toString)
+        // the deferred verdict's call is comment-prefixed: a cron
+        // that uniformly executes verdict.call must not be tricked
+        // into running the compact the floor exists to skip
+        assert(d.call.startsWith("//") &&
+          d.call.contains("TextIndex.compact"), d.call)
       case other => fail("an owed-but-floored compact must surface " +
         s"as deferred, never as backlog-inflated sizing: $other")
     }
