@@ -613,7 +613,10 @@ object Graft {
   /** [[textIndexMaintenance]] for the maintained IVF vector index:
     * compact verdicts win over retrain verdicts for the same reason —
     * retrain advice measured over an uncompacted backlog counts dead
-    * postings as load.
+    * postings as load. A SAME-K retrain verdict is a rebalance bet:
+    * see [[graft.ops.AnnIndex.retrainAdvice]]'s stop rule — a
+    * repeated same-k verdict with unchanged stats means maintenance
+    * cannot help (act once, compare stats, stop on a fixed point).
     */
   def annIndexMaintenance(spark: SparkSession, dir: String,
       targetRowsPerCentroid: Long, minReclaimable: Long = 0L)

@@ -398,6 +398,20 @@ object AnnIndex {
     * no-op for a hash modulus. The 2× hysteresis keeps a corpus near
     * a boundary from flapping advice delta over delta. Act with
     * [[trainCodebook]] + [[build]] into a fresh dir and swap readers.
+    *
+    * STOP RULE for the same-k arm: retraining at the current k is a
+    * REBALANCE bet — it pays when the corpus drifted under a stale
+    * codebook (spec-pinned: the drifted fixture converges to silence
+    * in one act), but [[trainCodebook]] is deterministic, so over an
+    * UNCHANGED corpus it reproduces the identical codebook and the
+    * measured stats are a fixed point (spec-pinned: 25 coincident
+    * vectors no k-means can split). A cron must treat a REPEATED
+    * same-k verdict with unchanged [[loadStats]] as this index's
+    * analog of the text index's indivisible-mega-term veto —
+    * maintenance cannot help; stop and leave the verdict to a
+    * dashboard. (The text index encodes its veto in the advice
+    * itself because a hash split is STATICALLY futile; whether a
+    * k-means rebalance helps is only knowable by doing it once.)
     */
   def retrainAdvice(stats: LoadStats,
       targetRowsPerCentroid: Long): Option[Int] = {

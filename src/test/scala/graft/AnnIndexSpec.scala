@@ -255,6 +255,79 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.retrainAdvice(stEmpty, 4).isEmpty)
   }
 
+  test("a same-k retrain verdict rebalances a DRIFTED corpus to " +
+      "silence, and is a measurable fixed point on an UNCHANGED one " +
+      "— the documented stop rule") {
+    import graft.api.Graft
+    // (a) drift pays: two balanced clusters trained at k=2, then the
+    // even half MOVES into a second subcluster of the X region. The
+    // frozen codebook assigns all 20 live vectors to one cell (p99
+    // 20 >= 2x target 10, ideal = 2 = k): the same-k "retrain to
+    // rebalance" verdict — and acting on it with the CURRENT corpus
+    // splits the two subclusters back to 10/10 and silence
+    val dir = Files.createTempDirectory("graft-ann-samek-").toString
+    val odds = (1L to 19L by 2).map(i => i -> Seq(1.0, 0.005 * i, 0.0, 0.0))
+    val evens = (2L to 20L by 2).map(i => i -> Seq(0.005 * i, 1.0, 0.0, 0.0))
+    val cb0 = AnnIndex.trainCodebook(spark, vecs((odds ++ evens): _*), 2, 10)
+    AnnIndex.build(spark, vecs((odds ++ evens): _*), cb0, dir)
+    assert(Graft.annIndexMaintenance(spark, dir, 10).isEmpty)
+    val moved = (2L to 20L by 2)
+      .map(i => i -> Seq(1.0, 0.5 + 0.005 * i, 0.0, 0.0))
+    AnnIndex.applyDelta(spark, dir, vecs(moved: _*), vecs())
+    // the churn delta also owes a compact (10 dead + 10 tombstones vs
+    // 20 live) — the one call correctly verdicts that FIRST; run it
+    // so this test isolates the sizing axis
+    assert(Graft.annIndexMaintenance(spark, dir, 10)
+      .exists(_.isInstanceOf[Graft.CompactFirst]))
+    AnnIndex.compact(spark, dir)
+    val drifted = Graft.annIndexMaintenance(spark, dir, 10) match {
+      case Some(Graft.Resize(h)) => h
+      case other => fail(s"drifted corpus must verdict resize: $other")
+    }
+    assert(drifted.recommended == 2 && drifted.stats.p99Rows == 20L,
+      s"same-k rebalance verdict expected: $drifted")
+    val live = vecs((odds ++ moved): _*)
+    AnnIndex.build(spark, live,
+      AnnIndex.trainCodebook(spark, live, 2, 10), dir)
+    assert(Graft.annIndexMaintenance(spark, dir, 10).isEmpty,
+      "acting on the same-k verdict over a drifted corpus must " +
+        "rebalance to silence")
+
+    // (b) unchanged corpus: 25 COINCIDENT vectors (one indivisible
+    // dense cell — k-means cannot split coincident points) + three
+    // tight satellites, codebook already trained on exactly this
+    // corpus. The verdict fires same-k, but acting reproduces the
+    // identical codebook (trainCodebook is deterministic), so the
+    // stats are a FIXED POINT — the retrainAdvice scaladoc's stop
+    // rule: a repeated same-k verdict with unchanged loadStats is
+    // this index's mega-term analog; maintenance cannot help, stop
+    val dir2 = Files.createTempDirectory("graft-ann-fixed-").toString
+    val dense = (Seq(4L) ++ (101L to 124L))
+      .map(i => i -> Seq(1.0, 0.0, 0.0, 0.0))
+    val sats = (Seq(1L) ++ (16L to 19L)).map(i =>
+        i -> Seq(0.0, 1.0, 0.0, 0.0)) ++
+      (Seq(2L) ++ (20L to 23L)).map(i => i -> Seq(0.0, 0.0, 1.0, 0.0)) ++
+      (Seq(3L) ++ (24L to 27L)).map(i => i -> Seq(0.0, 0.0, 0.0, 1.0))
+    val corpus = vecs((dense ++ sats): _*)
+    AnnIndex.build(spark, corpus,
+      AnnIndex.trainCodebook(spark, corpus, 4, 10), dir2)
+    val v1 = Graft.annIndexMaintenance(spark, dir2, 10) match {
+      case Some(Graft.Resize(h)) => h
+      case other => fail(s"skewed-at-equilibrium corpus must fire: $other")
+    }
+    assert(v1.recommended == 4, s"same-k expected: $v1")
+    val before = AnnIndex.loadStats(spark, dir2)
+    // act on it — the cron's first (and per the stop rule, last) try
+    AnnIndex.build(spark, corpus,
+      AnnIndex.trainCodebook(spark, corpus, 4, 10), dir2)
+    val after = AnnIndex.loadStats(spark, dir2)
+    assert(after == before,
+      s"unchanged corpus must be a retrain fixed point: $before vs $after")
+    assert(Graft.annIndexMaintenance(spark, dir2, 10)
+      .exists(_.isInstanceOf[Graft.Resize[_, _]]),
+      "the repeated verdict with unchanged stats IS the stop signal")
+  }
+
   test("search plan broadcasts queries/probes and never goes cartesian") {
     val dir = Files.createTempDirectory("graft-ann-").toString
     AnnIndex.build(spark, vecs(base: _*),
