@@ -556,7 +556,7 @@ object Graft {
       health: IndexHealth[graft.ops.IndexCompaction.CompactStats, Long])
       extends Maintenance[Nothing, Nothing] {
     def call: String =
-      s"// deferred under the fleet floor — run anyway to clear: " +
+      "// deferred under the fleet floor — run anyway to clear: " +
         health.call
   }
   /** No compact is owed — act on the measured sizing verdict. */

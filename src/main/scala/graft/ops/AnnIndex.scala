@@ -363,8 +363,20 @@ object AnnIndex {
     * per-centroid count (= max below 100 centroids), the same
     * skew-aware statistic the bloom-index sizing uses.
     */
+  /** `p99TopVectorRows` — the largest group of IDENTICAL embeddings
+    * inside the p99-rank cell — is the IVF analog of
+    * [[TextIndex.LoadStats.p99TopTermRows]]: coincident vectors are
+    * the one load k-means provably cannot split (every codebook
+    * assigns identical points identically), so when they dominate the
+    * sizing cell a same-k rebalance is STATICALLY futile and
+    * [[retrainAdvice]] vetoes it. Scoped to the cells tied at the p99
+    * count and, among ties, to the least-dominated one — the
+    * [[TextIndex.loadStats]] tie discipline, for the same reason: if
+    * ANY tied cell is splittable the rebalance is not futile.
+    */
   case class LoadStats(centroids: Int, postingRows: Long,
-      meanRows: Double, p99Rows: Long, maxRows: Long)
+      meanRows: Double, p99Rows: Long, maxRows: Long,
+      p99TopVectorRows: Long = 0L)
 
   def loadStats(spark: SparkSession, dir: String): LoadStats = {
     // a fully-deleted-then-compacted corpus (or a build over an empty
@@ -374,13 +386,28 @@ object AnnIndex {
     // (postingRows' readOrEmpty fallback)
     val perCid = postingRows(spark, dir)
       .groupBy("cid").count()
-      .collect().map(_.getLong(1)).sorted
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val counts = perCid.map(_._2).sorted.toIndexedSeq
     val k = spark.read.parquet(centroidsDir(dir)).count().toInt
-    val total = perCid.sum
+    val total = counts.sum
     // LITERALLY the bloom-index sizing statistic, not a re-derivation
-    LoadStats(k, total, total.toDouble / math.max(1, k),
-      BucketIndex.sizingRows(perCid.toIndexedSeq),
-      if (perCid.isEmpty) 0L else perCid.last)
+    val p99 = BucketIndex.sizingRows(counts)
+    // the sizing cells' largest identical-embedding group: a SECOND
+    // pass, partition-pruned to just the cells tied at the p99 count
+    // (the only pass that touches the wide `e` column — maintenance
+    // cadence, one-or-few partitions, grouped by xxhash64(e) so whole
+    // vectors never shuffle)
+    val tied = perCid.filter(_._2 == p99).map(_._1)
+    val p99Top =
+      if (tied.isEmpty || p99 == 0L) 0L
+      else postingRows(spark, dir)
+        .filter(col("cid").isin(tied.map(Int.box): _*))
+        .groupBy(col("cid"), xxhash64(col("e")).as("eh"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("cid").agg(max("c").as("mt"))
+        .collect().map(_.getLong(1)).min
+    LoadStats(k, total, total.toDouble / math.max(1, k), p99,
+      if (counts.isEmpty) 0L else counts.last, p99Top)
   }
 
   /** Pure retrain decision over [[loadStats]] — the
@@ -399,19 +426,23 @@ object AnnIndex {
     * a boundary from flapping advice delta over delta. Act with
     * [[trainCodebook]] + [[build]] into a fresh dir and swap readers.
     *
-    * STOP RULE for the same-k arm: retraining at the current k is a
-    * REBALANCE bet — it pays when the corpus drifted under a stale
-    * codebook (spec-pinned: the drifted fixture converges to silence
-    * in one act), but [[trainCodebook]] is deterministic, so over an
-    * UNCHANGED corpus it reproduces the identical codebook and the
-    * measured stats are a fixed point (spec-pinned: 25 coincident
-    * vectors no k-means can split). A cron must treat a REPEATED
-    * same-k verdict with unchanged [[loadStats]] as this index's
-    * analog of the text index's indivisible-mega-term veto —
-    * maintenance cannot help; stop and leave the verdict to a
-    * dashboard. (The text index encodes its veto in the advice
-    * itself because a hash split is STATICALLY futile; whether a
-    * k-means rebalance helps is only knowable by doing it once.)
+    * THE SAME-K ARM's two futility guards: retraining at the current
+    * k is a REBALANCE bet — it pays when the corpus drifted under a
+    * stale codebook (spec-pinned: the drifted fixture converges to
+    * silence in one act). When the sizing cell is dominated by
+    * COINCIDENT vectors (`2 * p99TopVectorRows ≥ p99Rows`) the bet is
+    * statically lost — every codebook assigns identical points
+    * identically, the exact analog of [[TextIndex.rebuildAdvice]]'s
+    * indivisible-mega-term veto — so the same-k arm is silent rather
+    * than sending a cron to retrain forever (capacity grows, where
+    * `ideal > centroids`, are still advised: more centroids DO help
+    * the rest of the corpus). Past the veto a residual fixed point
+    * remains possible — NEAR-coincident load is splittable in
+    * principle but a converged k-means may reproduce itself
+    * ([[trainCodebook]] is deterministic) — and that case is only
+    * knowable by doing it once: the cron STOP RULE is to treat a
+    * REPEATED same-k verdict with unchanged [[loadStats]] as futile
+    * and leave it to a dashboard (spec-pinned fixed point).
     */
   def retrainAdvice(stats: LoadStats,
       targetRowsPerCentroid: Long): Option[Int] = {
@@ -424,8 +455,11 @@ object AnnIndex {
     // capped ideal in the band decisions would let a corpus too big
     // for its current k pass the shrink test and be advised DOWN
     def cap(k: Long): Int = math.min(1L << 20, k).toInt
-    if (stats.p99Rows >= 2 * targetRowsPerCentroid)
-      Some(cap(math.max(ideal, stats.centroids.toLong)))
+    if (stats.p99Rows >= 2 * targetRowsPerCentroid) {
+      val sameK = ideal <= stats.centroids
+      if (sameK && 2 * stats.p99TopVectorRows >= stats.p99Rows) None
+      else Some(cap(math.max(ideal, stats.centroids.toLong)))
+    }
     else if (ideal * 2 <= stats.centroids) Some(cap(ideal))
     else None
   }

@@ -293,14 +293,13 @@ class AnnIndexSpec extends AnyFunSuite {
       "acting on the same-k verdict over a drifted corpus must " +
         "rebalance to silence")
 
-    // (b) unchanged corpus: 25 COINCIDENT vectors (one indivisible
-    // dense cell — k-means cannot split coincident points) + three
-    // tight satellites, codebook already trained on exactly this
-    // corpus. The verdict fires same-k, but acting reproduces the
-    // identical codebook (trainCodebook is deterministic), so the
-    // stats are a FIXED POINT — the retrainAdvice scaladoc's stop
-    // rule: a repeated same-k verdict with unchanged loadStats is
-    // this index's mega-term analog; maintenance cannot help, stop
+    // (b) COINCIDENT domination is vetoed STATICALLY: 25 identical
+    // vectors (one indivisible dense cell — every codebook assigns
+    // identical points identically) + three tight satellites. p99 25
+    // >= 2x target and ideal = 4 = k would fire same-k, but
+    // 2 * p99TopVectorRows (50) >= p99Rows (25) — the mega-term
+    // analog — so the advisory is silent instead of sending a cron
+    // to retrain forever
     val dir2 = Files.createTempDirectory("graft-ann-fixed-").toString
     val dense = (Seq(4L) ++ (101L to 124L))
       .map(i => i -> Seq(1.0, 0.0, 0.0, 0.0))
@@ -311,19 +310,40 @@ class AnnIndexSpec extends AnyFunSuite {
     val corpus = vecs((dense ++ sats): _*)
     AnnIndex.build(spark, corpus,
       AnnIndex.trainCodebook(spark, corpus, 4, 10), dir2)
-    val v1 = Graft.annIndexMaintenance(spark, dir2, 10) match {
+    val stC = AnnIndex.loadStats(spark, dir2)
+    assert(stC.p99Rows == 25L && stC.p99TopVectorRows == 25L, stC.toString)
+    assert(Graft.annIndexMaintenance(spark, dir2, 10).isEmpty,
+      "coincident-dominated same-k must be vetoed, not advised forever")
+    // ...but a CAPACITY grow is still advised through coincident load
+    // (more centroids do help the rest of the corpus): same stats at
+    // a target small enough that ideal > k
+    assert(AnnIndex.retrainAdvice(stC, 5) == Some(8),
+      "the veto must not silence capacity grows")
+
+    // (c) NEAR-coincident load is past the static veto (splittable in
+    // principle, p99TopVectorRows = 1) but a converged k-means
+    // reproduces itself — the residual fixed point the cron STOP RULE
+    // covers: act once, compare loadStats, stop on equality
+    val dir3 = Files.createTempDirectory("graft-ann-fixed2-").toString
+    val dense2 = (Seq(4L) ++ (101L to 124L)).zipWithIndex
+      .map { case (id, i) => id -> Seq(1.0, 0.0001 * i, 0.0, 0.0) }
+    val corpus2 = vecs((dense2 ++ sats): _*)
+    AnnIndex.build(spark, corpus2,
+      AnnIndex.trainCodebook(spark, corpus2, 4, 10), dir3)
+    val v1 = Graft.annIndexMaintenance(spark, dir3, 10) match {
       case Some(Graft.Resize(h)) => h
-      case other => fail(s"skewed-at-equilibrium corpus must fire: $other")
+      case other => fail(s"near-coincident equilibrium must fire: $other")
     }
-    assert(v1.recommended == 4, s"same-k expected: $v1")
-    val before = AnnIndex.loadStats(spark, dir2)
+    assert(v1.recommended == 4 && v1.stats.p99TopVectorRows == 1L,
+      s"same-k past the veto expected: $v1")
+    val before = AnnIndex.loadStats(spark, dir3)
     // act on it — the cron's first (and per the stop rule, last) try
-    AnnIndex.build(spark, corpus,
-      AnnIndex.trainCodebook(spark, corpus, 4, 10), dir2)
-    val after = AnnIndex.loadStats(spark, dir2)
+    AnnIndex.build(spark, corpus2,
+      AnnIndex.trainCodebook(spark, corpus2, 4, 10), dir3)
+    val after = AnnIndex.loadStats(spark, dir3)
     assert(after == before,
       s"unchanged corpus must be a retrain fixed point: $before vs $after")
-    assert(Graft.annIndexMaintenance(spark, dir2, 10)
+    assert(Graft.annIndexMaintenance(spark, dir3, 10)
       .exists(_.isInstanceOf[Graft.Resize[_, _]]),
       "the repeated verdict with unchanged stats IS the stop signal")
   }

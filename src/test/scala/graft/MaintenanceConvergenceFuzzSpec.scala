@@ -77,13 +77,11 @@ class MaintenanceConvergenceFuzzSpec extends AnyFunSuite {
             assert(!last.contains(r),
               s"seed $seed: identical resize verdict twice in a row " +
                 s"— acting changed nothing: $r")
-            val rec = h.recommended
-              .asInstanceOf[graft.ops.TextIndex.Rebuild]
             // act exactly as the advice says: rebuild carrying the
             // floor (in place — reader continuity is not under test)
             TextIndex.build(spark, docsOf(state), dir,
-              termBuckets = rec.termBuckets,
-              termBucketsFloor = rec.termBucketsFloor)
+              termBuckets = h.recommended.termBuckets,
+              termBucketsFloor = h.recommended.termBucketsFloor)
           case Some(d: Graft.CompactDeferred) =>
             fail(s"seed $seed: deferred verdict at floor 0: $d")
         }
@@ -96,6 +94,96 @@ class MaintenanceConvergenceFuzzSpec extends AnyFunSuite {
       // stable: silence is a fixed point, not a lucky read
       assert(Graft.textIndexMaintenance(spark, dir, target).isEmpty,
         s"seed $seed: converged verdict must stay silent")
+    }
+  }
+
+  test("the ANN maintenance loop — acting on every verdict with the " +
+      "documented fixed-point stop rule — terminates under random " +
+      "clustered corpora, coincident duplicates and churn") {
+    import graft.ops.AnnIndex
+    // the text loop converges unconditionally (hash splits are
+    // statically decidable); the ANN same-k arm is a rebalance BET,
+    // so its cron protocol is act-once-compare-stop (the
+    // retrainAdvice stop rule, spec-pinned deterministically in
+    // AnnIndexSpec). This drives that WHOLE protocol — compact wins,
+    // retrains acted on with trained codebooks over the live corpus,
+    // the stop rule applied verbatim — and requires it terminates:
+    // either stable silence or a stable detected fixed point
+    for (seed <- Seq(7, 19, 31, 43)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = tmp()
+      val dims = 4
+      val nClusters = 3 + rnd.nextInt(3)
+      val dirs = (0 until nClusters).map(_ =>
+        Seq.fill(dims)(rnd.nextDouble() + 0.1))
+      // some seeds plant COINCIDENT duplicate groups — the veto's
+      // territory; jittered members are the rebalance territory
+      def member(c: Int, dup: Boolean) =
+        if (dup) dirs(c)
+        else dirs(c).map(x => x + (rnd.nextDouble() - 0.5) * 0.05)
+      var nextId = 1L
+      var state = Map.empty[Long, Seq[Double]]
+      for (c <- 0 until nClusters) {
+        val dupGroup = rnd.nextBoolean()
+        for (_ <- 0 until 5 + rnd.nextInt(15)) {
+          state += nextId -> member(c, dupGroup && rnd.nextBoolean())
+          nextId += 1
+        }
+      }
+      def frame(m: Map[Long, Seq[Double]]) =
+        m.toSeq.toDF("vec_id", "e")
+      val kInit = 2 + rnd.nextInt(3)
+      AnnIndex.build(spark, frame(state),
+        AnnIndex.trainCodebook(spark, frame(state), kInit, 5), dir)
+      for (_ <- 0 until rnd.nextInt(3)) {
+        val moved = rnd.shuffle(state.keys.toSeq)
+          .take(rnd.nextInt(1 + state.size / 2))
+          .map(id => id -> member(rnd.nextInt(nClusters), dup = false))
+          .toMap
+        val dead = rnd.shuffle((state -- moved.keys).keys.toSeq)
+          .take(rnd.nextInt(1 + (state.size - 10).max(0) / 4))
+        AnnIndex.applyDelta(spark, dir, frame(moved),
+          dead.toDF("vec_id"))
+        state = state ++ moved -- dead
+      }
+      val target = Seq(5L, 10L, 25L)(rnd.nextInt(3))
+      var prevResize: Option[(Int, AnnIndex.LoadStats)] = None
+      var outcome = ""
+      var cycles = 0
+      while (outcome.isEmpty && cycles < 8) {
+        Graft.annIndexMaintenance(spark, dir, target) match {
+          case None => outcome = "silent"
+          case Some(Graft.CompactFirst(_)) =>
+            AnnIndex.compact(spark, dir)
+          case Some(Graft.Resize(h)) =>
+            val key = (h.recommended, h.stats)
+            if (prevResize.contains(key)) outcome = "fixed-point"
+            else {
+              prevResize = Some(key)
+              AnnIndex.build(spark, frame(state),
+                AnnIndex.trainCodebook(spark, frame(state),
+                  h.recommended, 5), dir)
+            }
+          case Some(d: Graft.CompactDeferred) =>
+            fail(s"seed $seed: deferred verdict at floor 0: $d")
+        }
+        cycles += 1
+      }
+      assert(outcome.nonEmpty,
+        s"seed $seed: ann maintenance protocol did not terminate in " +
+          s"8 cycles (last resize $prevResize)")
+      // terminal states are STABLE: silence stays silent; a detected
+      // fixed point reproduces the identical verdict (it really is
+      // one — not a race the stop rule happened to catch)
+      Graft.annIndexMaintenance(spark, dir, target) match {
+        case None => assert(outcome == "silent", s"seed $seed: $outcome")
+        case Some(Graft.Resize(h)) =>
+          assert(outcome == "fixed-point" &&
+            prevResize.contains((h.recommended, h.stats)),
+            s"seed $seed: unstable terminal verdict $h after $outcome")
+        case other =>
+          fail(s"seed $seed: unstable terminal verdict $other")
+      }
     }
   }
 }
