@@ -378,6 +378,11 @@ object AnnIndex {
       meanRows: Double, p99Rows: Long, maxRows: Long,
       p99TopVectorRows: Long = 0L)
 
+  /** Max cells tied at the p99 count whose wide `e` column the
+    * coincidence-veto pass will read — see [[loadStats]].
+    */
+  private[graft] val VetoTieCells = 8
+
   def loadStats(spark: SparkSession, dir: String): LoadStats = {
     // a fully-deleted-then-compacted corpus (or a build over an empty
     // frame) leaves a postings dir with no cid= partitions at all —
@@ -396,10 +401,18 @@ object AnnIndex {
     // pass, partition-pruned to just the cells tied at the p99 count
     // (the only pass that touches the wide `e` column — maintenance
     // cadence, one-or-few partitions, grouped by xxhash64(e) so whole
-    // vectors never shuffle)
+    // vectors never shuffle). The tie list is CAPPED: a p99 tie
+    // across many cells means broadly uniform hot load — vetoing
+    // would require EVERY tied cell coincident-dominated, and reading
+    // the wide column for dozens of partitions is the wrong price for
+    // a maintenance measurement — so past the cap the veto is skipped
+    // (p99TopVectorRows = 0, advice fires) and the act-once-compare-
+    // stop cron rule bounds any residual futile retrain to exactly
+    // one. Under-vetoing is the safe direction; over-vetoing would
+    // silence real rebalance wins.
     val tied = perCid.filter(_._2 == p99).map(_._1)
     val p99Top =
-      if (tied.isEmpty || p99 == 0L) 0L
+      if (tied.isEmpty || p99 == 0L || tied.length > VetoTieCells) 0L
       else postingRows(spark, dir)
         .filter(col("cid").isin(tied.map(Int.box): _*))
         .groupBy(col("cid"), xxhash64(col("e")).as("eh"))

@@ -346,6 +346,29 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(Graft.annIndexMaintenance(spark, dir3, 10)
       .exists(_.isInstanceOf[Graft.Resize[_, _]]),
       "the repeated verdict with unchanged stats IS the stop signal")
+
+    // (d) the veto's COST GUARD: with more than VetoTieCells cells
+    // tied at the p99 count, the wide-column pass is skipped
+    // (p99TopVectorRows = 0) and advice falls back to firing — the
+    // safe direction, bounded by the stop rule — instead of reading
+    // dozens of vector partitions at maintenance cadence. 9 hot
+    // cells of 10 COINCIDENT vectors each + 11 singletons at k=20:
+    // without the cap the least-dominated tied cell would veto
+    val dir4 = Files.createTempDirectory("graft-ann-tiecap-").toString
+    val dims = (0 until 20).map(c =>
+      Seq.tabulate(4)(d => if (d == c % 4) 1.0 else 0.05 * (c / 4 + 1)))
+    val seeds20 = (1L to 20L).map(i => i -> dims((i - 1).toInt))
+    val hotDups = (0 until 9).flatMap(c => (0 until 9).map(j =>
+      (100L + c * 10 + j) -> dims(c)))
+    val corpus4 = vecs((seeds20 ++ hotDups): _*)
+    AnnIndex.build(spark, corpus4,
+      AnnIndex.seedCentroids(spark, corpus4, 20), dir4)
+    val st4 = AnnIndex.loadStats(spark, dir4)
+    assert(st4.p99Rows == 10L && st4.p99TopVectorRows == 0L,
+      s"9 tied hot cells > VetoTieCells must skip the veto pass: $st4")
+    // p99 10 >= 2x5, ideal = round(101/5) = 20 = k: same-k fires
+    // (the un-vetoed fallback), one acted-on retrain then stop rule
+    assert(AnnIndex.retrainAdvice(st4, 5) == Some(20), st4.toString)
   }
 
   test("search plan broadcasts queries/probes and never goes cartesian") {
