@@ -407,7 +407,10 @@ object Graft {
   /** One-call serving-health check for a maintained IVF vector index
     * ([[graft.ops.AnnIndex]]) — the cron entry that makes the
     * advisory usable without knowing the measurement internals:
-    * `loadStats` (one cid-pruned pass) fed to `retrainAdvice` (2×
+    * `loadStats` (one cid-pruned pass; plus, ONLY when the same-k
+    * rebalance arm could fire at this target, the bounded
+    * coincidence-veto pass over the tied p99 cells) fed to
+    * `retrainAdvice` (2×
     * hysteresis; a recommendation EQUAL to the current k means
     * "retrain at the same k to rebalance" — k-means splits dense
     * regions where re-hashing spreads nothing). None = healthy, do
@@ -421,7 +424,8 @@ object Graft {
   def annIndexHealth(spark: SparkSession, dir: String,
       targetRowsPerCentroid: Long)
       : Option[IndexHealth[graft.ops.AnnIndex.LoadStats, Int]] = {
-    val st = graft.ops.AnnIndex.loadStats(spark, dir)
+    val st = graft.ops.AnnIndex.loadStats(spark, dir,
+      coincidenceTarget = targetRowsPerCentroid)
     graft.ops.AnnIndex.retrainAdvice(st, targetRowsPerCentroid).map { k =>
       IndexHealth(st, k,
         // iters has no default on trainCodebook — the advised call

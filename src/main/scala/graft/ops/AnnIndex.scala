@@ -362,17 +362,34 @@ object AnnIndex {
     * maintenance cadence, not per query. `p99Rows` is the p99-by-rank
     * per-centroid count (= max below 100 centroids), the same
     * skew-aware statistic the bloom-index sizing uses.
-    */
-  /** `p99TopVectorRows` — the largest group of IDENTICAL embeddings
-    * inside the p99-rank cell — is the IVF analog of
-    * [[TextIndex.LoadStats.p99TopTermRows]]: coincident vectors are
-    * the one load k-means provably cannot split (every codebook
+    *
+    * `p99TopVectorRows` — the largest group of LIVE rows sharing one
+    * identical embedding inside the p99-rank cell — is the IVF analog
+    * of [[TextIndex.LoadStats.p99TopTermRows]]: coincident vectors
+    * are the one load k-means provably cannot split (every codebook
     * assigns identical points identically), so when they dominate the
     * sizing cell a same-k rebalance is STATICALLY futile and
-    * [[retrainAdvice]] vetoes it. Scoped to the cells tied at the p99
-    * count and, among ties, to the least-dominated one — the
-    * [[TextIndex.loadStats]] tie discipline, for the same reason: if
-    * ANY tied cell is splittable the rebalance is not futile.
+    * [[retrainAdvice]] vetoes it. Counted over the LIVE set, not raw
+    * rows — a vector re-upserted many times with an unchanged
+    * embedding leaves dead generations that hash identically, and a
+    * raw count would read that BACKLOG as coincidence, permanently
+    * vetoing a rebalance that would in fact pay (the rebuild sheds
+    * the backlog and splits the live load; reachable whenever the
+    * concentrated churn stays under the global compact threshold).
+    * Scoped to the cells tied at the p99 count and, among ties, to
+    * the least-dominated one — the [[TextIndex.loadStats]] tie
+    * discipline, for the same reason: if ANY tied cell is splittable
+    * the rebalance is not futile. This is the ONLY measurement that
+    * touches the wide `e` column, and it runs only when
+    * `coincidenceTarget` is set AND the same-k arm could fire at that
+    * target (`p99Rows ≥ 2× target` with `ideal ≤ centroids`) AND at
+    * most [[VetoTieCells]] cells tie — a healthy index, a capacity
+    * grow, and a wide tie all keep loadStats a single cid-only pass
+    * (the skipped pass reads as 0, which never vetoes; the
+    * act-once-compare-stop cron rule bounds any residual futile
+    * retrain to exactly one). `Graft.annIndexHealth` passes its
+    * target through; call `loadStats(spark, dir)` bare for the pure
+    * layout census.
     */
   case class LoadStats(centroids: Int, postingRows: Long,
       meanRows: Double, p99Rows: Long, maxRows: Long,
@@ -383,7 +400,8 @@ object AnnIndex {
     */
   private[graft] val VetoTieCells = 8
 
-  def loadStats(spark: SparkSession, dir: String): LoadStats = {
+  def loadStats(spark: SparkSession, dir: String,
+      coincidenceTarget: Long = 0L): LoadStats = {
     // a fully-deleted-then-compacted corpus (or a build over an empty
     // frame) leaves a postings dir with no cid= partitions at all —
     // exactly the shrunken state the advisory exists to measure, so
@@ -397,23 +415,15 @@ object AnnIndex {
     val total = counts.sum
     // LITERALLY the bloom-index sizing statistic, not a re-derivation
     val p99 = BucketIndex.sizingRows(counts)
-    // the sizing cells' largest identical-embedding group: a SECOND
-    // pass, partition-pruned to just the cells tied at the p99 count
-    // (the only pass that touches the wide `e` column — maintenance
-    // cadence, one-or-few partitions, grouped by xxhash64(e) so whole
-    // vectors never shuffle). The tie list is CAPPED: a p99 tie
-    // across many cells means broadly uniform hot load — vetoing
-    // would require EVERY tied cell coincident-dominated, and reading
-    // the wide column for dozens of partitions is the wrong price for
-    // a maintenance measurement — so past the cap the veto is skipped
-    // (p99TopVectorRows = 0, advice fires) and the act-once-compare-
-    // stop cron rule bounds any residual futile retrain to exactly
-    // one. Under-vetoing is the safe direction; over-vetoing would
-    // silence real rebalance wins.
     val tied = perCid.filter(_._2 == p99).map(_._1)
+    // gate + cap + live-set measurement: see the LoadStats scaladoc
+    val sameKCouldFire = coincidenceTarget > 0 &&
+      p99 >= 2 * coincidenceTarget && k > 0 && total > 0 &&
+      math.max(1L, math.round(total.toDouble / coincidenceTarget)) <= k
     val p99Top =
-      if (tied.isEmpty || p99 == 0L || tied.length > VetoTieCells) 0L
-      else postingRows(spark, dir)
+      if (!sameKCouldFire || tied.isEmpty || p99 == 0L ||
+        tied.length > VetoTieCells) 0L
+      else live(spark, dir)
         .filter(col("cid").isin(tied.map(Int.box): _*))
         .groupBy(col("cid"), xxhash64(col("e")).as("eh"))
         .agg(count(lit(1)).as("c"))
@@ -449,7 +459,15 @@ object AnnIndex {
     * indivisible-mega-term veto — so the same-k arm is silent rather
     * than sending a cron to retrain forever (capacity grows, where
     * `ideal > centroids`, are still advised: more centroids DO help
-    * the rest of the corpus). Past the veto a residual fixed point
+    * the rest of the corpus). The comparison deliberately mixes
+    * bases — LIVE top group against the RAW cell count — which only
+    * ever UNDER-vetoes: backlog inflating the cell makes the veto
+    * harder to clear exactly when acting on the advice would shed
+    * that backlog. And like the text veto it silences the WHOLE
+    * verdict, a shrink the volume test would otherwise advise
+    * included — one verdict per measurement is the family rule, and
+    * the shrink resurfaces once churn or a compact clears the hot
+    * cell. Past the veto a residual fixed point
     * remains possible — NEAR-coincident load is splittable in
     * principle but a converged k-means may reproduce itself
     * ([[trainCodebook]] is deterministic) — and that case is only

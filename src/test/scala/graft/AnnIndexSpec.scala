@@ -310,8 +310,13 @@ class AnnIndexSpec extends AnyFunSuite {
     val corpus = vecs((dense ++ sats): _*)
     AnnIndex.build(spark, corpus,
       AnnIndex.trainCodebook(spark, corpus, 4, 10), dir2)
-    val stC = AnnIndex.loadStats(spark, dir2)
+    // the veto pass is GATED on the same-k trigger: measured with the
+    // target, the coincident group is seen; bare loadStats stays the
+    // single cid-only census pass (p99TopVectorRows reads 0)
+    val stC = AnnIndex.loadStats(spark, dir2, coincidenceTarget = 10)
     assert(stC.p99Rows == 25L && stC.p99TopVectorRows == 25L, stC.toString)
+    assert(AnnIndex.loadStats(spark, dir2).p99TopVectorRows == 0L,
+      "bare loadStats must not pay the wide-column pass")
     assert(Graft.annIndexMaintenance(spark, dir2, 10).isEmpty,
       "coincident-dominated same-k must be vetoed, not advised forever")
     // ...but a CAPACITY grow is still advised through coincident load
@@ -363,12 +368,47 @@ class AnnIndexSpec extends AnyFunSuite {
     val corpus4 = vecs((seeds20 ++ hotDups): _*)
     AnnIndex.build(spark, corpus4,
       AnnIndex.seedCentroids(spark, corpus4, 20), dir4)
-    val st4 = AnnIndex.loadStats(spark, dir4)
+    val st4 = AnnIndex.loadStats(spark, dir4, coincidenceTarget = 5)
     assert(st4.p99Rows == 10L && st4.p99TopVectorRows == 0L,
       s"9 tied hot cells > VetoTieCells must skip the veto pass: $st4")
     // p99 10 >= 2x5, ideal = round(101/5) = 20 = k: same-k fires
     // (the un-vetoed fallback), one acted-on retrain then stop rule
     assert(AnnIndex.retrainAdvice(st4, 5) == Some(20), st4.toString)
+
+    // (e) the veto counts LIVE coincidence, never backlog: one vector
+    // re-upserted 4 times with an UNCHANGED embedding leaves 4 dead
+    // generations hashing identically — a raw count would read 5
+    // coincident rows in the 7-row p99 cell (2x5 >= 7: vetoed
+    // forever), while the concentrated churn (backlog 8 < live 27)
+    // stays under the global compact threshold so nothing ever
+    // clears it. Measured over the live set the top group is 1, the
+    // same-k rebalance fires, and acting on it sheds the backlog
+    val dir5 = Files.createTempDirectory("graft-ann-livetop-").toString
+    val dirsB = (0 until 10).map(c =>
+      Seq.tabulate(4)(d => if (d == c % 4) 1.0 else 0.05 * (c / 4 + 1)))
+    def jB(c: Int, i: Int) = dirsB(c).updated((c + 1) % 4,
+      dirsB(c)((c + 1) % 4) + 0.001 * (i % 7 + 1))
+    val seeds10 = (1L to 10L).map(i => i -> dirsB((i - 1).toInt))
+    val extras = Seq(11L -> jB(0, 1), 12L -> jB(0, 2)) ++
+      (20L to 24L).map(i => i -> jB(1, i.toInt)) ++
+      (25L to 29L).map(i => i -> jB(2, i.toInt)) ++
+      (30L to 34L).map(i => i -> jB(3, i.toInt))
+    val corpus5 = vecs((seeds10 ++ extras): _*)
+    AnnIndex.build(spark, corpus5,
+      AnnIndex.seedCentroids(spark, corpus5, 10), dir5)
+    for (_ <- 0 until 4)
+      AnnIndex.applyDelta(spark, dir5, vecs(12L -> jB(0, 2)), vecs())
+    assert(Graft.annIndexCompactHealth(spark, dir5).isEmpty,
+      "the concentrated churn must stay under the compact threshold " +
+        "for this fixture to mean anything")
+    Graft.annIndexMaintenance(spark, dir5, 3) match {
+      case Some(Graft.Resize(h)) =>
+        assert(h.recommended == 10 && h.stats.p99Rows == 7L &&
+          h.stats.p99TopVectorRows == 1L,
+          s"dead generations must not read as coincidence: $h")
+      case other => fail(s"backlogged hot cell must still advise the " +
+        s"rebalance a raw-count veto would silence: $other")
+    }
   }
 
   test("search plan broadcasts queries/probes and never goes cartesian") {
