@@ -382,23 +382,45 @@ object AnnIndex {
     * the rebalance is not futile. This is the ONLY measurement that
     * touches the wide `e` column, and it runs only when
     * `coincidenceTarget` is set AND the same-k arm could fire at that
-    * target (`p99Rows ≥ 2× target` with `ideal ≤ centroids`) AND at
-    * most [[VetoTieCells]] cells tie — a healthy index, a capacity
-    * grow, and a wide tie all keep loadStats a single cid-only pass
-    * (the skipped pass reads as 0, which never vetoes; the
-    * act-once-compare-stop cron rule bounds any residual futile
-    * retrain to exactly one). `Graft.annIndexHealth` passes its
+    * target ([[sameKArm]] — the SAME predicate [[retrainAdvice]]
+    * decides with) AND at most [[VetoTieCells]] cells tie — a healthy
+    * index, a capacity grow, and a wide tie all keep loadStats a
+    * single cid-only pass (the skipped pass reads as 0, which never
+    * vetoes; the act-once-compare-stop cron rule bounds any residual
+    * futile retrain to exactly one). `vetoMeasuredAt` records the
+    * target the pass ran under (0 = skipped) and [[retrainAdvice]]
+    * consults the veto ONLY when it equals the decision target —
+    * census stats, or stats measured for a different target, can
+    * never veto on a stale basis. `Graft.annIndexHealth` threads its
     * target through; call `loadStats(spark, dir)` bare for the pure
     * layout census.
     */
   case class LoadStats(centroids: Int, postingRows: Long,
       meanRows: Double, p99Rows: Long, maxRows: Long,
-      p99TopVectorRows: Long = 0L)
+      p99TopVectorRows: Long = 0L, vetoMeasuredAt: Long = 0L)
 
   /** Max cells tied at the p99 count whose wide `e` column the
     * coincidence-veto pass will read — see [[loadStats]].
     */
   private[graft] val VetoTieCells = 8
+
+  /** corpus / target, the advisory family's ideal cell count. */
+  private def idealK(postingRows: Long, target: Long): Long =
+    math.max(1L, math.round(postingRows.toDouble / target))
+
+  /** THE same-k trigger — the one definition [[retrainAdvice]]'s
+    * rebalance arm and [[loadStats]]' veto-pass gate share, so the
+    * gate can never drift from the decision it exists to serve
+    * (measuring the veto when the arm can't fire wastes the wide
+    * pass; skipping it when the arm can fire advises a futile
+    * retrain). `p99Rows / 2 >= target` is the overflow-proof spelling
+    * of the family's 2× threshold (exactly equivalent over positive
+    * integers; `2 * target` wraps for a Long.MaxValue-style sentinel
+    * target).
+    */
+  private[graft] def sameKArm(postingRows: Long, p99Rows: Long,
+      centroids: Int, target: Long): Boolean =
+    p99Rows / 2 >= target && idealK(postingRows, target) <= centroids
 
   def loadStats(spark: SparkSession, dir: String,
       coincidenceTarget: Long = 0L): LoadStats = {
@@ -415,22 +437,33 @@ object AnnIndex {
     val total = counts.sum
     // LITERALLY the bloom-index sizing statistic, not a re-derivation
     val p99 = BucketIndex.sizingRows(counts)
+    // RAW-tied cells (the scan-cost statistic the p99 rank is about);
+    // non-empty whenever the gate below holds, because sizingRows
+    // returns an element of `counts`
     val tied = perCid.filter(_._2 == p99).map(_._1)
     // gate + cap + live-set measurement: see the LoadStats scaladoc
-    val sameKCouldFire = coincidenceTarget > 0 &&
-      p99 >= 2 * coincidenceTarget && k > 0 && total > 0 &&
-      math.max(1L, math.round(total.toDouble / coincidenceTarget)) <= k
+    val runVeto = coincidenceTarget > 0 && k > 0 && total > 0 &&
+      sameKArm(total, p99, k, coincidenceTarget) &&
+      tied.length <= VetoTieCells
     val p99Top =
-      if (!sameKCouldFire || tied.isEmpty || p99 == 0L ||
-        tied.length > VetoTieCells) 0L
-      else live(spark, dir)
-        .filter(col("cid").isin(tied.map(Int.box): _*))
-        .groupBy(col("cid"), xxhash64(col("e")).as("eh"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy("cid").agg(max("c").as("mt"))
-        .collect().map(_.getLong(1)).min
+      if (!runVeto) 0L
+      else {
+        val tops = live(spark, dir)
+          .filter(col("cid").isin(tied.map(Int.box): _*))
+          .groupBy(col("cid"), xxhash64(col("e")).as("eh"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("cid").agg(max("c").as("mt"))
+          .collect().map(_.getLong(1))
+        // a raw-tied cell with NO live rows yields no group row — it
+        // is trivially splittable (a rebuild sheds its backlog
+        // entirely), so it contributes 0 to the least-dominated min,
+        // never silently drops out (dropping it would over-veto, and
+        // an ALL-dead tie must not crash an empty min)
+        if (tops.length < tied.length) 0L else tops.min
+      }
     LoadStats(k, total, total.toDouble / math.max(1, k), p99,
-      if (counts.isEmpty) 0L else counts.last, p99Top)
+      if (counts.isEmpty) 0L else counts.last, p99Top,
+      if (runVeto) coincidenceTarget else 0L)
   }
 
   /** Pure retrain decision over [[loadStats]] — the
@@ -480,15 +513,25 @@ object AnnIndex {
     require(targetRowsPerCentroid > 0,
       s"targetRowsPerCentroid must be positive, got $targetRowsPerCentroid")
     if (stats.postingRows == 0L || stats.centroids == 0) return None
-    val ideal = math.max(1L,
-      math.round(stats.postingRows.toDouble / targetRowsPerCentroid))
+    val ideal = idealK(stats.postingRows, targetRowsPerCentroid)
     // the 2^20 cap applies to the RETURNED recommendation only — a
     // capped ideal in the band decisions would let a corpus too big
     // for its current k pass the shrink test and be advised DOWN
     def cap(k: Long): Int = math.min(1L << 20, k).toInt
-    if (stats.p99Rows >= 2 * targetRowsPerCentroid) {
-      val sameK = ideal <= stats.centroids
-      if (sameK && 2 * stats.p99TopVectorRows >= stats.p99Rows) None
+    // p99/2 >= target: the overflow-proof 2x spelling (see sameKArm)
+    if (stats.p99Rows / 2 >= targetRowsPerCentroid) {
+      val sameK = sameKArm(stats.postingRows, stats.p99Rows,
+        stats.centroids, targetRowsPerCentroid)
+      // the veto binds only to stats whose coincidence pass was
+      // MEASURED at this same target (loadStats' coincidenceTarget —
+      // Graft.annIndexHealth threads it): census stats, or stats
+      // measured for a different target, read p99TopVectorRows the
+      // gate skipped (or computed under a different trigger), and
+      // consulting them could veto on a stale basis. The mismatch
+      // direction is safe — no binding, no veto, advice fires, and
+      // the act-once-compare-stop rule bounds any futile retrain
+      if (sameK && stats.vetoMeasuredAt == targetRowsPerCentroid &&
+        2 * stats.p99TopVectorRows >= stats.p99Rows) None
       else Some(cap(math.max(ideal, stats.centroids.toLong)))
     }
     else if (ideal * 2 <= stats.centroids) Some(cap(ideal))

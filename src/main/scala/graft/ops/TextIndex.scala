@@ -535,7 +535,10 @@ object TextIndex {
     // floor (no fanout above the cap is ever advised), and carrying
     // the uncapped value forward would persist the inconsistency
     val floor = cap(stats.termBucketsFloor.toLong)
-    if (stats.p99Rows >= 2 * targetRowsPerBucket) {
+    // p99/2 >= target: the overflow-proof 2x spelling (equivalent
+    // over positive integers; 2 * target wraps for a sentinel target
+    // near Long.MaxValue — AnnIndex.sameKArm's rationale)
+    if (stats.p99Rows / 2 >= targetRowsPerBucket) {
       val skewDriven = ideal <= stats.termBuckets
       if (skewDriven && 2 * stats.p99TopTermRows >= stats.p99Rows) None
       else {

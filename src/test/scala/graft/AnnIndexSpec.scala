@@ -324,6 +324,13 @@ class AnnIndexSpec extends AnyFunSuite {
     // a target small enough that ideal > k
     assert(AnnIndex.retrainAdvice(stC, 5) == Some(8),
       "the veto must not silence capacity grows")
+    // the veto BINDS to the target it was measured at: the same stats
+    // consulted at the matching target veto, at any other same-k
+    // target they fire (no stale-basis veto; the safe direction)
+    assert(AnnIndex.retrainAdvice(stC, 10).isEmpty,
+      "measured-at-10, decided-at-10 must veto")
+    assert(AnnIndex.retrainAdvice(stC, 9) == Some(4),
+      "measured-at-10, decided-at-9 must not veto on a stale basis")
 
     // (c) NEAR-coincident load is past the static veto (splittable in
     // principle, p99TopVectorRows = 1) but a converged k-means
