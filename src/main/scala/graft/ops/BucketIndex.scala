@@ -584,9 +584,19 @@ object BucketIndex {
           s"no current table at $currentDir"))
       val existing = cfs.listStatus(new Path(currentDir))
         .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
-      if (existing.isEmpty)
-        throw new IllegalStateException(
-          s"current table at $currentDir holds no data yet")
+      if (existing.isEmpty) {
+        // zero buckets: the fully-deleted-then-pruned table (a
+        // designed layout state — CurrentTable.readRaw's rationale);
+        // an indexed lookup on it is an ordinary miss, served typed
+        // from the recorded root schema
+        val sch = graft.streaming.CurrentTable
+          .rootSchema(spark, currentDir)
+          .getOrElse(graft.streaming.CurrentTable
+            .noDataError(currentDir))
+        graft.streaming.CurrentTable.checkProbeTypes(keys.schema,
+          sch, Seq(column))
+        return graft.streaming.CurrentTable.emptyTable(spark, sch)
+      }
       // schema from ONE bucket footer, not a table-wide inference
       val schemaSrc = spark.read.option("basePath", currentDir)
         .parquet(s"$currentDir/${existing.head}")
@@ -677,11 +687,16 @@ object BucketIndex {
           "published data — detach and re-attach")
       val existing = fs.listStatus(new Path(currentDir))
         .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
-      if (existing.isEmpty)
-        throw new IllegalStateException(
-          s"current table at $currentDir holds no data yet")
-      val schema = spark.read.option("basePath", currentDir)
-        .parquet(s"$currentDir/${existing.head}").schema
+      // zero buckets: prepare against the recorded root schema (the
+      // fully-deleted-then-pruned state); the root signature
+      // re-prepares the moment a repopulating fold lands
+      val schema =
+        if (existing.isEmpty)
+          graft.streaming.CurrentTable.rootSchema(spark, currentDir)
+            .getOrElse(graft.streaming.CurrentTable
+              .noDataError(currentDir))
+        else spark.read.option("basePath", currentDir)
+          .parquet(s"$currentDir/${existing.head}").schema
       require(schema.fields.exists(_.name.equalsIgnoreCase(column)),
         s"index reader: column '$column' is not in the table schema")
       val degraded = meta.nb != nb
@@ -751,7 +766,9 @@ object BucketIndex {
       * semi-join is exact, so rows equal the indexed path's.
       */
     private def exactScan(p: Prep, probe: DataFrame): DataFrame =
-      spark.read.schema(p.schema).option("basePath", currentDir)
+      if (p.existing.isEmpty)
+        graft.streaming.CurrentTable.emptyTable(spark, p.schema)
+      else spark.read.schema(p.schema).option("basePath", currentDir)
         .parquet(p.existing.toSeq.sorted
           .map(n => s"$currentDir/$n"): _*)
         .filter(!TimeTravel.isTombstone)

@@ -1364,5 +1364,74 @@ object ScalarQueries {
       graft.ops.RollupTable.read(spark, s"$work/cur", "d")
         .select(col("d_users"), col("d_types"))
     },
+
+    // The current table's EMPTY-STATE cycle (round 19): every key
+    // deleted and the tombstones pruned leaves ZERO bucket dirs —
+    // empty buckets are dropped at swap, a designed layout state —
+    // and the `#schema` root line keeps that table servable (typed
+    // empty reads) instead of bricked on parquet schema inference,
+    // exactly the maintained indexes' readOrEmpty discipline. The
+    // lifecycle: full corpus → delete ALL → prune to zero buckets →
+    // READ the emptied table (its count rides the output as
+    // `empty_rows`, so the oracle hash gates the emptiness itself) →
+    // repopulate every user_id % 3 == 0 through the ordinary sync
+    // path → serve. The oracle recomputes the repopulated state from
+    // the events table; a resurrected row, a lost repopulation, or a
+    // non-zero post-prune read breaks the hash.
+    QueryDef.statefulQ(
+      "q134_current_empty_cycle",
+      """WITH ranked AS (SELECT user_id, event_type, value,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        | round(sum(value), 2) AS sum_value,
+        | CAST(0 AS BIGINT) AS empty_rows
+        |FROM ranked WHERE rn = 1 AND user_id % 3 = 0
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val work = QueryDef.tempWorkDir("graft-ct-q134-")
+      val log = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("event_id"), unix_micros(col("ts")).as("_ts"),
+          lit("UPDATE").as("_op"), lit("h1").as("dt"))
+      val order = Some(Seq(col("_ts"), col("event_id")))
+      log.write.mode("append").partitionBy("dt").parquet(s"$work/sink")
+      graft.streaming.CurrentTable.sync(spark, s"$work/sink",
+        s"$work/cur", Seq("user_id"), buckets = 8,
+        orderOverride = order)
+      // each user's LATEST event row — the delete wave and the
+      // repopulation both derive from it so the oracle can too
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("_ts").desc, col("event_id").desc)
+      val latest = log.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      latest
+        .withColumn("_op", lit("DELETE"))
+        .withColumn("_ts", col("_ts") + lit(1000000000000L))
+        .withColumn("dt", lit("h2"))
+        .write.mode("append").partitionBy("dt").parquet(s"$work/sink")
+      graft.streaming.CurrentTable.sync(spark, s"$work/sink",
+        s"$work/cur", Seq("user_id"), orderOverride = order)
+      graft.streaming.CurrentTable.pruneTombstones(spark, s"$work/cur",
+        Long.MaxValue)
+      // the emptied table must SERVE (zero rows), not crash — this
+      // count rides the output, hash-gated against the oracle's 0
+      val emptyRows = graft.streaming.CurrentTable
+        .read(spark, s"$work/cur").count()
+      latest.filter(col("user_id") % 3 === 0)
+        .withColumn("_op", lit("CREATE"))
+        .withColumn("_ts", col("_ts") + lit(2000000000000L))
+        .withColumn("dt", lit("h3"))
+        .write.mode("append").partitionBy("dt").parquet(s"$work/sink")
+      graft.streaming.CurrentTable.sync(spark, s"$work/sink",
+        s"$work/cur", Seq("user_id"), orderOverride = order)
+      graft.streaming.CurrentTable.read(spark, s"$work/cur")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum("value"), 2).as("sum_value"))
+        .withColumn("empty_rows", lit(emptyRows))
+        .orderBy("event_type")
+    },
   )
 }

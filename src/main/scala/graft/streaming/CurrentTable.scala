@@ -160,7 +160,8 @@ object CurrentTable {
     * and any legacy folded-file lines awaiting migration.
     */
   private case class RootState(nb: Int, census: Option[Map[Int, Long]],
-      order: Seq[String], legacy: Set[String])
+      order: Seq[String], legacy: Set[String],
+      schema: Option[org.apache.spark.sql.types.StructType])
 
   /** The census line's ONE parse/render pair — shared by the root
     * state file and the rescale marker, which embeds the same line
@@ -187,22 +188,38 @@ object CurrentTable {
     else {
       val (tomb, rest) = lines.tail.partition(_.startsWith("#tomb"))
       val (ord, rest2) = rest.partition(_.startsWith("#order"))
+      val (sch, rest3) = rest2.partition(_.startsWith("#schema"))
       // unknown #-directives (e.g. #seq, or a future field) are NOT
       // legacy file entries — only bare lines are (the pre-sharding
       // folded-file list, which never started with '#')
-      val files = rest2.filterNot(_.startsWith("#"))
+      val files = rest3.filterNot(_.startsWith("#"))
       val census = tomb.headOption.map(parseCensus)
       val order = ord.headOption.map(_.stripPrefix("#order").trim
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-      Some(RootState(lines.head.toInt, census, order, files.toSet))
+      val schema = sch.headOption.map(l =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("#schema").trim)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      Some(RootState(lines.head.toInt, census, order, files.toSet,
+        schema))
     }
   }
 
   private def writeRoot(spark: SparkSession, dir: String, nb: Int,
-      census: Option[Map[Int, Long]], order: Seq[String]): Unit = {
+      census: Option[Map[Int, Long]], order: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
     val censusLine = census.map(renderCensus)
     val orderLine =
       if (order.isEmpty) None else Some("#order " + order.mkString(","))
+    // the table's READ-side schema (payload columns + the kb
+    // partition column last), recorded so a table whose every key
+    // legitimately died — zero bucket dirs, nothing to infer from —
+    // can still serve typed empty reads/lookups instead of bricking
+    // (the maintained indexes' readOrEmpty rationale; empty buckets
+    // are deliberately DROPPED at swap, so the zero-bucket layout is
+    // a designed state, not damage). JSON is single-line by
+    // construction, so it fits the line-oriented root format
+    val schemaLine = schema.map(s => "#schema " + s.json)
     // a fresh nonce per write: two writes can otherwise leave
     // byte-identical content (a CREATE-only fold changes neither nb,
     // census nor order) within one mtime tick on a coarse-granularity
@@ -210,10 +227,49 @@ object CurrentTable {
     // and this line guarantees every write changes it
     val seqLine = s"#seq ${java.util.UUID.randomUUID()}"
     AtomicFiles.write(stateFile(dir),
-      (nb.toString +: (censusLine.toSeq ++ orderLine.toSeq :+ seqLine))
-        .mkString("\n"),
+      (nb.toString +: (censusLine.toSeq ++ orderLine.toSeq ++
+        schemaLine.toSeq :+ seqLine)).mkString("\n"),
       spark.sparkContext.hadoopConfiguration)
   }
+
+  /** The schema a READ of the bucket layout returns, derived from a
+    * frame about to be staged: payload columns in their written
+    * order with the `kb` partition column LAST and integer-typed —
+    * exactly how partition-column inference surfaces it. This is the
+    * shape the `#schema` root line records ([[writeRoot]]), so an
+    * empty table's typed reads match a populated table's column
+    * order.
+    */
+  private def readSideSchema(
+      staged: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      staged.fields.filterNot(_.name.equalsIgnoreCase("kb")) :+
+        org.apache.spark.sql.types.StructField("kb",
+          org.apache.spark.sql.types.IntegerType))
+
+  /** The recorded read-side schema, for serving a ZERO-BUCKET table
+    * (every key legitimately died and the tombstones were pruned —
+    * empty buckets are dropped at swap, so nothing remains to infer
+    * from). None on a pre-schema root that never re-folded; callers
+    * fail with an actionable message instead of parquet's
+    * UNABLE_TO_INFER_SCHEMA.
+    */
+  private[graft] def rootSchema(spark: SparkSession, currentDir: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    readRoot(spark, currentDir).flatMap(_.schema)
+
+  private[graft] def emptyTable(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      schema)
+
+  private[graft] def noDataError(currentDir: String): Nothing =
+    throw new IllegalStateException(
+      s"current table at $currentDir holds no data yet — and records " +
+        "no schema (a pre-schema root that never re-folded), so an " +
+        "empty read cannot be typed; sync any delta to heal")
 
   /** The ONE bucketed stage write every rewrite path — sync's fold,
     * [[pruneTombstones]], [[rescale]] — shares. It carries the two
@@ -260,7 +316,7 @@ object CurrentTable {
         for ((part, files) <- rs.legacy.groupBy(partKeyOf))
           writeSidecar(spark, dir, part,
             readSidecar(fs, dir, part) ++ files)
-        writeRoot(spark, dir, rs.nb, rs.census, rs.order)
+        writeRoot(spark, dir, rs.nb, rs.census, rs.order, rs.schema)
       }
     }
 
@@ -402,7 +458,8 @@ object CurrentTable {
           s"sync: orderBy $orderBy differs from the table's persisted " +
             s"within-bucket order ${rs.order} — fixed once data " +
             "exists; rebuild the table to change it")
-        writeRoot(spark, currentDir, rs.nb, rs.census, orderBy)
+        writeRoot(spark, currentDir, rs.nb, rs.census, orderBy,
+          rs.schema)
         orderBy
     }
     // the bucket count is a LAYOUT constant — persist it BEFORE the
@@ -424,7 +481,10 @@ object CurrentTable {
             "the cursor or rebuild the table")
       }
       // census maintained from birth: an empty table holds none
-      writeRoot(spark, currentDir, nb, Some(Map.empty), bucketOrder)
+      // no fold has run yet, so there is no frame to record a
+      // schema from; the first fold's census write below adds it
+      writeRoot(spark, currentDir, nb, Some(Map.empty), bucketOrder,
+        None)
     }
     // heal EVERY interrupted swap BEFORE the no-fresh-files early
     // return: a crashed swap (a sync's, or a pruneTombstones run's —
@@ -633,7 +693,7 @@ object CurrentTable {
     if (maintainCensus) {
       val old = root.flatMap(_.census).getOrElse(Map.empty[Int, Long])
       writeRoot(spark, currentDir, nb, Some(old -- touched ++ touchedMin),
-        bucketOrder)
+        bucketOrder, Some(readSideSchema(merged.schema)))
     }
     publishArtifacts()
     // the durable cursor lands LAST, one sidecar per governed
@@ -1010,7 +1070,7 @@ object CurrentTable {
       val kept = stats.flatMap { case (b, _, mn) => mn.map(b -> _) }.toMap
       writeRoot(spark, currentDir, rs.nb,
         Some(rs.census.getOrElse(Map.empty) -- candidates ++ kept),
-        rs.order)
+        rs.order, rs.schema)
     }
     stats.map(_._2).sum
   }
@@ -1072,7 +1132,8 @@ object CurrentTable {
     if (existing.isEmpty) {
       // cursor-only table: the layout constant flips with no data to
       // move; census (empty) and order carry over
-      writeRoot(spark, currentDir, newBuckets, root.census, root.order)
+      writeRoot(spark, currentDir, newBuckets, root.census, root.order,
+        root.schema)
       return newBuckets
     }
     val stage = s"$currentDir/._ct_stage_rescale"
@@ -1145,8 +1206,9 @@ object CurrentTable {
             s.getPath.getName.startsWith(".")))
       fs.delete(p, true)
     fs.delete(stage, true)
-    val order = readRoot(spark, currentDir).map(_.order).getOrElse(Nil)
-    writeRoot(spark, currentDir, newNb, Some(census), order)
+    val rootNow = readRoot(spark, currentDir)
+    writeRoot(spark, currentDir, newNb, Some(census),
+      rootNow.map(_.order).getOrElse(Nil), rootNow.flatMap(_.schema))
     fs.delete(marker, false)
   }
 
@@ -1220,7 +1282,22 @@ object CurrentTable {
   private def readRaw(spark: SparkSession, currentDir: String): DataFrame = {
     val fs = new Path(currentDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    buildHealed(spark, fs, currentDir)(spark.read.parquet(currentDir))
+    // the zero-bucket state (fully-deleted table after a prune) is a
+    // DESIGNED layout, not damage — serve it typed from the recorded
+    // schema. Decided inside buildHealed: the heal-or-refuse checks
+    // (orphan trash, rescale marker) must still run first — a table
+    // whose only bucket is parked in trash is interrupted
+    // maintenance, not an empty table
+    buildHealed(spark, fs, currentDir)({
+      val hasBuckets = fs.exists(new Path(currentDir)) &&
+        fs.listStatus(new Path(currentDir))
+          .exists(_.getPath.getName.startsWith("kb="))
+      if (hasBuckets) spark.read.parquet(currentDir)
+      else rootSchema(spark, currentDir) match {
+        case Some(sch) => emptyTable(spark, sch)
+        case None => noDataError(currentDir)
+      }
+    })
   }
 
   /** The current table as a frame: live keys only — the stored
@@ -1398,11 +1475,15 @@ object CurrentTable {
       val nb = readerBucketCount(spark, currentDir, "reader")
       val existing = fs.listStatus(new Path(currentDir))
         .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
-      if (existing.isEmpty)
-        throw new IllegalStateException(
-          s"current table at $currentDir holds no data yet")
-      val schema = spark.read.option("basePath", currentDir)
-        .parquet(s"$currentDir/${existing.head}").schema
+      // zero buckets: the fully-deleted-then-pruned table (a designed
+      // layout state) — prepare against the recorded schema so the
+      // handle serves typed misses; the root signature re-prepares
+      // the moment a repopulating fold lands
+      val schema =
+        if (existing.isEmpty)
+          rootSchema(spark, currentDir).getOrElse(noDataError(currentDir))
+        else spark.read.option("basePath", currentDir)
+          .parquet(s"$currentDir/${existing.head}").schema
       Prep(sig, nb, existing, schema)
     }
 
@@ -1443,7 +1524,8 @@ object CurrentTable {
         // full-table scan this path fronts.
         return buildHealed(spark, fs, currentDir) {
           val p = revalidated()
-          spark.read.schema(p.schema).option("basePath", currentDir)
+          if (p.existing.isEmpty) emptyTable(spark, p.schema)
+          else spark.read.schema(p.schema).option("basePath", currentDir)
             .parquet(p.existing.toSeq.sorted
               .map(n => s"$currentDir/$n"): _*)
             .join(keys, pk, "left_semi")
@@ -1543,18 +1625,25 @@ object CurrentTable {
       // schema inference off the table root would list every bucket
       val existing = fs.listStatus(new Path(currentDir))
         .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
-      if (existing.isEmpty)
-        throw new IllegalStateException(
-          s"current table at $currentDir holds no data yet")
-      val schemaSrc = spark.read.option("basePath", currentDir)
-        .parquet(s"$currentDir/${existing.head}")
-      checkProbeTypes(keys.schema, schemaSrc.schema, pk)
-      val live = buckets.map(b => s"kb=$b").filter(existing)
-        .map(n => s"$currentDir/$n")
-      if (live.isEmpty) schemaSrc.limit(0)
-      else spark.read.option("basePath", currentDir)
-        .parquet(live.toSeq: _*)
-        .join(local, pk, "left_semi")
+      if (existing.isEmpty) {
+        // zero buckets = every key died and was pruned (a designed
+        // state — empty buckets drop at swap): a point lookup on it
+        // is an ordinary miss, served typed from the recorded schema
+        val sch = rootSchema(spark, currentDir)
+          .getOrElse(noDataError(currentDir))
+        checkProbeTypes(keys.schema, sch, pk)
+        emptyTable(spark, sch)
+      } else {
+        val schemaSrc = spark.read.option("basePath", currentDir)
+          .parquet(s"$currentDir/${existing.head}")
+        checkProbeTypes(keys.schema, schemaSrc.schema, pk)
+        val live = buckets.map(b => s"kb=$b").filter(existing)
+          .map(n => s"$currentDir/$n")
+        if (live.isEmpty) schemaSrc.limit(0)
+        else spark.read.option("basePath", currentDir)
+          .parquet(live.toSeq: _*)
+          .join(local, pk, "left_semi")
+      }
     }
   }
 

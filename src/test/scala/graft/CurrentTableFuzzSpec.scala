@@ -339,6 +339,44 @@ class CurrentTableFuzzSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1))).toSet
       assert(looked == liveState(cur).filter(kv => probeIds.contains(kv._1)),
         s"seed $seed: lookup diverged from state on probe $probeIds")
+      // EMPTY EXCURSION (round 19): delete every live key, prune the
+      // tombstones to the ZERO-BUCKET layout (empty buckets drop at
+      // swap — the designed state that used to brick every read),
+      // and every serving surface must keep working: plain read, the
+      // prepared table handle held since step 0, a bloom-index
+      // handle PREPARED ON THE EMPTY TABLE (the rootSchema path),
+      // rollup/index recompute equality — then a repopulating wave
+      // must converge back to the oracle. Runs AFTER the raw
+      // tombstone-set check above, which pruning legitimately
+      // invalidates; the final full sync already folded everything,
+      // so the full-horizon prune cannot enable a re-fold
+      // resurrection
+      val liveIds = liveState(cur).map(_._1).toSeq.sorted
+      if (liveIds.nonEmpty) {
+        appendFile(sink, dts.head, liveIds.map { id =>
+          pos += 1; (id, s"v$pos", "DELETE", 1000L + pos, pos)
+        })
+        CurrentTable.sync(spark, sink, cur, Seq("id"),
+          orderOverride = Some(order))
+      }
+      CurrentTable.pruneTombstones(spark, cur, Long.MaxValue)
+      assert(CurrentTable.read(spark, cur).isEmpty,
+        s"seed $seed: emptied table must read zero rows")
+      assert(handle.lookup(Seq(1L).toDF("id")).isEmpty,
+        s"seed $seed: prepared handle must serve the emptied table")
+      val ixEmpty = graft.ops.BucketIndex.reader(spark, cur, "name")
+      assertDerived(cur, rnd, seed, -2, ixEmpty)
+      val back = (0 to rnd.nextInt(3)).map { _ =>
+        pos += 1
+        (1L + rnd.nextInt(keySpace), s"v$pos", "UPDATE", 1000L + pos, pos)
+      }
+      appendFile(sink, dts.last, back)
+      CurrentTable.sync(spark, sink, cur, Seq("id"),
+        orderOverride = Some(order))
+      assert(liveState(cur) == oracle(sink),
+        s"seed $seed diverged after the empty excursion")
+      assertDerived(cur, rnd, seed, -3, ixEmpty)
+      ixEmpty.close()
     }
   }
 }

@@ -1357,6 +1357,79 @@ class CurrentTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pruneTombstones"))
   }
 
+  test("a fully-deleted table pruned to ZERO buckets keeps serving — " +
+      "typed empty reads and lookups, working maintenance, " +
+      "repopulation — instead of bricking on schema inference") {
+    val sink = Files.createTempDirectory("graft-ct23-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct23-cur-").toString
+    append(sink, Seq(
+      (1L, "alice", "CREATE", 1000L, "f1", 10L),
+      (2L, "bob", "CREATE", 1100L, "f1", 20L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    val populatedShape = CurrentTable.read(spark, cur).schema.fields
+      .map(f => (f.name, f.dataType)).toSeq
+    // a handle prepared while POPULATED must survive the transition
+    val handle = CurrentTable.reader(spark, cur, Seq("id"))
+    assert(handle.lookup(Seq(1L).toDF("id")).count() == 1L)
+    append(sink, Seq(
+      (1L, "alice", "DELETE", 2000L, "f1", 30L),
+      (2L, "bob", "DELETE", 2100L, "f1", 40L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(CurrentTable.pruneTombstones(spark, cur, Long.MaxValue) == 2L)
+    // zero bucket dirs now — empty buckets drop at swap (a designed
+    // layout state); before the #schema root line every one of these
+    // calls threw UNABLE_TO_INFER_SCHEMA or refused service
+    val fs = new org.apache.hadoop.fs.Path(cur)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(cur))
+      .exists(_.getPath.getName.startsWith("kb=")),
+      "fixture must reach the zero-bucket state")
+    val empty = CurrentTable.read(spark, cur)
+    assert(empty.isEmpty)
+    // the typed empty read matches the populated read's shape, so
+    // downstream consumers (joins, unions) never fork on emptiness
+    assert(empty.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      == populatedShape)
+    assert(CurrentTable.lookup(spark, cur, Seq("id"),
+      Seq(1L).toDF("id")).isEmpty)
+    assert(handle.lookup(Seq(1L).toDF("id")).isEmpty,
+      "the prepared handle must serve the emptied table")
+    // probe typing still enforced on the empty table
+    intercept[IllegalArgumentException] {
+      CurrentTable.lookup(spark, cur, Seq("id"),
+        Seq("1").toDF("id")).collect()
+    }
+    // maintenance keeps working: rescale the empty layout, then
+    // repopulate through the ordinary sync path
+    assert(CurrentTable.rescale(spark, cur, Seq("id"), 8) == 8)
+    append(sink, Seq((3L, "carol", "CREATE", 3000L, "f1", 50L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(stateOf(cur) == Set((3L, "carol")))
+    assert(handle.lookup(Seq(3L).toDF("id")).count() == 1L)
+    assert(stateOf(cur) == oracleOf(sink))
+  }
+
+  test("a cursor-only pre-schema table still refuses reads with an " +
+      "actionable message, not parquet's inference error") {
+    val sink = Files.createTempDirectory("graft-ct24-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct24-cur-").toString
+    new java.io.File(sink).mkdirs()
+    // a sync over an empty sink writes the first-cut root (no fold
+    // has run, so no schema is recorded) and no buckets
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    val e = intercept[IllegalStateException] {
+      CurrentTable.read(spark, cur).collect()
+    }
+    assert(e.getMessage.contains("records no schema") &&
+      e.getMessage.contains("sync"), e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      CurrentTable.reader(spark, cur, Seq("id"))
+    }
+    assert(e2.getMessage.contains("records no schema"), e2.getMessage)
+  }
+
   test("a case-only orderBy change matches the persisted order instead " +
       "of crash-looping sync") {
     val sink = Files.createTempDirectory("graft-ct22-")
