@@ -518,9 +518,8 @@ object BucketIndex {
     val dirs = candidates.map(b => s"kb=$b").filter(existing)
       .map(n => s"$currentDir/$n")
     if (dirs.isEmpty)
-      spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        schema).join(local, Seq(column), "left_semi")
+      graft.streaming.CurrentTable.emptyTable(spark, schema)
+        .join(local, Seq(column), "left_semi")
     else spark.read.schema(schema).option("basePath", currentDir)
       .parquet(dirs.toIndexedSeq: _*)
       .filter(!TimeTravel.isTombstone)
@@ -588,29 +587,33 @@ object BucketIndex {
         // zero buckets: the fully-deleted-then-pruned table (a
         // designed layout state — CurrentTable.readRaw's rationale);
         // an indexed lookup on it is an ordinary miss, served typed
-        // from the recorded root schema
+        // from the recorded root schema. EXPRESSION-shaped, never an
+        // early `return`: a non-local return would unwind straight
+        // out of buildHealed and skip its post-build re-check — the
+        // guard that keeps a live swap's all-in-trash window loud
         val sch = graft.streaming.CurrentTable
           .rootSchema(spark, currentDir)
           .getOrElse(graft.streaming.CurrentTable
             .noDataError(currentDir))
         graft.streaming.CurrentTable.checkProbeTypes(keys.schema,
           sch, Seq(column))
-        return graft.streaming.CurrentTable.emptyTable(spark, sch)
-      }
-      // schema from ONE bucket footer, not a table-wide inference
-      val schemaSrc = spark.read.option("basePath", currentDir)
-        .parquet(s"$currentDir/${existing.head}")
-      graft.streaming.CurrentTable.checkProbeTypes(keys.schema,
-        schemaSrc.schema, Seq(column))
-      if (meta.nb != nb) // rescaled; index awaits rebuild — exact scan
-        spark.read.option("basePath", currentDir).parquet(currentDir)
-          .filter(!TimeTravel.isTombstone)
-          .join(local, Seq(keys.columns.head), "left_semi")
-      else {
-        val candidates = candidateBuckets(spark,
-          bloomFrame(spark, dir, meta), local, column, meta.shards)
-        readCandidates(spark, currentDir, existing, candidates, local,
-          keys.columns.head, schemaSrc.schema)
+        graft.streaming.CurrentTable.emptyTable(spark, sch)
+      } else {
+        // schema from ONE bucket footer, not a table-wide inference
+        val schemaSrc = spark.read.option("basePath", currentDir)
+          .parquet(s"$currentDir/${existing.head}")
+        graft.streaming.CurrentTable.checkProbeTypes(keys.schema,
+          schemaSrc.schema, Seq(column))
+        if (meta.nb != nb) // rescaled; index awaits rebuild — exact scan
+          spark.read.option("basePath", currentDir).parquet(currentDir)
+            .filter(!TimeTravel.isTombstone)
+            .join(local, Seq(keys.columns.head), "left_semi")
+        else {
+          val candidates = candidateBuckets(spark,
+            bloomFrame(spark, dir, meta), local, column, meta.shards)
+          readCandidates(spark, currentDir, existing, candidates, local,
+            keys.columns.head, schemaSrc.schema)
+        }
       }
     }
   }
@@ -685,11 +688,15 @@ object BucketIndex {
       if (meta.legacy && meta.legacyData.isEmpty)
         throw new IllegalStateException(s"index on '$column' has no " +
           "published data — detach and re-attach")
-      val existing = fs.listStatus(new Path(currentDir))
-        .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
       // zero buckets: prepare against the recorded root schema (the
       // fully-deleted-then-pruned state); the root signature
-      // re-prepares the moment a repopulating fold lands
+      // re-prepares the moment a repopulating fold lands, and
+      // confirmedBuckets keeps a live swap's all-in-trash window
+      // LOUD instead of silently preparing an empty handle
+      val existing = graft.streaming.CurrentTable.confirmedBuckets(
+        spark, fs, currentDir,
+        fs.listStatus(new Path(currentDir))
+          .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet)
       val schema =
         if (existing.isEmpty)
           graft.streaming.CurrentTable.rootSchema(spark, currentDir)

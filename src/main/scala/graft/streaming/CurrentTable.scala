@@ -159,9 +159,13 @@ object CurrentTable {
     * scan), the persisted within-bucket sort order (empty = unsorted),
     * and any legacy folded-file lines awaiting migration.
     */
+  // schema kept as the RAW #schema json: readRoot runs on every
+  // lookup/sync/prune entry for callers that only need the bucket
+  // count, and eagerly JSON-parsing a wide table's schema there would
+  // tax the hot path; [[rootSchema]] parses on demand
   private case class RootState(nb: Int, census: Option[Map[Int, Long]],
       order: Seq[String], legacy: Set[String],
-      schema: Option[org.apache.spark.sql.types.StructType])
+      schemaJson: Option[String])
 
   /** The census line's ONE parse/render pair — shared by the root
     * state file and the rescale marker, which embeds the same line
@@ -196,10 +200,7 @@ object CurrentTable {
       val census = tomb.headOption.map(parseCensus)
       val order = ord.headOption.map(_.stripPrefix("#order").trim
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-      val schema = sch.headOption.map(l =>
-        org.apache.spark.sql.types.DataType
-          .fromJson(l.stripPrefix("#schema").trim)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      val schema = sch.headOption.map(_.stripPrefix("#schema").trim)
       Some(RootState(lines.head.toInt, census, order, files.toSet,
         schema))
     }
@@ -207,7 +208,7 @@ object CurrentTable {
 
   private def writeRoot(spark: SparkSession, dir: String, nb: Int,
       census: Option[Map[Int, Long]], order: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+      schemaJson: Option[String]): Unit = {
     val censusLine = census.map(renderCensus)
     val orderLine =
       if (order.isEmpty) None else Some("#order " + order.mkString(","))
@@ -219,7 +220,7 @@ object CurrentTable {
     // are deliberately DROPPED at swap, so the zero-bucket layout is
     // a designed state, not damage). JSON is single-line by
     // construction, so it fits the line-oriented root format
-    val schemaLine = schema.map(s => "#schema " + s.json)
+    val schemaLine = schemaJson.map("#schema " + _)
     // a fresh nonce per write: two writes can otherwise leave
     // byte-identical content (a CREATE-only fold changes neither nb,
     // census nor order) within one mtime tick on a coarse-granularity
@@ -257,7 +258,9 @@ object CurrentTable {
     */
   private[graft] def rootSchema(spark: SparkSession, currentDir: String)
       : Option[org.apache.spark.sql.types.StructType] =
-    readRoot(spark, currentDir).flatMap(_.schema)
+    readRoot(spark, currentDir).flatMap(_.schemaJson).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   private[graft] def emptyTable(spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
@@ -270,6 +273,31 @@ object CurrentTable {
       s"current table at $currentDir holds no data yet — and records " +
         "no schema (a pre-schema root that never re-folded), so an " +
         "empty read cannot be typed; sync any delta to heal")
+
+  /** The prepared handles' zero-bucket confirmation: an empty `kb=`
+    * listing is EITHER the designed zero-bucket state (a prune's
+    * empty-bucket drop leaves NO staging residue — trash is deleted
+    * before its swap returns) OR a live swap's mid-rename window
+    * (every bucket momentarily parked in trash — realistic on
+    * 1-bucket tables), which must stay LOUD, not silently serve
+    * typed emptiness for keys that exist. So emptiness is trusted
+    * only when no maintenance residue is visible AFTER the listing;
+    * otherwise heal-or-refuse, then re-list once — the prepare-time
+    * analog of [[buildHealed]]'s post-build re-check, with the same
+    * documented residual (a swap that starts and fully completes
+    * between the two reads), excluded by the single-maintainer
+    * discipline.
+    */
+  private[graft] def confirmedBuckets(spark: SparkSession,
+      fs: FileSystem, currentDir: String,
+      listed: Set[String]): Set[String] =
+    if (listed.nonEmpty || pendingMaintenance(fs, currentDir).isEmpty)
+      listed
+    else {
+      requireHealedFor(spark, fs, currentDir)
+      fs.listStatus(new Path(currentDir))
+        .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
+    }
 
   /** The ONE bucketed stage write every rewrite path — sync's fold,
     * [[pruneTombstones]], [[rescale]] — shares. It carries the two
@@ -316,7 +344,7 @@ object CurrentTable {
         for ((part, files) <- rs.legacy.groupBy(partKeyOf))
           writeSidecar(spark, dir, part,
             readSidecar(fs, dir, part) ++ files)
-        writeRoot(spark, dir, rs.nb, rs.census, rs.order, rs.schema)
+        writeRoot(spark, dir, rs.nb, rs.census, rs.order, rs.schemaJson)
       }
     }
 
@@ -459,7 +487,7 @@ object CurrentTable {
             s"within-bucket order ${rs.order} — fixed once data " +
             "exists; rebuild the table to change it")
         writeRoot(spark, currentDir, rs.nb, rs.census, orderBy,
-          rs.schema)
+          rs.schemaJson)
         orderBy
     }
     // the bucket count is a LAYOUT constant — persist it BEFORE the
@@ -693,7 +721,7 @@ object CurrentTable {
     if (maintainCensus) {
       val old = root.flatMap(_.census).getOrElse(Map.empty[Int, Long])
       writeRoot(spark, currentDir, nb, Some(old -- touched ++ touchedMin),
-        bucketOrder, Some(readSideSchema(merged.schema)))
+        bucketOrder, Some(readSideSchema(merged.schema).json))
     }
     publishArtifacts()
     // the durable cursor lands LAST, one sidecar per governed
@@ -1070,7 +1098,7 @@ object CurrentTable {
       val kept = stats.flatMap { case (b, _, mn) => mn.map(b -> _) }.toMap
       writeRoot(spark, currentDir, rs.nb,
         Some(rs.census.getOrElse(Map.empty) -- candidates ++ kept),
-        rs.order, rs.schema)
+        rs.order, rs.schemaJson)
     }
     stats.map(_._2).sum
   }
@@ -1133,7 +1161,7 @@ object CurrentTable {
       // cursor-only table: the layout constant flips with no data to
       // move; census (empty) and order carry over
       writeRoot(spark, currentDir, newBuckets, root.census, root.order,
-        root.schema)
+        root.schemaJson)
       return newBuckets
     }
     val stage = s"$currentDir/._ct_stage_rescale"
@@ -1208,7 +1236,7 @@ object CurrentTable {
     fs.delete(stage, true)
     val rootNow = readRoot(spark, currentDir)
     writeRoot(spark, currentDir, newNb, Some(census),
-      rootNow.map(_.order).getOrElse(Nil), rootNow.flatMap(_.schema))
+      rootNow.map(_.order).getOrElse(Nil), rootNow.flatMap(_.schemaJson))
     fs.delete(marker, false)
   }
 
@@ -1285,17 +1313,22 @@ object CurrentTable {
     // the zero-bucket state (fully-deleted table after a prune) is a
     // DESIGNED layout, not damage — serve it typed from the recorded
     // schema. Decided inside buildHealed: the heal-or-refuse checks
-    // (orphan trash, rescale marker) must still run first — a table
-    // whose only bucket is parked in trash is interrupted
-    // maintenance, not an empty table
+    // (orphan trash, rescale marker) run first AND re-check after —
+    // a table whose only bucket is parked in trash is interrupted
+    // maintenance, not an empty table. The fallback triggers on
+    // parquet's precise no-files failure rather than a pre-listing,
+    // so the populated hot path (every registered SQL view scan)
+    // pays nothing, and a MISSING dir still fails loudly with the
+    // standard path error
     buildHealed(spark, fs, currentDir)({
-      val hasBuckets = fs.exists(new Path(currentDir)) &&
-        fs.listStatus(new Path(currentDir))
-          .exists(_.getPath.getName.startsWith("kb="))
-      if (hasBuckets) spark.read.parquet(currentDir)
-      else rootSchema(spark, currentDir) match {
-        case Some(sch) => emptyTable(spark, sch)
-        case None => noDataError(currentDir)
+      try spark.read.parquet(currentDir)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          rootSchema(spark, currentDir) match {
+            case Some(sch) => emptyTable(spark, sch)
+            case None => noDataError(currentDir)
+          }
       }
     })
   }
@@ -1473,12 +1506,15 @@ object CurrentTable {
       // snapshot
       val sig = rootSignature(spark, currentDir)
       val nb = readerBucketCount(spark, currentDir, "reader")
-      val existing = fs.listStatus(new Path(currentDir))
-        .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
       // zero buckets: the fully-deleted-then-pruned table (a designed
       // layout state) — prepare against the recorded schema so the
       // handle serves typed misses; the root signature re-prepares
-      // the moment a repopulating fold lands
+      // the moment a repopulating fold lands. confirmedBuckets keeps
+      // a live swap's all-in-trash window LOUD instead of silently
+      // preparing an empty handle
+      val existing = confirmedBuckets(spark, fs, currentDir,
+        fs.listStatus(new Path(currentDir))
+          .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet)
       val schema =
         if (existing.isEmpty)
           rootSchema(spark, currentDir).getOrElse(noDataError(currentDir))
@@ -1552,10 +1588,7 @@ object CurrentTable {
         .distinct().collect().map(_.getInt(0)).sorted
       val live = buckets.map(b => s"kb=$b").filter(p.existing)
         .map(n => s"$currentDir/$n")
-      if (live.isEmpty)
-        spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          p.schema)
+      if (live.isEmpty) emptyTable(spark, p.schema)
       // the cached schema rides the read — no footer open per call
       else spark.read.schema(p.schema).option("basePath", currentDir)
         .parquet(live.toSeq: _*)
