@@ -581,8 +581,8 @@ object BucketIndex {
       val nb = graft.streaming.CurrentTable.bucketCount(spark, currentDir)
         .getOrElse(throw new IllegalStateException(
           s"no current table at $currentDir"))
-      val existing = cfs.listStatus(new Path(currentDir))
-        .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
+      val existing = graft.streaming.CurrentTable.listBuckets(
+        cfs, currentDir)
       if (existing.isEmpty) {
         // zero buckets: the fully-deleted-then-pruned table (a
         // designed layout state — CurrentTable.readRaw's rationale);
@@ -594,7 +594,7 @@ object BucketIndex {
         val sch = graft.streaming.CurrentTable
           .rootSchema(spark, currentDir)
           .getOrElse(graft.streaming.CurrentTable
-            .noDataError(currentDir))
+            .refuseNoData(spark, cfs, currentDir))
         graft.streaming.CurrentTable.checkProbeTypes(keys.schema,
           sch, Seq(column))
         graft.streaming.CurrentTable.emptyTable(spark, sch)
@@ -694,14 +694,12 @@ object BucketIndex {
       // confirmedBuckets keeps a live swap's all-in-trash window
       // LOUD instead of silently preparing an empty handle
       val existing = graft.streaming.CurrentTable.confirmedBuckets(
-        spark, fs, currentDir,
-        fs.listStatus(new Path(currentDir))
-          .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet)
+        spark, fs, currentDir)
       val schema =
         if (existing.isEmpty)
           graft.streaming.CurrentTable.rootSchema(spark, currentDir)
             .getOrElse(graft.streaming.CurrentTable
-              .noDataError(currentDir))
+              .refuseNoData(spark, fs, currentDir))
         else spark.read.option("basePath", currentDir)
           .parquet(s"$currentDir/${existing.head}").schema
       require(schema.fields.exists(_.name.equalsIgnoreCase(column)),

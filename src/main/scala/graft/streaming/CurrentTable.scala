@@ -268,11 +268,29 @@ object CurrentTable {
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       schema)
 
-  private[graft] def noDataError(currentDir: String): Nothing =
+  /** Refuse an untyped-empty read — but diagnose INTERRUPTED
+    * MAINTENANCE first: the no-data message tells an operator to
+    * "sync any delta", which is the wrong remedy (and unwinds past
+    * [[buildHealed]]'s post-build re-check when thrown from inside
+    * its build block) if the emptiness is really a live/crashed
+    * swap's all-in-trash window — requireHealedFor surfaces THAT
+    * state's own refusal, naming the heal.
+    */
+  private[graft] def refuseNoData(spark: SparkSession, fs: FileSystem,
+      currentDir: String): Nothing = {
+    requireHealedFor(spark, fs, currentDir)
     throw new IllegalStateException(
       s"current table at $currentDir holds no data yet — and records " +
         "no schema (a pre-schema root that never re-folded), so an " +
         "empty read cannot be typed; sync any delta to heal")
+  }
+
+  /** One spelling of the `kb=` bucket listing for every reader-side
+    * existence probe. */
+  private[graft] def listBuckets(fs: FileSystem,
+      currentDir: String): Set[String] =
+    fs.listStatus(new Path(currentDir))
+      .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
 
   /** The prepared handles' zero-bucket confirmation: an empty `kb=`
     * listing is EITHER the designed zero-bucket state (a prune's
@@ -280,24 +298,35 @@ object CurrentTable {
     * before its swap returns) OR a live swap's mid-rename window
     * (every bucket momentarily parked in trash — realistic on
     * 1-bucket tables), which must stay LOUD, not silently serve
-    * typed emptiness for keys that exist. So emptiness is trusted
-    * only when no maintenance residue is visible AFTER the listing;
-    * otherwise heal-or-refuse, then re-list once — the prepare-time
-    * analog of [[buildHealed]]'s post-build re-check, with the same
-    * documented residual (a swap that starts and fully completes
-    * between the two reads), excluded by the single-maintainer
-    * discipline.
+    * typed emptiness for keys that exist. Emptiness is trusted only
+    * when no maintenance residue is visible AFTER the listing;
+    * otherwise heal-or-refuse and re-list, REPEATING the residue
+    * check after every re-list (a swap merely STARTING between the
+    * heal's last clean poll and the re-list must not be confirmed as
+    * empty) up to a small bound — the prepare-time analog of
+    * [[buildHealed]]'s post-build re-check, with the same documented
+    * residual (a swap that starts AND fully completes between a
+    * listing and its residue check), excluded by the
+    * single-maintainer discipline.
     */
   private[graft] def confirmedBuckets(spark: SparkSession,
-      fs: FileSystem, currentDir: String,
-      listed: Set[String]): Set[String] =
-    if (listed.nonEmpty || pendingMaintenance(fs, currentDir).isEmpty)
-      listed
-    else {
+      fs: FileSystem, currentDir: String): Set[String] = {
+    var listed = listBuckets(fs, currentDir)
+    var attempts = 0
+    while (listed.isEmpty && attempts < 3 &&
+        pendingMaintenance(fs, currentDir).nonEmpty) {
+      // waits out a live swap within the grace, or refuses loudly
       requireHealedFor(spark, fs, currentDir)
-      fs.listStatus(new Path(currentDir))
-        .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
+      listed = listBuckets(fs, currentDir)
+      attempts += 1
     }
+    // the loop exits empty only with a CLEAN residue check (or via
+    // requireHealedFor's own refusal); three same-window swaps in a
+    // row is not a state one live maintainer produces
+    if (listed.isEmpty && pendingMaintenance(fs, currentDir).nonEmpty)
+      requireHealedFor(spark, fs, currentDir)
+    listed
+  }
 
   /** The ONE bucketed stage write every rewrite path — sync's fold,
     * [[pruneTombstones]], [[rescale]] — shares. It carries the two
@@ -1323,11 +1352,13 @@ object CurrentTable {
     buildHealed(spark, fs, currentDir)({
       try spark.read.parquet(currentDir)
       catch {
+        // the error-CLASS api, not message sniffing: renderings vary
+        // with spark.sql.error.messageFormat, the class is stable
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
           rootSchema(spark, currentDir) match {
             case Some(sch) => emptyTable(spark, sch)
-            case None => noDataError(currentDir)
+            case None => refuseNoData(spark, fs, currentDir)
           }
       }
     })
@@ -1512,12 +1543,11 @@ object CurrentTable {
       // the moment a repopulating fold lands. confirmedBuckets keeps
       // a live swap's all-in-trash window LOUD instead of silently
       // preparing an empty handle
-      val existing = confirmedBuckets(spark, fs, currentDir,
-        fs.listStatus(new Path(currentDir))
-          .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet)
+      val existing = confirmedBuckets(spark, fs, currentDir)
       val schema =
         if (existing.isEmpty)
-          rootSchema(spark, currentDir).getOrElse(noDataError(currentDir))
+          rootSchema(spark, currentDir)
+            .getOrElse(refuseNoData(spark, fs, currentDir))
         else spark.read.option("basePath", currentDir)
           .parquet(s"$currentDir/${existing.head}").schema
       Prep(sig, nb, existing, schema)
@@ -1656,14 +1686,13 @@ object CurrentTable {
         else planCache.getOrElseUpdate(nb, planBuckets())
       // one listing for existence AND a bucket-pruned schema source —
       // schema inference off the table root would list every bucket
-      val existing = fs.listStatus(new Path(currentDir))
-        .map(_.getPath.getName).filter(_.startsWith("kb=")).toSet
+      val existing = listBuckets(fs, currentDir)
       if (existing.isEmpty) {
         // zero buckets = every key died and was pruned (a designed
         // state — empty buckets drop at swap): a point lookup on it
         // is an ordinary miss, served typed from the recorded schema
         val sch = rootSchema(spark, currentDir)
-          .getOrElse(noDataError(currentDir))
+          .getOrElse(refuseNoData(spark, fs, currentDir))
         checkProbeTypes(keys.schema, sch, pk)
         emptyTable(spark, sch)
       } else {

@@ -1410,6 +1410,55 @@ class CurrentTableSpec extends AnyFunSuite {
     assert(stateOf(cur) == oracleOf(sink))
   }
 
+  test("an all-buckets-in-trash swap window refuses handle " +
+      "preparation loudly — never confirmed as the zero-bucket state") {
+    val sink = Files.createTempDirectory("graft-ct25-")
+      .resolve("sink").toString
+    val cur = Files.createTempDirectory("graft-ct25-cur-").toString
+    append(sink, Seq((1L, "alice", "CREATE", 1000L, "f1", 10L)))
+    // ONE bucket: the realistic worst case — a live swap parks the
+    // whole table in trash for its rename window
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 1)
+    val fs = new org.apache.hadoop.fs.Path(cur)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$cur/kb=0"),
+      new org.apache.hadoop.fs.Path(s"$cur/._ct_trash_kb=0")))
+    // grace 0: the confirmation must REFUSE immediately (naming the
+    // heal), not trust the empty listing and prepare a handle that
+    // silently serves typed emptiness for a key that exists
+    spark.conf.set("spark.graft.current.healGraceMs", "0")
+    try {
+      val e = intercept[IllegalStateException] {
+        CurrentTable.reader(spark, cur, Seq("id"))
+      }
+      assert(e.getMessage.contains("interrupted maintenance") ||
+        e.getMessage.contains("heal"), e.getMessage)
+      val e2 = intercept[IllegalStateException] {
+        graft.ops.BucketIndex.reader(spark, cur, "name")
+      }
+      assert(e2.getMessage.contains("interrupted maintenance") ||
+        e2.getMessage.contains("heal"), e2.getMessage)
+      // the confirmation helper itself, pinned directly: it guards
+      // the race where the swap starts AFTER prepare's entry heal
+      // check passed — degenerating it to "trust the listing" would
+      // slip past the two intercepts above (their prepare entry
+      // checks fire first) but not past this one
+      val e3 = intercept[IllegalStateException] {
+        CurrentTable.confirmedBuckets(spark, fs, cur)
+      }
+      assert(e3.getMessage.contains("interrupted maintenance") ||
+        e3.getMessage.contains("heal"), e3.getMessage)
+    } finally {
+      spark.conf.unset("spark.graft.current.healGraceMs")
+      // restore the parked bucket so the fixture dirs clean up sanely
+      fs.rename(new org.apache.hadoop.fs.Path(s"$cur/._ct_trash_kb=0"),
+        new org.apache.hadoop.fs.Path(s"$cur/kb=0"))
+    }
+    // healed: the handle prepares and serves again
+    assert(CurrentTable.reader(spark, cur, Seq("id"))
+      .lookup(Seq(1L).toDF("id")).count() == 1L)
+  }
+
   test("a cursor-only pre-schema table still refuses reads with an " +
       "actionable message, not parquet's inference error") {
     val sink = Files.createTempDirectory("graft-ct24-")
