@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -70,8 +70,7 @@ object IndexCompaction {
       !n.startsWith("_") && !n.startsWith(".")
     }
     if (!exists || hasData) spark.read.parquet(dir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], schema)
+    else Probes.emptyFrame(spark, schema)
   }
 
   /** Measure one index's backlog: `rowsDir` is its dominant read-side

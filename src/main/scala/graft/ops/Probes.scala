@@ -36,6 +36,18 @@ object Probes {
     * `autoBroadcastJoinThreshold = -1` convention) — no count job,
     * the frame joins unhinted.
     */
+  /** Typed empty frame — the ONE spelling behind every
+    * "this state is legitimately empty, serve it typed" fallback
+    * ([[IndexCompaction.readOrEmpty]]'s empty-layout reads,
+    * `CurrentTable.emptyTable`'s zero-bucket reads), so the two
+    * cannot drift.
+    */
+  def emptyFrame(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      schema)
+
   def broadcastIfSmall(df: DataFrame,
       maxRows: Long = DefaultMaxRows): DataFrame =
     if (maxRows <= 0) df

@@ -264,9 +264,7 @@ object CurrentTable {
 
   private[graft] def emptyTable(spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      schema)
+    graft.ops.Probes.emptyFrame(spark, schema)
 
   /** Refuse an untyped-empty read — but diagnose INTERRUPTED
     * MAINTENANCE first: the no-data message tells an operator to
@@ -320,11 +318,17 @@ object CurrentTable {
       listed = listBuckets(fs, currentDir)
       attempts += 1
     }
-    // the loop exits empty only with a CLEAN residue check (or via
-    // requireHealedFor's own refusal); three same-window swaps in a
-    // row is not a state one live maintainer produces
-    if (listed.isEmpty && pendingMaintenance(fs, currentDir).nonEmpty)
+    // attempts exhausted with residue still visible: requireHealedFor
+    // either refuses loudly or succeeds by WAITING — and the wait's
+    // success can mean the in-flight swap completed by RESTORING the
+    // live bucket, so the set must be re-listed, never returned
+    // stale-empty (three same-window swaps in a row is not a state
+    // one live maintainer produces, but the hardening exists to not
+    // rely on that)
+    if (listed.isEmpty && pendingMaintenance(fs, currentDir).nonEmpty) {
       requireHealedFor(spark, fs, currentDir)
+      listed = listBuckets(fs, currentDir)
+    }
     listed
   }
 
