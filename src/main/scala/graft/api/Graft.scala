@@ -534,11 +534,23 @@ object Graft {
     * call per index per window, not two health checks it must
     * remember to run in the right order.
     */
-  sealed trait Maintenance[+S, +R] { def call: String }
+  sealed trait Maintenance[+S, +R] {
+    def call: String
+    /** Stable record discriminator (`compact-first` /
+      * `compact-deferred` / `resize`) — what the pipeline's
+      * `advice:index-maintenance` status records carry as `verdict`,
+      * so a fleet consumer filters verdict kinds without parsing the
+      * call string.
+      */
+    def kind: String
+  }
   /** Run the in-place compact this cycle; re-check next cycle. */
   case class CompactFirst(
       health: IndexHealth[graft.ops.IndexCompaction.CompactStats, Long])
-      extends Maintenance[Nothing, Nothing] { def call: String = health.call }
+      extends Maintenance[Nothing, Nothing] {
+    def call: String = health.call
+    def kind: String = "compact-first"
+  }
   /** A compact IS owed (backlog ≥ live rows) but its reclaimable
     * count sits under the caller's `minReclaimable` fleet floor:
     * deferred, not hidden. The sizing axis is deliberately NOT
@@ -562,10 +574,14 @@ object Graft {
     def call: String =
       "// deferred under the fleet floor — run anyway to clear: " +
         health.call
+    def kind: String = "compact-deferred"
   }
   /** No compact is owed — act on the measured sizing verdict. */
   case class Resize[S, R](health: IndexHealth[S, R])
-      extends Maintenance[S, R] { def call: String = health.call }
+      extends Maintenance[S, R] {
+    def call: String = health.call
+    def kind: String = "resize"
+  }
 
   /** The one ordering/floor decision all three maintenance one-calls
     * share: compact verdicts win outright; under the fleet floor the

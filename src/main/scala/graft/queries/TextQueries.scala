@@ -2279,5 +2279,85 @@ object TextQueries {
         .toDF("raw_rows", "live_rows", "tombstone_rows", "reclaimable",
           "advised", "post_raw_rows", "post_tombstones", "post_advised")
     },
+
+    // The PIPELINE-maintained inverted index (`sink.index.text`):
+    // half the corpus serialized as a Debezium-shaped envelope feed
+    // carrying CREATE rows plus DELETE rows for every 17th doc AT
+    // LATER OFFSETS IN THE SAME BATCH, replayed through the REAL
+    // streaming pipeline — which demuxes, writes the sink table,
+    // derives the batch's keep-latest change set, and feeds the
+    // `__textindex` sibling, no external glue job — then the q121
+    // search served from the pipeline-built index. The ORACLE scores
+    // the surviving corpus from the source table — hash equality
+    // gates the whole integration: envelope decode, within-batch
+    // keep-latest (the CREATE must lose to its same-batch DELETE),
+    // the attach-then-delta protocol, and the tombstone-folded search.
+    QueryDef.statefulQ(
+      "q135_pipeline_indexed_bm25", {
+        val terms = Seq("spark", "shuffle", "window", "stream")
+        val fs = terms.indices.map(i =>
+          s"len(list_filter(t, x -> x = '${terms(i)}')) AS f$i")
+          .mkString(", ")
+        val dfs = terms.indices.map(i =>
+          s"sum(CASE WHEN f$i > 0 THEN 1 ELSE 0 END) AS df$i")
+          .mkString(", ")
+        val score = terms.indices.map(i =>
+          s"((s.n - s.df$i + 0.5) / (s.df$i + 0.5))" +
+            s" * ((f$i * 2.2) / (f$i + 1.2 * (0.25 + 0.75 * dl / (s.sdl * 1.0 / s.n))))")
+          .mkString("\n        | + ")
+        s"""WITH d AS (SELECT doc_id,
+           |   string_split_regex(lower(trim(text)), '\\s+') AS t
+           | FROM documents WHERE doc_id % 2 = 0 AND doc_id % 17 <> 0),
+           |f AS (SELECT doc_id, len(t) AS dl, $fs FROM d),
+           |s AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl,
+           |        $dfs FROM f)
+           |SELECT doc_id, round($score, 6) AS bm25
+           |FROM f, s WHERE f0 + f1 + f2 + f3 > 0
+           |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+      }) { (spark, dir) =>
+      val work = QueryDef.tempWorkDir("graft-pix-q135-")
+      val docs = Tables(spark, dir).documents
+        .filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+      // Debezium-shaped envelope lines via to_json (the text column
+      // needs real JSON escaping); the DELETE rows ride the SAME
+      // batch at later source offsets, so the pipeline's within-batch
+      // keep-latest is on the hash path
+      def env(op: String, posOff: Int, tsOff: Long): Column = to_json(
+        struct(lit(op).as("_op"), lit(1700000000000L + tsOff).as("_ts"),
+          lit("bench").as("_db"), lit("documents").as("_tbl"),
+          struct(col("doc_id").cast("long").as("long")).as("doc_id"),
+          struct(col("text").as("string")).as("text"),
+          lit("b.000001").as("_binlog_file"),
+          (col("doc_id") * 2 + posOff).cast("string")
+            .as("_binlog_pos_end"),
+          lit("b.000001").as("_binlog_file_internal"),
+          (col("doc_id") * 2 + posOff).cast("string")
+            .as("_binlog_pos_internal")))
+      docs.select(env("CREATE", 0, 0L).as("value"))
+        .union(docs.filter(col("doc_id") % 17 === 0)
+          .select(env("DELETE", 1, 1000L).as("value")))
+        .repartition(1).write.mode("overwrite").text(s"$work/feed")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val p = new graft.streaming.CdcPipeline(spark,
+        graft.streaming.CdcConfig("q135",
+          graft.model.TableRegistry(Seq(
+            graft.model.TableSpec("bench", "documents", schema))),
+          s"$work/sink",
+          currentKeys = Map("bench.documents" -> Seq("doc_id")),
+          indexText = Map("bench.documents" -> "text"),
+          // the q132 fanout rationale: scores are fanout-independent,
+          // and 64 buckets would be small-file overhead at test scale
+          indexTextBuckets = 8))
+      p.runAvailableNow(s"$work/feed", s"$work/ck",
+        oneFilePerBatch = false)
+      graft.ops.TextIndex.search(spark,
+          s"$work/sink/q135_bench__documents__textindex",
+          Seq("spark", "shuffle", "window", "stream"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+    },
   )
 }

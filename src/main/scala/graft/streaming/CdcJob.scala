@@ -328,6 +328,63 @@ object CdcJob {
           routeKey -> specs
         }
       },
+      // `sink.index.text` / `sink.index.neardup` / `sink.index.ann` —
+      // maintained LLM indexes per table (JSON map of raw `db.table`
+      // → the indexed column), fed a delta per committed batch and
+      // measured by the one-call maintenance on full syncs. Requires
+      // sink.current.keys with exactly ONE integral key column for
+      // the same table (the posting id); the column must exist in the
+      // table's schema. Validated here with config-file messages; the
+      // pipeline re-validates at construction for direct-CdcConfig
+      // users.
+      indexText = indexColumnMap(cfg, registry, "sink.index.text"),
+      indexNeardup = indexColumnMap(cfg, registry,
+        "sink.index.neardup"),
+      indexAnn = indexColumnMap(cfg, registry, "sink.index.ann"),
+      // `sink.index.text.buckets` — attach-time postings fanout
+      indexTextBuckets = cfg.get("sink.index.text.buckets")
+        .map { v =>
+          if (cfg.get("sink.index.text").isEmpty)
+            throw new IllegalArgumentException(
+              "sink.index.text.buckets requires sink.index.text " +
+                "(the indexes it sizes)")
+          positiveInt(v, "sink.index.text.buckets")
+        }
+        .getOrElse(graft.ops.TextIndex.TermBuckets),
+      // `sink.index.ann.k` — first-attach codebook size
+      indexAnnK = cfg.get("sink.index.ann.k")
+        .map { v =>
+          if (cfg.get("sink.index.ann").isEmpty)
+            throw new IllegalArgumentException(
+              "sink.index.ann.k requires sink.index.ann " +
+                "(the indexes it sizes)")
+          positiveInt(v, "sink.index.ann.k")
+        }
+        .getOrElse(16),
+      // `sink.index.target.rows` — the resize advisories' sizing
+      // target (rows per postings bucket / per centroid)
+      indexTargetRows = cfg.get("sink.index.target.rows")
+        .map { v =>
+          if (Seq("sink.index.text", "sink.index.ann")
+              .forall(cfg.get(_).isEmpty))
+            throw new IllegalArgumentException(
+              "sink.index.target.rows requires sink.index.text or " +
+                "sink.index.ann (the sizing advisories it targets)")
+          positiveInt(v, "sink.index.target.rows").toLong
+        }
+        .getOrElse(1000000L),
+      // `sink.index.min.reclaimable` — the fleet floor under which
+      // owed compacts surface as compact-deferred records
+      indexMinReclaimable = cfg.get("sink.index.min.reclaimable")
+        .map { v =>
+          if (Seq("sink.index.text", "sink.index.neardup",
+              "sink.index.ann").forall(cfg.get(_).isEmpty))
+            throw new IllegalArgumentException(
+              "sink.index.min.reclaimable requires a sink.index.* " +
+                "map (the indexes whose compacts it floors)")
+          positiveInt(v, "sink.index.min.reclaimable").toLong
+        }
+        .getOrElse(0L),
       // `sink.current.lookup.max.driver.keys` — CurrentTable.lookup's
       // driver-side probe bound, published as the session default by
       // the pipeline; meaningless without current tables to look into
@@ -359,6 +416,56 @@ object CdcJob {
                 "top-level-type")
             graft.ops.MongoModes.TopLevelType
         }))
+  }
+
+  /** One `sink.index.*` JSON name map (raw `db.table` → the single
+    * indexed column), fully validated at assembly: known table, a
+    * single-column INTEGRAL `sink.current.keys` entry for the same
+    * table (the posting id the index families key on), and the
+    * indexed column present in the table's schema — a bad entry here
+    * would otherwise crash-loop the job at its first batch's delta.
+    */
+  private def indexColumnMap(cfg: Map[String, String],
+      registry: graft.model.TableRegistry,
+      cfgKey: String): Map[String, String] = {
+    lazy val currentKeysByRoute = JobConfig.nameMap(cfg,
+        "sink.current.keys")
+      .map { case (k, v) =>
+        routeKeyOf(k) -> v.split(",").map(_.trim).toSeq }
+    JobConfig.nameMap(cfg, cfgKey).map { case (k, v) =>
+      val routeKey = routeKeyOf(k)
+      if (!registry.routed.contains(routeKey))
+        throw new IllegalArgumentException(
+          s"MAINTAINED INDEX FOR UNKNOWN TABLE: $k (known: " +
+            registry.routed.keySet.toSeq.sorted.mkString(", ") + ")")
+      val column = v.trim
+      if (column.isEmpty || column.contains(","))
+        throw new IllegalArgumentException(
+          s"BAD $cfgKey for $k: '$v' (want ONE column name)")
+      val pk = currentKeysByRoute.getOrElse(routeKey,
+        throw new IllegalArgumentException(
+          s"$cfgKey for $k requires sink.current.keys for the same " +
+            "table (its single key column is the posting id)"))
+      if (pk.size != 1)
+        throw new IllegalArgumentException(
+          s"$cfgKey for $k needs a SINGLE-column sink.current.keys " +
+            s"(got ${pk.mkString(", ")}) — the index posting id is " +
+            "one long key")
+      val schema = registry.routed(routeKey).schema
+      val keyField = schema.fields.find(_.name.equalsIgnoreCase(pk.head))
+      for (f <- keyField
+          if f.dataType != org.apache.spark.sql.types.IntegerType &&
+            f.dataType != org.apache.spark.sql.types.LongType)
+        throw new IllegalArgumentException(
+          s"$cfgKey for $k: key column ${pk.head} is " +
+            s"${f.dataType.simpleString}, not integral — the index " +
+            "posting id must cast to long losslessly")
+      if (!schema.fieldNames.exists(_.equalsIgnoreCase(column)))
+        throw new IllegalArgumentException(
+          s"UNKNOWN INDEX COLUMN for $k: '$column' " +
+            s"(table has: ${schema.fieldNames.mkString(", ")})")
+      routeKey -> column
+    }
   }
 
   /** Comma-separated column list under `key` — empty entries fail

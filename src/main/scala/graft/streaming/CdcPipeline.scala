@@ -204,8 +204,78 @@ final case class CdcConfig(
       * alone (detach to change a spec).
       */
     currentRollups: Map[String, Seq[(String, graft.ops.RollupTable.Spec)]] =
-      Map.empty) {
+      Map.empty,
+    /** Maintained inverted text indexes per table (`sink.index.text`,
+      * JSON map of raw `db.table` → text column): after each listed
+      * table's batch commits — BEFORE the commit marker, so a crash
+      * between data and index replays the batch and the delta protocol
+      * converges (at-least-once, the maintained-index family
+      * discipline) — the batch's keep-latest-per-key change set is
+      * applied to a `<tableDir>__textindex` sibling via
+      * [[graft.ops.TextIndex.applyDelta]]: latest non-delete per key →
+      * upsert, latest delete → tombstone. The table's single
+      * `sink.current.keys` column is the posting id (REQUIRED, exactly
+      * one, integral — the index families key on one long id), so the
+      * pipeline ships a BM25-searchable index beside the current
+      * table, no external glue job. The index attaches on first
+      * delta (built empty, then fed); an index already on disk is fed
+      * deltas as-is. Every FULL current-table sync then runs the
+      * one-call [[graft.api.Graft.textIndexMaintenance]] and publishes
+      * any verdict into the P7 status store as an
+      * `advice:index-maintenance` record beside `advice:rescale` —
+      * same consumer contract (records repeat while the condition
+      * persists; dedupe by (table, advice, kind/column)).
+      */
+    indexText: Map[String, String] = Map.empty,
+    /** Postings fanout for text indexes ATTACHED by this job
+      * (`sink.index.text.buckets`): fixed per index lifetime at its
+      * attach (persisted in the index meta — indexes already on disk
+      * keep theirs); size for the corpus you expect, and let the
+      * resize advisory name the number once the corpus is measurable.
+      */
+    indexTextBuckets: Int = graft.ops.TextIndex.TermBuckets,
+    /** Maintained MinHash near-dup band indexes per table
+      * (`sink.index.neardup`, JSON map of raw `db.table` → text
+      * column) — [[indexText]]'s protocol verbatim against a
+      * `<tableDir>__neardup` sibling ([[graft.ops.NeardupIndex]]);
+      * its maintenance one-call has no sizing axis (band count is a
+      * scheme constant), so only compact verdicts ever publish.
+      */
+    indexNeardup: Map[String, String] = Map.empty,
+    /** Maintained IVF vector indexes per table (`sink.index.ann`,
+      * JSON map of raw `db.table` → embedding column). The embedding
+      * rides the CDC payload as a JSON array STRING (the envelope's
+      * union decode tags non-scalar types as string) — or as a typed
+      * `array<double>` column from a non-envelope feed — and is parsed
+      * at delta time. The index attaches on the first batch that
+      * carries upserts: the codebook is trained from THAT batch's
+      * vectors ([[indexAnnK]] centroids, the documented 10-Lloyd-round
+      * maintenance default) and frozen — the first batch of a CDC feed
+      * is the snapshot, exactly the corpus a codebook should be cut
+      * from; retrains are the resize advisory's job, never implicit.
+      */
+    indexAnn: Map[String, String] = Map.empty,
+    /** Codebook size for first-batch ANN index attach
+      * (`sink.index.ann.k`): effective k is min of this and the
+      * batch's vector count (seed selection caps itself).
+      */
+    indexAnnK: Int = 16,
+    /** Sizing target for the index maintenance one-calls
+      * (`sink.index.target.rows`): rows per postings bucket (text) /
+      * per centroid (ann) the resize advisories size against.
+      */
+    indexTargetRows: Long = 1000000L,
+    /** Fleet floor for the index maintenance one-calls
+      * (`sink.index.min.reclaimable`): owed compacts reclaiming fewer
+      * rows surface as `compact-deferred` records instead of
+      * compact calls — [[graft.api.Graft.CompactDeferred]]'s contract.
+      */
+    indexMinReclaimable: Long = 0L) {
   def name: String = jobName.getOrElse(s"JOB-$sourceId")
+
+  /** Route keys carrying at least one maintained-index config. */
+  private[graft] def indexedTables: Set[String] =
+    indexText.keySet ++ indexNeardup.keySet ++ indexAnn.keySet
 }
 
 /** Stop-signal gate state machine (P1, SURVEY §2.3) at micro-batch
@@ -368,6 +438,45 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         if name.startsWith("dt=") && name != s"dt=$b"
       } yield s"${spec.key}/$name"
     }
+
+  // Maintained-index config validation at CONSTRUCTION (CdcJob
+  // re-validates config files with friendlier messages; this guards
+  // direct-CdcConfig users): an indexed table needs a known route, a
+  // single-column integral `currentKeys` entry (the posting id the
+  // index families key on — a composite or string key has no long id
+  // to post under), and the indexed column in its schema. Failing at
+  // the first batch instead would crash-loop the job mid-stream.
+  locally {
+    val kinds = Seq(("sink.index.text", config.indexText),
+      ("sink.index.neardup", config.indexNeardup),
+      ("sink.index.ann", config.indexAnn))
+    for ((cfgKey, m) <- kinds; (key, column) <- m) {
+      val spec = routed.getOrElse(key, throw new IllegalArgumentException(
+        s"$cfgKey for $key: unknown table (known: " +
+          s"${routed.keySet.toSeq.sorted.mkString(", ")})"))
+      val pk = config.currentKeys.getOrElse(key,
+        throw new IllegalArgumentException(
+          s"$cfgKey for $key requires sink.current.keys for the same " +
+            "table (its single key column is the posting id)"))
+      if (pk.size != 1) throw new IllegalArgumentException(
+        s"$cfgKey for $key needs a SINGLE-column sink.current.keys " +
+          s"(got ${pk.mkString(", ")}) — the index posting id is one " +
+          "long key")
+      val keyField = spec.schema.fields.find(_.name == pk.head)
+      val integral = keyField.exists(f =>
+        f.dataType == org.apache.spark.sql.types.IntegerType ||
+          f.dataType == org.apache.spark.sql.types.LongType)
+      if (keyField.nonEmpty && !integral)
+        throw new IllegalArgumentException(
+          s"$cfgKey for $key: key column ${pk.head} is " +
+            s"${keyField.get.dataType.simpleString}, not integral — " +
+            "the index posting id must cast to long losslessly")
+      if (!spec.schema.fields.exists(_.name == column))
+        throw new IllegalArgumentException(
+          s"$cfgKey for $key: no column '$column' in the table schema " +
+            s"(${spec.schema.fields.map(_.name).mkString(", ")})")
+    }
+  }
 
   locally {
     val mixed = mixedBucketDirs
@@ -700,6 +809,18 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       // markers): advancing the offset store without writing data
       // would make the next real run skip those events.
       if (!replayed && !config.dryRun) {
+        // Maintained-index deltas BEFORE the commit marker (data, not
+        // bookkeeping): a crash between a delta and the marker replays
+        // the whole batch, and the index delta protocol converges
+        // under re-application (generation-stamped tombstones,
+        // strictly-older kills) — at-least-once, the same residual the
+        // sink's own marker window has, never a silently-lost delta
+        // (deltas AFTER the marker would be at-MOST-once: a crash
+        // between them loses the batch's index changes forever, since
+        // the replay skips committed batches).
+        for (key <- present.intersect(config.indexedTables);
+            spec <- routed.get(key))
+          applyIndexDeltas(key, spec, frame)
         recordCount += s.getLong(0)
         lastEventTs = math.max(lastEventTs, Option(s.get(1))
           .map(_.asInstanceOf[Long]).getOrElse(0L))
@@ -842,6 +963,51 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
                 config.statusStorePath.foreach(writeIndexAdviceFile(_,
                   key, s"${dir}__current", st))
               }
+            // maintained-index maintenance, full syncs only — the
+            // prioritized one-call per configured index, its verdict
+            // published beside the rescale / reattach-index records
+            // so a CDC-fed BM25/ANN/near-dup index reports to the
+            // same advisory stream every other maintained structure
+            // does (the two measurement passes are maintenance
+            // cadence, riding the full-sync cadence like the rescale
+            // stat listing)
+            if (scope.isEmpty && config.indexedTables.contains(key)) {
+              val hcnf = spark.sessionState.newHadoopConf()
+              def idxExists(p: String): Boolean = {
+                val hp = new org.apache.hadoop.fs.Path(p)
+                hp.getFileSystem(hcnf).exists(hp)
+              }
+              def publish(kind: String, idxDir: String,
+                  verdict: Option[graft.api.Graft.Maintenance[_, _]])
+                  : Unit =
+                for (v <- verdict) {
+                  org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                    s"[${config.name}] $kind-index on $key needs " +
+                      s"maintenance (${v.kind}): ${v.call}")
+                  config.statusStorePath.foreach(
+                    writeIndexMaintenanceFile(_, key, kind, idxDir, v))
+                }
+              // a deferred ANN attach (no vectors yet) has no index
+              // to measure — the exists guard skips it, loudly
+              // nothing: absence of an index is not a health state
+              if (config.indexText.contains(key) &&
+                  idxExists(s"${dir}__textindex"))
+                publish("text", s"${dir}__textindex",
+                  graft.api.Graft.textIndexMaintenance(spark,
+                    s"${dir}__textindex", config.indexTargetRows,
+                    config.indexMinReclaimable))
+              if (config.indexNeardup.contains(key) &&
+                  idxExists(s"${dir}__neardup"))
+                publish("neardup", s"${dir}__neardup",
+                  graft.api.Graft.neardupIndexMaintenance(spark,
+                    s"${dir}__neardup", config.indexMinReclaimable))
+              if (config.indexAnn.contains(key) &&
+                  idxExists(s"${dir}__annindex"))
+                publish("ann", s"${dir}__annindex",
+                  graft.api.Graft.annIndexMaintenance(spark,
+                    s"${dir}__annindex", config.indexTargetRows,
+                    config.indexMinReclaimable))
+            }
           }
         // Auto-compaction next: the stream is idle between
         // micro-batches (single writer), so the swap's no-active-writer
@@ -996,6 +1162,175 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
             s"dt=[${fragmented.mkString(",")}]: $b -> $a file(s)")
       }
     }
+  }
+
+  /** One batch's delta into the table's configured maintained indexes
+    * (`sink.index.text` / `sink.index.neardup` / `sink.index.ann`):
+    * the batch's rows projected exactly as the sink write projects
+    * them (payload decode, mongo mode, snapshot-override gating),
+    * reduced to the LATEST change per key by the same per-source
+    * recency order every keep-latest consumer uses
+    * ([[graft.ops.TimeTravel.defaultOrder]]), then applied as one
+    * generation per index: latest non-delete → upsert, latest delete →
+    * tombstone ([[graft.ops.TimeTravel.isTombstone]]). Text and
+    * near-dup indexes attach on the first delta (built empty, fed
+    * forever after); the ANN index attaches on the first batch
+    * carrying upserts — its codebook is trained from that batch's
+    * vectors (the CDC snapshot, exactly the corpus a frozen codebook
+    * should be cut from) and retrains stay the resize advisory's
+    * explicit job. An embedding that fails to parse (null / empty
+    * JSON array) is treated as that vector's DELETE — the row no
+    * longer has a searchable embedding, and leaving the previous
+    * posting live would serve stale vectors silently.
+    *
+    * Scale shape: one windowed keep-latest over the batch's rows
+    * (shuffle ∝ batch, keyed by the table's pk), then the index delta
+    * protocol's appends — nothing rewrites, nothing scans the index
+    * beyond its two currentGen footer reads.
+    */
+  private def applyIndexDeltas(key: String, spec: TableSpec,
+      frame: DataFrame): Unit = {
+    import graft.ops.TimeTravel
+    val pk = config.currentKeys(key).head // 1-column, checked at init
+    val dir = spec.sinkDir(config.sinkPath, config.sourceId)
+    val rows = frame.filter(col("_tbl_key") === key && col("_ddl").isNull)
+    val proj = config.mongoMode match {
+      case Some(mode) => graft.ops.MongoModes.project(rows, spec, mode)
+      case None => EnvelopeDecoder.payload(rows, spec, config.sourceType)
+    }
+    val gated = config.snapshotOverrides.get(key)
+      .map(SnapshotOverrides.applyTo(proj, _)).getOrElse(proj)
+    // keep-latest INCLUDING tombstones — TimeTravel.latest's kernel
+    // without the cutoff filter (a null-_ts row in warn mode must
+    // fold as the oldest change, not vanish)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pk))
+      .orderBy(TimeTravel.defaultOrder(config.sourceType)
+        .map(_.desc_nulls_last): _*)
+    val latest = gated.withColumn("_ix_rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_ix_rn") === 1)
+    val ups = latest.filter(!TimeTravel.isTombstone)
+    val dels = latest.filter(TimeTravel.isTombstone)
+      .select(col(pk).cast("long").as("doc_id"))
+    val hconf = spark.sessionState.newHadoopConf()
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    for (tcol <- config.indexText.get(key)) {
+      val idxDir = s"${dir}__textindex"
+      val docs = ups.select(col(pk).cast("long").as("doc_id"),
+        coalesce(col(tcol).cast("string"), lit("")).as("text"))
+      if (!exists(idxDir))
+        graft.ops.TextIndex.build(spark, docs.limit(0), idxDir,
+          termBuckets = config.indexTextBuckets)
+      val gen = graft.ops.TextIndex.applyDelta(spark, idxDir, docs, dels)
+      log.info(s"[${config.name}] text-index $key: delta gen=$gen")
+    }
+    for (tcol <- config.indexNeardup.get(key)) {
+      val idxDir = s"${dir}__neardup"
+      val docs = ups.select(col(pk).cast("long").as("doc_id"),
+        coalesce(col(tcol).cast("string"), lit("")).as("text"))
+      if (!exists(idxDir))
+        graft.ops.NeardupIndex.build(spark, docs.limit(0), idxDir)
+      val gen = graft.ops.NeardupIndex.applyDelta(spark, idxDir, docs, dels)
+      log.info(s"[${config.name}] neardup-index $key: delta gen=$gen")
+    }
+    for (vcol <- config.indexAnn.get(key)) {
+      val idxDir = s"${dir}__annindex"
+      // the batch frame belongs to the stream's CLONED session, whose
+      // function registry was copied at query start — the native dot
+      // expression must be registered THERE, or the first in-stream
+      // ANN delta fails resolution (AnnIndex registers on the session
+      // it is handed, which is the outer one)
+      graft.functions.VectorExpressions.ensureRegistered(
+        frame.sparkSession)
+      // the envelope's union decode tags non-scalar types as string,
+      // so the embedding arrives as a JSON array string; a typed
+      // array column from a non-envelope feed passes through the cast
+      val parsed = ups.schema(vcol).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          from_json(col(vcol), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))
+        case _ => col(vcol).cast("array<double>")
+      }
+      val vecs = ups.select(col(pk).cast("long").as("vec_id"),
+        parsed.as("e"))
+      val valid = vecs.filter(col("e").isNotNull && size(col("e")) > 0)
+      val annDels = dels.select(col("doc_id").as("vec_id"))
+        .union(vecs.filter(col("e").isNull || size(col("e")) === 0)
+          .select("vec_id"))
+      if (!exists(idxDir)) {
+        // attach on the first batch that carries vectors: train the
+        // frozen codebook from them (deletes need no delta — a key
+        // whose latest change is a DELETE never reaches `valid`)
+        valid.persist()
+        try if (!valid.isEmpty) {
+          val cb = graft.ops.AnnIndex.trainCodebook(spark, valid,
+            k = config.indexAnnK, iters = 10)
+          graft.ops.AnnIndex.build(spark, valid, cb, idxDir)
+          log.info(s"[${config.name}] ann-index $key: attached " +
+            s"(k=${config.indexAnnK})")
+        } else log.warn(s"[${config.name}] ann-index $key: no " +
+          "parseable vectors in this batch — attach deferred")
+        finally valid.unpersist()
+      } else {
+        val gen = graft.ops.AnnIndex.applyDelta(spark, idxDir, valid,
+          annDels)
+        log.info(s"[${config.name}] ann-index $key: delta gen=$gen")
+      }
+    }
+  }
+
+  /** Index-maintenance advisory record — the maintained-index analog
+    * of [[writeAdviceFile]], written on FULL current-table syncs when
+    * the one-call maintenance
+    * ([[graft.api.Graft.textIndexMaintenance]] and siblings) returns a
+    * verdict: `"advice":"index-maintenance"`, the index `kind`
+    * (text/ann/neardup), the verdict discriminator
+    * (compact-first/compact-deferred/resize), the exact call (inert —
+    * comment-prefixed — for deferred verdicts, by
+    * [[graft.api.Graft.CompactDeferred]]'s contract), and
+    * `approx_live_rows` so a fleet cron can order a wave
+    * largest-first without parsing the call string (−1 on resize
+    * verdicts: live rows are a compact-side measurement; compact
+    * verdicts carry the measured backlog numbers too). Same CONSUMER
+    * CONTRACT as the other advice flavors: records repeat while the
+    * condition persists — dedupe by (`table`, `advice`, `kind`).
+    */
+  private def writeIndexMaintenanceFile(root: String, tableKey: String,
+      indexKind: String, indexDir: String,
+      verdict: graft.api.Graft.Maintenance[_, _]): Unit = {
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    val numbers = verdict match {
+      case graft.api.Graft.CompactFirst(h) =>
+        s""""approx_live_rows":${h.stats.liveRows},""" +
+          s""""raw_rows":${h.stats.rawRows},""" +
+          s""""tombstone_rows":${h.stats.tombstoneRows},""" +
+          s""""reclaimable":${h.recommended},""" +
+          s""""dead_fraction":""" + String.format(java.util.Locale.ROOT,
+            "%.3f", Double.box(h.stats.deadFraction)) + ","
+      case graft.api.Graft.CompactDeferred(h) =>
+        s""""approx_live_rows":${h.stats.liveRows},""" +
+          s""""raw_rows":${h.stats.rawRows},""" +
+          s""""tombstone_rows":${h.stats.tombstoneRows},""" +
+          s""""reclaimable":${h.recommended},""" +
+          s""""dead_fraction":""" + String.format(java.util.Locale.ROOT,
+            "%.3f", Double.box(h.stats.deadFraction)) + ","
+      case _: graft.api.Graft.Resize[_, _] =>
+        s""""approx_live_rows":-1,"""
+    }
+    val json = s"""{"job_id":"${config.sourceId}",""" +
+      s""""job_name":"${config.name}","advice":"index-maintenance",""" +
+      s""""table":"$tableKey","kind":"$indexKind",""" +
+      s""""index_dir":"$indexDir",""" +
+      s""""verdict":"${verdict.kind}",""" + numbers +
+      s""""call":"${verdict.call.replace("\\", "\\\\")
+        .replace("\"", "\\\"")}",""" +
+      s""""timestamp":${System.currentTimeMillis()}}"""
+    hWrite(s"$root/dt=$today/${java.util.UUID.randomUUID()}.json", json)
   }
 
   /** Rebuild-advisory record for a zone-map bloom grid saturated by
