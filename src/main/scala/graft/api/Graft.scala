@@ -427,13 +427,24 @@ object Graft {
     val st = graft.ops.AnnIndex.loadStats(spark, dir,
       coincidenceTarget = targetRowsPerCentroid)
     graft.ops.AnnIndex.retrainAdvice(st, targetRowsPerCentroid).map { k =>
+      // a SAME-K verdict is the rebalance bet whose act-once-compare-
+      // stop rule is encoded in the index meta: the advised build
+      // carries this measurement's fingerprint, so the rebuilt index
+      // remembers what it acted on and a reproduced layout reads
+      // silent next window (AnnIndex.retrainAdvice's fixed point)
+      // instead of repeating the work order forever
+      val fp =
+        if (k == st.centroids)
+          s""", actedSameKFingerprint = Some("${
+            graft.ops.AnnIndex.fingerprintOf(st)}")"""
+        else ""
       IndexHealth(st, k,
         // iters has no default on trainCodebook — the advised call
         // must be runnable as written; 10 Lloyd rounds is the q63
         // fixture's converged depth, a sane maintenance default
         s"""val cb = AnnIndex.trainCodebook(spark, vectors, k = $k, """ +
           s"""iters = 10); """ +
-          s"""AnnIndex.build(spark, vectors, cb, "<fresh-dir>") """ +
+          s"""AnnIndex.build(spark, vectors, cb, "<fresh-dir>"$fp) """ +
           "// then point readers at <fresh-dir>")
     }
   }

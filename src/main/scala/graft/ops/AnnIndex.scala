@@ -60,14 +60,16 @@ object AnnIndex {
 
   /** The posting layout's BASE row shape as a read returns it
     * (partition column `cid` last, integer-inferred) — the
-    * [[IndexCompaction.readOrEmpty]] fallback that keeps a
+    * [[IndexCompaction.readOrEmpty]] fallback of last resort for a
     * fully-deleted-then-compacted index (postings dir with no `cid=`
-    * partitions) readable instead of bricking every later call on
-    * schema inference. Caller extras ride along only while actual
-    * posting files exist; in the zero-row fallback there is nothing
-    * to carry them, so a [[searchWhere]] predicate naming an extra
-    * column fails to resolve against a fully-emptied index — re-apply
-    * a delta (or rebuild) to restore the extras' schema.
+    * partitions), so it stays readable instead of bricking every
+    * later call on schema inference. Indexes built since the meta
+    * landed record their FULL as-read schema — caller extras
+    * included — as the `schema=` meta line ([[storedPostingsSchema]]),
+    * so a [[searchWhere]] predicate naming an extra column survives
+    * the empty excursion; only a LEGACY index (no `_meta.txt`) falls
+    * back to this base shape and loses its extras until a delta or
+    * rebuild restores them.
     */
   private[graft] val PostingsBaseSchema = StructType(Seq(
     StructField("vec_id", LongType),
@@ -75,9 +77,45 @@ object AnnIndex {
     StructField("nm", DoubleType), StructField("gen", LongType),
     StructField("cid", IntegerType)))
 
+  /** The postings-as-read schema recorded at [[build]] (`schema=` in
+    * `_meta.txt`): the written shape with the `cid` partition column
+    * re-appended last, exactly as a parquet read returns it. None for
+    * indexes built before the meta existed.
+    */
+  private[graft] def storedPostingsSchema(spark: SparkSession,
+      dir: String): Option[StructType] =
+    PointerDir.readMetaLines(spark, dir)
+      .flatMap(_.find(_.startsWith("schema=")))
+      .map(s => org.apache.spark.sql.types.DataType.fromJson(s.drop(7))
+        .asInstanceOf[StructType])
+
+  /** The [[LoadStats]] fingerprint of the last ACTED-ON same-k
+    * rebalance (`samekfp=` in `_meta.txt`, recorded by [[build]] when
+    * the rebuild call passes it through) — the act-once-compare-stop
+    * memory [[retrainAdvice]]'s fixed-point silence compares against.
+    * None when no same-k verdict was ever acted on (or the index
+    * predates the meta).
+    */
+  private[graft] def actedFingerprintOf(spark: SparkSession,
+      dir: String): Option[String] =
+    PointerDir.readMetaLines(spark, dir)
+      .flatMap(_.find(_.startsWith("samekfp=")).map(_.drop(8)))
+
+  /** The layout fingerprint the same-k stop rule compares: the four
+    * [[loadStats]] aggregates a same-k rebalance exists to change. A
+    * retrain that moved ANY of them was not futile (advice re-fires on
+    * fresh evidence); one that reproduced all four is the deterministic
+    * fixed point the cron must stop at.
+    */
+  def fingerprintOf(stats: LoadStats): String =
+    s"${stats.centroids}|${stats.postingRows}|${stats.p99Rows}|" +
+      s"${stats.maxRows}"
+
   private def postingRows(spark: SparkSession, dir: String): DataFrame =
     IndexCompaction.readOrEmpty(spark, postingsDir(dir),
-      PostingsBaseSchema)
+      // by-name: the stored-schema meta read costs nothing unless the
+      // layout is actually empty
+      storedPostingsSchema(spark, dir).getOrElse(PostingsBaseSchema))
 
   private def dot(a: Column, b: Column): Column =
     call_function(VectorExpressions.FnName, a, b)
@@ -183,14 +221,40 @@ object AnnIndex {
     * included, so a stale trash can't be healed back over the new
     * postings) every torn state fails LOUDLY on a missing dir; a
     * crash mid-build means re-run build.
+    *
+    * `actedSameKFingerprint`: when this build IS the act on a same-k
+    * rebalance verdict, pass the verdict's [[fingerprintOf]] (the
+    * advised call from `Graft.annIndexHealth` spells it out) — the new
+    * index then remembers the stats it was rebuilt FROM, and
+    * [[retrainAdvice]] goes silent if the rebuild reproduced them (the
+    * deterministic k-means fixed point), encoding the
+    * act-once-compare-stop cron rule instead of documenting it. Leave
+    * None for fresh builds and capacity grows/shrinks: the fingerprint
+    * pins the exact (k, rows, p99, max) tuple, so carrying a stale one
+    * would never misfire, but a build that is not an act has nothing
+    * to remember.
     */
   def build(spark: SparkSession, vectors: DataFrame, codebook: DataFrame,
-      dir: String): Unit = {
+      dir: String, actedSameKFingerprint: Option[String] = None): Unit = {
     val fs = new Path(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
     for (p <- Seq(centroidsDir(dir), postingsDir(dir), tombsDir(dir))
         ++ CompactStaging.all(postingsDir(dir)))
       fs.delete(new Path(p), true)
+    // meta BEFORE data (the TextIndex.build ordering): the as-read
+    // postings schema (written shape minus the partition column, with
+    // `cid` re-appended last as the read returns it) + the acted
+    // same-k fingerprint; a crash after the meta fails loudly on the
+    // missing data dirs, never pairs stale meta with new data (the
+    // old meta was for old data this build just deleted — hence
+    // written unconditionally, so no stale samekfp can survive)
+    val written = assigned(spark, vectors, codebook, 0L).schema
+    val asRead = StructType(
+      written.fields.filterNot(_.name == "cid").toSeq :+
+        StructField("cid", IntegerType))
+    PointerDir.writeMetaLines(spark, dir,
+      Seq(s"schema=${asRead.json}") ++
+        actedSameKFingerprint.map(fp => s"samekfp=$fp"))
     codebook.select(col("cid").cast("int"), col("ce").cast("array<double>"))
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(centroidsDir(dir))
@@ -397,7 +461,11 @@ object AnnIndex {
     */
   case class LoadStats(centroids: Int, postingRows: Long,
       meanRows: Double, p99Rows: Long, maxRows: Long,
-      p99TopVectorRows: Long = 0L, vetoMeasuredAt: Long = 0L)
+      p99TopVectorRows: Long = 0L, vetoMeasuredAt: Long = 0L,
+      /** [[actedFingerprintOf]]'s stored value, riding the stats so
+        * [[retrainAdvice]] stays a pure decision over one measurement.
+        */
+      actedFingerprint: Option[String] = None)
 
   /** Max cells tied at the p99 count whose wide `e` column the
     * coincidence-veto pass will read — see [[loadStats]].
@@ -463,7 +531,8 @@ object AnnIndex {
       }
     LoadStats(k, total, total.toDouble / math.max(1, k), p99,
       if (counts.isEmpty) 0L else counts.last, p99Top,
-      if (runVeto) coincidenceTarget else 0L)
+      if (runVeto) coincidenceTarget else 0L,
+      actedFingerprintOf(spark, dir))
   }
 
   /** Pure retrain decision over [[loadStats]] — the
@@ -504,9 +573,16 @@ object AnnIndex {
     * remains possible — NEAR-coincident load is splittable in
     * principle but a converged k-means may reproduce itself
     * ([[trainCodebook]] is deterministic) — and that case is only
-    * knowable by doing it once: the cron STOP RULE is to treat a
-    * REPEATED same-k verdict with unchanged [[loadStats]] as futile
-    * and leave it to a dashboard (spec-pinned fixed point).
+    * knowable by doing it once: act-once-compare-stop, ENCODED here
+    * rather than documented. A same-k rebuild that passes the
+    * verdict's [[fingerprintOf]] through [[build]]'s
+    * `actedSameKFingerprint` stamps the stats it acted on into the
+    * index meta; when the next measurement reproduces them
+    * (`stats.actedFingerprint` matches), the same-k arm is silent --
+    * the fixed point is a dashboard fact, not a repeating work order.
+    * A consumer that rebuilds WITHOUT the fingerprint keeps the old
+    * behavior (the verdict repeats); the advised call spells the
+    * fingerprint out precisely so the default act path remembers.
     */
   def retrainAdvice(stats: LoadStats,
       targetRowsPerCentroid: Long): Option[Int] = {
@@ -532,7 +608,21 @@ object AnnIndex {
       // the act-once-compare-stop rule bounds any futile retrain
       if (sameK && stats.vetoMeasuredAt == targetRowsPerCentroid &&
         2 * stats.p99TopVectorRows >= stats.p99Rows) None
-      else Some(cap(math.max(ideal, stats.centroids.toLong)))
+      else {
+        val rec = cap(math.max(ideal, stats.centroids.toLong))
+        // THE ACT-ONCE-COMPARE-STOP RULE, encoded: a same-k rebalance
+        // verdict whose stats MATCH the fingerprint recorded when one
+        // was last acted on ([[build]]'s actedSameKFingerprint) is the
+        // deterministic fixed point the scaladoc below describes —
+        // the retrain reproduced its own trigger, so re-advising it
+        // would send a cron in circles. Silence, like the coincidence
+        // veto; the comparison self-clears on ANY real change (churn
+        // moves postingRows, a compact moves it, a capacity grow
+        // changes k — all four aggregates are in the fingerprint).
+        if (rec == stats.centroids &&
+            stats.actedFingerprint.contains(fingerprintOf(stats))) None
+        else Some(rec)
+      }
     }
     else if (ideal * 2 <= stats.centroids) Some(cap(ideal))
     else None

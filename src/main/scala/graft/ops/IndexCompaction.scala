@@ -56,9 +56,13 @@ object IndexCompaction {
     * data entries; a MISSING dir still fails loudly through the normal
     * read — that is the torn-build state the builds' delete-data-first
     * ordering deliberately surfaces, not a valid empty index.
+    * `schema` is BY-NAME, evaluated only on the fallback path — a
+    * caller that resolves its declared shape from a sidecar meta file
+    * ([[AnnIndex]]'s stored extras schema) pays that read only when
+    * the layout is actually empty, never on the populated hot path.
     */
   private[graft] def readOrEmpty(spark: SparkSession, dir: String,
-      schema: StructType): DataFrame = {
+      schema: => StructType): DataFrame = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val exists = fs.exists(p)

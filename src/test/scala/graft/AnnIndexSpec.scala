@@ -348,8 +348,16 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(v1.recommended == 4 && v1.stats.p99TopVectorRows == 1L,
       s"same-k past the veto expected: $v1")
+    // the advised call carries THIS measurement's fingerprint — the
+    // act-once memory a verbatim consumer records for free
+    val fp1 = AnnIndex.fingerprintOf(v1.stats)
+    assert(v1.call.contains(
+        s"""actedSameKFingerprint = Some("$fp1")"""),
+      s"the same-k advised call must spell the fingerprint: ${v1.call}")
     val before = AnnIndex.loadStats(spark, dir3)
-    // act on it — the cron's first (and per the stop rule, last) try
+    // a FINGERPRINT-LESS rebuild (an operator's hand-rolled act): the
+    // deterministic k-means reproduces the stats and the verdict
+    // repeats — nothing remembered, nothing suppressed
     AnnIndex.build(spark, corpus2,
       AnnIndex.trainCodebook(spark, corpus2, 4, 10), dir3)
     val after = AnnIndex.loadStats(spark, dir3)
@@ -357,7 +365,24 @@ class AnnIndexSpec extends AnyFunSuite {
       s"unchanged corpus must be a retrain fixed point: $before vs $after")
     assert(Graft.annIndexMaintenance(spark, dir3, 10)
       .exists(_.isInstanceOf[Graft.Resize[_, _]]),
-      "the repeated verdict with unchanged stats IS the stop signal")
+      "a fingerprint-less rebuild keeps the repeating verdict")
+    // acting AS ADVISED — fingerprint through build — encodes the
+    // stop: the reproduced layout reads SILENT next window
+    AnnIndex.build(spark, corpus2,
+      AnnIndex.trainCodebook(spark, corpus2, 4, 10), dir3,
+      actedSameKFingerprint = Some(fp1))
+    assert(AnnIndex.loadStats(spark, dir3).actedFingerprint
+      .contains(fp1))
+    assert(Graft.annIndexMaintenance(spark, dir3, 10).isEmpty,
+      "the ACTED fixed point must read silent — act-once-compare-stop")
+    // ...and the silence self-clears on real change: one new posting
+    // moves the row counts, the fingerprint mismatches, and the
+    // same-k arm is live again (fresh evidence, fresh verdict)
+    AnnIndex.applyDelta(spark, dir3,
+      vecs(999L -> Seq(1.0, 0.00005, 0.0, 0.0)), vecs())
+    assert(Graft.annIndexMaintenance(spark, dir3, 10)
+      .exists(_.isInstanceOf[Graft.Resize[_, _]]),
+      "churn past the acted fingerprint must re-arm the verdict")
 
     // (d) the veto's COST GUARD: with more than VetoTieCells cells
     // tied at the p99 count, the wide-column pass is skipped

@@ -200,4 +200,40 @@ class IndexEmptyLayoutSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((4L, 3L)))
   }
+
+  test("ann index: caller extras survive the fully-emptied state via " +
+      "the stored schema; a meta-less legacy index keeps the " +
+      "documented base-shape fork") {
+    val dir = tmp()
+    val vecs = Seq((1L, Seq(1.0, 0.0), "en"), (2L, Seq(0.0, 1.0), "de"))
+      .toDF("vec_id", "e", "lang")
+    AnnIndex.build(spark, vecs, AnnIndex.seedCentroids(spark, vecs, 2), dir)
+    val q = Seq((9L, Seq(1.0, 0.0))).toDF("qid", "qe")
+    def hybrid() = AnnIndex.searchWhere(spark, dir, q, 2, 3,
+      col("lang") === "en").select("vec_id").as[Long].collect().toSet
+    assert(hybrid() == Set(1L))
+    // empty it out completely — the partitioned rewrite of zero rows
+    // leaves no cid= dirs, the exact state that used to drop extras
+    val noVecs = Seq.empty[(Long, Seq[Double], String)]
+      .toDF("vec_id", "e", "lang")
+    AnnIndex.applyDelta(spark, dir, noVecs, Seq(1L, 2L).toDF("vec_id"))
+    AnnIndex.compact(spark, dir)
+    // the hybrid predicate still RESOLVES (typed-empty from the
+    // stored schema) instead of AnalysisException-ing the serving path
+    assert(hybrid().isEmpty)
+    // and the extras ride repopulation unchanged
+    AnnIndex.applyDelta(spark, dir,
+      Seq((3L, Seq(0.9, 0.1), "en")).toDF("vec_id", "e", "lang"),
+      Seq.empty[Long].toDF("vec_id"))
+    assert(hybrid() == Set(3L))
+    // LEGACY (pre-meta) indexes: without the stored schema the
+    // fully-emptied fallback is the documented base shape — the
+    // hybrid predicate fails LOUDLY, never silently serves wrong
+    AnnIndex.applyDelta(spark, dir, noVecs, Seq(3L).toDF("vec_id"))
+    AnnIndex.compact(spark, dir)
+    val meta = new Path(s"$dir/_meta.txt")
+    meta.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(meta, false)
+    intercept[org.apache.spark.sql.AnalysisException] { hybrid() }
+  }
 }

@@ -103,12 +103,15 @@ class MaintenanceConvergenceFuzzSpec extends AnyFunSuite {
     import graft.ops.AnnIndex
     // the text loop converges unconditionally (hash splits are
     // statically decidable); the ANN same-k arm is a rebalance BET,
-    // so its cron protocol is act-once-compare-stop (the
-    // retrainAdvice stop rule, spec-pinned deterministically in
-    // AnnIndexSpec). This drives that WHOLE protocol — compact wins,
+    // whose act-once-compare-stop rule is now ENCODED in the engine
+    // (retrainAdvice's fingerprint silence — spec-pinned
+    // deterministically in AnnIndexSpec). This drives the WHOLE
+    // protocol exactly as the advised calls spell it — compact wins,
     // retrains acted on with trained codebooks over the live corpus,
-    // the stop rule applied verbatim — and requires it terminates:
-    // either stable silence or a stable detected fixed point
+    // same-k acts carrying their verdict's fingerprint into build —
+    // and requires it terminates in STABLE SILENCE: with the stop
+    // encoded, a cron pasting the calls needs no state of its own,
+    // and no verdict may ever repeat after being acted on
     for (seed <- Seq(7, 19, 31, 43)) {
       val rnd = new scala.util.Random(seed)
       val dir = tmp()
@@ -156,34 +159,31 @@ class MaintenanceConvergenceFuzzSpec extends AnyFunSuite {
           case Some(Graft.CompactFirst(_)) =>
             AnnIndex.compact(spark, dir)
           case Some(Graft.Resize(h)) =>
+            // the engine's encoded stop makes a repeated acted-on
+            // verdict impossible — a repeat here means the
+            // fingerprint was not honored
             val key = (h.recommended, h.stats)
-            if (prevResize.contains(key)) outcome = "fixed-point"
-            else {
-              prevResize = Some(key)
-              AnnIndex.build(spark, frame(state),
-                AnnIndex.trainCodebook(spark, frame(state),
-                  h.recommended, 5), dir)
-            }
+            assert(!prevResize.contains(key),
+              s"seed $seed: verdict repeated after being acted on: $key")
+            prevResize = Some(key)
+            AnnIndex.build(spark, frame(state),
+              AnnIndex.trainCodebook(spark, frame(state),
+                h.recommended, 5), dir,
+              actedSameKFingerprint =
+                if (h.recommended == h.stats.centroids)
+                  Some(AnnIndex.fingerprintOf(h.stats))
+                else None)
           case Some(d: Graft.CompactDeferred) =>
             fail(s"seed $seed: deferred verdict at floor 0: $d")
         }
         cycles += 1
       }
-      assert(outcome.nonEmpty,
-        s"seed $seed: ann maintenance protocol did not terminate in " +
-          s"8 cycles (last resize $prevResize)")
-      // terminal states are STABLE: silence stays silent; a detected
-      // fixed point reproduces the identical verdict (it really is
-      // one — not a race the stop rule happened to catch)
-      Graft.annIndexMaintenance(spark, dir, target) match {
-        case None => assert(outcome == "silent", s"seed $seed: $outcome")
-        case Some(Graft.Resize(h)) =>
-          assert(outcome == "fixed-point" &&
-            prevResize.contains((h.recommended, h.stats)),
-            s"seed $seed: unstable terminal verdict $h after $outcome")
-        case other =>
-          fail(s"seed $seed: unstable terminal verdict $other")
-      }
+      assert(outcome == "silent",
+        s"seed $seed: ann maintenance protocol did not reach silence " +
+          s"in 8 cycles (last resize $prevResize)")
+      // the terminal state is STABLE: silence stays silent
+      assert(Graft.annIndexMaintenance(spark, dir, target).isEmpty,
+        s"seed $seed: converged verdict must stay silent")
     }
   }
 }
