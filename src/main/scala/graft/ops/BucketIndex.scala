@@ -590,7 +590,12 @@ object BucketIndex {
         // from the recorded root schema. EXPRESSION-shaped, never an
         // early `return`: a non-local return would unwind straight
         // out of buildHealed and skip its post-build re-check — the
-        // guard that keeps a live swap's all-in-trash window loud
+        // guard that keeps a live swap's all-in-trash window loud.
+        // Like rawLookup's zero-bucket branch this trusts the BARE
+        // listing plus that post-check (one pre/post pair per call),
+        // not confirmedBuckets' re-list loop — the prepared readers'
+        // stronger guard is bought once per handle, too expensive to
+        // re-buy on every per-lookup call
         val sch = graft.streaming.CurrentTable
           .rootSchema(spark, currentDir)
           .getOrElse(graft.streaming.CurrentTable

@@ -32,10 +32,6 @@ object Probes {
     */
   val DefaultMaxRows: Long = 1000000L
 
-  /** `maxRows <= 0` disables the broadcast outright (Spark's
-    * `autoBroadcastJoinThreshold = -1` convention) — no count job,
-    * the frame joins unhinted.
-    */
   /** Typed empty frame — the ONE spelling behind every
     * "this state is legitimately empty, serve it typed" fallback
     * ([[IndexCompaction.readOrEmpty]]'s empty-layout reads,
@@ -48,6 +44,10 @@ object Probes {
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       schema)
 
+  /** `maxRows <= 0` disables the broadcast outright (Spark's
+    * `autoBroadcastJoinThreshold = -1` convention) — no count job,
+    * the frame joins unhinted.
+    */
   def broadcastIfSmall(df: DataFrame,
       maxRows: Long = DefaultMaxRows): DataFrame =
     if (maxRows <= 0) df

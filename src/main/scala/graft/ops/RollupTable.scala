@@ -232,10 +232,20 @@ object RollupTable {
       s"rollup '$name' already attached at $dir — detach it first")
     val cfs = new Path(currentDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // the ZERO-BUCKET state attaches fine — the `#schema` root line
+    // types the empty read, the spec validates against it, and the
+    // partials are trivially empty until the next sync maintains them
+    // (attach-then-populate is the natural provisioning order for a
+    // fresh fleet). Refused only on a PRE-SCHEMA root, where no
+    // schema exists to validate the spec against: there the remedy
+    // really is syncing data first.
     require(cfs.listStatus(new Path(currentDir))
-        .exists(_.getPath.getName.startsWith("kb=")),
-      s"current table at $currentDir holds no data yet — sync data " +
-        "before attaching (the spec is validated against a real schema)")
+        .exists(_.getPath.getName.startsWith("kb=")) ||
+        graft.streaming.CurrentTable.rootSchema(spark, currentDir)
+          .isDefined,
+      s"current table at $currentDir holds no data yet and records " +
+        "no schema (a pre-schema root) — sync data before attaching " +
+        "(the spec is validated against a real schema)")
     val live = graft.streaming.CurrentTable.read(spark, currentDir)
     requireCols(live.columns.toIndexedSeq, spec, "current table")
     PointerDir.publish(spark, dir, partialsOf(live, spec),

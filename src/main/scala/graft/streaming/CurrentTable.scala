@@ -1694,7 +1694,14 @@ object CurrentTable {
       if (existing.isEmpty) {
         // zero buckets = every key died and was pruned (a designed
         // state — empty buckets drop at swap): a point lookup on it
-        // is an ordinary miss, served typed from the recorded schema
+        // is an ordinary miss, served typed from the recorded schema.
+        // DELIBERATELY the bare listing, not confirmedBuckets' bounded
+        // re-list loop the prepared paths use: this is the per-call
+        // hot path, and the all-in-trash swap window the re-list
+        // guards against is already kept loud here by buildHealed's
+        // post-build residue re-check wrapping every lookup — one
+        // pre/post pair per call instead of re-list retries, the
+        // weaker-but-sufficient guard traded for per-call cost
         val sch = rootSchema(spark, currentDir)
           .getOrElse(refuseNoData(spark, fs, currentDir))
         checkProbeTypes(keys.schema, sch, pk)

@@ -120,4 +120,74 @@ class EvolvedReadSpec extends AnyFunSuite {
         Option(r.getString(2)))).toSet
     assert(thenRows == Set((1L, "alice", None), (2L, "bob2", None)))
   }
+
+  test("a fork whose current table emptied to ZERO BUCKETS serves " +
+      "typed-empty through every evolved reader instead of refusing") {
+    // the q134 zero-bucket discipline audited on the cross-fork
+    // surface: readRaw's error-class-gated fallback is the per-fork
+    // frame of readEvolved/lookupEvolved/evolvedReader, so a fork
+    // whose every key legitimately died (tombstones pruned, empty
+    // buckets dropped at swap) contributes typed emptiness to the
+    // union — pinned here so a rework of the merge rule cannot
+    // silently reintroduce the refusal
+    import graft.streaming.CurrentTable
+    val root = Files.createTempDirectory("graft-evz-").toString
+    def append(dir: String,
+        rows: Seq[(Long, String, String, Long)], dt: String): Unit =
+      rows.toDF("id", "name", "_op", "_ts")
+        .withColumn("_binlog_file_internal", lit("f1"))
+        .withColumn("_binlog_pos_internal", col("_ts"))
+        .withColumn("dt", lit(dt))
+        .coalesce(1).write.mode("append").partitionBy("dt")
+        .parquet(s"$root/$dir")
+    val base = s"$root/ez_db__ev"
+    val fork = s"$root/ez_db__ev_v20240701"
+    append("ez_db__ev", Seq(
+      (1L, "alice", "CREATE", 1000L), (2L, "bob", "CREATE", 2000L)),
+      "2024-06-01")
+    CurrentTable.sync(spark, base, s"${base}__current", Seq("id"),
+      buckets = 4)
+    // the fork introduces NEW keys only, then deletes them all — a
+    // fork deleting BASE keys must keep its tombstones (pruning is
+    // retention's job and retention drops the base rows with them)
+    append("ez_db__ev_v20240701", Seq(
+      (10L, "carol", "CREATE", 5000L), (11L, "dave", "CREATE", 6000L)),
+      "2024-07-02")
+    CurrentTable.sync(spark, fork, s"${fork}__current", Seq("id"),
+      buckets = 4)
+    append("ez_db__ev_v20240701", Seq(
+      (10L, "carol", "DELETE", 7000L), (11L, "dave", "DELETE", 8000L)),
+      "2024-07-03")
+    CurrentTable.sync(spark, fork, s"${fork}__current", Seq("id"))
+    CurrentTable.pruneTombstones(spark, s"${fork}__current",
+      Long.MaxValue)
+    assert(!new java.io.File(s"${fork}__current").listFiles()
+      .exists(_.getName.startsWith("kb=")), "fixture must be zero-bucket")
+    // the merged view is the base era exactly
+    val merged = CurrentTable.readEvolved(spark, root, "ez", "db", "ev",
+        Seq("id"))
+      .select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(merged == Set((1L, "alice"), (2L, "bob")))
+    // point lookups: a base key serves, a dead fork key misses
+    assert(CurrentTable.lookupEvolved(spark, root, "ez", "db", "ev",
+      Seq("id"), Seq(1L).toDF("id")).count() == 1)
+    assert(CurrentTable.lookupEvolved(spark, root, "ez", "db", "ev",
+      Seq("id"), Seq(10L).toDF("id")).isEmpty)
+    // the prepared cross-fork handle agrees
+    val r = CurrentTable.evolvedReader(spark, root, "ez", "db", "ev",
+      Seq("id"))
+    assert(r.lookup(Seq(1L, 10L).toDF("id")).count() == 1)
+    // ...and the BASE emptying to zero buckets serves the same way
+    // (the merge rule treats every fork's frame identically)
+    append("ez_db__ev", Seq(
+      (1L, "alice", "DELETE", 9000L), (2L, "bob", "DELETE", 9100L)),
+      "2024-06-02")
+    CurrentTable.sync(spark, base, s"${base}__current", Seq("id"))
+    CurrentTable.pruneTombstones(spark, s"${base}__current",
+      Long.MaxValue)
+    assert(CurrentTable.readEvolved(spark, root, "ez", "db", "ev",
+      Seq("id")).isEmpty)
+    assert(r.lookup(Seq(1L).toDF("id")).isEmpty)
+  }
 }

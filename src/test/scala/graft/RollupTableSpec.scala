@@ -300,6 +300,45 @@ class RollupTableSpec extends AnyFunSuite {
       s"got ${r.toSeq}")
   }
 
+  test("attach-then-populate: a ZERO-BUCKET table (q134's emptied " +
+      "state) attaches against its recorded schema, serves the empty " +
+      "rollup, and the next sync populates it") {
+    val sink = Files.createTempDirectory("graft-ru-").resolve("s").toString
+    val cur = Files.createTempDirectory("graft-ru-cur-").toString
+    // reach the zero-bucket state the q134 way: populate, delete
+    // everything, prune the tombstones past the horizon (empty
+    // buckets drop at swap — only the #schema root line remains)
+    append(sink, Seq(
+      (1L, "a", 1.0, "CREATE", 1000L), (2L, "b", 2.0, "CREATE", 1100L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"), buckets = 4)
+    append(sink, Seq(
+      (1L, "a", 1.0, "DELETE", 2000L), (2L, "b", 2.0, "DELETE", 2100L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    CurrentTable.pruneTombstones(spark, cur, Long.MaxValue)
+    assert(!new java.io.File(cur).listFiles()
+      .exists(_.getName.startsWith("kb=")), "fixture must be zero-bucket")
+    // attach on the emptied table: the spec validates against the
+    // recorded schema, the partials are trivially empty, reads serve
+    RollupTable.attach(spark, cur, "by_cat", spec)
+    assert(RollupTable.read(spark, cur, "by_cat").isEmpty)
+    assert(rolled(cur) == direct(cur))
+    // ...and a spec naming a column the schema DOESN'T have still
+    // fails the attach loudly (the validation really ran)
+    val bad = intercept[IllegalArgumentException] {
+      RollupTable.attach(spark, cur, "bad",
+        Spec(Seq("ghost"), Seq(Agg("count", "*", "n"))))
+    }
+    assert(bad.getMessage.contains("ghost"))
+    // repopulate through the ordinary sync: the attached rollup is
+    // maintained from its empty partials like any other
+    append(sink, Seq(
+      (3L, "a", 7.0, "CREATE", 3000L), (4L, "b", 9.0, "CREATE", 3100L)))
+    CurrentTable.sync(spark, sink, cur, Seq("id"))
+    assert(rolled(cur) == direct(cur))
+    assert(rolled(cur) == Set(
+      ("a", 1L, 7.0, 7.0, 7.0), ("b", 1L, 9.0, 9.0, 9.0)))
+  }
+
   test("a crashed attach (data written, meta never landed) is " +
       "invisible and re-attachable, never wedged") {
     val sink = Files.createTempDirectory("graft-ru-").resolve("s").toString
