@@ -38,7 +38,15 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     // sorted: Map iteration order varies with hashing, and run order
     // matters for first-run codegen/JIT costs — keep rounds comparable
+    // SPARK_GRAFT_ONLY=q132,q133 restricts the run to a named subset —
+    // the targeted-measurement lever for per-query A/Bs (a full suite
+    // run to time three lifecycle entries wastes ten minutes of box
+    // time per data point). Unset (the driver's run) = everything.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(o =>
+        o(q._1) || o(q._1.takeWhile(_ != '_'))))
     // untimed warm-up for EVERY query (round 19; previously only the
     // stateful lifecycle family got one): pass 1 of a never-executed
     // query absorbs its plan's one-time codegen/JIT, which read as

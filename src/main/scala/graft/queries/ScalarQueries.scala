@@ -1390,14 +1390,20 @@ object ScalarQueries {
         |FROM ranked WHERE rn = 1 AND user_id % 3 = 0
         |GROUP BY 1 ORDER BY event_type""".stripMargin) { (spark, dir) =>
       val work = QueryDef.tempWorkDir("graft-ct-q134-")
+      // seed ONLY the users the oracle reports (user_id % 3 = 0):
+      // per-user keep-latest is independent across users, so the
+      // other two thirds only ever inflated the h1 sync volume —
+      // the q132 job-count finding's data-side twin. 4 buckets for
+      // the third-sized corpus (8 was file overhead)
       val log = Tables(spark, dir).events
+        .filter(col("user_id") % 3 === 0)
         .select(col("user_id"), col("event_type"), col("value"),
           col("event_id"), unix_micros(col("ts")).as("_ts"),
           lit("UPDATE").as("_op"), lit("h1").as("dt"))
       val order = Some(Seq(col("_ts"), col("event_id")))
       log.write.mode("append").partitionBy("dt").parquet(s"$work/sink")
       graft.streaming.CurrentTable.sync(spark, s"$work/sink",
-        s"$work/cur", Seq("user_id"), buckets = 8,
+        s"$work/cur", Seq("user_id"), buckets = 4,
         orderOverride = order)
       // each user's LATEST event row — the delete wave and the
       // repopulation both derive from it so the oracle can too
@@ -1419,7 +1425,7 @@ object ScalarQueries {
       // count rides the output, hash-gated against the oracle's 0
       val emptyRows = graft.streaming.CurrentTable
         .read(spark, s"$work/cur").count()
-      latest.filter(col("user_id") % 3 === 0)
+      latest
         .withColumn("_op", lit("CREATE"))
         .withColumn("_ts", col("_ts") + lit(2000000000000L))
         .withColumn("dt", lit("h3"))

@@ -2212,10 +2212,11 @@ object TextQueries {
     // (doc_id % 4 <= 1, oracle CTE filtered identically — the gate's
     // arithmetic is corpus-size-independent, and the full corpus made
     // this lifecycle the suite's most expensive bench entry purely on
-    // small-file job overhead), rewrite the even half TWICE
+    // small-file job overhead), rewrite EVERY doc ONCE
     // (doubled text keeps each doc's DISTINCT term set, so the posting
-    // arithmetic is exact in SQL: raw = P + 2U, live = P, tombstones =
-    // 2 updated-doc rows), report the measured backlog stats and the
+    // arithmetic is exact in SQL: raw = 2P, live = P, tombstones =
+    // one row per doc — one wave, not r18's two: the lifecycle is
+    // job-count-bound), report the measured backlog stats and the
     // fired verdict, act on the advised in-place compact, and report
     // the folded stats + the re-measured silence. The ORACLE computes
     // every number from the documents table with the q111 tokenizer —
@@ -2227,22 +2228,18 @@ object TextQueries {
         |   len(list_distinct(string_split_regex(lower(trim(text)),
         |     '\s+'))) AS dt
         | FROM documents WHERE doc_id % 4 <= 1),
-        |p AS (SELECT CAST(COALESCE(sum(dt), 0) AS BIGINT) AS nr FROM d),
-        |u AS (SELECT CAST(count(*) AS BIGINT) AS docs,
-        |        CAST(COALESCE(sum(dt), 0) AS BIGINT) AS nr
-        |      FROM d WHERE doc_id % 2 = 0)
-        |SELECT p.nr + 2 * u.nr AS raw_rows, p.nr AS live_rows,
-        | 2 * u.docs AS tombstone_rows,
-        | CASE WHEN 2 * u.nr + 2 * u.docs > 0
-        |     AND 2 * u.nr + 2 * u.docs >= p.nr
-        |   THEN 2 * u.nr + 2 * u.docs ELSE CAST(0 AS BIGINT)
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS docs,
+        |        CAST(COALESCE(sum(dt), 0) AS BIGINT) AS nr FROM d)
+        |SELECT 2 * p.nr AS raw_rows, p.nr AS live_rows,
+        | p.docs AS tombstone_rows,
+        | CASE WHEN p.nr + p.docs > 0
+        |   THEN p.nr + p.docs ELSE CAST(0 AS BIGINT)
         |   END AS reclaimable,
-        | CAST(CASE WHEN 2 * u.nr + 2 * u.docs > 0
-        |     AND 2 * u.nr + 2 * u.docs >= p.nr
+        | CAST(CASE WHEN p.nr + p.docs > 0
         |   THEN 1 ELSE 0 END AS INTEGER) AS advised,
         | p.nr AS post_raw_rows, CAST(0 AS BIGINT) AS post_tombstones,
         | CAST(0 AS INTEGER) AS post_advised
-        |FROM p, u""".stripMargin) { (spark, dir) =>
+        |FROM p""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val docs = Tables(spark, dir).documents.select("doc_id", "text")
         .filter(col("doc_id") % 4 <= 1)
@@ -2253,10 +2250,17 @@ object TextQueries {
       // and the default 64 buckets would make this lifecycle's three
       // generations of writes mostly small-file overhead at test scale
       graft.ops.TextIndex.build(spark, docs, idxDir, termBuckets = 8)
-      val upserts = docs.filter(col("doc_id") % 2 === 0)
+      // ONE update wave over the whole slice (r19 ran two waves over
+      // its even half — the q132 job-count finding: this lifecycle is
+      // JOB-bound, so the gate is driven to the same >=2x verdict with
+      // half the delta jobs): every doc rewritten once with doubled
+      // text (distinct term set preserved, so the posting arithmetic
+      // stays exact in SQL) makes raw = 2P, tombstones = docs,
+      // backlog = P + docs >= live P — fires robustly, no threshold
+      // equality to tiptoe around
+      val upserts = docs
         .withColumn("text", concat(col("text"), lit(" "), col("text")))
       val noDeletes = docs.limit(0).select("doc_id")
-      graft.ops.TextIndex.applyDelta(spark, idxDir, upserts, noDeletes)
       graft.ops.TextIndex.applyDelta(spark, idxDir, upserts, noDeletes)
       // the MEASURED verdict, not a recomputation of its formula —
       // the oracle hash gates the measurement itself
@@ -2281,7 +2285,7 @@ object TextQueries {
     },
 
     // The PIPELINE-maintained inverted index (`sink.index.text`):
-    // half the corpus serialized as a Debezium-shaped envelope feed
+    // a quarter of the corpus serialized as a Debezium-shaped envelope feed
     // carrying CREATE rows plus DELETE rows for every 17th doc AT
     // LATER OFFSETS IN THE SAME BATCH, replayed through the REAL
     // streaming pipeline — which demuxes, writes the sink table,
@@ -2307,7 +2311,7 @@ object TextQueries {
           .mkString("\n        | + ")
         s"""WITH d AS (SELECT doc_id,
            |   string_split_regex(lower(trim(text)), '\\s+') AS t
-           | FROM documents WHERE doc_id % 2 = 0 AND doc_id % 17 <> 0),
+           | FROM documents WHERE doc_id % 4 = 0 AND doc_id % 17 <> 0),
            |f AS (SELECT doc_id, len(t) AS dl, $fs FROM d),
            |s AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl,
            |        $dfs FROM f)
@@ -2317,7 +2321,7 @@ object TextQueries {
       }) { (spark, dir) =>
       val work = QueryDef.tempWorkDir("graft-pix-q135-")
       val docs = Tables(spark, dir).documents
-        .filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+        .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
       // Debezium-shaped envelope lines via to_json (the text column
       // needs real JSON escaping); the DELETE rows ride the SAME
       // batch at later source offsets, so the pipeline's within-batch
@@ -2333,10 +2337,12 @@ object TextQueries {
           lit("b.000001").as("_binlog_file_internal"),
           (col("doc_id") * 2 + posOff).cast("string")
             .as("_binlog_pos_internal")))
+      // several feed files still land in ONE micro-batch (AvailableNow
+      // with no per-trigger file cap) — the write stays parallel
       docs.select(env("CREATE", 0, 0L).as("value"))
         .union(docs.filter(col("doc_id") % 17 === 0)
           .select(env("DELETE", 1, 1000L).as("value")))
-        .repartition(1).write.mode("overwrite").text(s"$work/feed")
+        .coalesce(8).write.mode("overwrite").text(s"$work/feed")
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -2348,6 +2354,7 @@ object TextQueries {
             graft.model.TableSpec("bench", "documents", schema))),
           s"$work/sink",
           currentKeys = Map("bench.documents" -> Seq("doc_id")),
+          currentBuckets = 4, // quarter-slice corpus; 16 would be files
           indexText = Map("bench.documents" -> "text"),
           // the q132 fanout rationale: scores are fanout-independent,
           // and 64 buckets would be small-file overhead at test scale

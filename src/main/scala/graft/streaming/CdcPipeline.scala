@@ -1207,9 +1207,16 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       .partitionBy(col(pk))
       .orderBy(TimeTravel.defaultOrder(config.sourceType)
         .map(_.desc_nulls_last): _*)
+    // persisted: every configured index kind derives upserts AND
+    // deletes from this frame, and each applyDelta is two-three write
+    // actions — without the pin, the payload from_json and the
+    // keep-latest shuffle re-run per action (measured ~6 recomputes
+    // for a text+ann pair)
     val latest = gated.withColumn("_ix_rn",
         org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("_ix_rn") === 1)
+      .persist()
+    try {
     val ups = latest.filter(!TimeTravel.isTombstone)
     val dels = latest.filter(TimeTravel.isTombstone)
       .select(col(pk).cast("long").as("doc_id"))
@@ -1282,6 +1289,7 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         log.info(s"[${config.name}] ann-index $key: delta gen=$gen")
       }
     }
+    } finally latest.unpersist()
   }
 
   /** Index-maintenance advisory record — the maintained-index analog
