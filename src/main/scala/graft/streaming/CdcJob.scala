@@ -670,6 +670,33 @@ object CdcJob {
         (if (stored.isDefined)
           " (stored offset applies via checkpoint recovery, not feed seek)"
         else ""))
+    // REWIND over maintained indexes: an explicit startup position
+    // (earliest / offset / timestamp, effective only when no stored
+    // offset wins) re-delivers old events in NEW batch boundaries, so
+    // the replay fingerprints never skip them and the index delta
+    // protocol's gen-ordered kills serve the re-delivered STALE
+    // content (the current table's (_ts, offset) fold is immune).
+    // Contract: rebuild the configured indexes from the current table
+    // after a rewind — warn loudly at the point the operator made the
+    // choice, since the pipeline cannot tell a rewound event from a
+    // fresh one.
+    val indexedKinds = Seq(
+      "sink.index.text" -> config.indexText,
+      "sink.index.neardup" -> config.indexNeardup,
+      "sink.index.ann" -> config.indexAnn).filter(_._2.nonEmpty)
+    val explicitRewind = stored.isEmpty &&
+      (cfg.get("startup.mode").map(_.trim.toLowerCase)
+        .contains("earliest") ||
+        cfg.contains("startup.offset") ||
+        cfg.contains("startup.timestamp"))
+    if (explicitRewind && indexedKinds.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"[${config.name}] explicit startup position with " +
+          s"maintained indexes configured (${indexedKinds.map(_._1)
+            .mkString(", ")}): if the sink already holds these events, " +
+          "re-delivered old changes will land at newer index " +
+          "generations and serve stale content — rebuild each index " +
+          "from its current table after the rewind")
 
     // Snapshot-then-stream (the reference's default startup,
     // `MySQLStreamer.java:269-291`): with a configured live JDBC

@@ -462,7 +462,13 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         s"$cfgKey for $key needs a SINGLE-column sink.current.keys " +
           s"(got ${pk.mkString(", ")}) — the index posting id is one " +
           "long key")
-      val keyField = spec.schema.fields.find(_.name == pk.head)
+      // resolve case-insensitively: Spark's analyzer resolves column
+      // references that way, and CdcJob's friendly validator already
+      // does (a case-only mismatch here would refuse a config the
+      // file validator just blessed — or, worse, SKIP the integral
+      // check below and let every posting id cast to null at runtime)
+      val keyField = spec.schema.fields
+        .find(_.name.equalsIgnoreCase(pk.head))
       val integral = keyField.exists(f =>
         f.dataType == org.apache.spark.sql.types.IntegerType ||
           f.dataType == org.apache.spark.sql.types.LongType)
@@ -471,10 +477,26 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
           s"$cfgKey for $key: key column ${pk.head} is " +
             s"${keyField.get.dataType.simpleString}, not integral — " +
             "the index posting id must cast to long losslessly")
-      if (!spec.schema.fields.exists(_.name == column))
+      val colField = spec.schema.fields
+        .find(_.name.equalsIgnoreCase(column))
+      if (colField.isEmpty)
         throw new IllegalArgumentException(
           s"$cfgKey for $key: no column '$column' in the table schema " +
             s"(${spec.schema.fields.map(_.name).mkString(", ")})")
+      // the ANN delta parses a string column as a JSON array (the
+      // envelope's union decode tags non-scalar types as string) and
+      // CASTS anything else to array<double> — a scalar-typed column
+      // fails that cast with an AnalysisException at the FIRST batch,
+      // which is exactly the crash-loop this block exists to prevent
+      if (cfgKey == "sink.index.ann") colField.get.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+        case org.apache.spark.sql.types.ArrayType(et, _)
+            if et.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        case other => throw new IllegalArgumentException(
+          s"$cfgKey for $key: column '$column' is " +
+            s"${other.simpleString} — the embedding column must be a " +
+            "JSON-array string or a numeric array")
+      }
     }
   }
 
@@ -811,13 +833,21 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       if (!replayed && !config.dryRun) {
         // Maintained-index deltas BEFORE the commit marker (data, not
         // bookkeeping): a crash between a delta and the marker replays
-        // the whole batch, and the index delta protocol converges
-        // under re-application (generation-stamped tombstones,
-        // strictly-older kills) — at-least-once, the same residual the
-        // sink's own marker window has, never a silently-lost delta
-        // (deltas AFTER the marker would be at-MOST-once: a crash
-        // between them loses the batch's index changes forever, since
-        // the replay skips committed batches).
+        // the whole batch IDENTICALLY (same offsets, same fingerprint)
+        // and re-applying the same content converges — at-least-once,
+        // the same residual the sink's own marker window has, never a
+        // silently-lost delta (deltas AFTER the marker would be
+        // at-MOST-once: a crash between them loses the batch's index
+        // changes forever, since the replay skips committed batches).
+        // What does NOT converge: a boundary-shifted redelivery of OLD
+        // events (an operator rewind — explicit startup position over
+        // an existing index) lands them at a NEWER generation, and the
+        // index's gen-ordered kills serve the stale content while the
+        // current table's (_ts, offset) fold correctly ignores it.
+        // The operational contract (CdcJob warns at startup
+        // resolution): a rewind over existing index dirs requires an
+        // index rebuild from the current table — the same rule every
+        // log-compacted downstream of an at-least-once stream has.
         for (key <- present.intersect(config.indexedTables);
             spec <- routed.get(key))
           applyIndexDeltas(key, spec, frame)
@@ -863,10 +893,51 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
             val scope = if (fullSynced(key) && !cadenceDue)
               Some(tblDts.getOrElse(key, Nil).map(d => s"dt=$d"))
             else None
-            val (nf, nbk) = CurrentTable.sync(spark, dir,
-              s"${dir}__current", pk, config.sourceType,
-              buckets = config.currentBuckets, scope = scope,
-              orderBy = config.currentOrderBy.getOrElse(key, Nil))
+            def doSync(sc: Option[Seq[String]]): (Int, Int) =
+              CurrentTable.sync(spark, dir,
+                s"${dir}__current", pk, config.sourceType,
+                buckets = config.currentBuckets, scope = sc,
+                orderBy = config.currentOrderBy.getOrElse(key, Nil))
+            // A CADENCE full sync on an INDEXED table runs SPLIT: the
+            // scoped pass folds the batch's own files first, so
+            // whatever the full listing then folds is OUT-OF-BAND
+            // content (a backfill written straight into the sink dir)
+            // — rows the current table just absorbed but the
+            // maintained indexes, fed only from live batch frames,
+            // never saw and will never see. Detection costs one extra
+            // scoped listing per cadence; the advisory (same status
+            // store, `advice:index-content-drift`) names the rebuild
+            // because no delta can repair content the stream never
+            // carried. First-run full syncs stay unsplit: leftover
+            // files there are usually the crash window's own batch
+            // files, not out-of-band content, and flagging those
+            // would cry wolf on every recovery.
+            val (nf, nbk) =
+              if (scope.isEmpty && fullSynced(key) &&
+                  config.indexedTables.contains(key)) {
+                val (a1, b1) =
+                  doSync(Some(tblDts.getOrElse(key, Nil).map(d => s"dt=$d")))
+                val (a2, b2) = doSync(None)
+                if (a2 > 0) {
+                  org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                    s"[${config.name}] current-table $key: cadence " +
+                      s"sync folded $a2 OUT-OF-BAND file(s) the " +
+                      "maintained indexes never saw — rebuild them " +
+                      "from the current table")
+                  for (store <- config.statusStorePath) {
+                    if (config.indexText.contains(key))
+                      writeIndexDriftFile(store, key, "text",
+                        s"${dir}__textindex", s"${dir}__current", a2)
+                    if (config.indexNeardup.contains(key))
+                      writeIndexDriftFile(store, key, "neardup",
+                        s"${dir}__neardup", s"${dir}__current", a2)
+                    if (config.indexAnn.contains(key))
+                      writeIndexDriftFile(store, key, "ann",
+                        s"${dir}__annindex", s"${dir}__current", a2)
+                  }
+                }
+                (a1 + a2, b1 + b2)
+              } else doSync(scope)
             fullSynced += key
             scopedSyncs(key) =
               if (scope.isEmpty) 0 else scopedSyncs.getOrElse(key, 0) + 1
@@ -1191,18 +1262,31 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
   private def applyIndexDeltas(key: String, spec: TableSpec,
       frame: DataFrame): Unit = {
     import graft.ops.TimeTravel
-    val pk = config.currentKeys(key).head // 1-column, checked at init
+    // canonicalize configured names to the SCHEMA's casing: the
+    // payload projection emits the schema's spelling, construction
+    // validation resolves case-insensitively (Spark's convention),
+    // and the exact-match StructType lookup below would throw on a
+    // case-only difference validation just accepted
+    def canon(n: String): String = spec.schema.fields.map(_.name)
+      .find(_.equalsIgnoreCase(n)).getOrElse(n)
+    val pk = canon(config.currentKeys(key).head) // 1-col, checked at init
     val dir = spec.sinkDir(config.sinkPath, config.sourceId)
     val rows = frame.filter(col("_tbl_key") === key && col("_ddl").isNull)
     val proj = config.mongoMode match {
       case Some(mode) => graft.ops.MongoModes.project(rows, spec, mode)
       case None => EnvelopeDecoder.payload(rows, spec, config.sourceType)
     }
-    val gated = config.snapshotOverrides.get(key)
+    val gated0 = config.snapshotOverrides.get(key)
       .map(SnapshotOverrides.applyTo(proj, _)).getOrElse(proj)
+    // null-_ts rows (warn-mode quarantine — an unparseable timestamp)
+    // are DROPPED, exactly as CurrentTable.sync's fold drops them
+    // (TimeTravel.latest's `_ts <= cutoff` is null-hostile by design):
+    // the index is the current table's sidecar, and folding a
+    // quarantined change here would make it serve a doc the table
+    // never has (or tombstone one it keeps) with nothing ever
+    // re-converging them
+    val gated = gated0.filter(col("_ts").isNotNull)
     // keep-latest INCLUDING tombstones — TimeTravel.latest's kernel
-    // without the cutoff filter (a null-_ts row in warn mode must
-    // fold as the oldest change, not vanish)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(pk))
       .orderBy(TimeTravel.defaultOrder(config.sourceType)
@@ -1226,7 +1310,7 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       hp.getFileSystem(hconf).exists(hp)
     }
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    for (tcol <- config.indexText.get(key)) {
+    for (tcol0 <- config.indexText.get(key); tcol = canon(tcol0)) {
       val idxDir = s"${dir}__textindex"
       val docs = ups.select(col(pk).cast("long").as("doc_id"),
         coalesce(col(tcol).cast("string"), lit("")).as("text"))
@@ -1236,7 +1320,7 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       val gen = graft.ops.TextIndex.applyDelta(spark, idxDir, docs, dels)
       log.info(s"[${config.name}] text-index $key: delta gen=$gen")
     }
-    for (tcol <- config.indexNeardup.get(key)) {
+    for (tcol0 <- config.indexNeardup.get(key); tcol = canon(tcol0)) {
       val idxDir = s"${dir}__neardup"
       val docs = ups.select(col(pk).cast("long").as("doc_id"),
         coalesce(col(tcol).cast("string"), lit("")).as("text"))
@@ -1245,7 +1329,7 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       val gen = graft.ops.NeardupIndex.applyDelta(spark, idxDir, docs, dels)
       log.info(s"[${config.name}] neardup-index $key: delta gen=$gen")
     }
-    for (vcol <- config.indexAnn.get(key)) {
+    for (vcol0 <- config.indexAnn.get(key); vcol = canon(vcol0)) {
       val idxDir = s"${dir}__annindex"
       // the batch frame belongs to the stream's CLONED session, whose
       // function registry was copied at query start — the native dot
@@ -1312,21 +1396,20 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       indexKind: String, indexDir: String,
       verdict: graft.api.Graft.Maintenance[_, _]): Unit = {
     val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    // ONE fragment renderer for both compact verdicts — fired and
+    // deferred records must never fork shape, or consumers deduping
+    // across the two verdict kinds break on the next field added
+    def compactNumbers(h: graft.api.Graft.IndexHealth[
+        graft.ops.IndexCompaction.CompactStats, Long]): String =
+      s""""approx_live_rows":${h.stats.liveRows},""" +
+        s""""raw_rows":${h.stats.rawRows},""" +
+        s""""tombstone_rows":${h.stats.tombstoneRows},""" +
+        s""""reclaimable":${h.recommended},""" +
+        s""""dead_fraction":""" + String.format(java.util.Locale.ROOT,
+          "%.3f", Double.box(h.stats.deadFraction)) + ","
     val numbers = verdict match {
-      case graft.api.Graft.CompactFirst(h) =>
-        s""""approx_live_rows":${h.stats.liveRows},""" +
-          s""""raw_rows":${h.stats.rawRows},""" +
-          s""""tombstone_rows":${h.stats.tombstoneRows},""" +
-          s""""reclaimable":${h.recommended},""" +
-          s""""dead_fraction":""" + String.format(java.util.Locale.ROOT,
-            "%.3f", Double.box(h.stats.deadFraction)) + ","
-      case graft.api.Graft.CompactDeferred(h) =>
-        s""""approx_live_rows":${h.stats.liveRows},""" +
-          s""""raw_rows":${h.stats.rawRows},""" +
-          s""""tombstone_rows":${h.stats.tombstoneRows},""" +
-          s""""reclaimable":${h.recommended},""" +
-          s""""dead_fraction":""" + String.format(java.util.Locale.ROOT,
-            "%.3f", Double.box(h.stats.deadFraction)) + ","
+      case graft.api.Graft.CompactFirst(h) => compactNumbers(h)
+      case graft.api.Graft.CompactDeferred(h) => compactNumbers(h)
       case _: graft.api.Graft.Resize[_, _] =>
         s""""approx_live_rows":-1,"""
     }
@@ -1337,6 +1420,42 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       s""""verdict":"${verdict.kind}",""" + numbers +
       s""""call":"${verdict.call.replace("\\", "\\\\")
         .replace("\"", "\\\"")}",""" +
+      s""""timestamp":${System.currentTimeMillis()}}"""
+    hWrite(s"$root/dt=$today/${java.util.UUID.randomUUID()}.json", json)
+  }
+
+  /** Content-drift advisory for a maintained index: a cadence full
+    * sync folded sink files that arrived OUT-OF-BAND (a backfill
+    * written straight to the sink dir), so the current table has rows
+    * the batch-fed index never saw. No delta can repair content the
+    * stream never carried — the record names the rebuild-from-table,
+    * the only converging action. Same store, dt-layout and CONSUMER
+    * CONTRACT as the other advice flavors (repeats once per cadence
+    * sync that folds out-of-band files; dedupe by (`table`, `advice`,
+    * `kind`)).
+    */
+  private def writeIndexDriftFile(root: String, tableKey: String,
+      indexKind: String, indexDir: String, currentDir: String,
+      outOfBandFiles: Long): Unit = {
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    val call = indexKind match {
+      case "text" => s"TextIndex.build(spark, docs, \\\"$indexDir\\\", " +
+        s"termBuckets = ${config.indexTextBuckets}) // docs = " +
+        s"CurrentTable.read(spark, \\\"$currentDir\\\") as (doc_id, text)"
+      case "neardup" => s"NeardupIndex.build(spark, docs, " +
+        s"\\\"$indexDir\\\") // docs = CurrentTable.read(spark, " +
+        s"\\\"$currentDir\\\") as (doc_id, text)"
+      case _ => s"AnnIndex.build(spark, vecs, AnnIndex.trainCodebook(" +
+        s"spark, vecs, k = ${config.indexAnnK}, iters = 10), " +
+        s"\\\"$indexDir\\\") // vecs = CurrentTable.read(spark, " +
+        s"\\\"$currentDir\\\") as (vec_id, e)"
+    }
+    val json = s"""{"job_id":"${config.sourceId}",""" +
+      s""""job_name":"${config.name}","advice":"index-content-drift",""" +
+      s""""table":"$tableKey","kind":"$indexKind",""" +
+      s""""index_dir":"$indexDir","current_dir":"$currentDir",""" +
+      s""""out_of_band_files":$outOfBandFiles,""" +
+      s""""call":"$call",""" +
       s""""timestamp":${System.currentTimeMillis()}}"""
     hWrite(s"$root/dt=$today/${java.util.UUID.randomUUID()}.json", json)
   }

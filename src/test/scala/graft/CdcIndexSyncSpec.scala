@@ -285,5 +285,164 @@ class CdcIndexSyncSpec extends AnyFunSuite {
         "sink.index.text" -> """{"testdb.docs": "body"}"""))
     }
     assert(e6.getMessage.contains("not integral"))
+    // sink.index.ann refuses a scalar-typed embedding column at
+    // construction — the delta's cast would AnalysisException on the
+    // FIRST batch otherwise, the exact crash-loop validation exists
+    // to prevent
+    val scalarReg = TableRegistry(Seq(TableSpec("testdb", "vecs",
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("emb", DoubleType))))))
+    val e7 = intercept[IllegalArgumentException] {
+      new CdcPipeline(spark, CdcConfig("ix5b", scalarReg, out.toString,
+        currentKeys = Map("testdb.vecs" -> Seq("vec_id")),
+        indexAnn = Map("testdb.vecs" -> "emb")))
+    }
+    assert(e7.getMessage.contains("numeric array"), e7.getMessage)
+    // ...but a typed numeric-array column passes (non-envelope feeds
+    // deliver it already parsed; the delta casts, never from_jsons)
+    val arrReg = TableRegistry(Seq(TableSpec("testdb", "vecs",
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("emb", ArrayType(FloatType)))))))
+    new CdcPipeline(spark, CdcConfig("ix5c", arrReg, out.toString,
+      currentKeys = Map("testdb.vecs" -> Seq("vec_id")),
+      indexAnn = Map("testdb.vecs" -> "emb")))
+    // validation resolves names CASE-INSENSITIVELY, like Spark's own
+    // analyzer and CdcJob's file validator: a case-only difference in
+    // the key must still run the integral check (a silently-skipped
+    // check here means every posting id casts to null at runtime)
+    new CdcPipeline(spark, CdcConfig("ix5d", registry, out.toString,
+      currentKeys = Map("testdb.docs" -> Seq("DOC_ID")),
+      indexText = Map("testdb.docs" -> "BODY")))
+    val e8 = intercept[IllegalArgumentException] {
+      new CdcPipeline(spark, CdcConfig("ix5e", registry, out.toString,
+        currentKeys = Map("testdb.docs" -> Seq("BODY")),
+        indexText = Map("testdb.docs" -> "body")))
+    }
+    assert(e8.getMessage.contains("not integral"), e8.getMessage)
+  }
+
+  test("a case-only config spelling of the indexed column still " +
+      "feeds the index (canonicalized to the schema's casing)") {
+    val in = tmp(); val out = tmp(); val ck = tmp()
+    docsFeed(in)
+    new CdcPipeline(spark, CdcConfig("ix6", registry, out.toString,
+        currentKeys = Map("testdb.docs" -> Seq("doc_id")),
+        indexText = Map("testdb.docs" -> "BODY")))
+      .runAvailableNow(in.toString, ck.resolve("c").toString)
+    val got = scores(graft.ops.TextIndex.search(spark,
+      s"$out/ix6_testdb__docs__textindex", terms))
+    val want = scores(Graft.bm25(liveCorpus, terms))
+    assert(got == want, s"index $got vs kernel $want")
+  }
+
+  test("null-_ts changes are quarantined from the index exactly as " +
+      "the current table's fold quarantines them") {
+    val in = tmp(); val out = tmp(); val ck = tmp()
+    // _ts:null — the warn-mode quarantine shape (unparseable source
+    // timestamp): CurrentTable.sync's fold drops these rows, so the
+    // index must too, or it serves docs the table never has
+    def nullTsDoc(op: String, id: Long, body: String, pos: Long): String =
+      s"""{"_op":"$op","_ts":null,"_db":"testdb","_tbl":"docs",""" +
+        s""""doc_id":{"long":$id},"body":{"string":"$body"},""" +
+        s""""_binlog_file":"mysql-bin.000001","_binlog_pos_end":"$pos",""" +
+        s""""_binlog_file_internal":"mysql-bin.000001",""" +
+        s""""_binlog_pos_internal":"$pos"}"""
+    write(in, "00-snapshot.jsonl", Seq(
+      doc("READ", 1L, "the quick brown fox", 1700000000000L, 0),
+      doc("READ", 2L, "dog dog dog", 1700000000000L, 0)))
+    write(in, "01-changes.jsonl", Seq(
+      nullTsDoc("UPDATE", 1L, "spark spark rewritten", 100),
+      nullTsDoc("CREATE", 7L, "a quarantined spark doc", 200),
+      doc("CREATE", 8L, "a well formed spark doc", 1700000100000L, 300)))
+    new CdcPipeline(spark, CdcConfig("ix7", registry, out.toString,
+        currentKeys = Map("testdb.docs" -> Seq("doc_id")),
+        indexText = Map("testdb.docs" -> "body")))
+      .runAvailableNow(in.toString, ck.resolve("c").toString)
+    // the current table's view: doc 1 KEEPS its snapshot text, doc 7
+    // never lands, doc 8 lands — and the index serves exactly that
+    val cur = graft.streaming.CurrentTable
+      .read(spark, s"$out/ix7_testdb__docs__current")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cur == Set(1L, 2L, 8L), s"current table keys: $cur")
+    val got = scores(graft.ops.TextIndex.search(spark,
+      s"$out/ix7_testdb__docs__textindex", terms))
+    val want = scores(Graft.bm25(Seq(
+      (1L, "the quick brown fox"), (2L, "dog dog dog"),
+      (8L, "a well formed spark doc")).toDF("doc_id", "text"), terms))
+    assert(got == want, s"index $got vs kernel $want")
+  }
+
+  test("a cadence full sync flags out-of-band sink rows the index " +
+      "never saw (advice:index-content-drift)") {
+    val in = tmp(); val out = tmp(); val ck = tmp(); val st = tmp()
+    write(in, "00-snapshot.jsonl", Seq(
+      doc("READ", 1L, "the quick brown fox", 1700000000000L, 0),
+      doc("READ", 2L, "dog dog dog", 1700000000000L, 0)))
+    val pipeline = new CdcPipeline(spark, CdcConfig("ix8", registry,
+      out.toString, statusStorePath = Some(st.toString),
+      currentKeys = Map("testdb.docs" -> Seq("doc_id")),
+      currentFullsyncBatches = 1, // every later sync takes the cadence
+      indexText = Map("testdb.docs" -> "body")))
+    val q = pipeline.start(in.toString, ck.resolve("c").toString,
+      org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("500 milliseconds"),
+      maxFilesPerTrigger = Some(1))
+    try {
+      val sinkDir = s"$out/ix8_testdb__docs"
+      def waitFor(what: String)(cond: => Boolean): Unit = {
+        val deadline = System.currentTimeMillis() + 120000L
+        while (!cond) {
+          if (System.currentTimeMillis() > deadline)
+            fail(s"timed out waiting for $what")
+          Thread.sleep(250L)
+        }
+      }
+      val fs = new org.apache.hadoop.fs.Path(out.toString)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      // batch 1 (the snapshot file) fully processed: current table up
+      waitFor("first sync")(
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"${sinkDir}__current/_cursor")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(s"${sinkDir}__current")))
+      waitFor("first table rows")(
+        try graft.streaming.CurrentTable
+          .read(spark, s"${sinkDir}__current").count() == 2
+        catch { case _: Exception => false })
+      // OUT-OF-BAND backfill: a sink-shaped file written straight to
+      // the table dir, in a dt partition no feed batch will claim —
+      // cloned from a real sink row so the shape always matches
+      val template = spark.read.option("basePath", sinkDir)
+        .parquet(sinkDir)
+      template.withColumn("doc_id", lit(99L))
+        .withColumn("body", lit("backfilled quick doc"))
+        .withColumn("_ts", lit(1500000000000L))
+        .limit(1)
+        .withColumn("dt", lit("2017-07-14"))
+        .write.partitionBy("dt").mode("append").parquet(sinkDir)
+      // second feed file -> batch 2: its sync is cadence-due and must
+      // run SPLIT, folding the backfill in the full pass and flagging
+      // it as content the index never saw
+      write(in, "01-changes.jsonl", Seq(
+        doc("CREATE", 8L, "a well formed spark doc",
+          1700000100000L, 300)))
+      waitFor("drift advisory")(
+        try spark.read.json(s"$st/dt=*")
+          .filter(col("advice") === "index-content-drift").count() > 0
+        catch { case _: Exception => false })
+    } finally q.stop()
+    val rec = spark.read.json(s"$st/dt=*")
+      .filter(col("advice") === "index-content-drift").collect().head
+    assert(rec.getAs[String]("table") == "testdb.docs")
+    assert(rec.getAs[String]("kind") == "text")
+    assert(rec.getAs[Long]("out_of_band_files") >= 1L)
+    assert(rec.getAs[String]("call").contains("TextIndex.build"))
+    // the divergence the advisory names, shown directly: the current
+    // table HAS the backfilled doc, the index does not
+    assert(graft.streaming.CurrentTable
+      .read(spark, s"$out/ix8_testdb__docs__current")
+      .filter(col("doc_id") === 99L).count() == 1)
+    assert(graft.ops.TextIndex.search(spark,
+        s"$out/ix8_testdb__docs__textindex", Seq("backfilled"))
+      .filter(col("doc_id") === 99L).count() == 0)
   }
 }
