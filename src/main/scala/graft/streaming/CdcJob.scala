@@ -453,6 +453,16 @@ object CdcJob {
             "one long key")
       val schema = registry.routed(routeKey).schema
       val keyField = schema.fields.find(_.name.equalsIgnoreCase(pk.head))
+      // same refusal the pipeline's construction check makes: a key
+      // column absent from the schema crash-loops resolution at the
+      // first batch — except mongo's `_id`, synthesized by the mode
+      // projection outside the declared schema
+      if (keyField.isEmpty &&
+          !(cfg.get("source.type").contains("mongodb") &&
+            pk.head.equalsIgnoreCase("_id")))
+        throw new IllegalArgumentException(
+          s"$cfgKey for $k: key column ${pk.head} is not in the " +
+            s"table schema (${schema.fieldNames.mkString(", ")})")
       for (f <- keyField
           if f.dataType != org.apache.spark.sql.types.IntegerType &&
             f.dataType != org.apache.spark.sql.types.LongType)
@@ -671,20 +681,30 @@ object CdcJob {
           " (stored offset applies via checkpoint recovery, not feed seek)"
         else ""))
     // REWIND over maintained indexes: an explicit startup position
-    // (earliest / offset / timestamp, effective only when no stored
-    // offset wins) re-delivers old events in NEW batch boundaries, so
-    // the replay fingerprints never skip them and the index delta
-    // protocol's gen-ordered kills serve the re-delivered STALE
-    // content (the current table's (_ts, offset) fold is immune).
-    // Contract: rebuild the configured indexes from the current table
-    // after a rewind — warn loudly at the point the operator made the
-    // choice, since the pipeline cannot tell a rewound event from a
-    // fresh one.
+    // (earliest / offset / timestamp) re-delivers old events in NEW
+    // batch boundaries, so the replay fingerprints never skip them
+    // and the index delta protocol's gen-ordered kills serve the
+    // re-delivered STALE content (the current table's (_ts, offset)
+    // fold is immune). Contract: rebuild the configured indexes from
+    // the current table after a rewind — warn loudly at the point the
+    // operator made the choice, since the pipeline cannot tell a
+    // rewound event from a fresh one. Gated on CHECKPOINT absence,
+    // the thing that actually decides seek-vs-resume: startup.* flow
+    // into the feed's initialOffset only when no checkpoint recovers
+    // (an existing checkpoint resumes regardless of startup config —
+    // warning there would cry rewind on every routine restart), and
+    // the offset STORE never seeks the feed (documented above), so it
+    // plays no part in the gate.
     val indexedKinds = Seq(
       "sink.index.text" -> config.indexText,
       "sink.index.neardup" -> config.indexNeardup,
       "sink.index.ann" -> config.indexAnn).filter(_._2.nonEmpty)
-    val explicitRewind = stored.isEmpty &&
+    val checkpointRecovers = {
+      val p = new org.apache.hadoop.fs.Path(checkpointDir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.exists(p) && fs.listStatus(p).nonEmpty
+    }
+    val explicitRewind = !checkpointRecovers &&
       (cfg.get("startup.mode").map(_.trim.toLowerCase)
         .contains("earliest") ||
         cfg.contains("startup.offset") ||

@@ -276,6 +276,18 @@ final case class CdcConfig(
   /** Route keys carrying at least one maintained-index config. */
   private[graft] def indexedTables: Set[String] =
     indexText.keySet ++ indexNeardup.keySet ++ indexAnn.keySet
+
+  /** The ONE (kind, config map, sink-dir suffix) table every
+    * index-kind iteration shares — a fourth kind added here reaches
+    * the delta router, the maintenance one-calls and the drift
+    * advisories together instead of silently missing one copy-pasted
+    * site.
+    */
+  private[graft] def indexKindDirs
+      : Seq[(String, Map[String, String], String)] = Seq(
+    ("text", indexText, "__textindex"),
+    ("neardup", indexNeardup, "__neardup"),
+    ("ann", indexAnn, "__annindex"))
 }
 
 /** Stop-signal gate state machine (P1, SURVEY §2.3) at micro-batch
@@ -469,6 +481,16 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       // check below and let every posting id cast to null at runtime)
       val keyField = spec.schema.fields
         .find(_.name.equalsIgnoreCase(pk.head))
+      // a key column ABSENT from the schema is refused too — the
+      // first batch's col(pk) would fail resolution and crash-loop —
+      // EXCEPT mongo's `_id`, which the mode projection synthesizes
+      // outside the declared schema
+      if (keyField.isEmpty && !(config.mongoMode.nonEmpty &&
+          pk.head.equalsIgnoreCase("_id")))
+        throw new IllegalArgumentException(
+          s"$cfgKey for $key: key column ${pk.head} is not in the " +
+            s"table schema (${spec.schema.fields.map(_.name)
+              .mkString(", ")})")
       val integral = keyField.exists(f =>
         f.dataType == org.apache.spark.sql.types.IntegerType ||
           f.dataType == org.apache.spark.sql.types.LongType)
@@ -490,12 +512,17 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       // which is exactly the crash-loop this block exists to prevent
       if (cfgKey == "sink.index.ann") colField.get.dataType match {
         case org.apache.spark.sql.types.StringType =>
+        // string elements stay accepted: array<string> casts to
+        // array<double> (numeric strings from an upstream that
+        // pre-splits the JSON) — the guard targets SCALAR columns,
+        // whose cast fails analysis on the first batch
         case org.apache.spark.sql.types.ArrayType(et, _)
-            if et.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+            if et.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+              et == org.apache.spark.sql.types.StringType =>
         case other => throw new IllegalArgumentException(
           s"$cfgKey for $key: column '$column' is " +
             s"${other.simpleString} — the embedding column must be a " +
-            "JSON-array string or a numeric array")
+            "JSON-array string or an array castable to array<double>")
       }
     }
   }
@@ -890,8 +917,9 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
             val cadenceDue = config.currentFullsyncBatches > 0 &&
               scopedSyncs.getOrElse(key, 0) + 1 >=
                 config.currentFullsyncBatches
+            val batchScope = tblDts.getOrElse(key, Nil).map(d => s"dt=$d")
             val scope = if (fullSynced(key) && !cadenceDue)
-              Some(tblDts.getOrElse(key, Nil).map(d => s"dt=$d"))
+              Some(batchScope)
             else None
             def doSync(sc: Option[Seq[String]]): (Int, Int) =
               CurrentTable.sync(spark, dir,
@@ -915,26 +943,24 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
             val (nf, nbk) =
               if (scope.isEmpty && fullSynced(key) &&
                   config.indexedTables.contains(key)) {
-                val (a1, b1) =
-                  doSync(Some(tblDts.getOrElse(key, Nil).map(d => s"dt=$d")))
+                val (a1, b1) = doSync(Some(batchScope))
                 val (a2, b2) = doSync(None)
-                if (a2 > 0) {
+                // b2 > 0 gates the advisory on ROWS, not files: a
+                // zero-row stray part file folds as (1, 0) — cursor
+                // advanced, no bucket rewritten, nothing for an index
+                // to miss — and flagging it would command a full
+                // rebuild as a no-op
+                if (a2 > 0 && b2 > 0) {
                   org.slf4j.LoggerFactory.getLogger(getClass).warn(
                     s"[${config.name}] current-table $key: cadence " +
                       s"sync folded $a2 OUT-OF-BAND file(s) the " +
                       "maintained indexes never saw — rebuild them " +
                       "from the current table")
-                  for (store <- config.statusStorePath) {
-                    if (config.indexText.contains(key))
-                      writeIndexDriftFile(store, key, "text",
-                        s"${dir}__textindex", s"${dir}__current", a2)
-                    if (config.indexNeardup.contains(key))
-                      writeIndexDriftFile(store, key, "neardup",
-                        s"${dir}__neardup", s"${dir}__current", a2)
-                    if (config.indexAnn.contains(key))
-                      writeIndexDriftFile(store, key, "ann",
-                        s"${dir}__annindex", s"${dir}__current", a2)
-                  }
+                  for (store <- config.statusStorePath;
+                      (kind, m, suffix) <- config.indexKindDirs
+                      if m.contains(key))
+                    writeIndexDriftFile(store, key, kind,
+                      s"$dir$suffix", s"${dir}__current", a2)
                 }
                 (a1 + a2, b1 + b2)
               } else doSync(scope)
@@ -1061,23 +1087,19 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
               // a deferred ANN attach (no vectors yet) has no index
               // to measure — the exists guard skips it, loudly
               // nothing: absence of an index is not a health state
-              if (config.indexText.contains(key) &&
-                  idxExists(s"${dir}__textindex"))
-                publish("text", s"${dir}__textindex",
-                  graft.api.Graft.textIndexMaintenance(spark,
-                    s"${dir}__textindex", config.indexTargetRows,
-                    config.indexMinReclaimable))
-              if (config.indexNeardup.contains(key) &&
-                  idxExists(s"${dir}__neardup"))
-                publish("neardup", s"${dir}__neardup",
-                  graft.api.Graft.neardupIndexMaintenance(spark,
-                    s"${dir}__neardup", config.indexMinReclaimable))
-              if (config.indexAnn.contains(key) &&
-                  idxExists(s"${dir}__annindex"))
-                publish("ann", s"${dir}__annindex",
-                  graft.api.Graft.annIndexMaintenance(spark,
-                    s"${dir}__annindex", config.indexTargetRows,
-                    config.indexMinReclaimable))
+              for ((kind, m, suffix) <- config.indexKindDirs
+                  if m.contains(key) && idxExists(s"$dir$suffix"))
+                publish(kind, s"$dir$suffix", kind match {
+                  case "text" => graft.api.Graft.textIndexMaintenance(
+                    spark, s"$dir$suffix", config.indexTargetRows,
+                    config.indexMinReclaimable)
+                  case "neardup" =>
+                    graft.api.Graft.neardupIndexMaintenance(spark,
+                      s"$dir$suffix", config.indexMinReclaimable)
+                  case _ => graft.api.Graft.annIndexMaintenance(spark,
+                    s"$dir$suffix", config.indexTargetRows,
+                    config.indexMinReclaimable)
+                })
             }
           }
         // Auto-compaction next: the stream is idle between
@@ -1243,16 +1265,21 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     * recency order every keep-latest consumer uses
     * ([[graft.ops.TimeTravel.defaultOrder]]), then applied as one
     * generation per index: latest non-delete → upsert, latest delete →
-    * tombstone ([[graft.ops.TimeTravel.isTombstone]]). Text and
-    * near-dup indexes attach on the first delta (built empty, fed
-    * forever after); the ANN index attaches on the first batch
-    * carrying upserts — its codebook is trained from that batch's
-    * vectors (the CDC snapshot, exactly the corpus a frozen codebook
-    * should be cut from) and retrains stay the resize advisory's
-    * explicit job. An embedding that fails to parse (null / empty
-    * JSON array) is treated as that vector's DELETE — the row no
-    * longer has a searchable embedding, and leaving the previous
-    * posting live would serve stale vectors silently.
+    * tombstone ([[graft.ops.TimeTravel.isTombstone]]). ATTACH (no
+    * index dir yet) builds from the SINK's keep-latest live state —
+    * not empty — because the sink may already hold content no batch
+    * frame will ever carry again: the JDBC snapshot-then-stream path
+    * writes its READ rows straight to the sink before the stream
+    * starts, and an index configured onto an existing job must absorb
+    * the table's history. The sink rows are the same override-gated
+    * payload projection the delta path sees, the attach build
+    * includes the current batch's rows (already written above), so no
+    * delta follows it, and the ANN codebook trains from that full
+    * corpus (retrains stay the resize advisory's explicit job). An
+    * embedding that fails to parse (null / empty JSON array) is
+    * treated as that vector's DELETE — the row no longer has a
+    * searchable embedding, and leaving the previous posting live
+    * would serve stale vectors silently.
     *
     * Scale shape: one windowed keep-latest over the batch's rows
     * (shuffle ∝ batch, keyed by the table's pk), then the index delta
@@ -1310,24 +1337,40 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       hp.getFileSystem(hconf).exists(hp)
     }
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    // the attach corpus: the sink's keep-latest LIVE rows — the same
+    // fold semantics the current table uses (null-_ts dropped,
+    // tombstones resolved), over rows the sink write already
+    // override-gated and payload-projected
+    def sinkLive(): DataFrame = graft.ops.TimeTravel.asOfDir(spark,
+      dir, Seq(pk), Long.MaxValue, config.sourceType)
+    def textDocs(df: DataFrame, tcol: String): DataFrame =
+      df.select(col(pk).cast("long").as("doc_id"),
+        coalesce(col(tcol).cast("string"), lit("")).as("text"))
     for (tcol0 <- config.indexText.get(key); tcol = canon(tcol0)) {
       val idxDir = s"${dir}__textindex"
-      val docs = ups.select(col(pk).cast("long").as("doc_id"),
-        coalesce(col(tcol).cast("string"), lit("")).as("text"))
-      if (!exists(idxDir))
-        graft.ops.TextIndex.build(spark, docs.limit(0), idxDir,
-          termBuckets = config.indexTextBuckets)
-      val gen = graft.ops.TextIndex.applyDelta(spark, idxDir, docs, dels)
-      log.info(s"[${config.name}] text-index $key: delta gen=$gen")
+      if (!exists(idxDir)) {
+        graft.ops.TextIndex.build(spark, textDocs(sinkLive(), tcol),
+          idxDir, termBuckets = config.indexTextBuckets)
+        log.info(s"[${config.name}] text-index $key: attached from " +
+          "sink state")
+      } else {
+        val gen = graft.ops.TextIndex.applyDelta(spark, idxDir,
+          textDocs(ups, tcol), dels)
+        log.info(s"[${config.name}] text-index $key: delta gen=$gen")
+      }
     }
     for (tcol0 <- config.indexNeardup.get(key); tcol = canon(tcol0)) {
       val idxDir = s"${dir}__neardup"
-      val docs = ups.select(col(pk).cast("long").as("doc_id"),
-        coalesce(col(tcol).cast("string"), lit("")).as("text"))
-      if (!exists(idxDir))
-        graft.ops.NeardupIndex.build(spark, docs.limit(0), idxDir)
-      val gen = graft.ops.NeardupIndex.applyDelta(spark, idxDir, docs, dels)
-      log.info(s"[${config.name}] neardup-index $key: delta gen=$gen")
+      if (!exists(idxDir)) {
+        graft.ops.NeardupIndex.build(spark, textDocs(sinkLive(), tcol),
+          idxDir)
+        log.info(s"[${config.name}] neardup-index $key: attached " +
+          "from sink state")
+      } else {
+        val gen = graft.ops.NeardupIndex.applyDelta(spark, idxDir,
+          textDocs(ups, tcol), dels)
+        log.info(s"[${config.name}] neardup-index $key: delta gen=$gen")
+      }
     }
     for (vcol0 <- config.indexAnn.get(key); vcol = canon(vcol0)) {
       val idxDir = s"${dir}__annindex"
@@ -1341,33 +1384,38 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       // the envelope's union decode tags non-scalar types as string,
       // so the embedding arrives as a JSON array string; a typed
       // array column from a non-envelope feed passes through the cast
-      val parsed = ups.schema(vcol).dataType match {
-        case org.apache.spark.sql.types.StringType =>
-          from_json(col(vcol), org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType))
-        case _ => col(vcol).cast("array<double>")
-      }
-      val vecs = ups.select(col(pk).cast("long").as("vec_id"),
-        parsed.as("e"))
-      val valid = vecs.filter(col("e").isNotNull && size(col("e")) > 0)
-      val annDels = dels.select(col("doc_id").as("vec_id"))
-        .union(vecs.filter(col("e").isNull || size(col("e")) === 0)
-          .select("vec_id"))
+      def parsedVec(df: DataFrame): org.apache.spark.sql.Column =
+        df.schema(vcol).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            from_json(col(vcol), org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType))
+          case _ => col(vcol).cast("array<double>")
+        }
+      def vecsOf(df: DataFrame): DataFrame =
+        df.select(col(pk).cast("long").as("vec_id"),
+          parsedVec(df).as("e"))
       if (!exists(idxDir)) {
-        // attach on the first batch that carries vectors: train the
-        // frozen codebook from them (deletes need no delta — a key
-        // whose latest change is a DELETE never reaches `valid`)
+        // attach: train the frozen codebook from the SINK's full live
+        // corpus (deletes need no delta — a key whose latest change
+        // is a DELETE never survives the keep-latest fold)
+        val valid = vecsOf(sinkLive())
+          .filter(col("e").isNotNull && size(col("e")) > 0)
         valid.persist()
         try if (!valid.isEmpty) {
           val cb = graft.ops.AnnIndex.trainCodebook(spark, valid,
             k = config.indexAnnK, iters = 10)
           graft.ops.AnnIndex.build(spark, valid, cb, idxDir)
-          log.info(s"[${config.name}] ann-index $key: attached " +
-            s"(k=${config.indexAnnK})")
+          log.info(s"[${config.name}] ann-index $key: attached from " +
+            s"sink state (k=${config.indexAnnK})")
         } else log.warn(s"[${config.name}] ann-index $key: no " +
-          "parseable vectors in this batch — attach deferred")
+          "parseable vectors in the sink yet — attach deferred")
         finally valid.unpersist()
       } else {
+        val vecs = vecsOf(ups)
+        val valid = vecs.filter(col("e").isNotNull && size(col("e")) > 0)
+        val annDels = dels.select(col("doc_id").as("vec_id"))
+          .union(vecs.filter(col("e").isNull || size(col("e")) === 0)
+            .select("vec_id"))
         val gen = graft.ops.AnnIndex.applyDelta(spark, idxDir, valid,
           annDels)
         log.info(s"[${config.name}] ann-index $key: delta gen=$gen")

@@ -297,7 +297,8 @@ class CdcIndexSyncSpec extends AnyFunSuite {
         currentKeys = Map("testdb.vecs" -> Seq("vec_id")),
         indexAnn = Map("testdb.vecs" -> "emb")))
     }
-    assert(e7.getMessage.contains("numeric array"), e7.getMessage)
+    assert(e7.getMessage.contains("castable to array<double>"),
+      e7.getMessage)
     // ...but a typed numeric-array column passes (non-envelope feeds
     // deliver it already parsed; the delta casts, never from_jsons)
     val arrReg = TableRegistry(Seq(TableSpec("testdb", "vecs",
@@ -319,6 +320,61 @@ class CdcIndexSyncSpec extends AnyFunSuite {
         indexText = Map("testdb.docs" -> "body")))
     }
     assert(e8.getMessage.contains("not integral"), e8.getMessage)
+    // a key column entirely ABSENT from the schema (typo) is refused
+    // at construction too — col(pk) would fail resolution at the
+    // first batch otherwise
+    val e9 = intercept[IllegalArgumentException] {
+      new CdcPipeline(spark, CdcConfig("ix5f", registry, out.toString,
+        currentKeys = Map("testdb.docs" -> Seq("doc_idd")),
+        indexText = Map("testdb.docs" -> "body")))
+    }
+    assert(e9.getMessage.contains("not in the table schema"),
+      e9.getMessage)
+    val e10 = intercept[IllegalArgumentException] {
+      graft.streaming.CdcJob.configFromMap(Map(
+        "source.id" -> "ix5g", "source.type" -> "mysql",
+        "sink.path" -> out.toString,
+        "table.schemas" -> """{"testdb.docs": "doc_id:BIGINT,body:TEXT"}""",
+        "sink.current.keys" -> """{"testdb.docs": "doc_idd"}""",
+        "sink.index.text" -> """{"testdb.docs": "body"}"""))
+    }
+    // the file surface's own currentKeys validator fires first with
+    // its friendlier spelling — either refusal closes the gap
+    assert(e10.getMessage.contains("UNKNOWN CURRENT-TABLE KEY COLUMN"),
+      e10.getMessage)
+  }
+
+  test("an index configured onto an existing sink absorbs the " +
+      "table's history at attach (the JDBC-snapshot shape: sink rows " +
+      "no batch frame will ever carry)") {
+    val in = tmp(); val out = tmp(); val ck = tmp()
+    // phase 1: run WITHOUT an index config — the sink accumulates
+    // history the way a server-side JDBC snapshot writes READ rows
+    // straight to the sink before any stream starts
+    write(in, "00-snapshot.jsonl", Seq(
+      doc("READ", 1L, "the quick brown fox", 1700000000000L, 0),
+      doc("READ", 2L, "dog dog dog", 1700000000000L, 0)))
+    new CdcPipeline(spark, CdcConfig("ix9", registry, out.toString,
+        currentKeys = Map("testdb.docs" -> Seq("doc_id"))))
+      .runAvailableNow(in.toString, ck.resolve("c").toString)
+    // phase 2: the index is configured onto the SAME job (same
+    // checkpoint — file 00 is already processed and never re-delivered
+    // as a batch frame); its attach must build from the sink's
+    // keep-latest state, not empty, or docs 1 and 2 are unsearchable
+    // forever
+    write(in, "01-changes.jsonl", Seq(
+      doc("DELETE", 2L, "dog dog dog", 1700000100000L, 100),
+      doc("CREATE", 8L, "a late spark doc", 1700000200000L, 200)))
+    new CdcPipeline(spark, CdcConfig("ix9", registry, out.toString,
+        currentKeys = Map("testdb.docs" -> Seq("doc_id")),
+        indexText = Map("testdb.docs" -> "body")))
+      .runAvailableNow(in.toString, ck.resolve("c").toString)
+    val got = scores(graft.ops.TextIndex.search(spark,
+      s"$out/ix9_testdb__docs__textindex", terms))
+    val want = scores(Graft.bm25(Seq(
+      (1L, "the quick brown fox"),
+      (8L, "a late spark doc")).toDF("doc_id", "text"), terms))
+    assert(got == want, s"index $got vs kernel $want")
   }
 
   test("a case-only config spelling of the indexed column still " +
