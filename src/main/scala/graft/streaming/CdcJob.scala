@@ -452,17 +452,11 @@ object CdcJob {
             s"(got ${pk.mkString(", ")}) — the index posting id is " +
             "one long key")
       val schema = registry.routed(routeKey).schema
+      // a key column absent from the schema never reaches this map:
+      // configFromMap's currentKeys validator (UNKNOWN CURRENT-TABLE
+      // KEY COLUMN) runs first and refuses it — keyField is nonEmpty
+      // here by construction, so only the type check remains
       val keyField = schema.fields.find(_.name.equalsIgnoreCase(pk.head))
-      // same refusal the pipeline's construction check makes: a key
-      // column absent from the schema crash-loops resolution at the
-      // first batch — except mongo's `_id`, synthesized by the mode
-      // projection outside the declared schema
-      if (keyField.isEmpty &&
-          !(cfg.get("source.type").contains("mongodb") &&
-            pk.head.equalsIgnoreCase("_id")))
-        throw new IllegalArgumentException(
-          s"$cfgKey for $k: key column ${pk.head} is not in the " +
-            s"table schema (${schema.fieldNames.mkString(", ")})")
       for (f <- keyField
           if f.dataType != org.apache.spark.sql.types.IntegerType &&
             f.dataType != org.apache.spark.sql.types.LongType)
@@ -700,7 +694,12 @@ object CdcJob {
       "sink.index.neardup" -> config.indexNeardup,
       "sink.index.ann" -> config.indexAnn).filter(_._2.nonEmpty)
     val checkpointRecovers = {
-      val p = new org.apache.hadoop.fs.Path(checkpointDir)
+      // `offsets/` specifically, not the dir: query start writes the
+      // `metadata` file immediately, so a run that died before its
+      // first offset commit leaves a non-empty checkpoint that does
+      // NOT resume — the source still consults initialOffset and
+      // seeks the configured startup position
+      val p = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       fs.exists(p) && fs.listStatus(p).nonEmpty
     }

@@ -482,15 +482,19 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       val keyField = spec.schema.fields
         .find(_.name.equalsIgnoreCase(pk.head))
       // a key column ABSENT from the schema is refused too — the
-      // first batch's col(pk) would fail resolution and crash-loop —
-      // EXCEPT mongo's `_id`, which the mode projection synthesizes
-      // outside the declared schema
-      if (keyField.isEmpty && !(config.mongoMode.nonEmpty &&
-          pk.head.equalsIgnoreCase("_id")))
+      // first batch's col(pk) would fail resolution and crash-loop.
+      // Deliberately NO mongo `_id` exemption: only DocString mode
+      // even synthesizes `_id` (TopLevel modes would crash-loop), and
+      // its idUdf emits a STRING — a hex ObjectId casts to a null
+      // posting id, silently collapsing every doc onto one key. A
+      // mongo collection indexed here must name-map an integral id
+      // column into its declared schema.
+      if (keyField.isEmpty)
         throw new IllegalArgumentException(
           s"$cfgKey for $key: key column ${pk.head} is not in the " +
             s"table schema (${spec.schema.fields.map(_.name)
-              .mkString(", ")})")
+              .mkString(", ")}) — maintained indexes need a declared " +
+            "integral key (mongo _id is not one; map a numeric id)")
       val integral = keyField.exists(f =>
         f.dataType == org.apache.spark.sql.types.IntegerType ||
           f.dataType == org.apache.spark.sql.types.LongType)
@@ -1096,9 +1100,14 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
                   case "neardup" =>
                     graft.api.Graft.neardupIndexMaintenance(spark,
                       s"$dir$suffix", config.indexMinReclaimable)
-                  case _ => graft.api.Graft.annIndexMaintenance(spark,
-                    s"$dir$suffix", config.indexTargetRows,
+                  case "ann" => graft.api.Graft.annIndexMaintenance(
+                    spark, s"$dir$suffix", config.indexTargetRows,
                     config.indexMinReclaimable)
+                  // explicit, not `case _`: a fourth kind added to
+                  // indexKindDirs must fail HERE, not silently run
+                  // the ANN measurement against a foreign layout
+                  case other => throw new IllegalStateException(
+                    s"no maintenance dispatch for index kind '$other'")
                 })
             }
           }
@@ -1327,32 +1336,69 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("_ix_rn") === 1)
       .persist()
-    try {
     val ups = latest.filter(!TimeTravel.isTombstone)
     val dels = latest.filter(TimeTravel.isTombstone)
       .select(col(pk).cast("long").as("doc_id"))
     val hconf = spark.sessionState.newHadoopConf()
-    def exists(p: String): Boolean = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hconf).exists(hp)
-    }
+    def hpath(p: String) = new org.apache.hadoop.fs.Path(p)
+    def dirExists(p: String): Boolean =
+      hpath(p).getFileSystem(hconf).exists(hpath(p))
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     // the attach corpus: the sink's keep-latest LIVE rows — the same
     // fold semantics the current table uses (null-_ts dropped,
     // tombstones resolved), over rows the sink write already
-    // override-gated and payload-projected
-    def sinkLive(): DataFrame = graft.ops.TimeTravel.asOfDir(spark,
-      dir, Seq(pk), Long.MaxValue, config.sourceType)
+    // override-gated and payload-projected. Computed ONCE and pinned
+    // across however many kinds attach this batch: the fold is a full
+    // sink scan and each build is multi-action.
+    var sinkLiveCache: Option[DataFrame] = None
+    def sinkLive(): DataFrame = sinkLiveCache.getOrElse {
+      val df = graft.ops.TimeTravel.asOfDir(spark, dir, Seq(pk),
+        Long.MaxValue, config.sourceType).persist()
+      sinkLiveCache = Some(df); df
+    }
+    // a sink dir with no dt= partitions yet (a DDL-only batch, or one
+    // whose rows the snapshot-override gate removed, writes only
+    // _SUCCESS) has no parquet to infer a schema from — the attach
+    // DEFERS, loudly, instead of crash-looping the batch on the read
+    def sinkReady: Boolean = {
+      val fs = hpath(dir).getFileSystem(hconf)
+      fs.exists(hpath(dir)) && fs.listStatus(hpath(dir))
+        .exists(_.getPath.getName.startsWith("dt="))
+    }
+    // atomic attach: build into a staging dir, rename into place. The
+    // attach is now a full-corpus job (minutes over a JDBC-snapshot
+    // sink), and a crash mid-build behind a bare dir-exists gate
+    // would flip every later batch into the delta path over a PARTIAL
+    // index, never retrying the attach. Stale staging from a torn
+    // attempt is swept first; the rename is the commit point (the
+    // index meta records no absolute paths, so the dir moves whole).
+    def atomicAttach(idxDir: String)(buildTo: String => Unit): Unit = {
+      val staging = s"$idxDir._attach_tmp"
+      val fs = hpath(staging).getFileSystem(hconf)
+      fs.delete(hpath(staging), true)
+      buildTo(staging)
+      if (!fs.rename(hpath(staging), hpath(idxDir)))
+        throw new IllegalStateException(
+          s"index attach commit failed: $staging -> $idxDir")
+    }
+    def deferAttach(kind: String): Unit =
+      log.warn(s"[${config.name}] $kind-index $key: no sink data " +
+        "yet — attach deferred")
     def textDocs(df: DataFrame, tcol: String): DataFrame =
       df.select(col(pk).cast("long").as("doc_id"),
         coalesce(col(tcol).cast("string"), lit("")).as("text"))
+    try {
     for (tcol0 <- config.indexText.get(key); tcol = canon(tcol0)) {
       val idxDir = s"${dir}__textindex"
-      if (!exists(idxDir)) {
-        graft.ops.TextIndex.build(spark, textDocs(sinkLive(), tcol),
-          idxDir, termBuckets = config.indexTextBuckets)
-        log.info(s"[${config.name}] text-index $key: attached from " +
-          "sink state")
+      if (!dirExists(idxDir)) {
+        if (!sinkReady) deferAttach("text")
+        else {
+          atomicAttach(idxDir)(d => graft.ops.TextIndex.build(spark,
+            textDocs(sinkLive(), tcol), d,
+            termBuckets = config.indexTextBuckets))
+          log.info(s"[${config.name}] text-index $key: attached from " +
+            "sink state")
+        }
       } else {
         val gen = graft.ops.TextIndex.applyDelta(spark, idxDir,
           textDocs(ups, tcol), dels)
@@ -1361,11 +1407,14 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     }
     for (tcol0 <- config.indexNeardup.get(key); tcol = canon(tcol0)) {
       val idxDir = s"${dir}__neardup"
-      if (!exists(idxDir)) {
-        graft.ops.NeardupIndex.build(spark, textDocs(sinkLive(), tcol),
-          idxDir)
-        log.info(s"[${config.name}] neardup-index $key: attached " +
-          "from sink state")
+      if (!dirExists(idxDir)) {
+        if (!sinkReady) deferAttach("neardup")
+        else {
+          atomicAttach(idxDir)(d => graft.ops.NeardupIndex.build(spark,
+            textDocs(sinkLive(), tcol), d))
+          log.info(s"[${config.name}] neardup-index $key: attached " +
+            "from sink state")
+        }
       } else {
         val gen = graft.ops.NeardupIndex.applyDelta(spark, idxDir,
           textDocs(ups, tcol), dels)
@@ -1394,34 +1443,48 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       def vecsOf(df: DataFrame): DataFrame =
         df.select(col(pk).cast("long").as("vec_id"),
           parsedVec(df).as("e"))
-      if (!exists(idxDir)) {
-        // attach: train the frozen codebook from the SINK's full live
-        // corpus (deletes need no delta — a key whose latest change
-        // is a DELETE never survives the keep-latest fold)
-        val valid = vecsOf(sinkLive())
-          .filter(col("e").isNotNull && size(col("e")) > 0)
-        valid.persist()
-        try if (!valid.isEmpty) {
-          val cb = graft.ops.AnnIndex.trainCodebook(spark, valid,
-            k = config.indexAnnK, iters = 10)
-          graft.ops.AnnIndex.build(spark, valid, cb, idxDir)
-          log.info(s"[${config.name}] ann-index $key: attached from " +
-            s"sink state (k=${config.indexAnnK})")
-        } else log.warn(s"[${config.name}] ann-index $key: no " +
-          "parseable vectors in the sink yet — attach deferred")
-        finally valid.unpersist()
+      // a usable vector is non-null, non-empty AND has no null
+      // ELEMENTS: "[1.0,null]" parses to an array with a null slot,
+      // and an array<string> cast nulls unparseable elements — either
+      // would poison norms and centroid folds silently. Anything
+      // less is that key's DELETE (same contract as an unparseable
+      // embedding).
+      def usable(e: org.apache.spark.sql.Column) =
+        e.isNotNull && size(e) > 0 &&
+          !org.apache.spark.sql.functions.exists(e, _.isNull)
+      if (!dirExists(idxDir)) {
+        if (!sinkReady) deferAttach("ann")
+        else {
+          // attach: train the frozen codebook from the SINK's full
+          // live corpus (deletes need no delta — a key whose latest
+          // change is a DELETE never survives the keep-latest fold)
+          val valid = vecsOf(sinkLive()).filter(usable(col("e")))
+          valid.persist()
+          try if (!valid.isEmpty) {
+            val cb = graft.ops.AnnIndex.trainCodebook(spark, valid,
+              k = config.indexAnnK, iters = 10)
+            atomicAttach(idxDir)(d =>
+              graft.ops.AnnIndex.build(spark, valid, cb, d))
+            log.info(s"[${config.name}] ann-index $key: attached " +
+              s"from sink state (k=${config.indexAnnK})")
+          } else log.warn(s"[${config.name}] ann-index $key: no " +
+            "parseable vectors in the sink yet — attach deferred")
+          finally valid.unpersist()
+        }
       } else {
         val vecs = vecsOf(ups)
-        val valid = vecs.filter(col("e").isNotNull && size(col("e")) > 0)
+        val valid = vecs.filter(usable(col("e")))
         val annDels = dels.select(col("doc_id").as("vec_id"))
-          .union(vecs.filter(col("e").isNull || size(col("e")) === 0)
-            .select("vec_id"))
+          .union(vecs.filter(!usable(col("e"))).select("vec_id"))
         val gen = graft.ops.AnnIndex.applyDelta(spark, idxDir, valid,
           annDels)
         log.info(s"[${config.name}] ann-index $key: delta gen=$gen")
       }
     }
-    } finally latest.unpersist()
+    } finally {
+      sinkLiveCache.foreach(_.unpersist())
+      latest.unpersist()
+    }
   }
 
   /** Index-maintenance advisory record — the maintained-index analog

@@ -110,9 +110,16 @@ class CdcIndexSyncSpec extends AnyFunSuite {
     val cfg = CdcConfig("ix1", registry, out.toString,
       currentKeys = Map("testdb.docs" -> Seq("doc_id")),
       indexText = Map("testdb.docs" -> "body"))
+    val idx = s"$out/ix1_testdb__docs__textindex"
+    // a stale staging dir from a torn attach attempt must be swept,
+    // not healed into the fresh build's path
+    Files.createDirectories(java.nio.file.Paths.get(s"$idx._attach_tmp"))
+    Files.write(java.nio.file.Paths.get(s"$idx._attach_tmp/junk"),
+      "torn".getBytes)
     new CdcPipeline(spark, cfg)
       .runAvailableNow(in.toString, ck.resolve("c").toString)
-    val idx = s"$out/ix1_testdb__docs__textindex"
+    assert(!Files.exists(java.nio.file.Paths.get(s"$idx._attach_tmp")),
+      "stale attach staging not swept")
     val got = scores(graft.ops.TextIndex.search(spark, idx, terms))
     val want = scores(Graft.bm25(liveCorpus, terms))
     assert(got == want, s"index $got vs kernel $want")
@@ -161,7 +168,13 @@ class CdcIndexSyncSpec extends AnyFunSuite {
       vec("UPDATE", 2L, "[0.05,1.0]", 1700000100000L, 100),
       // vector 4 loses its embedding — treated as its DELETE
       vec("UPDATE", 4L, null, 1700000200000L, 200),
-      vec("CREATE", 5L, "[0.95,0.05]", 1700000300000L, 300)))
+      vec("CREATE", 5L, "[0.95,0.05]", 1700000300000L, 300),
+      // a null ELEMENT is as unusable as a null embedding — never
+      // indexed (it would poison norms and centroid folds silently)
+      vec("CREATE", 6L, "[0.5,null]", 1700000400000L, 400)))
+    write(in, "02-more.jsonl", Seq(
+      // an EXISTING vector degrading to a null element = its DELETE
+      vec("UPDATE", 3L, "[1.0,null]", 1700000500000L, 500)))
     new CdcPipeline(spark, CdcConfig("ix3", registry, out.toString,
         currentKeys = Map("testdb.vecs" -> Seq("vec_id")),
         indexAnn = Map("testdb.vecs" -> "emb"), indexAnnK = 2))
@@ -170,7 +183,7 @@ class CdcIndexSyncSpec extends AnyFunSuite {
     assert(graft.ops.AnnIndex.codebook(spark, idx).count() == 2)
     val live = graft.ops.AnnIndex.live(spark, idx)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(live == Set(1L, 2L, 3L, 5L), s"live vectors: $live")
+    assert(live == Set(1L, 2L, 5L), s"live vectors: $live")
     // nearest to x-axis query at full probe = 1 then 5
     val q = Seq((10L, Seq(1.0, 0.0))).toDF("qid", "qe")
     val top = graft.ops.AnnIndex.search(spark, idx, q, nprobe = 2, k = 2)
