@@ -701,7 +701,12 @@ object CdcJob {
       // seeks the configured startup position
       val p = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.exists(p) && fs.listStatus(p).nonEmpty
+      // COMMITTED batch files only (numeric names): a crash mid-write
+      // leaves a hidden .tmp in offsets/ that HDFSMetadataLog ignores
+      // on recovery — counting it would suppress the warning in
+      // exactly the died-before-first-commit window
+      fs.exists(p) && fs.listStatus(p)
+        .exists(_.getPath.getName.forall(_.isDigit))
     }
     val explicitRewind = !checkpointRecovers &&
       (cfg.get("startup.mode").map(_.trim.toLowerCase)

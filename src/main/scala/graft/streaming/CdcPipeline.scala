@@ -1360,7 +1360,10 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     // whose rows the snapshot-override gate removed, writes only
     // _SUCCESS) has no parquet to infer a schema from — the attach
     // DEFERS, loudly, instead of crash-looping the batch on the read
-    def sinkReady: Boolean = {
+    // lazy val, not def: the sink write for this batch completed
+    // before this method runs, so readiness cannot change between
+    // kinds — one exists + listStatus, not one per attaching kind
+    lazy val sinkReady: Boolean = {
       val fs = hpath(dir).getFileSystem(hconf)
       fs.exists(hpath(dir)) && fs.listStatus(hpath(dir))
         .exists(_.getPath.getName.startsWith("dt="))
@@ -1375,7 +1378,13 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     def atomicAttach(idxDir: String)(buildTo: String => Unit): Unit = {
       val staging = s"$idxDir._attach_tmp"
       val fs = hpath(staging).getFileSystem(hconf)
-      fs.delete(hpath(staging), true)
+      // delete returns false instead of throwing on some failures
+      // (e.g. an unremovable entry on a local fs) — an unswept torn
+      // attempt must fail HERE, not get healed into the fresh build
+      // by the rename below
+      if (fs.exists(hpath(staging)) && !fs.delete(hpath(staging), true))
+        throw new IllegalStateException(
+          s"could not sweep stale attach staging: $staging")
       buildTo(staging)
       if (!fs.rename(hpath(staging), hpath(idxDir)))
         throw new IllegalStateException(

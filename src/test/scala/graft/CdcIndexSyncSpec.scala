@@ -120,6 +120,10 @@ class CdcIndexSyncSpec extends AnyFunSuite {
       .runAvailableNow(in.toString, ck.resolve("c").toString)
     assert(!Files.exists(java.nio.file.Paths.get(s"$idx._attach_tmp")),
       "stale attach staging not swept")
+    // the junk must not have been HEALED into the committed index by
+    // the rename (the dir-gone assert alone passes either way)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$idx/junk")),
+      "torn-attempt junk healed into the committed index")
     val got = scores(graft.ops.TextIndex.search(spark, idx, terms))
     val want = scores(Graft.bm25(liveCorpus, terms))
     assert(got == want, s"index $got vs kernel $want")
