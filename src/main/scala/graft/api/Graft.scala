@@ -429,14 +429,13 @@ object Graft {
     graft.ops.AnnIndex.retrainAdvice(st, targetRowsPerCentroid).map { k =>
       // a SAME-K verdict is the rebalance bet whose act-once-compare-
       // stop rule is encoded in the index meta: the advised build
-      // carries this measurement's fingerprint, so the rebuilt index
-      // remembers what it acted on and a reproduced layout reads
+      // records the fingerprint of the layout it writes (the
+      // post-act basis, so the stop engages on the FIRST act even
+      // over a backlogged index), and a reproduced layout reads
       // silent next window (AnnIndex.retrainAdvice's fixed point)
       // instead of repeating the work order forever
       val fp =
-        if (k == st.centroids)
-          s""", actedSameKFingerprint = Some("${
-            graft.ops.AnnIndex.fingerprintOf(st)}")"""
+        if (k == st.centroids) ", recordSameKAct = true"
         else ""
       IndexHealth(st, k,
         // iters has no default on trainCodebook — the advised call

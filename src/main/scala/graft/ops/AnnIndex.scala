@@ -89,12 +89,12 @@ object AnnIndex {
       .map(s => org.apache.spark.sql.types.DataType.fromJson(s.drop(7))
         .asInstanceOf[StructType])
 
-  /** The [[LoadStats]] fingerprint of the last ACTED-ON same-k
-    * rebalance (`samekfp=` in `_meta.txt`, recorded by [[build]] when
-    * the rebuild call passes it through) — the act-once-compare-stop
-    * memory [[retrainAdvice]]'s fixed-point silence compares against.
-    * None when no same-k verdict was ever acted on (or the index
-    * predates the meta).
+  /** The layout fingerprint recorded by the last ACTED-ON same-k
+    * rebalance (`samekfp=` in `_meta.txt`, computed by [[build]] from
+    * the layout it wrote when `recordSameKAct` is set) — the
+    * act-once-compare-stop memory [[retrainAdvice]]'s fixed-point
+    * silence compares against. None when no same-k verdict was ever
+    * acted on (or the index predates the meta).
     */
   private[graft] def actedFingerprintOf(spark: SparkSession,
       dir: String): Option[String] =
@@ -102,10 +102,12 @@ object AnnIndex {
       .flatMap(_.find(_.startsWith("samekfp=")).map(_.drop(8)))
 
   /** The layout fingerprint the same-k stop rule compares: the four
-    * [[loadStats]] aggregates a same-k rebalance exists to change. A
-    * retrain that moved ANY of them was not futile (advice re-fires on
-    * fresh evidence); one that reproduced all four is the deterministic
-    * fixed point the cron must stop at.
+    * [[loadStats]] aggregates a same-k rebalance exists to change
+    * ([[build]] spells the identical format from the layout it
+    * writes). A measurement matching the recorded post-act layout
+    * means nothing changed since the act — retraining the same live
+    * set is deterministic k-means reproducing itself; any churn moves
+    * at least one aggregate and re-arms the verdict.
     */
   def fingerprintOf(stats: LoadStats): String =
     s"${stats.centroids}|${stats.postingRows}|${stats.p99Rows}|" +
@@ -222,20 +224,26 @@ object AnnIndex {
     * postings) every torn state fails LOUDLY on a missing dir; a
     * crash mid-build means re-run build.
     *
-    * `actedSameKFingerprint`: when this build IS the act on a same-k
-    * rebalance verdict, pass the verdict's [[fingerprintOf]] (the
-    * advised call from `Graft.annIndexHealth` spells it out) — the new
-    * index then remembers the stats it was rebuilt FROM, and
-    * [[retrainAdvice]] goes silent if the rebuild reproduced them (the
-    * deterministic k-means fixed point), encoding the
-    * act-once-compare-stop cron rule instead of documenting it. Leave
-    * None for fresh builds and capacity grows/shrinks: the fingerprint
-    * pins the exact (k, rows, p99, max) tuple, so carrying a stale one
-    * would never misfire, but a build that is not an act has nothing
-    * to remember.
+    * `recordSameKAct`: when this build IS the act on a same-k
+    * rebalance verdict (the advised call from `Graft.annIndexHealth`
+    * spells it), the new index records the fingerprint of THE LAYOUT
+    * THIS BUILD WRITES — not the verdict's pre-act stats — and
+    * [[retrainAdvice]] goes silent when the next measurement
+    * reproduces it. The post-act basis is what makes the stop rule
+    * engage on the FIRST act regardless of backlog: pre-act stats
+    * count superseded postings, so a rebuild (which resets raw to
+    * live) could never match them unless the acted-on index happened
+    * to be backlog-free — the cron would pay one extra futile retrain
+    * before silence. Recording what was written instead means: no
+    * deltas since the act → stats match → silence (a same-k retrain
+    * of an unchanged live set is deterministic k-means reproducing
+    * itself, provably futile); any churn moves the raw aggregates and
+    * re-arms the verdict on fresh evidence. Leave false for fresh
+    * builds and capacity grows/shrinks — a build that is not an act
+    * has nothing to remember.
     */
   def build(spark: SparkSession, vectors: DataFrame, codebook: DataFrame,
-      dir: String, actedSameKFingerprint: Option[String] = None): Unit = {
+      dir: String, recordSameKAct: Boolean = false): Unit = {
     val fs = new Path(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
     for (p <- Seq(centroidsDir(dir), postingsDir(dir), tombsDir(dir))
@@ -252,9 +260,25 @@ object AnnIndex {
     val asRead = StructType(
       written.fields.filterNot(_.name == "cid").toSeq :+
         StructField("cid", IntegerType))
+    // the act-once memory: the fingerprint of the layout about to be
+    // written, computed from the same assignment the data write below
+    // re-runs (one extra agg job, acts only) with EXACTLY loadStats'
+    // aggregate spelling — non-empty cells' sorted counts, k from the
+    // codebook — so a post-act measurement over an unchanged corpus
+    // reproduces it verbatim
+    val samekLine =
+      if (!recordSameKAct) Nil
+      else {
+        val counts = assigned(spark, vectors, codebook, 0L)
+          .groupBy("cid").count()
+          .collect().map(_.getLong(1)).sorted.toIndexedSeq
+        val k = codebook.count().toInt
+        val p99 = BucketIndex.sizingRows(counts)
+        val mx = if (counts.isEmpty) 0L else counts.last
+        Seq(s"samekfp=$k|${counts.sum}|$p99|$mx")
+      }
     PointerDir.writeMetaLines(spark, dir,
-      Seq(s"schema=${asRead.json}") ++
-        actedSameKFingerprint.map(fp => s"samekfp=$fp"))
+      Seq(s"schema=${asRead.json}") ++ samekLine)
     codebook.select(col("cid").cast("int"), col("ce").cast("array<double>"))
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(centroidsDir(dir))
@@ -574,15 +598,16 @@ object AnnIndex {
     * principle but a converged k-means may reproduce itself
     * ([[trainCodebook]] is deterministic) — and that case is only
     * knowable by doing it once: act-once-compare-stop, ENCODED here
-    * rather than documented. A same-k rebuild that passes the
-    * verdict's [[fingerprintOf]] through [[build]]'s
-    * `actedSameKFingerprint` stamps the stats it acted on into the
-    * index meta; when the next measurement reproduces them
-    * (`stats.actedFingerprint` matches), the same-k arm is silent --
-    * the fixed point is a dashboard fact, not a repeating work order.
-    * A consumer that rebuilds WITHOUT the fingerprint keeps the old
-    * behavior (the verdict repeats); the advised call spells the
-    * fingerprint out precisely so the default act path remembers.
+    * rather than documented. A same-k rebuild run with [[build]]'s
+    * `recordSameKAct` stamps the fingerprint of the layout it WROTE
+    * into the index meta (the post-act basis — pre-act stats count
+    * superseded postings a rebuild sheds, so they could only ever
+    * match from a backlog-free start); when the next measurement
+    * reproduces it (`stats.actedFingerprint` matches), the same-k arm
+    * is silent — the fixed point is a dashboard fact, not a repeating
+    * work order. A consumer that rebuilds WITHOUT the flag keeps the
+    * old behavior (the verdict repeats); the advised call spells the
+    * flag out precisely so the default act path remembers.
     */
   def retrainAdvice(stats: LoadStats,
       targetRowsPerCentroid: Long): Option[Int] = {
@@ -611,10 +636,10 @@ object AnnIndex {
       else {
         val rec = cap(math.max(ideal, stats.centroids.toLong))
         // THE ACT-ONCE-COMPARE-STOP RULE, encoded: a same-k rebalance
-        // verdict whose stats MATCH the fingerprint recorded when one
-        // was last acted on ([[build]]'s actedSameKFingerprint) is the
-        // deterministic fixed point the scaladoc below describes —
-        // the retrain reproduced its own trigger, so re-advising it
+        // verdict whose stats MATCH the layout fingerprint recorded
+        // by the last act ([[build]]'s recordSameKAct) means nothing
+        // changed since that rebuild — re-running deterministic
+        // k-means on the same live set reproduces it, so re-advising
         // would send a cron in circles. Silence, like the coincidence
         // veto; the comparison self-clears on ANY real change (churn
         // moves postingRows, a compact moves it, a capacity grow

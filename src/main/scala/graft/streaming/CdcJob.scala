@@ -464,10 +464,24 @@ object CdcJob {
           s"$cfgKey for $k: key column ${pk.head} is " +
             s"${f.dataType.simpleString}, not integral — the index " +
             "posting id must cast to long losslessly")
-      if (!schema.fieldNames.exists(_.equalsIgnoreCase(column)))
+      val colField = schema.fields.find(_.name.equalsIgnoreCase(column))
+      if (colField.isEmpty)
         throw new IllegalArgumentException(
           s"UNKNOWN INDEX COLUMN for $k: '$column' " +
             s"(table has: ${schema.fieldNames.mkString(", ")})")
+      // mirror of CdcPipeline's construction-time ANN type rule —
+      // keep the two validators agreeing, or a file config passes
+      // here and fails there with the less-friendly message
+      if (cfgKey == "sink.index.ann") colField.get.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+        case org.apache.spark.sql.types.ArrayType(et, _)
+            if et.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+              et == org.apache.spark.sql.types.StringType =>
+        case other => throw new IllegalArgumentException(
+          s"BAD $cfgKey for $k: column '$column' is " +
+            s"${other.simpleString} — the embedding column must be a " +
+            "JSON-array string or an array castable to array<double>")
+      }
       routeKey -> column
     }
   }

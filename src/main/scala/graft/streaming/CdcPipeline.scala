@@ -960,9 +960,19 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
                       s"sync folded $a2 OUT-OF-BAND file(s) the " +
                       "maintained indexes never saw — rebuild them " +
                       "from the current table")
+                  // existing indexes only: a deferred attach (no dir
+                  // yet) has nothing to drift — its eventual
+                  // attach-from-sink absorbs the backfill anyway, and
+                  // advising a rebuild of a nonexistent index sends
+                  // the cron on a pointless build
+                  val hcnf = spark.sessionState.newHadoopConf()
                   for (store <- config.statusStorePath;
                       (kind, m, suffix) <- config.indexKindDirs
-                      if m.contains(key))
+                      if m.contains(key) && {
+                        val p = new org.apache.hadoop.fs.Path(
+                          s"$dir$suffix")
+                        p.getFileSystem(hcnf).exists(p)
+                      })
                     writeIndexDriftFile(store, key, kind,
                       s"$dir$suffix", s"${dir}__current", a2)
                 }
@@ -1396,38 +1406,40 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
     def textDocs(df: DataFrame, tcol: String): DataFrame =
       df.select(col(pk).cast("long").as("doc_id"),
         coalesce(col(tcol).cast("string"), lit("")).as("text"))
+    // ONE skeleton for the two doc-shaped kinds, iterating the shared
+    // indexKindDirs table (ann below differs genuinely: vector parse,
+    // usable-filter deletes, codebook training). A kind in the table
+    // that no loop routes must fail loudly, mirroring the maintenance
+    // and drift dispatches.
+    val textLikeBuild: Map[String, (DataFrame, String) => Unit] = Map(
+      "text" -> ((docs, d) => graft.ops.TextIndex.build(spark, docs, d,
+        termBuckets = config.indexTextBuckets)),
+      "neardup" -> ((docs, d) =>
+        graft.ops.NeardupIndex.build(spark, docs, d)))
+    val textLikeDelta: Map[String, (String, DataFrame) => Long] = Map(
+      "text" -> ((idx, docs) =>
+        graft.ops.TextIndex.applyDelta(spark, idx, docs, dels)),
+      "neardup" -> ((idx, docs) =>
+        graft.ops.NeardupIndex.applyDelta(spark, idx, docs, dels)))
+    for ((kind, _, _) <- config.indexKindDirs
+        if kind != "ann" && !textLikeBuild.contains(kind))
+      throw new IllegalStateException(
+        s"no delta router for index kind '$kind'")
     try {
-    for (tcol0 <- config.indexText.get(key); tcol = canon(tcol0)) {
-      val idxDir = s"${dir}__textindex"
+    for ((kind, m, suffix) <- config.indexKindDirs if kind != "ann";
+        tcol0 <- m.get(key); tcol = canon(tcol0)) {
+      val idxDir = s"$dir$suffix"
       if (!dirExists(idxDir)) {
-        if (!sinkReady) deferAttach("text")
+        if (!sinkReady) deferAttach(kind)
         else {
-          atomicAttach(idxDir)(d => graft.ops.TextIndex.build(spark,
-            textDocs(sinkLive(), tcol), d,
-            termBuckets = config.indexTextBuckets))
-          log.info(s"[${config.name}] text-index $key: attached from " +
-            "sink state")
-        }
-      } else {
-        val gen = graft.ops.TextIndex.applyDelta(spark, idxDir,
-          textDocs(ups, tcol), dels)
-        log.info(s"[${config.name}] text-index $key: delta gen=$gen")
-      }
-    }
-    for (tcol0 <- config.indexNeardup.get(key); tcol = canon(tcol0)) {
-      val idxDir = s"${dir}__neardup"
-      if (!dirExists(idxDir)) {
-        if (!sinkReady) deferAttach("neardup")
-        else {
-          atomicAttach(idxDir)(d => graft.ops.NeardupIndex.build(spark,
-            textDocs(sinkLive(), tcol), d))
-          log.info(s"[${config.name}] neardup-index $key: attached " +
+          atomicAttach(idxDir)(d =>
+            textLikeBuild(kind)(textDocs(sinkLive(), tcol), d))
+          log.info(s"[${config.name}] $kind-index $key: attached " +
             "from sink state")
         }
       } else {
-        val gen = graft.ops.NeardupIndex.applyDelta(spark, idxDir,
-          textDocs(ups, tcol), dels)
-        log.info(s"[${config.name}] neardup-index $key: delta gen=$gen")
+        val gen = textLikeDelta(kind)(idxDir, textDocs(ups, tcol))
+        log.info(s"[${config.name}] $kind-index $key: delta gen=$gen")
       }
     }
     for (vcol0 <- config.indexAnn.get(key); vcol = canon(vcol0)) {
@@ -1565,10 +1577,16 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
       case "neardup" => s"NeardupIndex.build(spark, docs, " +
         s"\\\"$indexDir\\\") // docs = CurrentTable.read(spark, " +
         s"\\\"$currentDir\\\") as (doc_id, text)"
-      case _ => s"AnnIndex.build(spark, vecs, AnnIndex.trainCodebook(" +
+      case "ann" => s"AnnIndex.build(spark, vecs, " +
+        s"AnnIndex.trainCodebook(" +
         s"spark, vecs, k = ${config.indexAnnK}, iters = 10), " +
         s"\\\"$indexDir\\\") // vecs = CurrentTable.read(spark, " +
         s"\\\"$currentDir\\\") as (vec_id, e)"
+      // explicit, matching the maintenance dispatch: a fourth kind
+      // added to indexKindDirs must fail HERE, not ship records
+      // commanding an ANN build against a foreign layout
+      case other => throw new IllegalStateException(
+        s"no drift rebuild call for index kind '$other'")
     }
     val json = s"""{"job_id":"${config.sourceId}",""" +
       s""""job_name":"${config.name}","advice":"index-content-drift",""" +

@@ -348,12 +348,11 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(v1.recommended == 4 && v1.stats.p99TopVectorRows == 1L,
       s"same-k past the veto expected: $v1")
-    // the advised call carries THIS measurement's fingerprint — the
-    // act-once memory a verbatim consumer records for free
+    // the advised call spells the act-once flag — a verbatim consumer
+    // records the rebuilt layout's fingerprint for free
     val fp1 = AnnIndex.fingerprintOf(v1.stats)
-    assert(v1.call.contains(
-        s"""actedSameKFingerprint = Some("$fp1")"""),
-      s"the same-k advised call must spell the fingerprint: ${v1.call}")
+    assert(v1.call.contains("recordSameKAct = true"),
+      s"the same-k advised call must spell the act flag: ${v1.call}")
     val before = AnnIndex.loadStats(spark, dir3)
     // a FINGERPRINT-LESS rebuild (an operator's hand-rolled act): the
     // deterministic k-means reproduces the stats and the verdict
@@ -366,11 +365,13 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(Graft.annIndexMaintenance(spark, dir3, 10)
       .exists(_.isInstanceOf[Graft.Resize[_, _]]),
       "a fingerprint-less rebuild keeps the repeating verdict")
-    // acting AS ADVISED — fingerprint through build — encodes the
-    // stop: the reproduced layout reads SILENT next window
+    // acting AS ADVISED — the act flag through build — encodes the
+    // stop: the reproduced layout reads SILENT next window. From this
+    // backlog-free start the recorded layout fingerprint equals the
+    // verdict's measured one (the fixed point reproduces itself).
     AnnIndex.build(spark, corpus2,
       AnnIndex.trainCodebook(spark, corpus2, 4, 10), dir3,
-      actedSameKFingerprint = Some(fp1))
+      recordSameKAct = true)
     assert(AnnIndex.loadStats(spark, dir3).actedFingerprint
       .contains(fp1))
     assert(Graft.annIndexMaintenance(spark, dir3, 10).isEmpty,
@@ -383,6 +384,34 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(Graft.annIndexMaintenance(spark, dir3, 10)
       .exists(_.isInstanceOf[Graft.Resize[_, _]]),
       "churn past the acted fingerprint must re-arm the verdict")
+
+    // (c2) the FIRST-ACT guarantee over BACKLOG: re-upsert three live
+    // satellites with unchanged values — the live set is identical,
+    // but superseded postings pile up (raw 44 vs live 41, under the
+    // compact threshold, so the one-call still measures sizing) and
+    // the pre-act stats are raw-inflated. ONE act as advised must
+    // reach silence: the recorded fingerprint is the layout the
+    // rebuild WROTE (raw reset to live), which pre-act stats could
+    // never match — recording those instead would charge the cron
+    // one extra provably-futile retrain before stopping.
+    AnnIndex.applyDelta(spark, dir3,
+      vecs((16L to 18L).map(i => i -> Seq(0.0, 1.0, 0.0, 0.0)): _*),
+      vecs())
+    val v2 = Graft.annIndexMaintenance(spark, dir3, 10) match {
+      case Some(Graft.Resize(h)) => h
+      case other => fail(s"backlogged same-k must still fire: $other")
+    }
+    assert(v2.recommended == v2.stats.centroids &&
+      v2.stats.postingRows > 41L,
+      s"fixture must be a same-k verdict over backlog: $v2")
+    val live3 = vecs(((dense2 :+
+      (999L -> Seq(1.0, 0.00005, 0.0, 0.0))) ++ sats): _*)
+    AnnIndex.build(spark, live3,
+      AnnIndex.trainCodebook(spark, live3, 4, 10), dir3,
+      recordSameKAct = true)
+    assert(Graft.annIndexMaintenance(spark, dir3, 10).isEmpty,
+      "one act over a BACKLOGGED index must reach silence — the " +
+        "recorded fingerprint is the written layout, not pre-act stats")
 
     // (d) the veto's COST GUARD: with more than VetoTieCells cells
     // tied at the p99 count, the wide-column pass is skipped

@@ -169,10 +169,7 @@ class MaintenanceConvergenceFuzzSpec extends AnyFunSuite {
             AnnIndex.build(spark, frame(state),
               AnnIndex.trainCodebook(spark, frame(state),
                 h.recommended, 5), dir,
-              actedSameKFingerprint =
-                if (h.recommended == h.stats.centroids)
-                  Some(AnnIndex.fingerprintOf(h.stats))
-                else None)
+              recordSameKAct = h.recommended == h.stats.centroids)
           case Some(d: Graft.CompactDeferred) =>
             fail(s"seed $seed: deferred verdict at floor 0: $d")
         }
