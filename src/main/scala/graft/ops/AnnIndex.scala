@@ -102,16 +102,20 @@ object AnnIndex {
       .flatMap(_.find(_.startsWith("samekfp=")).map(_.drop(8)))
 
   /** The layout fingerprint the same-k stop rule compares: the four
-    * [[loadStats]] aggregates a same-k rebalance exists to change
-    * ([[build]] spells the identical format from the layout it
-    * writes). A measurement matching the recorded post-act layout
-    * means nothing changed since the act — retraining the same live
-    * set is deterministic k-means reproducing itself; any churn moves
-    * at least one aggregate and re-arms the verdict.
+    * posting aggregates a same-k rebalance exists to change PLUS the
+    * raw tombstone count ([[build]] spells the identical format from
+    * the layout it writes, tombstones 0). A measurement matching the
+    * recorded post-act layout means nothing changed since the act —
+    * retraining the same live set is deterministic k-means
+    * reproducing itself. Any churn re-arms the verdict: upserts move
+    * the posting aggregates, and DELETE-ONLY deltas — which append
+    * tombstones without touching a single posting row — move the
+    * tombstone component (without it the stop would silence a
+    * shrinking live set on a stale basis forever).
     */
   def fingerprintOf(stats: LoadStats): String =
     s"${stats.centroids}|${stats.postingRows}|${stats.p99Rows}|" +
-      s"${stats.maxRows}"
+      s"${stats.maxRows}|${stats.tombstoneRows}"
 
   private def postingRows(spark: SparkSession, dir: String): DataFrame =
     IndexCompaction.readOrEmpty(spark, postingsDir(dir),
@@ -256,36 +260,45 @@ object AnnIndex {
     // missing data dirs, never pairs stale meta with new data (the
     // old meta was for old data this build just deleted — hence
     // written unconditionally, so no stale samekfp can survive)
-    val written = assigned(spark, vectors, codebook, 0L).schema
+    // pinned on acted builds: the fingerprint aggregate below and the
+    // posting write are two actions over the same full-corpus
+    // assignment (broadcast crossJoin + per-vector window — the
+    // build's dominant cost); without the pin the act pays it twice
+    val toWrite = assigned(spark, vectors, codebook, 0L)
+    if (recordSameKAct) toWrite.persist()
+    try {
     val asRead = StructType(
-      written.fields.filterNot(_.name == "cid").toSeq :+
+      toWrite.schema.fields.filterNot(_.name == "cid").toSeq :+
         StructField("cid", IntegerType))
     // the act-once memory: the fingerprint of the layout about to be
-    // written, computed from the same assignment the data write below
-    // re-runs (one extra agg job, acts only) with EXACTLY loadStats'
-    // aggregate spelling — non-empty cells' sorted counts, k from the
-    // codebook — so a post-act measurement over an unchanged corpus
-    // reproduces it verbatim
+    // written, with EXACTLY loadStats' aggregate spelling — non-empty
+    // cells' sorted counts, k from the codebook, tombstone rows 0 (a
+    // fresh build writes an empty tombstone table; the component is
+    // what re-arms the stop on DELETE-ONLY churn, which appends
+    // tombstones without moving any posting aggregate) — so a
+    // post-act measurement over an unchanged corpus reproduces it
+    // verbatim
     val samekLine =
       if (!recordSameKAct) Nil
       else {
-        val counts = assigned(spark, vectors, codebook, 0L)
+        val counts = toWrite
           .groupBy("cid").count()
           .collect().map(_.getLong(1)).sorted.toIndexedSeq
         val k = codebook.count().toInt
         val p99 = BucketIndex.sizingRows(counts)
         val mx = if (counts.isEmpty) 0L else counts.last
-        Seq(s"samekfp=$k|${counts.sum}|$p99|$mx")
+        Seq(s"samekfp=$k|${counts.sum}|$p99|$mx|0")
       }
     PointerDir.writeMetaLines(spark, dir,
       Seq(s"schema=${asRead.json}") ++ samekLine)
     codebook.select(col("cid").cast("int"), col("ce").cast("array<double>"))
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(centroidsDir(dir))
-    assigned(spark, vectors, codebook, 0L)
+    toWrite
       .write.mode(SaveMode.Overwrite).partitionBy("cid")
       .parquet(postingsDir(dir))
     writeEmptyTombstones(spark, dir)
+    } finally if (recordSameKAct) toWrite.unpersist()
   }
 
   /** The frozen codebook as persisted at build. */
@@ -485,6 +498,11 @@ object AnnIndex {
     */
   case class LoadStats(centroids: Int, postingRows: Long,
       meanRows: Double, p99Rows: Long, maxRows: Long,
+      /** Raw tombstone-table rows — the fingerprint component that
+        * re-arms the act-once stop on DELETE-ONLY churn, which
+        * appends tombstones without moving any posting aggregate.
+        */
+      tombstoneRows: Long = 0L,
       p99TopVectorRows: Long = 0L, vetoMeasuredAt: Long = 0L,
       /** [[actedFingerprintOf]]'s stored value, riding the stats so
         * [[retrainAdvice]] stays a pure decision over one measurement.
@@ -529,14 +547,28 @@ object AnnIndex {
     val total = counts.sum
     // LITERALLY the bloom-index sizing statistic, not a re-derivation
     val p99 = BucketIndex.sizingRows(counts)
+    val mx = if (counts.isEmpty) 0L else counts.last
+    // raw tombstone rows: a parquet count() — footer row-counts, no
+    // column data — that completes the fingerprint (see LoadStats)
+    val tombs = spark.read.parquet(tombsDir(dir)).count()
+    val acted = actedFingerprintOf(spark, dir)
     // RAW-tied cells (the scan-cost statistic the p99 rank is about);
     // non-empty whenever the gate below holds, because sizingRows
     // returns an element of `counts`
     val tied = perCid.filter(_._2 == p99).map(_._1)
-    // gate + cap + live-set measurement: see the LoadStats scaladoc
+    // gate + cap + live-set measurement: see the LoadStats scaladoc.
+    // The acted-fingerprint short-circuit: when this census already
+    // matches the last act's recorded layout, retrainAdvice's stop
+    // rule silences the verdict on the cid-only aggregates alone —
+    // paying the wide tied-cell pass first would scan vector
+    // partitions every maintenance window of the (now common)
+    // fingerprint-silenced steady state for a veto that cannot
+    // change the outcome
+    val censusFp = s"$k|$total|$p99|$mx|$tombs"
     val runVeto = coincidenceTarget > 0 && k > 0 && total > 0 &&
       sameKArm(total, p99, k, coincidenceTarget) &&
-      tied.length <= VetoTieCells
+      tied.length <= VetoTieCells &&
+      !acted.contains(censusFp)
     val p99Top =
       if (!runVeto) 0L
       else {
@@ -554,9 +586,9 @@ object AnnIndex {
         if (tops.length < tied.length) 0L else tops.min
       }
     LoadStats(k, total, total.toDouble / math.max(1, k), p99,
-      if (counts.isEmpty) 0L else counts.last, p99Top,
+      mx, tombs, p99Top,
       if (runVeto) coincidenceTarget else 0L,
-      actedFingerprintOf(spark, dir))
+      acted)
   }
 
   /** Pure retrain decision over [[loadStats]] — the

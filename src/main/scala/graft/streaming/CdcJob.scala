@@ -469,19 +469,16 @@ object CdcJob {
         throw new IllegalArgumentException(
           s"UNKNOWN INDEX COLUMN for $k: '$column' " +
             s"(table has: ${schema.fieldNames.mkString(", ")})")
-      // mirror of CdcPipeline's construction-time ANN type rule —
-      // keep the two validators agreeing, or a file config passes
-      // here and fails there with the less-friendly message
-      if (cfgKey == "sink.index.ann") colField.get.dataType match {
-        case org.apache.spark.sql.types.StringType =>
-        case org.apache.spark.sql.types.ArrayType(et, _)
-            if et.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
-              et == org.apache.spark.sql.types.StringType =>
-        case other => throw new IllegalArgumentException(
+      // the SAME rule as the construction-time check, by construction
+      // ([[CdcPipeline.annEmbeddingTypeOk]] is the one shared
+      // predicate) — a file config can never pass here and fail there
+      if (cfgKey == "sink.index.ann" &&
+          !CdcPipeline.annEmbeddingTypeOk(colField.get.dataType))
+        throw new IllegalArgumentException(
           s"BAD $cfgKey for $k: column '$column' is " +
-            s"${other.simpleString} — the embedding column must be a " +
-            "JSON-array string or an array castable to array<double>")
-      }
+            s"${colField.get.dataType.simpleString} — the embedding " +
+            "column must be a JSON-array string or an array castable " +
+            "to array<double>")
       routeKey -> column
     }
   }

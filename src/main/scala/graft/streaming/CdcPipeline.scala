@@ -509,25 +509,15 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
         throw new IllegalArgumentException(
           s"$cfgKey for $key: no column '$column' in the table schema " +
             s"(${spec.schema.fields.map(_.name).mkString(", ")})")
-      // the ANN delta parses a string column as a JSON array (the
-      // envelope's union decode tags non-scalar types as string) and
-      // CASTS anything else to array<double> — a scalar-typed column
-      // fails that cast with an AnalysisException at the FIRST batch,
-      // which is exactly the crash-loop this block exists to prevent
-      if (cfgKey == "sink.index.ann") colField.get.dataType match {
-        case org.apache.spark.sql.types.StringType =>
-        // string elements stay accepted: array<string> casts to
-        // array<double> (numeric strings from an upstream that
-        // pre-splits the JSON) — the guard targets SCALAR columns,
-        // whose cast fails analysis on the first batch
-        case org.apache.spark.sql.types.ArrayType(et, _)
-            if et.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
-              et == org.apache.spark.sql.types.StringType =>
-        case other => throw new IllegalArgumentException(
+      // the shared embedding-type rule — see
+      // [[CdcPipeline.annEmbeddingTypeOk]]
+      if (cfgKey == "sink.index.ann" &&
+          !CdcPipeline.annEmbeddingTypeOk(colField.get.dataType))
+        throw new IllegalArgumentException(
           s"$cfgKey for $key: column '$column' is " +
-            s"${other.simpleString} — the embedding column must be a " +
-            "JSON-array string or an array castable to array<double>")
-      }
+            s"${colField.get.dataType.simpleString} — the embedding " +
+            "column must be a JSON-array string or an array castable " +
+            "to array<double>")
     }
   }
 
@@ -1821,6 +1811,24 @@ final class CdcPipeline(spark: SparkSession, config: CdcConfig) {
 }
 
 object CdcPipeline {
+  /** The ONE accepted-embedding-type rule for `sink.index.ann`,
+    * shared by the construction-time validation and CdcJob's
+    * config-file validator so the two surfaces cannot drift: a
+    * JSON-array string (the envelope's union decode tags non-scalar
+    * types as string) or an array whose elements cast to double
+    * (numeric, or numeric strings). Scalar columns fail the delta's
+    * `cast("array<double>")` at analysis — the crash-loop both
+    * validators exist to prevent.
+    */
+  private[graft] def annEmbeddingTypeOk(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType => true
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      et.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        et == org.apache.spark.sql.types.StringType
+    case _ => false
+  }
+
   /** The retention cutoff date (`dt` values strictly below it
     * expire), derived in the SESSION timezone — the same clock
     * [[graft.ops.EnvelopeDecoder.dtColumn]]'s `date_format` used to

@@ -412,6 +412,16 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(Graft.annIndexMaintenance(spark, dir3, 10).isEmpty,
       "one act over a BACKLOGGED index must reach silence — the " +
         "recorded fingerprint is the written layout, not pre-act stats")
+    // ...and DELETE-ONLY churn re-arms the stop: a tombstone-only
+    // delta moves none of the four posting aggregates, so the
+    // tombstone component of the fingerprint is what keeps a
+    // shrinking live set from staying silenced on a stale basis —
+    // a same-k retrain of the smaller live set is NOT futile
+    AnnIndex.applyDelta(spark, dir3, vecs(),
+      vecs(27L -> Seq(0.0, 0.0, 0.0, 1.0)).select("vec_id"))
+    assert(Graft.annIndexMaintenance(spark, dir3, 10)
+      .exists(_.isInstanceOf[Graft.Resize[_, _]]),
+      "delete-only churn past the acted fingerprint must re-arm")
 
     // (d) the veto's COST GUARD: with more than VetoTieCells cells
     // tied at the p99 count, the wide-column pass is skipped
