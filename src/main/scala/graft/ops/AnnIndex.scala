@@ -117,6 +117,20 @@ object AnnIndex {
     s"${stats.centroids}|${stats.postingRows}|${stats.p99Rows}|" +
       s"${stats.maxRows}|${stats.tombstoneRows}"
 
+  /** THE one stored-fingerprint comparison ([[retrainAdvice]]'s stop
+    * rule and [[loadStats]]' veto short-circuit both call it — one
+    * spelling, so the two sites cannot drift). Also accepts the
+    * pre-tombstone 4-field format when `tombstoneRows` is 0: an index
+    * acted on before that component landed must not pay one futile
+    * retrain just to re-record in the wider format.
+    */
+  private[graft] def fingerprintMatches(acted: Option[String],
+      stats: LoadStats): Boolean =
+    acted.exists(a => a == fingerprintOf(stats) ||
+      (stats.tombstoneRows == 0L &&
+        a == s"${stats.centroids}|${stats.postingRows}|" +
+          s"${stats.p99Rows}|${stats.maxRows}"))
+
   private def postingRows(spark: SparkSession, dir: String): DataFrame =
     IndexCompaction.readOrEmpty(spark, postingsDir(dir),
       // by-name: the stored-schema meta read costs nothing unless the
@@ -255,42 +269,20 @@ object AnnIndex {
       fs.delete(new Path(p), true)
     // meta BEFORE data (the TextIndex.build ordering): the as-read
     // postings schema (written shape minus the partition column, with
-    // `cid` re-appended last as the read returns it) + the acted
-    // same-k fingerprint; a crash after the meta fails loudly on the
-    // missing data dirs, never pairs stale meta with new data (the
-    // old meta was for old data this build just deleted — hence
-    // written unconditionally, so no stale samekfp can survive)
-    // pinned on acted builds: the fingerprint aggregate below and the
-    // posting write are two actions over the same full-corpus
-    // assignment (broadcast crossJoin + per-vector window — the
-    // build's dominant cost); without the pin the act pays it twice
+    // `cid` re-appended last as the read returns it); a crash after
+    // the meta fails loudly on the missing data dirs, never pairs
+    // stale meta with new data (the old meta was for old data this
+    // build just deleted — hence written unconditionally, so no stale
+    // samekfp can survive). The samekfp line itself is the one meta
+    // component written AFTER the data — see the acted-build block at
+    // the end.
     val toWrite = assigned(spark, vectors, codebook, 0L)
-    if (recordSameKAct) toWrite.persist()
-    try {
     val asRead = StructType(
       toWrite.schema.fields.filterNot(_.name == "cid").toSeq :+
         StructField("cid", IntegerType))
-    // the act-once memory: the fingerprint of the layout about to be
-    // written, with EXACTLY loadStats' aggregate spelling — non-empty
-    // cells' sorted counts, k from the codebook, tombstone rows 0 (a
-    // fresh build writes an empty tombstone table; the component is
-    // what re-arms the stop on DELETE-ONLY churn, which appends
-    // tombstones without moving any posting aggregate) — so a
-    // post-act measurement over an unchanged corpus reproduces it
-    // verbatim
-    val samekLine =
-      if (!recordSameKAct) Nil
-      else {
-        val counts = toWrite
-          .groupBy("cid").count()
-          .collect().map(_.getLong(1)).sorted.toIndexedSeq
-        val k = codebook.count().toInt
-        val p99 = BucketIndex.sizingRows(counts)
-        val mx = if (counts.isEmpty) 0L else counts.last
-        Seq(s"samekfp=$k|${counts.sum}|$p99|$mx|0")
-      }
-    PointerDir.writeMetaLines(spark, dir,
-      Seq(s"schema=${asRead.json}") ++ samekLine)
+    // schema-only meta FIRST, unconditionally — clears any stale
+    // samekfp from the data this build just deleted
+    PointerDir.writeMetaLines(spark, dir, Seq(s"schema=${asRead.json}"))
     codebook.select(col("cid").cast("int"), col("ce").cast("array<double>"))
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(centroidsDir(dir))
@@ -298,7 +290,29 @@ object AnnIndex {
       .write.mode(SaveMode.Overwrite).partitionBy("cid")
       .parquet(postingsDir(dir))
     writeEmptyTombstones(spark, dir)
-    } finally if (recordSameKAct) toWrite.unpersist()
+    // the act-once memory, recorded AFTER the data lands: the
+    // fingerprint is measured off the WRITTEN postings with loadStats'
+    // own read (a zero-data-column scan — counts come from footers),
+    // so it matches a later measurement over an unchanged corpus BY
+    // CONSTRUCTION, and nothing caches or recomputes the full-corpus
+    // assignment. Crash between the data write and this meta rewrite:
+    // schema-only meta, no fingerprint — the verdict re-fires once
+    // and the re-act re-records, the same bounded behavior as a
+    // consumer that rebuilt without the flag. The tombstone
+    // component is 0 (writeEmptyTombstones above); it is what
+    // re-arms the stop on DELETE-ONLY churn, which appends
+    // tombstones without moving any posting aggregate.
+    if (recordSameKAct) {
+      val counts = postingRows(spark, dir)
+        .groupBy("cid").count()
+        .collect().map(_.getLong(1)).sorted.toIndexedSeq
+      val p99 = BucketIndex.sizingRows(counts)
+      val mx = if (counts.isEmpty) 0L else counts.last
+      val fp = fingerprintOf(LoadStats(codebook.count().toInt,
+        counts.sum, 0.0, p99, mx, tombstoneRows = 0L))
+      PointerDir.writeMetaLines(spark, dir,
+        Seq(s"schema=${asRead.json}", s"samekfp=$fp"))
+    }
   }
 
   /** The frozen codebook as persisted at build. */
@@ -563,12 +577,13 @@ object AnnIndex {
     // paying the wide tied-cell pass first would scan vector
     // partitions every maintenance window of the (now common)
     // fingerprint-silenced steady state for a veto that cannot
-    // change the outcome
-    val censusFp = s"$k|$total|$p99|$mx|$tombs"
+    // change the outcome. The SAME matcher the stop rule uses, so
+    // the short-circuit can never diverge from the decision.
+    val census = LoadStats(k, total, 0.0, p99, mx, tombs)
     val runVeto = coincidenceTarget > 0 && k > 0 && total > 0 &&
       sameKArm(total, p99, k, coincidenceTarget) &&
       tied.length <= VetoTieCells &&
-      !acted.contains(censusFp)
+      !fingerprintMatches(acted, census)
     val p99Top =
       if (!runVeto) 0L
       else {
@@ -677,7 +692,7 @@ object AnnIndex {
         // moves postingRows, a compact moves it, a capacity grow
         // changes k — all four aggregates are in the fingerprint).
         if (rec == stats.centroids &&
-            stats.actedFingerprint.contains(fingerprintOf(stats))) None
+            fingerprintMatches(stats.actedFingerprint, stats)) None
         else Some(rec)
       }
     }
