@@ -127,9 +127,9 @@ object AnnIndex {
   private[graft] def fingerprintMatches(acted: Option[String],
       stats: LoadStats): Boolean =
     acted.exists(a => a == fingerprintOf(stats) ||
-      (stats.tombstoneRows == 0L &&
-        a == s"${stats.centroids}|${stats.postingRows}|" +
-          s"${stats.p99Rows}|${stats.maxRows}"))
+      // the legacy value extended with the zero it predates — keeps
+      // fingerprintOf the file's ONE spelling of the format
+      (stats.tombstoneRows == 0L && s"$a|0" == fingerprintOf(stats)))
 
   private def postingRows(spark: SparkSession, dir: String): DataFrame =
     IndexCompaction.readOrEmpty(spark, postingsDir(dir),
@@ -303,13 +303,12 @@ object AnnIndex {
     // re-arms the stop on DELETE-ONLY churn, which appends
     // tombstones without moving any posting aggregate.
     if (recordSameKAct) {
-      val counts = postingRows(spark, dir)
-        .groupBy("cid").count()
-        .collect().map(_.getLong(1)).sorted.toIndexedSeq
-      val p99 = BucketIndex.sizingRows(counts)
-      val mx = if (counts.isEmpty) 0L else counts.last
-      val fp = fingerprintOf(LoadStats(codebook.count().toInt,
-        counts.sum, 0.0, p99, mx, tombstoneRows = 0L))
+      // LITERALLY loadStats' own census over the just-written index —
+      // not a re-spelling of its measurement — so the recorded value
+      // matches a later measurement by construction and can never
+      // drift from it (a drifted copy would silently disarm the stop
+      // rule and re-run the full retrain every maintenance window)
+      val fp = fingerprintOf(loadStats(spark, dir))
       PointerDir.writeMetaLines(spark, dir,
         Seq(s"schema=${asRead.json}", s"samekfp=$fp"))
     }
