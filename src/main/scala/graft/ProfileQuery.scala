@@ -37,7 +37,11 @@ object ProfileQuery {
           override def onJobStart(
               j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
             starts(j.jobId) = (System.nanoTime(),
+              // the result stage's name carries the action's call
+              // site ("collect at AnnIndex.scala:123") even when no
+              // job description/callSite property is set
               Option(j.properties.getProperty("callSite.short"))
+                .orElse(j.stageInfos.lastOption.map(_.name))
                 .getOrElse("?"))
           override def onJobEnd(
               j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =

@@ -99,17 +99,22 @@ object IndexCompaction {
       val rows = readOrEmpty(spark, rowsDir, StructType(Seq(
           StructField(idCol, LongType), StructField("gen", LongType))))
         .select(col(idCol), col("gen"))
-      val raw = rows.count()
       val tside = if (tombIds <= Probes.DefaultMaxRows) broadcast(tm) else tm
-      // LITERALLY the reads' kill rule (strictly newer tombstone wins),
-      // so the measured live count can never drift from what a compact
-      // would actually keep
-      val live = rows.as("r")
-        .join(tside.as("t"),
-          col(s"r.$idCol") === col(s"t.$idCol") &&
-            col("t.tgen") > col("r.gen"), "left_anti")
-        .count()
-      CompactStats(raw, live, tombstoneRows)
+      // raw and live measured in ONE job: tm is unique per id (the
+      // groupBy above), so a left-outer join preserves the raw row
+      // count and the kill-rule predicate — LITERALLY the reads' rule,
+      // strictly newer tombstone wins — rides the same pass as a
+      // conditional count (the former raw-count job re-scanned the
+      // whole postings table only to count it)
+      val c = rows.as("r")
+        .join(tside.as("t"), col(s"r.$idCol") === col(s"t.$idCol"),
+          "left_outer")
+        .agg(count(lit(1)).as("raw"),
+          coalesce(sum(when(col("t.tgen") > col("r.gen"), 1L)
+            .otherwise(0L)), lit(0L)).as("dead"))
+        .head()
+      val (raw, dead) = (c.getLong(0), c.getLong(1))
+      CompactStats(raw, raw - dead, tombstoneRows)
     } finally tm.unpersist()
   }
 

@@ -136,32 +136,37 @@ object Compaction {
       spark.sessionState.newHadoopConf())
     val touched = scala.collection.mutable.Buffer[String]()
     var (before, after) = (0L, 0L)
-    for (dt <- dts.distinct) {
-      val dtDir = s"$tableDir/dt=$dt"
-      // staging names are DOT-PREFIXED and live beside the partition
-      // INSIDE the table dir — a `dt=<v>._compact_tmp` name would be
-      // parsed by partition discovery as a real dt value, exposing
-      // staged (or, after a crash, trash) rows to any table reader;
-      // dot-prefixed dirs are invisible to partition discovery, the
-      // zone-map file walker, and the auto-compactor's dt= listing
-      val tmp = s"$tableDir/._compact_tmp_dt=$dt"
-      val trash = s"$tableDir/._compact_trash_dt=$dt"
-      restoreIfInterrupted(spark, dtDir, trash)
-      if (!fs.exists(new Path(dtDir)))
+    // staging names are DOT-PREFIXED and live beside the partitions
+    // INSIDE the table dir — a `dt=<v>._compact_tmp` name would be
+    // parsed by partition discovery as a real dt value, exposing
+    // staged (or, after a crash, trash) rows to any table reader;
+    // dot-prefixed dirs are invisible to partition discovery, the
+    // zone-map file walker, and the auto-compactor's dt= listing
+    val present = dts.distinct.flatMap { dt =>
+      restoreIfInterrupted(spark, s"$tableDir/dt=$dt",
+        s"$tableDir/._compact_trash_dt=$dt")
+      if (fs.exists(new Path(s"$tableDir/dt=$dt"))) Some(dt)
+      else {
         org.slf4j.LoggerFactory.getLogger(getClass).info(
           s"compactPartitions: no partition dt=$dt under $tableDir — skipped")
-      else {
-        val df = spark.read.parquet(dtDir)
-        val n = df.count()
-        val parts = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
-        val (b, a) = rewriteSwap(spark, dtDir, tmp, trash) { t =>
-          df.repartitionByRange(parts, order: _*)
-            .sortWithinPartitions(order: _*)
-            .write.mode(SaveMode.Overwrite).parquet(t)
-        }
-        before += b; after += a
-        touched += dtDir
+        None
       }
+    }
+    // ONE fused count job + ONE range-shuffled write job per SCHEMA
+    // GROUP (normally one group for the whole call) instead of one
+    // count + one write PER PARTITION: an auto-compaction wave over a
+    // week of fragmented partitions paid ~3 Spark jobs × days where
+    // ~3 total suffice (q122's lifecycle: 8 partitions × 2-3 waves ≈
+    // 50 sequential driver-latency-bound jobs → ~8). Partitions whose
+    // file schema drifted from the group's (an evolved sink) rewrite
+    // in their own group — fusing across schemas would widen every
+    // older partition's files to the union schema.
+    val bySchema = present.groupBy(dt =>
+      spark.read.parquet(s"$tableDir/dt=$dt").schema)
+    for ((_, group) <- bySchema.toSeq.sortBy(_._2.head)) {
+      val (b, a, t) =
+        compactGroup(spark, fs, tableDir, group, rowsPerFile, order)
+      before += b; after += a; touched ++= t
     }
     val manifest = tableDir + "._zonemaps"
     if (touched.nonEmpty && fs.exists(new Path(manifest))) {
@@ -187,6 +192,112 @@ object Compaction {
       onManifestHealth(health, statCols)
     }
     (before, after)
+  }
+
+  /** Reserved staging partition column for the fused multi-partition
+    * rewrite — lets every fragmented `dt=` dir of one table rewrite
+    * in a single range-shuffled job without colliding with a physical
+    * `dt` column some writer may have left INSIDE the files (the
+    * per-dt path rewrote file columns untouched; this path must too).
+    */
+  private val FusedDtCol = "_graft_compact_dt"
+
+  /** Fused rewrite of one schema group's partitions: one read (dt
+    * re-attached as a literal — a basePath read would re-INFER the
+    * partition value's type), one counting job for every partition's
+    * row target, one range-partitioned write into a single staging
+    * root, then the same per-partition two-rename atomic swaps the
+    * per-dt path used. Crash windows are unchanged: before any swap
+    * only dot-prefixed staging exists; between a partition's two
+    * renames the next run's [[restoreIfInterrupted]] recovers it;
+    * between partitions the table is the same
+    * some-rewritten-some-not state the sequential loop could leave.
+    */
+  private def compactGroup(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
+      group: Seq[String], rowsPerFile: Long,
+      order: Seq[org.apache.spark.sql.Column])
+      : (Long, Long, Seq[String]) = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val frames = group.map { dt =>
+      val raw = spark.read.parquet(s"$tableDir/dt=$dt")
+      require(!raw.columns.exists(_.equalsIgnoreCase(FusedDtCol)),
+        s"column $FusedDtCol is reserved by compactPartitions")
+      raw.withColumn(FusedDtCol, lit(dt))
+    }
+    val df = frames.reduce(_ unionByName _)
+    val counts: Map[String, Long] = df.groupBy(FusedDtCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val parts = math.min(Int.MaxValue.toLong, math.max(1L,
+      group.map(dt => math.ceil(
+        counts.getOrElse(dt, 0L).toDouble / rowsPerFile).toLong).sum)).toInt
+    val sortCols = col(FusedDtCol) +: order
+    val stage = new Path(s"$tableDir/._compact_tmp_multi")
+    fs.delete(stage, true)
+    df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(FusedDtCol)
+      .parquet(stage.toString)
+    // locate each partition's staged child by its LITERAL name — the
+    // writer URI-escapes exotic partition values, and a value whose
+    // escaped directory name differs from the literal one would make
+    // the rename target ambiguous. Every real dt here is a date
+    // string / plain label (escape-free); if any non-empty partition
+    // is missing its literal child, fall back to the per-dt rewrite
+    // for the WHOLE group rather than guess at name decoding.
+    val missing = group.filter(dt => counts.getOrElse(dt, 0L) > 0 &&
+      !fs.exists(new Path(stage, s"$FusedDtCol=$dt")))
+    if (missing.nonEmpty) {
+      log.warn(s"compactPartitions: staged names for dt=" +
+        s"${missing.mkString(",")} under $tableDir are escaped — " +
+        "falling back to per-partition rewrites")
+      fs.delete(stage, true)
+      var (b, a) = (0L, 0L)
+      val touched = scala.collection.mutable.Buffer[String]()
+      for (dt <- group) {
+        val dtDir = s"$tableDir/dt=$dt"
+        val one = spark.read.parquet(dtDir)
+        val n = counts.getOrElse(dt, 0L)
+        val p = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+        val (db, da) = rewriteSwap(spark, dtDir,
+          s"$tableDir/._compact_tmp_dt=$dt",
+          s"$tableDir/._compact_trash_dt=$dt") { t =>
+          one.repartitionByRange(p, order: _*)
+            .sortWithinPartitions(order: _*)
+            .write.mode(SaveMode.Overwrite).parquet(t)
+        }
+        b += db; a += da; touched += dtDir
+      }
+      return (b, a, touched.toSeq)
+    }
+    warnNonAtomicRename(fs, tableDir)
+    var (before, after) = (0L, 0L)
+    val touched = scala.collection.mutable.Buffer[String]()
+    for (dt <- group) {
+      val dtDir = s"$tableDir/dt=$dt"
+      val live = new Path(dtDir)
+      val trash = new Path(s"$tableDir/._compact_trash_dt=$dt")
+      val staged = new Path(stage, s"$FusedDtCol=$dt")
+      // a zero-row partition stages no child — swap in an empty dir,
+      // the same "partition emptied out" end state the per-dt path's
+      // empty rewrite produced
+      val src = if (fs.exists(staged)) staged
+      else { val e = new Path(stage, s"$FusedDtCol=$dt.__empty")
+        fs.mkdirs(e); e }
+      before += countParquetFiles(fs, dtDir)
+      after += countParquetFiles(fs, src.toString)
+      fs.delete(trash, true)
+      if (!fs.rename(live, trash))
+        throw new IllegalStateException(s"compact swap failed: $dtDir")
+      if (!fs.rename(src, live)) {
+        fs.rename(trash, live) // roll back
+        throw new IllegalStateException(s"compact swap failed: $dtDir")
+      }
+      fs.delete(trash, true)
+      touched += dtDir
+    }
+    fs.delete(stage, true)
+    (before, after, touched.toSeq)
   }
 
   /** Sweep crash leftovers: `._compact_tmp*` staging dirs and
@@ -290,6 +401,35 @@ object Compaction {
     * directory, and even reading the table for the rewrite would
     * fail).
     */
+  /** See the class doc: rename is a copy on these stores, so the
+    * "atomic" swap window becomes O(data) long. getScheme THROWS on
+    * FileSystem impls that keep the base-class default — this check
+    * only gates a log line, never the compaction.
+    */
+  private def warnNonAtomicRename(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: String): Unit = {
+    val scheme = try Option(fs.getScheme).getOrElse("")
+    catch { case _: UnsupportedOperationException => "" }
+    if (Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+        "oss", "cos").contains(scheme.toLowerCase))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"compact: '$scheme' renames are O(data) copies, the directory " +
+          "swap is NOT atomic here — readers may see a missing/partial " +
+          "table while the swap copies")
+  }
+
+  /** Recursive `.parquet` data-file count under `p` (0 if missing). */
+  private def countParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: String): Long = {
+    if (!fs.exists(new Path(p))) return 0L
+    val it = fs.listFiles(new Path(p), true)
+    var c = 0L
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) c += 1
+    }
+    c
+  }
+
   private def restoreIfInterrupted(spark: SparkSession, tableDir: String,
       trashDir: String = null): Unit = {
     val fs = new Path(tableDir).getFileSystem(
@@ -310,24 +450,8 @@ object Compaction {
       write: String => Unit): (Long, Long) = {
     val fs = new Path(tableDir).getFileSystem(
       spark.sessionState.newHadoopConf())
-    // see the class doc: rename is a copy on these stores, so the
-    // "atomic" swap window becomes O(data) long. getScheme THROWS on
-    // FileSystem impls that keep the base-class default — this check
-    // only gates a log line, never the compaction
-    val scheme = try Option(fs.getScheme).getOrElse("")
-    catch { case _: UnsupportedOperationException => "" }
-    if (Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
-        "oss", "cos").contains(scheme.toLowerCase))
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"compact: '$scheme' renames are O(data) copies, the directory " +
-          "swap is NOT atomic here — readers may see a missing/partial " +
-          "table while the swap copies")
-    def countFiles(p: String): Long = {
-      val it = fs.listFiles(new Path(p), true)
-      var c = 0L
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) c += 1 }
-      c
-    }
+    warnNonAtomicRename(fs, tableDir)
+    def countFiles(p: String): Long = countParquetFiles(fs, p)
     val before = countFiles(tableDir)
 
     val tmp = new Path(Option(tmpDir).getOrElse(tableDir + "._compact_tmp"))

@@ -134,6 +134,70 @@ class CompactionSpec extends AnyFunSuite {
       == Seq("dt=2024-01-01", "dt=2024-01-02"))
   }
 
+  test("multi-partition compaction fuses every fragmented dt into one " +
+      "rewrite and keeps each partition's rows and dirs intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-multi-")
+      .resolve("tbl").toString
+    // three fragmented days (4 appends each), one cold day
+    for (b <- 0 until 4; d <- 1 to 3)
+      (0 until 25).map(i => (b * 100 + d * 25 + i, s"2024-02-0$d",
+          (b * 25 + i).toLong))
+        .toDF("id", "dt", "pos").coalesce(1)
+        .write.mode("append").partitionBy("dt").parquet(dir)
+    (5000 until 5050).map(i => (i, "2024-02-09", i.toLong))
+      .toDF("id", "dt", "pos").coalesce(1)
+      .write.mode("append").partitionBy("dt").parquet(dir)
+    val rowsBefore = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    def filesIn(d: String) = new java.io.File(d).listFiles()
+      .map(_.getName).filter(n => n.endsWith(".parquet") &&
+        !n.startsWith(".")).sorted.toSeq
+    val coldBefore = filesIn(s"$dir/dt=2024-02-09")
+    val (before, after) = Compaction.compactPartitions(spark, dir,
+      Seq("2024-02-01", "2024-02-02", "2024-02-03"),
+      rowsPerFile = 1000, order = Seq(col("pos"), col("id")))
+    assert(before == 12, s"got before=$before")
+    // per-dt ceil(100/1000)=1 each → 3 target partitions; a range
+    // boundary straddling a dt adds at most one extra file per dt
+    assert(after >= 3 && after <= 6, s"got after=$after")
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet
+      == rowsBefore)
+    for (d <- 1 to 3)
+      assert(filesIn(s"$dir/dt=2024-02-0$d").nonEmpty, s"dt=02-0$d empty")
+    assert(filesIn(s"$dir/dt=2024-02-09") == coldBefore)
+    // no staging debris
+    assert(!new java.io.File(s"$dir/._compact_tmp_multi").exists())
+    // rows within each rewritten partition are sorted by the order
+    // columns (the offset-order contract the per-dt path kept)
+    for (d <- 1 to 3) {
+      val pos = spark.read.parquet(s"$dir/dt=2024-02-0$d")
+        .select("pos").as[Long].collect()
+      // each FILE is sorted; with one file per dt the whole read is
+      val grouped = spark.read.parquet(s"$dir/dt=2024-02-0$d")
+        .withColumn("f", org.apache.spark.sql.functions
+          .input_file_name())
+        .select("f", "pos").as[(String, Long)].collect()
+        .groupBy(_._1).values
+      assert(grouped.forall(g => g.map(_._2).toSeq == g.map(_._2)
+        .toSeq.sorted), s"dt=02-0$d files not pos-sorted")
+      assert(pos.length == 100)
+    }
+  }
+
+  test("multi-partition compaction refuses a reserved staging column " +
+      "collision instead of silently overwriting it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-reserved-")
+      .resolve("tbl").toString
+    (0 until 10).map(i => (i, "2024-02-01", i.toLong, s"x$i"))
+      .toDF("id", "dt", "pos", "_graft_compact_dt").coalesce(1)
+      .write.mode("append").partitionBy("dt").parquet(dir)
+    intercept[IllegalArgumentException] {
+      Compaction.compactPartitions(spark, dir, Seq("2024-02-01"),
+        rowsPerFile = 1000, order = Seq(col("pos")))
+    }
+  }
+
   test("partition-scoped compaction rewrites only the named dt dirs " +
       "and patches the manifest incrementally") {
     import spark.implicits._
