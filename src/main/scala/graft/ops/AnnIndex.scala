@@ -319,17 +319,12 @@ object AnnIndex {
     spark.read.parquet(centroidsDir(dir))
 
   /** Highest generation recorded anywhere in the index — parquet
-    * column statistics make both aggregates footer reads.
+    * column statistics make both aggregates footer reads, fused into
+    * ONE Spark job ([[IndexCompaction.maxGenOf]]).
     */
-  def currentGen(spark: SparkSession, dir: String): Long = {
-    def maxGen(rows: DataFrame): Long =
-      rows.agg(max("gen")).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
-    math.max(maxGen(postingRows(spark, dir)),
-      maxGen(spark.read.parquet(tombsDir(dir))))
-  }
+  def currentGen(spark: SparkSession, dir: String): Long =
+    IndexCompaction.maxGenOf(Seq(postingRows(spark, dir),
+      spark.read.parquet(tombsDir(dir))))
 
   /** Apply one delta: `upserts` (vec_id, e — inserts and updates
     * alike) and `deletes` (vec_id). Appends only; assignment uses the
@@ -429,8 +424,14 @@ object AnnIndex {
     * rationale: a reset gen would let a crash between the swap and
     * the tombstone clear silently kill every previously-updated
     * vector's rewritten posting).
+    *
+    * Returns the folded index's [[IndexCompaction.CompactStats]],
+    * measured on the rewrite's own write via an `observe` metric —
+    * the post-compact state is (live, live, 0) by construction, so a
+    * re-measured [[compactStats]] right after would re-scan the
+    * postings for numbers the compact already counted.
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String): IndexCompaction.CompactStats = {
     val target = new Path(postingsDir(dir))
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(CompactStaging.tmp(postingsDir(dir)))
@@ -438,7 +439,9 @@ object AnnIndex {
     // heal an interrupted previous swap before anything else
     if (!fs.exists(target) && fs.exists(trash)) fs.rename(trash, target)
     fs.delete(tmp, true); fs.delete(trash, true)
+    val obs = org.apache.spark.sql.Observation()
     liveWithGen(spark, dir)
+      .observe(obs, count(lit(1)).as("rows"))
       .write.mode(SaveMode.Overwrite).partitionBy("cid")
       .parquet(tmp.toString)
     if (!fs.rename(target, trash))
@@ -449,6 +452,8 @@ object AnnIndex {
     }
     fs.delete(trash, true)
     writeEmptyTombstones(spark, dir)
+    val n = obs.get("rows").asInstanceOf[Long]
+    IndexCompaction.CompactStats(n, n, 0L)
   }
 
   /** Measured tombstone backlog — the WHEN-to-compact half of this

@@ -77,6 +77,22 @@ object IndexCompaction {
     else Probes.emptyFrame(spark, schema)
   }
 
+  /** Highest `gen` across several index tables in ONE Spark job — the
+    * shared `currentGen` kernel ([[TextIndex]]/[[AnnIndex]]/
+    * [[NeardupIndex]]): each table's max(gen) is a parquet
+    * footer-statistics read, but running them as separate actions paid
+    * one driver-scheduled job per table; a union of the pruned `gen`
+    * columns folds them into one. Empty tables contribute nothing
+    * (null max → 0, the family's empty-index convention).
+    */
+  private[graft] def maxGenOf(tables: Seq[DataFrame]): Long =
+    tables.map(_.select(col("gen").cast("long").as("gen")))
+      .reduce(_ unionAll _)
+      .agg(max("gen")).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+
   /** Measure one index's backlog: `rowsDir` is its dominant read-side
     * table (read via [[readOrEmpty]] — a fully-deleted-then-compacted
     * index has a data dir with no partitions and must read as zero

@@ -96,17 +96,12 @@ object NeardupIndex {
   }
 
   /** Highest generation recorded anywhere in the index — parquet
-    * column statistics make both aggregates footer reads.
+    * column statistics make both aggregates footer reads, fused into
+    * ONE Spark job ([[IndexCompaction.maxGenOf]]).
     */
-  def currentGen(spark: SparkSession, dir: String): Long = {
-    def maxGen(rows: DataFrame): Long =
-      rows.agg(max("gen")).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
-    math.max(maxGen(bandRows(spark, dir)),
-      maxGen(spark.read.parquet(tombsDir(dir))))
-  }
+  def currentGen(spark: SparkSession, dir: String): Long =
+    IndexCompaction.maxGenOf(Seq(bandRows(spark, dir),
+      spark.read.parquet(tombsDir(dir))))
 
   /** Apply one delta: `upserts` (doc_id, text — inserts and updates
     * alike) and `deletes` (doc_id). Appends only; returns the
@@ -194,7 +189,7 @@ object NeardupIndex {
     * next compact restores from trash, after the swap the stale
     * tombstones are inert until re-cleared.
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String): IndexCompaction.CompactStats = {
     val target = new Path(bandsDir(dir))
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(CompactStaging.tmp(bandsDir(dir)))
@@ -202,7 +197,13 @@ object NeardupIndex {
     // heal an interrupted previous swap before anything else
     if (!fs.exists(target) && fs.exists(trash)) fs.rename(trash, target)
     fs.delete(tmp, true); fs.delete(trash, true)
+    // the folded stats ride the rewrite's own write as an observe
+    // metric — the post-compact state is (live, live, 0) by
+    // construction, so a re-measured compactStats right after would
+    // re-scan the bands for numbers this write already counted
+    val obs = org.apache.spark.sql.Observation()
     liveWithGen(spark, dir)
+      .observe(obs, count(lit(1)).as("rows"))
       .write.mode(SaveMode.Overwrite).partitionBy("band")
       .parquet(tmp.toString)
     if (!fs.rename(target, trash))
@@ -213,5 +214,7 @@ object NeardupIndex {
     }
     fs.delete(trash, true)
     writeEmptyTombstones(spark, dir)
+    val n = obs.get("rows").asInstanceOf[Long]
+    IndexCompaction.CompactStats(n, n, 0L)
   }
 }

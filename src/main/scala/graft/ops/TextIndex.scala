@@ -240,16 +240,15 @@ object TextIndex {
     writeEmptyTombstones(spark, dir)
   }
 
-  /** Highest generation recorded anywhere — footer-statistics reads. */
-  def currentGen(spark: SparkSession, dir: String): Long = {
-    def maxGen(rows: DataFrame): Long =
-      rows.agg(max("gen")).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
-    Seq(postingRows(spark, dir), censusRows(spark, dir),
-      spark.read.parquet(tombsDir(dir))).map(maxGen).max
-  }
+  /** Highest generation recorded anywhere — footer-statistics reads,
+    * fused into ONE Spark job (the three per-table max aggregates used
+    * to run as three sequential driver-latency-bound jobs; a union max
+    * reads the same footers in one).
+    */
+  def currentGen(spark: SparkSession, dir: String): Long =
+    IndexCompaction.maxGenOf(
+      Seq(postingRows(spark, dir), censusRows(spark, dir),
+        spark.read.parquet(tombsDir(dir))))
 
   /** Apply one delta: `upserts` (doc_id, text) and `deletes`
     * (doc_id); appends only, returns the landed generation.
@@ -349,8 +348,20 @@ object TextIndex {
   /** Fold tombstones away: rewrite the live postings and census with
     * the swap discipline (gens preserved — [[NeardupIndex.compact]]'s
     * crash-window argument), then clear tombstones.
+    *
+    * Returns the folded index's [[IndexCompaction.CompactStats]] —
+    * measured on the rewrite's OWN write via an `observe` metric
+    * (zero extra jobs): the post-compact state is by construction
+    * (live rows, live rows, 0 tombstones), so a caller re-running
+    * [[compactStats]] right after would pay two more full postings
+    * scans for numbers the compact already counted. The two rewrites
+    * (postings, census) stage their tmp dirs CONCURRENTLY — they are
+    * independent jobs sharing no target (guide: overlap independent
+    * jobs) — and swap sequentially only once both are staged, so
+    * every crash window is one the re-run-compact convergence
+    * argument already covers.
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String): IndexCompaction.CompactStats = {
     // heal any interrupted previous swap BEFORE building the rewrite
     // frames: liveRows eagerly resolves the target dir's schema, so a
     // restore that only ran inside swapIn (after the frame is built)
@@ -363,15 +374,21 @@ object TextIndex {
       val (t, tr) = (new Path(p), new Path(CompactStaging.trash(p)))
       if (!hfs.exists(t) && hfs.exists(tr)) hfs.rename(tr, t)
     }
-    def swapIn(path: String, partitionBy: Option[String])(
+    def stage(path: String, partitionBy: Option[String])(
         rows: DataFrame): Unit = {
+      val fs = new Path(path).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      fs.delete(new Path(CompactStaging.tmp(path)), true)
+      fs.delete(new Path(CompactStaging.trash(path)), true)
+      val w = rows.write.mode(SaveMode.Overwrite)
+      partitionBy.fold(w)(c => w.partitionBy(c))
+        .parquet(CompactStaging.tmp(path))
+    }
+    def swap(path: String): Unit = {
       val target = new Path(path)
       val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
       val tmp = new Path(CompactStaging.tmp(path))
       val trash = new Path(CompactStaging.trash(path))
-      fs.delete(tmp, true); fs.delete(trash, true)
-      val w = rows.write.mode(SaveMode.Overwrite)
-      partitionBy.fold(w)(c => w.partitionBy(c)).parquet(tmp.toString)
       if (!fs.rename(target, trash))
         throw new IllegalStateException(s"index compact swap failed: $target")
       if (!fs.rename(tmp, target)) {
@@ -380,10 +397,23 @@ object TextIndex {
       }
       fs.delete(trash, true)
     }
-    swapIn(postingsDir(dir), Some("tb"))(
-      liveOf(spark, dir, postingRows(spark, dir)))
-    swapIn(docsDir(dir), None)(liveOf(spark, dir, censusRows(spark, dir)))
+    val obs = org.apache.spark.sql.Observation()
+    val postingsLive = liveOf(spark, dir, postingRows(spark, dir))
+      .observe(obs, count(lit(1)).as("rows"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val staged = Seq(
+      Future(stage(postingsDir(dir), Some("tb"))(postingsLive)),
+      Future(stage(docsDir(dir), None)(
+        liveOf(spark, dir, censusRows(spark, dir)))))
+    staged.foreach(Await.result(_, 1.hour))
+    swap(postingsDir(dir))
+    swap(docsDir(dir))
     writeEmptyTombstones(spark, dir)
+    val n = obs.get("rows").asInstanceOf[Long]
+    IndexCompaction.CompactStats(n, n, 0L)
   }
 
   /** Measured tombstone backlog — the WHEN-to-compact half of this

@@ -1970,10 +1970,6 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("lang"),
           size(col("t")).as("n"))
         .persist() // every stage's accounting reads this frame
-      def stage(name: String, ids: DataFrame): DataFrame =
-        tn.join(ids, Seq("doc_id"), "left_semi")
-          .agg(count(lit(1)).as("n_units"), sum("n").as("n_tokens"))
-          .select(lit(name).as("stage"), col("n_units"), col("n_tokens"))
       // stage 5: q106's equalizing resample, weights learned on the
       // stage-4 survivors (the set actually being shipped)
       val d5 = tn.join(s4, Seq("doc_id"), "left_semi").persist()
@@ -2006,14 +2002,35 @@ object TextQueries {
         .groupBy("source", "bin").agg(sum("n_tok").as("bt"))
         .agg(count(lit(1)).as("n_units"), sum("bt").as("n_tokens"))
         .select(lit("7_pack").as("stage"), col("n_units"), col("n_tokens"))
-      // 0_raw is a plain aggregate over tn — no self-semi-join
-      tn.agg(count(lit(1)).as("n_units"), sum("n").as("n_tokens"))
-        .select(lit("0_raw").as("stage"), col("n_units"), col("n_tokens"))
-        .unionByName(stage("1_quality", s1))
-        .unionByName(stage("2_exact_dedup", s2))
-        .unionByName(stage("3_near_dup", s3))
-        .unionByName(stage("4_decontaminate", s4))
-        .unionByName(stage("5_resample", s5))
+      // Stages 0-5 in ONE pass over tn: the survivor sets are tiny
+      // (≤ corpus doc ids) and unique per doc_id, so five broadcast
+      // LEFT joins attach stage-membership flags without changing
+      // cardinality, and one aggregate produces every doc-stage's
+      // (count, token sum) — the per-stage semi-join+agg formulation
+      // ran 6 sequential AQE-materialized aggregates over the same
+      // persisted frame (guide §2: job count is the scale killer for
+      // driver-serialized chains). Conditional count/sum over longs
+      // is order-insensitive, so the numbers are bit-identical.
+      val stageSets = Seq(s1, s2, s3, s4, s5)
+      val flagged = stageSets.zipWithIndex.foldLeft(tn) {
+        case (acc, (ids, i)) =>
+          acc.join(broadcast(ids.withColumn(s"in${i + 1}", lit(true))),
+            Seq("doc_id"), "left")
+      }
+      val names = Seq("0_raw", "1_quality", "2_exact_dedup",
+        "3_near_dup", "4_decontaminate", "5_resample")
+      val one = flagged.agg(
+        count(lit(1)).as("u0"), sum("n").as("t0"),
+        (1 to 5).flatMap(i => Seq(
+          count(when(col(s"in$i"), 1)).as(s"u$i"),
+          sum(when(col(s"in$i"), col("n"))).as(s"t$i"))): _*)
+      val st05 = one.select(explode(array(
+          names.zipWithIndex.map { case (nm, i) =>
+            struct(lit(nm).as("stage"), col(s"u$i").as("n_units"),
+              col(s"t$i").as("n_tokens"))
+          }: _*)).as("r"))
+        .select(col("r.stage"), col("r.n_units"), col("r.n_tokens"))
+      st05
         .unionByName(st6)
         .unionByName(st7)
         .orderBy("stage")
@@ -2267,9 +2284,11 @@ object TextQueries {
       val h = graft.api.Graft.textIndexCompactHealth(spark, idxDir)
       val st = h.map(_.stats).getOrElse(
         graft.ops.TextIndex.compactStats(spark, idxDir))
-      // act exactly as the health check spells it (in place)
-      graft.ops.TextIndex.compact(spark, idxDir)
-      val post = graft.ops.TextIndex.compactStats(spark, idxDir)
+      // act exactly as the health check spells it (in place); the
+      // folded stats ride the compact's own rewrite (observe metric) —
+      // a separate compactStats here would re-scan the postings twice
+      // for numbers that are (live, live, 0) by construction
+      val post = graft.ops.TextIndex.compact(spark, idxDir)
       // the silence verdict is the PURE decision over the stats just
       // measured — re-running the one-call health here would only
       // re-scan the index for numbers `post` already holds

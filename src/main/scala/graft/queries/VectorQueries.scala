@@ -908,8 +908,11 @@ object VectorQueries {
       val h = graft.api.Graft.annIndexCompactHealth(spark, idxDir)
       val st = h.map(_.stats).getOrElse(
         graft.ops.AnnIndex.compactStats(spark, idxDir))
-      graft.ops.AnnIndex.compact(spark, idxDir) // act as advised
-      val post = graft.ops.AnnIndex.compactStats(spark, idxDir)
+      // act as advised; the folded stats ride the compact's own
+      // rewrite (observe metric) — a separate compactStats here would
+      // re-scan the postings for numbers that are (live, live, 0) by
+      // construction
+      val post = graft.ops.AnnIndex.compact(spark, idxDir)
       val postAdvised =
         graft.ops.IndexCompaction.compactAdvice(post).isDefined
       Seq((st.rawRows, st.liveRows, st.tombstoneRows,

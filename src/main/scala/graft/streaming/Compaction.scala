@@ -3,6 +3,9 @@ package graft.streaming
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.Probes
 
 /** Sink maintenance: rewrite a CDC table directory into row-count-
   * targeted files per dt partition. Micro-batch appends necessarily
@@ -161,9 +164,26 @@ object Compaction {
     // file schema drifted from the group's (an evolved sink) rewrite
     // in their own group — fusing across schemas would widen every
     // older partition's files to the union schema.
-    val bySchema = present.groupBy(dt =>
-      spark.read.parquet(s"$tableDir/dt=$dt").schema)
-    for ((_, group) <- bySchema.toSeq.sortBy(_._2.head)) {
+    //
+    // Each dt's footer is read ONCE here and the loaded frame is
+    // passed into compactGroup (it used to re-read per dt). An
+    // UNREADABLE dt dir — data-less (a partition that emptied out) or
+    // a corrupt footer — is skipped with a log line instead of
+    // aborting the whole wave with zero progress: an empty dir has
+    // nothing to compact, and a corrupt partition should not hold the
+    // rest of the backlog hostage.
+    val loaded = present.flatMap { dt =>
+      scala.util.Try(spark.read.parquet(s"$tableDir/dt=$dt")) match {
+        case scala.util.Success(df) => Some(dt -> df)
+        case scala.util.Failure(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"compactPartitions: dt=$dt under $tableDir is unreadable " +
+              s"(${e.getMessage}) — skipped")
+          None
+      }
+    }
+    val bySchema = loaded.groupBy(_._2.schema)
+    for ((_, group) <- bySchema.toSeq.sortBy(_._2.head._1)) {
       val (b, a, t) =
         compactGroup(spark, fs, tableDir, group, rowsPerFile, order)
       before += b; after += a; touched ++= t
@@ -215,24 +235,39 @@ object Compaction {
     */
   private def compactGroup(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
-      group: Seq[String], rowsPerFile: Long,
+      group: Seq[(String, org.apache.spark.sql.DataFrame)],
+      rowsPerFile: Long,
       order: Seq[org.apache.spark.sql.Column])
       : (Long, Long, Seq[String]) = {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    val frames = group.map { dt =>
-      val raw = spark.read.parquet(s"$tableDir/dt=$dt")
-      require(!raw.columns.exists(_.equalsIgnoreCase(FusedDtCol)),
-        s"column $FusedDtCol is reserved by compactPartitions")
+    // a table carrying a PHYSICAL column named like the staging
+    // partition column can't ride the fused path (the writer would
+    // conflate the two) — rewrite it per-dt like the pre-fusion code
+    // did, instead of refusing to compact it at all
+    if (group.exists(_._2.columns.exists(_.equalsIgnoreCase(FusedDtCol)))) {
+      log.warn(s"compactPartitions: a physical $FusedDtCol column under " +
+        s"$tableDir — falling back to per-partition rewrites")
+      return perDtRewrite(spark, tableDir, group, rowsPerFile, order,
+        dt => None)
+    }
+    val frames = group.map { case (dt, raw) =>
       raw.withColumn(FusedDtCol, lit(dt))
     }
     val df = frames.reduce(_ unionByName _)
     val counts: Map[String, Long] = df.groupBy(FusedDtCol).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val parts = math.min(Int.MaxValue.toLong, math.max(1L,
-      group.map(dt => math.ceil(
-        counts.getOrElse(dt, 0L).toDouble / rowsPerFile).toLong).sum)).toInt
+      group.map { case (dt, _) => math.ceil(
+        counts.getOrElse(dt, 0L).toDouble / rowsPerFile).toLong }.sum)).toInt
     val sortCols = col(FusedDtCol) +: order
-    val stage = new Path(s"$tableDir/._compact_tmp_multi")
+    // staging name derived from the group's dts: two concurrent
+    // compactPartitions calls over DISJOINT dt sets (safe under the
+    // old per-dt tmp names) must not wipe each other's in-flight
+    // staging through one shared fixed path
+    val stage = new Path(s"$tableDir/._compact_tmp_multi_" +
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.orderedHash(group.map(_._1))
+          .toLong & 0xffffffffL))
     fs.delete(stage, true)
     df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -245,45 +280,39 @@ object Compaction {
     // string / plain label (escape-free); if any non-empty partition
     // is missing its literal child, fall back to the per-dt rewrite
     // for the WHOLE group rather than guess at name decoding.
-    val missing = group.filter(dt => counts.getOrElse(dt, 0L) > 0 &&
-      !fs.exists(new Path(stage, s"$FusedDtCol=$dt")))
+    val missing = group.map(_._1).filter(dt =>
+      counts.getOrElse(dt, 0L) > 0 &&
+        !fs.exists(new Path(stage, s"$FusedDtCol=$dt")))
     if (missing.nonEmpty) {
       log.warn(s"compactPartitions: staged names for dt=" +
         s"${missing.mkString(",")} under $tableDir are escaped — " +
         "falling back to per-partition rewrites")
       fs.delete(stage, true)
-      var (b, a) = (0L, 0L)
-      val touched = scala.collection.mutable.Buffer[String]()
-      for (dt <- group) {
-        val dtDir = s"$tableDir/dt=$dt"
-        val one = spark.read.parquet(dtDir)
-        val n = counts.getOrElse(dt, 0L)
-        val p = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
-        val (db, da) = rewriteSwap(spark, dtDir,
-          s"$tableDir/._compact_tmp_dt=$dt",
-          s"$tableDir/._compact_trash_dt=$dt") { t =>
-          one.repartitionByRange(p, order: _*)
-            .sortWithinPartitions(order: _*)
-            .write.mode(SaveMode.Overwrite).parquet(t)
-        }
-        b += db; a += da; touched += dtDir
-      }
-      return (b, a, touched.toSeq)
+      return perDtRewrite(spark, tableDir, group, rowsPerFile, order,
+        dt => counts.get(dt))
     }
     warnNonAtomicRename(fs, tableDir)
     var (before, after) = (0L, 0L)
     val touched = scala.collection.mutable.Buffer[String]()
-    for (dt <- group) {
+    for ((dt, _) <- group) {
       val dtDir = s"$tableDir/dt=$dt"
       val live = new Path(dtDir)
       val trash = new Path(s"$tableDir/._compact_trash_dt=$dt")
       val staged = new Path(stage, s"$FusedDtCol=$dt")
-      // a zero-row partition stages no child — swap in an empty dir,
-      // the same "partition emptied out" end state the per-dt path's
-      // empty rewrite produced
+      // a zero-row partition stages no child — stage a SCHEMA-BEARING
+      // empty rewrite (one empty parquet file, the exact end state the
+      // per-dt path's empty rewrite produced): a bare empty dir would
+      // make the NEXT compaction wave's schema probe (and any plain
+      // reader of the partition) fail on 'Unable to infer schema'
       val src = if (fs.exists(staged)) staged
-      else { val e = new Path(stage, s"$FusedDtCol=$dt.__empty")
-        fs.mkdirs(e); e }
+      else {
+        val e = new Path(stage, s"$FusedDtCol=$dt.__empty")
+        Probes.emptyFrame(spark, StructType(
+            df.schema.fields.filterNot(_.name == FusedDtCol)))
+          .repartition(1)
+          .write.mode(SaveMode.Overwrite).parquet(e.toString)
+        e
+      }
       before += countParquetFiles(fs, dtDir)
       after += countParquetFiles(fs, src.toString)
       fs.delete(trash, true)
@@ -298,6 +327,34 @@ object Compaction {
     }
     fs.delete(stage, true)
     (before, after, touched.toSeq)
+  }
+
+  /** The pre-fusion per-partition rewrite, kept as the fallback for
+    * the two states the fused path can't handle (URI-escaped staged
+    * names; a physical [[FusedDtCol]] column): each dt rewrites and
+    * swaps independently. `countOf` supplies a row count when the
+    * fused path already measured one (None → count here).
+    */
+  private def perDtRewrite(spark: SparkSession, tableDir: String,
+      group: Seq[(String, org.apache.spark.sql.DataFrame)],
+      rowsPerFile: Long, order: Seq[org.apache.spark.sql.Column],
+      countOf: String => Option[Long]): (Long, Long, Seq[String]) = {
+    var (b, a) = (0L, 0L)
+    val touched = scala.collection.mutable.Buffer[String]()
+    for ((dt, one) <- group) {
+      val dtDir = s"$tableDir/dt=$dt"
+      val n = countOf(dt).getOrElse(one.count())
+      val p = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+      val (db, da) = rewriteSwap(spark, dtDir,
+        s"$tableDir/._compact_tmp_dt=$dt",
+        s"$tableDir/._compact_trash_dt=$dt") { t =>
+        one.repartitionByRange(p, order: _*)
+          .sortWithinPartitions(order: _*)
+          .write.mode(SaveMode.Overwrite).parquet(t)
+      }
+      b += db; a += da; touched += dtDir
+    }
+    (b, a, touched.toSeq)
   }
 
   /** Sweep crash leftovers: `._compact_tmp*` staging dirs and

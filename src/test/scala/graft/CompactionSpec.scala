@@ -165,8 +165,9 @@ class CompactionSpec extends AnyFunSuite {
     for (d <- 1 to 3)
       assert(filesIn(s"$dir/dt=2024-02-0$d").nonEmpty, s"dt=02-0$d empty")
     assert(filesIn(s"$dir/dt=2024-02-09") == coldBefore)
-    // no staging debris
-    assert(!new java.io.File(s"$dir/._compact_tmp_multi").exists())
+    // no staging debris (the fused stage name is hash-suffixed)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("._compact_tmp")))
     // rows within each rewritten partition are sorted by the order
     // columns (the offset-order contract the per-dt path kept)
     for (d <- 1 to 3) {
@@ -184,18 +185,55 @@ class CompactionSpec extends AnyFunSuite {
     }
   }
 
-  test("multi-partition compaction refuses a reserved staging column " +
-      "collision instead of silently overwriting it") {
+  test("multi-partition compaction tolerates zero-row and data-less " +
+      "partitions: the wave proceeds and emptied dirs stay readable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-empty-")
+      .resolve("tbl").toString
+    for (b <- 0 until 3)
+      (0 until 10).map(i => (b * 10 + i, "2024-03-01", i.toLong))
+        .toDF("id", "dt", "pos").coalesce(1)
+        .write.mode("append").partitionBy("dt").parquet(dir)
+    // a partition that emptied out: schema-bearing empty parquet
+    Seq.empty[(Int, Long)].toDF("id", "pos").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/dt=2024-03-02")
+    // a DATA-LESS dir (no files at all — the state a crashed writer
+    // or a pre-fix zero-row swap leaves): must skip, not abort
+    new java.io.File(s"$dir/dt=2024-03-03").mkdirs()
+    val rowsBefore = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    val (b1, a1) = Compaction.compactPartitions(spark, dir,
+      Seq("2024-03-01", "2024-03-02", "2024-03-03"),
+      rowsPerFile = 1000, order = Seq(col("pos"), col("id")))
+    assert(b1 >= 3, s"got before=$b1")
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet
+      == rowsBefore)
+    // the zero-row partition swapped in a SCHEMA-BEARING layout: a
+    // plain read of it works, and a SECOND wave over it succeeds
+    assert(spark.read.parquet(s"$dir/dt=2024-03-02").count() == 0)
+    val (_, _) = Compaction.compactPartitions(spark, dir,
+      Seq("2024-03-01", "2024-03-02"),
+      rowsPerFile = 1000, order = Seq(col("pos"), col("id")))
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet
+      == rowsBefore)
+  }
+
+  test("multi-partition compaction routes a reserved staging column " +
+      "collision to the per-dt rewrite instead of corrupting it") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-compact-reserved-")
       .resolve("tbl").toString
-    (0 until 10).map(i => (i, "2024-02-01", i.toLong, s"x$i"))
-      .toDF("id", "dt", "pos", "_graft_compact_dt").coalesce(1)
-      .write.mode("append").partitionBy("dt").parquet(dir)
-    intercept[IllegalArgumentException] {
-      Compaction.compactPartitions(spark, dir, Seq("2024-02-01"),
-        rowsPerFile = 1000, order = Seq(col("pos")))
-    }
+    for (b <- 0 until 3)
+      (0 until 10).map(i => (b * 10 + i, "2024-02-01",
+          (b * 10 + i).toLong, s"x${b * 10 + i}"))
+        .toDF("id", "dt", "pos", "_graft_compact_dt").coalesce(1)
+        .write.mode("append").partitionBy("dt").parquet(dir)
+    val rowsBefore = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    val (before, after) = Compaction.compactPartitions(spark, dir,
+      Seq("2024-02-01"), rowsPerFile = 1000, order = Seq(col("pos")))
+    assert(before == 3 && after == 1, s"got ($before, $after)")
+    // rows — the physical reserved column included — survive intact
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet
+      == rowsBefore)
   }
 
   test("partition-scoped compaction rewrites only the named dt dirs " +
